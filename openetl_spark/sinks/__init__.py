@@ -1,0 +1,15 @@
+"""Built-in sinks. Importing this module registers them."""
+
+from openetl_spark.sources.files import FileSink
+from openetl_spark.sources.jdbc import JdbcSink
+from openetl_spark.sinks.memory import MemorySink
+from openetl_spark.sinks.rest import RestSink
+from openetl_spark.registry import register_sink
+
+for fmt in ("parquet", "csv", "json", "orc", "text"):
+    register_sink(fmt, FileSink(fmt))
+register_sink("jdbc", JdbcSink())
+register_sink("memory", MemorySink())
+register_sink("rest", RestSink())
+
+__all__ = ["MemorySink", "RestSink"]

@@ -1,0 +1,19 @@
+"""Memory sink: registers the result as a temp view (and optionally
+captures rows for tests). The closest analogue of the reference's
+`{data}` return (`/root/reference/src/index.ts:554`) without forcing a
+driver-side collect for large results."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from openetl_spark.spec import Connector
+
+
+class MemorySink:
+    def write(self, df: DataFrame, connector: Connector) -> None:
+        df.createOrReplaceTempView(connector.endpoint_id)
+        capture = connector.config.get("capture")
+        if capture is not None:
+            # Bounded collect, explicitly opted into (tests / small results).
+            capture.extend(df.collect())

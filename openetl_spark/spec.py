@@ -1,0 +1,123 @@
+"""Declarative pipeline/connector spec.
+
+Mirrors the semantics of the reference's core types
+(`/root/reference/src/types.ts:151-297`: Filter, Sort,
+Transformation, Connector, Pipeline) re-expressed as Python
+dataclasses, with two deliberate extensions the reference declares but
+disables (SURVEY.md §2A.1):
+
+* ``FilterGroup`` — nested AND/OR trees. The reference only ever
+  AND-joins a flat filter list; Spark gives OR for free.
+* first-class custom ``Transformation(type='function')`` — declared in
+  the reference's union but unimplemented (`src/utils/transform.ts:174-176`).
+
+The spec is *data*: compiling it to a DataFrame is `plans/compiler.py`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Literal, Sequence, Union
+
+# Canonical predicate vocabulary — superset across the reference's adapter
+# dialects (SURVEY.md §2A.1; HubSpot's operator map is the widest:
+# `/root/reference/adapters/hubspot/src/index.ts:390-398`).
+FILTER_OPERATORS = frozenset(
+    {
+        "=", "!=", ">", ">=", "<", "<=",
+        "contains", "not_contains",
+        "in", "not_in",
+        "between", "not_between",
+        "is_null", "is_not_null",
+        "like", "rlike", "starts_with", "ends_with",
+    }
+)
+
+
+@dataclass
+class Filter:
+    """One predicate: ``field OP value`` (value unused for is_null/is_not_null)."""
+
+    field: str
+    operator: str = "="
+    value: Any = None
+
+    def __post_init__(self) -> None:
+        if self.operator not in FILTER_OPERATORS:
+            raise ValueError(f"unknown filter operator: {self.operator!r}")
+
+
+@dataclass
+class FilterGroup:
+    """Boolean combination of filters / nested groups (engine extension)."""
+
+    op: Literal["AND", "OR"] = "AND"
+    filters: Sequence[Union["Filter", "FilterGroup"]] = ()
+
+
+FilterLike = Union[Filter, FilterGroup]
+
+
+@dataclass
+class Sort:
+    field: str
+    type: Literal["asc", "desc"] = "asc"
+
+
+@dataclass
+class Transformation:
+    """One step of the transform chain (reference `src/utils/transform.ts`).
+
+    ``type`` ∈ {concat, renameKey, uppercase, lowercase, trim, split,
+    replace, addPrefix, addSuffix, toNumber, extract, mergeObjects,
+    function}. ``options`` carries the per-type parameters; ``function``
+    takes a ``Callable[[DataFrame], DataFrame]`` under options['fn'].
+    """
+
+    type: str
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Connector:
+    """Declarative source/target query spec (≈ reference Connector).
+
+    ``adapter_id`` selects a registered source ("parquet", "csv",
+    "json", "jdbc", "rest", "memory", ...); ``endpoint_id`` is the
+    table/path/route; ``config`` is adapter-specific options.
+    """
+
+    adapter_id: str
+    endpoint_id: str
+    credential_id: str | None = None
+    config: dict[str, Any] = field(default_factory=dict)
+    fields: Sequence[str] = ()
+    filters: Sequence[FilterLike] = ()
+    sort: Sequence[Sort] = ()
+    limit: int | None = None
+    offset: int | None = None
+    transform: Sequence[Transformation] = ()
+    timeout: float | None = None  # ingest deadline (REST sources only)
+
+
+@dataclass
+class Pipeline:
+    """read → transform → write program (≈ reference Pipeline).
+
+    Exactly one of ``source`` / ``data`` must be provided. Hooks mirror
+    the reference lifecycle (`src/types.ts:283-286`): ``onload(df)``
+    after extract+transform, ``onbeforesend(df)`` may replace the
+    DataFrame or return False to abort the load, ``onupload()`` after
+    the load completes.
+    """
+
+    id: str
+    source: Connector | None = None
+    data: Any = None  # list[dict] | pandas.DataFrame | DataFrame
+    target: Connector | None = None
+    onload: Callable[[Any], None] | None = None
+    onbeforesend: Callable[[Any], Any] | None = None
+    onupload: Callable[[], None] | None = None
+    error_handling: dict[str, Any] = field(default_factory=dict)  # max_retries, retry_interval (s)
+    rate_limiting: dict[str, Any] = field(default_factory=dict)  # requests_per_second
+    logging: Callable[[dict], None] | None = None
