@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2C
+C26-C27; driver-mandated training-data-pipeline surface).
+
+All hot paths are built-in Column expressions (JVM, whole-stage
+codegen): shingling via ``slice``/``transform`` array ops, MinHash via
+``xxhash64`` + ``array_min``, SimHash via explode + 64 conditional
+sums. No Python UDFs anywhere.
+
+Scale design notes:
+
+* exact dedup — one hash-shuffle on the dedup key (md5 of the text,
+  not the text itself, so 100 TB of text shuffles as 16-byte keys when
+  ``key_only`` grouping applies).
+* MinHash+LSH — signatures are computed scan-side (no shuffle), then
+  band buckets explode ×``bands`` and ONE shuffle groups candidates;
+  the candidate self-join only ever materializes colliding pairs, never
+  the n² cross product.
+* SimHash — 64-bit fingerprint scan-side, then hamming-≤k candidate
+  mining by the pigeonhole trick: split the fingerprint into k+1
+  chunks; any pair within distance k collides on ≥1 chunk, so an
+  equi-join per chunk finds all candidates with no cross product.
+* n-gram jaccard — exact verification on candidate pairs (or small
+  corpora): explode distinct shingles, equi-join on shingle, count →
+  |A∩B|, join per-doc counts → jaccard. Shuffle volume = shingle rows,
+  linear in corpus size; join fan-out is only real collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact dedup, arbitrary survivor (≈ dropDuplicates)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_exact_keep_min(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup keeping the row with the smallest ``id_col`` per key —
+    deterministic survivor selection (oracle-checkable, unlike
+    dropDuplicates' arbitrary pick). One shuffle on the key columns."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 5, out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles as an array column. Pure array
+    expressions: split → sequence of start offsets → slice+join."""
+    words = F.split(F.col(text_col), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return df.withColumn(out, F.array_distinct(shingles))
+
+
+# -------------------------------------------------------------- minhash
+
+def with_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 128,
+    out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: element i = min over shingles of
+    xxhash64(shingle, seed=i). Deterministic across runs/engines (seeded
+    by column literal), computed scan-side with zero shuffles."""
+    # NB: the lambda must take exactly one parameter — PySpark passes the
+    # array index as a second argument when the callable's arity is 2,
+    # which would silently replace the seed.
+    def _hash_fn(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col(shingle_col), _hash_fn(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out, sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    num_hashes: int = 128,
+    bands: int = 32,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: split the signature into
+    ``bands`` bands of ``num_hashes/bands`` rows, hash each band, group
+    by (band index, band hash). Returns distinct (a, b) id pairs with
+    a < b. Pair probability ≈ 1-(1-s^r)^b for jaccard s."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    if sig_col not in df.columns:
+        df = with_minhash_signature(df, shingle_col, num_hashes, sig_col)
+
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col(sig_col), b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------ jaccard (exact)
+
+def jaccard_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact jaccard over distinct shingles: returns (a, b, jaccard)
+    for pairs with similarity ≥ threshold, a < b. Columns aliased for
+    the DuckDB oracle (round to 6 dp to absorb float noise)."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s")).distinct()
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash/LSH candidates → exact
+    jaccard verification on candidates only. The production-scale path:
+    jaccard runs on the (tiny) candidate set, not the corpus."""
+    sh = with_shingles(df, text_col, n)
+    cands = minhash_lsh_candidates(sh, id_col, num_hashes=num_hashes, bands=bands)
+    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s")).distinct()
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cands.join(ex.withColumnRenamed("id", "a"), "a")
+        .join(ex.withColumnRenamed("id", "b"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def with_simhash(
+    df: DataFrame, id_col: str, shingle_col: str = "shingles", out: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash: hash each shingle (xxhash64), per bit position sum
+    +1/-1 across shingles, sign → bit. One explode + one groupBy-sum
+    (single shuffle), then joined back on the id."""
+    h = df.select(F.col(id_col), F.explode(shingle_col).alias("s")).withColumn(
+        "h", F.xxhash64("s")
+    )
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # Assemble sign bits into one signed 64-bit value.
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    fingerprints = bit_sums.select(F.col(id_col), sim.alias(out))
+    return df.join(fingerprints, id_col, "left")
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, simhash_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-≤k candidate pairs by pigeonhole banding: split 64 bits
+    into k+1 chunks; any pair within distance k agrees on ≥1 full chunk.
+    Equi-join per chunk — no cross product. Returns (a, b, hamming)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = df.select(
+        F.col(id_col),
+        F.col(simhash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(simhash_col), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.col(f"a.{simhash_col}").alias("ha"),
+            F.col(f"b.{simhash_col}").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,157 @@
+"""Vector similarity search over an embedding column (SURVEY.md §2C C28).
+
+Baseline: brute-force cosine — pure array expressions (``zip_with`` +
+``aggregate``), JVM-side, no UDFs. Scale path: random-hyperplane LSH
+bucketing so candidate generation is an equi-join on bucket keys
+instead of an n² cross product; multi-table probing recovers recall.
+
+Embedding-cosine near-dup (the training-data use case) =
+``lsh_similarity_join`` with a high threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision — deterministic sequential fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors of one query vector. One scan, no shuffle:
+    Catalyst plans TakeOrderedAndProject. Rounded similarity + id
+    tiebreak make the result set deterministic across engines."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), round_dp)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    out: str = "lsh_buckets",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: per table, bucket = the n_planes
+    sign bits of the projections. Hyperplanes are driver-side constants
+    folded into the plan (tiny literal arrays — no broadcast needed)."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = F.lit(0).cast("long")
+        for p_i, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket.bitwiseXOR(
+                F.shiftleft(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)), p_i)
+            )
+        tables.append(bucket)
+    return df.withColumn(out, F.array(*tables))
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, approximately: explode bucket
+    tables, equi-join on (table, bucket), verify exact cosine on the
+    candidates. Returns (a, b, cosine_sim), a < b."""
+    b = with_lsh_buckets(df, vec_col, dim, n_planes, n_tables, seed)
+    e = b.select(
+        F.col(id_col), F.col(vec_col), F.posexplode("lsh_buckets").alias("t", "bucket")
+    )
+    x, y = e.alias("x"), e.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.col(f"x.{vec_col}").alias("va"),
+            F.col(f"y.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+    )
+
+
+def brute_force_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs baseline (n² — test/verification scale only;
+    production uses lsh_similarity_join)."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+    )

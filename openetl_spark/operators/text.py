@@ -1,0 +1,151 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2C
+C29): token counting, quality scoring, language ID, fingerprinting.
+
+Everything is built-in Column expressions — these run in whole-stage
+codegen at scan speed, which is the difference between "scoring 100 TB
+of text" being a linear scan versus a Python bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small and public-knowledge: language ID here demonstrates
+# the operator shape (per-language evidence scores → argmax), not SOTA.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["的", "了", "在", "是", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty string → empty array, not [''])."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word splitting: words, numbers, and single
+    punctuation as separate tokens (GPT-2-style pre-tokenizer regex,
+    simplified)."""
+    spaced = F.regexp_replace(text, r"([^\w\s]|_)", r" $1 ")
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / word-size statistics per document."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    return (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_bpe_tokens", F.size(bpe_ish_tokens(t)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.when(
+                    n_tok > 0,
+                    F.aggregate(
+                        F.transform(toks, lambda x: F.length(x).cast("double")),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                    / n_tok,
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[\w\s]", "")) / F.greatest(F.length(t), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.greatest(F.length(t), F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: penalize too-short/too-long docs,
+    high punctuation density, and degenerate repetition (low distinct-
+    token ratio) — the standard cheap pre-filters before model-based
+    quality scoring."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", "")) / F.greatest(F.length(t), F.lit(1))
+    punct_ok = F.when(punct < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    score = F.round(len_ok * punct_ok * (F.lit(0.5) + F.lit(0.5) * distinct_ratio), 4)
+    return df.withColumn(out, score)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language evidence: fraction of tokens in that language's
+    stopword list."""
+    toks = tokens(F.lower(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    # One-parameter lambda factory: a two-parameter lambda would receive
+    # the array index as its second argument (PySpark HOF convention).
+    def _in_list(words: list[str]):
+        return lambda x: x.isin(words)
+
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, _in_list(words)))
+        out[lang] = hits / n
+    return out
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Argmax of per-language stopword evidence; 'und' when no evidence.
+    Ties break on language code order (deterministic)."""
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return df.withColumn(
+        out, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """Order-sensitive 64-bit document fingerprint: XOR-fold of each
+    token hashed with its position as seed (xxhash64(token, pos)).
+    Content-identical docs collide; any token change or reorder
+    diverges. XOR-fold (not +/*) so ANSI overflow checking never
+    trips on long arithmetic."""
+    toks = tokens(F.col(text_col))
+    hashed = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: F.xxhash64(t, i),
+    )
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+    return df.withColumn(out, fp)

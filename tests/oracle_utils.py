@@ -1,0 +1,56 @@
+"""Local mirror of the driver's DuckDB-oracle comparison: run the Spark
+query and the oracle SQL on the same parquet, sort columns by name,
+compare row count, column names, and values order-insensitively."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Stringify for an order-insensitive, type-tolerant compare.
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "∅"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.6g}"
+        return str(v)
+
+    out = df.apply(lambda col: col.map(cell))
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    actual = spark_df.toPandas()
+    expected = con.sql(sql).df()
+    if len(actual) != len(expected):
+        return False, f"row count: spark={len(actual)} duckdb={len(expected)}"
+    a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
+    if a_cols != e_cols:
+        return False, f"columns: spark={a_cols} duckdb={e_cols}"
+    a, e = _normalize(actual), _normalize(expected)
+    if not a.equals(e):
+        diff_mask = (a != e).any(axis=1)
+        sample = pd.concat(
+            [a[diff_mask].head(3).assign(_side="spark"), e[diff_mask].head(3).assign(_side="duckdb")]
+        )
+        return False, f"value mismatch ({int(diff_mask.sum())} rows):\n{sample}"
+    return True, "ok"
