@@ -32,7 +32,18 @@ from openetl_spark.plans.compiler import compile_connector
 from openetl_spark.spec import Connector, Filter, FilterGroup, Sort, Transformation
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read one testdata table. ``spread=True`` repartitions to the
+    session's default parallelism — the testdata tables are single
+    parquet files (one scan task); heavy per-row operators (shingling,
+    hashing, vector math) need the fan-out locally. At production scale
+    the scan has natural file-split parallelism and spread is a no-op
+    cost-wise (one extra small shuffle)."""
+    if spread:
+        df = load(spark, sf_dir, table)
+        return df.repartition(spark.sparkContext.defaultParallelism)
     if table == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects outright. Read nanos as long (runtime
@@ -873,7 +884,7 @@ def q_pandas_normalize(spark, sf_dir):
     """C25: per-group z-normalization via applyInPandas (Arrow-batched
     grouped-map UDF). The oracle is the equivalent SQL window — proving
     the Python path computes exactly what the declarative form would."""
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e = load(spark, sf_dir, "events", spread=True).select("event_id", "user_id", "value")
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std()  # ddof=1 == stddev_samp
@@ -937,7 +948,7 @@ _JACCARD_ORACLE = """
 @query("jaccard_near_dups", _JACCARD_ORACLE.format(thr=0.2))
 def q_jaccard_near_dups(spark, sf_dir):
     """C27 exact baseline: 5-gram shingle jaccard ≥ 0.2 pairs."""
-    d = D.with_shingles(load(spark, sf_dir, "documents"), "text", n=5)
+    d = D.with_shingles(load(spark, sf_dir, "documents", spread=True), "text", n=5)
     return D.jaccard_similarity_pairs(d, "doc_id", threshold=0.2)
 
 
@@ -947,7 +958,7 @@ def q_minhash_near_dups(spark, sf_dir):
     candidate prob ≈ 1 at jaccard ≥ 0.5) then exact verification on
     candidates only. Oracle = exact jaccard: at these parameters the
     approximate pipeline must find every qualifying pair."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return D.minhash_near_duplicates(
         d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
     ).withColumnRenamed("a", "a").select(
@@ -970,7 +981,7 @@ def q_minhash_near_dups(spark, sf_dir):
 def q_embedding_knn(spark, sf_dir):
     """C28: brute-force cosine top-k of one query vector — one scan,
     TakeOrderedAndProject, no shuffle."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return S.brute_force_knn(
         e.filter(F.col("vec_id") != 0), qvec, k=10, id_col="vec_id", vec_col="embedding"
@@ -993,7 +1004,7 @@ def q_embedding_knn(spark, sf_dir):
 )
 def q_text_stats(spark, sf_dir):
     """C29: token/length statistics, all JVM-side array expressions."""
-    d = X.with_text_stats(load(spark, sf_dir, "documents"))
+    d = X.with_text_stats(load(spark, sf_dir, "documents", spread=True))
     return d.select(
         "doc_id",
         F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
@@ -1007,7 +1018,7 @@ def q_lang_id(spark, sf_dir):
     """C29: stopword-evidence language ID (rows-only check: the argmax
     CASE cascade is not worth expressing in SQL; accuracy is asserted
     against the `lang` column in tests instead)."""
-    d = X.detect_language(load(spark, sf_dir, "documents"))
+    d = X.detect_language(load(spark, sf_dir, "documents", spread=True))
     return d.select("doc_id", "lang", "lang_pred")
 
 
@@ -1015,7 +1026,7 @@ def q_lang_id(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """C29: order-sensitive 64-bit fingerprint (xxhash64 — no DuckDB
     equivalent, rows-only check + unit tests)."""
-    return X.with_fingerprint(load(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    return X.with_fingerprint(load(spark, sf_dir, "documents", spread=True)).select("doc_id", "fingerprint")
 
 
 @query("simhash_dedup")
@@ -1023,7 +1034,7 @@ def q_simhash_dedup(spark, sf_dir):
     """C27: SimHash fingerprints + hamming-≤3 candidate pairs via
     pigeonhole banding (xxhash64-based — rows-only check; recall vs
     exact jaccard asserted in tests)."""
-    d = D.with_shingles(load(spark, sf_dir, "documents"), "text", n=5)
+    d = D.with_shingles(load(spark, sf_dir, "documents", spread=True), "text", n=5)
     sh = D.with_simhash(d, "doc_id")
     return D.simhash_candidates(sh, "doc_id", max_hamming=3)
 
@@ -1032,7 +1043,7 @@ def q_simhash_dedup(spark, sf_dir):
 def q_lsh_similarity_join(spark, sf_dir):
     """C28: random-hyperplane LSH similarity self-join on embeddings
     (approximate — rows-only check; recall vs brute force in tests)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     return S.lsh_similarity_join(e, threshold=0.8, n_planes=10, n_tables=6)
 
 
@@ -1055,7 +1066,7 @@ def q_lsh_similarity_join(spark, sf_dir):
     """,
 )
 def q_quality_score(spark, sf_dir):
-    d = X.quality_score(load(spark, sf_dir, "documents"))
+    d = X.quality_score(load(spark, sf_dir, "documents", spread=True))
     return d.select("doc_id", "quality")
 
 

@@ -68,28 +68,33 @@ def with_shingles(
 
 # -------------------------------------------------------------- minhash
 
-def with_minhash_signature(
+def minhash_signatures(
     df: DataFrame,
+    id_col: str,
     shingle_col: str = "shingles",
     num_hashes: int = 128,
     out: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature: element i = min over shingles of
-    xxhash64(shingle, seed=i). Deterministic across runs/engines (seeded
-    by column literal), computed scan-side with zero shuffles."""
-    # NB: the lambda must take exactly one parameter — PySpark passes the
-    # array index as a second argument when the callable's arity is 2,
-    # which would silently replace the seed.
-    def _hash_fn(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    """MinHash signatures as (id, minhash array) — one row per id.
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col(shingle_col), _hash_fn(i)))
-            for i in range(num_hashes)
-        ]
+    Shape matters for both speed and scale: explode shingles ONCE, hash
+    each shingle string ONCE (xxhash64), then derive the hash family as
+    xxhash64(base_hash, seed_i) — cheap long mixing instead of
+    ``num_hashes`` string hashes. The ``num_hashes`` mins run as partial
+    aggregates (map-side combine), so the single shuffle carries one
+    128-long row per document, never the shingles. A monolithic
+    array_min(transform(...))×128 projection was ~20× slower: the giant
+    generated method exceeds JIT limits and drops to interpreted mode.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingle_col).alias("_s")).withColumn(
+        "_h", F.xxhash64("_s")
     )
-    return df.withColumn(out, sig)
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(out)
+    )
 
 
 def minhash_lsh_candidates(
@@ -108,21 +113,18 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
     if sig_col not in df.columns:
-        df = with_minhash_signature(df, shingle_col, num_hashes, sig_col)
+        df = minhash_signatures(df, id_col, shingle_col, num_hashes, sig_col)
 
+    # Band hash = xxhash64 of the band's r signature elements + band id,
+    # taken straight off the array (keeps the expression tree small —
+    # string-concat banding made codegen balloon).
     banded = df.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col(sig_col), b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        ),
+                        *[F.element_at(F.col(sig_col), b * r + j + 1) for j in range(r)],
                         F.lit(b),
                     )
                     for b in range(bands)
@@ -155,7 +157,13 @@ def jaccard_similarity_pairs(
     """Exact jaccard over distinct shingles: returns (a, b, jaccard)
     for pairs with similarity ≥ threshold, a < b. Columns aliased for
     the DuckDB oracle (round to 6 dp to absorb float noise)."""
-    ex = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s")).distinct()
+    # The exploded (id, shingle) relation feeds three branches (sizes +
+    # both join sides); cache it so the scan+shingle+distinct runs once.
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
+        .distinct()
+        .persist()
+    )
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     pairs = (
         ex.alias("x")
@@ -186,10 +194,23 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash/LSH candidates → exact
     jaccard verification on candidates only. The production-scale path:
-    jaccard runs on the (tiny) candidate set, not the corpus."""
+    jaccard runs on the (tiny) candidate set, not the corpus.
+
+    The exploded (id, shingle, hash) relation is the shared base of all
+    four branches (signature aggregation, per-doc sizes, and both
+    intersection join sides) — cached so the corpus is scanned and
+    shingled exactly once."""
     sh = with_shingles(df, text_col, n)
-    cands = minhash_lsh_candidates(sh, id_col, num_hashes=num_hashes, bands=bands)
-    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s")).distinct()
+    ex = (
+        sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("_h", F.xxhash64("s"))
+        .persist()
+    )
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    ).select(F.col("id").alias(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
+    cands = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands, sig_col="minhash")
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         cands.join(ex.withColumnRenamed("id", "a"), "a")
