@@ -267,6 +267,9 @@ def simhash_candidates(
     Equi-join per chunk — no cross product. Returns (a, b, hamming)."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    # signed-long mask: all-ones for a full-width chunk (2^64-1 doesn't
+    # fit a JVM long)
+    mask = -1 if width >= 64 else (1 << width) - 1
     banded = df.select(
         F.col(id_col),
         F.col(simhash_col),
@@ -274,7 +277,7 @@ def simhash_candidates(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col(simhash_col), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .bitwiseAND(F.lit(mask))
                     for c in range(chunks)
                 ]
             )

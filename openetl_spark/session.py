@@ -26,6 +26,15 @@ def get_spark(app_name: str = "openetl_spark", extra_conf: dict | None = None) -
     is only an upper hint; skew-join splitting handles hot keys in
     large joins without manual salting in the common case.
     """
+    # Make this package importable on executor Python workers regardless
+    # of the caller's cwd (workers resolve by-reference pickles through
+    # their own sys.path, which is built from PYTHONPATH at JVM launch).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", _LOCAL_CPUS)

@@ -1,0 +1,159 @@
+"""Structured Streaming operators (SURVEY.md §2C C20-C24).
+
+The reference has no streams at all — its closest concept is the serial
+page-fetch loop (`/root/reference/src/index.ts:224-282`, a bounded pull
+iterator). The Spark-native engine gets real unbounded streams:
+file/rate/kafka sources, event-time watermarks, tumbling/sliding/
+session windows, stateful dedup and custom state.
+
+Each helper takes/returns streaming DataFrames so they compose with
+``spark.readStream`` and any sink. The batch-mode equivalents of the
+window shapes are oracle-checked in catalog.py (tumbling_hourly,
+session_windows); here the *streaming* semantics (watermarks, state,
+incremental triggers) are exercised by tests/test_streaming.py via the
+memory sink.
+
+Scale notes: streaming aggregations shuffle by (window, key) exactly
+like their batch forms; state store size is bounded by the watermark
+horizon — the knobs that matter at 100 TB/day are watermark delay
+(state retention) and trigger interval (micro-batch amortization).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream: each parquet file in ``path`` becomes
+    (at most ``max_files_per_trigger``) micro-batch input. Local replay
+    of the `events` table; swap for kafka in production."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """C21+C22: watermarked tumbling (or sliding, with ``slide``)
+    window counts per event_type. Append-mode capable: a window emits
+    once the watermark passes its end."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """C23: native session windows — sessions close ``gap`` after the
+    last event, emitted once the watermark passes."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """C24: stateful exactly-once dedup on event_id. State is bounded by
+    the watermark horizon (late duplicates beyond it are dropped by the
+    watermark itself)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+RUNNING_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def running_totals(stream: DataFrame) -> DataFrame:
+    """C24: custom stateful operator via applyInPandasWithState —
+    per-user running (count, sum) emitted every micro-batch. The
+    pattern slot for arbitrary per-key state machines (fraud windows,
+    session carts, ...).
+
+    The state function is a local closure on purpose: cloudpickle then
+    ships it BY VALUE to executors. A module-level function is pickled
+    by reference and requires this package importable on every worker's
+    own sys.path (true for installs, not for path-injected checkouts).
+    """
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drive a bounded file-stream to completion synchronously into a
+    memory-sink table named ``query_name`` (test/demo harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,233 @@
+"""Unit tests for the custom operators: as-of join, range join, dedup
+families (recall + exactness), similarity search, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openetl_spark import catalog
+from openetl_spark.operators import dedup as D
+from openetl_spark.operators import joins as J
+from openetl_spark.operators import multimodal as M
+from openetl_spark.operators import similarity as S
+from openetl_spark.operators import text as X
+
+
+# ------------------------------------------------------------- asof join
+
+def test_asof_join_backward_matches_manual(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=5), "L1"), (1, base + dt.timedelta(hours=1), "L2"),
+         (2, base + dt.timedelta(hours=3), "L3")],
+        "k long, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=0), 10.0), (1, base + dt.timedelta(hours=4), 20.0),
+         (1, base + dt.timedelta(hours=6), 30.0), (3, base, 99.0)],
+        "k long, rts timestamp, v double",
+    )
+    out = {
+        r["tag"]: (r["v_asof"], r["rts_asof"])
+        for r in J.asof_join(left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["v"]).collect()
+    }
+    assert out["L1"][0] == 20.0  # nearest prior at hour 4
+    assert out["L2"][0] == 10.0  # nearest prior at hour 0
+    assert out["L3"][0] is None  # key 2 has no right rows
+
+
+def test_asof_join_tie_matches(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame([(1, t, "L")], "k long, lts timestamp, tag string")
+    right = spark.createDataFrame([(1, t, 5.0)], "k long, rts timestamp, v double")
+    r = J.asof_join(left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["v"]).collect()[0]
+    assert r["v_asof"] == 5.0  # equal timestamps match (<=)
+
+
+def test_asof_join_forward(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, base + dt.timedelta(hours=2), "L")], "k long, lts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=1), 1.0), (1, base + dt.timedelta(hours=3), 3.0)],
+        "k long, rts timestamp, v double",
+    )
+    r = J.asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["v"], direction="forward").collect()[0]
+    assert r["v_asof"] == 3.0
+
+
+# ------------------------------------------------------------ range join
+
+def test_range_join_bucketed_equals_plain(spark, sf_dir):
+    e = catalog.load(spark, sf_dir, "events").limit(500)
+    a = e.select(F.col("user_id"), F.col("ts").alias("a_ts"), F.col("event_id").alias("a_id"))
+    b = e.select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("b_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("b_lo"),
+        F.col("event_id").alias("b_id"),
+    )
+    plain = J.range_join(a, b, on=None, left_point="a_ts", right_lo="b_lo", right_hi="b_ts")
+    bucketed = J.range_join(a, b, on=None, left_point="a_ts", right_lo="b_lo", right_hi="b_ts", bucket_width=3600)
+    key = lambda df: {(r["a_id"], r["b_id"]) for r in df.filter(F.col("user_id") == F.col("user_id_r")).collect()}
+    assert key(plain) == key(bucketed)
+    assert len(key(plain)) > 0
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_dedup_exact_keep_min(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (5, "x"), (3, "x"), (2, "y")], "id long, v string"
+    )
+    out = D.dedup_exact_keep_min(df, ["v"], "id")
+    assert {(r["id"], r["v"]) for r in out.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d e f")], "id long, text string")
+    rows = {r["id"]: r["shingles"] for r in D.with_shingles(df, "text", n=5).collect()}
+    assert rows[1] == ["a b"]  # shorter than n → single shingle of all words
+    assert rows[2] == ["a b c d e", "b c d e f"]
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = catalog.load(spark, sf_dir, "documents")
+    sh = D.with_shingles(docs, "text", n=5)
+    exact = {
+        (r["a"], r["b"])
+        for r in D.jaccard_similarity_pairs(sh, "doc_id", threshold=0.5).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert approx == exact  # b=64,r=2 → recall ~1 at jaccard ≥ 0.5
+
+
+def test_simhash_near_dups_contain_high_jaccard(spark, sf_dir):
+    """SimHash is a coarse filter on small-shingle-set docs (each bit's
+    sign margin is ~√n_shingles, so a few shingle edits flip several
+    bits). Assert what the operator guarantees: no pair beyond the
+    hamming budget is emitted, recall grows with the budget, and a
+    generous budget captures most jaccard-≥0.9 pairs."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    sh = D.with_shingles(docs, "text", n=5)
+    high = {
+        (r["a"], r["b"])
+        for r in D.jaccard_similarity_pairs(sh, "doc_id", threshold=0.9).collect()
+    }
+    sim = D.with_simhash(sh, "doc_id")
+    c3 = {(r["a"], r["b"]): r["hamming"] for r in D.simhash_candidates(sim, "doc_id", max_hamming=3).collect()}
+    c7 = {(r["a"], r["b"]): r["hamming"] for r in D.simhash_candidates(sim, "doc_id", max_hamming=7).collect()}
+    assert all(h <= 3 for h in c3.values())
+    assert all(h <= 7 for h in c7.values())
+    assert set(c3) <= set(c7)
+    if high:
+        recall7 = len(high & set(c7)) / len(high)
+        assert recall7 >= 0.7, f"hamming≤7 recall {recall7}"
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    sh = D.with_simhash(D.with_shingles(df, "text", n=3), "doc_id")
+    pairs = D.simhash_candidates(sh, "doc_id", max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+# ------------------------------------------------------------ similarity
+
+def test_brute_force_knn_self_similarity(spark, sf_dir):
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    top = S.brute_force_knn(e, q, k=5).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["cosine_sim"] == 1.0
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    e = catalog.load(spark, sf_dir, "embeddings")
+    exact = {(r["a"], r["b"]) for r in S.brute_force_similarity_join(e, threshold=0.8).collect()}
+    approx = {(r["a"], r["b"]) for r in S.lsh_similarity_join(e, threshold=0.8, n_planes=10, n_tables=6).collect()}
+    assert approx <= exact  # no false positives (exact verification)
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall}"
+
+
+# ----------------------------------------------------------------- text
+
+def test_token_count_and_stats(spark):
+    df = spark.createDataFrame([(1, "  hello   world  "), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in X.with_text_stats(df, "text").collect()}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[2]["n_tokens"] == 0
+    assert rows[1]["avg_token_len"] == 5.0
+
+
+def test_bpe_ish_tokens_split_punct(spark):
+    df = spark.createDataFrame([("don't stop, world!",)], "text string")
+    toks = df.select(X.bpe_ish_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["don", "'", "t", "stop", ",", "world", "!"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in X.with_fingerprint(df, "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_detect_language_stopword_evidence(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"),
+         (2, "el perro y la casa de los gatos"),
+         (3, "qwerty zxcvb")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in X.detect_language(df, "text").collect()}
+    assert rows[1] == "en" and rows[2] == "es" and rows[3] == "und"
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_media_type_sniffing(spark):
+    rows = [
+        ("a.png", bytearray(b"\x89PNG\r\n\x1a\nrest")),
+        ("b.jpg", bytearray(b"\xff\xd8\xff\xe0data")),
+        ("c.bin", bytearray(b"\x00\x01\x02")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r["media_type"] for r in M.with_media_type(df).collect()}
+    assert got == {"a.png": "png", "b.jpg": "jpeg", "c.bin": "unknown"}
+
+
+def test_image_features_stub_plumbing(spark):
+    rows = [("a.png", bytearray(b"\x89PNG" + bytes(100))), ("b.png", bytearray(b"\x89PNG" + bytes(500)))]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in M.extract_image_features(df).collect()}
+    assert out["a.png"]["n_bytes"] == 104
+    assert out["a.png"]["width"] > 0 and out["a.png"]["mean_luma"] >= 0.0
+    # deterministic stub: same content → same features
+    out2 = {r["path"]: r for r in M.extract_image_features(df).collect()}
+    assert out == out2
+
+
+def test_frame_sampling_fan_out(spark):
+    blob = bytes(range(256)) * 200  # 51200 bytes → 12 frames of 4096
+    df = spark.createDataFrame([("v.bin", bytearray(blob))], "path string, content binary")
+    frames = M.sample_frames(df, frame_size=4096, stride=4).collect()
+    # frames 0,4,8 sampled
+    assert [f["frame_idx"] for f in frames] == [0, 4, 8]
+    assert all(len(f["frame_bytes"]) == 4096 for f in frames)

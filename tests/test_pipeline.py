@@ -1,0 +1,314 @@
+"""Pipeline orchestrator + REST ingest tests (reference behaviors from
+SURVEY.md §5 layer 1: pagination fan-out, rate limiting, retry, timeout
+partial result, cursor termination, total-limit trim, hooks, events)."""
+
+import pytest
+
+from openetl_spark.pipeline import Orchestrator, Pipeline, PipelineAbort
+from openetl_spark.sources.rest import AuthError, paged_fetch
+from openetl_spark.spec import Connector, Filter, Sort
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+        self.sleeps = []
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, s):
+        self.sleeps.append(round(s, 3))
+        self.t += s
+
+
+def make_pages(n_items, page_size):
+    def fetch(opts):
+        off = int(opts["offset"] or 0)
+        return {"data": [{"id": i} for i in range(off, min(off + opts["limit"], n_items))]}
+
+    return fetch
+
+
+# ----------------------------------------------------------- paged_fetch
+
+def test_offset_pagination_terminates_on_short_page():
+    calls = []
+
+    def fetch(opts):
+        calls.append(dict(opts))
+        return make_pages(25, 10)(opts)
+
+    res = paged_fetch(fetch, pagination="offset", items_per_page=10)
+    assert [r["id"] for r in res.rows] == list(range(25))
+    assert [c["offset"] for c in calls] == [0, 10, 20]
+    assert not res.partial
+
+
+def test_offset_exact_page_boundary_extra_fetch():
+    # 20 items, pages of 10: page 2 is full, so a 3rd (empty) fetch
+    # confirms the end — same as the reference's stop rule.
+    calls = []
+
+    def fetch(opts):
+        calls.append(1)
+        return make_pages(20, 10)(opts)
+
+    res = paged_fetch(fetch, pagination="offset", items_per_page=10)
+    assert len(res.rows) == 20
+    assert len(calls) == 3
+
+
+def test_cursor_pagination_terminates_on_none():
+    pages = {None: ([1, 2], "c1"), "c1": ([3], "c2"), "c2": ([4], None)}
+
+    def fetch(opts):
+        data, nxt = pages[opts["offset"]]
+        return {"data": [{"id": i} for i in data], "next_cursor": nxt}
+
+    res = paged_fetch(fetch, pagination="cursor", items_per_page=10)
+    assert [r["id"] for r in res.rows] == [1, 2, 3, 4]
+
+
+def test_total_limit_trims_overshoot():
+    res = paged_fetch(make_pages(100, 10), pagination="offset", items_per_page=10, total_limit=25)
+    assert len(res.rows) == 25
+
+
+def test_max_items_per_page_clamps():
+    calls = []
+
+    def fetch(opts):
+        calls.append(opts["limit"])
+        return make_pages(5, opts["limit"])(opts)
+
+    paged_fetch(fetch, pagination="offset", items_per_page=500, max_items_per_page=100)
+    assert calls[0] == 100
+
+
+def test_rate_limiting_inter_request_interval():
+    fc = FakeClock()
+
+    def fetch(opts):
+        fc.t += 0.01  # each request takes 10ms
+        return make_pages(30, 10)(opts)
+
+    paged_fetch(
+        fetch,
+        pagination="offset",
+        items_per_page=10,
+        requests_per_second=2.0,
+        sleep=fc.sleep,
+        clock=fc.clock,
+    )
+    # min interval 0.5s: sleeps of ~0.49 between the fetches
+    assert len(fc.sleeps) >= 2
+    assert all(0.4 <= s <= 0.5 for s in fc.sleeps)
+
+
+def test_retry_until_success_fixed_interval():
+    fc = FakeClock()
+    attempts = []
+
+    def fetch(opts):
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("flaky")
+        return {"data": [{"id": 1}]}
+
+    res = paged_fetch(
+        fetch, pagination="none", max_retries=3, retry_interval_s=2.0, sleep=fc.sleep
+    )
+    assert len(res.rows) == 1
+    assert fc.sleeps == [2.0, 2.0]
+
+
+def test_retry_exhaustion_raises():
+    def fetch(opts):
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError):
+        paged_fetch(fetch, pagination="none", max_retries=2, sleep=lambda s: None)
+
+
+def test_deadline_returns_partial_flagged():
+    fc = FakeClock()
+
+    def fetch(opts):
+        fc.t += 10  # each page costs 10s
+        return make_pages(1000, 10)(opts)
+
+    res = paged_fetch(
+        fetch,
+        pagination="offset",
+        items_per_page=10,
+        deadline_s=25,
+        sleep=fc.sleep,
+        clock=fc.clock,
+    )
+    assert res.partial  # explicit flag, not silent truncation
+    assert 0 < len(res.rows) < 1000
+
+
+def test_auth_401_refresh_then_retry():
+    state = {"token": "old", "calls": 0}
+
+    def fetch(opts):
+        state["calls"] += 1
+        if state["token"] == "old":
+            raise AuthError(401)
+        return {"data": [{"id": 1}]}
+
+    def refresh():
+        state["token"] = "new"
+
+    res = paged_fetch(fetch, pagination="none", refresh_auth=refresh)
+    assert len(res.rows) == 1 and state["calls"] == 2
+
+
+def test_429_honors_retry_after():
+    fc = FakeClock()
+    state = {"n": 0}
+
+    def fetch(opts):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise AuthError(429, retry_after=7.5)
+        return {"data": [{"id": 1}]}
+
+    res = paged_fetch(fetch, pagination="none", max_retries=1, sleep=fc.sleep)
+    assert len(res.rows) == 1
+    assert fc.sleeps == [7.5]
+
+
+# ------------------------------------------------------------ orchestrator
+
+def test_pipeline_events_and_hooks(spark):
+    events, loaded, uploaded = [], [], []
+    cap = []
+    src = Connector(
+        adapter_id="parquet",
+        endpoint_id="/root/testdata/sf0.001/nation.parquet",
+        filters=[Filter("n_regionkey", "=", 0)],
+        sort=[Sort("n_name")],
+    )
+    tgt = Connector(adapter_id="memory", endpoint_id="t_nation", config={"capture": cap})
+    p = Pipeline(
+        id="p1",
+        source=src,
+        target=tgt,
+        onload=lambda df: loaded.append(df),
+        onupload=lambda: uploaded.append(True),
+        logging=lambda e: events.append(e["type"]),
+    )
+    res = Orchestrator(spark=spark).run_pipeline(p)
+    assert cap and all(r["n_regionkey"] == 0 for r in cap)
+    assert loaded and uploaded
+    assert events[0] == "start" and "extract" in events and "load" in events
+    assert events[-1] == "complete"
+
+
+def test_pipeline_source_xor_data(spark):
+    with pytest.raises(ValueError):
+        Orchestrator(spark=spark).run_pipeline(Pipeline(id="neither"))
+    with pytest.raises(ValueError):
+        Orchestrator(spark=spark).run_pipeline(
+            Pipeline(
+                id="both",
+                source=Connector(adapter_id="memory", endpoint_id="x", config={"data": [{"a": 1}]}),
+                data=[{"a": 1}],
+            )
+        )
+
+
+def test_push_only_pipeline_with_abort(spark):
+    with pytest.raises(PipelineAbort):
+        Orchestrator(spark=spark).run_pipeline(
+            Pipeline(
+                id="abort",
+                data=[{"a": 1}],
+                target=Connector(adapter_id="memory", endpoint_id="t_x"),
+                onbeforesend=lambda df: False,
+            )
+        )
+
+
+def test_onbeforesend_replaces_data(spark):
+    cap = []
+    res = Orchestrator(spark=spark).run_pipeline(
+        Pipeline(
+            id="replace",
+            data=[{"a": 1}, {"a": 2}],
+            target=Connector(adapter_id="memory", endpoint_id="t_y", config={"capture": cap}),
+            onbeforesend=lambda df: df.filter("a > 1"),
+        )
+    )
+    assert [r["a"] for r in cap] == [2]
+
+
+def test_vault_credential_resolution(spark):
+    cap = []
+    seen = {}
+
+    class SpySource:
+        def read(self, spark_, connector):
+            seen.update(connector.config.get("auth", {}))
+            return spark_.createDataFrame([{"ok": 1}])
+
+    from openetl_spark.registry import register_source
+
+    register_source("spy", SpySource())
+    orch = Orchestrator(vault={"cred1": {"type": "api_key", "key": "xyz"}}, spark=spark)
+    orch.run_pipeline(
+        Pipeline(
+            id="auth",
+            source=Connector(adapter_id="spy", endpoint_id="e", credential_id="cred1"),
+            target=Connector(adapter_id="memory", endpoint_id="t_z", config={"capture": cap}),
+        )
+    )
+    assert seen == {"type": "api_key", "key": "xyz"}
+    assert cap
+
+
+def test_missing_credential_raises(spark):
+    with pytest.raises(KeyError, match="cred"):
+        Orchestrator(spark=spark).run_pipeline(
+            Pipeline(
+                id="nocred",
+                source=Connector(adapter_id="parquet", endpoint_id="/x", credential_id="cred9"),
+            )
+        )
+
+
+def test_rest_source_to_dataframe(spark):
+    src = Connector(
+        adapter_id="rest",
+        endpoint_id="api/items",
+        config={
+            "fetch_page": make_pages(35, 10),
+            "pagination": "offset",
+            "items_per_page": 10,
+            "schema": "id long",
+        },
+        limit=30,
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="rest", source=src))
+    assert res.df.count() == 30
+
+
+def test_jdbc_option_building():
+    from openetl_spark.sources.jdbc import build_jdbc_options
+
+    c = Connector(
+        adapter_id="jdbc",
+        endpoint_id="users",
+        config={"url": "jdbc:postgresql://h/db", "schema_name": "public", "user": "u", "fetchsize": 1000},
+    )
+    opts = build_jdbc_options(c)
+    assert opts["dbtable"] == "public.users" and opts["fetchsize"] == "1000"
+    c2 = Connector(
+        adapter_id="jdbc",
+        endpoint_id="custom_query",
+        config={"url": "jdbc:mysql://h/db", "query": "SELECT 1"},
+    )
+    assert build_jdbc_options(c2)["query"] == "SELECT 1"

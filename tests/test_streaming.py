@@ -1,0 +1,161 @@
+"""Structured Streaming tests (C20-C24): replay the events table as a
+file stream split across several parquet files (multiple micro-batches
+with maxFilesPerTrigger=1) and check streaming results against the
+batch equivalents."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openetl_spark import catalog
+from openetl_spark.streaming import ops
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 4 parquet files -> 4 micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = catalog.load(spark, sf_dir, "events")
+    # cast ntz -> ltz to match the streaming schema (session TZ is UTC);
+    # range-partition by ts so micro-batches arrive in event-time order
+    # (random splits would make whole files "late" and watermark-dropped)
+    events.withColumn("ts", F.col("ts").cast("timestamp")).repartitionByRange(
+        4, "ts"
+    ).write.mode("overwrite").parquet(d)
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) >= 2
+    return d
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, stream_dir):
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(ops.tumbling_counts(stream), "t_tumbling", "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = (
+        catalog.load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .collect()
+    )
+    expected = {(r["w"]["start"], r["event_type"]): (r["n"], r["sv"]) for r in batch}
+    # Append mode only emits windows sealed by the final watermark; every
+    # emitted window must agree exactly with the batch result, and most
+    # windows must have been emitted.
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    # the last micro-batch's windows stay unsealed (watermark advances
+    # at batch boundaries), so with 4 files expect ≥ ~3/4 coverage
+    assert len(got) >= len(expected) * 0.7
+
+
+def test_session_counts_total_events(spark, stream_dir):
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(ops.session_counts(stream), "t_sessions", "append")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert rows
+    # session windows partition events: per user, session event counts
+    # sum to at most the user's total event count (unsealed sessions
+    # are withheld in append mode).
+    totals = {
+        r["user_id"]: r["cnt"]
+        for r in spark.sql(
+            "SELECT user_id, sum(n_events) AS cnt FROM t_sessions GROUP BY user_id"
+        ).collect()
+    }
+    batch_totals = dict(
+        spark.read.parquet(stream_dir).groupBy("user_id").count().collect()
+    )
+    for uid, cnt in totals.items():
+        assert cnt <= batch_totals[uid]
+    for r in spark.sql("SELECT * FROM t_sessions").collect():
+        assert r["session_end"] >= r["session_start"]
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path):
+    # duplicate every file's rows -> stream must drop all duplicates
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(stream_dir)
+    base.union(base).repartition(4).write.mode("overwrite").parquet(dup_dir)
+    stream = ops.read_event_stream(spark, dup_dir)
+    ops.run_to_memory_sink(ops.dedup_within_watermark(stream), "t_dedup", "append")
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n FROM t_dedup").collect()[0]["n"]
+    total = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
+    assert n == total  # no duplicate event_ids survived
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """C21: a row older than the watermark horizon arriving in a later
+    micro-batch is dropped from its (already-sealed) window."""
+    import datetime as dt
+
+    d = str(tmp_path / "late")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, name):
+        sdf = spark.createDataFrame(rows, schema=ops.EVENTS_SCHEMA)
+        sdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}")
+
+    # batch 1: 6 rows in hour 0 plus one at 01:20 → watermark after the
+    # batch = 01:10, sealing the [00:00,01:00) window; batch 2 pushes the
+    # watermark to 05:52 and the sealed window is emitted + state
+    # evicted; batch 3 delivers ONE row for the long-dead window — it
+    # must be dropped (a merge would emit a duplicate window in append
+    # mode). Spark only guarantees the drop after eviction, which is why
+    # the late row arrives two batches later.
+    early = [(i, base + dt.timedelta(minutes=10 * i), 1, "click", 1.0, "{}") for i in range(6)]
+    early.append((6, base + dt.timedelta(hours=1, minutes=20), 1, "click", 1.0, "{}"))
+    mid = [(10 + i, base + dt.timedelta(hours=6, minutes=i), 1, "click", 1.0, "{}") for i in range(3)]
+    late = [(99, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}")]
+    mk(early, "a")
+    mk(mid, "b")
+    mk(late, "c")
+
+    stream = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        ops.tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["window_start"].hour: r["n"] for r in spark.sql("SELECT * FROM t_late").collect()}
+    # hour-0 window sealed with only the 6 on-time rows; the late row
+    # (event 99) was behind the watermark and must not be counted.
+    assert rows.get(0) == 6
+
+
+def test_running_totals_stateful(spark, stream_dir):
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(ops.running_totals(stream), "t_running", "update")
+    # last update per user must equal the batch totals
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM t_running) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert final == batch

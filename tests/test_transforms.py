@@ -1,0 +1,213 @@
+"""Transform-chain golden tests.
+
+Port of the reference's transform expectations (fixture shape from
+`tests/transform.test.ts:5-20`, behaviors documented in SURVEY.md §2
+A10-A18): JS falsy quirks in strict mode, clean SQL semantics
+otherwise. Reimplemented from the documented behavior — not copied.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from openetl_spark.functions.transforms import apply_transforms
+from openetl_spark.spec import Transformation
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("firstname", T.StringType()),
+        T.StructField("lastname", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("nickname", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+ROWS = [
+    ("Jorge", "Lukas", "jorge@supercoolsoftware.com", "260", "  Lucky  ", 1.5),
+    ("Jane", None, "jane@example.com", "abc", None, 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def contacts(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def one(df, **kw):
+    return [r.asDict() for r in df.orderBy("firstname").collect()]
+
+
+def test_concat_drops_falsy(contacts):
+    # JS: [first, last, score].filter(Boolean).join(' ') — None and 0 vanish
+    out = apply_transforms(
+        contacts,
+        [Transformation("concat", {"properties": ["firstname", "lastname", "score"], "glue": " ", "to": "full"})],
+    )
+    rows = one(out)
+    assert rows[1]["full"] == "Jorge Lukas 1.5"
+    assert rows[0]["full"] == "Jane"  # null lastname AND 0.0 score dropped
+
+
+def test_concat_clean_mode(contacts):
+    out = apply_transforms(
+        contacts,
+        [Transformation("concat", {"properties": ["firstname", "lastname"], "glue": "-", "to": "full"})],
+        strict_js_compat=False,
+    )
+    rows = one(out)
+    # concat_ws skips nulls but keeps other values verbatim
+    assert rows[1]["full"] == "Jorge-Lukas"
+    assert rows[0]["full"] == "Jane"
+
+
+def test_rename_keeps_original(contacts):
+    out = apply_transforms(
+        contacts, [Transformation("renameKey", {"from": "email", "to": "contact_email"})]
+    )
+    rows = one(out)
+    assert rows[0]["contact_email"] == rows[0]["email"] == "jane@example.com"
+
+
+def test_case_and_trim_null_to_empty(contacts):
+    out = apply_transforms(
+        contacts,
+        [
+            Transformation("uppercase", {"field": "firstname", "to": "up"}),
+            Transformation("lowercase", {"field": "lastname", "to": "lo"}),
+            Transformation("trim", {"field": "nickname", "to": "nick"}),
+        ],
+    )
+    rows = one(out)
+    assert rows[1]["up"] == "JORGE" and rows[1]["lo"] == "lukas" and rows[1]["nick"] == "Lucky"
+    # JS: String(null ?? '') — null becomes ''
+    assert rows[0]["lo"] == "" and rows[0]["nick"] == ""
+
+
+def test_split_null_to_empty_array(contacts):
+    out = apply_transforms(
+        contacts,
+        [Transformation("split", {"field": "email", "delimiter": "@", "to": "parts"})],
+    )
+    rows = one(out)
+    assert rows[1]["parts"] == ["jorge", "supercoolsoftware.com"]
+    out2 = apply_transforms(
+        contacts, [Transformation("split", {"field": "nickname", "delimiter": ".", "to": "p"})]
+    )
+    assert one(out2)[0]["p"] == []  # null → []
+
+
+def test_split_escapes_regex_delimiter(spark):
+    df = spark.createDataFrame([("a.b.c",)], "s string")
+    out = apply_transforms(
+        df, [Transformation("split", {"field": "s", "delimiter": ".", "to": "p"})]
+    )
+    # '.' must split literally, not as regex-any
+    assert out.collect()[0]["p"] == ["a", "b", "c"]
+
+
+def test_replace_regex_global(contacts):
+    out = apply_transforms(
+        contacts,
+        [Transformation("replace", {"field": "email", "search": r"[aeiou]", "replace": "*", "to": "masked"})],
+    )
+    rows = one(out)
+    assert rows[1]["masked"] == "j*rg*@s*p*rc**ls*ftw*r*.c*m"
+
+
+def test_prefix_suffix_falsy_to_empty(contacts):
+    out = apply_transforms(
+        contacts,
+        [
+            Transformation("addPrefix", {"field": "score", "prefix": "s=", "to": "p"}),
+            Transformation("addSuffix", {"field": "lastname", "suffix": "!", "to": "sfx"}),
+        ],
+    )
+    rows = one(out)
+    assert rows[1]["p"] == "s=1.5" and rows[1]["sfx"] == "Lukas!"
+    # JS `${prefix}${row[field] || ''}`: 0.0 and null → ''
+    assert rows[0]["p"] == "s=" and rows[0]["sfx"] == "!"
+
+
+def test_tonumber_parsefloat_semantics(contacts):
+    out = apply_transforms(
+        contacts, [Transformation("toNumber", {"field": "id", "to": "idn"})]
+    )
+    rows = one(out)
+    assert rows[1]["idn"] == 260.0
+    assert rows[0]["idn"] == 0.0  # parseFloat('abc') → NaN → 0
+
+
+def test_tonumber_leading_prefix(spark):
+    df = spark.createDataFrame(
+        [("12.5abc",), ("  -3e2xyz",), ("x12",), ("",)], "s string"
+    )
+    out = apply_transforms(df, [Transformation("toNumber", {"field": "s", "to": "n"})])
+    got = [r["n"] for r in out.collect()]
+    assert got == [12.5, -300.0, 0.0, 0.0]  # parseFloat prefix parse
+
+
+def test_extract_regex_group_fallback(contacts):
+    out = apply_transforms(
+        contacts,
+        [Transformation("extract", {"field": "email", "pattern": r"@(\w+)", "to": "domain"})],
+    )
+    rows = one(out)
+    assert rows[1]["domain"] == "supercoolsoftware"  # group 1
+    out2 = apply_transforms(
+        contacts,
+        [Transformation("extract", {"field": "email", "pattern": r"\w+@", "to": "user"})],
+    )
+    assert one(out2)[1]["user"] == "jorge@"  # no group → match[0]
+
+
+def test_extract_substring(contacts):
+    out = apply_transforms(
+        contacts,
+        [Transformation("extract", {"field": "firstname", "start": 1, "end": 4, "to": "mid"})],
+    )
+    rows = one(out)
+    assert rows[1]["mid"] == "org"  # JS slice(1,4)
+
+
+def test_merge_objects(contacts):
+    out = apply_transforms(
+        contacts,
+        [Transformation("mergeObjects", {"fields": ["firstname", "email"], "to": "obj"})],
+    )
+    rows = one(out)
+    assert rows[1]["obj"]["firstname"] == "Jorge"
+    assert rows[1]["obj"]["email"] == "jorge@supercoolsoftware.com"
+
+
+def test_custom_function_transform(contacts):
+    from pyspark.sql import functions as F
+
+    out = apply_transforms(
+        contacts,
+        [
+            Transformation(
+                "function",
+                {"fn": lambda df: df.withColumn("shout", F.concat(F.upper("firstname"), F.lit("!")))},
+            )
+        ],
+    )
+    assert one(out)[1]["shout"] == "JORGE!"
+
+
+def test_chain_order_matters(contacts):
+    out = apply_transforms(
+        contacts,
+        [
+            Transformation("lowercase", {"field": "firstname", "to": "x"}),
+            Transformation("addPrefix", {"field": "x", "prefix": ">>", "to": "x"}),
+            Transformation("uppercase", {"field": "x", "to": "x"}),
+        ],
+    )
+    assert one(out)[1]["x"] == ">>JORGE"
+
+
+def test_unknown_transform_raises(contacts):
+    with pytest.raises(ValueError, match="unknown transformation"):
+        apply_transforms(contacts, [Transformation("frobnicate", {})])
