@@ -1070,6 +1070,176 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", "quality")
 
 
+
+# =====================================================================
+# B-series escape hatches + remaining relational coverage
+# =====================================================================
+
+@query(
+    "sql_passthrough",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sql_passthrough(spark, sf_dir):
+    """B1/B2: raw-SQL escape hatch (reference custom_query endpoint,
+    `/root/reference/adapters/postgresql/src/index.ts:139-145`) — here
+    spark.sql over registered views; same Catalyst plan as DataFrame."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM sql_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "schema_introspect",
+    """
+    SELECT column_name FROM information_schema.columns
+    WHERE table_name = 'customer'
+    """,
+)
+def q_schema_introspect(spark, sf_dir):
+    """A29: the reference's `table_columns` endpoint
+    (`/root/reference/adapters/postgresql/src/index.ts:131-137`) —
+    schema-as-data from df.schema (no information_schema needed: the
+    DataFrame carries its own schema)."""
+    df = load(spark, sf_dir, "customer")
+    return spark.createDataFrame(
+        [(f.name,) for f in df.schema.fields], "column_name string"
+    )
+
+
+@query(
+    "join_right",
+    """
+    SELECT n.n_name, c.c_custkey
+    FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select("n_name", "c_custkey")
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, c.nc, s.ns FROM
+      (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS nc
+       FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+      (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS ns
+       FROM supplier GROUP BY 1) s
+    ON c.nationkey = s.nationkey
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("nc"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("ns"))
+    )
+    # join on the column name (USING semantics): Spark emits ONE
+    # coalesced nationkey column for full outer joins
+    return c.join(s, "nationkey", "full_outer").select("nationkey", "nc", "ns")
+
+
+@query(
+    "union_all_counts",
+    """
+    SELECT src, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT 'cust' AS src, c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT 'supp' AS src, s_nationkey AS nationkey FROM supplier) t
+    GROUP BY src
+    """,
+)
+def q_union_all_counts(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("src").agg(F.count("*").alias("n"))
+
+
+@query(
+    "decimal_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_dec,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 4) AS revenue_dec
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_decimal_agg(spark, sf_dir):
+    """C17: DecimalType arithmetic — exact fixed-point aggregation (no
+    float rounding games needed for the oracle: decimal sums are
+    bit-exact across engines)."""
+    l = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    # Aggregation is exact fixed-point; only the FINAL cast goes to
+    # double so the comparison layer sees one numeric type.
+    return l.groupBy("l_returnflag").agg(
+        F.sum(price).cast("double").alias("sum_price_dec"),
+        F.round(F.sum(price * disc).cast("double"), 4).alias("revenue_dec"),
+    )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """C18+C19: from_json into MapType, map_contains_key/element_at —
+    the dynamic-properties pattern for semi-structured event payloads."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.withColumn("pm", m)
+        .filter(F.map_contains_key("pm", "k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_k"),
+            F.sum(F.element_at("pm", "k")).alias("sum_k"),
+        )
+    )
+
+
+@query("approx_sketches")
+def q_approx_sketches(spark, sf_dir):
+    """C8: approximate sketches (HLL distinct, quantile sketch) — the
+    100 TB substitutes for exact distinct/percentile. Approximate by
+    design → rows-only check; bounds asserted in tests."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
+        F.percentile_approx("o_totalprice", 0.95).alias("p95_price"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

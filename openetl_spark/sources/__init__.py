@@ -12,4 +12,8 @@ register_source("memory", MemorySource())
 register_source("jdbc", JdbcSource())
 register_source("rest", RestSource())
 
+from openetl_spark.sources.services import register_all as _register_services
+
+_register_services()
+
 __all__ = ["FileSource", "MemorySource", "JdbcSource", "RestSource"]
