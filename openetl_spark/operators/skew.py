@@ -1,0 +1,50 @@
+"""Skew-handling helpers for large joins (SURVEY.md §7 step 7).
+
+AQE's skew-join splitting (on by default in the session factory)
+handles sort-merge skew at runtime; this module covers the cases AQE
+can't: broadcast-ineligible dimension joins against a fact table whose
+key distribution is pathological (one tenant/user/null-bucket owning a
+double-digit percentage of rows).
+
+``salted_join`` replicates the *small* side ``salt`` ways and
+scatters the fact side's hot keys across salt buckets, so no single
+reducer receives a hot key's full volume. Cost: small side × salt
+(bounded, choose salt ≈ executor count), one fact-side column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt: int, out: str = "_salt") -> DataFrame:
+    """Uniform random-ish salt derived from a stable row hash (no RNG:
+    deterministic across retries, which matters for task re-execution)."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(out, F.pmod(h, F.lit(salt)).cast("int"))
+
+
+def explode_salt(df: DataFrame, salt: int, out: str = "_salt") -> DataFrame:
+    """Replicate each row ``salt`` times with salt values 0..salt-1
+    (applied to the SMALL side of a salted join)."""
+    return df.withColumn(
+        out, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim on fact[on] == dim[on]`` with the join key
+    salted: fact rows scatter across ``salt`` buckets, dim rows
+    replicate into every bucket. Result is identical to the plain join;
+    the shuffle for any single key is spread over ``salt`` reducers."""
+    f = with_salt(fact, salt)
+    d = explode_salt(dim, salt)
+    out = f.join(d, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -115,6 +115,20 @@ class Orchestrator:
             emit("transform", f"{len(source.transform)} transform(s) fused into plan")
         return df
 
+    def observe(self, df: DataFrame, name: str = "pipeline_metrics", *metrics):
+        """A26 metrics the scalable way: ``df.observe`` accumulates
+        named aggregates DURING execution — no second pass over the
+        data, unlike the reference's dataCount which required the rows
+        in driver memory. Returns ``(df, observation)``; read
+        ``observation.get`` after any action on the returned df."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        if not metrics:
+            metrics = (F.count(F.lit(1)).alias("row_count"),)
+        obs = Observation(name)
+        return df.observe(obs, *metrics), obs
+
     def _load(self, pipeline: Pipeline, df: DataFrame, emit) -> DataFrame:
         if pipeline.onbeforesend:
             out = pipeline.onbeforesend(df)

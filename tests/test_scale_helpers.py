@@ -1,0 +1,78 @@
+"""Scale-helper tests: salted joins equal plain joins; observe()
+metrics flow; bucketed writes enable shuffle-free joins."""
+
+from pyspark.sql import functions as F
+
+from openetl_spark import catalog
+from openetl_spark.operators.skew import salted_join, with_salt
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(o, c, "o_custkey", salt=8).groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(spark):
+    fact = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, v string")
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    out = salted_join(fact, dim, "k", salt=4, how="left").collect()
+    by_v = {r["v"]: r["name"] for r in out}
+    assert by_v == {"a": "one", "b": "one", "c": "two", "z": None}
+    assert len(out) == 4  # no duplication from salting
+
+
+def test_salt_distribution_spreads_hot_key(spark):
+    hot = spark.createDataFrame([(1, i) for i in range(1000)], "k long, i long")
+    salted = with_salt(hot, 16)
+    buckets = salted.groupBy("_salt").count().collect()
+    # a 1000-row hot key must spread across many salt buckets
+    assert len(buckets) >= 12
+    assert max(r["count"] for r in buckets) < 1000 * 0.25
+
+
+def test_observe_metrics_capture(spark, sf_dir):
+    from openetl_spark.pipeline import Orchestrator
+
+    orch = Orchestrator(spark=spark)
+    df = catalog.load(spark, sf_dir, "orders")
+    observed, obs = orch.observe(
+        df, "m", F.count(F.lit(1)).alias("rows"), F.sum("o_totalprice").alias("total")
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == df.count()
+    assert obs.get["total"] > 0
+
+
+def test_bucketed_write_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key lets Catalyst plan a
+    SortMergeJoin with NO Exchange on either side — the co-located
+    join pattern for repeatedly-joined 100 TB tables."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    catalog.load(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    catalog.load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
+        "b_customer"
+    )
+    # disable broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        import io, contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -24,7 +24,14 @@ def stream_dir(spark, sf_dir, tmp_path_factory):
     events.withColumn("ts", F.col("ts").cast("timestamp")).repartitionByRange(
         4, "ts"
     ).write.mode("overwrite").parquet(d)
-    assert len(glob.glob(os.path.join(d, "*.parquet"))) >= 2
+    files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert len(files) >= 2
+    # The file stream source orders by modification time; all parts share
+    # one mtime, so ingestion order would be arbitrary and a later-range
+    # file arriving first would make entire earlier files "late". Pin
+    # ascending mtimes in range (=time) order.
+    for i, f in enumerate(files):
+        os.utime(f, (1000000000 + i * 60, 1000000000 + i * 60))
     return d
 
 
