@@ -27,6 +27,11 @@ HEADLINE = [
     "q1_pricing",
     "q3_top_orders",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "decimal_agg",
     "join_broadcast",
     "join_left_agg",
     "agg_distinct",

@@ -62,8 +62,29 @@ def _truthy(df: DataFrame, name: str) -> Column:
     return c.isNotNull() & (c.cast("string") != "")
 
 
-def _str_or_empty(name: str) -> Column:
-    return F.coalesce(F.col(name).cast("string"), F.lit(""))
+def _js_string(df: DataFrame, name: str) -> Column:
+    """JS String(x) for a typed column. The one material divergence from
+    a plain cast: JS renders integral doubles without the trailing
+    ``.0`` (String(1.0) === '1'). Exponent-notation thresholds (|x| ≥
+    1e21 or < 1e-6) still differ in formatting — documented limitation;
+    the integral case is the one that appears in real data."""
+    c = F.col(name)
+    dt = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(name)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        d = c.cast("double")
+        as_long = d.try_cast("long")
+        integral = (
+            ~F.isnan(d)
+            & as_long.isNotNull()
+            & (as_long.cast("double") == d)
+            & (F.abs(d) < F.lit(1e15))
+        )
+        return F.when(integral, as_long.cast("string")).otherwise(c.cast("string"))
+    return c.cast("string")
+
+
+def _str_or_empty(df: DataFrame, name: str) -> Column:
+    return F.coalesce(_js_string(df, name), F.lit(""))
 
 
 def apply_transforms(
@@ -94,7 +115,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
             # JS: properties.map(p=>row[p]).filter(Boolean).join(glue) —
             # falsy values vanish entirely (no doubled glue).
             parts = [
-                F.when(_truthy(df, p), F.col(p).cast("string")).otherwise(F.lit(None))
+                F.when(_truthy(df, p), _js_string(df, p)).otherwise(F.lit(None))
                 for p in props
             ]
             expr = F.concat_ws(glue, *parts)  # concat_ws skips nulls
@@ -110,7 +131,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
     if kind in ("uppercase", "lowercase", "trim"):
         fld = o["field"]
         to = o.get("to", fld)
-        src = _str_or_empty(fld) if js else F.col(fld).cast("string")
+        src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
         fn = {"uppercase": F.upper, "lowercase": F.lower, "trim": F.trim}[kind]
         return df.withColumn(to, fn(src))
 
@@ -125,7 +146,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
     if kind == "replace":
         fld = o["field"]
         to = o.get("to", fld)
-        src = _str_or_empty(fld) if js else F.col(fld).cast("string")
+        src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
         return df.withColumn(to, F.regexp_replace(src, o["search"], o["replace"]))
 
     if kind in ("addPrefix", "addSuffix"):
@@ -134,7 +155,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         affix = o["prefix"] if kind == "addPrefix" else o["suffix"]
         if js:
             # `${prefix}${row[field] || ''}` — falsy (incl. numeric 0) → ''.
-            base = F.when(_truthy(df, fld), F.col(fld).cast("string")).otherwise(F.lit(""))
+            base = F.when(_truthy(df, fld), _js_string(df, fld)).otherwise(F.lit(""))
         else:
             base = F.col(fld).cast("string")
         expr = (
@@ -160,7 +181,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
     if kind == "extract":
         fld, to = o["field"], o["to"]
         if "pattern" in o and o["pattern"] is not None:
-            src = _str_or_empty(fld) if js else F.col(fld).cast("string")
+            src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
             pat = o["pattern"]
             n_groups = re.compile(pat).groups
             if n_groups >= 1:
@@ -173,7 +194,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         else:
             start = int(o.get("start", 0))
             end = o.get("end")
-            src = _str_or_empty(fld) if js else F.col(fld).cast("string")
+            src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
             length = (int(end) - start) if end is not None else (1 << 30)
             expr = F.substring(src, start + 1, length)  # JS slice is 0-based
         return df.withColumn(to, expr)
