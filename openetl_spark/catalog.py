@@ -1361,6 +1361,65 @@ def q_q10_returned_items(spark, sf_dir):
     )
 
 
+
+@query(
+    "embedding_near_dup_exact",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    """,
+)
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """C28 oracle-checked: exact embedding-cosine near-dup pairs
+    (threshold 0.35 — this synthetic corpus tops out at ~0.51). The
+    exact all-pairs baseline the LSH path is measured against."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    return S.brute_force_similarity_join(e, threshold=0.35)
+
+
+@query(
+    "lang_id_oracle",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))
+          / greatest(len(tk), 1) AS s_en,
+        len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','por','con','los')))
+          / greatest(len(tk), 1) AS s_es,
+        len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','un','une','dans','est')))
+          / greatest(len(tk), 1) AS s_fr,
+        len(list_filter(tk, x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist')))
+          / greatest(len(tk), 1) AS s_de,
+        len(list_filter(tk, x -> x IN ('的','了','在','是','我','有','和','就','不','人')))
+          / greatest(len(tk), 1) AS s_zh
+      FROM scored)
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM hits
+    """,
+)
+def q_lang_id_oracle(spark, sf_dir):
+    """C29 oracle-checked: the stopword-evidence language ID. Tie-break
+    = lexicographically largest language code (matches the engine's
+    array_max-over-struct argmax), mirrored by the CASE cascade order
+    zh > fr > es > en > de."""
+    d = X.detect_language(load(spark, sf_dir, "documents", spread=True))
+    return d.select("doc_id", "lang_pred")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

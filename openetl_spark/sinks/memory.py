@@ -12,6 +12,24 @@ from openetl_spark.spec import Connector
 
 class MemorySink:
     def write(self, df: DataFrame, connector: Connector) -> None:
+        if df.isStreaming:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(connector.endpoint_id)
+                .outputMode(connector.config.get("output_mode", "append"))
+                .start()
+            )
+            if connector.config.get("sync", True):
+                q.processAllAvailable()
+                q.stop()
+            else:
+                connector.config["query"] = q
+            capture = connector.config.get("capture")
+            if capture is not None:
+                capture.extend(
+                    df.sparkSession.sql(f"SELECT * FROM {connector.endpoint_id}").collect()
+                )
+            return
         df.createOrReplaceTempView(connector.endpoint_id)
         capture = connector.config.get("capture")
         if capture is not None:

@@ -24,8 +24,18 @@ class FileSource:
 
     def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
         opts = dict(connector.config.get("options", {}))
-        reader = spark.read.format(self.fmt).options(**opts)
         schema = connector.config.get("schema")
+        if connector.streaming:
+            # File streams require an explicit schema; derive it from a
+            # one-off static read when the caller didn't provide one
+            # (driver-side metadata peek, no data scan).
+            if schema is None:
+                schema = spark.read.format(self.fmt).options(**opts).load(
+                    connector.endpoint_id
+                ).schema
+            reader = spark.readStream.format(self.fmt).options(**opts).schema(schema)
+            return reader.load(connector.endpoint_id)
+        reader = spark.read.format(self.fmt).options(**opts)
         if schema is not None:
             reader = reader.schema(schema)
         return reader.load(connector.endpoint_id)
@@ -37,6 +47,26 @@ class FileSink:
 
     def write(self, df: DataFrame, connector: Connector) -> None:
         opts = dict(connector.config.get("options", {}))
+        if df.isStreaming:
+            # Streaming file sink: exactly-once via checkpointed offsets.
+            q = (
+                df.writeStream.format(self.fmt)
+                .options(**opts)
+                .outputMode(connector.config.get("output_mode", "append"))
+                .option(
+                    "checkpointLocation",
+                    connector.config.get(
+                        "checkpoint", connector.endpoint_id.rstrip("/") + "_checkpoint"
+                    ),
+                )
+                .start(connector.endpoint_id)
+            )
+            if connector.config.get("sync"):
+                q.processAllAvailable()
+                q.stop()
+            else:
+                connector.config["query"] = q  # caller manages lifecycle
+            return
         mode = connector.config.get("mode", "append")
         writer = df.write.format(self.fmt).options(**opts).mode(mode)
         partition_by = connector.config.get("partition_by")

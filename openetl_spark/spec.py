@@ -98,6 +98,7 @@ class Connector:
     offset: int | None = None
     transform: Sequence[Transformation] = ()
     timeout: float | None = None  # ingest deadline (REST sources only)
+    streaming: bool = False  # compile to readStream / writeStream (C20)
 
 
 @dataclass

@@ -154,14 +154,28 @@ def test_brute_force_knn_self_similarity(spark, sf_dir):
     assert top[0]["vec_id"] == 3 and top[0]["cosine_sim"] == 1.0
 
 
-def test_lsh_recall_vs_brute_force(spark, sf_dir):
-    e = catalog.load(spark, sf_dir, "embeddings")
-    exact = {(r["a"], r["b"]) for r in S.brute_force_similarity_join(e, threshold=0.8).collect()}
-    approx = {(r["a"], r["b"]) for r in S.lsh_similarity_join(e, threshold=0.8, n_planes=10, n_tables=6).collect()}
-    assert approx <= exact  # no false positives (exact verification)
-    if exact:
-        recall = len(approx & exact) / len(exact)
-        assert recall >= 0.8, f"LSH recall {recall}"
+def test_lsh_recall_vs_brute_force(spark):
+    """Recall measured on synthetic clustered vectors (the testdata
+    embeddings top out at cosine ~0.5 where hyperplane LSH has no
+    signal — a 0.8-threshold sweep there is vacuously empty)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(5, 64) * 3
+    vecs = []
+    for i in range(200):
+        c = centers[i % 5]
+        vecs.append((i, [float(x) for x in c + rng.randn(64) * 0.35]))
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in S.brute_force_similarity_join(e, threshold=0.9).collect()}
+    approx = {
+        (r["a"], r["b"])
+        for r in S.lsh_similarity_join(e, threshold=0.9, n_planes=8, n_tables=8).collect()
+    }
+    assert approx <= exact  # exact verification: no false positives
+    assert len(exact) > 50  # the clusters really produce high-sim pairs
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
 
 
 # ----------------------------------------------------------------- text
