@@ -1420,6 +1420,49 @@ def q_lang_id_oracle(spark, sf_dir):
     return d.select("doc_id", "lang_pred")
 
 
+
+@query(
+    "percentile_exact",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentile_exact(spark, sf_dir):
+    """C8/C17: exact interpolated percentiles (the non-sketch path;
+    approx_sketches is the 100 TB variant)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95_price"),
+    )
+
+
+@query(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """C7/C17: statistical aggregates (sample stddev/variance,
+    correlation, covariance)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
