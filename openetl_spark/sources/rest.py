@@ -78,11 +78,17 @@ def paged_fetch(
     """Serial page-pull driver (≈ reference ``getDataSerially``)."""
     if max_items_per_page is not None:
         items_per_page = min(items_per_page, max_items_per_page)
+    # Edge guards (the reference's Mongo suite sweeps these: zero page
+    # size, negative offset — SURVEY.md §5): a 0/negative page size
+    # would never satisfy the short-page stop condition (infinite loop).
+    items_per_page = max(1, int(items_per_page))
 
     rows: list[Any] = []
     offset: int | str | None = initial_offset if initial_offset is not None else (
         0 if pagination == "offset" else None
     )
+    if pagination == "offset" and isinstance(offset, int) and offset < 0:
+        offset = 0
     start = clock()
     min_interval = (1.0 / requests_per_second) if requests_per_second else 0.0
     last_fetch_at: float | None = None

@@ -312,3 +312,15 @@ def test_jdbc_option_building():
         config={"url": "jdbc:mysql://h/db", "query": "SELECT 1"},
     )
     assert build_jdbc_options(c2)["query"] == "SELECT 1"
+
+
+def test_pagination_edge_cases():
+    """The reference's Mongo-suite edge sweep (SURVEY §5): zero page
+    size, negative offset, offset beyond data — none may hang or err."""
+    fetch = make_pages(10, 10)
+    r = paged_fetch(fetch, pagination="offset", items_per_page=0)
+    assert [x["id"] for x in r.rows] == list(range(10))  # clamped to 1
+    r = paged_fetch(fetch, pagination="offset", items_per_page=5, initial_offset=-7)
+    assert [x["id"] for x in r.rows] == list(range(10))  # clamped to 0
+    r = paged_fetch(fetch, pagination="offset", items_per_page=5, initial_offset=50)
+    assert r.rows == []  # beyond data: clean empty
