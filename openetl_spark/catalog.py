@@ -1463,6 +1463,119 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+
+@query(
+    "window_ranking_extras",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_in_seg,
+           nth_value(o_orderkey, 2) OVER w AS second_in_seg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_ranking_extras(spark, sf_dir):
+    """C10 extras: ntile / percent_rank / cume_dist / first_value /
+    nth_value over one named window."""
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_in_seg"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_in_seg"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice), 2) AS price,
+             round(sum(l_discount), 2) AS disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS measure, qty AS val FROM wide
+    UNION ALL SELECT l_returnflag, 'price', price FROM wide
+    UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+    """,
+)
+def q_unpivot_measures(spark, sf_dir):
+    """C-series adjacent: unpivot/melt — wide aggregate to long form."""
+    wide = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+            F.round(F.sum("l_discount"), 2).alias("disc"),
+        )
+    )
+    # oracle is a NULL-keeping UNION ALL: DuckDB's UNPIVOT drops NULL
+    # cells while Spark's unpivot keeps them — the UNION form matches
+    # Spark's semantics for any data
+    return wide.unpivot(
+        ids=["l_returnflag"], values=["qty", "price", "disc"],
+        variableColumnName="measure", valueColumnName="val",
+    )
+
+
+@query(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT round(avg(o_totalprice), 2) FROM orders), 2) AS vs_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.8, 2) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar subqueries via the SQL surface (Catalyst plans the
+    subquery once as a broadcast scalar)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ss_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT round(avg(o_totalprice), 2) FROM ss_orders), 2) AS vs_avg
+        FROM ss_orders
+        WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.8, 2) FROM ss_orders)
+        """
+    )
+
+
+@query(
+    "date_funcs_extended",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(month(o_orderdate) AS INT)) AS INT) AS first_month,
+           min(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)) AS min_plus_3m,
+           min(CAST(last_day(o_orderdate) AS TIMESTAMP)) AS min_month_end
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_funcs_extended(spark, sf_dir):
+    """C16 extended: quarter buckets, interval arithmetic, last_day."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.month("o_orderdate")).cast("int").alias("first_month"),
+        # dates → timestamps on both sides: pandas/hash layers represent
+        # DATE and TIMESTAMP differently even when values agree
+        F.min(F.add_months("o_orderdate", 3)).cast("timestamp_ntz").alias("min_plus_3m"),
+        F.min(F.last_day("o_orderdate")).cast("timestamp_ntz").alias("min_month_end"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
