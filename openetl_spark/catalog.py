@@ -1576,6 +1576,111 @@ def q_date_funcs_extended(spark, sf_dir):
     )
 
 
+
+@query(
+    "filtered_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS open_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_filtered_agg(spark, sf_dir):
+    """C7: FILTER-clause conditional aggregation (one pass, no self
+    joins — at scale this replaces N filtered subqueries with one scan)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_disc"),
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))), 2).alias("open_price"),
+    )
+
+
+@query(
+    "null_safe_join",
+    """
+    WITH c AS (SELECT c_custkey, nullif(c_nationkey, 0) AS nk FROM customer),
+         s AS (SELECT s_suppkey, nullif(s_nationkey, 0) AS nk FROM supplier)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE c.nk IS NULL) AS BIGINT) AS null_pairs
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    """,
+)
+def q_null_safe_join(spark, sf_dir):
+    """C1 variant: null-safe equality join (<=> / IS NOT DISTINCT FROM)
+    — NULL keys match each other instead of disappearing."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("s_nk")
+    )
+    j = c.join(sup, c["nk"].eqNullSafe(sup["s_nk"]))
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("nk").isNull(), 1)).alias("null_pairs"),
+    )
+
+
+@query(
+    "string_funcs_extended",
+    """
+    SELECT p_partkey,
+           translate(p_brand, '#', '-')                    AS brand_tr,
+           split_part(p_name, ' ', 1)                      AS first_word,
+           reverse(p_type)                                 AS type_rev,
+           repeat(substr(p_brand, 1, 2), 2)                AS brand2,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS lower_runs
+    FROM part
+    """,
+)
+def q_string_funcs_extended(spark, sf_dir):
+    """C15 extended: translate/split_part/reverse/repeat/
+    regexp_extract_all."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand2"),
+        # explicit group 0: Spark's regexp_extract_all defaults to group 1
+        # (errors on group-less patterns); DuckDB defaults to 0
+        F.array_join(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0), "|").alias("lower_runs"),
+    )
+
+
+@query(
+    "array_funcs_extended",
+    """
+    WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.words, b.words)) AS INT) AS n_common,
+           array_to_string(list_sort(list_intersect(a.words, b.words)), ',') AS common_sorted
+    FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
+    WHERE a.doc_id < 20
+    """,
+)
+def q_array_funcs_extended(spark, sf_dir):
+    """C18 extended: array_distinct/intersect/sort on adjacent-doc word
+    sets (sorted + joined so output order is engine-independent)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    a = d.alias("a")
+    b = d.select(F.col("doc_id").alias("b_doc"), F.col("words").alias("b_words"))
+    j = a.join(b, F.col("doc_id") + 1 == F.col("b_doc")).filter(F.col("doc_id") < 20)
+    inter = F.array_intersect(F.col("words"), F.col("b_words"))
+    return j.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("b_doc").alias("b_id"),
+        F.size(inter).cast("int").alias("n_common"),
+        F.array_join(F.array_sort(inter), ",").alias("common_sorted"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

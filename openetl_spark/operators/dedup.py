@@ -153,17 +153,22 @@ def jaccard_similarity_pairs(
     id_col: str,
     shingle_col: str = "shingles",
     threshold: float = 0.8,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact jaccard over distinct shingles: returns (a, b, jaccard)
     for pairs with similarity ≥ threshold, a < b. Columns aliased for
-    the DuckDB oracle (round to 6 dp to absorb float noise)."""
+    the DuckDB oracle (round to 6 dp to absorb float noise).
+
+    ``cache=True`` persists the exploded shingle relation for the three
+    branches that consume it. The cache is session-LRU managed, not
+    unpersisted here (the result is lazy; releasing before action would
+    defeat it) — long-lived sessions running MANY corpora can pass
+    cache=False or unpersist via the returned plan's ``_cached_deps``."""
     # The exploded (id, shingle) relation feeds three branches (sizes +
     # both join sides); cache it so the scan+shingle+distinct runs once.
-    ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s"))
-        .distinct()
-        .persist()
-    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s")).distinct()
+    if cache:
+        ex = ex.persist()
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     pairs = (
         ex.alias("x")
@@ -171,7 +176,7 @@ def jaccard_similarity_pairs(
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
         .withColumn(
@@ -181,6 +186,8 @@ def jaccard_similarity_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    out._cached_deps = [ex] if cache else []
+    return out
 
 
 def minhash_near_duplicates(
@@ -191,6 +198,7 @@ def minhash_near_duplicates(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    cache: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash/LSH candidates → exact
     jaccard verification on candidates only. The production-scale path:
@@ -205,8 +213,9 @@ def minhash_near_duplicates(
         sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
         .distinct()
         .withColumn("_h", F.xxhash64("s"))
-        .persist()
     )
+    if cache:
+        ex = ex.persist()
     sig = ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
     ).select(F.col("id").alias(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
@@ -218,7 +227,7 @@ def minhash_near_duplicates(
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
         .withColumn(
@@ -228,6 +237,8 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    out._cached_deps = [ex] if cache else []
+    return out
 
 
 # -------------------------------------------------------------- simhash

@@ -54,23 +54,35 @@ def asof_join(
 
     ts_out = f"{right_ts}{suffix}"
     # Align the union schema: keys + event time + tag + left payload +
-    # right payload (each side nulls the other's payload).
-    lpay = [c for c in left.columns if c not in keys]
+    # ONE struct carrying the whole right payload. The struct matters:
+    # picking value columns independently with last(ignorenulls) would
+    # conflate genuine right-side nulls with the left rows' placeholder
+    # nulls and stitch together fields from DIFFERENT right rows; the
+    # struct is carried atomically, so the matched row stays one row.
+    lpay = [c for c in left.columns if c not in keys and c != left_ts]
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+            + [f"__ts:{right.schema[right_ts].dataType.simpleString()}"]
+        )
+        + ">"
+    )
     l_side = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col(right_ts).alias("__ts")
+        ).alias("_r"),
     )
     u = l_side.unionByName(r_side)
 
@@ -81,16 +93,14 @@ def asof_join(
             .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        picked = {c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
-        picked_ts = F.last("_r_ts", ignorenulls=True).over(w)
+        picked = F.last("_r", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col("_t").asc(), F.col("_is_left").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        picked = {c: F.first(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
-        picked_ts = F.first("_r_ts", ignorenulls=True).over(w)
+        picked = F.first("_r", ignorenulls=True).over(w)
 
     out = u.select(
         *keys,
@@ -98,7 +108,7 @@ def asof_join(
         F.col("_is_left"),
         *lpay,
         *[picked[c].alias(f"{c}{suffix}") for c in value_cols],
-        picked_ts.alias(ts_out),
+        picked["__ts"].alias(ts_out),
     )
     return out.filter(F.col("_is_left") == 1).drop("_is_left")
 

@@ -117,7 +117,8 @@ def sample_frames(
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r[content_col]) if r[content_col] is not None else b""
-                n_frames = max(len(data) // frame_size, 1)
+                # ceil: the trailing partial frame is real data, not waste
+                n_frames = max(-(-len(data) // frame_size), 1)
                 for i in range(0, n_frames, stride):
                     rows.append((r[path_col], i, data[i * frame_size : (i + 1) * frame_size]))
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame_bytes"])

@@ -42,8 +42,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact ⋈ dim on fact[on] == dim[on]`` with the join key
     salted: fact rows scatter across ``salt`` buckets, dim rows
-    replicate into every bucket. Result is identical to the plain join;
-    the shuffle for any single key is spread over ``salt`` reducers."""
+    replicate into every bucket. Result is identical to the plain join
+    for inner/left joins; the shuffle for any single key is spread over
+    ``salt`` reducers.
+
+    Right/full-outer are rejected: an unmatched dim row would surface
+    once per salt bucket (``salt`` duplicates) — use AQE skew handling
+    for outer joins instead."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicated dim rows would duplicate unmatched right-side output"
+        )
     f = with_salt(fact, salt)
     d = explode_salt(dim, salt)
     out = f.join(d, [on, "_salt"], how)

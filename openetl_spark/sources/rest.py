@@ -155,10 +155,13 @@ def _fetch_with_retry(
                 refreshed = True
                 continue
             if e.status == 429:
-                sleep(e.retry_after if e.retry_after is not None else retry_interval_s)
+                # exhaustion check BEFORE honoring retry-after: with no
+                # retries left, sleeping (possibly for a server-dictated
+                # hour) and then raising anyway would just block the driver
                 attempt += 1
                 if attempt > max_retries:
                     raise
+                sleep(e.retry_after if e.retry_after is not None else retry_interval_s)
                 continue
             raise
         except Exception:
@@ -189,9 +192,21 @@ class RestSource:
             retry_interval_s=float(cfg.get("retry_interval_s", 1.0)),
             refresh_auth=cfg.get("refresh_auth"),
         )
-        df = spark.createDataFrame(result.rows, schema=cfg.get("schema"))
+        df = _rows_to_df(spark, result.rows, cfg.get("schema"))
         if result.partial:
             # Explicit partial-result marker (divergence from the
             # reference's silent truncation) — visible to the pipeline.
             df = df.withColumn("_ingest_partial", F.lit(True))
         return df
+
+
+def _rows_to_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Empty-safe DataFrame construction: a zero-row sync is a normal
+    state for incremental ingests, but createDataFrame([]) cannot infer
+    a schema. With no schema configured and no rows, return a zero-
+    column empty frame instead of crashing."""
+    if not rows and schema is None:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([]))
+    return spark.createDataFrame(rows, schema=schema)

@@ -169,7 +169,16 @@ class ServiceSource:
     """Generic REST source bound to a descriptor. The transport is a
     callable ``transport(request, page_options) -> page dict`` injected
     via connector.config['transport'] (real HTTP in production, mocks
-    in tests — the reference needed live creds for this layer)."""
+    in tests — the reference needed live creds for this layer).
+
+    Layering: this source does INGEST + service-side pushdown only.
+    Residual filters, the full sort, projection, and the row limit are
+    applied by ``plans/compiler.compile_connector`` on top of the
+    returned DataFrame — one owner for the degrade semantics. The
+    service-side ``total_limit`` optimization is applied only when the
+    WHOLE filter spec pushed down; with any residual filter the fetch
+    must not truncate early (rows matching the residual could be
+    dropped before Spark ever saw them)."""
 
     def __init__(self, descriptor: ServiceDescriptor):
         self.desc = descriptor
@@ -182,35 +191,30 @@ class ServiceSource:
         def fetch_page(page_options: dict) -> dict:
             return transport(request, page_options)
 
+        _, residual = split_filters(connector, self.desc)
+        safe_limit = connector.limit if not residual else None
+
         result = paged_fetch(
             fetch_page,
             pagination=self.desc.pagination,
             items_per_page=request["page_size"],
             max_items_per_page=self.desc.max_items_per_page,
-            total_limit=connector.limit,
+            total_limit=safe_limit,
             deadline_s=connector.timeout,
             requests_per_second=cfg.get("requests_per_second"),
             max_retries=int(cfg.get("max_retries", 0)),
             retry_interval_s=float(cfg.get("retry_interval_s", 1.0)),
             refresh_auth=cfg.get("refresh_auth"),
         )
-        df = spark.createDataFrame(result.rows, schema=cfg.get("schema"))
+        from openetl_spark.sources.rest import _rows_to_df
 
-        # Graceful degradation: operators the service dialect lacks are
-        # applied here, in Spark, after ingest.
-        _, residual = split_filters(connector, self.desc)
-        pred = compile_filters(residual)
-        if pred is not None:
-            df = df.filter(pred)
-        # Dropped sort keys (e.g. Zoho beyond the first) re-sort in Spark.
-        if self.desc.max_sort_keys is not None and len(connector.sort) > self.desc.max_sort_keys:
-            df = df.orderBy(
-                *[
-                    F.col(s.field).asc() if s.type == "asc" else F.col(s.field).desc()
-                    for s in connector.sort
-                ]
-            )
-        if request["fields"]:
+        df = _rows_to_df(spark, result.rows, cfg.get("schema"))
+        if result.partial:
+            # same explicit partial-extract contract as RestSource
+            df = df.withColumn("_ingest_partial", F.lit(True))
+        if not connector.fields and request["fields"]:
+            # endpoint default_fields (A7): the compiler only projects
+            # EXPLICIT connector.fields, so the default applies here
             present = [f for f in request["fields"] if f in df.columns]
             if present:
                 df = df.select(*present)

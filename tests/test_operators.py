@@ -239,9 +239,9 @@ def test_image_features_stub_plumbing(spark):
 
 
 def test_frame_sampling_fan_out(spark):
-    blob = bytes(range(256)) * 200  # 51200 bytes → 12 frames of 4096
+    blob = bytes(range(256)) * 200  # 51200 bytes → 13 frames (last partial)
     df = spark.createDataFrame([("v.bin", bytearray(blob))], "path string, content binary")
     frames = M.sample_frames(df, frame_size=4096, stride=4).collect()
-    # frames 0,4,8 sampled
-    assert [f["frame_idx"] for f in frames] == [0, 4, 8]
-    assert all(len(f["frame_bytes"]) == 4096 for f in frames)
+    # frames 0,4,8,12 sampled; 12 is the trailing partial frame
+    assert [f["frame_idx"] for f in frames] == [0, 4, 8, 12]
+    assert [len(f["frame_bytes"]) for f in frames] == [4096, 4096, 4096, 2048]

@@ -108,3 +108,66 @@ def test_rest_stream_aggregation(spark):
     rows = {r["score"]: r["count"] for r in spark.sql("SELECT * FROM t_rest_agg").collect()}
     assert sum(rows.values()) == N_ROWS
     assert rows[0.0] == 24  # ids 0,10,...,230
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: enrich a stream with a dimension table (the
+    standard lookup pattern; the static side re-resolves per batch)."""
+    src = str(tmp_path / "orders_stream")
+    catalog.load(spark, sf_dir, "orders").coalesce(2).write.parquet(src)
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(cust, stream.o_custkey == cust.c_custkey).groupBy(
+        "c_mktsegment"
+    ).count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["c_mktsegment"]: r["count"] for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    exp = {
+        r["c_mktsegment"]: r["count"]
+        for r in catalog.load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    assert got == exp
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: arbitrary per-micro-batch sink logic (the
+    exactly-once escape hatch for sinks without native streaming
+    support — e.g. JDBC upserts)."""
+    src = str(tmp_path / "ev_fb")
+    catalog.load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen = []
+
+    def handle(batch_df, epoch_id):
+        seen.append((epoch_id, batch_df.count()))
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) >= 2  # one call per micro-batch
+    assert sum(n for _, n in seen) == spark.read.parquet(src).count()
