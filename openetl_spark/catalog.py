@@ -1681,6 +1681,20 @@ def q_array_funcs_extended(spark, sf_dir):
     )
 
 
+
+@query("ivf_knn")
+def q_ivf_knn(spark, sf_dir):
+    """C28 scale path #2: IVF — KMeans coarse quantizer (seeded), probe
+    the nearest n_probe inverted lists, exact cosine inside. Rows-only
+    check (approximate by design; recall vs brute force asserted in
+    tests on clustered vectors)."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    cents = S.train_ivf_centroids(e, n_lists=16, seed=42)
+    assigned = S.with_ivf_assignment(e, cents)
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ivf_knn(assigned.filter(F.col("vec_id") != 0), cents, qvec, k=10, n_probe=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

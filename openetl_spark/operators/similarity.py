@@ -157,3 +157,78 @@ def brute_force_similarity_join(
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
     )
+
+
+# ----------------------------------------------------------------- IVF
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Train IVF coarse quantizer centroids with MLlib KMeans (seeded,
+    deterministic given fixed input partitioning). Returns a plain
+    numpy array (n_lists × dim) — small enough to fold into plans as
+    literals/closures, no model object needed at query time."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features")
+    model = km.fit(train)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def with_ivf_assignment(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "ivf_list",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF inverted
+    list id) — one numpy matmul per Arrow batch, same pattern as the
+    LSH projections."""
+    cents = np.asarray(centroids, dtype=np.float64)  # n_lists × dim
+    cent_sq = (cents ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        # argmin ||v - c||² = argmin (||c||² - 2 v·c)
+        d = cent_sq[None, :] - 2.0 * (m @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def ivf_knn(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF top-k: probe only the ``n_probe`` inverted lists whose
+    centroids are closest to the query, brute-force cosine inside them.
+    The scan prunes to ~n_probe/n_lists of the corpus — with the list
+    id as a partition/cluster key on disk, Spark prunes entire files.
+    ``df`` must already carry ``list_col`` (see with_ivf_assignment)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    sim = F.round(cosine(F.col(vec_col), qcol), round_dp)
+    return (
+        df.filter(F.col(list_col).isin(probe))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -245,3 +245,32 @@ def test_frame_sampling_fan_out(spark):
     # frames 0,4,8,12 sampled; 12 is the trailing partial frame
     assert [f["frame_idx"] for f in frames] == [0, 4, 8, 12]
     assert [len(f["frame_bytes"]) for f in frames] == [4096, 4096, 4096, 2048]
+
+
+def test_ivf_knn_recall_vs_brute_force(spark):
+    """IVF with n_probe=4/16 lists on clustered vectors must recover
+    ~all of the brute-force top-10 (the query lands in a tight cluster,
+    so its true neighbors share the probed lists)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 64) * 3
+    vecs = [
+        (i, [float(x) for x in centers[i % 8] + rng.randn(64) * 0.3])
+        for i in range(400)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = S.train_ivf_centroids(e, n_lists=16, seed=42)
+    assert cents.shape == (16, 64)
+    assigned = S.with_ivf_assignment(e, cents)
+    # every vector gets a valid list id
+    lists = assigned.select("ivf_list").distinct().collect()
+    assert all(0 <= r["ivf_list"] < 16 for r in lists)
+    q = vecs[5][1]
+    exact = [r["vec_id"] for r in S.brute_force_knn(e, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in S.ivf_knn(assigned, cents, q, k=10, n_probe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"IVF recall {recall}"
