@@ -929,7 +929,9 @@ def q_dedup_exact(spark, sf_dir):
 _JACCARD_ORACLE = """
     WITH sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+            FROM documents),
            UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -961,8 +963,6 @@ def q_minhash_near_dups(spark, sf_dir):
     d = load(spark, sf_dir, "documents", spread=True)
     return D.minhash_near_duplicates(
         d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
-    ).withColumnRenamed("a", "a").select(
-        F.col("a").alias("a"), F.col("b").alias("b"), F.col("jaccard")
     )
 
 
@@ -991,15 +991,17 @@ def q_embedding_knn(spark, sf_dir):
 @query(
     "text_stats",
     """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+      FROM documents)
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS INT) AS n_tokens,
-           round(list_aggregate(list_transform(list_filter(string_split(trim(text), ' '),
-                                                           x -> x <> ''),
-                                               x -> CAST(length(x) AS DOUBLE)), 'sum')
-                 / greatest(len(list_filter(string_split(trim(text), ' '), x -> x <> '')), 1), 4)
-             AS avg_token_len
-    FROM documents
+           CAST(len(tk) AS INT) AS n_tokens,
+           round(coalesce(list_aggregate(list_transform(tk, x -> CAST(length(x) AS DOUBLE)),
+                                         'sum'), 0.0)
+                 / greatest(len(tk), 1), 4) AS avg_token_len
+    FROM toks
     """,
 )
 def q_text_stats(spark, sf_dir):
@@ -1052,7 +1054,7 @@ def q_lsh_similarity_join(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id, text,
-             list_filter(string_split(trim(text), ' '), x -> x <> '') AS tk
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
       FROM documents)
     SELECT doc_id,
            round(
@@ -1386,7 +1388,7 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     """
     WITH scored AS (
       SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
       FROM documents),
     hits AS (
       SELECT doc_id,

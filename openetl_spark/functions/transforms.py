@@ -87,6 +87,55 @@ def _str_or_empty(df: DataFrame, name: str) -> Column:
     return F.coalesce(_js_string(df, name), F.lit(""))
 
 
+def _has(df: DataFrame, name: str) -> bool:
+    """Strict mode treats a missing column like JS row[field] ===
+    undefined (falsy, stringifies to ''), matching the reference where
+    transforms run on projected rows and absent properties are
+    undefined — not an analysis error."""
+    top = name.split(".")[0]
+    return top in df.columns
+
+
+def _js_replacement_to_java(repl: str) -> str:
+    """Translate the JS String.replace replacement dialect to Java's:
+    JS `$$`→literal $, `$&`→whole match ($0 in Java), `$n` passes
+    through, any OTHER `$` is literal in JS but an illegal group ref in
+    Java (escape it); backslashes are literal in JS replacements but
+    escapes in Java."""
+    out = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "\\":
+            out.append("\\\\")
+            i += 1
+        elif ch == "$":
+            nxt = repl[i + 1] if i + 1 < len(repl) else ""
+            if nxt == "$":
+                out.append("\\$")
+                i += 2
+            elif nxt == "&":
+                out.append("$0")
+                i += 2
+            elif nxt.isdigit():
+                out.append("$" + nxt)
+                i += 2
+            else:
+                out.append("\\$")
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _count_groups(pat: str) -> int:
+    """Capturing-group count by lexical scan — Python's re.compile
+    rejects some Java-valid syntax (possessive quantifiers), so don't
+    parse, just count unescaped '(' not followed by '?'."""
+    return len(re.findall(r"(?<!\\)\((?!\?)", pat))
+
+
 def apply_transforms(
     df: DataFrame,
     transforms: Sequence[Transformation],
@@ -116,6 +165,8 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
             # falsy values vanish entirely (no doubled glue).
             parts = [
                 F.when(_truthy(df, p), _js_string(df, p)).otherwise(F.lit(None))
+                if _has(df, p)
+                else F.lit(None).cast("string")  # undefined -> filtered
                 for p in props
             ]
             expr = F.concat_ws(glue, *parts)  # concat_ws skips nulls
@@ -131,12 +182,21 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
     if kind in ("uppercase", "lowercase", "trim"):
         fld = o["field"]
         to = o.get("to", fld)
-        src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
-        fn = {"uppercase": F.upper, "lowercase": F.lower, "trim": F.trim}[kind]
-        return df.withColumn(to, fn(src))
+        if js and not _has(df, fld):
+            src = F.lit("")  # String(undefined ?? '')
+        else:
+            src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
+        if kind == "trim" and js:
+            # JS String.trim strips ALL whitespace; F.trim only ASCII space
+            expr = F.regexp_replace(src, r"^\s+|\s+$", "")
+        else:
+            expr = {"uppercase": F.upper, "lowercase": F.lower, "trim": F.trim}[kind](src)
+        return df.withColumn(to, expr)
 
     if kind == "split":
         fld, delim, to = o["field"], o["delimiter"], o["to"]
+        if js and not _has(df, fld):
+            return df.withColumn(to, F.array().cast("array<string>"))
         # JS String.split takes a literal; Spark split() takes a regex → escape.
         expr = F.split(F.col(fld).cast("string"), re.escape(delim))
         if js:
@@ -146,8 +206,13 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
     if kind == "replace":
         fld = o["field"]
         to = o.get("to", fld)
-        src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
-        return df.withColumn(to, F.regexp_replace(src, o["search"], o["replace"]))
+        repl = o["replace"]
+        if js:
+            src = F.lit("") if not _has(df, fld) else _str_or_empty(df, fld)
+            repl = _js_replacement_to_java(repl)
+        else:
+            src = F.col(fld).cast("string")
+        return df.withColumn(to, F.regexp_replace(src, o["search"], repl))
 
     if kind in ("addPrefix", "addSuffix"):
         fld = o["field"]
@@ -155,7 +220,10 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         affix = o["prefix"] if kind == "addPrefix" else o["suffix"]
         if js:
             # `${prefix}${row[field] || ''}` — falsy (incl. numeric 0) → ''.
-            base = F.when(_truthy(df, fld), _js_string(df, fld)).otherwise(F.lit(""))
+            if not _has(df, fld):
+                base = F.lit("")
+            else:
+                base = F.when(_truthy(df, fld), _js_string(df, fld)).otherwise(F.lit(""))
         else:
             base = F.col(fld).cast("string")
         expr = (
@@ -167,6 +235,8 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         fld = o["field"]
         to = o.get("to", fld)
         if js:
+            if not _has(df, fld):
+                return df.withColumn(to, F.lit(0.0))
             if _is_numeric(df, fld):
                 num = F.col(fld).cast("double")
                 expr = F.when(num.isNull() | F.isnan(num), F.lit(0.0)).otherwise(num)
@@ -180,23 +250,38 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
 
     if kind == "extract":
         fld, to = o["field"], o["to"]
+        if js and not _has(df, fld):
+            return df.withColumn(to, F.lit(""))
         if "pattern" in o and o["pattern"] is not None:
             src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
             pat = o["pattern"]
-            n_groups = re.compile(pat).groups
-            if n_groups >= 1:
+            if _count_groups(pat) >= 1:
                 g1 = F.regexp_extract(src, pat, 1)
                 g0 = F.regexp_extract(src, pat, 0)
                 # JS `match[1] || match[0]`: empty group-1 falls back.
                 expr = F.when(g1 != "", g1).otherwise(g0)
             else:
                 expr = F.regexp_extract(src, pat, 0)
-        else:
-            start = int(o.get("start", 0))
-            end = o.get("end")
+        elif o.get("start") is not None and o.get("end") is not None:
+            start, end = int(o["start"]), int(o["end"])
             src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
-            length = (int(end) - start) if end is not None else (1 << 30)
-            expr = F.substring(src, start + 1, length)  # JS slice is 0-based
+            # JS String.slice semantics incl. negative indices: clamp
+            # relative to the string length, empty when end <= start.
+            n = F.length(src)
+            s_idx = (
+                F.greatest(n + F.lit(start), F.lit(0)) if start < 0
+                else F.least(F.lit(start), n)
+            )
+            e_idx = (
+                F.greatest(n + F.lit(end), F.lit(0)) if end < 0
+                else F.least(F.lit(end), n)
+            )
+            ln = F.greatest(e_idx - s_idx, F.lit(0))
+            expr = F.substring(src, s_idx + F.lit(1), ln)
+        else:
+            # reference requires pattern OR both start+end; otherwise the
+            # row passes through unchanged (transform.ts default: warn)
+            return df
         return df.withColumn(to, expr)
 
     if kind == "mergeObjects":

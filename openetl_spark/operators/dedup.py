@@ -56,8 +56,12 @@ def with_shingles(
     df: DataFrame, text_col: str, n: int = 5, out: str = "shingles"
 ) -> DataFrame:
     """Distinct word n-gram shingles as an array column. Pure array
-    expressions: split → sequence of start offsets → slice+join."""
-    words = F.split(F.col(text_col), r"\s+")
+    expressions: split → sequence of start offsets → slice+join.
+    Tokenization is \\s+ with empty tokens dropped (so leading/irregular
+    whitespace can't mint phantom shingles)."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), k),

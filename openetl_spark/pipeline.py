@@ -58,12 +58,30 @@ class Orchestrator:
         self.vault = vault or {}
         self.spark = spark
 
-    def _resolve_auth(self, connector: Connector) -> Connector:
+    def _resolve_auth(self, connector: Connector, pipeline: Pipeline | None = None) -> Connector:
+        """Return a connector with credentials + pipeline-level policies
+        resolved into a COPIED config — never mutate the caller's spec
+        (a cached 'auth' would silently survive credential rotation)."""
+        import dataclasses
+
+        config = dict(connector.config)
         if connector.credential_id:
             if connector.credential_id not in self.vault:
                 raise KeyError(f"credential {connector.credential_id!r} not in vault")
-            connector.config.setdefault("auth", self.vault[connector.credential_id])
-        return connector
+            config["auth"] = self.vault[connector.credential_id]
+        if pipeline is not None:
+            # Pipeline-level error_handling / rate_limiting (reference
+            # `src/types.ts:287-296`) flow into the source adapter's
+            # retry/throttle knobs unless the connector overrides them.
+            eh = pipeline.error_handling or {}
+            rl = pipeline.rate_limiting or {}
+            if "max_retries" in eh:
+                config.setdefault("max_retries", eh["max_retries"])
+            if "retry_interval" in eh:
+                config.setdefault("retry_interval_s", eh["retry_interval"])
+            if "requests_per_second" in rl:
+                config.setdefault("requests_per_second", rl["requests_per_second"])
+        return dataclasses.replace(connector, config=config)
 
     def run_pipeline(self, pipeline: Pipeline, strict_js_compat: bool = True) -> PipelineResult:
         events: list[PipelineEvent] = []
@@ -108,7 +126,7 @@ class Orchestrator:
             emit("info", "push-only pipeline: using inline data")
             return df
 
-        source = self._resolve_auth(pipeline.source)
+        source = self._resolve_auth(pipeline.source, pipeline)
         df = compile_connector(spark, source, strict_js_compat)
         emit("extract", f"compiled source {source.adapter_id}:{source.endpoint_id}")
         if source.transform:
@@ -136,7 +154,7 @@ class Orchestrator:
                 raise PipelineAbort("onbeforesend aborted the pipeline")
             if isinstance(out, DataFrame):
                 df = out
-        target = self._resolve_auth(pipeline.target)
+        target = self._resolve_auth(pipeline.target, pipeline)
         sink = get_sink(target.adapter_id)
         sink.write(df, target)
         emit("load", f"wrote to {target.adapter_id}:{target.endpoint_id}")
