@@ -44,11 +44,16 @@ HEADLINE = [
     "tumbling_hourly",
     "json_funcs",
     "pandas_normalize",
+    "filtered_agg",
+    "percentile_exact",
+    "stats_agg",
     "dedup_exact",
     "jaccard_near_dups",
     "minhash_near_dups",
     "simhash_dedup",
     "embedding_knn",
+    "embedding_near_dup_exact",
+    "ivf_knn",
     "lsh_similarity_join",
     "text_stats",
     "quality_score",

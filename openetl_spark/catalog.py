@@ -1697,6 +1697,48 @@ def q_ivf_knn(spark, sf_dir):
     return S.ivf_knn(assigned.filter(F.col("vec_id") != 0), cents, qvec, k=10, n_probe=8)
 
 
+
+@query(
+    "edit_distance",
+    """
+    SELECT n.n_name, r.r_name,
+           CAST(levenshtein(n.n_name, r.r_name) AS INT) AS dist
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def q_edit_distance(spark, sf_dir):
+    """C15: Levenshtein edit distance (fuzzy matching primitive)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.crossJoin(r).select(
+        "n_name", "r_name", F.levenshtein("n_name", "r_name").cast("int").alias("dist")
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """C17: fixed-width histogram by floor-bucketing — the
+    oracle-checkable form of width_bucket."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

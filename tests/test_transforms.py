@@ -211,3 +211,75 @@ def test_chain_order_matters(contacts):
 def test_unknown_transform_raises(contacts):
     with pytest.raises(ValueError, match="unknown transformation"):
         apply_transforms(contacts, [Transformation("frobnicate", {})])
+
+
+def test_replace_js_dollar_dialect(spark):
+    """JS replacement-string semantics: lone $ literal, $& whole match,
+    $$ literal dollar (Java would throw / misparse these)."""
+    df = spark.createDataFrame([("10 USD",)], "s string")
+    t = lambda repl: apply_transforms(
+        df, [Transformation("replace", {"field": "s", "search": "USD", "replace": repl, "to": "t"})]
+    ).collect()[0]["t"]
+    assert t("$") == "10 $"
+    assert t("[$&]") == "10 [USD]"
+    assert t("$$") == "10 $"
+    assert t("a\\b") == "10 a\\b"  # backslash literal in JS
+
+
+def test_extract_slice_negative_indices(spark):
+    df = spark.createDataFrame([("hello",)], "s string")
+
+    def sl(start, end):
+        return apply_transforms(
+            df, [Transformation("extract", {"field": "s", "start": start, "end": end, "to": "x"})]
+        ).collect()[0]["x"]
+
+    assert sl(-3, -1) == "ll"
+    assert sl(1, 3) == "el"
+    assert sl(-2, 5) == "lo"
+    assert sl(3, 1) == ""  # end <= start → empty
+    assert sl(0, 99) == "hello"  # clamped
+
+
+def test_extract_requires_pattern_or_both_bounds(spark):
+    df = spark.createDataFrame([("hello",)], "s string")
+    out = apply_transforms(
+        df, [Transformation("extract", {"field": "s", "start": 1, "to": "x"})]
+    )
+    assert "x" not in out.columns  # passes through unchanged (reference default)
+
+
+def test_trim_strips_all_js_whitespace(spark):
+    df = spark.createDataFrame([("\tabc\n",)], "s string")
+    out = apply_transforms(df, [Transformation("trim", {"field": "s", "to": "x"})])
+    assert out.collect()[0]["x"] == "abc"
+
+
+def test_missing_column_is_js_undefined(spark):
+    """Transforms referencing non-selected fields behave like the
+    reference (row[field] === undefined), not like an analysis error."""
+    df = spark.createDataFrame([("Jo",)], "a string")
+    out = apply_transforms(
+        df,
+        [
+            Transformation("concat", {"properties": ["a", "ghost"], "glue": " ", "to": "c"}),
+            Transformation("toNumber", {"field": "ghost", "to": "n"}),
+            Transformation("uppercase", {"field": "ghost", "to": "u"}),
+            Transformation("split", {"field": "ghost", "delimiter": ",", "to": "sp"}),
+            Transformation("extract", {"field": "ghost", "pattern": "x", "to": "e"}),
+            Transformation("addPrefix", {"field": "ghost", "prefix": "p-", "to": "pf"}),
+        ],
+    )
+    r = out.collect()[0]
+    assert r["c"] == "Jo" and r["n"] == 0.0 and r["u"] == "" and r["sp"] == []
+    assert r["e"] == "" and r["pf"] == "p-"
+
+
+def test_extract_java_only_regex_syntax(spark):
+    # possessive quantifier: valid Java regex, rejected by Python re —
+    # must not crash plan building
+    df = spark.createDataFrame([("aaab",)], "s string")
+    out = apply_transforms(
+        df, [Transformation("extract", {"field": "s", "pattern": "a*+b", "to": "x"})]
+    )
+    assert out.collect()[0]["x"] == "aaab"
