@@ -157,3 +157,33 @@ def run_to_memory_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "1 hour",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """C20-C24 capstone: stream-stream inner join with a time-range
+    condition. Both sides are watermarked so Spark can bound the join
+    state: a buffered left row is droppable once the right watermark
+    passes its ts + ``within`` (and vice versa) — without the range
+    bound the state would grow forever.
+
+    Joins ``left.on == right.on AND right_ts ∈ [left_ts, left_ts +
+    within]``. Right columns are suffixed to avoid collisions."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"{c}{right_suffix}")
+    cond = (
+        (F.col(on) == F.col(f"{on}{right_suffix}"))
+        & (F.col(f"{right_ts}{right_suffix}") >= F.col(left_ts))
+        & (F.col(f"{right_ts}{right_suffix}") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -166,3 +166,46 @@ def test_running_totals_stateful(spark, stream_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_stream_join(spark, stream_dir):
+    """Purchases joined to the same user's clicks within the following
+    hour — both sides unbounded streams, state bounded by watermark +
+    range condition. Result must equal the equivalent batch join."""
+    batch = spark.read.parquet(stream_dir)
+    purchases = ops.read_event_stream(spark, stream_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", F.col("event_id").alias("p_id"))
+    clicks = ops.read_event_stream(spark, stream_dir).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", F.col("event_id").alias("c_id"))
+    joined = ops.stream_stream_join(
+        purchases, clicks, on="user_id", watermark="10 minutes", within="1 hour"
+    ).select("p_id", F.col("c_id_r").alias("c_id"))
+    q = joined.writeStream.format("memory").queryName("t_ssj").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["p_id"], r["c_id"]) for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    exp = {
+        (r["p_id"], r["c_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("c_ts") >= F.col("ts"))
+            & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    # streaming may withhold pairs whose watermark never sealed (stream
+    # tail) but must never invent pairs
+    assert got <= exp
+    assert len(got) >= len(exp) * 0.7
