@@ -31,6 +31,9 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_share",
     "q18_large_orders",
+    "q4_order_priority",
+    "q13_order_distribution",
+    "q22_global_sales",
     "decimal_agg",
     "join_broadcast",
     "join_left_agg",

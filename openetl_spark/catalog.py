@@ -1739,6 +1739,152 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated subquery → left-semi join."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    sem = o.join(
+        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation — per-customer order
+    counts, then the distribution of those counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: derived view + scalar-max filter (ties kept)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("m"))
+    return (
+        sup.join(revenue, sup.s_suppkey == revenue.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.half_avg
+    """,
+)
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average → pre-aggregated
+    join (the decorrelated plan Spark/Catalyst would produce)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    halves = l.groupBy(F.col("l_partkey").alias("hp")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(halves, l.l_partkey == F.col("hp"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_global_sales",
+    """
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, substr(c_name, 10, 2) AS cntry
+      FROM customer
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)),
+    no_orders AS (
+      SELECT e.* FROM eligible e
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = e.c_custkey AND o.o_totalprice > 250000))
+    SELECT cntry, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM no_orders GROUP BY cntry
+    """,
+)
+def q_q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join + group.
+    Threshold rounded on both sides so float noise can't flip
+    membership."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("t"))
+    )
+    eligible = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .select("c_custkey", "c_acctbal", F.substring("c_name", 10, 2).alias("cntry"))
+    )
+    # anti join against LARGE orders only (a bare no-orders variant is
+    # degenerate on this data: every high-balance customer has orders)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    no_orders = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("cntry").agg(
+        F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
