@@ -48,9 +48,13 @@ def load(
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects outright. Read nanos as long (runtime
         # conf so it works on any session) and truncate to Spark's
-        # native microsecond precision. DuckDB keeps full nanos; query
-        # outputs therefore never emit raw ts values — only truncated
-        # (second/hour) or derived columns, which agree across engines.
+        # native microsecond precision. DuckDB keeps full nanos, so
+        # query outputs never emit raw ts values — only truncated
+        # (second/hour) or derived columns. Interval-threshold
+        # comparisons (1h pairs, 30min gaps) are still evaluated at
+        # different precisions per engine; verified safe for this
+        # generator (no same-user gap within 1ms of a boundary at any
+        # SF) but inherently unfixable while Spark lacks nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn(
@@ -140,7 +144,7 @@ def q_filter_group_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c_custkey,
       upper(coalesce(CAST(c_name AS VARCHAR), '')) AS name_up,
-      concat(c_name, '|', c_mktsegment) AS tag,
+      concat_ws('|', nullif(CAST(c_name AS VARCHAR), ''), nullif(CAST(c_mktsegment AS VARCHAR), '')) AS tag,
       concat('seg-', CASE WHEN c_mktsegment IS NULL OR c_mktsegment = ''
                           THEN '' ELSE c_mktsegment END) AS seg_pref,
       CASE WHEN regexp_extract(c_name, '#(\\d+)', 1) <> ''
@@ -291,20 +295,22 @@ def q_range_join_events(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     a = e.select(F.col("user_id"), F.col("ts").alias("a_ts"), F.col("event_id").alias("a_id"))
     b = e.select(
-        F.col("user_id").alias("b_user"),
+        F.col("user_id"),
         F.col("ts").alias("b_ts"),
         (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("b_lo"),
     )
+    # user_id in the equi-key: bucket-only joining would materialize all
+    # cross-user pairs per hour bucket (~128x the candidate volume here)
     joined = J.range_join(
         a,
-        b.withColumnRenamed("b_user", "user_id_r"),
-        on=None,
+        b,
+        on=["user_id"],
         left_point="a_ts",
         right_lo="b_lo",
         right_hi="b_ts",
         bucket_width=3600,
-    ).filter((F.col("user_id") == F.col("user_id_r")) & (F.col("b_ts") > F.col("a_ts")))
-    return joined.groupBy("user_id").agg(F.count("*").alias("pair_count"))
+    ).filter(F.col("b_ts") > F.col("a_ts"))
+    return joined.groupBy(a["user_id"]).agg(F.count("*").alias("pair_count"))
 
 
 @query(
@@ -826,7 +832,7 @@ def q_tumbling_hourly(spark, sf_dir):
     "session_windows",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -834,7 +840,7 @@ def q_tumbling_hourly(spark, sf_dir):
       FROM events),
     sessions AS (
       SELECT user_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
@@ -847,10 +853,15 @@ def q_session_windows(spark, sf_dir):
     — the classic two-window sessionization; single shuffle by user)."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     flagged = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTE")),
@@ -930,7 +941,7 @@ _JACCARD_ORACLE = """
     WITH sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
       FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
             FROM documents),
            UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -993,7 +1004,7 @@ def q_embedding_knn(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
       FROM documents)
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -1054,7 +1065,7 @@ def q_lsh_similarity_join(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
       FROM documents)
     SELECT doc_id,
            round(
@@ -1388,7 +1399,7 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     """
     WITH scored AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
       FROM documents),
     hits AS (
       SELECT doc_id,
