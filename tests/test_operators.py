@@ -274,3 +274,36 @@ def test_ivf_knn_recall_vs_brute_force(spark):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_udtf_shingles_lateral(spark, sf_dir):
+    from openetl_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    catalog.load(spark, sf_dir, "documents").limit(5).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, s.pos, s.shingle FROM udtf_docs, LATERAL shingle_udtf(text, 3) s"
+    ).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["shingle"]))
+    # positions are consecutive from 0 and every shingle has 3 words
+    for doc, pairs in by_doc.items():
+        pairs.sort()
+        assert [p for p, _ in pairs] == list(range(len(pairs)))
+        assert all(len(sh.split()) == 3 for _, sh in pairs if len(pairs) > 1)
+
+
+def test_udtf_expand_json(spark):
+    from openetl_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, '{"a": 1, "b": null}'), (2, "not json"), (3, None)], "id long, js string"
+    ).createOrReplaceTempView("udtf_js")
+    rows = spark.sql(
+        "SELECT id, s.key, s.value FROM udtf_js, LATERAL expand_json_udtf(js) s"
+    ).collect()
+    got = {(r["id"], r["key"]): r["value"] for r in rows}
+    assert got == {(1, "a"): "1", (1, "b"): None}  # bad/missing json -> no rows

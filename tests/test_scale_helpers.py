@@ -76,3 +76,19 @@ def test_bucketed_write_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """approx_count_distinct and percentile_approx are rows-only in the
+    oracle gate (approximate by design); here their error bounds are
+    pinned against exact answers."""
+    o = catalog.load(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
+    # percentile_approx with high accuracy lands within 1% of exact
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.01 * row["p50_exact"] + 1
