@@ -45,6 +45,7 @@ class PipelineAbort(Exception):
 class PipelineResult:
     df: DataFrame | None
     events: list[PipelineEvent]
+    streaming_query: Any = None  # async streaming sinks hand their handle back
 
     def collect(self):
         return self.df.collect() if self.df is not None else []
@@ -101,11 +102,12 @@ class Orchestrator:
             if pipeline.onload:
                 pipeline.onload(df)
 
+            query = None
             if pipeline.target is not None:
-                df = self._load(pipeline, df, emit)
+                df, query = self._load(pipeline, df, emit)
 
             emit("complete", f"pipeline {pipeline.id} complete")
-            return PipelineResult(df=df, events=events)
+            return PipelineResult(df=df, events=events, streaming_query=query)
         except Exception as e:
             emit("error", str(e))
             raise
@@ -160,4 +162,6 @@ class Orchestrator:
         emit("load", f"wrote to {target.adapter_id}:{target.endpoint_id}")
         if pipeline.onupload:
             pipeline.onupload()
-        return df
+        # async streaming sinks stash their handle in the RESOLVED copy
+        # of the config; surface it to the caller via PipelineResult
+        return df, target.config.get("query")

@@ -40,6 +40,17 @@ def register_sink(adapter_id: str, sink: Sink) -> None:
     _SINKS[adapter_id] = sink
 
 
+def register_source_default(adapter_id: str, source: Source) -> None:
+    """Builtin registration: never clobber an adapter the user already
+    registered under the same id (user registrations may legitimately
+    happen before the first lookup triggers the builtin import)."""
+    _SOURCES.setdefault(adapter_id, source)
+
+
+def register_sink_default(adapter_id: str, sink: Sink) -> None:
+    _SINKS.setdefault(adapter_id, sink)
+
+
 def get_source(adapter_id: str) -> Source:
     _ensure_builtins()
     if adapter_id not in _SOURCES:
@@ -60,8 +71,12 @@ _loaded = False
 
 
 def _ensure_builtins() -> None:
+    # flag set only AFTER the imports succeed: a failed builtin import
+    # must stay retryable and surface its real error, not a later
+    # KeyError over an empty registry
     global _loaded
     if not _loaded:
-        _loaded = True
         import openetl_spark.sources  # noqa: F401  (self-registers)
         import openetl_spark.sinks  # noqa: F401
+
+        _loaded = True

@@ -37,7 +37,6 @@ def get_spark(app_name: str = "openetl_spark", extra_conf: dict | None = None) -
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", _LOCAL_CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -49,8 +48,15 @@ def get_spark(app_name: str = "openetl_spark", extra_conf: dict | None = None) -
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{_LOCAL_CPUS}]").config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        # local mode: shuffle partitions = core count (the 200 default
+        # over-parallelizes small data). On a cluster this knob is left
+        # to spark-submit/site config — pinning it to the LOCAL cpu
+        # count would cap reduce parallelism (AQE only coalesces DOWN
+        # from spark.sql.shuffle.partitions, never up).
+        builder = (
+            builder.master(f"local[{_LOCAL_CPUS}]")
+            .config("spark.sql.shuffle.partitions", _LOCAL_CPUS)
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

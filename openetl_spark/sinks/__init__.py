@@ -4,7 +4,7 @@ from openetl_spark.sources.files import FileSink
 from openetl_spark.sources.jdbc import JdbcSink
 from openetl_spark.sinks.memory import MemorySink
 from openetl_spark.sinks.rest import RestSink
-from openetl_spark.registry import register_sink
+from openetl_spark.registry import register_sink_default as register_sink
 
 for fmt in ("parquet", "csv", "json", "orc", "text"):
     register_sink(fmt, FileSink(fmt))

@@ -22,13 +22,19 @@ class MemorySink:
             if connector.config.get("sync", True):
                 q.processAllAvailable()
                 q.stop()
+                capture = connector.config.get("capture")
+                if capture is not None:
+                    # backticks: endpoint ids need not be identifiers
+                    capture.extend(
+                        df.sparkSession.sql(
+                            f"SELECT * FROM `{connector.endpoint_id}`"
+                        ).collect()
+                    )
             else:
+                # async mode: capture would race the stream (no batch has
+                # necessarily run) — hand back the query instead; the
+                # orchestrator exposes it as PipelineResult.streaming_query
                 connector.config["query"] = q
-            capture = connector.config.get("capture")
-            if capture is not None:
-                capture.extend(
-                    df.sparkSession.sql(f"SELECT * FROM {connector.endpoint_id}").collect()
-                )
             return
         df.createOrReplaceTempView(connector.endpoint_id)
         capture = connector.config.get("capture")

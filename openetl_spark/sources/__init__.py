@@ -4,7 +4,7 @@ from openetl_spark.sources.files import FileSource
 from openetl_spark.sources.memory import MemorySource
 from openetl_spark.sources.jdbc import JdbcSource
 from openetl_spark.sources.rest import RestSource
-from openetl_spark.registry import register_source
+from openetl_spark.registry import register_source_default as register_source
 
 for fmt in ("parquet", "csv", "json", "orc", "text", "binaryFile"):
     register_source(fmt, FileSource(fmt))

@@ -222,7 +222,7 @@ class ServiceSource:
 
 
 def register_all() -> None:
-    from openetl_spark.registry import register_source
+    from openetl_spark.registry import register_source_default
 
     for sid, desc in SERVICES.items():
-        register_source(sid, ServiceSource(desc))
+        register_source_default(sid, ServiceSource(desc))
