@@ -1896,6 +1896,52 @@ def q_q22_global_sales(spark, sf_dir):
     )
 
 
+
+@query(
+    "string_agg_nations",
+    """
+    SELECT r.r_name,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg_nations(spark, sf_dir):
+    """C7/C15: ordered string aggregation — sort_array(collect_list)
+    forces a deterministic order (bare collect_list/string_agg order is
+    engine-dependent)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "regression_aggs",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regression_aggs(spark, sf_dir):
+    """C7/C17: linear-regression aggregates (price ~ quantity per
+    return flag)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
