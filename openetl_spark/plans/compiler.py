@@ -43,7 +43,13 @@ def compile_connector(
         # Projection AFTER filter: predicates may reference non-projected
         # columns (the reference pushes both into one SELECT; Catalyst
         # prunes to the union of needed columns either way).
-        df = df.select(*[F.col(f) for f in connector.fields])
+        fields = list(connector.fields)
+        # keep the explicit partial-extract marker (the documented
+        # divergence from the reference's silent deadline truncation)
+        # visible through user projections
+        if "_ingest_partial" in df.columns and "_ingest_partial" not in fields:
+            fields.append("_ingest_partial")
+        df = df.select(*[F.col(f) for f in fields])
 
     if connector.sort:
         df = df.orderBy(

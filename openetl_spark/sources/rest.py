@@ -179,13 +179,24 @@ class RestSource:
 
     def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
         cfg = connector.config
+        # limit pushdown is only safe when nothing reorders or drops rows
+        # AFTER ingest: the compiler applies filter/orderBy/offset before
+        # the limit, so stopping the fetch at `limit` rows would return
+        # the first-N-fetched, not the true result (the reference's
+        # backend applies WHERE/ORDER BY before the limit trim,
+        # src/index.ts:284-286). This generic source pushes neither
+        # filters nor sorts into the transport, so any of them forces a
+        # full fetch; a Spark-side offset widens the fetch window.
+        safe_limit = None
+        if connector.limit is not None and not connector.sort and not connector.filters:
+            safe_limit = int(connector.limit) + int(connector.offset or 0)
         result = paged_fetch(
             cfg["fetch_page"],
             pagination=cfg.get("pagination", "offset"),
             items_per_page=int(cfg.get("items_per_page", 100)),
             max_items_per_page=cfg.get("max_items_per_page"),
             initial_offset=cfg.get("initial_offset"),
-            total_limit=connector.limit,
+            total_limit=safe_limit,
             deadline_s=connector.timeout,
             requests_per_second=cfg.get("requests_per_second"),
             max_retries=int(cfg.get("max_retries", 0)),

@@ -13,10 +13,11 @@ SURVEY §7 watch-list #2).
 Catalyst integration:
 
 * ``pushFilters`` (Spark 4.1): Spark hands the compiled predicates to
-  the source; comparison filters on service-supported fields translate
-  into the request (the engine-side analogue of each reference
-  adapter's WHERE/search-payload builder) and are *still* re-checked by
-  Spark only if returned as residuals.
+  the source; comparison filters on top-level fields translate into the
+  request (the engine-side analogue of each reference adapter's
+  WHERE/search-payload builder) AND are all yielded back as residuals,
+  so Spark re-checks them post-scan — pushdown is a row-reduction
+  optimization, never a correctness dependency on the transport.
 * options are plain strings, so the transport is referenced by dotted
   path (``module:callable``) and imported on executors — pickle-free
   and cluster-safe.
@@ -86,9 +87,13 @@ class RestReader(DataSourceReader):
                 self.pushed.append(
                     {"field": f.attribute[0], "op": op, "value": f.value}
                 )
-                # fully handled by the source → do NOT yield back
-            else:
-                yield f  # residual: Spark evaluates it post-scan
+            # yield EVERY filter back as a residual, even when pushed:
+            # re-evaluation is cheap and idempotent, and correctness no
+            # longer depends on the user transport honoring
+            # request['filters'] — a transport that ignores them now
+            # returns extra rows that Spark filters out, instead of
+            # silently presenting unfiltered rows as filtered
+            yield f
 
     def _page_size(self) -> int:
         size = int(self.options.get("items_per_page", "100"))

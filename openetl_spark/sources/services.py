@@ -192,7 +192,21 @@ class ServiceSource:
             return transport(request, page_options)
 
         _, residual = split_filters(connector, self.desc)
-        safe_limit = connector.limit if not residual else None
+        # limit pushdown is safe only when the service saw the WHOLE
+        # query shape: no residual filters (rows matching them could be
+        # dropped before Spark saw them) AND the full sort key list
+        # pushed down (a degraded sort — e.g. Zoho's 1-key cap — means
+        # the server's partial order picks the first N, which is not the
+        # true top-N under the full key list Spark re-sorts by).
+        sort_fully_pushed = (
+            self.desc.max_sort_keys is None
+            or len(connector.sort) <= self.desc.max_sort_keys
+        )
+        safe_limit = None
+        if connector.limit is not None and not residual and sort_fully_pushed:
+            # compiler applies connector.offset Spark-side after ingest,
+            # so the fetch window must cover offset + limit rows
+            safe_limit = int(connector.limit) + int(connector.offset or 0)
 
         result = paged_fetch(
             fetch_page,
@@ -217,6 +231,8 @@ class ServiceSource:
             # EXPLICIT connector.fields, so the default applies here
             present = [f for f in request["fields"] if f in df.columns]
             if present:
+                if result.partial and "_ingest_partial" not in present:
+                    present.append("_ingest_partial")  # keep marker visible
                 df = df.select(*present)
         return df
 

@@ -32,4 +32,10 @@ def serve(request: dict, page_options: dict) -> dict:
     return {"data": page, "next_cursor": nxt}
 
 
+def serve_ignoring_filters(request: dict, page_options: dict) -> dict:
+    """A non-compliant transport that drops request['filters'] — used to
+    prove pushdown is never a correctness dependency."""
+    return serve({**request, "filters": []}, page_options)
+
+
 CALLS: list = []  # best-effort call log (driver-side runs only)

@@ -314,6 +314,71 @@ def test_jdbc_option_building():
     assert build_jdbc_options(c2)["query"] == "SELECT 1"
 
 
+def test_sort_plus_limit_is_global_topn(spark):
+    """ADVICE r01 (rest.py): sort is applied Spark-side AFTER ingest, so
+    the fetch must not stop at `limit` rows — top-N must be global, as in
+    the reference where the backend sorts before the limit trim."""
+    src = Connector(
+        adapter_id="rest",
+        endpoint_id="api/items",
+        config={"fetch_page": make_pages(35, 10), "items_per_page": 10, "schema": "id long"},
+        sort=[Sort("id", "desc")],
+        limit=5,
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="topn", source=src))
+    assert [r["id"] for r in res.df.collect()] == [34, 33, 32, 31, 30]
+
+
+def test_filter_plus_limit_fetches_fully(spark):
+    """Filters are applied Spark-side for the generic REST source, so a
+    pushed limit would drop matching rows past the fetched prefix."""
+    src = Connector(
+        adapter_id="rest",
+        endpoint_id="api/items",
+        config={"fetch_page": make_pages(35, 10), "items_per_page": 10, "schema": "id long"},
+        filters=[Filter("id", ">=", 30)],
+        limit=5,
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="fl", source=src))
+    assert sorted(r["id"] for r in res.df.collect()) == [30, 31, 32, 33, 34]
+
+
+def test_offset_plus_limit_widens_fetch_window(spark):
+    """connector.offset is applied Spark-side, so the fetch window must
+    cover offset + limit rows."""
+    src = Connector(
+        adapter_id="rest",
+        endpoint_id="api/items",
+        config={"fetch_page": make_pages(35, 10), "items_per_page": 10, "schema": "id long"},
+        offset=30,
+        limit=5,
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="ol", source=src))
+    assert sorted(r["id"] for r in res.df.collect()) == [30, 31, 32, 33, 34]
+
+
+def test_partial_marker_survives_projection(spark):
+    """ADVICE r01 (compiler.py): the explicit _ingest_partial marker must
+    not be silently dropped by a user projection."""
+    import time as _time
+
+    def slow_fetch(opts):
+        _time.sleep(0.05)
+        off = int(opts["offset"] or 0)
+        return {"data": [{"id": i, "x": i} for i in range(off, off + opts["limit"])]}
+
+    src = Connector(
+        adapter_id="rest",
+        endpoint_id="api/items",
+        config={"fetch_page": slow_fetch, "items_per_page": 10, "schema": "id long, x long"},
+        fields=["id"],
+        timeout=0.01,
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="partial", source=src))
+    assert "_ingest_partial" in res.df.columns
+    assert res.df.columns[0] == "id" and "x" not in res.df.columns
+
+
 def test_pagination_edge_cases():
     """The reference's Mongo-suite edge sweep (SURVEY §5): zero page
     size, negative offset, offset beyond data — none may hang or err."""

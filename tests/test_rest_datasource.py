@@ -53,8 +53,9 @@ def test_filter_pushdown_into_source(spark):
     filtered = df.filter((F.col("id") >= 200) & (F.col("id") < 220))
     got = sorted(r["id"] for r in filtered.collect())
     assert got == list(range(200, 220))
-    # pushdown evidence: the physical plan's residual Filter keeps only
-    # isnotnull — the >=/< comparisons were consumed by the source
+    # defense-in-depth: the comparisons are pushed into the request AND
+    # kept as a residual Filter in the plan, so results never depend on
+    # the transport honoring request['filters']
     import io, contextlib
 
     buf = io.StringIO()
@@ -62,8 +63,42 @@ def test_filter_pushdown_into_source(spark):
         filtered.explain()  # physical only
     plan = buf.getvalue()
     assert "BatchScan openetl_rest" in plan
-    assert "isnotnull" in plan
-    assert ">= 200" not in plan and "220" not in plan
+    assert ">= 200" in plan and "< 220" in plan  # residual re-check
+
+
+def test_push_filters_unit_translation_and_residuals():
+    """pushFilters translates supported top-level comparisons into the
+    request AND yields every filter back — pushdown is an optimization,
+    never a correctness dependency (ADVICE r01)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+    from pyspark.sql.types import StructType
+
+    from openetl_spark.sources.rest_datasource import RestReader
+
+    reader = RestReader(dict(BASE_OPTS), StructType())
+    filters = [GreaterThan(("id",), 5), EqualTo(("name",), "x"),
+               StringContains(("name",), "Item")]
+    residuals = list(reader.pushFilters(filters))
+    assert residuals == filters  # everything re-checked by Spark
+    assert reader.pushed == [
+        {"field": "id", "op": ">", "value": 5},
+        {"field": "name", "op": "=", "value": "x"},
+    ]
+
+
+def test_transport_ignoring_pushed_filters_still_correct(spark):
+    """A transport that ignores request['filters'] must yield extra rows
+    that Spark's residual filter removes — not silently-unfiltered
+    results (ADVICE r01 rest_datasource.py:90)."""
+    df = read(
+        spark,
+        transport="tests.mock_http:serve_ignoring_filters",
+        pagination="offset",
+        total_count=N_ROWS,
+    )
+    filtered = df.filter((F.col("id") >= 200) & (F.col("id") < 220))
+    got = sorted(r["id"] for r in filtered.collect())
+    assert got == list(range(200, 220))
 
 
 def test_unsupported_filter_stays_in_spark(spark):

@@ -110,6 +110,28 @@ def test_zoho_single_sort_key_degradation(spark):
     assert ages == sorted(ages, reverse=True)  # Spark re-applied full sort
 
 
+def test_degraded_sort_disables_limit_pushdown(spark):
+    """ADVICE r01 (services.py): when sorts are truncated to
+    max_sort_keys (Zoho: 1), the server's partial order cannot pick the
+    true top-N — the fetch must run to exhaustion and Spark's full sort
+    + limit produce the answer."""
+    t = contacts_transport(ROWS)
+    c = Connector(
+        adapter_id="zoho",
+        endpoint_id="Leads",
+        config={"transport": t},
+        sort=[Sort("age", "desc"), Sort("email", "asc")],
+        fields=["email", "age"],
+        limit=3,
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="zoho_topn", source=c))
+    # mock transport ignores sorts entirely (worst case): true top-3 by
+    # age desc is ages 24, 23, 22 — only reachable via a full fetch
+    assert [r["age"] for r in res.df.collect()] == [24, 23, 22]
+    fetched = sum(len_ for _, po in t.log for len_ in [po["limit"]])
+    assert fetched >= len(ROWS)  # fetch was NOT truncated at limit
+
+
 def test_page_size_clamped_to_service_cap(spark):
     t = contacts_transport(ROWS)
     c = Connector(
