@@ -960,9 +960,15 @@ _JACCARD_ORACLE = """
 
 @query("jaccard_near_dups", _JACCARD_ORACLE.format(thr=0.2))
 def q_jaccard_near_dups(spark, sf_dir):
-    """C27 exact baseline: 5-gram shingle jaccard ≥ 0.2 pairs."""
+    """C27 exact baseline: 5-gram shingle jaccard ≥ 0.2 pairs.
+
+    Runs the df-capped path (stop-shingles excluded from pair mining,
+    exact jaccard recomputed on candidates) so the driver gate checks
+    the plan that survives 100×: the mining join's input is bounded by
+    cap·|shingle rows|. Testdata max shingle df is 4, so cap=50 drops
+    nothing and the result equals the uncapped exact oracle."""
     d = D.with_shingles(load(spark, sf_dir, "documents", spread=True), "text", n=5)
-    return D.jaccard_similarity_pairs(d, "doc_id", threshold=0.2)
+    return D.jaccard_similarity_pairs(d, "doc_id", threshold=0.2, max_shingle_df=50)
 
 
 @query("minhash_near_dups", _JACCARD_ORACLE.format(thr=0.5))

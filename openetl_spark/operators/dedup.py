@@ -158,12 +158,27 @@ def jaccard_similarity_pairs(
     shingle_col: str = "shingles",
     threshold: float = 0.8,
     cache: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact jaccard over distinct shingles: returns (a, b, jaccard)
     for pairs with similarity ≥ threshold, a < b. Columns aliased for
     the DuckDB oracle (round to 6 dp to absorb float noise).
 
-    ``cache=True`` persists the exploded shingle relation for the three
+    ``max_shingle_df`` bounds the self-join at scale: the pair-mining
+    join fans out as Σ df(s)² per shingle, so one boilerplate shingle
+    shared by 10⁵ docs would yield 10¹⁰ join rows. With a cap, shingles
+    with document frequency > cap are excluded from *pair mining only*
+    (standard stop-shingle practice); the mined candidates' jaccard is
+    then recomputed over the FULL shingle sets, so every returned value
+    is exact. Join input is provably ≤ cap·|shingle rows| and output
+    ≤ cap²·|distinct shingles|. The only approximation is recall: a
+    qualifying pair is missed only if ALL its shared shingles are
+    hotter than the cap — for a near-dup pair at threshold t the pair
+    shares ≥ t/(1+t)·(|A|+|B|) shingles, so any reasonable cap (≥ the
+    corpus's boilerplate df) leaves recall intact; the cap-invariance
+    test pins this on testdata.
+
+    ``cache=True`` persists the exploded shingle relation for the
     branches that consume it. The cache is session-LRU managed, not
     unpersisted here (the result is lazy; releasing before action would
     defeat it) — long-lived sessions running MANY corpora can pass
@@ -174,12 +189,37 @@ def jaccard_similarity_pairs(
     if cache:
         ex = ex.persist()
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+
+    mine = ex
+    if max_shingle_df is not None:
+        # document frequency per shingle; drop hot shingles from the
+        # mining join (broadcast-sized at any cap worth using is NOT
+        # assumed — this is a shuffle join on the shingle key)
+        rare = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        mine = ex.join(rare, "s")
+
     pairs = (
-        ex.alias("x")
-        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        mine.alias("x")
+        .join(mine.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
+    if max_shingle_df is not None:
+        # capped mining undercounts intersections (hot shingles were
+        # excluded) — recompute the exact intersection for the bounded
+        # candidate set over the full shingle relation
+        cands = pairs.select("a", "b")
+        pairs = (
+            cands.join(ex.withColumnRenamed("id", "a"), "a")
+            .join(ex.withColumnRenamed("id", "b"), ["b", "s"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")

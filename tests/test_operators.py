@@ -97,6 +97,58 @@ def test_shingles_short_doc(spark):
     assert rows[2] == ["a b c d e", "b c d e f"]
 
 
+def test_jaccard_df_cap_invariant_on_testdata(spark, sf_dir):
+    """VERDICT r01 #2: the df-capped mining path must not change results
+    at the query threshold on testdata (max shingle df there is 4, so a
+    cap of 50 provably drops nothing; this pins the refactor)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    sh = D.with_shingles(docs, "text", n=5)
+    uncapped = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_similarity_pairs(sh, "doc_id", threshold=0.2).collect()
+    }
+    capped = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_similarity_pairs(sh, "doc_id", threshold=0.2, max_shingle_df=50).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+
+
+def test_jaccard_df_cap_bounds_join_and_keeps_exact_values(spark):
+    """A boilerplate shingle shared by EVERY doc must be excluded from
+    pair mining (bounding the self-join) while the returned jaccard
+    still counts it — values stay exact, recall comes from rare
+    shingles."""
+    # 20 docs all share shingle "BP"; docs 0/1 additionally share r1,r2
+    rows = []
+    for i in range(20):
+        own = {f"u{i}a", f"u{i}b"}
+        shared = {"r1", "r2"} if i < 2 else set()
+        rows.append((i, ["BP"] + sorted(own | shared)))
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    # only (0,1) shares rare shingles; its exact jaccard INCLUDES the
+    # hot shingle: |{BP,r1,r2}| / |{BP,r1,r2,u0a,u0b,u1a,u1b}| = 3/7;
+    # every other pair shares only BP (jaccard 1/5 — below threshold)
+    out = D.jaccard_similarity_pairs(
+        df, "doc_id", shingle_col="shingles", threshold=0.4, max_shingle_df=5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"]) == (0, 1)
+    assert abs(r["jaccard"] - 3 / 7) < 1e-6  # exact, hot shingle counted
+
+    # without the cap, the all-docs boilerplate shingle mines every pair:
+    # mining-join output would be C(20,2)=190 candidate pairs; with the
+    # cap the mining join sees zero BP rows, so candidates come only
+    # from rare shingles (exactly one pair)
+    uncapped_pairs = (
+        D.jaccard_similarity_pairs(df, "doc_id", shingle_col="shingles", threshold=0.0)
+        .count()
+    )
+    assert uncapped_pairs == 190  # quadratic blowup the cap avoids
+
+
 def test_minhash_recall_vs_exact(spark, sf_dir):
     docs = catalog.load(spark, sf_dir, "documents")
     sh = D.with_shingles(docs, "text", n=5)
