@@ -15,9 +15,13 @@ Reference behaviors mirrored:
   ``SELECT fields FROM resource WHERE cond AND ... ORDER BY ...
   LIMIT n`` with string values single-quoted.
 
-Both are *renderers only* — the transports that would execute them need
-credentials/jars that are out of scope; the SQL-side semantics of every
-operator are already oracle-checked through the Spark path.
+GAQL remains a renderer only (no network/creds in scope). The Mongo
+rendering is executed end-to-end by ``sources/mongo.py`` against any
+pymongo-compatible collection (in-container: the fake transport in
+``tests/fake_mongo.py``); negated operators render with explicit null
+exclusion (``$nin [v, None]``) so the rendered predicate is row-for-row
+equal to the engine's SQL semantics — Mongo's bare ``$ne`` matches
+null/missing docs, SQL ``!=`` does not.
 """
 
 from __future__ import annotations
@@ -31,9 +35,7 @@ _MONGO_OPS = {
     ">=": "$gte",
     "<": "$lt",
     "<=": "$lte",
-    "!=": "$ne",
     "in": "$in",
-    "not_in": "$nin",
 }
 
 
@@ -56,8 +58,17 @@ def _mongo_one(flt: FilterLike) -> dict:
     f, op, v = flt.field, flt.operator, flt.value
     if op == "=":
         return {f: v}
+    # Negated operators need SQL null semantics, not Mongo's: $ne/$nin/
+    # $not match null-or-missing docs, while SQL `f != v` is false when
+    # f is null. Adding None to a $nin list (None matches missing too)
+    # makes the rendered predicate row-for-row equal to the engine's —
+    # which is what lets limit pushdown stay correct through this dialect.
+    if op == "!=":
+        return {f: {"$nin": [v, None]}}
+    if op == "not_in":
+        return {f: {"$nin": list(v) + [None]}}
     if op in _MONGO_OPS:
-        return {f: {_MONGO_OPS[op]: list(v) if op in ("in", "not_in") else v}}
+        return {f: {_MONGO_OPS[op]: list(v) if op == "in" else v}}
     if op == "between":
         return {f: {"$gte": v[0], "$lte": v[1]}}
     if op == "not_between":
@@ -69,7 +80,7 @@ def _mongo_one(flt: FilterLike) -> dict:
     if op == "contains":
         return {f: {"$regex": _regex_escape(v)}}
     if op == "not_contains":
-        return {f: {"$not": {"$regex": _regex_escape(v)}}}
+        return {f: {"$not": {"$regex": _regex_escape(v)}, "$ne": None}}
     raise ValueError(f"operator {op!r} has no MongoDB rendering")
 
 

@@ -12,4 +12,8 @@ register_sink("jdbc", JdbcSink())
 register_sink("memory", MemorySink())
 register_sink("rest", RestSink())
 
+from openetl_spark.sources.mongo import MongoSink
+
+register_sink("mongodb", MongoSink())
+
 __all__ = ["MemorySink", "RestSink"]

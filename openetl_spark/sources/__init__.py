@@ -12,6 +12,10 @@ register_source("memory", MemorySource())
 register_source("jdbc", JdbcSource())
 register_source("rest", RestSource())
 
+from openetl_spark.sources.mongo import MongoSource
+
+register_source("mongodb", MongoSource())
+
 from openetl_spark.sources.services import register_all as _register_services
 
 _register_services()
