@@ -7,15 +7,19 @@ layout: ``spark.read.format("binaryFile")`` for ingest, metadata
 extraction JVM-side, and decode/feature steps as Arrow-batched
 ``mapInPandas`` operators.
 
-The image/audio codec libraries are not in this container, so the
-*decode* internals are stubbed (deterministic fake or
-NotImplementedError, clearly marked); the Spark-side plumbing — schema,
-batch iteration, partition sizing — is real and tested. Swapping the
-stub for PIL/libav is a one-function change on executors.
+Header metadata (PNG IHDR, JPEG SOF, GIF screen descriptor, WAV fmt
+chunk) is parsed for real with stdlib ``struct`` — no codec library
+needed for dimensions / sample rate / duration. Only full *pixel/sample*
+decode (needed for content features like luminance) requires PIL/libav,
+which are not in this container: that single step is import-guarded and
+yields NULL when the library is absent, clearly marked STUB. The
+Spark-side plumbing — schema, Arrow batch iteration, fan-out shape — is
+real and tested either way.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -45,10 +49,103 @@ def with_media_type(df: DataFrame, content_col: str = "content", out: str = "med
     return df.withColumn(out, expr)
 
 
+# --------------------------------------------------- stdlib header decode
+
+# SOF markers that carry frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from real container headers — stdlib only.
+
+    PNG: 8-byte signature, IHDR chunk at offset 8 (width/height BE u32).
+    GIF: 'GIF87a'/'GIF89a', logical screen w/h LE u16.
+    JPEG: marker walk to the first SOF segment (precision u8, height u16,
+    width u16, both BE). Truncated/corrupt bodies → (fmt, None, None).
+    Replaces the round-1 stub (reference analogue: real S3 object bytes,
+    `/root/reference/adapters/s3/src/index.ts:167-177`)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            return "png", w, h
+        return "png", None, None
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) >= 10:
+            w, h = struct.unpack("<HH", data[6:10])
+            return "gif", w, h
+        return "gif", None, None
+    if data[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= len(data):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seglen
+        return "jpeg", None, None
+    return None, None, None
+
+
+def parse_wav_header(
+    data: bytes,
+) -> tuple[int | None, int | None, int | None, float | None]:
+    """(sample_rate, channels, bits_per_sample, duration_s) from the RIFF
+    fmt/data chunks — stdlib struct, no audio library."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None, None, None, None
+    sample_rate = channels = bits = None
+    byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (csize,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            _fmt, channels, sample_rate, byte_rate = struct.unpack(
+                "<HHII", data[i + 8 : i + 20]
+            )
+            if i + 24 <= len(data):
+                (bits,) = struct.unpack("<H", data[i + 22 : i + 24])
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    duration = (
+        round(data_size / byte_rate, 6)
+        if data_size is not None and byte_rate
+        else None
+    )
+    return sample_rate, channels, bits, duration
+
+
+def _mean_luma(data: bytes) -> float | None:
+    """Mean luminance — the one step that genuinely needs a pixel
+    decoder. Import-guarded: with PIL absent (this container) it yields
+    NULL (STUB); with PIL present it is real."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    import io
+
+    img = Image.open(io.BytesIO(data)).convert("L")
+    hist = img.histogram()
+    n = sum(hist)
+    return round(sum(i * c for i, c in enumerate(hist)) / (255.0 * n), 6) if n else None
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
@@ -56,24 +153,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(data: bytes) -> tuple[int, int, float]:
-    """STUB decoder — deterministic fake (no image libs in container).
-
-    Real implementation: ``PIL.Image.open(io.BytesIO(data))`` → size +
-    luminance. The fake derives stable pseudo-dimensions from content
-    length/bytes so tests are reproducible.
-    """
-    n = len(data)
-    width = 16 + (n % 1024)
-    height = 16 + ((n // 7) % 1024)
-    mean_luma = round((sum(data[:256]) / max(min(n, 256), 1)) / 255.0, 6)
-    return width, height, mean_luma
-
-
 def extract_image_features(df: DataFrame, content_col: str = "content", path_col: str = "path") -> DataFrame:
     """Decode + featurize via mapInPandas: Arrow batches of binary in,
-    feature rows out. Partition-parallel; executors never hold more
-    than one Arrow batch of images in memory."""
+    feature rows out. Width/height/format come from real header parsing
+    (PNG/JPEG/GIF, stdlib); mean_luma is NULL without PIL on executors.
+    Partition-parallel; executors never hold more than one Arrow batch
+    of images in memory."""
     content_idx_cols = [path_col, content_col]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,13 +166,44 @@ def extract_image_features(df: DataFrame, content_col: str = "content", path_col
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r[content_col]) if r[content_col] is not None else b""
-                w, h, luma = _decode_image_stub(data)
-                rows.append((r[path_col], len(data), w, h, luma))
+                fmt, w, h = parse_image_header(data)
+                luma = _mean_luma(data) if fmt is not None else None
+                rows.append((r[path_col], len(data), fmt, w, h, luma))
             yield pd.DataFrame(
-                rows, columns=["path", "n_bytes", "width", "height", "mean_luma"]
+                rows, columns=["path", "n_bytes", "format", "width", "height", "mean_luma"]
             )
 
     return df.select(*content_idx_cols).mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content", path_col: str = "path") -> DataFrame:
+    """WAV metadata via the RIFF chunk walk — real values, no codec lib."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col]) if r[content_col] is not None else b""
+                sr, ch, bits, dur = parse_wav_header(data)
+                rows.append((r[path_col], len(data), sr, ch, bits, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "n_bytes", "sample_rate", "channels", "bits_per_sample", "duration_s"],
+            )
+
+    return df.select(path_col, content_col).mapInPandas(op, AUDIO_FEATURES_SCHEMA)
 
 
 AUDIO_FRAMES_SCHEMA = T.StructType(

@@ -1,0 +1,57 @@
+"""Real media fixture bytes built with stdlib only — valid enough for
+any conformant parser (PNG with correct CRCs and zlib IDAT; JPEG with
+JFIF APP0 + SOF0; GIF89a screen descriptor; WAV via the `wave` module)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(width * 3) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00" + b"\x3b"
+
+
+def make_wav(sample_rate: int, seconds: float, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(sample_rate)
+        w.writeframes(bytes(int(sample_rate * seconds) * 2 * channels))
+    return buf.getvalue()

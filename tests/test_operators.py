@@ -279,15 +279,48 @@ def test_media_type_sniffing(spark):
     assert got == {"a.png": "png", "b.jpg": "jpeg", "c.bin": "unknown"}
 
 
-def test_image_features_stub_plumbing(spark):
-    rows = [("a.png", bytearray(b"\x89PNG" + bytes(100))), ("b.png", bytearray(b"\x89PNG" + bytes(500)))]
+def test_image_header_decode_true_dimensions(spark):
+    """VERDICT r01 #4: real stdlib header decode — parsed width/height
+    must equal the dimensions the fixtures were generated with."""
+    from tests.media_fixtures import make_gif, make_jpeg, make_png
+
+    rows = [
+        ("a.png", bytearray(make_png(320, 200))),
+        ("b.jpg", bytearray(make_jpeg(640, 480))),
+        ("c.gif", bytearray(make_gif(101, 67))),
+        ("d.bin", bytearray(b"\x00\x01\x02garbage")),
+        ("e.png", bytearray(b"\x89PNG\r\n\x1a\n")),  # truncated: fmt, no dims
+    ]
     df = spark.createDataFrame(rows, "path string, content binary")
     out = {r["path"]: r for r in M.extract_image_features(df).collect()}
-    assert out["a.png"]["n_bytes"] == 104
-    assert out["a.png"]["width"] > 0 and out["a.png"]["mean_luma"] >= 0.0
-    # deterministic stub: same content → same features
-    out2 = {r["path"]: r for r in M.extract_image_features(df).collect()}
-    assert out == out2
+    assert (out["a.png"]["format"], out["a.png"]["width"], out["a.png"]["height"]) == ("png", 320, 200)
+    assert (out["b.jpg"]["format"], out["b.jpg"]["width"], out["b.jpg"]["height"]) == ("jpeg", 640, 480)
+    assert (out["c.gif"]["format"], out["c.gif"]["width"], out["c.gif"]["height"]) == ("gif", 101, 67)
+    assert out["d.bin"]["format"] is None and out["d.bin"]["width"] is None
+    assert out["e.png"]["format"] == "png" and out["e.png"]["width"] is None
+    assert out["a.png"]["n_bytes"] == len(make_png(320, 200))
+    # mean_luma is the import-guarded pixel-decode step: NULL without PIL
+    try:
+        import PIL  # noqa: F401
+
+        assert out["a.png"]["mean_luma"] == 0.0  # all-black fixture
+    except ImportError:
+        assert out["a.png"]["mean_luma"] is None
+
+
+def test_wav_header_decode_true_metadata(spark):
+    from tests.media_fixtures import make_wav
+
+    blob = make_wav(8000, 0.5)
+    df = spark.createDataFrame(
+        [("x.wav", bytearray(blob)), ("y.bin", bytearray(b"nope"))],
+        "path string, content binary",
+    )
+    out = {r["path"]: r for r in M.extract_audio_features(df).collect()}
+    x = out["x.wav"]
+    assert (x["sample_rate"], x["channels"], x["bits_per_sample"]) == (8000, 1, 16)
+    assert abs(x["duration_s"] - 0.5) < 1e-6
+    assert out["y.bin"]["sample_rate"] is None
 
 
 def test_frame_sampling_fan_out(spark):

@@ -72,11 +72,14 @@ def test_binaryfile_multimodal_ingest(spark, tmp_path):
     """C30 end-to-end: binary files on disk -> binaryFile connector ->
     media-type sniff -> stub feature extraction (the S3-object pattern,
     lakehouse edition)."""
+    from tests.media_fixtures import make_jpeg, make_png, make_wav
+
     d = tmp_path / "blobs"
     d.mkdir()
-    (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + bytes(300))
-    (d / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + bytes(500))
-    (d / "c.wav").write_bytes(b"RIFF" + bytes(100))
+    png = make_png(48, 32)
+    (d / "a.png").write_bytes(png)
+    (d / "b.jpg").write_bytes(make_jpeg(96, 64))
+    (d / "c.wav").write_bytes(make_wav(16000, 0.25))
     res = Orchestrator(spark=spark).run_pipeline(
         Pipeline(
             id="blobs",
@@ -88,7 +91,10 @@ def test_binaryfile_multimodal_ingest(spark, tmp_path):
     assert kinds == {"a.png": "png", "b.jpg": "jpeg", "c.wav": "wav"}
     feats = M.extract_image_features(df.filter(F.col("media_type") == "png"))
     row = feats.collect()[0]
-    assert row["n_bytes"] == 308 and row["width"] > 0
+    assert row["n_bytes"] == len(png) and (row["width"], row["height"]) == (48, 32)
+    audio = M.extract_audio_features(df.filter(F.col("media_type") == "wav"))
+    arow = audio.collect()[0]
+    assert arow["sample_rate"] == 16000 and abs(arow["duration_s"] - 0.25) < 1e-6
 
 
 def test_nested_struct_dotted_paths(spark):
