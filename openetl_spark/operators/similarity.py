@@ -203,6 +203,27 @@ def with_ivf_assignment(
     return df.withColumn(out, assign(F.col(vec_col)))
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus partitioned by IVF list id — the layout
+    that turns ``ivf_knn``'s list filter into *partition pruning*: the
+    scan reads only the ``n_probe`` list directories, so a 100 TB corpus
+    probes ~n_probe/n_lists of its files instead of all of them. Pass
+    ``centroids`` to assign lists on the way out (skipped if ``list_col``
+    already present)."""
+    if list_col not in df.columns:
+        if centroids is None:
+            raise ValueError(f"df lacks {list_col!r} and no centroids given")
+        df = with_ivf_assignment(df, centroids, vec_col, list_col)
+    df.write.partitionBy(list_col).mode(mode).parquet(path)
+
+
 def ivf_knn(
     df: DataFrame,
     centroids: np.ndarray,
