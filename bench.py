@@ -60,7 +60,7 @@ HEADLINE = [
     "lsh_similarity_join",
     "text_stats",
     "quality_score",
-    "lang_id",
+    "lang_id_oracle",
     "doc_fingerprint",
     "transform_chain",
     "connector_slice",

@@ -829,6 +829,32 @@ def q_tumbling_hourly(spark, sf_dir):
 
 
 @query(
+    "sliding_counts",
+    """
+    WITH ex AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               AS window_start,
+             event_type, value
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_sliding_counts(spark, sf_dir):
+    """C22 sliding form (slide ≠ width): 1 h windows every 15 min — each
+    event lands in exactly 4 overlapping windows. Oracle: explode the 4
+    epoch-aligned 15-min buckets each event's window set starts at
+    (Spark aligns window starts to the epoch, as does time_bucket)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
     "session_windows",
     """
     WITH flagged AS (
@@ -1032,30 +1058,43 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-@query("lang_id")
-def q_lang_id(spark, sf_dir):
-    """C29: stopword-evidence language ID (rows-only check: the argmax
-    CASE cascade is not worth expressing in SQL; accuracy is asserted
-    against the `lang` column in tests instead)."""
-    d = X.detect_language(load(spark, sf_dir, "documents", spread=True))
-    return d.select("doc_id", "lang", "lang_pred")
-
-
-@query("doc_fingerprint")
+@query(
+    "doc_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), ' ') AS canon
+      FROM documents)
+    SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY canon) AS BIGINT) AS class_rep
+    FROM toks
+    """,
+)
 def q_doc_fingerprint(spark, sf_dir):
-    """C29: order-sensitive 64-bit fingerprint (xxhash64 — no DuckDB
-    equivalent, rows-only check + unit tests)."""
-    return X.with_fingerprint(load(spark, sf_dir, "documents", spread=True)).select("doc_id", "fingerprint")
+    """C29: order-sensitive 64-bit fingerprint, oracle-checked through
+    its defining invariant — fingerprint equality classes must equal
+    token-sequence equality classes. Emitting the class representative
+    (min doc_id per fingerprint) instead of the raw xxhash64 value makes
+    the result engine-independent: a collision between distinct docs OR
+    a fingerprint that varies for identical token sequences would both
+    break the match. (This corpus has no duplicate token sequences, so
+    the check pins injectivity; duplicate-bearing corpora get the
+    grouping behavior too — test_operators.py pins it directly.)"""
+    d = X.with_fingerprint(load(spark, sf_dir, "documents", spread=True))
+    w = W.partitionBy("fingerprint")
+    return d.select("doc_id", F.min("doc_id").over(w).alias("class_rep"))
 
 
-@query("simhash_dedup")
+@query("simhash_dedup", _JACCARD_ORACLE.format(thr=0.9))
 def q_simhash_dedup(spark, sf_dir):
-    """C27: SimHash fingerprints + hamming-≤3 candidate pairs via
-    pigeonhole banding (xxhash64-based — rows-only check; recall vs
-    exact jaccard asserted in tests)."""
-    d = D.with_shingles(load(spark, sf_dir, "documents", spread=True), "text", n=5)
-    sh = D.with_simhash(d, "doc_id")
-    return D.simhash_candidates(sh, "doc_id", max_hamming=3)
+    """C27: SimHash as the coarse filter of a verified pipeline —
+    pigeonhole candidates at hamming ≤ 16, exact jaccard ≥ 0.9 on
+    candidates only. Oracle = exact all-pairs jaccard: the hamming
+    budget must cover every qualifying pair (measured ≤ 13 across all
+    SFs; a sign-margin argument puts the needed budget at
+    ~edits·64/√n_shingles for short docs)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return D.simhash_near_duplicates(d, "doc_id", "text", max_hamming=16, threshold=0.9)
 
 
 @query("lsh_similarity_join")

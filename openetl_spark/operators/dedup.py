@@ -234,6 +234,31 @@ def jaccard_similarity_pairs(
     return out
 
 
+def _verify_jaccard_on_candidates(
+    cands: DataFrame, ex: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact jaccard for (a, b) candidate pairs over the exploded
+    (id, shingle) relation ``ex`` — shared tail of every
+    candidates-then-verify pipeline (MinHash/LSH, SimHash)."""
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cands.join(ex.withColumnRenamed("id", "a"), "a")
+        .join(ex.withColumnRenamed("id", "b"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -264,23 +289,7 @@ def minhash_near_duplicates(
         *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
     ).select(F.col("id").alias(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
     cands = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands, sig_col="minhash")
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (
-        cands.join(ex.withColumnRenamed("id", "a"), "a")
-        .join(ex.withColumnRenamed("id", "b"), ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    out = _verify_jaccard_on_candidates(cands.select("a", "b"), ex, threshold)
     out._cached_deps = [ex] if cache else []
     return out
 
@@ -319,20 +328,29 @@ def simhash_candidates(
 ) -> DataFrame:
     """Hamming-≤k candidate pairs by pigeonhole banding: split 64 bits
     into k+1 chunks; any pair within distance k agrees on ≥1 full chunk.
-    Equi-join per chunk — no cross product. Returns (a, b, hamming)."""
+    Equi-join per chunk — no cross product. Returns (a, b, hamming).
+
+    Chunks cover ALL 64 bits (widths of ⌈64/(k+1)⌉ then ⌊64/(k+1)⌋ as
+    the remainder runs out) — the recall guarantee only needs k+1
+    chunks, but full coverage keeps precision from collapsing when the
+    budget is large."""
     chunks = max_hamming + 1
-    width = 64 // chunks
-    # signed-long mask: all-ones for a full-width chunk (2^64-1 doesn't
+    if chunks > 64:
+        raise ValueError("max_hamming must be ≤ 63 for a 64-bit simhash")
+    base, rem = divmod(64, chunks)
+    widths = [base + 1] * rem + [base] * (chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+    # signed-long masks: all-ones for a full-width chunk (2^64-1 doesn't
     # fit a JVM long)
-    mask = -1 if width >= 64 else (1 << width) - 1
+    masks = [-1 if w >= 64 else (1 << w) - 1 for w in widths]
     banded = df.select(
         F.col(id_col),
         F.col(simhash_col),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col(simhash_col), c * width)
-                    .bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(F.col(simhash_col), offsets[c])
+                    .bitwiseAND(F.lit(masks[c]))
                     for c in range(chunks)
                 ]
             )
@@ -359,3 +377,38 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_hamming: int = 16,
+    threshold: float = 0.9,
+    cache: bool = True,
+) -> DataFrame:
+    """SimHash as the coarse filter of a verified near-dup pipeline:
+    shingle → 64-bit simhash → pigeonhole candidates at hamming ≤
+    ``max_hamming`` → exact jaccard verification ≥ ``threshold`` on
+    candidates only. Same candidates-then-verify architecture as
+    ``minhash_near_duplicates``; returned values are exact jaccard, so
+    the result is oracle-checkable against the all-pairs baseline
+    whenever the hamming budget covers every qualifying pair.
+
+    Budget choice: a simhash bit's sign margin is ~√n_shingles, so
+    short documents flip several bits per small edit — at jaccard 0.9
+    this corpus needs hamming ≤ 13 (measured); 16 leaves margin. At
+    64-bit scale a budget of k costs k+1 chunk equi-joins of width
+    ≥ ⌊64/(k+1)⌋ bits — still no cross product, but precision drops as
+    chunks narrow; MinHash/LSH is the better coarse filter for small
+    shingle sets, which is why both ship."""
+    sh = with_shingles(df, text_col, n)
+    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s")).distinct()
+    if cache:
+        ex = ex.persist()
+    sim = with_simhash(sh, id_col, "shingles")
+    cands = simhash_candidates(sim, id_col, max_hamming=max_hamming).select("a", "b")
+    out = _verify_jaccard_on_candidates(cands, ex, threshold)
+    out._cached_deps = [ex] if cache else []
+    return out

@@ -248,11 +248,15 @@ def test_bpe_ish_tokens_split_punct(spark):
 
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
-        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+        [(1, "a b c"), (2, "a b c"), (3, "c b a"), (4, "  a  b   c ")],
+        "doc_id long, text string",
     )
     fps = {r["doc_id"]: r["fingerprint"] for r in X.with_fingerprint(df, "text").collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+    # whitespace-insensitive (token-sequence domain — what the catalog
+    # equality-class oracle canonicalizes on)
+    assert fps[1] == fps[4]
 
 
 def test_detect_language_stopword_evidence(spark):
