@@ -16,4 +16,9 @@ from openetl_spark.sources.mongo import MongoSink
 
 register_sink("mongodb", MongoSink())
 
+from openetl_spark.sinks.table_format import TableFormatSink
+
+register_sink("delta", TableFormatSink("delta"))
+register_sink("iceberg", TableFormatSink("iceberg"))
+
 __all__ = ["MemorySink", "RestSink"]

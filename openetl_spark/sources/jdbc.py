@@ -39,9 +39,54 @@ def build_jdbc_options(connector: Connector) -> dict[str, str]:
     return opts
 
 
+def discover_partition_bounds(
+    spark: SparkSession, connector: Connector, opts: dict[str, str]
+) -> dict[str, str]:
+    """Auto-configure parallel-read bounds: with ``partitionColumn`` set
+    but lower/upper bounds absent, probe ``SELECT min/max(col)`` from the
+    source (ONE row over JDBC — the same trick the reference's offset
+    paging needs a COUNT(*) for, `adapters/postgresql/src/index.ts:181-187`)
+    and fill ``lowerBound/upperBound/numPartitions``. An injectable
+    ``config['bounds_probe'] = fn(bounds_query_options) -> (lo, hi)``
+    stands in for the JDBC round-trip where no driver jar exists (tests),
+    and is also the hook for dialects whose bounds live elsewhere
+    (e.g. a stats catalog). Empty table (NULL bounds) → serial read:
+    partition options are dropped rather than guessed."""
+    col = opts["partitionColumn"]
+    rel = f"({opts['query']}) t" if "query" in opts else opts["dbtable"]
+    bounds_query = f"SELECT min({col}) AS lo, max({col}) AS hi FROM {rel}"
+    probe = connector.config.get("bounds_probe")
+    if probe is not None:
+        lo, hi = probe({**opts, "query": bounds_query})
+    else:
+        probe_opts = {
+            k: v for k, v in opts.items()
+            if k not in ("dbtable", "partitionColumn", "numPartitions")
+        }
+        probe_opts["query"] = bounds_query
+        row = spark.read.format("jdbc").options(**probe_opts).load().first()
+        lo, hi = (row["lo"], row["hi"]) if row is not None else (None, None)
+    out = dict(opts)
+    if lo is None or hi is None:
+        # empty table: a partitioned read would need fabricated bounds
+        for k in ("partitionColumn", "lowerBound", "upperBound", "numPartitions"):
+            out.pop(k, None)
+        return out
+    out["lowerBound"], out["upperBound"] = str(lo), str(hi)
+    out.setdefault(
+        "numPartitions", str(connector.config.get("num_partitions", 8))
+    )
+    return out
+
+
 class JdbcSource:
     def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
-        return spark.read.format("jdbc").options(**build_jdbc_options(connector)).load()
+        opts = build_jdbc_options(connector)
+        if "partitionColumn" in opts and (
+            "lowerBound" not in opts or "upperBound" not in opts
+        ):
+            opts = discover_partition_bounds(spark, connector, opts)
+        return spark.read.format("jdbc").options(**opts).load()
 
 
 class JdbcSink:

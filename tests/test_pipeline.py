@@ -379,6 +379,90 @@ def test_partial_marker_survives_projection(spark):
     assert res.df.columns[0] == "id" and "x" not in res.df.columns
 
 
+def test_jdbc_partition_bound_discovery(spark):
+    """VERDICT r01 #9: partitionColumn without bounds triggers a min/max
+    probe (injectable — no driver jar in container) and auto-fills
+    lowerBound/upperBound/numPartitions."""
+    from openetl_spark.sources.jdbc import build_jdbc_options, discover_partition_bounds
+
+    probed = []
+
+    def probe(opts):
+        probed.append(opts["query"])
+        return (10, 500)
+
+    c = Connector(
+        adapter_id="jdbc", endpoint_id="users",
+        config={"url": "jdbc:postgresql://h/db", "partitionColumn": "id",
+                "bounds_probe": probe, "num_partitions": 16},
+    )
+    opts = discover_partition_bounds(spark, c, build_jdbc_options(c))
+    assert opts["lowerBound"] == "10" and opts["upperBound"] == "500"
+    assert opts["numPartitions"] == "16" and opts["partitionColumn"] == "id"
+    assert probed == ["SELECT min(id) AS lo, max(id) AS hi FROM users"]
+
+    # custom query source: bounds probe wraps the subquery
+    c2 = Connector(
+        adapter_id="jdbc", endpoint_id="custom_query",
+        config={"url": "jdbc:mysql://h/db", "query": "SELECT * FROM t WHERE x > 0",
+                "partitionColumn": "id", "bounds_probe": probe},
+    )
+    opts2 = discover_partition_bounds(spark, c2, build_jdbc_options(c2))
+    assert probed[-1] == "SELECT min(id) AS lo, max(id) AS hi FROM (SELECT * FROM t WHERE x > 0) t"
+    assert opts2["numPartitions"] == "8"  # default fan-out
+
+    # empty table: NULL bounds → partition options dropped (serial read)
+    c3 = Connector(
+        adapter_id="jdbc", endpoint_id="empty",
+        config={"url": "jdbc:postgresql://h/db", "partitionColumn": "id",
+                "bounds_probe": lambda o: (None, None)},
+    )
+    opts3 = discover_partition_bounds(spark, c3, build_jdbc_options(c3))
+    assert "partitionColumn" not in opts3 and "lowerBound" not in opts3
+
+    # explicit bounds: no probe (JdbcSource only discovers when missing)
+    c4 = Connector(
+        adapter_id="jdbc", endpoint_id="users",
+        config={"url": "jdbc:postgresql://h/db", "partitionColumn": "id",
+                "lowerBound": 0, "upperBound": 99, "numPartitions": 4},
+    )
+    opts4 = build_jdbc_options(c4)
+    assert "lowerBound" in opts4 and "upperBound" in opts4
+
+
+def test_table_format_sink_guard_and_writer(spark):
+    """VERDICT r01 #10: delta/iceberg sinks registered; writer
+    construction is real Spark API; execution without the jar raises a
+    clear TableFormatUnavailable, not a raw py4j error."""
+    import pytest as _pytest
+
+    from openetl_spark.registry import get_sink
+    from openetl_spark.sinks.table_format import (
+        TableFormatUnavailable,
+        build_writer,
+        format_available,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    c = Connector(adapter_id="delta", endpoint_id="/tmp/nope",
+                  config={"mode": "overwrite", "partition_by": ["v"]})
+    build_writer(df, c, "delta")  # construction works jar or not
+    with _pytest.raises(ValueError, match="append|overwrite"):
+        build_writer(df, Connector(adapter_id="delta", endpoint_id="x",
+                                   config={"mode": "merge"}), "delta")
+    assert format_available(spark, "parquet") is True
+    for fmt in ("delta", "iceberg"):
+        sink = get_sink(fmt)
+        if format_available(spark, fmt):  # jar present: smoke-write
+            import tempfile
+
+            sink.write(df, Connector(adapter_id=fmt, endpoint_id=tempfile.mkdtemp(),
+                                     config={"mode": "overwrite"}))
+        else:
+            with _pytest.raises(TableFormatUnavailable, match="classpath"):
+                sink.write(df, c)
+
+
 def test_pagination_edge_cases():
     """The reference's Mongo-suite edge sweep (SURVEY §5): zero page
     size, negative offset, offset beyond data — none may hang or err."""
