@@ -1022,12 +1022,14 @@ def q_minhash_near_dups(spark, sf_dir):
     """,
 )
 def q_embedding_knn(spark, sf_dir):
-    """C28: brute-force cosine top-k of one query vector — one scan,
-    TakeOrderedAndProject, no shuffle."""
+    """C28: brute-force cosine top-k of one query vector — broadcast the
+    one-row query relation, one corpus scan, TakeOrderedAndProject;
+    fully lazy (no driver-side .first() fetch)."""
     e = load(spark, sf_dir, "embeddings", spread=True)
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.brute_force_knn(
-        e.filter(F.col("vec_id") != 0), qvec, k=10, id_col="vec_id", vec_col="embedding"
+    return S.brute_force_knn_lazy(
+        e.filter(F.col("vec_id") != 0),
+        e.filter(F.col("vec_id") == 0),
+        k=10, id_col="vec_id", vec_col="embedding"
     )
 
 

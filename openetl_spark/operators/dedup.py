@@ -357,6 +357,10 @@ def simhash_candidates(
         ).alias("chunk", "chunk_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # hamming filter BEFORE the distinct: the rowwise bit_count is
+    # nearly free, so dedup only ever sees qualifying pairs — at wide
+    # budgets (many narrow chunks) the raw candidate stream is orders
+    # of magnitude larger than the result
     pairs = (
         a.join(
             b,
@@ -369,6 +373,9 @@ def simhash_candidates(
             F.col(f"b.{id_col}").alias("b"),
             F.col(f"a.{simhash_col}").alias("ha"),
             F.col(f"b.{simhash_col}").alias("hb"),
+        )
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
         )
         .distinct()
     )

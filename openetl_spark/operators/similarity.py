@@ -63,6 +63,30 @@ def brute_force_knn(
     )
 
 
+def brute_force_knn_lazy(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """`brute_force_knn` with the query vector as a one-row DataFrame
+    instead of a driver-side literal: broadcast cross-join keeps the
+    whole plan lazy (no `.first()` materialization between building and
+    running the query) — the right shape when the query vector itself
+    comes from a filter over the corpus."""
+    q = F.broadcast(query_df.select(F.col(query_vec_col).alias("_qv")).limit(1))
+    sim = F.round(cosine(F.col(vec_col), F.col("_qv")), round_dp)
+    return (
+        df.crossJoin(q)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)
