@@ -1992,3 +1992,84 @@ def q_regression_aggs(spark, sf_dir):
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
+# Driver-facing ordering. The correctness gate checks the first 50
+# entries of queries() in iteration order; rounds 1-2 covered the first
+# 50 *registered* names, leaving the 28 registered later with no driver
+# row. Front-load those 28 (plus queries added this round and a spread
+# of anchors re-confirming each operator family) so that, combined with
+# CORRECTNESS_r01/r02, every catalog query has at least one driver-green
+# row. Registration order above is unchanged — only presentation order.
+# ---------------------------------------------------------------------
+
+DRIVER_PRIORITY: list[str] = [
+    # -- never driver-checked through round 2 (28) --
+    "map_funcs",
+    "approx_sketches",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q10_returned_items",
+    "embedding_near_dup_exact",
+    "lang_id_oracle",
+    "percentile_exact",
+    "stats_agg",
+    "window_ranking_extras",
+    "unpivot_measures",
+    "scalar_subquery",
+    "date_funcs_extended",
+    "filtered_agg",
+    "null_safe_join",
+    "string_funcs_extended",
+    "array_funcs_extended",
+    "ivf_knn",
+    "edit_distance",
+    "value_histogram",
+    "q4_order_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_global_sales",
+    "string_agg_nations",
+    "regression_aggs",
+    # -- previously 0-row / vacuous, re-checked after this round's fix --
+    "lsh_similarity_join",
+    # -- anchors: one green row per operator family, re-confirmed --
+    "connector_slice",
+    "filter_group_or",
+    "transform_chain",
+    "join_inner",
+    "join_broadcast",
+    "range_join_events",
+    "asof_join_events",
+    "q1_pricing",
+    "q5_regional_revenue",
+    "window_rank",
+    "window_frame",
+    "tumbling_hourly",
+    "session_windows",
+    "pandas_normalize",
+    "dedup_exact",
+    "minhash_near_dups",
+    "simhash_dedup",
+    "embedding_knn",
+    "text_stats",
+    "quality_score",
+    "sql_passthrough",
+]
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERIES with DRIVER_PRIORITY names first, then the rest in
+    registration order."""
+    out = {n: QUERIES[n] for n in DRIVER_PRIORITY if n in QUERIES}
+    out.update({n: f for n, f in QUERIES.items() if n not in out})
+    return out
+
+
+def ordered_oracle() -> dict[str, str]:
+    """ORACLE in the same iteration order as ordered_queries()."""
+    q = ordered_queries()
+    return {n: ORACLE[n] for n in q if n in ORACLE}

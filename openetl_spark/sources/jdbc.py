@@ -55,15 +55,19 @@ def discover_partition_bounds(
     col = opts["partitionColumn"]
     rel = f"({opts['query']}) t" if "query" in opts else opts["dbtable"]
     bounds_query = f"SELECT min({col}) AS lo, max({col}) AS hi FROM {rel}"
+    # Strip ALL partition options: Spark validates them all-or-none, so
+    # a stray pre-set lowerBound/upperBound (we're probing precisely
+    # because at most one is set) would fail the probe read.
+    probe_opts = {
+        k: v for k, v in opts.items()
+        if k not in ("dbtable", "partitionColumn", "numPartitions",
+                     "lowerBound", "upperBound")
+    }
+    probe_opts["query"] = bounds_query
     probe = connector.config.get("bounds_probe")
     if probe is not None:
-        lo, hi = probe({**opts, "query": bounds_query})
+        lo, hi = probe(probe_opts)
     else:
-        probe_opts = {
-            k: v for k, v in opts.items()
-            if k not in ("dbtable", "partitionColumn", "numPartitions")
-        }
-        probe_opts["query"] = bounds_query
         row = spark.read.format("jdbc").options(**probe_opts).load().first()
         lo, hi = (row["lo"], row["hi"]) if row is not None else (None, None)
     out = dict(opts)

@@ -72,7 +72,11 @@ def render_find(connector: Connector) -> tuple[dict, bool]:
         if raw is None:
             raise ValueError("custom_query endpoint requires config['custom_query']")
         try:
-            return json.loads(raw), True
+            # fully_rendered only when there are no connector filters:
+            # the compiler re-applies connector.filters AFTER ingest, so
+            # pushing cursor.limit() under an un-rendered filter would
+            # truncate before filtering (first-N-fetched bug).
+            return json.loads(raw), not connector.filters
         except json.JSONDecodeError as e:  # reference: index.ts:104
             raise ValueError(f"Invalid custom query JSON: {e}") from e
     rendered, residual = [], []
@@ -128,7 +132,12 @@ class MongoSource:
             for extra in _referenced_fields(connector):
                 if extra not in proj_fields:
                     proj_fields.append(extra)
-        projection = {f: 1 for f in proj_fields} or None
+        projection: dict[str, int] = {f: 1 for f in proj_fields}
+        if "_id" not in proj_fields:
+            # A real pymongo collection returns ObjectId _id in every doc
+            # unless excluded — it breaks createDataFrame schema inference
+            # and ships dead bytes otherwise.
+            projection["_id"] = 0
         cursor = col.find(find_doc, projection)
         if connector.sort:
             cursor = cursor.sort(
@@ -144,7 +153,17 @@ class MongoSource:
         if not rows and schema is None:
             from pyspark.sql import types as T
 
-            return spark.createDataFrame([], T.StructType([]))
+            # Synthesize a schema from the projected fields so the
+            # compiler's re-applied filters/sort/select still resolve —
+            # an ordinary empty find must yield 0 rows, not
+            # UNRESOLVED_COLUMN. Untyped (string) is fine: no rows means
+            # no casts ever evaluate.
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(f, T.StringType()) for f in proj_fields]
+                ),
+            )
         return spark.createDataFrame(rows, schema=schema)
 
 

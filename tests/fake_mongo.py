@@ -116,9 +116,28 @@ class FakeCursor:
         return iter(self._materialize())
 
 
+class FakeObjectId:
+    """Opaque stand-in for bson.ObjectId: not Spark-schema-inferable, so
+    any adapter that leaks _id into createDataFrame fails loudly in
+    tests, exactly as with real pymongo."""
+
+    _ctr = 0
+
+    def __init__(self):
+        FakeObjectId._ctr += 1
+        self.val = FakeObjectId._ctr
+
+    def __repr__(self):
+        return f"FakeObjectId({self.val})"
+
+
 class FakeCollection:
     def __init__(self, docs: list[dict] | None = None):
-        self.docs: list[dict] = [dict(d) for d in (docs or [])]
+        # Real mongo assigns an ObjectId _id to every stored document.
+        self.docs: list[dict] = [
+            {"_id": FakeObjectId(), **d} if "_id" not in d else dict(d)
+            for d in (docs or [])
+        ]
         self.find_calls: list[tuple[dict, dict | None]] = []
 
     def find(self, flt: dict | None = None, projection: dict | None = None) -> FakeCursor:
@@ -127,14 +146,21 @@ class FakeCollection:
         hits = [d for d in self.docs if match(d, flt)]
         if projection:
             keep = {k for k, v in projection.items() if v}
-            hits = [
-                {k: v for k, v in d.items() if k in keep or (k == "_id" and "_id" not in projection)}
-                for d in hits
-            ]
+            if keep:  # inclusion projection (may also exclude _id)
+                hits = [
+                    {k: v for k, v in d.items() if k in keep or (k == "_id" and "_id" not in projection)}
+                    for d in hits
+                ]
+            else:  # exclusion-only projection: all fields except listed
+                drop = set(projection)
+                hits = [{k: v for k, v in d.items() if k not in drop} for d in hits]
         else:
             hits = [dict(d) for d in hits]
         return FakeCursor(hits)
 
     def insert_many(self, docs: list[dict]):
-        self.docs.extend(dict(d) for d in docs)
+        self.docs.extend(
+            {"_id": FakeObjectId(), **d} if "_id" not in d else dict(d)
+            for d in docs
+        )
         return type("R", (), {"inserted_count": len(docs)})()

@@ -49,7 +49,7 @@ def test_find_filter_sort_project_limit_roundtrip(spark):
     # pushdown evidence: the rendered $and doc reached the fake; the
     # projection over-includes filter/sort columns (compiler prunes)
     flt, proj = col.find_calls[0]
-    assert "$and" in flt and proj == {"user_id": 1, "age": 1, "city": 1}
+    assert "$and" in flt and proj == {"user_id": 1, "age": 1, "city": 1, "_id": 0}
     assert df.columns == ["user_id", "age"]
 
 
@@ -141,6 +141,61 @@ def test_insert_many_load_roundtrip(spark):
                     filters=[Filter("k", ">=", 20)])
     back = Orchestrator(spark=spark_).run_pipeline(Pipeline(id="rb", source=src)).df
     assert sorted(r["k"] for r in back.collect()) == [20, 21, 22, 23, 24]
+
+
+def test_custom_query_with_filters_no_limit_push(spark):
+    """ADVICE r02: custom_query + connector.filters must NOT push the
+    find-limit — the filters run Spark-side AFTER ingest, so a pushed
+    cursor.limit(N) would truncate before filtering (first-N-fetched
+    bug). Expect the full top-up: exactly `limit` rows that match."""
+    col = FakeCollection(DOCS)
+    src = Connector(
+        adapter_id="mongodb", endpoint_id="custom_query",
+        config={"collection": col, "schema": SCHEMA,
+                "custom_query": '{"age": {"$gte": 18}}'},
+        filters=[Filter("city", "=", "lima")],  # NOT rendered into the find doc
+        limit=5,
+    )
+    from openetl_spark.session import get_spark
+
+    df = Orchestrator(spark=get_spark()).run_pipeline(Pipeline(id="cqf", source=src)).df
+    rows = df.collect()
+    n_lima = sum(1 for d in DOCS if d["city"] == "lima")
+    assert len(rows) == min(5, n_lima) == 5
+    assert all(r["city"] == "lima" for r in rows)
+
+
+def test_empty_find_without_schema_yields_zero_rows(spark):
+    """ADVICE r02: an empty find with no config['schema'] must produce a
+    0-row DataFrame whose columns still satisfy the compiler's re-applied
+    filters/sort/select — not UNRESOLVED_COLUMN."""
+    col = FakeCollection(DOCS)
+    src = Connector(
+        adapter_id="mongodb", endpoint_id="table_query",
+        config={"collection": col},
+        filters=[Filter("age", ">", 1000)],
+        sort=[Sort("age", "desc")],
+        fields=["user_id", "age"],
+    )
+    from openetl_spark.session import get_spark
+
+    df = Orchestrator(spark=get_spark()).run_pipeline(Pipeline(id="e0", source=src)).df
+    assert df.count() == 0
+    assert df.columns == ["user_id", "age"]
+
+
+def test_id_never_leaks_into_schema_inference(spark):
+    """ADVICE r02: fake docs now carry an ObjectId-like _id (as real
+    pymongo returns); the pushed projection must exclude it or schema
+    inference fails."""
+    col = FakeCollection(DOCS)
+    src = Connector(adapter_id="mongodb", endpoint_id="table_query",
+                    config={"collection": col}, filters=[Filter("age", ">=", 60)])
+    from openetl_spark.session import get_spark
+
+    df = Orchestrator(spark=get_spark()).run_pipeline(Pipeline(id="noid", source=src)).df
+    assert "_id" not in df.columns
+    assert df.count() == sum(1 for d in DOCS if d["age"] >= 60)
 
 
 def test_fake_mongo_null_semantics():

@@ -429,6 +429,25 @@ def test_jdbc_partition_bound_discovery(spark):
     opts4 = build_jdbc_options(c4)
     assert "lowerBound" in opts4 and "upperBound" in opts4
 
+    # ADVICE r02: ONE stray pre-set bound still triggers discovery, and
+    # the probe options must carry NO partition options (Spark validates
+    # them all-or-none) and no dbtable (query replaces it).
+    seen = []
+
+    def probe5(opts):
+        seen.append(opts)
+        return (1, 9)
+
+    c5 = Connector(
+        adapter_id="jdbc", endpoint_id="users",
+        config={"url": "jdbc:postgresql://h/db", "partitionColumn": "id",
+                "lowerBound": 7, "bounds_probe": probe5},
+    )
+    opts5 = discover_partition_bounds(spark, c5, build_jdbc_options(c5))
+    assert opts5["lowerBound"] == "1" and opts5["upperBound"] == "9"
+    bad = {"lowerBound", "upperBound", "partitionColumn", "numPartitions", "dbtable"}
+    assert not (bad & set(seen[0]))
+
 
 def test_table_format_sink_guard_and_writer(spark):
     """VERDICT r01 #10: delta/iceberg sinks registered; writer
