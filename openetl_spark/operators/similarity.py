@@ -87,9 +87,15 @@ def brute_force_knn_lazy(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded random hyperplanes for sign-LSH. Public: the catalog's
+    DuckDB oracle embeds these exact values as SQL literals so both
+    engines compute identical sign bits."""
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)
+
+
+_hyperplanes = hyperplanes  # back-compat alias
 
 
 def with_lsh_buckets(
@@ -246,6 +252,65 @@ def write_ivf_partitioned(
             raise ValueError(f"df lacks {list_col!r} and no centroids given")
         df = with_ivf_assignment(df, centroids, vec_col, list_col)
     df.write.partitionBy(list_col).mode(mode).parquet(path)
+
+
+def ivf_probe_lists(
+    query_df: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``n_probe`` inverted-list ids nearest to the query vector, as
+    a DataFrame (one row per probed list) — keeps probe selection inside
+    the plan (no driver ``.first()``). Stable argsort: deterministic on
+    distance ties."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cents ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        d = cent_sq[None, :] - 2.0 * (m @ cents.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return query_df.limit(1).select(
+        F.explode(probes(F.col(vec_col))).alias("probe_list")
+    )
+
+
+def ivf_knn_pruned(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    query_vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Fully-lazy IVF top-k over a PRE-PARTITIONED corpus (see
+    write_ivf_partitioned): probe lists come from a broadcast one-row
+    join on the partition column, so Spark's dynamic partition pruning
+    reads only the ``n_probe`` list directories — no in-query quantizer
+    training, no driver-side ``.first()``. Centroids are the persisted
+    train-once quantizer (kilobytes, folded into the probe UDF closure).
+    The query vector rides a second broadcast one-row relation, as in
+    brute_force_knn_lazy."""
+    probes = F.broadcast(ivf_probe_lists(query_df, centroids, n_probe, query_vec_col))
+    qv = F.broadcast(
+        query_df.limit(1).select(F.col(query_vec_col).alias("_qv"))
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("_qv")), round_dp)
+    return (
+        corpus.join(probes, corpus[list_col] == probes["probe_list"])
+        .crossJoin(qv)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ivf_knn(

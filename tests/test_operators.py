@@ -230,6 +230,21 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_lsh_recall_on_testdata(spark, sf_dir):
+    """VERDICT r02 #2: the catalog's low-threshold configuration on the
+    REAL embeddings table (not synthetic clusters) — non-vacuous, a
+    strict subset of exact pairs, recall ≥ 0.9."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    exact = {(r["a"], r["b"]) for r in S.brute_force_similarity_join(e, threshold=0.35).collect()}
+    approx = {
+        (r["a"], r["b"])
+        for r in S.lsh_similarity_join(e, threshold=0.35, n_planes=3, n_tables=12).collect()
+    }
+    assert len(approx) > 0 and approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} on {len(exact)} exact pairs"
+
+
 # ----------------------------------------------------------------- text
 
 def test_token_count_and_stats(spark):

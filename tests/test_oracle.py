@@ -27,6 +27,13 @@ def test_oracle_match(spark, sf_dir, con, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
+    """VERDICT r02 #5: `count() >= 0` was vacuous (it passed while the
+    LSH demo returned 0 rows). Every rows-only query is expected to
+    produce rows on testdata; pair-shaped outputs must satisfy a < b."""
     df = catalog.QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    rows = df.collect()
+    assert len(rows) > 0, f"{name}: expected non-empty result on testdata"
     assert len(df.schema.fields) > 0
+    cols = set(df.columns)
+    if {"a", "b"} <= cols:  # similarity/dedup pair queries
+        assert all(r["a"] < r["b"] for r in rows), f"{name}: pair order violated"
