@@ -16,6 +16,10 @@ from openetl_spark.sources.mongo import MongoSource
 
 register_source("mongodb", MongoSource())
 
+from openetl_spark.sources.gads import GoogleAdsSource
+
+register_source("google-ads", GoogleAdsSource())
+
 from openetl_spark.sources.services import register_all as _register_services
 
 _register_services()
