@@ -57,8 +57,31 @@ class ServiceDescriptor:
     endpoints: dict[str, dict] = field(default_factory=dict)
 
 
+DOWNLOAD = ("download", "sync")
+UPLOAD = ("upload",)
+
+
+def _ep(path, method="GET", actions=DOWNLOAD, default_fields=None):
+    out = {"path": path, "method": method, "actions": actions}
+    if default_fields:
+        out["default_fields"] = list(default_fields)
+    return out
+
+
 # Descriptors for the services the reference supports, with the
 # pagination/cap/operator facts from SURVEY.md §2A.1 and BASELINE.md.
+# Endpoint catalogs (ids, paths, methods, actions, defaultFields) match
+# the reference adapters' ACTIVE endpoint lists one-for-one (VERDICT r02
+# #7): hubspot `adapters/hubspot/src/index.ts:35-157` (10), stripe
+# `adapters/stripe/src/index.ts:30-160` (7), zoho
+# `adapters/zoho/src/index.ts:58-188` (8), xero
+# `adapters/xero/src/index.ts:36-116` (8), gmail
+# `adapters/gmail/src/index.ts:34-90` (5), github
+# `adapters/github/src/index.ts:22-100` (9), twitter
+# `adapters/twitter/src/index.ts:50-80` (3), chartmogul
+# `adapters/chartmogul/src/index.ts:41-137` (9), s3
+# `adapters/s3/src/index.ts:31-60` (3). Upload endpoints execute through
+# ServiceSink → sinks.rest.RestSink (distributed batched upload).
 SERVICES: dict[str, ServiceDescriptor] = {
     d.service_id: d
     for d in [
@@ -66,60 +89,169 @@ SERVICES: dict[str, ServiceDescriptor] = {
             "hubspot", "https://api.hubapi.com", "oauth2", "cursor", 100,
             FULL_OPERATORS,
             endpoints={
-                "contacts": {"path": "/crm/v3/objects/contacts/search",
-                             "default_fields": ["firstname", "lastname", "email"]},
-                "companies": {"path": "/crm/v3/objects/companies/search"},
-                "deals": {"path": "/crm/v3/objects/deals/search"},
+                "contacts": _ep(
+                    "/crm/v3/objects/contacts/search", "POST",
+                    default_fields=["hs_object_id", "email", "firstname",
+                                    "lastname", "createdate", "lastmodifieddate"]),
+                "create-contact": _ep("/crm/v3/objects/contacts/batch/create", "POST", UPLOAD),
+                "companies": _ep(
+                    "/crm/v3/objects/companies/search", "POST",
+                    default_fields=["hs_object_id", "name", "domain",
+                                    "createdate", "hs_lastmodifieddate"]),
+                "create-company": _ep("/crm/v3/objects/companies/batch/create", "POST", UPLOAD),
+                "deals": _ep(
+                    "/crm/v3/objects/deals/search", "POST",
+                    default_fields=["hs_object_id", "dealname", "amount", "dealstage",
+                                    "closedate", "createdate", "hs_lastmodifieddate"]),
+                "create-deal": _ep("/crm/v3/objects/deals/batch/create", "POST", UPLOAD),
+                "tickets": _ep(
+                    "/crm/v3/objects/tickets/search", "POST",
+                    default_fields=["hs_object_id", "subject", "content", "hs_pipeline",
+                                    "hs_pipeline_stage", "hs_ticket_category",
+                                    "hs_ticket_priority", "createdate",
+                                    "hs_lastmodifieddate"]),
+                "create-ticket": _ep("/crm/v3/objects/tickets/batch/create", "POST", UPLOAD),
+                "products": _ep(
+                    "/crm/v3/objects/products/search", "POST",
+                    default_fields=["hs_object_id", "name", "description", "price",
+                                    "createdate", "hs_lastmodifieddate"]),
+                "create-product": _ep("/crm/v3/objects/products", "POST", UPLOAD),
             },
         ),
         ServiceDescriptor(
             "stripe", "https://api.stripe.com/v1", "api_key", "cursor", 100,
             frozenset({"=", "!="}),
-            endpoints={"customers": {"path": "/customers"},
-                       "charges": {"path": "/charges"},
-                       "invoices": {"path": "/invoices"}},
+            endpoints={
+                "charges": _ep(
+                    "/charges/search",
+                    default_fields=["id", "currency", "amount", "customer",
+                                    "description", "status", "paid", "refunded",
+                                    "captured", "metadata", "created"]),
+                "customers": _ep(
+                    "/customers/search",
+                    default_fields=["id", "name", "address", "email", "metadata",
+                                    "phone", "currency", "balance", "tax_exempt",
+                                    "delinquent", "created"]),
+                "create-customer": _ep("/customers", "POST", UPLOAD),
+                "invoices": _ep(
+                    "/invoices/search",
+                    default_fields=["id", "customer", "status", "due_date",
+                                    "currency", "amount_due", "amount_paid",
+                                    "created", "invoice_pdf"]),
+                "create-invoice": _ep("/invoices", "POST", UPLOAD),
+                "products": _ep(
+                    "/products/search",
+                    default_fields=["id", "name", "active", "description",
+                                    "default_price", "images", "metadata", "created"]),
+                "create-product": _ep("/products", "POST", UPLOAD),
+            },
         ),
         ServiceDescriptor(
-            "zoho", "https://www.zohoapis.com/crm/v2", "oauth2", "offset", 200,
+            "zoho", "https://www.zohoapis.com", "oauth2", "offset", 200,
             frozenset({"=", "!=", ">", ">=", "<", "<=", "contains", "not_contains", "in", "not_in"}),
             max_sort_keys=1,
-            endpoints={"Leads": {"path": "/Leads"}, "Contacts": {"path": "/Contacts"}},
+            endpoints={
+                "leads": _ep(
+                    "/crm/v7/Leads/search",
+                    default_fields=["First_Name", "Last_Name", "Company", "Description",
+                                    "Email", "Phone", "Mobile", "Created_Time"]),
+                "create-lead": _ep("/crm/v7/Leads", "POST", UPLOAD),
+                "contacts": _ep(
+                    "/crm/v7/Contacts/search",
+                    default_fields=["First_Name", "Last_Name", "Description", "Email",
+                                    "Phone", "Mobile", "Created_Time"]),
+                "create-contact": _ep("/crm/v7/Contacts", "POST", UPLOAD),
+                "deals": _ep(
+                    "/crm/v7/Deals/search",
+                    default_fields=["Deal_Name", "Contact_Name", "Description", "Type",
+                                    "Amount", "Stage", "Closing_Date"]),
+                "create-deal": _ep("/crm/v7/Deals", "POST", UPLOAD),
+                "campaigns": _ep(
+                    "/crm/v7/Campaigns/search",
+                    default_fields=["Campaign_Name", "Type", "Description", "Status",
+                                    "Start_Date", "End_Date", "Expected", "Actual_Cost",
+                                    "Budgeted_Cost", "Expected_Response", "Num_sent"]),
+                "create-campaign": _ep("/crm/v7/Campaigns", "POST", UPLOAD),
+            },
         ),
         ServiceDescriptor(
             "xero", "https://api.xero.com/api.xro/2.0", "oauth2", "offset", 100,
             COMPARISON_OPERATORS,
-            endpoints={"Invoices": {"path": "/Invoices"}, "Contacts": {"path": "/Contacts"}},
+            endpoints={
+                "contacts": _ep("/Contacts"),
+                "create-contact": _ep("/Contacts", "POST", UPLOAD),
+                "items": _ep("/Items"),
+                "create-item": _ep("/Items", "POST", UPLOAD),
+                "invoices": _ep("/Invoices"),
+                "create-invoice": _ep("/Invoices", "POST", UPLOAD),
+                "accounts": _ep("/Accounts"),
+                "create-account": _ep("/Accounts", "PUT", UPLOAD),
+            },
         ),
         ServiceDescriptor(
             "gmail", "https://gmail.googleapis.com/gmail/v1", "oauth2", "cursor", 500,
             frozenset({"=", "!="}),
-            endpoints={"messages": {"path": "/users/me/messages"}},
+            endpoints={
+                "list-threads": _ep("/users/me/threads"),
+                "list-messages": _ep("/users/me/messages"),
+                "get-message": _ep("/users/me/messages", actions=("download",)),
+                "send-message": _ep("/users/me/messages/send", "POST", UPLOAD),
+                "list-labels": _ep("/users/me/labels"),
+            },
         ),
         ServiceDescriptor(
             "github", "https://api.github.com", "api_key", "offset", 100,
             frozenset({"="}),
-            endpoints={"repos": {"path": "/user/repos"}, "issues": {"path": "/issues"}},
+            endpoints={
+                "repo_issues": _ep("/repos/{owner}/{repo}/issues"),
+                "create_repository": _ep("/user/repos", "POST", UPLOAD),
+                "create_issue": _ep("/repos/{owner}/{repo}/issues", "POST", UPLOAD),
+                "user_repos": _ep("/user/repos", actions=("download",)),
+                "user_public_repos": _ep("/users/{owner}/repos", actions=("download",)),
+                "repo_commits": _ep("/repos/{owner}/{repo}/commits", actions=("download",)),
+                "user_profile": _ep("/user", actions=("download",)),
+                "user_info": _ep("/users/{username}", actions=("download",)),
+                "user_emails": _ep("/user/emails", actions=("download",)),
+            },
         ),
         ServiceDescriptor(
             "twitter", "https://api.twitter.com/2", "api_key", "cursor", 100,
             frozenset({"="}),
-            endpoints={"tweets_search": {"path": "/tweets/search/recent"}},
+            endpoints={
+                "tweets_search": _ep("/tweets/search/recent"),
+                "user_lookup": _ep("/users", actions=("download",)),
+                "tweet_post": _ep("/tweets", "POST", UPLOAD),
+            },
         ),
         ServiceDescriptor(
-            "chartmogul", "https://api.chartmogul.com/v1", "basic", "cursor", 200,
+            "chartmogul", "https://api.chartmogul.com", "basic", "cursor", 200,
             frozenset({"="}),
-            endpoints={"customers": {"path": "/customers"}},
+            endpoints={
+                "sources": _ep("/v1/data_sources"),
+                "create-source": _ep("/v1/data_sources", "POST", UPLOAD),
+                "customers": _ep("/v1/customers"),
+                "create-customer": _ep("/v1/customers", "POST", UPLOAD),
+                "plans": _ep("/v1/plans"),
+                "create-plan": _ep("/v1/plans", "POST", UPLOAD),
+                "subscriptions": _ep("/v1/customers/{customer_uuid}/subscriptions"),
+                "invoices": _ep("/v1/invoices"),
+                "create-invoice": _ep("/v1/import/customers/{customer_uuid}/invoices",
+                                      "POST", UPLOAD),
+            },
         ),
         ServiceDescriptor(
             "s3", "s3://", "api_key", "cursor", 1000,
             frozenset({"="}),
-            endpoints={"list-objects": {"path": "ListObjectsV2"},
-                       "download-object": {"path": "GetObject"}},
+            endpoints={
+                "list-objects": _ep(""),
+                "download-object": _ep("", actions=("download",)),
+                "upload-object": _ep("", "PUT", UPLOAD),
+            },
         ),
         ServiceDescriptor(
             "google-ads", "https://googleads.googleapis.com", "oauth2", "cursor", 10000,
             COMPARISON_OPERATORS,
-            endpoints={"campaigns": {"path": "/googleAds:search"}},
+            endpoints={"campaigns": _ep("/googleAds:search", "POST")},
         ),
     ]
 }
@@ -140,24 +272,44 @@ def split_filters(connector: Connector, desc: ServiceDescriptor):
     return push, residual
 
 
-def build_request(connector: Connector, desc: ServiceDescriptor) -> dict:
-    """Render the connector spec into an abstract request the transport
-    executes — the engine-side equivalent of each adapter's query
-    builder (e.g. HubSpot getSearchBody,
-    `/root/reference/adapters/hubspot/src/index.ts:357-388`)."""
+def _endpoint(connector: Connector, desc: ServiceDescriptor) -> dict:
     ep = desc.endpoints.get(connector.endpoint_id)
     if ep is None:
         raise KeyError(
             f"{desc.service_id} has no endpoint {connector.endpoint_id!r}; "
             f"known: {sorted(desc.endpoints)}"
         )
+    return ep
+
+
+def _render_path(path: str, cfg: dict) -> str:
+    """Substitute {owner}/{repo}-style template params from connector
+    config (reference: `adapters/github/src/index.ts:23-27` paths)."""
+    import re as _re
+
+    def sub(m):
+        key = m.group(1)
+        if key not in cfg:
+            raise KeyError(f"endpoint path needs config[{key!r}]")
+        return str(cfg[key])
+
+    return _re.sub(r"\{(\w+)\}", sub, path)
+
+
+def build_request(connector: Connector, desc: ServiceDescriptor) -> dict:
+    """Render the connector spec into an abstract request the transport
+    executes — the engine-side equivalent of each adapter's query
+    builder (e.g. HubSpot getSearchBody,
+    `/root/reference/adapters/hubspot/src/index.ts:357-388`)."""
+    ep = _endpoint(connector, desc)
     push, _ = split_filters(connector, desc)
     sorts = list(connector.sort)
     if desc.max_sort_keys is not None:
         sorts = sorts[: desc.max_sort_keys]  # degrade: Spark re-sorts
     fields = list(connector.fields) or list(ep.get("default_fields", []))
     return {
-        "url": desc.base_url + ep["path"],
+        "url": desc.base_url + _render_path(ep["path"], connector.config),
+        "method": ep.get("method", "GET"),
         "fields": fields,
         "filters": [{"field": f.field, "op": f.operator, "value": f.value} for f in push],
         "sorts": [{"field": s.field, "dir": s.type} for s in sorts],
@@ -185,6 +337,12 @@ class ServiceSource:
 
     def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
         cfg = connector.config
+        ep = _endpoint(connector, self.desc)
+        if "download" not in ep.get("actions", DOWNLOAD):
+            # mirror per-adapter guards, e.g. gmail index.ts:295-297
+            raise ValueError(
+                f"{connector.endpoint_id} endpoint only supports upload"
+            )
         request = build_request(connector, self.desc)
         transport = cfg["transport"]
 
@@ -228,8 +386,17 @@ class ServiceSource:
             df = df.withColumn("_ingest_partial", F.lit(True))
         if not connector.fields and request["fields"]:
             # endpoint default_fields (A7): the compiler only projects
-            # EXPLICIT connector.fields, so the default applies here
-            present = [f for f in request["fields"] if f in df.columns]
+            # EXPLICIT connector.fields, so the default applies here.
+            # Widen with residual filter/sort columns — the compiler
+            # re-applies those AFTER this projection (same over-project
+            # contract as the mongo/google-ads sources).
+            from openetl_spark.sources.mongo import _referenced_fields
+
+            wanted = list(request["fields"])
+            for extra in _referenced_fields(connector):
+                if extra not in wanted:
+                    wanted.append(extra)
+            present = [f for f in wanted if f in df.columns]
             if present:
                 if result.partial and "_ingest_partial" not in present:
                     present.append("_ingest_partial")  # keep marker visible
@@ -237,8 +404,51 @@ class ServiceSource:
         return df
 
 
+class ServiceSink:
+    """Upload endpoints (``create-contact``, ``send-message``, ...) as a
+    sink: renders the endpoint request (URL template + method) and
+    delegates the distributed batched upload to ``sinks.rest.RestSink``
+    (foreachPartition — rows never gather on the driver). The transport
+    is ``fn(request, rows)`` injected via config['transport'] and must be
+    picklable (it runs on executors)."""
+
+    def __init__(self, descriptor: ServiceDescriptor):
+        self.desc = descriptor
+
+    def write(self, df: DataFrame, connector: Connector) -> None:
+        import dataclasses
+
+        ep = _endpoint(connector, self.desc)
+        if "upload" not in ep.get("actions", ()):
+            # mirror per-adapter guards, e.g. gmail index.ts:320-322
+            raise ValueError(
+                f"Upload only supported for upload endpoints; "
+                f"{connector.endpoint_id} supports {ep.get('actions')}"
+            )
+        cfg = connector.config
+        transport = cfg["transport"]
+        request = {
+            "url": self.desc.base_url + _render_path(ep["path"], cfg),
+            "method": ep.get("method", "POST"),
+        }
+
+        def upload_batch(rows: list[dict]) -> None:
+            transport(request, rows)
+
+        from openetl_spark.sinks.rest import RestSink
+
+        shim = dataclasses.replace(
+            connector,
+            config={**cfg, "upload_batch": upload_batch,
+                    "items_per_batch": cfg.get(
+                        "items_per_batch", self.desc.max_items_per_page)},
+        )
+        RestSink().write(df, shim)
+
+
 def register_all() -> None:
-    from openetl_spark.registry import register_source_default
+    from openetl_spark.registry import register_sink_default, register_source_default
 
     for sid, desc in SERVICES.items():
         register_source_default(sid, ServiceSource(desc))
+        register_sink_default(sid, ServiceSink(desc))

@@ -98,7 +98,7 @@ def test_zoho_single_sort_key_degradation(spark):
     t = contacts_transport(ROWS)
     c = Connector(
         adapter_id="zoho",
-        endpoint_id="Leads",
+        endpoint_id="leads",
         config={"transport": t},
         sort=[Sort("age", "desc"), Sort("email", "asc")],
         fields=["email", "age"],
@@ -118,7 +118,7 @@ def test_degraded_sort_disables_limit_pushdown(spark):
     t = contacts_transport(ROWS)
     c = Connector(
         adapter_id="zoho",
-        endpoint_id="Leads",
+        endpoint_id="leads",
         config={"transport": t},
         sort=[Sort("age", "desc"), Sort("email", "asc")],
         fields=["email", "age"],
@@ -150,3 +150,165 @@ def test_default_fields_from_endpoint(spark):
     c = Connector(adapter_id="hubspot", endpoint_id="contacts", config={"transport": t})
     res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="defaults", source=c))
     assert set(res.df.columns) == {"firstname", "lastname", "email"}
+
+
+# ------------------------------------------------ reference parity (r03)
+
+# Active endpoint catalogs transcribed from the reference adapters
+# (VERDICT r02 #7): id → (has_default_fields, is_upload). Counts and ids
+# must match the reference's uncommented endpoint lists exactly.
+REFERENCE_CATALOG = {
+    "hubspot": {  # adapters/hubspot/src/index.ts:35-157
+        "contacts": (6, False), "create-contact": (0, True),
+        "companies": (5, False), "create-company": (0, True),
+        "deals": (7, False), "create-deal": (0, True),
+        "tickets": (9, False), "create-ticket": (0, True),
+        "products": (6, False), "create-product": (0, True),
+    },
+    "stripe": {  # adapters/stripe/src/index.ts:30-160
+        "charges": (11, False), "customers": (11, False),
+        "create-customer": (0, True), "invoices": (9, False),
+        "create-invoice": (0, True), "products": (8, False),
+        "create-product": (0, True),
+    },
+    "zoho": {  # adapters/zoho/src/index.ts:58-188
+        "leads": (8, False), "create-lead": (0, True),
+        "contacts": (7, False), "create-contact": (0, True),
+        "deals": (7, False), "create-deal": (0, True),
+        "campaigns": (11, False), "create-campaign": (0, True),
+    },
+    "xero": {  # adapters/xero/src/index.ts:36-116
+        "contacts": (0, False), "create-contact": (0, True),
+        "items": (0, False), "create-item": (0, True),
+        "invoices": (0, False), "create-invoice": (0, True),
+        "accounts": (0, False), "create-account": (0, True),
+    },
+    "gmail": {  # adapters/gmail/src/index.ts:34-90
+        "list-threads": (0, False), "list-messages": (0, False),
+        "get-message": (0, False), "send-message": (0, True),
+        "list-labels": (0, False),
+    },
+    "github": {  # adapters/github/src/index.ts:22-100
+        "repo_issues": (0, False), "create_repository": (0, True),
+        "create_issue": (0, True), "user_repos": (0, False),
+        "user_public_repos": (0, False), "repo_commits": (0, False),
+        "user_profile": (0, False), "user_info": (0, False),
+        "user_emails": (0, False),
+    },
+    "twitter": {  # adapters/twitter/src/index.ts:50-80
+        "tweets_search": (0, False), "user_lookup": (0, False),
+        "tweet_post": (0, True),
+    },
+    "chartmogul": {  # adapters/chartmogul/src/index.ts:41-137
+        "sources": (0, False), "create-source": (0, True),
+        "customers": (0, False), "create-customer": (0, True),
+        "plans": (0, False), "create-plan": (0, True),
+        "subscriptions": (0, False), "invoices": (0, False),
+        "create-invoice": (0, True),
+    },
+    "s3": {  # adapters/s3/src/index.ts:31-60
+        "list-objects": (0, False), "download-object": (0, False),
+        "upload-object": (0, True),
+    },
+}
+
+
+@pytest.mark.parametrize("service", sorted(REFERENCE_CATALOG))
+def test_endpoint_catalog_parity_with_reference(service):
+    """VERDICT r02 #7: descriptor endpoint ids, default-field counts,
+    and upload/download direction match the reference adapter's active
+    endpoint list one-for-one."""
+    desc = SERVICES[service]
+    ref = REFERENCE_CATALOG[service]
+    assert set(desc.endpoints) == set(ref), (
+        f"{service}: {sorted(set(desc.endpoints) ^ set(ref))}")
+    for eid, (n_defaults, is_upload) in ref.items():
+        ep = desc.endpoints[eid]
+        assert len(ep.get("default_fields", [])) == n_defaults, (service, eid)
+        assert ("upload" in ep["actions"]) == is_upload, (service, eid)
+        if is_upload:
+            assert "download" not in ep["actions"], (service, eid)
+
+
+def test_hubspot_contact_default_fields_match_reference():
+    # adapters/hubspot/src/index.ts:44-51
+    assert SERVICES["hubspot"].endpoints["contacts"]["default_fields"] == [
+        "hs_object_id", "email", "firstname", "lastname",
+        "createdate", "lastmodifieddate",
+    ]
+
+
+def test_download_on_upload_endpoint_raises(spark):
+    c = Connector(adapter_id="hubspot", endpoint_id="create-contact",
+                  config={"transport": lambda *a: {"data": []}})
+    with pytest.raises(ValueError, match="only supports upload"):
+        ServiceSource(SERVICES["hubspot"]).read(spark, c)
+
+
+def _file_capturing_transport(outdir):
+    """Picklable upload transport. foreachPartition runs in separate
+    Python worker processes (test modules aren't importable there, so a
+    module-level class would fail to unpickle); a closure is serialized
+    by value, and batches land as JSON files in a shared tmpdir."""
+    outdir = str(outdir)
+
+    def transport(request, rows):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        path = _os.path.join(outdir, f"{_uuid.uuid4().hex}.json")
+        with open(path, "w") as fh:
+            _json.dump({"url": request["url"], "method": request["method"],
+                        "rows": list(rows)}, fh)
+
+    def captured():
+        import glob
+        import json as _json
+
+        return [_json.load(open(p)) for p in glob.glob(f"{outdir}/*.json")]
+
+    transport.captured = captured
+    return transport
+
+
+def test_upload_endpoint_e2e_batched(spark, tmp_path):
+    """load → hubspot create-contact through ServiceSink/RestSink: rows
+    arrive at the transport in items_per_batch chunks with the
+    reference's endpoint URL and method."""
+    transport = _file_capturing_transport(tmp_path)
+    rows = [{"email": f"u{i}@x.com", "firstname": f"F{i}"} for i in range(25)]
+    Orchestrator(spark=spark).run_pipeline(Pipeline(
+        id="up", data=rows,
+        target=Connector(
+            adapter_id="hubspot", endpoint_id="create-contact",
+            config={"transport": transport, "items_per_batch": 10}),
+    ))
+    got = transport.captured()
+    sent = [r for call in got for r in call["rows"]]
+    assert got, "no batches captured"
+    assert len(sent) == 25
+    assert all(c["url"] == "https://api.hubapi.com/crm/v3/objects/contacts/batch/create"
+               and c["method"] == "POST" for c in got)
+    assert all(len(c["rows"]) <= 10 for c in got)
+    assert {r["email"] for r in sent} == {r["email"] for r in rows}
+
+
+def test_upload_on_download_endpoint_raises(spark):
+    from openetl_spark.sources.services import ServiceSink
+
+    df = spark.createDataFrame([{"a": 1}])
+    c = Connector(adapter_id="hubspot", endpoint_id="contacts",
+                  config={"transport": lambda *a: None})
+    with pytest.raises(ValueError, match="Upload only supported"):
+        ServiceSink(SERVICES["hubspot"]).write(df, c)
+
+
+def test_github_path_template_substitution():
+    c = Connector(adapter_id="github", endpoint_id="repo_issues",
+                  config={"owner": "octo", "repo": "hello"})
+    req = build_request(c, SERVICES["github"])
+    assert req["url"] == "https://api.github.com/repos/octo/hello/issues"
+    with pytest.raises(KeyError, match="config\\['owner'\\]"):
+        build_request(Connector(adapter_id="github", endpoint_id="repo_issues"),
+                      SERVICES["github"])
