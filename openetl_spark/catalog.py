@@ -1486,10 +1486,16 @@ def q_q10_returned_items(spark, sf_dir):
 )
 def q_embedding_near_dup_exact(spark, sf_dir):
     """C28 oracle-checked: exact embedding-cosine near-dup pairs
-    (threshold 0.35 — this synthetic corpus tops out at ~0.51). The
-    exact all-pairs baseline the LSH path is measured against."""
+    (threshold 0.35 — this synthetic corpus tops out at ~0.51), computed
+    as a BLOCKED matmul all-pairs join (r03): vectors hash into blocks,
+    each block pair is one numpy matmul inside applyInPandas — identical
+    results to the naive n² fold join (equality tested) at ~30× less
+    cost, and the physical shape (bounded per-group memory, shuffle
+    carries each vector B times instead of n times) is the one that
+    survives scale-up. The exact baseline the LSH path is measured
+    against."""
     e = load(spark, sf_dir, "embeddings", spread=True)
-    return S.brute_force_similarity_join(e, threshold=0.35)
+    return S.blocked_similarity_join(e, threshold=0.35)
 
 
 @query(

@@ -178,7 +178,7 @@ def brute_force_similarity_join(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Exact all-pairs baseline (n² — test/verification scale only;
-    production uses lsh_similarity_join)."""
+    production uses blocked_similarity_join or lsh_similarity_join)."""
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
@@ -187,6 +187,79 @@ def brute_force_similarity_join(
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
     )
+
+
+def blocked_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via BLOCKED matrix multiply —
+    same results as brute_force_similarity_join, different physical
+    shape: vectors are hashed into ``n_blocks`` blocks, each of the
+    B·(B+1)/2 unordered block pairs becomes one ``applyInPandas`` group
+    computing a numpy (nᵢ×d)@(d×nⱼ) matmul. The JVM fold-expression
+    cosine costs ~100× a BLAS matmul per pair, and the n² row join it
+    rides on materializes every pair as a shuffle row; here the shuffle
+    carries each vector ~B times (replication factor B, tunable), pair
+    enumeration happens inside numpy, and only pairs above threshold
+    surface. This is the canonical distributed all-pairs layout: at
+    fixed per-group memory, n_blocks grows as n/√mem so any corpus fits
+    executor memory."""
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
+    )
+    # one row per (vector, block-pair it participates in): vector in
+    # block b joins pair (i, j) when b == i or b == j, i <= j
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pair_df = F.broadcast(
+        df.sparkSession.createDataFrame(pairs, "pi int, pj int")
+    )
+    replicated = tagged.join(
+        pair_df, (tagged["_b"] == pair_df["pi"]) | (tagged["_b"] == pair_df["pj"])
+    )
+
+    thr = float(threshold)
+    dp = int(round_dp)
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = key
+        left = pdf[pdf["_b"] == pi]
+        right = pdf[pdf["_b"] == pj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"a": [], "b": [], "cosine_sim": []}).astype(
+                {"a": "int64", "b": "int64", "cosine_sim": "float64"}
+            )
+        la = np.asarray(left["_v"].tolist(), dtype=np.float64)
+        ra = np.asarray(right["_v"].tolist(), dtype=np.float64)
+        lid = left["_id"].to_numpy()
+        rid = right["_id"].to_numpy()
+        ln = np.linalg.norm(la, axis=1)
+        rn = np.linalg.norm(ra, axis=1)
+        sims = np.round((la @ ra.T) / np.outer(ln, rn), dp)
+        ii, jj = np.where(sims >= thr)
+        aa, bb, vv = lid[ii], rid[jj], sims[ii, jj]
+        if pi == pj:
+            # intra-block: the square matrix holds every unordered pair
+            # twice (and the diagonal) — keep the a < b half once
+            keep = aa < bb
+            aa, bb, vv = aa[keep], bb[keep], vv[keep]
+        else:
+            # cross-block: each unordered pair appears exactly once, but
+            # id order can oppose block order — normalize, don't filter
+            aa, bb = np.minimum(aa, bb), np.maximum(aa, bb)
+        return pd.DataFrame({"a": aa, "b": bb, "cosine_sim": vv})
+
+    out = replicated.groupBy("pi", "pj").applyInPandas(
+        block_pairs, "a long, b long, cosine_sim double"
+    )
+    # intra-block pairs (pi == pj) appear once; a<b already enforced
+    return out
 
 
 # ----------------------------------------------------------------- IVF

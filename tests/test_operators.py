@@ -230,6 +230,20 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_blocked_similarity_join_equals_brute_force(spark, sf_dir):
+    """r03: the blocked-matmul all-pairs join is EXACTLY the naive n²
+    fold join — same pairs, same rounded values — across block counts
+    (including n_blocks > distinct hash residues present)."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    bf = {(r.a, r.b, r.cosine_sim)
+          for r in S.brute_force_similarity_join(e, threshold=0.35).collect()}
+    for nb in (1, 3, 8):
+        bl = {(r.a, r.b, r.cosine_sim)
+              for r in S.blocked_similarity_join(e, threshold=0.35, n_blocks=nb).collect()}
+        assert bl == bf, f"n_blocks={nb}: {len(bl)} vs {len(bf)}"
+    assert len(bf) > 0
+
+
 def test_lsh_recall_on_testdata(spark, sf_dir):
     """VERDICT r02 #2: the catalog's low-threshold configuration on the
     REAL embeddings table (not synthetic clusters) — non-vacuous, a
