@@ -1081,8 +1081,13 @@ def q_doc_fingerprint(spark, sf_dir):
     a fingerprint that varies for identical token sequences would both
     break the match. (This corpus has no duplicate token sequences, so
     the check pins injectivity; duplicate-bearing corpora get the
-    grouping behavior too — test_operators.py pins it directly.)"""
-    d = X.with_fingerprint(load(spark, sf_dir, "documents", spread=True))
+    grouping behavior too — test_operators.py pins it directly.)
+
+    No ``spread``: the window's own shuffle provides the parallelism,
+    and the pre-shuffle hashing is one cheap scan task locally (at
+    production scale the scan has file-split parallelism regardless) —
+    r02 flagged the extra repartition as this query's 2× regression."""
+    d = X.with_fingerprint(load(spark, sf_dir, "documents"))
     w = W.partitionBy("fingerprint")
     return d.select("doc_id", F.min("doc_id").over(w).alias("class_rep"))
 
