@@ -1092,6 +1092,53 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", F.min("doc_id").over(w).alias("class_rep"))
 
 
+_CC_ORACLE = """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT inter.a, inter.b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.a
+      JOIN sizes sb ON sb.doc_id = inter.b
+      WHERE c / (sa.n + sb.n - c) >= 0.5),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+    SELECT CAST(x AS BIGINT) AS doc_id,
+           CAST(least(x, min(y)) AS BIGINT) AS component
+    FROM reach GROUP BY x
+"""
+
+
+@query("dedup_components", _CC_ORACLE)
+def q_dedup_components(spark, sf_dir):
+    """C26/C27 capstone (r03): pairwise near-dups → dedup GROUPS.
+    MinHash+LSH finds the jaccard ≥ 0.5 pairs (at these parameters the
+    pair set is exactly the all-pairs oracle's), then iterative
+    min-label propagation folds them into connected components — each
+    doc labeled with the smallest doc_id in its duplicate class, the
+    label a keep-one-per-group dedup deletes against. Oracle = DuckDB
+    recursive transitive closure over the same exact pair set."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    pairs = D.minhash_near_duplicates(
+        d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
+    )
+    comps = D.connected_components(pairs.select("a", "b"))
+    return comps.select(F.col("node").alias("doc_id"), "component")
+
+
 @query("simhash_dedup", _JACCARD_ORACLE.format(thr=0.9))
 def q_simhash_dedup(spark, sf_dir):
     """C27: SimHash as the coarse filter of a verified pipeline —
@@ -2130,6 +2177,8 @@ DRIVER_PRIORITY: list[str] = [
     "regression_aggs",
     # -- previously 0-row / vacuous, re-checked after this round's fix --
     "lsh_similarity_join",
+    # -- new this round (needs its first driver row) --
+    "dedup_components",
     # -- anchors: one green row per operator family, re-confirmed --
     "connector_slice",
     "filter_group_or",
@@ -2151,7 +2200,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_knn",
     "text_stats",
     "quality_score",
-    "sql_passthrough",
+    # (sql_passthrough rotated out to keep the prefix at 50 — it has
+    # green rows in both r01 and r02)
 ]
 
 

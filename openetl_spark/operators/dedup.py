@@ -419,3 +419,66 @@ def simhash_near_duplicates(
     out = _verify_jaccard_on_candidates(cands, ex, threshold)
     out._cached_deps = [ex] if cache else []
     return out
+
+
+# ------------------------------------------- dedup groups (components)
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected near-dup pair graph —
+    the step that turns PAIRWISE duplicates into dedup GROUPS (keep one
+    doc per component; the reference has no counterpart, this is
+    training-data-pipeline surface).
+
+    Algorithm: iterative min-label propagation. Every node starts
+    labeled with its own id; each round every node takes the minimum
+    label among itself and its neighbors; at fixpoint each label is the
+    smallest node id in the component. One shuffle per round (groupBy
+    node), rounds ≈ label-propagation diameter of the widest component
+    — near-dup clusters are shallow (pairs/cliques), so 2-3 rounds in
+    practice. Convergence is detected by the (monotone, integral) sum
+    of labels going unchanged, one small agg action per round;
+    ``max_iter`` bounds adversarial chain graphs. Each round's labels
+    are ``localCheckpoint``ed — iterative self-joins grow the LOGICAL
+    plan exponentially if only persisted (persist caches data but keeps
+    lineage; analysis itself OOMs by ~10 rounds), while checkpointing
+    truncates the plan so every round starts from a flat scan.
+
+    Returns (node, component) for every node with ≥1 edge.
+    """
+    sym = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).union(
+        edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("x").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["y"] == labels["node"])
+            .groupBy("x")
+            .agg(F.min("component").alias("nc"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

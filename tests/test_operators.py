@@ -425,3 +425,31 @@ def test_udtf_expand_json(spark):
     ).collect()
     got = {(r["id"], r["key"]): r["value"] for r in rows}
     assert got == {(1, "a"): "1", (1, "b"): None}  # bad/missing json -> no rows
+
+
+def test_connected_components_shapes(spark):
+    """Chains, triangles, disjoint pairs: every node labeled with the
+    min id of its component; nodes without edges are absent."""
+    from openetl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_and_reverse_ids(spark):
+    """Worst-case propagation direction: ids DESCEND along the chain, so
+    the min label must travel the full diameter."""
+    from openetl_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n, 0, -1)], "a long, b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1} and len(got) == n + 1
