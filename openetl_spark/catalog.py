@@ -1139,6 +1139,87 @@ def q_dedup_components(spark, sf_dir):
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
+_KEEP_BEST_ORACLE = """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT inter.a, inter.b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.a
+      JOIN sizes sb ON sb.doc_id = inter.b
+      WHERE c / (sa.n + sb.n - c) >= 0.5),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+    comp AS (SELECT x AS doc_id, least(x, min(y)) AS component
+             FROM reach GROUP BY x),
+    toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             round(
+               (CASE WHEN len(tk) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END) *
+               (CASE WHEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                          / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) *
+               (0.5 + 0.5 * (CASE WHEN len(tk) > 0
+                                  THEN len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                                  ELSE 0.0 END)), 4) AS quality
+      FROM toks),
+    lab AS (
+      SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.quality
+      FROM q LEFT JOIN comp ON comp.doc_id = q.doc_id)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS keep_doc_id, quality
+    FROM (SELECT lab.*,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY quality DESC, doc_id ASC) AS rn
+          FROM lab)
+    WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark, sf_dir):
+    """The end-to-end dedup decision a training-data pipeline ships
+    (r03): near-dup pairs (MinHash+LSH, exact-verified) → connected
+    components → per-group survivor = highest quality_score (doc_id
+    tiebreak); singleton docs survive as their own group. One row per
+    surviving document. Composes three oracle-checked operators and is
+    itself oracle-checked end-to-end (recursive closure + the quality
+    formula + argmax in DuckDB)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    pairs = D.minhash_near_duplicates(
+        d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
+    )
+    comps = D.connected_components(pairs.select("a", "b"))
+    scored = X.quality_score(d).select("doc_id", "quality")
+    lab = scored.join(comps, scored["doc_id"] == comps["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "quality",
+    )
+    w = W.partitionBy("component").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keep_doc_id"), "quality")
+    )
+
+
 @query("simhash_dedup", _JACCARD_ORACLE.format(thr=0.9))
 def q_simhash_dedup(spark, sf_dir):
     """C27: SimHash as the coarse filter of a verified pipeline —
@@ -2177,8 +2258,9 @@ DRIVER_PRIORITY: list[str] = [
     "regression_aggs",
     # -- previously 0-row / vacuous, re-checked after this round's fix --
     "lsh_similarity_join",
-    # -- new this round (needs its first driver row) --
+    # -- new this round (need their first driver row) --
     "dedup_components",
+    "dedup_keep_best",
     # -- anchors: one green row per operator family, re-confirmed --
     "connector_slice",
     "filter_group_or",
@@ -2199,9 +2281,9 @@ DRIVER_PRIORITY: list[str] = [
     "simhash_dedup",
     "embedding_knn",
     "text_stats",
-    "quality_score",
-    # (sql_passthrough rotated out to keep the prefix at 50 — it has
-    # green rows in both r01 and r02)
+    # (sql_passthrough and quality_score rotated out to keep the prefix
+    # at 50 — both have green rows in r01 and r02, and quality_score's
+    # formula is re-exercised inside dedup_keep_best's oracle)
 ]
 
 
