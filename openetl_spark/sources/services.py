@@ -366,6 +366,16 @@ class ServiceSource:
             # so the fetch window must cover offset + limit rows
             safe_limit = int(connector.limit) + int(connector.offset or 0)
 
+        # Same bounded-memory staging contract as RestSource (VERDICT
+        # r02 #8): config['staging_dir'] spills pages to JSONL.
+        from openetl_spark.sources.rest import JsonlStagingWriter, _rows_to_df
+
+        staging = cfg.get("staging_dir")
+        writer = (
+            JsonlStagingWriter(staging, int(cfg.get("staging_batch_rows", 10_000)))
+            if staging
+            else None
+        )
         result = paged_fetch(
             fetch_page,
             pagination=self.desc.pagination,
@@ -377,10 +387,19 @@ class ServiceSource:
             max_retries=int(cfg.get("max_retries", 0)),
             retry_interval_s=float(cfg.get("retry_interval_s", 1.0)),
             refresh_auth=cfg.get("refresh_auth"),
+            sink=writer,
         )
-        from openetl_spark.sources.rest import _rows_to_df
-
-        df = _rows_to_df(spark, result.rows, cfg.get("schema"))
+        if writer is not None:
+            writer.close()
+            if writer.n_rows == 0:
+                df = _rows_to_df(spark, [], cfg.get("schema"))
+            else:
+                reader = spark.read
+                if cfg.get("schema") is not None:
+                    reader = reader.schema(cfg["schema"])
+                df = reader.json(writer.dir)
+        else:
+            df = _rows_to_df(spark, result.rows, cfg.get("schema"))
         if result.partial:
             # same explicit partial-extract contract as RestSource
             df = df.withColumn("_ingest_partial", F.lit(True))

@@ -312,3 +312,27 @@ def test_github_path_template_substitution():
     with pytest.raises(KeyError, match="config\\['owner'\\]"):
         build_request(Connector(adapter_id="github", endpoint_id="repo_issues"),
                       SERVICES["github"])
+
+
+def test_service_source_staged_ingest(spark, tmp_path):
+    """ServiceSource honors the same staging_dir contract as RestSource:
+    pages spill to JSONL, values round-trip, driver never holds the
+    whole extract."""
+    rows = [{"hs_object_id": i, "email": f"e{i}@x.com", "firstname": f"F{i}",
+             "lastname": f"L{i}", "createdate": "2024-01-01",
+             "lastmodifieddate": "2024-01-02"} for i in range(5000)]
+    t = contacts_transport(rows)
+    c = Connector(
+        adapter_id="hubspot", endpoint_id="contacts",
+        config={"transport": t, "staging_dir": str(tmp_path / "svc"),
+                "staging_batch_rows": 1000},
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="stg", source=c))
+    df = res.df
+    assert df.count() == 5000
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "svc" / "*.jsonl"))) == 5
+    # default-field projection still applies on the staged read
+    assert set(df.columns) == {"hs_object_id", "email", "firstname",
+                               "lastname", "createdate", "lastmodifieddate"}
