@@ -99,3 +99,74 @@ def test_random_agg_spec_matches_duckdb(spark, sf_dir, con, seed):
     spec = gen_spec(seed)
     ok, msg = compare(spark_query(spark, sf_dir, spec), con, duckdb_sql(spec))
     assert ok, f"seed={seed} spec={spec}: {msg}"
+
+
+# ------------------------------------------------- random join + agg
+
+JOIN_KEYS = ["c_mktsegment", "o_orderpriority", "o_orderstatus"]
+JOIN_NUMS = {"o_totalprice": (1000.0, 400000.0), "c_acctbal": (-999.0, 9999.0)}
+
+
+def gen_join_spec(seed: int):
+    rng = random.Random(10_000 + seed)
+    keys = rng.sample(JOIN_KEYS, rng.randint(1, 2))
+    agg_col = rng.choice(sorted(JOIN_NUMS))
+    kinds = rng.sample(["sum", "avg", "cnt"], rng.randint(1, 3))
+    filt = None
+    if rng.random() < 0.7:
+        col = rng.choice(sorted(JOIN_NUMS))
+        lo, hi = JOIN_NUMS[col]
+        filt = (col, rng.choice(["<", ">"]), round(rng.uniform(lo, hi), 2))
+    return keys, agg_col, kinds, filt
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_join_agg_matches_duckdb(spark, sf_dir, con, seed):
+    keys, agg_col, kinds, filt = gen_join_spec(seed)
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    df = o.join(c, o["o_custkey"] == c["c_custkey"])
+    cond_sql = ""
+    if filt:
+        col, op, val = filt
+        df = df.filter(F.col(col) < val if op == "<" else F.col(col) > val)
+        cond_sql = f" AND {col} {op} {val}"
+    exprs = {
+        "sum": F.round(F.sum(agg_col), 2).alias("s"),
+        "avg": F.round(F.avg(agg_col), 4).alias("m"),
+        "cnt": F.count(F.lit(1)).alias("n"),
+    }
+    sqls = {
+        "sum": f"round(sum({agg_col}), 2) AS s",
+        "avg": f"round(avg({agg_col}), 4) AS m",
+        "cnt": "CAST(count(*) AS BIGINT) AS n",
+    }
+    spark_df = df.groupBy(*keys).agg(*[exprs[k] for k in kinds])
+    sql = (
+        f"SELECT {', '.join(keys)}, {', '.join(sqls[k] for k in kinds)} "
+        f"FROM orders JOIN customer ON o_custkey = c_custkey"
+        f" WHERE 1=1{cond_sql} GROUP BY {', '.join(keys)}"
+    )
+    ok, msg = compare(spark_df, con, sql)
+    assert ok, f"seed={seed}: {msg}"
+
+
+# --------------------------------------------- random deterministic top-k
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_topk_matches_duckdb(spark, sf_dir, con, seed):
+    """Sort + limit with a unique tiebreak key (o_orderkey) so the
+    result SET is deterministic across engines."""
+    rng = random.Random(20_000 + seed)
+    val = rng.choice(["o_totalprice", "o_orderdate"])
+    desc = rng.random() < 0.5
+    k = rng.randint(1, 40)
+    o = catalog.load(spark, sf_dir, "orders")
+    order = [F.col(val).desc() if desc else F.col(val).asc(), F.col("o_orderkey").asc()]
+    spark_df = o.select("o_orderkey", val).orderBy(*order).limit(k)
+    sql = (
+        f"SELECT o_orderkey, {val} FROM orders "
+        f"ORDER BY {val} {'DESC' if desc else 'ASC'}, o_orderkey ASC LIMIT {k}"
+    )
+    ok, msg = compare(spark_df, con, sql)
+    assert ok, f"seed={seed} val={val} desc={desc} k={k}: {msg}"
