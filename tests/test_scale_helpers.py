@@ -165,3 +165,31 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
     # percentile_approx with high accuracy lands within 1% of exact
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.01 * row["p50_exact"] + 1
+
+
+def test_connector_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """SCALE.md's core claim, pinned: a compiled connector's filter and
+    projection reach the parquet scan as PushedFilters + pruned
+    ReadSchema, and the plan runs inside WholeStageCodegen."""
+    from openetl_spark.plans.compiler import compile_connector
+    from openetl_spark.spec import Connector, Filter
+
+    c = Connector(
+        adapter_id="parquet",
+        endpoint_id=f"{sf_dir}/lineitem.parquet",
+        fields=["l_orderkey", "l_extendedprice"],
+        filters=[Filter("l_quantity", ">", 30)],
+    )
+    df = compile_connector(spark, c)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_quantity" in pushed and "GreaterThan" in pushed, pushed
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # pruned to the union of projected + filtered columns only
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_shipdate" not in read, read
+    # '*' prefixes in formatted mode = operator runs inside
+    # whole-stage-codegen; the filter and project must both be starred
+    assert "* Filter" in plan and "* Project" in plan, plan.splitlines()[:8]
