@@ -151,6 +151,60 @@ def test_random_join_agg_matches_duckdb(spark, sf_dir, con, seed):
     assert ok, f"seed={seed}: {msg}"
 
 
+# ----------------------------------------------- random window functions
+
+WIN_FUNCS = ["row_number", "rank", "dense_rank", "lag", "lead", "frame_sum", "frame_avg"]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_window_spec_matches_duckdb(spark, sf_dir, con, seed):
+    """Windows over a UNIQUE total ordering (value, l_orderkey,
+    l_linenumber) so every analytic function is deterministic; frame
+    aggregates use short ROWS frames so double rounding stays stable."""
+    from pyspark.sql import Window as W
+
+    rng = random.Random(30_000 + seed)
+    part = rng.choice(CATS)
+    val = rng.choice(sorted(NUMS))
+    desc = rng.random() < 0.5
+    fns = rng.sample(WIN_FUNCS, rng.randint(1, 3))
+
+    order_cols = [F.col(val).desc() if desc else F.col(val).asc(),
+                  F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    sql_order = (f"{val} {'DESC' if desc else 'ASC'}, "
+                 f"l_orderkey ASC, l_linenumber ASC")
+    w = W.partitionBy(part).orderBy(*order_cols)
+    wf = w.rowsBetween(-3, 0)
+
+    exprs, sqls = [], []
+    for i, fn in enumerate(fns):
+        a = f"w{i}"
+        if fn in ("row_number", "rank", "dense_rank"):
+            exprs.append(getattr(F, fn)().over(w).cast("long").alias(a))
+            sqls.append(f"CAST({fn}() OVER win AS BIGINT) AS {a}")
+        elif fn in ("lag", "lead"):
+            exprs.append(getattr(F, fn)(val, 1).over(w).alias(a))
+            sqls.append(f"{fn}({val}, 1) OVER win AS {a}")
+        elif fn == "frame_sum":
+            exprs.append(F.round(F.sum(val).over(wf), 2).alias(a))
+            sqls.append(f"round(sum({val}) OVER winf, 2) AS {a}")
+        else:
+            exprs.append(F.round(F.avg(val).over(wf), 4).alias(a))
+            sqls.append(f"round(avg({val}) OVER winf, 4) AS {a}")
+
+    l = catalog.load(spark, sf_dir, "lineitem")
+    spark_df = l.select("l_orderkey", "l_linenumber", F.col(part), *exprs)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {part}, {', '.join(sqls)} "
+        f"FROM lineitem "
+        f"WINDOW win AS (PARTITION BY {part} ORDER BY {sql_order}), "
+        f"winf AS (PARTITION BY {part} ORDER BY {sql_order} "
+        f"ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+    ok, msg = compare(spark_df, con, sql)
+    assert ok, f"seed={seed} part={part} val={val} fns={fns}: {msg}"
+
+
 # --------------------------------------------- random deterministic top-k
 
 @pytest.mark.parametrize("seed", range(15))
