@@ -30,6 +30,7 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -62,15 +63,71 @@ def _truthy(df: DataFrame, name: str) -> Column:
     return c.isNotNull() & (c.cast("string") != "")
 
 
-def _js_string(df: DataFrame, name: str) -> Column:
-    """JS String(x) for a typed column. The one material divergence from
-    a plain cast: JS renders integral doubles without the trailing
-    ``.0`` (String(1.0) === '1'). Exponent-notation thresholds (|x| ≥
-    1e21 or < 1e-6) still differ in formatting — documented limitation;
-    the integral case is the one that appears in real data."""
+def js_number_to_string(x: float) -> str:
+    """ECMA-262 §6.1.6.1.20 Number::toString(10), reimplemented exactly:
+    shortest round-trip decimal digits (Python ``repr`` — same
+    shortest-representation contract JS engines use), positional
+    notation for decimal exponents in (-6, 21], un-zero-padded ``e±``
+    notation outside. Pinned against hand-computed JS vectors in
+    tests."""
+    import decimal
+    import math
+
+    if math.isnan(x):
+        return "NaN"
+    if x == math.inf:
+        return "Infinity"
+    if x == -math.inf:
+        return "-Infinity"
+    if x == 0:
+        return "0"  # JS String(-0) === '0'
+    sign = "-" if x < 0 else ""
+    dt = decimal.Decimal(repr(abs(float(x)))).as_tuple()
+    digits = list(dt.digits)
+    exp = dt.exponent
+    while len(digits) > 1 and digits[-1] == 0:
+        digits.pop()
+        exp += 1
+    s = "".join(map(str, digits))
+    k = len(s)
+    n = exp + k  # value = 0.s × 10^n
+    if k <= n <= 21:
+        body = s + "0" * (n - k)
+    elif 0 < n <= 21:
+        body = s[:n] + "." + s[n:]
+    elif -6 < n <= 0:
+        body = "0." + "0" * (-n) + s
+    else:
+        mant = s[0] + ("." + s[1:] if k > 1 else "")
+        body = f"{mant}e{'+' if n - 1 >= 0 else '-'}{abs(n - 1)}"
+    return sign + body
+
+
+def _js_number_string_udf():
+    @F.pandas_udf(T.StringType())
+    def fmt(xs: pd.Series) -> pd.Series:
+        return xs.map(
+            lambda v: None if v is None else js_number_to_string(float(v))
+        )
+
+    return fmt
+
+
+def _js_string(df: DataFrame, name: str, exact: bool = False) -> Column:
+    """JS String(x) for a typed column. The material divergence from a
+    plain cast: JS renders integral doubles without the trailing ``.0``
+    (String(1.0) === '1') — handled JVM-side. Non-integral extremes
+    (Spark casts |x| ≥ 1e7 / < 1e-3 to ``1.0E7``-style scientific; JS
+    switches at 1e21 / 1e-7 with different spelling) match only under
+    ``exact=True``, which routes float columns through the ECMA
+    formatter pandas UDF — exact JS output, at Arrow-batch cost, so it
+    is opt-in per transform (``exact_number_format`` option) rather
+    than the default hot path."""
     c = F.col(name)
     dt = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(name)
     if isinstance(dt, (T.DoubleType, T.FloatType)):
+        if exact:
+            return _js_number_string_udf()(c.cast("double"))
         d = c.cast("double")
         as_long = d.try_cast("long")
         integral = (
@@ -83,8 +140,8 @@ def _js_string(df: DataFrame, name: str) -> Column:
     return c.cast("string")
 
 
-def _str_or_empty(df: DataFrame, name: str) -> Column:
-    return F.coalesce(_js_string(df, name), F.lit(""))
+def _str_or_empty(df: DataFrame, name: str, exact: bool = False) -> Column:
+    return F.coalesce(_js_string(df, name, exact), F.lit(""))
 
 
 def _has(df: DataFrame, name: str) -> bool:
@@ -163,8 +220,9 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         if js:
             # JS: properties.map(p=>row[p]).filter(Boolean).join(glue) —
             # falsy values vanish entirely (no doubled glue).
+            exact = bool(o.get("exact_number_format"))
             parts = [
-                F.when(_truthy(df, p), _js_string(df, p)).otherwise(F.lit(None))
+                F.when(_truthy(df, p), _js_string(df, p, exact)).otherwise(F.lit(None))
                 if _has(df, p)
                 else F.lit(None).cast("string")  # undefined -> filtered
                 for p in props
@@ -223,7 +281,10 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
             if not _has(df, fld):
                 base = F.lit("")
             else:
-                base = F.when(_truthy(df, fld), _js_string(df, fld)).otherwise(F.lit(""))
+                exact = bool(o.get("exact_number_format"))
+                base = F.when(
+                    _truthy(df, fld), _js_string(df, fld, exact)
+                ).otherwise(F.lit(""))
         else:
             base = F.col(fld).cast("string")
         expr = (

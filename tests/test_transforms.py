@@ -283,3 +283,53 @@ def test_extract_java_only_regex_syntax(spark):
         df, [Transformation("extract", {"field": "s", "pattern": "a*+b", "to": "x"})]
     )
     assert out.collect()[0]["x"] == "aaab"
+
+
+# ---------------------------------------- exact JS number formatting (r03)
+
+JS_NUMBER_VECTORS = [
+    # (python value, exactly what JS String(x) produces)
+    (1e21, "1e+21"),
+    (1e20, "100000000000000000000"),
+    (123456789012345680000.0, "123456789012345680000"),
+    (1e-6, "0.000001"),
+    (1e-7, "1e-7"),
+    (1.5e-7, "1.5e-7"),
+    (0.1 + 0.2, "0.30000000000000004"),
+    (12345678.5, "12345678.5"),
+    (10000000.0, "10000000"),
+    (0.0001, "0.0001"),
+    (-0.0, "0"),
+    (5e-324, "5e-324"),
+    (1.7976931348623157e308, "1.7976931348623157e+308"),
+    (-42.5, "-42.5"),
+    (float("nan"), "NaN"),
+    (float("inf"), "Infinity"),
+    (float("-inf"), "-Infinity"),
+]
+
+
+def test_js_number_to_string_vectors():
+    from openetl_spark.functions.transforms import js_number_to_string
+
+    for x, want in JS_NUMBER_VECTORS:
+        assert js_number_to_string(x) == want, (x, js_number_to_string(x), want)
+
+
+def test_exact_number_format_closes_exponent_divergence(spark):
+    """ROADMAP #6 closed (opt-in): with exact_number_format, concat
+    renders doubles byte-for-byte as JS String(x) — including the 1e21 /
+    1e-7 exponent thresholds the JVM cast path documents as divergent."""
+    vals = [(i, v) for i, (v, _) in enumerate(JS_NUMBER_VECTORS[:13])]
+    df = spark.createDataFrame(vals, "id long, x double")
+    out = apply_transforms(
+        df,
+        [Transformation("concat", {"properties": ["x"], "to": "s",
+                                   "exact_number_format": True})],
+        strict_js_compat=True,
+    )
+    got = {r["id"]: r["s"] for r in out.collect()}
+    for i, (v, want) in enumerate(JS_NUMBER_VECTORS[:13]):
+        # concat filters falsy: String(-0) never survives ('' instead)
+        want_concat = "" if v == 0 else want
+        assert got[i] == want_concat, (v, got[i], want_concat)
