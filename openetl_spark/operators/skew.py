@@ -58,3 +58,17 @@ def salted_join(
     d = explode_salt(dim, salt)
     out = f.join(d, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
+    """Broadcast hint guarded by Catalyst's own size estimate: a
+    user-supplied "dimension" that is secretly fact-sized must not be
+    forced into executor memory (an unconditional ``F.broadcast``
+    overrides autoBroadcastJoinThreshold and OOMs at scale). Returns the
+    hinted DataFrame when the optimized-plan estimate fits
+    ``max_bytes``, the unhinted one otherwise — the join then falls back
+    to whatever AQE picks at runtime."""
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return F.broadcast(df) if size <= max_bytes else df

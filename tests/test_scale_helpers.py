@@ -193,3 +193,29 @@ def test_connector_pushdown_reaches_parquet_scan(spark, sf_dir):
     # '*' prefixes in formatted mode = operator runs inside
     # whole-stage-codegen; the filter and project must both be starred
     assert "* Filter" in plan and "* Project" in plan, plan.splitlines()[:8]
+
+
+def test_broadcast_if_small_guards_fact_sized_dims(spark, sf_dir):
+    """ROADMAP #4: the guard hints genuinely-small dims (plan shows
+    BroadcastHashJoin) but refuses to force a fact-sized side into
+    executor memory (falls back to an unhinted plan)."""
+    import io, contextlib
+
+    from openetl_spark.operators.skew import broadcast_if_small
+
+    nation = catalog.load(spark, sf_dir, "nation")
+    orders = catalog.load(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan_of(dim):
+            j = orders.join(dim, orders["o_custkey"] % 25 == dim["n_nationkey"])
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain()
+            return buf.getvalue()
+
+        assert "BroadcastHashJoin" in plan_of(broadcast_if_small(nation))
+        # a 1-byte budget rejects everything → no forced broadcast
+        assert "BroadcastHashJoin" not in plan_of(broadcast_if_small(nation, max_bytes=1))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
