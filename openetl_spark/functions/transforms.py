@@ -156,9 +156,12 @@ def _has(df: DataFrame, name: str) -> bool:
 def _js_replacement_to_java(repl: str) -> str:
     """Translate the JS String.replace replacement dialect to Java's:
     JS `$$`→literal $, `$&`→whole match ($0 in Java), `$n` passes
-    through, any OTHER `$` is literal in JS but an illegal group ref in
-    Java (escape it); backslashes are literal in JS replacements but
-    escapes in Java."""
+    through, `$<name>`→Java's `${name}` (r03), any OTHER `$` is literal
+    in JS but an illegal group ref in Java (escape it); backslashes are
+    literal in JS replacements but escapes in Java. Still documented as
+    unsupported: ``$\\``` (preceding portion) and ``$'`` (following
+    portion) have no Java regexp_replace equivalent — expressing them
+    needs per-match string surgery, not a replacement template."""
     out = []
     i = 0
     while i < len(repl):
@@ -177,6 +180,17 @@ def _js_replacement_to_java(repl: str) -> str:
             elif nxt.isdigit():
                 out.append("$" + nxt)
                 i += 2
+            elif nxt == "<":
+                end = repl.find(">", i + 2)
+                name = repl[i + 2 : end] if end != -1 else ""
+                if end != -1 and re.fullmatch(r"[A-Za-z][A-Za-z0-9]*", name):
+                    out.append("${" + name + "}")
+                    i = end + 1
+                else:
+                    # JS: malformed $< with NO named groups in the
+                    # pattern is literal; keep it literal here too
+                    out.append("\\$")
+                    i += 1
             else:
                 out.append("\\$")
                 i += 1

@@ -333,3 +333,29 @@ def test_exact_number_format_closes_exponent_divergence(spark):
         # concat filters falsy: String(-0) never survives ('' instead)
         want_concat = "" if v == 0 else want
         assert got[i] == want_concat, (v, got[i], want_concat)
+
+
+def test_replace_named_group_reference(spark):
+    """r03: JS `$<name>` replacement refs translate to Java `${name}` —
+    named-group round-trip through the strict replace transform."""
+    df = spark.createDataFrame([(1, "john.smith@corp.com")], "id long, email string")
+    out = apply_transforms(
+        df,
+        [Transformation("replace", {
+            "field": "email", "to": "display",
+            "search": r"(?<user>[^.@]+)\.(?<family>[^@]+)@.*",
+            "replace": "$<family>, $<user>"})],
+        strict_js_compat=True,
+    )
+    assert out.collect()[0]["display"] == "smith, john"
+
+
+def test_replace_malformed_named_ref_stays_literal(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, s string")
+    out = apply_transforms(
+        df,
+        [Transformation("replace", {"field": "s", "to": "t",
+                                    "search": "b", "replace": "$<"})],
+        strict_js_compat=True,
+    )
+    assert out.collect()[0]["t"] == "a$<c"
