@@ -1220,6 +1220,35 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+@query(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """C29 extension (r03): Gopher-style within-doc repetition signals
+    (distinct-bigram ratio, top-bigram mass) — the standard
+    drop-if-repetitive pre-filter for training corpora. Explode →
+    count → agg: two shuffles carrying bigram keys, linear at any
+    corpus size."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.bigram_repetition_stats(d, "doc_id", "text")
+
+
 @query("simhash_dedup", _JACCARD_ORACLE.format(thr=0.9))
 def q_simhash_dedup(spark, sf_dir):
     """C27: SimHash as the coarse filter of a verified pipeline —
@@ -2261,6 +2290,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new this round (need their first driver row) --
     "dedup_components",
     "dedup_keep_best",
+    "repetition_stats",
     # -- anchors: one green row per operator family, re-confirmed --
     "connector_slice",
     "filter_group_or",
@@ -2272,7 +2302,7 @@ DRIVER_PRIORITY: list[str] = [
     "q1_pricing",
     "q5_regional_revenue",
     "window_rank",
-    "window_frame",
+    # (window_frame rotated out for repetition_stats — green r01+r02)
     "tumbling_hourly",
     "session_windows",
     "pandas_normalize",

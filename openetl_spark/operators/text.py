@@ -149,3 +149,36 @@ def with_fingerprint(
         hashed, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
     )
     return df.withColumn(out, fp)
+
+
+def bigram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1's duplicate-n-gram family): per doc, the distinct-bigram
+    ratio and the mass of the single most frequent bigram. Degenerate
+    machine text repeats phrases; both signals feed the standard
+    drop-if-repetitive pre-filter.
+
+    Shape: explode bigrams → count per (doc, bigram) → per-doc agg. Two
+    hash shuffles, both carrying bigram hashes not documents; linear in
+    corpus size, no per-doc state beyond the aggregation — scan-shaped
+    at any corpus size. Docs with <2 tokens have no bigrams and are
+    omitted (no repetition signal exists for them)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = df.select(F.col(id_col), F.explode(bigrams).alias("b"))
+    per_bigram = ex.groupBy(id_col, "b").agg(F.count("*").alias("c"))
+    return per_bigram.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.count("*") / F.sum("c"), round_dp).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), round_dp).alias("top_frac"),
+    )

@@ -453,3 +453,16 @@ def test_connected_components_long_chain_and_reverse_ids(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert set(got.values()) == {1} and len(got) == n + 1
+
+
+def test_bigram_repetition_stats_known_values(spark):
+    """'a b a b a b' → bigrams [ab, ba, ab, ba, ab]: n=5, 2 distinct
+    (ratio 0.4), top 'a b' ×3 (frac 0.6). Single-token and empty docs
+    are omitted (no bigrams)."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["distinct_ratio"], r["top_frac"])
+           for r in X.bigram_repetition_stats(df).collect()}
+    assert got == {1: (5, 0.4, 0.6), 2: (3, 1.0, round(1 / 3, 4))}
