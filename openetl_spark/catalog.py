@@ -1221,6 +1221,33 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 @query(
+    "pivot_dynamic",
+    """
+    SELECT o_orderstatus,
+           round(avg(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS "1-URGENT",
+           round(avg(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2) AS "2-HIGH",
+           round(avg(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS "3-MEDIUM",
+           round(avg(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2) AS "4-NOT SPECIFIED",
+           round(avg(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_dynamic(spark, sf_dir):
+    """C9 extension (r03, closes ROADMAP #5's leftover): pivot with
+    DYNAMIC value discovery — no values list passed, Spark runs the
+    extra distinct pass and derives the columns from the data. The
+    oracle names the five discovered priorities explicitly, so a
+    discovery mismatch (missing/extra column) fails the schema
+    compare."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")
+        .agg(F.round(F.avg("o_totalprice"), 2))
+    )
+
+
+@query(
     "repetition_stats",
     """
     WITH toks AS (
@@ -2291,6 +2318,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_components",
     "dedup_keep_best",
     "repetition_stats",
+    "pivot_dynamic",
     # -- anchors: one green row per operator family, re-confirmed --
     "connector_slice",
     "filter_group_or",
@@ -2302,8 +2330,8 @@ DRIVER_PRIORITY: list[str] = [
     "q1_pricing",
     "q5_regional_revenue",
     "window_rank",
-    # (window_frame rotated out for repetition_stats — green r01+r02)
-    "tumbling_hourly",
+    # (window_frame and tumbling_hourly rotated out for
+    # repetition_stats / pivot_dynamic — both green r01+r02)
     "session_windows",
     "pandas_normalize",
     "dedup_exact",
