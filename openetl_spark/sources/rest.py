@@ -162,9 +162,15 @@ class JsonlStagingWriter:
     pass over all files."""
 
     def __init__(self, staging_dir: str, batch_rows: int = 10_000):
+        import glob
         import os
 
         os.makedirs(staging_dir, exist_ok=True)
+        # A reused staging dir must start empty: a previous LARGER run's
+        # leftover part files would silently join the new result (this
+        # writer overwrites only the file numbers it reaches).
+        for stale in glob.glob(os.path.join(staging_dir, "part-*.jsonl")):
+            os.remove(stale)
         self.dir = staging_dir
         self.batch_rows = max(1, int(batch_rows))
         self.buf: list = []

@@ -566,3 +566,26 @@ def test_paged_fetch_sink_bounds_retention():
     got = [r for batch in seen for r in batch]
     assert len(got) == 350
     assert max(len(b) for b in seen) <= 100  # one page at a time
+
+
+def test_staged_ingest_reused_dir_drops_stale_parts(spark, tmp_path):
+    """A reused staging_dir from a previous LARGER extract must not leak
+    stale part files into the new result."""
+    from openetl_spark.pipeline import Orchestrator, Pipeline
+
+    def src(n):
+        def fetch(opts):
+            off = int(opts["offset"] or 0)
+            return {"data": [{"k": i} for i in range(off, min(off + opts["limit"], n))]}
+
+        return Connector(
+            adapter_id="rest", endpoint_id="r",
+            config={"fetch_page": fetch, "items_per_page": 500,
+                    "staging_dir": str(tmp_path / "reuse"),
+                    "staging_batch_rows": 1000, "schema": "k long"},
+        )
+
+    big = Orchestrator(spark=spark).run_pipeline(Pipeline(id="b", source=src(5000))).df
+    assert big.count() == 5000
+    small = Orchestrator(spark=spark).run_pipeline(Pipeline(id="s", source=src(1500))).df
+    assert small.count() == 1500  # not 1500 + stale tail of the 5000-run
