@@ -37,3 +37,25 @@ def test_rows_only_runs(spark, sf_dir, name):
     cols = set(df.columns)
     if {"a", "b"} <= cols:  # similarity/dedup pair queries
         assert all(r["a"] < r["b"] for r in rows), f"{name}: pair order violated"
+
+
+def test_driver_priority_window_integrity():
+    """The driver checks the first 50 entries of queries(); this pins
+    the contract: exactly 50 priority names, all real, no duplicates,
+    every query newly added in r03 inside the window, and ordered_*
+    views consistent with each other."""
+    import __spark_entry__ as entry
+
+    pri = catalog.DRIVER_PRIORITY
+    assert len(pri) == 50 and len(set(pri)) == 50
+    missing = [n for n in pri if n not in catalog.QUERIES]
+    assert not missing, missing
+    first50 = list(entry.queries())[:50]
+    assert first50 == pri
+    for newcomer in ("dedup_components", "dedup_keep_best",
+                     "repetition_stats", "pivot_dynamic", "lsh_similarity_join"):
+        assert newcomer in first50, newcomer
+    o = entry.oracle_sql()
+    q = entry.queries()
+    assert set(o) <= set(q)
+    assert list(o) == [n for n in q if n in o]  # same iteration order
