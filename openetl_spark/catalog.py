@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from openetl_spark.operators import curation as C
 from openetl_spark.operators import dedup as D
 from openetl_spark.operators import joins as J
 from openetl_spark.operators import similarity as S
@@ -2264,6 +2265,142 @@ def q_regression_aggs(spark, sf_dir):
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+# =====================================================================
+# Round 4 — dataset-curation operators (operators/curation.py)
+# =====================================================================
+
+@query(
+    "decontaminate_ngram",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5),
+    ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+    agg AS (
+      SELECT n.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+      FROM ng n LEFT JOIN ev ON n.g = ev.g
+      WHERE n.doc_id % 20 <> 0
+      GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(n_grams AS DOUBLE), 4) AS contamination_frac
+    FROM agg WHERE n_shared >= 1
+    """,
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    """Curation (r04): benchmark decontamination — flag training docs
+    sharing any 5-gram with the eval slice (doc_id % 20 == 0 stands in
+    for a benchmark set). Eval n-grams broadcast; the corpus side's
+    only shuffle is the per-doc count agg. The handful of flagged docs
+    are exactly the planted near-duplicates — the realistic shape of a
+    contamination scan (GPT-3 used 13-grams; n=5 scaled to this
+    corpus's ~100-token docs)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    tr = d.where(F.col("doc_id") % 20 != 0)
+    return C.decontaminate(tr, ev, "doc_id", "text", n=5, min_shared=1)
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {C.hash_bucket_sql('doc_id', 100)}
+          < CAST((CASE WHEN lang = 'de' THEN 0.25
+                       WHEN lang = 'en' THEN 0.5
+                       WHEN lang = 'zh' THEN 0.1
+                       ELSE 0.0 END) * 100 AS INT)
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Curation (r04): deterministic domain mixing — per-language
+    inclusion rates via an engine-portable md5 bucket on doc_id
+    (identical CASE+bucket formula in the oracle). Membership depends
+    only on the row id: the training mix is reproducible across runs,
+    engines, and cluster sizes. One scan, zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    return C.stratified_sample(
+        d, {"en": 0.5, "de": 0.25, "zh": 0.1}, "lang", "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM t)
+    SELECT lang, CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Curation (r04): contiguous sequence packing into 512-token
+    context bins per language — the deterministic streaming-concat
+    layout used to build fixed-length training examples. One shuffle
+    on the group key, one running window per group; at scale the group
+    key is (lang, shard) so packing parallelizes across shards."""
+    d = load(spark, sf_dir, "documents")
+    return C.pack_sequences(d, budget=512, group_col="lang", id_col="doc_id")
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{C.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{C.PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{C.EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{C.PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM aug
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """Curation (r04): PII scrub before text enters a training mix —
+    emails and US-style phone numbers replaced with placeholder tokens,
+    with per-row match counts. The corpus is synthetic, so deterministic
+    PII is appended in-query (one email + one phone per doc) to make the
+    redaction non-vacuous; patterns are lookaround-free so Java regex
+    (Spark) and RE2 (oracle) agree and the whole pass stays in
+    whole-stage codegen — a pure scan at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("t"),
+    )
+    return C.redact_pii(aug, "t", "redacted").select(
+        "doc_id", "n_emails", "n_phones", "redacted"
     )
 
 

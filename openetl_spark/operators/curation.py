@@ -1,0 +1,224 @@
+"""Dataset-curation operators for training-data pipelines (SURVEY.md
+§2C extension surface, round 4): benchmark decontamination,
+deterministic stratified sampling / domain mixing, sequence packing,
+and PII redaction.
+
+These are the standard steps between "raw crawl" and "training mix"
+that the reference engine has no analogue for (its surface stops at
+extract/transform/load, `/root/reference/src/index.ts:120-320`).
+Everything here is built-in Column expressions — whole-stage codegen,
+no Python in the hot path — so each step is a linear scan plus at most
+one key-hashed shuffle at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openetl_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------
+# Deterministic hash bucketing (the reproducible-sampling primitive)
+# ---------------------------------------------------------------------
+
+
+def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, n_buckets): md5 of
+    the value's string form, first three hex chars mixed via ascii
+    codes. Identical results in Spark and any engine with md5/ascii
+    (the DuckDB oracles render the same formula), so sampling decisions
+    are reproducible across engines and runs — the property that makes
+    a training mix auditable. md5 is evaluated once per row JVM-side;
+    16^3 = 4096 distinct states is plenty for percent-level rates."""
+    h = F.md5(col.cast("string"))
+    mixed = (
+        F.ascii(F.substring(h, 1, 1)) * 65536
+        + F.ascii(F.substring(h, 2, 1)) * 256
+        + F.ascii(F.substring(h, 3, 1))
+    )
+    return F.pmod(mixed, F.lit(n_buckets))
+
+
+def hash_bucket_sql(expr: str, n_buckets: int = 100) -> str:
+    """The exact DuckDB/ANSI rendering of hash_bucket() for oracles."""
+    m = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"(ascii(substr({m},1,1))*65536 + ascii(substr({m},2,1))*256 "
+        f"+ ascii(substr({m},3,1))) % {n_buckets}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the 'domain mixing' step of
+    a training-data pipeline: given target inclusion rates per stratum
+    (language, source domain, quality band), keep a reproducible,
+    engine-portable subset. Unlike df.sample()/sampleBy(), membership
+    depends only on the row id, so the mix is stable across runs,
+    engines, partitionings, and cluster sizes — re-running the pipeline
+    on 100 TB yields byte-identical training sets.
+
+    Plan shape: one scan, zero shuffles — the rate lookup is a literal
+    CASE expression and the bucket is computed per-row. Filters still
+    push down past it."""
+    rate_expr = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(float(rate))
+        ).otherwise(rate_expr)
+    bucket = hash_bucket(F.col(id_col), 100)
+    return df.where(bucket < (rate_expr * 100).cast("int"))
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------
+
+
+def ngrams(text: Column, n: int = 5) -> Column:
+    """Whitespace-token n-grams as space-joined strings. Docs with
+    fewer than n tokens have none. Guarded with when(): Spark's
+    sequence(1, stop) infers step -1 when stop < 1 and would emit
+    index 0, which slice() rejects."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    min_shared distinct n-grams with an evaluation corpus (the
+    GPT-3/PaLM-style 13-gram-overlap test, shrunk to n-gram size n for
+    the synthetic corpus). Returns (id, n_shared, contamination_frac)
+    for flagged docs, contamination_frac = shared / doc's distinct
+    n-grams.
+
+    Scale shape: eval sets are benchmark-sized (thousands of docs) vs
+    a 100 TB training corpus, so the distinct eval n-gram relation is
+    broadcast — the corpus side never shuffles for the join; the only
+    corpus-keyed shuffle is the single per-doc aggregation, carrying
+    (id, partial-count) pairs, not text. explode() streams: no per-doc
+    n-gram array ever materializes whole in an executor's state."""
+    ev = (
+        eval_df.select(F.explode(ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("g")
+    )
+    per_doc = (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("g").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("hit").isNotNull(), F.col("g"))
+            ).alias("n_shared"),
+        )
+    )
+    return per_doc.where(F.col("n_shared") >= min_shared).select(
+        id_col,
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 4).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (context-window bin assignment)
+# ---------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence packing: within each group (language /
+    shard), documents are laid out in id order and assigned to
+    context-window bins of `budget` tokens by exclusive running token
+    count — bin = floor(tokens_before_me / budget). This is the
+    deterministic streaming-concat packing used to build fixed-length
+    training examples; docs longer than the budget span bins exactly as
+    a streaming tokenizer would consume them. Returns one row per
+    (group, bin): docs packed and fill level.
+
+    Scale shape: one hash shuffle on group_col, then a single running
+    window per group. At 100 TB the group key is (lang, shard) so each
+    window partition is one shard's worth — the operator is embarrassed
+    -ly parallel across shards; there is no global order dependency."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_bin = (
+        df.select(group_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("bin_id", F.floor(F.col("tokens_before") / budget))
+    )
+    return with_bin.groupBy(group_col, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------
+
+# Dialect-safe patterns: identical semantics in Java regex (Spark) and
+# RE2 (DuckDB oracle) — no lookaround, no backreferences, no \b.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\(?[0-9]{3}[-.)][0-9]{3}[-.][0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and US-style phone numbers, reporting per-row match
+    counts — the mandatory hygiene pass before text enters a training
+    mix. Patterns are deliberately lookaround-free so the operator runs
+    entirely in whole-stage codegen (regexp_replace / regexp_extract_all
+    are JVM intrinsics); a 100 TB redaction pass is a pure scan."""
+    t = F.col(text_col)
+    return (
+        # idx=0 (whole match): Spark's default group index is 1, and
+        # these patterns have no capture groups.
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+            ),
+        )
+    )

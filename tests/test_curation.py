@@ -1,0 +1,102 @@
+"""Unit tests for dataset-curation operators (operators/curation.py):
+edge cases the corpus-level oracle tests don't isolate."""
+
+from pyspark.sql import functions as F
+
+from openetl_spark.operators import curation as C
+
+
+def test_ngrams_short_docs_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e"), (3, "a b"), (4, ""), (5, "   ")],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", C.ngrams(F.col("text"), 5).alias("g")).collect()
+    }
+    assert rows[1] == ["a b c d e", "b c d e f"]
+    assert rows[2] == ["a b c d e"]
+    assert rows[3] == [] and rows[4] == [] and rows[5] == []
+
+
+def test_hash_bucket_deterministic_and_in_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    b1 = df.select(C.hash_bucket(F.col("id"), 100).alias("b")).collect()
+    b2 = df.select(C.hash_bucket(F.col("id"), 100).alias("b")).collect()
+    assert b1 == b2
+    vals = [r["b"] for r in b1]
+    assert all(0 <= v < 100 for v in vals)
+    assert len(set(vals)) > 50  # spreads, not constant
+
+
+def test_stratified_sample_rate_zero_excludes_and_is_stable(spark):
+    rows = [(i, "en" if i % 2 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = C.stratified_sample(df, {"en": 0.5}, "lang", "doc_id").collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"en"}  # default_rate=0 excludes fr entirely
+    n = len(out)
+    assert 60 <= n <= 140  # ~50% of 200, loose band
+    out2 = C.stratified_sample(df, {"en": 0.5}, "lang", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # rate 1.0 keeps everything in the stratum
+    full = C.stratified_sample(df, {"en": 1.0}, "lang", "doc_id").count()
+    assert full == 200
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon other words here"),  # shares 2 5-grams
+            (2, "completely unrelated text with many distinct tokens"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in C.decontaminate(tr, ev, n=5).collect()}
+    assert set(out) == {1}
+    # doc 1 has 4 distinct 5-grams; only 'alpha beta gamma delta epsilon'
+    # appears in the eval set
+    assert out[1]["n_shared"] == 1
+    assert abs(out[1]["contamination_frac"] - 0.25) < 1e-9
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    # 4 docs of 3 tokens each, budget 6 → bins: before=0,3 -> bin0; 6,9 -> bin1
+    df = spark.createDataFrame(
+        [(i, "g", "t t t") for i in range(1, 5)], ["doc_id", "lang", "text"]
+    )
+    out = {
+        (r["lang"], r["bin_id"]): r
+        for r in C.pack_sequences(df, budget=6, group_col="lang").collect()
+    }
+    assert out[("g", 0)]["n_docs"] == 2 and out[("g", 0)]["bin_tokens"] == 6
+    assert out[("g", 0)]["first_doc"] == 1 and out[("g", 0)]["last_doc"] == 2
+    assert out[("g", 1)]["n_docs"] == 2 and out[("g", 1)]["first_doc"] == 3
+
+
+def test_pack_sequences_oversized_doc_spans(spark):
+    # doc of 10 tokens with budget 4: doc1 bin0; doc2 starts at floor(10/4)=2
+    df = spark.createDataFrame(
+        [(1, "g", " ".join(["t"] * 10)), (2, "g", "t t")], ["doc_id", "lang", "text"]
+    )
+    out = {r["bin_id"]: r for r in C.pack_sequences(df, budget=4, group_col="lang").collect()}
+    assert set(out) == {0, 2}
+    assert out[2]["n_docs"] == 1 and out[2]["first_doc"] == 2
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, call 555-123-4567 now"),
+            (2, "no pii here"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in C.redact_pii(df, "text").collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert "[EMAIL]" in out[1]["redacted"] and "[PHONE]" in out[1]["redacted"]
+    assert "a@b.com" not in out[1]["redacted"]
+    assert out[2]["n_emails"] == 0 and out[2]["redacted"] == "no pii here"
