@@ -19,15 +19,17 @@ Scale design notes:
   mining by the pigeonhole trick: split the fingerprint into k+1
   chunks; any pair within distance k collides on ≥1 chunk, so an
   equi-join per chunk finds all candidates with no cross product.
-* n-gram jaccard — exact verification on candidate pairs (or small
-  corpora): explode distinct shingles, equi-join on shingle, count →
-  |A∩B|, join per-doc counts → jaccard. Shuffle volume = shingle rows,
-  linear in corpus size; join fan-out is only real collisions.
+* n-gram jaccard — pair mining explodes distinct shingles and
+  equi-joins on the shingle key (shuffle volume = shingle rows, linear
+  in corpus size; join fan-out is only real collisions). Verification
+  is per-pair ``array_intersect`` over the candidates' shingle arrays —
+  the candidate relation is collision-sized, so it broadcasts and the
+  corpus is never re-shuffled to verify.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,26 +81,27 @@ def minhash_signatures(
     num_hashes: int = 128,
     out: str = "minhash",
 ) -> DataFrame:
-    """MinHash signatures as (id, minhash array) — one row per id.
+    """MinHash signatures as (id, minhash array) — one row per id,
+    computed entirely scan-side: ZERO shuffles.
 
-    Shape matters for both speed and scale: explode shingles ONCE, hash
-    each shingle string ONCE (xxhash64), then derive the hash family as
+    Shape matters for both speed and scale: hash each shingle string
+    ONCE (xxhash64), then derive the hash family as
     xxhash64(base_hash, seed_i) — cheap long mixing instead of
-    ``num_hashes`` string hashes. The ``num_hashes`` mins run as partial
-    aggregates (map-side combine), so the single shuffle carries one
-    128-long row per document, never the shingles. A monolithic
-    array_min(transform(...))×128 projection was ~20× slower: the giant
-    generated method exceeds JIT limits and drops to interpreted mode.
-    """
-    ex = df.select(F.col(id_col), F.explode(shingle_col).alias("_s")).withColumn(
-        "_h", F.xxhash64("_s")
+    ``num_hashes`` string hashes. Both passes are higher-order-function
+    loops over the per-row shingle array, so codegen emits two small
+    nested loops rather than ``num_hashes`` unrolled expressions.
+    (History: an explode → groupBy with 128 min-aggregates computed the
+    same values but paid a shuffle AND ~3 s of aggregate codegen
+    compilation per query; before that, 128 separate
+    array_min(transform(...)) projection COLUMNS were ~20× slower still
+    — the unrolled method exceeded JIT limits. The loop form is the
+    fast shape at both bench and cluster scale.)"""
+    hs = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
     )
-    sig = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
-    )
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(out)
-    )
+    return df.select(F.col(id_col), sig.alias(out))
 
 
 def minhash_lsh_candidates(
@@ -120,19 +123,19 @@ def minhash_lsh_candidates(
         df = minhash_signatures(df, id_col, shingle_col, num_hashes, sig_col)
 
     # Band hash = xxhash64 of the band's r signature elements + band id,
-    # taken straight off the array (keeps the expression tree small —
-    # string-concat banding made codegen balloon).
+    # taken straight off the array. A higher-order-function loop over
+    # the band index keeps codegen to one small loop body instead of
+    # ``bands`` unrolled hash expressions (r is a Python int, so the
+    # element accesses inside the body are a fixed r-ary xxhash64).
     banded = df.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at(F.col(sig_col), b * r + j + 1) for j in range(r)],
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    *[F.element_at(F.col(sig_col), b * r + j + 1) for j in range(r)],
+                    b,
+                ),
             )
         ).alias("band", "band_hash"),
     )
@@ -183,12 +186,14 @@ def jaccard_similarity_pairs(
     unpersisted here (the result is lazy; releasing before action would
     defeat it) — long-lived sessions running MANY corpora can pass
     cache=False or unpersist via the returned plan's ``_cached_deps``."""
-    # The exploded (id, shingle) relation feeds three branches (sizes +
-    # both join sides); cache it so the scan+shingle+distinct runs once.
-    ex = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("s")).distinct()
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(F.col(shingle_col)).alias("sh")
+    )
     if cache:
-        ex = ex.persist()
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+        sh = sh.persist()
+    # Exploded (id, shingle) relation — pair MINING only; verification
+    # runs on the shingle arrays (see _verify_jaccard_on_candidates).
+    ex = sh.select("id", F.explode("sh").alias("s"))
 
     mine = ex
     if max_shingle_df is not None:
@@ -206,53 +211,43 @@ def jaccard_similarity_pairs(
     pairs = (
         mine.alias("x")
         .join(mine.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
     )
-    if max_shingle_df is not None:
-        # capped mining undercounts intersections (hot shingles were
-        # excluded) — recompute the exact intersection for the bounded
-        # candidate set over the full shingle relation
-        cands = pairs.select("a", "b")
-        pairs = (
-            cands.join(ex.withColumnRenamed("id", "a"), "a")
-            .join(ex.withColumnRenamed("id", "b"), ["b", "s"])
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("inter"))
-        )
-    out = (
-        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-    out._cached_deps = [ex] if cache else []
+    # Exact jaccard over the FULL shingle sets for the mined candidates
+    # (capped mining may have excluded hot shingles from pair discovery,
+    # but never from the verify) — every returned value is exact.
+    out = _verify_jaccard_on_candidates(pairs, sh, threshold)
+    out._cached_deps = [sh] if cache else []
     return out
 
 
 def _verify_jaccard_on_candidates(
-    cands: DataFrame, ex: DataFrame, threshold: float
+    cands: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact jaccard for (a, b) candidate pairs over the exploded
-    (id, shingle) relation ``ex`` — shared tail of every
-    candidates-then-verify pipeline (MinHash/LSH, SimHash)."""
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (
-        cands.join(ex.withColumnRenamed("id", "a"), "a")
-        .join(ex.withColumnRenamed("id", "b"), ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+    """Exact jaccard for (a, b) candidate pairs against the per-doc
+    distinct-shingle ARRAY relation ``sh`` (columns id, sh) — shared
+    tail of every candidates-then-verify pipeline (n-gram mining,
+    MinHash/LSH, SimHash).
+
+    Shape: two equi-joins attaching each side's shingle array, then
+    |A∩B| via ``array_intersect`` — all JVM codegen, no Python. The
+    candidate set is collision-sized (orders of magnitude smaller than
+    the corpus), so AQE broadcasts it and the corpus side is scanned,
+    never shuffled; the per-row intersect replaces the former
+    explode → (b,s)-join → groupBy chain, which shuffled the whole
+    exploded shingle relation twice."""
+    a = sh.select(F.col("id").alias("a"), F.col("sh").alias("_sa"))
+    b = sh.select(F.col("id").alias("b"), F.col("sh").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
-        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        cands.join(a, "a")
+        .join(b, "b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.round(
+                inter / (F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -273,24 +268,20 @@ def minhash_near_duplicates(
     jaccard verification on candidates only. The production-scale path:
     jaccard runs on the (tiny) candidate set, not the corpus.
 
-    The exploded (id, shingle, hash) relation is the shared base of all
-    four branches (signature aggregation, per-doc sizes, and both
-    intersection join sides) — cached so the corpus is scanned and
-    shingled exactly once."""
-    sh = with_shingles(df, text_col, n)
-    ex = (
-        sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
-        .distinct()
-        .withColumn("_h", F.xxhash64("s"))
+    The per-doc distinct-shingle array relation is the shared base of
+    both branches (scan-side signatures and array-intersect
+    verification) — cached so the corpus is scanned and shingled
+    exactly once. The only shuffle in the whole pipeline is the LSH
+    band self-join; signatures and verification never leave the scan."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("id"), F.col("shingles").alias("sh")
     )
     if cache:
-        ex = ex.persist()
-    sig = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
-    ).select(F.col("id").alias(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
-    cands = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands, sig_col="minhash")
-    out = _verify_jaccard_on_candidates(cands.select("a", "b"), ex, threshold)
-    out._cached_deps = [ex] if cache else []
+        sh = sh.persist()
+    sig = minhash_signatures(sh, "id", "sh", num_hashes, "minhash")
+    cands = minhash_lsh_candidates(sig, "id", num_hashes=num_hashes, bands=bands, sig_col="minhash")
+    out = _verify_jaccard_on_candidates(cands.select("a", "b"), sh, threshold)
+    out._cached_deps = [sh] if cache else []
     return out
 
 
@@ -300,27 +291,48 @@ def with_simhash(
     df: DataFrame, id_col: str, shingle_col: str = "shingles", out: str = "simhash"
 ) -> DataFrame:
     """64-bit SimHash: hash each shingle (xxhash64), per bit position sum
-    +1/-1 across shingles, sign → bit. One explode + one groupBy-sum
-    (single shuffle), then joined back on the id."""
-    h = df.select(F.col(id_col), F.explode(shingle_col).alias("s")).withColumn(
-        "h", F.xxhash64("s")
+    +1/-1 across shingles, sign → bit. Computed entirely scan-side as
+    higher-order-function loops over the per-row shingle array — ZERO
+    shuffles and a few small codegen loops. (History: explode → groupBy
+    with 64 sum-aggregates + a join back computed the same values but
+    paid a shuffle, a join, and seconds of aggregate-codegen compile.)
+
+    Assembly detail: bits are packed via Horner's rule over two 32-bit
+    halves (acc*2 + bit, high bits first) and combined with one
+    shiftleft(·, 32). A single 64-bit Horner pass would overflow a
+    signed long at the top bit under ANSI arithmetic; shifts are
+    bitwise, not ANSI-checked, so the halved form is exact."""
+    hs = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    # Per bit i: sign of Σ_shingles (2·bit_i(h) − 1) chooses the term
+    # 2^i or 0; the fingerprint is the XOR-fold of the 64 terms. The
+    # packing weight is looked up from a literal array INSIDE the same
+    # loop that computes the bit — expression trees here must be
+    # straight-line (each subexpression referenced once): Catalyst
+    # inlines multiply-referenced projections into higher-order-function
+    # bodies, re-evaluating them per loop step (measured 20-30 s at
+    # sf0.1 for a Horner pass referencing a shared bits array).
+    # 2^63 as a signed long is MIN_LONG; the weight array carries it
+    # directly so no shift/arithmetic can overflow under ANSI.
+    weights = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
     )
-    bit_sums = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    terms = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc + (F.getbit(h, i) * 2 - 1),
+            )
+            > 0,
+            F.element_at(weights, i + 1),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    # Assemble sign bits into one signed 64-bit value.
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    fingerprints = bit_sums.select(F.col(id_col), sim.alias(out))
-    return df.join(fingerprints, id_col, "left")
+    packed = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc.bitwiseXOR(t)
+    )
+    return df.withColumn(out, packed)
 
 
 def simhash_candidates(
@@ -410,14 +422,14 @@ def simhash_near_duplicates(
     ≥ ⌊64/(k+1)⌋ bits — still no cross product, but precision drops as
     chunks narrow; MinHash/LSH is the better coarse filter for small
     shingle sets, which is why both ship."""
-    sh = with_shingles(df, text_col, n)
-    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("s")).distinct()
+    sh0 = with_shingles(df, text_col, n)
     if cache:
-        ex = ex.persist()
-    sim = with_simhash(sh, id_col, "shingles")
+        sh0 = sh0.persist()
+    sh = sh0.select(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
+    sim = with_simhash(sh0, id_col, "shingles")
     cands = simhash_candidates(sim, id_col, max_hamming=max_hamming).select("a", "b")
-    out = _verify_jaccard_on_candidates(cands, ex, threshold)
-    out._cached_deps = [ex] if cache else []
+    out = _verify_jaccard_on_candidates(cands, sh, threshold)
+    out._cached_deps = [sh0] if cache else []
     return out
 
 

@@ -165,10 +165,14 @@ def lsh_similarity_join(
     tables, equi-join on (table, bucket), verify exact cosine on the
     candidates. Returns (a, b, cosine_sim), a < b."""
     b = with_lsh_buckets(df, vec_col, dim, n_planes, n_tables, seed)
-    e = b.select(
-        F.col(id_col), F.col(vec_col), F.posexplode("lsh_buckets").alias("t", "bucket")
-    )
+    e = b.select(F.col(id_col), F.posexplode("lsh_buckets").alias("t", "bucket"))
     x, y = e.alias("x"), e.alias("y")
+    # Dedup the candidate PAIR IDS before touching vectors: a pair
+    # colliding in k of the n_tables would otherwise carry its two
+    # dim-float arrays through the distinct shuffle k times — at low
+    # plane counts (many collisions) that shuffle is ~dim× the whole
+    # corpus. Ids dedup as two longs; vectors re-attach afterwards via
+    # two equi-joins against the (AQE-broadcast-sized) candidate set.
     cands = (
         x.join(
             y,
@@ -176,16 +180,15 @@ def lsh_similarity_join(
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
-        .select(
-            F.col(f"x.{id_col}").alias("a"),
-            F.col(f"y.{id_col}").alias("b"),
-            F.col(f"x.{vec_col}").alias("va"),
-            F.col(f"y.{vec_col}").alias("vb"),
-        )
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
-        cands.withColumn(
+        cands.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
             "cosine_sim", cosine_pairs_vectorized(F.col("va"), F.col("vb"), 4)
         )
         .filter(F.col("cosine_sim") >= threshold)
