@@ -158,10 +158,11 @@ def _js_replacement_to_java(repl: str) -> str:
     JS `$$`→literal $, `$&`→whole match ($0 in Java), `$n` passes
     through, `$<name>`→Java's `${name}` (r03), any OTHER `$` is literal
     in JS but an illegal group ref in Java (escape it); backslashes are
-    literal in JS replacements but escapes in Java. Still documented as
-    unsupported: ``$\\``` (preceding portion) and ``$'`` (following
-    portion) have no Java regexp_replace equivalent — expressing them
-    needs per-match string surgery, not a replacement template."""
+    literal in JS replacements but escapes in Java. ``$\\``` (preceding
+    portion) and ``$'`` (following portion) never reach this translator:
+    templates containing them route to the Arrow-batched
+    ``_replace_with_portions`` path (r04), since Java replacement
+    templates cannot express per-match portions."""
     out = []
     i = 0
     while i < len(repl):
@@ -198,6 +199,78 @@ def _js_replacement_to_java(repl: str) -> str:
             out.append(ch)
             i += 1
     return "".join(out)
+
+
+def _js_replace_full(s: str, pattern: re.Pattern, repl: str) -> str:
+    """Reference-exact global String.replace for replacement templates
+    Java can't express: ``$\\``` (portion before the match) and ``$'``
+    (portion after), alongside `$$`/`$&`/`$n`/`$<name>`. Pure-Python
+    per-match rendering (the same template walk JS does,
+    `transform.ts:91-101` via RegExp(search, 'g')). Only invoked when
+    the template actually uses ``$\\``` / ``$'`` — the common dialect
+    stays on JVM regexp_replace."""
+    out = []
+    last = 0
+    for m in pattern.finditer(s):
+        out.append(s[last : m.start()])
+        piece = []
+        i = 0
+        while i < len(repl):
+            ch = repl[i]
+            nxt = repl[i + 1] if i + 1 < len(repl) else ""
+            if ch == "$" and nxt == "$":
+                piece.append("$")
+                i += 2
+            elif ch == "$" and nxt == "&":
+                piece.append(m.group(0))
+                i += 2
+            elif ch == "$" and nxt == "`":
+                piece.append(s[: m.start()])
+                i += 2
+            elif ch == "$" and nxt == "'":
+                piece.append(s[m.end() :])
+                i += 2
+            elif ch == "$" and nxt.isdigit():
+                gi = int(nxt)
+                if 1 <= gi <= pattern.groups:
+                    piece.append(m.group(gi) or "")
+                else:
+                    piece.append("$" + nxt)  # JS: out-of-range ref is literal
+                i += 2
+            elif ch == "$" and nxt == "<":
+                end = repl.find(">", i + 2)
+                name = repl[i + 2 : end] if end != -1 else ""
+                if end != -1 and name in pattern.groupindex:
+                    piece.append(m.group(name) or "")
+                    i = end + 1
+                else:
+                    piece.append("$")
+                    i += 1
+            else:
+                piece.append(ch)
+                i += 1
+        out.append("".join(piece))
+        last = m.end()
+        if m.start() == m.end():  # zero-width: advance like JS lastIndex
+            if last < len(s):
+                out.append(s[last])
+            last += 1
+    out.append(s[last:] if last <= len(s) else "")
+    return "".join(out)
+
+
+def _replace_with_portions(src: Column, search: str, repl: str) -> Column:
+    """Arrow-batched replace for the ``$\\```/``$'`` dialect. The search
+    pattern compiles with Python ``re`` here (vs Java elsewhere) — the
+    documented trade for supporting portion refs at all; the dialects
+    agree on the reference's test patterns."""
+    pattern = re.compile(search)
+
+    @F.pandas_udf(T.StringType())
+    def _do(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: _js_replace_full("" if s is None else s, pattern, repl))
+
+    return _do(src)
 
 
 def _count_groups(pat: str) -> int:
@@ -281,6 +354,9 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         repl = o["replace"]
         if js:
             src = F.lit("") if not _has(df, fld) else _str_or_empty(df, fld)
+            if "$`" in repl or "$'" in repl:
+                # portion refs need per-match surgery — Arrow-batched path
+                return df.withColumn(to, _replace_with_portions(src, o["search"], repl))
             repl = _js_replacement_to_java(repl)
         else:
             src = F.col(fld).cast("string")

@@ -359,3 +359,38 @@ def test_replace_malformed_named_ref_stays_literal(spark):
         strict_js_compat=True,
     )
     assert out.collect()[0]["t"] == "a$<c"
+
+
+def test_replace_portion_refs(spark):
+    """r04: JS portion refs — $` (before match) and $' (after match) —
+    exact per-match semantics, verified against Node behavior:
+    'abcd'.replace(/c/g, "$`") === 'abab d'? no: 'ab' + 'ab' + 'd'."""
+    df = spark.createDataFrame([("abcd",), ("",)], "s string")
+    t = lambda repl, search="c": [
+        r["t"]
+        for r in apply_transforms(
+            df,
+            [Transformation("replace", {"field": "s", "search": search, "replace": repl, "to": "t"})],
+        ).collect()
+    ]
+    # 'abcd'.replace(/c/g, '$`') -> 'ab' + 'ab' + 'd' = 'ababd'
+    assert t("$`") == ["ababd", ""]
+    # 'abcd'.replace(/c/g, "$'") -> 'ab' + 'd' + 'd' = 'abdd'
+    assert t("$'") == ["abdd", ""]
+    # combined with $& and literals: 'abcd'.replace(/c/g, "[$`|$&|$']")
+    assert t("[$`|$&|$']") == ["ab[ab|c|d]d", ""]
+    # $$` is a literal dollar then backtick, NOT a portion ref
+    assert t("$$`") == ["ab$`d", ""]
+    # global multi-match: 'aXbXc'.replace(/X/g, "($')")
+    df2 = spark.createDataFrame([("aXbXc",)], "s string")
+    out = apply_transforms(
+        df2,
+        [Transformation("replace", {"field": "s", "search": "X", "replace": "($')", "to": "t"})],
+    ).collect()[0]["t"]
+    assert out == "a(bXc)b(c)c"
+    # group refs still work on the portion path
+    out2 = apply_transforms(
+        df2,
+        [Transformation("replace", {"field": "s", "search": "(X)b", "replace": "$1$`!", "to": "t"})],
+    ).collect()[0]["t"]
+    assert out2 == "aXa!Xc"
