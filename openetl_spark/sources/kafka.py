@@ -1,0 +1,269 @@
+"""Kafka-shaped log source without the JVM connector jar (Python Data
+Source API) — ``spark.read.format("openetl_kafka")`` and
+``spark.readStream.format("openetl_kafka")``.
+
+The container ships no spark-sql-kafka jar and no broker, so the
+transport is an injected *consumer factory* (same philosophy as the
+pymongo-compatible client in ``sources/mongo.py`` and the GAQL
+transport in ``sources/gads.py``): a dotted-path
+``module:callable`` resolved ON EXECUTORS (pickle-free, cluster-safe)
+that receives the reader options and returns a kafka-python-compatible
+consumer. Against a real cluster the factory returns
+``kafka.KafkaConsumer(...)`` wrapped to speak (topic, partition)
+tuples; tests inject a deterministic fake (``tests/fake_kafka.py``).
+
+Consumer contract (kafka-python subset, topic-partitions as plain
+``(topic, int)`` tuples):
+
+* ``partitions_for_topic(topic) -> set[int]``
+* ``beginning_offsets(tps) / end_offsets(tps) -> dict[tp, int]``
+* ``assign(tps)``, ``seek(tp, offset)``
+* ``poll(timeout_ms=..., max_records=...) -> dict[tp, list[record]]``
+  where records expose ``offset key value timestamp timestamp_type``
+  (timestamp in epoch millis, key/value bytes or None)
+* ``close()``
+
+Output schema mirrors the real Spark Kafka source column-for-column
+(key/value binary, topic, partition, offset, timestamp,
+timestampType), so downstream code ports between this source and
+spark-sql-kafka unchanged.
+
+Scale shape: batch reads fan out one ``InputPartition`` per Kafka
+topic-partition — the same 1:1 task mapping the JVM connector uses, so
+parallelism equals log partitioning and each task reads one
+broker-sequential offset range. Streaming uses the full (non-simple)
+``DataSourceStreamReader`` API: offset ranges are planned on the
+driver from ``end_offsets`` (a metadata call), but record fetching
+happens in ``read()`` ON EXECUTORS, partition-parallel per
+micro-batch, with ``maxOffsetsPerTrigger`` rationing a trigger's rows
+across partitions proportionally to their backlog (the JVM
+connector's policy).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import importlib
+import math
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+KAFKA_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def _resolve_factory(options: dict[str, str]):
+    mod, _, attr = options["client_factory"].partition(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def _consumer(options: dict[str, str]):
+    return _resolve_factory(options)(dict(options))
+
+
+def _ts(ms) -> _dt.datetime | None:
+    if ms is None:
+        return None
+    return _dt.datetime.fromtimestamp(ms / 1000.0, tz=_dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def _read_range(consumer, topic: str, part: int, start: int, end: int):
+    """Yield schema-shaped tuples for offsets [start, end) of one
+    topic-partition. Poll loop rather than bounded fetch: that is the
+    kafka-python surface; the break on >= end bounds work."""
+    tp = (topic, part)
+    if start >= end:
+        return
+    consumer.assign([tp])
+    consumer.seek(tp, start)
+    nxt = start
+    while nxt < end:
+        batches = consumer.poll(timeout_ms=1000, max_records=end - nxt)
+        recs = batches.get(tp, [])
+        if not recs:
+            break  # log truncated below `end` — yield what exists
+        for r in recs:
+            if r.offset >= end:
+                return
+            nxt = r.offset + 1
+            yield (
+                r.key,
+                r.value,
+                topic,
+                part,
+                r.offset,
+                _ts(r.timestamp),
+                getattr(r, "timestamp_type", 0),
+            )
+
+
+@dataclass
+class OffsetRange(InputPartition):
+    topic: str
+    partition: int
+    start: int
+    end: int
+
+
+class KafkaBatchReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]):
+        self.options = options
+        self.topic = options["topic"]
+
+    def partitions(self):
+        import json
+
+        c = _consumer(self.options)
+        try:
+            parts = sorted(c.partitions_for_topic(self.topic) or [])
+            tps = [(self.topic, p) for p in parts]
+            so = self.options.get("starting_offsets", "earliest")
+            eo = self.options.get("ending_offsets", "latest")
+            begins = (
+                {tp: v for tp, v in c.beginning_offsets(tps).items()}
+                if so == "earliest"
+                else {(self.topic, int(k)): v for k, v in json.loads(so).items()}
+            )
+            ends = (
+                {tp: v for tp, v in c.end_offsets(tps).items()}
+                if eo == "latest"
+                else {(self.topic, int(k)): v for k, v in json.loads(eo).items()}
+            )
+            return [
+                OffsetRange(self.topic, p, begins[(self.topic, p)], ends[(self.topic, p)])
+                for p in parts
+            ]
+        finally:
+            c.close()
+
+    def read(self, partition: OffsetRange):
+        c = _consumer(self.options)
+        try:
+            yield from _read_range(
+                c, partition.topic, partition.partition, partition.start, partition.end
+            )
+        finally:
+            c.close()
+
+
+class KafkaStreamReader(DataSourceStreamReader):
+    """Micro-batch planning on the driver (offset metadata only);
+    record reads on executors, one task per topic-partition slice."""
+
+    def __init__(self, options: dict[str, str]):
+        self.options = options
+        self.topic = options["topic"]
+        self.max_per_trigger = int(options.get("max_offsets_per_trigger", "0"))
+
+    def _offsets(self, which: str) -> dict[str, int]:
+        c = _consumer(self.options)
+        try:
+            parts = sorted(c.partitions_for_topic(self.topic) or [])
+            tps = [(self.topic, p) for p in parts]
+            got = c.beginning_offsets(tps) if which == "begin" else c.end_offsets(tps)
+            return {str(p): int(got[(self.topic, p)]) for p in parts}
+        finally:
+            c.close()
+
+    def initialOffset(self) -> dict:
+        if self.options.get("starting_offsets", "earliest") == "earliest":
+            return self._offsets("begin")
+        import json
+
+        return {k: int(v) for k, v in json.loads(self.options["starting_offsets"]).items()}
+
+    def latestOffset(self) -> dict:
+        latest = self._offsets("end")
+        if not self.max_per_trigger:
+            return latest
+        # Ration the trigger budget across partitions proportionally to
+        # backlog (spark-sql-kafka's maxOffsetsPerTrigger policy). The
+        # committed start isn't passed to latestOffset in this API, so
+        # the reader tracks the last planned end as the next start.
+        start = getattr(self, "_planned", None) or self.initialOffset()
+        lags = {p: max(0, latest[p] - start.get(p, 0)) for p in latest}
+        total = sum(lags.values())
+        if total <= self.max_per_trigger:
+            self._planned = latest
+            return latest
+        scale = self.max_per_trigger / total
+        planned = {
+            p: start.get(p, 0) + math.floor(lags[p] * scale) for p in latest
+        }
+        self._planned = planned
+        return planned
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            OffsetRange(self.topic, int(p), int(start.get(p, 0)), int(end[p]))
+            for p in sorted(end, key=int)
+            if int(end[p]) > int(start.get(p, 0))
+        ] or [OffsetRange(self.topic, -1, 0, 0)]  # planner requires ≥1
+
+    def read(self, partition: OffsetRange):
+        if partition.partition < 0:
+            return iter([])
+        c = _consumer(self.options)
+        try:
+            yield from _read_range(
+                c, partition.topic, partition.partition, partition.start, partition.end
+            )
+        finally:
+            c.close()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint, as with the JVM source
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaDataSource(DataSource):
+    """``spark.read.format("openetl_kafka")`` /
+    ``spark.readStream.format("openetl_kafka")`` with options
+    ``topic``, ``client_factory`` ("pkg.mod:fn"), ``starting_offsets``
+    (earliest | JSON {"0": n}), ``ending_offsets`` (batch: latest |
+    JSON), ``max_offsets_per_trigger`` (stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "openetl_kafka"
+
+    def schema(self):
+        return KAFKA_SCHEMA
+
+    def reader(self, schema: StructType) -> KafkaBatchReader:
+        return KafkaBatchReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> KafkaStreamReader:
+        return KafkaStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(KafkaDataSource)
