@@ -2404,6 +2404,53 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+@query(
+    "vocab_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                            x -> lower(x)) AS w
+      FROM documents),
+    ex AS (SELECT doc_id, UNNEST(w) AS token FROM toks)
+    SELECT token, count(*) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM ex GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 100
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Curation (r04): corpus vocabulary heavy hitters (count + doc
+    frequency, deterministic top-100) — the statistic that seeds
+    tokenizer training and stop-word lists. Partial-agg counts then a
+    per-partition top-k heap; no global sort."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.vocab_topk(d, "doc_id", "text", k=100)
+
+
+@query(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                  greatest(sqrt(list_aggregate(list_transform(embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')),
+                           1e-30)) AS INT)) AS q8,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6) AS norm
+    FROM embeddings
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Curation (r04): L2-normalize + int8-quantize every embedding —
+    the 4× shrink before ANN-indexing an embedding corpus. Pure array
+    expressions, zero shuffles; a linear scan at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    return C.quantize_embeddings(e, "embedding", "vec_id", "q8")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

@@ -192,6 +192,68 @@ def pack_sequences(
 
 
 # ---------------------------------------------------------------------
+# Vocabulary statistics (tokenizer-training / heavy-hitter analysis)
+# ---------------------------------------------------------------------
+
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the k most frequent whitespace
+    tokens with occurrence count and document frequency — the first
+    statistic of tokenizer training and stop-word/boilerplate analysis.
+    Deterministic order: count desc, then token asc.
+
+    Scale shape: explode → partial-agg counts (the shuffle carries
+    (token, partial-count) pairs, not documents) →
+    TakeOrderedAndProject (per-partition heap of k, driver merges k
+    rows — no global sort)."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    ex = df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("token"))
+    per = ex.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("_doc").alias("doc_freq"),
+    )
+    return per.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+# ---------------------------------------------------------------------
+# Embedding normalization / quantization
+# ---------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "q8",
+) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8 (⌊127·v/‖v‖⌉) —
+    the standard 4× storage/bandwidth shrink before ANN indexing of a
+    100 TB embedding corpus. Pure array expressions (aggregate for the
+    norm, transform for the scale): whole-stage codegen, zero shuffles,
+    a linear scan at any scale. Zero vectors quantize to zeros (norm
+    guarded). Returns (id, q8 array<int>, norm)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    safe = F.greatest(norm, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int"))
+    return df.select(
+        F.col(id_col), q.alias(out), F.round(norm, 6).alias("norm")
+    )
+
+
+# ---------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------
 

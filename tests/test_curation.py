@@ -100,3 +100,27 @@ def test_redact_pii_counts_and_replacement(spark):
     assert "[EMAIL]" in out[1]["redacted"] and "[PHONE]" in out[1]["redacted"]
     assert "a@b.com" not in out[1]["redacted"]
     assert out[2]["n_emails"] == 0 and out[2]["redacted"] == "no pii here"
+
+
+def test_vocab_topk_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a B"), (3, "c")], ["doc_id", "text"]
+    )
+    out = C.vocab_topk(df, "doc_id", "text", k=2).collect()
+    # a: 3 occurrences in 2 docs; b: 3 in 2 docs (case-folded); tie → token asc
+    assert [(r["token"], r["n_occurrences"], r["doc_freq"]) for r in out] == [
+        ("a", 3, 2),
+        ("b", 3, 2),
+    ]
+
+
+def test_quantize_embeddings_zero_vector_and_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r for r in C.quantize_embeddings(df).collect()}
+    assert out[1]["norm"] == 5.0
+    assert out[1]["q8"] == [round(3 / 5 * 127), round(4 / 5 * 127)]
+    assert out[2]["q8"] == [0, 0] and out[2]["norm"] == 0.0
+    # int8 range: all components within [-127, 127]
+    assert all(-127 <= v <= 127 for r in out.values() for v in r["q8"])
