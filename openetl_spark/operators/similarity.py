@@ -162,38 +162,72 @@ def lsh_similarity_join(
     seed: int = 42,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, approximately: explode bucket
-    tables, equi-join on (table, bucket), verify exact cosine on the
-    candidates. Returns (a, b, cosine_sim), a < b."""
+    tables, then verify exact cosine INSIDE each (table, bucket) group
+    with one chunked BLAS matmul per group, emitting only
+    above-threshold pairs. Returns (a, b, cosine_sim), a < b.
+
+    Physical shape: one shuffle replicating each (id, vector) row
+    n_tables times (≈ tables·corpus bytes — linear), one applyInPandas
+    per bucket, then a distinct over the (tiny) qualifying pair set.
+    The former plan — candidate equi-join, id-pair distinct, vector
+    re-attach, per-pair verify — materialized Σ_buckets n_b² join rows
+    BEFORE any filtering; at few-planes configs (big buckets, the
+    low-threshold recall corner) that was ~20M pair rows at sf0.1 and
+    2.8× the bench baseline. In-bucket verification never surfaces a
+    sub-threshold pair; the chunked matmul bounds the verify buffer to
+    chunk·|bucket| entries.
+
+    Scale note: per-group state holds one bucket's vectors, ≈
+    corpus/2^n_planes per table — fine for production many-planes
+    near-dup configs (buckets prune to ~2^-planes); a few-planes sweep
+    over a 100 TB corpus should raise n_planes/n_tables together or use
+    blocked_similarity_join, whose replication factor bounds per-group
+    memory independent of data skew."""
     b = with_lsh_buckets(df, vec_col, dim, n_planes, n_tables, seed)
-    e = b.select(F.col(id_col), F.posexplode("lsh_buckets").alias("t", "bucket"))
-    x, y = e.alias("x"), e.alias("y")
-    # Dedup the candidate PAIR IDS before touching vectors: a pair
-    # colliding in k of the n_tables would otherwise carry its two
-    # dim-float arrays through the distinct shuffle k times — at low
-    # plane counts (many collisions) that shuffle is ~dim× the whole
-    # corpus. Ids dedup as two longs; vectors re-attach afterwards via
-    # two equi-joins against the (AQE-broadcast-sized) candidate set.
-    cands = (
-        x.join(
-            y,
-            (F.col("x.t") == F.col("y.t"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .dropDuplicates(["a", "b"])
+    e = b.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode("lsh_buckets").alias("t", "bucket"),
     )
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        cands.join(va, "a")
-        .join(vb, "b")
-        .withColumn(
-            "cosine_sim", cosine_pairs_vectorized(F.col("va"), F.col("vb"), 4)
+    thr = float(threshold)
+    chunk = 2048
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "cosine_sim": []}).astype(
+            {"a": "int64", "b": "int64", "cosine_sim": "float64"}
         )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("a", "b", "cosine_sim")
+        n = len(pdf)
+        if n < 2:
+            return empty
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        ids = pdf["_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        frames = []
+        for s in range(0, n, chunk):
+            rows = np.round(
+                (m[s : s + chunk] @ m.T) / np.outer(norms[s : s + chunk], norms), 4
+            )
+            ii, jj = np.where(rows >= thr)
+            gi = ii + s
+            keep = ids[gi] < ids[jj]  # drops self-pairs and halves dups
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[gi][keep],
+                            "b": ids[jj][keep],
+                            "cosine_sim": rows[ii, jj][keep],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    out = e.groupBy("t", "bucket").applyInPandas(
+        bucket_pairs, "a long, b long, cosine_sim double"
     )
+    # a pair colliding in k tables surfaces k times with an identical
+    # (deterministically rounded) value — one distinct over winners only
+    return out.dropDuplicates(["a", "b"])
 
 
 def brute_force_similarity_join(
