@@ -64,6 +64,15 @@ HEADLINE = [
     "doc_fingerprint",
     "transform_chain",
     "connector_slice",
+    # round-4 curation family (no BASELINE entries — first-run provenance)
+    "decontaminate_ngram",
+    "stratified_sample",
+    "sequence_packing",
+    "pii_redaction",
+    "vocab_topk",
+    "embedding_quantize",
+    "length_band_filter",
+    "dedup_components",
 ]
 
 

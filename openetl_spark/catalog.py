@@ -2451,6 +2451,30 @@ def q_embedding_quantize(spark, sf_dir):
     return C.quantize_embeddings(e, "embedding", "vec_id", "q8")
 
 
+@query(
+    "length_band_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_tokens) AS pr
+      FROM t)
+    SELECT doc_id, source, n_tokens, round(pr, 6) AS len_pctile
+    FROM r WHERE pr >= 0.1 AND pr <= 0.95
+    """,
+)
+def q_length_band_filter(spark, sf_dir):
+    """Curation (r04): per-source percentile length gate — keep docs in
+    the [p10, p95] token-count band of their own source domain. Exact
+    percent_rank (tie-atomic, engine-portable), one shuffle on the
+    stratum key."""
+    d = load(spark, sf_dir, "documents")
+    return C.length_band_filter(d, 0.1, 0.95, "source", "doc_id", "text")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -2467,65 +2491,69 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked through round 2 (28) --
-    "map_funcs",
-    "approx_sketches",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q10_returned_items",
-    "embedding_near_dup_exact",
-    "lang_id_oracle",
-    "percentile_exact",
-    "stats_agg",
-    "window_ranking_extras",
-    "unpivot_measures",
-    "scalar_subquery",
-    "date_funcs_extended",
-    "filtered_agg",
-    "null_safe_join",
-    "string_funcs_extended",
-    "array_funcs_extended",
-    "ivf_knn",
-    "edit_distance",
-    "value_histogram",
-    "q4_order_priority",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_global_sales",
-    "string_agg_nations",
-    "regression_aggs",
-    # -- previously 0-row / vacuous, re-checked after this round's fix --
+    # -- new in round 4 (need their first driver row) --
+    "decontaminate_ngram",
+    "stratified_sample",
+    "sequence_packing",
+    "pii_redaction",
+    "vocab_topk",
+    "embedding_quantize",
+    "length_band_filter",
+    # -- rewritten in round 4 (scan-side signatures, array-intersect
+    #    verify, LSH pair-id dedup): re-confirm against the oracles --
+    "jaccard_near_dups",
+    "minhash_near_dups",
+    "simhash_dedup",
     "lsh_similarity_join",
-    # -- new this round (need their first driver row) --
     "dedup_components",
     "dedup_keep_best",
-    "repetition_stats",
-    "pivot_dynamic",
-    # -- anchors: one green row per operator family, re-confirmed --
+    "embedding_near_dup_exact",
+    # -- anchors: one green row per operator family; after rounds 1-3
+    #    every registered query has ≥1 driver-green row, so the rest of
+    #    the window re-confirms breadth, favoring queries checked only
+    #    once (the r03 first-checks) --
     "connector_slice",
     "filter_group_or",
     "transform_chain",
     "join_inner",
     "join_broadcast",
+    "null_safe_join",
     "range_join_events",
     "asof_join_events",
     "q1_pricing",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_global_sales",
+    "agg_distinct",
+    "filtered_agg",
+    "percentile_exact",
+    "stats_agg",
+    "regression_aggs",
+    "string_agg_nations",
+    "value_histogram",
     "window_rank",
-    # (window_frame and tumbling_hourly rotated out for
-    # repetition_stats / pivot_dynamic — both green r01+r02)
-    "session_windows",
+    "window_ranking_extras",
+    # (session_windows rotated out — green r01+r02; its family stays
+    # anchored by the streaming pytest suite)
     "pandas_normalize",
     "dedup_exact",
-    "minhash_near_dups",
-    "simhash_dedup",
     "embedding_knn",
+    "ivf_knn",
     "text_stats",
-    # (sql_passthrough and quality_score rotated out to keep the prefix
-    # at 50 — both have green rows in r01 and r02, and quality_score's
-    # formula is re-exercised inside dedup_keep_best's oracle)
+    "lang_id_oracle",
+    "doc_fingerprint",
+    "repetition_stats",
+    # (edit_distance, map_funcs, scalar_subquery, unpivot_measures
+    # rotated out to hold the prefix at 50 — all four got their first
+    # driver-green row in r03 and are still pinned by the local oracle
+    # suite every run)
 ]
 
 

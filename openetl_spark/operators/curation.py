@@ -192,6 +192,46 @@ def pack_sequences(
 
 
 # ---------------------------------------------------------------------
+# Per-stratum percentile length gating
+# ---------------------------------------------------------------------
+
+
+def length_band_filter(
+    df: DataFrame,
+    lo: float = 0.1,
+    hi: float = 0.95,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents whose token count sits inside the
+    [lo, hi] percentile band OF THEIR OWN STRATUM (source domain /
+    language) — the standard outlier-length gate, computed per stratum
+    because a 10-token tweet and a 10-token wiki article mean different
+    things. percent_rank over the stratum window makes the band exact
+    and engine-portable (no approx-percentile drift between engines).
+
+    Ties: percent_rank assigns equal ranks to equal lengths, so the cut
+    keeps or drops a tied length class atomically — deterministic
+    membership at any parallelism. One shuffle (window by stratum);
+    at 100 TB the stratum key keeps window state per-group, and a
+    two-pass variant (approx thresholds → broadcast → filter) trades
+    exactness for zero window state if ever needed."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = Window.partitionBy(strata_col).orderBy(n_tok.asc())
+    pr = F.percent_rank().over(w)
+    return (
+        df.select(
+            F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens"), pr.alias("pr")
+        )
+        .where((F.col("pr") >= lo) & (F.col("pr") <= hi))
+        .select(id_col, strata_col, "n_tokens", F.round("pr", 6).alias("len_pctile"))
+    )
+
+
+# ---------------------------------------------------------------------
 # Vocabulary statistics (tokenizer-training / heavy-hitter analysis)
 # ---------------------------------------------------------------------
 

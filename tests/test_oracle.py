@@ -52,8 +52,9 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    for newcomer in ("dedup_components", "dedup_keep_best",
-                     "repetition_stats", "pivot_dynamic", "lsh_similarity_join"):
+    for newcomer in ("decontaminate_ngram", "stratified_sample",
+                     "sequence_packing", "pii_redaction", "vocab_topk",
+                     "embedding_quantize", "length_band_filter"):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
     q = entry.queries()
