@@ -143,20 +143,23 @@ class KafkaBatchReader(DataSourceReader):
         try:
             parts = sorted(c.partitions_for_topic(self.topic) or [])
             tps = [(self.topic, p) for p in parts]
+            nat_begin = c.beginning_offsets(tps)
+            nat_end = c.end_offsets(tps)
+            # Explicit JSON offsets override per partition; partitions a
+            # user-supplied map omits (e.g. added to the topic after the
+            # offsets were recorded) fall back to their natural bound
+            # rather than failing the scan.
             so = self.options.get("starting_offsets", "earliest")
             eo = self.options.get("ending_offsets", "latest")
-            begins = (
-                {tp: v for tp, v in c.beginning_offsets(tps).items()}
-                if so == "earliest"
-                else {(self.topic, int(k)): v for k, v in json.loads(so).items()}
-            )
-            ends = (
-                {tp: v for tp, v in c.end_offsets(tps).items()}
-                if eo == "latest"
-                else {(self.topic, int(k)): v for k, v in json.loads(eo).items()}
-            )
+            ex_begin = {} if so == "earliest" else {int(k): int(v) for k, v in json.loads(so).items()}
+            ex_end = {} if eo == "latest" else {int(k): int(v) for k, v in json.loads(eo).items()}
             return [
-                OffsetRange(self.topic, p, begins[(self.topic, p)], ends[(self.topic, p)])
+                OffsetRange(
+                    self.topic,
+                    p,
+                    ex_begin.get(p, nat_begin[(self.topic, p)]),
+                    ex_end.get(p, nat_end[(self.topic, p)]),
+                )
                 for p in parts
             ]
         finally:

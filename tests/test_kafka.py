@@ -105,3 +105,17 @@ def test_stream_micro_batches_with_trigger_cap(spark, log_path, tmp_path):
     nonempty = [b for b in batches if b]
     assert len(nonempty) >= 2  # the 5-offset cap forced multiple batches
     assert all(len(b) <= 5 for b in nonempty)
+
+
+def test_batch_explicit_offsets_omitting_a_partition(spark, log_path):
+    """Partitions missing from a user-supplied offsets map (e.g. added
+    to the topic later) fall back to their natural bounds instead of
+    failing the scan."""
+    df = _reader(
+        spark,
+        log_path,
+        starting_offsets=json.dumps({"0": 5}),  # partition 1 omitted
+        ending_offsets="latest",
+    )
+    got = sorted((r["partition"], r["offset"]) for r in df.collect())
+    assert got == [(0, 5), (0, 6)] + [(1, o) for o in range(5)]

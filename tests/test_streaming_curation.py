@@ -1,0 +1,88 @@
+"""Integration: a streaming training-data ingest pipeline composed
+from shipped pieces — Kafka-shaped source → JSON parse → quality gate
+→ watermarked stateful dedup. Verifies the pieces compose in one
+micro-batch plan and that duplicate/low-quality docs never reach the
+sink."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from openetl_spark.operators.text import quality_score
+from openetl_spark.sources import kafka as K
+
+
+def _write_doc_log(path: str) -> None:
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # (partition, offset, doc_id, text)
+        (0, 0, 1, good + " one"),
+        (0, 1, 2, good + " two"),
+        (0, 2, 3, good + " one"),      # exact duplicate of doc 1's text
+        (1, 0, 4, "!!! ???"),           # low quality: punctuation soup
+        (1, 1, 5, good + " three"),
+        (1, 2, 6, good + " two"),      # exact duplicate of doc 2's text
+    ]
+    with open(path, "w") as f:
+        for p, o, did, text in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "topic": "docs",
+                        "partition": p,
+                        "offset": o,
+                        "key": str(did),
+                        "value": json.dumps({"doc_id": did, "text": text}),
+                        "timestamp": 1700000000000 + o * 60000,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_streaming_ingest_quality_dedup(spark, tmp_path):
+    log = str(tmp_path / "docs.jsonl")
+    _write_doc_log(log)
+    K.register(spark)
+
+    stream = (
+        spark.readStream.format("openetl_kafka")
+        .option("topic", "docs")
+        .option("client_factory", "tests.fake_kafka:consumer_factory")
+        .option("factory_arg", log)
+        .load()
+    )
+    parsed = stream.select(
+        F.from_json(F.col("value").cast("string"), "doc_id long, text string").alias("j"),
+        F.col("timestamp").alias("ts"),
+    ).select("j.doc_id", "j.text", "ts")
+    gated = quality_score(parsed, "text").where(F.col("quality") >= 0.5)
+    deduped = (
+        gated.withColumn("text_key", F.md5("text"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["text_key"])
+    )
+
+    seen: list[tuple] = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda df, bid: seen.extend(
+                (r["doc_id"], r["text"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept_ids = sorted(d for d, _ in seen)
+    # doc 4 fails the quality gate; docs 3 and 6 are text-duplicates of
+    # 1 and 2 (either member of a dup pair may survive, never both)
+    assert len(kept_ids) == 3
+    assert 4 not in kept_ids
+    texts = [t for _, t in seen]
+    assert len(set(texts)) == 3
+    assert {1, 3} & set(kept_ids) and {2, 6} & set(kept_ids) and 5 in kept_ids
