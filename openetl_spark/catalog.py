@@ -2315,10 +2315,10 @@ def q_decontaminate_ngram(spark, sf_dir):
     f"""
     SELECT doc_id, lang, source FROM documents
     WHERE {C.hash_bucket_sql('doc_id', 100)}
-          < CAST((CASE WHEN lang = 'de' THEN 0.25
-                       WHEN lang = 'en' THEN 0.5
-                       WHEN lang = 'zh' THEN 0.1
-                       ELSE 0.0 END) * 100 AS INT)
+          < (CASE WHEN lang = 'de' THEN 25
+                  WHEN lang = 'en' THEN 50
+                  WHEN lang = 'zh' THEN 10
+                  ELSE 0 END)
     """,
 )
 def q_stratified_sample(spark, sf_dir):

@@ -66,14 +66,21 @@ def stratified_sample(
 
     Plan shape: one scan, zero shuffles — the rate lookup is a literal
     CASE expression and the bucket is computed per-row. Filters still
-    push down past it."""
-    rate_expr = F.lit(float(default_rate))
+    push down past it.
+
+    Rates quantize to whole percents as INTEGER literals before the
+    plan is built: a float CASE compared against the bucket would ride
+    on `rate*100` double arithmetic, where e.g. 0.29*100 =
+    28.999999999999996 truncates to 28 in one engine and rounds to 29
+    in another — integer literals make membership bit-identical
+    everywhere."""
+    pct_expr = F.lit(int(round(float(default_rate) * 100)))
     for stratum, rate in sorted(rates.items()):
-        rate_expr = F.when(
-            F.col(strata_col) == stratum, F.lit(float(rate))
-        ).otherwise(rate_expr)
+        pct_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(float(rate) * 100)))
+        ).otherwise(pct_expr)
     bucket = hash_bucket(F.col(id_col), 100)
-    return df.where(bucket < (rate_expr * 100).cast("int"))
+    return df.where(bucket < pct_expr)
 
 
 # ---------------------------------------------------------------------

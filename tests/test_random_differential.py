@@ -224,3 +224,69 @@ def test_random_topk_matches_duckdb(spark, sf_dir, con, seed):
     )
     ok, msg = compare(spark_df, con, sql)
     assert ok, f"seed={seed} val={val} desc={desc} k={k}: {msg}"
+
+
+# ---------------------------------------------------------------- curation
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def gen_sample_spec(seed: int):
+    rng = random.Random(1000 + seed)
+    strata = rng.sample(LANGS, rng.randint(1, len(LANGS)))
+    rates = {s: rng.randint(1, 99) / 100 for s in strata}
+    default = rng.choice([0.0, rng.randint(0, 50) / 100])
+    return rates, default
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_stratified_sample_matches_duckdb(spark, sf_dir, con, seed):
+    """Engine-portable sampling: ANY whole-percent rate map must yield
+    byte-identical membership in Spark and DuckDB (the float-cast
+    divergence class is pinned out by integer percent literals)."""
+    from openetl_spark.operators import curation as C
+
+    rates, default = gen_sample_spec(seed)
+    d = catalog.load(spark, sf_dir, "documents")
+    df = C.stratified_sample(d, rates, "lang", "doc_id", default).select(
+        "doc_id", "lang"
+    )
+    case = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * 100))}" for s, r in sorted(rates.items())
+    )
+    sql = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {C.hash_bucket_sql('doc_id', 100)}
+          < (CASE {case} ELSE {int(round(default * 100))} END)
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} rates {rates} default {default}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_sequence_packing_matches_duckdb(spark, sf_dir, con, seed):
+    from openetl_spark.operators import curation as C
+
+    rng = random.Random(2000 + seed)
+    budget = rng.choice([64, 128, 256, 384, 512, 768, 1024])
+    group = rng.choice(["lang", "source"])
+    d = catalog.load(spark, sf_dir, "documents")
+    df = C.pack_sequences(d, budget=budget, group_col=group)
+    sql = f"""
+    WITH t AS (
+      SELECT {group}, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT {group}, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY {group} ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM t)
+    SELECT {group}, CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} budget {budget} group {group}: {msg}"
