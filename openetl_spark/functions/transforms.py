@@ -212,6 +212,11 @@ def _js_replace_full(s: str, pattern: re.Pattern, repl: str) -> str:
     out = []
     last = 0
     for m in pattern.finditer(s):
+        if m.start() < last:
+            # Python's finditer can yield a non-empty match at the same
+            # position as a preceding empty match; JS lastIndex has
+            # already advanced past it — skip to stay reference-exact.
+            continue
         out.append(s[last : m.start()])
         piece = []
         i = 0
@@ -263,8 +268,11 @@ def _replace_with_portions(src: Column, search: str, repl: str) -> Column:
     """Arrow-batched replace for the ``$\\```/``$'`` dialect. The search
     pattern compiles with Python ``re`` here (vs Java elsewhere) — the
     documented trade for supporting portion refs at all; the dialects
-    agree on the reference's test patterns."""
-    pattern = re.compile(search)
+    agree on the reference's test patterns. JS named-group syntax
+    ``(?<name>…)`` translates to Python's ``(?P<name>…)`` (lookbehinds
+    ``(?<=``/``(?<!`` excluded), so templates mixing ``$<name>`` with
+    portion refs keep working on this path."""
+    pattern = re.compile(re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", search))
 
     @F.pandas_udf(T.StringType())
     def _do(col: pd.Series) -> pd.Series:

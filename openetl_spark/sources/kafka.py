@@ -93,21 +93,55 @@ def _ts(ms) -> _dt.datetime | None:
     )
 
 
-def _read_range(consumer, topic: str, part: int, start: int, end: int):
+def _read_range(
+    consumer,
+    topic: str,
+    part: int,
+    start: int,
+    end: int,
+    empty_polls: int = 5,
+    fail_on_data_loss: bool = True,
+):
     """Yield schema-shaped tuples for offsets [start, end) of one
-    topic-partition. Poll loop rather than bounded fetch: that is the
-    kafka-python surface; the break on >= end bounds work."""
+    topic-partition. An empty poll() is NOT end-of-data — real
+    consumers return {} transiently (fetch in flight, rebalance); only
+    after ``empty_polls`` consecutive empty polls does the reader
+    consult the log's natural end. A planned range the log no longer
+    holds (retention truncation between planning and read) is DATA
+    LOSS: raise unless ``fail_on_data_loss`` is False (mirrors
+    spark-sql-kafka's failOnDataLoss), never silently under-deliver."""
     tp = (topic, part)
     if start >= end:
         return
     consumer.assign([tp])
     consumer.seek(tp, start)
     nxt = start
+    empties = 0
     while nxt < end:
         batches = consumer.poll(timeout_ms=1000, max_records=end - nxt)
         recs = batches.get(tp, [])
         if not recs:
-            break  # log truncated below `end` — yield what exists
+            empties += 1
+            if empties < empty_polls:
+                continue
+            natural_end = consumer.end_offsets([tp]).get(tp, 0)
+            if nxt < min(natural_end, end):
+                # offsets in [nxt, natural_end) exist but aren't
+                # arriving — fail loudly rather than checkpoint past
+                # unread data
+                raise RuntimeError(
+                    f"kafka source: {empty_polls} empty polls with "
+                    f"{min(natural_end, end) - nxt} live offsets "
+                    f"outstanding on {tp} — transport stalled"
+                )
+            if natural_end < end and fail_on_data_loss:
+                raise RuntimeError(
+                    f"kafka source: offsets [{natural_end}, {end}) on "
+                    f"{tp} no longer exist — data loss "
+                    "(set fail_on_data_loss=false to skip)"
+                )
+            return  # fail_on_data_loss=false: yield what existed
+        empties = 0
         for r in recs:
             if r.offset >= end:
                 return
@@ -161,15 +195,27 @@ class KafkaBatchReader(DataSourceReader):
                     ex_end.get(p, nat_end[(self.topic, p)]),
                 )
                 for p in parts
-            ]
+            ] or [OffsetRange(self.topic, -1, 0, 0)]
+            # sentinel: pyspark substitutes [None] for an empty
+            # partition list and read(None) would crash — an empty or
+            # unknown topic must scan as 0 rows instead
         finally:
             c.close()
 
     def read(self, partition: OffsetRange):
+        if partition is None or partition.partition < 0:
+            return
         c = _consumer(self.options)
         try:
             yield from _read_range(
-                c, partition.topic, partition.partition, partition.start, partition.end
+                c,
+                partition.topic,
+                partition.partition,
+                partition.start,
+                partition.end,
+                empty_polls=int(self.options.get("empty_polls", "5")),
+                fail_on_data_loss=self.options.get("fail_on_data_loss", "true")
+                != "false",
             )
         finally:
             c.close()
@@ -195,11 +241,18 @@ class KafkaStreamReader(DataSourceStreamReader):
             c.close()
 
     def initialOffset(self) -> dict:
+        natural = self._offsets("begin")
         if self.options.get("starting_offsets", "earliest") == "earliest":
-            return self._offsets("begin")
+            return natural
         import json
 
-        return {k: int(v) for k, v in json.loads(self.options["starting_offsets"]).items()}
+        # explicit offsets override per partition; partitions the map
+        # omits start at their natural beginning (a retention-truncated
+        # partition must not be planned from offset 0)
+        explicit = {k: int(v) for k, v in json.loads(self.options["starting_offsets"]).items()}
+        return {p: explicit.get(p, v) for p, v in natural.items()} | {
+            p: v for p, v in explicit.items() if p not in natural
+        }
 
     def latestOffset(self) -> dict:
         latest = self._offsets("end")
@@ -207,22 +260,52 @@ class KafkaStreamReader(DataSourceStreamReader):
             return latest
         # Ration the trigger budget across partitions proportionally to
         # backlog (spark-sql-kafka's maxOffsetsPerTrigger policy). The
-        # committed start isn't passed to latestOffset in this API, so
-        # the reader tracks the last planned end as the next start.
-        start = getattr(self, "_planned", None) or self.initialOffset()
+        # committed start isn't passed to latestOffset in this API (and
+        # initialOffset is NOT reliably invoked on this instance before
+        # the first trigger), so rationing only ever measures lag
+        # against a TRUSTED start: the reader's own previous plan,
+        # refined by the true batch starts partitions() reveals. With
+        # no trusted start — first trigger of a fresh query OR of a
+        # checkpoint restart — return the full log end: a rationed end
+        # derived from any guessed start could regress below the
+        # checkpoint and re-deliver committed records. One unrationed
+        # trigger is the correct price for exactly-once.
+        planned_prev = getattr(self, "_planned", None)
+        seen = getattr(self, "_seen_start", None)
+        if planned_prev is None and seen is None:
+            self._planned = latest
+            return latest
+        start = {
+            p: max(
+                int((planned_prev or {}).get(p, 0)), int((seen or {}).get(p, 0))
+            )
+            for p in latest
+        }
         lags = {p: max(0, latest[p] - start.get(p, 0)) for p in latest}
         total = sum(lags.values())
         if total <= self.max_per_trigger:
             self._planned = latest
             return latest
         scale = self.max_per_trigger / total
+        # floor() alone can assign every partition 0 (many partitions,
+        # tiny lags) and stall the stream; guarantee ≥1 offset of
+        # progress per lagging partition — overshoot is bounded by the
+        # partition count
         planned = {
-            p: start.get(p, 0) + math.floor(lags[p] * scale) for p in latest
+            p: start.get(p, 0)
+            + (max(1, math.floor(lags[p] * scale)) if lags[p] else 0)
+            for p in latest
         }
         self._planned = planned
         return planned
 
     def partitions(self, start: dict, end: dict):
+        # record the true committed start — after a restart this is the
+        # only place the checkpoint position is visible to the reader
+        seen = getattr(self, "_seen_start", {})
+        self._seen_start = {
+            p: max(int(v), int(seen.get(p, 0))) for p, v in start.items()
+        } | {p: int(v) for p, v in seen.items() if p not in start}
         return [
             OffsetRange(self.topic, int(p), int(start.get(p, 0)), int(end[p]))
             for p in sorted(end, key=int)
@@ -230,12 +313,19 @@ class KafkaStreamReader(DataSourceStreamReader):
         ] or [OffsetRange(self.topic, -1, 0, 0)]  # planner requires ≥1
 
     def read(self, partition: OffsetRange):
-        if partition.partition < 0:
+        if partition is None or partition.partition < 0:
             return iter([])
         c = _consumer(self.options)
         try:
             yield from _read_range(
-                c, partition.topic, partition.partition, partition.start, partition.end
+                c,
+                partition.topic,
+                partition.partition,
+                partition.start,
+                partition.end,
+                empty_polls=int(self.options.get("empty_polls", "5")),
+                fail_on_data_loss=self.options.get("fail_on_data_loss", "true")
+                != "false",
             )
         finally:
             c.close()

@@ -76,14 +76,19 @@ def test_value_decodes_to_columns(spark, log_path):
     )
 
 
-def test_stream_micro_batches_with_trigger_cap(spark, log_path, tmp_path):
+def test_stream_micro_batches_with_trigger_cap(spark, tmp_path):
+    """First trigger is deliberately unrationed (no trusted start yet —
+    see latestOffset); data arriving AFTER it drains under the
+    max_offsets_per_trigger cap across several micro-batches."""
+    log = str(tmp_path / "stream.jsonl")
+    fake_kafka.write_log(log, "events", {0: 3})
     K.register(spark)
     batches = []
     q = (
         spark.readStream.format("openetl_kafka")
         .option("topic", "events")
         .option("client_factory", "tests.fake_kafka:consumer_factory")
-        .option("factory_arg", log_path)
+        .option("factory_arg", log)
         .option("max_offsets_per_trigger", "5")
         .load()
         .writeStream.foreachBatch(
@@ -96,15 +101,17 @@ def test_stream_micro_batches_with_trigger_cap(spark, log_path, tmp_path):
     )
     try:
         q.processAllAvailable()
+        fake_kafka.write_log(log, "events", {0: 20, 1: 4})  # 21 new offsets
+        q.processAllAvailable()
     finally:
         q.stop()
     all_rows = [x for b in batches for x in b]
     assert sorted(all_rows) == sorted(
-        [(0, o) for o in range(7)] + [(1, o) for o in range(5)]
+        [(0, o) for o in range(20)] + [(1, o) for o in range(4)]
     )  # exactly-once across micro-batches
     nonempty = [b for b in batches if b]
-    assert len(nonempty) >= 2  # the 5-offset cap forced multiple batches
-    assert all(len(b) <= 5 for b in nonempty)
+    assert len(nonempty) >= 4  # 3 unrationed + ~21/5 capped batches
+    assert all(len(b) <= 5 for b in nonempty[1:])  # cap holds post-seed
 
 
 def test_batch_explicit_offsets_omitting_a_partition(spark, log_path):
@@ -119,3 +126,92 @@ def test_batch_explicit_offsets_omitting_a_partition(spark, log_path):
     )
     got = sorted((r["partition"], r["offset"]) for r in df.collect())
     assert got == [(0, 5), (0, 6)] + [(1, o) for o in range(5)]
+
+
+def test_batch_empty_topic_returns_zero_rows(spark, tmp_path):
+    """An unknown/empty topic must scan as 0 rows, not crash — pyspark
+    substitutes [None] for an empty partition list."""
+    empty_log = str(tmp_path / "empty.jsonl")
+    open(empty_log, "w").close()
+    K.register(spark)
+    df = (
+        spark.read.format("openetl_kafka")
+        .option("topic", "nothing")
+        .option("client_factory", "tests.fake_kafka:consumer_factory")
+        .option("factory_arg", empty_log)
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_batch_data_loss_raises_and_opt_out(spark, log_path):
+    """A planned offset range past the log's end is data loss: raise by
+    default, deliver-what-exists with fail_on_data_loss=false."""
+    import pytest as _pytest
+
+    bad = dict(
+        starting_offsets=json.dumps({"0": 0, "1": 0}),
+        ending_offsets=json.dumps({"0": 9, "1": 5}),  # partition 0 only has 7
+    )
+    with _pytest.raises(Exception, match="data loss"):
+        _reader(spark, log_path, **bad).collect()
+    rows = _reader(spark, log_path, fail_on_data_loss="false", **bad).collect()
+    assert len(rows) == 12  # the 7 + 5 that actually exist
+
+
+def test_stream_restart_does_not_ration_below_checkpoint():
+    """After a restart (initialOffset never called on the new reader
+    instance), the first latestOffset must return the full log end —
+    a rationed end computed from the log beginning could regress below
+    the checkpoint and re-deliver committed records."""
+    import tests.fake_kafka as fk
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    lp = os.path.join(d, "log.jsonl")
+    fk.write_log(lp, "t", {0: 100})
+    from openetl_spark.sources.kafka import KafkaStreamReader
+
+    r = KafkaStreamReader(
+        {
+            "topic": "t",
+            "client_factory": "tests.fake_kafka:consumer_factory",
+            "factory_arg": lp,
+            "max_offsets_per_trigger": "10",
+        }
+    )
+    # restart: Spark restores offsets from the checkpoint, never calls
+    # initialOffset on the new instance — full latest, never a rationed
+    # value that could sit below the committed position
+    assert r.latestOffset() == {"0": 100}
+    # the batch runs [60, 100); partitions() reveals the true start and
+    # the reader's own plan advances to 100 — new data rations normally
+    r.partitions({"0": 60}, {"0": 100})
+    fk.write_log(lp, "t", {0: 160})
+    assert r.latestOffset() == {"0": 110}  # 100 + 10-budget
+
+
+def test_stream_rationing_always_progresses():
+    """floor() rationing with many tiny lags must still advance every
+    lagging partition (min 1 offset) instead of stalling forever."""
+    import tests.fake_kafka as fk
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    lp = os.path.join(d, "log.jsonl")
+    fk.write_log(lp, "t", {p: 1 for p in range(6)})  # 6 partitions, lag 1 each
+    from openetl_spark.sources.kafka import KafkaStreamReader
+
+    r = KafkaStreamReader(
+        {
+            "topic": "t",
+            "client_factory": "tests.fake_kafka:consumer_factory",
+            "factory_arg": lp,
+            "max_offsets_per_trigger": "5",
+        }
+    )
+    start = r.initialOffset()
+    assert start == {str(p): 0 for p in range(6)}
+    planned = r.latestOffset()
+    moved = sum(planned[p] - start[p] for p in planned)
+    assert moved >= 6  # every lagging partition advanced (min-1 rule)

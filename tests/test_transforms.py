@@ -394,3 +394,24 @@ def test_replace_portion_refs(spark):
         [Transformation("replace", {"field": "s", "search": "(X)b", "replace": "$1$`!", "to": "t"})],
     ).collect()[0]["t"]
     assert out2 == "aXa!Xc"
+
+
+def test_replace_portion_refs_zero_width_and_named_groups(spark):
+    """Review findings r04: (1) Python finditer can yield a non-empty
+    match at the same position as a preceding empty match — JS lastIndex
+    has moved past it, so it must be skipped ('aa'.replace(/a*?/g,'-')
+    === '-a-a-'); (2) JS named-group syntax (?<g>...) must compile on
+    the portion path (Python spells it (?P<g>...))."""
+    df = spark.createDataFrame([("aa",)], "s string")
+
+    def t(search, repl):
+        return apply_transforms(
+            df,
+            [Transformation("replace", {"field": "s", "search": search, "replace": repl, "to": "t"})],
+        ).collect()[0]["t"]
+
+    # zero-width matches through the portion path: each empty match
+    # advances one char, and the char is kept, never replaced
+    assert t("a*?", "[$']") == "[aa]a[a]a[]"
+    # named group + portion ref in one template
+    assert t("(?<mid>a)a", "<$<mid>|$`>") == "<a|>"
