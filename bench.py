@@ -73,6 +73,8 @@ HEADLINE = [
     "embedding_quantize",
     "length_band_filter",
     "dedup_components",
+    "rarity_score",
+    "curation_pipeline",
 ]
 
 

@@ -1140,7 +1140,10 @@ def q_dedup_components(spark, sf_dir):
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
-_KEEP_BEST_ORACLE = """
+# Shared CTE prefix: shingles → exact-jaccard pairs → recursive
+# transitive closure → components → quality → labeled docs. Reused by
+# the keep-best oracle and the composed curation_pipeline oracle.
+_KEEP_BEST_CTES = """
     WITH RECURSIVE sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
       FROM (SELECT doc_id,
@@ -1182,26 +1185,26 @@ _KEEP_BEST_ORACLE = """
       FROM toks),
     lab AS (
       SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.quality
-      FROM q LEFT JOIN comp ON comp.doc_id = q.doc_id)
+      FROM q LEFT JOIN comp ON comp.doc_id = q.doc_id),
+    survivors AS (
+      SELECT component, doc_id, quality
+      FROM (SELECT lab.*,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM lab)
+      WHERE rn = 1)
+"""
+
+_KEEP_BEST_ORACLE = _KEEP_BEST_CTES + """
     SELECT CAST(component AS BIGINT) AS component,
            CAST(doc_id AS BIGINT) AS keep_doc_id, quality
-    FROM (SELECT lab.*,
-                 row_number() OVER (PARTITION BY component
-                                    ORDER BY quality DESC, doc_id ASC) AS rn
-          FROM lab)
-    WHERE rn = 1
+    FROM survivors
 """
 
 
-@query("dedup_keep_best", _KEEP_BEST_ORACLE)
-def q_dedup_keep_best(spark, sf_dir):
-    """The end-to-end dedup decision a training-data pipeline ships
-    (r03): near-dup pairs (MinHash+LSH, exact-verified) → connected
-    components → per-group survivor = highest quality_score (doc_id
-    tiebreak); singleton docs survive as their own group. One row per
-    surviving document. Composes three oracle-checked operators and is
-    itself oracle-checked end-to-end (recursive closure + the quality
-    formula + argmax in DuckDB)."""
+def _keep_best_survivors(spark, sf_dir) -> DataFrame:
+    """(component, doc_id, quality) of each near-dup group's survivor —
+    the shared head of dedup_keep_best and curation_pipeline."""
     d = load(spark, sf_dir, "documents", spread=True)
     pairs = D.minhash_near_duplicates(
         d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
@@ -1217,7 +1220,21 @@ def q_dedup_keep_best(spark, sf_dir):
     return (
         lab.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("component", F.col("doc_id").alias("keep_doc_id"), "quality")
+        .select("component", "doc_id", "quality")
+    )
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark, sf_dir):
+    """The end-to-end dedup decision a training-data pipeline ships
+    (r03): near-dup pairs (MinHash+LSH, exact-verified) → connected
+    components → per-group survivor = highest quality_score (doc_id
+    tiebreak); singleton docs survive as their own group. One row per
+    surviving document. Composes three oracle-checked operators and is
+    itself oracle-checked end-to-end (recursive closure + the quality
+    formula + argmax in DuckDB)."""
+    return _keep_best_survivors(spark, sf_dir).select(
+        "component", F.col("doc_id").alias("keep_doc_id"), "quality"
     )
 
 
@@ -2475,6 +2492,84 @@ def q_length_band_filter(spark, sf_dir):
     return C.length_band_filter(d, 0.1, 0.95, "source", "doc_id", "text")
 
 
+@query(
+    "curation_pipeline",
+    _KEEP_BEST_CTES + f"""
+    , kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
+    samp AS (
+      SELECT * FROM kept
+      WHERE {C.hash_bucket_sql('doc_id', 100)}
+            < (CASE WHEN lang = 'en' THEN 60 ELSE 40 END)),
+    t2 AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+      FROM samp),
+    c2 AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM t2)
+    SELECT lang, CAST(floor(tokens_before / 256.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c2 GROUP BY 1, 2
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The flagship composed curation DAG (r04) — what a user runs to
+    turn a raw corpus into training shards, in ONE lazy plan:
+    near-dup groups (MinHash+LSH, exact-verified) → quality-weighted
+    survivor per group → deterministic domain mixing (60% en / 40%
+    rest) → 256-token sequence packing → per-bin manifest. Every stage
+    is an oracle-checked operator and the composition itself is
+    oracle-checked end-to-end against a single DuckDB rendering
+    (recursive closure + quality argmax + hash sampling + packing
+    window). Catalyst sees the whole DAG at once: the dedup branch and
+    the packing branch share one scan of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    keep = _keep_best_survivors(spark, sf_dir).select("doc_id")
+    kept = d.join(keep, "doc_id").select("doc_id", "lang", "text")
+    sampled = C.stratified_sample(
+        kept,
+        {"en": 0.6},
+        "lang",
+        "doc_id",
+        default_rate=0.4,
+    )
+    return C.pack_sequences(sampled, budget=256, group_col="lang")
+
+
+@query(
+    "rarity_score",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT ex.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(tot.n / CAST(freq.c AS DOUBLE))), 4) AS rarity
+    FROM ex JOIN freq USING (token), tot
+    GROUP BY ex.doc_id
+    """,
+)
+def q_rarity_score(spark, sf_dir):
+    """Curation (r04): unigram self-information per doc (mean
+    −ln p(token) under the corpus's own unigram model) — the cheap
+    perplexity proxy separating boilerplate from garbled text. Two
+    linear passes; the only token-keyed shuffle carries (token, count)
+    pairs."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.rarity_score(d, "doc_id", "text")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -2499,6 +2594,7 @@ DRIVER_PRIORITY: list[str] = [
     "vocab_topk",
     "embedding_quantize",
     "length_band_filter",
+    "curation_pipeline",
     # -- rewritten in round 4 (scan-side signatures, array-intersect
     #    verify, LSH pair-id dedup): re-confirm against the oracles --
     "jaccard_near_dups",
@@ -2548,12 +2644,11 @@ DRIVER_PRIORITY: list[str] = [
     "ivf_knn",
     "text_stats",
     "lang_id_oracle",
-    "doc_fingerprint",
     "repetition_stats",
-    # (edit_distance, map_funcs, scalar_subquery, unpivot_measures
-    # rotated out to hold the prefix at 50 — all four got their first
-    # driver-green row in r03 and are still pinned by the local oracle
-    # suite every run)
+    # (edit_distance, map_funcs, scalar_subquery, unpivot_measures,
+    # doc_fingerprint rotated out to hold the prefix at 50 — all got
+    # driver-green rows in earlier rounds and stay pinned by the local
+    # oracle suite every run)
 ]
 
 

@@ -272,6 +272,43 @@ def vocab_topk(
     ).limit(k)
 
 
+def rarity_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Unigram self-information per document: mean −ln(p(token)) under
+    the corpus's own unigram distribution — the cheap perplexity proxy
+    used to separate boilerplate (low surprise) from unusual/garbled
+    text (high surprise) before model-based scoring. Returns
+    (id, n_tokens, rarity).
+
+    Two-pass shape, both linear: (1) corpus unigram counts (partial-agg
+    on token), (2) re-join tokens to counts and aggregate per doc. The
+    token-keyed join shuffles the exploded relation once — same volume
+    as any token-level statistic; per-doc state is one running mean."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    ex = df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("token"))
+    freq = ex.groupBy("token").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))
+    return (
+        ex.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("_n") / F.col("_c"))), round_dp).alias(
+                "rarity"
+            ),
+        )
+        .select(F.col("_doc").alias(id_col), "n_tokens", "rarity")
+    )
+
+
 # ---------------------------------------------------------------------
 # Embedding normalization / quantization
 # ---------------------------------------------------------------------

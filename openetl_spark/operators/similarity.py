@@ -107,6 +107,15 @@ def brute_force_knn_lazy(
     )
 
 
+def _id_schema(df: DataFrame, id_col: str) -> tuple[str, str]:
+    """(spark DDL type, pandas dtype) for the id column — pair-emitting
+    UDFs carry ids through verbatim, so string/int ids both work
+    instead of a hardcoded long."""
+    t = df.schema[id_col].dataType.simpleString()
+    integral = t in ("tinyint", "smallint", "int", "bigint", "long")
+    return t, ("int64" if integral else "object")
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Seeded random hyperplanes for sign-LSH. Public: the catalog's
     DuckDB oracle embeds these exact values as SQL literals so both
@@ -191,10 +200,11 @@ def lsh_similarity_join(
     )
     thr = float(threshold)
     chunk = 2048
+    id_type, id_dtype = _id_schema(df, id_col)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": [], "b": [], "cosine_sim": []}).astype(
-            {"a": "int64", "b": "int64", "cosine_sim": "float64"}
+            {"a": id_dtype, "b": id_dtype, "cosine_sim": "float64"}
         )
         n = len(pdf)
         if n < 2:
@@ -223,7 +233,7 @@ def lsh_similarity_join(
         return pd.concat(frames) if frames else empty
 
     out = e.groupBy("t", "bucket").applyInPandas(
-        bucket_pairs, "a long, b long, cosine_sim double"
+        bucket_pairs, f"a {id_type}, b {id_type}, cosine_sim double"
     )
     # a pair colliding in k tables surfaces k times with an identical
     # (deterministically rounded) value — one distinct over winners only
@@ -285,6 +295,7 @@ def blocked_similarity_join(
 
     thr = float(threshold)
     dp = int(round_dp)
+    id_type, id_dtype = _id_schema(df, id_col)
 
     def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pi, pj = key
@@ -292,7 +303,7 @@ def blocked_similarity_join(
         right = pdf[pdf["_b"] == pj]
         if left.empty or right.empty:
             return pd.DataFrame({"a": [], "b": [], "cosine_sim": []}).astype(
-                {"a": "int64", "b": "int64", "cosine_sim": "float64"}
+                {"a": id_dtype, "b": id_dtype, "cosine_sim": "float64"}
             )
         la = np.asarray(left["_v"].tolist(), dtype=np.float64)
         ra = np.asarray(right["_v"].tolist(), dtype=np.float64)
@@ -315,7 +326,7 @@ def blocked_similarity_join(
         return pd.DataFrame({"a": aa, "b": bb, "cosine_sim": vv})
 
     out = replicated.groupBy("pi", "pj").applyInPandas(
-        block_pairs, "a long, b long, cosine_sim double"
+        block_pairs, f"a {id_type}, b {id_type}, cosine_sim double"
     )
     # intra-block pairs (pi == pj) appear once; a<b already enforced
     return out

@@ -54,7 +54,8 @@ def test_driver_priority_window_integrity():
     assert first50 == pri
     for newcomer in ("decontaminate_ngram", "stratified_sample",
                      "sequence_packing", "pii_redaction", "vocab_topk",
-                     "embedding_quantize", "length_band_filter"):
+                     "embedding_quantize", "length_band_filter",
+                     "curation_pipeline"):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
     q = entry.queries()
