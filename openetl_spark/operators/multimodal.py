@@ -9,12 +9,13 @@ extraction JVM-side, and decode/feature steps as Arrow-batched
 
 Header metadata (PNG IHDR, JPEG SOF, GIF screen descriptor, WAV fmt
 chunk) is parsed for real with stdlib ``struct`` — no codec library
-needed for dimensions / sample rate / duration. Only full *pixel/sample*
-decode (needed for content features like luminance) requires PIL/libav,
-which are not in this container: that single step is import-guarded and
-yields NULL when the library is absent, clearly marked STUB. The
-Spark-side plumbing — schema, Arrow batch iteration, fan-out shape — is
-real and tested either way.
+needed for dimensions / sample rate / duration. PNG *pixel* decode is
+also real and stdlib-only (zlib inflate + the five scanline filters,
+``decode_png_pixels``), so luminance features compute in this
+container; JPEG/GIF pixel decode still needs a codec library (PIL,
+import-guarded, NULL when absent — the one remaining STUB). The
+Spark-side plumbing — schema, Arrow batch iteration, fan-out shape —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -125,10 +126,98 @@ def parse_wav_header(
     return sample_rate, channels, bits, duration
 
 
+def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
+    """REAL stdlib PNG pixel decode: (width, height, channels, pixels)
+    for 8-bit non-interlaced grayscale/RGB/gray+alpha/RGBA images —
+    zlib-inflate the IDAT stream and reverse the five scanline filters
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9. Returns None for
+    shapes outside that envelope (16-bit, palette, Adam7), which a real
+    codec library would cover. Per-pixel Python is fine at feature-
+    extraction batch sizes; a production image pipeline would swap this
+    exact function for a codec binding without touching the Spark
+    plumbing around it."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bit_depth != 8 or interlace != 0:
+                return None
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                return None
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        return None
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        cur = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = cur
+        prev = cur
+    return width, height, channels, out
+
+
 def _mean_luma(data: bytes) -> float | None:
-    """Mean luminance — the one step that genuinely needs a pixel
-    decoder. Import-guarded: with PIL absent (this container) it yields
-    NULL (STUB); with PIL present it is real."""
+    """Mean luminance in [0, 1]. PNGs decode for REAL with the stdlib
+    decoder above (ITU-R 601-2 integer luma, the same formula PIL's
+    convert('L') uses, so both paths agree). Other formats fall back to
+    PIL, import-guarded: with PIL absent (this container) they yield
+    NULL (STUB)."""
+    decoded = decode_png_pixels(data) if data[:4] == b"\x89PNG" else None
+    if decoded is not None:
+        width, height, channels, px = decoded
+        n = width * height
+        if n == 0:
+            return None
+        if channels in (1, 2):  # gray / gray+alpha: luma = gray sample
+            total = sum(px[i] for i in range(0, len(px), channels))
+        else:  # RGB / RGBA
+            total = sum(
+                (px[i] * 299 + px[i + 1] * 587 + px[i + 2] * 114) // 1000
+                for i in range(0, len(px), channels)
+            )
+        return round(total / (255.0 * n), 6)
     try:
         from PIL import Image  # noqa: F401
     except ImportError:

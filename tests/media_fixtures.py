@@ -19,13 +19,50 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def make_png(width: int, height: int) -> bytes:
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
-    raw = b"".join(b"\x00" + bytes(width * 3) for _ in range(height))
+def make_png(
+    width: int,
+    height: int,
+    pixels: list[list[tuple[int, int, int]]] | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """8-bit RGB PNG. ``pixels`` = rows of (r, g, b); default all-black.
+    ``filter_type`` applies that PNG scanline filter to every row
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) — the encoder side of the
+    spec §9 math, so decoder tests can exercise each filter path."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    if pixels is None:
+        pixels = [[(0, 0, 0)] * width for _ in range(height)]
+    stride = width * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for row in pixels:
+        cur = bytes(v for px in row for v in px)
+        filt = bytearray(cur)
+        if filter_type == 1:
+            for i in range(stride - 1, 2, -1):
+                filt[i] = (cur[i] - cur[i - 3]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                filt[i] = (cur[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                filt[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([filter_type]) + bytes(filt)
+        prev = cur
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
 

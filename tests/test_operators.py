@@ -332,13 +332,42 @@ def test_image_header_decode_true_dimensions(spark):
     assert out["d.bin"]["format"] is None and out["d.bin"]["width"] is None
     assert out["e.png"]["format"] == "png" and out["e.png"]["width"] is None
     assert out["a.png"]["n_bytes"] == len(make_png(320, 200))
-    # mean_luma is the import-guarded pixel-decode step: NULL without PIL
+    # PNG pixel decode is REAL (stdlib, r04): all-black fixture → 0.0
+    assert out["a.png"]["mean_luma"] == 0.0
+    # JPEG pixel decode remains the PIL-guarded stub (no scan data in
+    # the fixture anyway)
     try:
         import PIL  # noqa: F401
-
-        assert out["a.png"]["mean_luma"] == 0.0  # all-black fixture
     except ImportError:
-        assert out["a.png"]["mean_luma"] is None
+        assert out["b.jpg"]["mean_luma"] is None
+
+
+def test_png_pixel_decode_all_filters():
+    """r04: the stdlib PNG decoder reverses every scanline filter type
+    (spec §9) — encode known pixels under each filter, decode, and
+    compare both raw pixels and the ITU-R 601-2 mean luminance."""
+    from tests.media_fixtures import make_png
+
+    px = [
+        [(255, 0, 0), (0, 255, 0), (10, 20, 30)],
+        [(0, 0, 255), (200, 100, 50), (255, 255, 255)],
+    ]
+    flat = [v for row in px for p in row for v in p]
+    lumas = [
+        (r * 299 + g * 587 + b * 114) // 1000 for row in px for (r, g, b) in row
+    ]
+    expect_luma = round(sum(lumas) / (255.0 * len(lumas)), 6)
+    for ftype in range(5):
+        data = make_png(3, 2, pixels=px, filter_type=ftype)
+        decoded = M.decode_png_pixels(data)
+        assert decoded is not None, f"filter {ftype}"
+        w, h, ch, raw = decoded
+        assert (w, h, ch) == (3, 2, 3)
+        assert list(raw) == flat, f"filter {ftype} pixels diverge"
+        assert M._mean_luma(data) == expect_luma
+    # out-of-envelope shapes decline instead of mis-decoding
+    assert M.decode_png_pixels(b"\x89PNG\r\n\x1a\n") is None
+    assert M.decode_png_pixels(b"not a png") is None
 
 
 def test_wav_header_decode_true_metadata(spark):
