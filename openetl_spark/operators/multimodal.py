@@ -273,12 +273,53 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("bits_per_sample", T.IntegerType()),
         T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("silence_ratio", T.DoubleType()),
     ]
 )
 
 
+def decode_wav_samples(data: bytes):
+    """REAL stdlib WAV sample decode (16-bit PCM): (rms, peak,
+    silence_ratio), all normalized to [0, 1] full-scale; silence =
+    |sample| below 1% FS — the features an audio curation pipeline
+    gates on (drop silent/clipped clips) before model-based filtering.
+    Non-16-bit or malformed payloads return (None, None, None); a
+    codec binding would widen the envelope, not change the plumbing."""
+    import array
+    import io
+    import math
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None, None, None
+            n = w.getnframes() * w.getnchannels()
+            if n == 0:
+                return None, None, None
+            samples = array.array("h")
+            samples.frombytes(w.readframes(w.getnframes()))
+    except Exception:
+        return None, None, None
+    if not samples:
+        return None, None, None
+    fs = 32768.0
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / fs
+    peak = max(abs(s) for s in samples) / fs
+    silent = sum(1 for s in samples if abs(s) < 0.01 * fs)
+    return (
+        round(rms, 6),
+        round(peak, 6),
+        round(silent / len(samples), 6),
+    )
+
+
 def extract_audio_features(df: DataFrame, content_col: str = "content", path_col: str = "path") -> DataFrame:
-    """WAV metadata via the RIFF chunk walk — real values, no codec lib."""
+    """WAV metadata via the RIFF chunk walk, plus REAL stdlib sample
+    decode (rms / peak / silence ratio for 16-bit PCM) — no codec lib
+    anywhere on the WAV path."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -286,10 +327,16 @@ def extract_audio_features(df: DataFrame, content_col: str = "content", path_col
             for _, r in pdf.iterrows():
                 data = bytes(r[content_col]) if r[content_col] is not None else b""
                 sr, ch, bits, dur = parse_wav_header(data)
-                rows.append((r[path_col], len(data), sr, ch, bits, dur))
+                rms, peak, sil = (
+                    decode_wav_samples(data) if sr is not None else (None, None, None)
+                )
+                rows.append((r[path_col], len(data), sr, ch, bits, dur, rms, peak, sil))
             yield pd.DataFrame(
                 rows,
-                columns=["path", "n_bytes", "sample_rate", "channels", "bits_per_sample", "duration_s"],
+                columns=[
+                    "path", "n_bytes", "sample_rate", "channels",
+                    "bits_per_sample", "duration_s", "rms", "peak", "silence_ratio",
+                ],
             )
 
     return df.select(path_col, content_col).mapInPandas(op, AUDIO_FEATURES_SCHEMA)

@@ -84,11 +84,33 @@ def make_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00" + b"\x3b"
 
 
-def make_wav(sample_rate: int, seconds: float, channels: int = 1) -> bytes:
+def make_wav(
+    sample_rate: int,
+    seconds: float,
+    channels: int = 1,
+    tone_hz: float | None = None,
+    amplitude: float = 0.5,
+) -> bytes:
+    """16-bit PCM WAV. Default payload is silence; ``tone_hz`` writes a
+    sine at ``amplitude`` (of full scale) so sample-decode features
+    (rms/peak) have known expected values."""
+    import math
+
+    n = int(sample_rate * seconds)
+    if tone_hz is None:
+        frames = bytes(n * 2 * channels)
+    else:
+        samples = [
+            int(amplitude * 32767 * math.sin(2 * math.pi * tone_hz * i / sample_rate))
+            for i in range(n)
+        ]
+        frames = b"".join(
+            struct.pack("<h", s) * channels for s in samples
+        )
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(channels)
         w.setsampwidth(2)  # 16-bit
         w.setframerate(sample_rate)
-        w.writeframes(bytes(int(sample_rate * seconds) * 2 * channels))
+        w.writeframes(frames)
     return buf.getvalue()

@@ -495,3 +495,24 @@ def test_bigram_repetition_stats_known_values(spark):
     got = {r["doc_id"]: (r["n_bigrams"], r["distinct_ratio"], r["top_frac"])
            for r in X.bigram_repetition_stats(df).collect()}
     assert got == {1: (5, 0.4, 0.6), 2: (3, 1.0, round(1 / 3, 4))}
+
+
+def test_wav_sample_decode_features(spark):
+    """r04: REAL stdlib WAV sample decode — a sine at amplitude A has
+    rms ≈ A/√2 and peak ≈ A; the silent fixture is all-silence."""
+    from tests.media_fixtures import make_wav
+
+    rows = [
+        ("tone.wav", bytearray(make_wav(8000, 0.5, tone_hz=440, amplitude=0.5))),
+        ("quiet.wav", bytearray(make_wav(8000, 0.25))),
+        ("junk.bin", bytearray(b"RIFFgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in M.extract_audio_features(df).collect()}
+    tone = out["tone.wav"]
+    assert abs(tone["rms"] - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(tone["peak"] - 0.5) < 0.01
+    assert tone["silence_ratio"] < 0.05
+    quiet = out["quiet.wav"]
+    assert quiet["rms"] == 0.0 and quiet["peak"] == 0.0 and quiet["silence_ratio"] == 1.0
+    assert out["junk.bin"]["rms"] is None
