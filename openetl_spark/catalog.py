@@ -46,21 +46,20 @@ def load(
         df = load(spark, sf_dir, table)
         return df.repartition(spark.sparkContext.defaultParallelism)
     if table == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects outright. Read nanos as long (runtime
-        # conf so it works on any session) and truncate to Spark's
-        # native microsecond precision. DuckDB keeps full nanos, so
-        # query outputs never emit raw ts values — only truncated
-        # (second/hour) or derived columns. Interval-threshold
-        # comparisons (1h pairs, 30min gaps) are still evaluated at
-        # different precisions per engine; verified safe for this
-        # generator (no same-user gap within 1ms of a boundary at any
-        # SF) but inherently unfixable while Spark lacks nanos.
+        # Generator versions differ on events.ts: some write
+        # TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
+        # nanos as long and truncate to Spark's native microseconds),
+        # newer ones write TIMESTAMP(MICROS) directly. Sniff the
+        # physical type and normalize both to timestamp_ntz so every
+        # downstream query sees one schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
