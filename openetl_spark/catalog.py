@@ -2569,6 +2569,449 @@ def q_rarity_score(spark, sf_dir):
     return C.rarity_score(d, "doc_id", "text")
 
 
+# ---------------------------------------------------------------------
+# Remaining TPC-H shapes (r05). The testdata schema omits partsupp and
+# the lineitem receipt/commit/shipmode columns, so each query keeps the
+# reference shape's *operator structure* (the part the planner sees)
+# with predicates adapted to the columns that exist; the DuckDB oracle
+# mirrors the adaptation exactly.
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') t
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation table joined twice under different
+    roles (supplier side / customer side) with a symmetric pair
+    predicate, then a 3-key aggregation. Both nation relations
+    broadcast; the only shuffles are the orders equi-join and the
+    final group-by."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
+    GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 7-relation star join with a conditional
+    numerator over the full denominator (one nation's share of
+    regional volume per year). part is filtered before the join and
+    broadcast; region restricts the customer side via two broadcast
+    hops."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0)) / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%') t
+    GROUP BY nation, o_year
+    """,
+)
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per supplier-nation per year over a
+    part-name pattern filter. The testdata has no partsupp, so supply
+    cost is proxied as 0.6 * p_retailprice (the oracle mirrors the
+    proxy); the plan shape — substring-pattern dim filter broadcast
+    into a fact join, expression agg over a derived column — is the
+    reference's."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    """
+    SELECT delay_band,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                  THEN 'FAST' ELSE 'SLOW' END AS delay_band,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00') t
+    GROUP BY delay_band
+    """,
+)
+def q_q12_shipping_delay(spark, sf_dir):
+    """TPC-H Q12 shape: join + dual conditional counts per band. The
+    testdata has no l_shipmode/receipt/commit columns, so the band is
+    derived from shipping delay (≤30 days = FAST) instead of ship
+    mode; the CASE-sum structure the reference exercises is
+    unchanged."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = F.when(
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "FAST"
+    ).otherwise("SLOW")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(band.alias("delay_band"), F.col("o_orderpriority"))
+        .groupBy("delay_band")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands evaluated across the join boundary. The part side of each
+    disjunct (brand+size) is pushable; the mixed part×lineitem residual
+    stays a post-join filter — exactly what Catalyst does with the
+    reference predicate (container/shipmode swapped for columns the
+    testdata has)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    d1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20)
+    d2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 40)
+    d3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 50)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(d1 | d2 | d3)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+    solo_late AS (
+      SELECT l_orderkey FROM late
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN multi     USING (l_orderkey)
+    JOIN solo_late USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = late.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers solely responsible for late
+    multi-supplier orders. The reference's correlated EXISTS /
+    NOT EXISTS pair decorrelates to two per-order aggregates (any
+    other supplier on the order; no other LATE supplier on the order)
+    — written directly in that decorrelated form so the same plan
+    runs on both engines. Late = shipped >60 days after the order
+    date (testdata has no receipt/commit columns)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    solo_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, "l_orderkey")
+        .join(solo_late, "l_orderkey")
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    best AS (
+      SELECT c.l_partkey, min(c.unit_price) AS best_price
+      FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+      GROUP BY c.l_partkey)
+    SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name AS nation,
+           round(c.unit_price, 2) AS unit_price
+    FROM cost c
+    JOIN eu   ON eu.s_suppkey = c.l_suppkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_price = b.best_price
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+    """,
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum over a restricted supplier set,
+    re-joined by value equality (ties kept). partsupp's supply cost is
+    proxied by the observed minimum unit price in lineitem — raw IEEE
+    division and min only, so the equality join compares bit-identical
+    doubles on both engines; rounding happens on output alone."""
+    l = load(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    eu_cost = cost.join(F.broadcast(eu), cost.l_suppkey == F.col("s_suppkey"))
+    best = eu_cost.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    return (
+        eu_cost.join(
+            best,
+            (eu_cost.l_partkey == F.col("bp"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(p), eu_cost.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "nation",
+            F.round("unit_price", 2).alias("unit_price"),
+        )
+    )
+
+
+@query(
+    "q11_important_value",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, round(value, 2) AS value
+    FROM val
+    WHERE round(value, 2) > (SELECT round(sum(value) * 0.001, 2) FROM val)
+    """,
+)
+def q_q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape: grouped value with a HAVING threshold that is
+    itself a scalar aggregate over the same grouped view (decorrelated
+    to a broadcast of the one-row total). Both sides of the comparison
+    are rounded to cents so an order-of-summation ulp can't flip
+    membership."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    threshold = val.agg(F.round(F.sum("value") * 0.001, 2).alias("t"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.round(F.col("value"), 2) > F.col("t"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, with a NOT IN exclusion subquery (suppliers in arrears).
+    s_suppkey is non-null so NOT IN is exactly a broadcast anti
+    join; the part relationship comes from lineitem (no partsupp in
+    the testdata)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -2576,16 +3019,50 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order; rounds 1-2 covered the first
-# 50 *registered* names, leaving the 28 registered later with no driver
-# row. Front-load those 28 (plus queries added this round and a spread
-# of anchors re-confirming each operator family) so that, combined with
-# CORRECTNESS_r01/r02, every catalog query has at least one driver-green
-# row. Registration order above is unchanged — only presentation order.
+# entries of queries() in iteration order; CORRECTNESS_r01/r02 each
+# covered the same first-50 registered names, leaving exactly 50 of
+# the 100 catalog queries with no driver row. This window IS those 50
+# (computed against the recorded r01∪r02 key sets), so after this
+# round every catalog query has at least one driver-green row. The
+# queries rotated out stay pinned every run by tests/test_oracle.py,
+# which mirrors the driver's compare (sorted columns, stringified
+# values) exactly. Registration order above is unchanged — only
+# presentation order.
 # ---------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- new in round 4 (need their first driver row) --
+    "dedup_components",
+    "dedup_keep_best",
+    "pivot_dynamic",
+    "repetition_stats",
+    "map_funcs",
+    "approx_sketches",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q10_returned_items",
+    "embedding_near_dup_exact",
+    "lang_id_oracle",
+    "percentile_exact",
+    "stats_agg",
+    "window_ranking_extras",
+    "unpivot_measures",
+    "scalar_subquery",
+    "date_funcs_extended",
+    "filtered_agg",
+    "null_safe_join",
+    "string_funcs_extended",
+    "array_funcs_extended",
+    "ivf_knn",
+    "edit_distance",
+    "value_histogram",
+    "q4_order_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_global_sales",
+    "string_agg_nations",
+    "regression_aggs",
     "decontaminate_ngram",
     "stratified_sample",
     "sequence_packing",
@@ -2594,60 +3071,16 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_quantize",
     "length_band_filter",
     "curation_pipeline",
-    # -- rewritten in round 4 (scan-side signatures, array-intersect
-    #    verify, LSH pair-id dedup): re-confirm against the oracles --
-    "jaccard_near_dups",
-    "minhash_near_dups",
-    "simhash_dedup",
-    "lsh_similarity_join",
-    "dedup_components",
-    "dedup_keep_best",
-    "embedding_near_dup_exact",
-    # -- anchors: one green row per operator family; after rounds 1-3
-    #    every registered query has ≥1 driver-green row, so the rest of
-    #    the window re-confirms breadth, favoring queries checked only
-    #    once (the r03 first-checks) --
-    "connector_slice",
-    "filter_group_or",
-    "transform_chain",
-    "join_inner",
-    "join_broadcast",
-    "null_safe_join",
-    "range_join_events",
-    "asof_join_events",
-    "q1_pricing",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_global_sales",
-    "agg_distinct",
-    "filtered_agg",
-    "percentile_exact",
-    "stats_agg",
-    "regression_aggs",
-    "string_agg_nations",
-    "value_histogram",
-    "window_rank",
-    "window_ranking_extras",
-    # (session_windows rotated out — green r01+r02; its family stays
-    # anchored by the streaming pytest suite)
-    "pandas_normalize",
-    "dedup_exact",
-    "embedding_knn",
-    "ivf_knn",
-    "text_stats",
-    "lang_id_oracle",
-    "repetition_stats",
-    # (edit_distance, map_funcs, scalar_subquery, unpivot_measures,
-    # doc_fingerprint rotated out to hold the prefix at 50 — all got
-    # driver-green rows in earlier rounds and stay pinned by the local
-    # oracle suite every run)
+    "rarity_score",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipping_delay",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q16_supplier_cnt",
 ]
 
 
