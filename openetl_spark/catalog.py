@@ -3012,6 +3012,35 @@ def q_q16_supplier_cnt(spark, sf_dir):
     )
 
 
+@query(
+    "vocab_sketch_topk",
+    """
+    WITH ex AS (
+      SELECT UNNEST(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS token
+      FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ex GROUP BY token)
+    SELECT token, n_occurrences, n_occurrences AS lo, n_occurrences AS hi
+    FROM cnt ORDER BY n_occurrences DESC, token ASC LIMIT 60
+    """,
+)
+def q_vocab_sketch_topk(spark, sf_dir):
+    """Curation (r05): approximate vocabulary heavy hitters via
+    per-partition SpaceSaving summaries — the sketch path that replaces
+    `vocab_topk`'s exact one-row-per-distinct-token shuffle when the
+    distinct-token count itself is web-scale. Run here with capacity
+    (64k) far above the per-partition distinct count, where SpaceSaving
+    is provably exact (no counter is ever evicted, lo = hi = count), so
+    the full pipeline — streamed sketch build, threshold bookkeeping,
+    bound-merging shuffle, top-k — oracle-checks against DuckDB's exact
+    counts; the eviction/bound path is pinned by property tests at
+    small capacity (tests/test_curation.py)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.vocab_topk_sketch(d, "text", k=60, capacity=65536)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

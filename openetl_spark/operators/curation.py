@@ -368,3 +368,117 @@ def redact_pii(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Approximate vocabulary heavy hitters (SpaceSaving sketch)
+# ---------------------------------------------------------------------
+
+
+def _spacesaving_partition(capacity: int, lowercase: bool):
+    """Build the mapInPandas worker: one SpaceSaving summary (Metwally
+    et al. 2005) of `capacity` counters per partition, maintained
+    across Arrow batches as they stream (no batch is retained), emitted
+    once at end-of-partition. Expects columns (_pid, _text)."""
+    import pandas as pd
+
+    def run(batches):
+        counts: dict[str, int] = {}
+        errs: dict[str, int] = {}
+        pid = -1
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+            for text in pdf["_text"]:
+                if text is None:
+                    continue
+                toks = text.lower().split() if lowercase else text.split()
+                for tok in toks:
+                    if tok in counts:
+                        counts[tok] += 1
+                    elif len(counts) < capacity:
+                        counts[tok] = 1
+                        errs[tok] = 0
+                    else:
+                        # evict the min-count entry; its count bounds
+                        # the new entry's overestimate
+                        victim = min(counts, key=counts.get)
+                        floor = counts.pop(victim)
+                        errs.pop(victim)
+                        counts[tok] = floor + 1
+                        errs[tok] = floor
+        if not counts:
+            return
+        thr = min(counts.values()) if len(counts) >= capacity else 0
+        yield pd.DataFrame(
+            {
+                "token": list(counts),
+                "est": list(counts.values()),
+                "err": [errs[t] for t in counts],
+                "thr": thr,
+                "pid": pid,
+            }
+        )
+
+    return run
+
+
+def vocab_topk_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    capacity: int = 4096,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Approximate vocabulary heavy hitters via per-partition
+    SpaceSaving summaries — the 100 TB path where `vocab_topk`'s exact
+    token-keyed shuffle (one record per DISTINCT token, trillions on a
+    web corpus) stops being viable. Each partition keeps a fixed
+    `capacity` counters regardless of input size; the merge shuffles at
+    most capacity × n_partitions candidate rows.
+
+    Per token the merge computes:
+      lo  = Σ_present (est_i − err_i)     (never overcounts)
+      hi  = Σ_present est_i + Σ_absent thr_i  (never undercounts;
+            thr_i, a partition's min counter, bounds any token it
+            evicted or never saw)
+    Every token with true global count > N_tokens / capacity is
+    guaranteed present. Ranking is by the merged upper-bound estimate
+    with a token tiebreak, so the output order is deterministic.
+
+    With capacity ≥ per-partition distinct tokens no counter is ever
+    evicted; est is then the exact count and lo = hi — the
+    configuration the oracle-checked catalog query runs, while the
+    eviction path is pinned by property tests at small capacity.
+    Returns (token, n_occurrences, lo, hi) — n_occurrences = Σ est."""
+    src = df.select(
+        F.spark_partition_id().alias("_pid"), F.col(text_col).alias("_text")
+    )
+    sketch = src.mapInPandas(
+        _spacesaving_partition(capacity, lowercase),
+        schema="token string, est long, err long, thr long, pid int",
+    )
+    # Materialize once: the per-partition pass is the expensive part and
+    # three aggregates below re-read it.
+    sketch = sketch.localCheckpoint(eager=False)
+    total_thr = sketch.select("pid", "thr").distinct().agg(
+        F.coalesce(F.sum("thr"), F.lit(0)).alias("_total_thr")
+    )
+    merged = (
+        sketch.groupBy("token")
+        .agg(
+            F.sum("est").alias("n_occurrences"),
+            F.sum(F.col("est") - F.col("err")).alias("lo"),
+            F.sum("thr").alias("_thr_present"),
+        )
+        .join(F.broadcast(total_thr))
+        .select(
+            "token",
+            "n_occurrences",
+            "lo",
+            (F.col("n_occurrences") + F.col("_total_thr") - F.col("_thr_present")).alias(
+                "hi"
+            ),
+        )
+    )
+    return merged.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)

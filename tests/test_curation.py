@@ -124,3 +124,56 @@ def test_quantize_embeddings_zero_vector_and_unit_norm(spark):
     assert out[2]["q8"] == [0, 0] and out[2]["norm"] == 0.0
     # int8 range: all components within [-127, 127]
     assert all(-127 <= v <= 127 for r in out.values() for v in r["q8"])
+
+
+def test_vocab_sketch_exact_mode_matches_exact_topk(spark):
+    """Capacity above the distinct-token count → SpaceSaving never
+    evicts, so the sketch IS the exact count and lo == hi."""
+    df = spark.createDataFrame(
+        [(i, "x y " * (i % 3 + 1) + f"tok{i}") for i in range(40)],
+        ["doc_id", "text"],
+    ).repartition(4)
+    exact = {
+        r["token"]: r["n_occurrences"]
+        for r in C.vocab_topk(df, "doc_id", "text", k=10).collect()
+    }
+    out = C.vocab_topk_sketch(df, "text", k=10, capacity=1000).collect()
+    assert {r["token"]: r["n_occurrences"] for r in out} == exact
+    assert all(r["lo"] == r["n_occurrences"] == r["hi"] for r in out)
+
+
+def test_vocab_sketch_eviction_bounds_and_heavy_hitter_guarantee(spark):
+    """Small capacity forces evictions: every emitted token's true
+    count must sit within [lo, hi], and any token with true count
+    > N/capacity must be present (the SpaceSaving guarantee holds
+    per partition and survives the bound-merge)."""
+    rows = []
+    # heavy: 300 occurrences of 'hh' spread over docs; tail: singletons
+    for i in range(100):
+        rows.append((i, "hh hh hh tail%d uniq%d" % (i, i)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    n_tokens = 5 * 100  # 5 tokens per doc
+    capacity = 8
+    out = C.vocab_topk_sketch(df, "text", k=500, capacity=capacity).collect()
+    got = {r["token"]: r for r in out}
+    assert "hh" in got, "heavy hitter evicted despite count >> N/capacity"
+    true = {"hh": 300}
+    for i in range(100):
+        true[f"tail{i}"] = 1
+        true[f"uniq{i}"] = 1
+    for r in out:
+        t = true.get(r["token"], 0)
+        assert r["lo"] <= t <= r["hi"], (
+            f"{r['token']}: true {t} outside [{r['lo']}, {r['hi']}]"
+        )
+    # the heavy hitter's bounds must be usefully tight: lo ≥ exact share
+    assert got["hh"]["lo"] >= 300 - 5 * (n_tokens // capacity)
+
+
+def test_vocab_sketch_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "a a")],
+        "doc_id int, text string",
+    )
+    out = C.vocab_topk_sketch(df, "text", k=5, capacity=100).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in out] == [("a", 2)]

