@@ -3041,6 +3041,32 @@ def q_vocab_sketch_topk(spark, sf_dir):
     return C.vocab_topk_sketch(d, "text", k=60, capacity=65536)
 
 
+@query(
+    "training_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(({C.hash_bucket_sql("'shuf42:' || CAST(doc_id AS VARCHAR)", 16)})
+                  AS INTEGER) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS INTEGER) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def q_training_shuffle(spark, sf_dir):
+    """Curation (r05): deterministic training-order shuffle — a
+    reproducible pseudo-random permutation of the corpus as (shard,
+    pos_in_shard), built from one hash shuffle + per-shard sort (no
+    global range exchange). The oracle recomputes the identical md5
+    key and bucket mix in DuckDB, so the full permutation — not just
+    its shape — is hash-checked."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.deterministic_shuffle(d, "doc_id", seed="42", n_shards=16)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)

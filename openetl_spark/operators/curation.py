@@ -30,11 +30,18 @@ def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     (the DuckDB oracles render the same formula), so sampling decisions
     are reproducible across engines and runs — the property that makes
     a training mix auditable. md5 is evaluated once per row JVM-side;
-    16^3 = 4096 distinct states is plenty for percent-level rates."""
+    16^3 = 4096 distinct states is plenty for percent-level rates.
+
+    The mixing multipliers are primes (65521, 257), NOT byte shifts:
+    with 65536/256 every multiplier is ≡ 0 mod any power-of-two bucket
+    count, so e.g. n_buckets=16 collapsed to the last char's ascii
+    value — 10 reachable buckets out of 16 (caught by the r05 shard
+    assignment). Prime multipliers mix all three chars into every
+    modulus."""
     h = F.md5(col.cast("string"))
     mixed = (
-        F.ascii(F.substring(h, 1, 1)) * 65536
-        + F.ascii(F.substring(h, 2, 1)) * 256
+        F.ascii(F.substring(h, 1, 1)) * 65521
+        + F.ascii(F.substring(h, 2, 1)) * 257
         + F.ascii(F.substring(h, 3, 1))
     )
     return F.pmod(mixed, F.lit(n_buckets))
@@ -44,7 +51,7 @@ def hash_bucket_sql(expr: str, n_buckets: int = 100) -> str:
     """The exact DuckDB/ANSI rendering of hash_bucket() for oracles."""
     m = f"md5(CAST({expr} AS VARCHAR))"
     return (
-        f"(ascii(substr({m},1,1))*65536 + ascii(substr({m},2,1))*256 "
+        f"(ascii(substr({m},1,1))*65521 + ascii(substr({m},2,1))*257 "
         f"+ ascii(substr({m},3,1))) % {n_buckets}"
     )
 
@@ -482,3 +489,44 @@ def vocab_topk_sketch(
         )
     )
     return merged.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------
+# Deterministic training-order shuffle
+# ---------------------------------------------------------------------
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "42",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign every row a reproducible training-order position WITHOUT
+    a global sort: shard = keyed hash bucket, position = rank of the
+    row's md5 key within its shard. Consuming shards in (shard,
+    pos_in_shard) order yields a pseudo-random permutation of the
+    corpus that is identical across runs, engines, and cluster sizes —
+    the property a resumable 100 TB training job needs from its data
+    order.
+
+    Scale shape: one hash-partition shuffle on shard + a sort within
+    each shard (Window.partitionBy = exactly one exchange; no global
+    range exchange, no driver involvement). Changing `seed` produces an
+    unrelated permutation, so epoch reshuffles are a constant-cost
+    re-run. Returns (id, shard, pos_in_shard)."""
+    from pyspark.sql import Window
+
+    keyed = F.concat_ws(":", F.lit(f"shuf{seed}"), F.col(id_col).cast("string"))
+    key = F.md5(keyed)
+    shard = hash_bucket(keyed, n_shards)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), key.alias("_key"))
+        .withColumn(
+            "pos_in_shard",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+            ),
+        )
+        .drop("_key")
+    )

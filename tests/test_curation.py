@@ -177,3 +177,22 @@ def test_vocab_sketch_null_and_empty_text(spark):
     )
     out = C.vocab_topk_sketch(df, "text", k=5, capacity=100).collect()
     assert [(r["token"], r["n_occurrences"]) for r in out] == [("a", 2)]
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = C.deterministic_shuffle(df, "doc_id", seed="1", n_shards=4).collect()
+    b = C.deterministic_shuffle(df, "doc_id", seed="1", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # run-to-run stable
+    # every row present exactly once; positions contiguous from 1 per shard
+    assert sorted(r["doc_id"] for r in a) == list(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # a different seed yields a genuinely different order
+    c = C.deterministic_shuffle(df, "doc_id", seed="2", n_shards=4).collect()
+    ord_a = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos_in_shard"]))]
+    ord_c = [r["doc_id"] for r in sorted(c, key=lambda r: (r["shard"], r["pos_in_shard"]))]
+    assert ord_a != ord_c
