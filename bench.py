@@ -75,6 +75,13 @@ HEADLINE = [
     "dedup_components",
     "rarity_score",
     "curation_pipeline",
+    # round-5 additions (no BASELINE entries — first-run provenance)
+    "vocab_sketch_topk",
+    "training_shuffle",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_supplier",
 ]
 
 

@@ -516,3 +516,36 @@ def test_wav_sample_decode_features(spark):
     quiet = out["quiet.wav"]
     assert quiet["rms"] == 0.0 and quiet["peak"] == 0.0 and quiet["silence_ratio"] == 1.0
     assert out["junk.bin"]["rms"] is None
+
+
+def test_pandas_normalize_vectorized_equals_grouped_map(spark, sf_dir):
+    """C25: the catalog's partition-vectorized mapInPandas znorm must
+    equal a per-group applyInPandas reference — the grouped-map API
+    stays demonstrated while the catalog path avoids its per-group
+    call overhead."""
+    import pandas as pd
+
+    fast = {
+        (r["event_id"]): r["znorm"]
+        for r in catalog.QUERIES["pandas_normalize"](spark, sf_dir).collect()
+    }
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std()
+        mean = pdf["value"].mean()
+        if std and std > 0:
+            z = ((pdf["value"] - mean) / std).round(4)
+        else:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
+        )
+
+    ref_df = (
+        catalog.load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(norm, schema="event_id bigint, user_id bigint, znorm double")
+    )
+    ref = {r["event_id"]: r["znorm"] for r in ref_df.collect()}
+    assert fast == ref
