@@ -290,3 +290,46 @@ def test_random_sequence_packing_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(df, con, sql)
     assert ok, f"seed {seed} budget {budget} group {group}: {msg}"
+
+
+# ------------------------------------------------------------------
+# EXISTS / NOT EXISTS + scalar-subquery threshold sweep (r05 — the
+# decorrelated shapes q21/q22/q11 exercise, randomized)
+# ------------------------------------------------------------------
+
+
+def gen_exists_spec(seed: int):
+    rng = random.Random(10_000 + seed)
+    mode = rng.choice(["semi", "anti"])
+    order_thr = round(rng.uniform(50_000, 350_000), 2)
+    bal_frac = round(rng.uniform(0.5, 1.5), 2)
+    return mode, order_thr, bal_frac
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_exists_threshold_matches_duckdb(spark, sf_dir, con, seed):
+    mode, order_thr, bal_frac = gen_exists_spec(seed)
+    c = catalog.load(spark, sf_dir, "customer")
+    thr = c.agg(F.round(F.avg("c_acctbal") * bal_frac, 2).alias("t"))
+    eligible = c.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("t"))
+    o = catalog.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > order_thr)
+    joined = eligible.join(
+        o, eligible.c_custkey == o.o_custkey, "left_semi" if mode == "semi" else "left_anti"
+    )
+    df = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+    neg = "" if mode == "semi" else "NOT "
+    sql = f"""
+    WITH thr AS (SELECT round(avg(c_acctbal) * {bal_frac}, 2) AS t FROM customer)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.t
+      AND {neg}EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > {order_thr})
+    GROUP BY c_mktsegment
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} spec {(mode, order_thr, bal_frac)}: {msg}"
