@@ -219,3 +219,42 @@ def test_broadcast_if_small_guards_fact_sized_dims(spark, sf_dir):
         assert "BroadcastHashJoin" not in plan_of(broadcast_if_small(nation, max_bytes=1))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_new_tpch_shapes_plan_evidence(spark, sf_dir):
+    """r05 TPC-H additions, plan-pinned. q19: Catalyst derives the
+    per-relation projections of the OR-of-ANDs predicate and pushes
+    them to BOTH scans (quantity bands -> lineitem, brand/size bands ->
+    part), and the join is broadcast. q8: every dimension of the
+    7-relation join arrives via BroadcastExchange and the order-date
+    filter reaches the orders scan."""
+    import re
+
+    def scans(df):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pushed = {
+            m.group(1).rsplit("/", 1)[-1]: m.group(2)
+            for m in re.finditer(
+                r"Location: InMemoryFileIndex \[file:([^\]]+)\].*?"
+                r"PushedFilters: (\[[^\]]*\])",
+                plan,
+                re.S,
+            )
+        }
+        return plan, pushed
+
+    plan19, pushed19 = scans(catalog.QUERIES["q19_discounted_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan19
+    li = pushed19["lineitem.parquet"]
+    assert "Or(" in li and "l_quantity" in li, li
+    pt = pushed19["part.parquet"]
+    assert "Or(" in pt and "p_brand" in pt and "p_size" in pt, pt
+
+    plan8, pushed8 = scans(catalog.QUERIES["q8_market_share"](spark, sf_dir))
+    assert plan8.count("BroadcastExchange") >= 5, plan8.count("BroadcastExchange")
+    assert "o_orderdate" in pushed8["orders.parquet"], pushed8["orders.parquet"]
+    assert "EqualTo(p_type,ECONOMY)" in pushed8["part.parquet"], pushed8["part.parquet"]
