@@ -3079,9 +3079,58 @@ def q_training_shuffle(spark, sf_dir):
     return C.deterministic_shuffle(d, "doc_id", seed="42", n_shards=16)
 
 
-def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """Driver smoke query: the regional-revenue star join."""
-    return q_q5_regional_revenue(spark, sf_dir)
+@query(
+    "histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / 525.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin) AS cum,
+             sum(c) OVER () AS n
+      FROM b)
+    SELECT round(525.0 * min(CASE WHEN cum >= 0.50 * n THEN bin END), 2) AS p50_est,
+           round(525.0 * min(CASE WHEN cum >= 0.90 * n THEN bin END), 2) AS p90_est,
+           round(525.0 * min(CASE WHEN cum >= 0.99 * n THEN bin END), 2) AS p99_est
+    FROM cum
+    """,
+)
+def q_histogram_quantiles(spark, sf_dir):
+    """C7/C17 scale path (r05): percentiles from a fixed-width 200-bin
+    histogram — the mergeable, fixed-memory alternative to
+    percentile_exact's global sort. One scan produces ≤200 (bin,count)
+    rows (partial-agg map-side), the cumulative pass runs over those
+    rows alone, and estimates are the lower edge of the first bin whose
+    cumulative count crosses q·n — deterministic by construction, so
+    unlike t-digest/GK sketches the whole path oracle-checks exactly.
+    Error is bounded by one bin width (pinned in
+    tests/test_scale_helpers.py); at 100 TB the same 200-row merge
+    serves any partition count."""
+    l = load(spark, sf_dir, "lineitem")
+    w = 525.0
+    b = (
+        l.select(F.floor(F.col("l_extendedprice") / w).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+    )
+    # Both windows run over the same ≤200-row single partition (that's
+    # the point of the sketch: post-scan state is bin-count-sized) —
+    # computing n as a window total instead of a separate aggregate
+    # keeps the plan to ONE scan of the fact table.
+    win = W.orderBy("bin").rangeBetween(W.unboundedPreceding, W.currentRow)
+    win_all = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = b.withColumn("cum", F.sum("c").over(win)).withColumn(
+        "n", F.sum("c").over(win_all)
+    )
+
+    def est(q, alias):
+        return F.round(
+            w * F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin"))), 2
+        ).alias(alias)
+
+    return cum.agg(est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est"))
 
 
 # ---------------------------------------------------------------------

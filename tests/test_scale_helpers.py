@@ -258,3 +258,23 @@ def test_new_tpch_shapes_plan_evidence(spark, sf_dir):
     assert plan8.count("BroadcastExchange") >= 5, plan8.count("BroadcastExchange")
     assert "o_orderdate" in pushed8["orders.parquet"], pushed8["orders.parquet"]
     assert "EqualTo(p_type,ECONOMY)" in pushed8["part.parquet"], pushed8["part.parquet"]
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark, sf_dir):
+    """The fixed-width-histogram percentile estimate must sit within
+    one bin width below the exact percentile (the estimate is the
+    lower edge of the crossing bin)."""
+    est = catalog.QUERIES["histogram_quantiles"](spark, sf_dir).first()
+    exact = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .first()
+    )
+    w = 525.0
+    for q in ("p50", "p90", "p99"):
+        e, x = est[f"{q}_est"], exact[q]
+        assert x - w <= e <= x, (q, e, x)
