@@ -333,3 +333,80 @@ def test_random_exists_threshold_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(df, con, sql)
     assert ok, f"seed {seed} spec {(mode, order_thr, bal_frac)}: {msg}"
+
+
+# ------------------------------------------------------------------
+# Custom-join sweeps (r05): bucketed range join and as-of join across
+# randomized windows / directions / event-type pairs
+# ------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def gen_range_spec(seed: int):
+    rng = random.Random(20_000 + seed)
+    minutes = rng.choice([10, 30, 45, 90, 150])
+    # bucket width around the interval span: the operator must be
+    # correct for any width (coarser/finer only changes candidates)
+    width = minutes * 60 * rng.choice([0.5, 1.0, 2.0])
+    return minutes, int(width)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_range_join_matches_duckdb(spark, sf_dir, con, seed):
+    from openetl_spark.operators import joins as J
+
+    minutes, width = gen_range_spec(seed)
+    e = catalog.load(spark, sf_dir, "events")
+    a = e.select("user_id", F.col("ts").alias("a_ts"))
+    b = e.select(
+        "user_id",
+        F.col("ts").alias("b_ts"),
+        (F.col("ts") - F.expr(f"INTERVAL {minutes} MINUTES")).alias("b_lo"),
+    )
+    joined = J.range_join(
+        a, b, on=["user_id"], left_point="a_ts", right_lo="b_lo",
+        right_hi="b_ts", bucket_width=width,
+    ).filter(F.col("b_ts") > F.col("a_ts"))
+    df = joined.groupBy(a["user_id"]).agg(F.count("*").alias("pair_count"))
+    sql = f"""
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS pair_count
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL {minutes} MINUTE
+    GROUP BY a.user_id
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} minutes={minutes} width={width}: {msg}"
+
+
+def gen_asof_spec(seed: int):
+    rng = random.Random(30_000 + seed)
+    lt, rt = rng.sample(EVENT_TYPES, 2)
+    direction = rng.choice(["backward", "forward"])
+    return lt, rt, direction
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_asof_join_matches_duckdb(spark, sf_dir, con, seed):
+    from openetl_spark.operators import joins as J
+
+    lt, rt, direction = gen_asof_spec(seed)
+    e = catalog.load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == lt).select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == rt).select("user_id", "ts")
+    out = J.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], direction=direction,
+    ).select("event_id", F.date_trunc("second", F.col("ts_asof")).alias("ts_asof"))
+    agg, cmp = ("max", "<=") if direction == "backward" else ("min", ">=")
+    sql = f"""
+    SELECT p.event_id,
+           date_trunc('second',
+             (SELECT {agg}(b.ts) FROM events b
+              WHERE b.user_id = p.user_id AND b.event_type = '{rt}'
+                AND b.ts {cmp} p.ts)) AS ts_asof
+    FROM events p WHERE p.event_type = '{lt}'
+    """
+    ok, msg = compare(out, con, sql)
+    assert ok, f"seed {seed} spec {(lt, rt, direction)}: {msg}"
