@@ -78,6 +78,7 @@ HEADLINE = [
     # round-5 additions (no BASELINE entries — first-run provenance)
     "vocab_sketch_topk",
     "training_shuffle",
+    "histogram_quantiles",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
