@@ -278,3 +278,29 @@ def test_histogram_quantiles_error_bounded_by_bin_width(spark, sf_dir):
     for q in ("p50", "p90", "p99"):
         e, x = est[f"{q}_est"], exact[q]
         assert x - w <= e <= x, (q, e, x)
+
+
+def test_no_catalog_plan_degenerates_to_cartesian_or_nested_loop(spark):
+    """Global scale invariant over the ENTIRE catalog: no query's
+    physical plan may contain a CartesianProduct, and any
+    BroadcastNestedLoopJoin must be the benign scalar-broadcast form
+    (a one-row aggregate joined via IdentityBroadcastMode — the
+    threshold/total-attach pattern). This is the single check that
+    would have caught a fact×fact cross product anywhere in the 103
+    queries."""
+    sf = "/root/testdata/sf0.001"
+    violations = []
+    for name, fn in catalog.QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        elif (
+            "BroadcastNestedLoopJoin" in plan
+            and "IdentityBroadcastMode" not in plan
+        ):
+            violations.append((name, "non-scalar BroadcastNestedLoopJoin"))
+    assert not violations, violations
