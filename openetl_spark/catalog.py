@@ -36,15 +36,21 @@ from openetl_spark.spec import Connector, Filter, FilterGroup, Sort, Transformat
 def load(
     spark: SparkSession, sf_dir: str, table: str, spread: bool = False
 ) -> DataFrame:
-    """Read one testdata table. ``spread=True`` repartitions to the
-    session's default parallelism — the testdata tables are single
-    parquet files (one scan task); heavy per-row operators (shingling,
-    hashing, vector math) need the fan-out locally. At production scale
-    the scan has natural file-split parallelism and spread is a no-op
-    cost-wise (one extra small shuffle)."""
+    """Read one testdata table. ``spread=True`` requests fan-out for
+    heavy per-row operators (shingling, hashing, vector math): the
+    local testdata tables are single-row-group parquet files whose
+    scans land on one task. The repartition is CONDITIONAL on the scan
+    actually being starved (natural partitions below the session's
+    parallelism) — a production table's thousands of file splits
+    already provide the fan-out, and the extra full-data shuffle would
+    be pure waste at 100 TB (SCALE.md known-compromise #1, closed
+    r05)."""
     if spread:
         df = load(spark, sf_dir, table)
-        return df.repartition(spark.sparkContext.defaultParallelism)
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     if table == "events":
         # Generator versions differ on events.ts: some write
         # TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
