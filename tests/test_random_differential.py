@@ -410,3 +410,39 @@ def test_random_asof_join_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(out, con, sql)
     assert ok, f"seed {seed} spec {(lt, rt, direction)}: {msg}"
+
+
+# ------------------------------------------------------------------
+# Rollup / cube sweep (r05): grouping-set shapes with grouping_id
+# ------------------------------------------------------------------
+
+
+def gen_rollup_spec(seed: int):
+    rng = random.Random(40_000 + seed)
+    kind = rng.choice(["rollup", "cube"])
+    keys = rng.sample(CATS, 2) if rng.random() < 0.5 else [rng.choice(CATS)]
+    col = rng.choice(sorted(NUMS))
+    return kind, keys, col
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_rollup_cube_matches_duckdb(spark, sf_dir, con, seed):
+    kind, keys, col = gen_rollup_spec(seed)
+    df = catalog.load(spark, sf_dir, "lineitem")
+    grouped = df.rollup(*keys) if kind == "rollup" else df.cube(*keys)
+    out = grouped.agg(
+        F.round(F.sum(col), 2).alias("s"),
+        F.count("*").alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+    key_list = ", ".join(keys)
+    sql = f"""
+    SELECT {key_list},
+           round(sum({col}), 2) AS s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING({key_list}) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY {kind.upper()} ({key_list})
+    """
+    ok, msg = compare(out, con, sql)
+    assert ok, f"seed {seed} spec {(kind, keys, col)}: {msg}"
