@@ -928,32 +928,37 @@ def q_pandas_normalize(spark, sf_dir):
     oracle is the equivalent SQL window — proving the Python path
     computes exactly what the declarative form would.
 
-    Shape (r05): repartition by user, then ONE mapInPandas call per
-    partition with a vectorized pandas groupby-transform inside —
-    instead of applyInPandas' one Python invocation per group. With
-    ~1.5k users of ~70 rows each the per-group call overhead was the
-    entire cost (4.9 s → ~1 s at sf0.1); at 100 TB the same shape
-    holds: many small groups per partition is exactly when grouped-map
-    UDF overhead explodes. applyInPandas itself stays exercised (and
+    Shape (r05): group stats (mean / stddev) come from a JVM-side
+    partial aggregation, join back to the events, and the Python step
+    is a STATELESS vectorized pass over each Arrow batch — one Python
+    call per batch instead of applyInPandas' one per group. With ~1.5k
+    users of ~70 rows each the per-group call overhead was the entire
+    cost (4.9 s → ~0.5 s at sf0.1), and per-task memory stays O(batch)
+    at any scale: z-normalization needs two passes over the data, so
+    the first pass belongs in the engine's hash aggregate (map-side
+    partial, spillable), not in a Python buffer of the whole
+    partition. applyInPandas itself stays exercised (and
     equality-pinned against this path) by tests and the blocked-matmul
     similarity operators, where per-group work is large enough to
     amortize the call."""
     e = load(spark, sf_dir, "events", spread=True).select("event_id", "user_id", "value")
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("_mean"), F.stddev_samp("value").alias("_std")
+    )
 
-    def norm_partition(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if pdf.empty:
-            return
-        g = pdf.groupby("user_id")["value"]
-        std = g.transform("std")  # ddof=1 == stddev_samp
-        mean = g.transform("mean")
-        z = ((pdf["value"] - mean) / std).where(std > 0).round(4)
-        yield pd.DataFrame(
-            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
-        )
+    def norm_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            z = ((pdf["value"] - pdf["_mean"]) / pdf["_std"]).where(
+                pdf["_std"] > 0
+            ).round(4)
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
+            )
 
-    return e.repartition("user_id").mapInPandas(
-        norm_partition, schema="event_id bigint, user_id bigint, znorm double"
+    return e.join(stats, "user_id").mapInPandas(
+        norm_batches, schema="event_id bigint, user_id bigint, znorm double"
     )
 
 
@@ -3139,17 +3144,23 @@ def q_histogram_quantiles(spark, sf_dir):
     return cum.agg(est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est"))
 
 
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke query: the regional-revenue star join."""
+    return q_q5_regional_revenue(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
 # entries of queries() in iteration order; CORRECTNESS_r01/r02 each
 # covered the same first-50 registered names, leaving exactly 50 of
-# the 100 catalog queries with no driver row. This window IS those 50
-# (computed against the recorded r01∪r02 key sets), so after this
-# round every catalog query has at least one driver-green row. The
-# queries rotated out stay pinned every run by tests/test_oracle.py,
-# which mirrors the driver's compare (sorted columns, stringified
-# values) exactly. Registration order above is unchanged — only
-# presentation order.
+# the then-100 catalog queries with no driver row. This window IS
+# those 50 (computed against the recorded r01∪r02 key sets). The three
+# queries added after the window filled (vocab_sketch_topk,
+# training_shuffle, histogram_quantiles) queue for the next rotation
+# (ROADMAP #2); every query, windowed or not, is pinned every run by
+# tests/test_oracle.py, which mirrors the driver's compare (sorted
+# columns, stringified values) exactly. Registration order above is
+# unchanged — only presentation order.
 # ---------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [

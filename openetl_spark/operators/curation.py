@@ -386,12 +386,31 @@ def _spacesaving_partition(capacity: int, lowercase: bool):
     """Build the mapInPandas worker: one SpaceSaving summary (Metwally
     et al. 2005) of `capacity` counters per partition, maintained
     across Arrow batches as they stream (no batch is retained), emitted
-    once at end-of-partition. Expects columns (_pid, _text)."""
+    once at end-of-partition. Expects columns (_pid, _text).
+
+    Eviction uses a lazy min-heap (stale entries skipped on pop,
+    compacted when the heap outgrows 8× capacity) so each token costs
+    amortized O(log capacity) — a linear min() scan over the counter
+    dict would make the high-churn regime this sketch exists for
+    (distinct tokens ≫ capacity) O(n_tokens × capacity).
+
+    Tokenization mirrors the JVM/oracle paths byte-for-byte on the
+    split rule: ASCII \\s+ (re.ASCII — Java regex \\s and DuckDB/RE2
+    \\s are ASCII-only, while Python str.split() would also break on
+    U+00A0 etc.). Lowercasing is str.lower(); for non-ASCII letters
+    Unicode lowercasing nuances are shared with the JVM path, not with
+    plain ASCII oracles — same caveat as every lower() in the repo."""
+    import heapq
+    import re
+
     import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     def run(batches):
         counts: dict[str, int] = {}
         errs: dict[str, int] = {}
+        heap: list[tuple[int, str]] = []  # (count-at-push, token), lazy
         pid = -1
         for pdf in batches:
             if len(pdf):
@@ -399,21 +418,33 @@ def _spacesaving_partition(capacity: int, lowercase: bool):
             for text in pdf["_text"]:
                 if text is None:
                     continue
-                toks = text.lower().split() if lowercase else text.split()
-                for tok in toks:
+                if lowercase:
+                    text = text.lower()
+                for tok in ws.split(text.strip()):
+                    if not tok:
+                        continue
                     if tok in counts:
                         counts[tok] += 1
+                        heapq.heappush(heap, (counts[tok], tok))
                     elif len(counts) < capacity:
                         counts[tok] = 1
                         errs[tok] = 0
+                        heapq.heappush(heap, (1, tok))
                     else:
-                        # evict the min-count entry; its count bounds
-                        # the new entry's overestimate
-                        victim = min(counts, key=counts.get)
+                        # evict the live min-count entry; its count
+                        # bounds the new entry's overestimate
+                        while True:
+                            cnt, victim = heapq.heappop(heap)
+                            if counts.get(victim) == cnt:
+                                break
                         floor = counts.pop(victim)
                         errs.pop(victim)
                         counts[tok] = floor + 1
                         errs[tok] = floor
+                        heapq.heappush(heap, (floor + 1, tok))
+                        if len(heap) > 8 * capacity:
+                            heap = [(c, t) for t, c in counts.items()]
+                            heapq.heapify(heap)
         if not counts:
             return
         thr = min(counts.values()) if len(counts) >= capacity else 0
@@ -450,8 +481,11 @@ def vocab_topk_sketch(
             thr_i, a partition's min counter, bounds any token it
             evicted or never saw)
     Every token with true global count > N_tokens / capacity is
-    guaranteed present. Ranking is by the merged upper-bound estimate
-    with a token tiebreak, so the output order is deterministic.
+    guaranteed present. Ranking is by the merged point estimate
+    n_occurrences = Σ_present est (each partition's est is its local
+    upper bound; hi additionally adds absent-partition slack and is
+    reported for interval use, not ranking) with a token tiebreak, so
+    the output order is deterministic.
 
     With capacity ≥ per-partition distinct tokens no counter is ever
     evicted; est is then the exact count and lo = hi — the

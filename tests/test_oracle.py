@@ -102,3 +102,15 @@ def test_driver_window_completes_coverage():
             f"window slots {wasted} re-check already-green queries while "
             f"{uncovered} have no driver row"
         )
+
+
+def test_driver_entry_contract(spark):
+    """The driver's t1 smoke gate calls __spark_entry__.entry(spark)
+    and collects the result — pin the whole path (a catalog refactor
+    once dropped catalog.flagship while queries() stayed healthy, and
+    nothing else exercised entry())."""
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1 and len(df.columns) >= 1
