@@ -83,6 +83,11 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_profit",
     "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q12_shipping_delay",
+    "q16_supplier_cnt",
+    "q19_discounted_revenue",
 ]
 
 
