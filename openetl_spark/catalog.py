@@ -2472,11 +2472,11 @@ def q_vocab_topk(spark, sf_dir):
     "embedding_quantize",
     """
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
                   greatest(sqrt(list_aggregate(list_transform(embedding,
                             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')),
-                           1e-30)) AS INT)) AS q8,
+                           1e-30)) AS INT)), ',') AS q8,
            round(sqrt(list_aggregate(list_transform(embedding,
                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6) AS norm
     FROM embeddings
@@ -2485,9 +2485,17 @@ def q_vocab_topk(spark, sf_dir):
 def q_embedding_quantize(spark, sf_dir):
     """Curation (r04): L2-normalize + int8-quantize every embedding —
     the 4× shrink before ANN-indexing an embedding corpus. Pure array
-    expressions, zero shuffles; a linear scan at 100 TB."""
+    expressions, zero shuffles; a linear scan at 100 TB.
+
+    The operator returns q8 as array<int> (the API shape); the catalog
+    query serializes it to a canonical comma-joined string because the
+    driver's canonicalization sorts raw cell values (unhashable-list
+    TypeError on array cells, CORRECTNESS_r03)."""
     e = load(spark, sf_dir, "embeddings")
-    return C.quantize_embeddings(e, "embedding", "vec_id", "q8")
+    q = C.quantize_embeddings(e, "embedding", "vec_id", "q8")
+    return q.select(
+        "vec_id", F.concat_ws(",", F.col("q8")).alias("q8"), "norm"
+    )
 
 
 @query(

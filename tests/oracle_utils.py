@@ -22,6 +22,19 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _driver_canon_guard(df: pd.DataFrame) -> str | None:
+    """The driver canonicalizes by sorting RAW cell values before
+    stringifying (CORRECTNESS_r03 `embedding_quantize` err: pandas
+    factorize → `unhashable type: 'list'` on array cells). Mirror that
+    step so a query whose cells the driver cannot sort fails locally
+    too instead of being masked by our stringify-first compare."""
+    try:
+        df.reindex(sorted(df.columns), axis=1).sort_values(by=sorted(df.columns))
+    except TypeError as exc:
+        return f"driver-canon failure (raw-value sort): {exc}"
+    return None
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # Stringify for an order-insensitive, type-tolerant compare.
@@ -46,6 +59,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
     if a_cols != e_cols:
         return False, f"columns: spark={a_cols} duckdb={e_cols}"
+    for side, frame in (("spark", actual), ("duckdb", expected)):
+        err = _driver_canon_guard(frame)
+        if err:
+            return False, f"{side}: {err}"
     a, e = _normalize(actual), _normalize(expected)
     if not a.equals(e):
         diff_mask = (a != e).any(axis=1)
