@@ -37,7 +37,14 @@ def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     count, so e.g. n_buckets=16 collapsed to the last char's ascii
     value — 10 reachable buckets out of 16 (caught by the r05 shard
     assignment). Prime multipliers mix all three chars into every
-    modulus."""
+    modulus.
+
+    FORMULA VERSION 2 (r05+): the 65536/256 → 65521/257 multiplier
+    change silently remaps every bucket assignment, so sample
+    memberships recorded under the v1 formula (pre-r05 rounds) are NOT
+    comparable to v2 runs. Any downstream consumer pinning recorded
+    memberships must re-derive them; re-running a v2 pipeline is
+    byte-stable going forward."""
     h = F.md5(col.cast("string"))
     mixed = (
         F.ascii(F.substring(h, 1, 1)) * 65521
@@ -411,6 +418,17 @@ def _spacesaving_partition(capacity: int, lowercase: bool):
         counts: dict[str, int] = {}
         errs: dict[str, int] = {}
         heap: list[tuple[int, str]] = []  # (count-at-push, token), lazy
+
+        def push(cnt: int, tok: str) -> None:
+            # Compact on EVERY push: the increment path pushes one stale
+            # entry per occurrence, so with no evictions (capacity ≥
+            # per-partition distinct — the exact-mode config) the heap
+            # would otherwise grow O(token occurrences), not O(capacity).
+            heapq.heappush(heap, (cnt, tok))
+            if len(heap) > 8 * capacity:
+                heap[:] = [(c, t) for t, c in counts.items()]
+                heapq.heapify(heap)
+
         pid = -1
         for pdf in batches:
             if len(pdf):
@@ -420,16 +438,19 @@ def _spacesaving_partition(capacity: int, lowercase: bool):
                     continue
                 if lowercase:
                     text = text.lower()
-                for tok in ws.split(text.strip()):
+                # No .strip(): Python's strip is Unicode-aware while the
+                # ASCII \s+ split mirrors Java/RE2; edge whitespace just
+                # yields empty tokens the filter below drops.
+                for tok in ws.split(text):
                     if not tok:
                         continue
                     if tok in counts:
                         counts[tok] += 1
-                        heapq.heappush(heap, (counts[tok], tok))
+                        push(counts[tok], tok)
                     elif len(counts) < capacity:
                         counts[tok] = 1
                         errs[tok] = 0
-                        heapq.heappush(heap, (1, tok))
+                        push(1, tok)
                     else:
                         # evict the live min-count entry; its count
                         # bounds the new entry's overestimate
@@ -441,10 +462,7 @@ def _spacesaving_partition(capacity: int, lowercase: bool):
                         errs.pop(victim)
                         counts[tok] = floor + 1
                         errs[tok] = floor
-                        heapq.heappush(heap, (floor + 1, tok))
-                        if len(heap) > 8 * capacity:
-                            heap = [(c, t) for t, c in counts.items()]
-                            heapq.heapify(heap)
+                        push(floor + 1, tok)
         if not counts:
             return
         thr = min(counts.values()) if len(counts) >= capacity else 0

@@ -262,22 +262,29 @@ def test_new_tpch_shapes_plan_evidence(spark, sf_dir):
 
 def test_histogram_quantiles_error_bounded_by_bin_width(spark, sf_dir):
     """The fixed-width-histogram percentile estimate must sit within
-    one bin width below the exact percentile (the estimate is the
-    lower edge of the crossing bin)."""
+    one bin width below the exact percentile. The comparison point is
+    the NON-interpolating rank statistic (order statistic at rank
+    ceil(q*n)): Spark's percentile() interpolates between adjacent
+    order statistics, and on a sparse tail the interpolated value can
+    exceed the crossing bin's lower edge by more than one bin width —
+    a false failure on valid data. The rank statistic lies inside the
+    crossing bin by construction, so lower-edge <= x <= lower-edge + w
+    holds as a true invariant."""
+    import math
+
     est = catalog.QUERIES["histogram_quantiles"](spark, sf_dir).first()
-    exact = (
-        catalog.load(spark, sf_dir, "lineitem")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
-        )
-        .first()
+    vals = sorted(
+        r[0]
+        for r in catalog.load(spark, sf_dir, "lineitem")
+        .select("l_extendedprice")
+        .collect()
     )
+    n = len(vals)
     w = 525.0
-    for q in ("p50", "p90", "p99"):
-        e, x = est[f"{q}_est"], exact[q]
-        assert x - w <= e <= x, (q, e, x)
+    for q, key in ((0.50, "p50"), (0.90, "p90"), (0.99, "p99")):
+        e = est[f"{key}_est"]
+        x = float(vals[math.ceil(q * n) - 1])
+        assert x - w <= e <= x, (key, e, x)
 
 
 def test_no_catalog_plan_degenerates_to_cartesian_or_nested_loop(spark):
