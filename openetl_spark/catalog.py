@@ -2374,31 +2374,44 @@ def q_stratified_sample(spark, sf_dir):
 
 @query(
     "sequence_packing",
-    """
+    f"""
     WITH t AS (
       SELECT lang, doc_id,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+             {C.hash_bucket_sql("'pack0:' || CAST(doc_id AS VARCHAR)", 8)} AS shard
       FROM documents),
     c AS (
-      SELECT lang, doc_id, n_tokens,
-             COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      SELECT lang, shard, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-      FROM t)
-    SELECT lang, CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin_id,
+      FROM t),
+    l AS (
+      SELECT *, CAST(floor(tokens_before / 512.0) AS BIGINT) AS local_bin FROM c),
+    off AS (
+      SELECT lang, shard,
+             CAST(COALESCE(sum(max_bin + 1) OVER (PARTITION BY lang ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_offset
+      FROM (SELECT lang, shard, max(local_bin) AS max_bin FROM l GROUP BY 1, 2))
+    SELECT l.lang, CAST(l.local_bin + o.bin_offset AS BIGINT) AS bin_id,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM c GROUP BY 1, 2
+    FROM l JOIN off o ON l.lang = o.lang AND l.shard = o.shard
+    GROUP BY 1, 2
     """,
 )
 def q_sequence_packing(spark, sf_dir):
-    """Curation (r04): contiguous sequence packing into 512-token
-    context bins per language — the deterministic streaming-concat
-    layout used to build fixed-length training examples. One shuffle
-    on the group key, one running window per group; at scale the group
-    key is (lang, shard) so packing parallelizes across shards."""
+    """Curation (r04, sharded r06): contiguous sequence packing into
+    512-token context bins — the deterministic streaming-concat layout
+    used to build fixed-length training examples. The running window is
+    keyed (lang, shard) via the deterministic hash sharder, so no
+    window partition exceeds 1/8 of a language at any corpus size;
+    per-shard bins are offset into globally unique ids by the tiny
+    shard-aggregate broadcast."""
     d = load(spark, sf_dir, "documents")
-    return C.pack_sequences(d, budget=512, group_col="lang", id_col="doc_id")
+    return C.pack_sequences(
+        d, budget=512, group_col="lang", id_col="doc_id", n_shards=8
+    )
 
 
 @query(
@@ -2534,18 +2547,27 @@ def q_length_band_filter(spark, sf_dir):
             < (CASE WHEN lang = 'en' THEN 60 ELSE 40 END)),
     t2 AS (
       SELECT lang, doc_id,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+             {C.hash_bucket_sql("'pack0:' || CAST(doc_id AS VARCHAR)", 8)} AS shard
       FROM samp),
     c2 AS (
-      SELECT lang, doc_id, n_tokens,
-             COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      SELECT lang, shard, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-      FROM t2)
-    SELECT lang, CAST(floor(tokens_before / 256.0) AS BIGINT) AS bin_id,
+      FROM t2),
+    l2 AS (
+      SELECT *, CAST(floor(tokens_before / 256.0) AS BIGINT) AS local_bin FROM c2),
+    off2 AS (
+      SELECT lang, shard,
+             CAST(COALESCE(sum(max_bin + 1) OVER (PARTITION BY lang ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_offset
+      FROM (SELECT lang, shard, max(local_bin) AS max_bin FROM l2 GROUP BY 1, 2))
+    SELECT l2.lang, CAST(l2.local_bin + o.bin_offset AS BIGINT) AS bin_id,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM c2 GROUP BY 1, 2
+    FROM l2 JOIN off2 o ON l2.lang = o.lang AND l2.shard = o.shard
+    GROUP BY 1, 2
     """,
 )
 def q_curation_pipeline(spark, sf_dir):
@@ -2569,7 +2591,7 @@ def q_curation_pipeline(spark, sf_dir):
         "doc_id",
         default_rate=0.4,
     )
-    return C.pack_sequences(sampled, budget=256, group_col="lang")
+    return C.pack_sequences(sampled, budget=256, group_col="lang", n_shards=8)
 
 
 @query(

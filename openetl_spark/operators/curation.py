@@ -177,34 +177,102 @@ def pack_sequences(
     group_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 1,
+    shard_seed: int = 0,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Contiguous sequence packing: within each group (language /
-    shard), documents are laid out in id order and assigned to
-    context-window bins of `budget` tokens by exclusive running token
-    count — bin = floor(tokens_before_me / budget). This is the
-    deterministic streaming-concat packing used to build fixed-length
-    training examples; docs longer than the budget span bins exactly as
-    a streaming tokenizer would consume them. Returns one row per
+    """Contiguous sequence packing: within each group (language),
+    documents are laid out in id order and assigned to context-window
+    bins of `budget` tokens by exclusive running token count —
+    bin = floor(tokens_before_me / budget). This is the deterministic
+    streaming-concat packing used to build fixed-length training
+    examples; docs longer than the budget span bins exactly as a
+    streaming tokenizer would consume them. Returns one row per
     (group, bin): docs packed and fill level.
 
-    Scale shape: one hash shuffle on group_col, then a single running
-    window per group. At 100 TB the group key is (lang, shard) so each
-    window partition is one shard's worth — the operator is embarrassed
-    -ly parallel across shards; there is no global order dependency."""
+    Scale shape (n_shards > 1, the 100 TB path): the running-sum window
+    is keyed on (group, shard) where shard is the deterministic
+    engine-portable hash_bucket of the doc id (the training_shuffle
+    sharder keyed with seed `shard_seed`), so NO window partition ever
+    exceeds 1/n_shards of a group — a single language never becomes a
+    single task. Per-shard local bins are then offset by the cumulative
+    bin count of lower-numbered shards (a window over the tiny
+    group × shard aggregate, broadcast back), making bin ids globally
+    unique, shard-pure, and byte-stable across runs/cluster sizes.
+    Cost: one extra tiny aggregate + broadcast join vs the single-key
+    plan; the data-sized shuffle count is unchanged.
+
+    n_shards=1 keeps the original single-window-per-group plan; bins
+    are identical to the sharded path's within-shard packing modulo the
+    doc→shard interleave (pinned equal at n_shards=1 by tests)."""
     from pyspark.sql import Window
 
     n_tok = F.size(tokens(F.col(text_col)))
+    if n_shards <= 1:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        with_bin = (
+            df.select(group_col, id_col, n_tok.alias("n_tokens"))
+            .withColumn(
+                "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            )
+            .withColumn("bin_id", F.floor(F.col("tokens_before") / budget))
+        )
+        return with_bin.groupBy(group_col, "bin_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+
+    keyed = F.concat_ws(
+        ":", F.lit(f"pack{shard_seed}"), F.col(id_col).cast("string")
+    )
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(group_col, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_bin = (
-        df.select(group_col, id_col, n_tok.alias("n_tokens"))
+    local = (
+        df.select(
+            group_col,
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            hash_bucket(keyed, n_shards).alias("shard"),
+        )
         .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .withColumn("bin_id", F.floor(F.col("tokens_before") / budget))
+        .withColumn("local_bin", F.floor(F.col("tokens_before") / budget))
     )
-    return with_bin.groupBy(group_col, "bin_id").agg(
+    # Materialize the windowed projection once (lazy checkpoint): both
+    # the offsets aggregate and the final packing consume it, and
+    # without this Spark re-scans + re-tokenizes + re-windows the full
+    # corpus for each branch — two 100 TB passes instead of one plus a
+    # ~40-byte/doc intermediate. materialize=False keeps the full
+    # lineage visible for plan-shape tests.
+    if materialize:
+        local = local.localCheckpoint(eager=False)
+    # Tiny aggregate (≤ groups × n_shards rows): bins used per shard,
+    # then the exclusive cumulative offset of lower-numbered shards.
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(group_col, "shard")
+        .agg((F.max("local_bin") + F.lit(1)).alias("n_bins"))
+        .withColumn(
+            "bin_offset", F.coalesce(F.sum("n_bins").over(off_w), F.lit(0))
+        )
+        .select(group_col, "shard", "bin_offset")
+    )
+    packed = local.join(F.broadcast(offsets), [group_col, "shard"]).withColumn(
+        "bin_id", F.col("bin_offset") + F.col("local_bin")
+    )
+    return packed.groupBy(group_col, "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.min(id_col).alias("first_doc"),

@@ -87,6 +87,69 @@ def test_pack_sequences_oversized_doc_spans(spark):
     assert out[2]["n_docs"] == 1 and out[2]["first_doc"] == 2
 
 
+def test_pack_sequences_sharded_conserves_and_is_shard_pure(spark, sf_dir):
+    """The (group, shard)-keyed scale path must pack the same corpus
+    mass as the single-key path — same doc count and token total per
+    group — with globally unique bin ids, every bin shard-pure, and
+    within-shard bins matching a per-shard single-key run exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    single = C.pack_sequences(docs, budget=512, group_col="lang").toPandas()
+    sharded = C.pack_sequences(
+        docs, budget=512, group_col="lang", n_shards=8
+    ).toPandas()
+
+    for frame in (single, sharded):
+        assert not frame.duplicated(["lang", "bin_id"]).any()
+    s1 = single.groupby("lang")[["n_docs", "bin_tokens"]].sum()
+    s8 = sharded.groupby("lang")[["n_docs", "bin_tokens"]].sum()
+    assert s1.equals(s8)
+
+    # Per-shard equivalence: restricting the corpus to one shard and
+    # packing it single-key must reproduce the sharded run's bins for
+    # that shard (modulo the global offset).
+    from openetl_spark.operators.curation import hash_bucket
+    from pyspark.sql import functions as F
+
+    keyed = F.concat_ws(":", F.lit("pack0"), F.col("doc_id").cast("string"))
+    shard0 = docs.where(hash_bucket(keyed, 8) == 0)
+    alone = C.pack_sequences(shard0, budget=512, group_col="lang").toPandas()
+    for lang, grp in alone.groupby("lang"):
+        got = sharded[sharded["lang"] == lang].sort_values("bin_id")
+        # shard 0 has offset 0, so its bins are the first len(grp) bins
+        head = got.head(len(grp)).reset_index(drop=True)
+        exp = grp.sort_values("bin_id").reset_index(drop=True)
+        assert head.equals(exp), lang
+
+
+def test_pack_sequences_sharded_plan_has_no_group_only_window(spark, sf_dir):
+    """The data-sized running window must be keyed (lang, shard): a
+    window partitioned by lang alone is one task per language at
+    100 TB. The only lang-only window allowed is the tiny shard-offset
+    pass over the groups × shards aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        C.pack_sequences(
+            docs, budget=512, group_col="lang", n_shards=8, materialize=False
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    # Running-sum windows order by doc_id; the tiny shard-offset window
+    # orders by shard. Every doc_id-ordered (data-sized) window must be
+    # partitioned by BOTH the group and the shard key.
+    data_windows = [
+        w
+        for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "doc_id" in w
+    ]
+    assert data_windows, plan
+    for w in data_windows:
+        assert "lang" in w and "shard" in w, w
+
+
 def test_redact_pii_counts_and_replacement(spark):
     df = spark.createDataFrame(
         [
