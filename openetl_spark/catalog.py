@@ -2527,10 +2527,13 @@ def q_embedding_quantize(spark, sf_dir):
     """,
 )
 def q_length_band_filter(spark, sf_dir):
-    """Curation (r04): per-source percentile length gate — keep docs in
-    the [p10, p95] token-count band of their own source domain. Exact
-    percent_rank (tie-atomic, engine-portable), one shuffle on the
-    stratum key."""
+    """Curation (r04, two-pass r06): per-source percentile length gate —
+    keep docs in the [p10, p95] token-count band of their own source
+    domain. The rank is exact (tie-atomic, engine-portable) but comes
+    from the compact per-(source, length) histogram + broadcast join —
+    no data-sized window keyed on the stratum, so one source domain
+    never becomes one task at corpus scale. The oracle renders the
+    equivalent percent_rank window; both are bit-identical."""
     d = load(spark, sf_dir, "documents")
     return C.length_band_filter(d, 0.1, 0.95, "source", "doc_id", "text")
 

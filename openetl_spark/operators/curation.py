@@ -292,31 +292,81 @@ def length_band_filter(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact_window: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Keep documents whose token count sits inside the
     [lo, hi] percentile band OF THEIR OWN STRATUM (source domain /
     language) — the standard outlier-length gate, computed per stratum
     because a 10-token tweet and a 10-token wiki article mean different
-    things. percent_rank over the stratum window makes the band exact
-    and engine-portable (no approx-percentile drift between engines).
+    things.
 
-    Ties: percent_rank assigns equal ranks to equal lengths, so the cut
-    keeps or drops a tied length class atomically — deterministic
-    membership at any parallelism. One shuffle (window by stratum);
-    at 100 TB the stratum key keeps window state per-group, and a
-    two-pass variant (approx thresholds → broadcast → filter) trades
-    exactness for zero window state if ever needed."""
+    Default (two-pass, the 100 TB plan): because percent_rank orders by
+    n_tokens alone, membership AND the rank value are tie-atomic — they
+    depend only on (stratum, n_tokens). So the exact percentile comes
+    from the compact per-(stratum, length) histogram:
+        pr(L) = #docs_shorter_than_L / (n_stratum − 1)
+    computed with one data-sized partial-agg groupBy, a window over the
+    tiny histogram (strata × distinct lengths rows), and a broadcast
+    join back. No window partition ever holds more than the histogram
+    of one stratum — a single source domain never becomes one task —
+    and the result is BIT-IDENTICAL to the window path, not an
+    approximation (pinned by tests). The slim (id, stratum, n_tokens)
+    projection is checkpointed so the corpus is tokenized once.
+
+    exact_window=True keeps the original single-window-per-stratum
+    formulation (percent_rank over the stratum window) as the
+    cross-check path; it is one task per stratum at scale.
+
+    Ties: equal lengths share a rank, so the cut keeps or drops a tied
+    length class atomically — deterministic membership at any
+    parallelism."""
     from pyspark.sql import Window
 
     n_tok = F.size(tokens(F.col(text_col)))
-    w = Window.partitionBy(strata_col).orderBy(n_tok.asc())
-    pr = F.percent_rank().over(w)
-    return (
-        df.select(
-            F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens"), pr.alias("pr")
+    if exact_window:
+        w = Window.partitionBy(strata_col).orderBy(n_tok.asc())
+        pr = F.percent_rank().over(w)
+        return (
+            df.select(
+                F.col(id_col),
+                F.col(strata_col),
+                n_tok.alias("n_tokens"),
+                pr.alias("pr"),
+            )
+            .where((F.col("pr") >= lo) & (F.col("pr") <= hi))
+            .select(
+                id_col, strata_col, "n_tokens", F.round("pr", 6).alias("len_pctile")
+            )
+        )
+
+    slim = df.select(F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens"))
+    if materialize:
+        slim = slim.localCheckpoint(eager=False)
+    hist_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy(strata_col)
+    hist = (
+        slim.groupBy(strata_col, "n_tokens")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_lt", F.coalesce(F.sum("_cnt").over(hist_w), F.lit(0)))
+        .withColumn("_n", F.sum("_cnt").over(tot_w))
+        # percent_rank = (rank-1)/(n-1); rank of a length class is
+        # (#shorter + 1). Single-row stratum: percent_rank defines 0.
+        .withColumn(
+            "pr",
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                F.col("_lt").cast("double") / (F.col("_n") - F.lit(1))
+            ),
         )
         .where((F.col("pr") >= lo) & (F.col("pr") <= hi))
-        .select(id_col, strata_col, "n_tokens", F.round("pr", 6).alias("len_pctile"))
+        .select(strata_col, "n_tokens", "pr")
+    )
+    return slim.join(F.broadcast(hist), [strata_col, "n_tokens"]).select(
+        id_col, strata_col, "n_tokens", F.round("pr", 6).alias("len_pctile")
     )
 
 

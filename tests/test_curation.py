@@ -150,6 +150,65 @@ def test_pack_sequences_sharded_plan_has_no_group_only_window(spark, sf_dir):
         assert "lang" in w and "shard" in w, w
 
 
+def test_length_band_two_pass_equals_exact_window(spark, sf_dir):
+    """The histogram+broadcast two-pass gate must be BIT-identical to
+    the percent_rank window formulation — same membership and same
+    len_pctile values — since both compute the same tie-atomic rank."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(strata_col="source", id_col="doc_id", text_col="text")
+    two = (
+        C.length_band_filter(docs, 0.1, 0.95, **kw)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    win = (
+        C.length_band_filter(docs, 0.1, 0.95, exact_window=True, **kw)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert two.equals(win)
+
+
+def test_length_band_two_pass_plan_has_no_stratum_data_window(spark, sf_dir):
+    """The two-pass plan's only window must ride on the post-aggregate
+    histogram: no percent_rank/running window over the document-sized
+    input partitioned by the stratum alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        C.length_band_filter(docs, 0.1, 0.95, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percent_rank" not in plan
+    assert "BroadcastHashJoin" in plan
+    # windows appear only above the (source, n_tokens) aggregate
+    import re
+
+    for frag in re.findall(r"Window \[([^\]]*)\]", plan):
+        assert "_cnt" in frag, frag
+
+
+def test_length_band_single_row_stratum_gets_rank_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "solo", "a b c"), (2, "big", "a"), (3, "big", "a b"), (4, "big", "a b c")],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r["doc_id"]: r["len_pctile"]
+        for r in C.length_band_filter(df, 0.0, 1.0, "source").collect()
+    }
+    exp = {
+        r["doc_id"]: r["len_pctile"]
+        for r in C.length_band_filter(
+            df, 0.0, 1.0, "source", exact_window=True
+        ).collect()
+    }
+    assert out == exp and out[1] == 0.0
+
+
 def test_redact_pii_counts_and_replacement(spark):
     df = spark.createDataFrame(
         [
