@@ -1567,16 +1567,46 @@ def q_map_funcs(spark, sf_dir):
     )
 
 
-@query("approx_sketches")
+@query(
+    "approx_sketches",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS custs_ok, TRUE AS median_ok, TRUE AS p95_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_approx_sketches(spark, sf_dir):
     """C8: approximate sketches (HLL distinct, quantile sketch) — the
-    100 TB substitutes for exact distinct/percentile. Approximate by
-    design → rows-only check; bounds asserted in tests."""
+    100 TB substitutes for exact distinct/percentile. The sketch values
+    can't hash-match an exact engine, so the oracle is an INEQUALITY
+    rendered as data: Spark emits the exact distinct count (oracle
+    checks it verbatim) plus booleans asserting each sketch lies within
+    its documented error of the exact statistic (HLL++ rsd 5% → 3σ
+    band; percentile_approx bounded in RANK space — the sketch returns
+    an order statistic, so the check is that it lies between the exact
+    percentiles at q ± 1%, a bound that holds at any value spacing,
+    unlike a relative-value tolerance on sparse tails). The oracle
+    expects all-true — a sketch drifting out of bounds is a red driver
+    row, not an unverifiable 'rows-only'."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
-        F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
-        F.percentile_approx("o_totalprice", 0.95).alias("p95_price"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("ac"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.percentile_approx("o_totalprice", 0.5).alias("am"),
+        F.percentile_approx("o_totalprice", 0.95).alias("a95"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("em_lo"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("em_hi"),
+        F.expr("percentile(o_totalprice, 0.94)").alias("e95_lo"),
+        F.expr("percentile(o_totalprice, 0.96)").alias("e95_hi"),
+    )
+    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
+    return agg.select(
+        "o_orderpriority",
+        "exact_custs",
+        (rel("ac", "exact_custs") <= 0.15).alias("custs_ok"),
+        F.col("am").between(F.col("em_lo"), F.col("em_hi")).alias("median_ok"),
+        F.col("a95").between(F.col("e95_lo"), F.col("e95_hi")).alias("p95_ok"),
     )
 
 
