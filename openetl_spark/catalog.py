@@ -2058,13 +2058,29 @@ def q_array_funcs_extended(spark, sf_dir):
 
 
 
+IVF_ORACLE_CENTROIDS = "/root/repo/spark-warehouse/ivf_cache/centroids_oracle.parquet"
+
+
 def _ivf_layout(spark, sf_dir: str, n_lists: int = 16, seed: int = 42):
     """Get-or-build the persisted IVF layout for one testdata corpus:
     train the KMeans quantizer ONCE, write the corpus partitioned by
     list id, save centroids next to it. Every later query loads
     centroids (kilobytes) and scans only probed partitions — the
     production posture (offline build, online probe); VERDICT r02 #3
-    flagged the previous in-query training as the scale-killer."""
+    flagged the previous in-query training as the scale-killer.
+
+    Also maintains the ORACLE-readable centroid parquet (ROADMAP r03
+    #5): one consolidated file holding every trained quantizer keyed by
+    a corpus content signature, so the static DuckDB oracle can pick
+    its centroid set regardless of which scale factor it runs at. The
+    signature is SUM(FLOOR(embedding[1]·1e6)) — exact, order
+    independent, and bit-deterministic in both engines (each row is the
+    same float32→double multiply; the sum is over integers), unlike a
+    row count (sf0.001 and sf0.01 both hold 500 embeddings). The file
+    is written on the Spark side of the compare (the query runs before
+    its oracle), which is the explicit materialization hook for fresh
+    clones."""
+    import json
     import os
 
     import numpy as np
@@ -2073,6 +2089,7 @@ def _ivf_layout(spark, sf_dir: str, n_lists: int = 16, seed: int = 42):
     key = f"{os.path.basename(os.path.normpath(sf_dir))}_l{n_lists}_s{seed}"
     root = os.path.join(repo, "spark-warehouse", "ivf_cache", key)
     cents_path = os.path.join(root, "centroids.npy")
+    meta_path = os.path.join(root, "meta.json")
     data_path = os.path.join(root, "corpus")
     if not os.path.exists(cents_path):
         e = load(spark, sf_dir, "embeddings", spread=True)
@@ -2080,10 +2097,100 @@ def _ivf_layout(spark, sf_dir: str, n_lists: int = 16, seed: int = 42):
         S.write_ivf_partitioned(e, data_path, centroids=cents)
         os.makedirs(root, exist_ok=True)
         np.save(cents_path, cents)
-    return np.load(cents_path), data_path
+        json.dump({"corpus_sig": _corpus_sig(spark, sf_dir)}, open(meta_path, "w"))
+    cents = np.load(cents_path)
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    if "corpus_sig" not in meta:  # cache from a pre-oracle round
+        meta["corpus_sig"] = _corpus_sig(spark, sf_dir)
+        json.dump(meta, open(meta_path, "w"))
+    _upsert_oracle_centroids(cents, meta["corpus_sig"], n_lists, seed)
+    return cents, data_path
 
 
-@query("ivf_knn")
+IVF_SIG_SQL = (
+    "SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) "
+    "AS BIGINT)) AS BIGINT) FROM embeddings"
+)
+
+
+def _corpus_sig(spark, sf_dir: str) -> int:
+    """Spark rendering of IVF_SIG_SQL (element_at is 1-based, matching
+    DuckDB's [1])."""
+    e = load(spark, sf_dir, "embeddings")
+    return int(
+        e.agg(
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", 1).cast("double") * 1000000.0
+                ).cast("bigint")
+            )
+        ).first()[0]
+    )
+
+
+def _upsert_oracle_centroids(
+    cents, corpus_sig: int, n_lists: int, seed: int
+) -> None:
+    """Idempotently merge one quantizer's centroids into the
+    consolidated oracle parquet (columns: corpus_sig, n_lists, seed,
+    list_id, centroid double[])."""
+    import os
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "corpus_sig": int(corpus_sig),
+            "n_lists": int(n_lists),
+            "seed": int(seed),
+            "list_id": range(len(cents)),
+            "centroid": [[float(x) for x in c] for c in cents],
+        }
+    )
+    path = IVF_ORACLE_CENTROIDS
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        same = (
+            (old["corpus_sig"] == corpus_sig)
+            & (old["n_lists"] == n_lists)
+            & (old["seed"] == seed)
+        )
+        if same.sum() == n_lists:
+            return
+        rows = pd.concat([old[~same], rows], ignore_index=True)
+    rows.to_parquet(path, index=False)
+
+
+@query(
+    "ivf_knn",
+    f"""
+    WITH cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e WHERE e.vec_id <> 0),
+    probe AS (
+      SELECT c.list_id FROM cents c, q
+      ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+               - 2 * list_dot_product(q.qv, c.centroid) ASC, c.list_id ASC
+      LIMIT 8)
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.v, q.qv), 4) AS cosine_sim
+    FROM assign a JOIN probe p ON a.list_id = p.list_id, q
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
 def q_ivf_knn(spark, sf_dir):
     """C28 scale path #2: IVF over a train-once, partition-pruned
     layout. The quantizer is persisted (built on first touch per
@@ -2091,8 +2198,15 @@ def q_ivf_knn(spark, sf_dir):
     broadcast one-row probe relation on the partition column (dynamic
     partition pruning → only n_probe directories scanned) and broadcasts
     the query vector — zero driver-side materialization in the query
-    path. Rows-only check (KMeans isn't DuckDB-expressible); recall vs
-    brute force asserted in tests."""
+    path.
+
+    Oracle (r06, closes the last no_oracle): KMeans training isn't
+    DuckDB-expressible, but the TRAINED quantizer is data — the layout
+    builder persists centroids to a consolidated parquet keyed by
+    corpus size, and the oracle re-derives assignment (argmin of
+    ||c||² − 2·v·c, list-id tiebreak — the exact Spark formula), probe
+    selection, and the pruned cosine top-k from it. Recall vs brute
+    force additionally asserted in tests."""
     cents, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
     corpus = spark.read.parquet(data_path)
     # query vector from the flat source table (1-row broadcast side);
