@@ -33,6 +33,9 @@ from openetl_spark.plans.compiler import compile_connector
 from openetl_spark.spec import Connector, Filter, FilterGroup, Sort, Transformation
 
 
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load(
     spark: SparkSession, sf_dir: str, table: str, spread: bool = False
 ) -> DataFrame:
@@ -44,7 +47,25 @@ def load(
     parallelism) — a production table's thousands of file splits
     already provide the fan-out, and the extra full-data shuffle would
     be pure waste at 100 TB (SCALE.md known-compromise #1, closed
-    r05)."""
+    r05).
+
+    Base relations are memoized per (session, sf_dir, table, spread)
+    (VERDICT r03 #10): DataFrames are immutable plans, so reuse is
+    free, and without it every catalog invocation re-runs parquet file
+    listing, schema resolution, and the events timestamp sniff — fixed
+    planning cost that dominated the sub-second band of the local
+    bench. Testdata is immutable for a session's lifetime."""
+    key = (spark.sparkContext.applicationId, sf_dir, table, spread)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _LOAD_CACHE[key] = df = _load_uncached(spark, sf_dir, table, spread)
+    return df
+
+
+def _load_uncached(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool
+) -> DataFrame:
     if spread:
         df = load(spark, sf_dir, table)
         target = spark.sparkContext.defaultParallelism

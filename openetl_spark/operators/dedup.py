@@ -453,33 +453,44 @@ def connected_components(
     node), rounds ≈ label-propagation diameter of the widest component
     — near-dup clusters are shallow (pairs/cliques), so 2-3 rounds in
     practice. Convergence is detected by the (monotone, integral) sum
-    of labels going unchanged, one small agg action per round;
-    ``max_iter`` bounds adversarial chain graphs. Each round's labels
-    are ``localCheckpoint``ed — iterative self-joins grow the LOGICAL
-    plan exponentially if only persisted (persist caches data but keeps
-    lineage; analysis itself OOMs by ~10 rounds), while checkpointing
-    truncates the plan so every round starts from a flat scan.
+    of labels going unchanged; ``max_iter`` bounds adversarial chain
+    graphs. Each round's labels are ``localCheckpoint``ed — iterative
+    self-joins grow the LOGICAL plan exponentially if only persisted
+    (persist caches data but keeps lineage; analysis itself OOMs by ~10
+    rounds), while checkpointing truncates the plan so every round
+    starts from a flat scan.
+
+    ONE job per round (VERDICT r03 #9): the label sum rides the
+    checkpoint's materialization job as an ``observe()`` metric —
+    eager localCheckpoint fires observation metrics — instead of a
+    second per-round agg action, halving the round count's job cost at
+    scale.
 
     Returns (node, component) for every node with ≥1 edge.
     """
+    from pyspark.sql import Observation
+
+    def checkpoint_with_sum(df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        out = df.observe(obs, F.sum("component").alias("s")).localCheckpoint()
+        return out, obs.get["s"]
+
     sym = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).union(
         edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
     )
     sym = sym.localCheckpoint()
-    labels = (
+    labels, prev_sum = checkpoint_with_sum(
         sym.select(F.col("x").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["y"] == labels["node"])
             .groupBy("x")
             .agg(F.min("component").alias("nc"))
         )
-        labels = (
+        labels, new_sum = checkpoint_with_sum(
             labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
             .select(
                 "node",
@@ -487,9 +498,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
