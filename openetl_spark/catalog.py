@@ -3349,69 +3349,76 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order; CORRECTNESS_r01/r02 each
-# covered the same first-50 registered names, leaving exactly 50 of
-# the then-100 catalog queries with no driver row. This window IS
-# those 50 (computed against the recorded r01∪r02 key sets). The three
-# queries added after the window filled (vocab_sketch_topk,
-# training_shuffle, histogram_quantiles) queue for the next rotation
-# (ROADMAP #2); every query, windowed or not, is pinned every run by
-# tests/test_oracle.py, which mirrors the driver's compare (sorted
-# columns, stringified values) exactly. Registration order above is
-# unchanged — only presentation order.
+# entries of queries() in iteration order. Round-4 rotation (VERDICT
+# r03 #2): slots go first to the three queries with NO driver row
+# (added after the r03 window filled), then to queries whose code or
+# oracle changed since their last driver check — embedding_quantize
+# (red r03, q8 serialization fix), ivf_knn/approx_sketches (oracles
+# added r06, previously no_oracle), sequence_packing/length_band_filter/
+# curation_pipeline (scale-safe rewrites r06), the r04/r05-rewritten
+# dedup/similarity family (last checked r02), and the dedup pair after
+# the r06 connected-components fusion — then refresh the oldest green
+# rows (r01/r02 only). Deferred to the round-5 rotation (stable,
+# locally oracle-pinned): join_cross/right/full_outer, the set-op
+# family, union_all_counts, window_lag, cube/grouping_sets/pivot.
+# Every query, windowed or not, is pinned every run by
+# tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    "dedup_components",
-    "dedup_keep_best",
-    "pivot_dynamic",
-    "repetition_stats",
-    "map_funcs",
-    "approx_sketches",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q10_returned_items",
-    "embedding_near_dup_exact",
-    "lang_id_oracle",
-    "percentile_exact",
-    "stats_agg",
-    "window_ranking_extras",
-    "unpivot_measures",
-    "scalar_subquery",
-    "date_funcs_extended",
-    "filtered_agg",
-    "null_safe_join",
-    "string_funcs_extended",
-    "array_funcs_extended",
-    "ivf_knn",
-    "edit_distance",
-    "value_histogram",
-    "q4_order_priority",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_global_sales",
-    "string_agg_nations",
-    "regression_aggs",
-    "decontaminate_ngram",
-    "stratified_sample",
-    "sequence_packing",
-    "pii_redaction",
-    "vocab_topk",
+    # no driver row yet
+    "vocab_sketch_topk",
+    "training_shuffle",
+    "histogram_quantiles",
+    # changed since last driver check (code or oracle)
     "embedding_quantize",
+    "ivf_knn",
+    "approx_sketches",
+    "sequence_packing",
     "length_band_filter",
     "curation_pipeline",
-    "rarity_score",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_shipping_delay",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q16_supplier_cnt",
+    "jaccard_near_dups",
+    "minhash_near_dups",
+    "simhash_dedup",
+    "lsh_similarity_join",
+    "pandas_normalize",
+    "dedup_components",
+    "dedup_keep_best",
+    # oldest green rows (r01/r02 only) — refresh
+    "connector_slice",
+    "filter_group_or",
+    "transform_chain",
+    "join_inner",
+    "join_left_agg",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "range_join_events",
+    "asof_join_events",
+    "q1_pricing",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "agg_distinct",
+    "rollup_flags",
+    "window_rank",
+    "window_frame",
+    "topk_orders",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "tumbling_hourly",
+    "sliding_counts",
+    "session_windows",
+    "dedup_exact",
+    "embedding_knn",
+    "text_stats",
+    "doc_fingerprint",
+    "quality_score",
+    "sql_passthrough",
+    "schema_introspect",
+    "decimal_agg",
 ]
 
 

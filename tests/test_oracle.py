@@ -52,10 +52,16 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    for newcomer in ("decontaminate_ngram", "stratified_sample",
-                     "sequence_packing", "pii_redaction", "vocab_topk",
-                     "embedding_quantize", "length_band_filter",
-                     "curation_pipeline"):
+    # round-4 rotation: every query with no driver row or with code/
+    # oracle changes since its last driver check must hold a slot
+    for newcomer in ("vocab_sketch_topk", "training_shuffle",
+                     "histogram_quantiles", "embedding_quantize",
+                     "ivf_knn", "approx_sketches", "sequence_packing",
+                     "length_band_filter", "curation_pipeline",
+                     "jaccard_near_dups", "minhash_near_dups",
+                     "simhash_dedup", "lsh_similarity_join",
+                     "pandas_normalize", "dedup_components",
+                     "dedup_keep_best"):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
     q = entry.queries()
