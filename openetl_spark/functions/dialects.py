@@ -138,3 +138,218 @@ def _gaql_cond(flt: FilterLike) -> str:
     if op == "is_not_null":
         return f"{f} IS NOT NULL"
     raise ValueError(f"operator {op!r} has no GAQL rendering")
+
+
+# ---------------------------------------------------------------------
+# SaaS wire dialects (VERDICT r03 #7/#8). Each renderer takes the
+# ABSTRACT request parts emitted by sources.services.build_request
+# (filters as {field, op, value} dicts, sorts as {field, dir}) and
+# produces the exact native payload the reference adapter puts on the
+# wire, so a production transport needs no dialect knowledge of its
+# own. Pure functions; exact-payload unit tests in
+# tests/test_dialects.py mirror the reference's request shapes.
+# ---------------------------------------------------------------------
+
+_HUBSPOT_OPS = {
+    "=": "EQ", "!=": "NEQ", ">": "GT", ">=": "GTE", "<": "LT", "<=": "LTE",
+    "contains": "CONTAINS_TOKEN", "not_contains": "NOT_CONTAINS_TOKEN",
+    "in": "IN", "not_in": "NOT_IN", "between": "BETWEEN",
+    "not_between": "NOT_BETWEEN", "is_null": "IS_NULL",
+    "is_not_null": "NOT_NULL",
+}
+
+
+def hubspot_search_body(
+    fields: Sequence[str],
+    filters: Sequence[dict],
+    sorts: Sequence[dict],
+    limit: int | None = None,
+    after: Any = None,
+) -> dict:
+    """HubSpot CRM search POST body — filterGroups/sorts/properties
+    (reference `adapters/hubspot/src/index.ts:357-388`; operator map
+    `:390-398`). Unknown operators pass through verbatim like the
+    reference's `operatorMap[operator] || operator`."""
+    body: dict = {}
+    if limit:
+        body["limit"] = limit
+    if after:
+        body["after"] = str(after)
+    if fields:
+        body["properties"] = list(fields)
+    if filters:
+        body["filterGroups"] = [
+            {
+                "filters": [
+                    {
+                        "propertyName": f["field"],
+                        "operator": _HUBSPOT_OPS.get(f["op"], f["op"]),
+                        "value": f["value"],
+                    }
+                    for f in filters
+                ]
+            }
+        ]
+    if sorts:
+        body["sorts"] = [
+            {
+                "propertyName": s["field"],
+                "direction": "ASCENDING" if s["dir"] == "asc" else "DESCENDING",
+            }
+            for s in sorts
+        ]
+    return body
+
+
+_ZOHO_OPS = {
+    "=": "equals", "!=": "not_equals", ">": "greater_than",
+    ">=": "greater_equal", "<": "less_than", "<=": "less_equal",
+    "contains": "contains", "not_contains": "not_contains",
+    "in": "in", "not_in": "not_in",
+}
+
+
+def zoho_query_params(
+    fields: Sequence[str],
+    filters: Sequence[dict],
+    sorts: Sequence[dict],
+    limit: int | None = None,
+    offset: int | None = None,
+) -> dict:
+    """Zoho CRM query params — `(field:op:value)` criteria joined with
+    ' and ', comma-joined fields, single sort key, per_page/page
+    windowing (reference `adapters/zoho/src/index.ts:348-379` and the
+    download pager `:382-398`)."""
+    params: dict = {}
+    if fields:
+        params["fields"] = ",".join(fields)
+    if filters:
+        params["criteria"] = " and ".join(
+            f"({f['field']}:{_ZOHO_OPS.get(f['op'], f['op'])}:{f['value']})"
+            for f in filters
+        )
+    if sorts:
+        params["sort_by"] = sorts[0]["field"]
+        params["sort_order"] = sorts[0]["dir"]
+    if limit is not None:
+        params["per_page"] = limit
+        params["page"] = (int(offset) // int(limit) + 1) if offset else 1
+    return params
+
+
+def stripe_query_params(
+    endpoint_path: str,
+    filters: Sequence[dict],
+    limit: int | None = None,
+    offset: Any = None,
+) -> dict:
+    """Stripe params — search endpoints (path ends '/search') render a
+    `query` string (`field:value`, `-field:value` for !=, strings
+    double-quoted, joined with ' AND '); list endpoints pass filters as
+    flat params. Search pages with `page`, lists with `starting_after`;
+    a search endpoint with no rendered query degrades to list
+    pagination (reference `adapters/stripe/src/index.ts:240-331`; its
+    `replace(/"/g, '\\"')` is a no-op — the TS literal '\\"' is just a
+    quote — so embedded quotes pass through verbatim here too)."""
+    is_search = endpoint_path.endswith("/search")
+    params: dict = {}
+    if is_search:
+        terms = []
+        for f in filters:
+            v = f["value"]
+            rendered = f'"{v}"' if isinstance(v, str) else v
+            if f["op"] == "!=":
+                terms.append(f"-{f['field']}:{rendered}")
+            else:
+                op = ":" if f["op"] == "=" else f["op"]
+                terms.append(f"{f['field']}{op}{rendered}")
+        if terms:
+            params["query"] = " AND ".join(terms)
+        else:
+            is_search = False
+    else:
+        for f in filters:
+            params[f["field"]] = f["value"]
+    if limit:
+        params["limit"] = limit
+    if offset:
+        params["page" if is_search else "starting_after"] = offset
+    return params
+
+
+XERO_PARAM_FILTERS = ("includeArchived", "searchTerm")
+
+
+def xero_wire(
+    filters: Sequence[dict],
+    limit: int | None = None,
+    offset: int | None = None,
+) -> dict:
+    """Xero params + headers — `includeArchived`/`searchTerm` equality
+    filters route to query params, `Modified After` equality to the
+    `If-Modified-Since` header, everything else into the `where`
+    string (`field{op}'value'` joined with ' AND '); page/pageSize
+    windowing. Reference `adapters/xero/src/index.ts:294-333`; string
+    offsets are rejected like the reference's guard."""
+    params: dict = {}
+    headers: dict = {}
+    where = []
+    for f in filters:
+        if f["field"] in XERO_PARAM_FILTERS:
+            if f["op"] == "=":
+                params[f["field"]] = f["value"]
+        elif f["field"] == "Modified After":
+            if f["op"] == "=":
+                headers["If-Modified-Since"] = f["value"]
+        else:
+            where.append(f"{f['field']}{f['op']}'{f['value']}'")
+    if where:
+        params["where"] = " AND ".join(where)
+    if limit is not None:
+        if isinstance(offset, str):
+            raise ValueError(
+                "Download endpoints of the Xero dialect don't accept a "
+                "string as offset"
+            )
+        params["page"] = int(offset or 0) // int(limit) + 1
+        params["pageSize"] = limit
+    return {"params": params, "headers": headers}
+
+
+GMAIL_PARAM_FILTERS = ("labelIds", "includeSpamTrash")
+
+
+def gmail_query_params(
+    endpoint_id: str,
+    filters: Sequence[dict],
+    limit: int | None = None,
+    offset: Any = None,
+) -> dict:
+    """Gmail params — `get-message` passes equality filters as params;
+    `list-messages` routes `labelIds`/`includeSpamTrash` equalities to
+    params and renders everything else into the `q` search string
+    (`field:value`, `-field:value` for any non-equality), space-joined.
+    list-* endpoints page with maxResults/pageToken (pageToken omitted
+    for offset 0/'0'). Reference `adapters/gmail/src/index.ts:170-236`.
+    Filter groups are rejected upstream by the descriptor's operator
+    mask, mirroring the adapter's explicit throw."""
+    params: dict = {}
+    if endpoint_id == "get-message":
+        for f in filters:
+            if f["op"] == "=":
+                params[f["field"]] = f["value"]
+    elif endpoint_id == "list-messages":
+        q_terms = []
+        for f in filters:
+            if f["field"] in GMAIL_PARAM_FILTERS and f["op"] == "=":
+                params[f["field"]] = f["value"]
+            else:
+                neg = "" if f["op"] == "=" else "-"
+                q_terms.append(f"{neg}{f['field']}:{f['value']}")
+        if q_terms:
+            params["q"] = " ".join(q_terms)
+    if endpoint_id in ("list-threads", "list-messages") and limit is not None:
+        params["maxResults"] = limit
+        if offset not in (None, 0, "0"):
+            params["pageToken"] = str(offset)
+    return params

@@ -317,6 +317,79 @@ def build_request(connector: Connector, desc: ServiceDescriptor) -> dict:
     }
 
 
+def wire_request(
+    connector: Connector,
+    desc: ServiceDescriptor,
+    page_options: dict | None = None,
+) -> dict:
+    """Render the NATIVE wire payload for the service's dialect —
+    url/method/params/headers/body exactly as the reference adapter
+    puts them on the wire — layered on build_request's abstract form
+    (VERDICT r03 #7/#8: previously only Mongo and GAQL had real
+    renderers; a production transport for the other services had to
+    re-implement the dialect itself). Services without a registered
+    dialect renderer fall back to the abstract request (the transport
+    owns rendering, as before)."""
+    from openetl_spark.functions import dialects as D
+
+    req = build_request(connector, desc)
+    ep = _endpoint(connector, desc)
+    po = page_options or {}
+    limit, offset = po.get("limit"), po.get("offset")
+    url, method = req["url"], req["method"]
+    params: dict = {}
+    headers: dict = {}
+    body: dict | None = None
+    sid = desc.service_id
+    if sid == "hubspot":
+        after = str(offset) if offset is not None else None
+        if method == "POST":  # CRM search endpoints carry a JSON body
+            body = D.hubspot_search_body(
+                req["fields"], req["filters"], req["sorts"], limit, after
+            )
+        else:
+            if limit is not None:
+                params["limit"] = limit
+            if after:
+                params["after"] = after
+    elif sid == "zoho":
+        params = D.zoho_query_params(
+            req["fields"], req["filters"], req["sorts"], limit, offset
+        )
+        # criteria-less search endpoints degrade to the plain list URL
+        # (adapters/zoho/src/index.ts:400-403)
+        if "criteria" not in params and url.endswith("/search"):
+            url = url[: -len("/search")]
+    elif sid == "stripe":
+        params = D.stripe_query_params(ep["path"], req["filters"], limit, offset)
+    elif sid == "xero":
+        parts = D.xero_wire(req["filters"], limit, offset)
+        params, headers = parts["params"], parts["headers"]
+    elif sid == "gmail":
+        params = D.gmail_query_params(
+            connector.endpoint_id, req["filters"], limit, offset
+        )
+        if connector.endpoint_id == "get-message":
+            # reference appends the message id path segment (:195-201)
+            msg_id = connector.config.get("id")
+            if not msg_id:
+                raise ValueError(
+                    "get-message endpoint requires config['id'] (message id)"
+                )
+            url = f"{url}/{msg_id}"
+    else:
+        return {**req, "page_options": po}
+    return {
+        "url": url,
+        "method": method,
+        "params": params,
+        "headers": headers,
+        "body": body,
+        "fields": req["fields"],
+        "page_size": req["page_size"],
+    }
+
+
 class ServiceSource:
     """Generic REST source bound to a descriptor. The transport is a
     callable ``transport(request, page_options) -> page dict`` injected
@@ -346,8 +419,19 @@ class ServiceSource:
         request = build_request(connector, self.desc)
         transport = cfg["transport"]
 
-        def fetch_page(page_options: dict) -> dict:
-            return transport(request, page_options)
+        if cfg.get("wire"):
+            # native-dialect mode: the transport receives the exact
+            # wire payload (url/params/headers/body) per page and only
+            # has to execute it
+            def fetch_page(page_options: dict) -> dict:
+                return transport(
+                    wire_request(connector, self.desc, page_options), page_options
+                )
+
+        else:
+
+            def fetch_page(page_options: dict) -> dict:
+                return transport(request, page_options)
 
         _, residual = split_filters(connector, self.desc)
         # limit pushdown is safe only when the service saw the WHOLE

@@ -336,3 +336,87 @@ def test_service_source_staged_ingest(spark, tmp_path):
     # default-field projection still applies on the staged read
     assert set(df.columns) == {"hs_object_id", "email", "firstname",
                                "lastname", "createdate", "lastmodifieddate"}
+
+
+# ---------------------------------------------------------------------
+# Native wire-dialect mode (VERDICT r03 #7/#8)
+# ---------------------------------------------------------------------
+
+def test_wire_mode_hubspot_exact_search_bodies_per_page(spark):
+    """With config['wire']=True the transport receives the NATIVE
+    HubSpot payload — the exact POST body getSearchBody builds
+    (adapters/hubspot/src/index.ts:357-388) — freshly rendered per page
+    with the cursor folded in."""
+    rows = [{"firstname": f"F{i}", "email": f"e{i}@x.com"} for i in range(150)]
+    seen = []
+
+    def transport(wire, page_options):
+        seen.append(wire)
+        off = int(page_options["offset"] or 0)
+        page = rows[off : off + page_options["limit"]]
+        nxt = off + page_options["limit"] if off + page_options["limit"] < len(rows) else None
+        return {"data": page, "next_cursor": nxt}
+
+    c = Connector(
+        adapter_id="hubspot",
+        endpoint_id="contacts",
+        fields=["firstname", "email"],
+        filters=[Filter("age", ">", 3)],
+        sort=[Sort("firstname", "asc")],
+        config={"transport": transport, "wire": True},
+    )
+    df = ServiceSource(SERVICES["hubspot"]).read(spark, c)
+    assert df.count() == len(rows)
+    assert len(seen) == 2  # 150 rows at page size 100
+    first = seen[0]
+    assert first["url"] == "https://api.hubapi.com/crm/v3/objects/contacts/search"
+    assert first["method"] == "POST"
+    assert first["body"] == {
+        "limit": 100,
+        "properties": ["firstname", "email"],
+        "filterGroups": [
+            {"filters": [{"propertyName": "age", "operator": "GT", "value": 3}]}
+        ],
+        "sorts": [{"propertyName": "firstname", "direction": "ASCENDING"}],
+    }
+    # second page: same body plus the echoed cursor folded in
+    assert seen[1]["body"]["after"] == "100"
+    assert seen[1]["body"]["filterGroups"] == first["body"]["filterGroups"]
+
+
+def test_wire_mode_zoho_strips_search_path_without_criteria(spark):
+    seen = []
+
+    def transport(wire, page_options):
+        seen.append(wire)
+        return {"data": [], "total": 0}
+
+    c = Connector(
+        adapter_id="zoho",
+        endpoint_id="contacts",
+        config={"transport": transport, "wire": True},
+    )
+    ServiceSource(SERVICES["zoho"]).read(spark, c)
+    assert seen[0]["url"] == "https://www.zohoapis.com/crm/v7/Contacts"
+    assert "criteria" not in seen[0]["params"]
+
+    seen.clear()
+    c2 = Connector(
+        adapter_id="zoho",
+        endpoint_id="contacts",
+        filters=[Filter("Last_Name", "=", "Smith")],
+        config={"transport": transport, "wire": True},
+    )
+    ServiceSource(SERVICES["zoho"]).read(spark, c2)
+    assert seen[0]["url"].endswith("/crm/v7/Contacts/search")
+    assert seen[0]["params"]["criteria"] == "(Last_Name:equals:Smith)"
+
+
+def test_wire_mode_gmail_get_message_requires_id(spark):
+    c = Connector(
+        adapter_id="gmail",
+        endpoint_id="get-message",
+        config={"transport": lambda *a: {"data": []}, "wire": True},
+    )
+    with pytest.raises(ValueError, match="config\\['id'\\]"):
+        ServiceSource(SERVICES["gmail"]).read(spark, c)
