@@ -61,10 +61,13 @@ DOWNLOAD = ("download", "sync")
 UPLOAD = ("upload",)
 
 
-def _ep(path, method="GET", actions=DOWNLOAD, default_fields=None):
+def _ep(path, method="GET", actions=DOWNLOAD, default_fields=None,
+        filter_fields=None):
     out = {"path": path, "method": method, "actions": actions}
     if default_fields:
         out["default_fields"] = list(default_fields)
+    if filter_fields is not None:
+        out["filter_fields"] = tuple(filter_fields)
     return out
 
 
@@ -218,8 +221,16 @@ SERVICES: dict[str, ServiceDescriptor] = {
             "twitter", "https://api.twitter.com/2", "api_key", "cursor", 100,
             frozenset({"="}),
             endpoints={
-                "tweets_search": _ep("/tweets/search/recent"),
-                "user_lookup": _ep("/users", actions=("download",)),
+                # per-endpoint field whitelists: the reference switches
+                # on endpoint id and drops any other filter field
+                # (`adapters/twitter/src/index.ts:119-138`)
+                "tweets_search": _ep(
+                    "/tweets/search/recent",
+                    filter_fields=("query", "since_id", "until_id",
+                                   "start_time", "end_time")),
+                "user_lookup": _ep(
+                    "/users", actions=("download",),
+                    filter_fields=("ids", "usernames")),
                 "tweet_post": _ep("/tweets", "POST", UPLOAD),
             },
         ),
@@ -259,13 +270,24 @@ SERVICES: dict[str, ServiceDescriptor] = {
 
 def split_filters(connector: Connector, desc: ServiceDescriptor):
     """Partition filters into pushdown-able (service accepts the
-    operator) and residual (re-applied in Spark post-ingest). Filter
-    groups (OR trees) never push down — no reference dialect has them."""
+    operator AND, where the endpoint declares a field whitelist, the
+    field) and residual (re-applied in Spark post-ingest). Filter
+    groups (OR trees) never push down — no reference dialect has them.
+    Per-endpoint whitelists mirror e.g. Twitter's switch on endpoint id
+    (`adapters/twitter/src/index.ts:119-138`): a filter on any other
+    field is silently dropped by the reference adapter; here it stays
+    residual so the engine still applies it."""
+    ep = desc.endpoints.get(connector.endpoint_id) or {}
+    whitelist = ep.get("filter_fields")
     push, residual = [], []
     for f in connector.filters:
         if isinstance(f, FilterGroup):
             residual.append(f)
-        elif isinstance(f, Filter) and f.operator in desc.operators:
+        elif (
+            isinstance(f, Filter)
+            and f.operator in desc.operators
+            and (whitelist is None or f.field in whitelist)
+        ):
             push.append(f)
         else:
             residual.append(f)
@@ -377,6 +399,20 @@ def wire_request(
                     "get-message endpoint requires config['id'] (message id)"
                 )
             url = f"{url}/{msg_id}"
+    elif sid == "twitter":
+        # adapters/twitter/src/index.ts:110-152: whitelisted filter
+        # fields as flat params (build_request already applied the
+        # endpoint whitelist), tweet.fields/user.fields projection,
+        # max_results capped at the API's 100, next_token cursor
+        for f in req["filters"]:
+            params[f["field"]] = str(f["value"])
+        if req["fields"]:
+            kind = "user" if connector.endpoint_id == "user_lookup" else "tweet"
+            params[f"{kind}.fields"] = ",".join(req["fields"])
+        if limit:
+            params["max_results"] = min(int(limit), 100)
+        if offset:
+            params["next_token"] = str(offset)
     else:
         return {**req, "page_options": po}
     return {

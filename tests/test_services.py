@@ -420,3 +420,41 @@ def test_wire_mode_gmail_get_message_requires_id(spark):
     )
     with pytest.raises(ValueError, match="config\\['id'\\]"):
         ServiceSource(SERVICES["gmail"]).read(spark, c)
+
+
+def test_twitter_endpoint_field_whitelist_residualizes():
+    """adapters/twitter/src/index.ts:119-138 drops filters outside the
+    per-endpoint field list; the engine keeps them as residual so the
+    predicate still applies post-ingest."""
+    c = Connector(
+        adapter_id="twitter",
+        endpoint_id="tweets_search",
+        filters=[Filter("query", "=", "spark"), Filter("lang", "=", "en")],
+    )
+    push, residual = split_filters(c, SERVICES["twitter"])
+    assert [f.field for f in push] == ["query"]
+    assert [f.field for f in residual] == ["lang"]
+
+
+def test_wire_mode_twitter_exact_params(spark):
+    seen = []
+
+    def transport(wire, page_options):
+        seen.append(wire)
+        return {"data": [{"id": "1", "text": "t"}], "next_cursor": None}
+
+    c = Connector(
+        adapter_id="twitter",
+        endpoint_id="tweets_search",
+        fields=["id", "text", "created_at"],
+        filters=[Filter("query", "=", "pyspark"), Filter("since_id", "=", "9")],
+        config={"transport": transport, "wire": True},
+    )
+    ServiceSource(SERVICES["twitter"]).read(spark, c)
+    assert seen[0]["url"] == "https://api.twitter.com/2/tweets/search/recent"
+    assert seen[0]["params"] == {
+        "query": "pyspark",
+        "since_id": "9",
+        "tweet.fields": "id,text,created_at",
+        "max_results": 100,
+    }
