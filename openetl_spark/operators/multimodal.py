@@ -342,6 +342,199 @@ def extract_audio_features(df: DataFrame, content_col: str = "content", path_col
     return df.select(path_col, content_col).mapInPandas(op, AUDIO_FEATURES_SCHEMA)
 
 
+def parse_gif_frames(data: bytes) -> list[dict]:
+    """REAL GIF87a/89a block-structure walk (stdlib struct only): one
+    dict per animation frame with the image-descriptor geometry, the
+    delay from the preceding Graphic Control Extension (centiseconds,
+    0 if none), and the frame's byte span (descriptor through LZW data
+    sub-blocks) so a caller can slice the raw frame payload without
+    decompressing pixels. Returns [] for non-GIF/malformed input
+    (truncated files yield the frames parsed so far)."""
+    import struct as _struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return []
+    pos = 6
+    _w, _h, packed, _bg, _ar = _struct.unpack_from("<HHBBB", data, pos)
+    pos += 7
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[dict] = []
+    delay_cs = 0
+    try:
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                label = data[pos + 1]
+                p = pos + 2
+                if label == 0xF9 and data[p] == 4:  # Graphic Control Ext
+                    delay_cs = _struct.unpack_from("<H", data, p + 2)[0]
+                while data[p]:  # sub-blocks until 0 terminator
+                    p += 1 + data[p]
+                pos = p + 1
+            elif block == 0x2C:  # image descriptor
+                left, top, w, h, ipacked = _struct.unpack_from(
+                    "<HHHHB", data, pos + 1
+                )
+                p = pos + 10
+                if ipacked & 0x80:  # local color table
+                    p += 3 * (2 << (ipacked & 0x07))
+                p += 1  # LZW minimum code size
+                while data[p]:  # LZW data sub-blocks
+                    p += 1 + data[p]
+                p += 1
+                frames.append(
+                    {
+                        "frame_idx": len(frames),
+                        "left": left,
+                        "top": top,
+                        "width": w,
+                        "height": h,
+                        "delay_cs": delay_cs,
+                        "byte_offset": pos,
+                        "n_bytes": p - pos,
+                    }
+                )
+                delay_cs = 0
+                pos = p
+            else:  # unknown block — stop rather than misparse
+                break
+    except IndexError:  # truncated file: keep complete frames
+        pass
+    return frames
+
+
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("left", T.IntegerType()),
+        T.StructField("top", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL animated-image frame sampling: walk each GIF's block
+    structure, keep every ``every_n``-th frame, and emit its geometry,
+    delay, and raw byte span (the compressed frame payload — decode
+    stays with a downstream codec UDF). One row in → many frame rows
+    out, partition-parallel via mapInPandas."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col]) if r[content_col] is not None else b""
+                for f in parse_gif_frames(data)[::every_n]:
+                    rows.append(
+                        (
+                            r[path_col],
+                            f["frame_idx"],
+                            f["left"],
+                            f["top"],
+                            f["width"],
+                            f["height"],
+                            f["delay_cs"],
+                            f["n_bytes"],
+                            data[f["byte_offset"] : f["byte_offset"] + f["n_bytes"]],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "frame_idx", "left", "top", "width", "height",
+                    "delay_cs", "n_bytes", "frame_bytes",
+                ],
+            )
+
+    return df.select(path_col, content_col).mapInPandas(op, GIF_FRAMES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("start_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    window_s: float = 0.5,
+    stride: int = 1,
+) -> DataFrame:
+    """REAL PCM window sampling: decode each 16-bit WAV with the stdlib
+    ``wave`` module, cut it into ``window_s`` windows, keep every
+    ``stride``-th, and emit per-window rms/peak (full-scale
+    normalized) — the time-localized loudness features an audio
+    curation pass gates on (find the silent/clipped REGIONS, not just
+    whole-clip stats). Non-WAV rows yield no windows."""
+    import array as _array
+    import io as _io
+    import math as _math
+    import wave as _wave
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs = 32768.0
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col]) if r[content_col] is not None else b""
+                try:
+                    with _wave.open(_io.BytesIO(data), "rb") as w:
+                        if w.getsampwidth() != 2:
+                            continue
+                        rate, ch = w.getframerate(), w.getnchannels()
+                        samples = _array.array("h")
+                        samples.frombytes(w.readframes(w.getnframes()))
+                except Exception:
+                    continue
+                win = max(int(window_s * rate) * ch, 1)
+                n_windows = -(-len(samples) // win)
+                for i in range(0, n_windows, stride):
+                    chunk = samples[i * win : (i + 1) * win]
+                    if not chunk:
+                        continue
+                    rows.append(
+                        (
+                            r[path_col],
+                            i,
+                            round(i * win / (rate * ch), 6),
+                            round(
+                                _math.sqrt(
+                                    sum(s * s for s in chunk) / len(chunk)
+                                )
+                                / fs,
+                                6,
+                            ),
+                            round(max(abs(s) for s in chunk) / fs, 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "window_idx", "start_s", "rms", "peak"]
+            )
+
+    return df.select(path_col, content_col).mapInPandas(op, AUDIO_WINDOWS_SCHEMA)
+
+
 AUDIO_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -358,21 +551,57 @@ def sample_frames(
     frame_size: int = 4096,
     stride: int = 4,
 ) -> DataFrame:
-    """Frame sampling (video keyframes / audio windows): split each blob
-    into fixed-size frames, keep every ``stride``-th. Real codecs would
-    seek keyframes; the byte-window slicing stands in (STUB), while the
-    fan-out shape (one row in → many frame rows out) is the real
-    operator contract."""
+    """Frame sampling with container dispatch: GIF payloads are sliced
+    at their REAL frame boundaries (parse_gif_frames block walk), WAV
+    payloads at sample-aligned PCM windows of ~frame_size bytes; any
+    other format falls back to fixed-size byte windows (STUB — a codec
+    binding would seek true keyframes; the fan-out shape, one row in →
+    many frame rows out, is the real operator contract either way).
+    Keeps every ``stride``-th frame."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r[content_col]) if r[content_col] is not None else b""
+                gif = parse_gif_frames(data)
+                if gif:
+                    for f in gif[::stride]:
+                        rows.append(
+                            (
+                                r[path_col],
+                                f["frame_idx"],
+                                data[
+                                    f["byte_offset"] : f["byte_offset"]
+                                    + f["n_bytes"]
+                                ],
+                            )
+                        )
+                    continue
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    import io as _io
+                    import wave as _wave
+
+                    try:
+                        with _wave.open(_io.BytesIO(data), "rb") as w:
+                            bpf = w.getsampwidth() * w.getnchannels()
+                            frames_per = max(frame_size // bpf, 1)
+                            n = w.getnframes()
+                            n_windows = -(-n // frames_per)
+                            for i in range(0, n_windows, stride):
+                                w.setpos(i * frames_per)
+                                rows.append(
+                                    (r[path_col], i, w.readframes(frames_per))
+                                )
+                        continue
+                    except Exception:
+                        pass  # fall through to byte windows
                 # ceil: the trailing partial frame is real data, not waste
                 n_frames = max(-(-len(data) // frame_size), 1)
                 for i in range(0, n_frames, stride):
-                    rows.append((r[path_col], i, data[i * frame_size : (i + 1) * frame_size]))
+                    rows.append(
+                        (r[path_col], i, data[i * frame_size : (i + 1) * frame_size])
+                    )
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame_bytes"])
 
     return df.select(path_col, content_col).mapInPandas(op, AUDIO_FRAMES_SCHEMA)

@@ -114,3 +114,30 @@ def make_wav(
         w.setframerate(sample_rate)
         w.writeframes(frames)
     return buf.getvalue()
+
+
+def make_animated_gif(
+    width: int,
+    height: int,
+    frames: list[tuple[int, int, int, int, int]],
+) -> bytes:
+    """GIF89a animation with a global color table and one image
+    descriptor per frame: each entry is (left, top, w, h, delay_cs),
+    preceded by a Graphic Control Extension carrying the delay. LZW
+    payloads are structurally valid sub-blocks (a parser can walk and
+    slice them) carrying placeholder data — frame NAVIGATION is what
+    these fixtures pin, pixel decode stays codec territory."""
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", width, height)
+    out += b"\xf7\x00\x00"  # global color table flag, 256 entries
+    out += bytes(3 * 256)  # the table
+    # Netscape looping extension (real files carry it; parsers must skip)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for left, top, w, h, delay_cs in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += b"\x07"  # LZW minimum code size
+        payload = bytes((w * h) % 251 for _ in range(min(w * h, 64)))
+        out += bytes([len(payload)]) + payload + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
