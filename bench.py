@@ -89,6 +89,8 @@ HEADLINE = [
     "vocab_sketch_topk",
     "training_shuffle",
     "histogram_quantiles",
+    # round-6 addition (no BASELINE entry — first-run provenance)
+    "cms_token_counts",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

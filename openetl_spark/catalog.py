@@ -2677,6 +2677,51 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "cms_token_counts",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                            x -> lower(x)) AS w
+      FROM documents),
+    ex AS (SELECT doc_id, UNNEST(w) AS token FROM toks),
+    ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d, {C.hash_bucket_sql("'cms' || CAST(d AS VARCHAR) || ':' || token", 2048)} AS pos,
+             count(*) AS cell
+      FROM ex CROSS JOIN ds GROUP BY 1, 2),
+    probes AS (
+      SELECT token, count(*) AS n_exact
+      FROM ex GROUP BY token
+      ORDER BY n_exact DESC, token ASC LIMIT 20),
+    ppos AS (
+      SELECT p.token, p.n_exact, ds.d,
+             {C.hash_bucket_sql("'cms' || CAST(ds.d AS VARCHAR) || ':' || p.token", 2048)} AS pos
+      FROM probes p CROSS JOIN ds),
+    est AS (
+      SELECT token, n_exact, min(cell) AS cms_est
+      FROM ppos JOIN cells USING (d, pos) GROUP BY 1, 2)
+    SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= n_exact AS never_under
+    FROM est
+    """,
+)
+def q_cms_token_counts(spark, sf_dir):
+    """Curation (r06): count-min sketch frequency estimation — the
+    second mergeable-sketch family next to SpaceSaving. The sketch is
+    pure relational algebra (positions via the portable md5 bucket,
+    cells via a <= depth*width-group partial agg, estimates via
+    min-over-rows on a broadcast join), so the DuckDB oracle reproduces
+    every cell count and estimate BIT-EXACTLY — a full hash-checked
+    oracle for an approximate data structure. Probes are the exact
+    top-20 tokens; never_under pins the CMS no-undercount guarantee
+    row-by-row."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.cms_token_estimates(d, probe_k=20, depth=4, width=2048)
+
+
+@query(
     "length_band_filter",
     """
     WITH t AS (
@@ -3418,7 +3463,9 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "sql_passthrough",
     "schema_introspect",
-    "decimal_agg",
+    # added r06, no driver row yet (takes the slot of the stable
+    # decimal_agg refresh, which queues for the round-5 rotation)
+    "cms_token_counts",
 ]
 
 

@@ -709,3 +709,83 @@ def deterministic_shuffle(
         )
         .drop("_key")
     )
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch (second heavy-hitter/frequency family)
+# ---------------------------------------------------------------------
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    probe_k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Count-min sketch token frequency estimation, expressed ENTIRELY
+    in relational algebra — no Python in the sketch path, and therefore
+    bit-exactly reproducible in any engine with md5 (the DuckDB oracle
+    renders the same plan): depth×width cells are `(d, pos)` group
+    counts where pos = hash_bucket("cms{d}:" + token, width), and a
+    token's estimate is the MIN of its depth cells — the classic CMS
+    guarantee (never undercounts; overcount bounded by collisions,
+    ~N_tokens/width per row).
+
+    Scale shape: one corpus scan → explode tokens ×depth positions →
+    partial-agg groupBy over ≤ depth×width groups (a tiny, MERGEABLE
+    shuffle — the cells relation IS the sketch, and two corpora's cells
+    merge by summing). Probes (the exact top-`probe_k` tokens, giving
+    the oracle a deterministic set) join the broadcast cells relation.
+    Complements vocab_topk_sketch: SpaceSaving answers "which tokens
+    are frequent", CMS answers "how frequent is THIS token" in O(1)
+    cells without storing the vocabulary.
+
+    Returns (token, n_exact, cms_est, never_under) ordered by exact
+    count desc, token asc. never_under pins est >= exact row-by-row.
+    width must be <= 4096 (the md5-bucket state space)."""
+    if width > 4096:
+        raise ValueError("width exceeds the 4096-state md5 bucket space")
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    ex = df.select(F.explode(toks).alias("token"))
+
+    def positions(tok_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    hash_bucket(
+                        F.concat_ws(":", F.lit(f"cms{d}"), tok_col), width
+                    ).alias("pos"),
+                )
+                for d in range(depth)
+            ]
+        )
+
+    cells = (
+        ex.select(F.explode(positions(F.col("token"))).alias("dp"))
+        .select("dp.d", "dp.pos")
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cell"))
+    )
+    probes = vocab_topk(df, id_col, text_col, k=probe_k, lowercase=lowercase).select(
+        "token", F.col("n_occurrences").alias("n_exact")
+    )
+    probe_pos = probes.select(
+        "token", "n_exact", F.explode(positions(F.col("token"))).alias("dp")
+    ).select("token", "n_exact", "dp.d", "dp.pos")
+    est = (
+        probe_pos.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("never_under"),
+    ).orderBy(F.col("n_exact").desc(), F.col("token").asc())

@@ -318,3 +318,64 @@ def test_deterministic_shuffle_is_a_stable_permutation(spark):
     ord_a = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos_in_shard"]))]
     ord_c = [r["doc_id"] for r in sorted(c, key=lambda r: (r["shard"], r["pos_in_shard"]))]
     assert ord_a != ord_c
+
+
+def test_cms_never_undercounts_and_is_tight_here(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.cms_token_estimates(docs, probe_k=50, depth=4, width=2048).toPandas()
+    assert 20 <= len(out) <= 50  # capped by the corpus's distinct tokens
+    assert (out["cms_est"] >= out["n_exact"]).all()
+    # expected overcount per cell ~ N_tokens/width; with min-over-4-rows
+    # the estimate should sit well inside 3x that on this corpus
+    n_total = int(
+        docs.selectExpr(
+            "sum(size(filter(split(trim(text), '\\\\s+'), x -> x != ''))) AS n"
+        ).first()["n"]
+    )
+    assert (out["cms_est"] - out["n_exact"] <= 3 * n_total / 2048 + 1).all()
+
+
+def test_cms_cells_merge_across_corpus_splits(spark, sf_dir):
+    """The cells relation IS the sketch: building it on two disjoint
+    halves and summing cells must equal building it on the union —
+    the mergeability that lets 100 TB shards sketch independently."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
+        F.lower,
+    )
+    ex = docs.select(F.col("doc_id"), F.explode(toks).alias("token"))
+
+    def cells(frame):
+        pos = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    C.hash_bucket(
+                        F.concat_ws(":", F.lit(f"cms{d}"), F.col("token")), 256
+                    ).alias("pos"),
+                )
+                for d in range(2)
+            ]
+        )
+        return (
+            frame.select(F.explode(pos).alias("dp"))
+            .select("dp.d", "dp.pos")
+            .groupBy("d", "pos")
+            .agg(F.count("*").alias("cell"))
+        )
+
+    whole = cells(ex).toPandas().set_index(["d", "pos"])["cell"]
+    lo = cells(ex.where(F.col("doc_id") % 2 == 0)).toPandas().set_index(["d", "pos"])["cell"]
+    hi = cells(ex.where(F.col("doc_id") % 2 == 1)).toPandas().set_index(["d", "pos"])["cell"]
+    merged = lo.add(hi, fill_value=0).astype(int)
+    assert merged.sort_index().equals(whole.sort_index())
+
+
+def test_cms_width_guard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="4096"):
+        C.cms_token_estimates(None, width=8192)
