@@ -2792,8 +2792,11 @@ def q_curation_pipeline(spark, sf_dir):
     is an oracle-checked operator and the composition itself is
     oracle-checked end-to-end against a single DuckDB rendering
     (recursive closure + quality argmax + hash sampling + packing
-    window). Catalyst sees the whole DAG at once: the dedup branch and
-    the packing branch share one scan of the corpus."""
+    window). Catalyst sees the whole upstream DAG at once — the dedup
+    branch and the packing branch share one scan of the corpus; the
+    sharded packing stage materializes its slim windowed projection
+    once (lazy checkpoint) so its offsets pass doesn't re-run the
+    dedup+sampling pipeline."""
     d = load(spark, sf_dir, "documents")
     keep = _keep_best_survivors(spark, sf_dir).select("doc_id")
     kept = d.join(keep, "doc_id").select("doc_id", "lang", "text")
