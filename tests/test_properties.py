@@ -248,3 +248,38 @@ def test_paginator_exhaustive(n_items, page_size, limit):
     assert [r["id"] for r in res.rows] == list(range(expect))
     # minimal page count: ceil(expect/page)+boundary-confirm at most
     assert len(calls) <= max(1, math.ceil(expect / page_size) + 1)
+
+
+@settings(**{**SETTINGS, "max_examples": 50})
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(0, 500),   # left
+            st.integers(0, 500),   # top
+            st.integers(1, 600),   # width
+            st.integers(1, 400),   # height
+            st.integers(0, 65535), # delay_cs
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_gif_frame_walk_roundtrips_generator(frames):
+    """For any frame spec, parse_gif_frames over make_animated_gif
+    recovers exactly the generated geometry/delays, in order, with
+    byte spans that re-slice to blocks starting at the image
+    descriptor and ending at the sub-block terminator (pure Python —
+    no Spark jobs)."""
+    from openetl_spark.operators.multimodal import parse_gif_frames
+    from tests.media_fixtures import make_animated_gif
+
+    data = make_animated_gif(600, 400, frames)
+    got = parse_gif_frames(data)
+    assert [(f["left"], f["top"], f["width"], f["height"], f["delay_cs"]) for f in got] == frames
+    assert [f["frame_idx"] for f in got] == list(range(len(frames)))
+    for f in got:
+        span = data[f["byte_offset"] : f["byte_offset"] + f["n_bytes"]]
+        assert span[:1] == b"\x2c" and span[-1:] == b"\x00"
+    # truncation never raises and never yields more frames
+    for cut in (len(data) // 3, len(data) // 2, len(data) - 2):
+        assert len(parse_gif_frames(data[:cut])) <= len(frames)
