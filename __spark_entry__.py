@@ -3,8 +3,9 @@
 ``entry(spark)`` smoke-runs the flagship star-join at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for each (omitted only for hash-based ops with no
-DuckDB equivalent — those get rows-only checks + unit tests).
+DuckDB-equivalent SQL for EVERY query (since r06 none is omitted —
+approximate ops check as inequalities rendered as data, IVF against
+its persisted quantizer parquet, count-min bit-exactly).
 
 Implementations live in openetl_spark/catalog.py.
 """

@@ -458,3 +458,50 @@ def test_wire_mode_twitter_exact_params(spark):
         "tweet.fields": "id,text,created_at",
         "max_results": 100,
     }
+
+
+def test_wire_mode_xero_headers_and_where_reach_transport(spark):
+    """Xero wire mode end-to-end: the If-Modified-Since header, special
+    param filters, and the where string arrive at the transport with
+    page/pageSize windowing."""
+    seen = []
+
+    def transport(wire, page_options):
+        seen.append(wire)
+        return {"data": [{"Name": "ACME"}]}
+
+    c = Connector(
+        adapter_id="xero",
+        endpoint_id="contacts",
+        filters=[
+            Filter("includeArchived", "=", "true"),
+            Filter("Modified After", "=", "2024-01-01T00:00:00"),
+            Filter("Name", "=", "ACME"),
+        ],
+        config={"transport": transport, "wire": True},
+    )
+    df = ServiceSource(SERVICES["xero"]).read(spark, c)
+    assert df.count() == 1
+    w = seen[0]
+    assert w["headers"] == {"If-Modified-Since": "2024-01-01T00:00:00"}
+    assert w["params"]["includeArchived"] == "true"
+    assert w["params"]["where"] == "Name='ACME'"
+    assert w["params"]["page"] == 1 and w["params"]["pageSize"] > 0
+
+
+def test_wire_mode_stripe_search_query_reaches_transport(spark):
+    seen = []
+
+    def transport(wire, page_options):
+        seen.append(wire)
+        return {"data": [{"id": "cus_1", "email": "a@x.com"}]}
+
+    c = Connector(
+        adapter_id="stripe",
+        endpoint_id="customers",
+        filters=[Filter("email", "=", "a@x.com")],
+        config={"transport": transport, "wire": True},
+    )
+    ServiceSource(SERVICES["stripe"]).read(spark, c)
+    assert seen[0]["url"].endswith("/customers/search")
+    assert seen[0]["params"]["query"] == 'email:"a@x.com"'
