@@ -200,10 +200,11 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
 
 def _mean_luma(data: bytes) -> float | None:
     """Mean luminance in [0, 1]. PNGs decode for REAL with the stdlib
-    decoder above (ITU-R 601-2 integer luma, the same formula PIL's
-    convert('L') uses, so both paths agree). Other formats fall back to
-    PIL, import-guarded: with PIL absent (this container) they yield
-    NULL (STUB)."""
+    decoder above and GIF first frames with the stdlib LZW decoder
+    (ITU-R 601-2 integer luma, the same formula PIL's convert('L')
+    uses, so all paths agree). Remaining formats (JPEG — an entropy
+    decoder is codec territory) fall back to PIL, import-guarded: with
+    PIL absent (this container) they yield NULL (STUB)."""
     decoded = decode_png_pixels(data) if data[:4] == b"\x89PNG" else None
     if decoded is not None:
         width, height, channels, px = decoded
@@ -217,6 +218,19 @@ def _mean_luma(data: bytes) -> float | None:
                 (px[i] * 299 + px[i + 1] * 587 + px[i + 2] * 114) // 1000
                 for i in range(0, len(px), channels)
             )
+        return round(total / (255.0 * n), 6)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        g = decode_gif_pixels(data)
+        if g is None:
+            return None
+        width, height, px = g
+        n = width * height
+        if n == 0:
+            return None
+        total = sum(
+            (px[i] * 299 + px[i + 1] * 587 + px[i + 2] * 114) // 1000
+            for i in range(0, len(px), 3)
+        )
         return round(total / (255.0 * n), 6)
     try:
         from PIL import Image  # noqa: F401
@@ -605,3 +619,97 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame_bytes"])
 
     return df.select(path_col, content_col).mapInPandas(op, AUDIO_FRAMES_SCHEMA)
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, max_pixels: int) -> list[int] | None:
+    """REAL GIF LZW decode (spec appendix F): variable-width codes read
+    LSB-first, dictionary reset on CLEAR, the KwKwK special case, code
+    width growth to the 12-bit cap. Returns pixel indices (clamped at
+    max_pixels) or None on a malformed stream."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    acc = bits = pos = 0
+    while len(out) < max_pixels:
+        while bits < width:
+            if pos >= len(data):
+                return out if prev is not None else None
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:max_pixels]
+
+
+def decode_gif_pixels(data: bytes, frame: int = 0) -> tuple[int, int, bytearray] | None:
+    """REAL GIF pixel decode for one frame, stdlib only: block walk →
+    active color table (local over global) → LZW decompress → palette
+    lookup. Returns (width, height, RGB bytes) or None for
+    non-GIF/interlaced/malformed input (interlaced rows would need the
+    4-pass reorder; none of the curation features justify it yet)."""
+    frames = parse_gif_frames(data)
+    if frame >= len(frames):
+        return None
+    f = frames[frame]
+    # global color table from the header
+    packed = data[10]
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[13 : 13 + 3 * n]
+    span = data[f["byte_offset"] : f["byte_offset"] + f["n_bytes"]]
+    ipacked = span[9]
+    if ipacked & 0x40:  # interlaced
+        return None
+    p = 10
+    table = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        table = span[p : p + 3 * n]
+        p += 3 * n
+    if not table:
+        return None
+    mcs = span[p]
+    p += 1
+    lzw = bytearray()
+    while span[p]:
+        lzw += span[p + 1 : p + 1 + span[p]]
+        p += 1 + span[p]
+    w, h = f["width"], f["height"]
+    idx = _gif_lzw_decode(mcs, bytes(lzw), w * h)
+    if idx is None or len(idx) < w * h:
+        return None
+    out = bytearray(3 * w * h)
+    n_colors = len(table) // 3
+    for i, v in enumerate(idx):
+        if v >= n_colors:
+            return None
+        out[3 * i : 3 * i + 3] = table[3 * v : 3 * v + 3]
+    return w, h, out

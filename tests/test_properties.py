@@ -283,3 +283,26 @@ def test_gif_frame_walk_roundtrips_generator(frames):
     # truncation never raises and never yields more frames
     for cut in (len(data) // 3, len(data) // 2, len(data) - 2):
         assert len(parse_gif_frames(data[:cut])) <= len(frames)
+
+
+@settings(**{**SETTINGS, "max_examples": 60})
+@given(
+    mcs=st.sampled_from([2, 3, 4, 7, 8]),
+    runs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(1, 40)),
+        min_size=1,
+        max_size=120,
+    ),
+)
+def test_gif_lzw_encoder_decoder_roundtrip(mcs, runs):
+    """The real LZW compressor (fixtures) against the real decoder
+    (multimodal): any index stream round-trips exactly — covering
+    dictionary growth, code-width bumps (the decoder lags the encoder
+    by one entry), KwKwK, and the 12-bit reset. Pure Python."""
+    from openetl_spark.operators.multimodal import _gif_lzw_decode
+    from tests.media_fixtures import _gif_lzw_encode
+
+    alphabet = 1 << mcs
+    idx = [v % alphabet for v, n in runs for _ in range(n)]
+    enc = _gif_lzw_encode(mcs, idx)
+    assert _gif_lzw_decode(mcs, enc, len(idx)) == idx

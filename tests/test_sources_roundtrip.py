@@ -200,3 +200,18 @@ def test_sample_frames_dispatches_by_container(spark):
     assert all(len(b) == 4096 for b in by["b.wav"]["frame_bytes"])
     # unknown container: byte-window fallback
     assert list(by["c.jpg"]["frame_idx"]) == [0]
+
+
+def test_gif_pixel_decode_real_luma(spark):
+    """C30: GIF pixel decode is REAL (stdlib LZW) — mean_luma on a
+    black/white checkerboard GIF is exactly 0.5, and extract_image
+    features carries it through the mapInPandas path."""
+    from tests.media_fixtures import make_gif_with_pixels
+
+    rows = [[(x + y) % 2 for x in range(20)] for y in range(20)]
+    gif = make_gif_with_pixels([(0, 0, 0), (255, 255, 255)], rows)
+    df = spark.createDataFrame([("c.gif", bytearray(gif))], "path string, content binary")
+    feats = M.extract_image_features(df).collect()[0]
+    assert (feats["width"], feats["height"]) == (20, 20)
+    assert feats["format"] == "gif"
+    assert feats["mean_luma"] == 0.5
