@@ -716,6 +716,24 @@ def deterministic_shuffle(
 # ---------------------------------------------------------------------
 
 
+def cms_positions(tok_col: Column, depth: int = 4, width: int = 2048) -> Column:
+    """The depth (d, pos) CMS cell coordinates of one token as an
+    array<struct> — hash_bucket over a per-row seeded key, so positions
+    are engine-portable (the DuckDB oracle and the streaming
+    maintainer render the identical formula)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                hash_bucket(
+                    F.concat_ws(":", F.lit(f"cms{d}"), tok_col), width
+                ).alias("pos"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_token_estimates(
     df: DataFrame,
     probe_k: int = 20,
@@ -754,17 +772,7 @@ def cms_token_estimates(
     ex = df.select(F.explode(toks).alias("token"))
 
     def positions(tok_col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    hash_bucket(
-                        F.concat_ws(":", F.lit(f"cms{d}"), tok_col), width
-                    ).alias("pos"),
-                )
-                for d in range(depth)
-            ]
-        )
+        return cms_positions(tok_col, depth, width)
 
     cells = (
         ex.select(F.explode(positions(F.col("token"))).alias("dp"))

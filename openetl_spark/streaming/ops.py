@@ -187,3 +187,33 @@ def stream_stream_join(
         & (F.col(f"{right_ts}{right_suffix}") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+def streaming_cms_cells(
+    stream: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 2048,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Streaming count-min sketch maintenance: because the batch CMS is
+    pure relational algebra (operators/curation.cms_positions → a
+    groupBy count whose cells relation IS the sketch), the STREAMING
+    version is the same plan run as a streaming aggregation — Spark's
+    state store keeps the ≤ depth×width running cells, each micro-batch
+    folds in map-side, and the emitted table always equals the batch
+    CMS over everything ingested so far (pinned by test). Bounded
+    state by construction; no custom stateful operator needed."""
+    from openetl_spark.operators.curation import cms_positions
+    from openetl_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    return (
+        stream.select(F.explode(toks).alias("token"))
+        .select(F.explode(cms_positions(F.col("token"), depth, width)).alias("dp"))
+        .select("dp.d", "dp.pos")
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cell"))
+    )

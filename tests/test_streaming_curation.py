@@ -86,3 +86,55 @@ def test_streaming_ingest_quality_dedup(spark, tmp_path):
     texts = [t for _, t in seen]
     assert len(set(texts)) == 3
     assert {1, 3} & set(kept_ids) and {2, 6} & set(kept_ids) and 5 in kept_ids
+
+
+def test_streaming_cms_equals_batch_over_ingested_corpus(spark, tmp_path):
+    """The streaming CMS cells table after N micro-batches must equal
+    the batch CMS over the union of everything ingested — the
+    mergeable-sketch property carried by Spark's state store."""
+    import os
+
+    from openetl_spark.operators.curation import cms_positions
+    from openetl_spark.operators.text import tokens
+    from openetl_spark.streaming import ops as S
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the five boxing wizards jump quickly over the fox",
+    ]
+    # one file per micro-batch
+    for i, t in enumerate(texts):
+        (d / f"b{i}.json").write_text(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    cells = S.streaming_cms_cells(stream, depth=3, width=256)
+    S.run_to_memory_sink(cells, "cms_cells", output_mode="complete")
+    got = (
+        spark.table("cms_cells")
+        .toPandas()
+        .sort_values(["d", "pos"])
+        .reset_index(drop=True)
+    )
+
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    toks = F.transform(tokens(F.col("text")), F.lower)
+    exp = (
+        batch.select(F.explode(toks).alias("token"))
+        .select(F.explode(cms_positions(F.col("token"), 3, 256)).alias("dp"))
+        .select("dp.d", "dp.pos")
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cell"))
+        .toPandas()
+        .sort_values(["d", "pos"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
