@@ -446,3 +446,76 @@ def test_random_rollup_cube_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(out, con, sql)
     assert ok, f"seed {seed} spec {(kind, keys, col)}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_sharded_packing_matches_duckdb(spark, sf_dir, con, seed):
+    """r06 scale path randomized: for ANY (budget, group, n_shards) the
+    (group, shard)-keyed packing with per-shard bin offsets must match
+    the full DuckDB rendering of the same algorithm."""
+    from openetl_spark.operators import curation as C
+
+    rng = random.Random(3000 + seed)
+    budget = rng.choice([64, 128, 256, 384, 512, 768, 1024])
+    group = rng.choice(["lang", "source"])
+    n_shards = rng.choice([2, 4, 8, 16])
+    d = catalog.load(spark, sf_dir, "documents")
+    df = C.pack_sequences(d, budget=budget, group_col=group, n_shards=n_shards)
+    shard_expr = C.hash_bucket_sql("'pack0:' || CAST(doc_id AS VARCHAR)", n_shards)
+    sql = f"""
+    WITH t AS (
+      SELECT {group}, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+             {shard_expr} AS shard
+      FROM documents),
+    c AS (
+      SELECT {group}, shard, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY {group}, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM t),
+    l AS (
+      SELECT *, CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS local_bin FROM c),
+    off AS (
+      SELECT {group}, shard,
+             CAST(COALESCE(sum(max_bin + 1) OVER (PARTITION BY {group} ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_offset
+      FROM (SELECT {group}, shard, max(local_bin) AS max_bin FROM l GROUP BY 1, 2))
+    SELECT l.{group}, CAST(l.local_bin + o.bin_offset AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM l JOIN off o ON l.{group} = o.{group} AND l.shard = o.shard
+    GROUP BY 1, 2
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} budget {budget} group {group} shards {n_shards}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_length_band_matches_duckdb(spark, sf_dir, con, seed):
+    """r06 two-pass gate randomized: for ANY (lo, hi, stratum) the
+    histogram-derived exact rank must match DuckDB's percent_rank
+    window rendering (the two formulations are provably equal on
+    tie-atomic ranks)."""
+    from openetl_spark.operators import curation as C
+
+    rng = random.Random(4000 + seed)
+    lo = round(rng.uniform(0.0, 0.4), 2)
+    hi = round(rng.uniform(lo + 0.1, 1.0), 2)
+    strata = rng.choice(["lang", "source"])
+    d = catalog.load(spark, sf_dir, "documents")
+    df = C.length_band_filter(d, lo, hi, strata, "doc_id", "text")
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, {strata},
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, {strata}, n_tokens,
+             percent_rank() OVER (PARTITION BY {strata} ORDER BY n_tokens) AS pr
+      FROM t)
+    SELECT doc_id, {strata}, n_tokens, round(pr, 6) AS len_pctile
+    FROM r WHERE pr >= {lo} AND pr <= {hi}
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} lo {lo} hi {hi} strata {strata}: {msg}"
