@@ -89,8 +89,10 @@ HEADLINE = [
     "vocab_sketch_topk",
     "training_shuffle",
     "histogram_quantiles",
-    # round-6 addition (no BASELINE entry — first-run provenance)
+    # round-6 additions (no BASELINE entries — first-run provenance)
     "cms_token_counts",
+    "funnel_conversion",
+    "retention_cohorts",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

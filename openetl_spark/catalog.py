@@ -3337,6 +3337,131 @@ def q_training_shuffle(spark, sf_dir):
 
 
 @query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE) /
+                 (SELECT count(*) FROM v), 4) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
+                 (SELECT count(*) FROM c), 4) AS click_to_purchase
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Event-analytics breadth: ordered funnel view → click → purchase.
+    Each stage is a user-keyed aggregate joined to the next stage's
+    events with a time-ordering predicate (the click must FOLLOW the
+    user's first view, the purchase that click) — the standard
+    decorrelated funnel, three user-keyed shuffles, no window over the
+    event stream. At 100 TB each stage's per-user relation is a
+    fraction of the previous, so the joins shrink monotonically."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 4).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchase").cast("double") / F.col("n_click"), 4
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                  CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Event-analytics breadth: weekly retention cohorts — users
+    grouped by first-seen week, counted as active per later week
+    offset (the triangle every growth dashboard draws). One user-keyed
+    aggregate for cohort assignment, one join back (user-keyed), one
+    distinct + count per (cohort, offset). Week truncation is ISO
+    Monday in both engines."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    # string cohort key: a DATE cell round-trips differently through
+    # pandas in the two engines (datetime64 vs date) — the same class
+    # of canonicalization hazard as array cells
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+    )
+
+
+@query(
     "histogram_quantiles",
     """
     WITH b AS (
@@ -3464,11 +3589,12 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "doc_fingerprint",
     "quality_score",
-    "sql_passthrough",
-    "schema_introspect",
-    # added r06, no driver row yet (takes the slot of the stable
-    # decimal_agg refresh, which queues for the round-5 rotation)
+    # added r06, no driver row yet (take the slots of the stable
+    # decimal_agg / sql_passthrough / schema_introspect refreshes,
+    # which queue for the round-5 rotation)
     "cms_token_counts",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 
