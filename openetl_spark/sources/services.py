@@ -399,6 +399,42 @@ def wire_request(
                     "get-message endpoint requires config['id'] (message id)"
                 )
             url = f"{url}/{msg_id}"
+    elif sid == "github":
+        # adapters/github/src/index.ts:118-139: flat value params,
+        # per_page capped at 100, 1-based page from the row offset
+        for f in req["filters"]:
+            params[f["field"]] = str(f["value"])
+        if limit:
+            capped = min(int(limit), 100)
+            params["per_page"] = str(capped)
+            params["page"] = str(int(offset or 0) // capped + 1)
+    elif sid == "chartmogul":
+        # adapters/chartmogul/src/index.ts:193-207: equality params only
+        for f in req["filters"]:
+            if f["op"] == "=":
+                params[f["field"]] = f["value"]
+        if limit:
+            params["per_page"] = limit
+    elif sid == "s3":
+        # adapters/s3/src/index.ts:127-140: ListObjectsV2 arguments —
+        # Prefix from the '=' prefix filter (strings only), MaxKeys,
+        # ContinuationToken cursor
+        prefix = next(
+            (
+                f["value"]
+                for f in req["filters"]
+                if f["field"] == "prefix" and f["op"] == "="
+            ),
+            None,
+        )
+        if prefix is not None:
+            if not isinstance(prefix, str):
+                raise ValueError('The "prefix" filter, if defined, must be a string')
+            params["Prefix"] = prefix
+        if limit:
+            params["MaxKeys"] = limit
+        if offset:
+            params["ContinuationToken"] = str(offset)
     elif sid == "twitter":
         # adapters/twitter/src/index.ts:110-152: whitelisted filter
         # fields as flat params (build_request already applied the

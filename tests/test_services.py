@@ -505,3 +505,55 @@ def test_wire_mode_stripe_search_query_reaches_transport(spark):
     ServiceSource(SERVICES["stripe"]).read(spark, c)
     assert seen[0]["url"].endswith("/customers/search")
     assert seen[0]["params"]["query"] == 'email:"a@x.com"'
+
+
+def test_wire_mode_github_chartmogul_s3_params():
+    """The remaining param dialects render natively too — every one of
+    the 10 services now has a wire renderer."""
+    from openetl_spark.sources.services import wire_request
+
+    g = wire_request(
+        Connector(
+            adapter_id="github", endpoint_id="user_repos",
+            filters=[Filter("type", "=", "owner")],
+            config={"username": "u"},
+        ),
+        SERVICES["github"],
+        {"limit": 250, "offset": 200},
+    )
+    # per_page caps at 100; page is 1-based over the capped size
+    assert g["params"] == {"type": "owner", "per_page": "100", "page": "3"}
+
+    c = wire_request(
+        Connector(
+            adapter_id="chartmogul", endpoint_id="customers",
+            filters=[Filter("status", "=", "Active"), Filter("mrr", ">", 5)],
+        ),
+        SERVICES["chartmogul"],
+        {"limit": 50},
+    )
+    assert c["params"] == {"status": "Active", "per_page": 50}
+
+    s = wire_request(
+        Connector(
+            adapter_id="s3", endpoint_id="list-objects",
+            filters=[Filter("prefix", "=", "data/2024/")],
+            config={"bucket": "b"},
+        ),
+        SERVICES["s3"],
+        {"limit": 1000, "offset": "tok"},
+    )
+    assert s["params"]["Prefix"] == "data/2024/"
+    assert s["params"]["MaxKeys"] == 1000
+    assert s["params"]["ContinuationToken"] == "tok"
+
+    with pytest.raises(ValueError, match="must be a string"):
+        wire_request(
+            Connector(
+                adapter_id="s3", endpoint_id="list-objects",
+                filters=[Filter("prefix", "=", 7)],
+                config={"bucket": "b"},
+            ),
+            SERVICES["s3"],
+            {"limit": 10},
+        )
