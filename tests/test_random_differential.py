@@ -519,3 +519,49 @@ def test_random_length_band_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(df, con, sql)
     assert ok, f"seed {seed} lo {lo} hi {hi} strata {strata}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_cms_matches_duckdb(spark, sf_dir, con, seed):
+    """r06 CMS randomized: ANY (depth, width, probe_k) must reproduce
+    bit-exactly in DuckDB — cells and min-estimates are pure relational
+    algebra over the portable md5 bucket."""
+    from openetl_spark.operators import curation as C
+
+    rng = random.Random(5000 + seed)
+    depth = rng.choice([2, 3, 4, 6])
+    width = rng.choice([64, 256, 1024, 2048, 4096])
+    probe_k = rng.choice([5, 10, 20])
+    d = catalog.load(spark, sf_dir, "documents")
+    df = C.cms_token_estimates(d, probe_k=probe_k, depth=depth, width=width)
+    ds = ", ".join(str(i) for i in range(depth))
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                            x -> lower(x)) AS w
+      FROM documents),
+    ex AS (SELECT doc_id, UNNEST(w) AS token FROM toks),
+    ds AS (SELECT UNNEST([{ds}]) AS d),
+    cells AS (
+      SELECT d, {C.hash_bucket_sql("'cms' || CAST(d AS VARCHAR) || ':' || token", width)} AS pos,
+             count(*) AS cell
+      FROM ex CROSS JOIN ds GROUP BY 1, 2),
+    probes AS (
+      SELECT token, count(*) AS n_exact
+      FROM ex GROUP BY token
+      ORDER BY n_exact DESC, token ASC LIMIT {probe_k}),
+    ppos AS (
+      SELECT p.token, p.n_exact, ds.d,
+             {C.hash_bucket_sql("'cms' || CAST(ds.d AS VARCHAR) || ':' || p.token", width)} AS pos
+      FROM probes p CROSS JOIN ds),
+    est AS (
+      SELECT token, n_exact, min(cell) AS cms_est
+      FROM ppos JOIN cells USING (d, pos) GROUP BY 1, 2)
+    SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= n_exact AS never_under
+    FROM est
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} depth {depth} width {width} k {probe_k}: {msg}"

@@ -311,3 +311,38 @@ def test_no_catalog_plan_degenerates_to_cartesian_or_nested_loop(spark):
         ):
             violations.append((name, "non-scalar BroadcastNestedLoopJoin"))
     assert not violations, violations
+
+
+def test_event_analytics_plans_push_type_filters(spark, sf_dir):
+    """funnel_conversion / retention_cohorts plan evidence: the
+    event_type stage filters reach the parquet scan, and every join is
+    a hash join on user_id (the benign scalar-broadcast cross for the
+    funnel's three one-row counts is IdentityBroadcastMode, allowed by
+    the global no-cartesian invariant)."""
+    import re
+
+    def plan_and_pushed(df):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pushed = {
+            m.group(1).rsplit("/", 1)[-1]: m.group(2)
+            for m in re.finditer(
+                r"Location: InMemoryFileIndex \[file:([^\]]+)\].*?"
+                r"PushedFilters: (\[[^\]]*\])",
+                plan,
+                re.S,
+            )
+        }
+        return plan, pushed
+
+    plan, pushed = plan_and_pushed(catalog.QUERIES["funnel_conversion"](spark, sf_dir))
+    ev = " ".join(v for k, v in pushed.items() if "events" in k)
+    assert "event_type" in ev, pushed
+    assert "CartesianProduct" not in plan
+
+    plan_r, _ = plan_and_pushed(catalog.QUERIES["retention_cohorts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan_r
+    assert "HashAggregate" in plan_r
