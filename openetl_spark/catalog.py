@@ -29,6 +29,7 @@ from openetl_spark.operators import dedup as D
 from openetl_spark.operators import joins as J
 from openetl_spark.operators import similarity as S
 from openetl_spark.operators import text as X
+from openetl_spark.operators import timeseries as TS
 from openetl_spark.plans.compiler import compile_connector
 from openetl_spark.spec import Connector, Filter, FilterGroup, Sort, Transformation
 
@@ -3515,6 +3516,215 @@ def q_histogram_quantiles(spark, sf_dir):
     return cum.agg(est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est"))
 
 
+@query(
+    "multires_rollup",
+    """
+    WITH lvl AS (
+      SELECT '15m' AS resolution, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT '1h', date_trunc('hour', ts), event_type, value FROM events
+      UNION ALL
+      SELECT '1d', date_trunc('day', ts), event_type, value FROM events)
+    SELECT resolution, bucket_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           floor(round(sum(value), 2) * 10000.0 / count(*)) / 10000.0 AS avg_value
+    FROM lvl GROUP BY 1, 2, 3
+    """,
+)
+def q_multires_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (TimescaleDB/Druid rollup
+    pattern; no counterpart in the reference, which has no time-series
+    surface at all): 15-minute mergeable partial cells from ONE raw
+    scan, hourly and daily levels RE-AGGREGATED from those cells —
+    counts/sums re-add, min/max re-min/max, avg derived at read time
+    (it is not mergeable, so it is never stored). At 100 TB each coarse
+    resolution costs a pass over the next-finer CELL relation (a few
+    thousand rows per key-day), not the raw corpus; the cells are
+    exactly what a Structured Streaming aggregation would maintain
+    incrementally. The oracle computes every level DIRECTLY from raw
+    events in DuckDB, so this query proves re-aggregation ≡ re-scan,
+    not merely that both engines ran the same two-step plan. See
+    operators/timeseries.py."""
+    e = load(spark, sf_dir, "events")
+    return TS.multi_resolution(e, keys=("event_type",))
+
+
+@query(
+    "bm25_topk",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (
+      SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'spark')) > 0) AS df0,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'vector')) > 0) AS df1,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'dup')) > 0) AS df2
+      FROM tk),
+    pc AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2
+      FROM tk),
+    scored AS (
+      SELECT doc_id,
+             round(
+               ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+      FROM pc, st)
+    SELECT doc_id, bm25 FROM scored
+    WHERE bm25 > 0.0
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 relevance top-k over documents (k1=1.2, b=0.75, Lucene idf)
+    — the query-targeted corpus-mining scorer. Corpus stats (N, avgdl,
+    per-term df) come from one aggregate pass producing a 1-row
+    broadcast relation; term frequencies are scan-side array
+    expressions; the only shuffle is the final TakeOrdered top-k. The
+    oracle recomputes the identical formula (same literal folding, same
+    association order) in DuckDB. See operators/text.py::bm25_topk."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.bm25_topk(d, ["spark", "vector", "dup"], k=25)
+
+
+PQ_ORACLE_CODEBOOKS = "/root/repo/spark-warehouse/pq_cache/codebooks_oracle.parquet"
+
+
+def _upsert_oracle_codebooks(books, corpus_sig: int, n_codes: int, seed: int) -> None:
+    """Idempotently merge one trained PQ codebook set into the
+    consolidated oracle parquet (columns: corpus_sig, m, n_codes, seed,
+    subspace, code, centroid double[]) — same contract as the IVF
+    centroid parquet."""
+    import os
+
+    import pandas as pd
+
+    m = len(books)
+    rows = pd.DataFrame(
+        [
+            {
+                "corpus_sig": int(corpus_sig),
+                "m": int(m),
+                "n_codes": int(n_codes),
+                "seed": int(seed),
+                "subspace": j,
+                "code": c,
+                "centroid": [float(x) for x in books[j][c]],
+            }
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+    )
+    path = PQ_ORACLE_CODEBOOKS
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        same = (
+            (old["corpus_sig"] == corpus_sig)
+            & (old["m"] == m)
+            & (old["n_codes"] == n_codes)
+            & (old["seed"] == seed)
+        )
+        if same.sum() == m * n_codes:
+            return
+        rows = pd.concat([old[~same], rows], ignore_index=True)
+    rows.to_parquet(path, index=False)
+
+
+def _pq_codebooks(spark, sf_dir: str, m: int = 4, n_codes: int = 16, seed: int = 42):
+    """Get-or-train the persisted PQ codebooks for one testdata corpus
+    (train once offline, reuse in every query — the IVF posture), and
+    maintain the oracle-readable consolidated parquet keyed by the same
+    corpus content signature the IVF cache uses."""
+    import json
+    import os
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_m{m}_c{n_codes}_s{seed}"
+    root = os.path.join(repo, "spark-warehouse", "pq_cache", key)
+    books_path = os.path.join(root, "codebooks.npy")
+    meta_path = os.path.join(root, "meta.json")
+    if not os.path.exists(books_path):
+        e = load(spark, sf_dir, "embeddings", spread=True)
+        books = S.train_pq_codebooks(e, m=m, n_codes=n_codes, seed=seed)
+        os.makedirs(root, exist_ok=True)
+        np.save(books_path, books)
+        json.dump({"corpus_sig": _corpus_sig(spark, sf_dir)}, open(meta_path, "w"))
+    books = np.load(books_path)
+    meta = json.load(open(meta_path))
+    _upsert_oracle_codebooks(books, meta["corpus_sig"], n_codes, seed)
+    return books
+
+
+@query(
+    "pq_knn",
+    f"""
+    WITH cb AS (
+      SELECT subspace, code, centroid
+      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND m = 4 AND n_codes = 16 AND seed = 42),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT e.vec_id, s.subspace,
+             (SELECT c.code FROM cb c WHERE c.subspace = s.subspace
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(
+                           CAST(e.embedding AS DOUBLE[])[s.subspace*16+1 : s.subspace*16+16],
+                           c.centroid) ASC,
+                       c.code ASC
+              LIMIT 1) AS code
+      FROM embeddings e, (SELECT DISTINCT subspace FROM cb) s
+      WHERE e.vec_id <> 0),
+    tab AS (
+      SELECT c.subspace, c.code,
+             list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+             - 2 * list_dot_product(q.qv[c.subspace*16+1 : c.subspace*16+16], c.centroid)
+             + list_aggregate(
+                 list_transform(q.qv[c.subspace*16+1 : c.subspace*16+16], x -> x*x),
+                 'sum') AS d
+      FROM cb c, q)
+    SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist
+    FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
+    GROUP BY e.vec_id
+    ORDER BY adc_dist ASC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_pq_knn(spark, sf_dir):
+    """C28 scale path #3: product-quantization ADC top-k (Jégou et al.
+    2011). The corpus is encoded as m=4 one-byte codes per vector (the
+    production layout persists the codes; here they are derived
+    scan-side to stay self-contained); the query's per-subspace
+    distance table is a broadcast 1-row relation; approximate distance
+    is a pure JVM array-lookup fold — the hot scan never touches float
+    vectors. Complements IVF (which prunes WHICH rows are scanned) by
+    compressing WHAT each row costs; at 100 TB the two compose
+    (IVF-partitioned directories of PQ codes). The trained codebooks
+    are data, persisted to a consolidated parquet the DuckDB oracle
+    reads to re-derive encoding (same argmin formula and tiebreak),
+    distance tables, and the summed top-k — full hash-checked oracle
+    for an approximate index, like ivf_knn. Recall vs brute force is
+    additionally pinned in tests."""
+    books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
+    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return S.pq_adc_knn(corpus, qdf, books, k=10)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -3576,9 +3786,6 @@ DRIVER_PRIORITY: list[str] = [
     "window_rank",
     "window_frame",
     "topk_orders",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
     "array_funcs",
     "json_funcs",
     "tumbling_hourly",
@@ -3595,6 +3802,12 @@ DRIVER_PRIORITY: list[str] = [
     "cms_token_counts",
     "funnel_conversion",
     "retention_cohorts",
+    # added r07, no driver row yet (take the slots of the stable
+    # string_funcs / date_funcs / math_funcs refreshes, which queue
+    # for the round-5 rotation)
+    "multires_rollup",
+    "bm25_topk",
+    "pq_knn",
 ]
 
 

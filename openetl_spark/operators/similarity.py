@@ -485,3 +485,131 @@ def ivf_knn(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the vector into ``m`` contiguous subspaces and run one seeded
+    KMeans per subspace over the corpus slice. Returns a plain numpy
+    array ``(m, n_codes, dim/m)`` — kilobytes, persisted like the IVF
+    quantizer (train once offline, fold into query closures)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+        train = df.select(array_to_vector(sl).alias("features"))
+        km = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter, featuresCol="features")
+        model = km.fit(train)
+        books.append(np.array([np.asarray(c) for c in model.clusterCenters()]))
+    return np.stack(books)
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes (nearest codebook
+    entry per subspace) — a 64-float embedding becomes 4 ints, a 64×
+    compression of the scan payload. One numpy matmul per subspace per
+    Arrow batch; assignment formula ``argmin(||c||² − 2·v_j·c)`` with
+    lowest-code tiebreak, identical to the DuckDB oracle's rendering
+    (matches the IVF assignment convention)."""
+    books = np.asarray(codebooks, dtype=np.float64)  # m × n_codes × sub
+    m, _, sub = books.shape
+    book_sq = (books ** 2).sum(axis=2)  # m × n_codes
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        vm = np.asarray(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((len(vm), m), dtype=np.int32)
+        for j in range(m):
+            vj = vm[:, j * sub : (j + 1) * sub]
+            d = book_sq[j][None, :] - 2.0 * (vj @ books[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out, encode(F.col(vec_col)))
+
+
+def pq_query_table(
+    query_df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "_qtab",
+) -> DataFrame:
+    """Per-query ADC distance table: ``tab[j][c] = ||q_j − c||²``
+    (expanded as ``||c||² − 2·q_j·c + ||q_j||²`` so the oracle can
+    reproduce it term-by-term). One row, m×n_codes doubles — broadcast
+    into the scoring scan."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    book_sq = (books ** 2).sum(axis=2)
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def table(vecs: pd.Series) -> pd.Series:
+        rows = []
+        for v in vecs.tolist():
+            q = np.asarray(v, dtype=np.float64)
+            tab = np.empty((m, n_codes))
+            for j in range(m):
+                qj = q[j * sub : (j + 1) * sub]
+                tab[j] = book_sq[j] - 2.0 * (books[j] @ qj) + (qj ** 2).sum()
+            rows.append(tab.tolist())
+        return pd.Series(rows)
+
+    return query_df.limit(1).select(table(F.col(vec_col)).alias(out))
+
+
+def pq_adc_knn(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    query_vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    query's per-subspace distance table rides a broadcast 1-row cross
+    join; each corpus row's approximate distance is ``Σ_j tab[j][code_j]``
+    — a pure JVM array-lookup fold over the m-byte codes, no vector
+    math in the scan. At 100 TB this is the payoff: the hot scan reads
+    m ints per row instead of the full float vector (the embeddings
+    stay in cold storage for optional exact re-ranking of the
+    shortlist), and the only shuffle is the final top-k heap merge.
+    Ordering is total (rounded distance asc, id asc) for
+    engine-reproducible membership."""
+    qtab = F.broadcast(pq_query_table(query_df, codebooks, query_vec_col))
+    adc = F.aggregate(
+        F.transform(
+            F.col(code_col),
+            lambda c, j: F.element_at(F.element_at(F.col("_qtab"), j + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(qtab)
+        .select(F.col(id_col), F.round(adc, round_dp).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -182,3 +182,83 @@ def bigram_repetition_stats(
         F.round(F.count("*") / F.sum("c"), round_dp).alias("distinct_ratio"),
         F.round(F.max("c") / F.sum("c"), round_dp).alias("top_frac"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """BM25 full-text relevance ranking (Robertson/Spärck Jones;
+    Lucene's idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the
+    standard query-relevance scorer a curation pipeline uses to mine
+    topic-targeted training data from a web corpus.
+
+    Shape, built for the 100 TB posture:
+
+    * corpus statistics (doc count, avg doc length, per-term document
+      frequency) come from ONE aggregate pass producing a single row —
+      conditional counts per query term, no explode, no per-term scan.
+      The 1-row relation rides a broadcast cross join into the scoring
+      scan (same pattern as the KNN query-vector broadcast). In
+      production these statistics are computed once per corpus snapshot
+      and persisted, making scoring a single scan.
+    * per-document term frequencies are scan-side array expressions
+      (``size(filter(tokens, = term))``) — m cheap re-walks of a
+      just-split token array per row, linear in document length, no
+      shuffle. The only shuffle in the whole plan is the final
+      TakeOrderedAndProject top-k (per-partition heaps → driver merge
+      of k·partitions rows).
+    * docs matching no query term score 0 and are filtered before the
+      top-k, so the ordering heap only sees matching docs.
+
+    Ordering is total (rounded score desc, id asc), so the top-k
+    membership is engine-reproducible — the catalog oracle recomputes
+    the identical formula in DuckDB."""
+    toks = F.split(F.col(text_col), " ")
+    dl = F.size(toks)
+
+    # NOTE: the lambda must be unary — PySpark passes the element INDEX
+    # as a second argument to binary HOF lambdas, so the idiomatic
+    # `lambda x, t=t:` closure trick silently binds t to the index.
+    def _count_of(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf = {t: _count_of(t) for t in terms}
+
+    stats = df.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg(dl).alias("_avgdl"),
+        *[
+            F.count(F.when(tf[t] > 0, True)).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    scored = df.crossJoin(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(terms):
+        idf = F.log(
+            1.0
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+        )
+        tfc = tf[t].cast("double")
+        term_score = idf * (
+            tfc * (k1 + 1.0)
+            / (tfc + k1 * (1.0 - b + b * dl.cast("double") / F.col("_avgdl")))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select(
+            F.col(id_col), F.round(score, round_dp).alias("bm25")
+        )
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

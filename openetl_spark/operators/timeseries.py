@@ -1,0 +1,144 @@
+"""Hypertable-style continuous aggregates (time-series rollups).
+
+The reference has no time-series surface at all (no date arithmetic
+exists anywhere under `/root/reference/src`); this module is part of
+the Spark-native extension surface (SURVEY.md §2C, event analytics).
+It implements the *mergeable rollup* pattern popularized by
+TimescaleDB's continuous aggregates and Druid/Pinot rollup ingestion:
+
+1. ``partial_time_aggregate`` — one scan of the raw event stream
+   produces fine-grained PARTIAL cells ``(bucket, keys…, count, sum,
+   min, max)``. Every cell is a mergeable summary: count/sum re-add,
+   min/max re-min/max. This is the relation a production deployment
+   persists (and maintains incrementally with Structured Streaming —
+   the cells are exactly a streaming-aggregation state snapshot).
+2. ``reaggregate`` — coarser resolutions (hour, day, …) are derived by
+   re-aggregating the partial cells, never by re-scanning raw data.
+   At 100 TB of events the hourly/daily levels read a few thousand
+   partial rows per key instead of the raw corpus: the scan cost of
+   every additional resolution is proportional to the CELL count of
+   the next-finer level, not the event count.
+3. ``multi_resolution`` — the union of all levels tagged with a
+   resolution label, one lazy plan, the fine scan shared by every
+   level (Spark executes the raw scan once per union branch unless
+   cached; the PLAN reuse is the point — production persists step 1).
+
+Average is intentionally NOT a partial cell: avg is not mergeable, so
+it is derived (``sum/count``) at read time at every resolution — the
+classic mergeable-summary discipline (same reason the histogram /
+CMS / SpaceSaving operators in this repo carry mergeable state).
+
+Correctness contract: the catalog's ``multires_rollup`` oracle computes
+every resolution DIRECTLY from the raw table in DuckDB, so the test
+proves re-aggregation ≡ re-scan (not merely that both engines ran the
+same two-step plan).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["partial_time_aggregate", "reaggregate", "multi_resolution"]
+
+#: partial-cell column names (the mergeable state vector)
+_CELLS = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def partial_time_aggregate(
+    df: DataFrame,
+    width: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = (),
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """One raw scan → fine-grained mergeable partial cells.
+
+    ``width`` is a Spark window width (e.g. ``'15 minutes'``). Buckets
+    are epoch-aligned tumbling windows (``F.window``), matching
+    DuckDB's ``time_bucket``. Spark plans this as a partial+final hash
+    aggregate — map-side combine collapses each input split to at most
+    one row per (bucket, keys) before the shuffle."""
+    w = F.window(ts_col, width)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(F.col("_w.start").alias(bucket_col), *keys, *_CELLS)
+    )
+
+
+def reaggregate(
+    partials: DataFrame,
+    trunc: str,
+    keys: tuple[str, ...] = (),
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Derive a coarser resolution from partial cells ONLY (no raw
+    scan): counts and sums re-add, min/max re-min/max. ``trunc`` is a
+    ``date_trunc`` unit (``'hour'``, ``'day'``, …) — valid whenever the
+    fine bucket width divides the coarse one and both are epoch-aligned
+    (15 min → hour → day all qualify)."""
+    return (
+        partials.groupBy(
+            F.date_trunc(trunc, F.col(bucket_col)).alias(bucket_col), *keys
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def multi_resolution(
+    df: DataFrame,
+    levels: tuple[tuple[str, str | None], ...] = (
+        ("15m", None),
+        ("1h", "hour"),
+        ("1d", "day"),
+    ),
+    fine_width: str = "15 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """The full continuous-aggregate ladder as one DataFrame: the fine
+    level from one raw scan, every coarser level re-aggregated from the
+    fine cells, unioned with a ``resolution`` tag. ``levels`` is
+    ``(label, date_trunc_unit)`` with ``None`` marking the fine level.
+    Derived (non-mergeable) metrics are added uniformly at the end."""
+    fine = partial_time_aggregate(df, fine_width, ts_col, value_col, keys)
+    parts = []
+    for label, unit in levels:
+        lvl = fine if unit is None else reaggregate(fine, unit, keys)
+        parts.append(lvl.select(F.lit(label).alias("resolution"), "*"))
+    out = reduce(DataFrame.unionByName, parts)
+    # avg is derived from the ROUNDED sum via floor-based fixed-point
+    # (4 implied decimals): re-aggregated and re-scanned sums agree
+    # only to fp noise, so the quotient must start from identical
+    # inputs — and `round()` itself is engine-divergent at exact .5
+    # decimal boundaries (Spark HALF_UPs the shortest decimal rendering
+    # of the double, DuckDB rounds the binary value; 307.03/8 =
+    # 38.37875 flips the 4th decimal). floor of the same IEEE double is
+    # bit-deterministic everywhere.
+    sum_r = F.round("sum_value", 2)
+    avg4 = F.floor(sum_r * 10000.0 / F.col("n_events")) / 10000.0
+    return out.select(
+        "resolution",
+        "bucket_start",
+        *keys,
+        "n_events",
+        sum_r.alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        avg4.alias("avg_value"),
+    )

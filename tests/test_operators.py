@@ -549,3 +549,118 @@ def test_pandas_normalize_vectorized_equals_grouped_map(spark, sf_dir):
     )
     ref = {r["event_id"]: r["znorm"] for r in ref_df.collect()}
     assert fast == ref
+
+
+# ------------------------------------------------------------------ PQ
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    e = catalog.load(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(e, m=4, n_codes=16, seed=42)
+    assert books.shape == (4, 16, 16)
+    rows = S.with_pq_codes(e, books).select("pq_codes").take(50)
+    for r in rows:
+        assert len(r["pq_codes"]) == 4
+        assert all(0 <= c < 16 for c in r["pq_codes"])
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """ADC recall on clustered vectors (same setup as the LSH test —
+    the near-uniform testdata embeddings have no neighbor structure to
+    recover): the query's own tight cluster must dominate the PQ
+    top-k despite the 4-byte compression."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 64) * 3
+    vecs = []
+    for i in range(250):
+        c = centers[i % 5]
+        vecs.append((i, [float(x) for x in c + rng.randn(64) * 0.3]))
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = S.train_pq_codebooks(e, m=4, n_codes=16, seed=1)
+    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
+    qdf = e.filter(F.col("vec_id") == 0)
+    got = S.pq_adc_knn(corpus, qdf, books, k=10).collect()
+    assert len(got) == 10
+    # cluster of vec 0 is i % 5 == 0 — the ADC shortlist must be
+    # dominated by same-cluster members
+    same = sum(1 for r in got if r["vec_id"] % 5 == 0)
+    assert same >= 8, [r["vec_id"] for r in got]
+    # distances are non-negative and non-decreasing
+    ds = [r["adc_dist"] for r in got]
+    assert ds == sorted(ds) and ds[0] >= 0.0
+
+
+# ----------------------------------------------------------- timeseries
+
+def test_reaggregate_equals_rescan(spark, sf_dir):
+    """The continuous-aggregate contract: hour/day levels derived from
+    15-min partial cells equal a direct aggregation of the raw events
+    at that resolution (counts/min/max exactly, sums to fp noise)."""
+    from openetl_spark.operators import timeseries as TS
+
+    e = catalog.load(spark, sf_dir, "events")
+    fine = TS.partial_time_aggregate(e, "15 minutes", keys=("event_type",))
+    for unit, width in (("hour", "1 hour"), ("day", "1 day")):
+        derived = {
+            (r["bucket_start"], r["event_type"]): r
+            for r in TS.reaggregate(fine, unit, keys=("event_type",)).collect()
+        }
+        direct = {
+            (r["bucket_start"], r["event_type"]): r
+            for r in TS.partial_time_aggregate(
+                e, width, keys=("event_type",)
+            ).collect()
+        }
+        assert derived.keys() == direct.keys()
+        for k, d in derived.items():
+            g = direct[k]
+            assert d["n_events"] == g["n_events"]
+            assert d["min_value"] == g["min_value"]
+            assert d["max_value"] == g["max_value"]
+            assert abs(d["sum_value"] - g["sum_value"]) < 1e-6
+
+
+def test_multi_resolution_labels_and_consistency(spark, sf_dir):
+    from openetl_spark.operators import timeseries as TS
+
+    e = catalog.load(spark, sf_dir, "events")
+    out = TS.multi_resolution(e, keys=("event_type",)).collect()
+    by_res = {}
+    for r in out:
+        by_res.setdefault(r["resolution"], []).append(r)
+    assert set(by_res) == {"15m", "1h", "1d"}
+    # every level carries the same event total
+    totals = {res: sum(r["n_events"] for r in rows) for res, rows in by_res.items()}
+    assert len(set(totals.values())) == 1, totals
+    # resolutions strictly coarsen
+    assert len(by_res["15m"]) >= len(by_res["1h"]) >= len(by_res["1d"])
+
+
+# ----------------------------------------------------------------- BM25
+
+def test_bm25_rare_term_dominates_and_zero_scores_drop(spark):
+    rows = [(i, "common common common filler filler") for i in range(60)]
+    rows.append((100, "common rare filler"))
+    rows.append((200, "nothing matches here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = X.bm25_topk(docs, ["common", "rare"], k=100).collect()
+    # the sole rare-term doc outranks every common-only doc
+    assert got[0]["doc_id"] == 100
+    # doc 200 matches no term → filtered, not scored 0
+    assert all(r["doc_id"] != 200 for r in got)
+    assert all(r["bm25"] > 0 for r in got)
+
+
+def test_bm25_length_normalization(spark):
+    """With equal tf, BM25 (b>0) must prefer the shorter document."""
+    rows = [
+        (1, "term " + "pad " * 5),
+        (2, "term " + "pad " * 50),
+        *[(10 + i, "pad filler other") for i in range(20)],
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bm25"] for r in X.bm25_topk(docs, ["term"], k=10).collect()}
+    assert got[1] > got[2]
