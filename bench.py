@@ -102,6 +102,10 @@ HEADLINE = [
     "q12_shipping_delay",
     "q16_supplier_cnt",
     "q19_discounted_revenue",
+    # round-7 additions (no BASELINE entries — first-run provenance)
+    "multires_rollup",
+    "bm25_topk",
+    "pq_knn",
 ]
 
 
@@ -133,6 +137,9 @@ def main() -> None:
     # partitioned corpus, cached under spark-warehouse/); build it
     # outside the timed region so ivf_knn measures the query path.
     catalog._ivf_layout(spark, SF_DIR)
+    # PQ codebook training is the same offline posture (train-once,
+    # persist, reuse); pq_knn measures encode+ADC, not training.
+    catalog._pq_codebooks(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -217,3 +217,38 @@ def streaming_cms_cells(
         .groupBy("d", "pos")
         .agg(F.count("*").alias("cell"))
     )
+
+
+def streaming_rollup_cells(
+    stream: DataFrame,
+    width: str = "15 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the continuous-aggregate partial cells
+    (operators/timeseries.py): the same mergeable state vector —
+    (bucket, keys…, count, sum, min, max) — run as a streaming
+    aggregation, so Spark's state store keeps one running cell per
+    (bucket, keys) and each micro-batch folds in map-side. In complete
+    mode the emitted table always equals the batch
+    ``partial_time_aggregate`` over everything ingested so far (pinned
+    by test); with a ``watermark``, append mode emits each cell once
+    its bucket closes — the production hypertable writer. Coarser
+    resolutions never touch the stream: derive them from this table
+    with ``timeseries.reaggregate`` (tested equal to a batch re-scan).
+    avg is intentionally absent — it is not mergeable and is derived
+    at read time."""
+    src = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return (
+        src.groupBy(F.window(ts_col, width).alias("_w"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(F.col("_w.start").alias("bucket_start"), *keys,
+                "n_events", "sum_value", "min_value", "max_value")
+    )

@@ -209,3 +209,47 @@ def test_stream_stream_join(spark, stream_dir):
     # tail) but must never invent pairs
     assert got <= exp
     assert len(got) >= len(exp) * 0.7
+
+
+def test_streaming_rollup_cells_match_batch_and_reaggregate(spark, sf_dir, stream_dir):
+    """The streamed continuous-aggregate cells equal the batch partial
+    aggregation over everything ingested, and a coarse level derived
+    from the STREAMED cells equals a direct batch re-scan — the full
+    hypertable loop (stream-maintain fine cells, re-aggregate coarse)."""
+    from openetl_spark.operators import timeseries as TS
+
+    stream = ops.read_event_stream(spark, stream_dir)
+    cells = ops.streaming_rollup_cells(stream, keys=("event_type",))
+    ops.run_to_memory_sink(cells, "t_rollup_cells", "complete")
+    got_df = spark.table("t_rollup_cells")
+    got = {
+        (r["bucket_start"], r["event_type"]): (
+            r["n_events"], round(r["sum_value"], 6), r["min_value"], r["max_value"]
+        )
+        for r in got_df.collect()
+    }
+    batch = catalog.load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    exp = {
+        (r["bucket_start"], r["event_type"]): (
+            r["n_events"], round(r["sum_value"], 6), r["min_value"], r["max_value"]
+        )
+        for r in TS.partial_time_aggregate(
+            batch, "15 minutes", keys=("event_type",)
+        ).collect()
+    }
+    assert got == exp
+
+    # coarse level from the STREAMED cells == direct batch re-scan
+    derived = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in TS.reaggregate(got_df, "hour", keys=("event_type",)).collect()
+    }
+    direct = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in TS.partial_time_aggregate(
+            batch, "1 hour", keys=("event_type",)
+        ).collect()
+    }
+    assert derived == direct
