@@ -106,6 +106,8 @@ HEADLINE = [
     "multires_rollup",
     "bm25_topk",
     "pq_knn",
+    "rollup_anomalies",
+    "pq_rerank_knn",
 ]
 
 

@@ -3725,6 +3725,96 @@ def q_pq_knn(spark, sf_dir):
     return S.pq_adc_knn(corpus, qdf, books, k=10)
 
 
+@query(
+    "rollup_anomalies",
+    """
+    WITH cells AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
+             CAST(count(*) AS BIGINT) AS n_events, sum(value) AS s
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, sum(s) / count(*) AS mean,
+             sqrt(sum(s*s) / count(*) - (sum(s)/count(*)) * (sum(s)/count(*))) AS std
+      FROM cells GROUP BY 1)
+    SELECT c.event_type, c.bucket_start, c.n_events,
+           round(c.s, 2) AS sum_value,
+           round((c.s - st.mean) / st.std, 2) AS z_score
+    FROM cells c JOIN st USING (event_type)
+    WHERE st.std > 0 AND abs(round((c.s - st.mean) / st.std, 2)) > 2.5
+    """,
+)
+def q_rollup_anomalies(spark, sf_dir):
+    """Monitoring read on the continuous aggregate: per event type,
+    15-min buckets whose value-sum deviates > 2.5σ from the type mean.
+    Detection runs entirely on the CELL relation (one rollup scan +
+    a broadcast per-group stats join) — at 100 TB the raw events are
+    never re-read. Moments are explicit expressions (not builtin
+    stddev) and the flag tests the ROUNDED z-score, so the DuckDB
+    oracle is formula-identical. See
+    operators/timeseries.py::anomalous_buckets."""
+    e = load(spark, sf_dir, "events")
+    cells = TS.partial_time_aggregate(e, "15 minutes", keys=("event_type",))
+    return TS.anomalous_buckets(cells, by=("event_type",), threshold=2.5)
+
+
+@query(
+    "pq_rerank_knn",
+    f"""
+    WITH cb AS (
+      SELECT subspace, code, centroid
+      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND m = 4 AND n_codes = 16 AND seed = 42),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT e.vec_id, s.subspace,
+             (SELECT c.code FROM cb c WHERE c.subspace = s.subspace
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(
+                           CAST(e.embedding AS DOUBLE[])[s.subspace*16+1 : s.subspace*16+16],
+                           c.centroid) ASC,
+                       c.code ASC
+              LIMIT 1) AS code
+      FROM embeddings e, (SELECT DISTINCT subspace FROM cb) s
+      WHERE e.vec_id <> 0),
+    tab AS (
+      SELECT c.subspace, c.code,
+             list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+             - 2 * list_dot_product(q.qv[c.subspace*16+1 : c.subspace*16+16], c.centroid)
+             + list_aggregate(
+                 list_transform(q.qv[c.subspace*16+1 : c.subspace*16+16], x -> x*x),
+                 'sum') AS d
+      FROM cb c, q),
+    shortlist AS (
+      SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist
+      FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
+      GROUP BY e.vec_id
+      ORDER BY adc_dist ASC, e.vec_id ASC
+      LIMIT 50)
+    SELECT v.vec_id,
+           round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.qv), 4)
+             AS cosine_sim
+    FROM embeddings v JOIN shortlist s ON v.vec_id = s.vec_id, q
+    ORDER BY cosine_sim DESC, v.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_pq_rerank_knn(spark, sf_dir):
+    """C28 two-stage ANN: PQ-ADC shortlist (stage 1 scans only the
+    4-byte codes) → exact cosine re-rank of the 50 survivors (stage 2
+    semi-joins the float vectors for shortlist rows only). The
+    production read path for billion-vector search: cheap compressed
+    scan bounds the candidates, exact math touches a point-lookup's
+    worth of data. Full DuckDB oracle re-derives encode → distance
+    tables → shortlist → re-rank from the persisted codebook parquet;
+    convergence to brute force pinned in tests."""
+    books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
+    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return S.pq_rerank_knn(corpus, qdf, books, k=10, shortlist=50)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -3786,8 +3876,6 @@ DRIVER_PRIORITY: list[str] = [
     "window_rank",
     "window_frame",
     "topk_orders",
-    "array_funcs",
-    "json_funcs",
     "tumbling_hourly",
     "sliding_counts",
     "session_windows",
@@ -3803,11 +3891,13 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_conversion",
     "retention_cohorts",
     # added r07, no driver row yet (take the slots of the stable
-    # string_funcs / date_funcs / math_funcs refreshes, which queue
-    # for the round-5 rotation)
+    # string_funcs / date_funcs / math_funcs / array_funcs /
+    # json_funcs refreshes, which queue for the round-5 rotation)
     "multires_rollup",
     "bm25_topk",
     "pq_knn",
+    "rollup_anomalies",
+    "pq_rerank_knn",
 ]
 
 

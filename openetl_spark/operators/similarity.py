@@ -613,3 +613,39 @@ def pq_adc_knn(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_rerank_knn(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    query_vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Two-stage ANN (the production PQ pattern): stage 1 scans only
+    the m-byte PQ codes and keeps an ADC ``shortlist`` (cheap, whole
+    corpus); stage 2 joins the shortlist ids back to the float vectors
+    and re-ranks the survivors by EXACT cosine. At 100 TB stage 2
+    touches ``shortlist`` rows instead of the corpus — the float
+    vectors stay cold except for a point-lookup-sized semi join. With
+    ``shortlist → corpus size`` the result converges to the exact
+    brute-force top-k (pinned by test)."""
+    cand = pq_adc_knn(
+        corpus, query_df, codebooks, k=shortlist,
+        id_col=id_col, code_col=code_col, query_vec_col=query_vec_col,
+        round_dp=round_dp,
+    ).select(id_col)
+    qv = F.broadcast(query_df.limit(1).select(F.col(query_vec_col).alias("_qv")))
+    sim = F.round(cosine(F.col(vec_col), F.col("_qv")), round_dp)
+    return (
+        corpus.join(F.broadcast(cand), id_col, "left_semi")
+        .crossJoin(qv)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

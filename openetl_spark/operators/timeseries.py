@@ -41,7 +41,12 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_time_aggregate", "reaggregate", "multi_resolution"]
+__all__ = [
+    "partial_time_aggregate",
+    "reaggregate",
+    "multi_resolution",
+    "anomalous_buckets",
+]
 
 #: partial-cell column names (the mergeable state vector)
 _CELLS = ("n_events", "sum_value", "min_value", "max_value")
@@ -141,4 +146,43 @@ def multi_resolution(
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
         avg4.alias("avg_value"),
+    )
+
+
+def anomalous_buckets(
+    cells: DataFrame,
+    by: tuple[str, ...] = ("event_type",),
+    metric: str = "sum_value",
+    threshold: float = 2.5,
+    bucket_col: str = "bucket_start",
+    round_dp: int = 2,
+) -> DataFrame:
+    """Z-score anomaly detection over continuous-aggregate cells — the
+    standard monitoring read on a hypertable: per group, flag buckets
+    whose metric deviates more than ``threshold`` standard deviations
+    from the group mean. Inputs are the (tiny) cell relation, never raw
+    events, so the whole detection pass costs one scan of the rollup
+    regardless of corpus size; the per-group stats relation is
+    broadcast back onto the cells.
+
+    Mean/stddev are spelled out as explicit moment expressions
+    (sqrt(E[x²] − E[x]²)) rather than builtin stddev so the DuckDB
+    oracle computes the bit-identical formula; the flag tests the
+    ROUNDED z-score so membership does not ride on fp noise at the
+    threshold."""
+    x = F.col(metric)
+    stats = cells.groupBy(*by).agg(
+        (F.sum(x) / F.count("*")).alias("_mean"),
+        F.sqrt(
+            F.sum(x * x) / F.count("*")
+            - (F.sum(x) / F.count("*")) * (F.sum(x) / F.count("*"))
+        ).alias("_std"),
+    )
+    z = F.round((x - F.col("_mean")) / F.col("_std"), round_dp)
+    return (
+        cells.join(F.broadcast(stats), list(by))
+        .filter(F.col("_std") > 0)
+        .select(*by, bucket_col, "n_events", F.round(x, 2).alias(metric),
+                z.alias("z_score"))
+        .filter(F.abs(F.col("z_score")) > threshold)
     )

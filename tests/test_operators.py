@@ -664,3 +664,47 @@ def test_bm25_length_normalization(spark):
     )
     got = {r["doc_id"]: r["bm25"] for r in X.bm25_topk(docs, ["term"], k=10).collect()}
     assert got[1] > got[2]
+
+
+def test_pq_rerank_converges_to_brute_force(spark, sf_dir):
+    """Two-stage PQ: with a full-corpus shortlist the exact re-rank
+    must equal brute-force top-k; with a small shortlist it must beat
+    plain ADC at recovering the exact neighbors."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(e, m=4, n_codes=16, seed=42)
+    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
+    qdf = e.filter(F.col("vec_id") == 0)
+    q = qdf.select("embedding").first()[0]
+
+    exact = [r["vec_id"] for r in
+             S.brute_force_knn(e.filter(F.col("vec_id") != 0), q, k=10).collect()]
+    full = [r["vec_id"] for r in
+            S.pq_rerank_knn(corpus, qdf, books, k=10, shortlist=10**6).collect()]
+    assert full == exact
+
+    small = {r["vec_id"] for r in
+             S.pq_rerank_knn(corpus, qdf, books, k=10, shortlist=100).collect()}
+    adc = {r["vec_id"] for r in S.pq_adc_knn(corpus, qdf, books, k=10).collect()}
+    assert len(small & set(exact)) >= len(adc & set(exact))
+
+
+def test_anomalous_buckets_flags_injected_spike(spark):
+    """A synthetic spike must be the flagged bucket; a flat series
+    yields no flags (std > 0 guard)."""
+    import datetime as dt
+
+    from openetl_spark.operators import timeseries as TS
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append((base + dt.timedelta(minutes=15 * i), "a", 10.0))
+    rows.append((base + dt.timedelta(minutes=15 * 50, seconds=30), "a", 5000.0))
+    rows += [(base + dt.timedelta(minutes=15 * i), "flat", 7.0) for i in range(50)]
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    cells = TS.partial_time_aggregate(e, "15 minutes", keys=("event_type",))
+    got = TS.anomalous_buckets(cells, by=("event_type",), threshold=2.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["event_type"] == "a" and r["z_score"] > 2.5
+    assert r["bucket_start"] == base + dt.timedelta(minutes=15 * 50)
