@@ -108,6 +108,7 @@ HEADLINE = [
     "pq_knn",
     "rollup_anomalies",
     "pq_rerank_knn",
+    "q20_dominant_supplier",
 ]
 
 

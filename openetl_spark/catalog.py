@@ -3726,6 +3726,66 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "q20_dominant_supplier",
+    """
+    WITH lp AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'large%'
+        AND l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM lp GROUP BY 1),
+    dom AS (
+      SELECT lp.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+      FROM lp JOIN tot USING (l_partkey)
+      WHERE lp.qty > 0.5 * tot.total_qty
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, d.n_parts_dominated
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN dom d ON d.l_suppkey = s.s_suppkey
+    """,
+)
+def q_q20_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape (completes the 22-query sweep): suppliers with
+    an outsized share of a part family — partsupp's availqty threshold
+    is proxied as 'shipped more than half of the part's 1994 volume'.
+    Same plan skeleton as the real Q20: filtered part list broadcast
+    into the fact scan, per-(part, supplier) aggregate, per-part scalar
+    threshold re-joined by key, semi-ish reduction to suppliers.
+    l_quantity is integer-valued, so sums are exact in double and the
+    0.5·total comparison is order-independent — no fp boundary."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1995-01-01")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("large"))
+    lp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = lp.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dom = (
+        lp.join(tot, lp.l_partkey == F.col("tp"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_dominated"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dom, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("n_name").alias("nation"),
+            "n_parts_dominated",
+        )
+    )
+
+
+@query(
     "rollup_anomalies",
     """
     WITH cells AS (
@@ -3877,7 +3937,6 @@ DRIVER_PRIORITY: list[str] = [
     "window_frame",
     "topk_orders",
     "tumbling_hourly",
-    "sliding_counts",
     "session_windows",
     "dedup_exact",
     "embedding_knn",
@@ -3898,6 +3957,8 @@ DRIVER_PRIORITY: list[str] = [
     "pq_knn",
     "rollup_anomalies",
     "pq_rerank_knn",
+    # sliding_counts (stable r01/r02) queues for round 5
+    "q20_dominant_supplier",
 ]
 
 

@@ -797,3 +797,71 @@ def cms_token_estimates(
         "cms_est",
         (F.col("cms_est") >= F.col("n_exact")).alias("never_under"),
     ).orderBy(F.col("n_exact").desc(), F.col("token").asc())
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    normalize: bool = True,
+    out: str | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4 / RefinedWeb cleanup
+    step): drop every line that appears — normalized — in at least
+    ``min_docs`` distinct documents (nav menus, cookie banners, footer
+    legalese), and stitch each document back together with its
+    surviving lines in original order.
+
+    Plan shape, built for corpus scale:
+
+    * posexplode lines once; the per-line document-frequency pass is
+      (doc, line-hash) distinct → count per hash — both partial-agg
+      hash shuffles keyed on the 64-bit line hash, never on documents,
+      so the hottest key is bounded by the most-duplicated LINE, and
+      AQE's skew split covers exactly that.
+    * the boilerplate filter is a left-anti join on the hash; when the
+      flagged set is small (it usually is — few lines clear a high
+      ``min_docs`` bar) AQE converts it to a broadcast join at runtime.
+    * reassembly is one groupBy(doc) of (pos, line) structs —
+      array_sort restores order; per-group state is one document's
+      lines, never corpus-sized.
+
+    Documents whose every line is boilerplate come back with empty
+    text (kept, not dropped — downstream length filters decide).
+    Normalization for the frequency count is trim+lower (the emitted
+    lines stay verbatim); empty lines count like any other and will be
+    removed as boilerplate once ``min_docs`` documents contain one —
+    run before this if blank-line structure matters.
+
+    The synthetic testdata corpus has no newline structure (verified:
+    single-line docs), so this operator is pinned by unit tests on
+    multi-line fixtures rather than a catalog oracle query."""
+    out = out or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line"))) if normalize else F.col("line")
+    keyed = lines.withColumn("_k", F.xxhash64(norm))
+    docfreq = (
+        keyed.select(id_col, "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+    )
+    boiler = docfreq.filter(F.col("_df") >= min_docs).select("_k")
+    kept = keyed.join(boiler, "_k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out)
+    )
+    base = df.select(id_col)
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out), F.lit("")).alias(out)
+    )

@@ -379,3 +379,45 @@ def test_cms_width_guard():
 
     with _pytest.raises(ValueError, match="4096"):
         C.cms_token_estimates(None, width=8192)
+
+
+def test_remove_boilerplate_lines(spark):
+    from openetl_spark.operators.curation import remove_boilerplate_lines
+
+    header, footer = "SITE NAV | home | about", "(c) 2024 example corp"
+    docs = [
+        (i, f"{header}\nunique content {i} line one\nmore {i}\n{footer}")
+        for i in range(6)
+    ]
+    docs.append((100, f"{header}\n{footer}"))          # all boilerplate
+    docs.append((200, "totally unique document"))       # untouched
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=5).collect()
+    }
+    assert len(got) == 8                                # every doc kept
+    for i in range(6):
+        assert got[i] == f"unique content {i} line one\nmore {i}"  # order kept
+    assert got[100] == ""                               # emptied, not dropped
+    assert got[200] == "totally unique document"
+
+
+def test_remove_boilerplate_lines_normalization(spark):
+    from openetl_spark.operators.curation import remove_boilerplate_lines
+
+    # case/whitespace variants of the same line count as one
+    docs = [(i, f"  Cookie Notice \nbody {i}") for i in range(3)]
+    docs += [(10 + i, f"cookie notice\nbody {10+i}") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=6).collect()
+    }
+    assert all(t.startswith("body ") for t in got.values()), got
+    # without normalization the variants stay under the bar
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=6, normalize=False).collect()
+    }
+    assert any("ookie" in t for t in got2.values())
