@@ -109,6 +109,7 @@ HEADLINE = [
     "rollup_anomalies",
     "pq_rerank_knn",
     "q20_dominant_supplier",
+    "per_group_sample",
 ]
 
 

@@ -3726,6 +3726,35 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "per_group_sample",
+    """
+    WITH h AS (
+      SELECT lang, doc_id,
+             CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hv
+      FROM documents)
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h)
+    WHERE rn <= 20
+    """,
+)
+def q_per_group_sample(spark, sf_dir):
+    """Deterministic 20-per-language sample: smallest seeded 48-bit
+    hash ranks per group. The Spark plan is the SCALE path — broadcast
+    approximate per-group thresholds bound the survivors to ~margin·k
+    rows before the exact window, so no window partition is ever
+    group-sized — while the oracle computes the direct window form in
+    DuckDB, so the check also proves two-phase ≡ direct. See
+    operators/curation.py::per_group_sample."""
+    d = load(spark, sf_dir, "documents")
+    return C.per_group_sample(
+        d, k=20, group_cols=("lang",), key_col="doc_id", seed=42
+    )
+
+
+@query(
     "q20_dominant_supplier",
     """
     WITH lp AS (
@@ -3936,7 +3965,6 @@ DRIVER_PRIORITY: list[str] = [
     "window_rank",
     "window_frame",
     "topk_orders",
-    "tumbling_hourly",
     "session_windows",
     "dedup_exact",
     "embedding_knn",
@@ -3957,8 +3985,9 @@ DRIVER_PRIORITY: list[str] = [
     "pq_knn",
     "rollup_anomalies",
     "pq_rerank_knn",
-    # sliding_counts (stable r01/r02) queues for round 5
+    # sliding_counts / tumbling_hourly (stable r01/r02) queue for r5
     "q20_dominant_supplier",
+    "per_group_sample",
 ]
 
 

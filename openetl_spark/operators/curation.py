@@ -13,7 +13,7 @@ one key-hashed shuffle at any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from openetl_spark.operators.text import tokens
@@ -864,4 +864,70 @@ def remove_boilerplate_lines(
     base = df.select(id_col)
     return base.join(rebuilt, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col(out), F.lit("")).alias(out)
+    )
+
+
+def sample_rank_key(key: Column, seed: int = 42) -> Column:
+    """Deterministic, engine-portable 48-bit rank key: the first 12 hex
+    chars of md5(seed ':' key) as a bigint. Spark renders it with
+    conv(); the DuckDB oracles use CAST('0x' || substring(...) AS
+    BIGINT) — identical integers, so sample membership and ORDER are
+    reproducible across engines (the auditability contract of
+    hash_bucket, extended to ranking)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def per_group_sample(
+    df: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = ("lang",),
+    key_col: str = "doc_id",
+    seed: int = 42,
+    margin: float = 4.0,
+    exact_window: bool = False,
+) -> DataFrame:
+    """Deterministic k-per-group sample (eval-set construction, per-
+    domain spot-checks): the k rows with the smallest hash rank per
+    group — a seeded, reproducible choice, not rand().
+
+    Scale path (default): a per-group window over raw data would put
+    one GROUP per task (the low-cardinality-window trap this repo's
+    length gate already avoids). Instead: (1) one count-only partial
+    aggregate gives each group's size n; (2) because the 48-bit rank
+    key is uniform, the k-th smallest sits near (k/n)·2⁴⁸, so a pure
+    arithmetic threshold margin·k/n·2⁴⁸ (broadcast, no percentile
+    machinery) keeps ~margin·k survivors per group; (3) the exact
+    row_number window runs over those survivors only — window
+    partitions are O(margin·k) rows regardless of corpus size.
+    Threshold undershoot (fewer than k survivors) is a Chernoff-tail
+    event at margin 4 (P < exp(−k·9/8·(3/4)²) per group);
+    ``exact_window=True`` keeps the direct window form as the
+    cross-check path (equality pinned by test and by the catalog
+    oracle, which computes the direct form in DuckDB)."""
+    hv = sample_rank_key(F.col(key_col), seed).alias("_hv")
+    base = df.select(*group_cols, key_col).withColumn("_hv", hv)
+    w = W.partitionBy(*group_cols).orderBy("_hv", key_col)
+    if exact_window:
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*group_cols, key_col)
+        )
+    full = float(2 ** 48)
+    thr = base.groupBy(*group_cols).agg(
+        F.least(
+            F.lit(full),
+            F.lit(float(margin) * k) * full / F.count("*"),
+        )
+        .cast("long")
+        .alias("_thr")
+    )
+    survivors = base.join(F.broadcast(thr), list(group_cols)).filter(
+        F.col("_hv") <= F.col("_thr")
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, key_col)
     )

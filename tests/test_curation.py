@@ -421,3 +421,28 @@ def test_remove_boilerplate_lines_normalization(spark):
         for r in remove_boilerplate_lines(df, min_docs=6, normalize=False).collect()
     }
     assert any("ookie" in t for t in got2.values())
+
+
+def test_per_group_sample_two_phase_equals_exact_window(spark, sf_dir):
+    from openetl_spark import catalog
+    from openetl_spark.operators.curation import per_group_sample
+
+    d = catalog.load(spark, sf_dir, "documents")
+    two = {(r["lang"], r["doc_id"])
+           for r in per_group_sample(d, k=15, seed=7).collect()}
+    exact = {(r["lang"], r["doc_id"])
+             for r in per_group_sample(d, k=15, seed=7, exact_window=True).collect()}
+    assert two == exact and len(two) > 0
+    # per-group size is exactly min(k, group size); deterministic reruns
+    from collections import Counter
+    c = Counter(l for l, _ in two)
+    sizes = {r["lang"]: r["n"] for r in
+             d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(c[l] == min(15, sizes[l]) for l in sizes)
+    again = {(r["lang"], r["doc_id"])
+             for r in per_group_sample(d, k=15, seed=7).collect()}
+    assert again == two
+    # a different seed draws a different sample
+    other = {(r["lang"], r["doc_id"])
+             for r in per_group_sample(d, k=15, seed=8).collect()}
+    assert other != two
