@@ -110,6 +110,7 @@ HEADLINE = [
     "pq_rerank_knn",
     "q20_dominant_supplier",
     "per_group_sample",
+    "bpe_pair_counts",
 ]
 
 

@@ -3726,6 +3726,38 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "bpe_pair_counts",
+    """
+    WITH wf AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INT), 1) AS a,
+             substring(word, CAST(i AS INT) + 1, 1) AS b, freq
+      FROM wf, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t)
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY a, b
+    ORDER BY n DESC, a ASC, b ASC
+    LIMIT 30
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer training at scale, step one: the frequency-weighted
+    adjacent character-pair counts BPE's first merge maximizes
+    (Sennrich et al. 2016). The corpus is touched once to build the
+    word-frequency dictionary; pair generation and counting run on the
+    dictionary relation (distinct words, not tokens). The iterative
+    trainer (operators/text.py::bpe_train) continues from here and is
+    pinned against a pure-Python reference implementation in tests —
+    this query oracle-checks the distributed statistic the loop is
+    built on, with a total (n, a, b) ordering for engine-reproducible
+    top-k membership."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.char_pair_counts(d, top=30)
+
+
+@query(
     "per_group_sample",
     """
     WITH h AS (
@@ -3968,7 +4000,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_windows",
     "dedup_exact",
     "embedding_knn",
-    "text_stats",
     "doc_fingerprint",
     "quality_score",
     # added r06, no driver row yet (take the slots of the stable
@@ -3985,9 +4016,11 @@ DRIVER_PRIORITY: list[str] = [
     "pq_knn",
     "rollup_anomalies",
     "pq_rerank_knn",
-    # sliding_counts / tumbling_hourly (stable r01/r02) queue for r5
+    # sliding_counts / tumbling_hourly / text_stats (stable r01/r02)
+    # queue for the round-5 rotation
     "q20_dominant_supplier",
     "per_group_sample",
+    "bpe_pair_counts",
 ]
 
 

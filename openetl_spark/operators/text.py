@@ -262,3 +262,117 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The word-frequency dictionary — BPE training's working set. One
+    corpus-scale pass (explode + partial-agg count); everything
+    iterative afterwards runs on THIS relation, which is orders of
+    magnitude smaller than the corpus (distinct words, not tokens) —
+    the standard trick that makes tokenizer training tractable at
+    100 TB."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _char_symbols(word: Column) -> Column:
+    """Initial BPE symbol sequence: one single-char symbol per char."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+
+
+def _adjacent_pairs(symbols: Column) -> Column:
+    """Adjacent (a, b) struct pairs of a symbol array — slice+zip, NOT
+    sequence(1, n-1): Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    so single-symbol inputs would fabricate out-of-bounds pairs."""
+    n = F.size(symbols)
+    return F.zip_with(
+        F.slice(symbols, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(symbols, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def char_pair_counts(
+    df: DataFrame, text_col: str = "text", top: int = 30
+) -> DataFrame:
+    """Frequency-weighted adjacent character-pair counts — the
+    statistic BPE's first merge selection maximizes (Sennrich et al.
+    2016). Runs on the word dictionary: per distinct word, the
+    length−1 adjacent pairs, weighted by word frequency, globally
+    aggregated. Total ordering (count desc, pair asc) + top-k makes
+    the result engine-reproducible."""
+    wf = word_frequencies(df, text_col)
+    pairs = wf.select(
+        F.explode(_adjacent_pairs(_char_symbols(F.col("word")))).alias("p"),
+        "freq",
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top)
+    )
+
+
+def _apply_merge(symbols: Column, a: str, b: str) -> Column:
+    """Apply one BPE merge (a, b) → ab to a symbol array: left-to-right
+    non-overlapping, as a single JVM fold (no Python in the loop)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training: learn ``n_merges`` merge rules from
+    the corpus. The corpus is touched ONCE (word_frequencies); each
+    iteration then (1) counts frequency-weighted adjacent symbol pairs
+    over the dictionary, (2) picks the argmax (count desc, pair asc —
+    the deterministic tie-break), (3) rewrites the symbol arrays with
+    a JVM fold. One small driver action per merge is inherent to the
+    algorithm (the merge choice is global state); the per-iteration
+    jobs run over the dictionary relation only. Symbol columns are
+    localCheckpointed every ``checkpoint_every`` merges so plan depth
+    stays bounded (the dedup_components lineage discipline).
+
+    Pinned by test against a pure-Python reference implementation."""
+    wf = word_frequencies(df, text_col).withColumn(
+        "syms", _char_symbols(F.col("word"))
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for step in range(n_merges):
+        pairs = wf.select(
+            F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq"
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        if best is None or best["n"] < 1:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((a, b))
+        wf = wf.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (step + 1) % checkpoint_every == 0:
+            wf = wf.localCheckpoint()
+    return merges

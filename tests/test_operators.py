@@ -708,3 +708,61 @@ def test_anomalous_buckets_flags_injected_spike(spark):
     r = got[0]
     assert r["event_type"] == "a" and r["z_score"] > 2.5
     assert r["bucket_start"] == base + dt.timedelta(minutes=15 * 50)
+
+
+# ------------------------------------------------------------------ BPE
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    """Pure-Python BPE (Sennrich et al. 2016 style) with the same
+    deterministic tie-break (count desc, pair asc)."""
+    syms = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+        "low new wide slow slower",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    exp = _bpe_reference(wf, 8)
+    got = X.bpe_train(df, n_merges=8, checkpoint_every=3)
+    assert got == exp, (got, exp)
+    # the first merge really is the max-count pair of char_pair_counts
+    top = X.char_pair_counts(df, top=1).first()
+    assert (top["a"], top["b"]) == exp[0]
+
+
+def test_bpe_overlapping_merge_is_left_to_right(spark):
+    df = spark.createDataFrame([("aaa aaa",)], "text string")
+    got = X.bpe_train(df, n_merges=2)
+    # 'aaa' → ('aa','a') after merge 1; merge 2 joins ('aa','a')
+    assert got == [("a", "a"), ("aa", "a")]
