@@ -111,6 +111,7 @@ HEADLINE = [
     "q20_dominant_supplier",
     "per_group_sample",
     "bpe_pair_counts",
+    "ivf_pq_knn",
 ]
 
 
@@ -145,6 +146,9 @@ def main() -> None:
     # PQ codebook training is the same offline posture (train-once,
     # persist, reuse); pq_knn measures encode+ADC, not training.
     catalog._pq_codebooks(spark, SF_DIR)
+    # Composed IVF×PQ layout (offline build; ivf_pq_knn measures the
+    # pruned codes-only scan + ADC).
+    catalog._ivf_pq_layout(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -3725,6 +3725,103 @@ def q_pq_knn(spark, sf_dir):
     return S.pq_adc_knn(corpus, qdf, books, k=10)
 
 
+def _ivf_pq_layout(
+    spark, sf_dir: str, n_lists: int = 16, seed: int = 42, m: int = 4,
+    n_codes: int = 16,
+):
+    """Get-or-build the COMPOSED offline layout: corpus partitioned by
+    IVF list id, carrying only (vec_id, pq_codes) inside each list
+    directory — the float vectors never enter the hot layout. Reuses
+    the persisted IVF quantizer and PQ codebooks (and keeps both
+    oracle parquets maintained)."""
+    import os
+
+    cents, _ = _ivf_layout(spark, sf_dir, n_lists=n_lists, seed=seed)
+    books = _pq_codebooks(spark, sf_dir, m=m, n_codes=n_codes, seed=seed)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_l{n_lists}_m{m}_c{n_codes}_s{seed}"
+    )
+    data_path = os.path.join(repo, "spark-warehouse", "ivf_pq_cache", key, "corpus")
+    if not os.path.exists(data_path):
+        e = load(spark, sf_dir, "embeddings", spread=True)
+        enc = S.with_pq_codes(S.with_ivf_assignment(e, cents), books)
+        enc.select("vec_id", "pq_codes", "ivf_list").write.partitionBy(
+            "ivf_list"
+        ).mode("overwrite").parquet(data_path)
+    return cents, books, data_path
+
+
+@query(
+    "ivf_pq_knn",
+    f"""
+    WITH cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    cb AS (
+      SELECT subspace, code, centroid
+      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND m = 4 AND n_codes = 16 AND seed = 42),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e WHERE e.vec_id <> 0),
+    probe AS (
+      SELECT c.list_id FROM cents c, q
+      ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+               - 2 * list_dot_product(q.qv, c.centroid) ASC, c.list_id ASC
+      LIMIT 8),
+    cand AS (
+      SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.list_id = p.list_id),
+    enc AS (
+      SELECT c.vec_id, s.subspace,
+             (SELECT b.code FROM cb b WHERE b.subspace = s.subspace
+              ORDER BY list_aggregate(list_transform(b.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(
+                           c.v[s.subspace*16+1 : s.subspace*16+16], b.centroid) ASC,
+                       b.code ASC
+              LIMIT 1) AS code
+      FROM cand c, (SELECT DISTINCT subspace FROM cb) s),
+    tab AS (
+      SELECT b.subspace, b.code,
+             list_aggregate(list_transform(b.centroid, x -> x*x), 'sum')
+             - 2 * list_dot_product(q.qv[b.subspace*16+1 : b.subspace*16+16], b.centroid)
+             + list_aggregate(
+                 list_transform(q.qv[b.subspace*16+1 : b.subspace*16+16], x -> x*x),
+                 'sum') AS d
+      FROM cb b, q)
+    SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist
+    FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
+    GROUP BY e.vec_id
+    ORDER BY adc_dist ASC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_pq_knn(spark, sf_dir):
+    """C28 capstone: the composed IVF×PQ layout — partition pruning
+    picks WHICH rows are scanned (n_probe of n_lists directories via
+    the broadcast probe join), PQ compression picks WHAT each row
+    costs (the directories store 4 one-byte codes per vector; the
+    float embeddings never enter the hot path). This is the standard
+    billion-vector serving layout (FAISS IVFPQ) expressed as parquet
+    partitioning + relational ADC. Both trained artifacts are
+    persisted parquet the oracle reads to re-derive assignment, probe
+    selection, encoding, distance tables, and the pruned top-k."""
+    cents, books, data_path = _ivf_pq_layout(spark, sf_dir)
+    corpus = spark.read.parquet(data_path).filter(F.col("vec_id") != 0)
+    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return S.ivf_pq_adc_knn(corpus, qdf, cents, books, k=10, n_probe=8)
+
+
 @query(
     "bpe_pair_counts",
     """
@@ -4000,7 +4097,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_windows",
     "dedup_exact",
     "embedding_knn",
-    "doc_fingerprint",
     "quality_score",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
@@ -4016,11 +4112,12 @@ DRIVER_PRIORITY: list[str] = [
     "pq_knn",
     "rollup_anomalies",
     "pq_rerank_knn",
-    # sliding_counts / tumbling_hourly / text_stats (stable r01/r02)
-    # queue for the round-5 rotation
+    # sliding_counts / tumbling_hourly / text_stats / doc_fingerprint
+    # (stable r01/r02) queue for the round-5 rotation
     "q20_dominant_supplier",
     "per_group_sample",
     "bpe_pair_counts",
+    "ivf_pq_knn",
 ]
 
 

@@ -649,3 +649,46 @@ def pq_rerank_knn(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_adc_knn(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    list_col: str = "ivf_list",
+    query_vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """The composed billion-vector layout: IVF partition pruning
+    decides WHICH rows are scanned (broadcast probe-list join on the
+    partition column → dynamic partition pruning reads n_probe of
+    n_lists directories), PQ decides WHAT each row costs (the pruned
+    directories store only m one-byte codes — no float vectors on the
+    hot path; ADC distance is the same JVM lookup fold as pq_adc_knn).
+    ``corpus`` is the pre-built layout from the offline builder
+    (vec_id, pq_codes, ivf_list — note: no embedding column at all);
+    centroids and codebooks are the persisted train-once artifacts."""
+    probes = F.broadcast(
+        ivf_probe_lists(query_df, centroids, n_probe, query_vec_col)
+    )
+    qtab = F.broadcast(pq_query_table(query_df, codebooks, query_vec_col))
+    adc = F.aggregate(
+        F.transform(
+            F.col(code_col),
+            lambda c, j: F.element_at(F.element_at(F.col("_qtab"), j + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.join(probes, corpus[list_col] == probes["probe_list"])
+        .crossJoin(qtab)
+        .select(F.col(id_col), F.round(adc, round_dp).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -346,3 +346,39 @@ def test_event_analytics_plans_push_type_filters(spark, sf_dir):
     plan_r, _ = plan_and_pushed(catalog.QUERIES["retention_cohorts"](spark, sf_dir))
     assert "CartesianProduct" not in plan_r
     assert "HashAggregate" in plan_r
+
+
+def test_ivf_pq_layout_scan_reads_codes_only_and_prunes(spark, sf_dir):
+    """The composed IVF×PQ catalog layout: the hot scan's ReadSchema
+    carries pq_codes but NO embedding column (the float vectors never
+    enter the layout), the probe join drives dynamic partition pruning
+    on ivf_list, and the ADC result is dominated by the same vectors
+    the flat PQ scan ranks highly (composition sanity)."""
+    import io, contextlib
+
+    from pyspark.sql import functions as F
+    from openetl_spark.operators import similarity as S
+
+    df = catalog.QUERIES["ivf_pq_knn"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    ivf_scan = next(
+        s for s in plan.split("(")
+        if "ivf_pq_cache" in s
+    )
+    assert "pq_codes" in ivf_scan and "embedding" not in ivf_scan
+    assert "dynamicpruning" in plan or "PartitionFilters" in plan
+
+    got = [r["vec_id"] for r in df.collect()]
+    assert len(got) == 10
+    # flat-PQ cross-check: the composed top-10 must be drawn from the
+    # flat ADC ranking restricted to probed lists — verify overlap with
+    # the unrestricted flat top-50 is high (probing 8/16 lists)
+    books = catalog._pq_codebooks(spark, sf_dir)
+    e = catalog.load(spark, sf_dir, "embeddings")
+    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
+    qdf = e.filter(F.col("vec_id") == 0)
+    flat50 = {r["vec_id"] for r in S.pq_adc_knn(corpus, qdf, books, k=50).collect()}
+    assert len(set(got) & flat50) >= 7
