@@ -112,6 +112,7 @@ HEADLINE = [
     "per_group_sample",
     "bpe_pair_counts",
     "ivf_pq_knn",
+    "corpus_report",
 ]
 
 

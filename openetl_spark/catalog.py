@@ -3725,6 +3725,61 @@ def q_pq_knn(spark, sf_dir):
     return S.pq_adc_knn(corpus, qdf, books, k=10)
 
 
+@query(
+    "corpus_report",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source, md5(text) AS h,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           floor(sum(n_tok) * 10000.0 / count(*)) / 10000.0 AS avg_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+           floor(count(DISTINCT h) * 10000.0 / count(*)) / 10000.0
+             AS distinct_ratio
+    FROM d
+    """,
+)
+def q_corpus_report(spark, sf_dir):
+    """The profiling pass a curation run starts with: document count,
+    token volume and length band, language/source coverage, and the
+    exact-duplicate ratio via md5 text hashes — ONE aggregate over one
+    scan (Spark plans the multi-distinct via Expand; every non-distinct
+    metric still partial-aggregates map-side). Ratios use the
+    floor-based fixed-point form (engine-divergence-free, see
+    multires_rollup). At 100 TB the hash distinct-count is the
+    expensive term; swapping in approx_count_distinct turns this into
+    a single-pass sketch report (the approx_sketches query shows that
+    oracle pattern)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tok"),
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.floor(F.sum("n_tok") * 10000.0 / F.count("*")) / 10000.0).alias(
+            "avg_tokens"
+        ),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+        (F.floor(F.countDistinct("h") * 10000.0 / F.count("*")) / 10000.0).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
 def _ivf_pq_layout(
     spark, sf_dir: str, n_lists: int = 16, seed: int = 42, m: int = 4,
     n_codes: int = 16,
@@ -4096,7 +4151,6 @@ DRIVER_PRIORITY: list[str] = [
     "topk_orders",
     "session_windows",
     "dedup_exact",
-    "embedding_knn",
     "quality_score",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
@@ -4112,12 +4166,13 @@ DRIVER_PRIORITY: list[str] = [
     "pq_knn",
     "rollup_anomalies",
     "pq_rerank_knn",
-    # sliding_counts / tumbling_hourly / text_stats / doc_fingerprint
-    # (stable r01/r02) queue for the round-5 rotation
+    # sliding_counts / tumbling_hourly / text_stats / doc_fingerprint /
+    # embedding_knn (stable r01/r02) queue for the round-5 rotation
     "q20_dominant_supplier",
     "per_group_sample",
     "bpe_pair_counts",
     "ivf_pq_knn",
+    "corpus_report",
 ]
 
 

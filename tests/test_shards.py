@@ -41,3 +41,78 @@ def test_shard_writer_multi_key_partitioning(spark, sf_dir, tmp_path):
     write_training_shards(docs, out, partition_by=("lang", "source"), max_records_per_file=1000)
     nested = glob.glob(f"{out}/lang=*/source=*/*.parquet")
     assert nested  # two-level directory pruning layout
+
+
+# ------------------------------------------------------- idempotent sink
+
+def test_write_idempotent_skips_committed_replay(spark, tmp_path):
+    from openetl_spark.sinks import idempotent as I
+
+    p = str(tmp_path / "sink")
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    assert I.write_idempotent(df1, p, 0) is True
+    # a replay of the SAME batch id with different data must be a no-op
+    df2 = spark.range(100).withColumnRenamed("id", "v")
+    assert I.write_idempotent(df2, p, 0) is False
+    got = sorted(r["v"] for r in I.read_committed(spark, p).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_uncommitted_partial_write_is_invisible_then_replayable(spark, tmp_path):
+    import os
+
+    from openetl_spark.sinks import idempotent as I
+
+    p = str(tmp_path / "sink")
+    I.write_idempotent(spark.range(3).withColumnRenamed("id", "v"), p, 0)
+    # simulate a crash mid-batch-1: data directory exists, no marker
+    spark.range(10, 13).withColumnRenamed("id", "v").write.parquet(
+        os.path.join(p, "batch=1")
+    )
+    assert I.committed_ids(p) == ["0"]
+    assert {r["v"] for r in I.read_committed(spark, p).collect()} == {0, 1, 2}
+    # the replay overwrites the partial output and commits it
+    assert I.write_idempotent(
+        spark.range(20, 22).withColumnRenamed("id", "v"), p, 1
+    ) is True
+    assert {r["v"] for r in I.read_committed(spark, p).collect()} == {0, 1, 2, 20, 21}
+
+
+def test_streaming_foreach_batch_restart_is_exactly_once(spark, tmp_path):
+    """Restarting a foreachBatch stream from its checkpoint replays the
+    last epoch; the manifest sink must still emit each input row once."""
+    import glob
+    import json
+    import os
+
+    from openetl_spark.sinks import idempotent as I
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(n_files):
+        for i in range(n_files):
+            f = src / f"f{i}.json"
+            if not f.exists():
+                f.write_text(json.dumps({"v": i}) + "\n")
+        stream = (
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(I.idempotent_foreach_batch(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(2)
+    first = sorted(r["v"] for r in I.read_committed(spark, out).collect())
+    assert first == [0, 1]
+    run(4)  # restart same checkpoint with two new files
+    got = sorted(r["v"] for r in I.read_committed(spark, out).collect())
+    assert got == [0, 1, 2, 3]
