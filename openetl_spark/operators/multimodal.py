@@ -10,12 +10,14 @@ extraction JVM-side, and decode/feature steps as Arrow-batched
 Header metadata (PNG IHDR, JPEG SOF, GIF screen descriptor, WAV fmt
 chunk) is parsed for real with stdlib ``struct`` — no codec library
 needed for dimensions / sample rate / duration. PNG *pixel* decode is
-also real and stdlib-only (zlib inflate + the five scanline filters,
-``decode_png_pixels``), so luminance features compute in this
-container; JPEG/GIF pixel decode still needs a codec library (PIL,
-import-guarded, NULL when absent — the one remaining STUB). The
-Spark-side plumbing — schema, Arrow batch iteration, fan-out shape —
-is real and tested either way.
+real and stdlib-only (zlib inflate + the five scanline filters,
+``decode_png_pixels``); GIF pixel decode is real too (LZW +
+palette, ``decode_gif_pixels``), as are animated-GIF frame sampling,
+WAV PCM window sampling, and nearest-neighbor resize
+(``resize_images``). JPEG *pixel* decode (entropy-coded data) is the
+one step still needing a codec library (PIL, import-guarded, NULL
+when absent — the remaining STUB). The Spark-side plumbing — schema,
+Arrow batch iteration, fan-out shape — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -713,3 +715,95 @@ def decode_gif_pixels(data: bytes, frame: int = 0) -> tuple[int, int, bytearray]
             return None
         out[3 * i : 3 * i + 3] = table[3 * v : 3 * v + 3]
     return w, h, out
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # packed RGB, h*w*3 bytes
+    ]
+)
+
+
+def _to_rgb(pixels: bytes, channels: int):
+    """Normalize decoded planes to HxWx3 RGB: gray replicates, alpha
+    drops."""
+    import numpy as np
+
+    a = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if channels == 1:
+        return np.repeat(a[:, None], 3, axis=1)
+    a = a.reshape(-1, channels)
+    if channels == 2:  # gray + alpha
+        return np.repeat(a[:, :1], 3, axis=1)
+    return a[:, :3]  # RGB or RGBA
+
+
+def resize_rgb(pixels, src_w: int, src_h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of packed RGB bytes (pixel-center
+    sampling) — one vectorized numpy gather, no codec libraries."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(src_h, src_w, 3)
+    ys = ((np.arange(out_h) + 0.5) * src_h / out_h).astype(np.int64).clip(0, src_h - 1)
+    xs = ((np.arange(out_w) + 0.5) * src_w / out_w).astype(np.int64).clip(0, src_w - 1)
+    return arr[ys][:, xs].tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """The multimodal 'resize' stage (thumbnailing / model-input
+    normalization) made REAL for the stdlib-decodable formats: PNG
+    (zlib+filters) and GIF (LZW) pixels are decoded per Arrow batch,
+    normalized to RGB, and nearest-neighbor resampled to a fixed
+    (out_w, out_h) — the vectorized numpy gather a production pipeline
+    would swap for a codec binding without touching this plumbing.
+    Undecodable inputs (JPEG entropy data, 16-bit/interlaced PNG, ...)
+    come back with NULL pixel payloads, preserving the row for
+    downstream accounting. Executors hold one Arrow batch of images at
+    a time; output payloads are fixed-size (out_w·out_h·3 bytes), so
+    downstream batch memory is deterministic regardless of source
+    image sizes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col]) if r[content_col] is not None else b""
+                fmt, w, h = parse_image_header(data)
+                rgb = None
+                if fmt == "png":
+                    dec = decode_png_pixels(data)
+                    if dec is not None:
+                        dw, dh, ch, px = dec
+                        rgb, w, h = _to_rgb(px, ch), dw, dh
+                elif fmt == "gif":
+                    dec = decode_gif_pixels(data)
+                    if dec is not None:
+                        dw, dh, px = dec
+                        rgb, w, h = _to_rgb(px, 3), dw, dh
+                out = (
+                    bytearray(resize_rgb(rgb, w, h, out_w, out_h))
+                    if rgb is not None
+                    else None
+                )
+                rows.append((r[path_col], fmt, w, h, out_w, out_h, out))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "format", "src_width", "src_height",
+                    "width", "height", "pixels",
+                ],
+            )
+
+    return df.select(path_col, content_col).mapInPandas(op, RESIZED_IMAGE_SCHEMA)

@@ -766,3 +766,41 @@ def test_bpe_overlapping_merge_is_left_to_right(spark):
     got = X.bpe_train(df, n_merges=2)
     # 'aaa' → ('aa','a') after merge 1; merge 2 joins ('aa','a')
     assert got == [("a", "a"), ("aa", "a")]
+
+
+def test_resize_images_real_pixels(spark):
+    """Nearest-neighbor resize over real stdlib-decoded PNG/GIF pixels:
+    output payload is exactly out_w*out_h*3 bytes, a solid-color image
+    stays solid, a half-red/half-blue image keeps its halves, and
+    undecodable inputs keep their row with NULL pixels."""
+    from tests.media_fixtures import make_gif_with_pixels, make_jpeg, make_png
+
+    red, blue, green = (255, 0, 0), (0, 0, 255), (0, 255, 0)
+    # 8x4: left half red, right half blue
+    rows = [[red] * 4 + [blue] * 4 for _ in range(4)]
+    gif = make_gif_with_pixels([green, red], [[0] * 6 for _ in range(6)])
+    df = spark.createDataFrame(
+        [
+            ("split.png", bytearray(make_png(8, 4, pixels=rows))),
+            ("green.gif", bytearray(gif)),
+            ("photo.jpg", bytearray(make_jpeg(64, 64))),
+        ],
+        "path string, content binary",
+    )
+    out = {r["path"]: r for r in M.resize_images(df, out_w=4, out_h=4).collect()}
+    sp = out["split.png"]
+    assert (sp["src_width"], sp["src_height"]) == (8, 4)
+    assert len(sp["pixels"]) == 4 * 4 * 3
+    px = bytes(sp["pixels"])
+    pix = [tuple(px[i : i + 3]) for i in range(0, len(px), 3)]
+    for r in range(4):
+        assert pix[r * 4 + 0] == red and pix[r * 4 + 1] == red
+        assert pix[r * 4 + 2] == blue and pix[r * 4 + 3] == blue
+    bg = out["green.gif"]
+    assert (bg["src_width"], bg["src_height"]) == (6, 6)
+    gp = bytes(bg["pixels"])
+    assert len(gp) == 48 and all(
+        tuple(gp[i : i + 3]) == green for i in range(0, 48, 3)
+    )
+    assert out["photo.jpg"]["pixels"] is None  # JPEG entropy decode = stub
+    assert out["photo.jpg"]["format"] == "jpeg"
