@@ -1,6 +1,7 @@
 """Unit tests for dataset-curation operators (operators/curation.py):
 edge cases the corpus-level oracle tests don't isolate."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from openetl_spark.operators import curation as C
@@ -446,3 +447,45 @@ def test_per_group_sample_two_phase_equals_exact_window(spark, sf_dir):
     other = {(r["lang"], r["doc_id"])
              for r in per_group_sample(d, k=15, seed=8).collect()}
     assert other != two
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_remove_boilerplate_lines_random_vs_reference(spark, seed):
+    """Randomized differential vs a pure-Python reference: random
+    multi-line corpora with a shared line pool, arbitrary min_docs."""
+    import random
+
+    from openetl_spark.operators.curation import remove_boilerplate_lines
+
+    rng = random.Random(seed)
+    pool = [f"shared line {i}" for i in range(6)]
+    docs = []
+    for d in range(40):
+        n = rng.randint(0, 6)
+        lines = [
+            rng.choice(pool) if rng.random() < 0.5 else f"unique {d}:{j}"
+            for j in range(n)
+        ]
+        docs.append((d, "\n".join(lines)))
+    min_docs = rng.randint(2, 8)
+
+    # reference
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for d, t in docs:
+        for ln in t.split("\n"):
+            seen[ln.strip().lower()].add(d)
+    boiler = {k for k, v in seen.items() if len(v) >= min_docs}
+    exp = {
+        d: "\n".join(
+            ln for ln in t.split("\n") if ln.strip().lower() not in boiler
+        )
+        for d, t in docs
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=min_docs).collect()
+    }
+    assert got == exp
