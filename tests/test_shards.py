@@ -116,3 +116,60 @@ def test_streaming_foreach_batch_restart_is_exactly_once(spark, tmp_path):
     run(4)  # restart same checkpoint with two new files
     got = sorted(r["v"] for r in I.read_committed(spark, out).collect())
     assert got == [0, 1, 2, 3]
+
+
+# ------------------------------------------------------ versioned table
+
+def test_versioned_merge_upsert_and_delete(spark, tmp_path):
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    v0 = V.merge_upsert(
+        spark, p,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        key_cols=["k"],
+    )
+    assert v0 == 0
+    # update k=2, insert k=4, delete k=3
+    upd = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k long, v string, _del boolean",
+    )
+    v1 = V.merge_upsert(spark, p, upd, key_cols=["k"], delete_col="_del")
+    assert v1 == 1
+    got = {r["k"]: r["v"] for r in V.read_latest(spark, p).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # time travel: v0 unchanged
+    old = {r["k"]: r["v"] for r in V.read_version(spark, p, 0).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_versioned_crash_partial_invisible_and_conflict_detected(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    # crashed writer: v=1 data exists, no marker → invisible
+    spark.createDataFrame([(9, "z")], "k long, v string").write.parquet(
+        os.path.join(p, "v=1")
+    )
+    assert V.latest_version(p) == 0
+    assert {r["k"] for r in V.read_latest(spark, p).collect()} == {1}
+    # optimistic concurrency: a merge computed from a stale base fails
+    with _pytest.raises(V.ConcurrentWriteError):
+        V.write_snapshot(
+            spark.createDataFrame([(5, "e")], "k long, v string"),
+            p, expected_base=-1,
+        )
+    # racing commit to the same version: second marker create fails
+    v = V.write_snapshot(
+        spark.createDataFrame([(5, "e")], "k long, v string"), p,
+        expected_base=0,
+    )
+    assert v == 1  # overwrote the dead partial and committed
+    with _pytest.raises(V.ConcurrentWriteError):
+        V._commit(p, 1)
