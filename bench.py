@@ -113,6 +113,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "ivf_pq_knn",
     "corpus_report",
+    "event_transitions",
 ]
 
 

@@ -3726,6 +3726,37 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """Markov transition counts over user event sequences (the
+    behavioral-analytics companion to funnel/retention): one window
+    keyed on user_id — a high-cardinality partition key, so the single
+    shuffle spreads across the cluster — then a partial-agg count of
+    (from, to) pairs. Tie order inside a user is pinned by
+    (ts, event_id), making the lead() deterministic across engines."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
     "corpus_report",
     """
     WITH d AS (
@@ -4151,7 +4182,6 @@ DRIVER_PRIORITY: list[str] = [
     "topk_orders",
     "session_windows",
     "dedup_exact",
-    "quality_score",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
     # which queue for the round-5 rotation)
@@ -4167,12 +4197,14 @@ DRIVER_PRIORITY: list[str] = [
     "rollup_anomalies",
     "pq_rerank_knn",
     # sliding_counts / tumbling_hourly / text_stats / doc_fingerprint /
-    # embedding_knn (stable r01/r02) queue for the round-5 rotation
+    # embedding_knn / quality_score (stable r01/r02) queue for the
+    # round-5 rotation
     "q20_dominant_supplier",
     "per_group_sample",
     "bpe_pair_counts",
     "ivf_pq_knn",
     "corpus_report",
+    "event_transitions",
 ]
 
 

@@ -173,3 +173,50 @@ def test_versioned_crash_partial_invisible_and_conflict_detected(spark, tmp_path
     assert v == 1  # overwrote the dead partial and committed
     with _pytest.raises(V.ConcurrentWriteError):
         V._commit(p, 1)
+
+
+def test_streaming_cdc_apply_via_foreach_batch_merge(spark, tmp_path):
+    """Streaming upsert apply: a change stream applied through
+    foreachBatch + merge_upsert must land at the same final state as
+    one batch merge of all changes (last-writer-wins per key arrives
+    naturally because later micro-batches merge over earlier ones).
+    Copy-on-write rewrites the snapshot per epoch — the right cost
+    model for slowly-updating reference tables; high-rate CDC would
+    batch epochs coarser or use the partition-scoped variant noted in
+    the module docstring."""
+    import json
+
+    from openetl_spark.sinks import versioned as V
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    batches = [
+        [{"k": 1, "v": "a", "_del": False}, {"k": 2, "v": "b", "_del": False}],
+        [{"k": 2, "v": "B", "_del": False}, {"k": 3, "v": "c", "_del": False}],
+        [{"k": 1, "v": None, "_del": True}, {"k": 4, "v": "d", "_del": False}],
+    ]
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+    tbl = str(tmp_path / "tbl")
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        V.merge_upsert(spark, tbl, df, key_cols=["k"], delete_col="_del")
+
+    stream = (
+        spark.readStream.schema("k long, v string, _del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["k"]: r["v"] for r in V.read_latest(spark, tbl).collect()}
+    assert got == {2: "B", 3: "c", 4: "d"}
