@@ -114,6 +114,7 @@ HEADLINE = [
     "ivf_pq_knn",
     "corpus_report",
     "event_transitions",
+    "dq_report",
 ]
 
 

@@ -3726,6 +3726,54 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "dq_report",
+    """
+    WITH scan AS (
+      SELECT CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+               AS not_null_l_shipdate,
+             CAST(count(CASE WHEN l_quantity IS NOT NULL
+                              AND l_quantity NOT BETWEEN 1 AND 50 THEN 1 END)
+                  AS BIGINT) AS in_range_l_quantity,
+             CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                              AND l_returnflag NOT IN ('A','N','R') THEN 1 END)
+                  AS BIGINT) AS in_set_l_returnflag,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                  AS BIGINT) AS unique_l_orderkey_l_linenumber
+      FROM lineitem),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS fk_l_orderkey
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+    SELECT * FROM scan, fk
+    """,
+)
+def q_dq_report(spark, sf_dir):
+    """Declarative data-quality gate (functions/constraints.py): five
+    rules — null check, range check, vocabulary check, composite-key
+    uniqueness, referential integrity against orders — compiled into
+    ONE conditional-count aggregate over one scan plus one anti-join
+    scalar, never a job per rule. The report is lazy and composes into
+    larger plans; `quarantine` reuses the identical predicates for the
+    clean/violating split so the gate and the split cannot drift. At
+    100 TB this is the ingest gate shape: linear scan, partial aggs,
+    broadcast scalar joins."""
+    from openetl_spark.functions import constraints as DQ
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return DQ.check(
+        l,
+        [
+            DQ.not_null("l_shipdate"),
+            DQ.in_range("l_quantity", 1, 50),
+            DQ.in_set("l_returnflag", ["A", "N", "R"]),
+            DQ.unique("l_orderkey", "l_linenumber"),
+            DQ.foreign_key(["l_orderkey"], o, ["o_orderkey"]),
+        ],
+    )
+
+
+@query(
     "event_transitions",
     """
     WITH seq AS (
@@ -4176,7 +4224,6 @@ DRIVER_PRIORITY: list[str] = [
     "q3_top_orders",
     "q5_regional_revenue",
     "agg_distinct",
-    "rollup_flags",
     "window_rank",
     "window_frame",
     "topk_orders",
@@ -4197,14 +4244,16 @@ DRIVER_PRIORITY: list[str] = [
     "rollup_anomalies",
     "pq_rerank_knn",
     # sliding_counts / tumbling_hourly / text_stats / doc_fingerprint /
-    # embedding_knn / quality_score (stable r01/r02) queue for the
-    # round-5 rotation
+    # embedding_knn / quality_score / rollup_flags (stable r01/r02,
+    # rollup_flags additionally pinned every run by the randomized
+    # rollup/cube differential sweep) queue for the round-5 rotation
     "q20_dominant_supplier",
     "per_group_sample",
     "bpe_pair_counts",
     "ivf_pq_knn",
     "corpus_report",
     "event_transitions",
+    "dq_report",
 ]
 
 

@@ -804,3 +804,51 @@ def test_resize_images_real_pixels(spark):
     )
     assert out["photo.jpg"]["pixels"] is None  # JPEG entropy decode = stub
     assert out["photo.jpg"]["format"] == "jpeg"
+
+
+def test_constraints_check_counts_and_quarantine(spark):
+    from openetl_spark.functions import constraints as DQ
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", 100),
+            (2, None, "A", 100),     # null qty
+            (3, 99, "B", 100),       # out of range + out of set
+            (4, 10, "A", 999),       # orphan fk
+            (4, 10, "A", 100),       # duplicate id=4
+            (5, 10, None, None),     # null flag exempt from in_set; null fk exempt
+        ],
+        "id long, qty long, flag string, ok long",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "rk long")
+    rules = [
+        DQ.not_null("qty"),
+        DQ.in_range("qty", 1, 50),
+        DQ.in_set("flag", ["A"]),
+        DQ.unique("id"),
+        DQ.foreign_key(["ok"], ref, ["rk"]),
+    ]
+    rep = DQ.check(df, rules).first().asDict()
+    assert rep == {
+        "not_null_qty": 1,
+        "in_range_qty": 1,
+        "in_set_flag": 1,
+        "unique_id": 1,
+        "fk_ok": 1,
+    }
+    clean, bad = DQ.quarantine(df, rules)
+    assert {r["id"] for r in bad.collect()} == {2, 3}
+    assert {r["id"] for r in clean.collect()} == {1, 4, 5}  # row-local rules only
+    # single-job shape: the scan rules compile to one aggregate
+    plan = DQ.check(df, rules[:4])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial/final (+ distinct expand)
+
+
+def test_constraints_matches_rule(spark):
+    from openetl_spark.functions import constraints as DQ
+
+    df = spark.createDataFrame(
+        [("a@b.com",), ("nope",), (None,)], "email string"
+    )
+    rep = DQ.check(df, [DQ.matches("email", r"^[^@]+@[^@]+$")]).first()
+    assert rep["matches_email"] == 1
