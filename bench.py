@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_report",
     "event_transitions",
     "dq_report",
+    "hybrid_search_rrf",
 ]
 
 

@@ -3726,6 +3726,88 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "hybrid_search_rrf",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (
+      SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'spark')) > 0) AS df0,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'vector')) > 0) AS df1,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'dup')) > 0) AS df2
+      FROM tk),
+    pc AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2
+      FROM tk),
+    scored AS (
+      SELECT doc_id,
+             round(
+               ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+      FROM pc, st),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM scored WHERE bm25 > 0.0
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+                        e.vec_id ASC) AS rank
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+               e.vec_id ASC
+      LIMIT 50)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           round(COALESCE(1.0 / (l.rank + 60), 0)
+               + COALESCE(1.0 / (s.rank + 60), 0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: lexical BM25 top-50 and semantic cosine top-50
+    (documents and embeddings share the id space) fused by reciprocal
+    rank — Σ 1/(60+rank) (Cormack et al. 2009), the score-free
+    combination used when lexical and vector scores aren't comparable.
+    Each branch is the already-proven scan shape (BM25's broadcast
+    stats + TakeOrdered; brute-force cosine + TakeOrdered); the fusion
+    joins two 50-row relations — candidate-sized, broadcast, free.
+    Ranks derive from total orderings (rounded score, id), so the
+    fused list is engine-reproducible end to end."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    lex = X.bm25_topk(d, ["spark", "vector", "dup"], k=50)
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    sem = S.brute_force_knn_lazy(
+        e.filter(F.col("vec_id") != 0),
+        e.filter(F.col("vec_id") == 0),
+        k=50,
+    )
+    sem_ranked = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc()))
+        .alias("rank"),
+    )
+    return S.rrf_fuse([lex_ranked, sem_ranked], k=20, c=60)
+
+
+@query(
     "dq_report",
     """
     WITH scan AS (
@@ -4224,7 +4306,6 @@ DRIVER_PRIORITY: list[str] = [
     "q3_top_orders",
     "q5_regional_revenue",
     "agg_distinct",
-    "window_rank",
     "window_frame",
     "topk_orders",
     "session_windows",
@@ -4254,6 +4335,9 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_report",
     "event_transitions",
     "dq_report",
+    # window_rank's refresh slot (r03-green window_ranking_extras +
+    # the randomized window sweep pin that family every run)
+    "hybrid_search_rrf",
 ]
 
 

@@ -692,3 +692,42 @@ def ivf_pq_adc_knn(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 20,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    out: str = "rrf_score",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009): fuse
+    any number of ranked candidate lists by ``Σ 1/(c + rank)``, the
+    standard score-free way to combine lexical and semantic retrieval
+    (ranks are comparable across systems; raw scores are not). Inputs
+    are (id, rank) DataFrames — candidate-list-sized, never
+    corpus-sized, so every join here is a broadcast of top-k rows; the
+    missing-list contribution is 0 via outer joins. Total ordering
+    (rounded score desc, id asc) keeps the fused top-k
+    engine-reproducible."""
+    from functools import reduce
+
+    prepared = [
+        df.select(F.col(id_col), (1.0 / (F.col(rank_col) + F.lit(c))).alias(f"_r{i}"))
+        for i, df in enumerate(ranked)
+    ]
+    joined = reduce(
+        lambda a, b: a.join(b, id_col, "full_outer"), prepared
+    )
+    score = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"_r{i}"), F.lit(0.0)),
+        range(1, len(prepared)),
+        F.coalesce(F.col("_r0"), F.lit(0.0)),
+    )
+    return (
+        joined.select(F.col(id_col), F.round(score, round_dp).alias(out))
+        .orderBy(F.col(out).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
