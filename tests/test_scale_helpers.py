@@ -382,3 +382,64 @@ def test_ivf_pq_layout_scan_reads_codes_only_and_prunes(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     flat50 = {r["vec_id"] for r in S.pq_adc_knn(corpus, qdf, books, k=50).collect()}
     assert len(set(got) & flat50) >= 7
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """Scale feature evidence: when a selective dim filter feeds a
+    shuffle join (broadcast disabled, as with two fact-sized sides at
+    100 TB), Spark's runtime bloom filter injects might_contain on the
+    probe side — rows that cannot join are dropped at the fact scan
+    before the shuffle. Thresholds are lowered to make the optimizer
+    fire at testdata size; results must equal the unfiltered join."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    expected = (
+        l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+    ).collect()
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100000000b",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+        assert j.collect() == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
