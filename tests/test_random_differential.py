@@ -565,3 +565,87 @@ def test_random_cms_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(df, con, sql)
     assert ok, f"seed {seed} depth {depth} width {width} k {probe_k}: {msg}"
+
+
+VOCAB = ["spark", "query", "window", "join", "stream", "vector", "dup",
+         "hash", "merge", "batch", "customer"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_bm25_matches_duckdb(spark, sf_dir, con, seed):
+    """Randomized BM25 sweep: random term sets, k1/b, and k against the
+    formula rendered in DuckDB (same literal folding and association
+    order as the catalog query)."""
+    from openetl_spark.operators.text import bm25_topk
+
+    rng = random.Random(1000 + seed)
+    terms = rng.sample(VOCAB, rng.randint(1, 4))
+    k1 = round(rng.uniform(0.8, 2.0), 2)
+    b = round(rng.uniform(0.0, 1.0), 2)
+    k = rng.randint(5, 40)
+
+    df = bm25_topk(
+        catalog.load(spark, sf_dir, "documents"), terms, k=k, k1=k1, b=b
+    )
+    dfs = ", ".join(
+        f"count(*) FILTER (len(list_filter(toks, x -> x = '{t}')) > 0) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    sql = f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+                  {dfs} FROM tk),
+    pc AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tfs} FROM tk),
+    scored AS (SELECT doc_id, round({score}, 4) AS bm25 FROM pc, st)
+    SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} terms {terms} k1={k1} b={b}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_multires_rollup_matches_duckdb(spark, sf_dir, con, seed):
+    """Randomized continuous-aggregate sweep: random fine widths whose
+    minutes divide the hour, re-aggregated to hour/day, vs DuckDB
+    computing each level directly from raw events."""
+    from openetl_spark.operators import timeseries as TS
+
+    rng = random.Random(2000 + seed)
+    mins = rng.choice([5, 10, 12, 20, 30])
+    keys = rng.choice([(), ("event_type",)])
+    df = TS.multi_resolution(
+        catalog.load(spark, sf_dir, "events"),
+        levels=((f"{mins}m", None), ("1h", "hour"), ("1d", "day")),
+        fine_width=f"{mins} minutes",
+        keys=keys,
+    )
+    kcols = "".join(f", {c}" for c in keys)
+    sql = f"""
+    WITH lvl AS (
+      SELECT '{mins}m' AS resolution,
+             time_bucket(INTERVAL '{mins} minutes', ts) AS bucket_start{kcols}, value
+      FROM events
+      UNION ALL
+      SELECT '1h', date_trunc('hour', ts){kcols}, value FROM events
+      UNION ALL
+      SELECT '1d', date_trunc('day', ts){kcols}, value FROM events)
+    SELECT resolution, bucket_start{kcols},
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           floor(round(sum(value), 2) * 10000.0 / count(*)) / 10000.0 AS avg_value
+    FROM lvl GROUP BY ALL
+    """
+    ok, msg = compare(df, con, sql)
+    assert ok, f"seed {seed} mins={mins} keys={keys}: {msg}"
