@@ -131,3 +131,21 @@ def merge_upsert(
     return write_snapshot(
         survivors.unionByName(upserts), path, expected_base=base_v
     )
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Small-file compaction as a new version: read the latest
+    snapshot, coalesce to ``target_files`` files, commit. Data is
+    byte-identical (same rows, fewer files); readers flip atomically
+    and time travel to the fragmented version still works. Run after
+    many small CDC merges — the lakehouse OPTIMIZE verb. coalesce()
+    (not repartition) avoids a shuffle: it only glues existing
+    partitions together, which is exactly what small-file compaction
+    wants."""
+    base_v = latest_version(path)
+    if base_v is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    df = read_version(spark, path, base_v).coalesce(target_files)
+    return write_snapshot(df, path, expected_base=base_v)

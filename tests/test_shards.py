@@ -196,9 +196,15 @@ def test_streaming_cdc_apply_via_foreach_batch_merge(spark, tmp_path):
         [{"k": 1, "v": None, "_del": True}, {"k": 4, "v": "d", "_del": False}],
     ]
     for i, rows in enumerate(batches):
-        (src / f"b{i}.json").write_text(
-            "\n".join(json.dumps(r) for r in rows) + "\n"
-        )
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        # file-stream ingestion order follows modification time; all
+        # three files land within one mtime tick, so pin ascending
+        # mtimes to make the change ORDER deterministic (same trick as
+        # the events stream fixture)
+        import os
+
+        os.utime(f, (1000000000 + i * 60,) * 2)
     tbl = str(tmp_path / "tbl")
 
     def apply_batch(df, batch_id):
@@ -220,3 +226,25 @@ def test_streaming_cdc_apply_via_foreach_batch_merge(spark, tmp_path):
     q.stop()
     got = {r["k"]: r["v"] for r in V.read_latest(spark, tbl).collect()}
     assert got == {2: "B", 3: "c", 4: "d"}
+
+
+def test_versioned_compact_preserves_data_reduces_files(spark, tmp_path):
+    import glob
+    import os
+
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    # many tiny merges → fragmented snapshot
+    V.write_snapshot(
+        spark.range(100).withColumnRenamed("id", "k").repartition(8), p
+    )
+    before = glob.glob(os.path.join(p, "v=0", "*.parquet"))
+    assert len(before) > 1
+    v = V.compact(spark, p, target_files=1)
+    after = glob.glob(os.path.join(p, f"v={v}", "*.parquet"))
+    assert len(after) == 1
+    got = sorted(r["k"] for r in V.read_latest(spark, p).collect())
+    assert got == list(range(100))
+    # time travel to the fragmented version still works
+    assert V.read_version(spark, p, 0).count() == 100
