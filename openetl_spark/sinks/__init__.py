@@ -22,3 +22,7 @@ register_sink("delta", TableFormatSink("delta"))
 register_sink("iceberg", TableFormatSink("iceberg"))
 
 __all__ = ["MemorySink", "RestSink"]
+
+from openetl_spark.sinks.versioned import VersionedSink
+
+register_sink("versioned", VersionedSink())

@@ -149,3 +149,64 @@ def compact(
         raise FileNotFoundError(f"no committed versions under {path}")
     df = read_version(spark, path, base_v).coalesce(target_files)
     return write_snapshot(df, path, expected_base=base_v)
+
+
+class VersionedSink:
+    """Registry adapter (`adapter_id='versioned'`): the lakehouse table
+    as a declarative Pipeline target. ``endpoint_id`` is the table
+    path; config:
+
+    * ``key_cols`` — present → MERGE upsert on those keys (with
+      optional ``delete_col`` tombstone flag); absent → append a full
+      snapshot version.
+    * streaming inputs run through foreachBatch + merge (the CDC-apply
+      loop), checkpointed at ``config['checkpoint']`` (default
+      ``<path>_checkpoint``); ``config['sync']`` drains synchronously.
+    """
+
+    def write(self, df: DataFrame, connector) -> None:
+        path = connector.endpoint_id
+        keys = connector.config.get("key_cols")
+        delete_col = connector.config.get("delete_col")
+
+        def apply(batch_df: DataFrame, _bid: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if keys:
+                merge_upsert(
+                    batch_df.sparkSession, path, batch_df, keys, delete_col
+                )
+            else:
+                write_snapshot(batch_df, path)
+
+        if df.isStreaming:
+            q = (
+                df.writeStream.foreachBatch(apply)
+                .option(
+                    "checkpointLocation",
+                    connector.config.get(
+                        "checkpoint", path.rstrip("/") + "_checkpoint"
+                    ),
+                )
+                .start()
+            )
+            if connector.config.get("sync"):
+                q.processAllAvailable()
+                q.stop()
+            else:
+                connector.config["query"] = q
+            return
+        apply(df, 0)
+
+
+class VersionedSource:
+    """Registry adapter (`adapter_id='versioned'`): read the latest —
+    or, with ``config['version']``, a time-traveled — committed
+    snapshot; the compiled Connector spec (fields/filters/sort/limit)
+    then applies on top like any other source."""
+
+    def read(self, spark: SparkSession, connector) -> DataFrame:
+        v = connector.config.get("version")
+        if v is None:
+            return read_latest(spark, connector.endpoint_id)
+        return read_version(spark, connector.endpoint_id, int(v))

@@ -25,3 +25,7 @@ from openetl_spark.sources.services import register_all as _register_services
 _register_services()
 
 __all__ = ["FileSource", "MemorySource", "JdbcSource", "RestSource"]
+
+from openetl_spark.sinks.versioned import VersionedSource
+
+register_source("versioned", VersionedSource())

@@ -248,3 +248,58 @@ def test_versioned_compact_preserves_data_reduces_files(spark, tmp_path):
     assert got == list(range(100))
     # time travel to the fragmented version still works
     assert V.read_version(spark, p, 0).count() == 100
+
+
+def test_versioned_adapter_through_pipeline(spark, tmp_path):
+    """The lakehouse table as a declarative Pipeline target AND source:
+    parquet → versioned MERGE sink, then versioned source with the
+    compiled spec (filter/sort) on top, including time travel."""
+    from openetl_spark.spec import Connector, Filter, Pipeline, Sort
+    from openetl_spark.pipeline import Orchestrator
+
+    src_path = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0)], "k long, v double"
+    ).write.parquet(src_path)
+    tbl = str(tmp_path / "tbl")
+    orch = Orchestrator(spark=spark)
+
+    orch.run_pipeline(Pipeline(
+        id="p1",
+        source=Connector(adapter_id="parquet", endpoint_id=src_path),
+        target=Connector(
+            adapter_id="versioned", endpoint_id=tbl,
+            config={"key_cols": ["k"]},
+        ),
+    ))
+    # second run: update k=2, insert k=4
+    src2 = str(tmp_path / "in2.parquet")
+    spark.createDataFrame(
+        [(2, 77.0), (4, 4.0)], "k long, v double"
+    ).write.parquet(src2)
+    orch.run_pipeline(Pipeline(
+        id="p2",
+        source=Connector(adapter_id="parquet", endpoint_id=src2),
+        target=Connector(
+            adapter_id="versioned", endpoint_id=tbl,
+            config={"key_cols": ["k"]},
+        ),
+    ))
+
+    res = orch.run_pipeline(Pipeline(
+        id="p3",
+        source=Connector(
+            adapter_id="versioned", endpoint_id=tbl,
+            filters=[Filter("v", ">", 10)],
+            sort=[Sort("k", "desc")],
+        ),
+    ))
+    assert [(r["k"], r["v"]) for r in res.collect()] == [(3, 500.0), (2, 77.0)]
+    # time travel through the source adapter
+    res0 = orch.run_pipeline(Pipeline(
+        id="p4",
+        source=Connector(
+            adapter_id="versioned", endpoint_id=tbl, config={"version": 0},
+        ),
+    ))
+    assert {r["k"] for r in res0.collect()} == {1, 2, 3}
