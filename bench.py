@@ -116,6 +116,7 @@ HEADLINE = [
     "event_transitions",
     "dq_report",
     "hybrid_search_rrf",
+    "grouped_quantiles",
 ]
 
 

@@ -3726,6 +3726,65 @@ def q_pq_knn(spark, sf_dir):
 
 
 @query(
+    "grouped_quantiles",
+    """
+    WITH b AS (
+      SELECT source, CAST(floor(n_chars / 4.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    cum AS (
+      SELECT source, bin, c,
+             sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM b)
+    SELECT source,
+           round(4.0 * min(CASE WHEN cum >= 0.50 * n THEN bin END), 2) AS p50_est,
+           round(4.0 * min(CASE WHEN cum >= 0.90 * n THEN bin END), 2) AS p90_est,
+           round(4.0 * min(CASE WHEN cum >= 0.99 * n THEN bin END), 2) AS p99_est
+    FROM cum GROUP BY source
+    """,
+)
+def q_grouped_quantiles(spark, sf_dir):
+    """histogram_quantiles generalized to per-group percentiles: one
+    scan produces per-(source, bin) counts (partial-agg map-side), the
+    cumulative pass runs over the HISTOGRAM relation — its window
+    partitions hold one group's ≤~150 bins, never one group's raw rows
+    (contrast with percent_rank over raw data: one task per source at
+    100 TB). Estimates are the crossing bin's lower edge — exact by
+    construction, so the whole grouped sketch hash-matches the oracle
+    and the error stays bounded by one bin width per group."""
+    d = load(spark, sf_dir, "documents")
+    w = 4.0
+    b = (
+        d.select(
+            "source", F.floor(F.col("n_chars") / w).cast("long").alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    win = (
+        W.partitionBy("source").orderBy("bin")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win_all = (
+        W.partitionBy("source").orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    cum = b.withColumn("cum", F.sum("c").over(win)).withColumn(
+        "n", F.sum("c").over(win_all)
+    )
+
+    def est(q, alias):
+        return F.round(
+            w * F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin"))), 2
+        ).alias(alias)
+
+    return cum.groupBy("source").agg(
+        est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est")
+    )
+
+
+@query(
     "hybrid_search_rrf",
     """
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -4306,7 +4365,6 @@ DRIVER_PRIORITY: list[str] = [
     "q3_top_orders",
     "q5_regional_revenue",
     "agg_distinct",
-    "window_frame",
     "topk_orders",
     "session_windows",
     "dedup_exact",
@@ -4335,9 +4393,11 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_report",
     "event_transitions",
     "dq_report",
-    # window_rank's refresh slot (r03-green window_ranking_extras +
-    # the randomized window sweep pin that family every run)
+    # window_rank's / window_frame's refresh slots (r03-green
+    # window_ranking_extras + the randomized window sweep pin that
+    # family every run)
     "hybrid_search_rrf",
+    "grouped_quantiles",
 ]
 
 

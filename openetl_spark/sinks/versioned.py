@@ -22,12 +22,13 @@ Layout:
   whose key misses the updates (left_anti), new snapshot = survivors ∪
   upserts (minus rows flagged deleted). One shuffle on the merge keys.
 
-At 100 TB: copy-on-write rewrites the whole table per commit, which is
-right for snapshot-sized batch merges (training-corpus refreshes);
-partition-scoped merges (rewrite only touched partitions) are the
-next increment and compose with this exact manifest protocol — noted
-rather than built because nothing in the driver corpus exercises
-multi-partition selective rewrite.
+At 100 TB: ``merge_upsert`` rewrites the whole table per commit, which
+is right for snapshot-sized batch merges (training-corpus refreshes);
+``merge_upsert_partitioned`` is the selective path — the manifest maps
+each partition to the version owning its data, so a one-partition
+change rewrites one partition and carries the rest forward by
+reference (the Iceberg/Delta data-file-reuse idea at partition
+granularity).
 
 The stdlib marker create maps onto an atomic HDFS create / S3 PUT in
 production, as in `sinks/idempotent.py`.
@@ -210,3 +211,133 @@ class VersionedSource:
         if v is None:
             return read_latest(spark, connector.endpoint_id)
         return read_version(spark, connector.endpoint_id, int(v))
+
+
+# ------------------------------------------------- partition-scoped merge
+
+def _read_manifest(path: str, version: int) -> dict:
+    """Manifest for a committed version: {partition value → version
+    whose v-dir holds that partition's current data}. Plain snapshot
+    markers (zero-byte, from write_snapshot) have no manifest."""
+    import json
+
+    f = os.path.join(_versions_dir(path), str(version))
+    with open(f) as fh:
+        body = fh.read().strip()
+    return json.loads(body)["partitions"] if body else {}
+
+
+def _commit_manifest(path: str, version: int, partitions: dict) -> None:
+    import json
+
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    try:
+        with open(os.path.join(_versions_dir(path), str(version)), "x") as fh:
+            fh.write(json.dumps({"partitions": partitions}, sort_keys=True))
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"version {version} already committed under {path}"
+        ) from e
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    delete_col: str | None = None,
+) -> int:
+    """Partition-scoped MERGE (the SCALE.md 'next increment', now
+    built): only partitions containing updated keys are rewritten; the
+    commit manifest repoints touched partitions at the new version and
+    carries every untouched partition forward by reference — a 100 TB
+    table with a one-partition change rewrites one partition, not the
+    table. This is the Iceberg/Delta data-file-reuse idea with the
+    manifest granularity at partition level.
+
+    Mechanics: the new version directory ``v=N`` holds ONLY the
+    rewritten ``<partition_col>=…`` subdirectories (one distributed
+    partitionBy write); the manifest (JSON inside the atomic version
+    marker) maps every live partition to the version that owns its
+    data. Reads resolve the manifest and scan exactly the referenced
+    directories. Optimistic concurrency is unchanged — the manifest
+    rides the exclusive marker create."""
+    base_v = latest_version(path)
+    manifest = {} if base_v is None else _read_manifest(path, base_v)
+    version = 0 if base_v is None else base_v + 1
+
+    if delete_col is not None:
+        upserts = updates.filter(~updates[delete_col]).drop(delete_col)
+        tomb = updates.filter(updates[delete_col]).select(partition_col, *key_cols)
+    else:
+        upserts, tomb = updates, None
+
+    # touched partitions (distinct partition values of the change set —
+    # low-cardinality by the definition of a partition column)
+    touched_df = updates.select(partition_col).distinct()
+    touched = {r[partition_col] for r in touched_df.collect()}
+
+    new_data = upserts
+    if manifest:
+        hit = {p: v for p, v in manifest.items() if p in {str(t) for t in touched}}
+        if hit:
+            base_parts = [
+                spark.read.option("basePath", os.path.join(path, f"v={v}"))
+                .parquet(os.path.join(path, f"v={v}", f"{partition_col}={p}"))
+                for p, v in sorted(hit.items())
+            ]
+            from functools import reduce
+
+            base = reduce(DataFrame.unionByName, base_parts)
+            gone = upserts.select(partition_col, *key_cols)
+            if tomb is not None:
+                gone = gone.unionByName(tomb)
+            survivors = base.join(
+                gone, [partition_col, *key_cols], "left_anti"
+            )
+            new_data = survivors.select(*upserts.columns).unionByName(upserts)
+
+    new_data.write.partitionBy(partition_col).mode("overwrite").parquet(
+        os.path.join(path, f"v={version}")
+    )
+    # partitions actually present in the new version dir (a partition
+    # whose every row was deleted vanishes from the manifest)
+    present = {
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(path, f"v={version}"))
+        if d.startswith(f"{partition_col}=")
+    }
+    new_manifest = {
+        p: v for p, v in manifest.items() if p not in {str(t) for t in touched}
+    }
+    new_manifest.update({p: version for p in present})
+    _commit_manifest(path, version, new_manifest)
+    return version
+
+
+def read_latest_partitioned(
+    spark: SparkSession, path: str, partition_col: str
+) -> DataFrame:
+    """Resolve the latest manifest and scan exactly the directories it
+    references (grouped by owning version so each version contributes
+    one multi-path read with partition-column recovery)."""
+    from functools import reduce
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    manifest = _read_manifest(path, v)
+    if not manifest:
+        return read_version(spark, path, v)
+    by_ver: dict[int, list[str]] = {}
+    for p, ver in manifest.items():
+        by_ver.setdefault(ver, []).append(
+            os.path.join(path, f"v={ver}", f"{partition_col}={p}")
+        )
+    parts = [
+        spark.read.option("basePath", os.path.join(path, f"v={ver}"))
+        .parquet(*sorted(dirs))
+        for ver, dirs in sorted(by_ver.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)

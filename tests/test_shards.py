@@ -303,3 +303,45 @@ def test_versioned_adapter_through_pipeline(spark, tmp_path):
         ),
     ))
     assert {r["k"] for r in res0.collect()} == {1, 2, 3}
+
+
+def test_partition_scoped_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("en", 1, "a"), ("en", 2, "b"), ("de", 3, "c"), ("fr", 4, "d")],
+        "lang string, k long, v string",
+    )
+    v0 = V.merge_upsert_partitioned(spark, p, base, ["k"], "lang")
+    assert v0 == 0
+    # touch ONLY 'en': update k=2, insert k=5; delete de's k=3 too
+    upd = spark.createDataFrame(
+        [("en", 2, "B", False), ("en", 5, "e", False), ("de", 3, None, True)],
+        "lang string, k long, v string, _del boolean",
+    )
+    v1 = V.merge_upsert_partitioned(spark, p, upd, ["k"], "lang", delete_col="_del")
+    assert v1 == 1
+    # fr was untouched: its data must still live ONLY under v=0
+    assert not os.path.exists(os.path.join(p, "v=1", "lang=fr"))
+    assert glob.glob(os.path.join(p, "v=0", "lang=fr", "*.parquet"))
+    # de lost its only row → vanished from the manifest and the read
+    got = {(r["lang"], r["k"]): r["v"]
+           for r in V.read_latest_partitioned(spark, p, "lang").collect()}
+    assert got == {("en", 1): "a", ("en", 2): "B", ("en", 5): "e",
+                   ("fr", 4): "d"}
+    manifest = V._read_manifest(p, 1)
+    assert manifest == {"en": 1, "fr": 0}
+    # new partition value in a later merge
+    v2 = V.merge_upsert_partitioned(
+        spark, p,
+        spark.createDataFrame([("zh", 9, "z")], "lang string, k long, v string"),
+        ["k"], "lang",
+    )
+    m2 = V._read_manifest(p, v2)
+    assert m2 == {"en": 1, "fr": 0, "zh": 2}
+    got2 = {r["lang"] for r in V.read_latest_partitioned(spark, p, "lang").collect()}
+    assert got2 == {"en", "fr", "zh"}
