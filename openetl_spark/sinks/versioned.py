@@ -108,12 +108,17 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: Sequence[str],
     delete_col: str | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE INTO: rows in ``updates`` replace base rows with the same
     key, new keys insert, and (with ``delete_col``) rows flagged true
     delete their key from the table. Returns the committed version.
     The plan is one left_anti shuffle on the keys plus a union — no
-    driver-side materialization."""
+    driver-side materialization. ``schema_evolution=True`` is the
+    mergeSchema verb: columns added (or dropped) by the updates union
+    with NULL fill on whichever side lacks them; the committed
+    snapshot carries the widened schema. Off by default so schema
+    drift is an explicit decision, not an accident."""
     base_v = latest_version(path)
     if delete_col is not None:
         deletes = updates.filter(updates[delete_col])
@@ -130,7 +135,9 @@ def merge_upsert(
         gone = gone.unionByName(tomb)
     survivors = base.join(gone, list(key_cols), "left_anti")
     return write_snapshot(
-        survivors.unionByName(upserts), path, expected_base=base_v
+        survivors.unionByName(upserts, allowMissingColumns=schema_evolution),
+        path,
+        expected_base=base_v,
     )
 
 
@@ -160,6 +167,10 @@ class VersionedSink:
     * ``key_cols`` — present → MERGE upsert on those keys (with
       optional ``delete_col`` tombstone flag); absent → append a full
       snapshot version.
+    * ``partition_col`` — with ``key_cols``, use the partition-scoped
+      merge (only touched partitions rewrite).
+    * ``schema_evolution`` — allow the whole-table merge to widen the
+      schema (mergeSchema semantics).
     * streaming inputs run through foreachBatch + merge (the CDC-apply
       loop), checkpointed at ``config['checkpoint']`` (default
       ``<path>_checkpoint``); ``config['sync']`` drains synchronously.
@@ -169,13 +180,20 @@ class VersionedSink:
         path = connector.endpoint_id
         keys = connector.config.get("key_cols")
         delete_col = connector.config.get("delete_col")
+        pcol = connector.config.get("partition_col")
+        evolve = bool(connector.config.get("schema_evolution"))
 
         def apply(batch_df: DataFrame, _bid: int) -> None:
             if batch_df.isEmpty():
                 return
-            if keys:
+            if keys and pcol:
+                merge_upsert_partitioned(
+                    batch_df.sparkSession, path, batch_df, keys, pcol, delete_col
+                )
+            elif keys:
                 merge_upsert(
-                    batch_df.sparkSession, path, batch_df, keys, delete_col
+                    batch_df.sparkSession, path, batch_df, keys, delete_col,
+                    schema_evolution=evolve,
                 )
             else:
                 write_snapshot(batch_df, path)

@@ -345,3 +345,20 @@ def test_partition_scoped_merge_rewrites_only_touched_partitions(spark, tmp_path
     assert m2 == {"en": 1, "fr": 0, "zh": 2}
     got2 = {r["lang"] for r in V.read_latest_partitioned(spark, p, "lang").collect()}
     assert got2 == {"en", "fr", "zh"}
+
+
+def test_versioned_schema_evolution(spark, tmp_path):
+    import pytest as _pytest
+
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    upd = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    # drift is an explicit decision: strict mode refuses
+    with _pytest.raises(Exception):
+        V.merge_upsert(spark, p, upd, ["k"])
+    v = V.merge_upsert(spark, p, upd, ["k"], schema_evolution=True)
+    got = {r["k"]: (r["v"], r["score"])
+           for r in V.read_version(spark, p, v).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
