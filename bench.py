@@ -117,6 +117,7 @@ HEADLINE = [
     "dq_report",
     "hybrid_search_rrf",
     "grouped_quantiles",
+    "declarative_star_join",
 ]
 
 

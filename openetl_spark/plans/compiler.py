@@ -70,3 +70,73 @@ def compile_connector(
         df = apply_transforms(df, connector.transform, strict_js_compat)
 
     return df
+
+
+def compile_query(spec, resolve) -> DataFrame:
+    """QuerySpec → one lazy DataFrame lineage (the analytic companion
+    to compile_connector). ``resolve(table_name) -> DataFrame`` supplies
+    base relations (a path reader, the catalog loader, temp views, a
+    versioned-table reader — anything). No engine-side planning: joins
+    are declared, Catalyst picks broadcast/SMJ/shuffled-hash (the
+    ``broadcast`` flag is the standard dim hint), filters/projections
+    push down to the scans, aggregates get map-side partials."""
+    from functools import reduce
+
+    from openetl_spark.spec import QuerySpec
+
+    if isinstance(spec, dict):
+        spec = QuerySpec.from_dict(spec)
+
+    df = resolve(spec.table)
+    for j in spec.joins:
+        right = resolve(j.table)
+        if j.broadcast:
+            right = F.broadcast(right)
+        on = list(j.on)
+        if on and isinstance(on[0], (list, tuple)):
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[l] == right[r] for l, r in on],
+            )
+            df = df.join(right, cond, j.how)
+        else:
+            df = df.join(right, on, j.how)
+
+    pred = compile_filters(spec.filters)
+    if pred is not None:
+        df = df.filter(pred)
+    for alias, expr in spec.derived.items():
+        df = df.withColumn(alias, F.expr(expr))
+
+    if spec.aggregates:
+        fns = {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "count": F.count, "count_distinct": F.countDistinct,
+        }
+        aggs = []
+        for a in spec.aggregates:
+            e = (
+                F.count(F.lit(1))
+                if a.fn == "count" and a.expr is None
+                else fns[a.fn](F.expr(a.expr))
+            )
+            if a.round_dp is not None:
+                e = F.round(e, a.round_dp)
+            aggs.append(e.alias(a.alias))
+        df = df.groupBy(*spec.group_by).agg(*aggs)
+
+    hpred = compile_filters(spec.having)
+    if hpred is not None:
+        df = df.filter(hpred)
+    if spec.select:
+        df = df.select(*spec.select)
+    if spec.sort:
+        df = df.orderBy(
+            *[
+                F.col(s.field).asc() if s.type == "asc" else F.col(s.field).desc()
+                for s in spec.sort
+            ]
+        )
+    if spec.limit is not None:
+        df = df.limit(spec.limit)
+    return df

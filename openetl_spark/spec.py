@@ -122,3 +122,89 @@ class Pipeline:
     error_handling: dict[str, Any] = field(default_factory=dict)  # max_retries, retry_interval (s)
     rate_limiting: dict[str, Any] = field(default_factory=dict)  # requests_per_second
     logging: Callable[[dict], None] | None = None
+
+
+# --------------------------------------------------------------------
+# Declarative analytic query (engine extension, SURVEY.md §7 step 3)
+# --------------------------------------------------------------------
+
+
+@dataclass
+class Aggregate:
+    """One aggregate term. ``expr`` is a column name or SQL expression
+    (``l_extendedprice * (1 - l_discount)``); ``None`` with
+    ``fn='count'`` is COUNT(*). ``round_dp`` applies the catalog's
+    rounding convention on output."""
+
+    fn: Literal["sum", "avg", "min", "max", "count", "count_distinct"]
+    expr: str | None
+    alias: str
+    round_dp: int | None = None
+
+
+@dataclass
+class Join:
+    """Equi-join step. ``on`` is either shared column names
+    (``["custkey"]``) or (left, right) name pairs
+    (``[["l_suppkey", "s_suppkey"], ["c_nationkey", "s_nationkey"]]``);
+    ``broadcast`` hints the right side (dims)."""
+
+    table: str
+    on: Sequence[Any]
+    how: str = "inner"
+    broadcast: bool = False
+
+
+@dataclass
+class QuerySpec:
+    """The declarative analytic query the reference never had: joins,
+    derived expressions, grouped aggregation, HAVING, ordering, limit —
+    all as data (JSON-able via ``from_dict``), compiled to one lazy
+    DataFrame lineage by ``plans.compiler.compile_query``. Everything
+    an operator mask would disallow simply isn't expressible here;
+    everything else rides Catalyst (join selection, pushdown, codegen)
+    with zero engine-side planning."""
+
+    table: str
+    joins: Sequence[Join] = ()
+    filters: Sequence[FilterLike] = ()
+    derived: dict[str, str] = field(default_factory=dict)
+    group_by: Sequence[str] = ()
+    aggregates: Sequence[Aggregate] = ()
+    having: Sequence[FilterLike] = ()
+    select: Sequence[str] = ()
+    sort: Sequence[Sort] = ()
+    limit: int | None = None
+
+    @staticmethod
+    def from_dict(d: dict) -> "QuerySpec":
+        def _filters(items):
+            out = []
+            for f in items or ():
+                if "op" in f:
+                    out.append(FilterGroup(f["op"], _filters(f["filters"])))
+                else:
+                    out.append(
+                        Filter(f["field"], f.get("operator", "="), f.get("value"))
+                    )
+            return out
+
+        return QuerySpec(
+            table=d["table"],
+            joins=[
+                Join(j["table"], j["on"], j.get("how", "inner"),
+                     j.get("broadcast", False))
+                for j in d.get("joins", ())
+            ],
+            filters=_filters(d.get("filters")),
+            derived=dict(d.get("derived", {})),
+            group_by=list(d.get("group_by", ())),
+            aggregates=[
+                Aggregate(a["fn"], a.get("expr"), a["alias"], a.get("round_dp"))
+                for a in d.get("aggregates", ())
+            ],
+            having=_filters(d.get("having")),
+            select=list(d.get("select", ())),
+            sort=[Sort(s["field"], s.get("type", "asc")) for s in d.get("sort", ())],
+            limit=d.get("limit"),
+        )

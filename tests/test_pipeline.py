@@ -589,3 +589,62 @@ def test_staged_ingest_reused_dir_drops_stale_parts(spark, tmp_path):
     assert big.count() == 5000
     small = Orchestrator(spark=spark).run_pipeline(Pipeline(id="s", source=src(1500))).df
     assert small.count() == 1500  # not 1500 + stale tail of the 5000-run
+
+
+# ------------------------------------------------------ declarative query
+
+def test_compile_query_topk_having_and_plan(spark, sf_dir):
+    """QuerySpec end-to-end: join + derived column + grouped aggregate +
+    HAVING + sort + limit equals the hand-built DataFrame query, the
+    broadcast hint lands in the physical plan, and the whole spec
+    round-trips through a plain dict (JSON-able)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from openetl_spark import catalog
+    from openetl_spark.plans.compiler import compile_query
+
+    spec = {
+        "table": "orders",
+        "joins": [
+            {"table": "customer", "on": [["o_custkey", "c_custkey"]],
+             "broadcast": True},
+        ],
+        "derived": {"year": "year(o_orderdate)"},
+        "group_by": ["c_mktsegment", "year"],
+        "aggregates": [
+            {"fn": "count", "expr": None, "alias": "n"},
+            {"fn": "sum", "expr": "o_totalprice", "alias": "total",
+             "round_dp": 2},
+            {"fn": "count_distinct", "expr": "o_custkey", "alias": "custs"},
+        ],
+        "having": [{"field": "n", "operator": ">", "value": 50}],
+        "sort": [{"field": "total", "type": "desc"},
+                 {"field": "c_mktsegment"}, {"field": "year"}],
+        "limit": 10,
+    }
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    exp = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("year", F.expr("year(o_orderdate)"))
+        .groupBy("c_mktsegment", "year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct("o_custkey").alias("custs"),
+        )
+        .filter(F.col("n") > 50)
+        .orderBy(F.col("total").desc(), "c_mktsegment", "year")
+        .limit(10)
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in exp.collect()]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
