@@ -118,6 +118,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "grouped_quantiles",
     "declarative_star_join",
+    "declarative_window_topn",
 ]
 
 

@@ -3781,6 +3781,41 @@ def q_declarative_star_join(spark, sf_dir):
 
 
 @query(
+    "declarative_window_topn",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3 AND o_custkey <= 100
+    """,
+)
+def q_declarative_window_topn(spark, sf_dir):
+    """QuerySpec's window surface: top-3 orders per customer as a pure
+    dict — a declarative window term (row_number over a deterministic
+    (price desc, key asc) ordering) filtered by the post-window HAVING
+    stage. One hash shuffle on the high-cardinality customer key."""
+    from openetl_spark.plans.compiler import compile_query
+
+    spec = {
+        "table": "orders",
+        "filters": [{"field": "o_custkey", "operator": "<=", "value": 100}],
+        "windows": [
+            {"fn": "row_number", "alias": "rn",
+             "partition_by": ["o_custkey"],
+             "order_by": [{"field": "o_totalprice", "type": "desc"},
+                          {"field": "o_orderkey", "type": "asc"}]},
+        ],
+        "having": [{"field": "rn", "operator": "<=", "value": 3}],
+        "select": ["o_custkey", "o_orderkey", "o_totalprice", "rn"],
+    }
+    df = compile_query(spec, lambda t: load(spark, sf_dir, t))
+    return df.withColumn("rn", F.col("rn").cast("long"))
+
+
+@query(
     "grouped_quantiles",
     """
     WITH b AS (
@@ -4420,7 +4455,6 @@ DRIVER_PRIORITY: list[str] = [
     "q3_top_orders",
     "q5_regional_revenue",
     "agg_distinct",
-    "session_windows",
     "dedup_exact",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
@@ -4452,9 +4486,10 @@ DRIVER_PRIORITY: list[str] = [
     # family every run)
     "hybrid_search_rrf",
     "grouped_quantiles",
-    # topk_orders' refresh slot (stable r01/r02, pinned by the random
-    # top-k differential sweep every run)
+    # topk_orders' / session_windows' refresh slots (stable r01/r02,
+    # pinned by the random top-k sweep and the streaming suite)
     "declarative_star_join",
+    "declarative_window_topn",
 ]
 
 

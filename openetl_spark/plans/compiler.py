@@ -125,6 +125,37 @@ def compile_query(spec, resolve) -> DataFrame:
             aggs.append(e.alias(a.alias))
         df = df.groupBy(*spec.group_by).agg(*aggs)
 
+    if spec.windows:
+        from pyspark.sql import Window as W
+
+        ranking = {
+            "row_number": F.row_number, "rank": F.rank,
+            "dense_rank": F.dense_rank,
+        }
+        fns = {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "count": F.count,
+        }
+        for wf in spec.windows:
+            win = W.partitionBy(*wf.partition_by)
+            if wf.order_by:
+                win = win.orderBy(
+                    *[
+                        F.col(s.field).asc() if s.type == "asc"
+                        else F.col(s.field).desc()
+                        for s in wf.order_by
+                    ]
+                )
+            if wf.fn in ranking:
+                e = ranking[wf.fn]()
+            elif wf.fn in ("lag", "lead"):
+                e = getattr(F, wf.fn)(F.expr(wf.expr), wf.offset)
+            else:
+                e = fns[wf.fn](F.expr(wf.expr))
+            df = df.withColumn(wf.alias, e.over(win))
+
+    # HAVING runs after aggregates AND windows, so it filters on
+    # either's outputs (the top-n-per-group rn <= k shape included)
     hpred = compile_filters(spec.having)
     if hpred is not None:
         df = df.filter(hpred)

@@ -172,6 +172,7 @@ class QuerySpec:
     group_by: Sequence[str] = ()
     aggregates: Sequence[Aggregate] = ()
     having: Sequence[FilterLike] = ()
+    windows: Sequence["WindowFn"] = ()
     select: Sequence[str] = ()
     sort: Sequence[Sort] = ()
     limit: int | None = None
@@ -204,7 +205,32 @@ class QuerySpec:
                 for a in d.get("aggregates", ())
             ],
             having=_filters(d.get("having")),
+            windows=[
+                WindowFn(
+                    w["fn"], w["alias"],
+                    list(w.get("partition_by", ())),
+                    [Sort(s["field"], s.get("type", "asc"))
+                     for s in w.get("order_by", ())],
+                    w.get("expr"), w.get("offset", 1),
+                )
+                for w in d.get("windows", ())
+            ],
             select=list(d.get("select", ())),
             sort=[Sort(s["field"], s.get("type", "asc")) for s in d.get("sort", ())],
             limit=d.get("limit"),
         )
+
+
+@dataclass
+class WindowFn:
+    """Declarative window term: ``fn`` ∈ row_number/rank/dense_rank/
+    lag/lead/sum/avg/min/max/count; ``expr`` is the argument (None for
+    ranking fns); frame is the full partition for aggregates (add
+    frames when a consumer needs them — YAGNI until then)."""
+
+    fn: str
+    alias: str
+    partition_by: Sequence[str] = ()
+    order_by: Sequence[Sort] = ()
+    expr: str | None = None
+    offset: int = 1  # lag/lead only
