@@ -649,3 +649,107 @@ def test_random_multires_rollup_matches_duckdb(spark, sf_dir, con, seed):
     """
     ok, msg = compare(df, con, sql)
     assert ok, f"seed {seed} mins={mins} keys={keys}: {msg}"
+
+
+# -------------------------------------------- declarative QuerySpec fuzz
+
+def gen_queryspec(seed: int) -> dict:
+    rng = random.Random(3000 + seed)
+    spec: dict = {"table": "lineitem", "joins": [], "filters": []}
+    joined = rng.random() < 0.6
+    if joined:
+        spec["joins"].append(
+            {"table": "orders", "on": [["l_orderkey", "o_orderkey"]],
+             "broadcast": rng.random() < 0.5}
+        )
+    if rng.random() < 0.8:
+        col = rng.choice(sorted(NUMS))
+        lo, hi = NUMS[col]
+        spec["filters"].append(
+            {"field": col, "operator": rng.choice(["<", "<=", ">", ">="]),
+             "value": round(rng.uniform(lo, hi), 2)}
+        )
+    if rng.random() < 0.4:
+        spec["filters"].append(
+            {"field": "l_returnflag", "operator": rng.choice(["in", "not_in"]),
+             "value": rng.sample(["A", "N", "R"], rng.randint(1, 2))}
+        )
+    if rng.random() < 0.5:
+        spec["derived"] = {"rev": "l_extendedprice * (1 - l_discount)"}
+    group_pool = ["l_returnflag", "l_linestatus"] + (
+        ["o_orderpriority"] if joined else []
+    )
+    spec["group_by"] = rng.sample(group_pool, rng.randint(0, len(group_pool)))
+    num_pool = sorted(NUMS) + (["rev"] if "derived" in spec else [])
+    spec["aggregates"] = []
+    for i in range(rng.randint(1, 3)):
+        fn = rng.choice(["sum", "avg", "min", "max", "count", "count_distinct"])
+        spec["aggregates"].append(
+            {"fn": fn,
+             "expr": None if (fn == "count" and rng.random() < 0.3)
+             else rng.choice(num_pool),
+             "alias": f"a{i}",
+             "round_dp": {"sum": 2, "avg": 4}.get(fn)}
+        )
+    if spec["group_by"] and rng.random() < 0.4:
+        spec["aggregates"].append(
+            {"fn": "count", "expr": None, "alias": "n"})
+        spec["having"] = [{"field": "n", "operator": ">", "value": 10}]
+    return spec
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_queryspec_matches_duckdb(spark, sf_dir, con, seed):
+    """The declarative layer fuzzed end-to-end: one random QuerySpec
+    dict, compiled by plans.compiler.compile_query on Spark and
+    rendered by functions.spec_sql.render_query for DuckDB."""
+    from openetl_spark.functions.spec_sql import render_query
+    from openetl_spark.plans.compiler import compile_query
+
+    spec = gen_queryspec(seed)
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+    ok, msg = compare(df, con, render_query(spec))
+    assert ok, f"seed {seed} spec {spec}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_queryspec_window_matches_duckdb(spark, sf_dir, con, seed):
+    """Window terms through both paths: deterministic orderings
+    (unique key tiebreaks), post-window HAVING on rank."""
+    from openetl_spark.functions.spec_sql import render_query
+    from openetl_spark.plans.compiler import compile_query
+
+    rng = random.Random(4000 + seed)
+    fn = rng.choice(["row_number", "rank", "dense_rank", "lag", "lead"])
+    spec = {
+        "table": "lineitem",
+        "filters": [{"field": "l_orderkey", "operator": "<=",
+                     "value": rng.randint(500, 2000)}],
+        "windows": [{
+            "fn": fn, "alias": "w",
+            "partition_by": ["l_returnflag"],
+            # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+            # data; widening the ordering with the lagged/selected
+            # columns makes tie rows value-identical, so every window
+            # output is engine-deterministic despite the ties
+            "order_by": [{"field": "l_orderkey"}, {"field": "l_linenumber"},
+                         {"field": "l_quantity"},
+                         {"field": "l_extendedprice"}],
+            **({"expr": "l_quantity", "offset": rng.randint(1, 3)}
+               if fn in ("lag", "lead") else {}),
+        }],
+        "select": ["l_orderkey", "l_linenumber", "l_returnflag", "w"],
+    }
+    if fn in ("row_number", "rank", "dense_rank"):
+        spec["having"] = [{"field": "w", "operator": "<=",
+                           "value": rng.randint(3, 30)}]
+        # rank outputs are int on Spark, bigint in DuckDB — normalize
+        # by casting in a derived select? compare() checks schema;
+        # cast via an extra window-alias select is overkill: assert on
+        # the cast DataFrame instead
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+    from pyspark.sql import functions as F
+    if fn in ("row_number", "rank", "dense_rank"):
+        df = df.withColumn("w", F.col("w").cast("long"))
+    ok, msg = compare(df, con, render_query(spec))
+    assert ok, f"seed {seed} spec {spec}: {msg}"
