@@ -119,6 +119,12 @@ HEADLINE = [
     "grouped_quantiles",
     "declarative_star_join",
     "declarative_window_topn",
+    # round-8 additions (no BASELINE entries — first-run provenance)
+    "ngram_lm_score",
+    "kl_domain_shift",
+    "zipf_fit",
+    "semantic_dedup",
+    "incremental_dedup",
 ]
 
 

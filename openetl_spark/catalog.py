@@ -4398,6 +4398,202 @@ def q_pq_rerank_knn(spark, sf_dir):
     return S.pq_rerank_knn(corpus, qdf, books, k=10, shortlist=50)
 
 
+# =====================================================================
+# r08 — corpus LM statistics + incremental / semantic dedup
+# =====================================================================
+
+
+@query(
+    "ngram_lm_score",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS w
+      FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS pre, w[i] || ' ' || w[i + 1] AS bg
+      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+    c1 AS (SELECT pre, count(*) AS c FROM big GROUP BY pre),
+    v AS (SELECT count(DISTINCT tok) AS vs
+          FROM (SELECT UNNEST(w) AS tok FROM tk) u)
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((c2.c + 1.0) / (c1.c + v.vs))), 4) AS nll
+    FROM big JOIN c2 USING (bg) JOIN c1 USING (pre), v
+    GROUP BY big.doc_id
+    """,
+)
+def q_ngram_lm_score(spark, sf_dir):
+    """Curation (r08): add-one-smoothed bigram LM trained on the corpus
+    in one pass, every document scored by mean negative log-likelihood
+    — the CCNet-style perplexity filter, one model grade above
+    rarity_score's unigram surprise."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.ngram_lm_score(d, "doc_id", "text")
+
+
+@query(
+    "kl_domain_shift",
+    """
+    WITH ex AS (
+      SELECT source AS g,
+             UNNEST(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS token
+      FROM documents),
+    corpus AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+    per_group AS (SELECT g, token, count(*) AS cg FROM ex GROUP BY g, token),
+    totals AS (SELECT g, count(*) AS ng FROM ex GROUP BY g),
+    stats AS (SELECT count(*) AS v, sum(c) AS n FROM corpus),
+    grid AS (
+      SELECT t.g, t.ng,
+             (COALESCE(pg.cg, 0) + 1.0) / (t.ng + s.v) AS p,
+             (c.c + 1.0) / (s.n + s.v) AS q
+      FROM corpus c CROSS JOIN totals t
+      LEFT JOIN per_group pg ON pg.g = t.g AND pg.token = c.token,
+      stats s)
+    SELECT g AS source,
+           CAST(any_value(ng) AS BIGINT) AS n_tokens,
+           round(sum(p * ln(p / q)), 4) AS kl
+    FROM grid GROUP BY g
+    """,
+)
+def q_kl_domain_shift(spark, sf_dir):
+    """Curation (r08): KL(source ‖ corpus) over smoothed unigram
+    distributions — the domain-shift audit for a training mix. The
+    token-grid join is vocab-sized; groups ride a broadcast."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.kl_domain_shift(d, "source", "text")
+
+
+@query(
+    "zipf_fit",
+    """
+    WITH freq AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT UNNEST(list_transform(
+              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+              x -> lower(x))) AS token
+            FROM documents) u
+      GROUP BY token),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, token) AS DOUBLE)) AS lr,
+             ln(CAST(c AS DOUBLE)) AS lc
+      FROM freq)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(lc, lr), 4) AS zipf_slope,
+           round(regr_intercept(lc, lr), 4) AS zipf_intercept,
+           round(regr_r2(lc, lr), 4) AS r2
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Curation (r08): log-log rank-frequency regression — slope ≈ −1
+    is Zipfian natural text; a one-row corpus-health probe. The window
+    sorts the post-agg vocabulary relation, never the corpus."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.zipf_fit(d, "text")
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cs
+      FROM assign a JOIN assign b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+    best AS (SELECT b, min(a) AS dup_of FROM pairs GROUP BY b)
+    SELECT CAST(best.b AS BIGINT) AS vec_id,
+           CAST(best.dup_of AS BIGINT) AS dup_of,
+           p.cs AS cosine_sim
+    FROM best JOIN pairs p ON p.b = best.b AND p.a = best.dup_of
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """C27/C28 (r08): SemDeDup — cluster-scoped semantic near-dup
+    removal. Reuses the SAME persisted IVF quantizer as ivf_knn (one
+    trained artifact serves search and dedup), pairwise cosine runs as
+    one numpy matmul per cluster, and the min-id survivor rule makes
+    the whole operator re-derivable by the oracle from the centroid
+    parquet. Threshold 0.4 sits under this synthetic corpus's ~0.51
+    cosine ceiling so the gate is non-vacuous."""
+    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    return S.semantic_dedup(e, cents, threshold=0.4)
+
+
+_INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
+
+
+@query(
+    "incremental_dedup",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+    side AS (SELECT doc_id, ({_INCR_BUCKET}) < 50 AS is_index FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS p, y.doc_id AS q, count(*) AS c
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT inter.p AS a, inter.q AS b,
+             round(c / (sp.n + sq.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sizes sp ON sp.doc_id = inter.p
+      JOIN sizes sq ON sq.doc_id = inter.q
+      JOIN side bp ON bp.doc_id = inter.p
+      JOIN side bq ON bq.doc_id = inter.q
+      WHERE NOT bq.is_index
+        AND (bp.is_index OR inter.p < inter.q)
+        AND c / (sp.n + sq.n - c) >= 0.5),
+    agg AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_dups, min(a) AS dup_of
+      FROM pairs GROUP BY b)
+    SELECT CAST(agg.b AS BIGINT) AS doc_id, agg.n_dups,
+           CAST(agg.dup_of AS BIGINT) AS dup_of, p.jaccard
+    FROM agg JOIN pairs p ON p.b = agg.b AND p.a = agg.dup_of
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """C26/C27 (r08): incremental MinHash dedup — the md5-bucket lower
+    half of the corpus plays the persisted index, the upper half is the
+    incoming batch; index×index pairs are never enumerated. Same
+    128-hash / 64-band / jaccard ≥ 0.5 regime as minhash_near_dups, so
+    LSH recall is ≈ 1 and the exact-jaccard oracle (restricted to
+    new-batch pairs with the min-partner survivor rule) is the full
+    answer."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    bucket = C.hash_bucket(F.col("doc_id"), 100)
+    idx = d.filter(bucket < 50)
+    new = d.filter(bucket >= 50)
+    return D.incremental_near_duplicates(
+        new, idx, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -4440,22 +4636,26 @@ DRIVER_PRIORITY: list[str] = [
     "pandas_normalize",
     "dedup_components",
     "dedup_keep_best",
+    # added r08, no driver row yet — take five of the oldest-green
+    # refresh slots (join_semi/join_anti/join_broadcast are
+    # plan-asserted in tests; agg_distinct/dedup_exact are oracle-
+    # pinned locally every run; all five queue for the next rotation)
+    "ngram_lm_score",
+    "kl_domain_shift",
+    "zipf_fit",
+    "semantic_dedup",
+    "incremental_dedup",
     # oldest green rows (r01/r02 only) — refresh
     "connector_slice",
     "filter_group_or",
     "transform_chain",
     "join_inner",
     "join_left_agg",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
     "range_join_events",
     "asof_join_events",
     "q1_pricing",
     "q3_top_orders",
     "q5_regional_revenue",
-    "agg_distinct",
-    "dedup_exact",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
     # which queue for the round-5 rotation)

@@ -450,6 +450,73 @@ def rarity_score(
     )
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Bigram language-model scoring: train an add-one-smoothed bigram
+    LM on the corpus itself in one pass, then score every document by
+    its mean negative log-likelihood — the CCNet-style perplexity
+    filter (Wenzek et al. 2020) that ranks documents by how "expected"
+    their token sequences are, one model grade above ``rarity_score``'s
+    unigram surprise. Low nll ≈ fluent/boilerplate, high nll ≈ garbled
+    or out-of-domain text. Returns (id, n_bigrams, nll) for documents
+    with ≥ 2 tokens; P(w|v) = (c(v,w)+1) / (c(v·)+V) with c(v·) the
+    count of bigram occurrences starting with v and V the corpus
+    vocabulary size.
+
+    Physical shape: tokens explode once with position; adjacent pairs
+    come from ``lead`` over a doc-keyed window (doc_id is maximally
+    high-cardinality, so window partitions stay row-group sized at any
+    corpus scale — never the low-cardinality-window trap). Bigram and
+    prefix counts are partial-aggregated on their keys; the probe-side
+    re-join is Zipf-skewed exactly like ``rarity_score``'s and rides
+    the same AQE broadcast/skew-split behavior (the count relations
+    are post-agg, runtime-sized). Vocabulary size joins as a broadcast
+    one-row relation."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    ex = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(toks).alias("_pos", "token"),
+    )
+    w = W.partitionBy("_doc").orderBy("_pos")
+    big = (
+        ex.withColumn("_next", F.lead("token").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            "_doc",
+            F.col("token").alias("pre"),
+            F.concat_ws(" ", "token", "_next").alias("bg"),
+        )
+    )
+    c2 = big.groupBy("bg").agg(F.count("*").alias("_c2"))
+    c1 = big.groupBy("pre").agg(F.count("*").alias("_c1"))
+    vocab = ex.agg(F.countDistinct("token").alias("_v"))
+    return (
+        big.join(c2, "bg")
+        .join(c1, "pre")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_doc")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("_c2") + F.lit(1.0)) / (F.col("_c1") + F.col("_v"))
+                    )
+                ),
+                round_dp,
+            ).alias("nll"),
+        )
+        .select(F.col("_doc").alias(id_col), "n_bigrams", "nll")
+    )
+
+
 # ---------------------------------------------------------------------
 # Embedding normalization / quantization
 # ---------------------------------------------------------------------

@@ -80,8 +80,9 @@ def minhash_signatures(
     shingle_col: str = "shingles",
     num_hashes: int = 128,
     out: str = "minhash",
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """MinHash signatures as (id, minhash array) — one row per id,
+    """MinHash signatures as (id, *extra_cols, minhash array) — one row per id,
     computed entirely scan-side: ZERO shuffles.
 
     Shape matters for both speed and scale: hash each shingle string
@@ -101,7 +102,37 @@ def minhash_signatures(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
     )
-    return df.select(F.col(id_col), sig.alias(out))
+    return df.select(F.col(id_col), *extra_cols, sig.alias(out))
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    sig_col: str = "minhash",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Explode a signature relation into (id, *extra_cols, band, band_hash) rows.
+    Band hash = xxhash64 of the band's r signature elements + band id,
+    taken straight off the array. A higher-order-function loop over
+    the band index keeps codegen to one small loop body instead of
+    ``bands`` unrolled hash expressions (r is a Python int, so the
+    element accesses inside the body are a fixed r-ary xxhash64)."""
+    r = num_hashes // bands
+    return df.select(
+        F.col(id_col),
+        *extra_cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    *[F.element_at(F.col(sig_col), b * r + j + 1) for j in range(r)],
+                    b,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -118,27 +149,9 @@ def minhash_lsh_candidates(
     a < b. Pair probability ≈ 1-(1-s^r)^b for jaccard s."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
     if sig_col not in df.columns:
         df = minhash_signatures(df, id_col, shingle_col, num_hashes, sig_col)
-
-    # Band hash = xxhash64 of the band's r signature elements + band id,
-    # taken straight off the array. A higher-order-function loop over
-    # the band index keeps codegen to one small loop body instead of
-    # ``bands`` unrolled hash expressions (r is a Python int, so the
-    # element accesses inside the body are a fixed r-ary xxhash64).
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    *[F.element_at(F.col(sig_col), b * r + j + 1) for j in range(r)],
-                    b,
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded_signatures(df, id_col, num_hashes, bands, sig_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -283,6 +296,99 @@ def minhash_near_duplicates(
     out = _verify_jaccard_on_candidates(cands.select("a", "b"), sh, threshold)
     out._cached_deps = [sh] if cache else []
     return out
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    cache: bool = True,
+) -> DataFrame:
+    """Dedup a NEW document batch against an existing corpus (the
+    "index") plus itself — the incremental posture of a continuously
+    growing training corpus, where re-deduplicating the full history
+    on every ingest is the scale-killer. Reference parity: the
+    reference has no incremental dedup; this is part of the
+    Spark-native training-pipeline surface (SURVEY.md §2C C26/C27).
+
+    Candidate generation shares the MinHash/LSH banding of
+    ``minhash_near_duplicates`` but only ever joins NEW band rows
+    against (index ∪ new) band rows — index×index pairs are never
+    enumerated, so per-ingest cost is O(|new| · collision rate), not
+    O(|corpus|²) and not even O(|corpus|): the index side contributes
+    one scan to recompute signatures (in production the signature
+    relation is persisted at build time — 128 longs per doc — and this
+    scan disappears; verification still re-reads only the index docs
+    that actually collide with a new doc, a collision-sized semi-join).
+
+    A new doc is flagged when it has a qualifying partner in the index
+    (any id) or an earlier (smaller-id) partner within its own batch —
+    the same survivor rule exact dedup uses, so a batch containing an
+    internal dup group keeps exactly its smallest id. Returns one row
+    per flagged NEW doc: (id, n_dups, dup_of = smallest qualifying
+    partner, jaccard of that pair), jaccard exact over full shingle
+    sets (verification never trusts the sketch)."""
+    sh_all = (
+        with_shingles(index_df, text_col, n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.lit(True).alias("_isidx"),
+            F.col("shingles").alias("sh"),
+        )
+        .unionByName(
+            with_shingles(new_df, text_col, n).select(
+                F.col(id_col).alias("id"),
+                F.lit(False).alias("_isidx"),
+                F.col("shingles").alias("sh"),
+            )
+        )
+    )
+    if cache:
+        sh_all = sh_all.persist()
+    # ONE signature + banding pass over the tagged union — the side
+    # flag rides along so the band join can keep only (any × new)
+    # pairs. new × index: partner id unconstrained (index ids may
+    # exceed new ids); new × new: smaller id is the partner.
+    banded = _banded_signatures(
+        minhash_signatures(sh_all, "id", "sh", num_hashes, extra_cols=("_isidx",)),
+        "id",
+        num_hashes,
+        bands,
+        extra_cols=("_isidx",),
+    )
+    on = ["band", "band_hash"]
+    x = banded.filter(~F.col("_isidx")).select(F.col("id").alias("b"), *on)
+    cands = (
+        banded.select(F.col("id").alias("a"), "_isidx", *on)
+        .join(x, on)
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.col("_isidx") | (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    pairs = _verify_jaccard_on_candidates(cands, sh_all.select("id", "sh"), threshold)
+    flagged = (
+        pairs.groupBy("b")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(F.struct("a", "jaccard")).alias("_m"),
+        )
+        .select(
+            F.col("b").alias(id_col),
+            "n_dups",
+            F.col("_m.a").alias("dup_of"),
+            F.col("_m.jaccard").alias("jaccard"),
+        )
+    )
+    flagged._cached_deps = [sh_all] if cache else []
+    return flagged
 
 
 # -------------------------------------------------------------- simhash

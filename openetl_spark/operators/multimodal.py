@@ -417,7 +417,7 @@ def parse_gif_frames(data: bytes) -> list[dict]:
                 pos = p
             else:  # unknown block — stop rather than misparse
                 break
-    except IndexError:  # truncated file: keep complete frames
+    except (IndexError, _struct.error):  # truncated file: keep complete frames
         pass
     return frames
 

@@ -487,6 +487,76 @@ def ivf_knn(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str | None = None,
+    threshold: float = 0.95,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then search for near-duplicate pairs ONLY within each
+    cluster — the standard trick that turns all-pairs cosine dedup
+    from O(n²) into O(Σ clusterᵢ²), with cluster count chosen ∝ √n so
+    per-cluster work stays bounded as the corpus grows.
+
+    Physical shape: one shuffle keyed on the cluster id, then one
+    numpy matmul per cluster inside ``applyInPandas`` (the same
+    Arrow-batched engine as ``blocked_similarity_join`` — a JVM
+    fold-expression cosine per pair would cost ~100× BLAS). A vector
+    is flagged as a semantic duplicate when a SMALLER-id vector in its
+    cluster has rounded cosine ≥ threshold; output is one row per
+    flagged vector (id, dup_of = smallest such partner, its cosine).
+    Deterministic end-to-end: assignment is argmin ‖c‖²−2v·c with
+    lowest-list-id tie-break, survivor choice is min-id — so a DuckDB
+    oracle can re-derive the whole operator from the persisted
+    centroid parquet.
+
+    Pass ``list_col`` when ``df`` already carries the assignment (e.g.
+    read from the IVF-partitioned layout) to skip re-assigning."""
+    if list_col is None:
+        assigned = with_ivf_assignment(df, centroids, vec_col, "_l")
+        list_col = "_l"
+    else:
+        assigned = df
+    tagged = assigned.select(
+        F.col(list_col).alias("_l"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    thr, dp = float(threshold), int(round_dp)
+    id_type, id_dtype = _id_schema(df, id_col)
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        ids = pdf["_id"].to_numpy()
+        nrm = np.linalg.norm(m, axis=1)
+        sims = np.round((m @ m.T) / np.outer(nrm, nrm), dp)
+        ii, jj = np.where(sims >= thr)
+        keep = ids[ii] < ids[jj]
+        aa, bb, vv = ids[ii][keep], ids[jj][keep], sims[ii, jj][keep]
+        return pd.DataFrame({"a": aa, "b": bb, "cosine_sim": vv}).astype(
+            {"a": id_dtype, "b": id_dtype, "cosine_sim": "float64"}
+        )
+
+    pairs = tagged.groupBy("_l").applyInPandas(
+        lambda _k, pdf: cluster_pairs(pdf),
+        f"a {id_type}, b {id_type}, cosine_sim double",
+    )
+    return (
+        pairs.groupBy("b")
+        .agg(F.min(F.struct("a", "cosine_sim")).alias("_m"))
+        .select(
+            F.col("b").alias(id_col),
+            F.col("_m.a").alias("dup_of"),
+            F.col("_m.cosine_sim").alias("cosine_sim"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ PQ
 
 def train_pq_codebooks(

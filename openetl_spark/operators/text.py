@@ -8,7 +8,7 @@ of text" being a linear scan versus a Python bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -181,6 +181,104 @@ def bigram_repetition_stats(
         F.sum("c").alias("n_bigrams"),
         F.round(F.count("*") / F.sum("c"), round_dp).alias("distinct_ratio"),
         F.round(F.max("c") / F.sum("c"), round_dp).alias("top_frac"),
+    )
+
+
+def kl_domain_shift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lowercase: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group KL divergence of each group's smoothed unigram
+    distribution from the whole-corpus distribution — the standard
+    domain-shift / mixture-audit statistic for a training mix (which
+    sources look like the aggregate, which are outliers). Add-one
+    smoothing over the shared corpus vocabulary makes every group's
+    support identical, so KL(p_group ‖ p_corpus) = Σ_vocab p·ln(p/q)
+    is finite and exactly reproducible by the DuckDB oracle.
+
+    Shape: one token explode; per-(group, token) and per-token counts
+    partial-aggregate on their keys. The full p/q grid is the corpus
+    vocabulary CROSS the group list — built by joining the vocab
+    relation to a BROADCAST per-group-total relation (groups are few;
+    vocab is the big side and never replicates through a shuffle),
+    then left-joining the per-group counts (absent → 0 under
+    smoothing). Output is one row per group."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    ex = df.select(F.col(group_col).alias("g"), F.explode(toks).alias("token"))
+    corpus = ex.groupBy("token").agg(F.count("*").alias("_c"))
+    per_group = ex.groupBy("g", "token").agg(F.count("*").alias("_cg"))
+    totals = ex.groupBy("g").agg(F.count("*").alias("_ng"))
+    stats = corpus.agg(
+        F.count("*").alias("_v"), F.sum("_c").alias("_n")
+    )
+    grid = (
+        corpus.crossJoin(F.broadcast(totals))
+        .join(per_group, ["g", "token"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "g",
+            "_ng",
+            (
+                (F.coalesce(F.col("_cg"), F.lit(0)) + F.lit(1.0))
+                / (F.col("_ng") + F.col("_v"))
+            ).alias("_p"),
+            ((F.col("_c") + F.lit(1.0)) / (F.col("_n") + F.col("_v"))).alias("_q"),
+        )
+    )
+    return (
+        grid.groupBy("g")
+        .agg(
+            F.first("_ng").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_p") * F.log(F.col("_p") / F.col("_q"))), round_dp
+            ).alias("kl"),
+        )
+        .select(F.col("g").alias(group_col), "n_tokens", "kl")
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Least-squares fit of the corpus's rank-frequency law in log-log
+    space: slope ≈ −1 is Zipfian natural text, a flat slope flags
+    synthetic/templated corpora, a cliff flags vocabulary collapse —
+    a one-row corpus-health probe for ingest monitoring. Rank is
+    row_number over (count DESC, token) — the token tie-break makes
+    equal-frequency ranks deterministic in both engines.
+
+    The global rank is an ORDER BY over the *vocabulary* relation
+    (post-agg, orders of magnitude smaller than the corpus), not the
+    corpus; Spark runs it as one unpartitioned window over ≤ |vocab|
+    rows — acceptable because vocabularies grow ~Heaps-sublinearly,
+    and cappable via a frequency floor if a corpus's vocab ever
+    outgrows one task."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    freq = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = W.orderBy(F.col("_c").desc(), F.col("token"))
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_lr"),
+        F.log(F.col("_c").cast("double")).alias("_lc"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.regr_slope("_lc", "_lr"), round_dp).alias("zipf_slope"),
+        F.round(F.regr_intercept("_lc", "_lr"), round_dp).alias("zipf_intercept"),
+        F.round(F.regr_r2("_lc", "_lr"), round_dp).alias("r2"),
     )
 
 

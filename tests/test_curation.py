@@ -489,3 +489,85 @@ def test_remove_boilerplate_lines_random_vs_reference(spark, seed):
         for r in remove_boilerplate_lines(df, min_docs=min_docs).collect()
     }
     assert got == exp
+
+
+# ------------------------------------------------------- r08 operators
+
+def test_ngram_lm_score_matches_pure_python(spark):
+    import math
+
+    docs = [(1, "a b a b"), (2, "a b c"), (3, "c c c c"), (4, "solo"), (5, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in C.ngram_lm_score(df, "doc_id", "text").collect()}
+
+    # pure-python add-one bigram LM over the same corpus
+    toks = {i: t.split() for i, t in docs}
+    bigrams = [(w[j], w[j + 1]) for w in toks.values() for j in range(len(w) - 1)]
+    c2: dict = {}
+    c1: dict = {}
+    for v, w_ in bigrams:
+        c2[(v, w_)] = c2.get((v, w_), 0) + 1
+        c1[v] = c1.get(v, 0) + 1
+    vocab = len({t for w in toks.values() for t in w})
+    for i, w in toks.items():
+        pairs = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        if not pairs:
+            assert i not in got  # <2 tokens → no row
+            continue
+        nll = -sum(
+            math.log((c2[p] + 1.0) / (c1[p[0]] + vocab)) for p in pairs
+        ) / len(pairs)
+        assert got[i]["n_bigrams"] == len(pairs)
+        assert abs(got[i]["nll"] - round(nll, 4)) < 1e-9
+
+
+def test_kl_domain_shift_zero_for_identical_groups(spark):
+    # two groups with the SAME token multiset → both p == smoothed
+    # group distribution, corpus q has 2× counts but identical shape;
+    # KL must be equal across groups and near zero
+    rows = [(g, "x y z x") for g in ("a", "b") for _ in range(5)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    from openetl_spark.operators import text as X
+
+    out = {r["source"]: r["kl"] for r in X.kl_domain_shift(df, "source", "text").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"] == out["b"]
+    assert abs(out["a"]) < 0.01
+
+
+def test_kl_domain_shift_flags_divergent_group(spark):
+    from openetl_spark.operators import text as X
+
+    rows = [("norm", "the cat sat on the mat") for _ in range(10)]
+    rows += [("weird", "zzz qqq vvv kkk jjj www") for _ in range(10)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r["source"]: r["kl"] for r in X.kl_domain_shift(df, "source", "text").collect()}
+    assert out["weird"] > 0.1 and out["norm"] > 0.1  # both diverge from the mix
+    # and each group's KL vs itself-only corpus would be ~0 (sanity via subset)
+    solo = X.kl_domain_shift(
+        df.filter(F.col("source") == "norm"), "source", "text"
+    ).collect()[0]
+    assert abs(solo["kl"]) < 0.01
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from openetl_spark.operators import text as X
+
+    rows = [(i, ("alpha " * 8 + "beta " * 4 + "gamma " * 2 + f"tail{i}").strip())
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = X.zipf_fit(df, "text").collect()[0]
+    # reference fit: counts → rank by (count desc, token) → log-log lstsq
+    from collections import Counter
+
+    cnt = Counter(t for _, txt in rows for t in txt.split())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    lr = np.log(np.arange(1, len(ordered) + 1, dtype=float))
+    lc = np.log(np.array([c for _, c in ordered], dtype=float))
+    slope, intercept = np.polyfit(lr, lc, 1)
+    assert out["vocab_size"] == len(ordered)
+    assert abs(out["zipf_slope"] - round(float(slope), 4)) < 1e-3
+    assert abs(out["zipf_intercept"] - round(float(intercept), 4)) < 1e-3
+    assert out["zipf_slope"] < 0  # frequency falls with rank

@@ -852,3 +852,100 @@ def test_constraints_matches_rule(spark):
     )
     rep = DQ.check(df, [DQ.matches("email", r"^[^@]+@[^@]+$")]).first()
     assert rep["matches_email"] == 1
+
+
+# ------------------------------------------------------- r08 operators
+
+def test_incremental_dedup_survivor_rules(spark):
+    from openetl_spark.operators import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"
+    # index: 100 (dup of base), 101 (unique). new: 10 < index ids (index
+    # partner ids may exceed new ids), 11/12 an internal new-batch pair.
+    idx = spark.createDataFrame(
+        [(100, base), (101, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, near),
+            (11, "red orange yellow green blue indigo violet pink brown black"),
+            (12, "red orange yellow green blue indigo violet pink brown black"),
+            (13, "totally different words nothing shared here at all folks yes"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.incremental_near_duplicates(
+            new, idx, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # 10 flagged against index doc 100 (partner id ABOVE the new id)
+    assert out[10]["dup_of"] == 100
+    # internal new-batch dup group keeps the smallest id: 11 survives
+    assert 11 not in out
+    assert out[12]["dup_of"] == 11 and out[12]["jaccard"] == 1.0
+    # unique docs unflagged; index docs never appear in the output
+    assert 13 not in out and 100 not in out and 101 not in out
+
+
+def test_incremental_dedup_never_reports_index_pairs(spark):
+    from openetl_spark.operators import dedup as DD
+
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    idx = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]  # index-internal dup pair
+    )
+    new = spark.createDataFrame(
+        [(3, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")], ["doc_id", "text"]
+    )
+    out = DD.incremental_near_duplicates(new, idx, "doc_id", "text").collect()
+    assert out == []  # index×index duplication is not this operator's job
+
+
+def test_semantic_dedup_min_id_survivor_and_cluster_scope(spark):
+    import numpy as np
+
+    from openetl_spark.operators import similarity as SS
+
+    # two well-separated centroids; vectors 1,2,3 hug centroid 0 (near-
+    # identical), vector 9 hugs centroid 1. 1 survives as min id.
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    rows = [
+        (1, [1.0, 0.01, 0.0]),
+        (2, [1.0, 0.011, 0.0]),
+        (3, [0.99, 0.01, 0.001]),
+        (9, [0.0, 1.0, 0.02]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in SS.semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2]["dup_of"] == 1 and out[3]["dup_of"] == 1
+    assert out[2]["cosine_sim"] >= 0.99
+    # near-dup ACROSS clusters is out of scope by design (SemDeDup):
+    # a vector close to 9 but assigned to centroid 0 must not pair
+    rows2 = rows + [(4, [0.6, 0.8, 0.0])]  # leans centroid 1? cos picks argmin dist
+    df2 = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    out2 = SS.semantic_dedup(df2, cents, threshold=0.99).collect()
+    assert {r["vec_id"] for r in out2} == {2, 3}  # 4 pairs with nobody
+
+
+def test_semantic_dedup_precomputed_assignment_matches(spark, sf_dir):
+    import numpy as np
+
+    from openetl_spark import catalog
+    from openetl_spark.operators import similarity as SS
+
+    cents, _ = catalog._ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    e = catalog.load(spark, sf_dir, "embeddings")
+    a = SS.semantic_dedup(e, cents, threshold=0.4)
+    pre = SS.with_ivf_assignment(e, np.asarray(cents), "embedding", "ivf_list")
+    b = SS.semantic_dedup(pre, cents, list_col="ivf_list", threshold=0.4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
