@@ -125,6 +125,7 @@ HEADLINE = [
     "zipf_fit",
     "semantic_dedup",
     "incremental_dedup",
+    "domain_mix_sample",
 ]
 
 

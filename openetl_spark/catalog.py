@@ -4540,6 +4540,42 @@ def q_semantic_dedup(spark, sf_dir):
     return S.semantic_dedup(e, cents, threshold=0.4)
 
 
+@query(
+    "domain_mix_sample",
+    f"""
+    WITH tgt(lang, w) AS (
+      VALUES ('en', CAST(0.5  AS DOUBLE)),
+             ('de', CAST(0.2  AS DOUBLE)),
+             ('es', CAST(0.15 AS DOUBLE)),
+             ('fr', CAST(0.15 AS DOUBLE))),
+    sw AS (SELECT sum(w) AS sw FROM tgt),
+    counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    j AS (SELECT c.lang, c.n, t.w / sw.sw AS wn
+          FROM counts c JOIN tgt t USING (lang), sw),
+    tt AS (SELECT min(n / wn) AS t FROM j),
+    rates AS (
+      SELECT lang,
+             least(10000, CAST(floor(10000.0 * wn * tt.t / n) AS BIGINT)) AS bp
+      FROM j, tt)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ({C.hash_bucket_sql('doc_id', 10000)}) < r.bp
+    """,
+)
+def q_domain_mix_sample(spark, sf_dir):
+    """Curation (r08): domain reweighting — downsample so the language
+    mix hits {{en:.5, de:.2, es:.15, fr:.15}} (zh dropped, weight 0) at
+    the largest size the binding group allows, membership via the
+    engine-portable md5 basis-point bucket. Rates are computed inside
+    the plan (post-agg group counts + two broadcast scalars); the
+    corpus itself sees one broadcast join and a scan-local predicate —
+    zero corpus shuffles, no driver collect."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.mix_to_target(
+        d, {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}, "lang", "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
 _INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
 
 
@@ -4645,12 +4681,12 @@ DRIVER_PRIORITY: list[str] = [
     "zipf_fit",
     "semantic_dedup",
     "incremental_dedup",
+    "domain_mix_sample",
     # oldest green rows (r01/r02 only) — refresh
     "connector_slice",
     "filter_group_or",
     "transform_chain",
     "join_inner",
-    "join_left_agg",
     "range_join_events",
     "asof_join_events",
     "q1_pricing",

@@ -450,6 +450,62 @@ def rarity_score(
     )
 
 
+def mix_to_target(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample a corpus so its group mix matches ``target``
+    proportions — the domain-reweighting step of assembling a training
+    mix (e.g. {web: .6, code: .2, books: .2}). Finds the LARGEST
+    achievable corpus honoring the target without upsampling: the
+    binding group is the one with the least data relative to its
+    weight (T = min over groups of n_g / w_g, then keep-rate
+    r_g = w_g·T / n_g, so the binding group keeps everything and
+    every other group downsamples to proportion).
+
+    Everything stays in the plan — group counts are a tiny post-agg
+    relation, the scalar T folds in via a broadcast one-row join, and
+    membership is the engine-portable md5 hash bucket (basis points:
+    rates FLOOR to 1/10000ths, so the achieved mix is within 1e-4 of
+    target per group and membership is bit-reproducible across engines
+    and runs, same auditability contract as ``stratified_sample``).
+    Groups absent from ``target`` are dropped (weight 0). One
+    broadcast join + a scan-local predicate; no shuffle of the corpus,
+    no driver collect."""
+    tgt = df.sparkSession.createDataFrame(
+        [(g, float(w)) for g, w in target.items()], f"{group_col} string, _w double"
+    )
+    sw = tgt.agg(F.sum("_w").alias("_sw"))
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    j = (
+        counts.join(F.broadcast(tgt), group_col)
+        .crossJoin(F.broadcast(sw))
+        .select(
+            group_col,
+            "_n",
+            (F.col("_w") / F.col("_sw")).alias("_wn"),
+        )
+    )
+    t = j.agg(F.min(F.col("_n") / F.col("_wn")).alias("_t"))
+    rates = (
+        j.crossJoin(F.broadcast(t))
+        .select(
+            group_col,
+            F.least(
+                F.lit(10000),
+                F.floor(F.lit(10000.0) * F.col("_wn") * F.col("_t") / F.col("_n")),
+            ).alias("_bp"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(F.col(id_col), 10000) < F.col("_bp"))
+        .drop("_bp")
+    )
+
+
 def ngram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

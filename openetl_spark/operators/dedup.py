@@ -298,6 +298,28 @@ def minhash_near_duplicates(
     return out
 
 
+def prepare_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """The persistable dedup-index relation: (id, sh, minhash) — one
+    row per document carrying its distinct shingle array (what exact
+    verification needs) and its MinHash signature (what candidate
+    banding needs). Write this once per ingested batch and
+    ``incremental_near_duplicates(index_prepared=True)`` never touches
+    index document TEXT again: banding reads 128 longs per doc, and
+    verification's shingle access is pruned to the ids that actually
+    collide with a new doc. Columns are fixed (id/sh/minhash) so
+    batches append to one parquet index regardless of source schema."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("id"), F.col("shingles").alias("sh")
+    )
+    return minhash_signatures(sh, "id", "sh", num_hashes, extra_cols=("sh",))
+
+
 def incremental_near_duplicates(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -308,6 +330,7 @@ def incremental_near_duplicates(
     bands: int = 64,
     threshold: float = 0.5,
     cache: bool = True,
+    index_prepared: bool = False,
 ) -> DataFrame:
     """Dedup a NEW document batch against an existing corpus (the
     "index") plus itself — the incremental posture of a continuously
@@ -332,35 +355,30 @@ def incremental_near_duplicates(
     internal dup group keeps exactly its smallest id. Returns one row
     per flagged NEW doc: (id, n_dups, dup_of = smallest qualifying
     partner, jaccard of that pair), jaccard exact over full shingle
-    sets (verification never trusts the sketch)."""
-    sh_all = (
-        with_shingles(index_df, text_col, n)
-        .select(
-            F.col(id_col).alias("id"),
-            F.lit(True).alias("_isidx"),
-            F.col("shingles").alias("sh"),
-        )
-        .unionByName(
-            with_shingles(new_df, text_col, n).select(
-                F.col(id_col).alias("id"),
-                F.lit(False).alias("_isidx"),
-                F.col("shingles").alias("sh"),
-            )
-        )
+    sets (verification never trusts the sketch).
+
+    Pass ``index_prepared=True`` when ``index_df`` is already a
+    ``prepare_minhash_index`` relation (read back from the persisted
+    parquet index) — signatures and shingles come off disk and index
+    text is never re-shingled; this is the streaming dedup-on-arrival
+    posture (each microbatch dedups against the index, then appends
+    its own prepared rows)."""
+    prep_new = prepare_minhash_index(new_df, id_col, text_col, n, num_hashes)
+    prep_idx = (
+        index_df.select("id", "sh", "minhash")
+        if index_prepared
+        else prepare_minhash_index(index_df, id_col, text_col, n, num_hashes)
+    )
+    # ONE tagged union drives both banding and verification — the side
+    # flag rides the band join so only (any × new) pairs are kept.
+    # new × index: partner id unconstrained (index ids may exceed new
+    # ids); new × new: smaller id is the partner.
+    allp = prep_idx.withColumn("_isidx", F.lit(True)).unionByName(
+        prep_new.withColumn("_isidx", F.lit(False))
     )
     if cache:
-        sh_all = sh_all.persist()
-    # ONE signature + banding pass over the tagged union — the side
-    # flag rides along so the band join can keep only (any × new)
-    # pairs. new × index: partner id unconstrained (index ids may
-    # exceed new ids); new × new: smaller id is the partner.
-    banded = _banded_signatures(
-        minhash_signatures(sh_all, "id", "sh", num_hashes, extra_cols=("_isidx",)),
-        "id",
-        num_hashes,
-        bands,
-        extra_cols=("_isidx",),
-    )
+        allp = allp.persist()
+    banded = _banded_signatures(allp, "id", num_hashes, bands, extra_cols=("_isidx",))
     on = ["band", "band_hash"]
     x = banded.filter(~F.col("_isidx")).select(F.col("id").alias("b"), *on)
     cands = (
@@ -373,7 +391,7 @@ def incremental_near_duplicates(
         .select("a", "b")
         .distinct()
     )
-    pairs = _verify_jaccard_on_candidates(cands, sh_all.select("id", "sh"), threshold)
+    pairs = _verify_jaccard_on_candidates(cands, allp.select("id", "sh"), threshold)
     flagged = (
         pairs.groupBy("b")
         .agg(
@@ -387,7 +405,7 @@ def incremental_near_duplicates(
             F.col("_m.jaccard").alias("jaccard"),
         )
     )
-    flagged._cached_deps = [sh_all] if cache else []
+    flagged._cached_deps = [allp] if cache else []
     return flagged
 
 

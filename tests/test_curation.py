@@ -571,3 +571,28 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
     assert abs(out["zipf_slope"] - round(float(slope), 4)) < 1e-3
     assert abs(out["zipf_intercept"] - round(float(intercept), 4)) < 1e-3
     assert out["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_mix_to_target_hits_proportions_and_keeps_binding_group(spark):
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = C.mix_to_target(df, {"big": 0.5, "small": 0.5}, "src", "doc_id")
+    got = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    # small (200 docs) binds at weight .5 → T = 400; big downsamples
+    # to ~200; small keeps everything (rate 10000 bp)
+    assert counts["small"] == 200
+    assert abs(counts["big"] - 200) <= 30  # hash-sampling tolerance
+    # deterministic membership
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in C.mix_to_target(df, {"big": 0.5, "small": 0.5}, "src", "doc_id").collect()
+    )
+    assert a == b
+    # groups absent from target are dropped entirely
+    df2 = spark.createDataFrame(
+        rows + [(2000 + i, "junk") for i in range(50)], ["doc_id", "src"]
+    )
+    out2 = C.mix_to_target(df2, {"big": 0.5, "small": 0.5}, "src", "doc_id")
+    assert out2.filter(F.col("src") == "junk").count() == 0

@@ -949,3 +949,30 @@ def test_semantic_dedup_precomputed_assignment_matches(spark, sf_dir):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_incremental_dedup_prepared_index_equals_raw(spark, sf_dir, tmp_path):
+    from openetl_spark import catalog
+    from openetl_spark.operators import curation as CC
+    from openetl_spark.operators import dedup as DD
+
+    d = catalog.load(spark, sf_dir, "documents")
+    bucket = CC.hash_bucket(F.col("doc_id"), 100)
+    idx, new = d.filter(bucket < 50), d.filter(bucket >= 50)
+    raw = sorted(
+        map(tuple, DD.incremental_near_duplicates(new, idx, "doc_id", "text").collect())
+    )
+    # persist the index's prepared relation, read back, run the
+    # index_prepared path — identical output, no index text access
+    path = str(tmp_path / "minhash_index")
+    DD.prepare_minhash_index(idx, "doc_id", "text").write.parquet(path)
+    prepared = spark.read.parquet(path)
+    via_index = sorted(
+        map(
+            tuple,
+            DD.incremental_near_duplicates(
+                new, prepared, "doc_id", "text", index_prepared=True
+            ).collect(),
+        )
+    )
+    assert raw == via_index and len(raw) > 0

@@ -138,3 +138,76 @@ def test_streaming_cms_equals_batch_over_ingested_corpus(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+def test_streaming_dedup_on_arrival_against_persisted_index(spark, tmp_path):
+    """Dedup-on-arrival: each micro-batch dedups against the persisted
+    MinHash signature index (never re-reading earlier documents' text),
+    appends its survivors' prepared rows, and only survivors reach the
+    corpus sink. Final corpus must equal the sequential incremental
+    semantics: first-arrived doc of every near-dup group survives."""
+    import json
+    import os
+
+    from openetl_spark.operators import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u1 = "one two three four five six seven eight nine ten"
+    u2 = "red orange yellow green blue indigo violet pink brown black"
+    batches = [
+        [(1, base), (2, u1)],
+        [(3, base + " extra"), (4, u2), (5, u2)],          # 3→1, 5→4
+        [(6, u1 + " more"), (7, "completely different words nothing shared here at all folks yes")],  # 6→2
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows) + "\n"
+        )
+        os.utime(f, (1000000000 + i * 60,) * 2)
+
+    idx_path = str(tmp_path / "minhash_index")
+    out_path = str(tmp_path / "corpus")
+    empty_index = spark.createDataFrame(
+        [], "id long, sh array<string>, minhash array<bigint>"
+    )
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        prepared = (
+            spark.read.parquet(idx_path)
+            if os.path.exists(idx_path)
+            else empty_index
+        )
+        flagged = DD.incremental_near_duplicates(
+            df, prepared, "doc_id", "text", index_prepared=True
+        )
+        survivors = df.join(
+            flagged.select(F.col("doc_id")), "doc_id", "left_anti"
+        )
+        survivors.write.mode("append").parquet(out_path)
+        DD.prepare_minhash_index(survivors, "doc_id", "text").write.mode(
+            "append"
+        ).parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 2, 4, 7]
+    # the index holds exactly the survivors' signatures
+    idx_ids = sorted(r["id"] for r in spark.read.parquet(idx_path).collect())
+    assert idx_ids == [1, 2, 4, 7]
