@@ -126,6 +126,9 @@ HEADLINE = [
     "semantic_dedup",
     "incremental_dedup",
     "domain_mix_sample",
+    "salted_join_segments",
+    "cluster_profile",
+    "perplexity_buckets",
 ]
 
 

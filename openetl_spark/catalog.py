@@ -4576,6 +4576,156 @@ def q_domain_mix_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+@query(
+    "salted_join_segments",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_salted_join_segments(spark, sf_dir):
+    """Scale helper as a first-class query: the salted fact⋈dim join
+    (operators/skew.py) — fact rows scatter across 16 salt buckets,
+    the dim replicates into each, so no single reducer ever receives a
+    hot key's full volume when the dim is broadcast-ineligible and AQE
+    skew-split can't apply (pathological single-tenant keys). Salting
+    must be invisible in the result: the oracle is the PLAIN join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    from openetl_spark.operators.skew import salted_join
+
+    return (
+        salted_join(o, c, "o_custkey", salt=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "cluster_profile",
+    f"""
+    WITH cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e),
+    d AS (
+      SELECT a.list_id,
+             list_dot_product(a.v, a.v) + list_dot_product(c.centroid, c.centroid)
+               - 2 * list_dot_product(a.v, c.centroid) AS d2
+      FROM assign a JOIN cents c USING (list_id))
+    SELECT CAST(list_id AS INT) AS list_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(d2), 4) AS avg_sq_dist,
+           round(max(d2), 4) AS max_sq_dist
+    FROM d GROUP BY list_id
+    """,
+)
+def q_cluster_profile(spark, sf_dir):
+    """C28 monitoring (r08): embedding-space health off the SAME
+    persisted IVF quantizer as ivf_knn/semantic_dedup — per-cluster
+    occupancy and squared-distance spread (the inertia decomposition
+    one watches for cluster collapse or drift as a corpus grows). One
+    scan + one broadcast join + a 16-group aggregate; the oracle
+    re-derives assignment and distances from the centroid parquet."""
+    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    v = F.col("embedding").cast("array<double>")
+    d2 = (
+        S.dot(v, v)
+        + S.dot(F.col("centroid"), F.col("centroid"))
+        - 2 * S.dot(v, F.col("centroid"))
+    )
+    return (
+        S.with_ivf_assignment(e, cents, "embedding", "list_id")
+        .join(F.broadcast(cdf), "list_id")
+        .select("list_id", d2.alias("_d2"))
+        .groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("_d2"), 4).alias("avg_sq_dist"),
+            F.round(F.max("_d2"), 4).alias("max_sq_dist"),
+        )
+    )
+
+
+@query(
+    "perplexity_buckets",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS w
+      FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS pre, w[i] || ' ' || w[i + 1] AS bg
+      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+    c1 AS (SELECT pre, count(*) AS c FROM big GROUP BY pre),
+    v AS (SELECT count(DISTINCT tok) AS vs
+          FROM (SELECT UNNEST(w) AS tok FROM tk) u),
+    scored AS (
+      SELECT big.doc_id, avg(-ln((c2.c + 1.0) / (c1.c + v.vs))) AS nll
+      FROM big JOIN c2 USING (bg) JOIN c1 USING (pre), v
+      GROUP BY big.doc_id),
+    binned AS (
+      SELECT tk.lang, s.nll,
+             CAST(floor(s.nll / 0.002) AS BIGINT) AS bin
+      FROM scored s JOIN tk ON tk.doc_id = s.doc_id),
+    hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, bin, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist),
+    thr AS (
+      SELECT lang,
+             min(CASE WHEN cum >= n / 3.0 THEN bin END) AS t33,
+             min(CASE WHEN cum >= 2.0 * n / 3.0 THEN bin END) AS t67
+      FROM cum GROUP BY lang)
+    SELECT b.lang,
+           CASE WHEN b.bin <= t.t33 THEN 'head'
+                WHEN b.bin <= t.t67 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(b.nll), 4) AS avg_nll
+    FROM binned b JOIN thr t USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def q_perplexity_buckets(spark, sf_dir):
+    """Curation (r08): CCNet's head/middle/tail perplexity split per
+    language — bigram-LM NLL scores binned into a fixed-width
+    histogram, tercile thresholds from the per-group cumulative pass
+    over BIN rows (never a percent_rank window over raw docs), bucket
+    membership by integer bin compare. The whole pipeline — LM
+    training, scoring, sketched terciles, bucketing — renders in one
+    oracle query."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.perplexity_buckets(d, "doc_id", "text", "lang")
+
+
 _INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
 
 
@@ -4682,11 +4832,11 @@ DRIVER_PRIORITY: list[str] = [
     "semantic_dedup",
     "incremental_dedup",
     "domain_mix_sample",
+    "salted_join_segments",
+    "cluster_profile",
+    "perplexity_buckets",
     # oldest green rows (r01/r02 only) — refresh
     "connector_slice",
-    "filter_group_or",
-    "transform_chain",
-    "join_inner",
     "range_join_events",
     "asof_join_events",
     "q1_pricing",

@@ -511,7 +511,7 @@ def ngram_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     lowercase: bool = True,
-    round_dp: int = 4,
+    round_dp: int | None = 4,
 ) -> DataFrame:
     """Bigram language-model scoring: train an add-one-smoothed bigram
     LM on the corpus itself in one pass, then score every document by
@@ -553,23 +553,89 @@ def ngram_lm_score(
     c2 = big.groupBy("bg").agg(F.count("*").alias("_c2"))
     c1 = big.groupBy("pre").agg(F.count("*").alias("_c1"))
     vocab = ex.agg(F.countDistinct("token").alias("_v"))
+    nll = F.avg(
+        -F.log((F.col("_c2") + F.lit(1.0)) / (F.col("_c1") + F.col("_v")))
+    )
+    if round_dp is not None:  # None = raw double (downstream binning)
+        nll = F.round(nll, round_dp)
     return (
         big.join(c2, "bg")
         .join(c1, "pre")
         .crossJoin(F.broadcast(vocab))
         .groupBy("_doc")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    -F.log(
-                        (F.col("_c2") + F.lit(1.0)) / (F.col("_c1") + F.col("_v"))
-                    )
-                ),
-                round_dp,
-            ).alias("nll"),
-        )
+        .agg(F.count("*").alias("n_bigrams"), nll.alias("nll"))
         .select(F.col("_doc").alias(id_col), "n_bigrams", "nll")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    bin_width: float = 0.002,
+    round_dp: int = 4,
+) -> DataFrame:
+    """CCNet's perplexity-bucket split (Wenzek et al. 2020 §4.3): score
+    every document with the corpus bigram LM, then split each language
+    into head / middle / tail terciles of the score distribution —
+    head being the most-fluent third the CCNet pipeline keeps by
+    default. Returns one row per (group, bucket): n_docs and the
+    bucket's mean NLL.
+
+    Tercile thresholds are NOT a percent_rank window over raw docs
+    (that's one task per language at corpus scale — the
+    low-cardinality-window trap); they come from the per-(group, bin)
+    HISTOGRAM of fixed-width NLL bins, whose cumulative pass runs over
+    ≤ a few hundred bin rows per group (the grouped_quantiles shape).
+    Bucket membership compares the doc's integer bin id to the
+    threshold bin ids — integer compares, so membership is exactly
+    reproducible in the oracle. Docs with < 2 tokens carry no LM
+    evidence and are excluded (as in ``ngram_lm_score``)."""
+    scored = ngram_lm_score(df, id_col, text_col, round_dp=None).join(
+        df.select(id_col, group_col), id_col
+    )
+    w = float(bin_width)
+    binned = scored.select(
+        group_col,
+        "nll",
+        F.floor(F.col("nll") / w).cast("long").alias("_bin"),
+    )
+    hist = binned.groupBy(group_col, "_bin").agg(F.count("*").alias("_c"))
+    win = (
+        W.partitionBy(group_col)
+        .orderBy("_bin")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win_all = (
+        W.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(win)).withColumn(
+        "_n", F.sum("_c").over(win_all)
+    )
+    thr = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("_cum") >= F.col("_n") / 3.0, F.col("_bin"))
+        ).alias("_t33"),
+        F.min(
+            F.when(F.col("_cum") >= 2.0 * F.col("_n") / 3.0, F.col("_bin"))
+        ).alias("_t67"),
+    )
+    bucket = (
+        F.when(F.col("_bin") <= F.col("_t33"), F.lit("head"))
+        .when(F.col("_bin") <= F.col("_t67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        binned.join(F.broadcast(thr), group_col)
+        .select(group_col, bucket.alias("bucket"), "nll")
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), round_dp).alias("avg_nll"),
+        )
     )
 
 

@@ -596,3 +596,31 @@ def test_mix_to_target_hits_proportions_and_keeps_binding_group(spark):
     )
     out2 = C.mix_to_target(df2, {"big": 0.5, "small": 0.5}, "src", "doc_id")
     assert out2.filter(F.col("src") == "junk").count() == 0
+
+
+def test_perplexity_buckets_terciles_ordered_and_balanced(spark, sf_dir):
+    from openetl_spark import catalog
+
+    d = catalog.load(spark, sf_dir, "documents")
+    out = C.perplexity_buckets(d, "doc_id", "text", "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        # mean NLL must increase head → middle → tail by construction
+        means = [
+            buckets[b]["avg_nll"]
+            for b in ("head", "middle", "tail")
+            if b in buckets
+        ]
+        assert means == sorted(means), (lang, means)
+        # terciles are histogram-approximate but roughly balanced:
+        # head holds ≥ 1/3 (threshold bin INCLUDES the crossing bin)
+        # and ≤ 2/3 of the group's scored docs for any group big enough
+        n = sum(b["n_docs"] for b in buckets.values())
+        if n >= 30 and "head" in buckets:
+            assert n / 3 <= buckets["head"]["n_docs"] <= 2 * n / 3 + 1, (
+                lang,
+                {b: r["n_docs"] for b, r in buckets.items()},
+            )
