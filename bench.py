@@ -129,6 +129,7 @@ HEADLINE = [
     "salted_join_segments",
     "cluster_profile",
     "perplexity_buckets",
+    "declarative_setops",
 ]
 
 

@@ -4726,6 +4726,45 @@ def q_perplexity_buckets(spark, sf_dir):
     return C.perplexity_buckets(d, "doc_id", "text", "lang")
 
 
+from openetl_spark.functions.spec_sql import render_query as _render_spec_sql  # noqa: E402
+
+_DECL_SETOP_SPEC = {
+    "set_op": "intersect",
+    "inputs": [
+        {
+            "table": "orders",
+            "group_by": ["o_custkey"],
+            "aggregates": [{"fn": "count", "expr": None, "alias": "n"}],
+            "having": [{"field": "n", "operator": ">=", "value": 5}],
+            "select": ["o_custkey"],
+        },
+        {
+            "table": "orders",
+            "filters": [
+                {"field": "o_totalprice", "operator": ">", "value": 300000}
+            ],
+            "select": ["o_custkey"],
+            "distinct": True,
+        },
+    ],
+    "sort": [{"field": "o_custkey"}],
+}
+
+
+@query("declarative_setops", _render_spec_sql(_DECL_SETOP_SPEC))
+def q_declarative_setops(spark, sf_dir):
+    """QuerySpec's set-operation surface (r08): frequent customers
+    INTERSECT big-ticket customers, each leg a declarative spec (one
+    grouped+HAVING, one filtered DISTINCT projection). The oracle IS
+    the spec's own ANSI rendering (functions/spec_sql.render_query), so
+    the driver gate pins compiler and renderer against each other —
+    the same both-ways contract the randomized QuerySpec fuzzers
+    enforce per-run."""
+    from openetl_spark.plans.compiler import compile_query
+
+    return compile_query(_DECL_SETOP_SPEC, lambda t: load(spark, sf_dir, t))
+
+
 _INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
 
 
@@ -4835,9 +4874,9 @@ DRIVER_PRIORITY: list[str] = [
     "salted_join_segments",
     "cluster_profile",
     "perplexity_buckets",
+    "declarative_setops",
     # oldest green rows (r01/r02 only) — refresh
     "connector_slice",
-    "range_join_events",
     "asof_join_events",
     "q1_pricing",
     "q3_top_orders",

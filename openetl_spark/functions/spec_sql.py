@@ -84,25 +84,56 @@ def _render_filters(filters) -> str:
     return " AND ".join(render_filter(f) for f in filters)
 
 
-def render_query(spec: QuerySpec | dict) -> str:
+def render_query(spec: "QuerySpec | SetOp | dict") -> str:
     """QuerySpec → one ANSI SELECT (windows render as a wrapping CTE so
     the HAVING stage can filter on window outputs, mirroring
-    compile_query's stage order)."""
-    if isinstance(spec, dict):
-        spec = QuerySpec.from_dict(spec)
+    compile_query's stage order). SetOps render as parenthesized
+    UNION/INTERSECT/EXCEPT chains; derived tables (a nested QuerySpec
+    as ``table`` or a join target) render as aliased subqueries with
+    USING joins (matching Spark's column-merging join-on-list
+    semantics)."""
+    from openetl_spark.spec import SetOp, spec_from_dict
 
-    frm = [spec.table]
-    for j in spec.joins:
+    spec = spec_from_dict(spec)
+    if isinstance(spec, SetOp):
+        kw = {"union_all": " UNION ALL ", "union": " UNION ",
+              "intersect": " INTERSECT ", "except": " EXCEPT "}[spec.op]
+        sql = kw.join(f"({render_query(i)})" for i in spec.inputs)
+        if spec.sort or spec.limit is not None:
+            sql = f"SELECT * FROM ({sql})"
+            if spec.sort:
+                sql += " ORDER BY " + ", ".join(
+                    f"{s.field} {s.type.upper()}" for s in spec.sort
+                )
+            if spec.limit is not None:
+                sql += f" LIMIT {spec.limit}"
+        return sql
+
+    def _rel(t, fallback: str):
+        if isinstance(t, QuerySpec):
+            name = t.alias or fallback
+            return f"({render_query(t)}) AS {name}", name, True
+        return t, t, False
+
+    base_sql, base_name, base_derived = _rel(spec.table, "t0")
+    frm = [base_sql]
+    for k, j in enumerate(spec.joins):
+        jsql, jname, jderived = _rel(j.table, f"t{k + 1}")
         on = list(j.on)
-        if on and isinstance(on[0], (list, tuple)):
-            cond = " AND ".join(f"{l} = {r}" for l, r in on)
-        else:
-            cond = " AND ".join(
-                f"{spec.table}.{c} = {j.table}.{c}" for c in on
-            )
         kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
               "full": "FULL JOIN", "full_outer": "FULL JOIN"}[j.how]
-        frm.append(f"{kw} {j.table} ON {cond}")
+        if on and isinstance(on[0], (list, tuple)):
+            cond = " AND ".join(f"{l} = {r}" for l, r in on)
+            frm.append(f"{kw} {jsql} ON {cond}")
+        elif base_derived or jderived:
+            # derived tables join USING: merges the key columns exactly
+            # like Spark's join(on=[cols]) does
+            frm.append(f"{kw} {jsql} USING ({', '.join(on)})")
+        else:
+            cond = " AND ".join(
+                f"{base_name}.{c} = {jname}.{c}" for c in on
+            )
+            frm.append(f"{kw} {jsql} ON {cond}")
     body = "FROM " + " ".join(frm)
     if spec.filters:
         body += " WHERE " + _render_filters(spec.filters)
@@ -154,7 +185,10 @@ def render_query(spec: QuerySpec | dict) -> str:
     if spec.having:
         sql = f"SELECT * FROM ({sql}) WHERE " + _render_filters(spec.having)
     if spec.select:
-        sql = f"SELECT {', '.join(spec.select)} FROM ({sql})"
+        kw = "SELECT DISTINCT" if spec.distinct else "SELECT"
+        sql = f"{kw} {', '.join(spec.select)} FROM ({sql})"
+    elif spec.distinct:
+        sql = f"SELECT DISTINCT * FROM ({sql})"
     if spec.sort:
         sql += " ORDER BY " + ", ".join(
             f"{s.field} {s.type.upper()}" for s in spec.sort

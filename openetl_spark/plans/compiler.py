@@ -82,14 +82,40 @@ def compile_query(spec, resolve) -> DataFrame:
     push down to the scans, aggregates get map-side partials."""
     from functools import reduce
 
-    from openetl_spark.spec import QuerySpec
+    from openetl_spark.spec import QuerySpec, SetOp, spec_from_dict
 
-    if isinstance(spec, dict):
-        spec = QuerySpec.from_dict(spec)
+    spec = spec_from_dict(spec)
 
-    df = resolve(spec.table)
+    if isinstance(spec, SetOp):
+        dfs = [compile_query(i, resolve) for i in spec.inputs]
+        combine = {
+            "union_all": lambda a, b: a.union(b),
+            "union": lambda a, b: a.union(b),
+            "intersect": lambda a, b: a.intersect(b),
+            "except": lambda a, b: a.subtract(b),
+        }[spec.op]
+        df = reduce(combine, dfs)
+        if spec.op == "union":
+            df = df.distinct()
+        if spec.sort:
+            df = df.orderBy(
+                *[
+                    F.col(s.field).asc() if s.type == "asc" else F.col(s.field).desc()
+                    for s in spec.sort
+                ]
+            )
+        if spec.limit is not None:
+            df = df.limit(spec.limit)
+        return df
+
+    def _resolve(t):
+        return (
+            compile_query(t, resolve) if isinstance(t, QuerySpec) else resolve(t)
+        )
+
+    df = _resolve(spec.table)
     for j in spec.joins:
-        right = resolve(j.table)
+        right = _resolve(j.table)
         if j.broadcast:
             right = F.broadcast(right)
         on = list(j.on)
@@ -161,6 +187,8 @@ def compile_query(spec, resolve) -> DataFrame:
         df = df.filter(hpred)
     if spec.select:
         df = df.select(*spec.select)
+    if spec.distinct:
+        df = df.distinct()
     if spec.sort:
         df = df.orderBy(
             *[

@@ -165,7 +165,7 @@ class QuerySpec:
     everything else rides Catalyst (join selection, pushdown, codegen)
     with zero engine-side planning."""
 
-    table: str
+    table: "str | QuerySpec"
     joins: Sequence[Join] = ()
     filters: Sequence[FilterLike] = ()
     derived: dict[str, str] = field(default_factory=dict)
@@ -174,8 +174,10 @@ class QuerySpec:
     having: Sequence[FilterLike] = ()
     windows: Sequence["WindowFn"] = ()
     select: Sequence[str] = ()
+    distinct: bool = False
     sort: Sequence[Sort] = ()
     limit: int | None = None
+    alias: str | None = None  # required when used as a derived table
 
     @staticmethod
     def from_dict(d: dict) -> "QuerySpec":
@@ -190,10 +192,13 @@ class QuerySpec:
                     )
             return out
 
+        def _tbl(t):
+            return QuerySpec.from_dict(t) if isinstance(t, dict) else t
+
         return QuerySpec(
-            table=d["table"],
+            table=_tbl(d["table"]),
             joins=[
-                Join(j["table"], j["on"], j.get("how", "inner"),
+                Join(_tbl(j["table"]), j["on"], j.get("how", "inner"),
                      j.get("broadcast", False))
                 for j in d.get("joins", ())
             ],
@@ -216,9 +221,42 @@ class QuerySpec:
                 for w in d.get("windows", ())
             ],
             select=list(d.get("select", ())),
+            distinct=bool(d.get("distinct", False)),
+            sort=[Sort(s["field"], s.get("type", "asc")) for s in d.get("sort", ())],
+            limit=d.get("limit"),
+            alias=d.get("alias"),
+        )
+
+
+@dataclass
+class SetOp:
+    """Declarative set operation over QuerySpecs (or nested SetOps):
+    ``op`` ∈ union_all / union / intersect / except — SQL semantics
+    (union/intersect/except deduplicate; columns match positionally, so
+    give every input an explicit ``select``). ``except`` folds
+    left-associatively across >2 inputs."""
+
+    op: str
+    inputs: Sequence["QuerySpec | SetOp"]
+    sort: Sequence[Sort] = ()
+    limit: int | None = None
+
+    @staticmethod
+    def from_dict(d: dict) -> "SetOp":
+        return SetOp(
+            op=d["set_op"],
+            inputs=[spec_from_dict(i) for i in d["inputs"]],
             sort=[Sort(s["field"], s.get("type", "asc")) for s in d.get("sort", ())],
             limit=d.get("limit"),
         )
+
+
+def spec_from_dict(d: "dict | QuerySpec | SetOp") -> "QuerySpec | SetOp":
+    """Dispatch a JSON-able analytic spec: {"set_op": ...} → SetOp,
+    anything else → QuerySpec."""
+    if isinstance(d, (QuerySpec, SetOp)):
+        return d
+    return SetOp.from_dict(d) if "set_op" in d else QuerySpec.from_dict(d)
 
 
 @dataclass

@@ -624,3 +624,39 @@ def test_perplexity_buckets_terciles_ordered_and_balanced(spark, sf_dir):
                 lang,
                 {b: r["n_docs"] for b, r in buckets.items()},
             )
+
+
+def test_ngram_lm_score_degenerate_corpora(spark):
+    # all docs < 2 tokens → empty result, no window/lead crash
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    assert C.ngram_lm_score(df, "doc_id", "text").count() == 0
+    # unrounded mode returns raw doubles
+    df2 = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    r = C.ngram_lm_score(df2, "doc_id", "text", round_dp=None).collect()[0]
+    assert r["n_bigrams"] == 3 and r["nll"] > 0
+
+
+def test_mix_to_target_absent_group_and_single_group(spark):
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(100)], ["doc_id", "src"]
+    )
+    # target names a group with no data: achievable mix is just the
+    # present group; it binds and keeps everything
+    out = C.mix_to_target(df, {"only": 0.5, "ghost": 0.5}, "src", "doc_id")
+    assert out.count() == 100
+    # single-group target keeps everything too
+    assert C.mix_to_target(df, {"only": 1.0}, "src", "doc_id").count() == 100
+
+
+def test_semantic_dedup_singleton_clusters_no_pairs(spark):
+    import numpy as np
+
+    from openetl_spark.operators import similarity as SS
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    assert SS.semantic_dedup(df, cents, threshold=0.9).count() == 0

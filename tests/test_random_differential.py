@@ -753,3 +753,69 @@ def test_random_queryspec_window_matches_duckdb(spark, sf_dir, con, seed):
         df = df.withColumn("w", F.col("w").cast("long"))
     ok, msg = compare(df, con, render_query(spec))
     assert ok, f"seed {seed} spec {spec}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_setop_spec_matches_duckdb(spark, sf_dir, con, seed):
+    """SetOp specs fuzzed through both paths: two random filtered
+    projections over orders combined by a random set operation —
+    UNION/INTERSECT/EXCEPT carry SQL dedup semantics on both engines."""
+    from openetl_spark.functions.spec_sql import render_query
+    from openetl_spark.plans.compiler import compile_query
+
+    rng = random.Random(5000 + seed)
+
+    def leg():
+        f = rng.choice([
+            {"field": "o_totalprice", "operator": rng.choice([">", "<="]),
+             "value": round(rng.uniform(50000, 400000), 2)},
+            {"field": "o_orderpriority", "operator": "=",
+             "value": rng.choice(["1-URGENT", "2-HIGH", "5-LOW"])},
+        ])
+        return {"table": "orders", "filters": [f],
+                "select": ["o_custkey"], "distinct": rng.random() < 0.7}
+
+    spec = {
+        "set_op": rng.choice(["union_all", "union", "intersect", "except"]),
+        "inputs": [leg(), leg()],
+    }
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+    ok, msg = compare(df, con, render_query(spec))
+    assert ok, f"seed {seed} spec {spec}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_derived_table_spec_matches_duckdb(spark, sf_dir, con, seed):
+    """Derived-table joins fuzzed: a random per-customer aggregate
+    subquery joined (USING semantics) to a projected customer relation,
+    re-aggregated by segment."""
+    from openetl_spark.functions.spec_sql import render_query
+    from openetl_spark.plans.compiler import compile_query
+
+    rng = random.Random(6000 + seed)
+    inner_fn = rng.choice(["count", "sum", "max"])
+    agg = (
+        {"fn": "count", "expr": None, "alias": "m"}
+        if inner_fn == "count"
+        else {"fn": inner_fn, "expr": "o_totalprice", "alias": "m",
+              "round_dp": 2}
+    )
+    oc = {"table": "orders",
+          "filters": [{"field": "o_totalprice", "operator": ">",
+                       "value": round(rng.uniform(0, 200000), 2)}],
+          "group_by": ["o_custkey"], "aggregates": [agg],
+          "select": ["o_custkey", "m"], "alias": "oc"}
+    spec = {
+        "table": {"table": "customer", "derived": {"o_custkey": "c_custkey"},
+                  "select": ["o_custkey", "c_mktsegment"], "alias": "cc"},
+        "joins": [{"table": oc, "on": ["o_custkey"],
+                   "how": rng.choice(["inner", "left"])}],
+        "group_by": ["c_mktsegment"],
+        "aggregates": [
+            {"fn": "sum", "expr": "m", "alias": "total"},
+            {"fn": "count", "expr": None, "alias": "n"},
+        ],
+    }
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+    ok, msg = compare(df, con, render_query(spec))
+    assert ok, f"seed {seed} spec {spec}: {msg}"
