@@ -130,6 +130,8 @@ HEADLINE = [
     "cluster_profile",
     "perplexity_buckets",
     "declarative_setops",
+    "scd2_history",
+    "hot_keys_report",
 ]
 
 

@@ -4765,6 +4765,60 @@ def q_declarative_setops(spark, sf_dir):
     return compile_query(_DECL_SETOP_SPEC, lambda t: load(spark, sf_dir, t))
 
 
+@query(
+    "scd2_history",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM seq WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """Warehouse breadth (r08): type-2 SCD history built from the
+    event stream — one row per (user, event_type run) with a
+    [valid_from, valid_to) interval and is_current flag; pair with the
+    as-of join for point-in-time attribute lookups. Two windows on the
+    maximally-high-cardinality user key, event_id tiebreak for
+    same-instant determinism."""
+    e = load(spark, sf_dir, "events")
+    return TS.scd2_history(e, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "hot_keys_report",
+    """
+    WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM lineitem)
+    SELECT c.key, c.n, round(c.n * 1.0 / t.total, 6) AS share
+    FROM c, t
+    ORDER BY c.n DESC, c.key ASC
+    LIMIT 20
+    """,
+)
+def q_hot_keys_report(spark, sf_dir):
+    """Skew diagnostics (r08): the 20 hottest supplier keys in the
+    fact table with their row share — the measurement that picks
+    between AQE skew-split, salting (salted_join_segments), and
+    broadcast. Partial-agg per key + TakeOrdered; never a global
+    sort."""
+    from openetl_spark.operators.skew import hot_keys
+
+    l = load(spark, sf_dir, "lineitem")
+    return hot_keys(l, "l_suppkey", k=20)
+
+
 _INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
 
 
@@ -4875,9 +4929,9 @@ DRIVER_PRIORITY: list[str] = [
     "cluster_profile",
     "perplexity_buckets",
     "declarative_setops",
+    "scd2_history",
+    "hot_keys_report",
     # oldest green rows (r01/r02 only) — refresh
-    "connector_slice",
-    "asof_join_events",
     "q1_pricing",
     "q3_top_orders",
     "q5_regional_revenue",

@@ -72,3 +72,23 @@ def broadcast_if_small(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     return F.broadcast(df) if size <= max_bytes else df
+
+
+def hot_keys(df: DataFrame, col: str, k: int = 20, round_dp: int = 6) -> DataFrame:
+    """Skew diagnostic: the k hottest values of a prospective join/
+    aggregation key with their row share — the number you look at
+    before deciding between AQE skew-split, salting, and broadcast.
+    One partial-aggregated count per key + a top-k (TakeOrdered, no
+    global sort); the total joins as a broadcast scalar."""
+    counts = df.groupBy(F.col(col).alias("key")).agg(F.count("*").alias("n"))
+    total = df.agg(F.count("*").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("_t"), round_dp).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(k)
+    )

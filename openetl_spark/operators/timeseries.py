@@ -186,3 +186,49 @@ def anomalous_buckets(
                 z.alias("z_score"))
         .filter(F.abs(F.col("z_score")) > threshold)
     )
+
+
+def scd2_history(
+    df,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+):
+    """Build a type-2 slowly-changing-dimension history from an event
+    stream: one row per (key, attribute-value run) with
+    [valid_from, valid_to) interval and an is_current flag — the
+    standard warehouse shape for "what was this entity's attribute at
+    time T" lookups (pair with the as-of join for point-in-time
+    reads).
+
+    Two key-partitioned windows (lag to detect changes, lead to close
+    intervals) — the key is maximally high-cardinality (users/
+    entities), so partitions stay small at any history length; no
+    other shuffle. ``tie_col`` breaks equal-timestamp ordering
+    deterministically (required for an oracle-stable result when a key
+    has same-instant events)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = W.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+        )
+    )
+    w2 = W.partitionBy(key_col).orderBy(*order)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            key_col,
+            F.col(attr_col),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

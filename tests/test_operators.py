@@ -976,3 +976,42 @@ def test_incremental_dedup_prepared_index_equals_raw(spark, sf_dir, tmp_path):
         )
     )
     assert raw == via_index and len(raw) > 0
+
+
+def test_scd2_history_semantics(spark):
+    from datetime import datetime
+
+    from openetl_spark.operators import timeseries as TSS
+
+    t = lambda s: datetime(2024, 1, s)
+    rows = [
+        (1, t(1), 100, "A"),
+        (1, t(2), 101, "A"),   # no change → absorbed into the A run
+        (1, t(3), 102, "B"),
+        (1, t(4), 103, "A"),
+        (2, t(5), 104, "X"),   # single-state user: one current row
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = sorted(
+        TSS.scd2_history(df, "user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["event_type"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None, r["is_current"])
+            for r in u1] == [("A", 1, 3, False), ("B", 3, 4, False), ("A", 4, None, True)]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+    # intervals are contiguous: each valid_to equals the next valid_from
+    for a, b in zip(u1, u1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+
+
+def test_hot_keys_shares_sum_and_order(spark):
+    from openetl_spark.operators.skew import hot_keys
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["i", "k"])
+    out = hot_keys(df, "k", k=3).collect()
+    assert out[0]["key"] == "hot" and abs(out[0]["share"] - 0.5) < 0.01
+    assert [r["n"] for r in out] == sorted([r["n"] for r in out], reverse=True)

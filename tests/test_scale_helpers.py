@@ -443,3 +443,62 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_r08_plans_broadcast_not_shuffle_corpus(spark, sf_dir):
+    """r08 plan evidence: domain_mix_sample's rate lookup joins the
+    corpus against a BROADCAST rates relation (the corpus itself never
+    hash-shuffles for the join), and hot_keys_report plans its top-k
+    as TakeOrdered, never a global Sort+Limit."""
+    from openetl_spark import catalog
+
+    plan = (
+        catalog.QUERIES["domain_mix_sample"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan2 = (
+        catalog.QUERIES["hot_keys_report"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan2
+
+
+def test_semantic_dedup_matches_exact_within_clusters(spark, sf_dir):
+    """semantic_dedup's cluster-scoped pairs must agree with the exact
+    blocked all-pairs join RESTRICTED to same-cluster pairs — the
+    operator's only approximation is the clustering boundary itself."""
+    import numpy as np
+
+    from openetl_spark import catalog
+    from openetl_spark.operators import similarity as S
+
+    cents, _ = catalog._ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    e = catalog.load(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_id"], r["dup_of"])
+        for r in S.semantic_dedup(e, cents, threshold=0.4).collect()
+    }
+    # exact pairs + assignment, driver-side reference
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c = np.asarray(cents)
+    assign = (np.square(c).sum(1)[None, :] - 2 * m @ c.T).argmin(1)
+    nrm = np.linalg.norm(m, axis=1)
+    sims = np.round((m @ m.T) / np.outer(nrm, nrm), 4)
+    expected = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if (
+                ids[i] < ids[j]
+                and assign[i] == assign[j]
+                and sims[i, j] >= 0.4
+            ):
+                cur = expected.get(ids[j])
+                if cur is None or ids[i] < cur:
+                    expected[ids[j]] = ids[i]
+    assert got == set(expected.items())
