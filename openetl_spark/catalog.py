@@ -4540,27 +4540,32 @@ def q_semantic_dedup(spark, sf_dir):
     return S.semantic_dedup(e, cents, threshold=0.4)
 
 
-@query(
-    "domain_mix_sample",
-    f"""
-    WITH tgt(lang, w) AS (
-      VALUES ('en', CAST(0.5  AS DOUBLE)),
-             ('de', CAST(0.2  AS DOUBLE)),
-             ('es', CAST(0.15 AS DOUBLE)),
-             ('fr', CAST(0.15 AS DOUBLE))),
+def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
+    """mix_to_target's oracle, parameterized over the target mix —
+    shared by the catalog query and the randomized sweep."""
+    vals = ", ".join(
+        f"('{g}', CAST({float(w)!r} AS DOUBLE))" for g, w in target.items()
+    )
+    return f"""
+    WITH tgt({group_col}, w) AS (VALUES {vals}),
     sw AS (SELECT sum(w) AS sw FROM tgt),
-    counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-    j AS (SELECT c.lang, c.n, t.w / sw.sw AS wn
-          FROM counts c JOIN tgt t USING (lang), sw),
+    counts AS (SELECT {group_col}, count(*) AS n FROM documents GROUP BY {group_col}),
+    j AS (SELECT c.{group_col}, c.n, t.w / sw.sw AS wn
+          FROM counts c JOIN tgt t USING ({group_col}), sw),
     tt AS (SELECT min(n / wn) AS t FROM j),
     rates AS (
-      SELECT lang,
+      SELECT {group_col},
              least(10000, CAST(floor(10000.0 * wn * tt.t / n) AS BIGINT)) AS bp
       FROM j, tt)
-    SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN rates r USING (lang)
+    SELECT d.doc_id, d.{group_col}, d.source
+    FROM documents d JOIN rates r USING ({group_col})
     WHERE ({C.hash_bucket_sql('doc_id', 10000)}) < r.bp
-    """,
+    """
+
+
+@query(
+    "domain_mix_sample",
+    domain_mix_oracle({"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}),
 )
 def q_domain_mix_sample(spark, sf_dir):
     """Curation (r08): domain reweighting — downsample so the language
@@ -4822,16 +4827,18 @@ def q_hot_keys_report(spark, sf_dir):
 _INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
 
 
-@query(
-    "incremental_dedup",
-    f"""
+def incremental_dedup_oracle(cut: int = 50, thr: float = 0.5) -> str:
+    """The incremental-dedup oracle, parameterized over the index/new
+    split point (md5 bucket < cut) and the jaccard threshold — shared
+    by the catalog query and the randomized differential sweep."""
+    return f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
             FROM documents),
            UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
-    side AS (SELECT doc_id, ({_INCR_BUCKET}) < 50 AS is_index FROM documents),
+    side AS (SELECT doc_id, ({_INCR_BUCKET}) < {cut} AS is_index FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS p, y.doc_id AS q, count(*) AS c
@@ -4847,15 +4854,17 @@ _INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
       JOIN side bq ON bq.doc_id = inter.q
       WHERE NOT bq.is_index
         AND (bp.is_index OR inter.p < inter.q)
-        AND c / (sp.n + sq.n - c) >= 0.5),
+        AND c / (sp.n + sq.n - c) >= {thr}),
     agg AS (
       SELECT b, CAST(count(*) AS BIGINT) AS n_dups, min(a) AS dup_of
       FROM pairs GROUP BY b)
     SELECT CAST(agg.b AS BIGINT) AS doc_id, agg.n_dups,
            CAST(agg.dup_of AS BIGINT) AS dup_of, p.jaccard
     FROM agg JOIN pairs p ON p.b = agg.b AND p.a = agg.dup_of
-    """,
-)
+    """
+
+
+@query("incremental_dedup", incremental_dedup_oracle(50, 0.5))
 def q_incremental_dedup(spark, sf_dir):
     """C26/C27 (r08): incremental MinHash dedup — the md5-bucket lower
     half of the corpus plays the persisted index, the upper half is the

@@ -819,3 +819,45 @@ def test_random_derived_table_spec_matches_duckdb(spark, sf_dir, con, seed):
     df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
     ok, msg = compare(df, con, render_query(spec))
     assert ok, f"seed {seed} spec {spec}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_incremental_dedup_matches_duckdb(spark, sf_dir, con, seed):
+    """Incremental dedup fuzzed over the parameter plane: random
+    index/new split point and jaccard threshold, Spark's
+    LSH-candidates-then-exact-verify vs DuckDB's restricted exact
+    jaccard. Thresholds stay ≥ 0.45 where 64-band/r=2 candidate recall
+    is ≈ 1 (per-pair miss ≤ ~2e-5), so the exact oracle is the full
+    answer."""
+    from openetl_spark.operators import curation as C
+    from openetl_spark.operators import dedup as D
+
+    rng = random.Random(7000 + seed)
+    cut = rng.choice([25, 40, 60, 75])
+    thr = rng.choice([0.45, 0.5, 0.6])
+    d = catalog.load(spark, sf_dir, "documents")
+    bucket = C.hash_bucket(F.col("doc_id"), 100)
+    out = D.incremental_near_duplicates(
+        d.filter(bucket >= cut), d.filter(bucket < cut),
+        "doc_id", "text", threshold=thr,
+    )
+    ok, msg = compare(out, con, catalog.incremental_dedup_oracle(cut, thr))
+    assert ok, f"seed {seed} cut {cut} thr {thr}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_domain_mix_matches_duckdb(spark, sf_dir, con, seed):
+    """mix_to_target fuzzed over random language targets (random
+    subsets, random weights): basis-point rates and md5 membership must
+    reproduce bit-identically in DuckDB for every mix."""
+    from openetl_spark.operators import curation as C
+
+    rng = random.Random(8000 + seed)
+    langs = rng.sample(["en", "de", "es", "fr", "zh"], rng.randint(2, 4))
+    target = {g: round(rng.uniform(0.1, 1.0), 2) for g in langs}
+    d = catalog.load(spark, sf_dir, "documents")
+    out = C.mix_to_target(d, target, "lang", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+    ok, msg = compare(out, con, catalog.domain_mix_oracle(target))
+    assert ok, f"seed {seed} target {target}: {msg}"
