@@ -4498,9 +4498,11 @@ def q_zipf_fit(spark, sf_dir):
     return X.zipf_fit(d, "text")
 
 
-@query(
-    "semantic_dedup",
-    f"""
+def semantic_dedup_oracle(thr: float = 0.4) -> str:
+    """semantic_dedup's oracle, parameterized over the cosine
+    threshold — shared by the catalog query and the randomized
+    sweep."""
+    return f"""
     WITH cents AS (
       SELECT list_id, centroid
       FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
@@ -4519,14 +4521,16 @@ def q_zipf_fit(spark, sf_dir):
              round(list_cosine_similarity(a.v, b.v), 4) AS cs
       FROM assign a JOIN assign b
         ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {thr}),
     best AS (SELECT b, min(a) AS dup_of FROM pairs GROUP BY b)
     SELECT CAST(best.b AS BIGINT) AS vec_id,
            CAST(best.dup_of AS BIGINT) AS dup_of,
            p.cs AS cosine_sim
     FROM best JOIN pairs p ON p.b = best.b AND p.a = best.dup_of
-    """,
-)
+    """
+
+
+@query("semantic_dedup", semantic_dedup_oracle(0.4))
 def q_semantic_dedup(spark, sf_dir):
     """C27/C28 (r08): SemDeDup — cluster-scoped semantic near-dup
     removal. Reuses the SAME persisted IVF quantizer as ivf_knn (one

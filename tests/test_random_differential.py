@@ -861,3 +861,20 @@ def test_random_domain_mix_matches_duckdb(spark, sf_dir, con, seed):
     )
     ok, msg = compare(out, con, catalog.domain_mix_oracle(target))
     assert ok, f"seed {seed} target {target}: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_semantic_dedup_matches_duckdb(spark, sf_dir, con, seed):
+    """semantic_dedup fuzzed over the cosine threshold (the corpus
+    tops out ~0.51, so thresholds stay below that for non-vacuous
+    results): cluster assignment, rounded-cosine gate, and min-id
+    survivor must all reproduce from the persisted centroid parquet."""
+    from openetl_spark.operators import similarity as S
+
+    rng = random.Random(9000 + seed)
+    thr = rng.choice([0.35, 0.38, 0.42, 0.45])
+    cents, _ = catalog._ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    e = catalog.load(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(e, cents, threshold=thr)
+    ok, msg = compare(out, con, catalog.semantic_dedup_oracle(thr))
+    assert ok, f"seed {seed} thr {thr}: {msg}"
