@@ -132,6 +132,7 @@ HEADLINE = [
     "declarative_setops",
     "scd2_history",
     "hot_keys_report",
+    "document_chunks",
 ]
 
 

@@ -4544,6 +4544,30 @@ def q_semantic_dedup(spark, sf_dir):
     return S.semantic_dedup(e, cents, threshold=0.4)
 
 
+@query(
+    "document_chunks",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+           array_to_string(w[s:s+63], ' ') AS chunk_text,
+           CAST(len(w[s:s+63]) AS INT) AS n_tokens
+    FROM tk, UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS t(s)
+    WHERE len(w) >= 1
+    """,
+)
+def q_document_chunks(spark, sf_dir):
+    """Retrieval breadth (r08): overlapping 64-token chunks every 32
+    tokens — the chunk→embed→index preprocessing step. Scan-side
+    sequence+slice, zero shuffles, deterministic chunk ids across
+    engines and runs."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=32)
+
+
 def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     """mix_to_target's oracle, parameterized over the target mix —
     shared by the catalog query and the randomized sweep."""
@@ -4944,8 +4968,8 @@ DRIVER_PRIORITY: list[str] = [
     "declarative_setops",
     "scd2_history",
     "hot_keys_report",
+    "document_chunks",
     # oldest green rows (r01/r02 only) — refresh
-    "q1_pricing",
     "q3_top_orders",
     "q5_regional_revenue",
     # added r06, no driver row yet (take the slots of the stable

@@ -184,6 +184,46 @@ def bigram_repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Token-window chunking — the retrieval-pipeline step between raw
+    documents and embedding/indexing: split each document into
+    overlapping windows of ``chunk_tokens`` whitespace tokens starting
+    every ``stride`` tokens (stride < chunk_tokens gives the standard
+    overlapping-context layout; the final window may be shorter).
+    Emits (id, chunk_id, chunk_text, n_tokens); empty documents emit
+    nothing; chunk ids are dense per document.
+
+    Scan-side: start offsets come from a per-row ``sequence`` and each
+    chunk is a ``slice`` + ``array_join`` — whole-stage codegen, no
+    shuffle at all (the explode factor is ~n_tokens/stride per doc).
+    Deterministic layout means chunk membership is reproducible across
+    engines and runs — re-chunking 100 TB yields byte-identical chunk
+    ids, the same auditability contract as the hash samplers."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(int(stride)))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("_w"),
+        F.explode(starts).alias("_s"),
+    )
+    piece = F.slice(F.col("_w"), F.col("_s"), int(chunk_tokens))
+    return ex.select(
+        id_col,
+        F.expr(f"CAST((_s - 1) DIV {int(stride)} AS BIGINT)").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
 def kl_domain_shift(
     df: DataFrame,
     group_col: str = "source",

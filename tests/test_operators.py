@@ -1015,3 +1015,30 @@ def test_hot_keys_shares_sum_and_order(spark):
     out = hot_keys(df, "k", k=3).collect()
     assert out[0]["key"] == "hot" and abs(out[0]["share"] - 0.5) < 0.01
     assert [r["n"] for r in out] == sorted([r["n"] for r in out], reverse=True)
+
+
+def test_chunk_documents_layout(spark):
+    from openetl_spark.operators import text as TX
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (2, "a b c"),                                # shorter than chunk
+        (3, ""),                                     # empty → no chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        TX.chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in out if r["doc_id"] == 1]
+    # starts 1,4,7,10 → chunks of ≤4 tokens, dense ids, overlap of 1
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert d1[3]["chunk_text"] == "w9" and d1[3]["n_tokens"] == 1
+    # every token appears in ≥1 chunk (coverage)
+    covered = set(t for r in d1 for t in r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(10)}
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+    assert not [r for r in out if r["doc_id"] == 3]
