@@ -133,6 +133,7 @@ HEADLINE = [
     "scd2_history",
     "hot_keys_report",
     "document_chunks",
+    "chunk_bm25_topk",
 ]
 
 

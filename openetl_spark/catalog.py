@@ -4568,6 +4568,61 @@ def q_document_chunks(spark, sf_dir):
     return X.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=32)
 
 
+@query(
+    "chunk_bm25_topk",
+    """
+    WITH tk0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    ch AS (
+      SELECT doc_id || ':' || CAST((s - 1) // 32 AS BIGINT) AS chunk_key,
+             string_split(array_to_string(w[s:s+63], ' '), ' ') AS toks
+      FROM tk0, UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS t(s)
+      WHERE len(w) >= 1),
+    st AS (
+      SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'spark')) > 0) AS df0,
+             count(*) FILTER (len(list_filter(toks, x -> x = 'vector')) > 0) AS df1
+      FROM ch),
+    pc AS (
+      SELECT chunk_key, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1
+      FROM ch),
+    scored AS (
+      SELECT chunk_key,
+             round(
+               ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+      FROM pc, st)
+    SELECT chunk_key, bm25 FROM scored
+    WHERE bm25 > 0.0
+    ORDER BY bm25 DESC, chunk_key ASC
+    LIMIT 25
+    """,
+)
+def q_chunk_bm25_topk(spark, sf_dir):
+    """Retrieval composition (r08): BM25 at CHUNK granularity — the
+    passage-retrieval grain a RAG pipeline actually serves. Chunking
+    is scan-side (document_chunks), scoring reuses bm25_topk's
+    one-pass broadcast-stats shape; corpus statistics here are
+    per-chunk (N = chunk count, avgdl = avg chunk length), which is
+    the correct normalization for passage scoring. The only shuffle in
+    the whole plan remains the final TakeOrdered."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    chunks = X.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=32)
+    keyed = chunks.select(
+        F.concat_ws(":", "doc_id", "chunk_id").alias("chunk_key"),
+        "chunk_text",
+    )
+    return X.bm25_topk(
+        keyed, ["spark", "vector"], k=25, id_col="chunk_key", text_col="chunk_text"
+    )
+
+
 def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     """mix_to_target's oracle, parameterized over the target mix —
     shared by the catalog query and the randomized sweep."""
@@ -4969,8 +5024,8 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_history",
     "hot_keys_report",
     "document_chunks",
+    "chunk_bm25_topk",
     # oldest green rows (r01/r02 only) — refresh
-    "q3_top_orders",
     "q5_regional_revenue",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
