@@ -134,6 +134,7 @@ HEADLINE = [
     "hot_keys_report",
     "document_chunks",
     "chunk_bm25_topk",
+    "contrastive_negatives",
 ]
 
 

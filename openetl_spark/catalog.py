@@ -4623,6 +4623,39 @@ def q_chunk_bm25_topk(spark, sf_dir):
     )
 
 
+@query(
+    "contrastive_negatives",
+    f"""
+    WITH a AS (
+      SELECT vec_id AS anchor, label AS al,
+             ({C.hash_bucket_sql("CAST(vec_id AS VARCHAR) || 'p'", 16)}) AS pb
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS negative, label AS cl,
+             ({C.hash_bucket_sql("vec_id", 16)}) AS cb
+      FROM embeddings),
+    pairs AS (
+      SELECT a.anchor, c.negative,
+             md5(CAST(a.anchor AS VARCHAR) || ':' || CAST(c.negative AS VARCHAR)) AS rk
+      FROM a JOIN c ON a.pb = c.cb AND a.al <> c.cl),
+    ranked AS (
+      SELECT anchor, negative,
+             CAST(row_number() OVER (PARTITION BY anchor ORDER BY rk, negative)
+                  AS INT) AS rank
+      FROM pairs)
+    SELECT anchor, negative, rank FROM ranked WHERE rank <= 4
+    """,
+)
+def q_contrastive_negatives(spark, sf_dir):
+    """Curation (r08): deterministic contrastive negative sampling —
+    each anchor probes one md5 bucket of candidates (volume
+    |corpus|/n_buckets; n_buckets scales with the corpus), negatives
+    ranked by a portable md5 pair key. No RNG state anywhere, so every
+    epoch, engine, and partitioning sees the same pairs."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    return C.contrastive_negatives(e, "vec_id", "label", k=4, n_buckets=16)
+
+
 def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     """mix_to_target's oracle, parameterized over the target mix —
     shared by the catalog query and the randomized sweep."""
@@ -5025,8 +5058,7 @@ DRIVER_PRIORITY: list[str] = [
     "hot_keys_report",
     "document_chunks",
     "chunk_bm25_topk",
-    # oldest green rows (r01/r02 only) — refresh
-    "q5_regional_revenue",
+    "contrastive_negatives",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
     # which queue for the round-5 rotation)

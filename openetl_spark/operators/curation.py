@@ -639,6 +639,56 @@ def perplexity_buckets(
     )
 
 
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 4,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, pick ``k`` different-label negatives — reproducibly,
+    with no RNG state, so the (anchor, negative) pairs are
+    bit-identical across runs, engines, and partitionings (the same
+    auditability contract as the hash samplers; random .sample() would
+    silently reshuffle every epoch's negatives).
+
+    Scale shape: each anchor probes ONE deterministic md5 bucket of
+    candidates (its probe bucket is derived from the anchor id, so
+    anchors spread uniformly over buckets), giving candidate volume
+    |corpus|/n_buckets per anchor — choose n_buckets ∝ corpus size to
+    hold per-anchor candidates constant, exactly the SemDeDup cluster
+    budget argument. Ranking inside the (anchor, bucket) candidate set
+    is by md5 of the pair key (portable, uniform), then row_number
+    takes k. Anchors whose probe bucket holds < k different-label
+    candidates emit fewer rows (documented; raise n_buckets density or
+    re-probe in a second pass if the corpus is label-sparse)."""
+    a = df.select(
+        F.col(id_col).alias("anchor"),
+        F.col(label_col).alias("_al"),
+        hash_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit("p")), n_buckets
+        ).alias("_pb"),
+    )
+    c = df.select(
+        F.col(id_col).alias("negative"),
+        F.col(label_col).alias("_cl"),
+        hash_bucket(F.col(id_col), n_buckets).alias("_cb"),
+    )
+    pairs = a.join(c, (F.col("_pb") == F.col("_cb")) & (F.col("_al") != F.col("_cl")))
+    rank_key = F.md5(
+        F.concat(
+            F.col("anchor").cast("string"), F.lit(":"), F.col("negative").cast("string")
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(rank_key.asc(), F.col("negative").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "negative", "rank")
+    )
+
+
 # ---------------------------------------------------------------------
 # Embedding normalization / quantization
 # ---------------------------------------------------------------------

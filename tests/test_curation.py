@@ -660,3 +660,21 @@ def test_semantic_dedup_singleton_clusters_no_pairs(spark):
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
     )
     assert SS.semantic_dedup(df, cents, threshold=0.9).count() == 0
+
+
+def test_contrastive_negatives_properties(spark):
+    rows = [(i, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "label"])
+    out = C.contrastive_negatives(df, k=3, n_buckets=4).collect()
+    by_anchor = {}
+    labels = dict(rows)
+    for r in out:
+        by_anchor.setdefault(r["anchor"], []).append(r)
+        # negatives always carry a different label and are never self
+        assert labels[r["negative"]] != labels[r["anchor"]]
+        assert r["negative"] != r["anchor"]
+    assert all(len(v) <= 3 for v in by_anchor.values())
+    assert sum(len(v) for v in by_anchor.values()) >= 250 * 3  # dense corpus
+    # determinism: identical pairs on a second run
+    out2 = C.contrastive_negatives(df, k=3, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
