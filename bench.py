@@ -135,6 +135,7 @@ HEADLINE = [
     "document_chunks",
     "chunk_bm25_topk",
     "contrastive_negatives",
+    "llm_data_pipeline",
 ]
 
 

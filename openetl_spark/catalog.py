@@ -4656,6 +4656,95 @@ def q_contrastive_negatives(spark, sf_dir):
     return C.contrastive_negatives(e, "vec_id", "label", k=4, n_buckets=16)
 
 
+@query(
+    "llm_data_pipeline",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS w
+      FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS pre, w[i] || ' ' || w[i + 1] AS bg
+      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+    c1 AS (SELECT pre, count(*) AS c FROM big GROUP BY pre),
+    v AS (SELECT count(DISTINCT tok) AS vs
+          FROM (SELECT UNNEST(w) AS tok FROM tk) u),
+    scored AS (
+      SELECT big.doc_id, avg(-ln((c2.c + 1.0) / (c1.c + v.vs))) AS nll
+      FROM big JOIN c2 USING (bg) JOIN c1 USING (pre), v
+      GROUP BY big.doc_id),
+    binned AS (
+      SELECT tk.doc_id, tk.lang,
+             CAST(floor(s.nll / 0.002) AS BIGINT) AS bin
+      FROM scored s JOIN tk ON tk.doc_id = s.doc_id),
+    hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, bin, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist),
+    thr AS (
+      SELECT lang, min(CASE WHEN cum >= 2.0 * n / 3.0 THEN bin END) AS t67
+      FROM cum GROUP BY lang),
+    survivors AS (
+      SELECT b.doc_id, b.lang
+      FROM binned b JOIN thr t USING (lang)
+      WHERE b.bin <= t.t67),
+    tgt(lang, tw) AS (
+      VALUES ('en', CAST(0.5  AS DOUBLE)),
+             ('de', CAST(0.2  AS DOUBLE)),
+             ('es', CAST(0.15 AS DOUBLE)),
+             ('fr', CAST(0.15 AS DOUBLE))),
+    sw AS (SELECT sum(tw) AS sw FROM tgt),
+    counts AS (SELECT lang, count(*) AS n FROM survivors GROUP BY lang),
+    j AS (SELECT c.lang, c.n, t.tw / sw.sw AS wn
+          FROM counts c JOIN tgt t USING (lang), sw),
+    tt AS (SELECT min(n / wn) AS t FROM j),
+    rates AS (
+      SELECT lang,
+             least(10000, CAST(floor(10000.0 * wn * tt.t / n) AS BIGINT)) AS bp
+      FROM j, tt),
+    sampled AS (
+      SELECT s.doc_id, s.lang
+      FROM survivors s JOIN rates r USING (lang)
+      WHERE ({C.hash_bucket_sql('s.doc_id', 10000)}) < r.bp)
+    SELECT m.doc_id,
+           CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+           m.lang,
+           CAST(len(w[s:s+63]) AS INT) AS n_tokens
+    FROM sampled m JOIN tk USING (doc_id),
+         UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS t(s)
+    WHERE len(w) >= 1
+    """,
+)
+def q_llm_data_pipeline(spark, sf_dir):
+    """The r08 composed flagship: bigram-LM scoring → CCNet bucket gate
+    (drop the worst tercile per language) → target-mix domain
+    reweighting on the SURVIVOR counts → token-window chunking, ONE
+    lazy plan over one corpus scan lineage, the whole thing rendered as
+    ONE oracle query. Every stage is the scale-safe shape its
+    standalone query uses: histogram terciles (no raw-doc windows),
+    in-plan mix rates (broadcast scalars), scan-side chunking. Output
+    grain is training chunks (doc, chunk, lang, n_tokens)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    keep = (
+        C.with_perplexity_bucket(d, "doc_id", "text", "lang")
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    survivors = d.join(keep, "doc_id")
+    mixed = C.mix_to_target(
+        survivors, {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}, "lang", "doc_id"
+    )
+    chunks = X.chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, stride=32)
+    return chunks.join(mixed.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "chunk_id", "lang", "n_tokens"
+    )
+
+
 def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     """mix_to_target's oracle, parameterized over the target mix —
     shared by the catalog query and the randomized sweep."""
@@ -5021,6 +5110,27 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
 
+# Queries whose CODE or ORACLE changed after their last driver-green
+# row — they hold window slots even though a (stale) green row exists,
+# and the window-integrity test exempts them from its "wasted slot"
+# check. Prune entries from this set once the next CORRECTNESS record
+# re-greens them.
+DRIVER_RECHECK: set[str] = {
+    "embedding_quantize",      # red r03 → q8 serialization fix (r06)
+    "ivf_knn",                 # oracle added r06 (was no_oracle)
+    "approx_sketches",         # oracle added r06 (was no_oracle)
+    "sequence_packing",        # sharded-window rewrite r06
+    "length_band_filter",      # histogram-rank rewrite r06
+    "curation_pipeline",       # inherits the sharded packing r06
+    "jaccard_near_dups",       # scan-side fingerprint rewrite r04
+    "minhash_near_dups",       # scan-side fingerprint rewrite r04
+    "simhash_dedup",           # scan-side fingerprint rewrite r04
+    "lsh_similarity_join",     # oracle added r03 (row was no_oracle)
+    "pandas_normalize",        # JVM-stats rewrite r05
+    "dedup_components",        # observe()-fused convergence r06
+    "dedup_keep_best",         # depends on the component rewrite
+}
+
 DRIVER_PRIORITY: list[str] = [
     # no driver row yet
     "vocab_sketch_topk",
@@ -5059,6 +5169,7 @@ DRIVER_PRIORITY: list[str] = [
     "document_chunks",
     "chunk_bm25_topk",
     "contrastive_negatives",
+    "llm_data_pipeline",
     # added r06, no driver row yet (take the slots of the stable
     # decimal_agg / sql_passthrough / schema_introspect refreshes,
     # which queue for the round-5 rotation)
@@ -5092,7 +5203,9 @@ DRIVER_PRIORITY: list[str] = [
     # topk_orders' / session_windows' refresh slots (stable r01/r02,
     # pinned by the random top-k sweep and the streaming suite)
     "declarative_star_join",
-    "declarative_window_topn",
+    # declarative_window_topn queues for round 5 (pinned every run by
+    # the randomized QuerySpec window fuzzer; its slot goes to the
+    # composed llm_data_pipeline flagship)
 ]
 
 

@@ -592,11 +592,34 @@ def perplexity_buckets(
     threshold bin ids — integer compares, so membership is exactly
     reproducible in the oracle. Docs with < 2 tokens carry no LM
     evidence and are excluded (as in ``ngram_lm_score``)."""
+    binned = with_perplexity_bucket(df, id_col, text_col, group_col, bin_width)
+    return (
+        binned.groupBy(group_col, "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), round_dp).alias("avg_nll"),
+        )
+    )
+
+
+def with_perplexity_bucket(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    bin_width: float = 0.002,
+) -> DataFrame:
+    """The per-document relation behind ``perplexity_buckets``:
+    (id, group, nll, bucket) with bucket ∈ head/middle/tail — exposed
+    so pipelines can GATE on the bucket (CCNet keeps head+middle) as
+    well as report on it. Same histogram-tercile machinery; same
+    scale shape."""
     scored = ngram_lm_score(df, id_col, text_col, round_dp=None).join(
         df.select(id_col, group_col), id_col
     )
     w = float(bin_width)
     binned = scored.select(
+        id_col,
         group_col,
         "nll",
         F.floor(F.col("nll") / w).cast("long").alias("_bin"),
@@ -630,12 +653,7 @@ def perplexity_buckets(
     )
     return (
         binned.join(F.broadcast(thr), group_col)
-        .select(group_col, bucket.alias("bucket"), "nll")
-        .groupBy(group_col, "bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("nll"), round_dp).alias("avg_nll"),
-        )
+        .select(id_col, group_col, "nll", bucket.alias("bucket"))
     )
 
 

@@ -92,7 +92,14 @@ def test_driver_window_completes_coverage():
     # Every window slot must go to a query with no driver row yet; a
     # query may remain uncovered only when all 50 slots are already
     # spent on other unchecked queries (it then queues for next round).
-    wasted = [n for n in catalog.DRIVER_PRIORITY if n in checked]
+    # DRIVER_RECHECK entries legitimately hold slots despite an old
+    # green row: their code or oracle changed after the driver last
+    # checked them, so the stale row doesn't cover the current code.
+    wasted = [
+        n
+        for n in catalog.DRIVER_PRIORITY
+        if n in checked and n not in catalog.DRIVER_RECHECK
+    ]
     if uncovered and wasted:
         # The driver records a round's results against the window that
         # was live when it ran; once that record lands, every window
