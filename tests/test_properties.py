@@ -306,3 +306,35 @@ def test_gif_lzw_encoder_decoder_roundtrip(mcs, runs):
     idx = [v % alphabet for v, n in runs for _ in range(n)]
     enc = _gif_lzw_encode(mcs, idx)
     assert _gif_lzw_decode(mcs, enc, len(idx)) == idx
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=1, max_value=10),
+    stride=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_python_reference(spark, docs, chunk, stride):
+    """chunk_documents vs a direct Python re-implementation over random
+    token lists and chunk/stride geometry: same chunk ids, same texts,
+    same lengths, full token coverage."""
+    from openetl_spark.operators.text import chunk_documents
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    expected = []
+    for i, words in enumerate(docs):
+        for s in range(0, len(words), stride):
+            piece = words[s : s + chunk]
+            expected.append((i, s // stride, " ".join(piece), len(piece)))
+    assert got == sorted(expected)
