@@ -4705,7 +4705,7 @@ def q_contrastive_negatives(spark, sf_dir):
     tt AS (SELECT min(n / wn) AS t FROM j),
     rates AS (
       SELECT lang,
-             least(10000, CAST(floor(10000.0 * wn * tt.t / n) AS BIGINT)) AS bp
+             least(10000, CAST(floor(10000.0 * wn * tt.t / n + 1e-9) AS BIGINT)) AS bp
       FROM j, tt),
     sampled AS (
       SELECT s.doc_id, s.lang
@@ -4760,7 +4760,7 @@ def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     tt AS (SELECT min(n / wn) AS t FROM j),
     rates AS (
       SELECT {group_col},
-             least(10000, CAST(floor(10000.0 * wn * tt.t / n) AS BIGINT)) AS bp
+             least(10000, CAST(floor(10000.0 * wn * tt.t / n + 1e-9) AS BIGINT)) AS bp
       FROM j, tt)
     SELECT d.doc_id, d.{group_col}, d.source
     FROM documents d JOIN rates r USING ({group_col})

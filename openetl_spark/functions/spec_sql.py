@@ -110,30 +110,27 @@ def render_query(spec: "QuerySpec | SetOp | dict") -> str:
         return sql
 
     def _rel(t, fallback: str):
-        if isinstance(t, QuerySpec):
-            name = t.alias or fallback
-            return f"({render_query(t)}) AS {name}", name, True
-        return t, t, False
+        if isinstance(t, (QuerySpec, SetOp)):
+            name = getattr(t, "alias", None) or fallback
+            return f"({render_query(t)}) AS {name}", name
+        return t, t
 
-    base_sql, base_name, base_derived = _rel(spec.table, "t0")
+    base_sql, _base_name = _rel(spec.table, "t0")
     frm = [base_sql]
     for k, j in enumerate(spec.joins):
-        jsql, jname, jderived = _rel(j.table, f"t{k + 1}")
+        jsql, _jname = _rel(j.table, f"t{k + 1}")
         on = list(j.on)
         kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
               "full": "FULL JOIN", "full_outer": "FULL JOIN"}[j.how]
         if on and isinstance(on[0], (list, tuple)):
             cond = " AND ".join(f"{l} = {r}" for l, r in on)
             frm.append(f"{kw} {jsql} ON {cond}")
-        elif base_derived or jderived:
-            # derived tables join USING: merges the key columns exactly
-            # like Spark's join(on=[cols]) does
-            frm.append(f"{kw} {jsql} USING ({', '.join(on)})")
         else:
-            cond = " AND ".join(
-                f"{base_name}.{c} = {jname}.{c}" for c in on
-            )
-            frm.append(f"{kw} {jsql} ON {cond}")
+            # column-name-list joins render USING for EVERY table kind:
+            # it merges the key columns exactly like Spark's
+            # join(on=[cols]) does (a qualified ON keeps both copies,
+            # diverging from the compiled plan's output schema)
+            frm.append(f"{kw} {jsql} USING ({', '.join(on)})")
     body = "FROM " + " ".join(frm)
     if spec.filters:
         body += " WHERE " + _render_filters(spec.filters)

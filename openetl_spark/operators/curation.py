@@ -489,13 +489,22 @@ def mix_to_target(
         )
     )
     t = j.agg(F.min(F.col("_n") / F.col("_wn")).alias("_t"))
+    # The binding group's rate is exactly 10000 bp in rational
+    # arithmetic, but the float expression wn·(n/wn)/n can land at
+    # 10000·(1−ε) and floor to 9999, silently dropping ~1/10000 of the
+    # binding group. The 1e-9 nudge (mirrored verbatim in the oracle)
+    # absorbs that representation error while staying far below the
+    # 1-bp granularity that separates genuinely distinct rates.
     rates = (
         j.crossJoin(F.broadcast(t))
         .select(
             group_col,
             F.least(
                 F.lit(10000),
-                F.floor(F.lit(10000.0) * F.col("_wn") * F.col("_t") / F.col("_n")),
+                F.floor(
+                    F.lit(10000.0) * F.col("_wn") * F.col("_t") / F.col("_n")
+                    + F.lit(1e-9)
+                ),
             ).alias("_bp"),
         )
     )
@@ -524,35 +533,36 @@ def ngram_lm_score(
     count of bigram occurrences starting with v and V the corpus
     vocabulary size.
 
-    Physical shape: tokens explode once with position; adjacent pairs
-    come from ``lead`` over a doc-keyed window (doc_id is maximally
-    high-cardinality, so window partitions stay row-group sized at any
-    corpus scale — never the low-cardinality-window trap). Bigram and
-    prefix counts are partial-aggregated on their keys; the probe-side
-    re-join is Zipf-skewed exactly like ``rarity_score``'s and rides
-    the same AQE broadcast/skew-split behavior (the count relations
-    are post-agg, runtime-sized). Vocabulary size joins as a broadcast
-    one-row relation."""
+    Physical shape: adjacent pairs are built SCAN-SIDE by zipping the
+    token array against its own 1-shifted slice (the
+    ``bigram_repetition_stats`` / ``with_shingles`` convention) — the
+    exploded bigram relation is born without any shuffle; a
+    doc-windowed ``lead`` would hash-exchange and sort one row per
+    corpus token first, the widest relation in the pipeline. Bigram
+    and prefix counts are partial-aggregated on their keys; the
+    probe-side re-join is Zipf-skewed exactly like ``rarity_score``'s
+    and rides the same AQE broadcast/skew-split behavior (the count
+    relations are post-agg, runtime-sized). Vocabulary size joins as a
+    broadcast one-row relation."""
     toks = tokens(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, F.lower)
-    ex = df.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(toks).alias("_pos", "token"),
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a.alias("pre"), F.concat_ws(" ", a, b).alias("bg")
+        ),
     )
-    w = W.partitionBy("_doc").orderBy("_pos")
-    big = (
-        ex.withColumn("_next", F.lead("token").over(w))
-        .filter(F.col("_next").isNotNull())
-        .select(
-            "_doc",
-            F.col("token").alias("pre"),
-            F.concat_ws(" ", "token", "_next").alias("bg"),
-        )
-    )
+    big = df.select(
+        F.col(id_col).alias("_doc"), F.explode(pairs).alias("_p")
+    ).select("_doc", F.col("_p.pre").alias("pre"), F.col("_p.bg").alias("bg"))
     c2 = big.groupBy("bg").agg(F.count("*").alias("_c2"))
     c1 = big.groupBy("pre").agg(F.count("*").alias("_c1"))
-    vocab = ex.agg(F.countDistinct("token").alias("_v"))
+    vocab = df.select(F.explode(toks).alias("token")).agg(
+        F.countDistinct("token").alias("_v")
+    )
     nll = F.avg(
         -F.log((F.col("_c2") + F.lit(1.0)) / (F.col("_c1") + F.col("_v")))
     )

@@ -79,9 +79,11 @@ def hot_keys(df: DataFrame, col: str, k: int = 20, round_dp: int = 6) -> DataFra
     aggregation key with their row share — the number you look at
     before deciding between AQE skew-split, salting, and broadcast.
     One partial-aggregated count per key + a top-k (TakeOrdered, no
-    global sort); the total joins as a broadcast scalar."""
+    global sort); the total re-aggregates the tiny post-agg COUNTS
+    relation rather than scanning the fact table a second time, then
+    joins as a broadcast scalar."""
     counts = df.groupBy(F.col(col).alias("key")).agg(F.count("*").alias("n"))
-    total = df.agg(F.count("*").alias("_t"))
+    total = counts.agg(F.sum("n").alias("_t"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(

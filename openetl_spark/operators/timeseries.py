@@ -209,7 +209,6 @@ def scd2_history(
     deterministically (required for an oracle-stable result when a key
     has same-instant events)."""
     from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
 
     order = [F.col(ts_col).asc()] + (
         [F.col(tie_col).asc()] if tie_col else []
@@ -221,9 +220,8 @@ def scd2_history(
             F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
         )
     )
-    w2 = W.partitionBy(key_col).orderBy(*order)
     return (
-        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        changes.withColumn("valid_to", F.lead(ts_col).over(w))
         .select(
             key_col,
             F.col(attr_col),

@@ -110,7 +110,9 @@ def compile_query(spec, resolve) -> DataFrame:
 
     def _resolve(t):
         return (
-            compile_query(t, resolve) if isinstance(t, QuerySpec) else resolve(t)
+            compile_query(t, resolve)
+            if isinstance(t, (QuerySpec, SetOp))
+            else resolve(t)
         )
 
     df = _resolve(spec.table)

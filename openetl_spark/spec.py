@@ -193,7 +193,9 @@ class QuerySpec:
             return out
 
         def _tbl(t):
-            return QuerySpec.from_dict(t) if isinstance(t, dict) else t
+            # spec_from_dict so a nested {"set_op": ...} works as a
+            # derived table / join target, not only nested QuerySpecs
+            return spec_from_dict(t) if isinstance(t, dict) else t
 
         return QuerySpec(
             table=_tbl(d["table"]),

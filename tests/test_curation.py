@@ -678,3 +678,18 @@ def test_contrastive_negatives_properties(spark):
     # determinism: identical pairs on a second run
     out2 = C.contrastive_negatives(df, k=3, n_buckets=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mix_to_target_binding_group_keeps_all_at_fp_hostile_weights(spark):
+    """Regression: floor(10000·wn·(n/wn)/n) can land at 9999 from FP
+    representation error (e.g. wn=0.9, n=23), silently dropping the
+    binding group's bucket-9999 docs. The epsilon nudge must keep the
+    binding group at exactly 10000 bp — i.e. keep EVERY doc."""
+    for w_big, n_small in [(0.9, 23), (0.9, 3), (0.7, 13)]:
+        rows = [(i, "small" if i < n_small else "big") for i in range(1000)]
+        df = spark.createDataFrame(rows, ["doc_id", "src"])
+        out = C.mix_to_target(
+            df, {"small": w_big, "big": round(1 - w_big, 10)}, "src", "doc_id"
+        )
+        kept_small = out.filter(F.col("src") == "small").count()
+        assert kept_small == n_small, (w_big, n_small, kept_small)

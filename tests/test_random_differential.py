@@ -878,3 +878,35 @@ def test_random_semantic_dedup_matches_duckdb(spark, sf_dir, con, seed):
     out = S.semantic_dedup(e, cents, threshold=thr)
     ok, msg = compare(out, con, catalog.semantic_dedup_oracle(thr))
     assert ok, f"seed {seed} thr {thr}: {msg}"
+
+
+def test_setop_as_derived_table_both_ways(spark, sf_dir, con):
+    """A nested SetOp used as a join target compiles and renders
+    consistently (regression: QuerySpec.from_dict used to reject
+    {"set_op": ...} table dicts with KeyError)."""
+    from openetl_spark.functions.spec_sql import render_query
+    from openetl_spark.plans.compiler import compile_query
+
+    interesting = {
+        "set_op": "union",
+        "inputs": [
+            {"table": "orders",
+             "filters": [{"field": "o_totalprice", "operator": ">",
+                          "value": 350000}],
+             "select": ["o_custkey"], "distinct": True},
+            {"table": "orders",
+             "filters": [{"field": "o_orderpriority", "operator": "=",
+                          "value": "1-URGENT"}],
+             "select": ["o_custkey"], "distinct": True},
+        ],
+    }
+    spec = {
+        "table": {"table": "customer", "derived": {"o_custkey": "c_custkey"},
+                  "select": ["o_custkey", "c_mktsegment"], "alias": "cc"},
+        "joins": [{"table": interesting, "on": ["o_custkey"]}],
+        "group_by": ["c_mktsegment"],
+        "aggregates": [{"fn": "count", "expr": None, "alias": "n"}],
+    }
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+    ok, msg = compare(df, con, render_query(spec))
+    assert ok, msg
