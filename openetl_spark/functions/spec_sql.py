@@ -169,6 +169,21 @@ def render_query(spec: "QuerySpec | SetOp | dict") -> str:
                     "ORDER BY "
                     + ", ".join(f"{s.field} {s.type.upper()}" for s in w.order_by)
                 )
+            if getattr(w, "frame", None) is not None and w.fn not in (
+                "row_number", "rank", "dense_rank", "lag", "lead"
+            ):
+                def _bound(b, side):
+                    if b == "unbounded":
+                        return f"UNBOUNDED {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
+                    b = int(b)
+                    if b == 0:
+                        return "CURRENT ROW"
+                    return f"{-b} PRECEDING" if b < 0 else f"{b} FOLLOWING"
+
+                lo, hi = w.frame
+                over.append(
+                    f"ROWS BETWEEN {_bound(lo, 'lo')} AND {_bound(hi, 'hi')}"
+                )
             ov = " ".join(over)
             if w.fn in ("row_number", "rank", "dense_rank"):
                 e = f"{w.fn}()"

@@ -180,6 +180,19 @@ def compile_query(spec, resolve) -> DataFrame:
                 e = getattr(F, wf.fn)(F.expr(wf.expr), wf.offset)
             else:
                 e = fns[wf.fn](F.expr(wf.expr))
+                if getattr(wf, "frame", None) is not None:
+                    lo, hi = wf.frame
+
+                    def _bound(b, side):
+                        if b == "unbounded":
+                            return (
+                                W.unboundedPreceding
+                                if side == "lo"
+                                else W.unboundedFollowing
+                            )
+                        return int(b)
+
+                    win = win.rowsBetween(_bound(lo, "lo"), _bound(hi, "hi"))
             df = df.withColumn(wf.alias, e.over(win))
 
     # HAVING runs after aggregates AND windows, so it filters on

@@ -219,6 +219,7 @@ class QuerySpec:
                     [Sort(s["field"], s.get("type", "asc"))
                      for s in w.get("order_by", ())],
                     w.get("expr"), w.get("offset", 1),
+                    tuple(w["frame"]) if w.get("frame") is not None else None,
                 )
                 for w in d.get("windows", ())
             ],
@@ -265,8 +266,12 @@ def spec_from_dict(d: "dict | QuerySpec | SetOp") -> "QuerySpec | SetOp":
 class WindowFn:
     """Declarative window term: ``fn`` ∈ row_number/rank/dense_rank/
     lag/lead/sum/avg/min/max/count; ``expr`` is the argument (None for
-    ranking fns); frame is the full partition for aggregates (add
-    frames when a consumer needs them — YAGNI until then)."""
+    ranking fns). ``frame`` (aggregate fns only) is a ROWS frame as
+    ``(start, end)`` where each bound is an int row offset (negative =
+    preceding, 0 = current row, positive = following) or the string
+    ``"unbounded"``; None keeps Spark's default (running frame when
+    ordered, whole partition otherwise — the renderer mirrors that
+    default explicitly so both engines agree)."""
 
     fn: str
     alias: str
@@ -274,3 +279,4 @@ class WindowFn:
     order_by: Sequence[Sort] = ()
     expr: str | None = None
     offset: int = 1  # lag/lead only
+    frame: tuple | None = None  # (start, end) ROWS bounds

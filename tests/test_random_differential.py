@@ -910,3 +910,34 @@ def test_setop_as_derived_table_both_ways(spark, sf_dir, con):
     df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
     ok, msg = compare(df, con, render_query(spec))
     assert ok, msg
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_window_frame_spec_matches_duckdb(spark, sf_dir, con, seed):
+    """Explicit ROWS frames through both paths: random (start, end)
+    bounds (offsets and unbounded) on a running aggregate over a
+    value-deterministic total ordering."""
+    from openetl_spark.functions.spec_sql import render_query
+    from openetl_spark.plans.compiler import compile_query
+
+    rng = random.Random(10_000 + seed)
+    lo = rng.choice(["unbounded", -3, -1, 0])
+    hi = rng.choice(["unbounded", 0, 1, 2])
+    if lo == 0 and hi == "unbounded":
+        hi = 2
+    spec = {
+        "table": "lineitem",
+        "filters": [{"field": "l_orderkey", "operator": "<=", "value": 1500}],
+        "windows": [{
+            "fn": rng.choice(["sum", "min", "max", "count"]),
+            "alias": "wv", "expr": "l_quantity",
+            "partition_by": ["l_returnflag"],
+            "order_by": [{"field": "l_orderkey"}, {"field": "l_linenumber"},
+                         {"field": "l_quantity"}, {"field": "l_extendedprice"}],
+            "frame": [lo, hi],
+        }],
+        "select": ["l_orderkey", "l_linenumber", "l_returnflag", "wv"],
+    }
+    df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
+    ok, msg = compare(df, con, render_query(spec))
+    assert ok, f"seed {seed} frame ({lo}, {hi}): {msg}"
