@@ -112,8 +112,17 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         if pred is not None:
             aggs.append(F.count(F.when(pred, True)).cast("long").alias(r.name))
         elif r.kind == "unique":
+            # distinct over a STRUCT of the key columns: multi-arg
+            # countDistinct drops any row with a NULL key column, which
+            # counted every NULL-keyed row as a duplicate (review
+            # finding r08); the struct value is non-null even when its
+            # fields are, matching SQL's count(DISTINCT (a, b)) tuple
+            # semantics the dq_report oracle uses.
             aggs.append(
-                (F.count("*") - F.countDistinct(*[F.col(c) for c in r.cols]))
+                (
+                    F.count("*")
+                    - F.countDistinct(F.struct(*[F.col(c) for c in r.cols]))
+                )
                 .cast("long")
                 .alias(r.name)
             )

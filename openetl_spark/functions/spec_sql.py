@@ -40,7 +40,17 @@ def lit(v: Any) -> str:
 
 
 def _like_escape(v: str) -> str:
-    return str(v).replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    """Escape a value for interpolation INSIDE a single-quoted LIKE
+    pattern: wildcard escaping for %/_/\\ plus '' doubling for the
+    string literal itself (skipping the quote let a value containing
+    ' break the statement — review finding r08)."""
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("'", "''")
+    )
 
 
 def render_filter(f) -> str:
@@ -120,8 +130,23 @@ def render_query(spec: "QuerySpec | SetOp | dict") -> str:
     for k, j in enumerate(spec.joins):
         jsql, _jname = _rel(j.table, f"t{k + 1}")
         on = list(j.on)
-        kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
-              "full": "FULL JOIN", "full_outer": "FULL JOIN"}[j.how]
+        kws = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+               "full": "FULL JOIN", "full_outer": "FULL JOIN",
+               # Spark accepts these spellings in compile_query; render
+               # them rather than raising a bare KeyError
+               "left_outer": "LEFT JOIN", "leftouter": "LEFT JOIN",
+               "right_outer": "RIGHT JOIN", "rightouter": "RIGHT JOIN",
+               "fullouter": "FULL JOIN", "outer": "FULL JOIN",
+               "semi": "SEMI JOIN", "left_semi": "SEMI JOIN",
+               "leftsemi": "SEMI JOIN", "anti": "ANTI JOIN",
+               "left_anti": "ANTI JOIN", "leftanti": "ANTI JOIN",
+               "cross": "CROSS JOIN"}
+        if j.how not in kws:
+            raise ValueError(f"unsupported join type for SQL rendering: {j.how!r}")
+        kw = kws[j.how]
+        if j.how == "cross":
+            frm.append(f"CROSS JOIN {jsql}")
+            continue
         if on and isinstance(on[0], (list, tuple)):
             cond = " AND ".join(f"{l} = {r}" for l, r in on)
             frm.append(f"{kw} {jsql} ON {cond}")

@@ -598,6 +598,12 @@ def sample_frames(
                     import io as _io
                     import wave as _wave
 
+                    # accumulate into a local list so a mid-read failure
+                    # (header parses, data chunk truncated) discards the
+                    # partial PCM windows instead of emitting them AND
+                    # the byte-window fallback with colliding frame ids
+                    # (review finding r08)
+                    wav_rows: list[tuple] = []
                     try:
                         with _wave.open(_io.BytesIO(data), "rb") as w:
                             bpf = w.getsampwidth() * w.getnchannels()
@@ -606,12 +612,13 @@ def sample_frames(
                             n_windows = -(-n // frames_per)
                             for i in range(0, n_windows, stride):
                                 w.setpos(i * frames_per)
-                                rows.append(
+                                wav_rows.append(
                                     (r[path_col], i, w.readframes(frames_per))
                                 )
+                        rows.extend(wav_rows)
                         continue
                     except Exception:
-                        pass  # fall through to byte windows
+                        pass  # fall through to byte windows (clean slate)
                 # ceil: the trailing partial frame is real data, not waste
                 n_frames = max(-(-len(data) // frame_size), 1)
                 for i in range(0, n_frames, stride):

@@ -54,7 +54,7 @@ def committed_versions(path: str) -> list[int]:
     d = _versions_dir(path)
     if not os.path.isdir(d):
         return []
-    return sorted(int(v) for v in os.listdir(d))
+    return sorted(int(v) for v in os.listdir(d) if v.isdigit())
 
 
 def latest_version(path: str) -> int | None:
@@ -63,9 +63,31 @@ def latest_version(path: str) -> int | None:
 
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Read one committed version. Manifest-aware: a version committed
+    by ``merge_upsert_partitioned`` holds only its REWRITTEN
+    partitions, with the manifest referencing every carried-forward
+    partition in earlier version dirs — reading the bare ``v=N``
+    directory would silently drop those (review finding r08). Plain
+    snapshot versions read their directory directly."""
     if version not in committed_versions(path):
         raise FileNotFoundError(f"version {version} not committed under {path}")
+    body = _marker_body(path, version)
+    if body.get("partitions"):
+        pcol = body.get("partition_col") or _infer_partition_col(
+            path, body["partitions"]
+        )
+        return _read_manifest_dirs(spark, path, body["partitions"], pcol)
     return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def _infer_partition_col(path: str, manifest: dict) -> str:
+    """Partition column for a pre-r08 manifest that didn't record it:
+    read it off any referenced version directory's layout."""
+    ver = next(iter(manifest.values()))
+    for d in os.listdir(os.path.join(path, f"v={ver}")):
+        if "=" in d:
+            return d.split("=", 1)[0]
+    raise FileNotFoundError(f"no partition directories under {path}/v={ver}")
 
 
 def read_latest(spark: SparkSession, path: str) -> DataFrame:
@@ -86,6 +108,40 @@ def _commit(path: str, version: int) -> None:
         ) from e
 
 
+def _publish(df_writer, path: str, version: int) -> None:
+    """Write version data WITHOUT contending on the final directory:
+    the snapshot lands in a writer-private staging dir and a single
+    ``os.rename`` claims ``v=N``. Two racers each write their own
+    staging data; exactly one rename wins, the loser raises
+    ConcurrentWriteError BEFORE touching the winner's directory (a
+    direct ``overwrite`` write into ``v=N`` would let the loser clobber
+    the winner's already-committed data — review finding r08). A
+    writer that crashes between rename and marker leaves an unmarked
+    ``v=N`` blocking that number; like losers' staging dirs, it's
+    garbage a janitor collects (production: lease/heartbeat on the
+    claim). ``df_writer`` is a DataFrameWriter ready to ``.parquet()``."""
+    import shutil
+    import uuid
+
+    stage = os.path.join(path, "_staging", uuid.uuid4().hex)
+    df_writer.parquet(stage)
+    target = os.path.join(path, f"v={version}")
+    for attempt in (1, 2):
+        try:
+            os.rename(stage, target)
+            return
+        except OSError as e:
+            if version in committed_versions(path) or attempt == 2:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"version {version} directory already claimed under {path}"
+                ) from e
+            # unmarked target = a crashed writer's partial (markerless
+            # data is invisible to readers) — reclaim it and retry the
+            # rename once
+            shutil.rmtree(target, ignore_errors=True)
+
+
 def write_snapshot(df: DataFrame, path: str, expected_base: int | None = None) -> int:
     """Write a full snapshot as the next version and commit it.
     ``expected_base`` is the optimistic-concurrency token: pass the
@@ -97,7 +153,7 @@ def write_snapshot(df: DataFrame, path: str, expected_base: int | None = None) -
             f"base moved: expected {expected_base}, latest is {base}"
         )
     version = 0 if base is None else base + 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    _publish(df.write.mode("overwrite"), path, version)
     _commit(path, version)
     return version
 
@@ -233,25 +289,78 @@ class VersionedSource:
 
 # ------------------------------------------------- partition-scoped merge
 
-def _read_manifest(path: str, version: int) -> dict:
-    """Manifest for a committed version: {partition value → version
-    whose v-dir holds that partition's current data}. Plain snapshot
-    markers (zero-byte, from write_snapshot) have no manifest."""
+def _marker_body(path: str, version: int) -> dict:
+    """Parsed marker JSON for a committed version ({} for the plain
+    zero-byte snapshot markers write_snapshot creates)."""
     import json
 
     f = os.path.join(_versions_dir(path), str(version))
     with open(f) as fh:
         body = fh.read().strip()
-    return json.loads(body)["partitions"] if body else {}
+    return json.loads(body) if body else {}
 
 
-def _commit_manifest(path: str, version: int, partitions: dict) -> None:
+def _read_manifest(path: str, version: int) -> dict:
+    """Manifest for a committed version: {partition value → version
+    whose v-dir holds that partition's current data}. Plain snapshot
+    markers (zero-byte, from write_snapshot) have no manifest."""
+    return _marker_body(path, version).get("partitions", {})
+
+
+# Characters Hive/Spark escape in partition directory names
+# (FileUtils.escapePathName): control chars plus this printable set.
+_PART_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(value) -> str:
+    """Spark writes ``pcol=<escaped value>`` directories using Hive's
+    path escaping; manifest keys hold the RAW str(value), so every
+    path built from a manifest key must re-apply the escaping or
+    values containing ':' '/' '%' etc. resolve to missing directories
+    (review finding r08). NULL partition values are rejected at merge
+    time rather than mapped to __HIVE_DEFAULT_PARTITION__."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in str(value)
+    )
+
+
+def _read_manifest_dirs(
+    spark: SparkSession, path: str, manifest: dict, partition_col: str
+) -> DataFrame:
+    """Union the directories a manifest references, grouped by owning
+    version so each version contributes one multi-path read with
+    partition-column recovery."""
+    from functools import reduce
+
+    by_ver: dict[int, list[str]] = {}
+    for p, ver in manifest.items():
+        by_ver.setdefault(ver, []).append(
+            os.path.join(
+                path, f"v={ver}", f"{partition_col}={_escape_partition_value(p)}"
+            )
+        )
+    parts = [
+        spark.read.option("basePath", os.path.join(path, f"v={ver}"))
+        .parquet(*sorted(dirs))
+        for ver, dirs in sorted(by_ver.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _commit_manifest(
+    path: str, version: int, partitions: dict, partition_col: str
+) -> None:
     import json
 
     os.makedirs(_versions_dir(path), exist_ok=True)
     try:
         with open(os.path.join(_versions_dir(path), str(version)), "x") as fh:
-            fh.write(json.dumps({"partitions": partitions}, sort_keys=True))
+            fh.write(
+                json.dumps(
+                    {"partitions": partitions, "partition_col": partition_col},
+                    sort_keys=True,
+                )
+            )
     except FileExistsError as e:
         raise ConcurrentWriteError(
             f"version {version} already committed under {path}"
@@ -295,18 +404,30 @@ def merge_upsert_partitioned(
     # low-cardinality by the definition of a partition column)
     touched_df = updates.select(partition_col).distinct()
     touched = {r[partition_col] for r in touched_df.collect()}
+    if None in touched:
+        raise ValueError(
+            f"NULL {partition_col!r} in updates: the partitioned merge "
+            "keys its manifest on partition values and does not map "
+            "NULL to __HIVE_DEFAULT_PARTITION__"
+        )
 
     new_data = upserts
     if manifest:
         hit = {p: v for p, v in manifest.items() if p in {str(t) for t in touched}}
         if hit:
-            base_parts = [
-                spark.read.option("basePath", os.path.join(path, f"v={v}"))
-                .parquet(os.path.join(path, f"v={v}", f"{partition_col}={p}"))
-                for p, v in sorted(hit.items())
-            ]
             from functools import reduce
 
+            base_parts = [
+                spark.read.option("basePath", os.path.join(path, f"v={v}"))
+                .parquet(
+                    os.path.join(
+                        path,
+                        f"v={v}",
+                        f"{partition_col}={_escape_partition_value(p)}",
+                    )
+                )
+                for p, v in sorted(hit.items())
+            ]
             base = reduce(DataFrame.unionByName, base_parts)
             gone = upserts.select(partition_col, *key_cols)
             if tomb is not None:
@@ -315,23 +436,54 @@ def merge_upsert_partitioned(
                 gone, [partition_col, *key_cols], "left_anti"
             )
             new_data = survivors.select(*upserts.columns).unionByName(upserts)
+    elif base_v is not None:
+        # Base committed by write_snapshot/merge_upsert (plain marker,
+        # no manifest, possibly not even partition directories): the
+        # first partitioned merge CONVERTS the table — one full merge
+        # + partitioned rewrite, after which every partition is
+        # manifest-referenced. Previously this branch silently dropped
+        # the whole base (review finding r08).
+        base = read_version(spark, path, base_v)
+        gone = upserts.select(*key_cols)
+        if tomb is not None:
+            gone = gone.unionByName(tomb.select(*key_cols))
+        survivors = base.join(gone, list(key_cols), "left_anti")
+        new_data = survivors.select(*upserts.columns).unionByName(upserts)
 
-    new_data.write.partitionBy(partition_col).mode("overwrite").parquet(
-        os.path.join(path, f"v={version}")
+    _publish(
+        new_data.write.partitionBy(partition_col).mode("overwrite"),
+        path,
+        version,
     )
-    # partitions actually present in the new version dir (a partition
-    # whose every row was deleted vanishes from the manifest)
+    # partitions actually present in the new version (a partition whose
+    # every row was deleted vanishes from the manifest) — derived from
+    # the DATA's distinct values, not from directory names, so Hive
+    # path escaping can't desynchronize manifest keys (review finding
+    # r08)
     present = {
-        d.split("=", 1)[1]
-        for d in os.listdir(os.path.join(path, f"v={version}"))
-        if d.startswith(f"{partition_col}=")
+        str(r[0])
+        for r in read_version_dir_values(spark, path, version, partition_col)
     }
     new_manifest = {
         p: v for p, v in manifest.items() if p not in {str(t) for t in touched}
     }
     new_manifest.update({p: version for p in present})
-    _commit_manifest(path, version, new_manifest)
+    _commit_manifest(path, version, new_manifest, partition_col)
     return version
+
+
+def read_version_dir_values(
+    spark: SparkSession, path: str, version: int, partition_col: str
+):
+    """Distinct partition values physically present in one version
+    directory (reads only the partition column of the just-written
+    files)."""
+    return (
+        spark.read.parquet(os.path.join(path, f"v={version}"))
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
 
 
 def read_latest_partitioned(
@@ -340,22 +492,10 @@ def read_latest_partitioned(
     """Resolve the latest manifest and scan exactly the directories it
     references (grouped by owning version so each version contributes
     one multi-path read with partition-column recovery)."""
-    from functools import reduce
-
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
     manifest = _read_manifest(path, v)
     if not manifest:
         return read_version(spark, path, v)
-    by_ver: dict[int, list[str]] = {}
-    for p, ver in manifest.items():
-        by_ver.setdefault(ver, []).append(
-            os.path.join(path, f"v={ver}", f"{partition_col}={p}")
-        )
-    parts = [
-        spark.read.option("basePath", os.path.join(path, f"v={ver}"))
-        .parquet(*sorted(dirs))
-        for ver, dirs in sorted(by_ver.items())
-    ]
-    return reduce(DataFrame.unionByName, parts)
+    return _read_manifest_dirs(spark, path, manifest, partition_col)

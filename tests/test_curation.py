@@ -693,3 +693,21 @@ def test_mix_to_target_binding_group_keeps_all_at_fp_hostile_weights(spark):
         )
         kept_small = out.filter(F.col("src") == "small").count()
         assert kept_small == n_small, (w_big, n_small, kept_small)
+
+
+def test_unique_rule_null_keys_are_not_duplicates(spark):
+    """Regression (r08 review): rows with NULL key columns must not
+    count as duplicates — SQL tuple-distinct semantics, matching the
+    dq_report oracle's count(DISTINCT (a, b))."""
+    from openetl_spark.functions import constraints as DQ
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (2, "d"), (2, "e")],
+        "k long, v string",
+    )
+    rep = DQ.check(df, [DQ.unique("k")]).collect()[0]
+    # distinct k tuples: (1), (NULL)×2 → the NULLs are DISTINCT rows?
+    # SQL count(DISTINCT (k)) over {1, NULL, NULL, 2, 2} = 3 (1, NULL, 2)
+    # violations = 5 - 3 = 2: one real dup pair (2,2) and one NULL pair
+    # — NULL keys collide with each other but never inflate via drop
+    assert rep[DQ.unique("k").name] == 2

@@ -362,3 +362,96 @@ def test_versioned_schema_evolution(spark, tmp_path):
     got = {r["k"]: (r["v"], r["score"])
            for r in V.read_version(spark, p, v).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_read_version_resolves_manifest_carried_partitions(spark, tmp_path):
+    """Regression (r08 review): reading a partition-merged table
+    through read_latest/read_version must union carried-forward
+    partitions, not just the last version's rewritten directory."""
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b"), (3, "fr", "c")],
+        "k long, lang string, v string",
+    )
+    V.merge_upsert_partitioned(spark, p, base, ["k"], "lang")
+    V.merge_upsert_partitioned(
+        spark, p,
+        spark.createDataFrame([(1, "en", "A")], "k long, lang string, v string"),
+        ["k"], "lang",
+    )
+    got = {(r["k"], r["lang"], r["v"]) for r in V.read_latest(spark, p).collect()}
+    assert got == {(1, "en", "A"), (2, "de", "b"), (3, "fr", "c")}
+    # compact() must also see the full logical table
+    V.compact(spark, p)
+    got2 = {(r["k"], r["lang"], r["v"]) for r in V.read_latest(spark, p).collect()}
+    assert got2 == got
+
+
+def test_partitioned_merge_converts_plain_snapshot_base(spark, tmp_path):
+    """Regression (r08 review): a partitioned merge over a plain
+    write_snapshot base must keep every base row (full conversion),
+    not silently drop the table."""
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], "k long, lang string, v string"
+        ),
+        p,
+    )
+    V.merge_upsert_partitioned(
+        spark, p,
+        spark.createDataFrame([(3, "fr", "c"), (1, "en", "A")],
+                              "k long, lang string, v string"),
+        ["k"], "lang",
+    )
+    got = {(r["k"], r["v"]) for r in V.read_latest(spark, p).collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c")}
+
+
+def test_partitioned_merge_escaped_partition_values(spark, tmp_path):
+    """Regression (r08 review): partition values containing characters
+    Hive escapes in directory names (':') must survive merge, carry-
+    forward, and read."""
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    rows = [(1, "a:b", "x"), (2, "c/d", "y")]
+    V.merge_upsert_partitioned(
+        spark, p,
+        spark.createDataFrame(rows, "k long, src string, v string"),
+        ["k"], "src",
+    )
+    V.merge_upsert_partitioned(
+        spark, p,
+        spark.createDataFrame([(1, "a:b", "X")], "k long, src string, v string"),
+        ["k"], "src",
+    )
+    got = {(r["k"], r["src"], r["v"]) for r in V.read_latest(spark, p).collect()}
+    assert got == {(1, "a:b", "X"), (2, "c/d", "y")}
+
+
+def test_publish_refuses_to_clobber_committed_version(spark, tmp_path):
+    """Regression (r08 review): a losing writer must fail WITHOUT
+    touching the winner's committed data directory."""
+    import pytest as _pytest
+
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    V.write_snapshot(
+        spark.createDataFrame([(2, "b")], "k long, v string"), p, expected_base=0
+    )
+    # a racer that computed version 1 from the stale base: its publish
+    # must raise and v=1's committed data must be intact afterwards
+    with _pytest.raises(V.ConcurrentWriteError):
+        V._publish(
+            spark.createDataFrame([(9, "z")], "k long, v string")
+            .write.mode("overwrite"),
+            p, 1,
+        )
+    assert {r["k"] for r in V.read_version(spark, p, 1).collect()} == {2}
