@@ -136,6 +136,7 @@ HEADLINE = [
     "chunk_bm25_topk",
     "contrastive_negatives",
     "llm_data_pipeline",
+    "keyword_extraction",
 ]
 
 

@@ -4745,6 +4745,41 @@ def q_llm_data_pipeline(spark, sf_dir):
     )
 
 
+@query(
+    "keyword_extraction",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+               x -> lower(x))) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS s
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT doc_id, term, s,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, term ASC) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, round(s, 4) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_keyword_extraction(spark, sf_dir):
+    """Retrieval breadth (r08): per-document top-3 characteristic terms
+    by TF-IDF — the labeling primitive for corpus exploration. Document
+    frequency re-aggregates the (doc, term) relation, N broadcasts as a
+    scalar, and the top-k window partitions on the doc key (never more
+    than one document's vocabulary per partition)."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.top_terms_tfidf(d, "doc_id", "text", k=3)
+
+
 def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     """mix_to_target's oracle, parameterized over the target mix —
     shared by the catalog query and the randomized sweep."""
@@ -5202,10 +5237,10 @@ DRIVER_PRIORITY: list[str] = [
     "grouped_quantiles",
     # topk_orders' / session_windows' refresh slots (stable r01/r02,
     # pinned by the random top-k sweep and the streaming suite)
-    "declarative_star_join",
-    # declarative_window_topn queues for round 5 (pinned every run by
-    # the randomized QuerySpec window fuzzer; its slot goes to the
-    # composed llm_data_pipeline flagship)
+    "keyword_extraction",
+    # declarative_star_join / declarative_window_topn queue for round 5
+    # (pinned every run by the randomized QuerySpec fuzzers; their
+    # slots go to the llm_data_pipeline flagship and keyword_extraction)
 ]
 
 

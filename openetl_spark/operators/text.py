@@ -224,6 +224,61 @@ def chunk_documents(
     )
 
 
+def top_terms_tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    lowercase: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document keyword extraction: the k most characteristic terms
+    by TF-IDF (tf = in-doc count, idf = ln(N/df) over distinct-doc
+    frequency) — the classic labeling/routing primitive for corpus
+    exploration and topic-targeted mining. Returns one row per
+    (id, rank): (id, rank, term, round(tfidf)). Ties break on the term
+    string so the selection is engine-deterministic.
+
+    Shape: one token explode → per-(doc, term) counts (partial-agg);
+    document frequency re-aggregates the (doc, term) relation (already
+    distinct per doc, far smaller than the token stream); N is a
+    broadcast scalar. The top-k runs as row_number over the doc key —
+    maximally high-cardinality partitions, so no window ever sees more
+    than one document's vocabulary."""
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    tf = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
+        .groupBy("_doc", "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count("*").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_doc",
+            "term",
+            (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_s"),
+        )
+    )
+    w = W.partitionBy("_doc").orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            "rank",
+            "term",
+            F.round("_s", round_dp).alias("tfidf"),
+        )
+    )
+
+
 def kl_domain_shift(
     df: DataFrame,
     group_col: str = "source",

@@ -1042,3 +1042,28 @@ def test_chunk_documents_layout(spark):
     d2 = [r for r in out if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
     assert not [r for r in out if r["doc_id"] == 3]
+
+
+def test_top_terms_tfidf_ranks_and_ties(spark):
+    from openetl_spark.operators import text as TX
+
+    # doc 1: 'rare' appears twice and only here → top term; 'common'
+    # is in every doc → idf 0 → never extracted above fresh terms
+    df = spark.createDataFrame(
+        [
+            (1, "common rare rare alpha"),
+            (2, "common beta beta gamma"),
+            (3, "common delta delta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = TX.top_terms_tfidf(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert sorted(by_doc[1])[0] == (1, "rare")
+    # identical scores tie-break on the term string ascending:
+    # doc 2's 'beta' (tf=2, df=1) outranks 'gamma' (tf=1, df=2)
+    assert sorted(by_doc[2]) == [(1, "beta"), (2, "gamma")]
+    # ln(N/df)=ln(1)=0 for 'common' → it never appears in any top-2
+    assert all(t != "common" for ranks in by_doc.values() for _, t in ranks)
