@@ -41,16 +41,40 @@ from openetl_spark.spec import Transformation
 # optional exponent. Everything after the prefix is ignored by JS.
 _PARSEFLOAT_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
 
+# JS whitespace (ECMA-262 WhiteSpace + LineTerminator, what String.trim
+# strips): tab, LF, VT, FF, CR, space, NBSP, Ogham space, the Zs range,
+# LS, PS, NNBSP, MMSP, ideographic space, BOM — as a Java regex
+# character-class body (Java's bare `\s` is ASCII-only by default).
+_JS_WS = (
+    "\\t\\n\\x0B\\f\\r "
+    "\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000\uFEFF"
+)
+
+
+def _field_type(df: DataFrame, name: str):
+    """Schema type of ``name``, resolving dotted struct paths the same
+    way ``F.col`` does (``user.age`` → the nested field's type) — a flat
+    top-level lookup would misread nested numerics/booleans as strings
+    and break the JS falsy/stringify rules for dotted fields."""
+    cur = df.schema
+    for part in name.split("."):
+        if not isinstance(cur, T.StructType):
+            return None
+        nxt = {fld.name: fld.dataType for fld in cur.fields}.get(part)
+        if nxt is None:
+            return None
+        cur = nxt
+    return cur
+
 
 def _is_numeric(df: DataFrame, name: str) -> bool:
-    f = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(name)
-    return isinstance(f, T.NumericType)
+    return isinstance(_field_type(df, name), T.NumericType)
 
 
 def _truthy(df: DataFrame, name: str) -> Column:
     """JS Boolean(x) over a typed column: null/''/0/NaN/false are falsy."""
     c = F.col(name)
-    dt = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(name)
+    dt = _field_type(df, name)
     if isinstance(dt, T.NumericType):
         cond = c.isNotNull() & (c != 0)
         if isinstance(dt, (T.DoubleType, T.FloatType)):
@@ -124,7 +148,7 @@ def _js_string(df: DataFrame, name: str, exact: bool = False) -> Column:
     is opt-in per transform (``exact_number_format`` option) rather
     than the default hot path."""
     c = F.col(name)
-    dt = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(name)
+    dt = _field_type(df, name)
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         if exact:
             return _js_number_string_udf()(c.cast("double"))
@@ -153,14 +177,26 @@ def _has(df: DataFrame, name: str) -> bool:
     return top in df.columns
 
 
-def _js_replacement_to_java(repl: str) -> str:
+def _pattern_group_names(pattern: str) -> frozenset[str]:
+    """Java-dialect named capture groups ``(?<name>...)`` declared in
+    ``pattern``, by lexical scan (lookbehinds ``(?<=``/``(?<!`` never
+    match — a group name must start with a letter)."""
+    return frozenset(re.findall(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", pattern))
+
+
+def _js_replacement_to_java(repl: str, group_names: frozenset[str] = frozenset()) -> str:
     """Translate the JS String.replace replacement dialect to Java's:
     JS `$$`→literal $, `$&`→whole match ($0 in Java), `$n` passes
     through, `$<name>`→Java's `${name}` (r03), any OTHER `$` is literal
     in JS but an illegal group ref in Java (escape it); backslashes are
-    literal in JS replacements but escapes in Java. ``$\\``` (preceding
-    portion) and ``$'`` (following portion) never reach this translator:
-    templates containing them route to the Arrow-batched
+    literal in JS replacements but escapes in Java. ``group_names`` is
+    the set of named groups the SEARCH pattern declares: JS resolves
+    `$<name>` against them — literal text when the pattern has no named
+    groups at all, empty string when it has some but not this one —
+    while Java's `${name}` throws on an undeclared group, so both cases
+    must be rewritten here rather than passed through. ``$\\```
+    (preceding portion) and ``$'`` (following portion) never reach this
+    translator: templates containing them route to the Arrow-batched
     ``_replace_with_portions`` path (r04), since Java replacement
     templates cannot express per-match portions."""
     out = []
@@ -184,12 +220,20 @@ def _js_replacement_to_java(repl: str) -> str:
             elif nxt == "<":
                 end = repl.find(">", i + 2)
                 name = repl[i + 2 : end] if end != -1 else ""
-                if end != -1 and re.fullmatch(r"[A-Za-z][A-Za-z0-9]*", name):
+                if (
+                    end != -1
+                    and re.fullmatch(r"[A-Za-z][A-Za-z0-9]*", name)
+                    and name in group_names
+                ):
                     out.append("${" + name + "}")
                     i = end + 1
+                elif end != -1 and group_names:
+                    # JS: well-formed $<name> for an undeclared group,
+                    # with named groups present, renders as ''
+                    i = end + 1
                 else:
-                    # JS: malformed $< with NO named groups in the
-                    # pattern is literal; keep it literal here too
+                    # JS: malformed $< — or any $<name> when the
+                    # pattern has NO named groups — is literal text
                     out.append("\\$")
                     i += 1
             else:
@@ -284,8 +328,37 @@ def _replace_with_portions(src: Column, search: str, repl: str) -> Column:
 def _count_groups(pat: str) -> int:
     """Capturing-group count by lexical scan — Python's re.compile
     rejects some Java-valid syntax (possessive quantifiers), so don't
-    parse, just count unescaped '(' not followed by '?'."""
-    return len(re.findall(r"(?<!\\)\((?!\?)", pat))
+    parse. Counts unescaped '(' not starting a (?...) construct, PLUS
+    Java named groups ``(?<name>...)`` (capturing in both Java and JS —
+    JS ``match[1]`` includes them), excluding lookbehinds ``(?<=``/
+    ``(?<!``. Walks escapes and character classes explicitly so
+    ``\\\\(a)`` (escaped backslash, then a real group) and ``[(]``
+    (literal paren in a class) count correctly."""
+    n = 0
+    i = 0
+    L = len(pat)
+    while i < L:
+        ch = pat[i]
+        if ch == "\\":
+            i += 2  # escaped char (including an escaped backslash)
+        elif ch == "[":
+            i += 1
+            if i < L and pat[i] == "^":
+                i += 1
+            if i < L and pat[i] == "]":
+                i += 1  # leading ] is literal inside a class
+            while i < L and pat[i] != "]":
+                i += 2 if pat[i] == "\\" else 1
+            i += 1  # closing ]
+        elif ch == "(":
+            if i + 1 >= L or pat[i + 1] != "?":
+                n += 1
+            elif pat[i + 2 : i + 3] == "<" and pat[i + 3 : i + 4] not in ("", "=", "!"):
+                n += 1  # (?<name>...) named group
+            i += 1
+        else:
+            i += 1
+    return n
 
 
 def apply_transforms(
@@ -329,7 +402,11 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
 
     if kind == "renameKey":
         # Copy (dotted-path capable) value to new key; original retained
-        # (`transform.ts:31-41` does not delete the source key).
+        # (`transform.ts:31-41` does not delete the source key). A
+        # missing source in strict mode is JS row[from] === undefined →
+        # null, not an analysis error (same contract as _has elsewhere).
+        if js and not _has(df, o["from"]):
+            return df.withColumn(o["to"], F.lit(None))
         return df.withColumn(o["to"], F.col(o["from"]))
 
     if kind in ("uppercase", "lowercase", "trim"):
@@ -340,8 +417,11 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         else:
             src = _str_or_empty(df, fld) if js else F.col(fld).cast("string")
         if kind == "trim" and js:
-            # JS String.trim strips ALL whitespace; F.trim only ASCII space
-            expr = F.regexp_replace(src, r"^\s+|\s+$", "")
+            # JS String.trim strips ALL JS whitespace (WhiteSpace +
+            # LineTerminator: tab/vt/ff/space/NBSP/BOM, the Zs spaces,
+            # LF/CR/LS/PS). Java's default `\s` is ASCII-only, so spell
+            # the class out instead of relying on it.
+            expr = F.regexp_replace(src, f"^[{_JS_WS}]+|[{_JS_WS}]+$", "")
         else:
             expr = {"uppercase": F.upper, "lowercase": F.lower, "trim": F.trim}[kind](src)
         return df.withColumn(to, expr)
@@ -365,7 +445,7 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
             if "$`" in repl or "$'" in repl:
                 # portion refs need per-match surgery — Arrow-batched path
                 return df.withColumn(to, _replace_with_portions(src, o["search"], repl))
-            repl = _js_replacement_to_java(repl)
+            repl = _js_replacement_to_java(repl, _pattern_group_names(o["search"]))
         else:
             src = F.col(fld).cast("string")
         return df.withColumn(to, F.regexp_replace(src, o["search"], repl))
@@ -447,7 +527,11 @@ def _apply_one(df: DataFrame, t: Transformation, js: bool) -> DataFrame:
         fields: list[str] = list(o["fields"])
         # Spark structs keep null members; the reference drops undefined
         # only (defined-null is kept, `transform.ts:157-172`) — identical
-        # for typed columns, which are always "defined".
+        # for typed columns, which are always "defined". A MISSING column
+        # is undefined, so strict mode drops it from the struct instead
+        # of failing analysis (reference: spread of undefined is a no-op).
+        if js:
+            fields = [f for f in fields if _has(df, f)]
         return df.withColumn(o["to"], F.struct(*[F.col(f) for f in fields]))
 
     if kind == "function":

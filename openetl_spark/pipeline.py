@@ -149,7 +149,7 @@ class Orchestrator:
         obs = Observation(name)
         return df.observe(obs, *metrics), obs
 
-    def _load(self, pipeline: Pipeline, df: DataFrame, emit) -> DataFrame:
+    def _load(self, pipeline: Pipeline, df: DataFrame, emit) -> tuple[DataFrame, Any]:
         if pipeline.onbeforesend:
             out = pipeline.onbeforesend(df)
             if out is False:

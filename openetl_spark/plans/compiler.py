@@ -39,6 +39,19 @@ def compile_connector(
     if pred is not None:
         df = df.filter(pred)
 
+    # Staged REST ingest carries _ingest_seq (driver arrival order).
+    # offset/limit without a user sort mean "the first k fetched" — a
+    # bare df.offset over a multi-file scan would skip an arbitrary
+    # scheduling-ordered window instead (review finding r08). Order by
+    # the sequence exactly when those semantics apply; the column is
+    # dropped from the final output below.
+    if (
+        "_ingest_seq" in df.columns
+        and not connector.sort
+        and (connector.offset or connector.limit is not None)
+    ):
+        df = df.orderBy(F.col("_ingest_seq").asc())
+
     if connector.fields:
         # Projection AFTER filter: predicates may reference non-projected
         # columns (the reference pushes both into one SELECT; Catalyst
@@ -65,6 +78,9 @@ def compile_connector(
         # With a sort above, Catalyst plans TakeOrderedAndProject (top-k
         # without a global sort) — the right plan at any scale.
         df = df.limit(int(connector.limit))
+
+    if "_ingest_seq" in df.columns:
+        df = df.drop("_ingest_seq")  # internal arrival counter, never user-visible
 
     if connector.transform:
         df = apply_transforms(df, connector.transform, strict_js_compat)

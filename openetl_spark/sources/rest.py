@@ -23,10 +23,7 @@ Transport is injected (``config['fetch_page']``) so services (HubSpot,
 Stripe, ...) are pure descriptors and tests need no network. Pages are
 accumulated driver-side then handed to ``spark.createDataFrame`` — the
 correct architecture: a cursor API is a serial bounded stream, and all
-*analytics* on the result happen distributed, after ingest. For
-offset-paginated endpoints with a known total, ``parallel_offsets=True``
-fans page fetches out to executors via ``mapInPandas`` over a range of
-offsets — the only REST case that legitimately parallelizes.
+*analytics* on the result happen distributed, after ingest.
 """
 
 from __future__ import annotations
@@ -56,6 +53,10 @@ class AuthError(Exception):
         super().__init__(f"http {status}")
         self.status = status
         self.retry_after = retry_after
+
+
+class _DeadlineExceeded(Exception):
+    """Internal: a retry backoff would outlive the ingest deadline."""
 
 
 def paged_fetch(
@@ -123,9 +124,21 @@ def paged_fetch(
                 sleep(wait)
 
         opts = {"limit": items_per_page, "offset": offset}
-        page = _fetch_with_retry(
-            fetch_page, opts, max_retries, retry_interval_s, refresh_auth, sleep
-        )
+        try:
+            page = _fetch_with_retry(
+                fetch_page, opts, max_retries, retry_interval_s, refresh_auth,
+                sleep,
+                time_left=(
+                    (lambda: start + deadline_s - clock())
+                    if deadline_s is not None
+                    else None
+                ),
+            )
+        except _DeadlineExceeded:
+            # a retry backoff (possibly a server-dictated retry-after)
+            # would outlive the deadline: truncate now, same explicit
+            # partial contract as the top-of-loop deadline check
+            return PageResult(rows=rows, partial=True)
         last_fetch_at = clock()
         data = page.get("data") or []
         keep(data)
@@ -138,7 +151,10 @@ def paged_fetch(
 
         if pagination == "cursor":
             nxt = page.get("next_cursor")
-            if nxt is None:
+            # falsy token (None, '', 0) = no next page, matching the
+            # reference's `while (cursor)` stop — an API that returns
+            # next_cursor: '' on the last page must not loop forever
+            if not nxt:
                 break
             offset = nxt
         elif pagination == "offset":
@@ -159,7 +175,16 @@ class JsonlStagingWriter:
     parallelism comes from the layout, not from a giant driver list.
     JSONL (not parquet) because per-chunk schema inference can drift
     between chunks; Spark's JSON reader unifies the schema in its own
-    pass over all files."""
+    pass over all files.
+
+    Every staged row carries ``_ingest_seq`` (the driver's arrival
+    counter): Spark's multi-file JSON scan orders splits for
+    scheduling, NOT by file number, so without an explicit sequence a
+    Spark-side ``offset``/``limit`` over staged data would skip an
+    arbitrary window instead of the first-k-fetched rows the reference
+    semantics require (review finding r08). The compiler orders by the
+    sequence exactly when those semantics demand it and drops the
+    column from user-visible output."""
 
     def __init__(self, staging_dir: str, batch_rows: int = 10_000):
         import glob
@@ -176,6 +201,7 @@ class JsonlStagingWriter:
         self.buf: list = []
         self.n_files = 0
         self.n_rows = 0
+        self.n_seq = 0
         self.peak_buffered = 0
 
     def __call__(self, rows: list) -> None:
@@ -191,10 +217,12 @@ class JsonlStagingWriter:
         import os
 
         path = os.path.join(self.dir, f"part-{self.n_files:05d}.jsonl")
+        base = self.n_seq
         with open(path, "w") as fh:
-            for r in chunk:
-                fh.write(json.dumps(r, default=str))
+            for i, r in enumerate(chunk):
+                fh.write(json.dumps({**r, "_ingest_seq": base + i}, default=str))
                 fh.write("\n")
+        self.n_seq += len(chunk)
         self.n_files += 1
 
     def close(self) -> None:
@@ -210,7 +238,15 @@ def _fetch_with_retry(
     retry_interval_s: float,
     refresh_auth: Callable[[], None] | None,
     sleep: Callable[[float], None],
+    time_left: Callable[[], float] | None = None,
 ) -> dict:
+    def backoff(duration: float) -> None:
+        # never sleep past the ingest deadline (deadline-as-truncation:
+        # a 429 retry-after of an hour must not block a 30 s deadline)
+        if time_left is not None and duration >= time_left():
+            raise _DeadlineExceeded()
+        sleep(duration)
+
     attempt = 0
     refreshed = False
     while True:
@@ -228,14 +264,14 @@ def _fetch_with_retry(
                 attempt += 1
                 if attempt > max_retries:
                     raise
-                sleep(e.retry_after if e.retry_after is not None else retry_interval_s)
+                backoff(e.retry_after if e.retry_after is not None else retry_interval_s)
                 continue
             raise
         except Exception:
             attempt += 1
             if attempt > max_retries:
                 raise
-            sleep(retry_interval_s)
+            backoff(retry_interval_s)
 
 
 class RestSource:
@@ -288,7 +324,7 @@ class RestSource:
             else:
                 reader = spark.read
                 if cfg.get("schema") is not None:
-                    reader = reader.schema(cfg["schema"])
+                    reader = reader.schema(_schema_with_seq(cfg["schema"]))
                 df = reader.json(writer.dir)
         else:
             df = _rows_to_df(spark, result.rows, cfg.get("schema"))
@@ -297,6 +333,18 @@ class RestSource:
             # reference's silent truncation) — visible to the pipeline.
             df = df.withColumn("_ingest_partial", F.lit(True))
         return df
+
+
+def _schema_with_seq(schema):
+    """A user-supplied staging read schema must also read the writer's
+    ``_ingest_seq`` column or the compiler loses arrival order."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        return f"{schema}, _ingest_seq bigint"
+    return T.StructType(
+        list(schema.fields) + [T.StructField("_ingest_seq", T.LongType())]
+    )
 
 
 def _rows_to_df(spark: SparkSession, rows: list, schema) -> DataFrame:

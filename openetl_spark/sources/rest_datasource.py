@@ -134,8 +134,10 @@ class RestReader(DataSourceReader):
                 for row in res.get("data", []):
                     yield tuple(row.get(n) for n in names)
                 cursor = res.get("next_cursor")
-                if cursor is None:
-                    break
+                if not cursor:  # any falsy token ('' / 0 / None) ends
+                    break       # the stream, matching the reference's
+                    # `while (cursor)` loop — `is None` alone looped
+                    # forever on APIs returning next_cursor: ''
             return
 
         offset = partition.start_offset

@@ -524,7 +524,11 @@ class ServiceSource:
 
         # Same bounded-memory staging contract as RestSource (VERDICT
         # r02 #8): config['staging_dir'] spills pages to JSONL.
-        from openetl_spark.sources.rest import JsonlStagingWriter, _rows_to_df
+        from openetl_spark.sources.rest import (
+            JsonlStagingWriter,
+            _rows_to_df,
+            _schema_with_seq,
+        )
 
         staging = cfg.get("staging_dir")
         writer = (
@@ -552,7 +556,9 @@ class ServiceSource:
             else:
                 reader = spark.read
                 if cfg.get("schema") is not None:
-                    reader = reader.schema(cfg["schema"])
+                    # include the writer's arrival counter so the
+                    # compiler can honor offset/limit in ingest order
+                    reader = reader.schema(_schema_with_seq(cfg["schema"]))
                 df = reader.json(writer.dir)
         else:
             df = _rows_to_df(spark, result.rows, cfg.get("schema"))
@@ -575,6 +581,10 @@ class ServiceSource:
             if present:
                 if result.partial and "_ingest_partial" not in present:
                     present.append("_ingest_partial")  # keep marker visible
+                if "_ingest_seq" in df.columns:
+                    # arrival counter must survive until the compiler's
+                    # offset/limit ordering (it drops it from output)
+                    present.append("_ingest_seq")
                 df = df.select(*present)
         return df
 

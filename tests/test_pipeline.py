@@ -648,3 +648,38 @@ def test_compile_query_topk_having_and_plan(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_staged_ingest_offset_respects_arrival_order(spark, tmp_path):
+    """Regression (r08 review): offset/limit over a STAGED (multi-file)
+    ingest must skip the first-k-fetched rows in driver arrival order,
+    not whatever window Spark's file-split scheduling happens to put
+    first — and _ingest_seq must never leak to user output."""
+    from openetl_spark.plans.compiler import compile_connector
+    from openetl_spark.spec import Connector
+
+    n = 250
+
+    def fetch_page(opts):
+        off = opts.get("offset") or 0
+        lim = opts["limit"]
+        rows = [{"i": i, "v": f"r{i}"} for i in range(off, min(off + lim, n))]
+        return {"data": rows}
+
+    c = Connector(
+        adapter_id="rest",
+        endpoint_id="x",
+        offset=40,
+        limit=100,
+        config={
+            "fetch_page": fetch_page,
+            "items_per_page": 30,          # many staged files
+            "staging_dir": str(tmp_path / "stage"),
+            "staging_batch_rows": 25,
+            "schema": "i long, v string",
+        },
+    )
+    df = compile_connector(spark, c)
+    rows = df.collect()
+    assert "_ingest_seq" not in df.columns
+    assert [r["i"] for r in rows] == list(range(40, 140))
