@@ -137,6 +137,7 @@ HEADLINE = [
     "contrastive_negatives",
     "llm_data_pipeline",
     "keyword_extraction",
+    "ngram_novelty",
 ]
 
 

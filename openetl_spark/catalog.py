@@ -4780,6 +4780,53 @@ def q_keyword_extraction(spark, sf_dir):
     return X.top_terms_tfidf(d, "doc_id", "text", k=3)
 
 
+@query(
+    "ngram_novelty",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(CASE WHEN f.first_doc = sh.doc_id THEN 1.0 ELSE 0.0 END), 4)
+             AS novelty
+    FROM sh JOIN first_seen f USING (g)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Curation (r08): per-document n-gram novelty — the fraction of a
+    doc's distinct 3-gram shingles whose FIRST occurrence (by doc id,
+    i.e. arrival order) is this document. Novelty ≈ 0 marks documents
+    whose content already exists earlier in the corpus — the cheap
+    streaming-dedup-lite signal between exact dedup and MinHash. Shape:
+    the same distinct-shingle relation the dedup family uses; first-
+    seen is one partial-agg min per gram; the re-join is gram-keyed and
+    rides AQE like every token-statistic join."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    sh = D.with_shingles(d, "text", n=3).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.avg(
+                    F.when(F.col("_first") == F.col("doc_id"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
 def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
     """mix_to_target's oracle, parameterized over the target mix —
     shared by the catalog query and the randomized sweep."""
@@ -5234,7 +5281,10 @@ DRIVER_PRIORITY: list[str] = [
     # window_ranking_extras + the randomized window sweep pin that
     # family every run)
     "hybrid_search_rrf",
-    "grouped_quantiles",
+    # grouped_quantiles queues for round 5 (pinned every run by its own
+    # oracle test + the histogram sweeps); its slot goes to the novelty
+    # stat
+    "ngram_novelty",
     # topk_orders' / session_windows' refresh slots (stable r01/r02,
     # pinned by the random top-k sweep and the streaming suite)
     "keyword_extraction",

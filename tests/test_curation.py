@@ -711,3 +711,34 @@ def test_unique_rule_null_keys_are_not_duplicates(spark):
     # violations = 5 - 3 = 2: one real dup pair (2,2) and one NULL pair
     # — NULL keys collide with each other but never inflate via drop
     assert rep[DQ.unique("k").name] == 2
+
+
+def test_ngram_novelty_duplicate_pair_semantics(spark):
+    from openetl_spark import catalog  # noqa: F401  (style parity)
+    from openetl_spark.operators import dedup as DD
+    from pyspark.sql import functions as FF
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now folks")],
+        ["doc_id", "text"],
+    )
+    sh = DD.with_shingles(df, "text", n=3).select(
+        "doc_id", FF.explode("shingles").alias("g")
+    )
+    first = sh.groupBy("g").agg(FF.min("doc_id").alias("_first"))
+    out = {
+        r["doc_id"]: r
+        for r in sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            FF.count("*").alias("n_grams"),
+            FF.round(
+                FF.avg(FF.when(FF.col("_first") == FF.col("doc_id"), 1.0).otherwise(0.0)), 4
+            ).alias("novelty"),
+        )
+        .collect()
+    }
+    assert out[1]["novelty"] == 1.0   # first copy: everything new
+    assert out[2]["novelty"] == 0.0   # exact duplicate: nothing new
+    assert out[3]["novelty"] == 1.0   # unrelated doc: everything new
