@@ -267,12 +267,16 @@ def q_join_semi(spark, sf_dir):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
     """,
 )
 def q_join_anti(spark, sf_dir):
+    # "customers with no orders since 2000" — the date restriction keeps
+    # the anti-join NON-vacuous (every customer has *some* order in the
+    # generated data, so the unrestricted complement is empty at all SFs).
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -703,12 +707,19 @@ def q_set_intersect(spark, sf_dir):
     """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
     """,
 )
 def q_set_except(spark, sf_dir):
+    # Nations with customers but no high-balance supplier. The acctbal
+    # filter keeps EXCEPT non-vacuous (every customer nation has *a*
+    # supplier in the generated data, so the unfiltered form is empty).
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     # subtract == SQL EXCEPT (distinct semantics; exceptAll is bag-wise)
     return c.subtract(s)
 
@@ -2393,13 +2404,13 @@ def q_q17_small_quantity(spark, sf_dir):
     "q22_global_sales",
     """
     WITH eligible AS (
-      SELECT c_custkey, c_acctbal, substr(c_name, 10, 2) AS cntry
+      SELECT c_custkey, c_acctbal, substr(c_name, 16, 1) AS cntry
       FROM customer
       WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)),
     no_orders AS (
       SELECT e.* FROM eligible e
       WHERE NOT EXISTS (SELECT 1 FROM orders o
-                        WHERE o.o_custkey = e.c_custkey AND o.o_totalprice > 250000))
+                        WHERE o.o_custkey = e.c_custkey AND o.o_totalprice > 300000))
     SELECT cntry, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
     FROM no_orders GROUP BY cntry
     """,
@@ -2407,7 +2418,10 @@ def q_q17_small_quantity(spark, sf_dir):
 def q_q22_global_sales(spark, sf_dir):
     """TPC-H Q22 shape: scalar-subquery threshold + anti join + group.
     Threshold rounded on both sides so float noise can't flip
-    membership."""
+    membership. cntry is name digit 16 (names are Customer#%09d, so
+    chars 10-11 are constant '00' at test SFs) and the price threshold
+    sits at 300000 — the 250000 variant was empty at sf0.001 (caught
+    by the r05 non-empty oracle guard)."""
     c = load(spark, sf_dir, "customer")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
@@ -2416,11 +2430,11 @@ def q_q22_global_sales(spark, sf_dir):
     eligible = (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("t"))
-        .select("c_custkey", "c_acctbal", F.substring("c_name", 10, 2).alias("cntry"))
+        .select("c_custkey", "c_acctbal", F.substring("c_name", 16, 1).alias("cntry"))
     )
     # anti join against LARGE orders only (a bare no-orders variant is
     # degenerate on this data: every high-balance customer has orders)
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     no_orders = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
     return no_orders.groupBy("cntry").agg(
         F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal")
@@ -4255,7 +4269,7 @@ def q_per_group_sample(spark, sf_dir):
       SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE p_name LIKE 'large%'
-        AND l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
       GROUP BY 1, 2),
     tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM lp GROUP BY 1),
     dom AS (
@@ -4272,14 +4286,16 @@ def q_per_group_sample(spark, sf_dir):
 def q_q20_dominant_supplier(spark, sf_dir):
     """TPC-H Q20 shape (completes the 22-query sweep): suppliers with
     an outsized share of a part family — partsupp's availqty threshold
-    is proxied as 'shipped more than half of the part's 1994 volume'.
+    is proxied as 'shipped more than half of the part's 1995 volume'
+    (the generated testdata's shipdates start 1995-01-02, so the 1995
+    window is non-vacuous at every SF).
     Same plan skeleton as the real Q20: filtered part list broadcast
     into the fact scan, per-(part, supplier) aggregate, per-part scalar
     threshold re-joined by key, semi-ish reduction to suppliers.
     l_quantity is integer-valued, so sums are exact in double and the
     0.5·total comparison is order-independent — no fp boundary."""
     l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1995-01-01")
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
     )
     p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("large"))
     lp = (
@@ -5176,18 +5192,13 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-4 rotation (VERDICT
-# r03 #2): slots go first to the three queries with NO driver row
-# (added after the r03 window filled), then to queries whose code or
-# oracle changed since their last driver check — embedding_quantize
-# (red r03, q8 serialization fix), ivf_knn/approx_sketches (oracles
-# added r06, previously no_oracle), sequence_packing/length_band_filter/
-# curation_pipeline (scale-safe rewrites r06), the r04/r05-rewritten
-# dedup/similarity family (last checked r02), and the dedup pair after
-# the r06 connected-components fusion — then refresh the oldest green
-# rows (r01/r02 only). Deferred to the round-5 rotation (stable,
-# locally oracle-pinned): join_cross/right/full_outer, the set-op
-# family, union_all_counts, window_lag, cube/grouping_sets/pivot.
+# entries of queries() in iteration order. Round-5 rotation (VERDICT
+# r04 #3): slots go first to the three queries with NO driver row in
+# any CORRECTNESS record (declarative_star_join/_window_topn,
+# grouped_quantiles), then to the three de-vacuated rewrites
+# (DRIVER_RECHECK), then new r05 queries as they land, then the
+# documented refresh queue — every query whose LATEST driver row is
+# r02, oldest greens first. Deferred to round 6: the r03 pool.
 # Every query, windowed or not, is pinned every run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
@@ -5198,99 +5209,74 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # check. Prune entries from this set once the next CORRECTNESS record
 # re-greens them.
 DRIVER_RECHECK: set[str] = {
-    "embedding_quantize",      # red r03 → q8 serialization fix (r06)
-    "ivf_knn",                 # oracle added r06 (was no_oracle)
-    "approx_sketches",         # oracle added r06 (was no_oracle)
-    "sequence_packing",        # sharded-window rewrite r06
-    "length_band_filter",      # histogram-rank rewrite r06
-    "curation_pipeline",       # inherits the sharded packing r06
-    "jaccard_near_dups",       # scan-side fingerprint rewrite r04
-    "minhash_near_dups",       # scan-side fingerprint rewrite r04
-    "simhash_dedup",           # scan-side fingerprint rewrite r04
-    "lsh_similarity_join",     # oracle added r03 (row was no_oracle)
-    "pandas_normalize",        # JVM-stats rewrite r05
-    "dedup_components",        # observe()-fused convergence r06
-    "dedup_keep_best",         # depends on the component rewrite
+    # r05 changes: all three of VERDICT r04's 0-row vacuous greens were
+    # re-scoped to non-empty result sets (query AND oracle), so their
+    # old green rows don't cover the current code.
+    "q20_dominant_supplier",   # ship-date window moved 1994→1995 (data starts 1995)
+    "join_anti",               # anti-join vs date-restricted orders (was empty complement)
+    "set_except",              # EXCEPT vs acctbal-filtered suppliers (was empty)
+    "q22_global_sales",        # cntry digit + 300k threshold (was empty at sf0.001)
+    "semantic_dedup",          # row-blocked in-cluster kernel (result-identical rewrite)
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # no driver row yet
-    "vocab_sketch_topk",
-    "training_shuffle",
-    "histogram_quantiles",
-    # changed since last driver check (code or oracle)
-    "embedding_quantize",
-    "ivf_knn",
-    "approx_sketches",
-    "sequence_packing",
-    "length_band_filter",
-    "curation_pipeline",
-    "jaccard_near_dups",
-    "minhash_near_dups",
-    "simhash_dedup",
-    "lsh_similarity_join",
-    "pandas_normalize",
-    "dedup_components",
-    "dedup_keep_best",
-    # added r08, no driver row yet — take five of the oldest-green
-    # refresh slots (join_semi/join_anti/join_broadcast are
-    # plan-asserted in tests; agg_distinct/dedup_exact are oracle-
-    # pinned locally every run; all five queue for the next rotation)
-    "ngram_lm_score",
-    "kl_domain_shift",
-    "zipf_fit",
-    "semantic_dedup",
-    "incremental_dedup",
-    "domain_mix_sample",
-    "salted_join_segments",
-    "cluster_profile",
-    "perplexity_buckets",
-    "declarative_setops",
-    "scd2_history",
-    "hot_keys_report",
-    "document_chunks",
-    "chunk_bm25_topk",
-    "contrastive_negatives",
-    "llm_data_pipeline",
-    # added r06, no driver row yet (take the slots of the stable
-    # decimal_agg / sql_passthrough / schema_introspect refreshes,
-    # which queue for the round-5 rotation)
-    "cms_token_counts",
-    "funnel_conversion",
-    "retention_cohorts",
-    # added r07, no driver row yet (take the slots of the stable
-    # string_funcs / date_funcs / math_funcs / array_funcs /
-    # json_funcs refreshes, which queue for the round-5 rotation)
-    "multires_rollup",
-    "bm25_topk",
-    "pq_knn",
-    "rollup_anomalies",
-    "pq_rerank_knn",
-    # sliding_counts / tumbling_hourly / text_stats / doc_fingerprint /
-    # embedding_knn / quality_score / rollup_flags (stable r01/r02,
-    # rollup_flags additionally pinned every run by the randomized
-    # rollup/cube differential sweep) queue for the round-5 rotation
+    # --- never driver-checked (r01–r04 aggregate has no row) ---
+    "declarative_star_join",
+    "declarative_window_topn",
+    "grouped_quantiles",
+    # --- changed since their last driver row (DRIVER_RECHECK) ---
     "q20_dominant_supplier",
-    "per_group_sample",
-    "bpe_pair_counts",
-    "ivf_pq_knn",
-    "corpus_report",
-    "event_transitions",
-    "dq_report",
-    # window_rank's / window_frame's refresh slots (r03-green
-    # window_ranking_extras + the randomized window sweep pin that
-    # family every run)
-    "hybrid_search_rrf",
-    # grouped_quantiles queues for round 5 (pinned every run by its own
-    # oracle test + the histogram sweeps); its slot goes to the novelty
-    # stat
-    "ngram_novelty",
-    # topk_orders' / session_windows' refresh slots (stable r01/r02,
-    # pinned by the random top-k sweep and the streaming suite)
-    "keyword_extraction",
-    # declarative_star_join / declarative_window_topn queue for round 5
-    # (pinned every run by the randomized QuerySpec fuzzers; their
-    # slots go to the llm_data_pipeline flagship and keyword_extraction)
+    "join_anti",
+    "set_except",
+    "q22_global_sales",
+    "semantic_dedup",
+    # --- r05 additions (no driver row yet) fill in here as they land,
+    # displacing the tail of the refresh queue below ---
+    # --- refresh queue: every remaining query whose latest driver row
+    # is r02 (oldest greens; all pinned locally every run), then the
+    # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
+    "connector_slice",
+    "filter_group_or",
+    "transform_chain",
+    "join_inner",
+    "join_left_agg",
+    "join_semi",
+    "join_cross",
+    "join_broadcast",
+    "range_join_events",
+    "asof_join_events",
+    "q1_pricing",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "agg_distinct",
+    "rollup_flags",
+    "cube_flags",
+    "grouping_sets",
+    "pivot_linestatus",
+    "window_rank",
+    "window_lag",
+    "window_frame",
+    "topk_orders",
+    "set_union",
+    "set_intersect",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "tumbling_hourly",
+    "sliding_counts",
+    "session_windows",
+    "dedup_exact",
+    "embedding_knn",
+    "text_stats",
+    "doc_fingerprint",
+    "quality_score",
+    "sql_passthrough",
+    "schema_introspect",
+    "join_right",
+    "join_full_outer",
+    "union_all_counts",
 ]
 
 

@@ -495,6 +495,7 @@ def semantic_dedup(
     list_col: str | None = None,
     threshold: float = 0.95,
     round_dp: int = 4,
+    block_rows: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a coarse
@@ -503,10 +504,17 @@ def semantic_dedup(
     from O(n²) into O(Σ clusterᵢ²), with cluster count chosen ∝ √n so
     per-cluster work stays bounded as the corpus grows.
 
-    Physical shape: one shuffle keyed on the cluster id, then one
-    numpy matmul per cluster inside ``applyInPandas`` (the same
-    Arrow-batched engine as ``blocked_similarity_join`` — a JVM
-    fold-expression cosine per pair would cost ~100× BLAS). A vector
+    Physical shape: one shuffle keyed on the cluster id, then a
+    ROW-BLOCKED numpy matmul per cluster inside ``applyInPandas`` (the
+    same chunked kernel idea as ``blocked_similarity_join`` — a JVM
+    fold-expression cosine per pair would cost ~100× BLAS). Each step
+    multiplies a ``block_rows``-row slab against the cluster, so the
+    similarity buffer is O(block_rows · cluster), never the full
+    O(cluster²) matrix — hot clusters (embedding spaces have them far
+    above the mean size) can't blow out task memory (VERDICT r04 #3;
+    the cluster's own vectors, O(cluster · dim), are materialized by
+    applyInPandas regardless and bound by the coarse-quantizer k ∝ √n
+    sizing rule). A vector
     is flagged as a semantic duplicate when a SMALLER-id vector in its
     cluster has rounded cosine ≥ threshold; output is one row per
     flagged vector (id, dup_of = smallest such partner, its cosine).
@@ -528,16 +536,27 @@ def semantic_dedup(
         F.col(vec_col).alias("_v"),
     )
     thr, dp = float(threshold), int(round_dp)
+    blk = max(1, int(block_rows))
     id_type, id_dtype = _id_schema(df, id_col)
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         ids = pdf["_id"].to_numpy()
         nrm = np.linalg.norm(m, axis=1)
-        sims = np.round((m @ m.T) / np.outer(nrm, nrm), dp)
-        ii, jj = np.where(sims >= thr)
-        keep = ids[ii] < ids[jj]
-        aa, bb, vv = ids[ii][keep], ids[jj][keep], sims[ii, jj][keep]
+        out_a, out_b, out_v = [], [], []
+        for i0 in range(0, len(ids), blk):
+            i1 = min(i0 + blk, len(ids))
+            # slab × cluster: O(blk·c) similarity buffer per step
+            sims = np.round((m[i0:i1] @ m.T) / np.outer(nrm[i0:i1], nrm), dp)
+            ii, jj = np.where(sims >= thr)
+            vv = sims[ii, jj]
+            keep = ids[ii + i0] < ids[jj]
+            out_a.append(ids[ii + i0][keep])
+            out_b.append(ids[jj][keep])
+            out_v.append(vv[keep])
+        aa = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        bb = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        vv = np.concatenate(out_v) if out_v else np.array([], dtype="float64")
         return pd.DataFrame({"a": aa, "b": bb, "cosine_sim": vv}).astype(
             {"a": id_dtype, "b": id_dtype, "cosine_sim": "float64"}
         )

@@ -51,11 +51,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    *,
+    allow_empty: bool = False,
+) -> tuple[bool, str]:
     actual = spark_df.toPandas()
     expected = con.sql(sql).df()
     if len(actual) != len(expected):
         return False, f"row count: spark={len(actual)} duckdb={len(expected)}"
+    if len(actual) == 0 and not allow_empty:
+        # VERDICT r04: q20/join_anti/set_except were 0-row "greens" —
+        # both engines agreeing on the empty set proves nothing about
+        # the operator. Emptiness must be opted into explicitly.
+        return False, "vacuous match: both sides empty on testdata"
     a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
     if a_cols != e_cols:
         return False, f"columns: spark={a_cols} duckdb={e_cols}"
