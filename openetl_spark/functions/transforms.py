@@ -177,11 +177,53 @@ def _has(df: DataFrame, name: str) -> bool:
     return top in df.columns
 
 
+def _scan_groups(pat: str) -> list[str | None]:
+    """Lexical walk shared by ``_count_groups`` and
+    ``_pattern_group_names``: one entry per CAPTURING group in source
+    order — the declared name for ``(?<name>...)``, ``None`` for a
+    plain ``(...)``. Escape- and character-class-aware, so ``\\(?<x>``
+    or ``[(?<x>]`` never registers a group (ADVICE r04: the old
+    regex-findall name scan did, making ``$<x>`` render Java ``${x}``
+    and throw at regexp_replace time). Python's re.compile rejects
+    some Java-valid syntax (possessive quantifiers), so don't parse."""
+    groups: list[str | None] = []
+    i = 0
+    L = len(pat)
+    while i < L:
+        ch = pat[i]
+        if ch == "\\":
+            i += 2  # escaped char (including an escaped backslash)
+        elif ch == "[":
+            i += 1
+            if i < L and pat[i] == "^":
+                i += 1
+            if i < L and pat[i] == "]":
+                i += 1  # leading ] is literal inside a class
+            while i < L and pat[i] != "]":
+                i += 2 if pat[i] == "\\" else 1
+            i += 1  # closing ]
+        elif ch == "(":
+            if i + 1 >= L or pat[i + 1] != "?":
+                groups.append(None)
+            elif pat[i + 2 : i + 3] == "<" and pat[i + 3 : i + 4] not in ("", "=", "!"):
+                # (?<name>...) — capturing in both Java and JS;
+                # lookbehinds (?<= / (?<! are excluded above
+                end = pat.find(">", i + 3)
+                groups.append(pat[i + 3 : end] if end != -1 else None)
+            i += 1
+        else:
+            i += 1
+    return groups
+
+
 def _pattern_group_names(pattern: str) -> frozenset[str]:
     """Java-dialect named capture groups ``(?<name>...)`` declared in
-    ``pattern``, by lexical scan (lookbehinds ``(?<=``/``(?<!`` never
-    match — a group name must start with a letter)."""
-    return frozenset(re.findall(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", pattern))
+    ``pattern`` (a group name must start with a letter — Java rejects
+    others, and lookbehind sigils never reach here)."""
+    return frozenset(
+        n for n in _scan_groups(pattern)
+        if n is not None and re.fullmatch(r"[A-Za-z][A-Za-z0-9]*", n)
+    )
 
 
 def _js_replacement_to_java(repl: str, group_names: frozenset[str] = frozenset()) -> str:
@@ -326,39 +368,10 @@ def _replace_with_portions(src: Column, search: str, repl: str) -> Column:
 
 
 def _count_groups(pat: str) -> int:
-    """Capturing-group count by lexical scan — Python's re.compile
-    rejects some Java-valid syntax (possessive quantifiers), so don't
-    parse. Counts unescaped '(' not starting a (?...) construct, PLUS
-    Java named groups ``(?<name>...)`` (capturing in both Java and JS —
-    JS ``match[1]`` includes them), excluding lookbehinds ``(?<=``/
-    ``(?<!``. Walks escapes and character classes explicitly so
-    ``\\\\(a)`` (escaped backslash, then a real group) and ``[(]``
-    (literal paren in a class) count correctly."""
-    n = 0
-    i = 0
-    L = len(pat)
-    while i < L:
-        ch = pat[i]
-        if ch == "\\":
-            i += 2  # escaped char (including an escaped backslash)
-        elif ch == "[":
-            i += 1
-            if i < L and pat[i] == "^":
-                i += 1
-            if i < L and pat[i] == "]":
-                i += 1  # leading ] is literal inside a class
-            while i < L and pat[i] != "]":
-                i += 2 if pat[i] == "\\" else 1
-            i += 1  # closing ]
-        elif ch == "(":
-            if i + 1 >= L or pat[i + 1] != "?":
-                n += 1
-            elif pat[i + 2 : i + 3] == "<" and pat[i + 3 : i + 4] not in ("", "=", "!"):
-                n += 1  # (?<name>...) named group
-            i += 1
-        else:
-            i += 1
-    return n
+    """Capturing-group count: unescaped '(' not starting a (?...)
+    construct, plus named groups — one shared tokenizer with
+    ``_pattern_group_names`` (see ``_scan_groups``)."""
+    return len(_scan_groups(pat))
 
 
 def apply_transforms(

@@ -40,6 +40,7 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -76,7 +77,10 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
         pcol = body.get("partition_col") or _infer_partition_col(
             path, body["partitions"]
         )
-        return _read_manifest_dirs(spark, path, body["partitions"], pcol)
+        return _read_manifest_dirs(
+            spark, path, body["partitions"], pcol,
+            partition_type=body.get("partition_type"),
+        )
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 
@@ -113,33 +117,68 @@ def _publish(df_writer, path: str, version: int) -> None:
     the snapshot lands in a writer-private staging dir and a single
     ``os.rename`` claims ``v=N``. Two racers each write their own
     staging data; exactly one rename wins, the loser raises
-    ConcurrentWriteError BEFORE touching the winner's directory (a
+    ConcurrentWriteError BEFORE touching any ``v=N`` directory (a
     direct ``overwrite`` write into ``v=N`` would let the loser clobber
-    the winner's already-committed data — review finding r08). A
-    writer that crashes between rename and marker leaves an unmarked
-    ``v=N`` blocking that number; like losers' staging dirs, it's
-    garbage a janitor collects (production: lease/heartbeat on the
-    claim). ``df_writer`` is a DataFrameWriter ready to ``.parquet()``."""
+    the winner's already-committed data — review finding r08). An
+    unmarked ``v=N`` is deliberately NOT reclaimed inline: between a
+    concurrent writer's successful rename and its ``_commit`` the
+    directory is byte-identical to a crashed writer's garbage, and an
+    inline rmtree-and-retry could destroy that racer's just-renamed
+    data while its commit then lands a marker over OUR data (ADVICE
+    r04 — version N with A's marker over B's rows, both reporting
+    success). Crashed-writer cleanup is the explicit ``reclaim_orphans``
+    janitor, run when no writer is in flight. ``df_writer`` is a
+    DataFrameWriter ready to ``.parquet()``."""
     import shutil
     import uuid
 
     stage = os.path.join(path, "_staging", uuid.uuid4().hex)
     df_writer.parquet(stage)
     target = os.path.join(path, f"v={version}")
-    for attempt in (1, 2):
-        try:
-            os.rename(stage, target)
-            return
-        except OSError as e:
-            if version in committed_versions(path) or attempt == 2:
-                shutil.rmtree(stage, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"version {version} directory already claimed under {path}"
-                ) from e
-            # unmarked target = a crashed writer's partial (markerless
-            # data is invisible to readers) — reclaim it and retry the
-            # rename once
-            shutil.rmtree(target, ignore_errors=True)
+    try:
+        os.rename(stage, target)
+    except OSError as e:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"version {version} directory already claimed under {path} "
+            f"(concurrent writer, or a crashed writer's partial — run "
+            f"reclaim_orphans() once no writer is in flight)"
+        ) from e
+
+
+def reclaim_orphans(path: str) -> list[str]:
+    """Explicit janitor for crashed writers' garbage: removes ``v=N``
+    directories that have NO commit marker (a writer died between
+    rename and ``_commit``; markerless data is invisible to readers
+    but blocks that version number) and leftover ``_staging`` entries
+    (writers that died mid-write or lost the rename race). ONLY safe
+    to run when no writer is in flight — an in-flight writer's
+    just-renamed, not-yet-committed ``v=N`` is indistinguishable from
+    crash garbage, which is exactly why ``_publish`` never reclaims
+    inline. Returns the removed paths."""
+    import shutil
+
+    removed: list[str] = []
+    committed = set(committed_versions(path))
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if not name.startswith("v="):
+                continue
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if v not in committed:
+                full = os.path.join(path, name)
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        for name in os.listdir(staging):
+            full = os.path.join(staging, name)
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return removed
 
 
 def write_snapshot(df: DataFrame, path: str, expected_base: int | None = None) -> int:
@@ -325,12 +364,35 @@ def _escape_partition_value(value) -> str:
 
 
 def _read_manifest_dirs(
-    spark: SparkSession, path: str, manifest: dict, partition_col: str
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    partition_col: str,
+    partition_type: str | None = None,
 ) -> DataFrame:
-    """Union the directories a manifest references, grouped by owning
-    version so each version contributes one multi-path read with
-    partition-column recovery."""
+    """Union the directories a manifest references. With
+    ``partition_type`` recorded in the marker (r05+), the partition
+    column is attached as a typed literal FROM THE MANIFEST KEY — not
+    recovered from the directory name, whose type inference coerces a
+    string value like '01' to int 1 and breaks the round-trip (ADVICE
+    r04). One directory-scoped read per manifest entry; partition
+    columns are low-cardinality by definition, so the listing cost is
+    bounded. Markers without a recorded type (pre-r05 tables) fall
+    back to per-version multi-path reads with directory recovery."""
     from functools import reduce
+
+    if partition_type is not None:
+        parts = [
+            spark.read.parquet(
+                os.path.join(
+                    path,
+                    f"v={ver}",
+                    f"{partition_col}={_escape_partition_value(p)}",
+                )
+            ).withColumn(partition_col, F.lit(p).cast(partition_type))
+            for p, ver in sorted(manifest.items())
+        ]
+        return reduce(DataFrame.unionByName, parts)
 
     by_ver: dict[int, list[str]] = {}
     for p, ver in manifest.items():
@@ -348,19 +410,24 @@ def _read_manifest_dirs(
 
 
 def _commit_manifest(
-    path: str, version: int, partitions: dict, partition_col: str
+    path: str,
+    version: int,
+    partitions: dict,
+    partition_col: str,
+    partition_type: str | None = None,
 ) -> None:
     import json
 
     os.makedirs(_versions_dir(path), exist_ok=True)
+    body = {"partitions": partitions, "partition_col": partition_col}
+    if partition_type is not None:
+        # the partition column's Spark type (simpleString) — readers
+        # attach manifest keys as typed literals instead of trusting
+        # directory-name inference (ADVICE r04: '01' → int 1)
+        body["partition_type"] = partition_type
     try:
         with open(os.path.join(_versions_dir(path), str(version)), "x") as fh:
-            fh.write(
-                json.dumps(
-                    {"partitions": partitions, "partition_col": partition_col},
-                    sort_keys=True,
-                )
-            )
+            fh.write(json.dumps(body, sort_keys=True))
     except FileExistsError as e:
         raise ConcurrentWriteError(
             f"version {version} already committed under {path}"
@@ -417,15 +484,19 @@ def merge_upsert_partitioned(
         if hit:
             from functools import reduce
 
+            # attach the partition value as a typed literal from the
+            # manifest key — a basePath directory-recovery read here
+            # would INFER the type ('01' → bigint 1), poison new_data's
+            # dtypes, and mis-type the next marker (ADVICE r04)
+            ptype = dict(updates.dtypes)[partition_col]
             base_parts = [
-                spark.read.option("basePath", os.path.join(path, f"v={v}"))
-                .parquet(
+                spark.read.parquet(
                     os.path.join(
                         path,
                         f"v={v}",
                         f"{partition_col}={_escape_partition_value(p)}",
                     )
-                )
+                ).withColumn(partition_col, F.lit(p).cast(ptype))
                 for p, v in sorted(hit.items())
             ]
             base = reduce(DataFrame.unionByName, base_parts)
@@ -462,24 +533,43 @@ def merge_upsert_partitioned(
     # r08)
     present = {
         str(r[0])
-        for r in read_version_dir_values(spark, path, version, partition_col)
+        for r in read_version_dir_values(
+            spark, path, version, partition_col, schema=new_data.schema
+        )
     }
     new_manifest = {
         p: v for p, v in manifest.items() if p not in {str(t) for t in touched}
     }
     new_manifest.update({p: version for p in present})
-    _commit_manifest(path, version, new_manifest, partition_col)
+    _commit_manifest(
+        path,
+        version,
+        new_manifest,
+        partition_col,
+        partition_type=dict(new_data.dtypes)[partition_col],
+    )
     return version
 
 
 def read_version_dir_values(
-    spark: SparkSession, path: str, version: int, partition_col: str
+    spark: SparkSession, path: str, version: int, partition_col: str, schema=None
 ):
     """Distinct partition values physically present in one version
     directory (reads only the partition column of the just-written
-    files)."""
+    files). Pass the written DataFrame's ``schema`` to pin the
+    partition column's type: bare ``spark.read.parquet`` INFERS types
+    from directory names, coercing a string partition value like
+    ``'01'`` to int 1, whose ``str()`` ('1') then matches neither
+    ``str(touched)`` nor the Hive-escaped directory — silently
+    orphaning those partitions from the manifest (ADVICE r04). With
+    the true type pinned, directory strings round-trip exactly what
+    ``partitionBy`` wrote. Reading back (columnar, partition column
+    only) beats re-executing the merge plan for its distinct values —
+    at scale the plan is a full shuffle join, the read-back is
+    metadata-cheap."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
     return (
-        spark.read.parquet(os.path.join(path, f"v={version}"))
+        reader.parquet(os.path.join(path, f"v={version}"))
         .select(partition_col)
         .distinct()
         .collect()
@@ -498,4 +588,7 @@ def read_latest_partitioned(
     manifest = _read_manifest(path, v)
     if not manifest:
         return read_version(spark, path, v)
-    return _read_manifest_dirs(spark, path, manifest, partition_col)
+    return _read_manifest_dirs(
+        spark, path, manifest, partition_col,
+        partition_type=_marker_body(path, v).get("partition_type"),
+    )

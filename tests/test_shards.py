@@ -165,12 +165,24 @@ def test_versioned_crash_partial_invisible_and_conflict_detected(spark, tmp_path
             spark.createDataFrame([(5, "e")], "k long, v string"),
             p, expected_base=-1,
         )
-    # racing commit to the same version: second marker create fails
+    # the dead partial blocks v=1 — a writer must NOT reclaim it inline
+    # (ADVICE r04: between a racer's rename and commit, its directory
+    # is indistinguishable from crash garbage); the explicit janitor
+    # clears it, then the retry lands
+    with _pytest.raises(V.ConcurrentWriteError):
+        V.write_snapshot(
+            spark.createDataFrame([(5, "e")], "k long, v string"), p,
+            expected_base=0,
+        )
+    removed = V.reclaim_orphans(p)
+    assert any(r.endswith("v=1") for r in removed)
     v = V.write_snapshot(
         spark.createDataFrame([(5, "e")], "k long, v string"), p,
         expected_base=0,
     )
-    assert v == 1  # overwrote the dead partial and committed
+    assert v == 1
+    assert {r["k"] for r in V.read_version(spark, p, 1).collect()} == {5}
+    # racing commit to the same version: second marker create fails
     with _pytest.raises(V.ConcurrentWriteError):
         V._commit(p, 1)
 
@@ -455,3 +467,61 @@ def test_publish_refuses_to_clobber_committed_version(spark, tmp_path):
             p, 1,
         )
     assert {r["k"] for r in V.read_version(spark, p, 1).collect()} == {2}
+
+
+def test_publish_never_reclaims_a_racers_uncommitted_rename(spark, tmp_path):
+    """ADVICE r04 (medium): racer A renamed v=1 in but hasn't committed
+    yet; racer B's publish must fail WITHOUT touching A's directory —
+    the old reclaim-and-retry rmtree'd A's data, renamed B's in, and
+    A's subsequent commit landed A's marker over B's rows."""
+    import pytest as _pytest
+
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "a")], "k long, v string"), p)
+    # racer A: publish (rename in) v=1, commit NOT yet done
+    V._publish(
+        spark.createDataFrame([(2, "A")], "k long, v string")
+        .write.mode("overwrite"),
+        p, 1,
+    )
+    # racer B: must lose without touching A's data
+    with _pytest.raises(V.ConcurrentWriteError):
+        V._publish(
+            spark.createDataFrame([(9, "B")], "k long, v string")
+            .write.mode("overwrite"),
+            p, 1,
+        )
+    # A's commit succeeds and A's data is what version 1 holds
+    V._commit(p, 1)
+    assert {(r["k"], r["v"]) for r in V.read_version(spark, p, 1).collect()} == {
+        (2, "A")
+    }
+
+
+def test_partitioned_merge_numeric_looking_string_partitions(spark, tmp_path):
+    """ADVICE r04 (low): string partition values that LOOK numeric
+    ('01') must survive the manifest round-trip — bare read-back
+    inference coerced '01'→1 and orphaned the partition on later
+    merges."""
+    from openetl_spark.sinks import versioned as V
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("01", 1, "a"), ("2", 2, "b")], "pt string, k long, v string"
+    )
+    V.merge_upsert_partitioned(spark, p, df, key_cols=["k"], partition_col="pt")
+    m1 = V._read_manifest(p, 0)
+    assert set(m1) == {"01", "2"}
+    # second merge touches only '2'; '01' must carry forward by
+    # reference, stay readable, and keep its exact key
+    up = spark.createDataFrame([("2", 2, "B")], "pt string, k long, v string")
+    V.merge_upsert_partitioned(spark, p, up, key_cols=["k"], partition_col="pt")
+    m2 = V._read_manifest(p, 1)
+    assert m2 == {"01": 0, "2": 1}
+    out = {
+        (r["pt"], r["k"], r["v"])
+        for r in V.read_latest_partitioned(spark, p, "pt").collect()
+    }
+    assert out == {("01", 1, "a"), ("2", 2, "B")}

@@ -415,3 +415,22 @@ def test_replace_portion_refs_zero_width_and_named_groups(spark):
     assert t("a*?", "[$']") == "[aa]a[a]a[]"
     # named group + portion ref in one template
     assert t("(?<mid>a)a", "<$<mid>|$`>") == "<a|>"
+
+
+def test_group_name_scan_skips_escapes_and_classes():
+    """ADVICE r04: the name scan must share _count_groups' lexical walk
+    — a literal '(?<x>' after an escaped paren or inside [...] is NOT a
+    named group (the old regex scan registered it, rendering ${x} and
+    throwing at regexp_replace time)."""
+    from openetl_spark.functions.transforms import (
+        _count_groups,
+        _pattern_group_names,
+    )
+
+    assert _pattern_group_names(r"\(?<x>") == frozenset()
+    assert _pattern_group_names(r"[(?<x>]") == frozenset()
+    assert _pattern_group_names(r"(?<yy>a)b") == frozenset({"yy"})
+    assert _pattern_group_names(r"(?<=a)(?<!b)(?<n>c)") == frozenset({"n"})
+    # count and names come from one tokenizer: they must agree
+    assert _count_groups(r"(?<yy>a)(b)") == 2
+    assert _count_groups(r"\(a[(](?<=x)") == 0
