@@ -35,7 +35,15 @@ def compile_connector(
     source = get_source(connector.adapter_id)
     df = source.read(spark, connector)
 
-    pred = compile_filters(connector.filters)
+    # Sources that push filters server-side expose residual_filters();
+    # the compiler re-applies exactly those (r05 — re-applying PUSHED
+    # filters broke over real HTTP: the response carries only requested
+    # properties, so the pushed column may be absent). Sources without
+    # the protocol (parquet/JDBC/file) get the whole spec — for them
+    # the "re-apply" IS the filter, and Catalyst pushes it to the scan.
+    residual_fn = getattr(source, "residual_filters", None)
+    filters = connector.filters if residual_fn is None else residual_fn(connector)
+    pred = compile_filters(filters)
     if pred is not None:
         df = df.filter(pred)
 
