@@ -147,6 +147,11 @@ HEADLINE = [
     "llm_data_pipeline",
     "keyword_extraction",
     "ngram_novelty",
+    # round-9 additions (no BASELINE entries — first-run provenance)
+    "gopher_repetition",
+    "gopher_quality",
+    "pmi_collocations",
+    "ann_recall_report",
 ]
 
 

@@ -5185,6 +5185,198 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "gopher_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    norm AS (
+      SELECT doc_id, w, len(array_to_string(w, ' ')) AS nch
+      FROM toks WHERE len(w) >= 2),
+    grams AS (
+      SELECT doc_id, nch, n, array_to_string(w[i:i+n-1], ' ') AS g
+      FROM norm, UNNEST([2,3,4,5]) AS ns(n),
+           UNNEST(generate_series(1, len(w) - n + 1)) AS t(i)),
+    cnt AS (
+      SELECT doc_id, n, g, count(*) AS c, any_value(nch) AS nch
+      FROM grams GROUP BY 1, 2, 3),
+    per_n AS (
+      SELECT doc_id, n, max(c * len(g)) AS top_mass,
+             sum(CASE WHEN c > 1 THEN (c-1) * len(g) ELSE 0 END) AS dup_mass,
+             any_value(nch) AS nch
+      FROM cnt GROUP BY 1, 2),
+    f AS (
+      SELECT doc_id,
+        round(coalesce(max(CASE WHEN n=2 THEN top_mass END), 0) / any_value(nch), 4) AS top2_char_frac,
+        round(coalesce(max(CASE WHEN n=3 THEN top_mass END), 0) / any_value(nch), 4) AS top3_char_frac,
+        round(coalesce(max(CASE WHEN n=4 THEN top_mass END), 0) / any_value(nch), 4) AS top4_char_frac,
+        round(coalesce(max(CASE WHEN n=5 THEN dup_mass END), 0) / any_value(nch), 4) AS dup5_char_frac
+      FROM per_n GROUP BY 1)
+    SELECT *,
+           (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+            AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15) AS keep
+    FROM f
+    """,
+)
+def q_gopher_repetition(spark, sf_dir):
+    """C29 extension (r05): Gopher's full repetition-rule panel (Rae et
+    al. 2021 §A1.1) — per-doc character mass of the top 2/3/4-gram,
+    duplicated-5-gram mass, and the round-then-compare keep flag with
+    the paper's thresholds (0.20/0.18/0.16/0.15). Complements r03's
+    repetition_stats (single-n count-mass): this is the
+    multi-resolution CHARACTER-mass panel production filters use. One
+    explode covers all four n values; shuffles carry gram keys."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.gopher_repetition_flags(d, "doc_id", "text")
+
+
+@query(
+    "gopher_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             round(len(array_to_string(w, '')) / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS mean_word_len,
+             CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                  ['the','and','of','to','a','in','is','it','that','for'])) AS INT) AS stopword_hits,
+             round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS alpha_word_frac
+      FROM toks)
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND stopword_hits >= 2 AND alpha_word_frac >= 0.80) AS keep
+    FROM f
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """C29 extension (r05): Gopher's document-quality rule panel —
+    word-count bounds, mean-word-length bounds, distinct-stopword
+    minimum, alphabetic-word fraction, and the keep flag at the paper's
+    thresholds (min_words=50 and stopword_hits>=2 split this corpus;
+    verified non-constant at sf0.001/0.01). Zero shuffles — the whole
+    panel is whole-stage-codegen Column expressions, a pure scan."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.gopher_quality_flags(d, "doc_id", "text")
+
+
+@query(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    uni AS (
+      SELECT u.w1, count(*) AS cw
+      FROM toks, UNNEST(w) AS u(w1) GROUP BY 1),
+    n1 AS (SELECT sum(cw) AS n_tokens FROM uni),
+    bi AS (
+      SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+      GROUP BY 1, 2
+      HAVING count(*) >= 20),
+    n2 AS (SELECT sum(c12) AS n_bigrams FROM bi)
+    SELECT bi.w1 || ' ' || bi.w2 AS bigram,
+           CAST(c12 AS BIGINT) AS pair_count,
+           round(log2((c12 / n_bigrams) /
+                 ((u1.cw / n_tokens) * (u2.cw / n_tokens))), 4) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.w1 = bi.w1
+    JOIN uni u2 ON u2.w1 = bi.w2
+    CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """C29 extension (r05): top-20 collocations by pointwise mutual
+    information (Church & Hanks 1990) with the standard min-count guard
+    against the rare-pair PMI explosion. Everything after the two
+    corpus passes (unigram + bigram counts) is vocabulary-scale; AQE
+    broadcasts the aggregated unigram relation into the joins."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return X.pmi_collocations(d, "text", min_count=20, k=20)
+
+
+@query(
+    "ann_recall_report",
+    f"""
+    WITH cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 25 = 0),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e),
+    probe AS (
+      SELECT q.qid, c.list_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                        - 2 * list_dot_product(q.qv, c.centroid) ASC,
+                        c.list_id ASC) AS rn
+      FROM q, cents c),
+    pr AS (SELECT qid, list_id FROM probe WHERE rn <= 4),
+    exact AS (
+      SELECT q.qid, a.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC,
+                        a.vec_id ASC) AS rn
+      FROM q JOIN assign a ON a.vec_id <> q.qid),
+    ex AS (SELECT qid, vec_id FROM exact WHERE rn <= 10),
+    appr AS (
+      SELECT q.qid, a.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC,
+                        a.vec_id ASC) AS rn
+      FROM q
+      JOIN pr ON pr.qid = q.qid
+      JOIN assign a ON a.list_id = pr.list_id AND a.vec_id <> q.qid),
+    ap AS (SELECT qid, vec_id FROM appr WHERE rn <= 10),
+    hits AS (
+      SELECT ex.qid, count(*) AS h
+      FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+      GROUP BY 1)
+    SELECT q.qid, round(coalesce(h, 0) / 10.0, 4) AS recall_at_k
+    FROM q LEFT JOIN hits ON hits.qid = q.qid
+    """,
+)
+def q_ann_recall_report(spark, sf_dir):
+    """C28 evaluation harness (r05): recall@10 of the IVF index
+    (n_probe=4 of 16 lists) against exact brute-force cosine, per query
+    of a 20-vector panel — the quality-vs-cost curve point you measure
+    BEFORE settling an ANN configuration (Jégou et al. 2011). The panel
+    collect is 20 rows (an eval panel is kilobytes by definition —
+    same closure posture as the centroids); the corpus side is
+    broadcast-hash equi-joined and two-phase top-k'd, never collected,
+    never nested-looped. Oracle: DuckDB re-derives assignment, probe
+    ranking, both top-k arms, and the overlap from the persisted
+    centroid parquet."""
+    cents, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    corpus = spark.read.parquet(data_path)
+    panel_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
+    return S.ann_recall_report(corpus, panel, cents, k=10, n_probe=4)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -5230,8 +5422,13 @@ DRIVER_PRIORITY: list[str] = [
     "set_except",
     "q22_global_sales",
     "semantic_dedup",
-    # --- r05 additions (no driver row yet) fill in here as they land,
-    # displacing the tail of the refresh queue below ---
+    # --- r05 additions (no driver row yet; displace the refresh
+    # queue's tail — schema_introspect/join_right/join_full_outer/
+    # union_all_counts queue for round 6) ---
+    "gopher_repetition",
+    "gopher_quality",
+    "pmi_collocations",
+    "ann_recall_report",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5273,10 +5470,6 @@ DRIVER_PRIORITY: list[str] = [
     "doc_fingerprint",
     "quality_score",
     "sql_passthrough",
-    "schema_introspect",
-    "join_right",
-    "join_full_outer",
-    "union_all_counts",
 ]
 
 

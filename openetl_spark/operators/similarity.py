@@ -576,6 +576,119 @@ def semantic_dedup(
     )
 
 
+def ann_recall_report(
+    corpus: DataFrame,
+    query_panel: Sequence[tuple],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Recall@k evaluation harness for the IVF index: for each query in
+    a small fixed panel, compare the IVF top-k (``n_probe`` lists) to
+    the exact brute-force cosine top-k over the full corpus and report
+    the overlap fraction — the measurement that tells you whether your
+    n_probe/n_lists setting is costing answer quality before you ship
+    it (Jégou et al. 2011 report exactly this curve). ``query_panel``
+    is a list of (qid, vector) tuples — an eval panel is kilobytes BY
+    DEFINITION, so it folds into UDF closures like the centroids
+    themselves; the corpus is never collected.
+
+    Physical shape: the corpus (already carrying ``list_col`` from the
+    partitioned IVF layout) is paired with the panel through BROADCAST
+    HASH equi-joins on the list id — (qid × list) pair relations of at
+    most |panel|·n_lists rows — never a nested-loop cross product.
+    Cosines run one numpy batch per Arrow page (panel matrix in the
+    closure); top-k is two-phase (per-input-partition k via a
+    (query, partition)-keyed window, then a global k over ≤ k·partitions
+    candidates), so no window partition is ever corpus-sized. Ranking
+    compares the ROUNDED cosine with an id tie-break, making the order
+    — and therefore recall — bit-reproducible in a DuckDB oracle."""
+    qids = [q for q, _ in query_panel]
+    qmat = {q: np.asarray(v, dtype=np.float64) for q, v in query_panel}
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_lists = len(cents)
+    spark = corpus.sparkSession
+    dp = int(round_dp)
+
+    @F.pandas_udf(T.DoubleType())
+    def sim_to(vecs: pd.Series, qs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        qm = np.asarray([qmat[q] for q in qs], dtype=np.float64)
+        s = (m * qm).sum(axis=1) / (
+            np.linalg.norm(m, axis=1) * np.linalg.norm(qm, axis=1)
+        )
+        return pd.Series(np.round(s, dp))
+
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(list_col).alias("_l"),
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        scored = pairs.withColumn(
+            "_sim", sim_to(F.col("_v"), F.col("_qid"))
+        ).filter(F.col("_id") != F.col("_qid")).select("_qid", "_id", "_sim")
+        local = scored.withColumn("_p", F.spark_partition_id())
+        w1 = W.partitionBy("_qid", "_p").orderBy(
+            F.col("_sim").desc(), F.col("_id").asc()
+        )
+        cand = (
+            local.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_p")
+        )
+        w2 = W.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_id").asc())
+        return (
+            cand.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_sim")
+        )
+
+    # exact arm: every (query, list) pair → broadcast hash join fans the
+    # corpus out panel-wide without a nested loop
+    all_pairs = F.broadcast(
+        spark.createDataFrame(
+            [(q, l) for q in qids for l in range(n_lists)], "_qid long, _jl int"
+        )
+    )
+    exact = topk(base.join(all_pairs, base["_l"] == F.col("_jl")))
+
+    # IVF arm: only each query's n_probe nearest lists (stable argsort =
+    # lowest-list-id tie-break, the same rule the oracle re-derives)
+    cent_sq = (cents ** 2).sum(axis=1)
+    probe_pairs = []
+    for q in qids:
+        d = cent_sq - 2.0 * (cents @ qmat[q])
+        for l in np.argsort(d, kind="stable")[:n_probe]:
+            probe_pairs.append((q, int(l)))
+    probes = F.broadcast(
+        spark.createDataFrame(probe_pairs, "_qid long, _jl int")
+    )
+    approx = topk(base.join(probes, base["_l"] == F.col("_jl")))
+
+    hits = exact.join(approx, ["_qid", "_id"]).groupBy("_qid").agg(
+        F.count("*").alias("_hits")
+    )
+    panel = spark.createDataFrame([(q,) for q in qids], "_qid long")
+    return (
+        F.broadcast(panel)
+        .join(hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias("qid"),
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / float(k), dp
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ PQ
 
 def train_pq_codebooks(

@@ -457,6 +457,228 @@ def bm25_topk(
     )
 
 
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_n: int = 5,
+    thresholds: dict | None = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Gopher's full repetition-rule panel (Rae et al. 2021 §A1.1,
+    arXiv:2112.11446): per document, the fraction of characters covered
+    by the single most frequent word n-gram (n ∈ ``top_ns``) and the
+    fraction of characters in DUPLICATED ``dup_n``-grams (each
+    occurrence beyond the first contributes its characters), plus a
+    ``keep`` flag comparing the ROUNDED fractions against the
+    thresholds — round-then-compare so a DuckDB oracle can re-derive
+    the flag bit-exactly. Character mass of a gram is the length of its
+    space-joined form; the denominator is the whitespace-normalized
+    document length. Only the numeric mass is aggregated (no top-gram
+    string output), so no tie-break rule is needed.
+
+    Shape: tokens are materialized ONCE as a real column (a
+    multiply-referenced HOF subtree would re-split the text per gram —
+    the simhash lesson, SCALE.md), then a single explode produces
+    (doc, n, gram) rows for all four n values, one count, one
+    conditional aggregate per doc. Shuffles carry gram-hash keys, not
+    documents; linear at any corpus size. Docs with <2 tokens have no
+    grams and are omitted (no repetition signal exists)."""
+    thr = thresholds or {2: 0.20, 3: 0.18, 4: 0.16, "dup": 0.15}
+    ns = [*top_ns, dup_n]
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    ).withColumn("_nch", F.length(F.concat_ws(" ", F.col("_w"))))
+    w = F.col("_w")
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+
+    # closure factory, NOT `lambda i, n=n:` — a default argument makes
+    # PySpark see a two-parameter HOF lambda and bind n to the array
+    # INDEX (the documented second-param-is-index convention)
+    def _gram_of(n: int):
+        def make(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(w, i, n)).alias("g"),
+            )
+
+        return make
+
+    gram_arrays = [
+        # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) rather than
+        # returning empty — a doc shorter than n must yield no grams
+        F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(w) - n + 1), _gram_of(n)),
+        ).otherwise(empty)
+        for n in ns
+    ]
+    ex = (
+        toked.filter(F.size(w) >= 2)
+        .select(
+            F.col(id_col), F.col("_nch"),
+            F.explode(F.flatten(F.array(*gram_arrays))).alias("_gr"),
+        )
+        .select(
+            F.col(id_col), F.col("_nch"),
+            F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"),
+        )
+    )
+    cnt = ex.groupBy(id_col, "_n", "_g").agg(
+        F.count("*").alias("_c"), F.first("_nch").alias("_nch")
+    )
+    mass_top = F.max(F.col("_c") * F.length("_g"))
+    mass_dup = F.sum(
+        F.when(F.col("_c") > 1, (F.col("_c") - 1) * F.length("_g")).otherwise(0)
+    )
+    per_n = cnt.groupBy(id_col, "_n").agg(
+        mass_top.alias("_top"), mass_dup.alias("_dup"),
+        F.first("_nch").alias("_nch"),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("_n") == n, F.col("_top"))), F.lit(0)
+                ) / F.first("_nch"),
+                round_dp,
+            ).alias(f"top{n}_char_frac")
+        )
+    aggs.append(
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("_n") == dup_n, F.col("_dup"))), F.lit(0)
+            ) / F.first("_nch"),
+            round_dp,
+        ).alias(f"dup{dup_n}_char_frac")
+    )
+    out = per_n.groupBy(id_col).agg(*aggs)
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (F.col(f"top{n}_char_frac") <= thr[n])
+    keep = keep & (F.col(f"dup{dup_n}_char_frac") <= thr["dup"])
+    return out.withColumn("keep", keep)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    min_stopwords: int = 2,
+    min_alpha_frac: float = 0.80,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Gopher's document-quality rule panel (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, a minimum count of
+    distinct English stopword hits ("the"/"and"/... — machine-generated
+    and boilerplate text lacks them), and a minimum fraction of words
+    containing an alphabetic character. Flags compare ROUNDED stats
+    (round-then-compare, oracle-exact). Pure Column expressions — the
+    whole panel runs in whole-stage codegen at scan speed, zero
+    shuffles: the shape you want for a first-pass gate over 100 TB."""
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    mean_len = F.round(
+        F.length(F.concat_ws("", w)) / F.greatest(n, F.lit(1)).cast("double"),
+        round_dp,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(w, lambda x: F.lower(x)),
+            F.array(*[F.lit(s) for s in STOPWORDS["en"]]),
+        )
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        / F.greatest(n, F.lit(1)).cast("double"),
+        round_dp,
+    )
+    out = toked.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= mean_len_lo)
+        & (F.col("mean_word_len") <= mean_len_hi)
+        & (F.col("stopword_hits") >= min_stopwords)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+    )
+    return out.withColumn("keep", keep)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 20,
+    k: int = 20,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI(w1,w2) = log2( P(w1 w2) / (P(w1)·P(w2)) ) with
+    bigram probability over adjacent-pair count and unigram
+    probabilities over token count. ``min_count`` suppresses the
+    low-frequency PMI explosion (rare pairs dominate raw PMI — the
+    standard guard). Deterministic order: PMI desc, bigram asc.
+
+    Shape: one corpus pass each for unigram and bigram counts (explode
+    → partial-agg), then two vocabulary-sized joins — AQE broadcasts
+    the aggregated unigram relation when it fits, and everything after
+    the counts is vocabulary-scale, not corpus-scale."""
+    toked = df.select(tokens(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    uni = (
+        toked.select(F.explode(w).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cw"))
+    )
+    n1 = uni.agg(F.sum("cw").alias("n_tokens"))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        toked.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    n2 = bi.agg(F.sum("c12").alias("n_bigrams"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c12") / F.col("n_bigrams"))
+            / ((F.col("c1") / F.col("n_tokens")) * (F.col("c2") / F.col("n_tokens")))
+        ),
+        round_dp,
+    )
+    return (
+        bi.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The word-frequency dictionary — BPE training's working set. One
     corpus-scale pass (explode + partial-agg count); everything

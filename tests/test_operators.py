@@ -1067,3 +1067,76 @@ def test_top_terms_tfidf_ranks_and_ties(spark):
     assert sorted(by_doc[2]) == [(1, "beta"), (2, "gamma")]
     # ln(N/df)=ln(1)=0 for 'common' → it never appears in any top-2
     assert all(t != "common" for ranks in by_doc.values() for _, t in ranks)
+
+
+# ---------------------------------------------------- r05 text additions
+
+def test_gopher_repetition_flags_repeated_phrase(spark):
+    from openetl_spark.operators import text as X
+
+    distinct_doc = " ".join(f"word{i}" for i in range(60))  # no repeats;
+    # long enough that a singleton n-gram's char mass stays under the
+    # thresholds (Gopher's fractions inherently penalize tiny docs)
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),   # one bigram dominates
+            (2, distinct_doc),
+            (3, "solo"),             # <2 tokens → omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.gopher_repetition_flags(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["keep"] is False and out[1]["top2_char_frac"] > 0.5
+    assert out[2]["keep"] is True and out[2]["dup5_char_frac"] == 0.0
+    # doc 1 is 'spam ham' repeated: every 5-gram duplicates
+    assert out[1]["dup5_char_frac"] > 0.5
+
+
+def test_gopher_quality_flags_thresholds(spark):
+    from openetl_spark.operators import text as X
+
+    long_good = "the and " + "word " * 60
+    df = spark.createDataFrame(
+        [(1, long_good), (2, "short doc the and")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True and out[1]["stopword_hits"] == 2
+    assert out[2]["keep"] is False  # fails min_words
+    assert out[2]["alpha_word_frac"] == 1.0
+
+
+def test_pmi_collocations_min_count_guard(spark):
+    from openetl_spark.operators import text as X
+
+    # 'tick tock' appears 30×; 'rare pair' once (must be suppressed)
+    df = spark.createDataFrame(
+        [(("tick tock " * 30) + "rare pair",)], "text string"
+    )
+    out = X.pmi_collocations(df, min_count=20, k=10).collect()
+    bigrams = {r["bigram"] for r in out}
+    assert "rare pair" not in bigrams
+    assert "tick tock" in bigrams
+    top = out[0]
+    assert top["pair_count"] >= 20
+
+
+def test_ann_recall_is_one_when_probing_all_lists(spark, sf_dir):
+    """Probing every list makes the IVF arm identical to the exact arm,
+    so recall@k must be exactly 1.0 for every panel query — pins the
+    harness itself (a buggy top-k or join would break the identity)."""
+    from openetl_spark import catalog
+    from openetl_spark.operators import similarity as S
+
+    cents, data_path = catalog._ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    corpus = spark.read.parquet(data_path)
+    panel_rows = (
+        catalog.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
+    out = S.ann_recall_report(corpus, panel, cents, k=10, n_probe=16)
+    assert {r["recall_at_k"] for r in out.collect()} == {1.0}
