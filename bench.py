@@ -152,6 +152,8 @@ HEADLINE = [
     "gopher_quality",
     "pmi_collocations",
     "ann_recall_report",
+    "temperature_sampling",
+    "gap_fill_interpolate",
 ]
 
 

@@ -4885,6 +4885,84 @@ def q_domain_mix_sample(spark, sf_dir):
 
 
 @query(
+    "gap_fill_interpolate",
+    """
+    WITH cells AS (
+      SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS b,
+             CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS s
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells GROUP BY 1),
+    grid AS (
+      SELECT event_type, g AS b
+      FROM spans, UNNEST(generate_series(lo, hi, INTERVAL '15 minutes')) AS t(g)),
+    j AS (
+      SELECT g.event_type, g.b, c.n, c.s
+      FROM grid g LEFT JOIN cells c ON c.event_type = g.event_type AND c.b = g.b),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN s IS NOT NULL
+                        THEN struct_pack(t := epoch(b), v := s) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        first_value(CASE WHEN s IS NOT NULL
+                         THEN struct_pack(t := epoch(b), v := s) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      FROM j)
+    SELECT event_type, b AS bucket_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           floor((CASE WHEN s IS NOT NULL THEN s
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN pv.v + (nv.v - pv.v) * (epoch(b) - pv.t) / (nv.t - pv.t)
+                  END) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+           (s IS NULL) AS filled
+    FROM w
+    """,
+)
+def q_gap_fill_interpolate(spark, sf_dir):
+    """Hypertable verb (r05): gap-filled 15-min rollup with linear
+    interpolation (TimescaleDB time_bucket_gapfill + interpolate). The
+    grid derives from the CELL relation (per-key span + sequence
+    explode), neighbors come from two ignore-nulls window passes, and
+    interpolation is the identical (t−t₀)/(t₁−t₀) epoch-seconds
+    expression in both engines; the flag marks synthesized rows.
+    ~48% of this grid is gaps at sf0.01 — the interpolation path is
+    heavily exercised, not incidental."""
+    e = load(spark, sf_dir, "events")
+    return TS.gap_fill(e, "15 minutes", keys=("event_type",))
+
+
+@query(
+    "temperature_sampling",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, round(power(CAST(n AS DOUBLE), 0.3), 9) AS wn FROM counts),
+    sw AS (SELECT sum(wn) AS sw FROM w),
+    j AS (SELECT lang, n, wn / sw.sw AS p FROM w, sw),
+    tt AS (SELECT min(n / p) AS t FROM j),
+    rates AS (
+      SELECT lang,
+             least(10000, CAST(floor(10000.0 * p * tt.t / n + 1e-9) AS BIGINT)) AS bp
+      FROM j, tt)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ({C.hash_bucket_sql('doc_id', 10000)}) < r.bp
+    """,
+)
+def q_temperature_sampling(spark, sf_dir):
+    """Curation (r05): XLM-R alpha-sampling — per-language keep rates
+    from p_g ∝ n_g^0.3 (flattens the natural mix, upweighting
+    low-resource languages) with mix_to_target's binding-group rule and
+    md5 basis-point membership. pow() rounds to 9 dp on both sides
+    before the rate arithmetic so the basis-point floor can't diverge.
+    Zero corpus shuffles; rates are a post-agg broadcast relation."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return C.temperature_sampling(d, alpha=0.3, group_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
     "salted_join_segments",
     """
     SELECT c.c_mktsegment,
@@ -5429,6 +5507,8 @@ DRIVER_PRIORITY: list[str] = [
     "gopher_quality",
     "pmi_collocations",
     "ann_recall_report",
+    "temperature_sampling",
+    "gap_fill_interpolate",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5468,8 +5548,6 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_knn",
     "text_stats",
     "doc_fingerprint",
-    "quality_score",
-    "sql_passthrough",
 ]
 
 

@@ -515,6 +515,55 @@ def mix_to_target(
     )
 
 
+def temperature_sampling(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature/alpha sampling (Conneau et al. 2020's XLM-R §3.1,
+    following Lample & Conneau 2019): target group share
+    p_g ∝ n_g^alpha — alpha < 1 flattens the distribution, upweighting
+    low-resource languages relative to their natural share without
+    upsampling anything. The keep-rate machinery is mix_to_target's
+    binding-group rule with the DERIVED weights: T = min_g n_g/p_g (the
+    largest corpus achievable without upsampling), r_g = p_g·T/n_g,
+    membership via the engine-portable md5 basis-point bucket.
+
+    n_g^alpha is rounded to 9 dp before the rate arithmetic: pow() is
+    correctly-rounded to ~1 ulp in both engines, so the 9-dp value is
+    identical on both sides and the basis-point floor can't diverge at
+    a boundary (the transcendental version of the mix_to_target 1e-9
+    nudge, which is also retained). Same plan shape as mix_to_target:
+    post-agg counts, two broadcast scalars, one broadcast join, a
+    scan-local predicate — zero corpus shuffles."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    w = counts.select(
+        group_col, "_n",
+        F.round(F.pow(F.col("_n").cast("double"), float(alpha)), 9).alias("_wn"),
+    )
+    sw = w.agg(F.sum("_wn").alias("_sw"))
+    j = w.crossJoin(F.broadcast(sw)).select(
+        group_col, "_n", (F.col("_wn") / F.col("_sw")).alias("_p")
+    )
+    t = j.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
+    rates = j.crossJoin(F.broadcast(t)).select(
+        group_col,
+        F.least(
+            F.lit(10000),
+            F.floor(
+                F.lit(10000.0) * F.col("_p") * F.col("_t") / F.col("_n")
+                + F.lit(1e-9)
+            ),
+        ).alias("_bp"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(F.col(id_col), 10000) < F.col("_bp"))
+        .drop("_bp")
+    )
+
+
 def ngram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

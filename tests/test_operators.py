@@ -1140,3 +1140,54 @@ def test_ann_recall_is_one_when_probing_all_lists(spark, sf_dir):
     panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
     out = S.ann_recall_report(corpus, panel, cents, k=10, n_probe=16)
     assert {r["recall_at_k"] for r in out.collect()} == {1.0}
+
+
+def test_temperature_sampling_flattens_mix(spark, sf_dir):
+    """alpha < 1 must upweight low-resource groups: the kept share of
+    the SMALLEST language exceeds its natural share, and no group is
+    upsampled (kept_g <= n_g)."""
+    from openetl_spark.operators import curation as C
+
+    d = catalog.load(spark, sf_dir, "documents")
+    nat = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    kept = {
+        r["lang"]: r["count"]
+        for r in C.temperature_sampling(d, alpha=0.3, group_col="lang")
+        .groupBy("lang").count().collect()
+    }
+    assert set(kept) == set(nat)
+    for g in nat:
+        assert kept[g] <= nat[g]
+    small = min(nat, key=nat.get)
+    nat_share = nat[small] / sum(nat.values())
+    kept_share = kept[small] / sum(kept.values())
+    assert kept_share > nat_share
+    # binding group (smallest count) keeps ~everything (bp floor may
+    # shave <=1/10000)
+    assert kept[small] >= nat[small] * 0.999
+
+
+def test_gap_fill_edges_and_interpolation(spark):
+    """One key, buckets at t0/t0+30/t0+45 with values 1.0/4.0/8.0 at
+    15-min fill: the t0+15 gap interpolates to the midpoint of 1 and 4;
+    leading/trailing grid cells don't exist (grid spans [min, max])."""
+    import datetime as dt
+
+    from openetl_spark.operators import timeseries as TS
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(minutes=30), 4.0),
+        ("a", t0 + dt.timedelta(minutes=45), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["bucket_start"].minute: r
+        for r in TS.gap_fill(df, "15 minutes", keys=("event_type",)).collect()
+    }
+    assert set(out) == {0, 15, 30, 45}  # grid = [min, max], no padding
+    assert out[15]["filled"] is True and out[15]["n_events"] == 0
+    assert out[15]["sum_value"] == 2.5  # linear midpoint of 1 and 4
+    assert out[0]["filled"] is False and out[0]["sum_value"] == 1.0
+    assert out[45]["sum_value"] == 8.0
