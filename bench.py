@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_recall_report",
     "temperature_sampling",
     "gap_fill_interpolate",
+    "winnow_overlap",
 ]
 
 

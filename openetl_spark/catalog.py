@@ -4885,6 +4885,46 @@ def q_domain_mix_sample(spark, sf_dir):
 
 
 @query(
+    "winnow_overlap",
+    """
+    WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= 11),
+    g AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT) AS h
+      FROM t, UNNEST(generate_series(1, len(text) - 8 + 1)) AS u(i)),
+    win AS (
+      SELECT doc_id, i,
+             min(struct_pack(h := h, p := i)) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             max(i) OVER (PARTITION BY doc_id) AS mi
+      FROM g),
+    sel AS (SELECT DISTINCT doc_id, m.h AS h FROM win WHERE i <= mi - 3),
+    rare AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 10),
+    fp AS (SELECT s.doc_id, s.h FROM sel s JOIN rare USING (h))
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def q_winnow_overlap(spark, sf_dir):
+    """C26/C27 extension (r05): exact-substring overlap mining via
+    winnowing fingerprints (MOSS, Schleimer et al. 2003) — character
+    8-grams, window 4 (any shared ≥11-char span fingerprints in both
+    docs regardless of alignment), boilerplate fingerprints capped at
+    df ≤ 10, pairs sharing ≥ 5 rare fingerprints. The character-level
+    half of the dedup family (word-shingle jaccard/MinHash catch
+    near-dup DOCS; this catches copied SPANS). The oracle re-derives
+    selection through window functions while Spark uses scan-side
+    array HOFs — two independent physical shapes, one answer."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return D.winnow_overlap_pairs(
+        d, "doc_id", "text", k=8, window=4, min_shared=5, max_fp_df=10
+    )
+
+
+@query(
     "gap_fill_interpolate",
     """
     WITH cells AS (
@@ -5509,6 +5549,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_report",
     "temperature_sampling",
     "gap_fill_interpolate",
+    "winnow_overlap",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5547,7 +5588,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact",
     "embedding_knn",
     "text_stats",
-    "doc_fingerprint",
 ]
 
 

@@ -627,3 +627,106 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+# ------------------------------------------------------------ winnowing
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every CHARACTER k-gram,
+    slide a window of ``window`` consecutive positions, keep each
+    window's minimum hash (leftmost position on hash ties — Spark's
+    struct ordering and DuckDB's struct min agree on this rule).
+    Guarantee: two documents sharing any substring of length
+    ≥ k + window − 1 select at least one identical fingerprint,
+    REGARDLESS of alignment — the property position-strided sampling
+    lacks and the reason MOSS uses winnowing. Character grams (not word
+    shingles) catch copies that cross word boundaries and survive
+    whitespace edits — the exact-substring half of the dedup family
+    (Lee et al. 2022 dedup at 50-char spans is this shape).
+
+    The hash is the engine-portable 60-bit md5 prefix
+    (``conv(substr(md5(gram), 1, 15), 16, 10)`` ≡ DuckDB
+    ``CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)``), so oracles
+    re-derive fingerprints bit-exactly.
+
+    Physical shape: positions explode to rows with the k-gram hash
+    computed in the SAME scan projection (the full text never
+    shuffles), then the sliding minimum is one doc-keyed window pass.
+    NOT nested array HOFs: a slice-of-materialized-array formulation
+    re-inlines the whole hash array into every window step (Catalyst's
+    project-collapse; the simhash 22 s lesson) — O(len²) md5 calls per
+    document, measured as a hang at 500 docs. Window partitions are
+    per-document positions: bounded by document length, the natural
+    unit for a character-level operator."""
+    t = F.col(text_col)
+    base = df.filter(F.length(t) >= k + window - 1).select(
+        F.col(id_col), t.alias("_t")
+    )
+    gram = F.col("_t").substr(F.col("_i"), F.lit(k))
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+    g = base.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(F.col("_t")) - k + 1)
+        ).alias("_i"),
+        "_t",
+    ).select(F.col(id_col), F.col("_i"), h.alias("_h"))
+    order = Window.partitionBy(id_col).orderBy("_i")
+    sel = (
+        g.withColumn(
+            "_m",
+            F.min(F.struct(F.col("_h"), F.col("_i"))).over(
+                order.rowsBetween(0, window - 1)
+            ),
+        )
+        .withColumn("_mi", F.max("_i").over(Window.partitionBy(id_col)))
+        .filter(F.col("_i") <= F.col("_mi") - (window - 1))
+    )
+    return (
+        sel.select(F.col(id_col), F.col("_m._h").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the exact-substring overlap miner. ``max_fp_df`` drops fingerprints
+    present in more than that many documents BEFORE pair mining (the
+    same boilerplate cap as the jaccard family: a corpus-wide k-gram
+    would otherwise fan the self-join quadratically; overlap evidence
+    comes from RARE fingerprints). One equi-join on the fingerprint
+    key — shuffle volume is fingerprint rows (≈ 2/(window+1) of
+    character count), join fan-out only real collisions, never n²."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_fp_df is not None:
+        keep = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(keep, "fingerprint")
+    a = fps.select(F.col(id_col).alias("a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

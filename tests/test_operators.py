@@ -1191,3 +1191,31 @@ def test_gap_fill_edges_and_interpolation(spark):
     assert out[15]["sum_value"] == 2.5  # linear midpoint of 1 and 4
     assert out[0]["filled"] is False and out[0]["sum_value"] == 1.0
     assert out[45]["sum_value"] == 8.0
+
+
+def test_winnowing_guarantee_shared_span_fingerprints(spark):
+    """MOSS guarantee: two docs sharing a substring of length
+    >= k + window - 1 select at least one identical fingerprint
+    REGARDLESS of alignment. Build docs embedding the same 11-char span
+    at different offsets inside otherwise-distinct noise; disjoint docs
+    share nothing."""
+    from openetl_spark.operators import dedup as D
+
+    span = "abcdefghijk"  # k=8, window=4 → guarantee at >= 11 chars
+    rows = [
+        (1, "zzzzz" + span + "qqqqqq"),
+        (2, "pp" + span + "rrrrrrrrrrrr"),   # different alignment
+        (3, "totally unrelated content xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in fps.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared span must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    pairs = D.winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=1
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
