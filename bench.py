@@ -155,6 +155,7 @@ HEADLINE = [
     "temperature_sampling",
     "gap_fill_interpolate",
     "winnow_overlap",
+    "seasonal_anomalies",
 ]
 
 

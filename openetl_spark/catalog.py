@@ -4885,6 +4885,41 @@ def q_domain_mix_sample(spark, sf_dir):
 
 
 @query(
+    "seasonal_anomalies",
+    """
+    WITH cells AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+             CAST(count(*) AS BIGINT) AS n_events, sum(value) AS s
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, CAST(hour(bucket_start) AS INT) AS hod,
+             sum(s) / count(*) AS mean,
+             sqrt(sum(s*s) / count(*) - (sum(s)/count(*)) * (sum(s)/count(*))) AS std,
+             count(*) AS n
+      FROM cells GROUP BY 1, 2)
+    SELECT c.event_type, c.bucket_start,
+           CAST(hour(c.bucket_start) AS INT) AS hour_of_day,
+           c.n_events, round(c.s, 2) AS sum_value,
+           round((c.s - st.mean) / st.std, 2) AS z_score
+    FROM cells c
+    JOIN st ON st.event_type = c.event_type AND st.hod = hour(c.bucket_start)
+    WHERE st.std > 0 AND st.n >= 3
+      AND abs(round((c.s - st.mean) / st.std, 2)) > 2.0
+    """,
+)
+def q_seasonal_anomalies(spark, sf_dir):
+    """Hypertable monitoring #2 (r05): seasonal-baseline z-scores — the
+    per-(type, hour-of-day) mean/std instead of rollup_anomalies'
+    global per-type baseline, so a 3am spike flags even when the same
+    volume is routine at noon. Runs on the CELL relation with a
+    (type × 24)-row broadcast stats join; moments are explicit
+    expressions and the flag tests the ROUNDED z (formula-identical
+    oracle)."""
+    e = load(spark, sf_dir, "events")
+    return TS.seasonal_anomalies(e, "1 hour", keys=("event_type",), threshold=2.0)
+
+
+@query(
     "winnow_overlap",
     """
     WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= 11),
@@ -5550,6 +5585,7 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_sampling",
     "gap_fill_interpolate",
     "winnow_overlap",
+    "seasonal_anomalies",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5587,7 +5623,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_windows",
     "dedup_exact",
     "embedding_knn",
-    "text_stats",
 ]
 
 

@@ -46,6 +46,8 @@ __all__ = [
     "reaggregate",
     "multi_resolution",
     "anomalous_buckets",
+    "gap_fill",
+    "seasonal_anomalies",
 ]
 
 #: partial-cell column names (the mergeable state vector)
@@ -312,4 +314,53 @@ def gap_fill(
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         rounded.alias("sum_value"),
         F.col("sum_value").isNull().alias("filled"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    threshold: float = 2.0,
+    round_dp: int = 2,
+) -> DataFrame:
+    """Seasonal z-score anomalies: like ``anomalous_buckets`` but the
+    baseline is per (key, HOUR-OF-DAY) instead of a single per-key
+    global — a traffic spike at 3am is anomalous even when the same
+    volume at noon is routine (the seasonal-naive baseline, the first
+    thing real monitoring adds after the global z). Runs entirely on
+    the CELL relation: one rollup scan, a (key × 24)-row stats
+    broadcast, moments as explicit expressions, round-then-compare
+    flags — the oracle computes the bit-identical formula."""
+    cells = partial_time_aggregate(df, width, ts_col, value_col, keys)
+    hod = F.hour(F.col("bucket_start"))
+    x = F.col("sum_value")
+    stats = (
+        cells.withColumn("_hod", hod)
+        .groupBy(*keys, "_hod")
+        .agg(
+            (F.sum(x) / F.count("*")).alias("_mean"),
+            F.sqrt(
+                F.sum(x * x) / F.count("*")
+                - (F.sum(x) / F.count("*")) * (F.sum(x) / F.count("*"))
+            ).alias("_std"),
+            F.count("*").alias("_n"),
+        )
+    )
+    z = F.round((x - F.col("_mean")) / F.col("_std"), round_dp)
+    return (
+        cells.withColumn("_hod", hod)
+        .join(F.broadcast(stats), [*keys, "_hod"])
+        .filter((F.col("_std") > 0) & (F.col("_n") >= 3))
+        .select(
+            *keys,
+            F.col("bucket_start"),
+            F.col("_hod").cast("int").alias("hour_of_day"),
+            "n_events",
+            F.round(x, 2).alias("sum_value"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > threshold)
     )
