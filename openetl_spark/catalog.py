@@ -4894,7 +4894,8 @@ def q_domain_mix_sample(spark, sf_dir):
     st AS (
       SELECT event_type, CAST(hour(bucket_start) AS INT) AS hod,
              sum(s) / count(*) AS mean,
-             sqrt(sum(s*s) / count(*) - (sum(s)/count(*)) * (sum(s)/count(*))) AS std,
+             sqrt(greatest(round(sum(s*s) / count(*)
+                  - (sum(s)/count(*)) * (sum(s)/count(*)), 6), 0.0)) AS std,
              count(*) AS n
       FROM cells GROUP BY 1, 2)
     SELECT c.event_type, c.bucket_start,
@@ -5361,10 +5362,10 @@ def q_incremental_dedup(spark, sf_dir):
       FROM cnt GROUP BY 1, 2),
     f AS (
       SELECT doc_id,
-        round(coalesce(max(CASE WHEN n=2 THEN top_mass END), 0) / any_value(nch), 4) AS top2_char_frac,
-        round(coalesce(max(CASE WHEN n=3 THEN top_mass END), 0) / any_value(nch), 4) AS top3_char_frac,
-        round(coalesce(max(CASE WHEN n=4 THEN top_mass END), 0) / any_value(nch), 4) AS top4_char_frac,
-        round(coalesce(max(CASE WHEN n=5 THEN dup_mass END), 0) / any_value(nch), 4) AS dup5_char_frac
+        floor(coalesce(max(CASE WHEN n=2 THEN top_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS top2_char_frac,
+        floor(coalesce(max(CASE WHEN n=3 THEN top_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS top3_char_frac,
+        floor(coalesce(max(CASE WHEN n=4 THEN top_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS top4_char_frac,
+        floor(coalesce(max(CASE WHEN n=5 THEN dup_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS dup5_char_frac
       FROM per_n GROUP BY 1)
     SELECT *,
            (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
@@ -5393,11 +5394,12 @@ def q_gopher_repetition(spark, sf_dir):
     f AS (
       SELECT doc_id,
              CAST(len(w) AS INT) AS n_words,
-             round(len(array_to_string(w, '')) / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS mean_word_len,
+             floor(len(array_to_string(w, '')) / CAST(greatest(len(w), 1) AS DOUBLE)
+                   * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
              CAST(len(list_intersect(list_transform(w, x -> lower(x)),
                   ['the','and','of','to','a','in','is','it','that','for'])) AS INT) AS stopword_hits,
-             round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-                   / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS alpha_word_frac
+             floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(greatest(len(w), 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_word_frac
       FROM toks)
     SELECT *,
            (n_words >= 50 AND n_words <= 100000

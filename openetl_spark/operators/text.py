@@ -457,6 +457,18 @@ def bm25_topk(
     )
 
 
+def _round_fixed(x: Column, dp: int) -> Column:
+    """floor(x·10^dp + 0.5)/10^dp for NONNEGATIVE x — bit-deterministic
+    half-up rounding across engines. Engine round() diverges at exact
+    .5 decimal boundaries (Spark HALF_UPs the decimal rendering, DuckDB
+    rounds the binary double), and ratios with 2^a·5^b denominators —
+    word counts like 160 — land exactly there, flipping
+    round-then-compare flags between engines (review finding r05; the
+    gap_fill lesson applied to the quality panels)."""
+    s = float(10 ** dp)
+    return F.floor(x * s + F.lit(0.5)) / s
+
+
 def gopher_repetition_flags(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -485,7 +497,11 @@ def gopher_repetition_flags(
     conditional aggregate per doc. Shuffles carry gram-hash keys, not
     documents; linear at any corpus size. Docs with <2 tokens have no
     grams and are omitted (no repetition signal exists)."""
-    thr = thresholds or {2: 0.20, 3: 0.18, 4: 0.16, "dup": 0.15}
+    # per-n defaults extend the paper's 2→0.20 / 3→0.18 / 4→0.16 line
+    # linearly so a custom top_ns can't KeyError (review finding r05);
+    # explicit thresholds overlay them
+    thr = {**{n: 0.20 - 0.02 * (n - 2) for n in top_ns}, "dup": 0.15,
+           **(thresholds or {})}
     ns = [*top_ns, dup_n]
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_w")
@@ -539,7 +555,7 @@ def gopher_repetition_flags(
     aggs = []
     for n in top_ns:
         aggs.append(
-            F.round(
+            _round_fixed(
                 F.coalesce(
                     F.max(F.when(F.col("_n") == n, F.col("_top"))), F.lit(0)
                 ) / F.first("_nch"),
@@ -547,7 +563,7 @@ def gopher_repetition_flags(
             ).alias(f"top{n}_char_frac")
         )
     aggs.append(
-        F.round(
+        _round_fixed(
             F.coalesce(
                 F.max(F.when(F.col("_n") == dup_n, F.col("_dup"))), F.lit(0)
             ) / F.first("_nch"),
@@ -587,7 +603,7 @@ def gopher_quality_flags(
     )
     w = F.col("_w")
     n = F.size(w)
-    mean_len = F.round(
+    mean_len = _round_fixed(
         F.length(F.concat_ws("", w)) / F.greatest(n, F.lit(1)).cast("double"),
         round_dp,
     )
@@ -597,7 +613,7 @@ def gopher_quality_flags(
             F.array(*[F.lit(s) for s in STOPWORDS["en"]]),
         )
     )
-    alpha_frac = F.round(
+    alpha_frac = _round_fixed(
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
         / F.greatest(n, F.lit(1)).cast("double"),
         round_dp,

@@ -337,15 +337,24 @@ def seasonal_anomalies(
     cells = partial_time_aggregate(df, width, ts_col, value_col, keys)
     hod = F.hour(F.col("bucket_start"))
     x = F.col("sum_value")
+    # E[x²]−E[x]² can land at ±1e-18 for near-constant groups (the
+    # per-hod slices are small): one engine would get a tiny positive
+    # std and emit exploded z rows, the other a NaN sqrt — rounding
+    # the variance at 6 dp BEFORE sqrt pins both to the same zero
+    # (review finding r05). round() is safe here: a variance landing
+    # exactly on a .5×10⁻⁶ boundary is measure-zero for sums of
+    # continuous values, unlike the ratio-of-integers panels.
+    var = F.round(
+        F.sum(x * x) / F.count("*")
+        - (F.sum(x) / F.count("*")) * (F.sum(x) / F.count("*")),
+        6,
+    )
     stats = (
         cells.withColumn("_hod", hod)
         .groupBy(*keys, "_hod")
         .agg(
             (F.sum(x) / F.count("*")).alias("_mean"),
-            F.sqrt(
-                F.sum(x * x) / F.count("*")
-                - (F.sum(x) / F.count("*")) * (F.sum(x) / F.count("*"))
-            ).alias("_std"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
             F.count("*").alias("_n"),
         )
     )

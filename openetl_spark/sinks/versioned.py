@@ -381,19 +381,6 @@ def _read_manifest_dirs(
     back to per-version multi-path reads with directory recovery."""
     from functools import reduce
 
-    if partition_type is not None:
-        parts = [
-            spark.read.parquet(
-                os.path.join(
-                    path,
-                    f"v={ver}",
-                    f"{partition_col}={_escape_partition_value(p)}",
-                )
-            ).withColumn(partition_col, F.lit(p).cast(partition_type))
-            for p, ver in sorted(manifest.items())
-        ]
-        return reduce(DataFrame.unionByName, parts)
-
     by_ver: dict[int, list[str]] = {}
     for p, ver in manifest.items():
         by_ver.setdefault(ver, []).append(
@@ -401,6 +388,31 @@ def _read_manifest_dirs(
                 path, f"v={ver}", f"{partition_col}={_escape_partition_value(p)}"
             )
         )
+
+    if partition_type is not None:
+        # one multi-path read per OWNING VERSION (not per partition —
+        # review finding r05: N separate reads meant N file listings
+        # and an N-way union for hundreds of partitions) with the FULL
+        # schema pinned: data fields from one footer read plus the
+        # typed partition column, so directory-name parsing casts to
+        # the recorded type instead of inferring ('01' stays '01').
+        from pyspark.sql import types as T
+        from pyspark.sql.types import _parse_datatype_string
+
+        ptype = _parse_datatype_string(partition_type)
+        parts = []
+        for ver, dirs in sorted(by_ver.items()):
+            data_schema = spark.read.parquet(sorted(dirs)[0]).schema
+            full = T.StructType(
+                [*data_schema.fields, T.StructField(partition_col, ptype)]
+            )
+            parts.append(
+                spark.read.schema(full)
+                .option("basePath", os.path.join(path, f"v={ver}"))
+                .parquet(*sorted(dirs))
+            )
+        return reduce(DataFrame.unionByName, parts)
+
     parts = [
         spark.read.option("basePath", os.path.join(path, f"v={ver}"))
         .parquet(*sorted(dirs))

@@ -226,8 +226,17 @@ class HttpTransport:
                 "wire_request centralizes)"
             )
         url = request["url"]
+
+        def render(v) -> str:
+            # axios serializes JS booleans as 'true'/'false'; Python
+            # str() would send 'True'/'False' and break case-sensitive
+            # services (review finding r05)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
         params = {
-            k: str(v) for k, v in (request.get("params") or {}).items()
+            k: render(v) for k, v in (request.get("params") or {}).items()
             if v is not None
         }
         if params:
@@ -247,11 +256,19 @@ class HttpTransport:
             with self._open(req, timeout=self.timeout_s) as resp:
                 raw = resp.read()
         except urllib.error.HTTPError as e:
-            ra = e.headers.get("Retry-After") if e.headers else None
-            try:
-                retry_after = float(ra) if ra is not None else None
-            except ValueError:
-                retry_after = None
-            raise AuthError(e.code, retry_after) from e
+            # Only 401/429 map to AuthError — paged_fetch's AuthError
+            # branch handles exactly those (refresh / retry-after) and
+            # RE-RAISES every other status, which would disable the
+            # generic retry path for transient 5xx (review finding r05).
+            # Other statuses raise plain RuntimeError so _fetch_with_retry
+            # retries them like any transport failure.
+            if e.code in (401, 429):
+                ra = e.headers.get("Retry-After") if e.headers else None
+                try:
+                    retry_after = float(ra) if ra is not None else None
+                except (TypeError, ValueError):
+                    retry_after = None
+                raise AuthError(e.code, retry_after) from e
+            raise RuntimeError(f"http {e.code} from {url}") from e
         payload = json.loads(raw.decode("utf-8")) if raw.strip() else None
         return self.parser(payload, self.endpoint_id)

@@ -94,8 +94,11 @@ def render_find(connector: Connector) -> tuple[dict, bool]:
     return {"$and": rendered}, not residual
 
 
-def _referenced_fields(connector: Connector) -> list[str]:
-    """Fields the compiler's post-ingest filter/sort will touch."""
+def filter_fields(filters) -> list[str]:
+    """Field names referenced by a filter list (FilterGroup-aware) —
+    shared by the mongo/service over-projection paths (r05: the
+    services wire renderer previously carried its own copy of this
+    walk)."""
     out: list[str] = []
 
     def walk(f) -> None:
@@ -105,10 +108,14 @@ def _referenced_fields(connector: Connector) -> list[str]:
         else:
             out.append(f.field)
 
-    for f in connector.filters:
+    for f in filters:
         walk(f)
-    out.extend(s.field for s in connector.sort)
     return out
+
+
+def _referenced_fields(connector: Connector) -> list[str]:
+    """Fields the compiler's post-ingest filter/sort will touch."""
+    return [*filter_fields(connector.filters), *(s.field for s in connector.sort)]
 
 
 class MongoSource:

@@ -329,27 +329,22 @@ def build_request(connector: Connector, desc: ServiceDescriptor) -> dict:
     if desc.max_sort_keys is not None:
         sorts = sorts[: desc.max_sort_keys]  # degrade: Spark re-sorts
     fields = list(connector.fields) or list(ep.get("default_fields", []))
-    if fields and residual:
-        # over-project residual filter columns (r05): the compiler
-        # re-applies residual filters AFTER ingest, and a wire service
-        # returns only the requested properties — without these columns
-        # the residual predicate can't resolve (same over-project
-        # contract as the mongo/google-ads sources; the compiler's
-        # fields projection prunes them from user-visible output).
-        # Pushed filters don't widen the list: the server applied them,
-        # and the rendered payload stays byte-identical to the
-        # reference's (exact-payload parity tests).
-        def _walk(f):
-            if hasattr(f, "filters"):  # FilterGroup
-                for inner in f.filters:
-                    yield from _walk(inner)
-            else:
-                yield f.field
+    if fields:
+        # over-project residual filter AND sort columns (r05): the
+        # compiler re-applies residual filters and the FULL sort AFTER
+        # ingest, and a wire service returns only the requested
+        # properties — a referenced column outside connector.fields
+        # would fail analysis (same over-project contract as the
+        # mongo/google-ads sources; the compiler's fields projection
+        # prunes the extras from user-visible output). Pushed filters
+        # don't widen the list: the server applied them, and the
+        # rendered payload stays byte-identical to the reference's
+        # (exact-payload parity tests).
+        from openetl_spark.sources.mongo import filter_fields
 
-        for rf in residual:
-            for name in _walk(rf):
-                if name not in fields:
-                    fields.append(name)
+        for name in [*filter_fields(residual), *(s.field for s in connector.sort)]:
+            if name not in fields:
+                fields.append(name)
     base = connector.config.get("base_url", desc.base_url)
     return {
         "url": base + _render_path(ep["path"], connector.config),

@@ -287,3 +287,69 @@ def test_residual_filter_over_projected_and_pruned(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_5xx_is_retryable_not_auth_error(spark):
+    """Review r05: a transient 503 must ride the generic retry path —
+    the old blanket AuthError mapping hit _fetch_with_retry's bare
+    re-raise and killed the ingest despite max_retries."""
+    rec = _Recorder([
+        (503, {"message": "unavailable"}, None),
+        (200, {"results": [{"email": "ok@x.com"}]}, None),
+    ])
+    srv, base = _serve(rec)
+    try:
+        c = Connector(
+            adapter_id="hubspot", endpoint_id="contacts", fields=["email"],
+            config={"wire": True, "base_url": base,
+                    "max_retries": 1, "retry_interval_s": 0.0},
+        )
+        df = ServiceSource(SERVICES["hubspot"]).read(spark, c)
+        assert df.count() == 1 and len(rec.requests) == 2
+    finally:
+        srv.shutdown()
+
+
+def test_boolean_params_render_json_style(spark):
+    """Review r05: axios serializes JS booleans as 'true'/'false';
+    Python str() would send 'True' and break case-sensitive services."""
+    rec = _Recorder([(200, {"Contacts": []}, None)])
+    srv, base = _serve(rec)
+    try:
+        c = Connector(
+            adapter_id="xero", endpoint_id="contacts",
+            filters=[Filter("includeArchived", "=", True)],
+            config={"wire": True, "base_url": base},
+        )
+        ServiceSource(SERVICES["xero"]).read(spark, c)
+        assert "includeArchived=true" in rec.requests[0]["query"]
+    finally:
+        srv.shutdown()
+
+
+def test_sort_column_outside_fields_over_projected(spark):
+    """Review r05: the compiler re-applies the FULL sort post-ingest,
+    so a sort key outside connector.fields must be over-projected into
+    the wire properties (and pruned from user-visible output)."""
+    from openetl_spark.pipeline import Orchestrator, Pipeline
+
+    page = {"results": [
+        {"email": "b@x.com", "firstname": "B"},
+        {"email": "a@x.com", "firstname": "A"},
+    ]}
+    rec = _Recorder([(200, page, None)])
+    srv, base = _serve(rec)
+    try:
+        c = Connector(
+            adapter_id="hubspot", endpoint_id="contacts",
+            fields=["email"],
+            sort=[Sort("firstname", "asc")],
+            config={"wire": True, "base_url": base},
+        )
+        res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="p", source=c))
+        rows = res.collect()
+        assert [r["email"] for r in rows] == ["a@x.com", "b@x.com"]
+        assert "firstname" not in res.df.columns
+        assert rec.requests[0]["body"]["properties"] == ["email", "firstname"]
+    finally:
+        srv.shutdown()
