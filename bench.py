@@ -156,6 +156,7 @@ HEADLINE = [
     "gap_fill_interpolate",
     "winnow_overlap",
     "seasonal_anomalies",
+    "pq_recall_report",
 ]
 
 

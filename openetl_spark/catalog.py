@@ -5532,6 +5532,85 @@ def q_ann_recall_report(spark, sf_dir):
     return S.ann_recall_report(corpus, panel, cents, k=10, n_probe=4)
 
 
+@query(
+    "pq_recall_report",
+    f"""
+    WITH cb AS (
+      SELECT subspace, code, centroid
+      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND m = 4 AND n_codes = 16 AND seed = 42),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 25 = 0),
+    enc AS (
+      SELECT e.vec_id, s.subspace,
+             (SELECT c.code FROM cb c WHERE c.subspace = s.subspace
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(
+                           CAST(e.embedding AS DOUBLE[])[s.subspace*16+1 : s.subspace*16+16],
+                           c.centroid) ASC,
+                       c.code ASC
+              LIMIT 1) AS code
+      FROM embeddings e, (SELECT DISTINCT subspace FROM cb) s),
+    tab AS (
+      SELECT q.qid, c.subspace, c.code,
+             list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+             - 2 * list_dot_product(q.qv[c.subspace*16+1 : c.subspace*16+16], c.centroid)
+             + list_aggregate(
+                 list_transform(q.qv[c.subspace*16+1 : c.subspace*16+16], x -> x*x),
+                 'sum') AS d
+      FROM cb c, q),
+    adc AS (
+      SELECT t.qid, e.vec_id, round(sum(t.d), 4) AS dist
+      FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
+      WHERE e.vec_id <> t.qid
+      GROUP BY 1, 2),
+    ap AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+        FROM adc) WHERE rn <= 10),
+    exact AS (
+      SELECT q.qid, e.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   + list_dot_product(q.qv, q.qv), 4) AS dist
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+        FROM exact) WHERE rn <= 10),
+    hits AS (
+      SELECT ex.qid, count(*) AS h
+      FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+      GROUP BY 1)
+    SELECT q.qid, round(coalesce(h, 0) / 10.0, 4) AS recall_at_k
+    FROM q LEFT JOIN hits ON hits.qid = q.qid
+    """,
+)
+def q_pq_recall_report(spark, sf_dir):
+    """C28 evaluation harness #2 (r05): recall@10 of PQ asymmetric
+    distance (m=4, 16 codes) against exact squared-L2 per panel query —
+    the compression-loss measurement next to ann_recall_report's
+    pruning-loss one (together they separate the two error sources an
+    IVF×PQ deployment composes). The oracle re-derives encoding,
+    per-query distance tables, both top-k arms, and the overlap from
+    the persisted codebook parquet."""
+    books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
+    _, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    corpus = spark.read.parquet(data_path)
+    panel_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
+    return S.pq_recall_report(corpus, panel, books, k=10, n_lists=16)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -5588,6 +5667,7 @@ DRIVER_PRIORITY: list[str] = [
     "gap_fill_interpolate",
     "winnow_overlap",
     "seasonal_anomalies",
+    "pq_recall_report",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5624,7 +5704,6 @@ DRIVER_PRIORITY: list[str] = [
     "sliding_counts",
     "session_windows",
     "dedup_exact",
-    "embedding_knn",
 ]
 
 

