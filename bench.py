@@ -157,6 +157,7 @@ HEADLINE = [
     "winnow_overlap",
     "seasonal_anomalies",
     "pq_recall_report",
+    "langid_confusion",
 ]
 
 

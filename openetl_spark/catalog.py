@@ -5611,6 +5611,68 @@ def q_pq_recall_report(spark, sf_dir):
     return S.pq_recall_report(corpus, panel, books, k=10, n_lists=16)
 
 
+@query(
+    "langid_confusion",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+      FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))
+          / greatest(len(tk), 1) AS s_en,
+        len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','por','con','los')))
+          / greatest(len(tk), 1) AS s_es,
+        len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','un','une','dans','est')))
+          / greatest(len(tk), 1) AS s_fr,
+        len(list_filter(tk, x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist')))
+          / greatest(len(tk), 1) AS s_de,
+        len(list_filter(tk, x -> x IN ('的','了','在','是','我','有','和','就','不','人')))
+          / greatest(len(tk), 1) AS s_zh
+      FROM scored),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                  WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM hits),
+    tot AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY 1)
+    SELECT p.lang, p.lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(any_value(t.n_lang) AS DOUBLE), 4) AS frac_of_lang
+    FROM pred p JOIN tot t ON t.lang = p.lang
+    GROUP BY 1, 2
+    """,
+)
+def q_langid_confusion(spark, sf_dir):
+    """C29 evaluation harness (r05): the language-ID confusion matrix —
+    per (labeled lang, predicted lang) counts and the row-normalized
+    fraction, the standard classifier-quality read a pipeline runs
+    before trusting a lang gate (diagonal = per-language recall). One
+    scan for the stopword-evidence argmax (lang_id_oracle's exact
+    cascade), a 5×~6-cell aggregate, and a broadcast per-lang total
+    join — corpus-linear, output label-space-sized."""
+    d = X.detect_language(load(spark, sf_dir, "documents", spread=True))
+    pred = d.select("doc_id", "lang", "lang_pred")
+    tot = pred.groupBy(F.col("lang").alias("_l")).agg(
+        F.count("*").alias("_n_lang")
+    )
+    return (
+        pred.join(F.broadcast(tot), pred.lang == F.col("_l"))
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.count("*") / F.first("_n_lang").cast("double"), 4
+            ).alias("frac_of_lang"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
     return q_q5_regional_revenue(spark, sf_dir)
@@ -5668,6 +5730,7 @@ DRIVER_PRIORITY: list[str] = [
     "winnow_overlap",
     "seasonal_anomalies",
     "pq_recall_report",
+    "langid_confusion",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5703,7 +5766,6 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "sliding_counts",
     "session_windows",
-    "dedup_exact",
 ]
 
 
