@@ -565,3 +565,47 @@ def test_semantic_dedup_hot_cluster_bounded_blocks(spark):
         .groupBy("l").count().collect()
     )
     assert max(r["count"] for r in occ) == n_hot
+
+
+def test_r05_plans_scale_evidence(spark, sf_dir):
+    """Plan evidence for the r05 additions' scale claims:
+    - temperature_sampling: the corpus join against the rates relation
+      is BROADCAST (zero corpus shuffles — the mix_to_target posture);
+    - winnow_overlap: no exchange carries the text column (fingerprints
+      shuffle, documents don't);
+    - gap_fill_interpolate: every Window is keyed (no global
+      'No Partition Defined' pass over the grid);
+    - langid_confusion: per-lang totals ride a broadcast join."""
+    plan = (
+        catalog.QUERIES["temperature_sampling"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only SortMergeJoin-eligible join is corpus×rates; it must not be one
+    assert "SortMergeJoin" not in plan
+
+    plan2 = (
+        catalog.QUERIES["winnow_overlap"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # text feeds the scan-side projection only; exchanges carry hashes
+    for line in plan2.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+    plan3 = (
+        catalog.QUERIES["gap_fill_interpolate"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan3
+    # every window pass is keyed on the group column
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan3):
+        assert "event_type" in m.group(1)
+
+    plan4 = (
+        catalog.QUERIES["langid_confusion"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan4 and "SortMergeJoin" not in plan4

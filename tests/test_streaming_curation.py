@@ -211,3 +211,46 @@ def test_streaming_dedup_on_arrival_against_persisted_index(spark, tmp_path):
     # the index holds exactly the survivors' signatures
     idx_ids = sorted(r["id"] for r in spark.read.parquet(idx_path).collect())
     assert idx_ids == [1, 2, 4, 7]
+
+
+def test_streaming_gopher_gates_equal_batch(spark, sf_dir, tmp_path):
+    """r05 Gopher panels are STATELESS Column expressions, so they run
+    unchanged in a stream — micro-batched output over a file stream
+    must equal the one-shot batch result on the same corpus (the
+    stream/batch parity that makes a quality gate deployable on a
+    live ingest without a second implementation)."""
+    from openetl_spark.operators.text import gopher_quality_flags
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.coalesce(4).write.json(src)
+
+    batch = {
+        (r["doc_id"], r["n_words"], r["stopword_hits"], r["keep"])
+        for r in gopher_quality_flags(docs).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    got: set[tuple] = set()
+    q = (
+        gopher_quality_flags(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: got.update(
+                (r["doc_id"], r["n_words"], r["stopword_hits"], r["keep"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == batch and len(batch) == 500
