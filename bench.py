@@ -158,6 +158,7 @@ HEADLINE = [
     "seasonal_anomalies",
     "pq_recall_report",
     "langid_confusion",
+    "embedding_winsorize",
 ]
 
 

@@ -5612,6 +5612,40 @@ def q_pq_recall_report(spark, sf_dir):
 
 
 @query(
+    "embedding_winsorize",
+    """
+    WITH ex AS (
+      SELECT i - 1 AS pos, CAST(embedding AS DOUBLE[])[i] AS val
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+    b AS (
+      SELECT pos, quantile_cont(val, 0.05) AS lo, quantile_cont(val, 0.95) AS hi
+      FROM ex GROUP BY 1),
+    packed AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM b)
+    SELECT e.vec_id,
+           array_to_string(
+             list_transform(generate_series(1, 64),
+               i -> CAST(CAST(round(least(greatest(CAST(e.embedding[i] AS DOUBLE),
+                                          p.los[i]), p.his[i]) * 10000.0) AS BIGINT)
+                        AS VARCHAR)),
+             ',') AS winsorized
+    FROM embeddings e, packed p
+    """,
+)
+def q_embedding_winsorize(spark, sf_dir):
+    """Curation (r05): per-dimension winsorization at the corpus
+    [p05, p95] — robust scaling before indexing/clustering so a few
+    exploded activations can't dominate the geometry. Bounds from ONE
+    explode + per-dim exact percentile (kilobytes, broadcast as two
+    position-indexed arrays on one row); clipping is a scan-side zip —
+    the corpus is never re-assembled from exploded rows. Values
+    serialize as fixed-point ints (Spark's double→string uses
+    scientific notation below 1e-3; DuckDB's doesn't). At 100 TB the
+    exact percentile swaps for approx_percentile, same plan shape."""
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    return C.winsorize_embeddings(e, 0.05, 0.95)
+
+
+@query(
     "langid_confusion",
     """
     WITH scored AS (
@@ -5731,6 +5765,7 @@ DRIVER_PRIORITY: list[str] = [
     "seasonal_anomalies",
     "pq_recall_report",
     "langid_confusion",
+    "embedding_winsorize",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5765,7 +5800,6 @@ DRIVER_PRIORITY: list[str] = [
     "json_funcs",
     "tumbling_hourly",
     "sliding_counts",
-    "session_windows",
 ]
 
 

@@ -794,6 +794,65 @@ def quantize_embeddings(
     )
 
 
+def winsorize_embeddings(
+    df: DataFrame,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-dimension winsorization: clip every embedding coordinate to
+    its dimension's [lo_q, hi_q] corpus quantiles — the robust-scaling
+    prep that keeps a few exploded activations from dominating cosine/
+    L2 geometry before indexing or clustering (Dixon 1960's winsorized
+    estimation applied per feature). Returns (id, clipped values as
+    FIXED-POINT ints — ⌊x·10^dp⌉ — serialized to a comma string:
+    array cells break the driver's canonicalization, and double→string
+    rendering itself diverges between engines (Spark emits scientific
+    notation for |x| < 1e-3, DuckDB doesn't), so only integer
+    serialization is portable).
+
+    Shape: the bounds come from ONE explode → per-dim exact-percentile
+    aggregate (dims × quantiles values — kilobytes), re-assembled into
+    two position-indexed arrays on a single broadcast row; clipping is
+    then a scan-side zip over the original vectors. The corpus is
+    never re-shuffled or re-assembled from exploded rows. At 100 TB
+    swap the exact percentile for approx_percentile (same plan shape);
+    exact is used here so the DuckDB oracle (quantile_cont) matches
+    bit-for-bit."""
+    v = F.col(vec_col).cast("array<double>")
+    ex = df.select(F.posexplode(v).alias("_pos", "_val"))
+    bounds = ex.groupBy("_pos").agg(
+        F.percentile("_val", F.lit(lo_q)).alias("_lo"),
+        F.percentile("_val", F.lit(hi_q)).alias("_hi"),
+    )
+    packed = F.broadcast(
+        bounds.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_lo"))),
+                lambda s: s["_lo"],
+            ).alias("_los"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_hi"))),
+                lambda s: s["_hi"],
+            ).alias("_his"),
+        )
+    )
+    scale = float(10 ** round_dp)
+    clipped = F.zip_with(
+        F.zip_with(v, F.col("_los"), lambda x, lo: F.greatest(x, lo)),
+        F.col("_his"),
+        lambda x, hi: F.round(F.least(x, hi) * scale).cast("long"),
+    )
+    return df.crossJoin(packed).select(
+        F.col(id_col),
+        F.concat_ws(",", F.transform(clipped, lambda x: x.cast("string"))).alias(
+            "winsorized"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------

@@ -742,3 +742,31 @@ def test_ngram_novelty_duplicate_pair_semantics(spark):
     assert out[1]["novelty"] == 1.0   # first copy: everything new
     assert out[2]["novelty"] == 0.0   # exact duplicate: nothing new
     assert out[3]["novelty"] == 1.0   # unrelated doc: everything new
+
+
+def test_winsorize_clips_to_per_dim_bounds(spark):
+    """An outlier coordinate must clip to its dimension's quantile
+    while inliers pass through; bounds are per-DIMENSION (dim 0's
+    outlier doesn't affect dim 1)."""
+    import numpy as np
+
+    from openetl_spark.operators import curation as C
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, 4)]) for i in range(99)]
+    rows.append((99, [100.0, 0.0, 0.0, 0.0]))  # dim-0 outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: [int(x) for x in r["winsorized"].split(",")]
+        for r in C.winsorize_embeddings(df, 0.05, 0.95).collect()
+    }
+    assert len(out) == 100
+    # the outlier's dim 0 clipped below 10000 (=1.0 fixed-point);
+    # its other dims (0.0, within bounds everywhere) stay 0
+    assert out[99][0] < 10000
+    assert out[99][1] == 0 and out[99][2] == 0
+    # an inlier's values are unchanged up to fixed-point rounding
+    vid, vec = rows[0][0], rows[0][1]
+    mid = [x for x in vec if -0.8 < x < 0.8]
+    assert any(abs(out[vid][i] - round(vec[i] * 10000)) <= 1
+               for i in range(4) if -0.8 < vec[i] < 0.8)
