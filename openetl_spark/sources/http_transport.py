@@ -165,6 +165,99 @@ def page_parser(service_id: str, endpoint: dict) -> Callable[[Any, str], dict]:
         ) from None
 
 
+def _stripe_form_encode(item: dict) -> str:
+    """Stripe's x-www-form-urlencoded body with bracket notation for
+    nested objects (adapters/stripe/src/index.ts:444-460 appendObject):
+    {'metadata': {'a': 1}} → metadata[a]=1."""
+    pairs: list[tuple[str, str]] = []
+
+    def emit(key: str, value) -> None:
+        if isinstance(value, dict):
+            for k2, v2 in value.items():
+                emit(f"{key}[{k2}]", v2)
+        elif isinstance(value, bool):
+            pairs.append((key, "true" if value else "false"))
+        else:
+            pairs.append((key, str(value)))
+
+    for k, v in item.items():
+        emit(k, v)
+    return urllib.parse.urlencode(pairs)
+
+
+def _gmail_raw(item: dict) -> str:
+    """RFC822 message from {to, subject, body}, base64url without
+    padding (adapters/gmail/src/index.ts:327-330)."""
+    import base64
+
+    msg = f"To: {item.get('to')}\r\nSubject: {item.get('subject')}\r\n\r\n{item.get('body')}"
+    return base64.urlsafe_b64encode(msg.encode("utf-8")).decode().rstrip("=")
+
+
+class HttpUploadTransport:
+    """``transport(request, rows)`` callable for ``ServiceSink``: POSTs
+    each batch with the service's native upload shape (reference
+    file:line per branch) over ``urllib``. Picklable with plain-dict
+    state — it runs inside ``foreachPartition`` on executors. Errors
+    raise so the task (and Spark's task retry) surfaces them."""
+
+    _JSON_BATCH = {
+        "hubspot": "inputs",   # index.ts:532-538 POST {inputs: data}
+        "zoho": "data",        # index.ts:489-493 POST {data}
+    }
+
+    def __init__(
+        self,
+        service_id: str,
+        headers: dict | None = None,
+        timeout_s: float = 30.0,
+        opener: Callable | None = None,
+    ):
+        if service_id in _NON_HTTP:
+            raise NotImplementedError(f"{service_id}: {_NON_HTTP[service_id]}")
+        if service_id not in (*self._JSON_BATCH, "stripe", "gmail"):
+            raise NotImplementedError(
+                f"no default upload renderer for service {service_id!r}; "
+                "inject config['transport']"
+            )
+        self.service_id = service_id
+        self.headers = headers if headers is not None else {}
+        self.timeout_s = float(timeout_s)
+        self._open = opener or urllib.request.urlopen
+
+    def _post(self, url: str, data: bytes, content_type: str) -> None:
+        req = urllib.request.Request(
+            url,
+            data=data,
+            headers={**self.headers, "Content-Type": content_type},
+            method="POST",
+        )
+        with self._open(req, timeout=self.timeout_s):
+            pass
+
+    def __call__(self, request: dict, rows: list) -> None:
+        url = request["url"]
+        key = self._JSON_BATCH.get(self.service_id)
+        if key is not None:
+            self._post(
+                url, json.dumps({key: list(rows)}).encode("utf-8"),
+                "application/json",
+            )
+        elif self.service_id == "stripe":
+            # one item per request, form-encoded (index.ts:438-454)
+            for item in rows:
+                self._post(
+                    url, _stripe_form_encode(item).encode("utf-8"),
+                    "application/x-www-form-urlencoded",
+                )
+        else:  # gmail: one {raw} JSON body per message
+            for item in rows:
+                self._post(
+                    url, json.dumps({"raw": _gmail_raw(item)}).encode("utf-8"),
+                    "application/json",
+                )
+
+
 class HttpTransport:
     """``transport(request, page_options)`` callable executing wire-mode
     requests with ``urllib.request``. Construct via :meth:`for_service`

@@ -660,9 +660,20 @@ class ServiceSink:
                 f"{connector.endpoint_id} supports {ep.get('actions')}"
             )
         cfg = connector.config
-        transport = cfg["transport"]
+        transport = cfg.get("transport")
+        if transport is None:
+            # r05: default stdlib upload transport (native per-service
+            # batch shapes; runs on executors inside foreachPartition)
+            from openetl_spark.sources.http_transport import HttpUploadTransport
+
+            transport = HttpUploadTransport(
+                self.desc.service_id,
+                headers=cfg.get("http_headers"),
+                timeout_s=float(cfg.get("http_timeout_s", 30.0)),
+            )
         request = {
-            "url": self.desc.base_url + _render_path(ep["path"], cfg),
+            "url": cfg.get("base_url", self.desc.base_url)
+            + _render_path(ep["path"], cfg),
             "method": ep.get("method", "POST"),
         }
 

@@ -13,7 +13,7 @@ import pytest
 
 from openetl_spark.sources.http_transport import HttpTransport, page_parser
 from openetl_spark.sources.rest import AuthError
-from openetl_spark.sources.services import SERVICES, ServiceSource
+from openetl_spark.sources.services import SERVICES, ServiceSink, ServiceSource
 from openetl_spark.spec import Connector, Filter, Sort
 
 
@@ -353,3 +353,62 @@ def test_sort_column_outside_fields_over_projected(spark):
         assert rec.requests[0]["body"]["properties"] == ["email", "firstname"]
     finally:
         srv.shutdown()
+
+
+# ------------------------------------------------- default upload sink
+
+def test_hubspot_upload_default_transport_batch_body(spark):
+    """ServiceSink with no injected transport POSTs HubSpot's native
+    {inputs: [...]} batch body (executor-side foreachPartition hits the
+    local server)."""
+    rec = _Recorder([(200, {"status": "ok"}, None)] * 8)
+    srv, base = _serve(rec)
+    try:
+        df = spark.createDataFrame(
+            [("A", "a@x.com"), ("B", "b@x.com")], "firstname string, email string"
+        ).coalesce(1)
+        c = Connector(
+            adapter_id="hubspot", endpoint_id="create-contact",
+            config={"base_url": base,
+                    "http_headers": {"Authorization": "Bearer t"}},
+        )
+        ServiceSink(SERVICES["hubspot"]).write(df, c)
+        sent = [r for r in rec.requests if r["body"]]
+        assert len(sent) == 1
+        assert sorted(sent[0]["body"]["inputs"], key=lambda d: d["email"]) == [
+            {"firstname": "A", "email": "a@x.com"},
+            {"firstname": "B", "email": "b@x.com"},
+        ]
+        assert sent[0]["headers"]["Authorization"] == "Bearer t"
+    finally:
+        srv.shutdown()
+
+
+def test_stripe_upload_form_encoding_with_nested_objects():
+    from openetl_spark.sources.http_transport import _stripe_form_encode
+
+    body = _stripe_form_encode(
+        {"name": "Widget", "active": True, "metadata": {"sku": "s1", "n": 2}}
+    )
+    assert "name=Widget" in body
+    assert "active=true" in body
+    assert "metadata%5Bsku%5D=s1" in body  # metadata[sku]=s1
+    assert "metadata%5Bn%5D=2" in body
+
+
+def test_gmail_upload_raw_rfc822():
+    import base64
+
+    from openetl_spark.sources.http_transport import _gmail_raw
+
+    raw = _gmail_raw({"to": "x@y.z", "subject": "Hi", "body": "Hello"})
+    pad = raw + "=" * (-len(raw) % 4)
+    decoded = base64.urlsafe_b64decode(pad).decode()
+    assert decoded == "To: x@y.z\r\nSubject: Hi\r\n\r\nHello"
+
+
+def test_upload_unknown_service_rejected():
+    from openetl_spark.sources.http_transport import HttpUploadTransport
+
+    with pytest.raises(NotImplementedError, match="transport"):
+        HttpUploadTransport("github")
