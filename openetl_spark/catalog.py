@@ -5599,8 +5599,7 @@ def q_pq_recall_report(spark, sf_dir):
     per-query distance tables, both top-k arms, and the overlap from
     the persisted codebook parquet."""
     books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
-    _, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    corpus = spark.read.parquet(data_path)
+    corpus = load(spark, sf_dir, "embeddings", spread=True)
     panel_rows = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 25 == 0)
@@ -5608,7 +5607,7 @@ def q_pq_recall_report(spark, sf_dir):
         .collect()
     )
     panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
-    return S.pq_recall_report(corpus, panel, books, k=10, n_lists=16)
+    return S.pq_recall_report(corpus, panel, books, k=10)
 
 
 @query(

@@ -621,10 +621,11 @@ def ann_recall_report(
     DEFINITION, so it folds into UDF closures like the centroids
     themselves; the corpus is never collected.
 
-    Physical shape: the corpus (already carrying ``list_col`` from the
-    partitioned IVF layout) is paired with the panel through BROADCAST
-    HASH equi-joins on the list id — (qid × list) pair relations of at
-    most |panel|·n_lists rows — never a nested-loop cross product.
+    Physical shape: the exact arm fans the corpus panel-wide by
+    exploding a qid-array literal in the scan projection (no join, no
+    nested loop); the IVF arm pairs the corpus with each query's probe
+    lists through a BROADCAST HASH equi-join on the list id (a
+    |panel|·n_probe-row relation) — never a cross product.
     Cosines run one numpy batch per Arrow page (panel matrix in the
     closure); top-k is two-phase (per-input-partition k via a
     (query, partition)-keyed window, then a global k over ≤ k·partitions
@@ -659,14 +660,12 @@ def ann_recall_report(
         ).filter(F.col("_id") != F.col("_qid")).select("_qid", "_id", "_sim")
         return _panel_topk(scored, k, ascending=False)
 
-    # exact arm: every (query, list) pair → broadcast hash join fans the
-    # corpus out panel-wide without a nested loop
-    all_pairs = F.broadcast(
-        spark.createDataFrame(
-            [(q, l) for q in qids for l in range(n_lists)], "_qid long, _jl int"
-        )
-    )
-    exact = topk(base.join(all_pairs, base["_l"] == F.col("_jl")))
+    # exact arm: fan the corpus panel-wide by EXPLODING a qid-array
+    # literal in the scan projection — no join at all, so no silent
+    # row loss if a join key set ever disagreed with the layout
+    # (review finding r05 on the pq harness; applied to both)
+    qid_array = F.array(*[F.lit(int(q)) for q in qids])
+    exact = topk(base.withColumn("_qid", F.explode(qid_array)))
 
     # IVF arm: only each query's n_probe nearest lists (stable argsort =
     # lowest-list-id tie-break, the same rule the oracle re-derives)
@@ -704,9 +703,7 @@ def pq_recall_report(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    list_col: str = "ivf_list",
     code_col: str = "pq_codes",
-    n_lists: int = 16,
     round_dp: int = 4,
 ) -> DataFrame:
     """Recall@k of PQ asymmetric distance vs EXACT squared-L2 — the
@@ -717,8 +714,9 @@ def pq_recall_report(
     metric mismatch with quantization loss); the PQ arm ranks by the
     summed per-subspace distance-table lookups. Same physical posture
     as ann_recall_report: panel and distance tables fold into UDF
-    closures (kilobytes), broadcast-hash equi-joins fan the corpus out
-    panel-wide, two-phase top-k, rounded scores with id tie-breaks for
+    closures (kilobytes), the corpus fans out panel-wide via a
+    scan-side qid-array explode (both arms are exhaustive — nothing to
+    prune on), two-phase top-k, rounded scores with id tie-breaks for
     engine-reproducible membership."""
     qids = [q for q, _ in query_panel]
     qmat = {q: np.asarray(v, dtype=np.float64) for q, v in query_panel}
@@ -761,14 +759,13 @@ def pq_recall_report(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.col(code_col).alias("_c"),
-        F.col(list_col).alias("_l"),
     )
-    all_pairs = F.broadcast(
-        spark.createDataFrame(
-            [(q, l) for q in qids for l in range(n_lists)], "_qid long, _jl int"
-        )
-    )
-    fanned = base.join(all_pairs, base["_l"] == F.col("_jl"))
+    # both arms are exhaustive (no pruning), so the panel fan-out is a
+    # scan-side explode of a qid-array literal — the earlier
+    # (qid × n_lists) equi-join silently DROPPED rows whose list id
+    # fell outside a mis-passed n_lists (review finding r05)
+    qid_array = F.array(*[F.lit(int(q)) for q in qids])
+    fanned = base.withColumn("_qid", F.explode(qid_array))
     exact = _panel_topk(
         fanned.withColumn("_sim", l2_to(F.col("_v"), F.col("_qid")))
         .filter(F.col("_id") != F.col("_qid"))

@@ -167,14 +167,23 @@ def page_parser(service_id: str, endpoint: dict) -> Callable[[Any, str], dict]:
 
 def _stripe_form_encode(item: dict) -> str:
     """Stripe's x-www-form-urlencoded body with bracket notation for
-    nested objects (adapters/stripe/src/index.ts:444-460 appendObject):
-    {'metadata': {'a': 1}} → metadata[a]=1."""
+    nested objects and INDEXED brackets for arrays
+    (adapters/stripe/src/index.ts:202-215 appendObject):
+    {'metadata': {'a': 1}} → metadata[a]=1, {'expand': ['x']} →
+    expand[0]=x. None values are SKIPPED like the reference skips
+    null/undefined — Spark nullable columns surface as None in
+    row.asDict() and must not become the literal string 'None'."""
     pairs: list[tuple[str, str]] = []
 
     def emit(key: str, value) -> None:
+        if value is None:
+            return
         if isinstance(value, dict):
             for k2, v2 in value.items():
                 emit(f"{key}[{k2}]", v2)
+        elif isinstance(value, (list, tuple)):
+            for i, v2 in enumerate(value):
+                emit(f"{key}[{i}]", v2)
         elif isinstance(value, bool):
             pairs.append((key, "true" if value else "false"))
         else:
@@ -183,6 +192,21 @@ def _stripe_form_encode(item: dict) -> str:
     for k, v in item.items():
         emit(k, v)
     return urllib.parse.urlencode(pairs)
+
+
+def _json_default(v):
+    """json.dumps default for Spark row values that aren't natively
+    serializable: dates/timestamps → ISO strings, Decimal → float
+    (review finding r05 — a DateType column crashed every upload
+    task)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    raise TypeError(f"not JSON serializable: {type(v).__name__}")
 
 
 def _gmail_raw(item: dict) -> str:
@@ -225,35 +249,41 @@ class HttpUploadTransport:
         self.timeout_s = float(timeout_s)
         self._open = opener or urllib.request.urlopen
 
-    def _post(self, url: str, data: bytes, content_type: str) -> None:
+    def _send(self, url: str, method: str, data: bytes, content_type: str) -> None:
         req = urllib.request.Request(
             url,
             data=data,
             headers={**self.headers, "Content-Type": content_type},
-            method="POST",
+            method=method,
         )
         with self._open(req, timeout=self.timeout_s):
             pass
 
     def __call__(self, request: dict, rows: list) -> None:
         url = request["url"]
+        # honor the endpoint's declared verb (xero create-account is
+        # PUT — a hardcoded POST would silently send the wrong method
+        # the day a non-POST service joins the renderer set)
+        method = request.get("method", "POST")
         key = self._JSON_BATCH.get(self.service_id)
         if key is not None:
-            self._post(
-                url, json.dumps({key: list(rows)}).encode("utf-8"),
+            self._send(
+                url, method,
+                json.dumps({key: list(rows)}, default=_json_default).encode("utf-8"),
                 "application/json",
             )
         elif self.service_id == "stripe":
             # one item per request, form-encoded (index.ts:438-454)
             for item in rows:
-                self._post(
-                    url, _stripe_form_encode(item).encode("utf-8"),
+                self._send(
+                    url, method, _stripe_form_encode(item).encode("utf-8"),
                     "application/x-www-form-urlencoded",
                 )
         else:  # gmail: one {raw} JSON body per message
             for item in rows:
-                self._post(
-                    url, json.dumps({"raw": _gmail_raw(item)}).encode("utf-8"),
+                self._send(
+                    url, method,
+                    json.dumps({"raw": _gmail_raw(item)}).encode("utf-8"),
                     "application/json",
                 )
 

@@ -55,6 +55,10 @@ class ServiceDescriptor:
     operators: frozenset = FULL_OPERATORS
     max_sort_keys: int | None = None  # None = unlimited; Zoho = 1
     endpoints: dict[str, dict] = field(default_factory=dict)
+    # POST/upload batch cap when it differs from the GET page size
+    # (zoho: maxItemsPerPageforPostRoutes=100 vs 200-row GET pages,
+    # adapters/zoho/src/index.ts:13-14 — review finding r05)
+    max_items_per_upload: int | None = None
 
 
 DOWNLOAD = ("download", "sync")
@@ -153,6 +157,7 @@ SERVICES: dict[str, ServiceDescriptor] = {
             "zoho", "https://www.zohoapis.com", "oauth2", "offset", 200,
             frozenset({"=", "!=", ">", ">=", "<", "<=", "contains", "not_contains", "in", "not_in"}),
             max_sort_keys=1,
+            max_items_per_upload=100,
             endpoints={
                 "leads": _ep(
                     "/crm/v7/Leads/search",
@@ -686,7 +691,9 @@ class ServiceSink:
             connector,
             config={**cfg, "upload_batch": upload_batch,
                     "items_per_batch": cfg.get(
-                        "items_per_batch", self.desc.max_items_per_page)},
+                        "items_per_batch",
+                        self.desc.max_items_per_upload
+                        or self.desc.max_items_per_page)},
         )
         RestSink().write(df, shim)
 

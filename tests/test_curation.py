@@ -765,8 +765,16 @@ def test_winsorize_clips_to_per_dim_bounds(spark):
     # its other dims (0.0, within bounds everywhere) stay 0
     assert out[99][0] < 10000
     assert out[99][1] == 0 and out[99][2] == 0
-    # an inlier's values are unchanged up to fixed-point rounding
-    vid, vec = rows[0][0], rows[0][1]
-    mid = [x for x in vec if -0.8 < x < 0.8]
-    assert any(abs(out[vid][i] - round(vec[i] * 10000)) <= 1
-               for i in range(4) if -0.8 < vec[i] < 0.8)
+    # EVERY strictly-inside-bounds coordinate of every row passes
+    # through unchanged (review r05: the old any() let a bug that
+    # corrupted most unclipped coordinates slip)
+    mat = np.array([v for _, v in rows])
+    lo = np.quantile(mat, 0.05, axis=0)  # 'linear' = Spark percentile
+    hi = np.quantile(mat, 0.95, axis=0)
+    checked = 0
+    for vid, vec in rows:
+        for i, x in enumerate(vec):
+            if lo[i] < x < hi[i]:
+                assert abs(out[vid][i] - round(x * 10000)) <= 1, (vid, i)
+                checked += 1
+    assert checked > 300  # the bulk of coordinates are inliers

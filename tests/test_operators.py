@@ -1221,31 +1221,46 @@ def test_winnowing_guarantee_shared_span_fingerprints(spark):
     assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
 
 
-def test_pq_recall_rerank_convergence(spark, sf_dir):
-    """pq_recall_report sanity: with m=4/16-code compression recall is
-    well below 1 (the harness must SEE the loss), and replacing the ADC
-    arm with exact L2 (codes decoded to full vectors is out of scope —
-    instead run the harness with exact distances on both arms via a
-    degenerate panel check) yields 1.0."""
-    import numpy as np
-
+def test_pq_recall_sees_compression_loss(spark, sf_dir):
+    """With m=4/16-code compression on random 64-dim vectors, recall is
+    well below 1 (the harness must SEE the loss) but beats chance
+    (random 10 of 499 ≈ 0.02)."""
     from openetl_spark import catalog
     from openetl_spark.operators import similarity as S
 
     books = catalog._pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
-    _, data_path = catalog._ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    corpus = spark.read.parquet(data_path)
+    corpus = catalog.load(spark, sf_dir, "embeddings")
     panel_rows = (
-        catalog.load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 100 == 0)
+        corpus.filter(F.col("vec_id") % 100 == 0)
         .select("vec_id", "embedding")
         .collect()
     )
     panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
-    out = S.pq_recall_report(corpus, panel, books, k=10, n_lists=16).collect()
+    out = S.pq_recall_report(corpus, panel, books, k=10).collect()
     recalls = [r["recall_at_k"] for r in out]
     assert len(recalls) == len(panel)
-    # quantization loss must be visible but recall must beat chance
-    # (random 10 of 499 ≈ 0.02)
     assert 0.0 <= min(recalls) and max(recalls) < 1.0
     assert sum(recalls) / len(recalls) > 0.05
+
+
+def test_pq_recall_identity_on_lossless_corpus(spark):
+    """Harness-plumbing identity (review r05: the old docstring
+    promised this check without performing it): when every corpus
+    vector IS a concatenation of codebook centroids, quantization is
+    lossless — ADC distance equals exact squared-L2 — so recall@k must
+    be exactly 1.0 for every query. A join/overlap bug that uniformly
+    depressed recall would fail here."""
+    import numpy as np
+
+    from openetl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    books = rng.normal(0, 1, (2, 4, 2))  # m=2, 4 codes, sub-dim 2
+    vecs = []
+    for i in range(40):
+        c0, c1 = books[0][i % 4], books[1][(i // 4) % 4]
+        vecs.append((i, [float(x) for x in np.concatenate([c0, c1])]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    panel = [(i, v) for i, v in vecs if i % 10 == 0]
+    out = S.pq_recall_report(df, panel, books, k=5).collect()
+    assert {r["recall_at_k"] for r in out} == {1.0}
