@@ -159,6 +159,7 @@ HEADLINE = [
     "pq_recall_report",
     "langid_confusion",
     "embedding_winsorize",
+    "length_bias_audit",
 ]
 
 

@@ -5611,6 +5611,68 @@ def q_pq_recall_report(spark, sf_dir):
 
 
 @query(
+    "length_bias_audit",
+    """
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT lang,
+             CAST(len(w) AS DOUBLE) AS x,
+             len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS y
+      FROM toks WHERE len(w) > 0),
+    m AS (
+      SELECT lang, count(*) AS n,
+             sum(x) / count(*) AS mx, sum(y) / count(*) AS my,
+             sum(x*y) / count(*) AS mxy,
+             sum(x*x) / count(*) AS mxx, sum(y*y) / count(*) AS myy
+      FROM s GROUP BY 1)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           round((mxy - mx*my) /
+                 (sqrt(mxx - mx*mx) * sqrt(myy - my*my)), 4) AS corr_len_distinct
+    FROM m
+    WHERE (mxx - mx*mx) > 0 AND (myy - my*my) > 0
+    """,
+)
+def q_length_bias_audit(spark, sf_dir):
+    """Curation audit (r05): per-language Pearson correlation between
+    document length and the distinct-token ratio — the bias a naive
+    'low distinct ratio = low quality' gate inherits (longer docs
+    repeat vocabulary naturally, so the correlation is strongly
+    negative; a gate must band by length first — exactly what
+    length_band_filter does). Moments are explicit expressions
+    (formula-identical oracle); one scan, a per-lang aggregate."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    w = X.tokens(F.col("text"))
+    s = d.select(
+        "lang",
+        F.size(w).cast("double").alias("x"),
+        (F.size(F.array_distinct(w)) / F.size(w).cast("double")).alias("y"),
+    ).filter(F.col("x") > 0)
+    n = F.count("*")
+    mx, my = F.sum("x") / n, F.sum("y") / n
+    mxy = F.sum(F.col("x") * F.col("y")) / n
+    mxx = F.sum(F.col("x") * F.col("x")) / n
+    myy = F.sum(F.col("y") * F.col("y")) / n
+    m = s.groupBy("lang").agg(
+        n.alias("n_docs"), mx.alias("_mx"), my.alias("_my"),
+        mxy.alias("_mxy"), mxx.alias("_mxx"), myy.alias("_myy"),
+    )
+    vx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    vy = F.col("_myy") - F.col("_my") * F.col("_my")
+    corr = F.round(
+        (F.col("_mxy") - F.col("_mx") * F.col("_my"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+        4,
+    )
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select("lang", "n_docs", corr.alias("corr_len_distinct"))
+    )
+
+
+@query(
     "embedding_winsorize",
     """
     WITH ex AS (
@@ -5765,6 +5827,7 @@ DRIVER_PRIORITY: list[str] = [
     "pq_recall_report",
     "langid_confusion",
     "embedding_winsorize",
+    "length_bias_audit",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5798,7 +5861,6 @@ DRIVER_PRIORITY: list[str] = [
     "array_funcs",
     "json_funcs",
     "tumbling_hourly",
-    "sliding_counts",
 ]
 
 
