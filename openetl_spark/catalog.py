@@ -5813,9 +5813,13 @@ DRIVER_PRIORITY: list[str] = [
     "set_except",
     "q22_global_sales",
     "semantic_dedup",
-    # --- r05 additions (no driver row yet; displace the refresh
-    # queue's tail — schema_introspect/join_right/join_full_outer/
-    # union_all_counts queue for round 6) ---
+    # --- r05 additions (no driver row yet). Each displaced one r02
+    # refresh slot; the displaced r02 entries queue for the round-6
+    # rotation: decimal_agg, dedup_exact, doc_fingerprint,
+    # embedding_knn, join_full_outer, join_right, quality_score,
+    # schema_introspect, session_windows, sliding_counts,
+    # sql_passthrough, text_stats, union_all_counts — then the 41-query
+    # r03 pool. All are pinned locally every run by tests. ---
     "gopher_repetition",
     "gopher_quality",
     "pmi_collocations",
