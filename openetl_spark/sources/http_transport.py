@@ -42,9 +42,24 @@ from openetl_spark.sources.rest import AuthError
 
 
 def _hubspot(payload: dict, ep_id: str) -> dict:
-    # adapters/hubspot/src/index.ts:436-462: `results`, paging.next.after
+    # adapters/hubspot/src/index.ts:436-462: `results`, paging.next.after.
+    # Real CRM objects nest the requested fields under `properties`
+    # ({id, properties: {...}, createdAt, ...}) and the reference reads
+    # item.properties[field] (:449) — flatten them to the top level so
+    # the engine's fields projection resolves (top-level scalars like
+    # the object id are kept; properties win on collision). Fake/flat
+    # payloads without a properties dict pass through unchanged.
+    items = []
+    for it in payload.get("results") or []:
+        props = it.get("properties") if isinstance(it, dict) else None
+        if isinstance(props, dict):
+            flat = {k: v for k, v in it.items() if not isinstance(v, dict)}
+            flat.update(props)
+            items.append(flat)
+        else:
+            items.append(it)
     return {
-        "data": payload.get("results") or [],
+        "data": items,
         "next_cursor": (payload.get("paging") or {}).get("next", {}).get("after"),
     }
 

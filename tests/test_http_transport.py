@@ -412,3 +412,32 @@ def test_upload_unknown_service_rejected():
 
     with pytest.raises(NotImplementedError, match="transport"):
         HttpUploadTransport("github")
+
+
+def test_hubspot_real_shape_properties_flattened(spark):
+    """Real HubSpot CRM responses nest fields under `properties`
+    ({id, properties: {...}, createdAt}); the reference reads
+    item.properties[field] — the default parser must flatten so the
+    engine's fields projection resolves."""
+    page = {
+        "results": [
+            {"id": "101", "createdAt": "2024-01-01T00:00:00Z",
+             "properties": {"firstname": "A", "email": "a@x.com"}},
+            {"id": "102", "createdAt": "2024-01-02T00:00:00Z",
+             "properties": {"firstname": "B", "email": "b@x.com"}},
+        ]
+    }
+    rec = _Recorder([(200, page, None)])
+    srv, base = _serve(rec)
+    try:
+        c = Connector(
+            adapter_id="hubspot", endpoint_id="contacts",
+            fields=["firstname", "email"],
+            config={"wire": True, "base_url": base},
+        )
+        df = ServiceSource(SERVICES["hubspot"]).read(spark, c)
+        rows = {(r["firstname"], r["email"]) for r in df.collect()}
+        assert rows == {("A", "a@x.com"), ("B", "b@x.com")}
+        assert set(df.columns) >= {"firstname", "email"}
+    finally:
+        srv.shutdown()
