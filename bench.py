@@ -160,6 +160,7 @@ HEADLINE = [
     "langid_confusion",
     "embedding_winsorize",
     "length_bias_audit",
+    "minhash_error_report",
 ]
 
 

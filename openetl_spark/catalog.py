@@ -5611,6 +5611,62 @@ def q_pq_recall_report(spark, sf_dir):
 
 
 @query(
+    "minhash_error_report",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
+             round(c / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.a
+      JOIN sizes sb ON sb.doc_id = inter.b
+      WHERE c / (sa.n + sb.n - c) >= 0.2),
+    sig AS (
+      SELECT s.doc_id, h.h,
+             min(CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || s.s), 1, 15)
+                      AS BIGINT)) AS mh
+      FROM sh s, UNNEST(generate_series(0, 31)) AS h(h)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT p.a, p.b, p.jaccard,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS minhash_est
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b AND sb.h = sa.h
+      GROUP BY 1, 2, 3)
+    SELECT a, b, jaccard, minhash_est,
+           round(abs(minhash_est - jaccard), 6) AS abs_err
+    FROM est
+    """,
+)
+def q_minhash_error_report(spark, sf_dir):
+    """C26/C27 evaluation harness (r05): MinHash estimator calibration —
+    for every exact-jaccard ≥ 0.2 pair, the 32-component
+    portable-minhash estimate, the exact value, and |error| (estimator
+    std = √(j(1−j)/H), Broder 1997 — the measurement behind choosing
+    num_hashes). Signatures hash (seed:shingle) with the
+    engine-portable 60-bit md5 prefix, so the oracle re-derives the
+    ESTIMATOR itself bit-exactly — the production xxhash64 path can
+    only have its candidate recall checked. Signature relation is
+    docs × 32 rows; estimates join it against the collision-sized
+    exact-pair relation, never corpus × corpus."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return D.minhash_error_report(
+        d, "doc_id", "text", n=5, num_hashes=32, threshold=0.2
+    )
+
+
+@query(
     "length_bias_audit",
     """
     WITH toks AS (
@@ -5832,6 +5888,7 @@ DRIVER_PRIORITY: list[str] = [
     "langid_confusion",
     "embedding_winsorize",
     "length_bias_audit",
+    "minhash_error_report",
     # --- refresh queue: every remaining query whose latest driver row
     # is r02 (oldest greens; all pinned locally every run), then the
     # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
@@ -5864,7 +5921,6 @@ DRIVER_PRIORITY: list[str] = [
     "math_funcs",
     "array_funcs",
     "json_funcs",
-    "tumbling_hourly",
 ]
 
 

@@ -730,3 +730,67 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def minhash_error_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """MinHash estimator calibration: for every pair with exact shingle
+    jaccard ≥ threshold, the portable-minhash estimate (matching
+    components / num_hashes) next to the exact value and the absolute
+    error — the measurement behind choosing num_hashes (the estimator's
+    std is √(j(1−j)/H); Broder 1997). The signature here hashes each
+    (seed, shingle) with the engine-portable 60-bit md5 prefix so a
+    DuckDB oracle re-derives the SIGNATURES bit-exactly — something the
+    production xxhash64 path can't offer — making this the one place
+    the approximate ESTIMATOR itself (not just the candidate recall) is
+    differentially checked.
+
+    Shape: (doc, seed, shingle) rows explode ×num_hashes → one
+    partial-agg min per (doc, seed) — signature relation is
+    docs × num_hashes rows; the estimate joins it twice against the
+    COLLISION-SIZED exact-pair relation, never corpus × corpus. The
+    ×H explode is the calibration harness's cost; the production
+    signature path stays the scan-side xxhash64 HOF loop."""
+    sh = with_shingles(df, text_col, n)
+    exact = jaccard_similarity_pairs(
+        sh, id_col, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+    seeded = ex.withColumn(
+        "_h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    phash = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("_h"), F.col("_s"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    sig = seeded.select("_id", "_h", phash.alias("_v")).groupBy(
+        "_id", "_h"
+    ).agg(F.min("_v").alias("_mh"))
+    sa = sig.select(
+        F.col("_id").alias("a"), F.col("_h").alias("_ha"), F.col("_mh").alias("_ma")
+    )
+    sb = sig.select(
+        F.col("_id").alias("_bid"), F.col("_h").alias("_hb"), F.col("_mh").alias("_mb")
+    )
+    est = (
+        exact.join(sa, "a")
+        .join(sb, (F.col("b") == F.col("_bid")) & (F.col("_ha") == F.col("_hb")))
+        .groupBy("a", "b", "jaccard")
+        .agg(
+            (
+                F.sum(F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0))
+                / float(num_hashes)
+            ).alias("minhash_est")
+        )
+    )
+    return est.select(
+        "a", "b", "jaccard", "minhash_est",
+        F.round(F.abs(F.col("minhash_est") - F.col("jaccard")), 6).alias("abs_err"),
+    )
