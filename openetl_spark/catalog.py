@@ -4920,30 +4920,38 @@ def q_seasonal_anomalies(spark, sf_dir):
     return TS.seasonal_anomalies(e, "1 hour", keys=("event_type",), threshold=2.0)
 
 
-@query(
-    "winnow_overlap",
-    """
-    WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= 11),
+def winnow_oracle(
+    k: int = 8, window: int = 4, max_fp_df: int = 10, min_shared: int = 5
+) -> str:
+    """winnow_overlap's oracle parameterized over (k, window, df-cap,
+    min_shared) — shared by the catalog query and the randomized
+    parameter sweep (the winnowing selection rule must agree between
+    engines at EVERY parameter point, not just the shipped one)."""
+    w1 = window - 1
+    return f"""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= {k + w1}),
     g AS (
       SELECT doc_id, i,
-             CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT) AS h
-      FROM t, UNNEST(generate_series(1, len(text) - 8 + 1)) AS u(i)),
+             CAST('0x' || substr(md5(substr(text, i, {k})), 1, 15) AS BIGINT) AS h
+      FROM t, UNNEST(generate_series(1, len(text) - {k} + 1)) AS u(i)),
     win AS (
       SELECT doc_id, i,
              min(struct_pack(h := h, p := i)) OVER (
                PARTITION BY doc_id ORDER BY i
-               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+               ROWS BETWEEN CURRENT ROW AND {w1} FOLLOWING) AS m,
              max(i) OVER (PARTITION BY doc_id) AS mi
       FROM g),
-    sel AS (SELECT DISTINCT doc_id, m.h AS h FROM win WHERE i <= mi - 3),
-    rare AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 10),
+    sel AS (SELECT DISTINCT doc_id, m.h AS h FROM win WHERE i <= mi - {w1}),
+    rare AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= {max_fp_df}),
     fp AS (SELECT s.doc_id, s.h FROM sel s JOIN rare USING (h))
     SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_fps
     FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    HAVING count(*) >= 5
-    """,
-)
+    HAVING count(*) >= {min_shared}
+    """
+
+
+@query("winnow_overlap", winnow_oracle(k=8, window=4, max_fp_df=10, min_shared=5))
 def q_winnow_overlap(spark, sf_dir):
     """C26/C27 extension (r05): exact-substring overlap mining via
     winnowing fingerprints (MOSS, Schleimer et al. 2003) — character

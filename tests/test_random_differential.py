@@ -947,3 +947,28 @@ def test_random_window_frame_spec_matches_duckdb(spark, sf_dir, con, seed):
     df = compile_query(spec, lambda t: catalog.load(spark, sf_dir, t))
     ok, msg = compare(df, con, render_query(spec), allow_empty=True)
     assert ok, f"seed {seed} frame ({lo}, {hi}): {msg}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_winnow_params_match_duckdb(spark, sf_dir, con, seed):
+    """Winnowing fuzzed over the (k, window, df-cap, min_shared)
+    parameter plane: the sliding-min selection rule, the portable
+    fingerprint hash, and the df-capped pair mining must agree between
+    engines at every point, not just the shipped (8, 4, 10, 5)."""
+    rng = random.Random(4500 + seed)
+    k = rng.choice([6, 8, 10])
+    window = rng.choice([3, 4, 6])
+    cap = rng.choice([5, 10, 20])
+    min_shared = rng.choice([1, 2, 5])
+    d = catalog.load(spark, sf_dir, "documents")
+    from openetl_spark.operators import dedup as D
+
+    out = D.winnow_overlap_pairs(
+        d, "doc_id", "text", k=k, window=window,
+        min_shared=min_shared, max_fp_df=cap,
+    )
+    ok, msg = compare(
+        out, con, catalog.winnow_oracle(k, window, cap, min_shared),
+        allow_empty=True,
+    )
+    assert ok, f"seed {seed} (k={k}, w={window}, cap={cap}, ms={min_shared}): {msg}"
