@@ -5878,12 +5878,12 @@ DRIVER_PRIORITY: list[str] = [
     "q22_global_sales",
     "semantic_dedup",
     # --- r05 additions (no driver row yet). Each displaced one r02
-    # refresh slot; the displaced r02 entries queue for the round-6
+    # refresh slot; the 14 displaced r02 entries queue for the round-6
     # rotation: decimal_agg, dedup_exact, doc_fingerprint,
     # embedding_knn, join_full_outer, join_right, quality_score,
     # schema_introspect, session_windows, sliding_counts,
-    # sql_passthrough, text_stats, union_all_counts — then the 41-query
-    # r03 pool. All are pinned locally every run by tests. ---
+    # sql_passthrough, text_stats, tumbling_hourly, union_all_counts —
+    # then the 41-query r03 pool. All pinned locally every run. ---
     "gopher_repetition",
     "gopher_quality",
     "pmi_collocations",
