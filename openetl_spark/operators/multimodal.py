@@ -814,3 +814,90 @@ def resize_images(
             )
 
     return df.select(path_col, content_col).mapInPandas(op, RESIZED_IMAGE_SCHEMA)
+
+
+def average_hash_64(data: bytes) -> int | None:
+    """64-bit average hash (aHash, the classic perceptual fingerprint):
+    decode → RGB → ITU-R BT.601 luma → nearest-neighbor resample to
+    8×8 → one bit per cell, set when the cell is ≥ the 64-cell mean.
+    Small edits (compression, light crops, color shifts) move a few
+    bits; unrelated images differ in ~32 — so hamming distance is the
+    near-dup signal. Pure stdlib+numpy over the real PNG/GIF decoders;
+    undecodable inputs (JPEG entropy data, …) return None. Bit order:
+    row-major, MSB first (bit 63 = top-left cell) — fixed so hashes are
+    comparable across runs and engines."""
+    import numpy as np
+
+    fmt, _, _ = parse_image_header(data)
+    rgb = None
+    if fmt == "png":
+        dec = decode_png_pixels(data)
+        if dec is not None:
+            w, h, ch, px = dec
+            rgb = _to_rgb(px, ch).reshape(h, w, 3)
+    elif fmt == "gif":
+        dec = decode_gif_pixels(data)
+        if dec is not None:
+            w, h, px = dec
+            rgb = np.asarray(_to_rgb(px, 3), dtype=np.uint8).reshape(h, w, 3)
+    if rgb is None:
+        return None
+    small = np.frombuffer(
+        resize_rgb(np.asarray(rgb, dtype=np.uint8).reshape(-1, 3),
+                   rgb.shape[1], rgb.shape[0], 8, 8),
+        dtype=np.uint8,
+    ).reshape(8, 8, 3)
+    luma = (0.299 * small[:, :, 0] + 0.587 * small[:, :, 1]
+            + 0.114 * small[:, :, 2])
+    bits = (luma >= luma.mean()).flatten()
+    h64 = 0
+    for b in bits:
+        h64 = (h64 << 1) | int(b)
+    # wrap to signed 64-bit so the value fits a Spark LongType
+    return h64 - (1 << 64) if h64 >= (1 << 63) else h64
+
+
+def with_image_ahash(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """(path, format, ahash) per image — one Arrow batch of binaries at
+    a time on executors, fixed-size output."""
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+    ])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col]) if r[content_col] is not None else b""
+                fmt, _, _ = parse_image_header(data)
+                rows.append((r[path_col], fmt, average_hash_64(data)))
+            yield pd.DataFrame(rows, columns=["path", "format", "ahash"])
+
+    return df.select(path_col, content_col).mapInPandas(op, schema)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 8,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Image near-dup pairs: perceptual aHash scan-side, then the SAME
+    pigeonhole chunk equi-join the SimHash text path uses (any pair
+    within hamming ≤ k agrees on ≥1 of k+1 bit chunks — no cross
+    product; the mining is metric-generic over 64-bit fingerprints).
+    Returns (a, b, hamming) over decodable images. The multimodal half
+    of the dedup family: text dedups on content hashes, images on
+    perceptual ones."""
+    from openetl_spark.operators.dedup import simhash_candidates
+
+    hashed = with_image_ahash(df, content_col, path_col).filter(
+        F.col("ahash").isNotNull()
+    )
+    return simhash_candidates(
+        hashed, id_col="path", simhash_col="ahash", max_hamming=max_hamming
+    )

@@ -1264,3 +1264,46 @@ def test_pq_recall_identity_on_lossless_corpus(spark):
     panel = [(i, v) for i, v in vecs if i % 10 == 0]
     out = S.pq_recall_report(df, panel, books, k=5).collect()
     assert {r["recall_at_k"] for r in out} == {1.0}
+
+
+def test_image_near_duplicates_ahash(spark):
+    """Perceptual aHash dedup over real decoded PNGs: an image and its
+    slightly-brightened copy collide within the hamming budget; a
+    structurally different image doesn't; undecodable JPEG rows drop
+    out without failing the job."""
+    from tests.media_fixtures import make_jpeg, make_png
+
+    def gradient(shift=0):
+        return [
+            [(min(255, x * 16 + shift), min(255, y * 16), 40)
+             for x in range(16)]
+            for y in range(16)
+        ]
+
+    def checker():
+        return [
+            [((255, 255, 255) if (x + y) % 2 else (0, 0, 0))
+             for x in range(16)]
+            for y in range(16)
+        ]
+
+    rows = [
+        ("a.png", bytearray(make_png(16, 16, gradient(0)))),
+        ("b.png", bytearray(make_png(16, 16, gradient(8)))),   # near-dup
+        ("c.png", bytearray(make_png(16, 16, checker()))),     # different
+        ("d.jpg", bytearray(make_jpeg(16, 16))),               # undecodable
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = M.image_near_duplicates(df, max_hamming=8)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    assert ("a.png", "b.png") in pairs
+    assert pairs[("a.png", "b.png")] <= 8
+    assert all("c.png" not in p for p in pairs)
+    # hashes themselves: deterministic, None for the JPEG
+    hs = {r["path"]: r["ahash"] for r in M.with_image_ahash(df).collect()}
+    assert hs["d.jpg"] is None
+    assert hs["a.png"] is not None and hs["a.png"] == hs["a.png"]
+    # a 32-ish-bit distance separates unrelated structures
+    import numpy as np
+    ham = bin((hs["a.png"] ^ hs["c.png"]) & ((1 << 64) - 1)).count("1")
+    assert ham > 8
