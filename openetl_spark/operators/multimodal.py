@@ -901,3 +901,80 @@ def image_near_duplicates(
     return simhash_candidates(
         hashed, id_col="path", simhash_col="ahash", max_hamming=max_hamming
     )
+
+
+def audio_fingerprint_64(data: bytes) -> int | None:
+    """64-bit energy-delta audio fingerprint (the Haitsma–Kalker 2002
+    robust-hash idea reduced to one band): decode 16-bit PCM, split
+    into 65 equal windows, one bit per adjacent pair set when RMS
+    energy RISES — the envelope's shape, invariant to volume scaling
+    (deltas compare, not threshold) and robust to re-encoding noise.
+    Hamming distance over these is the near-dup signal, mined with the
+    same pigeonhole machinery as SimHash/aHash. MSB-first bit order
+    (bit 63 = first window pair); None for undecodable/too-short
+    payloads."""
+    import array
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            samples = array.array("h")
+            samples.frombytes(w.readframes(w.getnframes()))
+    except Exception:
+        return None
+    if len(samples) < 65:
+        return None
+    a = np.asarray(samples, dtype=np.float64)
+    win = len(a) // 65
+    a = a[: win * 65].reshape(65, win)
+    rms = np.sqrt((a * a).mean(axis=1))
+    bits = rms[1:] > rms[:-1]
+    h64 = 0
+    for b in bits:
+        h64 = (h64 << 1) | int(b)
+    return h64 - (1 << 64) if h64 >= (1 << 63) else h64
+
+
+def with_audio_fingerprint(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """(path, afp) per audio payload — Arrow-batched, fixed-size out."""
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("afp", T.LongType()),
+    ])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col]) if r[content_col] is not None else b""
+                rows.append((r[path_col], audio_fingerprint_64(data)))
+            yield pd.DataFrame(rows, columns=["path", "afp"])
+
+    return df.select(path_col, content_col).mapInPandas(op, schema)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 8,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Audio near-dup pairs over the energy-delta fingerprint — the
+    same pigeonhole chunk equi-join as SimHash/aHash (hamming mining is
+    metric-generic over 64-bit fingerprints). Returns (a, b, hamming)
+    over decodable clips."""
+    from openetl_spark.operators.dedup import simhash_candidates
+
+    hashed = with_audio_fingerprint(df, content_col, path_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return simhash_candidates(
+        hashed, id_col="path", simhash_col="afp", max_hamming=max_hamming
+    )

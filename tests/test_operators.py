@@ -1307,3 +1307,44 @@ def test_image_near_duplicates_ahash(spark):
     import numpy as np
     ham = bin((hs["a.png"] ^ hs["c.png"]) & ((1 << 64) - 1)).count("1")
     assert ham > 8
+
+
+def test_audio_near_duplicates_energy_fingerprint(spark):
+    """Energy-delta fingerprints over real 16-bit PCM: a clip and its
+    volume-scaled copy are fingerprint-IDENTICAL (deltas compare, not
+    threshold), a different envelope stays out of the hamming budget,
+    silence (no energy shape) hashes deterministically but differs."""
+    import io
+    import math
+    import struct
+    import wave
+
+    def am_wav(env_hz: float, amp: float = 0.5) -> bytes:
+        sr, n = 8000, 8000
+        frames = b"".join(
+            struct.pack(
+                "<h",
+                int(amp * 32767
+                    * (0.55 + 0.45 * math.sin(2 * math.pi * env_hz * i / sr))
+                    * math.sin(2 * math.pi * 440 * i / sr)),
+            )
+            for i in range(n)
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    rows = [
+        ("a.wav", bytearray(am_wav(3.0, amp=0.5))),
+        ("b.wav", bytearray(am_wav(3.0, amp=0.25))),  # same shape, half volume
+        ("c.wav", bytearray(am_wav(13.0))),           # different envelope
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    fps = {r["path"]: r["afp"] for r in M.with_audio_fingerprint(df).collect()}
+    assert fps["a.wav"] == fps["b.wav"]  # volume-invariant
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in M.audio_near_duplicates(df, max_hamming=8).collect()}
+    assert pairs[("a.wav", "b.wav")] == 0
+    assert all("c.wav" not in p for p in pairs)
