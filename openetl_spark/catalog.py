@@ -1036,7 +1036,7 @@ _JACCARD_ORACLE = """
     FROM inter
     JOIN sizes sa ON sa.doc_id = inter.a
     JOIN sizes sb ON sb.doc_id = inter.b
-    WHERE c / (sa.n + sb.n - c) >= {thr}
+    WHERE round(c / (sa.n + sb.n - c), 6) >= {thr}
 """
 
 
@@ -1165,7 +1165,7 @@ _CC_ORACLE = """
       FROM inter
       JOIN sizes sa ON sa.doc_id = inter.a
       JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE c / (sa.n + sb.n - c) >= 0.5),
+      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
     edges AS (SELECT a AS x, b AS y FROM pairs
               UNION ALL SELECT b, a FROM pairs),
     reach AS (
@@ -1215,7 +1215,7 @@ _KEEP_BEST_CTES = """
       FROM inter
       JOIN sizes sa ON sa.doc_id = inter.a
       JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE c / (sa.n + sb.n - c) >= 0.5),
+      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
     edges AS (SELECT a AS x, b AS y FROM pairs
               UNION ALL SELECT b, a FROM pairs),
     reach AS (
@@ -5319,7 +5319,7 @@ def incremental_dedup_oracle(cut: int = 50, thr: float = 0.5) -> str:
       JOIN side bq ON bq.doc_id = inter.q
       WHERE NOT bq.is_index
         AND (bp.is_index OR inter.p < inter.q)
-        AND c / (sp.n + sq.n - c) >= {thr}),
+        AND round(c / (sp.n + sq.n - c), 6) >= {thr}),
     agg AS (
       SELECT b, CAST(count(*) AS BIGINT) AS n_dups, min(a) AS dup_of
       FROM pairs GROUP BY b)
@@ -5638,7 +5638,7 @@ def q_pq_recall_report(spark, sf_dir):
       FROM inter
       JOIN sizes sa ON sa.doc_id = inter.a
       JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE c / (sa.n + sb.n - c) >= 0.2),
+      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.2),
     sig AS (
       SELECT s.doc_id, h.h,
              min(CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || s.s), 1, 15)
@@ -5864,6 +5864,17 @@ DRIVER_RECHECK: set[str] = {
     "set_except",              # EXCEPT vs acctbal-filtered suppliers (was empty)
     "q22_global_sales",        # cntry digit + 300k threshold (was empty at sf0.001)
     "semantic_dedup",          # row-blocked in-cluster kernel (result-identical rewrite)
+    # r05 review: oracle jaccard thresholds now ROUND-then-compare
+    # (matching the Spark side's F.round(...,6) filter) — semantically
+    # null on this corpus but the oracle TEXT changed, so the old green
+    # rows don't cover the current oracles
+    "jaccard_near_dups",
+    "minhash_near_dups",
+    "simhash_dedup",
+    "dedup_components",
+    "dedup_keep_best",
+    "curation_pipeline",
+    "incremental_dedup",
 }
 
 DRIVER_PRIORITY: list[str] = [
@@ -5877,6 +5888,13 @@ DRIVER_PRIORITY: list[str] = [
     "set_except",
     "q22_global_sales",
     "semantic_dedup",
+    "jaccard_near_dups",
+    "minhash_near_dups",
+    "simhash_dedup",
+    "dedup_components",
+    "dedup_keep_best",
+    "curation_pipeline",
+    "incremental_dedup",
     # --- r05 additions (no driver row yet). Each displaced one r02
     # refresh slot; the 14 displaced r02 entries queue for the round-6
     # rotation: decimal_agg, dedup_exact, doc_fingerprint,
@@ -5922,13 +5940,6 @@ DRIVER_PRIORITY: list[str] = [
     "window_lag",
     "window_frame",
     "topk_orders",
-    "set_union",
-    "set_intersect",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_funcs",
 ]
 
 

@@ -828,18 +828,25 @@ def average_hash_64(data: bytes) -> int | None:
     comparable across runs and engines."""
     import numpy as np
 
-    fmt, _, _ = parse_image_header(data)
-    rgb = None
-    if fmt == "png":
-        dec = decode_png_pixels(data)
-        if dec is not None:
-            w, h, ch, px = dec
-            rgb = _to_rgb(px, ch).reshape(h, w, 3)
-    elif fmt == "gif":
-        dec = decode_gif_pixels(data)
-        if dec is not None:
-            w, h, px = dec
-            rgb = np.asarray(_to_rgb(px, 3), dtype=np.uint8).reshape(h, w, 3)
+    # CORRUPT payloads (bit-flipped IDAT → zlib.error, truncated IHDR →
+    # struct.error, truncated GIF sub-blocks → IndexError) must hash to
+    # None like unsupported formats do — an uncaught decoder exception
+    # inside mapInPandas would abort the whole job (review finding r05)
+    try:
+        fmt, _, _ = parse_image_header(data)
+        rgb = None
+        if fmt == "png":
+            dec = decode_png_pixels(data)
+            if dec is not None:
+                w, h, ch, px = dec
+                rgb = _to_rgb(px, ch).reshape(h, w, 3)
+        elif fmt == "gif":
+            dec = decode_gif_pixels(data)
+            if dec is not None:
+                w, h, px = dec
+                rgb = np.asarray(_to_rgb(px, 3), dtype=np.uint8).reshape(h, w, 3)
+    except Exception:
+        return None
     if rgb is None:
         return None
     small = np.frombuffer(
@@ -923,13 +930,19 @@ def audio_fingerprint_64(data: bytes) -> int | None:
         with wave.open(io.BytesIO(data), "rb") as w:
             if w.getsampwidth() != 2:
                 return None
+            nch = w.getnchannels()
             samples = array.array("h")
             samples.frombytes(w.readframes(w.getnframes()))
     except Exception:
         return None
-    if len(samples) < 65:
-        return None
     a = np.asarray(samples, dtype=np.float64)
+    if nch > 1:
+        # downmix to mono (mean per frame) — a stereo re-encode of the
+        # same audio must fingerprint like its mono original; windowing
+        # interleaved samples would change the envelope (review r05)
+        a = a[: (len(a) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if len(a) < 65:
+        return None
     win = len(a) // 65
     a = a[: win * 65].reshape(65, win)
     rms = np.sqrt((a * a).mean(axis=1))

@@ -53,7 +53,11 @@ def _hubspot(payload: dict, ep_id: str) -> dict:
     for it in payload.get("results") or []:
         props = it.get("properties") if isinstance(it, dict) else None
         if isinstance(props, dict):
-            flat = {k: v for k, v in it.items() if not isinstance(v, dict)}
+            # remove ONLY the properties envelope — other nested fields
+            # (associations, propertiesWithHistory, ...) pass through so
+            # a connector requesting them still resolves (review r05:
+            # the first cut dropped every dict-valued field)
+            flat = {k: v for k, v in it.items() if k != "properties"}
             flat.update(props)
             items.append(flat)
         else:

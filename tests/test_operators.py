@@ -1299,14 +1299,18 @@ def test_image_near_duplicates_ahash(spark):
     assert ("a.png", "b.png") in pairs
     assert pairs[("a.png", "b.png")] <= 8
     assert all("c.png" not in p for p in pairs)
-    # hashes themselves: deterministic, None for the JPEG
+    # hashes: None for the JPEG; Spark path matches a direct driver-side
+    # recomputation (a real determinism check, not x == x — review r05)
     hs = {r["path"]: r["ahash"] for r in M.with_image_ahash(df).collect()}
     assert hs["d.jpg"] is None
-    assert hs["a.png"] is not None and hs["a.png"] == hs["a.png"]
+    assert hs["a.png"] == M.average_hash_64(bytes(rows[0][1]))
     # a 32-ish-bit distance separates unrelated structures
-    import numpy as np
     ham = bin((hs["a.png"] ^ hs["c.png"]) & ((1 << 64) - 1)).count("1")
     assert ham > 8
+    # corrupt payload (bit-flipped IDAT) hashes to None, doesn't crash
+    broken = bytearray(make_png(16, 16, gradient(0)))
+    broken[60] ^= 0xFF
+    assert M.average_hash_64(bytes(broken)) is None
 
 
 def test_audio_near_duplicates_energy_fingerprint(spark):
