@@ -5437,13 +5437,15 @@ def q_gopher_quality(spark, sf_dir):
       SELECT u.w1, count(*) AS cw
       FROM toks, UNNEST(w) AS u(w1) GROUP BY 1),
     n1 AS (SELECT sum(cw) AS n_tokens FROM uni),
-    bi AS (
+    bi_all AS (
       SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
       FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
       WHERE len(w) >= 2
-      GROUP BY 1, 2
-      HAVING count(*) >= 20),
-    n2 AS (SELECT sum(c12) AS n_bigrams FROM bi)
+      GROUP BY 1, 2),
+    -- n_bigrams over ALL adjacent pairs, BEFORE the min-count guard
+    -- (r06, ADVICE): true PMI normalizes by total bigram mass
+    n2 AS (SELECT sum(c12) AS n_bigrams FROM bi_all),
+    bi AS (SELECT * FROM bi_all WHERE c12 >= 20)
     SELECT bi.w1 || ' ' || bi.w2 AS bigram,
            CAST(c12 AS BIGINT) AS pair_count,
            round(log2((c12 / n_bigrams) /
@@ -5488,8 +5490,8 @@ def q_pmi_collocations(spark, sf_dir):
     probe AS (
       SELECT q.qid, c.list_id,
              row_number() OVER (PARTITION BY q.qid
-               ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                        - 2 * list_dot_product(q.qv, c.centroid) ASC,
+               ORDER BY round(list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                        - 2 * list_dot_product(q.qv, c.centroid), 6) ASC,
                         c.list_id ASC) AS rn
       FROM q, cents c),
     pr AS (SELECT qid, list_id FROM probe WHERE rn <= 4),
@@ -5802,7 +5804,8 @@ def q_embedding_winsorize(spark, sf_dir):
     tot AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY 1)
     SELECT p.lang, p.lang_pred,
            CAST(count(*) AS BIGINT) AS n,
-           round(count(*) / CAST(any_value(t.n_lang) AS DOUBLE), 4) AS frac_of_lang
+           floor(count(*) / CAST(any_value(t.n_lang) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS frac_of_lang
     FROM pred p JOIN tot t ON t.lang = p.lang
     GROUP BY 1, 2
     """,
@@ -5825,8 +5828,17 @@ def q_langid_confusion(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.count("*") / F.first("_n_lang").cast("double"), 4
+            # floor-fixed rounding (r06, ADVICE): count/n_lang is a
+            # ratio of integers — 1/160-style values land exactly on
+            # .5 decimal boundaries where Spark round() (HALF_UP on
+            # the decimal rendering) and DuckDB round() (nearest
+            # binary double) diverge. Same fix as gopher_*/gap_fill.
+            (
+                F.floor(
+                    F.count("*") / F.first("_n_lang").cast("double") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("frac_of_lang"),
         )
     )

@@ -672,7 +672,12 @@ def ann_recall_report(
     cent_sq = (cents ** 2).sum(axis=1)
     probe_pairs = []
     for q in qids:
-        d = cent_sq - 2.0 * (cents @ qmat[q])
+        # round before argsort (r06, ADVICE): the oracle recomputes
+        # these distances with a different summation order; near-equal
+        # centroid distances can order differently across engines, and
+        # the list-id tie-break only triggers on EXACT equality — the
+        # same fixed-dp treatment the cosine scores already get.
+        d = np.round(cent_sq - 2.0 * (cents @ qmat[q]), 6)
         for l in np.argsort(d, kind="stable")[:n_probe]:
             probe_pairs.append((q, int(l)))
     probes = F.broadcast(

@@ -666,13 +666,18 @@ def pmi_collocations(
         F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    bi = (
+    bi_all = (
         toked.select(F.explode(bigrams).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-        .filter(F.col("c12") >= min_count)
     )
-    n2 = bi.agg(F.sum("c12").alias("n_bigrams"))
+    # n_bigrams BEFORE the min_count filter (r06, ADVICE): normalizing
+    # by frequent-bigram mass only uniformly inflated P(w1 w2) — the
+    # ranking was unaffected (constant shift) but the reported values
+    # weren't true PMI. One extra agg over the already-aggregated
+    # bigram relation, not another corpus pass.
+    n2 = bi_all.agg(F.sum("c12").alias("n_bigrams"))
+    bi = bi_all.filter(F.col("c12") >= min_count)
     u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
     pmi = F.round(

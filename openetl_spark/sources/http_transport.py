@@ -387,7 +387,11 @@ class HttpTransport:
         body = request.get("body")
         data = None
         if body is not None:
-            data = json.dumps(body).encode("utf-8")
+            # default=_json_default (r06, ADVICE): a connector filter
+            # value carrying a date/Decimal can survive into the
+            # rendered body; axios' JSON path serializes those, so the
+            # read path must too (the upload path already did).
+            data = json.dumps(body, default=_json_default).encode("utf-8")
             headers.setdefault("Content-Type", "application/json")
         headers.setdefault("Accept", "application/json")
         req = urllib.request.Request(

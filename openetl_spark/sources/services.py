@@ -347,7 +347,18 @@ def build_request(connector: Connector, desc: ServiceDescriptor) -> dict:
         # (exact-payload parity tests).
         from openetl_spark.sources.mongo import filter_fields
 
-        for name in [*filter_fields(residual), *(s.field for s in connector.sort)]:
+        extra = [*filter_fields(residual), *(s.field for s in connector.sort)]
+        if not connector.config.get("wire"):
+            # Abstract mode (r06, ADVICE): the compiler re-applies ALL
+            # filters post-ingest as defense in depth — an injected
+            # transport that ignores request['filters'] must not leak
+            # unfiltered rows — so pushed-filter columns must survive
+            # the projection too. Wire mode is untouched: the default
+            # HTTP transport executes the rendered native payload, and
+            # the payload stays byte-identical to the reference's
+            # (exact-payload parity tests).
+            extra = [*filter_fields(push), *extra]
+        for name in extra:
             if name not in fields:
                 fields.append(name)
     base = connector.config.get("base_url", desc.base_url)
@@ -508,12 +519,25 @@ class ServiceSource:
         self.desc = descriptor
 
     def residual_filters(self, connector: Connector) -> list:
-        """Filters the SERVICE did not apply — the compiler re-applies
-        exactly these post-ingest (r05; re-applying pushed filters too
-        broke over real HTTP, where the response carries only requested
-        properties and the pushed column may be absent)."""
+        """Filters the compiler must (re-)apply post-ingest.
+
+        Wire mode: exactly the split_filters residual — the default
+        HTTP transport executes the rendered native payload, so pushed
+        filters ARE applied server-side, and re-applying them broke
+        over real HTTP (r05: the response carries only requested
+        properties, the pushed column may be absent).
+
+        Abstract mode (r06, ADVICE): ALL filters. An injected
+        transport receives request['filters'] and SHOULD honor them,
+        but nothing enforces that (mocks and custom stacks routinely
+        ignore the list) — the old pre-r05 double-apply masked this,
+        and dropping it silently leaked rows the server was supposed
+        to filter. build_request over-projects pushed-filter columns
+        in abstract mode so the re-apply always analyzes."""
         _, residual = split_filters(connector, self.desc)
-        return residual
+        if connector.config.get("wire"):
+            return residual
+        return list(connector.filters)
 
     def read(self, spark: SparkSession, connector: Connector) -> DataFrame:
         cfg = connector.config

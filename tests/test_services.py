@@ -94,6 +94,45 @@ def test_end_to_end_service_read_with_residual_filter(spark):
     assert len(t.log) >= 1
 
 
+def test_abstract_mode_reapplies_pushed_filters(spark):
+    """r06 (ADVICE): an injected abstract-mode transport that IGNORES
+    request['filters'] must not leak rows the service was supposed to
+    filter — the compiler re-applies ALL filters as defense in depth.
+    '=' pushes down for stripe, and the mock here ignores it."""
+    t = contacts_transport(ROWS)  # serves every row, filters untouched
+    c = Connector(
+        adapter_id="stripe",
+        endpoint_id="customers",
+        config={"transport": t},
+        filters=[Filter("email", "=", "e7@x.com")],
+    )
+    res = Orchestrator(spark=spark).run_pipeline(Pipeline(id="svc", source=c))
+    assert [r["email"] for r in res.df.select("email").collect()] == ["e7@x.com"]
+
+
+def test_abstract_mode_overprojects_pushed_filter_columns():
+    """Pushed-filter columns must survive an explicit fields projection
+    in abstract mode so the defensive re-apply always analyzes."""
+    c = Connector(
+        adapter_id="stripe",
+        endpoint_id="customers",
+        fields=["firstname"],
+        filters=[Filter("email", "=", "e7@x.com")],
+    )
+    req = build_request(c, SERVICES["stripe"])
+    assert "email" in req["fields"]
+    # wire mode keeps the reference-parity payload: no widening
+    c_wire = Connector(
+        adapter_id="stripe",
+        endpoint_id="customers",
+        fields=["firstname"],
+        filters=[Filter("email", "=", "e7@x.com")],
+        config={"wire": True},
+    )
+    req_wire = build_request(c_wire, SERVICES["stripe"])
+    assert "email" not in req_wire["fields"]
+
+
 def test_zoho_single_sort_key_degradation(spark):
     t = contacts_transport(ROWS)
     c = Connector(
