@@ -1019,28 +1019,48 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-_JACCARD_ORACLE = """
-    WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+def shingle_cte(n: int = 5) -> str:
+    """``sh(doc_id, s)`` — the distinct word-n-gram shingle relation
+    every jaccard-family oracle starts from."""
+    k = n - 1  # DuckDB list slice is 1-based INCLUSIVE: w[i:i+k] is n tokens
+    return f"""sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{k}], ' ') AS s
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
             FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+           UNNEST(generate_series(1, greatest(len(w) - {k}, 1))) AS t(i))"""
+
+
+def jaccard_ctes(thr: float, n: int = 5) -> str:
+    """The shared exact-jaccard CTE chain — shingles → per-doc sizes →
+    intersection counts → thresholded pairs carrying the rounded
+    jaccard (r06, VERDICT #4 / ROADMAP 0a: this fragment was verbatim-
+    triplicated across _JACCARD_ORACLE, _CC_ORACLE/_KEEP_BEST_CTES and
+    the minhash_error_report oracle; the r05 round-then-compare change
+    had to touch every copy — now there is ONE source of truth, the
+    same shape winnow_oracle() uses for winnowing). Callers prepend
+    ``WITH`` / ``WITH RECURSIVE`` and append their own CTEs reading
+    from ``pairs(a BIGINT, b BIGINT, jaccard)``."""
+    return f"""{shingle_cte(n)},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
-           round(c / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = inter.a
-    JOIN sizes sb ON sb.doc_id = inter.b
-    WHERE round(c / (sa.n + sb.n - c), 6) >= {thr}
-"""
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
+             round(c / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.a
+      JOIN sizes sb ON sb.doc_id = inter.b
+      WHERE round(c / (sa.n + sb.n - c), 6) >= {thr})"""
 
 
-@query("jaccard_near_dups", _JACCARD_ORACLE.format(thr=0.2))
+def _jaccard_oracle(thr: float) -> str:
+    return f"WITH {jaccard_ctes(thr)}\n    SELECT a, b, jaccard FROM pairs"
+
+
+@query("jaccard_near_dups", _jaccard_oracle(0.2))
 def q_jaccard_near_dups(spark, sf_dir):
     """C27 exact baseline: 5-gram shingle jaccard ≥ 0.2 pairs.
 
@@ -1053,7 +1073,7 @@ def q_jaccard_near_dups(spark, sf_dir):
     return D.jaccard_similarity_pairs(d, "doc_id", threshold=0.2, max_shingle_df=50)
 
 
-@query("minhash_near_dups", _JACCARD_ORACLE.format(thr=0.5))
+@query("minhash_near_dups", _jaccard_oracle(0.5))
 def q_minhash_near_dups(spark, sf_dir):
     """C27 scale path: MinHash(128) + LSH banding (64 bands × r=2 →
     candidate prob ≈ 1 at jaccard ≥ 0.5) then exact verification on
@@ -1148,30 +1168,18 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", F.min("doc_id").over(w).alias("class_rep"))
 
 
-_CC_ORACLE = """
-    WITH RECURSIVE sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-            FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT inter.a, inter.b
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.a
-      JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
-    edges AS (SELECT a AS x, b AS y FROM pairs
+# Transitive closure over the shared pair relation (jaccard_ctes) —
+# edges → recursive reach → min-label component per node.
+_CLOSURE_CTES = """edges AS (SELECT a AS x, b AS y FROM pairs
               UNION ALL SELECT b, a FROM pairs),
     reach AS (
       SELECT x, y FROM edges
       UNION
-      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)"""
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {jaccard_ctes(0.5)},
+    {_CLOSURE_CTES}
     SELECT CAST(x AS BIGINT) AS doc_id,
            CAST(least(x, min(y)) AS BIGINT) AS component
     FROM reach GROUP BY x
@@ -1197,31 +1205,11 @@ def q_dedup_components(spark, sf_dir):
 
 # Shared CTE prefix: shingles → exact-jaccard pairs → recursive
 # transitive closure → components → quality → labeled docs. Reused by
-# the keep-best oracle and the composed curation_pipeline oracle.
-_KEEP_BEST_CTES = """
-    WITH RECURSIVE sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-            FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT inter.a, inter.b
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.a
-      JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
-    edges AS (SELECT a AS x, b AS y FROM pairs
-              UNION ALL SELECT b, a FROM pairs),
-    reach AS (
-      SELECT x, y FROM edges
-      UNION
-      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+# the keep-best oracle and the composed curation_pipeline oracle; the
+# shingle/pair chain comes from jaccard_ctes() (single source of truth).
+_KEEP_BEST_CTES = f"""
+    WITH RECURSIVE {jaccard_ctes(0.5)},
+    {_CLOSURE_CTES},
     comp AS (SELECT x AS doc_id, least(x, min(y)) AS component
              FROM reach GROUP BY x),
     toks AS (
@@ -1349,7 +1337,7 @@ def q_repetition_stats(spark, sf_dir):
     return X.bigram_repetition_stats(d, "doc_id", "text")
 
 
-@query("simhash_dedup", _JACCARD_ORACLE.format(thr=0.9))
+@query("simhash_dedup", _jaccard_oracle(0.9))
 def q_simhash_dedup(spark, sf_dir):
     """C27: SimHash as the coarse filter of a verified pipeline —
     pigeonhole candidates at hamming ≤ 16, exact jaccard ≥ 0.9 on
@@ -5297,12 +5285,7 @@ def incremental_dedup_oracle(cut: int = 50, thr: float = 0.5) -> str:
     split point (md5 bucket < cut) and the jaccard threshold — shared
     by the catalog query and the randomized differential sweep."""
     return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-            FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+    WITH {shingle_cte(5)},
     side AS (SELECT doc_id, ({_INCR_BUCKET}) < {cut} AS is_index FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -5622,25 +5605,8 @@ def q_pq_recall_report(spark, sf_dir):
 
 @query(
     "minhash_error_report",
-    """
-    WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-            FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
-             round(c / (sa.n + sb.n - c), 6) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.a
-      JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.2),
+    f"""
+    WITH {jaccard_ctes(0.2)},
     sig AS (
       SELECT s.doc_id, h.h,
              min(CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || s.s), 1, 15)
