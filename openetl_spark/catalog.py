@@ -1337,16 +1337,64 @@ def q_repetition_stats(spark, sf_dir):
     return X.bigram_repetition_stats(d, "doc_id", "text")
 
 
-@query("simhash_dedup", _jaccard_oracle(0.9))
+# simhash_dedup oracle (r06, VERDICT #2/#3): BOTH stages re-derived in
+# DuckDB — the portable 64-bit md5 simhash per document (two 32-bit
+# halves; DuckDB's overflow-checked << cannot pack the top bit, so the
+# oracle compares hamming per-half) and the exact-jaccard verify. The
+# mining stage itself is now oracle-covered: the result is
+# {pairs: hamming(simhash) ≤ k AND jaccard ≥ thr}, not "hope the
+# budget covers the jaccard set" — which is what let r05 ship the
+# near-quadratic k=16 configuration.
+def _simhash_oracle(max_hamming: int, thr: float) -> str:
+    return f"""
+    WITH {jaccard_ctes(thr)},
+    hb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS lo
+      FROM sh),
+    bits AS (
+      SELECT doc_id, i.i,
+             CASE WHEN sum((CASE WHEN i.i < 32 THEN (lo >> i.i) & 1
+                                 ELSE (hi >> (i.i - 32)) & 1 END) * 2 - 1) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM hb, UNNEST(generate_series(0, 63)) AS i(i)
+      GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 AND i < 32
+                           THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS flo,
+             CAST(sum(CASE WHEN bit = 1 AND i >= 32
+                           THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fhi
+      FROM bits GROUP BY 1)
+    SELECT p.a, p.b, p.jaccard
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.a
+    JOIN fp fb ON fb.doc_id = p.b
+    WHERE bit_count(xor(fa.flo, fb.flo)) + bit_count(xor(fa.fhi, fb.fhi))
+          <= {max_hamming}
+    """
+
+
+@query("simhash_dedup", _simhash_oracle(6, 0.9))
 def q_simhash_dedup(spark, sf_dir):
     """C27: SimHash as the coarse filter of a verified pipeline —
-    pigeonhole candidates at hamming ≤ 16, exact jaccard ≥ 0.9 on
-    candidates only. Oracle = exact all-pairs jaccard: the hamming
-    budget must cover every qualifying pair (measured ≤ 13 across all
-    SFs; a sign-margin argument puts the needed budget at
-    ~edits·64/√n_shingles for short docs)."""
+    pigeonhole candidates at hamming ≤ 6, exact jaccard ≥ 0.9 on
+    candidates only. r06 rework (VERDICT #2): the r05 budget of 16 made
+    the chunk equi-join near-quadratic (3–4-bit chunks → ≤272 join
+    keys, random-pair collision p≈0.9); measured jaccard-0.9 pairs run
+    to hamming 8–12 on this corpus, so instead of widening the budget
+    the ORACLE now derives the fingerprints too (portable md5 simhash,
+    re-derived bit-exactly in DuckDB) and the query's semantics are
+    honestly {hamming ≤ 6 ∧ jaccard ≥ 0.9} — 9-bit chunks, ~70× fewer
+    enumerated candidates, and the dense-budget guard in
+    pigeonhole_candidate_stream now rejects configurations like the
+    old one. Wide-radius recall-complete mining is minhash_near_dups'
+    job (60-bit banding keys)."""
     d = load(spark, sf_dir, "documents", spread=True)
-    return D.simhash_near_duplicates(d, "doc_id", "text", max_hamming=16, threshold=0.9)
+    return D.simhash_near_duplicates(
+        d, "doc_id", "text", max_hamming=6, threshold=0.9, portable=True
+    )
 
 
 def _lsh_oracle_sql(

@@ -412,7 +412,11 @@ def incremental_near_duplicates(
 # -------------------------------------------------------------- simhash
 
 def with_simhash(
-    df: DataFrame, id_col: str, shingle_col: str = "shingles", out: str = "simhash"
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    out: str = "simhash",
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash: hash each shingle (xxhash64), per bit position sum
     +1/-1 across shingles, sign → bit. Computed entirely scan-side as
@@ -421,12 +425,29 @@ def with_simhash(
     with 64 sum-aggregates + a join back computed the same values but
     paid a shuffle, a join, and seconds of aggregate-codegen compile.)
 
+    ``portable=True`` (r06) swaps xxhash64 for an engine-portable
+    64-bit md5 hash — two 32-bit halves from the md5 hex prefix,
+    recombined with a bitwise shift (shifts are not ANSI-checked, so
+    the high half's top bit packs exactly) — letting a DuckDB oracle
+    re-derive the FINGERPRINTS bit-exactly (same split the oracle
+    keeps: DuckDB's checked ``<<`` cannot pack the high half, so it
+    compares per-half). Production paths keep xxhash64 (one JVM hash
+    vs md5+conv+substr per shingle per bit-loop evaluation).
+
     Assembly detail: bits are packed via Horner's rule over two 32-bit
     halves (acc*2 + bit, high bits first) and combined with one
     shiftleft(·, 32). A single 64-bit Horner pass would overflow a
     signed long at the top bit under ANSI arithmetic; shifts are
     bitwise, not ANSI-checked, so the halved form is exact."""
-    hs = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    if portable:
+        def _h64(s):
+            hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+        hs = F.transform(F.col(shingle_col), _h64)
+    else:
+        hs = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
     # Per bit i: sign of Σ_shingles (2·bit_i(h) − 1) chooses the term
     # 2^i or 0; the fingerprint is the XOR-fold of the 64 terms. The
     # packing weight is looked up from a literal array INSIDE the same
@@ -459,21 +480,46 @@ def with_simhash(
     return df.withColumn(out, packed)
 
 
-def simhash_candidates(
-    df: DataFrame, id_col: str, simhash_col: str = "simhash", max_hamming: int = 3
+def pigeonhole_candidate_stream(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    min_chunk_bits: int = 8,
+    allow_dense: bool = False,
 ) -> DataFrame:
-    """Hamming-≤k candidate pairs by pigeonhole banding: split 64 bits
-    into k+1 chunks; any pair within distance k agrees on ≥1 full chunk.
-    Equi-join per chunk — no cross product. Returns (a, b, hamming).
+    """The RAW pigeonhole candidate stream — every (a, b, ha, hb) pair
+    some chunk equi-join emits, BEFORE the hamming filter and the
+    distinct. Exposed separately (r06, VERDICT #2) so scale tests can
+    measure what the join actually enumerates: the hamming filter runs
+    per enumerated pair, it does not prevent enumeration, so THIS
+    relation's size is the miner's true cost.
 
-    Chunks cover ALL 64 bits (widths of ⌈64/(k+1)⌉ then ⌊64/(k+1)⌋ as
-    the remainder runs out) — the recall guarantee only needs k+1
-    chunks, but full coverage keeps precision from collapsing when the
-    budget is large."""
+    Density guard: with k+1 chunks over 64 bits, a random unrelated
+    pair collides on some chunk with probability ≈ Σ_c 2^-width_c, and
+    the stream carries ~n²·p/2 rows — at the r05-shipped k=16 (3–4-bit
+    chunks) p ≈ 0.9, i.e. NEAR-QUADRATIC enumeration regardless of
+    corpus content. Chunk widths below ``min_chunk_bits`` (default 8 →
+    budgets ≤ 7) therefore raise, directing wide budgets to MinHash
+    banding, whose collision keys live in a 60-bit hash domain instead
+    of a ⌊64/(k+1)⌋-bit one. ``allow_dense=True`` overrides for
+    small-corpus diagnostics. Buckets stay sparse only while
+    n ≲ 2^width — at larger corpora narrow the budget or use MinHash
+    (SCALE.md §hamming-mining)."""
     chunks = max_hamming + 1
     if chunks > 64:
         raise ValueError("max_hamming must be ≤ 63 for a 64-bit simhash")
     base, rem = divmod(64, chunks)
+    if base < min_chunk_bits and not allow_dense:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {chunks} chunks of "
+            f"{base}-bit width over a 64-bit fingerprint — random pairs "
+            f"collide with p≈{chunks / 2.0 ** base:.2f} and the candidate "
+            "join degenerates toward all-pairs. Use a budget ≤ "
+            f"{64 // min_chunk_bits - 1}, or MinHash/LSH banding for "
+            "wide-radius mining (allow_dense=True overrides for "
+            "small-corpus diagnostics)."
+        )
     widths = [base + 1] * rem + [base] * (chunks - rem)
     offsets = [sum(widths[:i]) for i in range(chunks)]
     # signed-long masks: all-ones for a full-width chunk (2^64-1 doesn't
@@ -493,28 +539,48 @@ def simhash_candidates(
         ).alias("chunk", "chunk_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    # hamming filter BEFORE the distinct: the rowwise bit_count is
-    # nearly free, so dedup only ever sees qualifying pairs — at wide
-    # budgets (many narrow chunks) the raw candidate stream is orders
-    # of magnitude larger than the result
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("a"),
-            F.col(f"b.{id_col}").alias("b"),
-            F.col(f"a.{simhash_col}").alias("ha"),
-            F.col(f"b.{simhash_col}").alias("hb"),
-        )
-        .filter(
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
-        )
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("a"),
+        F.col(f"b.{id_col}").alias("b"),
+        F.col(f"a.{simhash_col}").alias("ha"),
+        F.col(f"b.{simhash_col}").alias("hb"),
     )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    min_chunk_bits: int = 8,
+    allow_dense: bool = False,
+) -> DataFrame:
+    """Hamming-≤k candidate pairs by pigeonhole banding: split 64 bits
+    into k+1 chunks; any pair within distance k agrees on ≥1 full chunk.
+    Equi-join per chunk — no cross product. Returns (a, b, hamming).
+
+    Chunks cover ALL 64 bits (widths of ⌈64/(k+1)⌉ then ⌊64/(k+1)⌋ as
+    the remainder runs out) — the recall guarantee only needs k+1
+    chunks, but full coverage keeps precision from collapsing when the
+    budget is large. Budgets whose chunk width would drop below
+    ``min_chunk_bits`` raise (see pigeonhole_candidate_stream — the
+    candidate join becomes near-quadratic); Manku et al. 2007 run 64-bit
+    simhash at k=3 for web-scale dedup, and every shipped consumer here
+    uses k ≤ 6."""
+    raw = pigeonhole_candidate_stream(
+        df, id_col, simhash_col, max_hamming, min_chunk_bits, allow_dense
+    )
+    # hamming filter BEFORE the distinct: the rowwise bit_count is
+    # nearly free, so dedup only ever sees qualifying pairs — the raw
+    # candidate stream is orders of magnitude larger than the result
+    pairs = raw.filter(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+    ).distinct()
     return (
         pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -527,30 +593,36 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str,
     n: int = 5,
-    max_hamming: int = 16,
+    max_hamming: int = 6,
     threshold: float = 0.9,
     cache: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash as the coarse filter of a verified near-dup pipeline:
     shingle → 64-bit simhash → pigeonhole candidates at hamming ≤
     ``max_hamming`` → exact jaccard verification ≥ ``threshold`` on
     candidates only. Same candidates-then-verify architecture as
-    ``minhash_near_duplicates``; returned values are exact jaccard, so
-    the result is oracle-checkable against the all-pairs baseline
-    whenever the hamming budget covers every qualifying pair.
+    ``minhash_near_duplicates``. The result is {pairs: hamming ≤ k AND
+    jaccard ≥ threshold} — the hamming gate is PART of the semantics
+    (with ``portable=True`` a DuckDB oracle re-derives both stages
+    bit-exactly; see catalog ``simhash_dedup``).
 
-    Budget choice: a simhash bit's sign margin is ~√n_shingles, so
-    short documents flip several bits per small edit — at jaccard 0.9
-    this corpus needs hamming ≤ 13 (measured); 16 leaves margin. At
-    64-bit scale a budget of k costs k+1 chunk equi-joins of width
-    ≥ ⌊64/(k+1)⌋ bits — still no cross product, but precision drops as
-    chunks narrow; MinHash/LSH is the better coarse filter for small
-    shingle sets, which is why both ship."""
+    Budget choice (r06, VERDICT #2): a simhash bit's sign margin is
+    ~√n_shingles, so ~100-token documents flip several bits per small
+    edit — measured hamming of jaccard-0.9 pairs on this corpus runs
+    to 8–12, so NO dense-safe budget covers every qualifying pair, and
+    the r05-shipped k=16 made the candidate join near-quadratic (3–4
+    bit chunks → random pairs collide at p≈0.9). k=6 keeps 9-bit
+    chunks (random collision p≈1.3%, ~70× fewer enumerated candidates)
+    and catches the near-identical mass simhash is actually for (Manku
+    et al. 2007 use k=3 at 64 bits); recall-complete wide-radius
+    mining is ``minhash_near_duplicates``' job, whose banding keys
+    live in a 60-bit domain."""
     sh0 = with_shingles(df, text_col, n)
     if cache:
         sh0 = sh0.persist()
     sh = sh0.select(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
-    sim = with_simhash(sh0, id_col, "shingles")
+    sim = with_simhash(sh0, id_col, "shingles", portable=portable)
     cands = simhash_candidates(sim, id_col, max_hamming=max_hamming).select("a", "b")
     out = _verify_jaccard_on_candidates(cands, sh, threshold)
     out._cached_deps = [sh0] if cache else []

@@ -889,7 +889,7 @@ def with_image_ahash(
 
 def image_near_duplicates(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 6,
     content_col: str = "content",
     path_col: str = "path",
 ) -> DataFrame:
@@ -975,7 +975,7 @@ def with_audio_fingerprint(
 
 def audio_near_duplicates(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 6,
     content_col: str = "content",
     path_col: str = "path",
 ) -> DataFrame:

@@ -186,6 +186,40 @@ def test_simhash_near_dups_contain_high_jaccard(spark, sf_dir):
         assert recall7 >= 0.7, f"hamming≤7 recall {recall7}"
 
 
+def test_simhash_portable_matches_python_reference(spark):
+    """r06: the portable md5-based simhash (the oracle-renderable
+    variant behind catalog simhash_dedup) matches a pure-Python
+    recomputation bit-for-bit — the determinism pin that justifies
+    re-deriving fingerprints in DuckDB."""
+    import hashlib
+
+    def py_simhash(shingles):
+        votes = [0] * 64
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            v = (int(h[0:8], 16) << 32) | int(h[8:16], 16)
+            for i in range(64):
+                votes[i] += 1 if (v >> i) & 1 else -1
+        f = 0
+        for i in range(64):
+            if votes[i] > 0:
+                f |= 1 << i
+        # interpret as signed 64-bit (Spark long)
+        return f - (1 << 64) if f >= (1 << 63) else f
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now"),
+         (3, "sphinx of black quartz judge my vow said the king")],
+        "doc_id long, text string",
+    )
+    sh = D.with_shingles(df, "text", n=3)
+    got = {r["doc_id"]: r["simhash"]
+           for r in D.with_simhash(sh, "doc_id", portable=True).collect()}
+    want = {r["doc_id"]: py_simhash(r["shingles"]) for r in sh.collect()}
+    assert got == want
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today"),
@@ -1294,10 +1328,10 @@ def test_image_near_duplicates_ahash(spark):
         ("d.jpg", bytearray(make_jpeg(16, 16))),               # undecodable
     ]
     df = spark.createDataFrame(rows, "path string, content binary")
-    out = M.image_near_duplicates(df, max_hamming=8)
+    out = M.image_near_duplicates(df, max_hamming=6)
     pairs = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
     assert ("a.png", "b.png") in pairs
-    assert pairs[("a.png", "b.png")] <= 8
+    assert pairs[("a.png", "b.png")] <= 6
     assert all("c.png" not in p for p in pairs)
     # hashes: None for the JPEG; Spark path matches a direct driver-side
     # recomputation (a real determinism check, not x == x — review r05)
@@ -1349,6 +1383,6 @@ def test_audio_near_duplicates_energy_fingerprint(spark):
     fps = {r["path"]: r["afp"] for r in M.with_audio_fingerprint(df).collect()}
     assert fps["a.wav"] == fps["b.wav"]  # volume-invariant
     pairs = {(r["a"], r["b"]): r["hamming"]
-             for r in M.audio_near_duplicates(df, max_hamming=8).collect()}
+             for r in M.audio_near_duplicates(df, max_hamming=6).collect()}
     assert pairs[("a.wav", "b.wav")] == 0
     assert all("c.wav" not in p for p in pairs)
