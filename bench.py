@@ -73,6 +73,8 @@ HEADLINE = [
     "jaccard_near_dups",
     "minhash_near_dups",
     "simhash_dedup",
+    "image_near_duplicates",
+    "audio_near_duplicates",
     "embedding_knn",
     "embedding_near_dup_exact",
     "ivf_knn",

@@ -269,11 +269,14 @@ def extract_image_features(df: DataFrame, content_col: str = "content", path_col
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 fmt, w, h = parse_image_header(data)
                 luma = _mean_luma(data) if fmt is not None else None
-                rows.append((r[path_col], len(data), fmt, w, h, luma))
+                rows.append((_p, len(data), fmt, w, h, luma))
             yield pd.DataFrame(
                 rows, columns=["path", "n_bytes", "format", "width", "height", "mean_luma"]
             )
@@ -340,13 +343,16 @@ def extract_audio_features(df: DataFrame, content_col: str = "content", path_col
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 sr, ch, bits, dur = parse_wav_header(data)
                 rms, peak, sil = (
                     decode_wav_samples(data) if sr is not None else (None, None, None)
                 )
-                rows.append((r[path_col], len(data), sr, ch, bits, dur, rms, peak, sil))
+                rows.append((_p, len(data), sr, ch, bits, dur, rms, peak, sil))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -452,12 +458,15 @@ def sample_gif_frames(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 for f in parse_gif_frames(data)[::every_n]:
                     rows.append(
                         (
-                            r[path_col],
+                            _p,
                             f["frame_idx"],
                             f["left"],
                             f["top"],
@@ -512,8 +521,11 @@ def sample_audio_windows(
         fs = 32768.0
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 try:
                     with _wave.open(_io.BytesIO(data), "rb") as w:
                         if w.getsampwidth() != 2:
@@ -531,7 +543,7 @@ def sample_audio_windows(
                         continue
                     rows.append(
                         (
-                            r[path_col],
+                            _p,
                             i,
                             round(i * win / (rate * ch), 6),
                             round(
@@ -578,14 +590,17 @@ def sample_frames(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 gif = parse_gif_frames(data)
                 if gif:
                     for f in gif[::stride]:
                         rows.append(
                             (
-                                r[path_col],
+                                _p,
                                 f["frame_idx"],
                                 data[
                                     f["byte_offset"] : f["byte_offset"]
@@ -613,7 +628,7 @@ def sample_frames(
                             for i in range(0, n_windows, stride):
                                 w.setpos(i * frames_per)
                                 wav_rows.append(
-                                    (r[path_col], i, w.readframes(frames_per))
+                                    (_p, i, w.readframes(frames_per))
                                 )
                         rows.extend(wav_rows)
                         continue
@@ -623,7 +638,7 @@ def sample_frames(
                 n_frames = max(-(-len(data) // frame_size), 1)
                 for i in range(0, n_frames, stride):
                     rows.append(
-                        (r[path_col], i, data[i * frame_size : (i + 1) * frame_size])
+                        (_p, i, data[i * frame_size : (i + 1) * frame_size])
                     )
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame_bytes"])
 
@@ -785,8 +800,11 @@ def resize_images(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 fmt, w, h = parse_image_header(data)
                 rgb = None
                 if fmt == "png":
@@ -804,7 +822,7 @@ def resize_images(
                     if rgb is not None
                     else None
                 )
-                rows.append((r[path_col], fmt, w, h, out_w, out_h, out))
+                rows.append((_p, fmt, w, h, out_w, out_h, out))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -878,10 +896,13 @@ def with_image_ahash(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
                 fmt, _, _ = parse_image_header(data)
-                rows.append((r[path_col], fmt, average_hash_64(data)))
+                rows.append((_p, fmt, average_hash_64(data)))
             yield pd.DataFrame(rows, columns=["path", "format", "ahash"])
 
     return df.select(path_col, content_col).mapInPandas(op, schema)
@@ -965,9 +986,12 @@ def with_audio_fingerprint(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[content_col]) if r[content_col] is not None else b""
-                rows.append((r[path_col], audio_fingerprint_64(data)))
+            # zip over the two columns, not iterrows(): iterrows
+            # materializes a pandas Series PER ROW — measured 2-5x
+            # overhead on large batches (VERDICT r05)
+            for _p, _c in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(_c) if _c is not None else b""
+                rows.append((_p, audio_fingerprint_64(data)))
             yield pd.DataFrame(rows, columns=["path", "afp"])
 
     return df.select(path_col, content_col).mapInPandas(op, schema)

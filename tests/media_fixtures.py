@@ -10,61 +10,10 @@ import wave
 import zlib
 
 
-def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(payload))
-        + ctype
-        + payload
-        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
-    )
-
-
-def make_png(
-    width: int,
-    height: int,
-    pixels: list[list[tuple[int, int, int]]] | None = None,
-    filter_type: int = 0,
-) -> bytes:
-    """8-bit RGB PNG. ``pixels`` = rows of (r, g, b); default all-black.
-    ``filter_type`` applies that PNG scanline filter to every row
-    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) — the encoder side of the
-    spec §9 math, so decoder tests can exercise each filter path."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    if pixels is None:
-        pixels = [[(0, 0, 0)] * width for _ in range(height)]
-    stride = width * 3
-    prev = bytes(stride)
-    raw = bytearray()
-    for row in pixels:
-        cur = bytes(v for px in row for v in px)
-        filt = bytearray(cur)
-        if filter_type == 1:
-            for i in range(stride - 1, 2, -1):
-                filt[i] = (cur[i] - cur[i - 3]) & 0xFF
-        elif filter_type == 2:
-            for i in range(stride):
-                filt[i] = (cur[i] - prev[i]) & 0xFF
-        elif filter_type == 3:
-            for i in range(stride):
-                left = cur[i - 3] if i >= 3 else 0
-                filt[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
-        elif filter_type == 4:
-            for i in range(stride):
-                a = cur[i - 3] if i >= 3 else 0
-                b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                filt[i] = (cur[i] - pred) & 0xFF
-        raw += bytes([filter_type]) + bytes(filt)
-        prev = cur
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+# moved to the library so catalog queries can build deterministic
+# synthetic corpora without importing tests (r06); re-exported here
+# so existing fixtures keep working
+from openetl_spark.operators.media_synth import _png_chunk, make_png, make_wav  # noqa: F401,E402
 
 
 def make_jpeg(width: int, height: int) -> bytes:
@@ -82,38 +31,6 @@ def make_jpeg(width: int, height: int) -> bytes:
 
 def make_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00" + b"\x3b"
-
-
-def make_wav(
-    sample_rate: int,
-    seconds: float,
-    channels: int = 1,
-    tone_hz: float | None = None,
-    amplitude: float = 0.5,
-) -> bytes:
-    """16-bit PCM WAV. Default payload is silence; ``tone_hz`` writes a
-    sine at ``amplitude`` (of full scale) so sample-decode features
-    (rms/peak) have known expected values."""
-    import math
-
-    n = int(sample_rate * seconds)
-    if tone_hz is None:
-        frames = bytes(n * 2 * channels)
-    else:
-        samples = [
-            int(amplitude * 32767 * math.sin(2 * math.pi * tone_hz * i / sample_rate))
-            for i in range(n)
-        ]
-        frames = b"".join(
-            struct.pack("<h", s) * channels for s in samples
-        )
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(channels)
-        w.setsampwidth(2)  # 16-bit
-        w.setframerate(sample_rate)
-        w.writeframes(frames)
-    return buf.getvalue()
 
 
 def make_animated_gif(
