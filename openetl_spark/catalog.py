@@ -4855,27 +4855,38 @@ def q_ngram_novelty(spark, sf_dir):
     doc's distinct 3-gram shingles whose FIRST occurrence (by doc id,
     i.e. arrival order) is this document. Novelty ≈ 0 marks documents
     whose content already exists earlier in the corpus — the cheap
-    streaming-dedup-lite signal between exact dedup and MinHash. Shape:
-    the same distinct-shingle relation the dedup family uses; first-
-    seen is one partial-agg min per gram; the re-join is gram-keyed and
-    rides AQE like every token-statistic join."""
+    streaming-dedup-lite signal between exact dedup and MinHash.
+
+    Shape (r06 rework, VERDICT #7): the r05 form re-joined the full
+    exploded gram relation against first-seen on the gram key — a
+    second corpus-scale pass through the shuffle. Now the exploded
+    relation is aggregated exactly twice and never revisited: per-doc
+    gram totals (doc-keyed partial agg) and per-gram first-seen
+    (gram-keyed partial agg, map-side combine absorbs the Zipf head);
+    novel-gram counts per doc then come from RE-AGGREGATING the
+    vocabulary-sized first-seen relation by its min-doc, and the final
+    join is doc-keyed between two doc-count-sized aggregates. (The
+    window form min(doc_id) OVER (PARTITION BY g) fuses shuffles but
+    materializes df(g)-sized window partitions — hot grams make that
+    the skew bottleneck at corpus scale; this shape has no
+    corpus-sized structure past the two partial aggs.)"""
     d = load(spark, sf_dir, "documents", spread=True)
     sh = D.with_shingles(d, "text", n=3).select(
         "doc_id", F.explode("shingles").alias("g")
     )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     first = sh.groupBy("g").agg(F.min("doc_id").alias("_first"))
-    return (
-        sh.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.round(
-                F.avg(
-                    F.when(F.col("_first") == F.col("doc_id"), 1.0).otherwise(0.0)
-                ),
-                4,
-            ).alias("novelty"),
-        )
+    novel = first.groupBy(F.col("_first").alias("doc_id")).agg(
+        F.count("*").alias("_novel")
+    )
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.coalesce(F.col("_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            4,
+        ).alias("novelty"),
     )
 
 
