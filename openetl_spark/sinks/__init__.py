@@ -16,6 +16,10 @@ from openetl_spark.sources.mongo import MongoSink
 
 register_sink("mongodb", MongoSink())
 
+from openetl_spark.sources.dbapi import DbApiSink
+
+register_sink("dbapi", DbApiSink())
+
 from openetl_spark.sinks.table_format import TableFormatSink
 
 register_sink("delta", TableFormatSink("delta"))

@@ -20,6 +20,10 @@ from openetl_spark.sources.gads import GoogleAdsSource
 
 register_source("google-ads", GoogleAdsSource())
 
+from openetl_spark.sources.dbapi import DbApiSource
+
+register_source("dbapi", DbApiSource())
+
 from openetl_spark.sources.services import register_all as _register_services
 
 _register_services()
