@@ -5992,13 +5992,13 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-5 rotation (VERDICT
-# r04 #3): slots go first to the three queries with NO driver row in
-# any CORRECTNESS record (declarative_star_join/_window_topn,
-# grouped_quantiles), then to the three de-vacuated rewrites
-# (DRIVER_RECHECK), then new r05 queries as they land, then the
-# documented refresh queue — every query whose LATEST driver row is
-# r02, oldest greens first. Deferred to round 6: the r03 pool.
+# entries of queries() in iteration order. Round-6 rotation (VERDICT
+# r05 #1): slots go first to the two new r06 queries (no driver row
+# anywhere), then every query whose code or oracle changed after its
+# r05 green (DRIVER_RECHECK), then the complete 21-entry r02 refresh
+# queue (after this round nothing has an r02-era latest green), then
+# the oldest r03 rows (TPC-H batch + extended function sweeps); the
+# remaining 26 r03 entries queue for r07 and are enumerated below.
 # Every query, windowed or not, is pinned every run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
@@ -6009,90 +6009,92 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # check. Prune entries from this set once the next CORRECTNESS record
 # re-greens them.
 DRIVER_RECHECK: set[str] = {
-    # r05 changes: all three of VERDICT r04's 0-row vacuous greens were
-    # re-scoped to non-empty result sets (query AND oracle), so their
-    # old green rows don't cover the current code.
-    "q20_dominant_supplier",   # ship-date window moved 1994→1995 (data starts 1995)
-    "join_anti",               # anti-join vs date-restricted orders (was empty complement)
-    "set_except",              # EXCEPT vs acctbal-filtered suppliers (was empty)
-    "q22_global_sales",        # cntry digit + 300k threshold (was empty at sf0.001)
-    "semantic_dedup",          # row-blocked in-cluster kernel (result-identical rewrite)
-    # r05 review: oracle jaccard thresholds now ROUND-then-compare
-    # (matching the Spark side's F.round(...,6) filter) — semantically
-    # null on this corpus but the oracle TEXT changed, so the old green
-    # rows don't cover the current oracles
+    # r06 changes (code or oracle text differs from what the r05 driver
+    # run greened):
+    "simhash_dedup",        # k=16→6 + portable fingerprints + NEW two-stage oracle
+    "pmi_collocations",     # n_bigrams normalized pre-min_count (true PMI), both engines
+    "langid_confusion",     # floor-fixed frac_of_lang rounding, both engines
+    "ann_recall_report",    # probe distances rounded to 6dp pre-argsort, both engines
+    "ngram_novelty",        # first-seen re-agg rewrite (result-identical plan change)
+    # oracle TEXT rewritten onto the consolidated jaccard_ctes() /
+    # _CLOSURE_CTES fragments (semantically identical renderings, but
+    # the r05 green rows checked the old SQL text):
     "jaccard_near_dups",
     "minhash_near_dups",
-    "simhash_dedup",
     "dedup_components",
     "dedup_keep_best",
     "curation_pipeline",
     "incremental_dedup",
+    "minhash_error_report",
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-checked (r01–r04 aggregate has no row) ---
-    "declarative_star_join",
-    "declarative_window_topn",
-    "grouped_quantiles",
-    # --- changed since their last driver row (DRIVER_RECHECK) ---
-    "q20_dominant_supplier",
-    "join_anti",
-    "set_except",
-    "q22_global_sales",
-    "semantic_dedup",
+    # --- r06 additions (no driver row yet) ---
+    "image_near_duplicates",
+    "audio_near_duplicates",
+    # --- changed since their r05 driver row (DRIVER_RECHECK) ---
+    "simhash_dedup",
+    "pmi_collocations",
+    "langid_confusion",
+    "ann_recall_report",
+    "ngram_novelty",
     "jaccard_near_dups",
     "minhash_near_dups",
-    "simhash_dedup",
     "dedup_components",
     "dedup_keep_best",
     "curation_pipeline",
     "incremental_dedup",
-    # --- r05 additions (no driver row yet). Each displaced one r02
-    # refresh slot; the 14 displaced r02 entries queue for the round-6
-    # rotation: decimal_agg, dedup_exact, doc_fingerprint,
-    # embedding_knn, join_full_outer, join_right, quality_score,
-    # schema_introspect, session_windows, sliding_counts,
-    # sql_passthrough, text_stats, tumbling_hourly, union_all_counts —
-    # then the 41-query r03 pool. All pinned locally every run. ---
-    "gopher_repetition",
-    "gopher_quality",
-    "pmi_collocations",
-    "ann_recall_report",
-    "temperature_sampling",
-    "gap_fill_interpolate",
-    "winnow_overlap",
-    "seasonal_anomalies",
-    "pq_recall_report",
-    "langid_confusion",
-    "embedding_winsorize",
-    "length_bias_audit",
     "minhash_error_report",
-    # --- refresh queue: every remaining query whose latest driver row
-    # is r02 (oldest greens; all pinned locally every run), then the
-    # oldest r03 row. Deferred to round 6: the rest of the r03 pool. ---
-    "connector_slice",
-    "filter_group_or",
-    "transform_chain",
-    "join_inner",
-    "join_left_agg",
-    "join_semi",
-    "join_cross",
-    "join_broadcast",
-    "range_join_events",
-    "asof_join_events",
-    "q1_pricing",
-    "q3_top_orders",
-    "q5_regional_revenue",
-    "agg_distinct",
-    "rollup_flags",
-    "cube_flags",
-    "grouping_sets",
-    "pivot_linestatus",
-    "window_rank",
-    "window_lag",
-    "window_frame",
-    "topk_orders",
+    # --- refresh queue: ALL 21 queries whose latest driver green is
+    # r02 (the oldest rows anywhere) — after this round nothing has an
+    # r02-era latest green ---
+    "array_funcs",
+    "date_funcs",
+    "decimal_agg",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_knn",
+    "join_full_outer",
+    "join_right",
+    "json_funcs",
+    "math_funcs",
+    "quality_score",
+    "schema_introspect",
+    "session_windows",
+    "set_intersect",
+    "set_union",
+    "sliding_counts",
+    "sql_passthrough",
+    "string_funcs",
+    "text_stats",
+    "tumbling_hourly",
+    "union_all_counts",
+    # --- then the oldest r03 rows: the TPC-H r03 batch + the extended
+    # function sweeps. Remaining r03 pool (26, queued for r07):
+    # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
+    # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
+    # percentile_exact, pii_redaction, q16_supplier_cnt,
+    # q17_small_quantity, q18_large_orders, q19_discounted_revenue,
+    # q21_waiting_supplier, rarity_score, regression_aggs,
+    # repetition_stats, scalar_subquery, stats_agg, stratified_sample,
+    # string_agg_nations, string_funcs_extended, unpivot_measures,
+    # value_histogram, vocab_topk, window_ranking_extras.
+    # All 153+2 pinned locally every pytest run regardless. ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_shipping_delay",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "pivot_dynamic",
+    "array_funcs_extended",
+    "date_funcs_extended",
 ]
 
 

@@ -57,10 +57,10 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-5 rotation: the never-checked trio and every DRIVER_RECHECK
+    # round-6 rotation: the two new queries and every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row) hold slots
-    for newcomer in ("declarative_star_join", "declarative_window_topn",
-                     "grouped_quantiles", *sorted(catalog.DRIVER_RECHECK)):
+    for newcomer in ("image_near_duplicates", "audio_near_duplicates",
+                     *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
     q = entry.queries()
