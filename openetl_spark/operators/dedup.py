@@ -588,6 +588,85 @@ def simhash_candidates(
     )
 
 
+def fingerprint_dedup_incremental(
+    index: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 6,
+    min_chunk_bits: int = 8,
+    allow_dense: bool = False,
+) -> DataFrame:
+    """Hamming near-dup pairs of NEW fingerprints against index ∪ new —
+    dedup-on-arrival for 64-bit perceptual fingerprints (aHash, audio
+    energy-delta, simhash), mirroring ``incremental_dedup``'s contract:
+    ONE tagged banding pass over index ∪ new, the candidate equi-join
+    probes NEW rows only, and index×index is never enumerated (those
+    pairs were mined when THEY arrived). Returns (a, b, hamming) with
+    b always a new row and a either an index row or an earlier new row
+    (a < b), so the union of per-batch results over an arrival
+    sequence is exactly the one-shot batch miner's pair set, each pair
+    once. Used by the streaming foreachBatch parity tests (r06,
+    VERDICT #8)."""
+    tag = "_is_new"
+    both = index.select(
+        F.col(id_col), F.col(fp_col), F.lit(False).alias(tag)
+    ).unionByName(
+        new.select(F.col(id_col), F.col(fp_col), F.lit(True).alias(tag))
+    )
+    chunks = max_hamming + 1
+    base, rem = divmod(64, chunks)
+    if base < min_chunk_bits and not allow_dense:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {chunks} chunks of "
+            f"{base}-bit width — see pigeonhole_candidate_stream"
+        )
+    widths = [base + 1] * rem + [base] * (chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+    masks = [-1 if w >= 64 else (1 << w) - 1 for w in widths]
+    banded = both.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.col(tag),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(fp_col), offsets[c])
+                    .bitwiseAND(F.lit(masks[c]))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.filter(F.col(tag)).alias("b")  # probe side: NEW rows only
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (
+                # (index, new) once, or (new, new) ordered a < b
+                (~F.col(f"a.{tag}") & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+                | (F.col(f"a.{tag}") & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.col(f"a.{fp_col}").alias("ha"),
+            F.col(f"b.{fp_col}").alias("hb"),
+        )
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming)
+        .distinct()
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -903,7 +903,19 @@ def with_image_ahash(
                 data = bytes(_c) if _c is not None else b""
                 fmt, _, _ = parse_image_header(data)
                 rows.append((_p, fmt, average_hash_64(data)))
-            yield pd.DataFrame(rows, columns=["path", "format", "ahash"])
+            # hash column as NULLABLE Int64, never inferred: a batch
+            # mixing a None (undecodable payload) with valid hashes
+            # would infer float64, silently rounding 64-bit
+            # fingerprints past 2^53 (found by the r06 streaming
+            # parity test — batch composition dependent, so the
+            # per-fixture tests never tripped it)
+            yield pd.DataFrame(
+                {
+                    "path": [r[0] for r in rows],
+                    "format": [r[1] for r in rows],
+                    "ahash": pd.array([r[2] for r in rows], dtype="Int64"),
+                }
+            )
 
     return df.select(path_col, content_col).mapInPandas(op, schema)
 
@@ -992,7 +1004,15 @@ def with_audio_fingerprint(
             for _p, _c in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(_c) if _c is not None else b""
                 rows.append((_p, audio_fingerprint_64(data)))
-            yield pd.DataFrame(rows, columns=["path", "afp"])
+            # nullable Int64, never inferred — see with_image_ahash:
+            # None + big ints in one batch infers float64 and rounds
+            # fingerprints past 2^53
+            yield pd.DataFrame(
+                {
+                    "path": [r[0] for r in rows],
+                    "afp": pd.array([r[1] for r in rows], dtype="Int64"),
+                }
+            )
 
     return df.select(path_col, content_col).mapInPandas(op, schema)
 

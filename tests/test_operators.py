@@ -1347,6 +1347,31 @@ def test_image_near_duplicates_ahash(spark):
     assert M.average_hash_64(bytes(broken)) is None
 
 
+def test_image_ahash_exact_in_mixed_null_batch(spark):
+    """r06 regression: when ONE Arrow batch carries both an undecodable
+    payload (None hash) and valid images, the hash column must stay
+    exact int64 — pandas inference made it float64 and silently rounded
+    fingerprints past 2^53 (caught by the streaming dedup-on-arrival
+    parity test; batch-composition dependent, so per-row fixtures never
+    tripped it)."""
+    from openetl_spark.operators import media_synth as MS
+
+    corpus = MS.synthetic_image_corpus()  # includes img/undecodable.jpg
+    df = spark.createDataFrame(
+        [(p, bytearray(b)) for p, b in corpus], "path string, content binary"
+    ).coalesce(1)  # force every row into one Arrow batch
+    got = {r["path"]: r["ahash"] for r in M.with_image_ahash(df).collect()}
+    for p, b in corpus:
+        assert got[p] == M.average_hash_64(bytes(b)), p
+    aud = MS.synthetic_audio_corpus()
+    adf = spark.createDataFrame(
+        [(p, bytearray(b)) for p, b in aud], "path string, content binary"
+    ).coalesce(1)
+    agot = {r["path"]: r["afp"] for r in M.with_audio_fingerprint(adf).collect()}
+    for p, b in aud:
+        assert agot[p] == M.audio_fingerprint_64(bytes(b)), p
+
+
 def test_audio_near_duplicates_energy_fingerprint(spark):
     """Energy-delta fingerprints over real 16-bit PCM: a clip and its
     volume-scaled copy are fingerprint-IDENTICAL (deltas compare, not
