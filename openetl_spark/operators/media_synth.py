@@ -124,6 +124,44 @@ def make_wav(
     return buf.getvalue()
 
 
+def make_bmp(width: int, height: int, pixels: list) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): rows stored
+    BOTTOM-UP, BGR order, padded to 4-byte boundaries — the layout
+    quirks decode_bmp_pixels must reverse. ``pixels`` = rows of
+    (r, g, b), top-down like make_png's."""
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(pixels):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += bytes(stride - len(line))  # row padding
+        body += line
+    pixel_off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off)
+    return header + info + bytes(body)
+
+
+def make_ppm(width: int, height: int, pixels: list, comment: str | None = None) -> bytes:
+    """Binary P6 PNM at maxval 255; optional header comment exercises
+    the '#'-skip path of the parser."""
+    hdr = b"P6\n"
+    if comment is not None:
+        hdr += b"# " + comment.encode() + b"\n"
+    hdr += f"{width} {height}\n255\n".encode()
+    return hdr + bytes(v for row in pixels for px in row for v in px)
+
+
+def make_pgm(width: int, height: int, gray_rows: list) -> bytes:
+    """Binary P5 (grayscale) PNM at maxval 255."""
+    return f"P5\n{width} {height}\n255\n".encode() + bytes(
+        v for row in gray_rows for v in row
+    )
+
+
 def _bits64(seed: str) -> list[int]:
     """64 deterministic bits from md5(seed), MSB-first, guaranteed
     non-degenerate (at least one 0 and one 1)."""

@@ -95,7 +95,132 @@ def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]
                 return "jpeg", w, h
             i += 2 + seglen
         return "jpeg", None, None
+    if data[:2] == b"BM":  # BMP (r06): BITMAPINFOHEADER dims
+        if len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return "bmp", w, abs(h)  # negative height = top-down rows
+        return "bmp", None, None
+    if data[:2] in (b"P6", b"P5") and len(data) > 2 and data[2:3].isspace():
+        dims = _ppm_header(data)
+        if dims is not None:
+            _, w, h, _, _ = dims
+            return "ppm", w, h
+        return "ppm", None, None
     return None, None, None
+
+
+def _ppm_header(data: bytes):
+    """Parse a PNM P5/P6 header: (magic, width, height, maxval,
+    pixel_offset). Whitespace-separated tokens with '#' comments per
+    the Netpbm spec; None on malformed headers."""
+    magic = data[:2]
+    i, tokens = 2, []
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(data) and data[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        return None
+    # exactly one whitespace byte separates maxval from pixel data
+    return magic, w, h, maxval, i + 1
+
+
+def decode_ppm_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
+    """REAL stdlib PNM decode (r06): binary P6 (RGB) and P5 (gray) at
+    maxval ≤ 255 — (width, height, channels, pixels) row-major
+    top-down, same contract as decode_png_pixels. The simplest real
+    raster container; None outside the 8-bit binary envelope."""
+    hdr = _ppm_header(data)
+    if hdr is None:
+        return None
+    magic, w, h, maxval, off = hdr
+    if maxval > 255:
+        return None
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    px = data[off : off + need]
+    if len(px) != need:
+        return None
+    return w, h, ch, bytearray(px)
+
+
+def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
+    """REAL stdlib BMP decode (r06): uncompressed (BI_RGB) 24-bit
+    BITMAPINFOHEADER bitmaps — (width, height, 3, pixels) row-major
+    top-down RGB. Handles the format's two layout quirks: rows are
+    stored BOTTOM-UP (unless height is negative) and padded to 4-byte
+    boundaries, and samples are BGR order. None outside that envelope
+    (paletted, 16/32-bit, RLE — codec-library territory)."""
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. out of scope
+        return None
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    planes, bits = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if w <= 0 or h_raw == 0 or planes != 1 or bits != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(data) < pixel_off + stride * h:
+        return None
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        # bottom-up storage: first stored row is the BOTTOM scanline
+        y = (h - 1 - row) if h_raw > 0 else row
+        base = pixel_off + row * stride
+        for x in range(w):
+            b, g, r = data[base + 3 * x : base + 3 * x + 3]
+            o = (y * w + x) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return w, h, 3, out
+
+
+def decode_image_rgb(data: bytes):
+    """Unified pixel dispatch: (width, height, rgb_bytes) for every
+    format with a real in-repo decoder (PNG, GIF first frame, BMP,
+    PPM/PGM); None otherwise (JPEG pixels stay codec territory). The
+    single integration point the aHash / resize / mean-luma paths
+    share."""
+    fmt, _, _ = parse_image_header(data)
+    if fmt == "png":
+        dec = decode_png_pixels(data)
+        if dec is not None:
+            w, h, ch, px = dec
+            return w, h, _to_rgb(px, ch)
+    elif fmt == "gif":
+        dec = decode_gif_pixels(data)
+        if dec is not None:
+            w, h, px = dec
+            return w, h, _to_rgb(px, 3)
+    elif fmt == "bmp":
+        dec = decode_bmp_pixels(data)
+        if dec is not None:
+            w, h, ch, px = dec
+            return w, h, _to_rgb(px, ch)
+    elif fmt == "ppm":
+        dec = decode_ppm_pixels(data)
+        if dec is not None:
+            w, h, ch, px = dec
+            return w, h, _to_rgb(px, ch)
+    return None
 
 
 def parse_wav_header(
@@ -201,12 +326,13 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
 
 
 def _mean_luma(data: bytes) -> float | None:
-    """Mean luminance in [0, 1]. PNGs decode for REAL with the stdlib
-    decoder above and GIF first frames with the stdlib LZW decoder
-    (ITU-R 601-2 integer luma, the same formula PIL's convert('L')
-    uses, so all paths agree). Remaining formats (JPEG — an entropy
-    decoder is codec territory) fall back to PIL, import-guarded: with
-    PIL absent (this container) they yield NULL (STUB)."""
+    """Mean luminance in [0, 1]. PNG (zlib+filters), GIF first frame
+    (LZW), BMP (24-bit BI_RGB), and PNM P5/P6 all decode for REAL with
+    the stdlib decoders (ITU-R 601-2 integer luma, the same formula
+    PIL's convert('L') uses, so all paths agree). Remaining formats
+    (JPEG — an entropy decoder is codec territory) fall back to PIL,
+    import-guarded: with PIL absent (this container) they yield NULL
+    (STUB)."""
     decoded = decode_png_pixels(data) if data[:4] == b"\x89PNG" else None
     if decoded is not None:
         width, height, channels, px = decoded
@@ -233,6 +359,20 @@ def _mean_luma(data: bytes) -> float | None:
             (px[i] * 299 + px[i + 1] * 587 + px[i + 2] * 114) // 1000
             for i in range(0, len(px), 3)
         )
+        return round(total / (255.0 * n), 6)
+    if data[:2] == b"BM" or data[:2] in (b"P6", b"P5"):
+        # r06: real stdlib BMP / PNM decoders — same integer luma
+        dec = decode_image_rgb(data)
+        if dec is None:
+            return None
+        width, height, px = dec
+        n = width * height
+        if n == 0:
+            return None
+        import numpy as np
+
+        a = np.asarray(px, dtype=np.int64)
+        total = int(((a[:, 0] * 299 + a[:, 1] * 587 + a[:, 2] * 114) // 1000).sum())
         return round(total / (255.0 * n), 6)
     try:
         from PIL import Image  # noqa: F401
@@ -806,22 +946,12 @@ def resize_images(
             for _p, _c in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(_c) if _c is not None else b""
                 fmt, w, h = parse_image_header(data)
-                rgb = None
-                if fmt == "png":
-                    dec = decode_png_pixels(data)
-                    if dec is not None:
-                        dw, dh, ch, px = dec
-                        rgb, w, h = _to_rgb(px, ch), dw, dh
-                elif fmt == "gif":
-                    dec = decode_gif_pixels(data)
-                    if dec is not None:
-                        dw, dh, px = dec
-                        rgb, w, h = _to_rgb(px, 3), dw, dh
-                out = (
-                    bytearray(resize_rgb(rgb, w, h, out_w, out_h))
-                    if rgb is not None
-                    else None
-                )
+                dec = decode_image_rgb(data)  # png/gif/bmp/ppm dispatch
+                if dec is not None:
+                    w, h, rgb = dec
+                    out = bytearray(resize_rgb(rgb, w, h, out_w, out_h))
+                else:
+                    out = None
                 rows.append((_p, fmt, w, h, out_w, out_h, out))
             yield pd.DataFrame(
                 rows,
@@ -840,7 +970,9 @@ def average_hash_64(data: bytes) -> int | None:
     8×8 → one bit per cell, set when the cell is ≥ the 64-cell mean.
     Small edits (compression, light crops, color shifts) move a few
     bits; unrelated images differ in ~32 — so hamming distance is the
-    near-dup signal. Pure stdlib+numpy over the real PNG/GIF decoders;
+    near-dup signal. Pure stdlib+numpy over the real PNG/GIF/BMP/PNM
+    decoders (one dispatch, decode_image_rgb — identical pixels hash
+    identically across containers);
     undecodable inputs (JPEG entropy data, …) return None. Bit order:
     row-major, MSB first (bit 63 = top-left cell) — fixed so hashes are
     comparable across runs and engines."""
@@ -851,21 +983,12 @@ def average_hash_64(data: bytes) -> int | None:
     # None like unsupported formats do — an uncaught decoder exception
     # inside mapInPandas would abort the whole job (review finding r05)
     try:
-        fmt, _, _ = parse_image_header(data)
-        rgb = None
-        if fmt == "png":
-            dec = decode_png_pixels(data)
-            if dec is not None:
-                w, h, ch, px = dec
-                rgb = _to_rgb(px, ch).reshape(h, w, 3)
-        elif fmt == "gif":
-            dec = decode_gif_pixels(data)
-            if dec is not None:
-                w, h, px = dec
-                rgb = np.asarray(_to_rgb(px, 3), dtype=np.uint8).reshape(h, w, 3)
+        dec = decode_image_rgb(data)  # png/gif/bmp/ppm dispatch
+        if dec is None:
+            return None
+        w, h, px = dec  # px: (w·h)×3 uint8 array from _to_rgb
+        rgb = np.asarray(px, dtype=np.uint8).reshape(h, w, 3)
     except Exception:
-        return None
-    if rgb is None:
         return None
     small = np.frombuffer(
         resize_rgb(np.asarray(rgb, dtype=np.uint8).reshape(-1, 3),

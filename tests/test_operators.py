@@ -1347,6 +1347,62 @@ def test_image_near_duplicates_ahash(spark):
     assert M.average_hash_64(bytes(broken)) is None
 
 
+def test_bmp_ppm_decoders_roundtrip_and_cross_format_ahash(spark):
+    """r06 (VERDICT #9): real stdlib BMP (bottom-up, BGR, padded rows)
+    and PNM P5/P6 pixel decoders, wired through the shared
+    decode_image_rgb dispatch — identical pixels must produce an
+    IDENTICAL aHash regardless of container, and the resize path must
+    yield non-null fixed-size payloads for the new formats."""
+    from openetl_spark.operators import media_synth as MS
+
+    # width 3 → BMP stride pads 9 → 12 bytes: the padding path is live
+    px = [[(10 * y + x, 200 - 10 * x, 7 * y) for x in range(3)] for y in range(5)]
+    bmp = MS.make_bmp(3, 5, px)
+    fmt, w, h = M.parse_image_header(bmp)
+    assert (fmt, w, h) == ("bmp", 3, 5)
+    dw, dh, ch, flat = M.decode_bmp_pixels(bmp)
+    assert (dw, dh, ch) == (3, 5, 3)
+    assert list(flat[:3]) == list(px[0][0])          # top-left, RGB order
+    assert list(flat[-3:]) == list(px[-1][-1])        # bottom-right
+    ppm = MS.make_ppm(3, 5, px, comment="a comment # tricky")
+    assert M.parse_image_header(ppm) == ("ppm", 3, 5)
+    assert bytes(M.decode_ppm_pixels(ppm)[3]) == bytes(flat)
+    pgm = MS.make_pgm(4, 2, [[0, 60, 120, 255], [10, 20, 30, 40]])
+    gw, gh, gch, gflat = M.decode_ppm_pixels(pgm)
+    assert (gw, gh, gch) == (4, 2, 1) and list(gflat) == [0, 60, 120, 255, 10, 20, 30, 40]
+
+    # cross-format hash consistency on a real aHash pattern
+    bits = MS._bits64("bmp-ppm-parity")
+    pat = [
+        [((200, 200, 200) if bits[(y // 2) * 8 + (x // 2)] else (50, 50, 50))
+         for x in range(16)]
+        for y in range(16)
+    ]
+    h_png = M.average_hash_64(MS.make_png(16, 16, pat))
+    h_bmp = M.average_hash_64(MS.make_bmp(16, 16, pat))
+    h_ppm = M.average_hash_64(MS.make_ppm(16, 16, pat))
+    assert h_png == h_bmp == h_ppm and h_png is not None
+    # mean luma agrees across containers too
+    assert M._mean_luma(MS.make_bmp(16, 16, pat)) == M._mean_luma(MS.make_png(16, 16, pat))
+    assert M._mean_luma(MS.make_ppm(16, 16, pat)) == M._mean_luma(MS.make_png(16, 16, pat))
+
+    # corrupt payloads: truncated pixel data → None, not a crash
+    assert M.decode_bmp_pixels(bmp[:40]) is None
+    assert M.decode_ppm_pixels(ppm[:10]) is None
+    assert M.average_hash_64(bmp[:40]) is None
+
+    # Spark resize path covers the new formats
+    df = spark.createDataFrame(
+        [("a.bmp", bytearray(MS.make_bmp(16, 16, pat))),
+         ("b.ppm", bytearray(MS.make_ppm(16, 16, pat)))],
+        "path string, content binary",
+    )
+    out = {r["path"]: r for r in M.resize_images(df, 8, 8).collect()}
+    assert out["a.bmp"]["pixels"] is not None and len(out["a.bmp"]["pixels"]) == 8 * 8 * 3
+    assert bytes(out["a.bmp"]["pixels"]) == bytes(out["b.ppm"]["pixels"])
+    assert out["a.bmp"]["format"] == "bmp" and out["b.ppm"]["format"] == "ppm"
+
+
 def test_image_ahash_exact_in_mixed_null_batch(spark):
     """r06 regression: when ONE Arrow batch carries both an undecodable
     payload (None hash) and valid images, the hash column must stay
