@@ -201,8 +201,18 @@ def main() -> None:
     # pruned codes-only scan + ADC).
     catalog._ivf_pq_layout(spark, SF_DIR)
 
+    # Full-catalog coverage (VERDICT r05 #10): every catalog query gets
+    # measured — the headline set first (its sum stays the
+    # baseline-comparable metric), then the remaining tail so no query
+    # family goes unmeasured in BENCH_DETAIL. Headline-only mode via
+    # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 for quick local iteration.
+    tail = [n for n in catalog.QUERIES if n not in HEADLINE]
+    names = list(HEADLINE)
+    if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        names += tail
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = catalog.QUERIES[name]
         first = _run_once(fn, spark)
         if first < MEDIAN_CUTOFF_SEC:
@@ -215,13 +225,16 @@ def main() -> None:
         print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     payload = {
         "metric": "catalog_headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": headline_total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "n_queries": len(timings),
+        "n_queries": len([n for n in HEADLINE if n in timings]),
+        "full_total_sec": round(sum(timings.values()), 3),
+        "n_queries_full": len(timings),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

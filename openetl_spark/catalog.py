@@ -1,5993 +1,82 @@
-"""Query catalog: every operator class from SURVEY.md §2 as a named
-(spark_query, duckdb_oracle) pair over the /root/testdata tables.
+"""Query catalog — the engine's public demonstration surface AND the
+correctness contract: the driver runs each ``QUERIES[name](spark,
+sf_dir)`` against ``ORACLE[name]`` (DuckDB, same parquet) and
+hash-matches values with columns sorted by name.
 
-This is the engine's public demonstration surface AND the correctness
-contract: the driver runs each ``QUERIES[name](spark, sf_dir)`` against
-``ORACLE[name]`` (DuckDB, same parquet) and hash-matches values with
-columns sorted by name — so every computed column is aliased
-identically on both sides, floats are rounded where recomputed, and
-every LIMIT query carries a unique total ordering (ties broken by key)
-so result-set membership is deterministic across engines.
+r06 (VERDICT r05 #6): the 6.1k-line monolith is split into per-family
+modules under ``openetl_spark/queries/`` — importing THIS module loads
+them in the original registration order, so ``QUERIES``/``ORACLE``
+iteration order, every query name, and every oracle rendering are
+byte-identical to the pre-split catalog. This module remains the only
+import surface (``from openetl_spark import catalog``); the family
+modules are implementation layout.
 
-Sections: A-series (reference's real surface: connector slice,
-transforms), C1-C19 (relational), C20-C24 (windowed/sessionized event
-analytics — batch-checkable forms; true streaming lives in
-openetl_spark/streaming), C25 (pandas UDF), C26-C29 (dedup /
-similarity / text).
+Families: queries/relational (A-series, C1-C25), queries/dedup_text
+(C26-C29 + shared jaccard/simhash oracle fragments),
+queries/relational_extra (B-series, TPC-H depth, IVF layout),
+queries/curation (r04 curation), queries/tpch_r05, queries/
+warehouse_ann (PQ/declarative/warehouse), queries/lm_dedup (LM stats,
+eval harnesses, incremental/semantic dedup), queries/media_mining
+(r06 multimodal mining). Shared kernel (registries, @query, load):
+queries/base.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window as W
-from pyspark.sql import functions as F
-
-from openetl_spark.operators import curation as C
-from openetl_spark.operators import dedup as D
-from openetl_spark.operators import joins as J
-from openetl_spark.operators import similarity as S
-from openetl_spark.operators import text as X
-from openetl_spark.operators import timeseries as TS
-from openetl_spark.plans.compiler import compile_connector
-from openetl_spark.spec import Connector, Filter, FilterGroup, Sort, Transformation
-
-
-_LOAD_CACHE: dict[tuple, DataFrame] = {}
-
-
-def load(
-    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
-) -> DataFrame:
-    """Read one testdata table. ``spread=True`` requests fan-out for
-    heavy per-row operators (shingling, hashing, vector math): the
-    local testdata tables are single-row-group parquet files whose
-    scans land on one task. The repartition is CONDITIONAL on the scan
-    actually being starved (natural partitions below the session's
-    parallelism) — a production table's thousands of file splits
-    already provide the fan-out, and the extra full-data shuffle would
-    be pure waste at 100 TB (SCALE.md known-compromise #1, closed
-    r05).
-
-    Base relations are memoized per (session, sf_dir, table, spread)
-    (VERDICT r03 #10): DataFrames are immutable plans, so reuse is
-    free, and without it every catalog invocation re-runs parquet file
-    listing, schema resolution, and the events timestamp sniff — fixed
-    planning cost that dominated the sub-second band of the local
-    bench. Testdata is immutable for a session's lifetime."""
-    key = (spark.sparkContext.applicationId, sf_dir, table, spread)
-    hit = _LOAD_CACHE.get(key)
-    if hit is not None:
-        return hit
-    _LOAD_CACHE[key] = df = _load_uncached(spark, sf_dir, table, spread)
-    return df
-
-
-def _load_uncached(
-    spark: SparkSession, sf_dir: str, table: str, spread: bool
-) -> DataFrame:
-    if spread:
-        df = load(spark, sf_dir, table)
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() >= target:
-            return df
-        return df.repartition(target)
-    if table == "events":
-        # Generator versions differ on events.ts: some write
-        # TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
-        # nanos as long and truncate to Spark's native microseconds),
-        # newer ones write TIMESTAMP(MICROS) directly. Sniff the
-        # physical type and normalize both to timestamp_ntz so every
-        # downstream query sees one schema.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-            )
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
-
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
-
-
-# =====================================================================
-# A-series — the reference's real surface
-# =====================================================================
-
-@query(
-    "connector_slice",
-    """
-    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
-    FROM lineitem
-    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity > 30
-    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-    LIMIT 100
-    """,
-)
-def q_connector_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4-A9: the compiled Connector (project/filter/sort/limit) — the
-    reference's entire query capability in one spec
-    (`/root/reference/src/types.ts:242-264`)."""
-    c = Connector(
-        adapter_id="parquet",
-        endpoint_id=f"{sf_dir}/lineitem.parquet",
-        fields=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
-        filters=[
-            Filter("l_discount", "between", (0.05, 0.07)),
-            Filter("l_quantity", ">", 30),
-        ],
-        sort=[
-            Sort("l_extendedprice", "desc"),
-            Sort("l_orderkey", "asc"),
-            Sort("l_linenumber", "asc"),
-        ],
-        limit=100,
-    )
-    return compile_connector(spark, c)
-
-
-@query(
-    "filter_group_or",
-    """
-    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
-    FROM customer
-    WHERE c_mktsegment = 'BUILDING' OR c_acctbal > 9000
-    """,
-)
-def q_filter_group_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter groups with OR — declared-but-disabled in the reference
-    (SURVEY.md §2A.1), native here."""
-    c = Connector(
-        adapter_id="parquet",
-        endpoint_id=f"{sf_dir}/customer.parquet",
-        fields=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
-        filters=[
-            FilterGroup(
-                op="OR",
-                filters=[Filter("c_mktsegment", "=", "BUILDING"), Filter("c_acctbal", ">", 9000)],
-            )
-        ],
-    )
-    return compile_connector(spark, c)
-
-
-@query(
-    "transform_chain",
-    """
-    SELECT
-      c_custkey,
-      upper(coalesce(CAST(c_name AS VARCHAR), '')) AS name_up,
-      concat_ws('|', nullif(CAST(c_name AS VARCHAR), ''), nullif(CAST(c_mktsegment AS VARCHAR), '')) AS tag,
-      concat('seg-', CASE WHEN c_mktsegment IS NULL OR c_mktsegment = ''
-                          THEN '' ELSE c_mktsegment END) AS seg_pref,
-      CASE WHEN regexp_extract(c_name, '#(\\d+)', 1) <> ''
-           THEN regexp_extract(c_name, '#(\\d+)', 1)
-           ELSE regexp_extract(c_name, '#(\\d+)', 0) END AS cust_num,
-      round(CAST(CASE WHEN isnan(CAST(c_acctbal AS DOUBLE)) THEN 0.0
-                      ELSE coalesce(CAST(c_acctbal AS DOUBLE), 0.0) END AS DOUBLE), 2) AS bal_num
-    FROM customer
-    """,
-)
-def q_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10-A17 transform chain in strict JS-compat mode; the oracle
-    reproduces the JS falsy semantics in SQL (reference behavior:
-    `/root/reference/src/utils/transform.ts:14-181`)."""
-    c = Connector(
-        adapter_id="parquet",
-        endpoint_id=f"{sf_dir}/customer.parquet",
-        transform=[
-            Transformation("uppercase", {"field": "c_name", "to": "name_up"}),
-            Transformation(
-                "concat", {"properties": ["c_name", "c_mktsegment"], "glue": "|", "to": "tag"}
-            ),
-            Transformation("addPrefix", {"field": "c_mktsegment", "prefix": "seg-", "to": "seg_pref"}),
-            Transformation("extract", {"field": "c_name", "pattern": r"#(\d+)", "to": "cust_num"}),
-            Transformation("toNumber", {"field": "c_acctbal", "to": "bal_num"}),
-        ],
-    )
-    df = compile_connector(spark, c, strict_js_compat=True)
-    return df.select(
-        "c_custkey", "name_up", "tag", "seg_pref", "cust_num", F.round("bal_num", 2).alias("bal_num")
-    )
-
-
-# =====================================================================
-# C1-C6 — joins
-# =====================================================================
-
-@query(
-    "join_inner",
-    """
-    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_acctbal > 5000
-    """,
-)
-def q_join_inner(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
-    return o.join(c, o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
-    )
-
-
-@query(
-    "join_left_agg",
-    """
-    SELECT c.c_custkey, c.c_name,
-           CAST(count(o.o_orderkey) AS BIGINT) AS order_count,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
-    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey, c.c_name
-    """,
-)
-def q_join_left_agg(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("order_count"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
-        )
-    )
-
-
-@query(
-    "join_semi",
-    """
-    SELECT c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-    """,
-)
-def q_join_semi(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "join_anti",
-    """
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderdate >= DATE '2000-01-01')
-    """,
-)
-def q_join_anti(spark, sf_dir):
-    # "customers with no orders since 2000" — the date restriction keeps
-    # the anti-join NON-vacuous (every customer has *some* order in the
-    # generated data, so the unrestricted complement is empty at all SFs).
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@query(
-    "join_cross",
-    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
-)
-def q_join_cross(spark, sf_dir):
-    return load(spark, sf_dir, "region").crossJoin(load(spark, sf_dir, "nation")).select(
-        "r_name", "n_name"
-    )
-
-
-@query(
-    "join_broadcast",
-    """
-    SELECT p.p_brand,
-           CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_quantity), 2) AS sum_qty
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY p.p_brand
-    """,
-)
-def q_join_broadcast(spark, sf_dir):
-    """C2: explicit broadcast hint — the dimension side ships to every
-    executor, no shuffle of the 100 TB fact table."""
-    l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-    )
-
-
-@query(
-    "range_join_events",
-    """
-    SELECT a.user_id, CAST(count(*) AS BIGINT) AS pair_count
-    FROM events a JOIN events b
-      ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-    GROUP BY a.user_id
-    """,
-)
-def q_range_join_events(spark, sf_dir):
-    """C4: range join via the bucketed equi-join strategy (1-hour
-    buckets on epoch seconds), not a BNLJ."""
-    e = load(spark, sf_dir, "events")
-    a = e.select(F.col("user_id"), F.col("ts").alias("a_ts"), F.col("event_id").alias("a_id"))
-    b = e.select(
-        F.col("user_id"),
-        F.col("ts").alias("b_ts"),
-        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("b_lo"),
-    )
-    # user_id in the equi-key: bucket-only joining would materialize all
-    # cross-user pairs per hour bucket (~128x the candidate volume here)
-    joined = J.range_join(
-        a,
-        b,
-        on=["user_id"],
-        left_point="a_ts",
-        right_lo="b_lo",
-        right_hi="b_ts",
-        bucket_width=3600,
-    ).filter(F.col("b_ts") > F.col("a_ts"))
-    return joined.groupBy(a["user_id"]).agg(F.count("*").alias("pair_count"))
-
-
-@query(
-    "asof_join_events",
-    """
-    SELECT p.event_id,
-           date_trunc('second',
-             (SELECT max(b.ts) FROM events b
-              WHERE b.user_id = p.user_id AND b.event_type = 'click' AND b.ts <= p.ts))
-             AS ts_asof
-    FROM events p WHERE p.event_type = 'purchase'
-    """,
-)
-def q_asof_join_events(spark, sf_dir):
-    """C5: as-of join — nearest prior 'click' for each 'purchase', per
-    user. Union+window plan: one shuffle, no range-join blowup."""
-    e = load(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts")
-    )
-    joined = J.asof_join(
-        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts", value_cols=[]
-    )
-    return joined.select(
-        "event_id", F.date_trunc("second", "click_ts_asof").cast("timestamp_ntz").alias("ts_asof")
-    )
-
-
-# =====================================================================
-# C7-C14 — aggregation, windows, set ops, top-k
-# =====================================================================
-
-@query(
-    "q1_pricing",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           CAST(count(*) AS BIGINT)                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q_q1_pricing(spark, sf_dir):
-    """C7: TPC-H Q1 shape — partial aggregation map-side, one shuffle on
-    the (tiny) group key."""
-    l = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@query(
-    "q3_top_orders",
-    """
-    SELECT o.o_orderkey, o.o_orderdate,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
-    GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def q_q3_top_orders(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-@query(
-    "q5_regional_revenue",
-    """
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM region r
-    JOIN nation n   ON n.n_regionkey = r.r_regionkey
-    JOIN customer c ON c.c_nationkey = n.n_nationkey
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-)
-def q_q5_regional_revenue(spark, sf_dir):
-    """C1+C2: multi-way star join. The two dimension chains
-    (region→nation, supplier) broadcast; only fact tables shuffle."""
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = load(spark, sf_dir, "nation")
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    l = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
-        )
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-        )
-    )
-
-
-@query(
-    "agg_distinct",
-    """
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           round(avg(o_totalprice), 2) AS avg_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_agg_distinct(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-        )
-    )
-
-
-@query(
-    "rollup_flags",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup_flags(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-    )
-
-
-@query(
-    "cube_flags",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q_cube_flags(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
-    )
-
-
-@query(
-    "grouping_sets",
-    """
-    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def q_grouping_sets(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem")
-    l.createOrReplaceTempView("gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n
-        FROM gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-@query(
-    "pivot_linestatus",
-    """
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_pivot_linestatus(spark, sf_dir):
-    piv = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
-    )
-    return piv.select(
-        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
-    )
-
-
-@query(
-    "window_rank",
-    """
-    SELECT * FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             CAST(row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-      FROM orders) t
-    WHERE rn <= 3
-    """,
-)
-def q_window_rank(spark, sf_dir):
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        load(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "window_lag",
-    """
-    SELECT event_id, user_id, value,
-           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
-    FROM events
-    """,
-)
-def q_window_lag(spark, sf_dir):
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    e = load(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-    )
-
-
-@query(
-    "window_frame",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_total
-    FROM orders
-    """,
-)
-def q_window_frame(spark, sf_dir):
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return load(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-@query(
-    "topk_orders",
-    """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
-def q_topk_orders(spark, sf_dir):
-    """C13: planned as TakeOrderedAndProject — per-partition top-k then
-    driver merge, never a global sort."""
-    return (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-@query(
-    "set_union",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q_set_union(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@query(
-    "set_intersect",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q_set_intersect(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@query(
-    "set_except",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
-    """,
-)
-def q_set_except(spark, sf_dir):
-    # Nations with customers but no high-balance supplier. The acctbal
-    # filter keeps EXCEPT non-vacuous (every customer nation has *a*
-    # supplier in the generated data, so the unfiltered form is empty).
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 5000)
-        .select(F.col("s_nationkey").alias("nationkey"))
-    )
-    # subtract == SQL EXCEPT (distinct semantics; exceptAll is bag-wise)
-    return c.subtract(s)
-
-
-# =====================================================================
-# C15-C19 — scalar function library
-# =====================================================================
-
-@query(
-    "string_funcs",
-    """
-    SELECT c_custkey,
-           upper(c_name)                             AS name_up,
-           lower(c_mktsegment)                       AS seg_lo,
-           substr(c_name, 1, 8)                      AS name_prefix,
-           length(c_name)                            AS name_len,
-           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-           replace(c_name, 'Customer#', 'C')         AS name_short,
-           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
-    FROM customer
-    """,
-)
-def q_string_funcs(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("name_up"),
-        F.lower("c_mktsegment").alias("seg_lo"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
-        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
-        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
-    )
-
-
-@query(
-    "date_funcs",
-    """
-    SELECT date_trunc('month', o_orderdate) AS order_month,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(min(CAST(year(o_orderdate) AS INT)) AS INT) AS order_year,
-           CAST(max(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS INT)
-             AS max_days_since_95
-    FROM orders GROUP BY 1
-    """,
-)
-def q_date_funcs(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.min(F.year("o_orderdate")).cast("int").alias("order_year"),
-            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")))
-            .cast("int")
-            .alias("max_days_since_95"),
-        )
-    )
-
-
-@query(
-    "math_funcs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
-           round(abs(l_discount - 0.05), 4)  AS disc_dev,
-           round(power(l_quantity, 2), 2)    AS qty_sq,
-           round(sqrt(l_extendedprice), 4)   AS price_sqrt,
-           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
-           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil
-    FROM lineitem WHERE l_orderkey <= 1000
-    """,
-)
-def q_math_funcs(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
-        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.floor("l_quantity").cast("long").alias("qty_floor"),
-        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
-    )
-
-
-@query(
-    "array_funcs",
-    """
-    SELECT w AS word, CAST(count(*) AS BIGINT) AS n
-    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-    WHERE w <> ''
-    GROUP BY w
-    """,
-)
-def q_array_funcs(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@query(
-    "json_funcs",
-    """
-    SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events GROUP BY event_type
-    """,
-)
-def q_json_funcs(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
-        .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
-    )
-
-
-# =====================================================================
-# C20-C24 — event-time analytics (batch-checkable; streaming variants
-# in openetl_spark/streaming with tests)
-# =====================================================================
-
-@query(
-    "tumbling_hourly",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_tumbling_hourly(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
-    )
-
-
-@query(
-    "sliding_counts",
-    """
-    WITH ex AS (
-      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
-               AS window_start,
-             event_type, value
-      FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
-    SELECT window_start, event_type,
-           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-    FROM ex GROUP BY 1, 2
-    """,
-)
-def q_sliding_counts(spark, sf_dir):
-    """C22 sliding form (slide ≠ width): 1 h windows every 15 min — each
-    event lands in exactly 4 overlapping windows. Oracle: explode the 4
-    epoch-aligned 15-min buckets each event's window set starts at
-    (Spark aligns window starts to the epoch, as does time_bucket)."""
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
-    )
-
-
-@query(
-    "session_windows",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events),
-    sessions AS (
-      SELECT user_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged)
-    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM sessions GROUP BY user_id
-    """,
-)
-def q_session_windows(spark, sf_dir):
-    """C23 batch form: sessionize by 30-min inactivity gap (lag + cumsum
-    — the classic two-window sessionization; single shuffle by user)."""
-    e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTE")),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    sess = flagged.select("user_id", F.sum("is_new").over(wrun).alias("session_id"))
-    return sess.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
-    )
-
-
-# =====================================================================
-# C25 — pandas UDF / applyInPandas
-# =====================================================================
-
-@query(
-    "pandas_normalize",
-    """
-    SELECT event_id, user_id,
-           round(CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) > 0
-                      THEN (value - avg(value) OVER (PARTITION BY user_id))
-                           / stddev_samp(value) OVER (PARTITION BY user_id)
-                 END, 4) AS znorm
-    FROM events
-    """,
-)
-def q_pandas_normalize(spark, sf_dir):
-    """C25: per-group z-normalization in Python, batch-vectorized. The
-    oracle is the equivalent SQL window — proving the Python path
-    computes exactly what the declarative form would.
-
-    Shape (r05): group stats (mean / stddev) come from a JVM-side
-    partial aggregation, join back to the events, and the Python step
-    is a STATELESS vectorized pass over each Arrow batch — one Python
-    call per batch instead of applyInPandas' one per group. With ~1.5k
-    users of ~70 rows each the per-group call overhead was the entire
-    cost (4.9 s → ~0.5 s at sf0.1), and per-task memory stays O(batch)
-    at any scale: z-normalization needs two passes over the data, so
-    the first pass belongs in the engine's hash aggregate (map-side
-    partial, spillable), not in a Python buffer of the whole
-    partition. applyInPandas itself stays exercised (and
-    equality-pinned against this path) by tests and the blocked-matmul
-    similarity operators, where per-group work is large enough to
-    amortize the call."""
-    e = load(spark, sf_dir, "events", spread=True).select("event_id", "user_id", "value")
-    stats = e.groupBy("user_id").agg(
-        F.avg("value").alias("_mean"), F.stddev_samp("value").alias("_std")
-    )
-
-    def norm_batches(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            z = ((pdf["value"] - pdf["_mean"]) / pdf["_std"]).where(
-                pdf["_std"] > 0
-            ).round(4)
-            yield pd.DataFrame(
-                {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": z}
-            )
-
-    return e.join(stats, "user_id").mapInPandas(
-        norm_batches, schema="event_id bigint, user_id bigint, znorm double"
-    )
-
-
-# =====================================================================
-# C26-C29 — dedup / similarity / text analysis
-# =====================================================================
-
-@query(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS text_hash,
-           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-           CAST(count(*) AS BIGINT) AS dup_count
-    FROM documents GROUP BY md5(text)
-    """,
-)
-def q_dedup_exact(spark, sf_dir):
-    """C26: exact dedup keyed on md5(text) — 16-byte keys shuffle, not
-    document bodies."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
-    )
-
-
-def shingle_cte(n: int = 5) -> str:
-    """``sh(doc_id, s)`` — the distinct word-n-gram shingle relation
-    every jaccard-family oracle starts from."""
-    k = n - 1  # DuckDB list slice is 1-based INCLUSIVE: w[i:i+k] is n tokens
-    return f"""sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+{k}], ' ') AS s
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-            FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - {k}, 1))) AS t(i))"""
-
-
-def jaccard_ctes(thr: float, n: int = 5) -> str:
-    """The shared exact-jaccard CTE chain — shingles → per-doc sizes →
-    intersection counts → thresholded pairs carrying the rounded
-    jaccard (r06, VERDICT #4 / ROADMAP 0a: this fragment was verbatim-
-    triplicated across _JACCARD_ORACLE, _CC_ORACLE/_KEEP_BEST_CTES and
-    the minhash_error_report oracle; the r05 round-then-compare change
-    had to touch every copy — now there is ONE source of truth, the
-    same shape winnow_oracle() uses for winnowing). Callers prepend
-    ``WITH`` / ``WITH RECURSIVE`` and append their own CTEs reading
-    from ``pairs(a BIGINT, b BIGINT, jaccard)``."""
-    return f"""{shingle_cte(n)},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
-             round(c / (sa.n + sb.n - c), 6) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.a
-      JOIN sizes sb ON sb.doc_id = inter.b
-      WHERE round(c / (sa.n + sb.n - c), 6) >= {thr})"""
-
-
-def _jaccard_oracle(thr: float) -> str:
-    return f"WITH {jaccard_ctes(thr)}\n    SELECT a, b, jaccard FROM pairs"
-
-
-@query("jaccard_near_dups", _jaccard_oracle(0.2))
-def q_jaccard_near_dups(spark, sf_dir):
-    """C27 exact baseline: 5-gram shingle jaccard ≥ 0.2 pairs.
-
-    Runs the df-capped path (stop-shingles excluded from pair mining,
-    exact jaccard recomputed on candidates) so the driver gate checks
-    the plan that survives 100×: the mining join's input is bounded by
-    cap·|shingle rows|. Testdata max shingle df is 4, so cap=50 drops
-    nothing and the result equals the uncapped exact oracle."""
-    d = D.with_shingles(load(spark, sf_dir, "documents", spread=True), "text", n=5)
-    return D.jaccard_similarity_pairs(d, "doc_id", threshold=0.2, max_shingle_df=50)
-
-
-@query("minhash_near_dups", _jaccard_oracle(0.5))
-def q_minhash_near_dups(spark, sf_dir):
-    """C27 scale path: MinHash(128) + LSH banding (64 bands × r=2 →
-    candidate prob ≈ 1 at jaccard ≥ 0.5) then exact verification on
-    candidates only. Oracle = exact jaccard: at these parameters the
-    approximate pipeline must find every qualifying pair."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return D.minhash_near_duplicates(
-        d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
-    )
-
-
-@query(
-    "embedding_knn",
-    """
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine_sim
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-    ORDER BY cosine_sim DESC, e.vec_id
-    LIMIT 10
-    """,
-)
-def q_embedding_knn(spark, sf_dir):
-    """C28: brute-force cosine top-k of one query vector — broadcast the
-    one-row query relation, one corpus scan, TakeOrderedAndProject;
-    fully lazy (no driver-side .first() fetch)."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return S.brute_force_knn_lazy(
-        e.filter(F.col("vec_id") != 0),
-        e.filter(F.col("vec_id") == 0),
-        k=10, id_col="vec_id", vec_col="embedding"
-    )
-
-
-@query(
-    "text_stats",
-    """
-    WITH toks AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
-      FROM documents)
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(len(tk) AS INT) AS n_tokens,
-           round(coalesce(list_aggregate(list_transform(tk, x -> CAST(length(x) AS DOUBLE)),
-                                         'sum'), 0.0)
-                 / greatest(len(tk), 1), 4) AS avg_token_len
-    FROM toks
-    """,
-)
-def q_text_stats(spark, sf_dir):
-    """C29: token/length statistics, all JVM-side array expressions."""
-    d = X.with_text_stats(load(spark, sf_dir, "documents", spread=True))
-    return d.select(
-        "doc_id",
-        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
-        "n_tokens",
-        "avg_token_len",
-    )
-
-
-@query(
-    "doc_fingerprint",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             array_to_string(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), ' ') AS canon
-      FROM documents)
-    SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY canon) AS BIGINT) AS class_rep
-    FROM toks
-    """,
-)
-def q_doc_fingerprint(spark, sf_dir):
-    """C29: order-sensitive 64-bit fingerprint, oracle-checked through
-    its defining invariant — fingerprint equality classes must equal
-    token-sequence equality classes. Emitting the class representative
-    (min doc_id per fingerprint) instead of the raw xxhash64 value makes
-    the result engine-independent: a collision between distinct docs OR
-    a fingerprint that varies for identical token sequences would both
-    break the match. (This corpus has no duplicate token sequences, so
-    the check pins injectivity; duplicate-bearing corpora get the
-    grouping behavior too — test_operators.py pins it directly.)
-
-    No ``spread``: the window's own shuffle provides the parallelism,
-    and the pre-shuffle hashing is one cheap scan task locally (at
-    production scale the scan has file-split parallelism regardless) —
-    r02 flagged the extra repartition as this query's 2× regression."""
-    d = X.with_fingerprint(load(spark, sf_dir, "documents"))
-    w = W.partitionBy("fingerprint")
-    return d.select("doc_id", F.min("doc_id").over(w).alias("class_rep"))
-
-
-# Transitive closure over the shared pair relation (jaccard_ctes) —
-# edges → recursive reach → min-label component per node.
-_CLOSURE_CTES = """edges AS (SELECT a AS x, b AS y FROM pairs
-              UNION ALL SELECT b, a FROM pairs),
-    reach AS (
-      SELECT x, y FROM edges
-      UNION
-      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)"""
-
-_CC_ORACLE = f"""
-    WITH RECURSIVE {jaccard_ctes(0.5)},
-    {_CLOSURE_CTES}
-    SELECT CAST(x AS BIGINT) AS doc_id,
-           CAST(least(x, min(y)) AS BIGINT) AS component
-    FROM reach GROUP BY x
-"""
-
-
-@query("dedup_components", _CC_ORACLE)
-def q_dedup_components(spark, sf_dir):
-    """C26/C27 capstone (r03): pairwise near-dups → dedup GROUPS.
-    MinHash+LSH finds the jaccard ≥ 0.5 pairs (at these parameters the
-    pair set is exactly the all-pairs oracle's), then iterative
-    min-label propagation folds them into connected components — each
-    doc labeled with the smallest doc_id in its duplicate class, the
-    label a keep-one-per-group dedup deletes against. Oracle = DuckDB
-    recursive transitive closure over the same exact pair set."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    pairs = D.minhash_near_duplicates(
-        d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
-    )
-    comps = D.connected_components(pairs.select("a", "b"))
-    return comps.select(F.col("node").alias("doc_id"), "component")
-
-
-# Shared CTE prefix: shingles → exact-jaccard pairs → recursive
-# transitive closure → components → quality → labeled docs. Reused by
-# the keep-best oracle and the composed curation_pipeline oracle; the
-# shingle/pair chain comes from jaccard_ctes() (single source of truth).
-_KEEP_BEST_CTES = f"""
-    WITH RECURSIVE {jaccard_ctes(0.5)},
-    {_CLOSURE_CTES},
-    comp AS (SELECT x AS doc_id, least(x, min(y)) AS component
-             FROM reach GROUP BY x),
-    toks AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
-      FROM documents),
-    q AS (
-      SELECT doc_id,
-             round(
-               (CASE WHEN len(tk) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END) *
-               (CASE WHEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                          / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) *
-               (0.5 + 0.5 * (CASE WHEN len(tk) > 0
-                                  THEN len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
-                                  ELSE 0.0 END)), 4) AS quality
-      FROM toks),
-    lab AS (
-      SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.quality
-      FROM q LEFT JOIN comp ON comp.doc_id = q.doc_id),
-    survivors AS (
-      SELECT component, doc_id, quality
-      FROM (SELECT lab.*,
-                   row_number() OVER (PARTITION BY component
-                                      ORDER BY quality DESC, doc_id ASC) AS rn
-            FROM lab)
-      WHERE rn = 1)
-"""
-
-_KEEP_BEST_ORACLE = _KEEP_BEST_CTES + """
-    SELECT CAST(component AS BIGINT) AS component,
-           CAST(doc_id AS BIGINT) AS keep_doc_id, quality
-    FROM survivors
-"""
-
-
-def _keep_best_survivors(spark, sf_dir) -> DataFrame:
-    """(component, doc_id, quality) of each near-dup group's survivor —
-    the shared head of dedup_keep_best and curation_pipeline."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    pairs = D.minhash_near_duplicates(
-        d, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
-    )
-    comps = D.connected_components(pairs.select("a", "b"))
-    scored = X.quality_score(d).select("doc_id", "quality")
-    lab = scored.join(comps, scored["doc_id"] == comps["node"], "left").select(
-        "doc_id",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-        "quality",
-    )
-    w = W.partitionBy("component").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
-    return (
-        lab.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component", "doc_id", "quality")
-    )
-
-
-@query("dedup_keep_best", _KEEP_BEST_ORACLE)
-def q_dedup_keep_best(spark, sf_dir):
-    """The end-to-end dedup decision a training-data pipeline ships
-    (r03): near-dup pairs (MinHash+LSH, exact-verified) → connected
-    components → per-group survivor = highest quality_score (doc_id
-    tiebreak); singleton docs survive as their own group. One row per
-    surviving document. Composes three oracle-checked operators and is
-    itself oracle-checked end-to-end (recursive closure + the quality
-    formula + argmax in DuckDB)."""
-    return _keep_best_survivors(spark, sf_dir).select(
-        "component", F.col("doc_id").alias("keep_doc_id"), "quality"
-    )
-
-
-@query(
-    "pivot_dynamic",
-    """
-    SELECT o_orderstatus,
-           round(avg(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS "1-URGENT",
-           round(avg(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2) AS "2-HIGH",
-           round(avg(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS "3-MEDIUM",
-           round(avg(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2) AS "4-NOT SPECIFIED",
-           round(avg(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS "5-LOW"
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_pivot_dynamic(spark, sf_dir):
-    """C9 extension (r03, closes ROADMAP #5's leftover): pivot with
-    DYNAMIC value discovery — no values list passed, Spark runs the
-    extra distinct pass and derives the columns from the data. The
-    oracle names the five discovered priorities explicitly, so a
-    discovery mismatch (missing/extra column) fails the schema
-    compare."""
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .pivot("o_orderpriority")
-        .agg(F.round(F.avg("o_totalprice"), 2))
-    )
-
-
-@query(
-    "repetition_stats",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    bg AS (
-      SELECT doc_id, w[i] || ' ' || w[i+1] AS b
-      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
-      WHERE len(w) >= 2),
-    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(c) AS BIGINT) AS n_bigrams,
-           round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
-           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
-    FROM cnt GROUP BY doc_id
-    """,
-)
-def q_repetition_stats(spark, sf_dir):
-    """C29 extension (r03): Gopher-style within-doc repetition signals
-    (distinct-bigram ratio, top-bigram mass) — the standard
-    drop-if-repetitive pre-filter for training corpora. Explode →
-    count → agg: two shuffles carrying bigram keys, linear at any
-    corpus size."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.bigram_repetition_stats(d, "doc_id", "text")
-
-
-# simhash_dedup oracle (r06, VERDICT #2/#3): BOTH stages re-derived in
-# DuckDB — the portable 64-bit md5 simhash per document (two 32-bit
-# halves; DuckDB's overflow-checked << cannot pack the top bit, so the
-# oracle compares hamming per-half) and the exact-jaccard verify. The
-# mining stage itself is now oracle-covered: the result is
-# {pairs: hamming(simhash) ≤ k AND jaccard ≥ thr}, not "hope the
-# budget covers the jaccard set" — which is what let r05 ship the
-# near-quadratic k=16 configuration.
-def _simhash_oracle(max_hamming: int, thr: float) -> str:
-    return f"""
-    WITH {jaccard_ctes(thr)},
-    hb AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hi,
-             CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS lo
-      FROM sh),
-    bits AS (
-      SELECT doc_id, i.i,
-             CASE WHEN sum((CASE WHEN i.i < 32 THEN (lo >> i.i) & 1
-                                 ELSE (hi >> (i.i - 32)) & 1 END) * 2 - 1) > 0
-                  THEN 1 ELSE 0 END AS bit
-      FROM hb, UNNEST(generate_series(0, 63)) AS i(i)
-      GROUP BY 1, 2),
-    fp AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN bit = 1 AND i < 32
-                           THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS flo,
-             CAST(sum(CASE WHEN bit = 1 AND i >= 32
-                           THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fhi
-      FROM bits GROUP BY 1)
-    SELECT p.a, p.b, p.jaccard
-    FROM pairs p
-    JOIN fp fa ON fa.doc_id = p.a
-    JOIN fp fb ON fb.doc_id = p.b
-    WHERE bit_count(xor(fa.flo, fb.flo)) + bit_count(xor(fa.fhi, fb.fhi))
-          <= {max_hamming}
-    """
-
-
-@query("simhash_dedup", _simhash_oracle(6, 0.9))
-def q_simhash_dedup(spark, sf_dir):
-    """C27: SimHash as the coarse filter of a verified pipeline —
-    pigeonhole candidates at hamming ≤ 6, exact jaccard ≥ 0.9 on
-    candidates only. r06 rework (VERDICT #2): the r05 budget of 16 made
-    the chunk equi-join near-quadratic (3–4-bit chunks → ≤272 join
-    keys, random-pair collision p≈0.9); measured jaccard-0.9 pairs run
-    to hamming 8–12 on this corpus, so instead of widening the budget
-    the ORACLE now derives the fingerprints too (portable md5 simhash,
-    re-derived bit-exactly in DuckDB) and the query's semantics are
-    honestly {hamming ≤ 6 ∧ jaccard ≥ 0.9} — 9-bit chunks, ~70× fewer
-    enumerated candidates, and the dense-budget guard in
-    pigeonhole_candidate_stream now rejects configurations like the
-    old one. Wide-radius recall-complete mining is minhash_near_dups'
-    job (60-bit banding keys)."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return D.simhash_near_duplicates(
-        d, "doc_id", "text", max_hamming=6, threshold=0.9, portable=True
-    )
-
-
-def _lsh_oracle_sql(
-    threshold: float, dim: int, n_planes: int, n_tables: int, seed: int
-) -> str:
-    """DuckDB rendering of the EXACT hyperplane-LSH algorithm: the same
-    seeded hyperplanes (shared literals — both engines see identical
-    doubles, so sign bits agree; min |projection| on this corpus is
-    ~4e-5, a million× any summation-order ulp), the same
-    (table, bucket) candidate equi-join, the same exact-cosine verify.
-    Makes the approximate operator fully hash-checkable, not rows-only."""
-    branches = []
-    for t in range(n_tables):
-        pl = S.hyperplanes(dim, n_planes, seed + t)
-        bucket = " + ".join(
-            "(CASE WHEN list_dot_product(embedding, ["
-            + ", ".join(repr(v) for v in pl[i])
-            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(n_planes)
-        )
-        branches.append(
-            f"SELECT vec_id, embedding, {t} AS t, {bucket} AS bucket FROM embeddings"
-        )
-    bk = " UNION ALL ".join(branches)
-    return f"""
-    WITH bk AS ({bk}),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
-                         AND x.vec_id < y.vec_id),
-    v AS (
-      SELECT c.a, c.b,
-             round(list_dot_product(ea.embedding, eb.embedding) /
-                   (sqrt(list_dot_product(ea.embedding, ea.embedding)) *
-                    sqrt(list_dot_product(eb.embedding, eb.embedding))), 4)
-               AS cosine_sim
-      FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
-                  JOIN embeddings eb ON eb.vec_id = c.b)
-    SELECT a, b, cosine_sim FROM v WHERE cosine_sim >= {threshold}
-    """
-
-
-@query("lsh_similarity_join", _lsh_oracle_sql(0.35, 64, 3, 12, 42))
-def q_lsh_similarity_join(spark, sf_dir):
-    """C28: random-hyperplane LSH similarity self-join on embeddings —
-    now FULLY oracle-checked (same hyperplane literals both engines, see
-    _lsh_oracle_sql) instead of rows-only, and non-vacuous (VERDICT r02:
-    threshold 0.8 > corpus max cosine ~0.51 returned 0 rows; 0.35
-    matches embedding_near_dup_exact's oracle band).
-
-    Parameter note: 3 planes × 12 tables is the LOW-threshold recall
-    configuration this weakly-clustered corpus needs (measured recall
-    0.97 vs exact at sf0.01, always a subset). Production near-dup at
-    threshold 0.9 uses the opposite corner — n_planes 10-12, a few
-    tables — where bucket collision ≈ 2^-planes prunes ~99.9% of pairs;
-    sign-LSH's per-bit discrimination shrinks as cos→0, so sweeping low
-    thresholds at scale belongs to IVF/brute partitioned paths, not LSH."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return S.lsh_similarity_join(e, threshold=0.35, n_planes=3, n_tables=12)
-
-
-@query(
-    "quality_score",
-    """
-    WITH toks AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
-      FROM documents)
-    SELECT doc_id,
-           round(
-             (CASE WHEN len(tk) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END) *
-             (CASE WHEN length(regexp_replace(text, '[\\w\\s]', '', 'g'))
-                        / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) *
-             (0.5 + 0.5 * (CASE WHEN len(tk) > 0
-                                THEN len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
-                                ELSE 0.0 END)), 4) AS quality
-    FROM toks
-    """,
-)
-def q_quality_score(spark, sf_dir):
-    d = X.quality_score(load(spark, sf_dir, "documents", spread=True))
-    return d.select("doc_id", "quality")
-
-
-
-# =====================================================================
-# B-series escape hatches + remaining relational coverage
-# =====================================================================
-
-@query(
-    "sql_passthrough",
-    """
-    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_sql_passthrough(spark, sf_dir):
-    """B1/B2: raw-SQL escape hatch (reference custom_query endpoint,
-    `/root/reference/adapters/postgresql/src/index.ts:139-145`) — here
-    spark.sql over registered views; same Catalyst plan as DataFrame."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM sql_orders GROUP BY o_orderstatus
-        """
-    )
-
-
-@query(
-    "schema_introspect",
-    """
-    SELECT column_name FROM information_schema.columns
-    WHERE table_name = 'customer'
-    """,
-)
-def q_schema_introspect(spark, sf_dir):
-    """A29: the reference's `table_columns` endpoint
-    (`/root/reference/adapters/postgresql/src/index.ts:131-137`) —
-    schema-as-data from df.schema (no information_schema needed: the
-    DataFrame carries its own schema)."""
-    df = load(spark, sf_dir, "customer")
-    return spark.createDataFrame(
-        [(f.name,) for f in df.schema.fields], "column_name string"
-    )
-
-
-@query(
-    "join_right",
-    """
-    SELECT n.n_name, c.c_custkey
-    FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    """,
-)
-def q_join_right(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select("n_name", "c_custkey")
-
-
-@query(
-    "join_full_outer",
-    """
-    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, c.nc, s.ns FROM
-      (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS nc
-       FROM customer GROUP BY 1) c
-    FULL OUTER JOIN
-      (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS ns
-       FROM supplier GROUP BY 1) s
-    ON c.nationkey = s.nationkey
-    """,
-)
-def q_join_full_outer(spark, sf_dir):
-    c = (
-        load(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.count("*").alias("nc"))
-    )
-    s = (
-        load(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.count("*").alias("ns"))
-    )
-    # join on the column name (USING semantics): Spark emits ONE
-    # coalesced nationkey column for full outer joins
-    return c.join(s, "nationkey", "full_outer").select("nationkey", "nc", "ns")
-
-
-@query(
-    "union_all_counts",
-    """
-    SELECT src, CAST(count(*) AS BIGINT) AS n FROM (
-      SELECT 'cust' AS src, c_nationkey AS nationkey FROM customer
-      UNION ALL
-      SELECT 'supp' AS src, s_nationkey AS nationkey FROM supplier) t
-    GROUP BY src
-    """,
-)
-def q_union_all_counts(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(
-        F.lit("cust").alias("src"), F.col("c_nationkey").alias("nationkey")
-    )
-    s = load(spark, sf_dir, "supplier").select(
-        F.lit("supp").alias("src"), F.col("s_nationkey").alias("nationkey")
-    )
-    return c.unionByName(s).groupBy("src").agg(F.count("*").alias("n"))
-
-
-@query(
-    "decimal_agg",
-    """
-    SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_dec,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                          CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 4) AS revenue_dec
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_decimal_agg(spark, sf_dir):
-    """C17: DecimalType arithmetic — exact fixed-point aggregation (no
-    float rounding games needed for the oracle: decimal sums are
-    bit-exact across engines)."""
-    l = load(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-    # Aggregation is exact fixed-point; only the FINAL cast goes to
-    # double so the comparison layer sees one numeric type.
-    return l.groupBy("l_returnflag").agg(
-        F.sum(price).cast("double").alias("sum_price_dec"),
-        F.round(F.sum(price * disc).cast("double"), 4).alias("revenue_dec"),
-    )
-
-
-@query(
-    "map_funcs",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_with_k,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-    GROUP BY event_type
-    """,
-)
-def q_map_funcs(spark, sf_dir):
-    """C18+C19: from_json into MapType, map_contains_key/element_at —
-    the dynamic-properties pattern for semi-structured event payloads."""
-    e = load(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    return (
-        e.withColumn("pm", m)
-        .filter(F.map_contains_key("pm", "k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_with_k"),
-            F.sum(F.element_at("pm", "k")).alias("sum_k"),
-        )
-    )
-
-
-@query(
-    "approx_sketches",
-    """
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
-           TRUE AS custs_ok, TRUE AS median_ok, TRUE AS p95_ok
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_approx_sketches(spark, sf_dir):
-    """C8: approximate sketches (HLL distinct, quantile sketch) — the
-    100 TB substitutes for exact distinct/percentile. The sketch values
-    can't hash-match an exact engine, so the oracle is an INEQUALITY
-    rendered as data: Spark emits the exact distinct count (oracle
-    checks it verbatim) plus booleans asserting each sketch lies within
-    its documented error of the exact statistic (HLL++ rsd 5% → 3σ
-    band; percentile_approx bounded in RANK space — the sketch returns
-    an order statistic, so the check is that it lies between the exact
-    percentiles at q ± 1%, a bound that holds at any value spacing,
-    unlike a relative-value tolerance on sparse tails). The oracle
-    expects all-true — a sketch drifting out of bounds is a red driver
-    row, not an unverifiable 'rows-only'."""
-    o = load(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("ac"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
-        F.percentile_approx("o_totalprice", 0.5).alias("am"),
-        F.percentile_approx("o_totalprice", 0.95).alias("a95"),
-        F.expr("percentile(o_totalprice, 0.49)").alias("em_lo"),
-        F.expr("percentile(o_totalprice, 0.51)").alias("em_hi"),
-        F.expr("percentile(o_totalprice, 0.94)").alias("e95_lo"),
-        F.expr("percentile(o_totalprice, 0.96)").alias("e95_hi"),
-    )
-    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
-    return agg.select(
-        "o_orderpriority",
-        "exact_custs",
-        (rel("ac", "exact_custs") <= 0.15).alias("custs_ok"),
-        F.col("am").between(F.col("em_lo"), F.col("em_hi")).alias("median_ok"),
-        F.col("a95").between(F.col("e95_lo"), F.col("e95_hi")).alias("p95_ok"),
-    )
-
-
-
-# =====================================================================
-# Additional TPC-H-shape workloads (bench depth)
-# =====================================================================
-
-@query(
-    "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q_q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape: pure scan+filter+agg — the pushdown showcase
-    (all four predicates reach the parquet reader)."""
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
-    )
-
-
-@query(
-    "q14_promo_share",
-    """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-    """,
-)
-def q_q14_promo_share(spark, sf_dir):
-    """TPC-H Q14 shape: conditional aggregation over a broadcast join."""
-    l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
-    )
-    p = load(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
-                4,
-            ).alias("promo_share")
-        )
-    )
-
-
-@query(
-    "q18_large_orders",
-    """
-    SELECT o.o_orderkey, o.o_totalprice, round(t.sum_qty, 2) AS sum_qty
-    FROM orders o
-    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
-          FROM lineitem GROUP BY l_orderkey
-          HAVING sum(l_quantity) > 150) t
-      ON o.o_orderkey = t.l_orderkey
-    ORDER BY o.o_totalprice DESC, o.o_orderkey
-    LIMIT 20
-    """,
-)
-def q_q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape: agg-then-join (HAVING pre-filters the fact agg
-    before the join — the aggregate side shrinks to qualifying keys)."""
-    l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    t = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 150)
-    )
-    return (
-        o.join(t, o.o_orderkey == t.l_orderkey)
-        .select("o_orderkey", "o_totalprice", F.round("sum_qty", 2).alias("sum_qty"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(20)
-    )
-
-
-@query(
-    "q10_returned_items",
-    """
-    SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
-    """,
-)
-def q_q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: returned-item revenue ranking."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-
-@query(
-    "embedding_near_dup_exact",
-    """
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
-    """,
-)
-def q_embedding_near_dup_exact(spark, sf_dir):
-    """C28 oracle-checked: exact embedding-cosine near-dup pairs
-    (threshold 0.35 — this synthetic corpus tops out at ~0.51), computed
-    as a BLOCKED matmul all-pairs join (r03): vectors hash into blocks,
-    each block pair is one numpy matmul inside applyInPandas — identical
-    results to the naive n² fold join (equality tested) at ~30× less
-    cost, and the physical shape (bounded per-group memory, shuffle
-    carries each vector B times instead of n times) is the one that
-    survives scale-up. The exact baseline the LSH path is measured
-    against."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return S.blocked_similarity_join(e, threshold=0.35)
-
-
-@query(
-    "lang_id_oracle",
-    """
-    WITH scored AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
-      FROM documents),
-    hits AS (
-      SELECT doc_id,
-        len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))
-          / greatest(len(tk), 1) AS s_en,
-        len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','por','con','los')))
-          / greatest(len(tk), 1) AS s_es,
-        len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','un','une','dans','est')))
-          / greatest(len(tk), 1) AS s_fr,
-        len(list_filter(tk, x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist')))
-          / greatest(len(tk), 1) AS s_de,
-        len(list_filter(tk, x -> x IN ('的','了','在','是','我','有','和','就','不','人')))
-          / greatest(len(tk), 1) AS s_zh
-      FROM scored)
-    SELECT doc_id,
-           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
-                WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
-                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-                WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-                WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-                ELSE 'de' END AS lang_pred
-    FROM hits
-    """,
-)
-def q_lang_id_oracle(spark, sf_dir):
-    """C29 oracle-checked: the stopword-evidence language ID. Tie-break
-    = lexicographically largest language code (matches the engine's
-    array_max-over-struct argmax), mirrored by the CASE cascade order
-    zh > fr > es > en > de."""
-    d = X.detect_language(load(spark, sf_dir, "documents", spread=True))
-    return d.select("doc_id", "lang_pred")
-
-
-
-@query(
-    "percentile_exact",
-    """
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 2)  AS median_price,
-           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_percentile_exact(spark, sf_dir):
-    """C8/C17: exact interpolated percentiles (the non-sketch path;
-    approx_sketches is the 100 TB variant)."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95_price"),
-    )
-
-
-@query(
-    "stats_agg",
-    """
-    SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(var_samp(l_discount), 6) AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_stats_agg(spark, sf_dir):
-    """C7/C17: statistical aggregates (sample stddev/variance,
-    correlation, covariance)."""
-    l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
-    )
-
-
-
-@query(
-    "window_ranking_extras",
-    """
-    SELECT o_orderkey,
-           CAST(ntile(4) OVER w AS INT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cdist,
-           first_value(o_orderkey) OVER w AS first_in_seg,
-           nth_value(o_orderkey, 2) OVER w AS second_in_seg
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-)
-def q_window_ranking_extras(spark, sf_dir):
-    """C10 extras: ntile / percent_rank / cume_dist / first_value /
-    nth_value over one named window."""
-    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.first("o_orderkey").over(w).alias("first_in_seg"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_in_seg"),
-    )
-
-
-@query(
-    "unpivot_measures",
-    """
-    WITH wide AS (
-      SELECT l_returnflag,
-             round(sum(l_quantity), 2) AS qty,
-             round(sum(l_extendedprice), 2) AS price,
-             round(sum(l_discount), 2) AS disc
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, 'qty' AS measure, qty AS val FROM wide
-    UNION ALL SELECT l_returnflag, 'price', price FROM wide
-    UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
-    """,
-)
-def q_unpivot_measures(spark, sf_dir):
-    """C-series adjacent: unpivot/melt — wide aggregate to long form."""
-    wide = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("price"),
-            F.round(F.sum("l_discount"), 2).alias("disc"),
-        )
-    )
-    # oracle is a NULL-keeping UNION ALL: DuckDB's UNPIVOT drops NULL
-    # cells while Spark's unpivot keeps them — the UNION form matches
-    # Spark's semantics for any data
-    return wide.unpivot(
-        ids=["l_returnflag"], values=["qty", "price", "disc"],
-        variableColumnName="measure", valueColumnName="val",
-    )
-
-
-@query(
-    "scalar_subquery",
-    """
-    SELECT o_orderkey, o_totalprice,
-           round(o_totalprice - (SELECT round(avg(o_totalprice), 2) FROM orders), 2) AS vs_avg
-    FROM orders
-    WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.8, 2) FROM orders)
-    """,
-)
-def q_scalar_subquery(spark, sf_dir):
-    """Scalar subqueries via the SQL surface (Catalyst plans the
-    subquery once as a broadcast scalar)."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("ss_orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice,
-               round(o_totalprice - (SELECT round(avg(o_totalprice), 2) FROM ss_orders), 2) AS vs_avg
-        FROM ss_orders
-        WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.8, 2) FROM ss_orders)
-        """
-    )
-
-
-@query(
-    "date_funcs_extended",
-    """
-    SELECT CAST(year(o_orderdate) AS INT) AS yr,
-           CAST(quarter(o_orderdate) AS INT) AS qtr,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(min(CAST(month(o_orderdate) AS INT)) AS INT) AS first_month,
-           min(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)) AS min_plus_3m,
-           min(CAST(last_day(o_orderdate) AS TIMESTAMP)) AS min_month_end
-    FROM orders GROUP BY 1, 2
-    """,
-)
-def q_date_funcs_extended(spark, sf_dir):
-    """C16 extended: quarter buckets, interval arithmetic, last_day."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.quarter("o_orderdate").cast("int").alias("qtr"),
-    ).agg(
-        F.count("*").alias("n"),
-        F.min(F.month("o_orderdate")).cast("int").alias("first_month"),
-        # dates → timestamps on both sides: pandas/hash layers represent
-        # DATE and TIMESTAMP differently even when values agree
-        F.min(F.add_months("o_orderdate", 3)).cast("timestamp_ntz").alias("min_plus_3m"),
-        F.min(F.last_day("o_orderdate")).cast("timestamp_ntz").alias("min_month_end"),
-    )
-
-
-
-@query(
-    "filtered_agg",
-    """
-    SELECT l_returnflag,
-           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
-           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
-           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS open_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_filtered_agg(spark, sf_dir):
-    """C7: FILTER-clause conditional aggregation (one pass, no self
-    joins — at scale this replaces N filtered subqueries with one scan)."""
-    l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_disc"),
-        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
-        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))), 2).alias("open_price"),
-    )
-
-
-@query(
-    "null_safe_join",
-    """
-    WITH c AS (SELECT c_custkey, nullif(c_nationkey, 0) AS nk FROM customer),
-         s AS (SELECT s_suppkey, nullif(s_nationkey, 0) AS nk FROM supplier)
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(*) FILTER (WHERE c.nk IS NULL) AS BIGINT) AS null_pairs
-    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
-    """,
-)
-def q_null_safe_join(spark, sf_dir):
-    """C1 variant: null-safe equality join (<=> / IS NOT DISTINCT FROM)
-    — NULL keys match each other instead of disappearing."""
-    c = load(spark, sf_dir, "customer").select(
-        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
-    )
-    sup = load(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("s_nk")
-    )
-    j = c.join(sup, c["nk"].eqNullSafe(sup["s_nk"]))
-    return j.agg(
-        F.count("*").alias("n_pairs"),
-        F.count(F.when(F.col("nk").isNull(), 1)).alias("null_pairs"),
-    )
-
-
-@query(
-    "string_funcs_extended",
-    """
-    SELECT p_partkey,
-           translate(p_brand, '#', '-')                    AS brand_tr,
-           split_part(p_name, ' ', 1)                      AS first_word,
-           reverse(p_type)                                 AS type_rev,
-           repeat(substr(p_brand, 1, 2), 2)                AS brand2,
-           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS lower_runs
-    FROM part
-    """,
-)
-def q_string_funcs_extended(spark, sf_dir):
-    """C15 extended: translate/split_part/reverse/repeat/
-    regexp_extract_all."""
-    p = load(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.translate("p_brand", "#", "-").alias("brand_tr"),
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
-        F.reverse(F.col("p_type")).alias("type_rev"),
-        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand2"),
-        # explicit group 0: Spark's regexp_extract_all defaults to group 1
-        # (errors on group-less patterns); DuckDB defaults to 0
-        F.array_join(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0), "|").alias("lower_runs"),
-    )
-
-
-@query(
-    "array_funcs_extended",
-    """
-    WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words FROM documents)
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           CAST(len(list_intersect(a.words, b.words)) AS INT) AS n_common,
-           array_to_string(list_sort(list_intersect(a.words, b.words)), ',') AS common_sorted
-    FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
-    WHERE a.doc_id < 20
-    """,
-)
-def q_array_funcs_extended(spark, sf_dir):
-    """C18 extended: array_distinct/intersect/sort on adjacent-doc word
-    sets (sorted + joined so output order is engine-independent)."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
-    )
-    a = d.alias("a")
-    b = d.select(F.col("doc_id").alias("b_doc"), F.col("words").alias("b_words"))
-    j = a.join(b, F.col("doc_id") + 1 == F.col("b_doc")).filter(F.col("doc_id") < 20)
-    inter = F.array_intersect(F.col("words"), F.col("b_words"))
-    return j.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("b_doc").alias("b_id"),
-        F.size(inter).cast("int").alias("n_common"),
-        F.array_join(F.array_sort(inter), ",").alias("common_sorted"),
-    )
-
-
-
-IVF_ORACLE_CENTROIDS = "/root/repo/spark-warehouse/ivf_cache/centroids_oracle.parquet"
-
-
-def _ivf_layout(spark, sf_dir: str, n_lists: int = 16, seed: int = 42):
-    """Get-or-build the persisted IVF layout for one testdata corpus:
-    train the KMeans quantizer ONCE, write the corpus partitioned by
-    list id, save centroids next to it. Every later query loads
-    centroids (kilobytes) and scans only probed partitions — the
-    production posture (offline build, online probe); VERDICT r02 #3
-    flagged the previous in-query training as the scale-killer.
-
-    Also maintains the ORACLE-readable centroid parquet (ROADMAP r03
-    #5): one consolidated file holding every trained quantizer keyed by
-    a corpus content signature, so the static DuckDB oracle can pick
-    its centroid set regardless of which scale factor it runs at. The
-    signature is SUM(FLOOR(embedding[1]·1e6)) — exact, order
-    independent, and bit-deterministic in both engines (each row is the
-    same float32→double multiply; the sum is over integers), unlike a
-    row count (sf0.001 and sf0.01 both hold 500 embeddings). The file
-    is written on the Spark side of the compare (the query runs before
-    its oracle), which is the explicit materialization hook for fresh
-    clones."""
-    import json
-    import os
-
-    import numpy as np
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_l{n_lists}_s{seed}"
-    root = os.path.join(repo, "spark-warehouse", "ivf_cache", key)
-    cents_path = os.path.join(root, "centroids.npy")
-    meta_path = os.path.join(root, "meta.json")
-    data_path = os.path.join(root, "corpus")
-    if not os.path.exists(cents_path):
-        e = load(spark, sf_dir, "embeddings", spread=True)
-        cents = S.train_ivf_centroids(e, n_lists=n_lists, seed=seed)
-        S.write_ivf_partitioned(e, data_path, centroids=cents)
-        os.makedirs(root, exist_ok=True)
-        np.save(cents_path, cents)
-        json.dump({"corpus_sig": _corpus_sig(spark, sf_dir)}, open(meta_path, "w"))
-    cents = np.load(cents_path)
-    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
-    if "corpus_sig" not in meta:  # cache from a pre-oracle round
-        meta["corpus_sig"] = _corpus_sig(spark, sf_dir)
-        json.dump(meta, open(meta_path, "w"))
-    _upsert_oracle_centroids(cents, meta["corpus_sig"], n_lists, seed)
-    return cents, data_path
-
-
-IVF_SIG_SQL = (
-    "SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) "
-    "AS BIGINT)) AS BIGINT) FROM embeddings"
-)
-
-
-def _corpus_sig(spark, sf_dir: str) -> int:
-    """Spark rendering of IVF_SIG_SQL (element_at is 1-based, matching
-    DuckDB's [1])."""
-    e = load(spark, sf_dir, "embeddings")
-    return int(
-        e.agg(
-            F.sum(
-                F.floor(
-                    F.element_at("embedding", 1).cast("double") * 1000000.0
-                ).cast("bigint")
-            )
-        ).first()[0]
-    )
-
-
-def _upsert_oracle_centroids(
-    cents, corpus_sig: int, n_lists: int, seed: int
-) -> None:
-    """Idempotently merge one quantizer's centroids into the
-    consolidated oracle parquet (columns: corpus_sig, n_lists, seed,
-    list_id, centroid double[])."""
-    import os
-
-    import pandas as pd
-
-    rows = pd.DataFrame(
-        {
-            "corpus_sig": int(corpus_sig),
-            "n_lists": int(n_lists),
-            "seed": int(seed),
-            "list_id": range(len(cents)),
-            "centroid": [[float(x) for x in c] for c in cents],
-        }
-    )
-    path = IVF_ORACLE_CENTROIDS
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    if os.path.exists(path):
-        old = pd.read_parquet(path)
-        same = (
-            (old["corpus_sig"] == corpus_sig)
-            & (old["n_lists"] == n_lists)
-            & (old["seed"] == seed)
-        )
-        if same.sum() == n_lists:
-            return
-        rows = pd.concat([old[~same], rows], ignore_index=True)
-    rows.to_parquet(path, index=False)
-
-
-@query(
-    "ivf_knn",
-    f"""
-    WITH cents AS (
-      SELECT list_id, centroid
-      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND n_lists = 16 AND seed = 42),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-    assign AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             (SELECT c.list_id FROM cents c
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
-                       c.list_id ASC
-              LIMIT 1) AS list_id
-      FROM embeddings e WHERE e.vec_id <> 0),
-    probe AS (
-      SELECT c.list_id FROM cents c, q
-      ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-               - 2 * list_dot_product(q.qv, c.centroid) ASC, c.list_id ASC
-      LIMIT 8)
-    SELECT a.vec_id,
-           round(list_cosine_similarity(a.v, q.qv), 4) AS cosine_sim
-    FROM assign a JOIN probe p ON a.list_id = p.list_id, q
-    ORDER BY cosine_sim DESC, a.vec_id ASC
-    LIMIT 10
-    """,
-)
-def q_ivf_knn(spark, sf_dir):
-    """C28 scale path #2: IVF over a train-once, partition-pruned
-    layout. The quantizer is persisted (built on first touch per
-    corpus); the query reads the ivf_list-partitioned parquet, joins a
-    broadcast one-row probe relation on the partition column (dynamic
-    partition pruning → only n_probe directories scanned) and broadcasts
-    the query vector — zero driver-side materialization in the query
-    path.
-
-    Oracle (r06, closes the last no_oracle): KMeans training isn't
-    DuckDB-expressible, but the TRAINED quantizer is data — the layout
-    builder persists centroids to a consolidated parquet keyed by
-    corpus size, and the oracle re-derives assignment (argmin of
-    ||c||² − 2·v·c, list-id tiebreak — the exact Spark formula), probe
-    selection, and the pruned cosine top-k from it. Recall vs brute
-    force additionally asserted in tests."""
-    cents, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    corpus = spark.read.parquet(data_path)
-    # query vector from the flat source table (1-row broadcast side);
-    # the partitioned layout is scanned only on the pruned corpus side
-    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
-    return S.ivf_knn_pruned(
-        corpus.filter(F.col("vec_id") != 0), qdf, cents, k=10, n_probe=8
-    )
-
-
-
-@query(
-    "edit_distance",
-    """
-    SELECT n.n_name, r.r_name,
-           CAST(levenshtein(n.n_name, r.r_name) AS INT) AS dist
-    FROM nation n CROSS JOIN region r
-    """,
-)
-def q_edit_distance(spark, sf_dir):
-    """C15: Levenshtein edit distance (fuzzy matching primitive)."""
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
-    return n.crossJoin(r).select(
-        "n_name", "r_name", F.levenshtein("n_name", "r_name").cast("int").alias("dist")
-    )
-
-
-@query(
-    "value_histogram",
-    """
-    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           round(min(o_totalprice), 2) AS lo,
-           round(max(o_totalprice), 2) AS hi
-    FROM orders GROUP BY 1
-    """,
-)
-def q_value_histogram(spark, sf_dir):
-    """C17: fixed-width histogram by floor-bucketing — the
-    oracle-checkable form of width_bucket."""
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-        )
-    )
-
-
-
-@query(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-)
-def q_q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS-correlated subquery → left-semi join."""
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
-    )
-    l = load(spark, sf_dir, "lineitem")
-    sem = o.join(
-        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
-    )
-    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
-
-
-@query(
-    "q13_order_distribution",
-    """
-    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
-      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-      FROM customer c LEFT JOIN orders o
-        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-      GROUP BY c.c_custkey) t
-    GROUP BY c_count
-    """,
-)
-def q_q13_order_distribution(spark, sf_dir):
-    """TPC-H Q13 shape: two-level aggregation — per-customer order
-    counts, then the distribution of those counts."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-@query(
-    "q15_top_supplier",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
-      GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_rev
-    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
-    """,
-)
-def q_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: derived view + scalar-max filter (ties kept)."""
-    l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
-    )
-    sup = load(spark, sf_dir, "supplier")
-    revenue = l.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev")
-    )
-    mx = revenue.agg(F.max("total_rev").alias("m"))
-    return (
-        sup.join(revenue, sup.s_suppkey == revenue.l_suppkey)
-        .join(F.broadcast(mx), F.col("total_rev") == F.col("m"))
-        .select("s_suppkey", "s_name", "total_rev")
-    )
-
-
-@query(
-    "q17_small_quantity",
-    """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
-          FROM lineitem GROUP BY l_partkey) t
-      ON t.l_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.half_avg
-    """,
-)
-def q_q17_small_quantity(spark, sf_dir):
-    """TPC-H Q17 shape: correlated per-part average → pre-aggregated
-    join (the decorrelated plan Spark/Catalyst would produce)."""
-    l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    halves = l.groupBy(F.col("l_partkey").alias("hp")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg")
-    )
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(halves, l.l_partkey == F.col("hp"))
-        .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
-    )
-
-
-@query(
-    "q22_global_sales",
-    """
-    WITH eligible AS (
-      SELECT c_custkey, c_acctbal, substr(c_name, 16, 1) AS cntry
-      FROM customer
-      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)),
-    no_orders AS (
-      SELECT e.* FROM eligible e
-      WHERE NOT EXISTS (SELECT 1 FROM orders o
-                        WHERE o.o_custkey = e.c_custkey AND o.o_totalprice > 300000))
-    SELECT cntry, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
-    FROM no_orders GROUP BY cntry
-    """,
-)
-def q_q22_global_sales(spark, sf_dir):
-    """TPC-H Q22 shape: scalar-subquery threshold + anti join + group.
-    Threshold rounded on both sides so float noise can't flip
-    membership. cntry is name digit 16 (names are Customer#%09d, so
-    chars 10-11 are constant '00' at test SFs) and the price threshold
-    sits at 300000 — the 250000 variant was empty at sf0.001 (caught
-    by the r05 non-empty oracle guard)."""
-    c = load(spark, sf_dir, "customer")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("t"))
-    )
-    eligible = (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("t"))
-        .select("c_custkey", "c_acctbal", F.substring("c_name", 16, 1).alias("cntry"))
-    )
-    # anti join against LARGE orders only (a bare no-orders variant is
-    # degenerate on this data: every high-balance customer has orders)
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    no_orders = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
-    return no_orders.groupBy("cntry").agg(
-        F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal")
-    )
-
-
-
-@query(
-    "string_agg_nations",
-    """
-    SELECT r.r_name,
-           array_to_string(list_sort(list(n.n_name)), ',') AS nations
-    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-)
-def q_string_agg_nations(spark, sf_dir):
-    """C7/C15: ordered string aggregation — sort_array(collect_list)
-    forces a deterministic order (bare collect_list/string_agg order is
-    engine-dependent)."""
-    r = load(spark, sf_dir, "region")
-    n = load(spark, sf_dir, "nation")
-    return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
-    )
-
-
-@query(
-    "regression_aggs",
-    """
-    SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_regression_aggs(spark, sf_dir):
-    """C7/C17: linear-regression aggregates (price ~ quantity per
-    return flag)."""
-    l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
-        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
-    )
-
-
-# =====================================================================
-# Round 4 — dataset-curation operators (operators/curation.py)
-# =====================================================================
-
-@query(
-    "decontaminate_ngram",
-    """
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    ng AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
-      FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
-      WHERE len(w) >= 5),
-    ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
-    agg AS (
-      SELECT n.doc_id,
-             count(*) AS n_grams,
-             sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
-      FROM ng n LEFT JOIN ev ON n.g = ev.g
-      WHERE n.doc_id % 20 <> 0
-      GROUP BY 1)
-    SELECT doc_id,
-           CAST(n_shared AS BIGINT) AS n_shared,
-           round(n_shared / CAST(n_grams AS DOUBLE), 4) AS contamination_frac
-    FROM agg WHERE n_shared >= 1
-    """,
-)
-def q_decontaminate_ngram(spark, sf_dir):
-    """Curation (r04): benchmark decontamination — flag training docs
-    sharing any 5-gram with the eval slice (doc_id % 20 == 0 stands in
-    for a benchmark set). Eval n-grams broadcast; the corpus side's
-    only shuffle is the per-doc count agg. The handful of flagged docs
-    are exactly the planted near-duplicates — the realistic shape of a
-    contamination scan (GPT-3 used 13-grams; n=5 scaled to this
-    corpus's ~100-token docs)."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    ev = d.where(F.col("doc_id") % 20 == 0)
-    tr = d.where(F.col("doc_id") % 20 != 0)
-    return C.decontaminate(tr, ev, "doc_id", "text", n=5, min_shared=1)
-
-
-@query(
-    "stratified_sample",
-    f"""
-    SELECT doc_id, lang, source FROM documents
-    WHERE {C.hash_bucket_sql('doc_id', 100)}
-          < (CASE WHEN lang = 'de' THEN 25
-                  WHEN lang = 'en' THEN 50
-                  WHEN lang = 'zh' THEN 10
-                  ELSE 0 END)
-    """,
-)
-def q_stratified_sample(spark, sf_dir):
-    """Curation (r04): deterministic domain mixing — per-language
-    inclusion rates via an engine-portable md5 bucket on doc_id
-    (identical CASE+bucket formula in the oracle). Membership depends
-    only on the row id: the training mix is reproducible across runs,
-    engines, and cluster sizes. One scan, zero shuffles."""
-    d = load(spark, sf_dir, "documents")
-    return C.stratified_sample(
-        d, {"en": 0.5, "de": 0.25, "zh": 0.1}, "lang", "doc_id"
-    ).select("doc_id", "lang", "source")
-
-
-@query(
-    "sequence_packing",
-    f"""
-    WITH t AS (
-      SELECT lang, doc_id,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
-             {C.hash_bucket_sql("'pack0:' || CAST(doc_id AS VARCHAR)", 8)} AS shard
-      FROM documents),
-    c AS (
-      SELECT lang, shard, doc_id, n_tokens,
-             COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-      FROM t),
-    l AS (
-      SELECT *, CAST(floor(tokens_before / 512.0) AS BIGINT) AS local_bin FROM c),
-    off AS (
-      SELECT lang, shard,
-             CAST(COALESCE(sum(max_bin + 1) OVER (PARTITION BY lang ORDER BY shard
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_offset
-      FROM (SELECT lang, shard, max(local_bin) AS max_bin FROM l GROUP BY 1, 2))
-    SELECT l.lang, CAST(l.local_bin + o.bin_offset AS BIGINT) AS bin_id,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM l JOIN off o ON l.lang = o.lang AND l.shard = o.shard
-    GROUP BY 1, 2
-    """,
-)
-def q_sequence_packing(spark, sf_dir):
-    """Curation (r04, sharded r06): contiguous sequence packing into
-    512-token context bins — the deterministic streaming-concat layout
-    used to build fixed-length training examples. The running window is
-    keyed (lang, shard) via the deterministic hash sharder, so no
-    window partition exceeds 1/8 of a language at any corpus size;
-    per-shard bins are offset into globally unique ids by the tiny
-    shard-aggregate broadcast."""
-    d = load(spark, sf_dir, "documents")
-    return C.pack_sequences(
-        d, budget=512, group_col="lang", id_col="doc_id", n_shards=8
-    )
-
-
-@query(
-    "pii_redaction",
-    f"""
-    WITH aug AS (
-      SELECT doc_id,
-             text || ' Contact: user' || CAST(doc_id AS VARCHAR)
-                  || '@example.com or call 555-867-'
-                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
-      FROM documents)
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{C.EMAIL_RE}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{C.PHONE_RE}')) AS INT) AS n_phones,
-           regexp_replace(regexp_replace(t, '{C.EMAIL_RE}', '[EMAIL]', 'g'),
-                          '{C.PHONE_RE}', '[PHONE]', 'g') AS redacted
-    FROM aug
-    """,
-)
-def q_pii_redaction(spark, sf_dir):
-    """Curation (r04): PII scrub before text enters a training mix —
-    emails and US-style phone numbers replaced with placeholder tokens,
-    with per-row match counts. The corpus is synthetic, so deterministic
-    PII is appended in-query (one email + one phone per doc) to make the
-    redaction non-vacuous; patterns are lookaround-free so Java regex
-    (Spark) and RE2 (oracle) agree and the whole pass stays in
-    whole-stage codegen — a pure scan at 100 TB."""
-    d = load(spark, sf_dir, "documents")
-    aug = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" Contact: user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or call 555-867-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit("."),
-        ).alias("t"),
-    )
-    return C.redact_pii(aug, "t", "redacted").select(
-        "doc_id", "n_emails", "n_phones", "redacted"
-    )
-
-
-@query(
-    "vocab_topk",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                            x -> lower(x)) AS w
-      FROM documents),
-    ex AS (SELECT doc_id, UNNEST(w) AS token FROM toks)
-    SELECT token, count(*) AS n_occurrences,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-    FROM ex GROUP BY token
-    ORDER BY n_occurrences DESC, token ASC
-    LIMIT 100
-    """,
-)
-def q_vocab_topk(spark, sf_dir):
-    """Curation (r04): corpus vocabulary heavy hitters (count + doc
-    frequency, deterministic top-100) — the statistic that seeds
-    tokenizer training and stop-word lists. Partial-agg counts then a
-    per-partition top-k heap; no global sort."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.vocab_topk(d, "doc_id", "text", k=100)
-
-
-@query(
-    "embedding_quantize",
-    """
-    SELECT vec_id,
-           array_to_string(list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
-                  greatest(sqrt(list_aggregate(list_transform(embedding,
-                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')),
-                           1e-30)) AS INT)), ',') AS q8,
-           round(sqrt(list_aggregate(list_transform(embedding,
-                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6) AS norm
-    FROM embeddings
-    """,
-)
-def q_embedding_quantize(spark, sf_dir):
-    """Curation (r04): L2-normalize + int8-quantize every embedding —
-    the 4× shrink before ANN-indexing an embedding corpus. Pure array
-    expressions, zero shuffles; a linear scan at 100 TB.
-
-    The operator returns q8 as array<int> (the API shape); the catalog
-    query serializes it to a canonical comma-joined string because the
-    driver's canonicalization sorts raw cell values (unhashable-list
-    TypeError on array cells, CORRECTNESS_r03)."""
-    e = load(spark, sf_dir, "embeddings")
-    q = C.quantize_embeddings(e, "embedding", "vec_id", "q8")
-    return q.select(
-        "vec_id", F.concat_ws(",", F.col("q8")).alias("q8"), "norm"
-    )
-
-
-@query(
-    "cms_token_counts",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                            x -> lower(x)) AS w
-      FROM documents),
-    ex AS (SELECT doc_id, UNNEST(w) AS token FROM toks),
-    ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
-    cells AS (
-      SELECT d, {C.hash_bucket_sql("'cms' || CAST(d AS VARCHAR) || ':' || token", 2048)} AS pos,
-             count(*) AS cell
-      FROM ex CROSS JOIN ds GROUP BY 1, 2),
-    probes AS (
-      SELECT token, count(*) AS n_exact
-      FROM ex GROUP BY token
-      ORDER BY n_exact DESC, token ASC LIMIT 20),
-    ppos AS (
-      SELECT p.token, p.n_exact, ds.d,
-             {C.hash_bucket_sql("'cms' || CAST(ds.d AS VARCHAR) || ':' || p.token", 2048)} AS pos
-      FROM probes p CROSS JOIN ds),
-    est AS (
-      SELECT token, n_exact, min(cell) AS cms_est
-      FROM ppos JOIN cells USING (d, pos) GROUP BY 1, 2)
-    SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
-           CAST(cms_est AS BIGINT) AS cms_est,
-           cms_est >= n_exact AS never_under
-    FROM est
-    """,
-)
-def q_cms_token_counts(spark, sf_dir):
-    """Curation (r06): count-min sketch frequency estimation — the
-    second mergeable-sketch family next to SpaceSaving. The sketch is
-    pure relational algebra (positions via the portable md5 bucket,
-    cells via a <= depth*width-group partial agg, estimates via
-    min-over-rows on a broadcast join), so the DuckDB oracle reproduces
-    every cell count and estimate BIT-EXACTLY — a full hash-checked
-    oracle for an approximate data structure. Probes are the exact
-    top-20 tokens; never_under pins the CMS no-undercount guarantee
-    row-by-row."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.cms_token_estimates(d, probe_k=20, depth=4, width=2048)
-
-
-@query(
-    "length_band_filter",
-    """
-    WITH t AS (
-      SELECT doc_id, source,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
-      FROM documents),
-    r AS (
-      SELECT doc_id, source, n_tokens,
-             percent_rank() OVER (PARTITION BY source ORDER BY n_tokens) AS pr
-      FROM t)
-    SELECT doc_id, source, n_tokens, round(pr, 6) AS len_pctile
-    FROM r WHERE pr >= 0.1 AND pr <= 0.95
-    """,
-)
-def q_length_band_filter(spark, sf_dir):
-    """Curation (r04, two-pass r06): per-source percentile length gate —
-    keep docs in the [p10, p95] token-count band of their own source
-    domain. The rank is exact (tie-atomic, engine-portable) but comes
-    from the compact per-(source, length) histogram + broadcast join —
-    no data-sized window keyed on the stratum, so one source domain
-    never becomes one task at corpus scale. The oracle renders the
-    equivalent percent_rank window; both are bit-identical."""
-    d = load(spark, sf_dir, "documents")
-    return C.length_band_filter(d, 0.1, 0.95, "source", "doc_id", "text")
-
-
-@query(
-    "curation_pipeline",
-    _KEEP_BEST_CTES + f"""
-    , kept AS (
-      SELECT d.doc_id, d.lang, d.text
-      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
-    samp AS (
-      SELECT * FROM kept
-      WHERE {C.hash_bucket_sql('doc_id', 100)}
-            < (CASE WHEN lang = 'en' THEN 60 ELSE 40 END)),
-    t2 AS (
-      SELECT lang, doc_id,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
-             {C.hash_bucket_sql("'pack0:' || CAST(doc_id AS VARCHAR)", 8)} AS shard
-      FROM samp),
-    c2 AS (
-      SELECT lang, shard, doc_id, n_tokens,
-             COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-      FROM t2),
-    l2 AS (
-      SELECT *, CAST(floor(tokens_before / 256.0) AS BIGINT) AS local_bin FROM c2),
-    off2 AS (
-      SELECT lang, shard,
-             CAST(COALESCE(sum(max_bin + 1) OVER (PARTITION BY lang ORDER BY shard
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_offset
-      FROM (SELECT lang, shard, max(local_bin) AS max_bin FROM l2 GROUP BY 1, 2))
-    SELECT l2.lang, CAST(l2.local_bin + o.bin_offset AS BIGINT) AS bin_id,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM l2 JOIN off2 o ON l2.lang = o.lang AND l2.shard = o.shard
-    GROUP BY 1, 2
-    """,
-)
-def q_curation_pipeline(spark, sf_dir):
-    """The flagship composed curation DAG (r04) — what a user runs to
-    turn a raw corpus into training shards, in ONE lazy plan:
-    near-dup groups (MinHash+LSH, exact-verified) → quality-weighted
-    survivor per group → deterministic domain mixing (60% en / 40%
-    rest) → 256-token sequence packing → per-bin manifest. Every stage
-    is an oracle-checked operator and the composition itself is
-    oracle-checked end-to-end against a single DuckDB rendering
-    (recursive closure + quality argmax + hash sampling + packing
-    window). Catalyst sees the whole upstream DAG at once — the dedup
-    branch and the packing branch share one scan of the corpus; the
-    sharded packing stage materializes its slim windowed projection
-    once (lazy checkpoint) so its offsets pass doesn't re-run the
-    dedup+sampling pipeline."""
-    d = load(spark, sf_dir, "documents")
-    keep = _keep_best_survivors(spark, sf_dir).select("doc_id")
-    kept = d.join(keep, "doc_id").select("doc_id", "lang", "text")
-    sampled = C.stratified_sample(
-        kept,
-        {"en": 0.6},
-        "lang",
-        "doc_id",
-        default_rate=0.4,
-    )
-    return C.pack_sequences(sampled, budget=256, group_col="lang", n_shards=8)
-
-
-@query(
-    "rarity_score",
-    """
-    WITH ex AS (
-      SELECT doc_id,
-             UNNEST(list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x))) AS token
-      FROM documents),
-    freq AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
-    tot AS (SELECT sum(c) AS n FROM freq)
-    SELECT ex.doc_id,
-           count(*) AS n_tokens,
-           round(avg(ln(tot.n / CAST(freq.c AS DOUBLE))), 4) AS rarity
-    FROM ex JOIN freq USING (token), tot
-    GROUP BY ex.doc_id
-    """,
-)
-def q_rarity_score(spark, sf_dir):
-    """Curation (r04): unigram self-information per doc (mean
-    −ln p(token) under the corpus's own unigram model) — the cheap
-    perplexity proxy separating boilerplate from garbled text. Two
-    linear passes; the only token-keyed shuffle carries (token, count)
-    pairs."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.rarity_score(d, "doc_id", "text")
-
-
-# ---------------------------------------------------------------------
-# Remaining TPC-H shapes (r05). The testdata schema omits partsupp and
-# the lineitem receipt/commit/shipmode columns, so each query keeps the
-# reference shape's *operator structure* (the part the planner sees)
-# with predicates adapted to the columns that exist; the DuckDB oracle
-# mirrors the adaptation exactly.
-# ---------------------------------------------------------------------
-
-
-@query(
-    "q7_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l.l_shipdate) AS INT) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') t
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-)
-def q_q7_volume_shipping(spark, sf_dir):
-    """TPC-H Q7 shape: the nation table joined twice under different
-    roles (supplier side / customer side) with a symmetric pair
-    predicate, then a 3-key aggregation. Both nation relations
-    broadcast; the only shuffles are the orders equi-join and the
-    final group-by."""
-    l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
-    )
-    s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    pair = (
-        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
-    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
-    return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@query(
-    "q8_market_share",
-    """
-    SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
-    FROM (
-      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
-             n1.n_name AS nation
-      FROM lineitem l
-      JOIN part p     ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      JOIN region r   ON r.r_regionkey = n2.n_regionkey
-      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
-        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
-    GROUP BY o_year
-    """,
-)
-def q_q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: 7-relation star join with a conditional
-    numerator over the full denominator (one nation's share of
-    regional volume per year). part is filtered before the join and
-    broadcast; region restricts the customer side via two broadcast
-    hops."""
-    l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0)) / F.sum(vol),
-                4,
-            ).alias("mkt_share")
-        )
-    )
-
-
-@query(
-    "q9_product_profit",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
-    FROM (
-      SELECT n.n_name AS nation,
-             CAST(year(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.6 * p.p_retailprice * l.l_quantity AS amount
-      FROM lineitem l
-      JOIN part p     ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN nation n   ON n.n_nationkey = s.s_nationkey
-      WHERE p.p_name LIKE '%red%') t
-    GROUP BY nation, o_year
-    """,
-)
-def q_q9_product_profit(spark, sf_dir):
-    """TPC-H Q9 shape: profit per supplier-nation per year over a
-    part-name pattern filter. The testdata has no partsupp, so supply
-    cost is proxied as 0.6 * p_retailprice (the oracle mirrors the
-    proxy); the plan shape — substring-pattern dim filter broadcast
-    into a fact join, expression agg over a derived column — is the
-    reference's."""
-    l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders")
-    n = load(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
-    )
-
-
-@query(
-    "q12_shipping_delay",
-    """
-    SELECT delay_band,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM (
-      SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
-                  THEN 'FAST' ELSE 'SLOW' END AS delay_band,
-             o.o_orderpriority
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00') t
-    GROUP BY delay_band
-    """,
-)
-def q_q12_shipping_delay(spark, sf_dir):
-    """TPC-H Q12 shape: join + dual conditional counts per band. The
-    testdata has no l_shipmode/receipt/commit columns, so the band is
-    derived from shipping delay (≤30 days = FAST) instead of ship
-    mode; the CASE-sum structure the reference exercises is
-    unchanged."""
-    l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
-    )
-    o = load(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    band = F.when(
-        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "FAST"
-    ).otherwise("SLOW")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(band.alias("delay_band"), F.col("o_orderpriority"))
-        .groupBy("delay_band")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@query(
-    "q19_discounted_revenue",
-    """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 1 AND 20)
-       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
-           AND l.l_quantity BETWEEN 10 AND 40)
-       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
-           AND l.l_quantity BETWEEN 20 AND 50)
-    """,
-)
-def q_q19_discounted_revenue(spark, sf_dir):
-    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
-    bands evaluated across the join boundary. The part side of each
-    disjunct (brand+size) is pushable; the mixed part×lineitem residual
-    stays a post-join filter — exactly what Catalyst does with the
-    reference predicate (container/shipmode swapped for columns the
-    testdata has)."""
-    l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    qty = F.col("l_quantity")
-    d1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20)
-    d2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 40)
-    d3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 50)
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .filter(d1 | d2 | d3)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@query(
-    "q21_waiting_supplier",
-    """
-    WITH late AS (
-      SELECT l.l_orderkey, l.l_suppkey
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderstatus = 'F'
-        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
-    multi AS (
-      SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
-    solo_late AS (
-      SELECT l_orderkey FROM late
-      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1)
-    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM late
-    JOIN multi     USING (l_orderkey)
-    JOIN solo_late USING (l_orderkey)
-    JOIN supplier s ON s.s_suppkey = late.l_suppkey
-    GROUP BY s.s_name
-    """,
-)
-def q_q21_waiting_supplier(spark, sf_dir):
-    """TPC-H Q21 shape: suppliers solely responsible for late
-    multi-supplier orders. The reference's correlated EXISTS /
-    NOT EXISTS pair decorrelates to two per-order aggregates (any
-    other supplier on the order; no other LATE supplier on the order)
-    — written directly in that decorrelated form so the same plan
-    runs on both engines. Late = shipped >60 days after the order
-    date (testdata has no receipt/commit columns)."""
-    l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-    )
-    multi = (
-        l.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("l_orderkey")
-    )
-    solo_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("l_orderkey")
-    )
-    s = load(spark, sf_dir, "supplier")
-    return (
-        late.join(multi, "l_orderkey")
-        .join(solo_late, "l_orderkey")
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
-    )
-
-
-@query(
-    "q2_min_cost_supplier",
-    """
-    WITH cost AS (
-      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
-      FROM lineitem GROUP BY l_partkey, l_suppkey),
-    eu AS (
-      SELECT s.s_suppkey, s.s_name, n.n_name
-      FROM supplier s
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'EUROPE'),
-    best AS (
-      SELECT c.l_partkey, min(c.unit_price) AS best_price
-      FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
-      GROUP BY c.l_partkey)
-    SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name AS nation,
-           round(c.unit_price, 2) AS unit_price
-    FROM cost c
-    JOIN eu   ON eu.s_suppkey = c.l_suppkey
-    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_price = b.best_price
-    JOIN part p ON p.p_partkey = c.l_partkey
-    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
-    """,
-)
-def q_q2_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape: per-part minimum over a restricted supplier set,
-    re-joined by value equality (ties kept). partsupp's supply cost is
-    proxied by the observed minimum unit price in lineitem — raw IEEE
-    division and min only, so the equality join compares bit-identical
-    doubles on both engines; rounding happens on output alone."""
-    l = load(spark, sf_dir, "lineitem")
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
-    )
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    eu = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
-    )
-    eu_cost = cost.join(F.broadcast(eu), cost.l_suppkey == F.col("s_suppkey"))
-    best = eu_cost.groupBy(F.col("l_partkey").alias("bp")).agg(
-        F.min("unit_price").alias("best_price")
-    )
-    p = load(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
-    )
-    return (
-        eu_cost.join(
-            best,
-            (eu_cost.l_partkey == F.col("bp"))
-            & (F.col("unit_price") == F.col("best_price")),
-        )
-        .join(F.broadcast(p), eu_cost.l_partkey == p.p_partkey)
-        .select(
-            "p_partkey",
-            "p_brand",
-            "s_name",
-            "nation",
-            F.round("unit_price", 2).alias("unit_price"),
-        )
-    )
-
-
-@query(
-    "q11_important_value",
-    """
-    WITH val AS (
-      SELECT l.l_partkey,
-             sum(l.l_extendedprice * (1 - l.l_discount)) AS value
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n   ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name = 'NATION_3'
-      GROUP BY l.l_partkey)
-    SELECT l_partkey, round(value, 2) AS value
-    FROM val
-    WHERE round(value, 2) > (SELECT round(sum(value) * 0.001, 2) FROM val)
-    """,
-)
-def q_q11_important_value(spark, sf_dir):
-    """TPC-H Q11 shape: grouped value with a HAVING threshold that is
-    itself a scalar aggregate over the same grouped view (decorrelated
-    to a broadcast of the one-row total). Both sides of the comparison
-    are rounded to cents so an order-of-summation ulp can't flip
-    membership."""
-    l = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    val = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
-    )
-    threshold = val.agg(F.round(F.sum("value") * 0.001, 2).alias("t"))
-    return (
-        val.join(F.broadcast(threshold))
-        .filter(F.round(F.col("value"), 2) > F.col("t"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
-    )
-
-
-@query(
-    "q16_supplier_cnt",
-    """
-    SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#1'
-      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p.p_brand, p.p_size
-    """,
-)
-def q_q16_supplier_cnt(spark, sf_dir):
-    """TPC-H Q16 shape: distinct-supplier counts per part attribute
-    group, with a NOT IN exclusion subquery (suppliers in arrears).
-    s_suppkey is non-null so NOT IN is exactly a broadcast anti
-    join; the part relationship comes from lineitem (no partsupp in
-    the testdata)."""
-    l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
-    )
-    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@query(
-    "vocab_sketch_topk",
-    """
-    WITH ex AS (
-      SELECT UNNEST(list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x))) AS token
-      FROM documents),
-    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM ex GROUP BY token)
-    SELECT token, n_occurrences, n_occurrences AS lo, n_occurrences AS hi
-    FROM cnt ORDER BY n_occurrences DESC, token ASC LIMIT 60
-    """,
-)
-def q_vocab_sketch_topk(spark, sf_dir):
-    """Curation (r05): approximate vocabulary heavy hitters via
-    per-partition SpaceSaving summaries — the sketch path that replaces
-    `vocab_topk`'s exact one-row-per-distinct-token shuffle when the
-    distinct-token count itself is web-scale. Run here with capacity
-    (64k) far above the per-partition distinct count, where SpaceSaving
-    is provably exact (no counter is ever evicted, lo = hi = count), so
-    the full pipeline — streamed sketch build, threshold bookkeeping,
-    bound-merging shuffle, top-k — oracle-checks against DuckDB's exact
-    counts; the eviction/bound path is pinned by property tests at
-    small capacity (tests/test_curation.py)."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.vocab_topk_sketch(d, "text", k=60, capacity=65536)
-
-
-@query(
-    "training_shuffle",
-    f"""
-    WITH keyed AS (
-      SELECT doc_id,
-             md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS k,
-             CAST(({C.hash_bucket_sql("'shuf42:' || CAST(doc_id AS VARCHAR)", 16)})
-                  AS INTEGER) AS shard
-      FROM documents)
-    SELECT doc_id, shard,
-           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
-                AS INTEGER) AS pos_in_shard
-    FROM keyed
-    """,
-)
-def q_training_shuffle(spark, sf_dir):
-    """Curation (r05): deterministic training-order shuffle — a
-    reproducible pseudo-random permutation of the corpus as (shard,
-    pos_in_shard), built from one hash shuffle + per-shard sort (no
-    global range exchange). The oracle recomputes the identical md5
-    key and bucket mix in DuckDB, so the full permutation — not just
-    its shape — is hash-checked."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.deterministic_shuffle(d, "doc_id", seed="42", n_shards=16)
-
-
-@query(
-    "funnel_conversion",
-    """
-    WITH v AS (
-      SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS tc
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS tp
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1)
-    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
-           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
-           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
-           round(CAST((SELECT count(*) FROM c) AS DOUBLE) /
-                 (SELECT count(*) FROM v), 4) AS view_to_click,
-           round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
-                 (SELECT count(*) FROM c), 4) AS click_to_purchase
-    """,
-)
-def q_funnel_conversion(spark, sf_dir):
-    """Event-analytics breadth: ordered funnel view → click → purchase.
-    Each stage is a user-keyed aggregate joined to the next stage's
-    events with a time-ordering predicate (the click must FOLLOW the
-    user's first view, the purchase that click) — the standard
-    decorrelated funnel, three user-keyed shuffles, no window over the
-    event stream. At 100 TB each stage's per-user relation is a
-    fraction of the previous, so the joins shrink monotonically."""
-    e = load(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") >= F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") >= F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
-    counts = (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
-    )
-    return counts.select(
-        "n_view",
-        "n_click",
-        "n_purchase",
-        F.round(F.col("n_click").cast("double") / F.col("n_view"), 4).alias(
-            "view_to_click"
-        ),
-        F.round(
-            F.col("n_purchase").cast("double") / F.col("n_click"), 4
-        ).alias("click_to_purchase"),
-    )
-
-
-@query(
-    "retention_cohorts",
-    """
-    WITH first_seen AS (
-      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
-      FROM events GROUP BY 1),
-    activity AS (
-      SELECT DISTINCT e.user_id, f.cohort_week,
-             CAST(floor(date_diff('day', f.cohort_week,
-                  CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT) AS week_offset
-      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
-    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
-           week_offset, CAST(count(*) AS BIGINT) AS n_active
-    FROM activity
-    GROUP BY 1, 2
-    """,
-)
-def q_retention_cohorts(spark, sf_dir):
-    """Event-analytics breadth: weekly retention cohorts — users
-    grouped by first-seen week, counted as active per later week
-    offset (the triangle every growth dashboard draws). One user-keyed
-    aggregate for cohort assignment, one join back (user-keyed), one
-    distinct + count per (cohort, offset). Week truncation is ISO
-    Monday in both engines."""
-    e = load(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    act = (
-        e.join(first, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")).cast("date"),
-                    F.col("cohort_week"),
-                )
-                / 7
-            ).alias("week_offset"),
-        )
-        .distinct()
-    )
-    # string cohort key: a DATE cell round-trips differently through
-    # pandas in the two engines (datetime64 vs date) — the same class
-    # of canonicalization hazard as array cells
-    return (
-        act.groupBy("cohort_week", "week_offset")
-        .agg(F.count("*").alias("n_active"))
-        .select(
-            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
-            "week_offset",
-            "n_active",
-        )
-    )
-
-
-@query(
-    "histogram_quantiles",
-    """
-    WITH b AS (
-      SELECT CAST(floor(l_extendedprice / 525.0) AS BIGINT) AS bin,
-             CAST(count(*) AS BIGINT) AS c
-      FROM lineitem GROUP BY 1),
-    cum AS (
-      SELECT bin, c,
-             sum(c) OVER (ORDER BY bin) AS cum,
-             sum(c) OVER () AS n
-      FROM b)
-    SELECT round(525.0 * min(CASE WHEN cum >= 0.50 * n THEN bin END), 2) AS p50_est,
-           round(525.0 * min(CASE WHEN cum >= 0.90 * n THEN bin END), 2) AS p90_est,
-           round(525.0 * min(CASE WHEN cum >= 0.99 * n THEN bin END), 2) AS p99_est
-    FROM cum
-    """,
-)
-def q_histogram_quantiles(spark, sf_dir):
-    """C7/C17 scale path (r05): percentiles from a fixed-width 200-bin
-    histogram — the mergeable, fixed-memory alternative to
-    percentile_exact's global sort. One scan produces ≤200 (bin,count)
-    rows (partial-agg map-side), the cumulative pass runs over those
-    rows alone, and estimates are the lower edge of the first bin whose
-    cumulative count crosses q·n — deterministic by construction, so
-    unlike t-digest/GK sketches the whole path oracle-checks exactly.
-    Error is bounded by one bin width (pinned in
-    tests/test_scale_helpers.py); at 100 TB the same 200-row merge
-    serves any partition count."""
-    l = load(spark, sf_dir, "lineitem")
-    w = 525.0
-    b = (
-        l.select(F.floor(F.col("l_extendedprice") / w).cast("long").alias("bin"))
-        .groupBy("bin")
-        .agg(F.count("*").alias("c"))
-    )
-    # Both windows run over the same ≤200-row single partition (that's
-    # the point of the sketch: post-scan state is bin-count-sized) —
-    # computing n as a window total instead of a separate aggregate
-    # keeps the plan to ONE scan of the fact table.
-    win = W.orderBy("bin").rangeBetween(W.unboundedPreceding, W.currentRow)
-    win_all = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cum = b.withColumn("cum", F.sum("c").over(win)).withColumn(
-        "n", F.sum("c").over(win_all)
-    )
-
-    def est(q, alias):
-        return F.round(
-            w * F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin"))), 2
-        ).alias(alias)
-
-    return cum.agg(est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est"))
-
-
-@query(
-    "multires_rollup",
-    """
-    WITH lvl AS (
-      SELECT '15m' AS resolution, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
-             event_type, value FROM events
-      UNION ALL
-      SELECT '1h', date_trunc('hour', ts), event_type, value FROM events
-      UNION ALL
-      SELECT '1d', date_trunc('day', ts), event_type, value FROM events)
-    SELECT resolution, bucket_start, event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value,
-           floor(round(sum(value), 2) * 10000.0 / count(*)) / 10000.0 AS avg_value
-    FROM lvl GROUP BY 1, 2, 3
-    """,
-)
-def q_multires_rollup(spark, sf_dir):
-    """Hypertable-style continuous aggregate (TimescaleDB/Druid rollup
-    pattern; no counterpart in the reference, which has no time-series
-    surface at all): 15-minute mergeable partial cells from ONE raw
-    scan, hourly and daily levels RE-AGGREGATED from those cells —
-    counts/sums re-add, min/max re-min/max, avg derived at read time
-    (it is not mergeable, so it is never stored). At 100 TB each coarse
-    resolution costs a pass over the next-finer CELL relation (a few
-    thousand rows per key-day), not the raw corpus; the cells are
-    exactly what a Structured Streaming aggregation would maintain
-    incrementally. The oracle computes every level DIRECTLY from raw
-    events in DuckDB, so this query proves re-aggregation ≡ re-scan,
-    not merely that both engines ran the same two-step plan. See
-    operators/timeseries.py."""
-    e = load(spark, sf_dir, "events")
-    return TS.multi_resolution(e, keys=("event_type",))
-
-
-@query(
-    "bm25_topk",
-    """
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    st AS (
-      SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'spark')) > 0) AS df0,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'vector')) > 0) AS df1,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'dup')) > 0) AS df2
-      FROM tk),
-    pc AS (
-      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
-             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
-             CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2
-      FROM tk),
-    scored AS (
-      SELECT doc_id,
-             round(
-               ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
-                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
-                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
-                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
-      FROM pc, st)
-    SELECT doc_id, bm25 FROM scored
-    WHERE bm25 > 0.0
-    ORDER BY bm25 DESC, doc_id ASC
-    LIMIT 25
-    """,
-)
-def q_bm25_topk(spark, sf_dir):
-    """BM25 relevance top-k over documents (k1=1.2, b=0.75, Lucene idf)
-    — the query-targeted corpus-mining scorer. Corpus stats (N, avgdl,
-    per-term df) come from one aggregate pass producing a 1-row
-    broadcast relation; term frequencies are scan-side array
-    expressions; the only shuffle is the final TakeOrdered top-k. The
-    oracle recomputes the identical formula (same literal folding, same
-    association order) in DuckDB. See operators/text.py::bm25_topk."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.bm25_topk(d, ["spark", "vector", "dup"], k=25)
-
-
-PQ_ORACLE_CODEBOOKS = "/root/repo/spark-warehouse/pq_cache/codebooks_oracle.parquet"
-
-
-def _upsert_oracle_codebooks(books, corpus_sig: int, n_codes: int, seed: int) -> None:
-    """Idempotently merge one trained PQ codebook set into the
-    consolidated oracle parquet (columns: corpus_sig, m, n_codes, seed,
-    subspace, code, centroid double[]) — same contract as the IVF
-    centroid parquet."""
-    import os
-
-    import pandas as pd
-
-    m = len(books)
-    rows = pd.DataFrame(
-        [
-            {
-                "corpus_sig": int(corpus_sig),
-                "m": int(m),
-                "n_codes": int(n_codes),
-                "seed": int(seed),
-                "subspace": j,
-                "code": c,
-                "centroid": [float(x) for x in books[j][c]],
-            }
-            for j in range(m)
-            for c in range(n_codes)
-        ]
-    )
-    path = PQ_ORACLE_CODEBOOKS
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    if os.path.exists(path):
-        old = pd.read_parquet(path)
-        same = (
-            (old["corpus_sig"] == corpus_sig)
-            & (old["m"] == m)
-            & (old["n_codes"] == n_codes)
-            & (old["seed"] == seed)
-        )
-        if same.sum() == m * n_codes:
-            return
-        rows = pd.concat([old[~same], rows], ignore_index=True)
-    rows.to_parquet(path, index=False)
-
-
-def _pq_codebooks(spark, sf_dir: str, m: int = 4, n_codes: int = 16, seed: int = 42):
-    """Get-or-train the persisted PQ codebooks for one testdata corpus
-    (train once offline, reuse in every query — the IVF posture), and
-    maintain the oracle-readable consolidated parquet keyed by the same
-    corpus content signature the IVF cache uses."""
-    import json
-    import os
-
-    import numpy as np
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_m{m}_c{n_codes}_s{seed}"
-    root = os.path.join(repo, "spark-warehouse", "pq_cache", key)
-    books_path = os.path.join(root, "codebooks.npy")
-    meta_path = os.path.join(root, "meta.json")
-    if not os.path.exists(books_path):
-        e = load(spark, sf_dir, "embeddings", spread=True)
-        books = S.train_pq_codebooks(e, m=m, n_codes=n_codes, seed=seed)
-        os.makedirs(root, exist_ok=True)
-        np.save(books_path, books)
-        json.dump({"corpus_sig": _corpus_sig(spark, sf_dir)}, open(meta_path, "w"))
-    books = np.load(books_path)
-    meta = json.load(open(meta_path))
-    _upsert_oracle_codebooks(books, meta["corpus_sig"], n_codes, seed)
-    return books
-
-
-@query(
-    "pq_knn",
-    f"""
-    WITH cb AS (
-      SELECT subspace, code, centroid
-      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND m = 4 AND n_codes = 16 AND seed = 42),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-    enc AS (
-      SELECT e.vec_id, s.subspace,
-             (SELECT c.code FROM cb c WHERE c.subspace = s.subspace
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(
-                           CAST(e.embedding AS DOUBLE[])[s.subspace*16+1 : s.subspace*16+16],
-                           c.centroid) ASC,
-                       c.code ASC
-              LIMIT 1) AS code
-      FROM embeddings e, (SELECT DISTINCT subspace FROM cb) s
-      WHERE e.vec_id <> 0),
-    tab AS (
-      SELECT c.subspace, c.code,
-             list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-             - 2 * list_dot_product(q.qv[c.subspace*16+1 : c.subspace*16+16], c.centroid)
-             + list_aggregate(
-                 list_transform(q.qv[c.subspace*16+1 : c.subspace*16+16], x -> x*x),
-                 'sum') AS d
-      FROM cb c, q)
-    SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist
-    FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
-    GROUP BY e.vec_id
-    ORDER BY adc_dist ASC, e.vec_id ASC
-    LIMIT 10
-    """,
-)
-def q_pq_knn(spark, sf_dir):
-    """C28 scale path #3: product-quantization ADC top-k (Jégou et al.
-    2011). The corpus is encoded as m=4 one-byte codes per vector (the
-    production layout persists the codes; here they are derived
-    scan-side to stay self-contained); the query's per-subspace
-    distance table is a broadcast 1-row relation; approximate distance
-    is a pure JVM array-lookup fold — the hot scan never touches float
-    vectors. Complements IVF (which prunes WHICH rows are scanned) by
-    compressing WHAT each row costs; at 100 TB the two compose
-    (IVF-partitioned directories of PQ codes). The trained codebooks
-    are data, persisted to a consolidated parquet the DuckDB oracle
-    reads to re-derive encoding (same argmin formula and tiebreak),
-    distance tables, and the summed top-k — full hash-checked oracle
-    for an approximate index, like ivf_knn. Recall vs brute force is
-    additionally pinned in tests."""
-    books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
-    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
-    return S.pq_adc_knn(corpus, qdf, books, k=10)
-
-
-@query(
-    "declarative_star_join",
-    """
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM region r
-    JOIN nation n   ON n.n_regionkey = r.r_regionkey
-    JOIN customer c ON c.c_nationkey = n.n_nationkey
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-)
-def q_declarative_star_join(spark, sf_dir):
-    """SURVEY §7 step 3 made first-class: the TPC-H Q5 star join
-    expressed ENTIRELY as a JSON-able QuerySpec dict — joins (with dim
-    broadcast hints), filters, a computed aggregate, grouping — and
-    compiled by plans.compiler.compile_query into one lazy lineage.
-    Same oracle as q5_regional_revenue: the declarative path must
-    produce hash-identical results to the hand-built DataFrame query.
-    This is the surface a reference user who writes Connector configs
-    (not PySpark) graduates to for analytics."""
-    from openetl_spark.plans.compiler import compile_query
-
-    spec = {
-        "table": "lineitem",
-        "joins": [
-            {"table": "orders", "on": [["l_orderkey", "o_orderkey"]]},
-            {"table": "customer", "on": [["o_custkey", "c_custkey"]]},
-            {"table": "supplier",
-             "on": [["l_suppkey", "s_suppkey"], ["c_nationkey", "s_nationkey"]]},
-            {"table": "nation", "on": [["c_nationkey", "n_nationkey"]],
-             "broadcast": True},
-            {"table": "region", "on": [["n_regionkey", "r_regionkey"]],
-             "broadcast": True},
-        ],
-        "filters": [
-            {"field": "r_name", "operator": "=", "value": "ASIA"},
-            {"field": "o_orderdate", "operator": ">=",
-             "value": "1996-01-01 00:00:00"},
-            {"field": "o_orderdate", "operator": "<",
-             "value": "1998-01-01 00:00:00"},
-        ],
-        "group_by": ["n_name"],
-        "aggregates": [
-            {"fn": "sum", "expr": "l_extendedprice * (1 - l_discount)",
-             "alias": "revenue", "round_dp": 2},
-        ],
-    }
-    return compile_query(spec, lambda t: load(spark, sf_dir, t))
-
-
-@query(
-    "declarative_window_topn",
-    """
-    WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-      FROM orders)
-    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-    FROM ranked WHERE rn <= 3 AND o_custkey <= 100
-    """,
-)
-def q_declarative_window_topn(spark, sf_dir):
-    """QuerySpec's window surface: top-3 orders per customer as a pure
-    dict — a declarative window term (row_number over a deterministic
-    (price desc, key asc) ordering) filtered by the post-window HAVING
-    stage. One hash shuffle on the high-cardinality customer key."""
-    from openetl_spark.plans.compiler import compile_query
-
-    spec = {
-        "table": "orders",
-        "filters": [{"field": "o_custkey", "operator": "<=", "value": 100}],
-        "windows": [
-            {"fn": "row_number", "alias": "rn",
-             "partition_by": ["o_custkey"],
-             "order_by": [{"field": "o_totalprice", "type": "desc"},
-                          {"field": "o_orderkey", "type": "asc"}]},
-        ],
-        "having": [{"field": "rn", "operator": "<=", "value": 3}],
-        "select": ["o_custkey", "o_orderkey", "o_totalprice", "rn"],
-    }
-    df = compile_query(spec, lambda t: load(spark, sf_dir, t))
-    return df.withColumn("rn", F.col("rn").cast("long"))
-
-
-@query(
-    "grouped_quantiles",
-    """
-    WITH b AS (
-      SELECT source, CAST(floor(n_chars / 4.0) AS BIGINT) AS bin,
-             CAST(count(*) AS BIGINT) AS c
-      FROM documents GROUP BY 1, 2),
-    cum AS (
-      SELECT source, bin, c,
-             sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
-             sum(c) OVER (PARTITION BY source) AS n
-      FROM b)
-    SELECT source,
-           round(4.0 * min(CASE WHEN cum >= 0.50 * n THEN bin END), 2) AS p50_est,
-           round(4.0 * min(CASE WHEN cum >= 0.90 * n THEN bin END), 2) AS p90_est,
-           round(4.0 * min(CASE WHEN cum >= 0.99 * n THEN bin END), 2) AS p99_est
-    FROM cum GROUP BY source
-    """,
-)
-def q_grouped_quantiles(spark, sf_dir):
-    """histogram_quantiles generalized to per-group percentiles: one
-    scan produces per-(source, bin) counts (partial-agg map-side), the
-    cumulative pass runs over the HISTOGRAM relation — its window
-    partitions hold one group's ≤~150 bins, never one group's raw rows
-    (contrast with percent_rank over raw data: one task per source at
-    100 TB). Estimates are the crossing bin's lower edge — exact by
-    construction, so the whole grouped sketch hash-matches the oracle
-    and the error stays bounded by one bin width per group."""
-    d = load(spark, sf_dir, "documents")
-    w = 4.0
-    b = (
-        d.select(
-            "source", F.floor(F.col("n_chars") / w).cast("long").alias("bin")
-        )
-        .groupBy("source", "bin")
-        .agg(F.count("*").alias("c"))
-    )
-    win = (
-        W.partitionBy("source").orderBy("bin")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
-    )
-    win_all = (
-        W.partitionBy("source").orderBy("bin")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    cum = b.withColumn("cum", F.sum("c").over(win)).withColumn(
-        "n", F.sum("c").over(win_all)
-    )
-
-    def est(q, alias):
-        return F.round(
-            w * F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin"))), 2
-        ).alias(alias)
-
-    return cum.groupBy("source").agg(
-        est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est")
-    )
-
-
-@query(
-    "hybrid_search_rrf",
-    """
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    st AS (
-      SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'spark')) > 0) AS df0,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'vector')) > 0) AS df1,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'dup')) > 0) AS df2
-      FROM tk),
-    pc AS (
-      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
-             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
-             CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2
-      FROM tk),
-    scored AS (
-      SELECT doc_id,
-             round(
-               ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
-                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
-                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
-                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
-      FROM pc, st),
-    lex AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
-      FROM scored WHERE bm25 > 0.0
-      ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-    sem AS (
-      SELECT e.vec_id AS doc_id,
-             row_number() OVER (
-               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
-                        e.vec_id ASC) AS rank
-      FROM embeddings e, q WHERE e.vec_id <> 0
-      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
-               e.vec_id ASC
-      LIMIT 50)
-    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-           round(COALESCE(1.0 / (l.rank + 60), 0)
-               + COALESCE(1.0 / (s.rank + 60), 0), 6) AS rrf_score
-    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
-    ORDER BY rrf_score DESC, doc_id ASC
-    LIMIT 20
-    """,
-)
-def q_hybrid_search_rrf(spark, sf_dir):
-    """Hybrid retrieval: lexical BM25 top-50 and semantic cosine top-50
-    (documents and embeddings share the id space) fused by reciprocal
-    rank — Σ 1/(60+rank) (Cormack et al. 2009), the score-free
-    combination used when lexical and vector scores aren't comparable.
-    Each branch is the already-proven scan shape (BM25's broadcast
-    stats + TakeOrdered; brute-force cosine + TakeOrdered); the fusion
-    joins two 50-row relations — candidate-sized, broadcast, free.
-    Ranks derive from total orderings (rounded score, id), so the
-    fused list is engine-reproducible end to end."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    lex = X.bm25_topk(d, ["spark", "vector", "dup"], k=50)
-    lex_ranked = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
-        .alias("rank"),
-    )
-    e = load(spark, sf_dir, "embeddings")
-    sem = S.brute_force_knn_lazy(
-        e.filter(F.col("vec_id") != 0),
-        e.filter(F.col("vec_id") == 0),
-        k=50,
-    )
-    sem_ranked = sem.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number()
-        .over(W.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc()))
-        .alias("rank"),
-    )
-    return S.rrf_fuse([lex_ranked, sem_ranked], k=20, c=60)
-
-
-@query(
-    "dq_report",
-    """
-    WITH scan AS (
-      SELECT CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
-               AS not_null_l_shipdate,
-             CAST(count(CASE WHEN l_quantity IS NOT NULL
-                              AND l_quantity NOT BETWEEN 1 AND 50 THEN 1 END)
-                  AS BIGINT) AS in_range_l_quantity,
-             CAST(count(CASE WHEN l_returnflag IS NOT NULL
-                              AND l_returnflag NOT IN ('A','N','R') THEN 1 END)
-                  AS BIGINT) AS in_set_l_returnflag,
-             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
-                  AS BIGINT) AS unique_l_orderkey_l_linenumber
-      FROM lineitem),
-    fk AS (
-      SELECT CAST(count(*) AS BIGINT) AS fk_l_orderkey
-      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
-    SELECT * FROM scan, fk
-    """,
-)
-def q_dq_report(spark, sf_dir):
-    """Declarative data-quality gate (functions/constraints.py): five
-    rules — null check, range check, vocabulary check, composite-key
-    uniqueness, referential integrity against orders — compiled into
-    ONE conditional-count aggregate over one scan plus one anti-join
-    scalar, never a job per rule. The report is lazy and composes into
-    larger plans; `quarantine` reuses the identical predicates for the
-    clean/violating split so the gate and the split cannot drift. At
-    100 TB this is the ingest gate shape: linear scan, partial aggs,
-    broadcast scalar joins."""
-    from openetl_spark.functions import constraints as DQ
-
-    l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    return DQ.check(
-        l,
-        [
-            DQ.not_null("l_shipdate"),
-            DQ.in_range("l_quantity", 1, 50),
-            DQ.in_set("l_returnflag", ["A", "N", "R"]),
-            DQ.unique("l_orderkey", "l_linenumber"),
-            DQ.foreign_key(["l_orderkey"], o, ["o_orderkey"]),
-        ],
-    )
-
-
-@query(
-    "event_transitions",
-    """
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS next_type
-      FROM events)
-    SELECT event_type AS from_type, next_type AS to_type,
-           CAST(count(*) AS BIGINT) AS n
-    FROM seq WHERE next_type IS NOT NULL
-    GROUP BY 1, 2
-    """,
-)
-def q_event_transitions(spark, sf_dir):
-    """Markov transition counts over user event sequences (the
-    behavioral-analytics companion to funnel/retention): one window
-    keyed on user_id — a high-cardinality partition key, so the single
-    shuffle spreads across the cluster — then a partial-agg count of
-    (from, to) pairs. Tie order inside a user is pinned by
-    (ts, event_id), making the lead() deterministic across engines."""
-    e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    return seq.groupBy(
-        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
-    ).agg(F.count("*").alias("n"))
-
-
-@query(
-    "corpus_report",
-    """
-    WITH d AS (
-      SELECT doc_id, lang, source, md5(text) AS h,
-             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
-      FROM documents)
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-           floor(sum(n_tok) * 10000.0 / count(*)) / 10000.0 AS avg_tokens,
-           CAST(min(n_tok) AS BIGINT) AS min_tokens,
-           CAST(max(n_tok) AS BIGINT) AS max_tokens,
-           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
-           floor(count(DISTINCT h) * 10000.0 / count(*)) / 10000.0
-             AS distinct_ratio
-    FROM d
-    """,
-)
-def q_corpus_report(spark, sf_dir):
-    """The profiling pass a curation run starts with: document count,
-    token volume and length band, language/source coverage, and the
-    exact-duplicate ratio via md5 text hashes — ONE aggregate over one
-    scan (Spark plans the multi-distinct via Expand; every non-distinct
-    metric still partial-aggregates map-side). Ratios use the
-    floor-based fixed-point form (engine-divergence-free, see
-    multires_rollup). At 100 TB the hash distinct-count is the
-    expensive term; swapping in approx_count_distinct turns this into
-    a single-pass sketch report (the approx_sketches query shows that
-    oracle pattern)."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    base = d.select(
-        "doc_id", "lang", "source",
-        F.md5("text").alias("h"),
-        F.size(toks).alias("n_tok"),
-    )
-    return base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
-        (F.floor(F.sum("n_tok") * 10000.0 / F.count("*")) / 10000.0).alias(
-            "avg_tokens"
-        ),
-        F.min("n_tok").cast("long").alias("min_tokens"),
-        F.max("n_tok").cast("long").alias("max_tokens"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.countDistinct("source").alias("n_sources"),
-        F.countDistinct("h").alias("n_distinct_texts"),
-        (F.floor(F.countDistinct("h") * 10000.0 / F.count("*")) / 10000.0).alias(
-            "distinct_ratio"
-        ),
-    )
-
-
-def _ivf_pq_layout(
-    spark, sf_dir: str, n_lists: int = 16, seed: int = 42, m: int = 4,
-    n_codes: int = 16,
-):
-    """Get-or-build the COMPOSED offline layout: corpus partitioned by
-    IVF list id, carrying only (vec_id, pq_codes) inside each list
-    directory — the float vectors never enter the hot layout. Reuses
-    the persisted IVF quantizer and PQ codebooks (and keeps both
-    oracle parquets maintained)."""
-    import os
-
-    cents, _ = _ivf_layout(spark, sf_dir, n_lists=n_lists, seed=seed)
-    books = _pq_codebooks(spark, sf_dir, m=m, n_codes=n_codes, seed=seed)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_l{n_lists}_m{m}_c{n_codes}_s{seed}"
-    )
-    data_path = os.path.join(repo, "spark-warehouse", "ivf_pq_cache", key, "corpus")
-    if not os.path.exists(data_path):
-        e = load(spark, sf_dir, "embeddings", spread=True)
-        enc = S.with_pq_codes(S.with_ivf_assignment(e, cents), books)
-        enc.select("vec_id", "pq_codes", "ivf_list").write.partitionBy(
-            "ivf_list"
-        ).mode("overwrite").parquet(data_path)
-    return cents, books, data_path
-
-
-@query(
-    "ivf_pq_knn",
-    f"""
-    WITH cents AS (
-      SELECT list_id, centroid
-      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND n_lists = 16 AND seed = 42),
-    cb AS (
-      SELECT subspace, code, centroid
-      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND m = 4 AND n_codes = 16 AND seed = 42),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-    assign AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             (SELECT c.list_id FROM cents c
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
-                       c.list_id ASC
-              LIMIT 1) AS list_id
-      FROM embeddings e WHERE e.vec_id <> 0),
-    probe AS (
-      SELECT c.list_id FROM cents c, q
-      ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-               - 2 * list_dot_product(q.qv, c.centroid) ASC, c.list_id ASC
-      LIMIT 8),
-    cand AS (
-      SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.list_id = p.list_id),
-    enc AS (
-      SELECT c.vec_id, s.subspace,
-             (SELECT b.code FROM cb b WHERE b.subspace = s.subspace
-              ORDER BY list_aggregate(list_transform(b.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(
-                           c.v[s.subspace*16+1 : s.subspace*16+16], b.centroid) ASC,
-                       b.code ASC
-              LIMIT 1) AS code
-      FROM cand c, (SELECT DISTINCT subspace FROM cb) s),
-    tab AS (
-      SELECT b.subspace, b.code,
-             list_aggregate(list_transform(b.centroid, x -> x*x), 'sum')
-             - 2 * list_dot_product(q.qv[b.subspace*16+1 : b.subspace*16+16], b.centroid)
-             + list_aggregate(
-                 list_transform(q.qv[b.subspace*16+1 : b.subspace*16+16], x -> x*x),
-                 'sum') AS d
-      FROM cb b, q)
-    SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist
-    FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
-    GROUP BY e.vec_id
-    ORDER BY adc_dist ASC, e.vec_id ASC
-    LIMIT 10
-    """,
-)
-def q_ivf_pq_knn(spark, sf_dir):
-    """C28 capstone: the composed IVF×PQ layout — partition pruning
-    picks WHICH rows are scanned (n_probe of n_lists directories via
-    the broadcast probe join), PQ compression picks WHAT each row
-    costs (the directories store 4 one-byte codes per vector; the
-    float embeddings never enter the hot path). This is the standard
-    billion-vector serving layout (FAISS IVFPQ) expressed as parquet
-    partitioning + relational ADC. Both trained artifacts are
-    persisted parquet the oracle reads to re-derive assignment, probe
-    selection, encoding, distance tables, and the pruned top-k."""
-    cents, books, data_path = _ivf_pq_layout(spark, sf_dir)
-    corpus = spark.read.parquet(data_path).filter(F.col("vec_id") != 0)
-    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
-    return S.ivf_pq_adc_knn(corpus, qdf, cents, books, k=10, n_probe=8)
-
-
-@query(
-    "bpe_pair_counts",
-    """
-    WITH wf AS (
-      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-      WHERE tok <> '' GROUP BY 1),
-    pairs AS (
-      SELECT substring(word, CAST(i AS INT), 1) AS a,
-             substring(word, CAST(i AS INT) + 1, 1) AS b, freq
-      FROM wf, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t)
-    SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
-    FROM pairs GROUP BY a, b
-    ORDER BY n DESC, a ASC, b ASC
-    LIMIT 30
-    """,
-)
-def q_bpe_pair_counts(spark, sf_dir):
-    """Tokenizer training at scale, step one: the frequency-weighted
-    adjacent character-pair counts BPE's first merge maximizes
-    (Sennrich et al. 2016). The corpus is touched once to build the
-    word-frequency dictionary; pair generation and counting run on the
-    dictionary relation (distinct words, not tokens). The iterative
-    trainer (operators/text.py::bpe_train) continues from here and is
-    pinned against a pure-Python reference implementation in tests —
-    this query oracle-checks the distributed statistic the loop is
-    built on, with a total (n, a, b) ordering for engine-reproducible
-    top-k membership."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.char_pair_counts(d, top=30)
-
-
-@query(
-    "per_group_sample",
-    """
-    WITH h AS (
-      SELECT lang, doc_id,
-             CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))
-                  AS BIGINT) AS hv
-      FROM documents)
-    SELECT lang, doc_id FROM (
-      SELECT lang, doc_id,
-             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
-      FROM h)
-    WHERE rn <= 20
-    """,
-)
-def q_per_group_sample(spark, sf_dir):
-    """Deterministic 20-per-language sample: smallest seeded 48-bit
-    hash ranks per group. The Spark plan is the SCALE path — broadcast
-    approximate per-group thresholds bound the survivors to ~margin·k
-    rows before the exact window, so no window partition is ever
-    group-sized — while the oracle computes the direct window form in
-    DuckDB, so the check also proves two-phase ≡ direct. See
-    operators/curation.py::per_group_sample."""
-    d = load(spark, sf_dir, "documents")
-    return C.per_group_sample(
-        d, k=20, group_cols=("lang",), key_col="doc_id", seed=42
-    )
-
-
-@query(
-    "q20_dominant_supplier",
-    """
-    WITH lp AS (
-      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE 'large%'
-        AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
-      GROUP BY 1, 2),
-    tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM lp GROUP BY 1),
-    dom AS (
-      SELECT lp.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
-      FROM lp JOIN tot USING (l_partkey)
-      WHERE lp.qty > 0.5 * tot.total_qty
-      GROUP BY 1)
-    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, d.n_parts_dominated
-    FROM supplier s
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    JOIN dom d ON d.l_suppkey = s.s_suppkey
-    """,
-)
-def q_q20_dominant_supplier(spark, sf_dir):
-    """TPC-H Q20 shape (completes the 22-query sweep): suppliers with
-    an outsized share of a part family — partsupp's availqty threshold
-    is proxied as 'shipped more than half of the part's 1995 volume'
-    (the generated testdata's shipdates start 1995-01-02, so the 1995
-    window is non-vacuous at every SF).
-    Same plan skeleton as the real Q20: filtered part list broadcast
-    into the fact scan, per-(part, supplier) aggregate, per-part scalar
-    threshold re-joined by key, semi-ish reduction to suppliers.
-    l_quantity is integer-valued, so sums are exact in double and the
-    0.5·total comparison is order-independent — no fp boundary."""
-    l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
-    )
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("large"))
-    lp = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-    )
-    tot = lp.groupBy(F.col("l_partkey").alias("tp")).agg(
-        F.sum("qty").alias("total_qty")
-    )
-    dom = (
-        lp.join(tot, lp.l_partkey == F.col("tp"))
-        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
-        .groupBy("l_suppkey")
-        .agg(F.count("*").alias("n_parts_dominated"))
-    )
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(dom, F.col("l_suppkey") == s.s_suppkey)
-        .select(
-            "s_suppkey", "s_name", F.col("n_name").alias("nation"),
-            "n_parts_dominated",
-        )
-    )
-
-
-@query(
-    "rollup_anomalies",
-    """
-    WITH cells AS (
-      SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
-             CAST(count(*) AS BIGINT) AS n_events, sum(value) AS s
-      FROM events GROUP BY 1, 2),
-    st AS (
-      SELECT event_type, sum(s) / count(*) AS mean,
-             sqrt(sum(s*s) / count(*) - (sum(s)/count(*)) * (sum(s)/count(*))) AS std
-      FROM cells GROUP BY 1)
-    SELECT c.event_type, c.bucket_start, c.n_events,
-           round(c.s, 2) AS sum_value,
-           round((c.s - st.mean) / st.std, 2) AS z_score
-    FROM cells c JOIN st USING (event_type)
-    WHERE st.std > 0 AND abs(round((c.s - st.mean) / st.std, 2)) > 2.5
-    """,
-)
-def q_rollup_anomalies(spark, sf_dir):
-    """Monitoring read on the continuous aggregate: per event type,
-    15-min buckets whose value-sum deviates > 2.5σ from the type mean.
-    Detection runs entirely on the CELL relation (one rollup scan +
-    a broadcast per-group stats join) — at 100 TB the raw events are
-    never re-read. Moments are explicit expressions (not builtin
-    stddev) and the flag tests the ROUNDED z-score, so the DuckDB
-    oracle is formula-identical. See
-    operators/timeseries.py::anomalous_buckets."""
-    e = load(spark, sf_dir, "events")
-    cells = TS.partial_time_aggregate(e, "15 minutes", keys=("event_type",))
-    return TS.anomalous_buckets(cells, by=("event_type",), threshold=2.5)
-
-
-@query(
-    "pq_rerank_knn",
-    f"""
-    WITH cb AS (
-      SELECT subspace, code, centroid
-      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND m = 4 AND n_codes = 16 AND seed = 42),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-    enc AS (
-      SELECT e.vec_id, s.subspace,
-             (SELECT c.code FROM cb c WHERE c.subspace = s.subspace
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(
-                           CAST(e.embedding AS DOUBLE[])[s.subspace*16+1 : s.subspace*16+16],
-                           c.centroid) ASC,
-                       c.code ASC
-              LIMIT 1) AS code
-      FROM embeddings e, (SELECT DISTINCT subspace FROM cb) s
-      WHERE e.vec_id <> 0),
-    tab AS (
-      SELECT c.subspace, c.code,
-             list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-             - 2 * list_dot_product(q.qv[c.subspace*16+1 : c.subspace*16+16], c.centroid)
-             + list_aggregate(
-                 list_transform(q.qv[c.subspace*16+1 : c.subspace*16+16], x -> x*x),
-                 'sum') AS d
-      FROM cb c, q),
-    shortlist AS (
-      SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist
-      FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
-      GROUP BY e.vec_id
-      ORDER BY adc_dist ASC, e.vec_id ASC
-      LIMIT 50)
-    SELECT v.vec_id,
-           round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.qv), 4)
-             AS cosine_sim
-    FROM embeddings v JOIN shortlist s ON v.vec_id = s.vec_id, q
-    ORDER BY cosine_sim DESC, v.vec_id ASC
-    LIMIT 10
-    """,
-)
-def q_pq_rerank_knn(spark, sf_dir):
-    """C28 two-stage ANN: PQ-ADC shortlist (stage 1 scans only the
-    4-byte codes) → exact cosine re-rank of the 50 survivors (stage 2
-    semi-joins the float vectors for shortlist rows only). The
-    production read path for billion-vector search: cheap compressed
-    scan bounds the candidates, exact math touches a point-lookup's
-    worth of data. Full DuckDB oracle re-derives encode → distance
-    tables → shortlist → re-rank from the persisted codebook parquet;
-    convergence to brute force pinned in tests."""
-    books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    corpus = S.with_pq_codes(e.filter(F.col("vec_id") != 0), books)
-    qdf = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
-    return S.pq_rerank_knn(corpus, qdf, books, k=10, shortlist=50)
-
-
-# =====================================================================
-# r08 — corpus LM statistics + incremental / semantic dedup
-# =====================================================================
-
-
-@query(
-    "ngram_lm_score",
-    """
-    WITH tk AS (
-      SELECT doc_id,
-             list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x)) AS w
-      FROM documents),
-    big AS (
-      SELECT doc_id, w[i] AS pre, w[i] || ' ' || w[i + 1] AS bg
-      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
-    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
-    c1 AS (SELECT pre, count(*) AS c FROM big GROUP BY pre),
-    v AS (SELECT count(DISTINCT tok) AS vs
-          FROM (SELECT UNNEST(w) AS tok FROM tk) u)
-    SELECT big.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(-ln((c2.c + 1.0) / (c1.c + v.vs))), 4) AS nll
-    FROM big JOIN c2 USING (bg) JOIN c1 USING (pre), v
-    GROUP BY big.doc_id
-    """,
-)
-def q_ngram_lm_score(spark, sf_dir):
-    """Curation (r08): add-one-smoothed bigram LM trained on the corpus
-    in one pass, every document scored by mean negative log-likelihood
-    — the CCNet-style perplexity filter, one model grade above
-    rarity_score's unigram surprise."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.ngram_lm_score(d, "doc_id", "text")
-
-
-@query(
-    "kl_domain_shift",
-    """
-    WITH ex AS (
-      SELECT source AS g,
-             UNNEST(list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x))) AS token
-      FROM documents),
-    corpus AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
-    per_group AS (SELECT g, token, count(*) AS cg FROM ex GROUP BY g, token),
-    totals AS (SELECT g, count(*) AS ng FROM ex GROUP BY g),
-    stats AS (SELECT count(*) AS v, sum(c) AS n FROM corpus),
-    grid AS (
-      SELECT t.g, t.ng,
-             (COALESCE(pg.cg, 0) + 1.0) / (t.ng + s.v) AS p,
-             (c.c + 1.0) / (s.n + s.v) AS q
-      FROM corpus c CROSS JOIN totals t
-      LEFT JOIN per_group pg ON pg.g = t.g AND pg.token = c.token,
-      stats s)
-    SELECT g AS source,
-           CAST(any_value(ng) AS BIGINT) AS n_tokens,
-           round(sum(p * ln(p / q)), 4) AS kl
-    FROM grid GROUP BY g
-    """,
-)
-def q_kl_domain_shift(spark, sf_dir):
-    """Curation (r08): KL(source ‖ corpus) over smoothed unigram
-    distributions — the domain-shift audit for a training mix. The
-    token-grid join is vocab-sized; groups ride a broadcast."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.kl_domain_shift(d, "source", "text")
-
-
-@query(
-    "zipf_fit",
-    """
-    WITH freq AS (
-      SELECT token, count(*) AS c
-      FROM (SELECT UNNEST(list_transform(
-              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-              x -> lower(x))) AS token
-            FROM documents) u
-      GROUP BY token),
-    ranked AS (
-      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, token) AS DOUBLE)) AS lr,
-             ln(CAST(c AS DOUBLE)) AS lc
-      FROM freq)
-    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
-           round(regr_slope(lc, lr), 4) AS zipf_slope,
-           round(regr_intercept(lc, lr), 4) AS zipf_intercept,
-           round(regr_r2(lc, lr), 4) AS r2
-    FROM ranked
-    """,
-)
-def q_zipf_fit(spark, sf_dir):
-    """Curation (r08): log-log rank-frequency regression — slope ≈ −1
-    is Zipfian natural text; a one-row corpus-health probe. The window
-    sorts the post-agg vocabulary relation, never the corpus."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.zipf_fit(d, "text")
-
-
-def semantic_dedup_oracle(thr: float = 0.4) -> str:
-    """semantic_dedup's oracle, parameterized over the cosine
-    threshold — shared by the catalog query and the randomized
-    sweep."""
-    return f"""
-    WITH cents AS (
-      SELECT list_id, centroid
-      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND n_lists = 16 AND seed = 42),
-    assign AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             (SELECT c.list_id FROM cents c
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
-                       c.list_id ASC
-              LIMIT 1) AS list_id
-      FROM embeddings e),
-    pairs AS (
-      SELECT a.vec_id AS a, b.vec_id AS b,
-             round(list_cosine_similarity(a.v, b.v), 4) AS cs
-      FROM assign a JOIN assign b
-        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {thr}),
-    best AS (SELECT b, min(a) AS dup_of FROM pairs GROUP BY b)
-    SELECT CAST(best.b AS BIGINT) AS vec_id,
-           CAST(best.dup_of AS BIGINT) AS dup_of,
-           p.cs AS cosine_sim
-    FROM best JOIN pairs p ON p.b = best.b AND p.a = best.dup_of
-    """
-
-
-@query("semantic_dedup", semantic_dedup_oracle(0.4))
-def q_semantic_dedup(spark, sf_dir):
-    """C27/C28 (r08): SemDeDup — cluster-scoped semantic near-dup
-    removal. Reuses the SAME persisted IVF quantizer as ivf_knn (one
-    trained artifact serves search and dedup), pairwise cosine runs as
-    one numpy matmul per cluster, and the min-id survivor rule makes
-    the whole operator re-derivable by the oracle from the centroid
-    parquet. Threshold 0.4 sits under this synthetic corpus's ~0.51
-    cosine ceiling so the gate is non-vacuous."""
-    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return S.semantic_dedup(e, cents, threshold=0.4)
-
-
-@query(
-    "document_chunks",
-    """
-    WITH tk AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents)
-    SELECT doc_id,
-           CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
-           array_to_string(w[s:s+63], ' ') AS chunk_text,
-           CAST(len(w[s:s+63]) AS INT) AS n_tokens
-    FROM tk, UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS t(s)
-    WHERE len(w) >= 1
-    """,
-)
-def q_document_chunks(spark, sf_dir):
-    """Retrieval breadth (r08): overlapping 64-token chunks every 32
-    tokens — the chunk→embed→index preprocessing step. Scan-side
-    sequence+slice, zero shuffles, deterministic chunk ids across
-    engines and runs."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=32)
-
-
-@query(
-    "chunk_bm25_topk",
-    """
-    WITH tk0 AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    ch AS (
-      SELECT doc_id || ':' || CAST((s - 1) // 32 AS BIGINT) AS chunk_key,
-             string_split(array_to_string(w[s:s+63], ' '), ' ') AS toks
-      FROM tk0, UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS t(s)
-      WHERE len(w) >= 1),
-    st AS (
-      SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'spark')) > 0) AS df0,
-             count(*) FILTER (len(list_filter(toks, x -> x = 'vector')) > 0) AS df1
-      FROM ch),
-    pc AS (
-      SELECT chunk_key, CAST(len(toks) AS DOUBLE) AS dl,
-             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
-             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1
-      FROM ch),
-    scored AS (
-      SELECT chunk_key,
-             round(
-               ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
-                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
-                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
-      FROM pc, st)
-    SELECT chunk_key, bm25 FROM scored
-    WHERE bm25 > 0.0
-    ORDER BY bm25 DESC, chunk_key ASC
-    LIMIT 25
-    """,
-)
-def q_chunk_bm25_topk(spark, sf_dir):
-    """Retrieval composition (r08): BM25 at CHUNK granularity — the
-    passage-retrieval grain a RAG pipeline actually serves. Chunking
-    is scan-side (document_chunks), scoring reuses bm25_topk's
-    one-pass broadcast-stats shape; corpus statistics here are
-    per-chunk (N = chunk count, avgdl = avg chunk length), which is
-    the correct normalization for passage scoring. The only shuffle in
-    the whole plan remains the final TakeOrdered."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    chunks = X.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=32)
-    keyed = chunks.select(
-        F.concat_ws(":", "doc_id", "chunk_id").alias("chunk_key"),
-        "chunk_text",
-    )
-    return X.bm25_topk(
-        keyed, ["spark", "vector"], k=25, id_col="chunk_key", text_col="chunk_text"
-    )
-
-
-@query(
-    "contrastive_negatives",
-    f"""
-    WITH a AS (
-      SELECT vec_id AS anchor, label AS al,
-             ({C.hash_bucket_sql("CAST(vec_id AS VARCHAR) || 'p'", 16)}) AS pb
-      FROM embeddings),
-    c AS (
-      SELECT vec_id AS negative, label AS cl,
-             ({C.hash_bucket_sql("vec_id", 16)}) AS cb
-      FROM embeddings),
-    pairs AS (
-      SELECT a.anchor, c.negative,
-             md5(CAST(a.anchor AS VARCHAR) || ':' || CAST(c.negative AS VARCHAR)) AS rk
-      FROM a JOIN c ON a.pb = c.cb AND a.al <> c.cl),
-    ranked AS (
-      SELECT anchor, negative,
-             CAST(row_number() OVER (PARTITION BY anchor ORDER BY rk, negative)
-                  AS INT) AS rank
-      FROM pairs)
-    SELECT anchor, negative, rank FROM ranked WHERE rank <= 4
-    """,
-)
-def q_contrastive_negatives(spark, sf_dir):
-    """Curation (r08): deterministic contrastive negative sampling —
-    each anchor probes one md5 bucket of candidates (volume
-    |corpus|/n_buckets; n_buckets scales with the corpus), negatives
-    ranked by a portable md5 pair key. No RNG state anywhere, so every
-    epoch, engine, and partitioning sees the same pairs."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return C.contrastive_negatives(e, "vec_id", "label", k=4, n_buckets=16)
-
-
-@query(
-    "llm_data_pipeline",
-    f"""
-    WITH tk AS (
-      SELECT doc_id, lang,
-             list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x)) AS w
-      FROM documents),
-    big AS (
-      SELECT doc_id, w[i] AS pre, w[i] || ' ' || w[i + 1] AS bg
-      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
-    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
-    c1 AS (SELECT pre, count(*) AS c FROM big GROUP BY pre),
-    v AS (SELECT count(DISTINCT tok) AS vs
-          FROM (SELECT UNNEST(w) AS tok FROM tk) u),
-    scored AS (
-      SELECT big.doc_id, avg(-ln((c2.c + 1.0) / (c1.c + v.vs))) AS nll
-      FROM big JOIN c2 USING (bg) JOIN c1 USING (pre), v
-      GROUP BY big.doc_id),
-    binned AS (
-      SELECT tk.doc_id, tk.lang,
-             CAST(floor(s.nll / 0.002) AS BIGINT) AS bin
-      FROM scored s JOIN tk ON tk.doc_id = s.doc_id),
-    hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
-    cum AS (
-      SELECT lang, bin, c,
-             sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
-             sum(c) OVER (PARTITION BY lang) AS n
-      FROM hist),
-    thr AS (
-      SELECT lang, min(CASE WHEN cum >= 2.0 * n / 3.0 THEN bin END) AS t67
-      FROM cum GROUP BY lang),
-    survivors AS (
-      SELECT b.doc_id, b.lang
-      FROM binned b JOIN thr t USING (lang)
-      WHERE b.bin <= t.t67),
-    tgt(lang, tw) AS (
-      VALUES ('en', CAST(0.5  AS DOUBLE)),
-             ('de', CAST(0.2  AS DOUBLE)),
-             ('es', CAST(0.15 AS DOUBLE)),
-             ('fr', CAST(0.15 AS DOUBLE))),
-    sw AS (SELECT sum(tw) AS sw FROM tgt),
-    counts AS (SELECT lang, count(*) AS n FROM survivors GROUP BY lang),
-    j AS (SELECT c.lang, c.n, t.tw / sw.sw AS wn
-          FROM counts c JOIN tgt t USING (lang), sw),
-    tt AS (SELECT min(n / wn) AS t FROM j),
-    rates AS (
-      SELECT lang,
-             least(10000, CAST(floor(10000.0 * wn * tt.t / n + 1e-9) AS BIGINT)) AS bp
-      FROM j, tt),
-    sampled AS (
-      SELECT s.doc_id, s.lang
-      FROM survivors s JOIN rates r USING (lang)
-      WHERE ({C.hash_bucket_sql('s.doc_id', 10000)}) < r.bp)
-    SELECT m.doc_id,
-           CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
-           m.lang,
-           CAST(len(w[s:s+63]) AS INT) AS n_tokens
-    FROM sampled m JOIN tk USING (doc_id),
-         UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS t(s)
-    WHERE len(w) >= 1
-    """,
-)
-def q_llm_data_pipeline(spark, sf_dir):
-    """The r08 composed flagship: bigram-LM scoring → CCNet bucket gate
-    (drop the worst tercile per language) → target-mix domain
-    reweighting on the SURVIVOR counts → token-window chunking, ONE
-    lazy plan over one corpus scan lineage, the whole thing rendered as
-    ONE oracle query. Every stage is the scale-safe shape its
-    standalone query uses: histogram terciles (no raw-doc windows),
-    in-plan mix rates (broadcast scalars), scan-side chunking. Output
-    grain is training chunks (doc, chunk, lang, n_tokens)."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    keep = (
-        C.with_perplexity_bucket(d, "doc_id", "text", "lang")
-        .filter(F.col("bucket") != "tail")
-        .select("doc_id")
-    )
-    survivors = d.join(keep, "doc_id")
-    mixed = C.mix_to_target(
-        survivors, {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}, "lang", "doc_id"
-    )
-    chunks = X.chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, stride=32)
-    return chunks.join(mixed.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "chunk_id", "lang", "n_tokens"
-    )
-
-
-@query(
-    "keyword_extraction",
-    """
-    WITH ex AS (
-      SELECT doc_id,
-             UNNEST(list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x))) AS term
-      FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS s
-      FROM tf JOIN dfreq USING (term), n),
-    ranked AS (
-      SELECT doc_id, term, s,
-             CAST(row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY s DESC, term ASC) AS INT) AS rank
-      FROM scored)
-    SELECT doc_id, rank, term, round(s, 4) AS tfidf
-    FROM ranked WHERE rank <= 3
-    """,
-)
-def q_keyword_extraction(spark, sf_dir):
-    """Retrieval breadth (r08): per-document top-3 characteristic terms
-    by TF-IDF — the labeling primitive for corpus exploration. Document
-    frequency re-aggregates the (doc, term) relation, N broadcasts as a
-    scalar, and the top-k window partitions on the doc key (never more
-    than one document's vocabulary per partition)."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.top_terms_tfidf(d, "doc_id", "text", k=3)
-
-
-@query(
-    "ngram_novelty",
-    """
-    WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
-      FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-            FROM documents),
-           UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
-    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
-    SELECT sh.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           round(avg(CASE WHEN f.first_doc = sh.doc_id THEN 1.0 ELSE 0.0 END), 4)
-             AS novelty
-    FROM sh JOIN first_seen f USING (g)
-    GROUP BY sh.doc_id
-    """,
-)
-def q_ngram_novelty(spark, sf_dir):
-    """Curation (r08): per-document n-gram novelty — the fraction of a
-    doc's distinct 3-gram shingles whose FIRST occurrence (by doc id,
-    i.e. arrival order) is this document. Novelty ≈ 0 marks documents
-    whose content already exists earlier in the corpus — the cheap
-    streaming-dedup-lite signal between exact dedup and MinHash.
-
-    Shape (r06 rework, VERDICT #7): the r05 form re-joined the full
-    exploded gram relation against first-seen on the gram key — a
-    second corpus-scale pass through the shuffle. Now the exploded
-    relation is aggregated exactly twice and never revisited: per-doc
-    gram totals (doc-keyed partial agg) and per-gram first-seen
-    (gram-keyed partial agg, map-side combine absorbs the Zipf head);
-    novel-gram counts per doc then come from RE-AGGREGATING the
-    vocabulary-sized first-seen relation by its min-doc, and the final
-    join is doc-keyed between two doc-count-sized aggregates. (The
-    window form min(doc_id) OVER (PARTITION BY g) fuses shuffles but
-    materializes df(g)-sized window partitions — hot grams make that
-    the skew bottleneck at corpus scale; this shape has no
-    corpus-sized structure past the two partial aggs.)"""
-    d = load(spark, sf_dir, "documents", spread=True)
-    sh = D.with_shingles(d, "text", n=3).select(
-        "doc_id", F.explode("shingles").alias("g")
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    first = sh.groupBy("g").agg(F.min("doc_id").alias("_first"))
-    novel = first.groupBy(F.col("_first").alias("doc_id")).agg(
-        F.count("*").alias("_novel")
-    )
-    return totals.join(novel, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.round(
-            F.coalesce(F.col("_novel"), F.lit(0)).cast("double")
-            / F.col("n_grams"),
-            4,
-        ).alias("novelty"),
-    )
-
-
-def domain_mix_oracle(target: dict[str, float], group_col: str = "lang") -> str:
-    """mix_to_target's oracle, parameterized over the target mix —
-    shared by the catalog query and the randomized sweep."""
-    vals = ", ".join(
-        f"('{g}', CAST({float(w)!r} AS DOUBLE))" for g, w in target.items()
-    )
-    return f"""
-    WITH tgt({group_col}, w) AS (VALUES {vals}),
-    sw AS (SELECT sum(w) AS sw FROM tgt),
-    counts AS (SELECT {group_col}, count(*) AS n FROM documents GROUP BY {group_col}),
-    j AS (SELECT c.{group_col}, c.n, t.w / sw.sw AS wn
-          FROM counts c JOIN tgt t USING ({group_col}), sw),
-    tt AS (SELECT min(n / wn) AS t FROM j),
-    rates AS (
-      SELECT {group_col},
-             least(10000, CAST(floor(10000.0 * wn * tt.t / n + 1e-9) AS BIGINT)) AS bp
-      FROM j, tt)
-    SELECT d.doc_id, d.{group_col}, d.source
-    FROM documents d JOIN rates r USING ({group_col})
-    WHERE ({C.hash_bucket_sql('doc_id', 10000)}) < r.bp
-    """
-
-
-@query(
-    "domain_mix_sample",
-    domain_mix_oracle({"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}),
-)
-def q_domain_mix_sample(spark, sf_dir):
-    """Curation (r08): domain reweighting — downsample so the language
-    mix hits {{en:.5, de:.2, es:.15, fr:.15}} (zh dropped, weight 0) at
-    the largest size the binding group allows, membership via the
-    engine-portable md5 basis-point bucket. Rates are computed inside
-    the plan (post-agg group counts + two broadcast scalars); the
-    corpus itself sees one broadcast join and a scan-local predicate —
-    zero corpus shuffles, no driver collect."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.mix_to_target(
-        d, {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}, "lang", "doc_id"
-    ).select("doc_id", "lang", "source")
-
-
-@query(
-    "seasonal_anomalies",
-    """
-    WITH cells AS (
-      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-             CAST(count(*) AS BIGINT) AS n_events, sum(value) AS s
-      FROM events GROUP BY 1, 2),
-    st AS (
-      SELECT event_type, CAST(hour(bucket_start) AS INT) AS hod,
-             sum(s) / count(*) AS mean,
-             sqrt(greatest(round(sum(s*s) / count(*)
-                  - (sum(s)/count(*)) * (sum(s)/count(*)), 6), 0.0)) AS std,
-             count(*) AS n
-      FROM cells GROUP BY 1, 2)
-    SELECT c.event_type, c.bucket_start,
-           CAST(hour(c.bucket_start) AS INT) AS hour_of_day,
-           c.n_events, round(c.s, 2) AS sum_value,
-           round((c.s - st.mean) / st.std, 2) AS z_score
-    FROM cells c
-    JOIN st ON st.event_type = c.event_type AND st.hod = hour(c.bucket_start)
-    WHERE st.std > 0 AND st.n >= 3
-      AND abs(round((c.s - st.mean) / st.std, 2)) > 2.0
-    """,
-)
-def q_seasonal_anomalies(spark, sf_dir):
-    """Hypertable monitoring #2 (r05): seasonal-baseline z-scores — the
-    per-(type, hour-of-day) mean/std instead of rollup_anomalies'
-    global per-type baseline, so a 3am spike flags even when the same
-    volume is routine at noon. Runs on the CELL relation with a
-    (type × 24)-row broadcast stats join; moments are explicit
-    expressions and the flag tests the ROUNDED z (formula-identical
-    oracle)."""
-    e = load(spark, sf_dir, "events")
-    return TS.seasonal_anomalies(e, "1 hour", keys=("event_type",), threshold=2.0)
-
-
-def winnow_oracle(
-    k: int = 8, window: int = 4, max_fp_df: int = 10, min_shared: int = 5
-) -> str:
-    """winnow_overlap's oracle parameterized over (k, window, df-cap,
-    min_shared) — shared by the catalog query and the randomized
-    parameter sweep (the winnowing selection rule must agree between
-    engines at EVERY parameter point, not just the shipped one)."""
-    w1 = window - 1
-    return f"""
-    WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= {k + w1}),
-    g AS (
-      SELECT doc_id, i,
-             CAST('0x' || substr(md5(substr(text, i, {k})), 1, 15) AS BIGINT) AS h
-      FROM t, UNNEST(generate_series(1, len(text) - {k} + 1)) AS u(i)),
-    win AS (
-      SELECT doc_id, i,
-             min(struct_pack(h := h, p := i)) OVER (
-               PARTITION BY doc_id ORDER BY i
-               ROWS BETWEEN CURRENT ROW AND {w1} FOLLOWING) AS m,
-             max(i) OVER (PARTITION BY doc_id) AS mi
-      FROM g),
-    sel AS (SELECT DISTINCT doc_id, m.h AS h FROM win WHERE i <= mi - {w1}),
-    rare AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= {max_fp_df}),
-    fp AS (SELECT s.doc_id, s.h FROM sel s JOIN rare USING (h))
-    SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_fps
-    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= {min_shared}
-    """
-
-
-@query("winnow_overlap", winnow_oracle(k=8, window=4, max_fp_df=10, min_shared=5))
-def q_winnow_overlap(spark, sf_dir):
-    """C26/C27 extension (r05): exact-substring overlap mining via
-    winnowing fingerprints (MOSS, Schleimer et al. 2003) — character
-    8-grams, window 4 (any shared ≥11-char span fingerprints in both
-    docs regardless of alignment), boilerplate fingerprints capped at
-    df ≤ 10, pairs sharing ≥ 5 rare fingerprints. The character-level
-    half of the dedup family (word-shingle jaccard/MinHash catch
-    near-dup DOCS; this catches copied SPANS). The oracle re-derives
-    selection through window functions while Spark uses scan-side
-    array HOFs — two independent physical shapes, one answer."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return D.winnow_overlap_pairs(
-        d, "doc_id", "text", k=8, window=4, min_shared=5, max_fp_df=10
-    )
-
-
-@query(
-    "gap_fill_interpolate",
-    """
-    WITH cells AS (
-      SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS b,
-             CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS s
-      FROM events GROUP BY 1, 2),
-    spans AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells GROUP BY 1),
-    grid AS (
-      SELECT event_type, g AS b
-      FROM spans, UNNEST(generate_series(lo, hi, INTERVAL '15 minutes')) AS t(g)),
-    j AS (
-      SELECT g.event_type, g.b, c.n, c.s
-      FROM grid g LEFT JOIN cells c ON c.event_type = g.event_type AND c.b = g.b),
-    w AS (
-      SELECT *,
-        last_value(CASE WHEN s IS NOT NULL
-                        THEN struct_pack(t := epoch(b), v := s) END IGNORE NULLS)
-          OVER (PARTITION BY event_type ORDER BY b
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
-        first_value(CASE WHEN s IS NOT NULL
-                         THEN struct_pack(t := epoch(b), v := s) END IGNORE NULLS)
-          OVER (PARTITION BY event_type ORDER BY b
-                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
-      FROM j)
-    SELECT event_type, b AS bucket_start,
-           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-           floor((CASE WHEN s IS NOT NULL THEN s
-                       WHEN pv IS NOT NULL AND nv IS NOT NULL
-                       THEN pv.v + (nv.v - pv.v) * (epoch(b) - pv.t) / (nv.t - pv.t)
-                  END) * 10000.0 + 0.5) / 10000.0 AS sum_value,
-           (s IS NULL) AS filled
-    FROM w
-    """,
-)
-def q_gap_fill_interpolate(spark, sf_dir):
-    """Hypertable verb (r05): gap-filled 15-min rollup with linear
-    interpolation (TimescaleDB time_bucket_gapfill + interpolate). The
-    grid derives from the CELL relation (per-key span + sequence
-    explode), neighbors come from two ignore-nulls window passes, and
-    interpolation is the identical (t−t₀)/(t₁−t₀) epoch-seconds
-    expression in both engines; the flag marks synthesized rows.
-    ~48% of this grid is gaps at sf0.01 — the interpolation path is
-    heavily exercised, not incidental."""
-    e = load(spark, sf_dir, "events")
-    return TS.gap_fill(e, "15 minutes", keys=("event_type",))
-
-
-@query(
-    "temperature_sampling",
-    f"""
-    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-    w AS (SELECT lang, n, round(power(CAST(n AS DOUBLE), 0.3), 9) AS wn FROM counts),
-    sw AS (SELECT sum(wn) AS sw FROM w),
-    j AS (SELECT lang, n, wn / sw.sw AS p FROM w, sw),
-    tt AS (SELECT min(n / p) AS t FROM j),
-    rates AS (
-      SELECT lang,
-             least(10000, CAST(floor(10000.0 * p * tt.t / n + 1e-9) AS BIGINT)) AS bp
-      FROM j, tt)
-    SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN rates r USING (lang)
-    WHERE ({C.hash_bucket_sql('doc_id', 10000)}) < r.bp
-    """,
-)
-def q_temperature_sampling(spark, sf_dir):
-    """Curation (r05): XLM-R alpha-sampling — per-language keep rates
-    from p_g ∝ n_g^0.3 (flattens the natural mix, upweighting
-    low-resource languages) with mix_to_target's binding-group rule and
-    md5 basis-point membership. pow() rounds to 9 dp on both sides
-    before the rate arithmetic so the basis-point floor can't diverge.
-    Zero corpus shuffles; rates are a post-agg broadcast relation."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.temperature_sampling(d, alpha=0.3, group_col="lang").select(
-        "doc_id", "lang", "source"
-    )
-
-
-@query(
-    "salted_join_segments",
-    """
-    SELECT c.c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total
-    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    GROUP BY c.c_mktsegment
-    """,
-)
-def q_salted_join_segments(spark, sf_dir):
-    """Scale helper as a first-class query: the salted fact⋈dim join
-    (operators/skew.py) — fact rows scatter across 16 salt buckets,
-    the dim replicates into each, so no single reducer ever receives a
-    hot key's full volume when the dim is broadcast-ineligible and AQE
-    skew-split can't apply (pathological single-tenant keys). Salting
-    must be invisible in the result: the oracle is the PLAIN join."""
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-    )
-    from openetl_spark.operators.skew import salted_join
-
-    return (
-        salted_join(o, c, "o_custkey", salt=16)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-
-
-@query(
-    "cluster_profile",
-    f"""
-    WITH cents AS (
-      SELECT list_id, centroid
-      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND n_lists = 16 AND seed = 42),
-    assign AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             (SELECT c.list_id FROM cents c
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
-                       c.list_id ASC
-              LIMIT 1) AS list_id
-      FROM embeddings e),
-    d AS (
-      SELECT a.list_id,
-             list_dot_product(a.v, a.v) + list_dot_product(c.centroid, c.centroid)
-               - 2 * list_dot_product(a.v, c.centroid) AS d2
-      FROM assign a JOIN cents c USING (list_id))
-    SELECT CAST(list_id AS INT) AS list_id,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(d2), 4) AS avg_sq_dist,
-           round(max(d2), 4) AS max_sq_dist
-    FROM d GROUP BY list_id
-    """,
+from pyspark.sql import DataFrame, SparkSession
+
+from openetl_spark.queries.base import (  # noqa: F401
+    ORACLE,
+    QUERIES,
+    load,
+    query,
+)
+
+# Importing the family modules REGISTERS their queries; the import
+# order below IS the pre-split registration order (dicts preserve it).
+from openetl_spark.queries import relational as _relational  # noqa: F401,E402
+from openetl_spark.queries import dedup_text as _dedup_text  # noqa: F401,E402
+from openetl_spark.queries import relational_extra as _relational_extra  # noqa: F401,E402
+from openetl_spark.queries import curation as _curation  # noqa: F401,E402
+from openetl_spark.queries import tpch_r05 as _tpch_r05  # noqa: F401,E402
+from openetl_spark.queries import warehouse_ann as _warehouse_ann  # noqa: F401,E402
+from openetl_spark.queries import lm_dedup as _lm_dedup  # noqa: F401,E402
+from openetl_spark.queries import media_mining as _media_mining  # noqa: F401,E402
+
+# Re-exports referenced by tests / bench / external callers as
+# catalog.<name> (the pre-split public surface).
+from openetl_spark.queries.dedup_text import (  # noqa: F401,E402
+    jaccard_ctes,
+    shingle_cte,
+)
+from openetl_spark.queries.relational_extra import (  # noqa: F401,E402
+    IVF_ORACLE_CENTROIDS,
+    IVF_SIG_SQL,
+    _corpus_sig,
+    _ivf_layout,
+)
+from openetl_spark.queries.warehouse_ann import (  # noqa: F401,E402
+    PQ_ORACLE_CODEBOOKS,
+    _ivf_pq_layout,
+    _pq_codebooks,
+)
+from openetl_spark.queries.lm_dedup import (  # noqa: F401,E402
+    domain_mix_oracle,
+    incremental_dedup_oracle,
+    semantic_dedup_oracle,
+    winnow_oracle,
+)
+from openetl_spark.queries.media_mining import (  # noqa: F401,E402
+    MEDIA_FP_DIR,
+    _media_fp_layout,
 )
-def q_cluster_profile(spark, sf_dir):
-    """C28 monitoring (r08): embedding-space health off the SAME
-    persisted IVF quantizer as ivf_knn/semantic_dedup — per-cluster
-    occupancy and squared-distance spread (the inertia decomposition
-    one watches for cluster collapse or drift as a corpus grows). One
-    scan + one broadcast join + a 16-group aggregate; the oracle
-    re-derives assignment and distances from the centroid parquet."""
-    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "list_id int, centroid array<double>",
-    )
-    v = F.col("embedding").cast("array<double>")
-    d2 = (
-        S.dot(v, v)
-        + S.dot(F.col("centroid"), F.col("centroid"))
-        - 2 * S.dot(v, F.col("centroid"))
-    )
-    return (
-        S.with_ivf_assignment(e, cents, "embedding", "list_id")
-        .join(F.broadcast(cdf), "list_id")
-        .select("list_id", d2.alias("_d2"))
-        .groupBy("list_id")
-        .agg(
-            F.count("*").alias("n_vecs"),
-            F.round(F.avg("_d2"), 4).alias("avg_sq_dist"),
-            F.round(F.max("_d2"), 4).alias("max_sq_dist"),
-        )
-    )
-
-
-@query(
-    "perplexity_buckets",
-    """
-    WITH tk AS (
-      SELECT doc_id, lang,
-             list_transform(
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-               x -> lower(x)) AS w
-      FROM documents),
-    big AS (
-      SELECT doc_id, w[i] AS pre, w[i] || ' ' || w[i + 1] AS bg
-      FROM tk, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
-    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
-    c1 AS (SELECT pre, count(*) AS c FROM big GROUP BY pre),
-    v AS (SELECT count(DISTINCT tok) AS vs
-          FROM (SELECT UNNEST(w) AS tok FROM tk) u),
-    scored AS (
-      SELECT big.doc_id, avg(-ln((c2.c + 1.0) / (c1.c + v.vs))) AS nll
-      FROM big JOIN c2 USING (bg) JOIN c1 USING (pre), v
-      GROUP BY big.doc_id),
-    binned AS (
-      SELECT tk.lang, s.nll,
-             CAST(floor(s.nll / 0.002) AS BIGINT) AS bin
-      FROM scored s JOIN tk ON tk.doc_id = s.doc_id),
-    hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
-    cum AS (
-      SELECT lang, bin, c,
-             sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
-             sum(c) OVER (PARTITION BY lang) AS n
-      FROM hist),
-    thr AS (
-      SELECT lang,
-             min(CASE WHEN cum >= n / 3.0 THEN bin END) AS t33,
-             min(CASE WHEN cum >= 2.0 * n / 3.0 THEN bin END) AS t67
-      FROM cum GROUP BY lang)
-    SELECT b.lang,
-           CASE WHEN b.bin <= t.t33 THEN 'head'
-                WHEN b.bin <= t.t67 THEN 'middle'
-                ELSE 'tail' END AS bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(b.nll), 4) AS avg_nll
-    FROM binned b JOIN thr t USING (lang)
-    GROUP BY 1, 2
-    """,
-)
-def q_perplexity_buckets(spark, sf_dir):
-    """Curation (r08): CCNet's head/middle/tail perplexity split per
-    language — bigram-LM NLL scores binned into a fixed-width
-    histogram, tercile thresholds from the per-group cumulative pass
-    over BIN rows (never a percent_rank window over raw docs), bucket
-    membership by integer bin compare. The whole pipeline — LM
-    training, scoring, sketched terciles, bucketing — renders in one
-    oracle query."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return C.perplexity_buckets(d, "doc_id", "text", "lang")
-
-
-from openetl_spark.functions.spec_sql import render_query as _render_spec_sql  # noqa: E402
-
-_DECL_SETOP_SPEC = {
-    "set_op": "intersect",
-    "inputs": [
-        {
-            "table": "orders",
-            "group_by": ["o_custkey"],
-            "aggregates": [{"fn": "count", "expr": None, "alias": "n"}],
-            "having": [{"field": "n", "operator": ">=", "value": 5}],
-            "select": ["o_custkey"],
-        },
-        {
-            "table": "orders",
-            "filters": [
-                {"field": "o_totalprice", "operator": ">", "value": 300000}
-            ],
-            "select": ["o_custkey"],
-            "distinct": True,
-        },
-    ],
-    "sort": [{"field": "o_custkey"}],
-}
-
-
-@query("declarative_setops", _render_spec_sql(_DECL_SETOP_SPEC))
-def q_declarative_setops(spark, sf_dir):
-    """QuerySpec's set-operation surface (r08): frequent customers
-    INTERSECT big-ticket customers, each leg a declarative spec (one
-    grouped+HAVING, one filtered DISTINCT projection). The oracle IS
-    the spec's own ANSI rendering (functions/spec_sql.render_query), so
-    the driver gate pins compiler and renderer against each other —
-    the same both-ways contract the randomized QuerySpec fuzzers
-    enforce per-run."""
-    from openetl_spark.plans.compiler import compile_query
-
-    return compile_query(_DECL_SETOP_SPEC, lambda t: load(spark, sf_dir, t))
-
-
-@query(
-    "scd2_history",
-    """
-    WITH seq AS (
-      SELECT user_id, ts, event_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
-      FROM events),
-    changes AS (
-      SELECT user_id, ts, event_id, event_type
-      FROM seq WHERE prev IS NULL OR prev <> event_type)
-    SELECT user_id, event_type,
-           ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             AS is_current
-    FROM changes
-    """,
-)
-def q_scd2_history(spark, sf_dir):
-    """Warehouse breadth (r08): type-2 SCD history built from the
-    event stream — one row per (user, event_type run) with a
-    [valid_from, valid_to) interval and is_current flag; pair with the
-    as-of join for point-in-time attribute lookups. Two windows on the
-    maximally-high-cardinality user key, event_id tiebreak for
-    same-instant determinism."""
-    e = load(spark, sf_dir, "events")
-    return TS.scd2_history(e, "user_id", "event_type", "ts", "event_id")
-
-
-@query(
-    "hot_keys_report",
-    """
-    WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
-               FROM lineitem GROUP BY 1),
-    t AS (SELECT count(*) AS total FROM lineitem)
-    SELECT c.key, c.n, round(c.n * 1.0 / t.total, 6) AS share
-    FROM c, t
-    ORDER BY c.n DESC, c.key ASC
-    LIMIT 20
-    """,
-)
-def q_hot_keys_report(spark, sf_dir):
-    """Skew diagnostics (r08): the 20 hottest supplier keys in the
-    fact table with their row share — the measurement that picks
-    between AQE skew-split, salting (salted_join_segments), and
-    broadcast. Partial-agg per key + TakeOrdered; never a global
-    sort."""
-    from openetl_spark.operators.skew import hot_keys
-
-    l = load(spark, sf_dir, "lineitem")
-    return hot_keys(l, "l_suppkey", k=20)
-
-
-_INCR_BUCKET = C.hash_bucket_sql("doc_id", 100)
-
-
-def incremental_dedup_oracle(cut: int = 50, thr: float = 0.5) -> str:
-    """The incremental-dedup oracle, parameterized over the index/new
-    split point (md5 bucket < cut) and the jaccard threshold — shared
-    by the catalog query and the randomized differential sweep."""
-    return f"""
-    WITH {shingle_cte(5)},
-    side AS (SELECT doc_id, ({_INCR_BUCKET}) < {cut} AS is_index FROM documents),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT x.doc_id AS p, y.doc_id AS q, count(*) AS c
-      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT inter.p AS a, inter.q AS b,
-             round(c / (sp.n + sq.n - c), 6) AS jaccard
-      FROM inter
-      JOIN sizes sp ON sp.doc_id = inter.p
-      JOIN sizes sq ON sq.doc_id = inter.q
-      JOIN side bp ON bp.doc_id = inter.p
-      JOIN side bq ON bq.doc_id = inter.q
-      WHERE NOT bq.is_index
-        AND (bp.is_index OR inter.p < inter.q)
-        AND round(c / (sp.n + sq.n - c), 6) >= {thr}),
-    agg AS (
-      SELECT b, CAST(count(*) AS BIGINT) AS n_dups, min(a) AS dup_of
-      FROM pairs GROUP BY b)
-    SELECT CAST(agg.b AS BIGINT) AS doc_id, agg.n_dups,
-           CAST(agg.dup_of AS BIGINT) AS dup_of, p.jaccard
-    FROM agg JOIN pairs p ON p.b = agg.b AND p.a = agg.dup_of
-    """
-
-
-@query("incremental_dedup", incremental_dedup_oracle(50, 0.5))
-def q_incremental_dedup(spark, sf_dir):
-    """C26/C27 (r08): incremental MinHash dedup — the md5-bucket lower
-    half of the corpus plays the persisted index, the upper half is the
-    incoming batch; index×index pairs are never enumerated. Same
-    128-hash / 64-band / jaccard ≥ 0.5 regime as minhash_near_dups, so
-    LSH recall is ≈ 1 and the exact-jaccard oracle (restricted to
-    new-batch pairs with the min-partner survivor rule) is the full
-    answer."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    bucket = C.hash_bucket(F.col("doc_id"), 100)
-    idx = d.filter(bucket < 50)
-    new = d.filter(bucket >= 50)
-    return D.incremental_near_duplicates(
-        new, idx, "doc_id", "text", n=5, num_hashes=128, bands=64, threshold=0.5
-    )
-
-
-@query(
-    "gopher_repetition",
-    """
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    norm AS (
-      SELECT doc_id, w, len(array_to_string(w, ' ')) AS nch
-      FROM toks WHERE len(w) >= 2),
-    grams AS (
-      SELECT doc_id, nch, n, array_to_string(w[i:i+n-1], ' ') AS g
-      FROM norm, UNNEST([2,3,4,5]) AS ns(n),
-           UNNEST(generate_series(1, len(w) - n + 1)) AS t(i)),
-    cnt AS (
-      SELECT doc_id, n, g, count(*) AS c, any_value(nch) AS nch
-      FROM grams GROUP BY 1, 2, 3),
-    per_n AS (
-      SELECT doc_id, n, max(c * len(g)) AS top_mass,
-             sum(CASE WHEN c > 1 THEN (c-1) * len(g) ELSE 0 END) AS dup_mass,
-             any_value(nch) AS nch
-      FROM cnt GROUP BY 1, 2),
-    f AS (
-      SELECT doc_id,
-        floor(coalesce(max(CASE WHEN n=2 THEN top_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS top2_char_frac,
-        floor(coalesce(max(CASE WHEN n=3 THEN top_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS top3_char_frac,
-        floor(coalesce(max(CASE WHEN n=4 THEN top_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS top4_char_frac,
-        floor(coalesce(max(CASE WHEN n=5 THEN dup_mass END), 0) / any_value(nch) * 10000.0 + 0.5) / 10000.0 AS dup5_char_frac
-      FROM per_n GROUP BY 1)
-    SELECT *,
-           (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
-            AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15) AS keep
-    FROM f
-    """,
-)
-def q_gopher_repetition(spark, sf_dir):
-    """C29 extension (r05): Gopher's full repetition-rule panel (Rae et
-    al. 2021 §A1.1) — per-doc character mass of the top 2/3/4-gram,
-    duplicated-5-gram mass, and the round-then-compare keep flag with
-    the paper's thresholds (0.20/0.18/0.16/0.15). Complements r03's
-    repetition_stats (single-n count-mass): this is the
-    multi-resolution CHARACTER-mass panel production filters use. One
-    explode covers all four n values; shuffles carry gram keys."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.gopher_repetition_flags(d, "doc_id", "text")
-
-
-@query(
-    "gopher_quality",
-    """
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    f AS (
-      SELECT doc_id,
-             CAST(len(w) AS INT) AS n_words,
-             floor(len(array_to_string(w, '')) / CAST(greatest(len(w), 1) AS DOUBLE)
-                   * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
-             CAST(len(list_intersect(list_transform(w, x -> lower(x)),
-                  ['the','and','of','to','a','in','is','it','that','for'])) AS INT) AS stopword_hits,
-             floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-                   / CAST(greatest(len(w), 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_word_frac
-      FROM toks)
-    SELECT *,
-           (n_words >= 50 AND n_words <= 100000
-            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND stopword_hits >= 2 AND alpha_word_frac >= 0.80) AS keep
-    FROM f
-    """,
-)
-def q_gopher_quality(spark, sf_dir):
-    """C29 extension (r05): Gopher's document-quality rule panel —
-    word-count bounds, mean-word-length bounds, distinct-stopword
-    minimum, alphabetic-word fraction, and the keep flag at the paper's
-    thresholds (min_words=50 and stopword_hits>=2 split this corpus;
-    verified non-constant at sf0.001/0.01). Zero shuffles — the whole
-    panel is whole-stage-codegen Column expressions, a pure scan."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.gopher_quality_flags(d, "doc_id", "text")
-
-
-@query(
-    "pmi_collocations",
-    """
-    WITH toks AS (
-      SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    uni AS (
-      SELECT u.w1, count(*) AS cw
-      FROM toks, UNNEST(w) AS u(w1) GROUP BY 1),
-    n1 AS (SELECT sum(cw) AS n_tokens FROM uni),
-    bi_all AS (
-      SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
-      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
-      WHERE len(w) >= 2
-      GROUP BY 1, 2),
-    -- n_bigrams over ALL adjacent pairs, BEFORE the min-count guard
-    -- (r06, ADVICE): true PMI normalizes by total bigram mass
-    n2 AS (SELECT sum(c12) AS n_bigrams FROM bi_all),
-    bi AS (SELECT * FROM bi_all WHERE c12 >= 20)
-    SELECT bi.w1 || ' ' || bi.w2 AS bigram,
-           CAST(c12 AS BIGINT) AS pair_count,
-           round(log2((c12 / n_bigrams) /
-                 ((u1.cw / n_tokens) * (u2.cw / n_tokens))), 4) AS pmi
-    FROM bi
-    JOIN uni u1 ON u1.w1 = bi.w1
-    JOIN uni u2 ON u2.w1 = bi.w2
-    CROSS JOIN n1 CROSS JOIN n2
-    ORDER BY pmi DESC, bigram ASC
-    LIMIT 20
-    """,
-)
-def q_pmi_collocations(spark, sf_dir):
-    """C29 extension (r05): top-20 collocations by pointwise mutual
-    information (Church & Hanks 1990) with the standard min-count guard
-    against the rare-pair PMI explosion. Everything after the two
-    corpus passes (unigram + bigram counts) is vocabulary-scale; AQE
-    broadcasts the aggregated unigram relation into the joins."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return X.pmi_collocations(d, "text", min_count=20, k=20)
-
-
-@query(
-    "ann_recall_report",
-    f"""
-    WITH cents AS (
-      SELECT list_id, centroid
-      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND n_lists = 16 AND seed = 42),
-    q AS (
-      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 25 = 0),
-    assign AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             (SELECT c.list_id FROM cents c
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
-                       c.list_id ASC
-              LIMIT 1) AS list_id
-      FROM embeddings e),
-    probe AS (
-      SELECT q.qid, c.list_id,
-             row_number() OVER (PARTITION BY q.qid
-               ORDER BY round(list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                        - 2 * list_dot_product(q.qv, c.centroid), 6) ASC,
-                        c.list_id ASC) AS rn
-      FROM q, cents c),
-    pr AS (SELECT qid, list_id FROM probe WHERE rn <= 4),
-    exact AS (
-      SELECT q.qid, a.vec_id,
-             row_number() OVER (PARTITION BY q.qid
-               ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC,
-                        a.vec_id ASC) AS rn
-      FROM q JOIN assign a ON a.vec_id <> q.qid),
-    ex AS (SELECT qid, vec_id FROM exact WHERE rn <= 10),
-    appr AS (
-      SELECT q.qid, a.vec_id,
-             row_number() OVER (PARTITION BY q.qid
-               ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC,
-                        a.vec_id ASC) AS rn
-      FROM q
-      JOIN pr ON pr.qid = q.qid
-      JOIN assign a ON a.list_id = pr.list_id AND a.vec_id <> q.qid),
-    ap AS (SELECT qid, vec_id FROM appr WHERE rn <= 10),
-    hits AS (
-      SELECT ex.qid, count(*) AS h
-      FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
-      GROUP BY 1)
-    SELECT q.qid, round(coalesce(h, 0) / 10.0, 4) AS recall_at_k
-    FROM q LEFT JOIN hits ON hits.qid = q.qid
-    """,
-)
-def q_ann_recall_report(spark, sf_dir):
-    """C28 evaluation harness (r05): recall@10 of the IVF index
-    (n_probe=4 of 16 lists) against exact brute-force cosine, per query
-    of a 20-vector panel — the quality-vs-cost curve point you measure
-    BEFORE settling an ANN configuration (Jégou et al. 2011). The panel
-    collect is 20 rows (an eval panel is kilobytes by definition —
-    same closure posture as the centroids); the corpus side is
-    broadcast-hash equi-joined and two-phase top-k'd, never collected,
-    never nested-looped. Oracle: DuckDB re-derives assignment, probe
-    ranking, both top-k arms, and the overlap from the persisted
-    centroid parquet."""
-    cents, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    corpus = spark.read.parquet(data_path)
-    panel_rows = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 25 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
-    return S.ann_recall_report(corpus, panel, cents, k=10, n_probe=4)
-
-
-@query(
-    "pq_recall_report",
-    f"""
-    WITH cb AS (
-      SELECT subspace, code, centroid
-      FROM read_parquet('{PQ_ORACLE_CODEBOOKS}')
-      WHERE corpus_sig = ({IVF_SIG_SQL})
-        AND m = 4 AND n_codes = 16 AND seed = 42),
-    q AS (
-      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 25 = 0),
-    enc AS (
-      SELECT e.vec_id, s.subspace,
-             (SELECT c.code FROM cb c WHERE c.subspace = s.subspace
-              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-                       - 2 * list_dot_product(
-                           CAST(e.embedding AS DOUBLE[])[s.subspace*16+1 : s.subspace*16+16],
-                           c.centroid) ASC,
-                       c.code ASC
-              LIMIT 1) AS code
-      FROM embeddings e, (SELECT DISTINCT subspace FROM cb) s),
-    tab AS (
-      SELECT q.qid, c.subspace, c.code,
-             list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
-             - 2 * list_dot_product(q.qv[c.subspace*16+1 : c.subspace*16+16], c.centroid)
-             + list_aggregate(
-                 list_transform(q.qv[c.subspace*16+1 : c.subspace*16+16], x -> x*x),
-                 'sum') AS d
-      FROM cb c, q),
-    adc AS (
-      SELECT t.qid, e.vec_id, round(sum(t.d), 4) AS dist
-      FROM enc e JOIN tab t ON t.subspace = e.subspace AND t.code = e.code
-      WHERE e.vec_id <> t.qid
-      GROUP BY 1, 2),
-    ap AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
-        FROM adc) WHERE rn <= 10),
-    exact AS (
-      SELECT q.qid, e.vec_id,
-             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-                   - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                   + list_dot_product(q.qv, q.qv), 4) AS dist
-      FROM q JOIN embeddings e ON e.vec_id <> q.qid),
-    ex AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
-        FROM exact) WHERE rn <= 10),
-    hits AS (
-      SELECT ex.qid, count(*) AS h
-      FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
-      GROUP BY 1)
-    SELECT q.qid, round(coalesce(h, 0) / 10.0, 4) AS recall_at_k
-    FROM q LEFT JOIN hits ON hits.qid = q.qid
-    """,
-)
-def q_pq_recall_report(spark, sf_dir):
-    """C28 evaluation harness #2 (r05): recall@10 of PQ asymmetric
-    distance (m=4, 16 codes) against exact squared-L2 per panel query —
-    the compression-loss measurement next to ann_recall_report's
-    pruning-loss one (together they separate the two error sources an
-    IVF×PQ deployment composes). The oracle re-derives encoding,
-    per-query distance tables, both top-k arms, and the overlap from
-    the persisted codebook parquet."""
-    books = _pq_codebooks(spark, sf_dir, m=4, n_codes=16, seed=42)
-    corpus = load(spark, sf_dir, "embeddings", spread=True)
-    panel_rows = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 25 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    panel = [(int(r["vec_id"]), list(r["embedding"])) for r in panel_rows]
-    return S.pq_recall_report(corpus, panel, books, k=10)
-
-
-@query(
-    "minhash_error_report",
-    f"""
-    WITH {jaccard_ctes(0.2)},
-    sig AS (
-      SELECT s.doc_id, h.h,
-             min(CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || s.s), 1, 15)
-                      AS BIGINT)) AS mh
-      FROM sh s, UNNEST(generate_series(0, 31)) AS h(h)
-      GROUP BY 1, 2),
-    est AS (
-      SELECT p.a, p.b, p.jaccard,
-             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS minhash_est
-      FROM pairs p
-      JOIN sig sa ON sa.doc_id = p.a
-      JOIN sig sb ON sb.doc_id = p.b AND sb.h = sa.h
-      GROUP BY 1, 2, 3)
-    SELECT a, b, jaccard, minhash_est,
-           round(abs(minhash_est - jaccard), 6) AS abs_err
-    FROM est
-    """,
-)
-def q_minhash_error_report(spark, sf_dir):
-    """C26/C27 evaluation harness (r05): MinHash estimator calibration —
-    for every exact-jaccard ≥ 0.2 pair, the 32-component
-    portable-minhash estimate, the exact value, and |error| (estimator
-    std = √(j(1−j)/H), Broder 1997 — the measurement behind choosing
-    num_hashes). Signatures hash (seed:shingle) with the
-    engine-portable 60-bit md5 prefix, so the oracle re-derives the
-    ESTIMATOR itself bit-exactly — the production xxhash64 path can
-    only have its candidate recall checked. Signature relation is
-    docs × 32 rows; estimates join it against the collision-sized
-    exact-pair relation, never corpus × corpus."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    return D.minhash_error_report(
-        d, "doc_id", "text", n=5, num_hashes=32, threshold=0.2
-    )
-
-
-@query(
-    "length_bias_audit",
-    """
-    WITH toks AS (
-      SELECT lang,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-      FROM documents),
-    s AS (
-      SELECT lang,
-             CAST(len(w) AS DOUBLE) AS x,
-             len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS y
-      FROM toks WHERE len(w) > 0),
-    m AS (
-      SELECT lang, count(*) AS n,
-             sum(x) / count(*) AS mx, sum(y) / count(*) AS my,
-             sum(x*y) / count(*) AS mxy,
-             sum(x*x) / count(*) AS mxx, sum(y*y) / count(*) AS myy
-      FROM s GROUP BY 1)
-    SELECT lang, CAST(n AS BIGINT) AS n_docs,
-           round((mxy - mx*my) /
-                 (sqrt(mxx - mx*mx) * sqrt(myy - my*my)), 4) AS corr_len_distinct
-    FROM m
-    WHERE (mxx - mx*mx) > 0 AND (myy - my*my) > 0
-    """,
-)
-def q_length_bias_audit(spark, sf_dir):
-    """Curation audit (r05): per-language Pearson correlation between
-    document length and the distinct-token ratio — the bias a naive
-    'low distinct ratio = low quality' gate inherits (longer docs
-    repeat vocabulary naturally, so the correlation is strongly
-    negative; a gate must band by length first — exactly what
-    length_band_filter does). Moments are explicit expressions
-    (formula-identical oracle); one scan, a per-lang aggregate."""
-    d = load(spark, sf_dir, "documents", spread=True)
-    w = X.tokens(F.col("text"))
-    s = d.select(
-        "lang",
-        F.size(w).cast("double").alias("x"),
-        (F.size(F.array_distinct(w)) / F.size(w).cast("double")).alias("y"),
-    ).filter(F.col("x") > 0)
-    n = F.count("*")
-    mx, my = F.sum("x") / n, F.sum("y") / n
-    mxy = F.sum(F.col("x") * F.col("y")) / n
-    mxx = F.sum(F.col("x") * F.col("x")) / n
-    myy = F.sum(F.col("y") * F.col("y")) / n
-    m = s.groupBy("lang").agg(
-        n.alias("n_docs"), mx.alias("_mx"), my.alias("_my"),
-        mxy.alias("_mxy"), mxx.alias("_mxx"), myy.alias("_myy"),
-    )
-    vx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
-    vy = F.col("_myy") - F.col("_my") * F.col("_my")
-    corr = F.round(
-        (F.col("_mxy") - F.col("_mx") * F.col("_my"))
-        / (F.sqrt(vx) * F.sqrt(vy)),
-        4,
-    )
-    return (
-        m.filter((vx > 0) & (vy > 0))
-        .select("lang", "n_docs", corr.alias("corr_len_distinct"))
-    )
-
-
-@query(
-    "embedding_winsorize",
-    """
-    WITH ex AS (
-      SELECT i - 1 AS pos, CAST(embedding AS DOUBLE[])[i] AS val
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
-    b AS (
-      SELECT pos, quantile_cont(val, 0.05) AS lo, quantile_cont(val, 0.95) AS hi
-      FROM ex GROUP BY 1),
-    packed AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM b)
-    SELECT e.vec_id,
-           array_to_string(
-             list_transform(generate_series(1, 64),
-               i -> CAST(CAST(round(least(greatest(CAST(e.embedding[i] AS DOUBLE),
-                                          p.los[i]), p.his[i]) * 10000.0) AS BIGINT)
-                        AS VARCHAR)),
-             ',') AS winsorized
-    FROM embeddings e, packed p
-    """,
-)
-def q_embedding_winsorize(spark, sf_dir):
-    """Curation (r05): per-dimension winsorization at the corpus
-    [p05, p95] — robust scaling before indexing/clustering so a few
-    exploded activations can't dominate the geometry. Bounds from ONE
-    explode + per-dim exact percentile (kilobytes, broadcast as two
-    position-indexed arrays on one row); clipping is a scan-side zip —
-    the corpus is never re-assembled from exploded rows. Values
-    serialize as fixed-point ints (Spark's double→string uses
-    scientific notation below 1e-3; DuckDB's doesn't). At 100 TB the
-    exact percentile swaps for approx_percentile, same plan shape."""
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return C.winsorize_embeddings(e, 0.05, 0.95)
-
-
-@query(
-    "langid_confusion",
-    """
-    WITH scored AS (
-      SELECT doc_id, lang,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
-      FROM documents),
-    hits AS (
-      SELECT doc_id, lang,
-        len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))
-          / greatest(len(tk), 1) AS s_en,
-        len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','por','con','los')))
-          / greatest(len(tk), 1) AS s_es,
-        len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','un','une','dans','est')))
-          / greatest(len(tk), 1) AS s_fr,
-        len(list_filter(tk, x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist')))
-          / greatest(len(tk), 1) AS s_de,
-        len(list_filter(tk, x -> x IN ('的','了','在','是','我','有','和','就','不','人')))
-          / greatest(len(tk), 1) AS s_zh
-      FROM scored),
-    pred AS (
-      SELECT doc_id, lang,
-             CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
-                  WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
-                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-                  ELSE 'de' END AS lang_pred
-      FROM hits),
-    tot AS (SELECT lang, count(*) AS n_lang FROM pred GROUP BY 1)
-    SELECT p.lang, p.lang_pred,
-           CAST(count(*) AS BIGINT) AS n,
-           floor(count(*) / CAST(any_value(t.n_lang) AS DOUBLE) * 10000 + 0.5) / 10000
-             AS frac_of_lang
-    FROM pred p JOIN tot t ON t.lang = p.lang
-    GROUP BY 1, 2
-    """,
-)
-def q_langid_confusion(spark, sf_dir):
-    """C29 evaluation harness (r05): the language-ID confusion matrix —
-    per (labeled lang, predicted lang) counts and the row-normalized
-    fraction, the standard classifier-quality read a pipeline runs
-    before trusting a lang gate (diagonal = per-language recall). One
-    scan for the stopword-evidence argmax (lang_id_oracle's exact
-    cascade), a 5×~6-cell aggregate, and a broadcast per-lang total
-    join — corpus-linear, output label-space-sized."""
-    d = X.detect_language(load(spark, sf_dir, "documents", spread=True))
-    pred = d.select("doc_id", "lang", "lang_pred")
-    tot = pred.groupBy(F.col("lang").alias("_l")).agg(
-        F.count("*").alias("_n_lang")
-    )
-    return (
-        pred.join(F.broadcast(tot), pred.lang == F.col("_l"))
-        .groupBy("lang", "lang_pred")
-        .agg(
-            F.count("*").alias("n"),
-            # floor-fixed rounding (r06, ADVICE): count/n_lang is a
-            # ratio of integers — 1/160-style values land exactly on
-            # .5 decimal boundaries where Spark round() (HALF_UP on
-            # the decimal rendering) and DuckDB round() (nearest
-            # binary double) diverge. Same fix as gopher_*/gap_fill.
-            (
-                F.floor(
-                    F.count("*") / F.first("_n_lang").cast("double") * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
-            ).alias("frac_of_lang"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------
-# Multimodal near-dup mining with a FULL oracle (r06, VERDICT #3). The
-# TESTDATA tables carry no binary media, so the corpus is the
-# deterministic synthetic one from operators/media_synth (byte-identical
-# every run; near-dup structure constructed to exact hamming distances).
-# The REAL decoders fingerprint it once and persist (path, fp) to a
-# repo-local parquet — written on the Spark side of the compare, the
-# same materialization contract as the IVF centroid cache — and DuckDB
-# re-derives the whole candidates → hamming → pairs pipeline from that
-# relation. Only the Python decode step stays test-pinned
-# (tests/test_operators.py pins decoder output against driver-side
-# recomputation and corrupt-payload NULL behavior).
-# ---------------------------------------------------------------------
-
-MEDIA_FP_DIR = "/root/repo/spark-warehouse/media_fp"
-
-
-def _media_fp_layout(spark, kind: str) -> str:
-    """Get-or-build the persisted fingerprint relation for the synthetic
-    media corpus: decode + perceptual-hash via the production mapInPandas
-    path, persist (path, fp BIGINT; NULL = undecodable) as one parquet
-    file the static oracle can read_parquet."""
-    import os
-
-    path = os.path.join(MEDIA_FP_DIR, f"{kind}_v1.parquet")
-    if not os.path.exists(path):
-        from openetl_spark.operators import media_synth as MS
-        from openetl_spark.operators import multimodal as M
-
-        if kind == "image":
-            rows = MS.synthetic_image_corpus()
-            df = spark.createDataFrame(
-                [(p, bytearray(b)) for p, b in rows], "path string, content binary"
-            )
-            fp = M.with_image_ahash(df).select("path", F.col("ahash").alias("fp"))
-        else:
-            rows = MS.synthetic_audio_corpus()
-            df = spark.createDataFrame(
-                [(p, bytearray(b)) for p, b in rows], "path string, content binary"
-            )
-            fp = M.with_audio_fingerprint(df).select("path", F.col("afp").alias("fp"))
-        # collect() and build the Arrow table from exact Python ints —
-        # NOT toPandas(): the undecodable row's NULL upcasts the column
-        # to float64, which silently rounds 64-bit fingerprints (they
-        # exceed 2^53) before any recast can recover them
-        rows_fp = fp.collect()
-        os.makedirs(MEDIA_FP_DIR, exist_ok=True)
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        table = pa.table(
-            {
-                "path": pa.array([r["path"] for r in rows_fp], type=pa.string()),
-                "fp": pa.array([r["fp"] for r in rows_fp], type=pa.int64()),
-            }
-        )
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
-    return path
-
-
-def _media_mine_oracle(kind: str, max_hamming: int) -> str:
-    return f"""
-    WITH fp AS (
-      SELECT path, fp
-      FROM read_parquet('{MEDIA_FP_DIR}/{kind}_v1.parquet')
-      WHERE fp IS NOT NULL)
-    SELECT a.path AS a, b.path AS b,
-           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.path < b.path
-    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
-    """
-
-
-@query("image_near_duplicates", _media_mine_oracle("image", 6))
-def q_image_near_duplicates(spark, sf_dir):
-    """C95 (r06): perceptual image near-dup mining with a FULL oracle —
-    real stdlib PNG decode → 64-bit aHash → pigeonhole hamming ≤ 6
-    pairs, end-to-end through the production operator. Corpus: 10
-    groups of {base, 1-bit, 2-bit, 9-bit-outlier} patterns + one
-    undecodable JPEG (must drop via NULL hash, not abort). The oracle
-    re-derives mining from the persisted fingerprints, so recall
-    completeness of the chunk equi-join and the hamming arithmetic are
-    both checked; the 9-bit outliers pin that out-of-budget pairs stay
-    out. sf_dir is unused by design — TESTDATA has no binary media."""
-    from openetl_spark.operators import media_synth as MS
-    from openetl_spark.operators import multimodal as M
-
-    _media_fp_layout(spark, "image")  # materialize the oracle relation
-    rows = MS.synthetic_image_corpus()
-    df = spark.createDataFrame(
-        [(p, bytearray(b)) for p, b in rows], "path string, content binary"
-    )
-    return M.image_near_duplicates(df, max_hamming=6)
-
-
-@query("audio_near_duplicates", _media_mine_oracle("audio", 6))
-def q_audio_near_duplicates(spark, sf_dir):
-    """C96 (r06): audio energy-delta fingerprint near-dup mining with a
-    FULL oracle — 16-bit PCM decode → Haitsma–Kalker-style 64-bit
-    delta hash → pigeonhole hamming ≤ 6 pairs. Corpus: 8 groups of
-    {base, half-volume copy (fingerprint-identical — the volume
-    invariance), 3-bit variant, 9-bit outlier} + one undecodable
-    payload. Same oracle contract as image_near_duplicates."""
-    from openetl_spark.operators import media_synth as MS
-    from openetl_spark.operators import multimodal as M
-
-    _media_fp_layout(spark, "audio")
-    rows = MS.synthetic_audio_corpus()
-    df = spark.createDataFrame(
-        [(p, bytearray(b)) for p, b in rows], "path string, content binary"
-    )
-    return M.audio_near_duplicates(df, max_hamming=6)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke query: the regional-revenue star join."""
-    return q_q5_regional_revenue(spark, sf_dir)
+    return QUERIES["q5_regional_revenue"](spark, sf_dir)
 
 
 # ---------------------------------------------------------------------
