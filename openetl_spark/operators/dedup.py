@@ -29,7 +29,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -411,12 +411,26 @@ def incremental_near_duplicates(
 
 # -------------------------------------------------------------- simhash
 
+def portable_hash64_array(shingles: Column) -> Column:
+    """Engine-portable 64-bit hash per array element: two 32-bit md5
+    halves packed with a bitwise shift (DuckDB mirrors each half with
+    CAST('0x'||substr(md5(s),...) AS BIGINT))."""
+
+    def _h64(s):
+        hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    return F.transform(shingles, _h64)
+
+
 def with_simhash(
     df: DataFrame,
     id_col: str,
     shingle_col: str = "shingles",
     out: str = "simhash",
     portable: bool = False,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """64-bit SimHash: hash each shingle (xxhash64), per bit position sum
     +1/-1 across shingles, sign → bit. Computed entirely scan-side as
@@ -432,20 +446,24 @@ def with_simhash(
     re-derive the FINGERPRINTS bit-exactly (same split the oracle
     keeps: DuckDB's checked ``<<`` cannot pack the high half, so it
     compares per-half). Production paths keep xxhash64 (one JVM hash
-    vs md5+conv+substr per shingle per bit-loop evaluation).
+    vs md5+conv+substr per shingle). The 64-step bit loop references
+    the hash array once per bit, and Catalyst re-inlines the hashing
+    expression into every evaluation — cheap for xxhash64, 64× md5 for
+    portable (measured 1.4 s → 5.3 s at sf0.1). Callers on the
+    portable path should precompute the array onto a PERSISTED
+    relation and pass ``hashes_col`` — InMemoryRelation is a
+    project-collapse barrier, so the cached column is hashed exactly
+    once (simhash_near_duplicates does this).
 
     Assembly detail: bits are packed via Horner's rule over two 32-bit
     halves (acc*2 + bit, high bits first) and combined with one
     shiftleft(·, 32). A single 64-bit Horner pass would overflow a
     signed long at the top bit under ANSI arithmetic; shifts are
     bitwise, not ANSI-checked, so the halved form is exact."""
-    if portable:
-        def _h64(s):
-            hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-            lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
-            return F.shiftleft(hi, 32).bitwiseOR(lo)
-
-        hs = F.transform(F.col(shingle_col), _h64)
+    if hashes_col is not None:
+        hs = F.col(hashes_col)
+    elif portable:
+        hs = portable_hash64_array(F.col(shingle_col))
     else:
         hs = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
     # Per bit i: sign of Σ_shingles (2·bit_i(h) − 1) chooses the term
@@ -698,10 +716,19 @@ def simhash_near_duplicates(
     mining is ``minhash_near_duplicates``' job, whose banding keys
     live in a 60-bit domain."""
     sh0 = with_shingles(df, text_col, n)
+    if portable:
+        # hash the shingles ONCE onto the (persisted) relation — the
+        # 64-step bit loop would otherwise re-inline the md5 chain per
+        # bit (see with_simhash docstring; 5.3 s → ~1.5 s at sf0.1)
+        sh0 = sh0.withColumn("_h64", portable_hash64_array(F.col("shingles")))
     if cache:
         sh0 = sh0.persist()
     sh = sh0.select(F.col(id_col).alias("id"), F.col("shingles").alias("sh"))
-    sim = with_simhash(sh0, id_col, "shingles", portable=portable)
+    sim = with_simhash(
+        sh0, id_col, "shingles",
+        portable=portable,
+        hashes_col="_h64" if portable else None,
+    )
     cands = simhash_candidates(sim, id_col, max_hamming=max_hamming).select("a", "b")
     out = _verify_jaccard_on_candidates(cands, sh, threshold)
     out._cached_deps = [sh0] if cache else []
