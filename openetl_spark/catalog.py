@@ -105,6 +105,7 @@ DRIVER_RECHECK: set[str] = {
     "langid_confusion",     # floor-fixed frac_of_lang rounding, both engines
     "ann_recall_report",    # probe distances rounded to 6dp pre-argsort, both engines
     "ngram_novelty",        # first-seen re-agg rewrite (result-identical plan change)
+    "approx_sketches",      # countDistinct split from imperative aggs (12.7s->0.9s, result-identical)
     # oracle TEXT rewritten onto the consolidated jaccard_ctes() /
     # _CLOSURE_CTES fragments (semantically identical renderings, but
     # the r05 green rows checked the old SQL text):
@@ -134,6 +135,7 @@ DRIVER_PRIORITY: list[str] = [
     "curation_pipeline",
     "incremental_dedup",
     "minhash_error_report",
+    "approx_sketches",
     # --- refresh queue: ALL 21 queries whose latest driver green is
     # r02 (the oldest rows anywhere) — after this round nothing has an
     # r02-era latest green ---
@@ -159,7 +161,8 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch + the extended
-    # function sweeps. Remaining r03 pool (26, queued for r07):
+    # function sweeps. Remaining r03 pool (27, queued for r07):
+    # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
     # percentile_exact, pii_redaction, q16_supplier_cnt,
@@ -183,7 +186,6 @@ DRIVER_PRIORITY: list[str] = [
     "q15_top_supplier",
     "pivot_dynamic",
     "array_funcs_extended",
-    "date_funcs_extended",
 ]
 
 
