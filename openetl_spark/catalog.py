@@ -122,6 +122,8 @@ DRIVER_PRIORITY: list[str] = [
     # --- r06 additions (no driver row yet) ---
     "image_near_duplicates",
     "audio_near_duplicates",
+    "exact_substring_spans",
+    "exact_substring_dedup",
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -160,8 +162,10 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "tumbling_hourly",
     "union_all_counts",
-    # --- then the oldest r03 rows: the TPC-H r03 batch + the extended
-    # function sweeps. Remaining r03 pool (27, queued for r07):
+    # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
+    # pool (29, queued for r07):
+    # pivot_dynamic + array_funcs_extended (displaced by the
+    # exact_substring_spans/_dedup additions),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -184,8 +188,6 @@ DRIVER_PRIORITY: list[str] = [
     "q13_order_distribution",
     "q14_promo_share",
     "q15_top_supplier",
-    "pivot_dynamic",
-    "array_funcs_extended",
 ]
 
 

@@ -972,3 +972,193 @@ def minhash_error_report(
         "a", "b", "jaccard", "minhash_est",
         F.round(F.abs(F.col("minhash_est") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+# ----------------------------------------- exact substring dedup (ExactSubstr)
+
+def token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Every ``window``-token sliding window of every document as one
+    row ``(id, pos, wh)`` — ``pos`` the 0-based token index the window
+    starts at, ``wh`` the md5 of the space-joined window text. The
+    relational substrate for ExactSubstr dedup (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better"): their
+    suffix-array formulation is a single-machine algorithm; the
+    equivalent corpus-scale shape is sliding fixed-width windows keyed
+    by content hash, where a substring duplicated across the corpus is
+    exactly a run of duplicated windows.
+
+    Physical shape: tokenization and the window array are built in the
+    scan projection (split → sequence → slice → md5 — whole-stage
+    codegen, zero shuffles); one posexplode fans out ~n_tokens rows per
+    document. Only (id, pos, 16-byte hash) rows ever move — the text
+    itself never shuffles, so 100 TB of corpus shuffles as key traffic.
+    Tokenization matches the shingle family: \\s+ split on trimmed
+    text, empty tokens dropped. Documents shorter than ``window``
+    tokens emit no rows (sequence(1,0) is DESCENDING in Spark, so the
+    empty case is guarded explicitly — the r04 BPE lesson)."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), words.alias("_w"))
+    k = F.size(F.col("_w")) - F.lit(window - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, window), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "wh")
+    )
+
+
+def duplicate_window_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Window occurrences whose content appears ≥ ``min_occurrences``
+    times corpus-wide: ``(id, pos, n_occ, is_canonical)`` where the
+    canonical occurrence is the lexicographically smallest (id, pos)
+    holding that content — the single copy ExactSubstr dedup retains.
+
+    One partial-aggregating groupBy on the 16-byte window hash finds
+    duplicated contents AND their canonical occurrence (min(struct) —
+    map-side combinable, so a corpus-wide boilerplate window costs one
+    hot reducer key, never a per-key row_number window over every
+    occurrence); one hash-keyed join fans the verdict back to
+    occurrences. Both shuffles move md5 keys, linear in corpus tokens;
+    heavy boilerplate keys are the same Zipf class as the token joins
+    elsewhere — AQE skew-split territory."""
+    occ = token_windows(df, id_col, text_col, window)
+    dup = (
+        occ.groupBy("wh")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_c"),
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
+    )
+    return occ.join(dup, "wh").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("n_occ"),
+        (
+            (F.col(f"_c.{id_col}") == F.col(id_col))
+            & (F.col("_c.pos") == F.col("pos"))
+        ).alias("is_canonical"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document: merge each document's
+    duplicated-window start positions into islands (a new island starts
+    when the gap to the previous duplicated window exceeds ``window`` —
+    i.e. overlapping-or-adjacent windows fuse into one span) and report
+    ``(id, span_start, span_end, span_tokens, n_windows)`` in token
+    coordinates. This is the span-report half of ExactSubstr: at 100 TB
+    the output is audit material (what fraction of each document is
+    boilerplate?) and the removal mask's input.
+
+    The island pass is two window functions over per-document
+    partitions — bounded by document length, never corpus-keyed."""
+    occ = duplicate_window_occurrences(
+        df, id_col, text_col, window, min_occurrences
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = occ.withColumn("_prev", F.lag("pos").over(wdoc)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > window), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island", F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(window)).alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_island")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL: every occurrence of a duplicated window
+    except the corpus-wide canonical one is masked out; a token is
+    dropped iff some non-canonical duplicated window covers it. Returns
+    one row per non-empty document: ``(id, n_tokens, n_removed,
+    clean_text)`` with the surviving tokens re-joined in order. Matches
+    Lee et al.'s policy of keeping exactly one copy of each duplicated
+    substring (theirs keeps an arbitrary copy; this keeps the smallest
+    (id, pos) so the result is deterministic and oracle-checkable).
+
+    Shape: non-canonical windows explode ×``window`` into covered token
+    positions (distinct), then ONE left_anti join against the token
+    relation and a per-document ordered re-assembly
+    (array_sort(collect_list(struct(pos, tok)))) — collect_list
+    partitions are single documents, bounded by document length."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toks = df.select(F.col(id_col), F.posexplode(words).alias("pos", "tok"))
+    occ = duplicate_window_occurrences(
+        df, id_col, text_col, window, min_occurrences
+    )
+    covered = (
+        occ.filter(~F.col("is_canonical"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    stats = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

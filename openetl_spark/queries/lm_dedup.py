@@ -1445,3 +1445,123 @@ def q_langid_confusion(spark, sf_dir):
     )
 
 
+
+
+# =====================================================================
+# r06 second session — ExactSubstr dedup (Lee et al., ACL 2022)
+# =====================================================================
+
+def _exactsubstr_ctes(window: int, min_occ: int) -> str:
+    """Shared CTE prefix for the ExactSubstr family: token positions,
+    sliding md5 window hashes, duplicated contents with their canonical
+    (min (doc, pos)) occurrence, and the verdict fanned back to
+    occurrences — the DuckDB rendering of
+    operators/dedup.py::duplicate_window_occurrences. One parameterized
+    fragment feeds both oracles and the randomized sweep (the jaccard
+    consolidation lesson, VERDICT r05 #4)."""
+    k = window - 1
+    return f"""wt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM wt, UNNEST(generate_series(1, len(w))) AS t(i)),
+    win AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+{k}], ' ')) AS wh
+      FROM wt, UNNEST(generate_series(1, len(w) - {k})) AS t(i)),
+    dup AS (
+      SELECT wh, count(*) AS n_occ,
+             min(struct_pack(d := doc_id, p := pos)) AS c
+      FROM win GROUP BY wh HAVING count(*) >= {min_occ}),
+    occ AS (
+      SELECT w.doc_id, w.pos, d.n_occ,
+             (w.doc_id = d.c.d AND w.pos = d.c.p) AS is_canonical
+      FROM win w JOIN dup d USING (wh))"""
+
+
+def exactsubstr_spans_oracle(window: int = 8, min_occ: int = 2) -> str:
+    return f"""
+    WITH {_exactsubstr_ctes(window, min_occ)},
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM occ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {window} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {window - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {window} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+
+
+def exactsubstr_dedup_oracle(window: int = 8, min_occ: int = 2) -> str:
+    return f"""
+    WITH {_exactsubstr_ctes(window, min_occ)},
+    cov AS (
+      SELECT DISTINCT o.doc_id, o.pos + g.off AS pos
+      FROM occ o, UNNEST(generate_series(0, {window - 1})) AS g(off)
+      WHERE NOT o.is_canonical),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id),
+    st AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT CAST(st.doc_id AS BIGINT) AS doc_id,
+           CAST(st.n_tokens AS BIGINT) AS n_tokens,
+           CAST(st.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(ka.clean_text, '') AS clean_text
+    FROM st LEFT JOIN ka USING (doc_id)
+    ORDER BY st.doc_id
+    """
+
+
+@query("exact_substring_spans", exactsubstr_spans_oracle(window=8, min_occ=2))
+def q_exact_substring_spans(spark, sf_dir):
+    """C26 extension (r06): ExactSubstr span mining (Lee et al., ACL
+    2022) — every maximal corpus-duplicated span per document, as
+    (doc, token-start, token-end, length, window count). Lee et al.'s
+    suffix array is single-machine; the distributed shape is sliding
+    8-token windows keyed by md5, duplicated-window islands merged
+    per document. Windows hash scan-side (zero shuffles to build),
+    shuffles carry 16-byte keys, island merging is a per-document
+    window pass. Complements winnow_overlap (which FINDS overlapping
+    pairs); this localizes the duplicated SPANS and feeds removal."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    s = D.duplicate_spans(d, id_col="doc_id", text_col="text", window=8)
+    return s.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+    )
+
+
+@query("exact_substring_dedup", exactsubstr_dedup_oracle(window=8, min_occ=2))
+def q_exact_substring_dedup(spark, sf_dir):
+    """C26 extension (r06): ExactSubstr REMOVAL — drop every token
+    covered by a non-canonical duplicated 8-token window (one copy of
+    each duplicated substring survives, at the smallest (doc, pos) so
+    both engines pick the same survivor) and re-assemble the cleaned
+    text. The per-document re-assembly is array_sort(collect_list)
+    over single-document groups — bounded by document length."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    r = D.remove_duplicate_spans(d, id_col="doc_id", text_col="text", window=8)
+    return r.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.col("clean_text"),
+    )

@@ -1467,3 +1467,74 @@ def test_audio_near_duplicates_energy_fingerprint(spark):
              for r in M.audio_near_duplicates(df, max_hamming=6).collect()}
     assert pairs[("a.wav", "b.wav")] == 0
     assert all("c.wav" not in p for p in pairs)
+
+
+# ------------------------------------------------------------------
+# ExactSubstr dedup (Lee et al., ACL 2022) — r06 second session
+# ------------------------------------------------------------------
+
+def _exactsubstr_corpus(spark):
+    return spark.createDataFrame(
+        [
+            # doc 1 and doc 2 share a 10-token run; doc 1 holds the
+            # canonical (smallest (doc, pos)) copy.
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h i j z"),
+            # doc 3 repeats an 8-token phrase twice WITHIN the doc —
+            # the second occurrence is the removable one, and the two
+            # duplicated windows abut (gap == window) so they merge
+            # into a single reported span.
+            (3, "p q r s t u v w p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_localizes_shared_runs(spark):
+    spans = {
+        (r["doc_id"], r["span_start"]): r
+        for r in D.duplicate_spans(
+            _exactsubstr_corpus(spark), window=8
+        ).collect()
+    }
+    assert set(spans) == {(1, 0), (2, 2), (3, 0)}
+    # 10-token shared run = 3 overlapping windows merged to one span
+    assert (spans[(1, 0)]["span_end"], spans[(1, 0)]["span_tokens"],
+            spans[(1, 0)]["n_windows"]) == (9, 10, 3)
+    assert (spans[(2, 2)]["span_end"], spans[(2, 2)]["span_tokens"],
+            spans[(2, 2)]["n_windows"]) == (11, 10, 3)
+    # within-doc repeat: windows at pos 0 and 8 abut -> one 16-token span
+    assert (spans[(3, 0)]["span_end"], spans[(3, 0)]["span_tokens"],
+            spans[(3, 0)]["n_windows"]) == (15, 16, 2)
+
+
+def test_remove_duplicate_spans_keeps_canonical_copy(spark):
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicate_spans(
+            _exactsubstr_corpus(spark), window=8
+        ).collect()
+    }
+    # canonical doc keeps everything
+    assert (out[1]["n_removed"], out[1]["clean_text"]) == (
+        0, "a b c d e f g h i j")
+    # non-canonical cross-doc copy is excised, surroundings survive
+    assert (out[2]["n_tokens"], out[2]["n_removed"], out[2]["clean_text"]) == (
+        13, 10, "x y z")
+    # within-doc repeat keeps the FIRST occurrence
+    assert (out[3]["n_tokens"], out[3]["n_removed"], out[3]["clean_text"]) == (
+        16, 8, "p q r s t u v w")
+
+
+def test_token_windows_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "only five tokens right here"), (2, "   "), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    rows = D.token_windows(df, window=8).collect()
+    # only doc 3 reaches 8 tokens, exactly one window at pos 0
+    assert [(r["doc_id"], r["pos"]) for r in rows] == [(3, 0)]
+    # short docs still appear in the removal output, untouched
+    out = {r["doc_id"]: r for r in D.remove_duplicate_spans(df, window=8).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == 5
+    assert 2 not in out  # whitespace-only doc has no tokens

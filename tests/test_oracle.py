@@ -60,6 +60,7 @@ def test_driver_priority_window_integrity():
     # round-6 rotation: the two new queries and every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row) hold slots
     for newcomer in ("image_near_duplicates", "audio_near_duplicates",
+                     "exact_substring_spans", "exact_substring_dedup",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()

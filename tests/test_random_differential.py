@@ -972,3 +972,40 @@ def test_random_winnow_params_match_duckdb(spark, sf_dir, con, seed):
         allow_empty=True,
     )
     assert ok, f"seed {seed} (k={k}, w={window}, cap={cap}, ms={min_shared}): {msg}"
+
+
+# ------------------------------------------------------------------
+# ExactSubstr sweep (r06): the window width and occurrence floor must
+# agree between engines at EVERY parameter point, not just (8, 2)
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("window,min_occ", [(3, 2), (5, 2), (8, 3), (12, 2)])
+def test_exactsubstr_sweep_matches_duckdb(spark, sf_dir, con, window, min_occ):
+    from openetl_spark.operators import dedup as D
+    from openetl_spark.queries.lm_dedup import (
+        exactsubstr_dedup_oracle,
+        exactsubstr_spans_oracle,
+    )
+
+    d = catalog.load(spark, sf_dir, "documents")
+    spans = D.duplicate_spans(d, window=window, min_occurrences=min_occ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+    )
+    ok, msg = compare(spans, con, exactsubstr_spans_oracle(window, min_occ),
+                      allow_empty=True)
+    assert ok, f"spans window={window} min_occ={min_occ}: {msg}"
+    cleaned = D.remove_duplicate_spans(
+        d, window=window, min_occurrences=min_occ
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.col("clean_text"),
+    )
+    ok, msg = compare(cleaned, con, exactsubstr_dedup_oracle(window, min_occ))
+    assert ok, f"dedup window={window} min_occ={min_occ}: {msg}"
