@@ -269,3 +269,243 @@ def synthetic_audio_corpus() -> list[tuple[str, bytes]]:
             rows.append((f"aud/g{g}/{name}.wav", _walk_wav(bits)))
     rows.append(("aud/undecodable.bin", b"RIFFnot-really-a-wav"))
     return rows
+
+
+# ------------------------------------------------ baseline JPEG encoder
+
+# Annex K example quantization tables (ISO 10918-1 K.1/K.2), row-major.
+_JPEG_QLUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QCHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+# Fixed-length canonical Huffman tables: 12 DC categories at 4 bits,
+# all 162 AC run/size symbols at 8 bits. Deliberately NOT the Annex K
+# optimized tables — fixed-length codes are ~25% bigger but fully
+# valid baseline JPEG, and table-independence is the point: the
+# decoder must build its codes from the DHT segment, never assume the
+# standard tables.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+
+
+def _canonical_codes(counts, symbols):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _fdct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def jpeg_quant_tables(quality: int):
+    """Annex-K tables scaled by the libjpeg quality convention."""
+    scale = 5000 // max(1, min(quality, 100)) if quality < 50 else 200 - 2 * quality
+    def sc(base):
+        return [max(1, min(255, (v * scale + 50) // 100)) for v in base]
+    return sc(_JPEG_QLUM), sc(_JPEG_QCHROM)
+
+
+def encode_jpeg(
+    pixels,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder (SOF0), stdlib+numpy: JFIF
+    YCbCr conversion, optional 4:2:0 chroma downsample (2×2 mean), 8×8
+    FDCT as two matmuls, Annex-K quantization scaled by the libjpeg
+    quality convention, fixed-length canonical Huffman entropy coding
+    with byte stuffing and optional restart markers. ``pixels`` is an
+    (h, w, 3) uint8 array-like. The encode side of the r06
+    ``decode_jpeg_pixels`` pair — deterministic (no randomness, no
+    wall clock), so synthetic JPEG corpora are byte-identical across
+    runs like every generator in this module."""
+    import numpy as np
+
+    rgb = np.asarray(pixels, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    if subsampling == "gray":
+        # single-component stream: luma only (input may be (h, w) or RGB)
+        y = (
+            rgb
+            if rgb.ndim == 2
+            else 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        )
+        planes, samp = [y], [(1, 1)]
+        cb = cr = None
+    else:
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsampling == "gray":
+        pass
+    elif subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # pad to even dims with edge replication, then 2x2 mean-pool
+        ye = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        ce = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        cb = ye.reshape(ye.shape[0] // 2, 2, ye.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean(axis=(1, 3))
+    elif subsampling == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling != "gray":
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qlum, qchrom = jpeg_quant_tables(quality)
+    qtabs = [qlum, qchrom, qchrom]
+    a_mat = _fdct_matrix()
+    # pad each plane to its MCU-covered size (edge replicate)
+    padded = []
+    for (hs, vs), plane in zip(samp, planes):
+        ph, pw = mcuy * 8 * vs, mcux * 8 * hs
+        padded.append(
+            np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                   mode="edge")
+        )
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+    def emit_block(bw, plane, y0, x0, qtab, pred):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = a_mat @ block @ a_mat.T
+        qz = np.rint(coef.reshape(64) / np.asarray(qtab, dtype=np.float64))
+        zz = [int(qz[i]) for i in _SYN_ZIGZAG]
+        diff = zz[0] - pred
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        bw.write(*dc_codes[s])
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write(*ac_codes[0xF0])
+                run -= 16
+            s = v.bit_length() if v > 0 else (-v).bit_length()
+            bw.write(*ac_codes[(run << 4) | s])
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            bw.write(*ac_codes[0x00])  # EOB
+        return zz[0]
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            pred = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    pred[ci] = emit_block(
+                        bw, padded[ci],
+                        (my * vs + by) * 8, (mx * hs + bx) * 8,
+                        qtabs[ci], pred[ci],
+                    )
+    bw.pad()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    zz_q = lambda q: bytes(q[i] for i in _SYN_ZIGZAG)  # noqa: E731
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + zz_q(qlum) + bytes([0x01]) + zz_q(qchrom))
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for cid, (hs, vs) in enumerate(samp, start=1):
+        sof += bytes([cid, (hs << 4) | vs, 0 if cid == 1 else 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
+    out += seg(0xC4, bytes([0x01]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x11]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(samp)])
+    for cid in range(1, len(samp) + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# zigzag scan order (position -> row-major index), same derivation as
+# the decoder's table in operators/multimodal.py
+_SYN_ZIGZAG = []
+for _s in range(15):
+    _d = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _j in (_d if _s % 2 else reversed(_d)):
+        _SYN_ZIGZAG.append((_s - _j) * 8 + _j)

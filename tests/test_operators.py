@@ -1538,3 +1538,107 @@ def test_token_windows_short_docs_emit_nothing(spark):
     out = {r["doc_id"]: r for r in D.remove_duplicate_spans(df, window=8).collect()}
     assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == 5
     assert 2 not in out  # whitespace-only doc has no tokens
+
+
+# ------------------------------------------------------------------
+# baseline JPEG codec pair (r06 second session): decode_jpeg_pixels
+# (multimodal) vs encode_jpeg (media_synth)
+# ------------------------------------------------------------------
+
+def _gradient_rgb(w, h):
+    import numpy as np
+
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import encode_jpeg
+
+    img = _gradient_rgb(37, 23)  # deliberately not a multiple of 8
+    for q, sub, tol in [(95, "444", 8), (85, "444", 12), (90, "420", 16)]:
+        data = encode_jpeg(img, quality=q, subsampling=sub)
+        dec = M.decode_jpeg_pixels(data)
+        assert dec is not None and dec[:3] == (37, 23, 3)
+        px = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(23, 37, 3)
+        err = np.abs(px.astype(int) - img.astype(int))
+        assert err.max() <= tol, (q, sub, err.max())
+        assert err.mean() <= 4, (q, sub, err.mean())
+    # header parse agrees on dimensions for real streams
+    assert M.parse_image_header(encode_jpeg(img))[:3] == ("jpeg", 37, 23)
+
+
+def test_jpeg_grayscale_stream_replicates_channels():
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import encode_jpeg
+
+    gray = _gradient_rgb(29, 19)[..., 0]
+    dec = M.decode_jpeg_pixels(encode_jpeg(gray, quality=92, subsampling="gray"))
+    assert dec is not None and dec[:3] == (29, 19, 3)
+    px = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(19, 29, 3)
+    assert (px[..., 0] == px[..., 1]).all() and (px[..., 0] == px[..., 2]).all()
+    assert np.abs(px[..., 0].astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_jpeg_restart_markers_decode_identically():
+    from openetl_spark.operators.media_synth import encode_jpeg
+
+    img = _gradient_rgb(37, 23)
+    for sub in ("444", "420"):
+        plain = encode_jpeg(img, quality=85, subsampling=sub)
+        restarted = encode_jpeg(img, quality=85, subsampling=sub, restart_interval=2)
+        assert plain != restarted  # DRI really changed the stream
+        a, b = M.decode_jpeg_pixels(plain), M.decode_jpeg_pixels(restarted)
+        # same quantized coefficients -> bit-identical pixels
+        assert a is not None and b is not None and a[3] == b[3]
+
+
+def test_jpeg_corrupt_inputs_return_none():
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import encode_jpeg
+
+    data = encode_jpeg(_gradient_rgb(16, 16), quality=85)
+    for k in range(0, len(data), 13):  # every truncation point
+        assert M.decode_jpeg_pixels(data[:k]) is None
+    rng = np.random.RandomState(0)
+    for _ in range(40):  # byte flips must never raise
+        c = bytearray(data)
+        c[rng.randint(2, len(c))] = rng.randint(256)
+        M.decode_jpeg_pixels(bytes(c))
+    # header-only streams (the legacy fixture) stay undecodable
+    from tests.media_fixtures import make_jpeg
+
+    assert M.decode_jpeg_pixels(make_jpeg(64, 64)) is None
+
+
+def test_jpeg_feeds_the_shared_pixel_paths():
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import (
+        _bits64,
+        _pattern_png,
+        encode_jpeg,
+    )
+
+    # same pixels through PNG and JPEG must aHash identically: the
+    # pattern corpus uses uniform cells at luma 50/200, far beyond the
+    # <=4/channel quantization error at q=95
+    png = _pattern_png(_bits64("jpeg-parity"))
+    w, h, ch, px = M.decode_png_pixels(png)
+    rgb = M._to_rgb(px, ch).reshape(h, w, 3)
+    jpg = encode_jpeg(np.asarray(rgb), quality=95)
+    assert M.average_hash_64(jpg) == M.average_hash_64(png)
+    # mean luma flows through the same dispatch (no PIL in container)
+    luma = M._mean_luma(jpg)
+    assert luma is not None and abs(luma - M._mean_luma(png)) < 0.01
