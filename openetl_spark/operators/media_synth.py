@@ -188,30 +188,46 @@ def _flip_positions(seed: str, d: int) -> list[int]:
     return out
 
 
-def _pattern_png(bits: list[int]) -> bytes:
-    """16×16 PNG whose aHash is exactly ``bits`` (row-major, bit 63 =
-    top-left): hash cell (r, c) = uniform 2×2 block at luma 200/50."""
-    px = [
+def _pattern_pixels(bits: list[int]) -> list:
+    """16×16 RGB rows whose aHash is exactly ``bits`` (row-major, bit
+    63 = top-left): hash cell (r, c) = uniform 2×2 block at luma
+    200/50."""
+    return [
         [
             ((200, 200, 200) if bits[(y // 2) * 8 + (x // 2)] else (50, 50, 50))
             for x in range(16)
         ]
         for y in range(16)
     ]
-    return make_png(16, 16, px)
+
+
+def _pattern_png(bits: list[int]) -> bytes:
+    return make_png(16, 16, _pattern_pixels(bits))
+
+
+def _pattern_jpeg(bits: list[int]) -> bytes:
+    """The same pattern as baseline JPEG (q=95): quantization error is
+    ≤ ~10/channel while every hash cell sits ≥ ~45 luma from the
+    64-cell mean (md5-drawn bits are near-balanced), so the decoded
+    aHash still equals ``bits`` exactly — a cross-CODEC duplicate."""
+    return encode_jpeg(_pattern_pixels(bits), quality=95)
 
 
 def synthetic_image_corpus() -> list[tuple[str, bytes]]:
-    """(path, png_bytes) rows: 10 groups of {base, 1-bit variant, 2-bit
-    variant, 9-bit outlier} plus one undecodable JPEG. Within a group
-    the aHash hamming distances are exactly the flip counts; across
-    groups patterns are independent md5 draws (~32 apart). The 9-bit
-    outlier sits beyond the k=6 mining budget by design — the miner
-    must NOT pair it with its base."""
+    """(path, image_bytes) rows: 10 groups of {base PNG, baseline-JPEG
+    re-encode of the base (aHash-identical — the cross-codec duplicate
+    a crawl dedup actually meets, decoded by the real r06 JPEG
+    decoder), 1-bit variant, 2-bit variant, 9-bit outlier} plus one
+    undecodable header-only JPEG. Within a group the aHash hamming
+    distances are exactly the flip counts; across groups patterns are
+    independent md5 draws (~32 apart). The 9-bit outlier sits beyond
+    the k=6 mining budget by design — the miner must NOT pair it with
+    its base."""
     rows: list[tuple[str, bytes]] = []
     for g in range(10):
         base = _bits64(f"img-group-{g}")
         rows.append((f"img/g{g}/base.png", _pattern_png(base)))
+        rows.append((f"img/g{g}/jpeg_copy.jpg", _pattern_jpeg(base)))
         for name, d in (("near1", 1), ("near2", 2), ("far", 9)):
             bits = list(base)
             for p in _flip_positions(f"img-group-{g}-{name}", d):

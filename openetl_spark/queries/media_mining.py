@@ -47,7 +47,7 @@ def _media_fp_layout(spark, kind: str) -> str:
     file the static oracle can read_parquet."""
     import os
 
-    path = os.path.join(MEDIA_FP_DIR, f"{kind}_v1.parquet")
+    path = os.path.join(MEDIA_FP_DIR, f"{kind}_v2.parquet")
     if not os.path.exists(path):
         from openetl_spark.operators import media_synth as MS
         from openetl_spark.operators import multimodal as M
@@ -89,7 +89,7 @@ def _media_mine_oracle(kind: str, max_hamming: int) -> str:
     return f"""
     WITH fp AS (
       SELECT path, fp
-      FROM read_parquet('{MEDIA_FP_DIR}/{kind}_v1.parquet')
+      FROM read_parquet('{MEDIA_FP_DIR}/{kind}_v2.parquet')
       WHERE fp IS NOT NULL)
     SELECT a.path AS a, b.path AS b,
            CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
@@ -103,8 +103,10 @@ def q_image_near_duplicates(spark, sf_dir):
     """C95 (r06): perceptual image near-dup mining with a FULL oracle —
     real stdlib PNG decode → 64-bit aHash → pigeonhole hamming ≤ 6
     pairs, end-to-end through the production operator. Corpus: 10
-    groups of {base, 1-bit, 2-bit, 9-bit-outlier} patterns + one
-    undecodable JPEG (must drop via NULL hash, not abort). The oracle
+    groups of {base PNG, baseline-JPEG re-encode of the base (decoded
+    by the real r06 JPEG decoder, aHash-identical — the cross-codec
+    duplicate case), 1-bit, 2-bit, 9-bit-outlier} + one undecodable
+    header-only JPEG (must drop via NULL hash, not abort). The oracle
     re-derives mining from the persisted fingerprints, so recall
     completeness of the chunk equi-join and the hamming arithmetic are
     both checked; the 9-bit outliers pin that out-of-budget pairs stay
