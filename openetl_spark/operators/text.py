@@ -8,6 +8,7 @@ of text" being a linear scan versus a Python bottleneck.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -812,3 +813,78 @@ def bpe_train(
         if (step + 1) % checkpoint_every == 0:
             wf = wf.localCheckpoint()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus — the tokenizer
+    APPLICATION step that pairs with ``bpe_train``: adds ``out``
+    (array<string> of subword symbols, document order) and
+    ``n_{out}``. Merge semantics are exactly the trainer's (each rule
+    in learned order, left-to-right non-overlapping), so
+    encode(corpus) with train(corpus)'s rules reproduces the trainer's
+    final dictionary state — pinned by test against the pure-Python
+    reference.
+
+    Scale shape (the dictionary trick, same as training): each
+    DISTINCT word is encoded once — a Python loop, but over the
+    dictionary relation (distinct words, Zipf-small vs corpus tokens),
+    via an Arrow-batched pandas UDF with the merge list in the
+    closure. The corpus-scale work is relational: one posexplode and
+    one join on the word key (AQE broadcasts the encoded dictionary
+    when it fits, the common case), then a per-document ordered
+    re-assembly (single-document collect_list, bounded by document
+    length). Tokenization matches ``word_frequencies`` (split on ' ',
+    empties dropped) so the dictionary join can never miss a token."""
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    @F.pandas_udf("array<string>")
+    def _enc(col: pd.Series) -> pd.Series:
+        def one(w):
+            s = list(w)
+            for a, b in merge_list:
+                i, nxt = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(s[i])
+                        i += 1
+                s = nxt
+            return s
+
+        return col.map(one)
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    dic = (
+        df.select(F.explode(words).alias("word"))
+        .distinct()
+        .withColumn("_syms", _enc(F.col("word")))
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(words).alias("_pos", "word")
+    )
+    agg = (
+        toks.join(dic, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_syms"))),
+                    lambda s: s["_syms"],
+                )
+            ).alias(out)
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        df.join(agg, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), empty))
+        .withColumn(f"n_{out}", F.size(F.col(out)))
+    )

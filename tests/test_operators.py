@@ -1642,3 +1642,40 @@ def test_jpeg_feeds_the_shared_pixel_paths():
     # mean luma flows through the same dispatch (no PIL in container)
     luma = M._mean_luma(jpg)
     assert luma is not None and abs(luma - M._mean_luma(png)) < 0.01
+
+
+def _bpe_apply_reference(word: str, merges) -> list:
+    s = list(word)
+    for a, b in merges:
+        i, nxt = 0, []
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                nxt.append(a + b)
+                i += 2
+            else:
+                nxt.append(s[i])
+                i += 1
+        s = nxt
+    return s
+
+
+def test_bpe_encode_matches_reference_and_roundtrips(spark):
+    texts = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new new new"),
+        (3, "wide wider widest wide slow"),
+        (4, ""),  # empty doc -> empty token array, n = 0
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = X.bpe_train(df, n_merges=8, checkpoint_every=3)
+    got = {r["doc_id"]: r for r in X.bpe_encode(df, merges).collect()}
+    for doc_id, text in texts:
+        exp = [s for w in text.split() if w for s in _bpe_apply_reference(w, merges)]
+        assert got[doc_id]["bpe_tokens"] == exp, doc_id
+        assert got[doc_id]["n_bpe_tokens"] == len(exp)
+        # lossless: concatenating the subwords reconstructs the text
+        assert "".join(got[doc_id]["bpe_tokens"]) == text.replace(" ", "")
+    # encoding compresses: learned merges shorten the symbol stream
+    n_chars = sum(len(w) for _, t in texts for w in t.split())
+    n_syms = sum(r["n_bpe_tokens"] for r in got.values())
+    assert n_syms < n_chars
