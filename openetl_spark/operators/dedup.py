@@ -1162,3 +1162,68 @@ def remove_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def prepare_window_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """The persistable ExactSubstr index: the DISTINCT window-content
+    hashes of an already-ingested corpus (one 16-byte key per distinct
+    window — presence is all incremental probing needs, so the index
+    is dictionary-sized, not occurrence-sized). Write it out once;
+    ``duplicate_spans_incremental`` probes arriving batches against it
+    and the union of (index ∪ new windows) is the next index."""
+    return token_windows(df, id_col, text_col, window).select("wh").distinct()
+
+
+def duplicate_spans_incremental(
+    index_wh: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """ExactSubstr spans for NEWLY ARRIVED documents against corpus ∪
+    batch, without re-mining the indexed corpus: a new window is
+    duplicated iff its hash exists in the index (≥1 prior occurrence)
+    OR occurs ≥2 times within the arriving batch; the union of those
+    position sets island-merges exactly like the batch operator, so
+    for every new document the result EQUALS ``duplicate_spans`` over
+    the full corpus (pinned by test). Index×index is never enumerated
+    — the joins touch only the batch's window rows (the
+    incremental_dedup contract, operators/dedup.py:323, applied to
+    substring dedup). Streaming shape: call from foreachBatch, then
+    append the batch's distinct hashes to the index."""
+    occ = token_windows(new_docs, id_col, text_col, window)
+    vs_index = occ.join(index_wh, "wh", "left_semi")
+    within = (
+        occ.groupBy("wh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("wh")
+    )
+    vs_batch = occ.join(within, "wh", "left_semi")
+    dup = vs_index.unionByName(vs_batch).select(id_col, "pos").distinct()
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn("_prev", F.lag("pos").over(wdoc)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > window), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island", F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(window)).alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_island")
+    )

@@ -1679,3 +1679,41 @@ def test_bpe_encode_matches_reference_and_roundtrips(spark):
     n_chars = sum(len(w) for _, t in texts for w in t.split())
     n_syms = sum(r["n_bpe_tokens"] for r in got.values())
     assert n_syms < n_chars
+
+
+def test_duplicate_spans_incremental_equals_batch(spark, sf_dir):
+    """Incremental ExactSubstr ≡ batch: probing each arriving half of
+    the corpus against the accumulated window index (old corpus ∪
+    batch-internal repeats) must reproduce exactly the full-corpus
+    duplicate_spans rows for the arriving documents — two arrival
+    rounds, index updated between them, index×index never re-mined."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    full = {
+        tuple(r)
+        for r in D.duplicate_spans(docs, window=8).collect()
+    }
+
+    def spans_of(ids_pred):
+        return {t for t in full if ids_pred(t[0])}
+
+    batch1 = docs.filter("doc_id % 3 = 0")
+    batch2 = docs.filter("doc_id % 3 != 0")
+    # arrival 1: empty index — only within-batch duplication counts;
+    # cross-check against duplicate_spans over batch1 alone
+    empty_idx = spark.createDataFrame([], "wh string")
+    inc1 = {
+        tuple(r)
+        for r in D.duplicate_spans_incremental(empty_idx, batch1, window=8).collect()
+    }
+    batch1_only = {
+        tuple(r) for r in D.duplicate_spans(batch1, window=8).collect()
+    }
+    assert inc1 == batch1_only
+    # arrival 2: index = batch1's distinct window hashes; the arriving
+    # docs' spans must equal their full-corpus spans exactly
+    idx = D.prepare_window_index(batch1, window=8)
+    inc2 = {
+        tuple(r)
+        for r in D.duplicate_spans_incremental(idx, batch2, window=8).collect()
+    }
+    assert inc2 == spans_of(lambda d: d % 3 != 0)
