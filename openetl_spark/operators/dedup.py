@@ -930,17 +930,42 @@ def minhash_error_report(
     the approximate ESTIMATOR itself (not just the candidate recall) is
     differentially checked.
 
-    Shape: (doc, seed, shingle) rows explode ×num_hashes → one
-    partial-agg min per (doc, seed) — signature relation is
-    docs × num_hashes rows; the estimate joins it twice against the
-    COLLISION-SIZED exact-pair relation, never corpus × corpus. The
-    ×H explode is the calibration harness's cost; the production
-    signature path stays the scan-side xxhash64 HOF loop."""
-    sh = with_shingles(df, text_col, n)
+    Shape: signatures are computed ONLY for documents that appear in
+    the exact-pair relation (one semi-join against the collision-sized
+    pair-id set BEFORE the ×num_hashes explode — r06-s2: the unpruned
+    corpus-wide explode cost ~4 s of md5 at sf0.1 for signatures the
+    estimate join then discarded, and at 100 TB it would hash the
+    whole corpus ×H for a kilobyte report); then (doc, seed, shingle)
+    rows explode ×num_hashes → one partial-agg min per (doc, seed),
+    and the estimate joins the signature relation twice against the
+    exact pairs, never corpus × corpus. The ×H explode is the
+    calibration harness's cost; the production signature path stays
+    the scan-side xxhash64 HOF loop.
+
+    The shingle relation is persisted ONCE and feeds both arms
+    (r06-s2): Catalyst's InferFiltersFromGenerate pushes a
+    ``size(shingles) > 0`` predicate into the scan, re-inlining the
+    whole shingling transform into the filter — every unpersisted
+    consumer shingles the corpus twice per pass (the simhash
+    project-collapse lesson; measured ~4 s of the harness's 5 s at
+    sf0.1). InMemoryRelation is the collapse barrier."""
+    sh = with_shingles(df, text_col, n).select(id_col, "shingles").persist()
+    # collision-sized (pairs above threshold); persisted because BOTH
+    # the pair-id pruning semi-join and the final estimate join consume
+    # it — unpersisted, the whole exact-jaccard subtree would evaluate
+    # twice
     exact = jaccard_similarity_pairs(
         sh, id_col, threshold=threshold, max_shingle_df=max_shingle_df
+    ).persist()
+    pair_ids = (
+        exact.select(F.col("a").alias("_pid"))
+        .unionByName(exact.select(F.col("b").alias("_pid")))
+        .distinct()
     )
-    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+    ex = (
+        sh.join(pair_ids, F.col(id_col) == F.col("_pid"), "left_semi")
+        .select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+    )
     seeded = ex.withColumn(
         "_h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
     )
