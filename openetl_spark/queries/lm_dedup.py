@@ -445,12 +445,24 @@ def q_ngram_novelty(spark, sf_dir):
     window form min(doc_id) OVER (PARTITION BY g) fuses shuffles but
     materializes df(g)-sized window partitions — hot grams make that
     the skew bottleneck at corpus scale; this shape has no
-    corpus-sized structure past the two partial aggs.)"""
+    corpus-sized structure past the two partial aggs.)
+
+    r06-s2 plan hygiene, measured 4.1 s → 0.4 s at sf0.1: per-doc gram
+    totals are size(shingles) in the scan projection (the shingle
+    array is already distinct — no second explode+agg pass), and the
+    one remaining explode is explode_outer + isNotNull so Catalyst's
+    InferFiltersFromGenerate can't push a size()>0 predicate into the
+    scan and re-inline the whole shingling transform into the filter
+    (the minhash_error_report lesson; plan-pinned: the shingle
+    transform appears ≤2× in the executed plan, not 4×)."""
     d = load(spark, sf_dir, "documents", spread=True)
-    sh = D.with_shingles(d, "text", n=3).select(
-        "doc_id", F.explode("shingles").alias("g")
+    sh_arr = D.with_shingles(d, "text", n=3)
+    sh = sh_arr.select(
+        "doc_id", F.explode_outer("shingles").alias("g")
+    ).filter(F.col("g").isNotNull())
+    totals = sh_arr.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_grams")
     )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     first = sh.groupBy("g").agg(F.min("doc_id").alias("_first"))
     novel = first.groupBy(F.col("_first").alias("doc_id")).agg(
         F.count("*").alias("_novel")
@@ -1564,4 +1576,75 @@ def q_exact_substring_dedup(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_removed").cast("bigint").alias("n_removed"),
         F.col("clean_text"),
+    )
+
+
+def duplication_report_oracle(window: int = 8, min_occ: int = 2) -> str:
+    return f"""
+    WITH {_exactsubstr_ctes(window, min_occ)},
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM occ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {window} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, max(pos) - min(pos) + {window} AS span_tokens
+      FROM isl GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, sum(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id, d.lang, len(w.w) AS n_tokens
+      FROM documents d JOIN wt w USING (doc_id))
+    SELECT b.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE coalesce(p.dup_tokens, 0) > 0) AS BIGINT) AS dup_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           floor(sum(coalesce(p.dup_tokens, 0)) * 1000000.0 / sum(b.n_tokens) + 0.5) / 1000000.0
+             AS dup_ratio
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY b.lang ORDER BY b.lang
+    """
+
+
+@query("duplication_report", duplication_report_oracle(window=8, min_occ=2))
+def q_duplication_report(spark, sf_dir):
+    """C97 companion (r06-s2): the corpus duplication AUDIT — per
+    language: document count, documents carrying any duplicated span,
+    token mass, duplicated-token mass (islands are disjoint per doc so
+    span lengths sum exactly), and the duplication ratio (portable
+    floor-fixed rounding — integer-ratio .5 boundaries diverge between
+    engines otherwise). The go/no-go read BEFORE running ExactSubstr
+    removal at 100 TB: output is language-cardinality-sized, cost is
+    the span mining itself."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    spans = D.duplicate_spans(d, id_col="doc_id", text_col="text", window=8)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup_tokens"))
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    base = d.select("doc_id", "lang", F.size(words).alias("n_tokens"))
+    j = base.join(per_doc, "doc_id", "left").withColumn(
+        "dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0))
+    )
+    ratio = F.col("dup_tokens_sum") * F.lit(1000000.0) / F.col("total_tokens")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dup_tokens") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("dup_tokens").cast("bigint").alias("dup_tokens_sum"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "dup_docs",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("dup_tokens_sum").alias("dup_tokens"),
+            (F.floor(ratio + F.lit(0.5)) / F.lit(1000000.0)).alias("dup_ratio"),
+        )
     )

@@ -663,3 +663,20 @@ def test_pigeonhole_candidate_stream_density(spark, sf_dir):
     bound = n * (n - 1) / 2 * p6
     assert tight < 3 * bound + 200
     assert dense > 10 * tight
+
+
+def test_ngram_novelty_plan_shingles_once_per_arm(spark, sf_dir):
+    """r06-s2: Catalyst's InferFiltersFromGenerate can silently double
+    shingling cost by re-inlining the transform into the scan filter;
+    ngram_novelty ships the explode_outer form. The shingle transform
+    must appear at most twice in the executed plan (the totals scan
+    projection + the explode arm), not four times."""
+    from openetl_spark import catalog
+
+    plan = (
+        catalog.QUERIES["ngram_novelty"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("array_distinct(transform") <= 2, plan[:2000]
