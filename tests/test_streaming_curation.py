@@ -369,3 +369,74 @@ def test_streaming_image_dedup_on_arrival(spark, tmp_path):
     assert arrival | index_internal == batch_all
     assert arrival, "streamed half must contribute pairs"
     assert len(arrival) + len(index_internal) == len(batch_all)  # no double-mining
+
+
+def test_streaming_exactsubstr_spans_on_arrival(spark, sf_dir, tmp_path):
+    """r06-s2: ExactSubstr dedup-on-arrival — each micro-batch of
+    documents is probed against the accumulated window-hash index
+    (index×index never re-mined), then its distinct hashes are
+    appended to the index. Dedup-on-arrival flags a duplicate when its
+    SECOND copy arrives (the first copy is never retroactively
+    re-flagged), so the reference is the prefix-corpus span set: for
+    each batch, duplicate_spans over (all prior docs ∪ the batch)
+    restricted to the batch's documents. The streamed union must equal
+    that exactly."""
+    import os
+
+    from openetl_spark.operators import dedup as DD
+    from openetl_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    # three arrival files in doc_id order: the stream's batch boundaries
+    # line up with doc_id ranges so index coverage is "all prior docs"
+    n = docs.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    expected: set[tuple] = set()
+    for i in range(3):
+        prefix = docs.filter(F.col("doc_id") < cuts[i + 1])
+        expected |= {
+            tuple(r)
+            for r in DD.duplicate_spans(prefix, window=8)
+            .filter(F.col("doc_id") >= cuts[i])
+            .collect()
+        }
+        docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).select("doc_id", "text").coalesce(1).write.json(
+            os.path.join(src, f"part{i}")
+        )
+
+    idx_path = str(tmp_path / "wh_index")
+    # seed with an empty index relation
+    spark.createDataFrame([], "wh string").write.parquet(idx_path)
+
+    got: set[tuple] = set()
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        index = spark.read.parquet(idx_path)
+        spans = DD.duplicate_spans_incremental(index, df, window=8)
+        got.update(tuple(r) for r in spans.collect())
+        DD.prepare_window_index(df, window=8).join(
+            index, "wh", "left_anti"
+        ).write.mode("append").parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(os.path.join(src, "part*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected and len(expected) > 0
