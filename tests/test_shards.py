@@ -525,3 +525,62 @@ def test_partitioned_merge_numeric_looking_string_partitions(spark, tmp_path):
         for r in V.read_latest_partitioned(spark, p, "pt").collect()
     }
     assert out == {("01", 1, "a"), ("2", 2, "B")}
+
+
+# ------------------------------------------------------------------
+# z-order layout (r06-s2): multi-column file-skipping locality
+# ------------------------------------------------------------------
+
+def test_zorder_value_interleaves_bits(spark):
+    from openetl_spark.sinks.layout import zorder_value
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(0, 0), (3, 0), (0, 3), (3, 3)], "x int, y int")
+    z = df.select(
+        "x", "y",
+        zorder_value([F.col("x"), F.col("y")], [0, 0], [3, 3], bits=2).alias("z"),
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in z.collect()}
+    # 2-bit morton: (x1 y1 x0 y0); corners of the 4x4 grid
+    assert got[(0, 0)] == 0b0000
+    assert got[(3, 0)] == 0b1010
+    assert got[(0, 3)] == 0b0101
+    assert got[(3, 3)] == 0b1111
+
+
+def test_zorder_layout_buys_multi_column_locality(spark, tmp_path):
+    """Z-ordering (user_id, value) must give BOTH columns compact
+    per-file ranges, while a single-column sort gives locality on that
+    column only — the measurable property parquet min/max skipping
+    prunes on."""
+    import pyspark.sql.functions as F
+
+    from openetl_spark.sinks.layout import file_locality_report, write_zorder
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1000).alias("user_id"),
+        (F.col("id") * 40503 % 997).cast("double").alias("value"),
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zorder(df, zpath, ["user_id", "value"], n_files=16)
+    # baseline: range-sorted by user_id alone, same file count
+    df.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(spath)
+
+    def avg_spans(path):
+        rep = file_locality_report(spark, path, ["user_id", "value"]).agg(
+            F.avg("span_frac_user_id"), F.avg("span_frac_value")
+        ).first()
+        return rep[0], rep[1]
+
+    z_user, z_value = avg_spans(zpath)
+    s_user, s_value = avg_spans(spath)
+    # single-column sort: near-perfect on user_id, none on value
+    assert s_user < 0.2 and s_value > 0.8
+    # z-order: compact on BOTH (16 files, 2 cols -> ~1/4 per column)
+    assert z_user < 0.5 and z_value < 0.5, (z_user, z_value)
+    # and round-trips the data intact
+    assert spark.read.parquet(zpath).count() == n
