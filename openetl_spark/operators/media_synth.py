@@ -382,7 +382,7 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG encoder (SOF0), stdlib+numpy: JFIF
-    YCbCr conversion, optional 4:2:0 chroma downsample (2×2 mean), 8×8
+    YCbCr conversion, optional 4:2:0 / 4:2:2 chroma downsample, 8×8
     FDCT as two matmuls, Annex-K quantization scaled by the libjpeg
     quality convention, fixed-length canonical Huffman entropy coding
     with byte stuffing and optional restart markers. ``pixels`` is an
@@ -410,6 +410,13 @@ def encode_jpeg(
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     if subsampling == "gray":
         pass
+    elif subsampling == "422":
+        # horizontal-only chroma downsample (2x1 mean)
+        samp = [(2, 1), (1, 1), (1, 1)]
+        cbe = np.pad(cb, ((0, 0), (0, w % 2)), mode="edge")
+        cre = np.pad(cr, ((0, 0), (0, w % 2)), mode="edge")
+        cb = cbe.reshape(h, cbe.shape[1] // 2, 2).mean(axis=2)
+        cr = cre.reshape(h, cre.shape[1] // 2, 2).mean(axis=2)
     elif subsampling == "420":
         samp = [(2, 2), (1, 1), (1, 1)]
         # pad to even dims with edge replication, then 2x2 mean-pool

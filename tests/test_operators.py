@@ -1565,7 +1565,7 @@ def test_jpeg_roundtrip_within_quantization_error():
     from openetl_spark.operators.media_synth import encode_jpeg
 
     img = _gradient_rgb(37, 23)  # deliberately not a multiple of 8
-    for q, sub, tol in [(95, "444", 8), (85, "444", 12), (90, "420", 16)]:
+    for q, sub, tol in [(95, "444", 8), (85, "444", 12), (90, "420", 16), (90, "422", 16)]:
         data = encode_jpeg(img, quality=q, subsampling=sub)
         dec = M.decode_jpeg_pixels(data)
         assert dec is not None and dec[:3] == (37, 23, 3)
@@ -1594,7 +1594,7 @@ def test_jpeg_restart_markers_decode_identically():
     from openetl_spark.operators.media_synth import encode_jpeg
 
     img = _gradient_rgb(37, 23)
-    for sub in ("444", "420"):
+    for sub in ("444", "420", "422"):
         plain = encode_jpeg(img, quality=85, subsampling=sub)
         restarted = encode_jpeg(img, quality=85, subsampling=sub, restart_interval=2)
         assert plain != restarted  # DRI really changed the stream
