@@ -68,6 +68,24 @@ class FileSink:
                 connector.config["query"] = q  # caller manages lifecycle
             return
         mode = connector.config.get("mode", "append")
+        zorder = connector.config.get("zorder_by")
+        if zorder:
+            # Z-order clustered layout (sinks/layout.py): min/max
+            # file-skipping locality on every listed column for one
+            # range shuffle. Declarative surface for OPTIMIZE ZORDER.
+            if self.fmt != "parquet":
+                raise ValueError("zorder_by is a parquet layout option")
+            if mode != "overwrite":
+                raise ValueError("zorder_by requires mode='overwrite'")
+            from openetl_spark.sinks.layout import write_zorder
+
+            write_zorder(
+                df,
+                connector.endpoint_id,
+                list(zorder),
+                n_files=int(connector.config.get("zorder_files", 8)),
+            )
+            return
         writer = df.write.format(self.fmt).options(**opts).mode(mode)
         partition_by = connector.config.get("partition_by")
         if partition_by:

@@ -683,3 +683,45 @@ def test_staged_ingest_offset_respects_arrival_order(spark, tmp_path):
     rows = df.collect()
     assert "_ingest_seq" not in df.columns
     assert [r["i"] for r in rows] == list(range(40, 140))
+
+
+def test_pipeline_parquet_target_zorder_layout(spark, sf_dir, tmp_path):
+    """Declarative z-order: a parquet target with config['zorder_by']
+    writes the clustered layout (sinks/layout.py) through the normal
+    pipeline path, and every listed column shows per-file locality."""
+    import pyspark.sql.functions as F
+
+    from openetl_spark.sinks.layout import file_locality_report
+
+    out = str(tmp_path / "events_z")
+    src = Connector(adapter_id="parquet", endpoint_id=f"{sf_dir}/events.parquet")
+    tgt = Connector(
+        adapter_id="parquet",
+        endpoint_id=out,
+        config={"mode": "overwrite", "zorder_by": ["user_id", "value"],
+                "zorder_files": 8},
+    )
+    Orchestrator(spark=spark).run_pipeline(
+        Pipeline(id="zorder", source=src, target=tgt)
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    rep = file_locality_report(spark, out, ["user_id", "value"]).agg(
+        F.avg("span_frac_user_id"), F.avg("span_frac_value")
+    ).first()
+    assert rep[0] < 0.7 and rep[1] < 0.7, tuple(rep)
+    # misuse guards: non-parquet format / non-overwrite mode
+    import pytest as _pytest
+
+    from openetl_spark.sources.files import FileSink
+
+    with _pytest.raises(ValueError):
+        FileSink("csv").write(
+            got, Connector(adapter_id="csv", endpoint_id=out,
+                           config={"mode": "overwrite", "zorder_by": ["user_id"]})
+        )
+    with _pytest.raises(ValueError):
+        FileSink("parquet").write(
+            got, Connector(adapter_id="parquet", endpoint_id=out,
+                           config={"zorder_by": ["user_id"]})
+        )
