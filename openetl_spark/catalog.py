@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     "exact_substring_spans",
     "exact_substring_dedup",
     "duplication_report",
+    "decontaminate_spans",
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -164,10 +165,11 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (30, queued for r07):
+    # pool (31, queued for r07):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
+    # q14_promo_share (displaced by decontaminate_spans),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -188,7 +190,6 @@ DRIVER_PRIORITY: list[str] = [
     "q11_important_value",
     "q12_shipping_delay",
     "q13_order_distribution",
-    "q14_promo_share",
 ]
 
 

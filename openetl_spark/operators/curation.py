@@ -1306,3 +1306,73 @@ def per_group_sample(
         .filter(F.col("_rn") <= k)
         .select(*group_cols, key_col)
     )
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: instead of dropping whole
+    flagged documents (``decontaminate``), mask exactly the tokens
+    covered by any ``window``-token run that also occurs in the eval
+    corpus — the surgical variant used when training data is too
+    valuable to discard per-document (the ExactSubstr removal
+    machinery pointed at an external contamination set). Returns one
+    row per training document: (id, n_tokens, n_removed, clean_text).
+
+    Scale shape: the eval window-hash set is benchmark-sized and
+    BROADCAST, so the corpus side never shuffles to detect
+    contamination; only FLAGGED documents (a semi-join against the
+    covered-position ids) pay the explode → anti-join → per-document
+    re-assembly, while clean documents pass through untouched with
+    their original text (no corpus-wide rebuild — unlike duplicate
+    removal, contamination is expected to touch a tiny fraction)."""
+    from openetl_spark.operators.dedup import token_windows
+
+    ev = token_windows(eval_df, id_col, text_col, window).select("wh").distinct()
+    occ = token_windows(train, id_col, text_col, window)
+    covered = (
+        occ.join(F.broadcast(ev), "wh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    flagged_ids = covered.select(id_col).distinct()
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = train.join(flagged_ids, id_col, "left_semi").select(
+        F.col(id_col), F.posexplode(words).alias("pos", "tok")
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    stats = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    flagged_out = stats.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+    passthrough = train.join(flagged_ids, id_col, "left_anti").select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.col(text_col).alias("clean_text"),
+    )
+    return flagged_out.unionByName(passthrough)

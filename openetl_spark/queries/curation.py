@@ -390,3 +390,62 @@ def q_rarity_score(spark, sf_dir):
     return C.rarity_score(d, "doc_id", "text")
 
 
+
+
+def decontaminate_spans_oracle(window: int = 5, eval_mod: int = 20) -> str:
+    k = window - 1
+    return f"""
+    WITH wt AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    win AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+{k}], ' ')) AS wh
+      FROM wt, UNNEST(generate_series(1, len(w) - {k})) AS t(i)),
+    ev AS (SELECT DISTINCT wh FROM win WHERE doc_id % {eval_mod} = 0),
+    cov AS (
+      SELECT DISTINCT w.doc_id, w.pos + g.off AS pos
+      FROM win w JOIN ev USING (wh), UNNEST(generate_series(0, {k})) AS g(off)
+      WHERE w.doc_id % {eval_mod} <> 0),
+    flagged AS (SELECT DISTINCT doc_id FROM cov),
+    toks AS (
+      SELECT wt.doc_id, i - 1 AS pos, w[i] AS tok
+      FROM wt JOIN flagged USING (doc_id),
+           UNNEST(generate_series(1, len(w))) AS t(i)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id),
+    st AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT CAST(st.doc_id AS BIGINT) AS doc_id,
+           CAST(st.n_tokens AS BIGINT) AS n_tokens,
+           CAST(st.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(ka.clean_text, '') AS clean_text
+    FROM st LEFT JOIN ka USING (doc_id)
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(len(w) AS BIGINT), CAST(0 AS BIGINT), text
+    FROM wt
+    WHERE doc_id % {eval_mod} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ORDER BY doc_id
+    """
+
+
+@query("decontaminate_spans", decontaminate_spans_oracle(window=5, eval_mod=20))
+def q_decontaminate_spans(spark, sf_dir):
+    """Curation (r06-s2): SPAN-level decontamination — mask exactly the
+    tokens covered by 5-token runs shared with the eval slice
+    (doc_id % 20 == 0 stands in for a benchmark set, matching
+    decontaminate_ngram), keeping the rest of each document. Eval
+    window hashes broadcast; only flagged documents pay the
+    explode/rebuild, clean documents pass through with their original
+    text. The surgical complement to decontaminate_ngram's
+    whole-document flags."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    tr = d.where(F.col("doc_id") % 20 != 0)
+    return C.remove_contaminated_spans(tr, ev, "doc_id", "text", window=5)

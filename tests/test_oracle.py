@@ -61,7 +61,7 @@ def test_driver_priority_window_integrity():
     # entry (code/oracle changed since the last driver row) hold slots
     for newcomer in ("image_near_duplicates", "audio_near_duplicates",
                      "exact_substring_spans", "exact_substring_dedup",
-                     "duplication_report",
+                     "duplication_report", "decontaminate_spans",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
