@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "exact_substring_dedup",
     "duplication_report",
     "decontaminate_spans",
+    "lsh_recall_report",
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -165,11 +166,12 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (31, queued for r07):
+    # pool (32, queued for r07):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
     # q14_promo_share (displaced by decontaminate_spans),
+    # q13_order_distribution (displaced by lsh_recall_report),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -189,7 +191,6 @@ DRIVER_PRIORITY: list[str] = [
     "q10_returned_items",
     "q11_important_value",
     "q12_shipping_delay",
-    "q13_order_distribution",
 ]
 
 

@@ -949,6 +949,37 @@ def minhash_error_report(
     consumer shingles the corpus twice per pass (the simhash
     project-collapse lesson; measured ~4 s of the harness's 5 s at
     sf0.1). InMemoryRelation is the collapse barrier."""
+    matched = _portable_pair_seed_matches(
+        df, id_col, text_col, n, num_hashes, threshold, max_shingle_df
+    )
+    est = matched.groupBy("a", "b", "jaccard").agg(
+        (
+            F.sum(F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0))
+            / float(num_hashes)
+        ).alias("minhash_est")
+    )
+    return est.select(
+        "a", "b", "jaccard", "minhash_est",
+        F.round(F.abs(F.col("minhash_est") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+def _portable_pair_seed_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    threshold: float,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared substrate of the MinHash-family eval harnesses: for every
+    exact-jaccard ≥ threshold pair, one row per hash seed carrying both
+    documents' portable 60-bit minhash components —
+    (a, b, jaccard, _ha, _ma, _mb). Signatures are computed only for
+    pair members (semi-join before the ×num_hashes explode) and the
+    shingle relation is persisted once (see minhash_error_report's
+    docstring for both measurements)."""
     sh = with_shingles(df, text_col, n).select(id_col, "shingles").persist()
     # collision-sized (pairs above threshold); persisted because BOTH
     # the pair-id pruning semi-join and the final estimate join consume
@@ -982,20 +1013,70 @@ def minhash_error_report(
     sb = sig.select(
         F.col("_id").alias("_bid"), F.col("_h").alias("_hb"), F.col("_mh").alias("_mb")
     )
-    est = (
-        exact.join(sa, "a")
-        .join(sb, (F.col("b") == F.col("_bid")) & (F.col("_ha") == F.col("_hb")))
-        .groupBy("a", "b", "jaccard")
+    return exact.join(sa, "a").join(
+        sb, (F.col("b") == F.col("_bid")) & (F.col("_ha") == F.col("_hb"))
+    )
+
+
+def lsh_banding_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """LSH BANDING recall per jaccard bucket — the fifth eval harness:
+    for every exact-jaccard ≥ threshold pair, whether MinHash banding
+    (num_hashes/rows_per_band bands of rows_per_band rows) would have
+    surfaced it as a candidate, aggregated into 0.1-wide jaccard
+    buckets as (bucket, n_pairs, n_hit, recall). The measurement
+    behind choosing (b, r): P(candidate) = 1 − (1 − j^r)^b, so low
+    buckets SHOULD show partial recall — this reports where the shipped
+    configuration's cliff actually sits on this corpus.
+
+    A truth pair's candidacy depends only on its own two signature
+    vectors, so no banding collision join over the corpus is needed:
+    per pair, a band hits iff ALL its seeds' minhash components match,
+    and the pair hits iff ANY band does — two small aggregations over
+    the seed-matched relation, which is (pairs × num_hashes) rows,
+    collision-sized. Portable md5 signatures so the oracle re-derives
+    the whole computation bit-exactly."""
+    matched = _portable_pair_seed_matches(
+        df, id_col, text_col, n, num_hashes, threshold, max_shingle_df
+    )
+    band_hits = (
+        matched.withColumn("_band", F.floor(F.col("_ha") / rows_per_band))
+        .groupBy("a", "b", "jaccard", "_band")
         .agg(
-            (
-                F.sum(F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0))
-                / float(num_hashes)
-            ).alias("minhash_est")
+            F.min(
+                F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0)
+            ).alias("_beq")
         )
     )
-    return est.select(
-        "a", "b", "jaccard", "minhash_est",
-        F.round(F.abs(F.col("minhash_est") - F.col("jaccard")), 6).alias("abs_err"),
+    pair_hits = band_hits.groupBy("a", "b", "jaccard").agg(
+        F.max("_beq").alias("_hit")
+    )
+    # +1e-9 before floor: jaccard is already rounded to 6 dp, but its
+    # nearest-double can sit just under a bucket boundary (0.3*10 =
+    # 2.999…96); the epsilon makes the binning decision identical and
+    # unsurprising in both engines.
+    bucket = F.floor(F.col("jaccard") * 10 + F.lit(1e-9)) / 10.0
+    recall = F.col("n_hit") * F.lit(10000.0) / F.col("n_pairs")
+    return (
+        pair_hits.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_hit").alias("n_hit"),
+        )
+        .select(
+            "bucket",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            (F.floor(recall + F.lit(0.5)) / F.lit(10000.0)).alias("recall"),
+        )
     )
 
 

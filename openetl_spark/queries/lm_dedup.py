@@ -1648,3 +1648,47 @@ def q_duplication_report(spark, sf_dir):
             (F.floor(ratio + F.lit(0.5)) / F.lit(1000000.0)).alias("dup_ratio"),
         )
     )
+
+
+@query(
+    "lsh_recall_report",
+    f"""
+    WITH {jaccard_ctes(0.2)},
+    sig AS (
+      SELECT s.doc_id, h.h,
+             min(CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || s.s), 1, 15)
+                      AS BIGINT)) AS mh
+      FROM sh s, UNNEST(generate_series(0, 31)) AS h(h)
+      GROUP BY 1, 2),
+    band_hits AS (
+      SELECT p.a, p.b, p.jaccard, CAST(floor(sa.h / 2) AS BIGINT) AS band,
+             min(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS beq
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b AND sb.h = sa.h
+      GROUP BY 1, 2, 3, 4),
+    pair_hits AS (
+      SELECT a, b, jaccard, max(beq) AS hit
+      FROM band_hits GROUP BY 1, 2, 3)
+    SELECT floor(jaccard * 10 + 1e-9) / 10.0 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           floor(sum(hit) * 10000.0 / count(*) + 0.5) / 10000.0 AS recall
+    FROM pair_hits
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_lsh_recall_report(spark, sf_dir):
+    """C94 companion (r06-s2): the FIFTH eval harness — MinHash BANDING
+    recall per jaccard bucket (32 hashes, 16 bands × 2 rows), i.e.
+    where the 1−(1−j^r)^b candidate-probability cliff actually sits on
+    this corpus. minhash_error_report checks the ESTIMATOR; this
+    checks the CANDIDATE GENERATION policy built on it. Portable md5
+    signatures → the oracle re-derives signatures, band equality, and
+    bucketed recall bit-exactly; a pair's candidacy needs only its own
+    two signature vectors, so the whole report runs on the
+    collision-sized pair relation."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    return D.lsh_banding_recall_report(
+        d, "doc_id", "text", n=5, num_hashes=32, rows_per_band=2, threshold=0.2
+    )

@@ -1717,3 +1717,50 @@ def test_duplicate_spans_incremental_equals_batch(spark, sf_dir):
         for r in D.duplicate_spans_incremental(idx, batch2, window=8).collect()
     }
     assert inc2 == spans_of(lambda d: d % 3 != 0)
+
+
+def test_lsh_banding_recall_partial_in_midrange(spark):
+    """On a synthetic corpus with controlled mid-jaccard pairs, banding
+    recall must be PARTIAL (0 < recall < 1 somewhere) and monotone in
+    the banding aggressiveness: fewer, wider bands (r=8, b=4) catch
+    strictly fewer mid-range pairs than r=2, b=16 — the 1-(1-j^r)^b
+    cliff moving right. (The testdata corpus only carries j>=0.8
+    planted near-dups, where both configs sit at recall 1.0; this
+    covers the regime the catalog query can't observe.)"""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    # 40 pairs sharing ~30-60% of their 30 tokens -> mid-range jaccard
+    for g in range(40):
+        base = rng.sample(vocab, 30)
+        share = rng.randint(9, 18)
+        other = base[:share] + rng.sample(vocab, 30 - share)
+        rows.append((2 * g, " ".join(base)))
+        rows.append((2 * g + 1, " ".join(other)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = {
+        r["bucket"]: r
+        for r in D.lsh_banding_recall_report(
+            df, n=2, num_hashes=32, rows_per_band=2, threshold=0.05
+        ).collect()
+    }
+    tight = {
+        r["bucket"]: r
+        for r in D.lsh_banding_recall_report(
+            df, n=2, num_hashes=32, rows_per_band=8, threshold=0.05
+        ).collect()
+    }
+    assert any(0 < r["recall"] < 1 for r in loose.values()), loose
+    # same truth-pair population in both reports
+    assert sum(r["n_pairs"] for r in loose.values()) == sum(
+        r["n_pairs"] for r in tight.values()
+    )
+    # wider bands never catch MORE pairs in any bucket, and catch
+    # strictly fewer overall
+    for b, r in tight.items():
+        assert r["n_hit"] <= loose[b]["n_hit"], b
+    assert sum(r["n_hit"] for r in tight.values()) < sum(
+        r["n_hit"] for r in loose.values()
+    )
