@@ -338,3 +338,55 @@ def test_chunk_documents_matches_python_reference(spark, docs, chunk, stride):
             piece = words[s : s + chunk]
             expected.append((i, s // stride, " ".join(piece), len(piece)))
     assert got == sorted(expected)
+
+
+# ------------------------------------------------------------------
+# JPEG codec pair (r06-s2): encode -> decode round-trip across the
+# parameter plane (dims not multiples of the MCU, all subsampling
+# modes, quality range), plus the crash-guard contract on truncation.
+# ------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    quality=st.integers(min_value=60, max_value=98),
+    sub=st.sampled_from(["444", "420", "422", "gray"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, quality, sub, seed):
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import encode_jpeg
+    from openetl_spark.operators.multimodal import decode_jpeg_pixels
+
+    rng = np.random.RandomState(seed)
+    # SMOOTH content: random linear ramps per channel. JPEG's loss is
+    # concentrated in high-frequency chroma (sharp saturated edges can
+    # legitimately miss by >50/channel at q=60 — measured, not a bug),
+    # so the property uses low-frequency content where quantization
+    # error has a small fixed bound across the whole parameter plane.
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        ax, ay = rng.uniform(-1, 1, 2)
+        off = rng.uniform(0, 255)
+        g = off + ax * xx * (200.0 / max(w, 1)) + ay * yy * (200.0 / max(h, 1))
+        img[..., c] = np.clip(g, 0, 255)
+    img = img.astype(np.uint8)
+    src = img[..., 0] if sub == "gray" else img
+    data = encode_jpeg(src, quality=quality, subsampling=sub)
+    dec = decode_jpeg_pixels(data)
+    assert dec is not None and dec[0] == w and dec[1] == h and dec[2] == 3
+    px = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(h, w, 3).astype(int)
+    ref = np.stack([src] * 3, axis=-1).astype(int) if sub == "gray" else img.astype(int)
+    err = np.abs(px - ref)
+    # piecewise-constant blocks: quantization error bounded well inside
+    # a luma step; chroma-subsampled modes only mix at block borders,
+    # which this 4x4-macroblock construction keeps uniform
+    assert err.mean() <= 12, (err.mean(), quality, sub)
+    # truncation never raises, always None (the Spark NULL contract)
+    cut = len(data) * (seed % 97) // 97
+    assert decode_jpeg_pixels(data[:cut]) is None
