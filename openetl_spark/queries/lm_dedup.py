@@ -1650,18 +1650,23 @@ def q_duplication_report(spark, sf_dir):
     )
 
 
-@query(
-    "lsh_recall_report",
-    f"""
-    WITH {jaccard_ctes(0.2)},
+def lsh_recall_oracle(
+    num_hashes: int = 32, rows_per_band: int = 2, thr: float = 0.2, n: int = 5
+) -> str:
+    """lsh_recall_report's oracle parameterized over (H, r, threshold,
+    shingle n) — shared by the catalog query and the randomized sweep
+    (band equality must agree between engines at EVERY (b, r) point,
+    not just the shipped one)."""
+    return f"""
+    WITH {jaccard_ctes(thr, n)},
     sig AS (
       SELECT s.doc_id, h.h,
              min(CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || s.s), 1, 15)
                       AS BIGINT)) AS mh
-      FROM sh s, UNNEST(generate_series(0, 31)) AS h(h)
+      FROM sh s, UNNEST(generate_series(0, {num_hashes - 1})) AS h(h)
       GROUP BY 1, 2),
     band_hits AS (
-      SELECT p.a, p.b, p.jaccard, CAST(floor(sa.h / 2) AS BIGINT) AS band,
+      SELECT p.a, p.b, p.jaccard, CAST(floor(sa.h / {rows_per_band}) AS BIGINT) AS band,
              min(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS beq
       FROM pairs p
       JOIN sig sa ON sa.doc_id = p.a
@@ -1676,8 +1681,10 @@ def q_duplication_report(spark, sf_dir):
            floor(sum(hit) * 10000.0 / count(*) + 0.5) / 10000.0 AS recall
     FROM pair_hits
     GROUP BY 1 ORDER BY 1
-    """,
-)
+    """
+
+
+@query("lsh_recall_report", lsh_recall_oracle(32, 2, 0.2, 5))
 def q_lsh_recall_report(spark, sf_dir):
     """C94 companion (r06-s2): the FIFTH eval harness — MinHash BANDING
     recall per jaccard bucket (32 hashes, 16 bands × 2 rows), i.e.

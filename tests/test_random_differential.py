@@ -1009,3 +1009,24 @@ def test_exactsubstr_sweep_matches_duckdb(spark, sf_dir, con, window, min_occ):
     )
     ok, msg = compare(cleaned, con, exactsubstr_dedup_oracle(window, min_occ))
     assert ok, f"dedup window={window} min_occ={min_occ}: {msg}"
+
+
+# ------------------------------------------------------------------
+# LSH banding recall sweep (r06-s2): band shape must agree between
+# engines at every (rows_per_band, threshold) point
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("rows_per_band,thr", [(1, 0.2), (4, 0.2), (8, 0.3), (2, 0.5)])
+def test_lsh_recall_sweep_matches_duckdb(spark, sf_dir, con, rows_per_band, thr):
+    from openetl_spark.operators import dedup as D
+    from openetl_spark.queries.lm_dedup import lsh_recall_oracle
+
+    d = catalog.load(spark, sf_dir, "documents")
+    df = D.lsh_banding_recall_report(
+        d, "doc_id", "text", n=5, num_hashes=32,
+        rows_per_band=rows_per_band, threshold=thr,
+    )
+    ok, msg = compare(df, con, lsh_recall_oracle(32, rows_per_band, thr, 5),
+                      allow_empty=True)
+    assert ok, f"r={rows_per_band} thr={thr}: {msg}"
