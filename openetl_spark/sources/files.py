@@ -48,6 +48,11 @@ class FileSink:
     def write(self, df: DataFrame, connector: Connector) -> None:
         opts = dict(connector.config.get("options", {}))
         if df.isStreaming:
+            if connector.config.get("zorder_by"):
+                # fail loudly rather than silently writing unclustered
+                # files — z-order is a batch table-maintenance layout
+                # (run it as a compaction pass over the landed data)
+                raise ValueError("zorder_by is batch-only; compact the landed table instead")
             # Streaming file sink: exactly-once via checkpointed offsets.
             q = (
                 df.writeStream.format(self.fmt)

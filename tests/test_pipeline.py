@@ -725,3 +725,23 @@ def test_pipeline_parquet_target_zorder_layout(spark, sf_dir, tmp_path):
             got, Connector(adapter_id="parquet", endpoint_id=out,
                            config={"zorder_by": ["user_id"]})
         )
+
+
+def test_streaming_target_rejects_zorder(spark, tmp_path):
+    """zorder_by on a STREAMING file target must fail loudly — the
+    layout is a batch table-maintenance pass, and silently writing
+    unclustered files would defeat the option's whole point."""
+    from openetl_spark.sources.files import FileSink
+
+    src = str(tmp_path / "in")
+    spark.range(3).selectExpr("id", "id * 2 AS v").write.json(src)
+    stream = spark.readStream.schema("id long, v long").json(src)
+    with pytest.raises(ValueError, match="batch-only"):
+        FileSink("parquet").write(
+            stream,
+            Connector(
+                adapter_id="parquet",
+                endpoint_id=str(tmp_path / "out"),
+                config={"zorder_by": ["id"], "sync": True},
+            ),
+        )
