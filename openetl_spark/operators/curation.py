@@ -1345,29 +1345,16 @@ def remove_contaminated_spans(
         .distinct()
     )
     flagged_ids = covered.select(id_col).distinct()
+    from openetl_spark.operators.dedup import mask_positions_and_rebuild
+
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    toks = train.join(flagged_ids, id_col, "left_semi").select(
-        F.col(id_col), F.posexplode(words).alias("pos", "tok")
-    )
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    stats = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    flagged_out = stats.join(rebuilt, id_col, "left").select(
+    flagged_out = mask_positions_and_rebuild(
+        train.join(flagged_ids, id_col, "left_semi"), covered, id_col, text_col
+    ).select(
         F.col(id_col),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.col("clean_text"),
     )
     passthrough = train.join(flagged_ids, id_col, "left_anti").select(
         F.col(id_col),

@@ -1185,8 +1185,21 @@ def duplicate_spans(
     occ = duplicate_window_occurrences(
         df, id_col, text_col, window, min_occurrences
     )
+    return merge_window_islands(occ, id_col, window)
+
+
+def merge_window_islands(
+    positions: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Merge duplicated-window start ``positions`` (id, pos, ...) into
+    maximal spans: a new island starts when the gap to the previous
+    position exceeds ``window`` (overlapping-or-adjacent windows fuse).
+    Two window functions + one aggregate over per-document partitions —
+    bounded by document length, never corpus-keyed. Shared by the batch
+    and incremental span operators so their island semantics are equal
+    by construction."""
     wdoc = Window.partitionBy(id_col).orderBy("pos")
-    flagged = occ.withColumn("_prev", F.lag("pos").over(wdoc)).withColumn(
+    flagged = positions.withColumn("_prev", F.lag("pos").over(wdoc)).withColumn(
         "_new",
         F.when(
             F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > window), 1
@@ -1224,14 +1237,8 @@ def remove_duplicate_spans(
     (id, pos) so the result is deterministic and oracle-checkable).
 
     Shape: non-canonical windows explode ×``window`` into covered token
-    positions (distinct), then ONE left_anti join against the token
-    relation and a per-document ordered re-assembly
-    (array_sort(collect_list(struct(pos, tok)))) — collect_list
-    partitions are single documents, bounded by document length."""
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    toks = df.select(F.col(id_col), F.posexplode(words).alias("pos", "tok"))
+    positions, then the shared ``mask_positions_and_rebuild`` pass
+    (one left_anti join + per-document ordered re-assembly)."""
     occ = duplicate_window_occurrences(
         df, id_col, text_col, window, min_occurrences
     )
@@ -1245,6 +1252,25 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
+    return mask_positions_and_rebuild(df, covered, id_col, text_col)
+
+
+def mask_positions_and_rebuild(
+    docs: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Drop the (id, pos) token positions in ``covered`` from every
+    document in ``docs`` and re-assemble the surviving text: one
+    posexplode, ONE left_anti join, and a per-document ordered
+    re-assembly (array_sort(collect_list(struct(pos, tok))) —
+    collect_list partitions are single documents, bounded by document
+    length). Returns (id, n_tokens, n_removed, clean_text) for every
+    document of ``docs`` that has ≥1 token. Shared by ExactSubstr
+    removal and span-level decontamination so the masking semantics
+    can't drift apart."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toks = docs.select(F.col(id_col), F.posexplode(words).alias("pos", "tok"))
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     stats = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
     rebuilt = kept.groupBy(id_col).agg(
@@ -1313,23 +1339,4 @@ def duplicate_spans_incremental(
     )
     vs_batch = occ.join(within, "wh", "left_semi")
     dup = vs_index.unionByName(vs_batch).select(id_col, "pos").distinct()
-    wdoc = Window.partitionBy(id_col).orderBy("pos")
-    flagged = dup.withColumn("_prev", F.lag("pos").over(wdoc)).withColumn(
-        "_new",
-        F.when(
-            F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > window), 1
-        ).otherwise(0),
-    )
-    islands = flagged.withColumn(
-        "_island", F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        islands.groupBy(id_col, "_island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
-            (F.max("pos") - F.min("pos") + F.lit(window)).alias("span_tokens"),
-            F.count("*").alias("n_windows"),
-        )
-        .drop("_island")
-    )
+    return merge_window_islands(dup, id_col, window)

@@ -355,16 +355,12 @@ class _JpegBitWriter:
 
 
 def _fdct_matrix():
-    import math
+    # the forward transform is the decoder's orthogonal basis used the
+    # other way round (S = A·f·Aᵀ vs f = Aᵀ·S·A) — ONE shared table so
+    # the codec pair stays bit-consistent by construction
+    from openetl_spark.operators.multimodal import _idct_matrix
 
-    import numpy as np
-
-    a = np.zeros((8, 8))
-    for u in range(8):
-        cu = math.sqrt(0.125) if u == 0 else 0.5
-        for x in range(8):
-            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
-    return a
+    return _idct_matrix()
 
 
 def jpeg_quant_tables(quality: int):
@@ -525,10 +521,6 @@ def encode_jpeg(
     return bytes(out)
 
 
-# zigzag scan order (position -> row-major index), same derivation as
-# the decoder's table in operators/multimodal.py
-_SYN_ZIGZAG = []
-for _s in range(15):
-    _d = range(max(0, _s - 7), min(_s, 7) + 1)
-    for _j in (_d if _s % 2 else reversed(_d)):
-        _SYN_ZIGZAG.append((_s - _j) * 8 + _j)
+# zigzag scan order: the decoder's table, shared so encoder and
+# decoder cannot disagree on coefficient ordering
+from openetl_spark.operators.multimodal import _ZIGZAG as _SYN_ZIGZAG  # noqa: E402

@@ -442,9 +442,12 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
     IDCT as two numpy matmuls per block, nearest-neighbor chroma
     upsampling for any (h, v) sampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
     YCbCr→RGB. Grayscale replicates to RGB. Returns None for
-    progressive (SOF2) / arithmetic / 12-bit streams and any truncated
-    or malformed input — crash-guarded like every decoder here (a
-    corrupt object must NULL its row, never abort the Spark job).
+    progressive (SOF2) / arithmetic / 12-bit streams and any input
+    truncated inside the headers or entropy data — crash-guarded like
+    every decoder here (a corrupt object must NULL its row, never
+    abort the Spark job). A stream cut only at the trailing EOI marker
+    (entropy data complete) still decodes, matching liberal real-world
+    decoders; the truncation tests pin both sides of that boundary.
 
     This closes the one historically-stubbed decode path (VERDICT r05
     residual #2): the reference never decodes pixels at all (S3 passes
@@ -633,17 +636,24 @@ def _mean_luma(data: bytes) -> float | None:
         # r06: real stdlib BMP / PNM / baseline-JPEG decoders — same
         # integer luma
         dec = decode_image_rgb(data)
-        if dec is None:
-            return None
-        width, height, px = dec
-        n = width * height
-        if n == 0:
-            return None
-        import numpy as np
+        if dec is not None:
+            width, height, px = dec
+            n = width * height
+            if n == 0:
+                return None
+            import numpy as np
 
-        a = np.asarray(px, dtype=np.int64)
-        total = int(((a[:, 0] * 299 + a[:, 1] * 587 + a[:, 2] * 114) // 1000).sum())
-        return round(total / (255.0 * n), 6)
+            a = np.asarray(px, dtype=np.int64)
+            total = int(
+                ((a[:, 0] * 299 + a[:, 1] * 587 + a[:, 2] * 114) // 1000).sum()
+            )
+            return round(total / (255.0 * n), 6)
+        if data[:3] != b"\xff\xd8\xff":
+            return None
+        # out-of-envelope JPEG (progressive/arithmetic/12-bit): fall
+        # through to the import-guarded PIL fallback below, exactly as
+        # documented — pre-r06 behavior for the shapes the baseline
+        # decoder doesn't cover
     try:
         from PIL import Image  # noqa: F401
     except ImportError:

@@ -63,29 +63,37 @@ def zorder_value(cols: list[Column], mins: list, maxs: list, bits: int = 16) -> 
 def write_zorder(
     df: DataFrame,
     path: str,
-    cols: list[str],
+    cols: list[str] | str,
     n_files: int = 8,
     bits: int = 16,
+    options: dict | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the z-order of ``cols``:
     one small min/max aggregate, one range shuffle on the z-value,
     ``n_files`` output files each covering a compact hyper-rectangle
     of the key space (verified by the per-file min/max locality test).
     The z-value itself is not persisted — it exists only in the write
-    plan."""
+    plan. An empty input (or an all-NULL layout column) degrades to a
+    constant z-value — the write still succeeds, it just has nothing
+    to cluster. NULL values in a layout column quantize to rank 0
+    (they carry no range information for min/max skipping either
+    way)."""
+    if isinstance(cols, str):  # the natural single-column spelling
+        cols = [cols]
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).first()
-    mins = [row[f"_lo_{c}"] for c in cols]
-    maxs = [row[f"_hi_{c}"] for c in cols]
-    z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
+    mins = [row[f"_lo_{c}"] if row[f"_lo_{c}"] is not None else 0 for c in cols]
+    maxs = [row[f"_hi_{c}"] if row[f"_hi_{c}"] is not None else 0 for c in cols]
+    z = zorder_value([F.coalesce(F.col(c), F.lit(0)) for c in cols], mins, maxs, bits)
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
+        .write.options(**(options or {}))
+        .mode("overwrite")
         .parquet(path)
     )
 

@@ -82,13 +82,20 @@ class FileSink:
                 raise ValueError("zorder_by is a parquet layout option")
             if mode != "overwrite":
                 raise ValueError("zorder_by requires mode='overwrite'")
+            if connector.config.get("partition_by"):
+                # Hive partitioning splits the file set BY VALUE; the
+                # z-curve clusters one flat file set. Combining them
+                # would need per-partition clustering — reject rather
+                # than silently dropping either layout.
+                raise ValueError("zorder_by and partition_by are mutually exclusive")
             from openetl_spark.sinks.layout import write_zorder
 
             write_zorder(
                 df,
                 connector.endpoint_id,
-                list(zorder),
+                [zorder] if isinstance(zorder, str) else list(zorder),
                 n_files=int(connector.config.get("zorder_files", 8)),
+                options=opts,
             )
             return
         writer = df.write.format(self.fmt).options(**opts).mode(mode)

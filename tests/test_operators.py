@@ -1609,8 +1609,12 @@ def test_jpeg_corrupt_inputs_return_none():
     from openetl_spark.operators.media_synth import encode_jpeg
 
     data = encode_jpeg(_gradient_rgb(16, 16), quality=85)
-    for k in range(0, len(data), 13):  # every truncation point
-        assert M.decode_jpeg_pixels(data[:k]) is None
+    # every cut inside headers/entropy data -> None; a cut that only
+    # drops the EOI marker still decodes (liberal, like real decoders)
+    for k in range(0, len(data) - 2):
+        assert M.decode_jpeg_pixels(data[:k]) is None, k
+    assert M.decode_jpeg_pixels(data[: len(data) - 2]) is not None
+    assert M.decode_jpeg_pixels(data[: len(data) - 1]) is not None
     rng = np.random.RandomState(0)
     for _ in range(40):  # byte flips must never raise
         c = bytearray(data)
