@@ -121,3 +121,41 @@ def file_locality_report(spark, path: str, cols: list[str]) -> DataFrame:
             ).alias(f"span_frac_{c}")
         )
     return per_file.select(*out_cols)
+
+
+def rowgroup_stats_report(path: str, cols: list[str]):
+    """Parquet-footer pruning audit WITHOUT scanning data: per
+    (file, row_group), each layout column's footer min/max and row
+    count, straight from the metadata pyarrow exposes — exactly the
+    statistics a reader's predicate-pushdown consults when it skips
+    row groups. ``file_locality_report`` measures locality by scanning
+    the data through Spark; this one is metadata-only (kilobytes read
+    for a 100 TB table), which is what a production layout audit runs.
+    Returns a list of dicts (driver-side — footer metadata is tiny by
+    construction)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    out = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            row = {"file": os.path.basename(f), "row_group": rg, "n_rows": g.num_rows}
+            for c in cols:
+                st = g.column(name_to_idx[c]).statistics
+                row[f"min_{c}"] = None if st is None else st.min
+                row[f"max_{c}"] = None if st is None else st.max
+            out.append(row)
+    return out

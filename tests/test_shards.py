@@ -584,3 +584,36 @@ def test_zorder_layout_buys_multi_column_locality(spark, tmp_path):
     assert z_user < 0.5 and z_value < 0.5, (z_user, z_value)
     # and round-trips the data intact
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_rowgroup_stats_report_reads_footers_only(spark, tmp_path):
+    """The metadata-only audit must agree with the scanned locality
+    report: on a z-ordered table every row group's footer min/max spans
+    a compact slice of both layout columns."""
+    import pyspark.sql.functions as F
+
+    from openetl_spark.sinks.layout import rowgroup_stats_report, write_zorder
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1000).alias("user_id"),
+        (F.col("id") * 40503 % 997).cast("double").alias("value"),
+    )
+    path = str(tmp_path / "z")
+    write_zorder(df, path, ["user_id", "value"], n_files=16)
+    rows = rowgroup_stats_report(path, ["user_id", "value"])
+    assert sum(r["n_rows"] for r in rows) == n
+    spans_u = [
+        (r["max_user_id"] - r["min_user_id"]) / 1000.0
+        for r in rows
+        if r["min_user_id"] is not None
+    ]
+    spans_v = [
+        (r["max_value"] - r["min_value"]) / 997.0
+        for r in rows
+        if r["min_value"] is not None
+    ]
+    assert spans_u and spans_v
+    # footer stats must show the same compactness the scan measured
+    assert sum(spans_u) / len(spans_u) < 0.5
+    assert sum(spans_v) / len(spans_v) < 0.5
