@@ -237,7 +237,8 @@ def merge_upsert(
 
 
 def compact(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession, path: str, target_files: int = 1,
+    zorder_by: list[str] | str | None = None,
 ) -> int:
     """Small-file compaction as a new version: read the latest
     snapshot, coalesce to ``target_files`` files, commit. Data is
@@ -246,11 +247,39 @@ def compact(
     many small CDC merges — the lakehouse OPTIMIZE verb. coalesce()
     (not repartition) avoids a shuffle: it only glues existing
     partitions together, which is exactly what small-file compaction
-    wants."""
+    wants.
+
+    ``zorder_by`` upgrades the pass to OPTIMIZE ZORDER (r06-s2): the
+    rewritten files are range-partitioned and sorted on the Morton
+    z-value of the listed columns (sinks/layout.py), buying min/max
+    file-skipping locality on each of them for the one shuffle the
+    clustering write inherently costs. Same rows, same snapshot
+    semantics — only the physical layout differs."""
     base_v = latest_version(path)
     if base_v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
-    df = read_version(spark, path, base_v).coalesce(target_files)
+    df = read_version(spark, path, base_v)
+    if zorder_by:
+        from openetl_spark.sinks.layout import zorder_value
+
+        cols = [zorder_by] if isinstance(zorder_by, str) else list(zorder_by)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).first()
+        mins = [row[f"_lo_{c}"] if row[f"_lo_{c}"] is not None else 0 for c in cols]
+        maxs = [row[f"_hi_{c}"] if row[f"_hi_{c}"] is not None else 0 for c in cols]
+        z = zorder_value(
+            [F.coalesce(F.col(c), F.lit(0)) for c in cols], mins, maxs
+        )
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.coalesce(target_files)
     return write_snapshot(df, path, expected_base=base_v)
 
 

@@ -617,3 +617,45 @@ def test_rowgroup_stats_report_reads_footers_only(spark, tmp_path):
     # footer stats must show the same compactness the scan measured
     assert sum(spans_u) / len(spans_u) < 0.5
     assert sum(spans_v) / len(spans_v) < 0.5
+
+
+def test_versioned_compact_zorder_layout(spark, tmp_path):
+    """OPTIMIZE ZORDER on a versioned table: compact(zorder_by=...)
+    commits a new version with identical rows whose files are
+    z-clustered — both layout columns show compact footer ranges, and
+    time travel to the pre-compaction version still works."""
+    import pyspark.sql.functions as F
+
+    from openetl_spark.sinks import versioned as V
+    from openetl_spark.sinks.layout import rowgroup_stats_report
+
+    path = str(tmp_path / "tbl")
+    n = 4096
+    df = spark.range(n).select(
+        "id",
+        (F.col("id") * 2654435761 % 1000).alias("user_id"),
+        (F.col("id") * 40503 % 997).cast("double").alias("value"),
+    )
+    v0 = V.write_snapshot(df.repartition(13), path)
+    v1 = V.compact(spark, path, target_files=8, zorder_by=["user_id", "value"])
+    assert v1 == v0 + 1
+    after = V.read_version(spark, path, v1)
+    assert after.count() == n
+    assert {r["id"] for r in after.select("id").collect()} == set(range(n))
+    # time travel intact
+    assert V.read_version(spark, path, v0).count() == n
+    # the new version's parquet footers show locality on BOTH columns
+    import glob
+    import os
+
+    vdir = os.path.join(path, f"v={v1}")
+    assert os.path.isdir(vdir), sorted(glob.glob(os.path.join(path, "*")))
+    rows = rowgroup_stats_report(vdir, ["user_id", "value"])
+    assert sum(r["n_rows"] for r in rows) == n
+    for col, span in (("user_id", 1000.0), ("value", 997.0)):
+        fracs = [
+            (r[f"max_{col}"] - r[f"min_{col}"]) / span
+            for r in rows
+            if r[f"min_{col}"] is not None
+        ]
+        assert fracs and sum(fracs) / len(fracs) < 0.6, (col, fracs)
