@@ -116,6 +116,10 @@ DRIVER_RECHECK: set[str] = {
     "curation_pipeline",
     "incremental_dedup",
     "minhash_error_report",
+    # r06-s2: the sf0.1 oracle sweep found both vacuous at scale —
+    # thresholds rewritten to SF-invariant forms (code + oracle)
+    "q11_important_value",
+    "set_except",
 }
 
 DRIVER_PRIORITY: list[str] = [
@@ -141,6 +145,8 @@ DRIVER_PRIORITY: list[str] = [
     "incremental_dedup",
     "minhash_error_report",
     "approx_sketches",
+    "q11_important_value",
+    "set_except",
     # --- refresh queue: ALL 21 queries whose latest driver green is
     # r02 (the oldest rows anywhere) — after this round nothing has an
     # r02-era latest green ---
@@ -166,12 +172,14 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (32, queued for r07):
+    # pool (33, queued for r07):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
     # q14_promo_share (displaced by decontaminate_spans),
     # q13_order_distribution (displaced by lsh_recall_report),
+    # q12_shipping_delay (displaced by the set_except recheck; q11's
+    # tail slot moved up into the recheck block),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -189,8 +197,6 @@ DRIVER_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_value",
-    "q12_shipping_delay",
 ]
 
 

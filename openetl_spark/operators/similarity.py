@@ -214,8 +214,17 @@ def lsh_similarity_join(
         norms = np.linalg.norm(m, axis=1)
         frames = []
         for s in range(0, n, chunk):
+            # +1e-9 before rounding, mirrored in the DuckDB oracle: the
+            # BLAS matmul and DuckDB's sequential list_dot_product can
+            # differ by an ulp, and a cosine sitting ON a 4dp rounding
+            # boundary then rounds to different sides (one pair at
+            # sf0.1 — the r06 full-scale oracle sweep). The symmetric
+            # epsilon moves the decision point off the boundary for
+            # both engines.
             rows = np.round(
-                (m[s : s + chunk] @ m.T) / np.outer(norms[s : s + chunk], norms), 4
+                (m[s : s + chunk] @ m.T) / np.outer(norms[s : s + chunk], norms)
+                + 1e-9,
+                4,
             )
             ii, jj = np.where(rows >= thr)
             gi = ii + s

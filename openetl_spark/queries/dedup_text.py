@@ -455,9 +455,10 @@ def _lsh_oracle_sql(
                          AND x.vec_id < y.vec_id),
     v AS (
       SELECT c.a, c.b,
-             round(list_dot_product(ea.embedding, eb.embedding) /
-                   (sqrt(list_dot_product(ea.embedding, ea.embedding)) *
-                    sqrt(list_dot_product(eb.embedding, eb.embedding))), 4)
+             round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+                   + 1e-9, 4)
                AS cosine_sim
       FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
                   JOIN embeddings eb ON eb.vec_id = c.b)

@@ -625,17 +625,19 @@ def q_set_intersect(spark, sf_dir):
     """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey % 3 = 0
     """,
 )
 def q_set_except(spark, sf_dir):
-    # Nations with customers but no high-balance supplier. The acctbal
-    # filter keeps EXCEPT non-vacuous (every customer nation has *a*
-    # supplier in the generated data, so the unfiltered form is empty).
+    # Customer nations minus a deterministic supplier-nation subset.
+    # An acctbal threshold de-vacuated this at sf0.01 (r05) but emptied
+    # again at sf0.1 — with enough suppliers EVERY nation clears any
+    # fixed value cut, so the r06 sweep replaced it with a structural
+    # subset (nationkey % 3) that excludes the same nations at every SF.
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = (
         load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 5000)
+        .filter(F.col("s_nationkey") % 3 == 0)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     # subtract == SQL EXCEPT (distinct semantics; exceptAll is bag-wise)

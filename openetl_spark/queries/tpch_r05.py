@@ -410,7 +410,7 @@ def q_q2_min_cost_supplier(spark, sf_dir):
       GROUP BY l.l_partkey)
     SELECT l_partkey, round(value, 2) AS value
     FROM val
-    WHERE round(value, 2) > (SELECT round(sum(value) * 0.001, 2) FROM val)
+    WHERE round(value, 2) > (SELECT round(avg(value) * 2, 2) FROM val)
     """,
 )
 def q_q11_important_value(spark, sf_dir):
@@ -418,7 +418,11 @@ def q_q11_important_value(spark, sf_dir):
     itself a scalar aggregate over the same grouped view (decorrelated
     to a broadcast of the one-row total). Both sides of the comparison
     are rounded to cents so an order-of-summation ulp can't flip
-    membership."""
+    membership. The threshold is 2× the MEAN per-part value (TPC-H's
+    spec fraction scales as 1/SF precisely because a fixed share of
+    the TOTAL empties out as the part population grows — the sf0.1
+    oracle sweep caught exactly that vacuation; a mean-relative cut is
+    non-empty at every SF)."""
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -428,7 +432,7 @@ def q_q11_important_value(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
     )
-    threshold = val.agg(F.round(F.sum("value") * 0.001, 2).alias("t"))
+    threshold = val.agg(F.round(F.avg("value") * 2, 2).alias("t"))
     return (
         val.join(F.broadcast(threshold))
         .filter(F.round(F.col("value"), 2) > F.col("t"))
