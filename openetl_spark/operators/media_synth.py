@@ -524,3 +524,45 @@ def encode_jpeg(
 # zigzag scan order: the decoder's table, shared so encoder and
 # decoder cannot disagree on coefficient ordering
 from openetl_spark.operators.multimodal import _ZIGZAG as _SYN_ZIGZAG  # noqa: E402
+
+
+def make_mjpeg_avi(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Minimal MJPEG-in-AVI writer (RIFF 'AVI ': hdrl with avih + one
+    'vids'/'MJPG' stream, movi with one '00dc' JPEG chunk per frame) —
+    the video-container fixture for the real frame-sampling path.
+    ``frames`` is a list of (h, w, 3) uint8 array-likes with uniform
+    dims; each frame is encoded by the in-repo baseline JPEG encoder,
+    so the container round-trips through parse_avi_frames +
+    decode_jpeg_pixels with no codec library anywhere. Deterministic
+    like every generator in this module."""
+    import numpy as np
+
+    payloads = [encode_jpeg(np.asarray(f), quality=quality) for f in frames]
+    h, w = np.asarray(frames[0]).shape[:2]
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        return ckid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // fps, max_bytes * fps, 0, 0,
+        len(payloads), 0, 1, max_bytes, w, h,
+    ) + b"\x00" * 16  # dwReserved[4]
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+                      max_bytes, 0, -1)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -34,12 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Magic-byte sniffing: pure byte ops, JVM-side.
+# Magic-byte sniffing: pure byte ops, JVM-side. RIFF is a container
+# family — the form type at bytes 8-12 distinguishes WAV from AVI.
 _MAGIC = {
     "png": b"\x89PNG",
     "jpeg": b"\xff\xd8\xff",
     "gif": b"GIF8",
-    "wav": b"RIFF",
     "pdf": b"%PDF",
 }
 
@@ -53,6 +53,14 @@ def with_media_type(df: DataFrame, content_col: str = "content", out: str = "med
         expr = F.when(
             F.hex(F.substring(c, 1, len(magic))) == hex_prefix.upper(), F.lit(name)
         ).otherwise(expr)
+    is_riff = F.hex(F.substring(c, 1, 4)) == b"RIFF".hex().upper()
+    form = F.hex(F.substring(c, 9, 4))
+    expr = (
+        F.when(is_riff & (form == b"WAVE".hex().upper()), F.lit("wav"))
+        .when(is_riff & (form == b"AVI ".hex().upper()), F.lit("avi"))
+        .when(is_riff, F.lit("riff"))
+        .otherwise(expr)
+    )
     return df.withColumn(out, expr)
 
 
@@ -1002,7 +1010,10 @@ def sample_frames(
     stride: int = 4,
 ) -> DataFrame:
     """Frame sampling with container dispatch: GIF payloads are sliced
-    at their REAL frame boundaries (parse_gif_frames block walk), WAV
+    at their REAL frame boundaries (parse_gif_frames block walk), AVI
+    payloads at their REAL '..dc'/'..db' chunk boundaries
+    (parse_avi_frames RIFF walk — for MJPEG streams each emitted frame
+    is a standalone JPEG the in-repo decoder renders, r06-s2), WAV
     payloads at sample-aligned PCM windows of ~frame_size bytes; any
     other format falls back to fixed-size byte windows (STUB — a codec
     binding would seek true keyframes; the fan-out shape, one row in →
@@ -1031,6 +1042,21 @@ def sample_frames(
                             )
                         )
                     continue
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    av = parse_avi_frames(data)
+                    if av:
+                        for f in av[::stride]:
+                            rows.append(
+                                (
+                                    _p,
+                                    f["frame_idx"],
+                                    data[
+                                        f["byte_offset"] : f["byte_offset"]
+                                        + f["n_bytes"]
+                                    ],
+                                )
+                            )
+                        continue
                 if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
                     import io as _io
                     import wave as _wave
@@ -1441,3 +1467,65 @@ def audio_near_duplicates(
     return simhash_candidates(
         hashed, id_col="path", simhash_col="afp", max_hamming=max_hamming
     )
+
+
+# ----------------------------------------------- AVI (MJPEG) container
+
+def parse_avi_frames(data: bytes) -> list[dict]:
+    """REAL stdlib AVI frame walk: recursive RIFF chunk traversal
+    collecting the video stream's '..dc'/'..db' frame chunks as
+    (frame_idx, byte_offset, n_bytes) — same contract as
+    parse_gif_frames, so the frame-sampling dispatch slices true frame
+    boundaries. Truncated chunks end the walk cleanly (partial
+    containers yield the frames that fit, corrupt headers yield [])."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return []
+    frames: list[dict] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= min(end, len(data)):
+            ckid = data[i : i + 4]
+            (sz,) = struct.unpack("<I", data[i + 4 : i + 8])
+            body = i + 8
+            if body + sz > len(data):
+                if ckid == b"LIST":
+                    # truncated LIST: its earlier children may still be
+                    # whole — descend into what's present, then stop
+                    walk(body + 4, len(data))
+                return
+            if ckid == b"LIST":
+                walk(body + 4, body + sz)
+            elif ckid[2:4] in (b"dc", b"db"):
+                frames.append(
+                    {
+                        "frame_idx": len(frames),
+                        "byte_offset": body,
+                        "n_bytes": sz,
+                    }
+                )
+            i = body + sz + (sz & 1)
+
+    try:
+        walk(12, len(data))
+    except Exception:
+        return []
+    return frames
+
+
+def parse_avi_header(data: bytes):
+    """(width, height, us_per_frame, total_frames) from the 'avih'
+    main header, or None. Stdlib struct only."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    idx = data.find(b"avih")
+    if idx < 0 or idx + 48 > len(data):
+        return None
+    body = idx + 8
+    try:
+        us_per_frame, _, _, _, total, _, _, _, w, h = struct.unpack(
+            "<IIIIIIIIII", data[body : body + 40]
+        )
+    except struct.error:
+        return None
+    return w, h, us_per_frame, total
