@@ -1801,3 +1801,24 @@ def test_avi_mjpeg_frame_sampling_decodes_for_real(spark):
     cut = M.parse_avi_frames(avi[: len(avi) - 300])
     assert 0 < len(cut) < 5
     assert M.parse_avi_frames(b"RIFF\x00\x00\x00\x00AVI ") == []
+
+
+def test_extract_video_features_real_decode(spark):
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import make_mjpeg_avi
+
+    fr = [np.full((12, 20, 3), v, dtype=np.uint8) for v in (51, 102, 204)]
+    df = spark.createDataFrame(
+        [("v.avi", bytearray(make_mjpeg_avi(fr, fps=4))),
+         ("junk.bin", bytearray(b"\x00\x01"))],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in M.extract_video_features(df).collect()}
+    v = got["v.avi"]
+    assert (v["width"], v["height"], v["n_frames"], v["fps"]) == (20, 12, 3, 4.0)
+    assert abs(v["duration_s"] - 0.75) < 1e-9
+    # first frame is uniform luma 51 -> ~0.2 of full scale
+    assert abs(v["first_frame_luma"] - 51 / 255.0) < 0.02
+    j = got["junk.bin"]
+    assert j["width"] is None and j["first_frame_luma"] is None
