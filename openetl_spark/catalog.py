@@ -120,6 +120,7 @@ DRIVER_RECHECK: set[str] = {
     # thresholds rewritten to SF-invariant forms (code + oracle)
     "q11_important_value",
     "set_except",
+    "lsh_similarity_join",  # float64-cast oracle + symmetric pre-round epsilon
 }
 
 DRIVER_PRIORITY: list[str] = [
@@ -147,6 +148,7 @@ DRIVER_PRIORITY: list[str] = [
     "approx_sketches",
     "q11_important_value",
     "set_except",
+    "lsh_similarity_join",
     # --- refresh queue: ALL 21 queries whose latest driver green is
     # r02 (the oldest rows anywhere) — after this round nothing has an
     # r02-era latest green ---
@@ -172,7 +174,7 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (33, queued for r07):
+    # pool (34, queued for r07):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
@@ -180,6 +182,7 @@ DRIVER_PRIORITY: list[str] = [
     # q13_order_distribution (displaced by lsh_recall_report),
     # q12_shipping_delay (displaced by the set_except recheck; q11's
     # tail slot moved up into the recheck block),
+    # q10_returned_items (displaced by the lsh_similarity_join recheck),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -196,7 +199,6 @@ DRIVER_PRIORITY: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
 ]
 
 
