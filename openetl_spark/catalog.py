@@ -132,6 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "duplication_report",
     "decontaminate_spans",
     "lsh_recall_report",
+    "exact_substring_incremental",
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -174,7 +175,7 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (34, queued for r07):
+    # pool (35, queued for r07):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
@@ -183,6 +184,7 @@ DRIVER_PRIORITY: list[str] = [
     # q12_shipping_delay (displaced by the set_except recheck; q11's
     # tail slot moved up into the recheck block),
     # q10_returned_items (displaced by the lsh_similarity_join recheck),
+    # q9_product_profit (displaced by exact_substring_incremental),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -198,7 +200,6 @@ DRIVER_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
 ]
 
 

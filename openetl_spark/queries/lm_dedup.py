@@ -1699,3 +1699,62 @@ def q_lsh_recall_report(spark, sf_dir):
     return D.lsh_banding_recall_report(
         d, "doc_id", "text", n=5, num_hashes=32, rows_per_band=2, threshold=0.2
     )
+
+
+def exactsubstr_incremental_oracle(window: int = 8, split_mod: int = 2) -> str:
+    k = window - 1
+    return f"""
+    WITH wt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    win AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+{k}], ' ')) AS wh
+      FROM wt, UNNEST(generate_series(1, len(w) - {k})) AS t(i)),
+    idx AS (SELECT DISTINCT wh FROM win WHERE doc_id % {split_mod} = 0),
+    new_occ AS (SELECT doc_id, pos, wh FROM win WHERE doc_id % {split_mod} <> 0),
+    within AS (SELECT wh FROM new_occ GROUP BY wh HAVING count(*) >= 2),
+    dup AS (
+      SELECT DISTINCT o.doc_id, o.pos
+      FROM new_occ o
+      WHERE o.wh IN (SELECT wh FROM idx) OR o.wh IN (SELECT wh FROM within)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dup),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {window} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {window - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {window} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+
+
+@query("exact_substring_incremental", exactsubstr_incremental_oracle(8, 2))
+def q_exact_substring_incremental(spark, sf_dir):
+    """C97 companion (r06-s2): the INCREMENTAL ExactSubstr path under a
+    driver oracle — even-id documents stand in for the already-indexed
+    corpus (their DISTINCT window hashes are the persisted index),
+    odd-id documents are the arriving batch, and the reported spans
+    are (in-index OR repeated-within-batch) positions island-merged
+    exactly like the batch operator. The batch-equality property is
+    pytest-pinned; this puts the probe join + union + merge PLAN under
+    the same hash-checked differential gate as everything else."""
+    d = load(spark, sf_dir, "documents", spread=True)
+    idx = D.prepare_window_index(d.where(F.col("doc_id") % 2 == 0), window=8)
+    arriving = d.where(F.col("doc_id") % 2 != 0)
+    s = D.duplicate_spans_incremental(idx, arriving, window=8)
+    return s.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+    )

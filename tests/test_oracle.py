@@ -62,7 +62,7 @@ def test_driver_priority_window_integrity():
     for newcomer in ("image_near_duplicates", "audio_near_duplicates",
                      "exact_substring_spans", "exact_substring_dedup",
                      "duplication_report", "decontaminate_spans",
-                     "lsh_recall_report",
+                     "lsh_recall_report", "exact_substring_incremental",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
