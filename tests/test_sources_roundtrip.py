@@ -76,10 +76,17 @@ def test_binaryfile_multimodal_ingest(spark, tmp_path):
 
     d = tmp_path / "blobs"
     d.mkdir()
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import make_mjpeg_avi
+
     png = make_png(48, 32)
     (d / "a.png").write_bytes(png)
     (d / "b.jpg").write_bytes(make_jpeg(96, 64))
     (d / "c.wav").write_bytes(make_wav(16000, 0.25))
+    (d / "d.avi").write_bytes(
+        make_mjpeg_avi([np.full((8, 8, 3), 90, dtype=np.uint8)] * 4, fps=8)
+    )
     res = Orchestrator(spark=spark).run_pipeline(
         Pipeline(
             id="blobs",
@@ -88,13 +95,16 @@ def test_binaryfile_multimodal_ingest(spark, tmp_path):
     )
     df = M.with_media_type(res.df)
     kinds = {r["path"].rsplit("/", 1)[-1]: r["media_type"] for r in df.collect()}
-    assert kinds == {"a.png": "png", "b.jpg": "jpeg", "c.wav": "wav"}
+    assert kinds == {"a.png": "png", "b.jpg": "jpeg", "c.wav": "wav", "d.avi": "avi"}
     feats = M.extract_image_features(df.filter(F.col("media_type") == "png"))
     row = feats.collect()[0]
     assert row["n_bytes"] == len(png) and (row["width"], row["height"]) == (48, 32)
     audio = M.extract_audio_features(df.filter(F.col("media_type") == "wav"))
     arow = audio.collect()[0]
     assert arow["sample_rate"] == 16000 and abs(arow["duration_s"] - 0.25) < 1e-6
+    video = M.extract_video_features(df.filter(F.col("media_type") == "avi"))
+    vrow = video.collect()[0]
+    assert (vrow["width"], vrow["height"], vrow["n_frames"], vrow["fps"]) == (8, 8, 4, 8.0)
 
 
 def test_nested_struct_dotted_paths(spark):
