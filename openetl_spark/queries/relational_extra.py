@@ -1075,3 +1075,39 @@ def q_regression_aggs(spark, sf_dir):
     )
 
 
+
+
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE tree(s_suppkey, depth, root) AS (
+      SELECT s_suppkey, 0, s_suppkey FROM {supplier} WHERE s_suppkey <= 1
+      UNION ALL
+      SELECT s.s_suppkey, t.depth + 1, t.root
+      FROM {supplier} s JOIN tree t
+        ON CAST(floor(s.s_suppkey / 2) AS BIGINT) = t.s_suppkey
+      WHERE s.s_suppkey > 1
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(s_suppkey) AS BIGINT) AS first_key,
+           CAST(max(s_suppkey) AS BIGINT) AS last_key,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+    FROM tree GROUP BY depth ORDER BY depth
+    """
+
+
+@query("recursive_cte_tree", _RECURSIVE_TREE_SQL.format(supplier="supplier"))
+def q_recursive_cte_tree(spark, sf_dir):
+    """B-series extension (r06-s2): WITH RECURSIVE through Spark SQL —
+    new engine surface in Spark 4, hash-checked against DuckDB running
+    the SAME query text (one fragment, two dialects — the
+    declarative_setops contract). The hierarchy is the synthetic
+    binary tree parent = floor(suppkey/2) over the supplier table
+    (testdata carries no natural hierarchy): strictly acyclic (child >
+    parent for every key > 1), so recursion depth is log2(max key) and
+    UNION ALL terminates — Spark does not yet support distinct-UNION
+    recursion, so cyclic closures stay on the iterative
+    connected-components operator (dedup_components), which converges
+    on any graph. Per-level rollup keeps the result
+    depth-cardinality-sized."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("rec_supplier")
+    return spark.sql(_RECURSIVE_TREE_SQL.format(supplier="rec_supplier"))
