@@ -1111,3 +1111,50 @@ def q_recursive_cte_tree(spark, sf_dir):
     depth-cardinality-sized."""
     load(spark, sf_dir, "supplier").createOrReplaceTempView("rec_supplier")
     return spark.sql(_RECURSIVE_TREE_SQL.format(supplier="rec_supplier"))
+
+
+@query(
+    "variant_funcs",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(min(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(CASE WHEN CAST(props::JSON ->> 'k' AS BIGINT) IS NULL
+                      THEN 1 END) AS BIGINT) AS k_null
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_funcs(spark, sf_dir):
+    """C19 extension (r06-s2): Spark 4's VARIANT type as the
+    semi-structured hot path — ``parse_json`` ingests the props JSON
+    into the binary variant encoding once in the scan projection,
+    ``try_variant_get`` extracts typed fields without a schema
+    declaration (the shredded-JSON pattern replacing per-row
+    get_json_object string re-parsing), and malformed values yield
+    NULL instead of failing the job. The oracle extracts the same
+    field through DuckDB's JSON operators — engine-level agreement on
+    extraction + typing + NULL semantics, not just on one string
+    parser."""
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("k_sum"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+            F.count(F.when(F.col("_k").isNull(), 1)).alias("k_null"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k_sum").cast("bigint").alias("k_sum"),
+            F.col("k_min").cast("bigint").alias("k_min"),
+            F.col("k_max").cast("bigint").alias("k_max"),
+            F.col("k_null").cast("bigint").alias("k_null"),
+        )
+    )
