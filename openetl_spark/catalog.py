@@ -135,6 +135,7 @@ DRIVER_PRIORITY: list[str] = [
     "exact_substring_incremental",
     "recursive_cte_tree",
     "variant_funcs",
+    "lateral_join_topn",
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -177,7 +178,7 @@ DRIVER_PRIORITY: list[str] = [
     "tumbling_hourly",
     "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (37, queued for r07):
+    # pool (38, queued for r07):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
@@ -189,6 +190,7 @@ DRIVER_PRIORITY: list[str] = [
     # q9_product_profit (displaced by exact_substring_incremental),
     # q8_market_share (displaced by recursive_cte_tree),
     # q7_volume_shipping (displaced by variant_funcs),
+    # q6_forecast_revenue (displaced by lateral_join_topn),
     # date_funcs_extended (displaced by the approx_sketches recheck),
     # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
     # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
@@ -201,7 +203,6 @@ DRIVER_PRIORITY: list[str] = [
     # All 153+2 pinned locally every pytest run regardless. ---
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q6_forecast_revenue",
 ]
 
 

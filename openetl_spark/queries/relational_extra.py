@@ -1158,3 +1158,36 @@ def q_variant_funcs(spark, sf_dir):
             F.col("k_null").cast("bigint").alias("k_null"),
         )
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT r.r_name, l.c_name, l.c_acctbal
+    FROM {region} r, LATERAL (
+      SELECT c.c_name, round(c.c_acctbal, 2) AS c_acctbal
+      FROM {customer} c JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY c.c_acctbal DESC, c.c_name
+      LIMIT 2) l
+    """
+
+
+@query(
+    "lateral_join_topn",
+    _LATERAL_TOPN_SQL.format(region="region", customer="customer", nation="nation"),
+)
+def q_lateral_join_topn(spark, sf_dir):
+    """C-series extension (r06-s2): correlated LATERAL subquery with
+    per-row ORDER BY + LIMIT — top-2 customers by balance for EACH
+    region, the top-N-per-group idiom in its declarative join form
+    (the window row_number form is `declarative_window_topn`; this
+    driver-checks the LATERAL decorrelation path itself). Same SQL
+    fragment runs on both engines (the recursive_cte_tree contract);
+    ordering is made deterministic by the (acctbal DESC, name)
+    tiebreak so the LIMIT picks one engine-independent set."""
+    for t in ("region", "nation", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView("lat_" + t)
+    return spark.sql(
+        _LATERAL_TOPN_SQL.format(
+            region="lat_region", customer="lat_customer", nation="lat_nation"
+        )
+    )

@@ -63,7 +63,7 @@ def test_driver_priority_window_integrity():
                      "exact_substring_spans", "exact_substring_dedup",
                      "duplication_report", "decontaminate_spans",
                      "lsh_recall_report", "exact_substring_incremental",
-                     "recursive_cte_tree", "variant_funcs",
+                     "recursive_cte_tree", "variant_funcs", "lateral_join_topn",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
