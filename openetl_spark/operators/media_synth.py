@@ -314,11 +314,16 @@ _JPEG_QCHROM = [
 # decoder must build its codes from the DHT segment, never assume the
 # standard tables.
 _DC_SYMBOLS = list(range(12))
-_AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+# run/size symbols + ZRL + EOB0 + the progressive EOBRUN codes
+# (r<<4 | 0 for r=1..14): one table serves baseline AND progressive
+# scans; 176 symbols still fit the fixed 8-bit code space.
+_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
 _DC_COUNTS = [0, 0, 0, 12] + [0] * 12
-_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+_AC_COUNTS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
 
 
 def _canonical_codes(counts, symbols):
@@ -376,12 +381,19 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline sequential JPEG encoder (SOF0), stdlib+numpy: JFIF
     YCbCr conversion, optional 4:2:0 / 4:2:2 chroma downsample, 8×8
     FDCT as two matmuls, Annex-K quantization scaled by the libjpeg
     quality convention, fixed-length canonical Huffman entropy coding
-    with byte stuffing and optional restart markers. ``pixels`` is an
+    with byte stuffing and optional restart markers.
+    ``progressive=True`` emits a spectral-selection progressive stream
+    (SOF2): one interleaved DC scan, then two AC band scans per
+    component (1-5 and 6-63, Ah=Al=0) with EOBRUN coding — the same
+    quantized coefficients as the baseline stream, so progressive and
+    baseline encodes of one image decode bit-identically (the
+    cross-mode equality test). ``pixels`` is an
     (h, w, 3) uint8 array-like. The encode side of the r06
     ``decode_jpeg_pixels`` pair — deterministic (no randomness, no
     wall clock), so synthetic JPEG corpora are byte-identical across
@@ -474,6 +486,13 @@ def encode_jpeg(
             bw.write(*ac_codes[0x00])  # EOB
         return zz[0]
 
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart markers are baseline-only here")
+        return _emit_progressive(
+            np, h, w, samp, padded, qtabs, qlum, qchrom, a_mat,
+            mcux, mcuy, dc_codes, ac_codes,
+        )
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
     rst = 0
@@ -517,6 +536,132 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_progressive(
+    np, h, w, samp, padded, qtabs, qlum, qchrom, a_mat,
+    mcux, mcuy, dc_codes, ac_codes,
+) -> bytes:
+    """Spectral-selection progressive emission (ISO 10918-1 G.1.2,
+    Ah=Al=0 scans only): quantized coefficients are computed once per
+    block, the DC scan walks the interleaved MCU grid exactly like
+    baseline, and each component then gets two non-interleaved AC band
+    scans over ITS OWN ceil(dim/8) block grid with EOBRUN coding for
+    all-zero band tails."""
+    hmax = max(x[0] for x in samp)
+    vmax = max(x[1] for x in samp)
+    # per-component zigzag coefficient grids in MCU-padded raster order
+    coefs = []
+    for ci in range(len(samp)):
+        plane = padded[ci]
+        q = np.asarray(qtabs[ci], dtype=np.float64)
+        grid = []
+        for by in range(plane.shape[0] // 8):
+            row = []
+            for bx in range(plane.shape[1] // 8):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qz = np.rint((a_mat @ block @ a_mat.T).reshape(64) / q)
+                row.append([int(qz[i]) for i in _SYN_ZIGZAG])
+            grid.append(row)
+        coefs.append(grid)
+
+    def write_mag(bw, v):
+        s_ = v.bit_length() if v > 0 else (-v).bit_length()
+        return s_, (v if v > 0 else v + (1 << s_) - 1)
+
+    # scan 1: interleaved DC, Ss=Se=0
+    bw = _JpegBitWriter()
+    pred = [0] * len(samp)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = coefs[ci][my * vs + by][mx * hs + bx][0]
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    s_, bits = write_mag(bw, diff)
+                    bw.write(*dc_codes[s_])
+                    if s_:
+                        bw.write(bits, s_)
+    bw.pad()
+    scans = [((list(range(1, len(samp) + 1)), 0, 0), bw.out)]
+
+    def ac_scan(ci, ss, se):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw.write(*ac_codes[r << 4])
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        hs, vs = samp[ci]
+        nbx = -(-(-(-w * hs // hmax)) // 8)
+        nby = -(-(-(-h * vs // vmax)) // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by][bx]
+                nz = [k for k in range(ss, se + 1) if zz[k] != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                for k in range(ss, nz[-1] + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*ac_codes[0xF0])
+                        run -= 16
+                    s_, bits = write_mag(bw, v)
+                    bw.write(*ac_codes[(run << 4) | s_])
+                    bw.write(bits, s_)
+                    run = 0
+                if nz[-1] < se:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush()
+        flush()
+        bw.pad()
+        return bw.out
+
+    for ci in range(len(samp)):
+        scans.append((([ci + 1], 1, 5), ac_scan(ci, 1, 5)))
+        scans.append((([ci + 1], 6, 63), ac_scan(ci, 6, 63)))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    zz_q = lambda q: bytes(q[i] for i in _SYN_ZIGZAG)  # noqa: E731
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + zz_q(qlum) + bytes([0x01]) + zz_q(qchrom))
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for cid, (hs, vs) in enumerate(samp, start=1):
+        sof += bytes([cid, (hs << 4) | vs, 0 if cid == 1 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
+    out += seg(0xC4, bytes([0x01]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x11]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
+    for (cids, ss, se), data in scans:
+        sos = bytes([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+        sos += bytes([ss, se, 0x00])  # Ah=Al=0: spectral selection only
+        out += seg(0xDA, sos)
+        out += data
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -16,10 +16,12 @@ palette, ``decode_gif_pixels``), as are animated-GIF frame sampling,
 WAV PCM window sampling, and nearest-neighbor resize
 (``resize_images``). Baseline JPEG *pixel* decode is real too since
 r06 (``decode_jpeg_pixels``: Huffman entropy decode + dequant + numpy
-IDCT + chroma upsample; its encode twin lives in
-``media_synth.encode_jpeg``) — only out-of-envelope shapes
-(progressive JPEG, 16-bit PNG, Adam7) still fall back to an
-import-guarded PIL, NULL when absent. The Spark-side plumbing —
+IDCT + chroma upsample — and since r06-s2 spectral-selection
+PROGRESSIVE streams too, multi-scan accumulation with EOBRUN coding;
+the encode twin ``media_synth.encode_jpeg`` emits both modes) — only
+out-of-envelope shapes (successive-approximation progressive, 16-bit
+PNG, Adam7) still fall back to an import-guarded PIL, NULL when
+absent. The Spark-side plumbing —
 schema, Arrow batch iteration, fan-out shape — is real and tested
 either way.
 """
@@ -443,19 +445,24 @@ def _jpeg_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
-    """REAL stdlib+numpy baseline JPEG pixel decode: (width, height, 3,
-    rgb_bytes) for baseline sequential DCT streams (SOF0) — marker
-    walk, DQT/DHT table collection, canonical Huffman entropy decode
-    with restart-marker support (DRI), dequantize + de-zigzag, 8×8
-    IDCT as two numpy matmuls per block, nearest-neighbor chroma
-    upsampling for any (h, v) sampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
-    YCbCr→RGB. Grayscale replicates to RGB. Returns None for
-    progressive (SOF2) / arithmetic / 12-bit streams and any input
-    truncated inside the headers or entropy data — crash-guarded like
+    """REAL stdlib+numpy JPEG pixel decode: (width, height, 3,
+    rgb_bytes) for baseline sequential (SOF0) AND spectral-selection
+    progressive (SOF2, r06-s2) DCT streams — marker walk, DQT/DHT
+    table collection, canonical Huffman entropy decode with
+    restart-marker support (DRI, baseline), multi-scan coefficient
+    accumulation with EOBRUN band coding (progressive), dequantize +
+    de-zigzag, 8×8 IDCT as two numpy matmuls per block,
+    nearest-neighbor chroma upsampling for any (h, v) sampling
+    (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Grayscale replicates to
+    RGB. Returns None for successive-approximation progressive scans
+    (Ah/Al ≠ 0) / arithmetic / 12-bit streams and any input truncated
+    inside the headers or a scan's entropy data — crash-guarded like
     every decoder here (a corrupt object must NULL its row, never
-    abort the Spark job). A stream cut only at the trailing EOI marker
-    (entropy data complete) still decodes, matching liberal real-world
-    decoders; the truncation tests pin both sides of that boundary.
+    abort the Spark job). A baseline stream cut only at the trailing
+    EOI still decodes, and a progressive stream cut at a SCAN boundary
+    renders the scans that completed (the format's defining
+    coarse-to-fine property — a DC-only cut yields the classic blurry
+    preview); the truncation tests pin those boundaries.
 
     This closes the one historically-stubbed decode path (VERDICT r05
     residual #2): the reference never decodes pixels at all (S3 passes
@@ -474,6 +481,8 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
         huff: dict[tuple[int, int], dict] = {}
         sof = None
         restart = 0
+        progressive = False
+        store = None  # progressive: per-component zigzag coef grids
         i = 2
         while i + 4 <= len(data):
             if data[i] != 0xFF:
@@ -484,6 +493,8 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
                 i += 2
                 continue
             if marker == 0xD9:
+                if progressive and store is not None:
+                    return _jpeg_reconstruct(np, sof, qt, store)
                 return None  # EOI before any scan
             (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
             seg = data[i + 4 : i + 2 + seglen]
@@ -504,8 +515,8 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
                     huff[(tc, th)] = _jpeg_huffman(counts, seg[p + 17 : p + 17 + n])
                     p += 17 + n
             elif marker in _JPEG_SOF:
-                if marker != 0xC0:
-                    return None  # progressive/arithmetic/lossless
+                if marker not in (0xC0, 0xC2):
+                    return None  # arithmetic / lossless / hierarchical
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or nc not in (1, 3) or not w or not h:
                     return None
@@ -514,6 +525,7 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
                 sof = (w, h, comps)
+                progressive = marker == 0xC2
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS
@@ -522,12 +534,34 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
                 w, h, comps = sof
                 ns = seg[0]
                 sel = {}
+                scomps = []
                 for c in range(ns):
                     cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                     sel[cid] = (tt >> 4, tt & 15)
-                segs, _ = _jpeg_segments(data, i + 2 + seglen)
-                return _jpeg_scan(np, w, h, comps, sel, qt, huff, restart, segs)
+                    scomps.append(cid)
+                if not progressive:
+                    segs, _ = _jpeg_segments(data, i + 2 + seglen)
+                    return _jpeg_scan(np, w, h, comps, sel, qt, huff, restart, segs)
+                # progressive: accumulate this scan's coefficients and
+                # continue the marker walk after its entropy data
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if ahal != 0 or restart:
+                    # successive approximation / restart intervals are
+                    # outside the spectral-selection envelope
+                    return None
+                if store is None:
+                    store = _jpeg_prog_store(np, w, h, comps)
+                segs, end = _jpeg_segments(data, i + 2 + seglen)
+                _jpeg_prog_scan(
+                    np, w, h, comps, scomps, sel, huff, store, ss, se, segs[0]
+                )
+                i = end
+                continue
             i += 2 + seglen
+        if progressive and store is not None:
+            # stream ended without EOI but all scans parsed — liberal,
+            # mirroring the baseline missing-EOI behavior
+            return _jpeg_reconstruct(np, sof, qt, store)
         return None
     except Exception:
         return None
@@ -585,7 +619,13 @@ def _jpeg_scan(np, w, h, comps, sel, qt, huff, restart, segs):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # upsample each component to full resolution (nearest neighbor)
+    return _jpeg_planes_to_rgb(np, w, h, comps, planes, hmax, vmax)
+
+
+def _jpeg_planes_to_rgb(np, w, h, comps, planes, hmax, vmax):
+    """Shared reconstruction tail: nearest-neighbor chroma upsample +
+    JFIF color conversion (or gray replication) — one implementation
+    for the baseline and progressive decode paths."""
     full = []
     ys = np.arange(h)
     xs = np.arange(w)
@@ -603,6 +643,108 @@ def _jpeg_scan(np, w, h, comps, sel, qt, huff, restart, segs):
         b = y + 1.772 * cb
         rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
     return w, h, 3, bytearray(rgb.tobytes())
+
+
+def _jpeg_prog_store(np, w, h, comps):
+    """Per-component zigzag coefficient grids over the MCU-padded block
+    geometry — the accumulator progressive scans write into."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "hmax": hmax,
+        "vmax": vmax,
+        "coef": [
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+            for c in comps
+        ],
+    }
+
+
+def _jpeg_prog_scan(np, w, h, comps, scomps, sel, huff, store, ss, se, seg):
+    """One spectral-selection progressive scan (Ah=Al=0): Ss=0 is the
+    interleaved DC scan (identical coding to baseline DC, over the MCU
+    walk); Ss>0 is a single-component AC band scan over the
+    component's OWN ceil(dim/8) block grid with EOBRUN coding (ISO
+    10918-1 G.1.2.2)."""
+    br = _JpegBits(seg)
+    mcux, mcuy = store["mcux"], store["mcuy"]
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    if ss == 0:  # DC scan: interleaved over every scan component
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        pred = {cid: 0 for cid in scomps}
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid in scomps:
+                ci = cidx[cid]
+                c = comps[ci]
+                dc_tab = huff[(0, sel[cid][0])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        sz = br.decode(dc_tab)
+                        pred[cid] += _jpeg_extend(br.read(sz), sz)
+                        store["coef"][ci][my * c["v"] + by, mx * c["h"] + bx, 0] = pred[cid]
+        return
+    if len(scomps) != 1:
+        raise ValueError("AC progressive scans are single-component")
+    cid = scomps[0]
+    ci = cidx[cid]
+    c = comps[ci]
+    ac_tab = huff[(1, sel[cid][1])]
+    # non-interleaved geometry: the component's true block grid
+    cw = -(-w * c["h"] // store["hmax"])
+    chh = -(-h * c["v"] // store["vmax"])
+    nbx, nby = -(-cw // 8), -(-chh // 8)
+    eobrun = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.decode(ac_tab)
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.read(r) if r else 0)
+                    break  # rest of this block's band is zero
+                k += r
+                if k > se:
+                    raise ValueError("AC band overflow")
+                store["coef"][ci][by, bx, k] = _jpeg_extend(br.read(sz), sz)
+                k += 1
+
+
+def _jpeg_reconstruct(np, sof, qt, store):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    hand off to the shared upsample/color tail."""
+    w, h, comps = sof
+    a_mat = _idct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        grid = store["coef"][ci]
+        q = np.asarray(qt[c["tq"]], dtype=np.float64)
+        nby, nbx = grid.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        dez = np.asarray(_ZIGZAG)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros(64)
+                coef[dez] = grid[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a_mat.T @ coef.reshape(8, 8) @ a_mat + 128.0
+                )
+        planes.append(plane)
+    return _jpeg_planes_to_rgb(
+        np, w, h, comps, planes, store["hmax"], store["vmax"]
+    )
 
 
 def _mean_luma(data: bytes) -> float | None:

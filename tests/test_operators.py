@@ -1822,3 +1822,57 @@ def test_extract_video_features_real_decode(spark):
     assert abs(v["first_frame_luma"] - 51 / 255.0) < 0.02
     j = got["junk.bin"]
     assert j["width"] is None and j["first_frame_luma"] is None
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """Spectral-selection progressive (SOF2) and baseline (SOF0)
+    encodes of one image carry the SAME quantized coefficients, so
+    they must decode bit-identically — the strict cross-mode oracle
+    for the whole multi-scan/EOBRUN machinery."""
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import encode_jpeg
+
+    yy, xx = np.meshgrid(np.arange(23), np.arange(37), indexing="ij")
+    img = np.stack(
+        [xx * 6 % 256, yy * 10 % 256, (xx + yy) * 3 % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in ("444", "420", "422", "gray"):
+        src = img[..., 0] if sub == "gray" else img
+        base = M.decode_jpeg_pixels(encode_jpeg(src, quality=88, subsampling=sub))
+        prog = M.decode_jpeg_pixels(
+            encode_jpeg(src, quality=88, subsampling=sub, progressive=True)
+        )
+        assert prog is not None and prog[3] == base[3], sub
+    # header parser reads SOF2 dims
+    data = encode_jpeg(img, progressive=True)
+    assert M.parse_image_header(data)[:3] == ("jpeg", 37, 23)
+
+
+def test_progressive_jpeg_truncation_renders_completed_scans():
+    """The format's coarse-to-fine property: a cut at a scan boundary
+    renders the scans that completed (DC-only -> the classic blurry
+    preview with the right per-block means), a cut inside a scan's
+    entropy data is None, and corruption never raises."""
+    import numpy as np
+
+    from openetl_spark.operators.media_synth import encode_jpeg
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8], img[8:] = 60, 190
+    data = encode_jpeg(img, quality=90, progressive=True)
+    # find the second SOS (end of the DC scan's entropy data)
+    first_sos = data.index(b"\xff\xda")
+    second_sos = data.index(b"\xff\xda", first_sos + 2)
+    dc_only = M.decode_jpeg_pixels(data[:second_sos])
+    assert dc_only is not None
+    px = np.frombuffer(bytes(dc_only[3]), dtype=np.uint8).reshape(16, 16, 3)
+    # DC-only: block means survive, so the two halves keep their levels
+    assert abs(float(px[:8].mean()) - 60) < 6 and abs(float(px[8:].mean()) - 190) < 6
+    # a cut INSIDE the DC scan's entropy data must be None
+    assert M.decode_jpeg_pixels(data[: first_sos + 20]) is None
+    rng = np.random.RandomState(1)
+    for _ in range(40):
+        c = bytearray(data)
+        c[rng.randint(2, len(c))] = rng.randint(256)
+        M.decode_jpeg_pixels(bytes(c))

@@ -354,9 +354,10 @@ def test_chunk_documents_matches_python_reference(spark, docs, chunk, stride):
     h=st.integers(min_value=1, max_value=40),
     quality=st.integers(min_value=60, max_value=98),
     sub=st.sampled_from(["444", "420", "422", "gray"]),
+    progressive=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
-def test_jpeg_roundtrip_property(w, h, quality, sub, seed):
+def test_jpeg_roundtrip_property(w, h, quality, sub, progressive, seed):
     import numpy as np
 
     from openetl_spark.operators.media_synth import encode_jpeg
@@ -377,7 +378,8 @@ def test_jpeg_roundtrip_property(w, h, quality, sub, seed):
         img[..., c] = np.clip(g, 0, 255)
     img = img.astype(np.uint8)
     src = img[..., 0] if sub == "gray" else img
-    data = encode_jpeg(src, quality=quality, subsampling=sub)
+    data = encode_jpeg(src, quality=quality, subsampling=sub,
+                       progressive=progressive)
     dec = decode_jpeg_pixels(data)
     assert dec is not None and dec[0] == w and dec[1] == h and dec[2] == 3
     px = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(h, w, 3).astype(int)
@@ -387,8 +389,11 @@ def test_jpeg_roundtrip_property(w, h, quality, sub, seed):
     # tables, i.e. inversely with quality (chroma DC at q=60 alone can
     # shift extreme colors ~14/channel on tiny images)
     assert err.mean() <= 10 + (100 - quality) * 0.25, (err.mean(), quality, sub)
-    # truncation never raises; cuts inside headers/entropy data are
-    # None, cuts that only drop the EOI marker still decode
+    # truncation never raises; for BASELINE, cuts inside
+    # headers/entropy are None and dropping only the EOI still decodes
+    # (progressive truncation semantics — completed scans render — are
+    # pinned separately in test_operators)
     cut = len(data) * (seed % 97) // 97
     got = decode_jpeg_pixels(data[:cut])
-    assert (got is None) == (cut < len(data) - 2), (cut, len(data))
+    if not progressive:
+        assert (got is None) == (cut < len(data) - 2), (cut, len(data))
