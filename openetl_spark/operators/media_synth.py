@@ -390,10 +390,14 @@ def encode_jpeg(
     with byte stuffing and optional restart markers.
     ``progressive=True`` emits a spectral-selection progressive stream
     (SOF2): one interleaved DC scan, then two AC band scans per
-    component (1-5 and 6-63, Ah=Al=0) with EOBRUN coding — the same
-    quantized coefficients as the baseline stream, so progressive and
-    baseline encodes of one image decode bit-identically (the
-    cross-mode equality test). ``pixels`` is an
+    component (1-5 and 6-63, Ah=Al=0) with EOBRUN coding.
+    ``progressive="sa"`` emits the full successive-approximation
+    script (first scans at Al=1, then the DC raw-bit refinement and
+    the AC correction-bit refinement scans of ISO 10918-1 G.1.2.3 —
+    the scan shape real encoders ship). Every mode carries the same
+    quantized coefficients, so progressive, successive-approximation,
+    and baseline encodes of one image decode bit-identically (the
+    cross-mode equality sweep). ``pixels`` is an
     (h, w, 3) uint8 array-like. The encode side of the r06
     ``decode_jpeg_pixels`` pair — deterministic (no randomness, no
     wall clock), so synthetic JPEG corpora are byte-identical across
@@ -492,6 +496,7 @@ def encode_jpeg(
         return _emit_progressive(
             np, h, w, samp, padded, qtabs, qlum, qchrom, a_mat,
             mcux, mcuy, dc_codes, ac_codes,
+            successive=(progressive == "sa"),
         )
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
@@ -542,7 +547,7 @@ def encode_jpeg(
 
 def _emit_progressive(
     np, h, w, samp, padded, qtabs, qlum, qchrom, a_mat,
-    mcux, mcuy, dc_codes, ac_codes,
+    mcux, mcuy, dc_codes, ac_codes, successive: bool = False,
 ) -> bytes:
     """Spectral-selection progressive emission (ISO 10918-1 G.1.2,
     Ah=Al=0 scans only): quantized coefficients are computed once per
@@ -571,25 +576,52 @@ def _emit_progressive(
         s_ = v.bit_length() if v > 0 else (-v).bit_length()
         return s_, (v if v > 0 else v + (1 << s_) - 1)
 
-    # scan 1: interleaved DC, Ss=Se=0
-    bw = _JpegBitWriter()
-    pred = [0] * len(samp)
-    for m in range(mcux * mcuy):
-        my, mx = divmod(m, mcux)
-        for ci, (hs, vs) in enumerate(samp):
-            for by in range(vs):
-                for bx in range(hs):
-                    dc = coefs[ci][my * vs + by][mx * hs + bx][0]
-                    diff = dc - pred[ci]
-                    pred[ci] = dc
-                    s_, bits = write_mag(bw, diff)
-                    bw.write(*dc_codes[s_])
-                    if s_:
-                        bw.write(bits, s_)
-    bw.pad()
-    scans = [((list(range(1, len(samp) + 1)), 0, 0), bw.out)]
+    def dc_first_scan(al):
+        # interleaved DC, Ss=Se=0, Ah=0: diffs of the point-transformed
+        # (arithmetic-shifted) DC values
+        bw = _JpegBitWriter()
+        pred = [0] * len(samp)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = coefs[ci][my * vs + by][mx * hs + bx][0] >> al
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s_, bits = write_mag(bw, diff)
+                        bw.write(*dc_codes[s_])
+                        if s_:
+                            bw.write(bits, s_)
+        bw.pad()
+        return bw.out
 
-    def ac_scan(ci, ss, se):
+    def dc_refine_scan(al):
+        # one raw bit per block: bit ``al`` of the true DC value
+        bw = _JpegBitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = coefs[ci][my * vs + by][mx * hs + bx][0]
+                        bw.write((dc >> al) & 1, 1)
+        bw.pad()
+        return bw.out
+
+    all_comps = list(range(1, len(samp) + 1))
+    scans = [((all_comps, 0, 0, 0, 1 if successive else 0),
+              dc_first_scan(1 if successive else 0))]
+
+    def comp_blocks(ci):
+        hs, vs = samp[ci]
+        nbx = -(-(-(-w * hs // hmax)) // 8)
+        nby = -(-(-(-h * vs // vmax)) // 8)
+        return [(by, bx) for by in range(nby) for bx in range(nbx)]
+
+    def ac_scan(ci, ss, se, al=0):
+        # AC first scan (Ah=0): point-transformed values (toward-zero
+        # division by 2^al), run/size coding + EOBRUN band tails
         bw = _JpegBitWriter()
         eobrun = 0
 
@@ -602,43 +634,120 @@ def _emit_progressive(
                     bw.write(eobrun - (1 << r), r)
                 eobrun = 0
 
-        hs, vs = samp[ci]
-        nbx = -(-(-(-w * hs // hmax)) // 8)
-        nby = -(-(-(-h * vs // vmax)) // 8)
-        for by in range(nby):
-            for bx in range(nbx):
-                zz = coefs[ci][by][bx]
-                nz = [k for k in range(ss, se + 1) if zz[k] != 0]
-                if not nz:
-                    eobrun += 1
-                    if eobrun == 32767:
-                        flush()
+        for by, bx in comp_blocks(ci):
+            zz = coefs[ci][by][bx]
+            band = [
+                ((abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1)) for k in range(64)
+            ]
+            nz = [k for k in range(ss, se + 1) if band[k] != 0]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for k in range(ss, nz[-1] + 1):
+                v = band[k]
+                if v == 0:
+                    run += 1
                     continue
-                flush()
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                s_, bits = write_mag(bw, v)
+                bw.write(*ac_codes[(run << 4) | s_])
+                bw.write(bits, s_)
                 run = 0
-                for k in range(ss, nz[-1] + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bw.write(*ac_codes[0xF0])
-                        run -= 16
-                    s_, bits = write_mag(bw, v)
-                    bw.write(*ac_codes[(run << 4) | s_])
-                    bw.write(bits, s_)
-                    run = 0
-                if nz[-1] < se:
-                    eobrun += 1
-                    if eobrun == 32767:
-                        flush()
+            if nz[-1] < se:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush()
         flush()
         bw.pad()
         return bw.out
 
-    for ci in range(len(samp)):
-        scans.append((([ci + 1], 1, 5), ac_scan(ci, 1, 5)))
-        scans.append((([ci + 1], 6, 63), ac_scan(ci, 6, 63)))
+    def ac_refine_scan(ci, ss, se, al):
+        # AC refinement (Ah=al+1, Al=al), ISO 10918-1 G.1.2.3: newly
+        # significant coefficients code as (zero-history run, size 1) +
+        # sign bit; already-significant coefficients contribute
+        # buffered correction bits appended after the code that skips
+        # them; EOBRUN absorbs all-insignificant tails WITH their
+        # pending correction bits.
+        bw = _JpegBitWriter()
+        eobrun = 0
+        pending = []  # correction bits buffered across EOB-run blocks
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw.write(*ac_codes[r << 4])
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in pending:
+                bw.write(b, 1)
+            pending.clear()
+
+        for by, bx in comp_blocks(ci):
+            zz = coefs[ci][by][bx]
+            absv = [abs(zz[k]) >> al for k in range(64)]
+            eob = 0  # last position newly significant at THIS precision
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            run = 0
+            bits_here = []  # corrections since the last emitted code
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                # the ZRL check runs for EVERY nonzero-history arrival
+                # (G.1.2.3): the decoder's ZRL walk consumes exactly
+                # the corrections interleaved among the 16 skipped
+                # zeros, so a correction arriving past a >15 run must
+                # flush the ZRL first or the bit order desynchronizes
+                while run > 15 and k <= eob:
+                    flush()
+                    bw.write(*ac_codes[0xF0])
+                    for b in bits_here:
+                        bw.write(b, 1)
+                    bits_here = []
+                    run -= 16
+                if t > 1:
+                    # significant at the previous precision: one
+                    # correction bit, buffered (does not end the run)
+                    bits_here.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                flush()
+                bw.write(*ac_codes[(run << 4) | 1])
+                bw.write(1 if zz[k] > 0 else 0, 1)
+                for b in bits_here:
+                    bw.write(b, 1)
+                bits_here = []
+                run = 0
+            if run > 0 or bits_here:
+                eobrun += 1
+                pending.extend(bits_here)
+                if eobrun == 32767:
+                    flush()
+        flush()
+        bw.pad()
+        return bw.out
+
+    if successive:
+        for ci in range(len(samp)):
+            scans.append((([ci + 1], 1, 63, 0, 1), ac_scan(ci, 1, 63, al=1)))
+        scans.append(((all_comps, 0, 0, 1, 0), dc_refine_scan(0)))
+        for ci in range(len(samp)):
+            scans.append((([ci + 1], 1, 63, 1, 0), ac_refine_scan(ci, 1, 63, 0)))
+    else:
+        for ci in range(len(samp)):
+            scans.append((([ci + 1], 1, 5, 0, 0), ac_scan(ci, 1, 5)))
+            scans.append((([ci + 1], 6, 63, 0, 0), ac_scan(ci, 6, 63)))
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
@@ -655,11 +764,11 @@ def _emit_progressive(
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
     out += seg(0xC4, bytes([0x01]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
     out += seg(0xC4, bytes([0x11]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS))
-    for (cids, ss, se), data in scans:
+    for (cids, ss, se, ah, al), data in scans:
         sos = bytes([len(cids)])
         for cid in cids:
             sos += bytes([cid, 0x00 if cid == 1 else 0x11])
-        sos += bytes([ss, se, 0x00])  # Ah=Al=0: spectral selection only
+        sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
         out += data
     out += b"\xff\xd9"

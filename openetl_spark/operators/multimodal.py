@@ -446,16 +446,18 @@ def _jpeg_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
     """REAL stdlib+numpy JPEG pixel decode: (width, height, 3,
-    rgb_bytes) for baseline sequential (SOF0) AND spectral-selection
-    progressive (SOF2, r06-s2) DCT streams — marker walk, DQT/DHT
-    table collection, canonical Huffman entropy decode with
-    restart-marker support (DRI, baseline), multi-scan coefficient
-    accumulation with EOBRUN band coding (progressive), dequantize +
-    de-zigzag, 8×8 IDCT as two numpy matmuls per block,
-    nearest-neighbor chroma upsampling for any (h, v) sampling
-    (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Grayscale replicates to
-    RGB. Returns None for successive-approximation progressive scans
-    (Ah/Al ≠ 0) / arithmetic / 12-bit streams and any input truncated
+    rgb_bytes) for baseline sequential (SOF0) AND progressive (SOF2,
+    r06-s2) DCT streams — including BOTH progressive mechanisms:
+    spectral selection (multi-scan coefficient accumulation with
+    EOBRUN band coding) and successive approximation (DC raw-bit
+    refinement, AC correction-bit refinement with zero-history runs,
+    ISO 10918-1 G.1.2.3). Marker walk, DQT/DHT table collection,
+    canonical Huffman entropy decode with restart-marker support
+    (DRI, baseline), dequantize + de-zigzag, 8×8 IDCT as two numpy
+    matmuls per block, nearest-neighbor chroma upsampling for any
+    (h, v) sampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB.
+    Grayscale replicates to RGB. Returns None for arithmetic-coded /
+    12-bit streams and any input truncated
     inside the headers or a scan's entropy data — crash-guarded like
     every decoder here (a corrupt object must NULL its row, never
     abort the Spark job). A baseline stream cut only at the trailing
@@ -545,15 +547,16 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytearray] | None:
                 # progressive: accumulate this scan's coefficients and
                 # continue the marker walk after its entropy data
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-                if ahal != 0 or restart:
-                    # successive approximation / restart intervals are
-                    # outside the spectral-selection envelope
+                if restart:
+                    # restart intervals inside progressive scans are
+                    # outside the envelope
                     return None
                 if store is None:
                     store = _jpeg_prog_store(np, w, h, comps)
                 segs, end = _jpeg_segments(data, i + 2 + seglen)
                 _jpeg_prog_scan(
-                    np, w, h, comps, scomps, sel, huff, store, ss, se, segs[0]
+                    np, w, h, comps, scomps, sel, huff, store,
+                    ss, se, ahal >> 4, ahal & 15, segs[0],
                 )
                 i = end
                 continue
@@ -664,12 +667,19 @@ def _jpeg_prog_store(np, w, h, comps):
     }
 
 
-def _jpeg_prog_scan(np, w, h, comps, scomps, sel, huff, store, ss, se, seg):
-    """One spectral-selection progressive scan (Ah=Al=0): Ss=0 is the
-    interleaved DC scan (identical coding to baseline DC, over the MCU
-    walk); Ss>0 is a single-component AC band scan over the
-    component's OWN ceil(dim/8) block grid with EOBRUN coding (ISO
-    10918-1 G.1.2.2)."""
+def _jpeg_prog_scan(np, w, h, comps, scomps, sel, huff, store, ss, se, ah, al, seg):
+    """One progressive scan, spectral selection AND successive
+    approximation (ISO 10918-1 G.1.2): Ss=0 is the interleaved DC scan
+    — first pass (Ah=0) codes diffs of the point-transformed values
+    and stores them shifted by Al; refinement (Ah>0) reads one raw bit
+    per block and ORs it in at bit Al. Ss>0 is a single-component AC
+    band scan over the component's OWN ceil(dim/8) block grid — first
+    pass uses run/size + EOBRUN coding at precision Al; refinement
+    (Ah>0) walks the band distinguishing newly-significant
+    coefficients (run counts ZERO-HISTORY positions only, then a sign
+    bit) from already-significant ones (one correction bit each,
+    consumed in walk order), with EOBRUN absorbing the remaining
+    blocks' correction bits."""
     br = _JpegBits(seg)
     mcux, mcuy = store["mcux"], store["mcuy"]
     cidx = {c["id"]: i for i, c in enumerate(comps)}
@@ -682,12 +692,15 @@ def _jpeg_prog_scan(np, w, h, comps, scomps, sel, huff, store, ss, se, seg):
             for cid in scomps:
                 ci = cidx[cid]
                 c = comps[ci]
-                dc_tab = huff[(0, sel[cid][0])]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        sz = br.decode(dc_tab)
-                        pred[cid] += _jpeg_extend(br.read(sz), sz)
-                        store["coef"][ci][my * c["v"] + by, mx * c["h"] + bx, 0] = pred[cid]
+                        cell = (my * c["v"] + by, mx * c["h"] + bx, 0)
+                        if ah == 0:
+                            sz = br.decode(huff[(0, sel[cid][0])])
+                            pred[cid] += _jpeg_extend(br.read(sz), sz)
+                            store["coef"][ci][cell] = pred[cid] << al
+                        elif br.read(1):  # refinement: raw bit Al
+                            store["coef"][ci][cell] |= 1 << al
         return
     if len(scomps) != 1:
         raise ValueError("AC progressive scans are single-component")
@@ -695,31 +708,77 @@ def _jpeg_prog_scan(np, w, h, comps, scomps, sel, huff, store, ss, se, seg):
     ci = cidx[cid]
     c = comps[ci]
     ac_tab = huff[(1, sel[cid][1])]
+    coef = store["coef"][ci]
     # non-interleaved geometry: the component's true block grid
     cw = -(-w * c["h"] // store["hmax"])
     chh = -(-h * c["v"] // store["vmax"])
     nbx, nby = -(-cw // 8), -(-chh // 8)
     eobrun = 0
+    if ah == 0:  # first pass at precision al
+        for by in range(nby):
+            for bx in range(nbx):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode(ac_tab)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (br.read(r) if r else 0)
+                        break  # rest of this block's band is zero
+                    k += r
+                    if k > se:
+                        raise ValueError("AC band overflow")
+                    coef[by, bx, k] = _jpeg_extend(br.read(sz), sz) << al
+                    k += 1
+        return
+    # refinement pass: Ah = al + 1
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(by, bx, k):
+        if br.read(1) and not (abs(int(coef[by, bx, k])) & p1):
+            coef[by, bx, k] += p1 if coef[by, bx, k] >= 0 else m1
+
     for by in range(nby):
         for bx in range(nbx):
-            if eobrun:
-                eobrun -= 1
-                continue
             k = ss
-            while k <= se:
-                rs = br.decode(ac_tab)
-                r, sz = rs >> 4, rs & 15
-                if sz == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    eobrun = (1 << r) - 1 + (br.read(r) if r else 0)
-                    break  # rest of this block's band is zero
-                k += r
-                if k > se:
-                    raise ValueError("AC band overflow")
-                store["coef"][ci][by, bx, k] = _jpeg_extend(br.read(sz), sz)
-                k += 1
+            if not eobrun:
+                while k <= se:
+                    rs = br.decode(ac_tab)
+                    r, sz = rs >> 4, rs & 15
+                    newval = 0
+                    if sz == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (br.read(r) if r else 0)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if sz != 1:
+                            raise ValueError("refinement size must be 1")
+                        newval = p1 if br.read(1) else m1
+                    while k <= se:
+                        if coef[by, bx, k] != 0:
+                            correct(by, bx, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        coef[by, bx, k] = newval
+                    k += 1
+            if eobrun:
+                # absorb this block: correction bits for the remaining
+                # nonzero-history coefficients in the band
+                while k <= se:
+                    if coef[by, bx, k] != 0:
+                        correct(by, bx, k)
+                    k += 1
+                eobrun -= 1
 
 
 def _jpeg_reconstruct(np, sof, qt, store):

@@ -1825,25 +1825,37 @@ def test_extract_video_features_real_decode(spark):
 
 
 def test_progressive_jpeg_decodes_identically_to_baseline():
-    """Spectral-selection progressive (SOF2) and baseline (SOF0)
-    encodes of one image carry the SAME quantized coefficients, so
-    they must decode bit-identically — the strict cross-mode oracle
-    for the whole multi-scan/EOBRUN machinery."""
+    """Progressive encodes — spectral selection (SOF2, Ah=Al=0) AND
+    the successive-approximation script (Al=1 first scans + DC/AC
+    refinement) — carry the SAME quantized coefficients as baseline,
+    so all three modes must decode bit-identically: the strict
+    cross-mode oracle for the multi-scan / EOBRUN / correction-bit
+    machinery. Noise images stress the refinement paths (the
+    gradient-only form missed a ZRL/correction-bit ordering bug)."""
     import numpy as np
 
     from openetl_spark.operators.media_synth import encode_jpeg
 
     yy, xx = np.meshgrid(np.arange(23), np.arange(37), indexing="ij")
-    img = np.stack(
+    grad = np.stack(
         [xx * 6 % 256, yy * 10 % 256, (xx + yy) * 3 % 256], axis=-1
     ).astype(np.uint8)
-    for sub in ("444", "420", "422", "gray"):
-        src = img[..., 0] if sub == "gray" else img
-        base = M.decode_jpeg_pixels(encode_jpeg(src, quality=88, subsampling=sub))
-        prog = M.decode_jpeg_pixels(
-            encode_jpeg(src, quality=88, subsampling=sub, progressive=True)
-        )
-        assert prog is not None and prog[3] == base[3], sub
+    noise = np.random.RandomState(15).randint(
+        0, 256, size=(13, 25, 3)
+    ).astype(np.uint8)
+    for img in (grad, noise):
+        for sub in ("444", "420", "422", "gray"):
+            src = img[..., 0] if sub == "gray" else img
+            base = M.decode_jpeg_pixels(
+                encode_jpeg(src, quality=85, subsampling=sub)
+            )
+            for mode in (True, "sa"):
+                prog = M.decode_jpeg_pixels(
+                    encode_jpeg(src, quality=85, subsampling=sub,
+                                progressive=mode)
+                )
+                assert prog is not None and prog[3] == base[3], (sub, mode)
+    img = grad
     # header parser reads SOF2 dims
     data = encode_jpeg(img, progressive=True)
     assert M.parse_image_header(data)[:3] == ("jpeg", 37, 23)

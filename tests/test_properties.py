@@ -354,7 +354,7 @@ def test_chunk_documents_matches_python_reference(spark, docs, chunk, stride):
     h=st.integers(min_value=1, max_value=40),
     quality=st.integers(min_value=60, max_value=98),
     sub=st.sampled_from(["444", "420", "422", "gray"]),
-    progressive=st.booleans(),
+    progressive=st.sampled_from([False, True, "sa"]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 def test_jpeg_roundtrip_property(w, h, quality, sub, progressive, seed):
@@ -395,5 +395,5 @@ def test_jpeg_roundtrip_property(w, h, quality, sub, progressive, seed):
     # pinned separately in test_operators)
     cut = len(data) * (seed % 97) // 97
     got = decode_jpeg_pixels(data[:cut])
-    if not progressive:
+    if progressive is False:
         assert (got is None) == (cut < len(data) - 2), (cut, len(data))
