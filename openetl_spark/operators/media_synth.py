@@ -205,19 +205,25 @@ def _pattern_png(bits: list[int]) -> bytes:
     return make_png(16, 16, _pattern_pixels(bits))
 
 
-def _pattern_jpeg(bits: list[int]) -> bytes:
+def _pattern_jpeg(bits: list[int], progressive=False) -> bytes:
     """The same pattern as baseline JPEG (q=95): quantization error is
     ≤ ~10/channel while every hash cell sits ≥ ~45 luma from the
     64-cell mean (md5-drawn bits are near-balanced), so the decoded
-    aHash still equals ``bits`` exactly — a cross-CODEC duplicate."""
-    return encode_jpeg(_pattern_pixels(bits), quality=95)
+    aHash still equals ``bits`` exactly — a cross-CODEC duplicate.
+    ``progressive="sa"`` exercises the successive-approximation decode
+    path on the same coefficients (bit-identical pixels, so the same
+    fingerprint by construction)."""
+    return encode_jpeg(_pattern_pixels(bits), quality=95, progressive=progressive)
 
 
 def synthetic_image_corpus() -> list[tuple[str, bytes]]:
     """(path, image_bytes) rows: 10 groups of {base PNG, baseline-JPEG
     re-encode of the base (aHash-identical — the cross-codec duplicate
     a crawl dedup actually meets, decoded by the real r06 JPEG
-    decoder), 1-bit variant, 2-bit variant, 9-bit outlier} plus one
+    decoder), a successive-approximation PROGRESSIVE re-encode (same
+    coefficients → same pixels → same fingerprint, driving the
+    multi-scan decode path through the driver-checked miner), 1-bit
+    variant, 2-bit variant, 9-bit outlier} plus one
     undecodable header-only JPEG. Within a group the aHash hamming
     distances are exactly the flip counts; across groups patterns are
     independent md5 draws (~32 apart). The 9-bit outlier sits beyond
@@ -228,6 +234,9 @@ def synthetic_image_corpus() -> list[tuple[str, bytes]]:
         base = _bits64(f"img-group-{g}")
         rows.append((f"img/g{g}/base.png", _pattern_png(base)))
         rows.append((f"img/g{g}/jpeg_copy.jpg", _pattern_jpeg(base)))
+        rows.append(
+            (f"img/g{g}/jpeg_prog.jpg", _pattern_jpeg(base, progressive="sa"))
+        )
         for name, d in (("near1", 1), ("near2", 2), ("far", 9)):
             bits = list(base)
             for p in _flip_positions(f"img-group-{g}-{name}", d):

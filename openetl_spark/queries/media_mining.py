@@ -47,7 +47,7 @@ def _media_fp_layout(spark, kind: str) -> str:
     file the static oracle can read_parquet."""
     import os
 
-    path = os.path.join(MEDIA_FP_DIR, f"{kind}_v2.parquet")
+    path = os.path.join(MEDIA_FP_DIR, f"{kind}_v3.parquet")
     if not os.path.exists(path):
         from openetl_spark.operators import media_synth as MS
         from openetl_spark.operators import multimodal as M
@@ -89,7 +89,7 @@ def _media_mine_oracle(kind: str, max_hamming: int) -> str:
     return f"""
     WITH fp AS (
       SELECT path, fp
-      FROM read_parquet('{MEDIA_FP_DIR}/{kind}_v2.parquet')
+      FROM read_parquet('{MEDIA_FP_DIR}/{kind}_v3.parquet')
       WHERE fp IS NOT NULL)
     SELECT a.path AS a, b.path AS b,
            CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
@@ -105,7 +105,8 @@ def q_image_near_duplicates(spark, sf_dir):
     pairs, end-to-end through the production operator. Corpus: 10
     groups of {base PNG, baseline-JPEG re-encode of the base (decoded
     by the real r06 JPEG decoder, aHash-identical — the cross-codec
-    duplicate case), 1-bit, 2-bit, 9-bit-outlier} + one undecodable
+    duplicate case), a successive-approximation progressive re-encode
+    (multi-scan decode path), 1-bit, 2-bit, 9-bit-outlier} + one undecodable
     header-only JPEG (must drop via NULL hash, not abort). The oracle
     re-derives mining from the persisted fingerprints, so recall
     completeness of the chunk equi-join and the hamming arithmetic are
