@@ -44,6 +44,7 @@ from openetl_spark.queries import tpch_r05 as _tpch_r05  # noqa: F401,E402
 from openetl_spark.queries import warehouse_ann as _warehouse_ann  # noqa: F401,E402
 from openetl_spark.queries import lm_dedup as _lm_dedup  # noqa: F401,E402
 from openetl_spark.queries import media_mining as _media_mining  # noqa: F401,E402
+from openetl_spark.queries import analytics_r06 as _analytics_r06  # noqa: F401,E402
 
 # Re-exports referenced by tests / bench / external callers as
 # catalog.<name> (the pre-split public surface).
@@ -136,6 +137,15 @@ DRIVER_PRIORITY: list[str] = [
     "recursive_cte_tree",
     "variant_funcs",
     "lateral_join_topn",
+    # r06 third session: graph / skyline / interval analytics. These
+    # four displace the two r03 TPC-H tail refreshes (q2/q4) and the
+    # two simplest r02 join refreshes (join_right, join_full_outer) —
+    # never-checked new queries outrank refreshes of locally-pinned
+    # stable rows; the displaced four lead the r07 refresh queue.
+    "pagerank_nations",
+    "skyline_parts",
+    "time_weighted_avg",
+    "attribution_last_touch",
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -162,8 +172,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact",
     "doc_fingerprint",
     "embedding_knn",
-    "join_full_outer",
-    "join_right",
     "json_funcs",
     "math_funcs",
     "quality_score",
@@ -177,8 +185,12 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "tumbling_hourly",
     "union_all_counts",
-    # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining r03
-    # pool (38, queued for r07):
+    # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining
+    # refresh pool queued for r07 — first the four rows displaced by
+    # the third-session additions: join_right + join_full_outer (r02;
+    # the only r02-era rows left after this round) and
+    # q2_min_cost_supplier + q4_order_priority (r03); then the r03
+    # remainder (38):
     # pivot_dynamic + array_funcs_extended (displaced by the
     # exact_substring_spans/_dedup additions),
     # q15_top_supplier (displaced by duplication_report),
@@ -200,9 +212,7 @@ DRIVER_PRIORITY: list[str] = [
     # repetition_stats, scalar_subquery, stats_agg, stratified_sample,
     # string_agg_nations, string_funcs_extended, unpivot_measures,
     # value_histogram, vocab_topk, window_ranking_extras.
-    # All 153+2 pinned locally every pytest run regardless. ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
+    # Every query is pinned locally every pytest run regardless. ---
 ]
 
 

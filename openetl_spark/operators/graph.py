@@ -1,0 +1,108 @@
+"""Graph analytics over edge DataFrames — the iterative-algorithm
+family next to ``dedup.connected_components`` (min-label propagation).
+
+The reference has no graph surface (its operators stop at per-row
+transforms, `src/transformations.ts`); this is Spark-native extension
+territory: PageRank as repeated join-aggregate rounds, the same
+execution shape GraphX/Pregel lowers to, but expressed on DataFrames
+so Catalyst/AQE handle skew and partial aggregation.
+
+Scale notes (100 TB framing): each iteration is ONE shuffle — ranks
+join edges on the source key (partial-agg combine on the map side),
+re-aggregated by destination. Node and edge relations stay distributed
+end-to-end; the only driver-side values are two scalars (node count,
+initial rank), and the per-round dangling-mass total rides a 1-row
+broadcast cross-join, never a corpus collect. Lineage is truncated
+every round with ``localCheckpoint`` exactly as
+``connected_components`` does (iterative self-joins otherwise grow the
+logical plan superlinearly; see that docstring for the measured
+rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Weighted PageRank by ``iters`` rounds of power iteration.
+
+    PageRank (Page et al. 1999): rank(v) = (1-d)/N + d * (Σ_{u→v}
+    rank(u)·w(u,v)/outw(u) + dangling/N), where ``dangling`` is the
+    total rank held by nodes with no out-edges, redistributed
+    uniformly (the standard stochastic-matrix completion — dropping it
+    leaks mass and the ranks no longer sum to 1).
+
+    ``edges`` is a directed edge list; ``weight`` (optional) weights
+    each edge, default 1.0. Multi-edges are legal — their weights add.
+    Fixed iteration count rather than convergence detection: the
+    per-round delta is a float (unlike the integral label sum in
+    connected_components), so a tolerance-based stop would make the
+    OUTPUT depend on float summation order; a fixed ``iters`` keeps
+    the result deterministic and cross-engine comparable.
+
+    Returns (node, rank) over all nodes appearing as a src or dst.
+    """
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Node count is a scalar (kilobytes at any corpus scale) — the one
+    # permitted driver-side value, mirrored by the oracle's (SELECT n).
+    n = float(nodes.count())
+    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("ow"))
+    # Per-source contribution fraction is rank-independent — compute it
+    # once so each iteration joins a single prepared relation.
+    frac = e.join(outw, "e_src").select(
+        "e_src", "e_dst", (F.col("e_w") / F.col("ow")).alias("frac")
+    ).localCheckpoint()
+    has_out = frac.select(F.col("e_src").alias("node")).distinct()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        # Dangling mass: 1-row relation, broadcast cross-joined so the
+        # whole round stays one lazy plan (no per-round collect).
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            ranks.join(frac, ranks["node"] == frac["e_src"])
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["e_dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.lit(n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

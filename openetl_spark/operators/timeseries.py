@@ -373,3 +373,54 @@ def seasonal_anomalies(
         )
         .filter(F.abs(F.col("z_score")) > threshold)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Time-weighted average per key — TimescaleDB ``time_weight('LOCF',
+    …)`` semantics: each observation holds its value until the next one
+    (last-observation-carried-forward), so the average weights every
+    value by the duration it was current, not by sample count. The
+    correct mean for irregularly sampled series (a sensor reporting
+    10× more often while idle would drag a plain avg toward idle).
+
+    One keyed window (lead over (ts, tiebreak) — high-cardinality
+    partition key, single shuffle spread across the cluster) plus a
+    partial-aggregated groupBy. The final observation of each key has
+    no successor and carries zero weight (the window is closed at the
+    last sample — Timescale's LOCF does the same unless given an
+    explicit interval end). Keys with a single observation have zero
+    total weight and are dropped (a TWA over a zero-length interval is
+    undefined). Deltas are computed in epoch microseconds (exact
+    integers cross-engine); the final ratio rounds via the fixed
+    floor(x·10^dp + .5) so both engines render identical doubles.
+    """
+    from pyspark.sql import Window as W
+
+    from openetl_spark.operators.text import _round_fixed
+
+    tie = order_tiebreak or []
+    w = W.partitionBy(*keys).orderBy(ts, *tie)
+    mu = F.unix_micros(F.col(ts).cast("timestamp"))
+    delta = (F.lead(mu).over(w) - mu).cast("double").alias("_dt")
+    obs = df.select(*keys, F.col(value).alias("_v"), delta).filter(
+        F.col("_dt").isNotNull()
+    )
+    return (
+        obs.groupBy(*keys)
+        .agg(
+            _round_fixed(F.sum(F.col("_v") * F.col("_dt")) / F.sum("_dt"), round_dp).alias(
+                "twa"
+            ),
+            F.floor(F.sum("_dt") / F.lit(1000000.0)).cast("bigint").alias("span_s"),
+            F.sum("_dt").alias("_total_dt"),
+        )
+        .filter(F.col("_total_dt") > 0)
+        .drop("_total_dt")
+    )

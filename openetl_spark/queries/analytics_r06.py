@@ -1,0 +1,225 @@
+"""Graph / multi-criteria / interval analytics (r06, third session):
+pagerank_nations (iterative graph family — first-class next to
+connected components), skyline_parts (Pareto frontier), time-weighted
+averages and last-touch attribution over the event stream.
+
+Importing this module REGISTERS its queries into the shared
+QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
+LAST by openetl_spark.catalog so all pre-existing names keep their
+registration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from openetl_spark.operators import analytics as A
+from openetl_spark.operators import graph as G
+from openetl_spark.operators import timeseries as TS
+from openetl_spark.operators.text import _round_fixed
+from openetl_spark.queries.base import load, query
+
+# ---------------------------------------------------------------------
+# C97 — PageRank (graph analytics). Oracle: the power iteration is a
+# FIXED number of rounds, so it unrolls into one CTE per round — DuckDB
+# re-derives the edge weights, out-degree normalization, dangling mass,
+# and all five damped updates from the raw tables. Float determinism:
+# both engines start from identical doubles (1/N, identical parquet
+# counts); per-round sums differ only in summation order (~1e-16),
+# damped — the shared fixed 6dp floor-round collapses both renderings.
+# ---------------------------------------------------------------------
+
+
+def pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE PageRank oracle over the nation trade graph.
+
+    One parameterized builder (the jaccard_ctes()/winnow_oracle()
+    discipline) so the Spark operator's parameters appear exactly once.
+    The (1-d) literal is rendered with repr() so DuckDB parses the very
+    double Python computed for the Spark side (1 - 0.85 is not 0.15 in
+    binary; rendering '0.15' would diverge in the 17th digit).
+    """
+    base = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+frac AS (SELECT e.src, e.dst, e.w / o.ow AS frac
+         FROM edges e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        base += f""",
+d{i} AS (SELECT COALESCE(sum(r.pr), 0) AS dang FROM {prev} r
+         WHERE r.node NOT IN (SELECT src FROM outw)),
+r{i} AS (
+  SELECT nd.node,
+         {(1.0 - damping)!r} / (SELECT n FROM nn)
+         + {damping!r} * (COALESCE(c.contrib, 0)
+                          + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT f.dst AS node, sum(r.pr * f.frac) AS contrib
+    FROM {prev} r JOIN frac f ON r.node = f.src GROUP BY 1) c
+  ON nd.node = c.node)"""
+        prev = f"r{i}"
+    return base + f"""
+SELECT n.n_name, floor(r.pr * 1000000.0 + 0.5) / 1000000.0 AS pr
+FROM {prev} r JOIN nation n ON r.node = n.n_nationkey
+"""
+
+
+@query("pagerank_nations", pagerank_oracle())
+def q_pagerank_nations(spark, sf_dir):
+    """C97: weighted PageRank over the nation-level trade graph (edge
+    customer_nation → supplier_nation, weight = lineitem count). The
+    edge build is the corpus-scale part — a three-way equi-join over
+    lineitem/orders/customer/supplier with map-side partial counts;
+    the iteration then runs on the node/edge relations (25 nations
+    here; the operator's join-agg rounds scale to billions of nodes —
+    see operators/graph.pagerank scale notes). Ranks floor-rounded to
+    6dp on both engines."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = G.pagerank(edges, "src", "dst", "w", damping=0.85, iters=5)
+    return ranks.join(
+        F.broadcast(nat), ranks["node"] == nat["n_nationkey"]
+    ).select("n_name", _round_fixed(F.col("rank"), 6).alias("pr"))
+
+
+# ---------------------------------------------------------------------
+# C98 — skyline / Pareto frontier.
+# ---------------------------------------------------------------------
+
+@query(
+    "skyline_parts",
+    """
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q_skyline_parts(spark, sf_dir):
+    """C98: skyline of part — cheapest-for-the-size Pareto frontier
+    (minimize p_retailprice, maximize p_size). The operator runs the
+    two-phase distributed plan (per-bucket local BNL prune, then an
+    exact pass over the small survivor union — operators/analytics);
+    the oracle is the textbook NOT EXISTS dominance predicate, so the
+    test proves the pruned plan ≡ the quadratic definition. Dominance
+    compares raw parquet doubles — no rounding needed, both engines
+    read identical bits."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return A.skyline(p, maximize=["p_size"], minimize=["p_retailprice"])
+
+
+# ---------------------------------------------------------------------
+# C99 — time-weighted average (TimescaleDB time_weight LOCF parity).
+# ---------------------------------------------------------------------
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH obs AS (
+      SELECT user_id, value,
+             CAST(epoch_us(lead(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                  - epoch_us(ts) AS DOUBLE) AS dt
+      FROM events)
+    SELECT user_id,
+           floor(sum(value * dt) / sum(dt) * 1000000.0 + 0.5) / 1000000.0
+             AS twa,
+           CAST(floor(sum(dt) / 1000000.0) AS BIGINT) AS span_s
+    FROM obs WHERE dt IS NOT NULL
+    GROUP BY user_id HAVING sum(dt) > 0
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """C99: per-user time-weighted average of event value —
+    last-observation-carried-forward weighting (TimescaleDB
+    time_weight('LOCF')): each value is weighted by how long it stayed
+    current, the correct mean for irregular sampling. One keyed lead
+    window + partial-agg groupBy (operators/timeseries
+    .time_weighted_avg); deltas are exact epoch-microsecond integers on
+    both engines, the final ratio floor-rounds at 6dp."""
+    e = load(spark, sf_dir, "events")
+    return TS.time_weighted_avg(
+        e, keys=["user_id"], ts="ts", value="value", order_tiebreak=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------
+# C100 — marketing attribution (last touch).
+# ---------------------------------------------------------------------
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH attr AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events)
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM attr
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """C100: last-touch revenue attribution — every purchase credits
+    the user's most recent preceding touch event (click/view);
+    purchases with no prior touch fall to 'direct'. The classic
+    attribution window: one keyed ignore-nulls last() over
+    (ts, event_id)-ordered user history (deterministic tie order, the
+    event_transitions discipline), then a tiny partial-agg rollup."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    attr = e.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )

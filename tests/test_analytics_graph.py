@@ -1,0 +1,169 @@
+"""Unit tests for the r06 third-session operators: pagerank (graph),
+skyline (Pareto frontier), time_weighted_avg. The catalog oracles pin
+the cross-engine renderings; these pin the operator SEMANTICS against
+independent references (numpy power iteration, brute-force dominance,
+hand-computed integrals)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from openetl_spark.operators import analytics as A
+from openetl_spark.operators import graph as G
+from openetl_spark.operators import timeseries as TS
+
+
+# ------------------------------------------------------------ pagerank
+
+def _numpy_pagerank(edges, n_nodes, damping=0.85, iters=5):
+    """Independent dense reference: row-stochastic transition matrix
+    with uniform dangling redistribution."""
+    w = np.zeros((n_nodes, n_nodes))
+    for s, d, wt in edges:
+        w[s, d] += wt
+    out = w.sum(axis=1)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(iters):
+        contrib = np.zeros(n_nodes)
+        for s in range(n_nodes):
+            if out[s] > 0:
+                contrib += r[s] * w[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n_nodes + damping * (contrib + dangling / n_nodes)
+    return r
+
+
+def test_pagerank_matches_numpy_reference_with_dangling(spark):
+    rng = np.random.default_rng(7)
+    n = 12
+    edges = []
+    for s in range(n - 2):  # nodes n-2, n-1 are dangling sinks
+        for d in rng.choice(n, size=4, replace=False):
+            if d != s:
+                edges.append((int(s), int(d), float(rng.integers(1, 9))))
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, "src", "dst", "w", iters=5).collect()
+    }
+    want = _numpy_pagerank(edges, n)
+    present = sorted(got)  # nodes with >=1 incident edge
+    assert np.allclose([got[i] for i in present], want[present], atol=1e-12)
+    # Mass conservation: ranks over ALL nodes sum to 1. Every node
+    # appears in this graph, so the distributed result must too.
+    assert set(present) == set(range(n))
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    ranks = [r["rank"] for r in G.pagerank(df, iters=8).collect()]
+    assert len(ranks) == n
+    assert max(ranks) - min(ranks) < 1e-15  # cycle is rank-symmetric
+    assert abs(sum(ranks) - 1.0) < 1e-12
+
+
+def test_pagerank_multi_edges_add(spark):
+    """Two parallel unweighted edges must equal one edge of weight 2."""
+    multi = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)], "src int, dst int"
+    )
+    weighted = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src int, dst int, w double",
+    )
+    a = {r["node"]: r["rank"] for r in G.pagerank(multi, iters=4).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(weighted, "src", "dst", "w", iters=4).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-15)
+
+
+# ------------------------------------------------------------- skyline
+
+def _brute_skyline(rows, maxs, mins):
+    def dominates(q, p):
+        ge = all(q[c] >= p[c] for c in maxs) and all(q[c] <= p[c] for c in mins)
+        gt = any(q[c] > p[c] for c in maxs) or any(q[c] < p[c] for c in mins)
+        return ge and gt
+
+    return {
+        p["id"]
+        for p in rows
+        if not any(dominates(q, p) for q in rows)
+    }
+
+
+@pytest.mark.parametrize("shape", ["independent", "anticorrelated", "dupes"])
+def test_skyline_matches_brute_force(spark, shape):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    n = 400
+    x = rng.integers(0, 60, n)
+    if shape == "anticorrelated":
+        y = 100 - x + rng.integers(0, 3, n)  # near-linear frontier: big skyline
+    elif shape == "dupes":
+        x = rng.integers(0, 6, n)  # heavy exact-tie mass
+        y = rng.integers(0, 6, n)
+    else:
+        y = rng.integers(0, 60, n)
+    rows = [
+        {"id": i, "price": float(x[i]), "size": int(y[i])} for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    got = A.skyline(df, maximize=["size"], minimize=["price"], buckets=16)
+    got_ids = {r["id"] for r in got.collect()}
+    assert got_ids == _brute_skyline(rows, maxs=["size"], mins=["price"])
+
+
+def test_skyline_three_criteria_and_duplicates_kept(spark):
+    rows = [
+        {"id": 0, "a": 1.0, "b": 1.0, "c": 1.0},
+        {"id": 1, "a": 1.0, "b": 1.0, "c": 1.0},  # exact dup of 0: both stay
+        {"id": 2, "a": 2.0, "b": 0.5, "c": 1.0},
+        {"id": 3, "a": 0.5, "b": 0.5, "c": 0.5},  # dominated by 0/1
+        {"id": 4, "a": 0.0, "b": 3.0, "c": 0.0},
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["id"] for r in A.skyline(df, maximize=["a", "b", "c"]).collect()}
+    assert got == {0, 1, 2, 4}
+    with pytest.raises(ValueError):
+        A.skyline(df)
+
+
+def test_local_skyline_kernel_empty_and_single():
+    pdf = pd.DataFrame({"s0": [], "s1": []})
+    assert len(A._local_skyline(pdf, ["s0", "s1"])) == 0
+    one = pd.DataFrame({"s0": [1.0], "s1": [2.0]})
+    assert len(A._local_skyline(one, ["s0", "s1"])) == 1
+
+
+# ----------------------------------------------------- time_weighted_avg
+
+def test_time_weighted_avg_hand_case(spark):
+    # key u: v=10 held 30s, v=20 held 10s -> twa = (300+200)/40 = 12.5
+    # key w: single observation -> dropped (zero-length interval)
+    rows = [
+        ("u", "2024-01-01 00:00:00", 10.0),
+        ("u", "2024-01-01 00:00:30", 20.0),
+        ("u", "2024-01-01 00:00:40", 99.0),  # last sample carries no weight
+        ("w", "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    df = df.selectExpr("k", "cast(ts as timestamp_ntz) as ts", "value")
+    out = {r["k"]: r for r in TS.time_weighted_avg(df, keys=["k"]).collect()}
+    assert set(out) == {"u"}
+    assert out["u"]["twa"] == pytest.approx(12.5)
+    assert out["u"]["span_s"] == 40
+
+
+def test_time_weighted_avg_constant_series_equals_value(spark):
+    rows = [("u", f"2024-01-01 00:{m:02d}:00", 7.25) for m in range(0, 50, 7)]
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    df = df.selectExpr("k", "cast(ts as timestamp_ntz) as ts", "value")
+    (row,) = TS.time_weighted_avg(df, keys=["k"]).collect()
+    assert row["twa"] == pytest.approx(7.25)
