@@ -21,7 +21,7 @@ from openetl_spark.operators.text import _round_fixed
 from openetl_spark.queries.base import load, query
 
 # ---------------------------------------------------------------------
-# C97 — PageRank (graph analytics). Oracle: the power iteration is a
+# C106 — PageRank (graph analytics). Oracle: the power iteration is a
 # FIXED number of rounds, so it unrolls into one CTE per round — DuckDB
 # re-derives the edge weights, out-degree normalization, dangling mass,
 # and all five damped updates from the raw tables. Float determinism:
@@ -78,7 +78,7 @@ FROM {prev} r JOIN nation n ON r.node = n.n_nationkey
 
 @query("pagerank_nations", pagerank_oracle())
 def q_pagerank_nations(spark, sf_dir):
-    """C97: weighted PageRank over the nation-level trade graph (edge
+    """C106: weighted PageRank over the nation-level trade graph (edge
     customer_nation → supplier_nation, weight = lineitem count). The
     edge build is the corpus-scale part — a three-way equi-join over
     lineitem/orders/customer/supplier with map-side partial counts;
@@ -107,7 +107,7 @@ def q_pagerank_nations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# C98 — skyline / Pareto frontier.
+# C107 — skyline / Pareto frontier.
 # ---------------------------------------------------------------------
 
 @query(
@@ -122,7 +122,7 @@ def q_pagerank_nations(spark, sf_dir):
     """,
 )
 def q_skyline_parts(spark, sf_dir):
-    """C98: skyline of part — cheapest-for-the-size Pareto frontier
+    """C107: skyline of part — cheapest-for-the-size Pareto frontier
     (minimize p_retailprice, maximize p_size). The operator runs the
     two-phase distributed plan (per-bucket local BNL prune, then an
     exact pass over the small survivor union — operators/analytics);
@@ -137,7 +137,7 @@ def q_skyline_parts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# C99 — time-weighted average (TimescaleDB time_weight LOCF parity).
+# C108 — time-weighted average (TimescaleDB time_weight LOCF parity).
 # ---------------------------------------------------------------------
 
 @query(
@@ -158,7 +158,7 @@ def q_skyline_parts(spark, sf_dir):
     """,
 )
 def q_time_weighted_avg(spark, sf_dir):
-    """C99: per-user time-weighted average of event value —
+    """C108: per-user time-weighted average of event value —
     last-observation-carried-forward weighting (TimescaleDB
     time_weight('LOCF')): each value is weighted by how long it stayed
     current, the correct mean for irregular sampling. One keyed lead
@@ -172,7 +172,7 @@ def q_time_weighted_avg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# C100 — marketing attribution (last touch).
+# C109 — marketing attribution (last touch).
 # ---------------------------------------------------------------------
 
 @query(
@@ -195,7 +195,7 @@ def q_time_weighted_avg(spark, sf_dir):
     """,
 )
 def q_attribution_last_touch(spark, sf_dir):
-    """C100: last-touch revenue attribution — every purchase credits
+    """C109: last-touch revenue attribution — every purchase credits
     the user's most recent preceding touch event (click/view);
     purchases with no prior touch fall to 'direct'. The classic
     attribution window: one keyed ignore-nulls last() over
