@@ -146,6 +146,7 @@ DRIVER_PRIORITY: list[str] = [
     "skyline_parts",
     "time_weighted_avg",
     "attribution_last_touch",
+    "graph_triangles",      # displaces union_all_counts (r02 → r07 queue)
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -184,11 +185,11 @@ DRIVER_PRIORITY: list[str] = [
     "string_funcs",
     "text_stats",
     "tumbling_hourly",
-    "union_all_counts",
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining
     # refresh pool queued for r07 — first the four rows displaced by
-    # the third-session additions: join_right + join_full_outer (r02;
-    # the only r02-era rows left after this round) and
+    # the third-session additions: join_right + join_full_outer +
+    # union_all_counts (r02; the only r02-era rows left after this
+    # round) and
     # q2_min_cost_supplier + q4_order_priority (r03); then the r03
     # remainder (38):
     # pivot_dynamic + array_funcs_extended (displaced by the

@@ -106,3 +106,93 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    UNDIRECTED simple graph induced by ``edges`` (self-loops dropped,
+    multi-edges collapsed, direction ignored).
+
+    The scalable shape (Suri & Vassilvitskii, WWW 2011 node-iterator++
+    / MR triangle counting): orient every undirected edge from its
+    lower endpoint to its higher endpoint under the total order
+    (degree, id). Each triangle then has exactly ONE apex — the node
+    ordered below both others — so enumerating wedges from oriented
+    out-edges and probing the third edge counts every triangle once,
+    and the per-node wedge fan-out is bounded by the oriented
+    out-degree, which the (degree, id) order caps at O(√m) even at
+    hub nodes: the wedge relation stays ~m^{3/2} worst-case instead of
+    Σ deg² (quadratic at a hub). Three shuffles total: degree agg,
+    wedge self-join on the apex, third-edge semi-join.
+
+    Returns a single-row DataFrame: n_nodes, n_edges, n_wedges
+    (open+closed paths of length 2 = Σ C(deg,2)), n_triangles, and the
+    global clustering coefficient 3·triangles / wedges (0 when the
+    graph has no wedge).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orient a—b from lower to higher (degree, id); carry the ordering
+    # key so wedge enumeration can canonicalize its endpoint pair.
+    oriented = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.least(F.col("e1.v"), F.col("e2.v")).alias("a"),
+        F.greatest(F.col("e1.v"), F.col("e2.v")).alias("b"),
+    )
+    tri = wedges.join(und, ["a", "b"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    out = (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+    return out

@@ -223,3 +223,58 @@ def q_attribution_last_touch(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# C110 — triangle counting / global clustering coefficient.
+# ---------------------------------------------------------------------
+
+@query(
+    "graph_triangles",
+    """
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT x AS node FROM co UNION ALL SELECT y FROM co)
+      GROUP BY 1),
+    tri AS (
+      SELECT count(*) AS t
+      FROM co e1
+      JOIN co e2 ON e2.x = e1.x AND e2.y > e1.y
+      JOIN co e3 ON e3.x = e1.y AND e3.y = e2.y),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_edges,
+             (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg)
+               AS n_wedges,
+             (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END
+             AS global_clustering
+    FROM agg
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """C110: exact triangle census of the part co-purchase graph
+    (parts co-occurring in an order are adjacent). The operator runs
+    the degree-ordered-orientation count (operators/graph
+    .triangle_stats — wedge fan-out capped at O(√m) per node, the
+    Suri & Vassilvitskii shape); the oracle enumerates triangles by
+    the naive x<y<z three-way join, so the test proves the oriented
+    plan ≡ the definition. All counts are exact integers; the
+    clustering coefficient is one IEEE division of exact integers on
+    both engines — bit-identical without rounding."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return G.triangle_stats(pairs)

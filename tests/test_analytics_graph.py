@@ -167,3 +167,54 @@ def test_time_weighted_avg_constant_series_equals_value(spark):
     df = df.selectExpr("k", "cast(ts as timestamp_ntz) as ts", "value")
     (row,) = TS.time_weighted_avg(df, keys=["k"]).collect()
     assert row["twa"] == pytest.approx(7.25)
+
+
+# ------------------------------------------------------- triangle_stats
+
+def _brute_triangles(edge_set):
+    nodes = sorted({n for e in edge_set for n in e})
+    t = 0
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) not in edge_set:
+                continue
+            for z in nodes[nodes.index(y) + 1:]:
+                if (x, z) in edge_set and (y, z) in edge_set:
+                    t += 1
+    return t
+
+
+def test_triangle_stats_known_graphs(spark):
+    # K4: 4 triangles, 6 edges, every wedge closed -> clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    (row,) = G.triangle_stats(
+        spark.createDataFrame(k4, "src int, dst int")
+    ).collect()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    assert row["n_wedges"] == 12  # 4 nodes of degree 3: 4*C(3,2)
+    assert row["global_clustering"] == pytest.approx(1.0)
+
+    # path 0-1-2-3: no triangle, 2 wedges, clustering 0; self-loops and
+    # duplicate/reversed edges must collapse away.
+    path = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 3), (2, 3)]
+    (row,) = G.triangle_stats(
+        spark.createDataFrame(path, "src int, dst int")
+    ).collect()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 3, 0)
+    assert row["n_wedges"] == 2
+    assert row["global_clustering"] == 0.0
+
+
+def test_triangle_stats_matches_brute_force_random(spark):
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(500, 2))
+        if a < b
+    }
+    (row,) = G.triangle_stats(
+        spark.createDataFrame(sorted(edges), "src int, dst int")
+    ).collect()
+    assert row["n_triangles"] == _brute_triangles(edges)
+    assert row["n_edges"] == len(edges)
