@@ -196,3 +196,63 @@ def triangle_stats(
         )
     )
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source breadth-first search over the UNDIRECTED graph of
+    ``edges``: minimum hop distance from the ``sources`` node set
+    (single-column DataFrame), the unweighted single/multi-source
+    shortest path. Unreached nodes are absent from the result;
+    ``max_hops`` bounds adversarial chain graphs exactly like
+    ``connected_components.max_iter``.
+
+    Level-synchronous frontier expansion — the Pregel BFS lowered to
+    DataFrames: each round is one equi-join of the CURRENT frontier
+    against the symmetric edge list plus an anti-join against the
+    visited set (both shuffles on the node key), so a round's cost is
+    proportional to the edges INCIDENT to the frontier, never the
+    whole graph re-scanned. The frontier-empty stop rides the round's
+    ``localCheckpoint`` materialization as an ``observe()`` metric
+    (one job per round, the connected_components discipline), and the
+    checkpoint truncates the growing union lineage.
+    """
+    from pyspark.sql import Observation
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_col = sources.columns[0]
+    visited = (
+        sources.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hop"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        obs = Observation()
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        if obs.get["n"] == 0:
+            break
+        visited = visited.union(
+            nxt.select("node", F.lit(h).alias("hop"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

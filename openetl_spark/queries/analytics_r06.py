@@ -278,3 +278,55 @@ def q_graph_triangles(spark, sf_dir):
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return G.triangle_stats(pairs)
+
+
+# ---------------------------------------------------------------------
+# C111 — multi-source BFS / unweighted shortest hops.
+# ---------------------------------------------------------------------
+
+@query(
+    "bfs_hops_parts",
+    """
+    WITH RECURSIVE co AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT x AS u, y AS v FROM co
+            UNION ALL SELECT y AS u, x AS v FROM co),
+    seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#13'),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT s.v, w.hop + 1
+      FROM walk w JOIN sym s ON w.node = s.u
+      WHERE w.hop < 4)
+    SELECT node, CAST(min(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def q_bfs_hops_parts(spark, sf_dir):
+    """C111: multi-source BFS over the part co-purchase graph — hop
+    distance from the Brand#13 seed set (unweighted shortest path;
+    level-synchronous frontier expansion, operators/graph.bfs_hops).
+    The oracle is DuckDB's WITH RECURSIVE walk with UNION dedup and
+    min(hop) per node, so the test proves the frontier/anti-join plan
+    ≡ the declarative fixpoint. Hop labels are exact integers —
+    hash-identical cross-engine with no rounding. max_hops=4 matches
+    the oracle's hop < 4 recursion guard (the dense co-purchase graph
+    saturates earlier; the bound is the determinism contract)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    out = G.bfs_hops(pairs, seeds, max_hops=4)
+    return out.select("node", F.col("hop").cast("bigint").alias("hop"))

@@ -218,3 +218,33 @@ def test_triangle_stats_matches_brute_force_random(spark):
     ).collect()
     assert row["n_triangles"] == _brute_triangles(edges)
     assert row["n_edges"] == len(edges)
+
+
+# ------------------------------------------------------------ bfs_hops
+
+def test_bfs_hops_path_graph_and_unreached(spark):
+    # 0-1-2-3-4 chain plus a disconnected 8-9 edge; seeds {0, 9}.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (8, 9)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node int")
+    got = {r["node"]: r["hop"] for r in G.bfs_hops(edges, seeds).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 8: 1, 2: 2, 3: 3, 4: 4}
+
+    # max_hops truncates: node 4 unreached at max_hops=2.
+    got2 = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 9: 0, 1: 1, 8: 1, 2: 2}
+
+
+def test_bfs_hops_isolated_seed_and_min_distance(spark):
+    # Seed 7 touches no edge: present at hop 0. Two paths to node 3
+    # (0-1-3 and 0-2-3): BFS must record the 2-hop minimum once.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "node int")
+    got = {r["node"]: r["hop"] for r in G.bfs_hops(edges, seeds).collect()}
+    assert got == {0: 0, 7: 0, 1: 1, 2: 1, 3: 2, 4: 3}
