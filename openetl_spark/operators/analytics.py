@@ -73,7 +73,11 @@ def skyline(
          want the per-bucket form anyway.
 
     Internally all criteria are maximize-form (minimized columns join
-    negated), so one kernel serves both phases.
+    negated), so one kernel serves both phases. A NULL criterion value
+    becomes NaN in the kernel, where every comparison is false: such a
+    row neither dominates nor is dominated — it is always kept
+    (incomparable), mirroring SQL's NULL comparison semantics under
+    the NOT EXISTS dominance definition.
     """
     maximize = list(maximize or [])
     minimize = list(minimize or [])

@@ -68,6 +68,8 @@ def pagerank(
     # Node count is a scalar (kilobytes at any corpus scale) — the one
     # permitted driver-side value, mirrored by the oracle's (SELECT n).
     n = float(nodes.count())
+    if n == 0:  # empty edge list: no nodes, no ranks (1/N undefined)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outw = e.groupBy("e_src").agg(F.sum("e_w").alias("ow"))
     # Per-source contribution fraction is rank-independent — compute it
     # once so each iteration joins a single prepared relation.
@@ -178,7 +180,9 @@ def triangle_stats(
     )
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        F.coalesce(  # empty graph: sum() is NULL, the wedge count is 0
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint"), F.lit(0)
+        ).alias("n_wedges"),
     )
     n_edges = und.agg(F.count("*").alias("n_edges"))
     out = (

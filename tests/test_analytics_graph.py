@@ -248,3 +248,14 @@ def test_bfs_hops_isolated_seed_and_min_distance(spark):
     seeds = spark.createDataFrame([(0,), (7,)], "node int")
     got = {r["node"]: r["hop"] for r in G.bfs_hops(edges, seeds).collect()}
     assert got == {0: 0, 7: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_empty_edge_inputs(spark):
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert G.pagerank(empty).count() == 0
+    (row,) = G.triangle_stats(empty).collect()
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"], row["global_clustering"]) == (0, 0, 0, 0, 0.0)
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["hop"] for r in G.bfs_hops(empty, seeds).collect()}
+    assert got == {1: 0}  # seed with no edges: hop 0, nothing else
