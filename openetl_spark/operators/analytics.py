@@ -49,28 +49,29 @@ def skyline(
     df: DataFrame,
     maximize: list[str] | None = None,
     minimize: list[str] | None = None,
-    buckets: int = 64,
 ) -> DataFrame:
     """Distributed skyline (Pareto frontier): the rows not dominated by
     any other row, maximizing ``maximize`` columns and minimizing
     ``minimize`` columns simultaneously.
 
     Two-phase distributed plan (the MR-BNL shape, Börzsönyi-style BNL
-    per partition):
-      1. LOCAL PRUNE — rows are hash-bucketed (``buckets`` groups) and
-         each bucket computes its own skyline with applyInPandas. A
-         globally dominated row is also dominated within any subset
-         containing its dominator only if they share a bucket — but the
-         converse holds: every GLOBAL skyline row survives its bucket's
-         local skyline, so phase 1 loses nothing and discards the
-         overwhelming bulk (expected frontier of a d-dim random bucket
-         is O(log^{d-1} n) rows).
-      2. MERGE — the surviving candidates (union of bucket frontiers,
+    per slice):
+      1. LOCAL PRUNE — ``mapInPandas`` computes a local skyline per
+         Arrow batch, in place on the scan partitions: NO shuffle, no
+         cap on parallelism, and per-task memory bounded by the Arrow
+         batch size regardless of corpus size (review r06 replaced a
+         fixed-64-bucket groupBy that both shuffled the whole input
+         and funneled it into 64 tasks). Pruning any SUBSET is safe:
+         every global skyline row is undominated in its batch too, so
+         phase 1 loses nothing and discards the overwhelming bulk
+         (expected frontier of a d-dim random slice is O(log^{d-1} n)
+         rows).
+      2. MERGE — the surviving candidates (union of batch frontiers,
          small by construction) collapse to one group for an exact
          skyline pass. Worst case (fully anti-correlated data) the
          skyline IS O(n) and no algorithm returns a small answer; for
          that data shape the result itself is corpus-sized and callers
-         want the per-bucket form anyway.
+         want the phase-1 per-slice form anyway.
 
     Internally all criteria are maximize-form (minimized columns join
     negated), so one kernel serves both phases. A NULL criterion value
@@ -84,6 +85,9 @@ def skyline(
     if not maximize and not minimize:
         raise ValueError("skyline needs at least one criterion")
     crit = [f"__sk{i}" for i in range(len(maximize) + len(minimize))]
+    clash = [c for c in df.columns if c in crit or c == "__sk_g"]
+    if clash:
+        raise ValueError(f"skyline reserves column names {clash}")
     aug = df
     for c, name in zip(maximize, crit):
         aug = aug.withColumn(name, F.col(c).cast("double"))
@@ -91,16 +95,19 @@ def skyline(
         aug = aug.withColumn(name, -F.col(c).cast("double"))
     schema: StructType = aug.schema
 
-    def sky(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _local_skyline(pdf, crit)
+    def prune(batches):
+        for pdf in batches:
+            yield _local_skyline(pdf, crit)
 
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
-    local = (
-        aug.withColumn("__bkt", bucket)
-        .groupBy("__bkt")
-        .applyInPandas(lambda _, pdf: sky(pdf.drop(columns="__bkt")), schema)
-    )
-    merged = local.withColumn("__bkt", F.lit(0)).groupBy("__bkt").applyInPandas(
-        lambda _, pdf: sky(pdf.drop(columns="__bkt")), schema
+    local = aug.mapInPandas(prune, schema)
+    # A bare groupBy(lit(0)) trips Spark 4's ordinal resolution inside
+    # flatMapGroupsInPandas — group on an explicit constant column.
+    merged = (
+        local.withColumn("__sk_g", F.lit(0))
+        .groupBy("__sk_g")
+        .applyInPandas(
+            lambda _, pdf: _local_skyline(pdf.drop(columns="__sk_g"), crit),
+            schema,
+        )
     )
     return merged.drop(*crit)

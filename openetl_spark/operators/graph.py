@@ -43,6 +43,12 @@ def pagerank(
 
     ``edges`` is a directed edge list; ``weight`` (optional) weights
     each edge, default 1.0. Multi-edges are legal — their weights add.
+    Edges with NULL or non-positive weight are DROPPED up front: a
+    zero-weight edge carries no rank mass, but counting its source as
+    having out-edges would make the normalization 0/0 → NaN poison
+    (and NULLs would silently leak mass past the dangling-node
+    redistribution). A node whose every out-edge is dropped is a
+    dangling node; a node touched only by dropped edges is absent.
     Fixed iteration count rather than convergence detection: the
     per-round delta is a float (unlike the integral label sum in
     connected_components), so a tolerance-based stop would make the
@@ -56,9 +62,13 @@ def pagerank(
         if weight is not None
         else F.lit(1.0)
     )
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
-    ).localCheckpoint()
+    e = (
+        edges.select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
+        )
+        .filter(F.col("e_w") > 0)  # NULL/zero/negative: see docstring
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))
@@ -76,7 +86,9 @@ def pagerank(
     frac = e.join(outw, "e_src").select(
         "e_src", "e_dst", (F.col("e_w") / F.col("ow")).alias("frac")
     ).localCheckpoint()
-    has_out = frac.select(F.col("e_src").alias("node")).distinct()
+    # Materialized once: it sits inside every round's dangling-mass
+    # anti-join, and left lazy the distinct would re-run per round.
+    has_out = frac.select(F.col("e_src").alias("node")).distinct().localCheckpoint()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iters):

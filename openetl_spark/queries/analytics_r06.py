@@ -226,16 +226,41 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# The part co-purchase graph — the ONE edge definition the triangle and
+# BFS queries share, on both engines (the jaccard_ctes() single-source
+# discipline: a future change to the graph — a quantity filter, a
+# de-skew — edits exactly one Spark builder and one SQL fragment).
+# ---------------------------------------------------------------------
+
+# Canonical x < y co-occurrence pairs of parts within an order.
+CO_PURCHASE_CTE = """co AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+def co_purchase_edges(spark, sf_dir):
+    """Spark twin of CO_PURCHASE_CTE (raw pairs; the graph operators
+    canonicalize/dedup internally)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+
+
+# ---------------------------------------------------------------------
 # C110 — triangle counting / global clustering coefficient.
 # ---------------------------------------------------------------------
 
 @query(
     "graph_triangles",
-    """
-    WITH co AS (
-      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    f"""
+    WITH {CO_PURCHASE_CTE},
     deg AS (
       SELECT node, count(*) AS d
       FROM (SELECT x AS node FROM co UNION ALL SELECT y FROM co)
@@ -268,16 +293,7 @@ def q_graph_triangles(spark, sf_dir):
     plan ≡ the definition. All counts are exact integers; the
     clustering coefficient is one IEEE division of exact integers on
     both engines — bit-identical without rounding."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
-    return G.triangle_stats(pairs)
+    return G.triangle_stats(co_purchase_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------
@@ -286,11 +302,8 @@ def q_graph_triangles(spark, sf_dir):
 
 @query(
     "bfs_hops_parts",
-    """
-    WITH RECURSIVE co AS (
-      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    f"""
+    WITH RECURSIVE {CO_PURCHASE_CTE},
     sym AS (SELECT x AS u, y AS v FROM co
             UNION ALL SELECT y AS u, x AS v FROM co),
     seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#13'),
@@ -314,19 +327,10 @@ def q_bfs_hops_parts(spark, sf_dir):
     hash-identical cross-engine with no rounding. max_hops=4 matches
     the oracle's hop < 4 recursion guard (the dense co-purchase graph
     saturates earlier; the bound is the determinism contract)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
     seeds = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#13")
         .select("p_partkey")
     )
-    out = G.bfs_hops(pairs, seeds, max_hops=4)
+    out = G.bfs_hops(co_purchase_edges(spark, sf_dir), seeds, max_hops=4)
     return out.select("node", F.col("hop").cast("bigint").alias("hop"))

@@ -99,9 +99,14 @@ def _brute_skyline(rows, maxs, mins):
     }
 
 
-@pytest.mark.parametrize("shape", ["independent", "anticorrelated", "dupes"])
+_SHAPE_SEEDS = {"independent": 3, "anticorrelated": 4, "dupes": 5}
+
+
+@pytest.mark.parametrize("shape", sorted(_SHAPE_SEEDS))
 def test_skyline_matches_brute_force(spark, shape):
-    rng = np.random.default_rng(hash(shape) % 2**32)
+    # Fixed per-shape seeds: hash(str) is randomized per process, which
+    # would make a failing dataset unreproducible (review r06).
+    rng = np.random.default_rng(_SHAPE_SEEDS[shape])
     n = 400
     x = rng.integers(0, 60, n)
     if shape == "anticorrelated":
@@ -115,7 +120,7 @@ def test_skyline_matches_brute_force(spark, shape):
         {"id": i, "price": float(x[i]), "size": int(y[i])} for i in range(n)
     ]
     df = spark.createDataFrame(rows)
-    got = A.skyline(df, maximize=["size"], minimize=["price"], buckets=16)
+    got = A.skyline(df, maximize=["size"], minimize=["price"])
     got_ids = {r["id"] for r in got.collect()}
     assert got_ids == _brute_skyline(rows, maxs=["size"], mins=["price"])
 
@@ -133,6 +138,8 @@ def test_skyline_three_criteria_and_duplicates_kept(spark):
     assert got == {0, 1, 2, 4}
     with pytest.raises(ValueError):
         A.skyline(df)
+    with pytest.raises(ValueError, match="reserves"):
+        A.skyline(df.withColumnRenamed("c", "__sk0"), maximize=["a", "b"])
 
 
 def test_local_skyline_kernel_empty_and_single():
@@ -259,3 +266,46 @@ def test_empty_edge_inputs(spark):
     seeds = spark.createDataFrame([(1,)], "node int")
     got = {r["node"]: r["hop"] for r in G.bfs_hops(empty, seeds).collect()}
     assert got == {1: 0}  # seed with no edges: hop 0, nothing else
+
+
+def test_pagerank_drops_nonpositive_and_null_weights(spark):
+    """A source whose only out-edges have weight 0/NULL is DANGLING,
+    not a NaN factory (0/0 normalization) or a mass leak (NULLs)."""
+    dirty = spark.createDataFrame(
+        [(0, 1, 0.0), (0, 2, None), (1, 2, 1.0), (2, 1, 1.0)],
+        "src int, dst int, w double",
+    )
+    got = {r["node"]: r["rank"] for r in G.pagerank(dirty, "src", "dst", "w", iters=4).collect()}
+    clean = spark.createDataFrame(
+        [(0, 1, 0.0), (1, 2, 1.0), (2, 1, 1.0)], "src int, dst int, w double"
+    )
+    want = {r["node"]: r["rank"] for r in G.pagerank(clean, "src", "dst", "w", iters=4).collect()}
+    assert got == want                       # NULL edge fully ignored
+    assert all(np.isfinite(v) for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-12  # node 0 treated as dangling
+
+
+def test_skyline_phase1_prunes_before_any_exchange(spark, sf_dir):
+    """Scale posture: the phase-1 local prune must run in place on the
+    scan partitions — the only Exchange in the plan is the survivor
+    shuffle ABOVE the MapInPandas (review r06 replaced a fixed-bucket
+    groupBy that shuffled the whole corpus into 64 tasks)."""
+    import re
+
+    from openetl_spark import catalog
+
+    plan = (
+        catalog.QUERIES["skyline_parts"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    map_ids = [int(m) for m in re.findall(r"MapInPandas \((\d+)\)", plan)]
+    ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert map_ids, plan
+    # Formatted-plan numbering is bottom-up: a node below another has a
+    # smaller id. Every Exchange must sit above the phase-1 map.
+    assert all(e > min(map_ids) for e in ex_ids), (map_ids, ex_ids)
