@@ -1,7 +1,8 @@
 """Graph / multi-criteria / interval analytics (r06, third session):
-pagerank_nations (iterative graph family — first-class next to
-connected components), skyline_parts (Pareto frontier), time-weighted
-averages and last-touch attribution over the event stream.
+the graph family (pagerank_nations, graph_triangles, bfs_hops_parts —
+first-class next to connected components), skyline_parts (Pareto
+frontier), and time-weighted averages + last-touch attribution over
+the event stream.
 
 Importing this module REGISTERS its queries into the shared
 QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
