@@ -252,3 +252,66 @@ def streaming_rollup_cells(
         .select(F.col("_w.start").alias("bucket_start"), *keys,
                 "n_events", "sum_value", "min_value", "max_value")
     )
+
+
+TWA_SCHEMA = "user_id bigint, twa double, span_s bigint"
+TWA_STATE_SCHEMA = "last_ts bigint, last_v double, wsum double, dtsum bigint"
+
+
+def streaming_time_weighted(stream: DataFrame) -> DataFrame:
+    """C24×C108: streaming twin of timeseries.time_weighted_avg — the
+    per-key LOCF integral as an applyInPandasWithState accumulator.
+    State per user is four scalars (last observation's epoch-µs and
+    value, the running Σ value·Δt and Σ Δt); each micro-batch folds its
+    rows in (ts, event_id) order into the state and emits the running
+    time-weighted average. Σ Δt is monotone nondecreasing, so the
+    freshest emission per key is the one with the largest span — the
+    batch-parity test keys on that. Keys still holding a single
+    observation have Δt-sum 0 and emit nothing (the batch operator
+    drops them too: a TWA over a zero-length interval is undefined).
+
+    Micro-batch boundaries are invisible to the integral: the fold only
+    ever looks at consecutive observations per key, so streamed ≡ batch
+    whenever per-key arrival respects event-time order (the file-replay
+    harness pins that; a production source uses watermarked reordering
+    upstream or accepts LOCF over the arrival order).
+    """
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        last_ts, last_v, wsum, dtsum = (
+            state.get if state.exists else (-1, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            for mu, v in (
+                pdf.sort_values(["mu", "event_id"])[["mu", "value"]].itertuples(
+                    index=False
+                )
+            ):
+                if last_ts >= 0:
+                    dt = int(mu) - last_ts
+                    wsum += last_v * dt
+                    dtsum += dt
+                last_ts, last_v = int(mu), float(v)
+        state.update((last_ts, last_v, wsum, dtsum))
+        if dtsum > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "twa": [wsum / dtsum],
+                    "span_s": [dtsum // 1_000_000],
+                }
+            )
+
+    return (
+        stream.select(
+            "user_id", F.unix_micros("ts").alias("mu"), "value", "event_id"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TWA_SCHEMA,
+            stateStructType=TWA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -253,3 +253,37 @@ def test_streaming_rollup_cells_match_batch_and_reaggregate(spark, sf_dir, strea
         ).collect()
     }
     assert derived == direct
+
+
+def test_streaming_time_weighted_matches_batch(spark, sf_dir, stream_dir):
+    """C108 streaming parity: the stateful LOCF accumulator over
+    time-ordered micro-batches must converge to the batch
+    time_weighted_avg exactly (span integers equal; the float integral
+    to sequential-vs-tree summation tolerance)."""
+    from openetl_spark.operators import timeseries as TS
+
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(
+        ops.streaming_time_weighted(stream), "t_twa", "update"
+    )
+    rows = spark.sql("SELECT * FROM t_twa").collect()
+    assert rows
+    final = {}
+    for r in rows:  # freshest emission per key = largest span
+        cur = final.get(r["user_id"])
+        if cur is None or r["span_s"] >= cur["span_s"]:
+            final[r["user_id"]] = r
+    batch_src = catalog.load(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: r
+        for r in TS.time_weighted_avg(
+            # round_dp=12: the operator's 6dp presentation rounding
+            # would mask (or fake) disagreement at the tolerance below
+            batch_src, keys=["user_id"], order_tiebreak=["event_id"], round_dp=12
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert s["span_s"] == b["span_s"]
+        assert s["twa"] == pytest.approx(b["twa"], rel=1e-9)
