@@ -272,3 +272,64 @@ def bfs_hops(
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of the degrees at the two ends of every edge of the
+    undirected simple graph, each edge contributing both orientations
+    (the standard symmetric form, so the marginal moments of the two
+    endpoints coincide). Positive = hubs attach to hubs (social
+    graphs), negative = hubs attach to leaves (technological graphs).
+
+    Shape: degree agg, two broadcast-or-hash joins onto the symmetric
+    edge list, ONE moment aggregate — every moment is an exact integer
+    sum (degrees are ints; Σ d_u·d_v over the edge list fits a long at
+    any realistic graph size), so both engines cast identical integers
+    to double and the closed-form r is bit-deterministic before its
+    presentation rounding. Returns one row: n_edges, assortativity
+    (NULL on degree-regular graphs, where the variance is 0).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    pairs = (
+        sym.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "da"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "db"), "v")
+        .select("da", "db")
+    )
+    m = pairs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("da").cast("double").alias("sx"),
+        F.sum(F.col("da") * F.col("da")).cast("double").alias("sxx"),
+        F.sum(F.col("da") * F.col("db")).cast("double").alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            denom > 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")) / denom, 6
+            ),
+        ).alias("assortativity"),
+    )

@@ -335,3 +335,41 @@ def q_bfs_hops_parts(spark, sf_dir):
     )
     out = G.bfs_hops(co_purchase_edges(spark, sf_dir), seeds, max_hops=4)
     return out.select("node", F.col("hop").cast("bigint").alias("hop"))
+
+
+# ---------------------------------------------------------------------
+# C112 — degree assortativity.
+# ---------------------------------------------------------------------
+
+@query(
+    "graph_assortativity",
+    f"""
+    WITH {CO_PURCHASE_CTE},
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT x AS node FROM co UNION ALL SELECT y FROM co)
+      GROUP BY 1),
+    sym AS (SELECT x AS u, y AS v FROM co
+            UNION ALL SELECT y AS u, x AS v FROM co),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(d1.d) AS DOUBLE) AS sx,
+             CAST(sum(d1.d * d1.d) AS DOUBLE) AS sxx,
+             CAST(sum(d1.d * d2.d) AS DOUBLE) AS sxy
+      FROM sym s
+      JOIN deg d1 ON s.u = d1.node
+      JOIN deg d2 ON s.v = d2.node)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
+           END AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark, sf_dir):
+    """C112: degree assortativity of the part co-purchase graph
+    (operators/graph.degree_assortativity — Newman 2002 symmetric
+    form). Every moment is an exact integer sum cast to double, so
+    both engines evaluate the identical closed form; the oracle
+    recomputes it relationally from the shared CO_PURCHASE_CTE."""
+    return G.degree_assortativity(co_purchase_edges(spark, sf_dir))

@@ -309,3 +309,18 @@ def test_skyline_phase1_prunes_before_any_exchange(spark, sf_dir):
     # Formatted-plan numbering is bottom-up: a node below another has a
     # smaller id. Every Exchange must sit above the phase-1 map.
     assert all(e > min(map_ids) for e in ex_ids), (map_ids, ex_ids)
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    # Star K1,3: hub degree 3, leaves degree 1 -> perfectly
+    # disassortative, r = -1 exactly from the integer moments.
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src int, dst int")
+    (row,) = G.degree_assortativity(star).collect()
+    assert row["n_edges"] == 3
+    assert row["assortativity"] == pytest.approx(-1.0)
+    # Degree-regular graph (K4): zero degree variance -> NULL.
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src int, dst int"
+    )
+    (row,) = G.degree_assortativity(k4).collect()
+    assert row["n_edges"] == 6 and row["assortativity"] is None

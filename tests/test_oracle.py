@@ -66,7 +66,7 @@ def test_driver_priority_window_integrity():
                      "recursive_cte_tree", "variant_funcs", "lateral_join_topn",
                      "pagerank_nations", "skyline_parts", "time_weighted_avg",
                      "attribution_last_touch", "graph_triangles",
-                     "bfs_hops_parts",
+                     "bfs_hops_parts", "graph_assortativity",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
