@@ -324,3 +324,65 @@ def test_degree_assortativity_star_and_regular(spark):
     )
     (row,) = G.degree_assortativity(k4).collect()
     assert row["n_edges"] == 6 and row["assortativity"] is None
+
+
+# --------------------------------------------------- property sweeps
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.integers(1, 3).flatmap(
+        lambda d: st.lists(
+            st.tuples(*([st.integers(0, 6)] * d)),  # tiny range: dense ties
+            min_size=0,
+            max_size=60,
+        )
+    )
+)
+def test_local_skyline_kernel_matches_brute_force(points):
+    """The pandas BNL kernel (the single piece both distributed phases
+    share) against the O(n²) dominance definition, over tie-dense
+    random point sets in 1–3 dimensions."""
+    d = len(points[0]) if points else 2
+    crit = [f"s{i}" for i in range(d)]
+    pdf = pd.DataFrame(points, columns=crit)
+    pdf["rid"] = range(len(pdf))
+    got = set(A._local_skyline(pdf, crit)["rid"])
+    want = {
+        i
+        for i, p in enumerate(points)
+        if not any(
+            all(qc >= pc for qc, pc in zip(q, p))
+            and any(qc > pc for qc, pc in zip(q, p))
+            for q in points
+        )
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("damping,iters", [(0.5, 3), (0.85, 5), (0.99, 7)])
+def test_pagerank_parameter_sweep_vs_numpy(spark, damping, iters):
+    rng = np.random.default_rng(19)
+    n = 10
+    edges = [
+        (int(s), int(d), float(rng.integers(1, 5)))
+        for s in range(n - 1)  # node n-1 dangling
+        for d in rng.choice(n, size=3, replace=False)
+        if d != s
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, "src", "dst", "w", damping=damping, iters=iters).collect()
+    }
+    want = _numpy_pagerank(edges, n, damping=damping, iters=iters)
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], abs=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
