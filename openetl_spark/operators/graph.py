@@ -32,6 +32,7 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iters: int = 5,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank by ``iters`` rounds of power iteration.
 
@@ -54,6 +55,15 @@ def pagerank(
     connected_components), so a tolerance-based stop would make the
     OUTPUT depend on float summation order; a fixed ``iters`` keeps
     the result deterministic and cross-engine comparable.
+
+    ``teleport`` (optional) personalizes the walk (Page et al.'s
+    personalized PageRank): a (node, p) DataFrame giving the restart
+    distribution — the (1-d) restart mass AND the dangling mass both
+    land on p instead of uniformly. p must cover graph nodes and sum
+    to 1 (graph nodes absent from ``teleport`` get p = 0; teleport
+    rows for nodes outside the graph are ignored, so mass put there
+    is silently lost — keep p on graph nodes). The default (None) is
+    the uniform p = 1/N, i.e. classic PageRank.
 
     Returns (node, rank) over all nodes appearing as a src or dst.
     """
@@ -90,7 +100,22 @@ def pagerank(
     # anti-join, and left lazy the distinct would re-run per round.
     has_out = frac.select(F.col("e_src").alias("node")).distinct().localCheckpoint()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # (node, p) restart distribution: uniform 1/N, or the caller's
+    # personalization vector left-joined onto the graph's node set.
+    if teleport is None:
+        base = nodes.select("node", F.lit(1.0 / n).alias("p"))
+    else:
+        t_node, t_p = teleport.columns[0], teleport.columns[1]
+        base = nodes.join(
+            teleport.select(
+                F.col(t_node).alias("node"), F.col(t_p).cast("double").alias("p")
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+    base = base.localCheckpoint()
+
+    ranks = base.select("node", "p", F.col("p").alias("rank")).localCheckpoint()
     for _ in range(iters):
         # Dangling mass: 1-row relation, broadcast cross-joined so the
         # whole round stays one lazy plan (no per-round collect).
@@ -104,22 +129,23 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["e_dst"], "left")
+            base.join(contrib, base["node"] == contrib["e_dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "p",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("p")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dang") / F.lit(n)
+                        + F.col("dang") * F.col("p")
                     )
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_stats(

@@ -32,16 +32,26 @@ from openetl_spark.queries.base import load, query
 # ---------------------------------------------------------------------
 
 
-def pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+_TELE_UNIFORM = "SELECT node, 1.0 / (SELECT n FROM nn) AS p FROM nodes"
+
+
+def pagerank_oracle(
+    iters: int = 5, damping: float = 0.85, tele_sql: str = _TELE_UNIFORM
+) -> str:
     """Unrolled-CTE PageRank oracle over the nation trade graph.
 
     One parameterized builder (the jaccard_ctes()/winnow_oracle()
     discipline) so the Spark operator's parameters appear exactly once.
-    The (1-d) literal is rendered with repr() so DuckDB parses the very
+    ``tele_sql`` is the restart-distribution relation (node, p) — the
+    uniform 1/N default is classic PageRank; a seed-uniform relation
+    makes it personalized. Both the (1-d) restart and the dangling
+    mass multiply p, exactly as the Spark operator computes, so the
+    engines stay bit-identical before the shared 6dp floor-round. The
+    (1-d) literal is rendered with repr() so DuckDB parses the very
     double Python computed for the Spark side (1 - 0.85 is not 0.15 in
     binary; rendering '0.15' would diverge in the 17th digit).
     """
-    base = """
+    base = f"""
 WITH edges AS (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(count(*) AS DOUBLE) AS w
@@ -55,21 +65,22 @@ nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
 frac AS (SELECT e.src, e.dst, e.w / o.ow AS frac
          FROM edges e JOIN outw o ON e.src = o.src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+tele AS ({tele_sql}),
+r0 AS (SELECT node, p AS pr FROM tele)"""
     prev = "r0"
     for i in range(1, iters + 1):
         base += f""",
 d{i} AS (SELECT COALESCE(sum(r.pr), 0) AS dang FROM {prev} r
          WHERE r.node NOT IN (SELECT src FROM outw)),
 r{i} AS (
-  SELECT nd.node,
-         {(1.0 - damping)!r} / (SELECT n FROM nn)
+  SELECT t.node,
+         {(1.0 - damping)!r} * t.p
          + {damping!r} * (COALESCE(c.contrib, 0)
-                          + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS pr
-  FROM nodes nd LEFT JOIN (
+                          + (SELECT dang FROM d{i}) * t.p) AS pr
+  FROM tele t LEFT JOIN (
     SELECT f.dst AS node, sum(r.pr * f.frac) AS contrib
     FROM {prev} r JOIN frac f ON r.node = f.src GROUP BY 1) c
-  ON nd.node = c.node)"""
+  ON t.node = c.node)"""
         prev = f"r{i}"
     return base + f"""
 SELECT n.n_name, floor(r.pr * 1000000.0 + 0.5) / 1000000.0 AS pr
@@ -102,6 +113,56 @@ def q_pagerank_nations(spark, sf_dir):
         .agg(F.count("*").cast("double").alias("w"))
     )
     ranks = G.pagerank(edges, "src", "dst", "w", damping=0.85, iters=5)
+    return ranks.join(
+        F.broadcast(nat), ranks["node"] == nat["n_nationkey"]
+    ).select("n_name", _round_fixed(F.col("rank"), 6).alias("pr"))
+
+
+# ---------------------------------------------------------------------
+# C113 — personalized PageRank (teleport to a seed distribution).
+# ---------------------------------------------------------------------
+
+_TELE_REGION0 = """
+SELECT nd.node,
+       CASE WHEN s.node IS NOT NULL
+            THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE)
+                        FROM nation WHERE n_regionkey = 0)
+            ELSE 0.0 END AS p
+FROM nodes nd
+LEFT JOIN (SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0) s
+  ON nd.node = s.node"""
+
+
+@query("personalized_pagerank", pagerank_oracle(tele_sql=_TELE_REGION0))
+def q_personalized_pagerank(spark, sf_dir):
+    """C113: personalized PageRank on the same nation trade graph —
+    the restart distribution is uniform over region-0 nations instead
+    of all nodes, so ranks measure proximity to that seed set (the
+    recommendation/trust-propagation form of C106). Same operator,
+    same parameterized oracle builder: only the teleport relation
+    differs, on both engines. The seed-set size is a region-cardinality
+    scalar; dangling mass also restarts on the seeds (the standard
+    personalized completion, matching the operator)."""
+    nat = load(spark, sf_dir, "nation")
+    seeds = nat.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("node")
+    )
+    k = seeds.count()  # region-sized scalar, mirrored by the oracle subquery
+    tele = seeds.select("node", F.lit(1.0 / k).alias("p"))
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = G.pagerank(edges, "src", "dst", "w", damping=0.85, iters=5, teleport=tele)
     return ranks.join(
         F.broadcast(nat), ranks["node"] == nat["n_nationkey"]
     ).select("n_name", _round_fixed(F.col("rank"), 6).alias("pr"))

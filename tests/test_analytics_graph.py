@@ -386,3 +386,40 @@ def test_pagerank_parameter_sweep_vs_numpy(spark, damping, iters):
     for node, rank in got.items():
         assert rank == pytest.approx(want[node], abs=1e-12)
     assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """Teleport generalization vs an extended numpy reference: restart
+    AND dangling mass land on the seed distribution; non-seed nodes
+    get rank only through links."""
+    rng = np.random.default_rng(23)
+    n = 10
+    edges = [
+        (int(s), int(d), float(rng.integers(1, 5)))
+        for s in range(n - 1)  # node n-1 dangling
+        for d in rng.choice(n, size=3, replace=False)
+        if d != s
+    ]
+    seeds = [0, 3]
+    p = np.zeros(n)
+    p[seeds] = 1.0 / len(seeds)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[s, d] += wt
+    out = w.sum(axis=1)
+    r = p.copy()
+    for _ in range(5):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * w[s] / out[s]
+        r = 0.15 * p + 0.85 * (contrib + r[out == 0].sum() * p)
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    tele = spark.createDataFrame([(s, 0.5) for s in seeds], "node int, p double")
+    got = {
+        row["node"]: row["rank"]
+        for row in G.pagerank(df, "src", "dst", "w", teleport=tele).collect()
+    }
+    for node, rank in got.items():
+        assert rank == pytest.approx(r[node], abs=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-12  # mass conserved on seeds
