@@ -374,7 +374,11 @@ def test_jpeg_roundtrip_property(w, h, quality, sub, progressive, seed):
     for c in range(3):
         ax, ay = rng.uniform(-1, 1, 2)
         off = rng.uniform(0, 255)
-        g = off + ax * xx * (200.0 / max(w, 1)) + ay * yy * (200.0 / max(h, 1))
+        # Bound the PER-PIXEL step, not the per-image span: 200/max(w,1)
+        # made a 2-px-wide ramp step by up to 100/px — a sharp edge, not
+        # smooth content — and 4:2:0 chroma averaging then legitimately
+        # misses the bound (hypothesis found w=2,h=1,q=60,sub=420).
+        g = off + ax * xx * (200.0 / max(w, 16)) + ay * yy * (200.0 / max(h, 16))
         img[..., c] = np.clip(g, 0, 255)
     img = img.astype(np.uint8)
     src = img[..., 0] if sub == "gray" else img
