@@ -106,13 +106,19 @@ def pagerank(
         base = nodes.select("node", F.lit(1.0 / n).alias("p"))
     else:
         t_node, t_p = teleport.columns[0], teleport.columns[1]
-        base = nodes.join(
+        # Aggregate first: a duplicate node row in the personalization
+        # vector would otherwise fan out every downstream rank row and
+        # silently inflate total mass (review r06). Duplicate masses add.
+        tele = (
             teleport.select(
                 F.col(t_node).alias("node"), F.col(t_p).cast("double").alias("p")
-            ),
-            "node",
-            "left",
-        ).select("node", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+            )
+            .groupBy("node")
+            .agg(F.sum("p").alias("p"))
+        )
+        base = nodes.join(tele, "node", "left").select(
+            "node", F.coalesce(F.col("p"), F.lit(0.0)).alias("p")
+        )
     base = base.localCheckpoint()
 
     ranks = base.select("node", "p", F.col("p").alias("rank")).localCheckpoint()
@@ -148,6 +154,30 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def _undirected_simple(edges: DataFrame, src: str, dst: str):
+    """(und, deg) of the undirected simple graph induced by ``edges``:
+    canonical a<b pairs (self-loops dropped, multi/reversed edges
+    collapsed, materialized once) and per-node degrees. Shared by
+    triangle_stats and degree_assortativity so the normalization can
+    never diverge between them."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return und, deg
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",
@@ -174,21 +204,7 @@ def triangle_stats(
     global clustering coefficient 3·triangles / wedges (0 when the
     graph has no wedge).
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    und, deg = _undirected_simple(edges, src, dst)
     # Orient a—b from lower to higher (degree, id); carry the ordering
     # key so wedge enumeration can canonicalize its endpoint pair.
     oriented = (
@@ -320,21 +336,7 @@ def degree_assortativity(
     presentation rounding. Returns one row: n_edges, assortativity
     (NULL on degree-regular graphs, where the variance is 0).
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    und, deg = _undirected_simple(edges, src, dst)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -350,12 +352,15 @@ def degree_assortativity(
         F.sum(F.col("da") * F.col("db")).cast("double").alias("sxy"),
     )
     denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")) / denom
+    # Sign-aware fixed rounding (r can be negative, so _round_fixed's
+    # nonnegative form is extended with signum): engine round() HALF_UPs
+    # the decimal rendering on Spark but rounds the binary double in
+    # DuckDB, and a ratio of integer moments CAN land on an exact .5
+    # decimal boundary (the 2^a·5^b-denominator class) — the oracle
+    # renders the identical sign/floor form.
+    rounded = F.signum(r) * F.floor(F.abs(r) * 1e6 + F.lit(0.5)) / 1e6
     return m.select(
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
-        F.when(
-            denom > 0,
-            F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")) / denom, 6
-            ),
-        ).alias("assortativity"),
+        F.when(denom > 0, rounded).alias("assortativity"),
     )

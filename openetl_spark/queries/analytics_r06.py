@@ -422,7 +422,9 @@ def q_bfs_hops_parts(spark, sf_dir):
       JOIN deg d2 ON s.v = d2.node)
     SELECT CAST(n / 2 AS BIGINT) AS n_edges,
            CASE WHEN n * sxx - sx * sx > 0
-                THEN round((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
+                THEN sign((n * sxy - sx * sx) / (n * sxx - sx * sx))
+                     * floor(abs((n * sxy - sx * sx) / (n * sxx - sx * sx))
+                             * 1000000.0 + 0.5) / 1000000.0
            END AS assortativity
     FROM m
     """,

@@ -254,8 +254,10 @@ def streaming_rollup_cells(
     )
 
 
-TWA_SCHEMA = "user_id bigint, twa double, span_s bigint"
-TWA_STATE_SCHEMA = "last_ts bigint, last_v double, wsum double, dtsum bigint"
+TWA_SCHEMA = "user_id bigint, twa double, span_us bigint"
+TWA_STATE_SCHEMA = (
+    "has_last boolean, last_ts bigint, last_v double, wsum double, dtsum bigint"
+)
 
 
 def streaming_time_weighted(stream: DataFrame) -> DataFrame:
@@ -264,11 +266,19 @@ def streaming_time_weighted(stream: DataFrame) -> DataFrame:
     State per user is four scalars (last observation's epoch-µs and
     value, the running Σ value·Δt and Σ Δt); each micro-batch folds its
     rows in (ts, event_id) order into the state and emits the running
-    time-weighted average. Σ Δt is monotone nondecreasing, so the
-    freshest emission per key is the one with the largest span — the
-    batch-parity test keys on that. Keys still holding a single
-    observation have Δt-sum 0 and emit nothing (the batch operator
-    drops them too: a TWA over a zero-length interval is undefined).
+    time-weighted average. Σ Δt (emitted in exact microseconds) is
+    strictly increasing across emissions, so the freshest emission per
+    key is the one with the largest span_us — the batch-parity test
+    keys on that (a whole-second rendering could TIE across batches
+    and make "freshest" ambiguous; review r06). Keys still holding a
+    single observation have Δt-sum 0 and emit nothing (the batch
+    operator drops them too: a TWA over a zero-length interval is
+    undefined). A group's micro-batch rows arrive as MULTIPLE pandas
+    chunks with no cross-chunk ordering (Arrow batch size), so the
+    fold concatenates and sorts once per batch — per-key batch volume
+    is the working set, the same bound the batch window carries. The
+    "no previous observation" marker is an explicit state boolean,
+    not a timestamp sentinel (pre-1970 events have negative µs).
 
     Micro-batch boundaries are invisible to the integral: the fold only
     ever looks at consecutive observations per key, so streamed ≡ batch
@@ -278,27 +288,24 @@ def streaming_time_weighted(stream: DataFrame) -> DataFrame:
     """
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
-        last_ts, last_v, wsum, dtsum = (
-            state.get if state.exists else (-1, 0.0, 0.0, 0)
+        has_last, last_ts, last_v, wsum, dtsum = (
+            state.get if state.exists else (False, 0, 0.0, 0.0, 0)
         )
-        for pdf in pdfs:
-            for mu, v in (
-                pdf.sort_values(["mu", "event_id"])[["mu", "value"]].itertuples(
-                    index=False
-                )
-            ):
-                if last_ts >= 0:
-                    dt = int(mu) - last_ts
-                    wsum += last_v * dt
-                    dtsum += dt
-                last_ts, last_v = int(mu), float(v)
-        state.update((last_ts, last_v, wsum, dtsum))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ordered = batch.sort_values(["mu", "event_id"])[["mu", "value"]]
+        for mu, v in ordered.itertuples(index=False):
+            if has_last:
+                dt = int(mu) - last_ts
+                wsum += last_v * dt
+                dtsum += dt
+            has_last, last_ts, last_v = True, int(mu), float(v)
+        state.update((has_last, last_ts, last_v, wsum, dtsum))
         if dtsum > 0:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "twa": [wsum / dtsum],
-                    "span_s": [dtsum // 1_000_000],
+                    "span_us": [dtsum],
                 }
             )
 

@@ -269,9 +269,9 @@ def test_streaming_time_weighted_matches_batch(spark, sf_dir, stream_dir):
     rows = spark.sql("SELECT * FROM t_twa").collect()
     assert rows
     final = {}
-    for r in rows:  # freshest emission per key = largest span
+    for r in rows:  # freshest emission per key = largest exact µs span
         cur = final.get(r["user_id"])
-        if cur is None or r["span_s"] >= cur["span_s"]:
+        if cur is None or r["span_us"] > cur["span_us"]:
             final[r["user_id"]] = r
     batch_src = catalog.load(spark, sf_dir, "events")
     batch = {
@@ -285,5 +285,5 @@ def test_streaming_time_weighted_matches_batch(spark, sf_dir, stream_dir):
     assert set(final) == set(batch)
     for uid, b in batch.items():
         s = final[uid]
-        assert s["span_s"] == b["span_s"]
+        assert s["span_us"] // 1_000_000 == b["span_s"]
         assert s["twa"] == pytest.approx(b["twa"], rel=1e-9)
