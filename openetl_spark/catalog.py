@@ -150,6 +150,7 @@ DRIVER_PRIORITY: list[str] = [
     "bfs_hops_parts",       # displaces set_union (r02 → r07 queue)
     "graph_assortativity",  # displaces set_intersect (r02 → r07 queue)
     "personalized_pagerank",  # displaces decimal_agg (r02 → r07 queue)
+    "kcore_parts",          # displaces json_funcs (r02 → r07 queue)
     # --- changed since their r05 driver row (DRIVER_RECHECK) ---
     "simhash_dedup",
     "pmi_collocations",
@@ -175,7 +176,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact",
     "doc_fingerprint",
     "embedding_knn",
-    "json_funcs",
     "math_funcs",
     "quality_score",
     "schema_introspect",
@@ -188,8 +188,8 @@ DRIVER_PRIORITY: list[str] = [
     # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining
     # refresh pool queued for r07 — first the four rows displaced by
     # the third-session additions: join_right + join_full_outer +
-    # union_all_counts + set_union + set_intersect + decimal_agg (r02;
-    # the only r02-era rows left after this round) and
+    # union_all_counts + set_union + set_intersect + decimal_agg +
+    # json_funcs (r02; the only r02-era rows left after this round) and
     # q2_min_cost_supplier + q4_order_priority (r03); then the r03
     # remainder (38):
     # pivot_dynamic + array_funcs_extended (displaced by the

@@ -364,3 +364,68 @@ def degree_assortativity(
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
         F.when(denom > 0, rounded).alias("assortativity"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph
+    in which every node has degree ≥ k (Seidman 1983), found by
+    iterative peeling — drop every node below degree k, recompute
+    degrees in what remains, repeat to fixpoint. The classic "dense
+    cohesive subgraph" extractor (and the standard prefilter before
+    expensive community analysis).
+
+    Each round is two equi-joins of the symmetric edge list against the
+    current survivor set plus one partial-agg degree count — cost
+    proportional to edges incident to survivors. The fixpoint stop
+    rides each round's localCheckpoint as an observe() metric (one job
+    per round, the connected_components discipline); peeling is
+    monotone, so once converged further rounds are no-ops and a
+    fixed-round unrolling (the oracle's form) equals the fixpoint
+    whenever convergence happens within ``max_rounds`` — the bound is
+    the determinism contract, exactly like bfs_hops.max_hops.
+
+    Returns (node, core_degree): the members of the k-core with their
+    degree INSIDE the core (≥ k by construction); empty if the whole
+    graph peels away.
+    """
+    from pyspark.sql import Observation
+
+    und, _ = _undirected_simple(edges, src, dst)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    cur = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    prev_n = cur.count()
+
+    def core_degree(members: DataFrame) -> DataFrame:
+        return (
+            sym.join(members, sym["u"] == members["node"], "left_semi")
+            .join(
+                members.select(F.col("node").alias("vn")),
+                F.col("v") == F.col("vn"),
+                "left_semi",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("core_degree"))
+        )
+
+    for _ in range(max_rounds):
+        obs = Observation()
+        cur = (
+            core_degree(cur)
+            .filter(F.col("core_degree") >= k)
+            .select("node")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n = obs.get["n"]
+        if n == prev_n:
+            break
+        prev_n = n
+    return core_degree(cur)

@@ -436,3 +436,59 @@ def q_graph_assortativity(spark, sf_dir):
     both engines evaluate the identical closed form; the oracle
     recomputes it relationally from the shared CO_PURCHASE_CTE."""
     return G.degree_assortativity(co_purchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# C114 — k-core (dense-subgraph peeling).
+# ---------------------------------------------------------------------
+
+
+def kcore_oracle(k: int, rounds: int = 8) -> str:
+    """Unrolled fixed-round peeling oracle (the pagerank_oracle()
+    discipline): c0 = all nodes; c_{i+1} = nodes whose degree within
+    c_i is ≥ k. Peeling is monotone, so once the sequence converges
+    the remaining unrolled rounds are identity and c_rounds equals the
+    true k-core whenever the fixpoint arrives within ``rounds``
+    (measured ≤ 4 at every testdata SF for the shipped k; 8 is the
+    margin — the same bounded-round contract as the BFS oracle).
+
+    Every round CTE is MATERIALIZED: each c_i is referenced twice by
+    c_{i+1}, and DuckDB inlines plain CTEs, so without the hint the
+    unrolled chain re-computes c_1 2^rounds times over the
+    corpus-scale edge list (measured: 368 s at sf0.01 inlined vs
+    seconds materialized)."""
+    base = f"""
+WITH {CO_PURCHASE_CTE},
+sym AS MATERIALIZED (SELECT x AS u, y AS v FROM co
+        UNION ALL SELECT y AS u, x AS v FROM co),
+c0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)"""
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        base += f""",
+c{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT s.u AS node, count(*) AS d
+    FROM sym s
+    JOIN {prev} a ON s.u = a.node
+    JOIN {prev} b ON s.v = b.node
+    GROUP BY 1) WHERE d >= {k})"""
+        prev = f"c{i}"
+    return base + f"""
+SELECT s.u AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM sym s
+JOIN {prev} a ON s.u = a.node
+JOIN {prev} b ON s.v = b.node
+GROUP BY 1
+"""
+
+
+@query("kcore_parts", kcore_oracle(k=65))
+def q_kcore_parts(spark, sf_dir):
+    """C114: the 65-core of the part co-purchase graph — the dense
+    cohesive subgraph after iterative peeling (operators/graph.kcore,
+    Seidman 1983), with each member's degree inside the core. k=65
+    peels real mass at every testdata SF while leaving a non-empty
+    core (measured: 188/1992/19845 members at sf0.001/0.01/0.1,
+    fixpoint ≤ 4 rounds). The oracle unrolls 8 peel rounds from the
+    shared CO_PURCHASE_CTE; counts are exact integers — no rounding."""
+    return G.kcore(co_purchase_edges(spark, sf_dir), k=65, max_rounds=8)

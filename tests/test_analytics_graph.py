@@ -423,3 +423,15 @@ def test_personalized_pagerank_matches_numpy(spark):
     for node, rank in got.items():
         assert rank == pytest.approx(r[node], abs=1e-12)
     assert abs(sum(got.values()) - 1.0) < 1e-12  # mass conserved on seeds
+
+
+def test_kcore_clique_with_tail(spark):
+    """4-clique {0,1,2,3} with a pendant chain 3-4-5: the 3-core is
+    exactly the clique (chain nodes peel in cascade), every member at
+    core degree 3. k=5 peels everything."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["core_degree"] for r in G.kcore(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert G.kcore(df, k=5).count() == 0

@@ -67,7 +67,7 @@ def test_driver_priority_window_integrity():
                      "pagerank_nations", "skyline_parts", "time_weighted_avg",
                      "attribution_last_touch", "graph_triangles",
                      "bfs_hops_parts", "graph_assortativity",
-                     "personalized_pagerank",
+                     "personalized_pagerank", "kcore_parts",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
