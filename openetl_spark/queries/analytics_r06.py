@@ -250,7 +250,7 @@ def q_time_weighted_avg(spark, sf_dir):
       FROM events)
     SELECT COALESCE(channel, 'direct') AS channel,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           round(sum(value), 2) AS revenue
+           floor(sum(value) * 100.0 + 0.5) / 100.0 AS revenue
     FROM attr
     WHERE event_type = 'purchase'
     GROUP BY 1
@@ -262,7 +262,10 @@ def q_attribution_last_touch(spark, sf_dir):
     purchases with no prior touch fall to 'direct'. The classic
     attribution window: one keyed ignore-nulls last() over
     (ts, event_id)-ordered user history (deterministic tie order, the
-    event_transitions discipline), then a tiny partial-agg rollup."""
+    event_transitions discipline), then a tiny partial-agg rollup.
+    Revenue is rounded via _round_fixed (floor(x*100+0.5)/100 on both
+    engines) — engine-native round() diverges on representable
+    half-cent boundaries (ADVICE r06)."""
     e = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -282,7 +285,7 @@ def q_attribution_last_touch(spark, sf_dir):
         .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
         .agg(
             F.count("*").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("revenue"),
+            _round_fixed(F.sum("value"), 2).alias("revenue"),
         )
     )
 

@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from openetl_spark.operators import analytics as AN
 from openetl_spark.operators import curation as C
 from openetl_spark.operators import dedup as D
 from openetl_spark.operators import joins as J
@@ -476,15 +477,55 @@ def q_stats_agg(spark, sf_dir):
 )
 def q_window_ranking_extras(spark, sf_dir):
     """C10 extras: ntile / percent_rank / cume_dist / first_value /
-    nth_value over one named window."""
-    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.first("o_orderkey").over(w).alias("first_in_seg"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_in_seg"),
+    nth_value semantics over one named window — computed WITHOUT the
+    window (r07, VERDICT r06 #2). o_orderpriority has 5 values, so
+    ``PARTITION BY o_orderpriority`` funnels the whole orders table
+    through 5 window tasks — a skew wall at 100× scale. Instead,
+    ``grouped_exact_ranks`` derives each row's exact position and group
+    size from a coarse price-bucket histogram (cumulative offsets over
+    the bounded BIN relation + row_number within high-cardinality
+    (priority, bucket) partitions), and the five window functions
+    become arithmetic over (pos, n):
+
+      ntile(4)        = big-tiles-first tile of pos among n
+      percent_rank()  = (pos-1)/(n-1)   [sort key unique → rank = pos]
+      cume_dist()     = pos/n           [no peers under the tiebreak]
+      first/nth_value = broadcast join of the pos ≤ 2 heads; nth_value
+                        stays NULL for pos 1 (the default RANGE frame
+                        ends at the current row).
+
+    The DuckDB oracle keeps the literal window form — same hash as the
+    r03 green — and tests/test_analytics_graph.py cross-checks this
+    plan against Spark's own window form and pins the plan shape (no
+    ntile/percent_rank/cume_dist window nodes; the only row-scale
+    window is row_number over the compound key)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = AN.grouped_exact_ranks(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", bucket_width=1000.0
+    )
+    pos, n = F.col("pos"), F.col("n_group")
+    heads = (
+        ranked.filter(pos <= 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(pos == 1, F.col("o_orderkey"))).alias("first_in_seg"),
+            F.max(F.when(pos == 2, F.col("o_orderkey"))).alias("_second"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(heads), ["o_orderpriority"])
+        .select(
+            "o_orderkey",
+            AN.ntile_from_pos(pos, n, 4).cast("int").alias("quartile"),
+            F.round(
+                F.when(n > 1, (pos - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+            ).alias("pct_rank"),
+            F.round(pos / n, 6).alias("cdist"),
+            "first_in_seg",
+            F.when(pos >= 2, F.col("_second")).alias("second_in_seg"),
+        )
     )
 
 
@@ -1128,17 +1169,20 @@ def q_recursive_cte_tree(spark, sf_dir):
 )
 def q_variant_funcs(spark, sf_dir):
     """C19 extension (r06-s2): Spark 4's VARIANT type as the
-    semi-structured hot path — ``parse_json`` ingests the props JSON
-    into the binary variant encoding once in the scan projection,
-    ``try_variant_get`` extracts typed fields without a schema
+    semi-structured hot path — ``try_parse_json`` ingests the props
+    JSON into the binary variant encoding once in the scan projection
+    (NULL, not job failure, on a malformed document — ADVICE r06: plain
+    ``parse_json`` would fail the job, contradicting the leniency
+    claim), ``try_variant_get`` extracts typed fields without a schema
     declaration (the shredded-JSON pattern replacing per-row
-    get_json_object string re-parsing), and malformed values yield
-    NULL instead of failing the job. The oracle extracts the same
-    field through DuckDB's JSON operators — engine-level agreement on
-    extraction + typing + NULL semantics, not just on one string
-    parser."""
+    get_json_object string re-parsing), so both malformed documents and
+    missing/mistyped fields yield NULL instead of failing the job. The
+    oracle extracts the same field through DuckDB's JSON operators
+    (strict ``::JSON`` — testdata props are all well-formed, which the
+    k_null column pins) — engine-level agreement on extraction +
+    typing + NULL semantics, not just on one string parser."""
     e = load(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         e.select("event_type", k.alias("_k"))
         .groupBy("event_type")

@@ -266,11 +266,19 @@ def streaming_time_weighted(stream: DataFrame) -> DataFrame:
     State per user is four scalars (last observation's epoch-µs and
     value, the running Σ value·Δt and Σ Δt); each micro-batch folds its
     rows in (ts, event_id) order into the state and emits the running
-    time-weighted average. Σ Δt (emitted in exact microseconds) is
-    strictly increasing across emissions, so the freshest emission per
-    key is the one with the largest span_us — the batch-parity test
-    keys on that (a whole-second rendering could TIE across batches
-    and make "freshest" ambiguous; review r06). Keys still holding a
+    time-weighted average. A row whose timestamp precedes the state's
+    last processed observation (out-of-order arrival ACROSS
+    micro-batches — within a batch the fold sorts) is a late arrival
+    the LOCF integral cannot extend backwards; it is skipped rather
+    than folded with a negative Δt (ADVICE r06: a negative dt would
+    shrink dtsum and corrupt the integral). Σ Δt (emitted in exact
+    microseconds) is therefore monotone non-decreasing across
+    emissions, and STRICTLY increasing whenever arrivals carry
+    distinct in-order timestamps — the condition the file-replay
+    parity harness pins — so the freshest emission per key is the one
+    with the largest span_us, which is what the batch-parity test keys
+    on (a whole-second rendering could TIE across batches and make
+    "freshest" ambiguous; review r06). Keys still holding a
     single observation have Δt-sum 0 and emit nothing (the batch
     operator drops them too: a TWA over a zero-length interval is
     undefined). A group's micro-batch rows arrive as MULTIPLE pandas
@@ -296,6 +304,8 @@ def streaming_time_weighted(stream: DataFrame) -> DataFrame:
         for mu, v in ordered.itertuples(index=False):
             if has_last:
                 dt = int(mu) - last_ts
+                if dt < 0:  # late cross-batch arrival: see docstring
+                    continue
                 wsum += last_v * dt
                 dtsum += dt
             has_last, last_ts, last_v = True, int(mu), float(v)

@@ -435,3 +435,133 @@ def test_kcore_clique_with_tail(spark):
     got = {r["node"]: r["core_degree"] for r in G.kcore(df, k=3).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
     assert G.kcore(df, k=5).count() == 0
+
+
+def test_kcore_warns_when_round_bound_hit(spark):
+    """ADVICE r06: a peeling that does NOT reach its fixpoint within
+    max_rounds must emit a RuntimeWarning (the survivor set may hold
+    sub-k nodes) — and the same graph under an ample bound must
+    converge silently. A path graph peels one node per end per round,
+    so a 12-node path under k=2 needs ~5 rounds."""
+    import warnings
+
+    edges = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        G.kcore(df, k=2, max_rounds=2).count()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "fixpoint" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert G.kcore(df, k=2, max_rounds=10).count() == 0
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+
+# --------------------------------------- grouped_exact_ranks (r07)
+
+def test_grouped_exact_ranks_matches_window_form(spark, sf_dir):
+    """window_ranking_extras' histogram-rank plan must equal Spark's
+    own ntile/percent_rank/cume_dist/first/nth_value window form
+    row-for-row (the low-cardinality window is kept HERE as the
+    cross-check, never in the shipped plan — VERDICT r06 #2)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from openetl_spark import catalog
+    from openetl_spark.queries.base import load
+
+    got = catalog.QUERIES["window_ranking_extras"](spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ref = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_in_seg"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_in_seg"),
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_window_ranking_extras_plan_has_no_corpus_scale_window(spark, sf_dir):
+    """Scale posture: no ntile/percent_rank/cume_dist window functions
+    anywhere in the optimized plan, and every row_number window
+    partitions by the COMPOUND (priority, bucket) key — the only
+    single-key window runs over the bounded bin relation (an Aggregate,
+    not the scan)."""
+    import re
+
+    from openetl_spark import catalog
+
+    plan = (
+        catalog.QUERIES["window_ranking_extras"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ntile(" not in plan
+    assert "percent_rank(" not in plan
+    assert "cume_dist(" not in plan
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)", plan):
+        assert "__bkt" in spec, spec
+    # The cumulative-offset window (the single-key one) consumes the
+    # bin relation: in the logical tree its subtree must aggregate
+    # before touching the relation. Tree prints top-down with
+    # indentation; find each Window line whose spec lacks __bkt in the
+    # partition keys (i.e. the sum-over-bins window) and require an
+    # Aggregate strictly below it before any relation leaf.
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.lstrip().startswith("Window") and "row_number" not in ln:
+            below = "\n".join(lines[i + 1:])
+            agg = below.find("Aggregate")
+            rel = below.find("Relation")
+            assert agg != -1 and (rel == -1 or agg < rel), ln
+
+
+def test_grouped_exact_ranks_positions_dense_and_exact(spark):
+    """Positions are 1..n per group under (value DESC, tiebreak ASC),
+    including values straddling bucket boundaries and exact ties."""
+    rows = [
+        ("a", 105.0, 1), ("a", 95.0, 2), ("a", 95.0, 3), ("a", 10.0, 4),
+        ("b", 200.0, 5), ("b", 199.99, 6),
+        ("c", 7.0, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, k int")
+    got = {
+        (r["g"], r["k"]): (r["pos"], r["n_group"])
+        for r in A.grouped_exact_ranks(df, "g", "v", "k", bucket_width=10.0)
+        .collect()
+    }
+    assert got == {
+        ("a", 1): (1, 4), ("a", 2): (2, 4), ("a", 3): (3, 4), ("a", 4): (4, 4),
+        ("b", 5): (1, 2), ("b", 6): (2, 2),
+        ("c", 7): (1, 1),
+    }
+
+
+def test_ntile_from_pos_matches_spark_ntile(spark):
+    """ntile_from_pos arithmetic == Spark's ntile window for every
+    (n, k) in a sweep, including n < k and n % k != 0."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    rows = [(n, p) for n in range(1, 23) for p in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n int, pos int")
+    for k in (2, 3, 4, 7):
+        w = W.partitionBy("n").orderBy("pos")
+        bad = (
+            df.withColumn("want", F.ntile(k).over(w))
+            .withColumn(
+                "got", A.ntile_from_pos(F.col("pos"), F.col("n"), k).cast("int")
+            )
+            .filter(F.col("want") != F.col("got"))
+            .count()
+        )
+        assert bad == 0, k

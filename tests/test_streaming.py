@@ -287,3 +287,57 @@ def test_streaming_time_weighted_matches_batch(spark, sf_dir, stream_dir):
         s = final[uid]
         assert s["span_us"] // 1_000_000 == b["span_s"]
         assert s["twa"] == pytest.approx(b["twa"], rel=1e-9)
+
+
+def test_streaming_time_weighted_skips_late_cross_batch_rows(spark, tmp_path):
+    """ADVICE r06: a row older than the state's last processed
+    observation (cross-batch out-of-order arrival) must be SKIPPED, not
+    folded with a negative Δt — span_us stays monotone non-decreasing
+    and the late value never enters the integral."""
+    import os
+
+    d = str(tmp_path / "late_twa")
+    os.makedirs(d)
+
+    def write_one(name, rows, mtime):
+        df = spark.createDataFrame(rows, ops.EVENTS_SCHEMA).coalesce(1)
+        sub = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(sub)
+        import glob
+        import shutil
+
+        (src,) = glob.glob(os.path.join(sub, "part-*.parquet"))
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    # batch 1: t=0 (v=1.0), t=10 (v=2.0)   → twa 1.0 over 10 s
+    write_one(
+        "b1",
+        [(1, t(0), 7, "m", 1.0, "{}"), (2, t(10), 7, "m", 2.0, "{}")],
+        1000000000,
+    )
+    # batch 2: t=5 LATE (v=99, must be ignored), t=20 (v=3.0)
+    write_one(
+        "b2",
+        [(3, t(5), 7, "m", 99.0, "{}"), (4, t(20), 7, "m", 3.0, "{}")],
+        1000000060,
+    )
+    stream = ops.read_event_stream(spark, d)
+    ops.run_to_memory_sink(
+        ops.streaming_time_weighted(stream), "t_twa_late", "update"
+    )
+    rows = sorted(
+        spark.sql("SELECT * FROM t_twa_late").collect(),
+        key=lambda r: r["span_us"],
+    )
+    spans = [r["span_us"] for r in rows]
+    assert spans == sorted(spans) and spans[-1] == 20_000_000
+    final = rows[-1]
+    # integral = 1.0·10s + 2.0·10s over 20s = 1.5; the late 99 is absent
+    assert final["twa"] == pytest.approx(1.5, abs=1e-12)
