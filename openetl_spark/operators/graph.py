@@ -450,3 +450,156 @@ def kcore(
             stacklevel=2,
         )
     return core_degree(cur)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 2007) over the undirected simple graph of
+    ``edges``: every node starts as its own label; each round, every
+    node adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label. Densely connected clusters converge
+    to one label within a few rounds; the bridge edges between
+    clusters can't outvote intra-cluster mass.
+
+    Determinism contract: classic LPA randomizes update order and tie
+    breaks; this variant is fully synchronous with a total tie order
+    (count DESC, label ASC) and a FIXED round count, so the output is
+    a pure function of the graph — cross-engine comparable against an
+    oracle that unrolls the same rounds (synchronous LPA can oscillate
+    between two labelings on bipartite-ish structure instead of
+    converging; a fixed ``rounds`` makes that a defined result rather
+    than a hang, the kcore/bfs bounded-round contract).
+
+    Shape per round: ONE shuffle — labels join the symmetric edge list
+    on the neighbor key (map-side combine into (node, label) partial
+    counts), then ``min_by(label, (-count, label))`` picks the mode
+    per node as an aggregate, NOT a per-node window (no sort of the
+    neighborhood, no corpus-scale window partitions). Labels are the
+    node ids themselves (numeric or any orderable type); lineage is
+    truncated per round with localCheckpoint.
+
+    Returns (node, label) for every node with ≥ 1 incident edge.
+    """
+    und, _ = _undirected_simple(edges, src, dst)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("n"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy(F.col("n").alias("node"))
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: str = "w",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Single/multi-source shortest paths over the UNDIRECTED weighted
+    graph of ``edges`` by frontier-based Bellman-Ford: ``max_rounds``
+    relaxation rounds, each improving distances along one more edge —
+    after round i, dist(v) is exactly the minimum weight over paths of
+    ≤ i edges (the textbook invariant), so a bounded run is a defined
+    result and an ample bound is the true SSSP (paths of ≤ max_rounds
+    hops; the bfs_hops/kcore bounded-round contract — the oracle
+    unrolls the SAME rounds). Negative weights are rejected up front:
+    on an UNDIRECTED graph any negative edge is a negative cycle
+    (u→v→u), under which shortest paths are undefined — so unlike
+    directed Bellman-Ford there is no meaningful negative-weight mode
+    to support. NULL-weight edges are dropped with them.
+
+    The frontier optimization (only nodes whose distance improved last
+    round can improve their neighbors — Pregel SSSP) changes cost, not
+    results: each round joins the FRONTIER against the symmetric edge
+    list (cost ∝ edges incident to improved nodes, not the graph),
+    takes min per destination (partial-agg combine), and anti-joins
+    the settled distance table for strict improvements. Convergence
+    (empty frontier) stops early via the round's observe() metric —
+    one job per round, lineage localCheckpoint-truncated.
+
+    Returns (node, dist): minimum path weight from the ``sources``
+    node set (single-column DataFrame, distance 0). Unreached nodes
+    are absent. Integer weights stay exact bigints end-to-end (the
+    cross-engine hash discipline); float weights work but inherit IEEE
+    addition.
+    """
+    from pyspark.sql import Observation
+
+    w = F.col(weight)
+    neg = edges.filter(w < 0).count()
+    if neg:
+        raise ValueError(
+            f"sssp: {neg} negative-weight edge(s) — on an undirected "
+            "graph every negative edge is a negative cycle; shortest "
+            "paths are undefined"
+        )
+    base = edges.filter(w.isNotNull()).select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w")
+    )
+    # Parallel edges collapse to their cheapest; both directions usable.
+    sym = (
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    seed_col = sources.columns[0]
+    # Seed distance takes the WEIGHT's type so every round's dist + w
+    # and the dist-table unions stay one type (bigint weights never
+    # touch a double; float weights don't break the union).
+    w_type = sym.schema["w"].dataType.simpleString()
+    dist = (
+        sources.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast(w_type).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        obs = Observation()
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("node", F.col("nd").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        if obs.get["n"] == 0:
+            break
+        dist = (
+            dist.join(improved, "node", "left_anti")
+            .union(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist

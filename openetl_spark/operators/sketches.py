@@ -1,0 +1,142 @@
+"""Mergeable HyperLogLog as a RELATION (SURVEY.md §2C, sketch family
+C45/C46's third member, r07): distinct counting whose entire state is
+an ordinary DataFrame of register cells, so shards/partitions/streams
+merge with a plain ``groupBy(...).max()`` — the same
+mergeable-summary discipline as the histogram cells and CMS counters.
+
+Why a relation and not ``approx_count_distinct``: Spark's built-in HLL
+is a black-box aggregate whose binary sketch an oracle can't re-derive
+(approx_sketches settles for an inequality oracle). These cells are
+derived from ``md5`` arithmetic both engines compute bit-identically —
+``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``, integer div/mod, and
+``ltrim(bin(suffix),'0')`` for the leading-zero rank — so the FULL
+cell relation is hash-checkable cross-engine (the CMS/PQ bit-exact
+oracle discipline), and the estimate is one tiny aggregate over it.
+
+Scale shape: one partial-agg ``groupBy(keys, j).max(rho)`` — register
+cells combine map-side, the shuffle carries at most ``m = 2**p`` rows
+per key group regardless of corpus size, and merging two corpora's
+cells is the same max-merge again (tested associative/idempotent).
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash = 15 md5 hex chars: nonnegative in a signed 64-bit long
+# on both engines (the simhash/winnowing fingerprint discipline).
+HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    """Flajolet's bias-correction constant (§4, Fig. 3)."""
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_cells(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str] = (),
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog register cells of ``value``'s distinct set, per
+    ``keys`` group: (``*keys``, j, r) where ``j`` is the register index
+    (top ``p`` hash bits, 0 ≤ j < 2**p) and ``r`` the register value —
+    the maximum over hashed values of the 1-based position of the
+    first 1-bit in the remaining ``60 - p`` bits (``60 - p + 1`` for
+    an all-zero suffix). Registers no value hashed into are ABSENT
+    (sparse form): readers treat missing registers as 0, and the
+    max-merge of two sparse cell sets is a union-groupBy-max.
+
+    All arithmetic is exact integer div/mod on a nonnegative 60-bit
+    md5 prefix plus a binary-string length for the leading-zero rank —
+    every step renders identically in DuckDB, so the whole relation is
+    a FULL cross-engine oracle target (no floats anywhere).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_cells: p={p} outside [4, 16]")
+    w = HASH_BITS - p
+    m_suffix = 1 << w
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(
+            *keys,
+            F.conv(
+                F.substring(F.md5(F.col(value).cast("string")), 1, 15), 16, 10
+            )
+            .cast("bigint")
+            .alias("_h"),
+        )
+        .select(
+            *keys,
+            # `div` (not `/`): exact integer division on the 60-bit
+            # hash — a double round-trip is lossy above 2^53.
+            F.expr(f"_h div {m_suffix}").cast("int").alias("j"),
+            (F.col("_h") % F.lit(m_suffix)).alias("_suf"),
+        )
+        # Spark's bin() emits no leading zeros, so length(bin(x)) IS
+        # the bit length; the DuckDB oracle pads, so IT renders
+        # length(ltrim(bin(x), '0')) — same integer either way.
+        .select(
+            *keys,
+            "j",
+            F.when(F.col("_suf") == 0, F.lit(w + 1))
+            .otherwise(F.lit(w + 1) - F.length(F.bin(F.col("_suf"))))
+            .cast("int")
+            .alias("_rho"),
+        )
+        .groupBy(*keys, "j")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+def hll_merge(cells_a: DataFrame, cells_b: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+    """Merge two sparse cell relations: union + groupBy max. The HLL
+    merge law — registers of A ∪ B are the elementwise max — holds
+    exactly because each register is itself a max over hashed values;
+    merge is associative, commutative, idempotent (property-tested)."""
+    return (
+        cells_a.unionByName(cells_b)
+        .groupBy(*keys, "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(
+    cells: DataFrame,
+    p: int = 9,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Cardinality estimate per ``keys`` group from a (sparse) cell
+    relation: the Flajolet raw estimate α_m·m²/Σ 2^{-M_j} (absent
+    registers contribute 2⁰ each) with the small-range linear-counting
+    correction m·ln(m/V) when E ≤ 2.5m and V > 0 empty registers
+    remain. No large-range correction: the 51-bit suffix space makes
+    hash saturation negligible below ~2⁵⁰ distincts (the 32-bit
+    variant's 2³² wall does not apply).
+
+    Float arithmetic lives ONLY here, in one m-row aggregate per group
+    — the cells relation stays the exact/mergeable truth. Returns
+    (``*keys``, n_registers_set, estimate double).
+    """
+    m = 1 << p
+    a = _alpha(m)
+    agg = cells.groupBy(*keys).agg(
+        F.count("*").alias("n_registers_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+    )
+    zeros = F.lit(m) - F.col("n_registers_set")
+    raw = F.lit(a * m * m) / (F.col("_s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*keys, "n_registers_set", est.alias("estimate"))

@@ -1,0 +1,199 @@
+"""r07 analytics queries: community detection (label propagation),
+weighted shortest paths (Bellman-Ford SSSP), and the mergeable-HLL
+cell relation — VERDICT r06 next-round items #5/#6/#7.
+
+Importing this module REGISTERS its queries into the shared
+QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
+LAST by openetl_spark.catalog so all pre-existing names keep their
+registration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openetl_spark.operators import graph as G
+from openetl_spark.operators import sketches as SK
+from openetl_spark.queries.analytics_r06 import (
+    CO_PURCHASE_CTE,
+    co_purchase_edges,
+)
+from openetl_spark.queries.base import load, query
+
+# ---------------------------------------------------------------------
+# C115 — community detection by label propagation.
+# ---------------------------------------------------------------------
+
+
+def lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA oracle (the kcore_oracle discipline):
+    l0 = every node its own label; l_{i+1} = per node the most frequent
+    neighbor label in l_i, ties to the SMALLEST label (row_number over
+    (count DESC, label) — the operator's min_by struct order rendered
+    as a window, legal here because the oracle has no scale posture).
+    Every round CTE is MATERIALIZED: each l_i is referenced by a join
+    that DuckDB would otherwise inline and re-compute exponentially
+    (the measured kcore_oracle pathology)."""
+    base = f"""
+WITH {CO_PURCHASE_CTE},
+sym AS MATERIALIZED (SELECT x AS u, y AS v FROM co
+        UNION ALL SELECT y AS u, x AS v FROM co),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        base += f""",
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT s.u AS node, l.label AS label,
+           row_number() OVER (PARTITION BY s.u
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM sym s JOIN {prev} l ON s.v = l.node
+    GROUP BY s.u, l.label) t
+  WHERE rn = 1)"""
+        prev = f"l{i}"
+    return base + f"""
+SELECT node, CAST(label AS BIGINT) AS label FROM {prev}
+"""
+
+
+@query("graph_communities", lpa_oracle(rounds=4))
+def q_graph_communities(spark, sf_dir):
+    """C115: communities of the part co-purchase graph by synchronous
+    label propagation (operators/graph.label_propagation, Raghavan et
+    al. 2007) — 4 fixed rounds, ties to the smallest label (the
+    deterministic variant; classic LPA's random order/ties would be
+    uncheckable cross-engine). Labels are exact part keys: the whole
+    (node, label) relation hash-matches with no rounding. The oracle
+    unrolls the same 4 rounds from the shared CO_PURCHASE_CTE with
+    MATERIALIZED round CTEs."""
+    return G.label_propagation(co_purchase_edges(spark, sf_dir), rounds=4)
+
+
+# ---------------------------------------------------------------------
+# C116 — weighted single-source shortest paths (Bellman-Ford).
+# The weighted co-purchase graph: edge weight = number of distinct
+# orders the pair co-occurs in (exact bigint, so path sums stay exact
+# integers — the cross-engine hash discipline). ONE edge definition
+# shared by the Spark builder and the oracle fragment below, the
+# CO_PURCHASE_CTE single-source discipline.
+# ---------------------------------------------------------------------
+
+CO_PURCHASE_W_CTE = """cow AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b.l_partkey AS y,
+             CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)"""
+
+
+def co_purchase_edges_weighted(spark, sf_dir):
+    """Spark twin of CO_PURCHASE_W_CTE."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+    )
+
+
+def sssp_oracle(rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford oracle: d0 = seeds at distance 0;
+    d_{i+1}(v) = min(d_i(v), min over edges (u,v) of d_i(u) + w) — the
+    textbook relaxation round as one UNION ALL + min groupBy per round,
+    each MATERIALIZED. After i rounds d_i(v) is exactly the minimum
+    weight over paths of ≤ i edges, the same invariant the operator's
+    frontier optimization preserves, so d_rounds ≡ sssp(max_rounds =
+    rounds) whether or not the fixpoint has arrived (a WITH RECURSIVE
+    path enumeration would instead explode combinatorially on this
+    dense graph — distinct (node, dist) states, not nodes)."""
+    base = f"""
+WITH {CO_PURCHASE_W_CTE},
+symw AS MATERIALIZED (SELECT x AS u, y AS v, w FROM cow
+         UNION ALL SELECT y AS u, x AS v, w FROM cow),
+d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       FROM part WHERE p_brand = 'Brand#13')"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        base += f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT s.v AS node, d.dist + s.w AS dist
+    FROM {prev} d JOIN symw s ON d.node = s.u) t
+  GROUP BY node)"""
+        prev = f"d{i}"
+    return base + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+"""
+
+
+@query("sssp_parts", sssp_oracle(rounds=6))
+def q_sssp_parts(spark, sf_dir):
+    """C116: weighted shortest paths over the co-purchase graph from
+    the Brand#13 seed set (operators/graph.sssp — frontier Bellman-
+    Ford, one shuffle per relaxation round, observe()-metered early
+    stop). Edge weight = distinct-order co-occurrence count, so path
+    distances are exact bigint sums — hash-identical cross-engine with
+    no rounding. max_rounds=6 matches the oracle's 6 unrolled rounds
+    (min weight over ≤ 6-edge paths; the bfs_hops/kcore bounded-round
+    determinism contract — negative weights are impossible here, the
+    weight is a count ≥ 1)."""
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    return G.sssp(
+        co_purchase_edges_weighted(spark, sf_dir), seeds, max_rounds=6
+    )
+
+
+# ---------------------------------------------------------------------
+# C117 — mergeable HyperLogLog register cells (the third sketch family
+# after the histogram and CMS, VERDICT r06 #7): FULL bit-exact oracle —
+# DuckDB re-derives every register from the same md5 arithmetic.
+# ---------------------------------------------------------------------
+
+# 2^(60-9): the register-index / suffix split point for p=9.
+_HLL_M_SUFFIX = 1 << 51
+
+
+@query(
+    "hll_cells",
+    f"""
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(h // {_HLL_M_SUFFIX} AS INT) AS j,
+           CAST(max(CASE WHEN h % {_HLL_M_SUFFIX} = 0 THEN 52
+                    ELSE 52 - length(ltrim(bin(h % {_HLL_M_SUFFIX}), '0'))
+                    END) AS INT) AS r
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q_hll_cells(spark, sf_dir):
+    """C117: HLL register cells (p=9, 512 registers) of each order
+    priority's distinct customer set (operators/sketches.hll_cells).
+    One partial-agg groupBy on (priority, register) — the shuffle
+    carries ≤ 512 cells per priority at ANY corpus size, and two
+    corpora's cells merge by max (property-tested). Everything is
+    exact integer arithmetic on a 60-bit md5 prefix: register index by
+    integer div, leading-zero rank via the bit length of the suffix
+    (Spark bin() strips leading zeros; DuckDB pads, hence its
+    ltrim-form) — a FULL bit-exact oracle where approx_sketches'
+    engine-native HLL allows only an inequality check. The float-side
+    estimate (hll_estimate) is pinned by tests/test_sketches.py
+    against exact counts, not by this oracle."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return SK.hll_cells(o, "o_custkey", keys=["o_orderpriority"], p=9)

@@ -565,3 +565,87 @@ def test_ntile_from_pos_matches_spark_ntile(spark):
             .count()
         )
         assert bad == 0, k
+
+
+# --------------------------------------------- label propagation (r07)
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must give each
+    clique one label and not merge them across the bridge (the bridge
+    vote 1 never outweighs 3 intra-clique votes)."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "src int, dst int")
+    got = {r["node"]: r["label"] for r in G.label_propagation(df, rounds=4).collect()}
+    assert len(got) == 8
+    l1 = {got[n] for n in range(4)}
+    l2 = {got[n] for n in range(10, 14)}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
+
+
+def test_label_propagation_round_semantics_by_hand(spark):
+    """One synchronous round on a path 0-1-2: each node takes the min
+    neighbor label (all counts tie at 1) -> labels (0,0,1)."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    got = {r["node"]: r["label"] for r in G.label_propagation(df, rounds=1).collect()}
+    assert got == {0: 1, 1: 0, 2: 1}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """Node 9's neighbors carry labels {1: x1, 2: x1} after round 1 —
+    the count tie must break to the smaller label."""
+    # star: 9 connected to 1 and 2 (and 1-2 not connected)
+    df = spark.createDataFrame([(9, 1), (9, 2)], "src int, dst int")
+    got = {r["node"]: r["label"] for r in G.label_propagation(df, rounds=1).collect()}
+    # round 1: 9 sees {1, 2} -> 1; 1 sees {9} -> 9; 2 sees {9} -> 9
+    assert got == {9: 1, 1: 9, 2: 9}
+
+
+# --------------------------------------------------------- sssp (r07)
+
+def test_sssp_prefers_cheap_two_hop_over_expensive_direct(spark):
+    """0-2 direct costs 10; 0-1-2 costs 3. Weighted paths differ from
+    hop counts — dist(2) = 3, not 10."""
+    df = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 1), (1, 2, 2), (2, 3, 5)], "src int, dst int, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["dist"] for r in G.sssp(df, seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 3, 3: 8}
+
+
+def test_sssp_multi_source_undirected_and_unreached_absent(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4), (7, 8, 1)], "src int, dst int, w long"
+    )
+    seeds = spark.createDataFrame([(3,), (7,)], "node int")
+    got = {r["node"]: r["dist"] for r in G.sssp(df, seeds).collect()}
+    assert got == {3: 0, 7: 0, 2: 4, 1: 8, 8: 1}  # nothing else reached
+
+
+def test_sssp_bounded_rounds_is_min_over_bounded_hop_paths(spark):
+    """After i rounds dist(v) = min weight over paths of <= i edges:
+    a 5-hop cheap path (cost 5) vs a 1-hop expensive edge (cost 20)."""
+    chain = [(i, i + 1, 1) for i in range(5)] + [(0, 5, 20)]
+    df = spark.createDataFrame(chain, "src int, dst int, w long")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got2 = {r["node"]: r["dist"] for r in G.sssp(df, seeds, max_rounds=2).collect()}
+    assert got2[5] == 20  # cheap path needs 5 relaxations
+    got6 = {r["node"]: r["dist"] for r in G.sssp(df, seeds, max_rounds=6).collect()}
+    assert got6[5] == 5
+
+
+def test_sssp_rejects_negative_weights(spark):
+    df = spark.createDataFrame([(0, 1, -3)], "src int, dst int, w long")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    with pytest.raises(ValueError, match="negative"):
+        G.sssp(df, seeds)
+
+
+def test_sssp_parallel_edges_collapse_to_cheapest(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 9), (1, 0, 2), (0, 1, 5)], "src int, dst int, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["dist"] for r in G.sssp(df, seeds).collect()}
+    assert got == {0: 0, 1: 2}

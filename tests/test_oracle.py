@@ -57,17 +57,13 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-6 rotation: the two new queries and every DRIVER_RECHECK
-    # entry (code/oracle changed since the last driver row) hold slots
-    for newcomer in ("image_near_duplicates", "audio_near_duplicates",
-                     "exact_substring_spans", "exact_substring_dedup",
-                     "duplication_report", "decontaminate_spans",
-                     "lsh_recall_report", "exact_substring_incremental",
-                     "recursive_cte_tree", "variant_funcs", "lateral_join_topn",
-                     "pagerank_nations", "skyline_parts", "time_weighted_avg",
-                     "attribution_last_touch", "graph_triangles",
-                     "bfs_hops_parts", "graph_assortativity",
-                     "personalized_pagerank", "kcore_parts",
+    # round-7 rotation: the three new queries, every DRIVER_RECHECK
+    # entry (code/oracle changed since the last driver row), and the
+    # complete r02-latest refresh queue hold slots
+    for newcomer in ("graph_communities", "sssp_parts", "hll_cells",
+                     "set_union", "set_intersect", "json_funcs",
+                     "join_right", "join_full_outer", "union_all_counts",
+                     "decimal_agg",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
