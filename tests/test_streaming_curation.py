@@ -440,3 +440,77 @@ def test_streaming_exactsubstr_spans_on_arrival(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_audio_dedup_on_arrival(spark, tmp_path):
+    """r07 (VERDICT r06 #8): the audio twin of the image
+    fingerprint-index append path — energy-delta fingerprints of
+    arriving clips probe the persisted index, append, and the union of
+    index-internal + arrival pairs must equal the one-shot
+    audio_near_duplicates over the full corpus, every pair exactly
+    once (no double-mining)."""
+    import os
+
+    from openetl_spark.operators import dedup as DD
+    from openetl_spark.operators import media_synth as MS
+    from openetl_spark.operators import multimodal as M
+
+    corpus = MS.synthetic_audio_corpus()
+    first, rest = corpus[: len(corpus) // 2], corpus[len(corpus) // 2 :]
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(p, bytearray(b)) for p, b in rows], "path string, content binary"
+        )
+
+    idx_path = str(tmp_path / "afp_index")
+    M.with_audio_fingerprint(to_df(first)).filter(
+        F.col("afp").isNotNull()
+    ).select("path", "afp").write.parquet(idx_path)
+
+    src = str(tmp_path / "aud_src")
+    to_df(rest).repartition(3).write.parquet(src)
+
+    def norm(rows):
+        return {(min(r["a"], r["b"]), max(r["a"], r["b"]), r["hamming"]) for r in rows}
+
+    arrival: set[tuple] = set()
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        fps = M.with_audio_fingerprint(df).filter(
+            F.col("afp").isNotNull()
+        ).select("path", "afp")
+        index = spark.read.parquet(idx_path)
+        pairs = DD.fingerprint_dedup_incremental(
+            index, fps, "path", "afp", max_hamming=6
+        )
+        arrival.update(norm(pairs.collect()))
+        fps.write.mode("append").parquet(idx_path)
+
+    q = (
+        spark.readStream.schema("path string, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_aud"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    index_internal = norm(
+        DD.simhash_candidates(
+            M.with_audio_fingerprint(to_df(first)).filter(
+                F.col("afp").isNotNull()
+            ),
+            "path", simhash_col="afp", max_hamming=6,
+        ).collect()
+    )
+    batch_all = norm(M.audio_near_duplicates(to_df(corpus), max_hamming=6).collect())
+    assert arrival | index_internal == batch_all
+    assert arrival, "streamed half must contribute pairs"
+    assert len(arrival) + len(index_internal) == len(batch_all)
