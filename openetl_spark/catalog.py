@@ -116,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_communities",
     "sssp_parts",
     "hll_cells",
+    "bloom_decontaminate",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "window_ranking_extras",
     "attribution_last_touch",
@@ -168,9 +169,9 @@ DRIVER_PRIORITY: list[str] = [
     "scalar_subquery",
     "stats_agg",
     "stratified_sample",
-    "string_agg_nations",
-    # r08 queue (r03-latest, locally pinned every run): unpivot_measures,
-    # value_histogram, vocab_topk.
+    # r08 queue (r03-latest, locally pinned every run):
+    # string_agg_nations (displaced by the bloom_decontaminate
+    # addition), unpivot_measures, value_histogram, vocab_topk.
 ]
 
 

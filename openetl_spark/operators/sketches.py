@@ -140,3 +140,97 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*keys, "n_registers_set", est.alias("estimate"))
+
+
+# ------------------------------------------------------------- Bloom
+
+def _bloom_positions(value_col: str, m_bits: int, k: int):
+    """The k bit positions of Kirsch–Mitzenmacher double hashing
+    (g_i = h1 + i·h2 mod m, "Less Hashing, Same Performance", ESA
+    2006) as a Column array: h1/h2 are two independent 60-bit md5
+    slices (hex chars 1-15 and 16-30), so h1 + (k-1)·h2 < 2^63 — no
+    signed overflow, and every step renders identically in DuckDB
+    (CAST('0x'||substr(md5(x), ...) AS BIGINT) + % arithmetic)."""
+    s = F.col(value_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("bigint")
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % F.lit(m_bits)).cast("int") for i in range(k)]
+    )
+
+
+def bloom_cells(
+    df: DataFrame,
+    value: str,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Bloom filter of ``value``'s distinct set as a sparse RELATION:
+    the distinct set bit positions (``*keys``, pos) — the OR-merge
+    twin of hll_cells' max-merge (two corpora's filters merge by
+    union-distinct; associative/idempotent by construction). One
+    explode + partial-agg distinct whose shuffle carries ≤ m_bits rows
+    per key group at any corpus size. All arithmetic is exact integer
+    md5 double hashing — bit-identical in DuckDB, so the FULL cell
+    relation (and anything derived from it, false positives included)
+    is a cross-engine oracle target.
+
+    Sizing: FP rate ≈ (1 - e^{-k·n/m})^k; m_bits = 16k with k = 4
+    holds ~1% at n ≈ 1.6k per group — at 100 TB pick m from the
+    expected distinct count exactly as with any Bloom filter, the
+    relation stays broadcastable (m rows max)."""
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(
+            *keys,
+            F.explode(_bloom_positions(value, m_bits, k)).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    cells: DataFrame,
+    df: DataFrame,
+    value: str,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe of every ``df`` row against a (single-group)
+    ``cells`` relation: ``hit_col`` is true iff ALL k of the value's
+    bit positions are set — no false negatives ever; false positives
+    at the filter's designed rate (and DETERMINISTIC: both engines
+    derive the same positions, so even the FP set hash-matches).
+
+    Shape: explode the probe's DISTINCT positions (array_distinct —
+    the double-hash can collide two of its own k positions, and a
+    collided probe still only needs the collapsed set present), mark
+    each against a broadcast of the cells (≤ m_bits rows by
+    construction), and a row hits iff EVERY exploded position was
+    marked. Flags are computed per distinct row and joined back, so
+    duplicate probe rows each carry their (identical) flag and row
+    multiplicity is preserved. A NULL probe value has no hash — it
+    probes false. The probe relation is never collected — this is the
+    decontamination-prefilter posture (cheap superset gate before an
+    exact verify join)."""
+    probe = df.withColumn(
+        "_bpos", F.array_distinct(_bloom_positions(value, m_bits, k))
+    )
+    marked = (
+        probe.select(*df.columns, F.explode("_bpos").alias("pos"))
+        .join(
+            F.broadcast(
+                cells.select("pos").distinct().withColumn("_in", F.lit(1))
+            ),
+            "pos",
+            "left",
+        )
+    )
+    flags = marked.groupBy(*df.columns).agg(
+        (F.min(F.col("_in").isNotNull().cast("int")) == 1).alias(hit_col)
+    )
+    return probe.drop("_bpos").join(flags, df.columns, "left").select(
+        *df.columns, F.coalesce(F.col(hit_col), F.lit(False)).alias(hit_col)
+    )

@@ -197,3 +197,99 @@ def q_hll_cells(spark, sf_dir):
     against exact counts, not by this oracle."""
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
     return SK.hll_cells(o, "o_custkey", keys=["o_orderpriority"], p=9)
+
+
+# ---------------------------------------------------------------------
+# C118 — Bloom-filter prefilter decontamination (the fourth mergeable
+# sketch: OR-merge bit positions; GPT-3 Appendix C's production
+# posture — a bloom gate over eval n-grams in front of the exact
+# join). FULL oracle: the double-hash positions are exact integer md5
+# arithmetic, so even the FALSE-POSITIVE set is engine-identical.
+# ---------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 1 << 18, 4
+
+# One n-gram definition shared with decontaminate_ngram's oracle (the
+# CO_PURCHASE_CTE single-source discipline, applied to token 5-grams).
+_NG_CTES = """toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    ng AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5)"""
+
+
+@query(
+    "bloom_decontaminate",
+    f"""
+    WITH {_NG_CTES},
+    evg AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+    cells AS MATERIALIZED (
+      SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos FROM (
+        SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(g), 16, 15) AS BIGINT) AS h2
+        FROM evg), UNNEST([0, 1, 2, 3]) AS t(i)),
+    ppos AS (
+      SELECT doc_id, g, (h1 + i * h2) % {_BLOOM_M} AS pos FROM (
+        SELECT doc_id, g,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(g), 16, 15) AS BIGINT) AS h2
+        FROM ng WHERE doc_id % 20 <> 0), UNNEST([0, 1, 2, 3]) AS t(i)),
+    ghit AS (
+      SELECT doc_id, g,
+             min(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit
+      FROM ppos p LEFT JOIN cells c ON p.pos = c.pos
+      GROUP BY doc_id, g),
+    agg AS (
+      SELECT h.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(h.bloom_hit) AS BIGINT) AS n_bloom_hits,
+             CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_confirmed
+      FROM ghit h LEFT JOIN evg e ON h.g = e.g
+      GROUP BY 1)
+    SELECT doc_id, n_grams, n_bloom_hits, n_confirmed
+    FROM agg WHERE n_bloom_hits >= 1
+    """,
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """C118: Bloom-prefiltered benchmark decontamination — the eval
+    slice's (doc_id % 20 == 0) distinct 5-grams populate a bloom-cell
+    relation (operators/sketches.bloom_cells, m=2^18 / k=4 — sized so
+    the filter stays unsaturated at sf0.1's ~13k eval grams); every
+    training 5-gram probes it (bloom_probe: no false negatives — every
+    exactly-shared gram is flagged, pinned by n_bloom_hits ≥
+    n_confirmed per doc), and the per-doc rollup reports bloom hits
+    next to exact-join confirmations, so the filter's false-positive
+    overhead is VISIBLE in the result instead of silently inflating
+    the downstream exact join. The whole pipeline — both hash slices,
+    the double-hash positions, the all-k membership — is exact integer
+    arithmetic, so the oracle reproduces the identical FP set
+    (GPT-3's Appendix-C bloom gate, made auditable)."""
+    d = load(spark, sf_dir, "documents")
+    from openetl_spark.operators.curation import ngrams
+
+    ng = d.select(
+        "doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g")
+    ).distinct()
+    evg = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    cells = SK.bloom_cells(evg, "g", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probe = ng.filter(F.col("doc_id") % 20 != 0)
+    flagged = SK.bloom_probe(cells, probe, "g", m_bits=_BLOOM_M, k=_BLOOM_K)
+    exact = evg.withColumn("_ev", F.lit(1))
+    return (
+        flagged.join(F.broadcast(exact), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias(
+                "n_bloom_hits"
+            ),
+            F.sum(
+                F.when(F.col("_ev").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_confirmed"),
+        )
+        .filter(F.col("n_bloom_hits") >= 1)
+        .select("doc_id", "n_grams", "n_bloom_hits", "n_confirmed")
+    )

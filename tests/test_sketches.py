@@ -76,3 +76,139 @@ def test_hll_estimate_tracks_exact_count(spark, n):
 def test_hll_p_validation():
     with pytest.raises(ValueError, match="outside"):
         SK.hll_cells(None, "v", p=3)
+
+
+def test_streaming_hll_cells_merge_equals_batch(spark, tmp_path):
+    """Streamed HLL: each micro-batch's cells APPEND to a persisted
+    cell log; the read-side max-merge of the log must equal the
+    one-shot batch cells over the full corpus — the mergeable-relation
+    contract under out-of-order, multi-batch arrival (the CMS /
+    rollup-cells streaming discipline)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    vals = [(f"cust-{i % 700}",) for i in range(2000)]  # dupes across batches
+    src = str(tmp_path / "hll_src")
+    spark.createDataFrame(vals, "v string").repartition(4).write.parquet(src)
+
+    log_path = str(tmp_path / "hll_cells_log")
+    os.makedirs(log_path)
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        SK.hll_cells(df, "v", p=9).write.mode("append").parquet(log_path)
+
+    q = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = {
+        (r["j"], r["r"])
+        for r in spark.read.parquet(log_path)
+        .groupBy("j")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    batch = {
+        (r["j"], r["r"])
+        for r in SK.hll_cells(
+            spark.createDataFrame(vals, "v string"), "v", p=9
+        ).collect()
+    }
+    assert merged == batch and len(batch) > 0
+
+
+# ------------------------------------------------------------- Bloom
+
+def _py_bloom_positions(v, m, k):
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    h1, h2 = int(h[:15], 16), int(h[15:30], 16)
+    return {(h1 + i * h2) % m for i in range(k)}
+
+
+def test_bloom_no_false_negatives_and_python_reference(spark):
+    members = [f"gram-{i}" for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in members], "v string")
+    cells = SK.bloom_cells(df, "v", m_bits=4096, k=4)
+    got = {r["pos"] for r in cells.collect()}
+    want = set()
+    for v in members:
+        want |= _py_bloom_positions(v, 4096, 4)
+    assert got == want
+    # every member probes true — the no-false-negative guarantee
+    probed = SK.bloom_probe(cells, df, "v", m_bits=4096, k=4)
+    assert probed.filter("NOT bloom_hit").count() == 0
+    assert probed.count() == len(members)
+
+
+def test_bloom_probe_fp_rate_and_determinism(spark):
+    """Non-members probe mostly false; the FP set is a deterministic
+    function of the hashes — two runs agree exactly, and the observed
+    rate is within 3x of the analytic (1-e^{-kn/m})^k."""
+    import math
+
+    members = [f"in-{i}" for i in range(500)]
+    others = [f"out-{i}" for i in range(2000)]
+    cells = SK.bloom_cells(
+        spark.createDataFrame([(v,) for v in members], "v string"),
+        "v", m_bits=4096, k=4,
+    )
+    odf = spark.createDataFrame([(v,) for v in others], "v string")
+    fp1 = {r["v"] for r in SK.bloom_probe(cells, odf, "v", 4096, 4)
+           .filter("bloom_hit").collect()}
+    fp2 = {r["v"] for r in SK.bloom_probe(cells, odf, "v", 4096, 4)
+           .filter("bloom_hit").collect()}
+    assert fp1 == fp2
+    p = (1 - math.exp(-4 * 500 / 4096)) ** 4
+    assert len(fp1) <= 3 * p * len(others) + 5
+    # python cross-check: exactly the values whose every position is set
+    setbits = {r["pos"] for r in cells.collect()}
+    want = {v for v in others if _py_bloom_positions(v, 4096, 4) <= setbits}
+    assert fp1 == want
+
+
+def test_bloom_merge_is_union_distinct(spark):
+    a = SK.bloom_cells(
+        spark.createDataFrame([(f"a{i}",) for i in range(100)], "v string"),
+        "v", m_bits=2048, k=3,
+    )
+    b = SK.bloom_cells(
+        spark.createDataFrame([(f"b{i}",) for i in range(100)], "v string"),
+        "v", m_bits=2048, k=3,
+    )
+    u = SK.bloom_cells(
+        spark.createDataFrame(
+            [(f"a{i}",) for i in range(100)] + [(f"b{i}",) for i in range(100)],
+            "v string",
+        ),
+        "v", m_bits=2048, k=3,
+    )
+    merged = {r["pos"] for r in a.unionByName(b).distinct().collect()}
+    assert merged == {r["pos"] for r in u.collect()}
+
+
+def test_bloom_probe_duplicate_rows_and_nulls(spark):
+    """Duplicate probe rows each keep their flag (multiplicity
+    preserved); NULL values probe false."""
+    members = spark.createDataFrame([("x",)], "v string")
+    cells = SK.bloom_cells(members, "v", m_bits=512, k=4)
+    probe = spark.createDataFrame(
+        [("x",), ("x",), (None,)], "v string"
+    )
+    rows = SK.bloom_probe(cells, probe, "v", m_bits=512, k=4).collect()
+    from collections import Counter
+
+    assert Counter((r["v"], r["bloom_hit"]) for r in rows) == Counter(
+        [("x", True), ("x", True), (None, False)]
+    )
