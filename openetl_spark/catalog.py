@@ -117,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "sssp_parts",
     "hll_cells",
     "bloom_decontaminate",
+    "graph_modularity",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "window_ranking_extras",
     "attribution_last_touch",
@@ -168,8 +169,8 @@ DRIVER_PRIORITY: list[str] = [
     "repetition_stats",
     "scalar_subquery",
     "stats_agg",
-    "stratified_sample",
     # r08 queue (r03-latest, locally pinned every run):
+    # stratified_sample (displaced by graph_modularity),
     # string_agg_nations (displaced by the bloom_decontaminate
     # addition), unpivot_measures, value_histogram, vocab_topk.
 ]

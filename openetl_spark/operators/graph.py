@@ -603,3 +603,78 @@ def sssp(
         )
         frontier = improved
     return dist
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over the undirected
+    simple graph of ``edges`` (Newman & Girvan 2004): Q = Σ_c [e_c/m −
+    (d_c/2m)²] — the fraction of edges inside communities minus the
+    expectation under the degree-preserving null model. The standard
+    quality score for a community assignment (LPA, Louvain, …).
+
+    Exact-integer formulation: Q = (Σ_c e_c)/m − (Σ_c d_c²)/(4m²), so
+    every aggregate is an exact bigint (internal-edge count, per-label
+    degree sums, their squares) and the final value is two IEEE
+    divisions of identical integers on any engine — bit-deterministic
+    with NO rounding step (the triangle_stats/assortativity
+    discipline). Shape: degree agg + two label joins onto the
+    canonical edge list + one label-keyed partial agg; the three
+    1-row totals meet by broadcast cross-join — nothing corpus-sized
+    reaches the driver.
+
+    ``labels`` is (node, label) — nodes absent from it contribute no
+    internal edges and no community degree (their edges still count in
+    m), so a partial labeling is scored against the full graph.
+    Returns one row: n_edges, n_communities, internal_edges,
+    sum_deg_sq, modularity (NULL on an empty graph).
+    """
+    und, deg = _undirected_simple(edges, src, dst)
+    n_node, n_label = labels.columns[0], labels.columns[1]
+    lab = labels.select(
+        F.col(n_node).alias("node"), F.col(n_label).alias("label")
+    )
+    m_rel = und.agg(F.count("*").alias("n_edges"))
+    internal = (
+        und.join(
+            lab.select(F.col("node").alias("a"), F.col("label").alias("la")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("node").alias("b"), F.col("label").alias("lb")),
+            "b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    dc = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    dsq = dc.agg(
+        F.count("*").alias("n_communities"),
+        F.coalesce(
+            F.sum(F.col("dsum") * F.col("dsum")), F.lit(0)
+        ).alias("sum_deg_sq"),
+    )
+    m2 = F.col("n_edges").cast("double")
+    return (
+        m_rel.crossJoin(F.broadcast(internal))
+        .crossJoin(F.broadcast(dsq))
+        .select(
+            "n_edges",
+            "n_communities",
+            "internal_edges",
+            "sum_deg_sq",
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("internal_edges") / m2
+                - F.col("sum_deg_sq") / (4.0 * m2 * m2),
+            ).alias("modularity"),
+        )
+    )

@@ -25,15 +25,12 @@ from openetl_spark.queries.base import load, query
 # ---------------------------------------------------------------------
 
 
-def lpa_oracle(rounds: int = 4) -> str:
-    """Unrolled synchronous-LPA oracle (the kcore_oracle discipline):
-    l0 = every node its own label; l_{i+1} = per node the most frequent
-    neighbor label in l_i, ties to the SMALLEST label (row_number over
-    (count DESC, label) — the operator's min_by struct order rendered
-    as a window, legal here because the oracle has no scale posture).
-    Every round CTE is MATERIALIZED: each l_i is referenced by a join
-    that DuckDB would otherwise inline and re-compute exponentially
-    (the measured kcore_oracle pathology)."""
+def _lpa_rounds_ctes(rounds: int) -> tuple[str, str]:
+    """The shared WITH-prefix of the LPA oracles: co-purchase edges,
+    symmetric view, l0 = identity labeling, and ``rounds`` unrolled
+    synchronous rounds. Returns (ctes_sql, final_cte_name) so both
+    graph_communities and graph_modularity render the SAME rounds (the
+    jaccard_ctes single-source discipline)."""
     base = f"""
 WITH {CO_PURCHASE_CTE},
 sym AS MATERIALIZED (SELECT x AS u, y AS v FROM co
@@ -51,8 +48,50 @@ l{i} AS MATERIALIZED (
     GROUP BY s.u, l.label) t
   WHERE rn = 1)"""
         prev = f"l{i}"
+    return base, prev
+
+
+def lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA oracle (the kcore_oracle discipline):
+    l0 = every node its own label; l_{i+1} = per node the most frequent
+    neighbor label in l_i, ties to the SMALLEST label (row_number over
+    (count DESC, label) — the operator's min_by struct order rendered
+    as a window, legal here because the oracle has no scale posture).
+    Every round CTE is MATERIALIZED: each l_i is referenced by a join
+    that DuckDB would otherwise inline and re-compute exponentially
+    (the measured kcore_oracle pathology)."""
+    base, prev = _lpa_rounds_ctes(rounds)
     return base + f"""
 SELECT node, CAST(label AS BIGINT) AS label FROM {prev}
+"""
+
+
+def modularity_oracle(rounds: int = 4) -> str:
+    """Newman modularity of the ``rounds``-round LPA partition, on the
+    SAME unrolled rounds as lpa_oracle: Q = (Σe_c)/m − (Σd_c²)/(4m²)
+    with every aggregate an exact bigint, so the final value is two
+    IEEE divisions of identical integers — bit-deterministic with no
+    rounding (the triangle_stats discipline)."""
+    base, prev = _lpa_rounds_ctes(rounds)
+    return base + f""",
+deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+dc AS (SELECT l.label, sum(d.d) AS dsum
+       FROM {prev} l JOIN deg d ON l.node = d.node GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_edges,
+         (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_communities,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM co c JOIN {prev} a ON c.x = a.node
+                    JOIN {prev} b ON c.y = b.node
+          WHERE a.label = b.label) AS internal_edges,
+         (SELECT CAST(sum(dsum * dsum) AS BIGINT) FROM dc) AS sum_deg_sq)
+SELECT n_edges, n_communities, internal_edges, sum_deg_sq,
+       CASE WHEN n_edges > 0 THEN
+         internal_edges / CAST(n_edges AS DOUBLE)
+         - sum_deg_sq / (4.0 * CAST(n_edges AS DOUBLE)
+                             * CAST(n_edges AS DOUBLE))
+       END AS modularity
+FROM tot
 """
 
 
@@ -293,3 +332,19 @@ def q_bloom_decontaminate(spark, sf_dir):
         .filter(F.col("n_bloom_hits") >= 1)
         .select("doc_id", "n_grams", "n_bloom_hits", "n_confirmed")
     )
+
+
+@query("graph_modularity", modularity_oracle(rounds=4))
+def q_graph_modularity(spark, sf_dir):
+    """C119: Newman modularity of graph_communities' 4-round LPA
+    partition over the co-purchase graph (operators/graph.modularity)
+    — the quality score that makes a community assignment auditable
+    instead of taken on faith. Exact-integer formulation (internal
+    edges, per-community degree sums, their squares are all bigints;
+    Q is two IEEE divisions of identical integers) so the single
+    result row hash-matches with no rounding. The oracle re-derives
+    the SAME unrolled LPA rounds (shared _lpa_rounds_ctes fragment)
+    and the same integer aggregates."""
+    edges = co_purchase_edges(spark, sf_dir)
+    labels = G.label_propagation(edges, rounds=4)
+    return G.modularity(edges, labels)

@@ -649,3 +649,56 @@ def test_sssp_parallel_edges_collapse_to_cheapest(spark):
     seeds = spark.createDataFrame([(0,)], "node int")
     got = {r["node"]: r["dist"] for r in G.sssp(df, seeds).collect()}
     assert got == {0: 0, 1: 2}
+
+
+# ------------------------------------------------------- modularity (r07)
+
+def test_modularity_two_cliques_hand_value(spark):
+    """Two K4 cliques + one bridge, labeled by clique: m=13,
+    internal=12, d_c=13 each -> Q = 12/13 - 2*13^2/(4*13^2) =
+    12/13 - 1/2."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src int, dst int")
+    labels = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n + 10, 1) for n in range(4)],
+        "node int, label int",
+    )
+    (row,) = G.modularity(edges, labels).collect()
+    assert row["n_edges"] == 13 and row["n_communities"] == 2
+    assert row["internal_edges"] == 12 and row["sum_deg_sq"] == 2 * 13 * 13
+    assert row["modularity"] == pytest.approx(12 / 13 - 0.5, abs=1e-15)
+
+
+def test_modularity_extremes_and_partial_labeling(spark):
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src int, dst int")
+    # everything in ONE community: Q = 1 - (2m)^2/(4m^2) = 0 exactly
+    one = spark.createDataFrame(
+        [(n, 7) for n in list(range(4)) + list(range(10, 14))],
+        "node int, label int",
+    )
+    (row,) = G.modularity(edges, one).collect()
+    assert row["modularity"] == pytest.approx(0.0, abs=1e-15)
+    # partial labeling: only clique A labeled -> its edges/degrees only
+    half = spark.createDataFrame([(n, 0) for n in range(4)], "node int, label int")
+    (row,) = G.modularity(edges, half).collect()
+    assert row["internal_edges"] == 6 and row["sum_deg_sq"] == 13 * 13
+    assert row["modularity"] == pytest.approx(6 / 13 - 169 / (4 * 169), abs=1e-15)
+
+
+def test_modularity_of_lpa_partition_beats_trivial(spark):
+    """On the clique pair, the LPA partition's Q must beat both the
+    all-one-community labeling (0) and the singleton labeling (<0)."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src int, dst int")
+    lpa = G.label_propagation(edges, rounds=4)
+    (q_lpa,) = G.modularity(edges, lpa).collect()
+    singles = spark.createDataFrame(
+        [(n, n) for n in list(range(4)) + list(range(10, 14))],
+        "node int, label int",
+    )
+    (q_single,) = G.modularity(edges, singles).collect()
+    assert q_lpa["modularity"] > 0 > q_single["modularity"]

@@ -61,7 +61,7 @@ def test_driver_priority_window_integrity():
     # entry (code/oracle changed since the last driver row), and the
     # complete r02-latest refresh queue hold slots
     for newcomer in ("graph_communities", "sssp_parts", "hll_cells",
-                     "bloom_decontaminate",
+                     "bloom_decontaminate", "graph_modularity",
                      "set_union", "set_intersect", "json_funcs",
                      "join_right", "join_full_outer", "union_all_counts",
                      "decimal_agg",
