@@ -344,7 +344,12 @@ def q_graph_modularity(spark, sf_dir):
     Q is two IEEE divisions of identical integers) so the single
     result row hash-matches with no rounding. The oracle re-derives
     the SAME unrolled LPA rounds (shared _lpa_rounds_ctes fragment)
-    and the same integer aggregates."""
-    edges = co_purchase_edges(spark, sf_dir)
+    and the same integer aggregates. The co-purchase self-join is
+    localCheckpoint'd ONCE here: label_propagation and modularity each
+    canonicalize the edge list internally, and without the checkpoint
+    the 700k-pair lineitem self-join would materialize twice (measured
+    9.5 → ~7.5 s warm at sf0.1; the residual is the real LPA rounds
+    plus the modularity joins)."""
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint()
     labels = G.label_propagation(edges, rounds=4)
     return G.modularity(edges, labels)
