@@ -702,3 +702,115 @@ def test_modularity_of_lpa_partition_beats_trivial(spark):
     )
     (q_single,) = G.modularity(edges, singles).collect()
     assert q_lpa["modularity"] > 0 > q_single["modularity"]
+
+
+# -------------------------------- r07 randomized differentials
+
+def _py_lpa(edges, rounds):
+    """Pure-python synchronous LPA with the operator's exact tie rule
+    (most frequent neighbor label, ties to smallest)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes = Counter(labels[v] for v in nbrs)
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        labels = nxt
+    return labels
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_label_propagation_matches_python_reference(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 30
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(90, 2))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["label"]
+        for r in G.label_propagation(df, rounds=3).collect()
+    }
+    assert got == _py_lpa(edges, rounds=3)
+
+
+def _py_bf(edges, seeds, rounds):
+    """Bounded-round Bellman-Ford over the undirected weighted graph:
+    dist after i rounds = min weight over paths of <= i edges."""
+    dist = {s: 0 for s in seeds}
+    sym = [(a, b, w) for a, b, w in edges] + [(b, a, w) for a, b, w in edges]
+    for _ in range(rounds):
+        cur = dict(dist)
+        for a, b, w in sym:
+            if a in dist and dist[a] + w < cur.get(b, float("inf")):
+                cur[b] = dist[a] + w
+        dist = cur
+    return dist
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_sssp_matches_python_bellman_ford(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 25
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(60, 2))
+            if a != b
+        }
+    )
+    wedges = [(a, b, int(rng.integers(1, 9))) for a, b in edges]
+    seeds = [0, 1]
+    df = spark.createDataFrame(wedges, "src int, dst int, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    for rounds in (2, 8):
+        got = {
+            r["node"]: r["dist"]
+            for r in G.sssp(df, sdf, max_rounds=rounds).collect()
+        }
+        assert got == _py_bf(wedges, seeds, rounds), (seed, rounds)
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_grouped_exact_ranks_matches_window_random(spark, seed):
+    """Random data with heavy ties, negative values, and bucket-edge
+    values: positions must equal the window row_number under
+    (value DESC, key ASC) in every group."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            f"g{int(rng.integers(0, 3))}",
+            float(rng.choice([-20.0, -5.0, 0.0, 4.999, 5.0, 5.001, 17.5,
+                              float(rng.integers(-30, 30))])),
+            i,
+        )
+        for i in range(300)
+    ]
+    cols = ["g", "v", "k", "pos", "n_group"]  # exceptAll is positional
+    df = spark.createDataFrame(rows, "g string, v double, k int")
+    got = A.grouped_exact_ranks(df, "g", "v", "k", bucket_width=5.0).select(
+        *cols
+    )
+    w = W.partitionBy("g").orderBy(F.col("v").desc(), F.col("k"))
+    want = (
+        df.withColumn("pos", F.row_number().over(w))
+        .withColumn("n_group", F.count("*").over(W.partitionBy("g")))
+        .select(*cols)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
