@@ -529,7 +529,10 @@ def sssp(
     on an UNDIRECTED graph any negative edge is a negative cycle
     (u→v→u), under which shortest paths are undefined — so unlike
     directed Bellman-Ford there is no meaningful negative-weight mode
-    to support. NULL-weight edges are dropped with them.
+    to support. The precondition is one eager single-column count —
+    column pruning reaches the scan, so it reads only the weight
+    column, and failing BEFORE any round is the point (a lazy check
+    would surface mid-computation). NULL-weight edges are dropped.
 
     The frontier optimization (only nodes whose distance improved last
     round can improve their neighbors — Pregel SSSP) changes cost, not
@@ -627,17 +630,18 @@ def modularity(
     1-row totals meet by broadcast cross-join — nothing corpus-sized
     reaches the driver.
 
-    ``labels`` is (node, label) — nodes absent from it contribute no
-    internal edges and no community degree (their edges still count in
-    m), so a partial labeling is scored against the full graph.
-    Returns one row: n_edges, n_communities, internal_edges,
-    sum_deg_sq, modularity (NULL on an empty graph).
+    ``labels`` is (node, label) — nodes absent from it, or carrying a
+    NULL label, contribute no internal edges and no community degree
+    (their edges still count in m): "unlabeled" is not a community, so
+    a partial labeling is scored against the full graph. Returns one
+    row: n_edges, n_communities, internal_edges, sum_deg_sq,
+    modularity (NULL on an empty graph).
     """
     und, deg = _undirected_simple(edges, src, dst)
     n_node, n_label = labels.columns[0], labels.columns[1]
     lab = labels.select(
         F.col(n_node).alias("node"), F.col(n_label).alias("label")
-    )
+    ).filter(F.col("label").isNotNull())
     m_rel = und.agg(F.count("*").alias("n_edges"))
     internal = (
         und.join(

@@ -686,6 +686,15 @@ def test_modularity_extremes_and_partial_labeling(spark):
     (row,) = G.modularity(edges, half).collect()
     assert row["internal_edges"] == 6 and row["sum_deg_sq"] == 13 * 13
     assert row["modularity"] == pytest.approx(6 / 13 - 169 / (4 * 169), abs=1e-15)
+    # NULL labels mean "unlabeled", never a community of their own:
+    # labeling clique B as NULL must score identically to omitting it
+    nulled = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n + 10, None) for n in range(4)],
+        "node int, label int",
+    )
+    (row2,) = G.modularity(edges, nulled).collect()
+    assert (row2["n_communities"], row2["internal_edges"],
+            row2["sum_deg_sq"]) == (1, 6, 169)
 
 
 def test_modularity_of_lpa_partition_beats_trivial(spark):
