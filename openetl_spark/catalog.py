@@ -118,6 +118,7 @@ DRIVER_PRIORITY: list[str] = [
     "hll_cells",
     "bloom_decontaminate",
     "graph_modularity",
+    "hll_distinct_report",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "window_ranking_extras",
     "attribution_last_touch",
@@ -168,8 +169,8 @@ DRIVER_PRIORITY: list[str] = [
     "regression_aggs",
     "repetition_stats",
     "scalar_subquery",
-    "stats_agg",
     # r08 queue (r03-latest, locally pinned every run):
+    # stats_agg (displaced by hll_distinct_report),
     # stratified_sample (displaced by graph_modularity),
     # string_agg_nations (displaced by the bloom_decontaminate
     # addition), unpivot_measures, value_histogram, vocab_topk.

@@ -353,3 +353,88 @@ def q_graph_modularity(spark, sf_dir):
     edges = co_purchase_edges(spark, sf_dir).localCheckpoint()
     labels = G.label_propagation(edges, rounds=4)
     return G.modularity(edges, labels)
+
+
+# ---------------------------------------------------------------------
+# C117b — the HLL ESTIMATE path under a driver oracle (the
+# approx_sketches inequality discipline: the float estimate is
+# re-derived by DuckDB from the SAME cells and the SAME formula, and
+# what hash-matches are the exact counts + the accuracy booleans —
+# robust to the one-ulp summation-order difference floats allow).
+# ---------------------------------------------------------------------
+
+# Flajolet bias constant for m=512 registers, inlined as the same repr
+# literal on both engines (the pagerank (1-d) literal discipline).
+_HLL_ALPHA_512 = repr(0.7213 / (1 + 1.079 / 512))
+# 3 standard errors at m=512: 3 * 1.04 / sqrt(512), rounded up.
+_HLL_3SIGMA = "0.138"
+
+
+@query(
+    "hll_distinct_report",
+    f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_custkey,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders),
+    cells AS (
+      SELECT o_orderpriority,
+             h // {_HLL_M_SUFFIX} AS j,
+             max(CASE WHEN h % {_HLL_M_SUFFIX} = 0 THEN 52
+                 ELSE 52 - length(ltrim(bin(h % {_HLL_M_SUFFIX}), '0'))
+                 END) AS r
+      FROM h GROUP BY 1, 2),
+    est AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_registers_set,
+             CAST({_HLL_ALPHA_512} AS DOUBLE) * 512 * 512
+               / (sum(power(2.0, -r)) + (512 - count(*))) AS raw
+      FROM cells GROUP BY 1),
+    ex AS (
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY 1),
+    fin AS (
+      SELECT e.o_orderpriority, x.n_exact, e.n_registers_set,
+             CASE WHEN e.raw <= 2.5 * 512 AND e.n_registers_set < 512
+                  THEN 512.0 * ln(512.0 / (512 - e.n_registers_set))
+                  ELSE e.raw END AS estimate
+      FROM est e JOIN ex x ON e.o_orderpriority = x.o_orderpriority)
+    SELECT o_orderpriority, n_exact, n_registers_set,
+           abs(estimate - n_exact) <= {_HLL_3SIGMA} * n_exact
+             AS within_3sigma
+    FROM fin
+    """,
+)
+def q_hll_distinct_report(spark, sf_dir):
+    """C117b: the HLL estimate path driver-checked — per priority, the
+    EXACT distinct customer count (bigint, hash-pinned verbatim) next
+    to the register occupancy and a boolean asserting the Flajolet
+    estimate (with its linear-counting small-range branch) lands
+    within 3 standard errors (3·1.04/√512 ≈ 0.138) of it. DuckDB
+    re-derives the cells bit-identically (hll_cells' FULL oracle) and
+    the estimate by the SAME formula with the SAME repr'd α literal —
+    the booleans tolerate the one-ulp float-summation-order difference
+    while an estimator bug (wrong α, missing small-range branch, rho
+    off-by-one) flips them red on both the exact-vs-estimate and
+    occupancy columns (the approx_sketches inequality discipline, now
+    with a white-box estimator instead of Spark's opaque sketch)."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    est = SK.hll_estimate(
+        SK.hll_cells(o, "o_custkey", keys=["o_orderpriority"], p=9),
+        p=9,
+        keys=["o_orderpriority"],
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        "n_registers_set",
+        (
+            F.abs(F.col("estimate") - F.col("n_exact"))
+            <= float(_HLL_3SIGMA) * F.col("n_exact")
+        ).alias("within_3sigma"),
+    )

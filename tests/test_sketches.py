@@ -212,3 +212,50 @@ def test_bloom_probe_duplicate_rows_and_nulls(spark):
     assert Counter((r["v"], r["bloom_hit"]) for r in rows) == Counter(
         [("x", True), ("x", True), (None, False)]
     )
+
+
+def test_streaming_bloom_cells_union_equals_batch(spark, tmp_path):
+    """Streamed Bloom: each micro-batch's positions APPEND to a
+    persisted cell log; read-side union-distinct must equal the
+    one-shot filter over the full corpus, and a probe against the
+    merged log keeps no-false-negatives (the OR-merge twin of the
+    streaming HLL parity test)."""
+    import os
+
+    vals = [(f"g-{i % 250}",) for i in range(900)]
+    src = str(tmp_path / "bloom_src")
+    spark.createDataFrame(vals, "v string").repartition(3).write.parquet(src)
+
+    log_path = str(tmp_path / "bloom_cells_log")
+    os.makedirs(log_path)
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        SK.bloom_cells(df, "v", m_bits=4096, k=4).write.mode("append").parquet(
+            log_path
+        )
+
+    q = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged_cells = spark.read.parquet(log_path).distinct()
+    batch_cells = SK.bloom_cells(
+        spark.createDataFrame(vals, "v string"), "v", m_bits=4096, k=4
+    )
+    assert {r["pos"] for r in merged_cells.collect()} == {
+        r["pos"] for r in batch_cells.collect()
+    }
+    probe = spark.createDataFrame(sorted(set(vals)), "v string")
+    hits = SK.bloom_probe(merged_cells, probe, "v", m_bits=4096, k=4)
+    assert hits.filter("NOT bloom_hit").count() == 0
