@@ -332,3 +332,78 @@ def streaming_time_weighted(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ATTR_SCHEMA = "user_id bigint, event_id bigint, channel string, value double"
+ATTR_STATE_SCHEMA = "has_last boolean, last_ts bigint, touch string"
+
+
+def streaming_last_touch(stream: DataFrame) -> DataFrame:
+    """C24×C109: streaming twin of attribution_last_touch — per-key
+    stateful credit assignment emitting one row PER PURCHASE as it
+    arrives (append semantics), carrying the user's most recent
+    preceding click/view channel ('direct' when none yet). State per
+    user is three scalars: the last processed event's epoch-µs, and
+    the current touch channel ('' = none — an explicit boolean marks
+    "no event yet", the streaming_time_weighted sentinel discipline).
+
+    The fold sorts each micro-batch's rows per key by (ts, event_id)
+    once (Arrow chunks carry no cross-chunk order) and SKIPS rows
+    older than the state's last processed timestamp — a late
+    cross-batch arrival can neither retro-credit an already-emitted
+    purchase nor resurrect a stale touch (the TWA late-row rule;
+    equal-timestamp rows still fold, and the file-replay harness's
+    range-partitioned batches keep same-(user, ts) rows in one batch
+    where the in-batch sort orders them). Streamed output ≡ the batch
+    window form whenever per-key arrival respects event-time order —
+    pinned purchase-by-purchase by tests/test_streaming.py.
+    """
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        has_last, last_ts, touch = (
+            state.get if state.exists else (False, 0, "")
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ordered = batch.sort_values(["mu", "event_id"])[
+            ["mu", "event_id", "event_type", "value"]
+        ]
+        out = []
+        for mu, eid, etype, value in ordered.itertuples(index=False):
+            if has_last and int(mu) < last_ts:
+                continue  # late cross-batch arrival: see docstring
+            if etype == "purchase":
+                out.append(
+                    (key[0], int(eid), touch if touch else "direct",
+                     float(value))
+                )
+            elif etype in ("click", "view"):
+                touch = etype
+            has_last, last_ts = True, int(mu)
+        state.update((has_last, last_ts, touch))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "event_id": [r[1] for r in out],
+                    "channel": [r[2] for r in out],
+                    "value": [r[3] for r in out],
+                }
+            )
+
+    return (
+        stream.select(
+            "user_id",
+            F.unix_micros("ts").alias("mu"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ATTR_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

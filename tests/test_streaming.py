@@ -341,3 +341,44 @@ def test_streaming_time_weighted_skips_late_cross_batch_rows(spark, tmp_path):
     final = rows[-1]
     # integral = 1.0·10s + 2.0·10s over 20s = 1.5; the late 99 is absent
     assert final["twa"] == pytest.approx(1.5, abs=1e-12)
+
+
+def test_streaming_last_touch_matches_batch(spark, sf_dir, stream_dir):
+    """C109 streaming parity: the stateful last-touch accumulator over
+    time-ordered micro-batches must assign every purchase exactly the
+    channel the batch window form computes — purchase-by-purchase
+    (event_id-keyed), with values carried verbatim."""
+    from pyspark.sql import Window as W
+
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(
+        ops.streaming_last_touch(stream), "t_attr", "append"
+    )
+    got = {
+        r["event_id"]: (r["channel"], r["value"])
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+    events = catalog.load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    batch = {
+        r["event_id"]: (r["channel"], r["value"])
+        for r in events.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.coalesce(
+                F.last(touch, ignorenulls=True).over(w), F.lit("direct")
+            ).alias("channel"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    assert len(got) == len(batch) > 0
+    assert got == batch
