@@ -119,6 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "bloom_decontaminate",
     "graph_modularity",
     "hll_distinct_report",
+    "edit_similarity_pairs",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "window_ranking_extras",
     "attribution_last_touch",
@@ -168,8 +169,8 @@ DRIVER_PRIORITY: list[str] = [
     "rarity_score",
     "regression_aggs",
     "repetition_stats",
-    "scalar_subquery",
     # r08 queue (r03-latest, locally pinned every run):
+    # scalar_subquery (displaced by edit_similarity_pairs),
     # stats_agg (displaced by hll_distinct_report),
     # stratified_sample (displaced by graph_modularity),
     # string_agg_nations (displaced by the bloom_decontaminate

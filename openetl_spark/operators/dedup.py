@@ -1340,3 +1340,108 @@ def duplicate_spans_incremental(
     vs_batch = occ.join(within, "wh", "left_semi")
     dup = vs_index.unionByName(vs_batch).select(id_col, "pos").distinct()
     return merge_window_islands(dup, id_col, window)
+
+
+def edit_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    tau: int = 1,
+    q: int = 4,
+) -> DataFrame:
+    """Edit-distance similarity SELF-join: all pairs with
+    levenshtein(a, b) ≤ ``tau``, WITHOUT the all-pairs cross product —
+    the Ed-Join shape (Xiao et al., VLDB 2008) built on prefix
+    filtering (Chaudhuri et al., ICDE 2006):
+
+      1. q-GRAMS — each string is padded with q−1 copies of a
+         non-text sentinel char on both ends (Gravano et al., VLDB
+         2001), then split into its DISTINCT q-grams in the scan
+         projection. Padding makes every string carry len + q − 1
+         grams, so boundary-length pairs ('cc' vs 'dcc') share edge
+         grams; one edit still destroys ≤ q DISTINCT grams per side
+         (a surviving occurrence appears verbatim in the other
+         string), so ed(a,b) ≤ tau ⇒ |g(a) ∩ g(b)| ≥ |g| − q·tau on
+         each side.
+      2. PREFIX SIGNATURE — under the global total order (gram
+         corpus-frequency ASC, gram ASC), a string's signature is its
+         first ``q·tau + 1`` grams: the prefix-filtering lemma makes
+         signature∩signature ≠ ∅ for every true pair whose per-side
+         bound is non-vacuous. Strings so short the bound IS vacuous
+         (|g| ≤ q·tau ⟺ len ≤ q·(tau−1)+1) can only match partners
+         within tau of their length, so every string with len ≤
+         q·(tau−1)+1+tau ALSO carries a forced sentinel signature
+         gram — the degenerate-length bucket (tiny and rare in real
+         corpora; the unit test brute-forces losslessness including
+         empty strings). Rarest-first ordering keeps signature
+         buckets the smallest available: the shared corporate prefix
+         of near-identical keys ("Customer#…") never becomes a join
+         bucket.
+      3. VERIFY — candidates (one equi-join on the signature gram,
+         canonical a < b, distinct) pass a length filter
+         (|len_a − len_b| ≤ tau, free) then one JVM levenshtein.
+
+    Scale shape: the only corpus-keyed shuffles are the gram-frequency
+    partial agg and the per-id signature row_number (high-cardinality
+    id partitions of ≤ len+q−1 rows); the candidate join keys on
+    SIGNATURE grams whose buckets the frequency order minimizes.
+    Everything is exact strings/integers — grams, frequencies, the
+    total order, candidates, and distances render identically in
+    DuckDB, so results are FULL-oracle checkable.
+
+    Returns (a, b, dist): id pairs (a < b) with edit distance ≤ tau.
+    Rows with NULL strings are excluded.
+    """
+    if tau < 0 or q < 1:
+        raise ValueError(f"edit_similarity_join: tau={tau}, q={q}")
+    sig_len = q * tau + 1
+    tiny_len = q * (tau - 1) + 1 + tau  # may pair with a vacuous-bound string
+    pad = chr(31) * (q - 1)  # empty at q=1, where padding is a no-op
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(s_col).alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    grams = base.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, length(concat('{pad}', _s, '{pad}')) - {q} + 1), "
+                f"i -> substring(concat('{pad}', _s, '{pad}'), i, {q})))"
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("_f"))
+    w = Window.partitionBy("_id").orderBy("_f", "g")
+    sig = (
+        grams.join(freq, "g")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sig_len)
+        .select("_id", "_s", "g")
+    )
+    sentinel = base.filter(F.length("_s") <= tiny_len).select(
+        "_id", "_s", F.lit("").alias("g")
+    )
+    sig = sig.unionByName(sentinel)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("a._s").alias("_sa"),
+            F.col("b._id").alias("b"),
+            F.col("b._s").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("_sa") - F.length("_sb")) <= tau
+        )
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= tau)
+        .select("a", "b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -438,3 +438,71 @@ def q_hll_distinct_report(spark, sf_dir):
             <= float(_HLL_3SIGMA) * F.col("n_exact")
         ).alias("within_3sigma"),
     )
+
+
+# ---------------------------------------------------------------------
+# C120 — edit-distance similarity join (Ed-Join: prefix-filtered
+# q-gram candidates + levenshtein verify — the scalable string
+# similarity join next to the jaccard/minhash token family).
+# ---------------------------------------------------------------------
+
+# chr(31)×4 rendered for the DuckDB side (q=5 padding).
+_ED_PAD = "repeat(chr(31), 4)"
+
+
+@query(
+    "edit_similarity_pairs",
+    f"""
+    WITH base AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT id, s, substr(p, i, 5) AS g FROM (
+        SELECT id, s, {_ED_PAD} || s || {_ED_PAD} AS p FROM base) b,
+        UNNEST(generate_series(1, length(p) - 4)) AS t(i)),
+    freq AS (SELECT g, count(*) AS f FROM grams GROUP BY 1),
+    sig AS MATERIALIZED (
+      SELECT id, s, g FROM (
+        SELECT gr.id, gr.s, gr.g,
+               row_number() OVER (PARTITION BY gr.id
+                                  ORDER BY f.f, gr.g) AS rn
+        FROM grams gr JOIN freq f ON gr.g = f.g) t
+      WHERE rn <= 6
+      UNION ALL
+      SELECT id, s, '' FROM base WHERE length(s) <= 2),
+    cand AS (
+      SELECT DISTINCT a.id AS ia, a.s AS sa, b.id AS ib, b.s AS sb
+      FROM sig a JOIN sig b ON a.g = b.g AND a.id < b.id),
+    ok AS (
+      SELECT ia, ib, levenshtein(sa, sb) AS dist
+      FROM cand
+      WHERE abs(length(sa) - length(sb)) <= 1 AND levenshtein(sa, sb) <= 1)
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(ia) AS BIGINT) AS min_a,
+           CAST(max(ib) AS BIGINT) AS max_b
+    FROM ok GROUP BY 1
+    """,
+)
+def q_edit_similarity_pairs(spark, sf_dir):
+    """C120: all customer-name pairs within edit distance 1
+    (operators/dedup.edit_similarity_join — Ed-Join prefix filtering,
+    q=5): zero-padded sequential keys like 'Customer#000000042' are
+    the ADVERSARIAL case for naive q-gram blocking (every name shares
+    the corporate prefix), and exactly where rarest-first signatures
+    shine — the digit-region grams that survive into the 6-gram
+    signatures have corpus frequencies in the single digits, so
+    candidate buckets stay tiny while the all-pairs cross product
+    never materializes. The result is the per-distance pair census
+    (plus min/max pair endpoints as extra hash anchors); the oracle
+    re-derives padding, distinct grams, the (frequency, gram) total
+    order, signatures, candidates, and distances — every step exact
+    strings/integers, FULL-oracle checkable including the filter's
+    candidate set."""
+    from openetl_spark.operators.dedup import edit_similarity_join
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit_similarity_join(c, "c_custkey", "c_name", tau=1, q=5)
+    return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("a").cast("bigint").alias("min_a"),
+        F.max("b").cast("bigint").alias("max_b"),
+    )

@@ -823,3 +823,68 @@ def test_grouped_exact_ranks_matches_window_random(spark, seed):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# -------------------------------- edit_similarity_join (r07)
+
+def _brute_ed_pairs(rows, tau):
+    import difflib  # noqa: F401  (not used — true DP below)
+
+    def ed(x, y):
+        m, n = len(x), len(y)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (x[i - 1] != y[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    out = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = ed(sa, sb)
+            if d <= tau:
+                lo, hi = min(ia, ib), max(ia, ib)
+                out.add((lo, hi, d))
+    return out
+
+
+@pytest.mark.parametrize("seed,tau,q", [(41, 1, 3), (42, 2, 3), (43, 1, 4)])
+def test_edit_similarity_join_no_missed_pairs(spark, seed, tau, q):
+    """Prefix filtering must be LOSSLESS: the filtered join's pairs
+    equal the brute-force cross product's at every (tau, q), including
+    strings shorter than q (sentinel bucket) and exact duplicates."""
+    from openetl_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(seed)
+    alphabet = list("abcd")
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 9))
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    rows.append((60, rows[0][1]))  # exact duplicate -> dist 0
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in DD.edit_similarity_join(df, "id", "s", tau=tau, q=q).collect()
+    }
+    assert got == _brute_ed_pairs(rows, tau)
+
+
+def test_edit_similarity_join_tau_zero_is_exact_dup(spark):
+    from openetl_spark.operators import dedup as DD
+
+    rows = [(1, "hello"), (2, "hello"), (3, "hallo"), (4, None)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in DD.edit_similarity_join(df, "id", "s", tau=0, q=2).collect()
+    }
+    assert got == {(1, 2, 0)}
+    with pytest.raises(ValueError):
+        DD.edit_similarity_join(df, "id", "s", tau=-1)

@@ -62,7 +62,7 @@ def test_driver_priority_window_integrity():
     # complete r02-latest refresh queue hold slots
     for newcomer in ("graph_communities", "sssp_parts", "hll_cells",
                      "bloom_decontaminate", "graph_modularity",
-                     "hll_distinct_report",
+                     "hll_distinct_report", "edit_similarity_pairs",
                      "set_union", "set_intersect", "json_funcs",
                      "join_right", "join_full_outer", "union_all_counts",
                      "decimal_agg",
