@@ -1411,10 +1411,18 @@ def edit_similarity_join(
             )
         ).alias("g"),
     )
+    # The gram-frequency dictionary is vocabulary-sized (distinct
+    # grams grow sublinearly in the corpus) — broadcast it so ranking
+    # grams costs NO corpus shuffle on the gram key; the only
+    # corpus-keyed exchange is the per-id repartition feeding the
+    # signature sort, at an explicit width AQE cannot coalesce into
+    # one giant sort task (measured single-task at sf0.1 otherwise).
+    par = df.sparkSession.sparkContext.defaultParallelism
     freq = grams.groupBy("g").agg(F.count("*").alias("_f"))
     w = Window.partitionBy("_id").orderBy("_f", "g")
     sig = (
-        grams.join(freq, "g")
+        grams.join(F.broadcast(freq), "g")
+        .repartition(par, "_id")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= sig_len)
         .select("_id", "_s", "g")
@@ -1424,6 +1432,12 @@ def edit_similarity_join(
     )
     sig = sig.unionByName(sentinel)
     a, b = sig.alias("a"), sig.alias("b")
+    # Explicit-width repartition before dedup + verify: the candidate
+    # relation is SKINNY (four short columns) but CPU-dense (one
+    # levenshtein per row), so AQE's size-based coalescing funnels it
+    # into a couple of tasks (measured 2 tasks / 16 s at sf0.1);
+    # dropDuplicates reuses this partitioning, so the spread costs no
+    # extra exchange. An explicit width is exempt from AQE coalescing.
     cand = (
         a.join(
             b,
@@ -1435,7 +1449,8 @@ def edit_similarity_join(
             F.col("b._id").alias("b"),
             F.col("b._s").alias("_sb"),
         )
-        .distinct()
+        .repartition(par, "a", "b")
+        .dropDuplicates(["a", "_sa", "b", "_sb"])
     )
     return (
         cand.filter(

@@ -1,6 +1,8 @@
-"""r07 analytics queries: community detection (label propagation),
-weighted shortest paths (Bellman-Ford SSSP), and the mergeable-HLL
-cell relation — VERDICT r06 next-round items #5/#6/#7.
+"""r07 analytics queries: community detection (label propagation) with
+Newman modularity, weighted shortest paths (Bellman-Ford SSSP), the
+mergeable-HLL cell relation + estimate report, Bloom-filter prefilter
+decontamination, and the Ed-Join edit-distance similarity join —
+VERDICT r06 next-round items #5/#6/#7 plus the C118–C120 extensions.
 
 Importing this module REGISTERS its queries into the shared
 QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
@@ -499,7 +501,11 @@ def q_edit_similarity_pairs(spark, sf_dir):
     candidate set."""
     from openetl_spark.operators.dedup import edit_similarity_join
 
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # spread=True: single-file local scans would build ~3.3M padded
+    # grams in one task (the shingling fan-out rule).
+    c = load(spark, sf_dir, "customer", spread=True).select(
+        "c_custkey", "c_name"
+    )
     pairs = edit_similarity_join(c, "c_custkey", "c_name", tau=1, q=5)
     return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
         F.count("*").alias("n_pairs"),
