@@ -304,6 +304,9 @@ if __name__ == "__main__":
                 os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
             )
         )
-        compare(sys.argv[2], cur)
+        # Nonzero exit on drift so `bench.py --compare prev && ship`
+        # actually gates (review r07: the count was computed and then
+        # dropped, making the build-time check decorative).
+        sys.exit(1 if compare(sys.argv[2], cur) else 0)
     else:
         main()

@@ -84,16 +84,17 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
 # entries of queries() in iteration order. Round-7 rotation (VERDICT
-# r06 #1, staleness burn-down): slots go first to the three new r07
+# r06 #1, staleness burn-down): slots go first to the SEVEN new r07
 # queries (no driver row anywhere), then every query whose code or
-# oracle changed after its last green (DRIVER_RECHECK), then ALL 7
+# oracle changed after its last green (DRIVER_RECHECK, 4), then ALL 7
 # queries whose latest driver green is r02 (after this round nothing
-# is r02-latest), then 36 of the 39 remaining r03-latest rows
-# (window_ranking_extras moved into the recheck block); the final 3
-# r03 rows (unpivot_measures, value_histogram, vocab_topk — simple
-# single-table shapes, all locally pinned every pytest run) queue for
-# r08. Every query, windowed or not, is re-pinned every run by
-# tests/test_oracle.py, which mirrors the driver's compare exactly.
+# is r02-latest), then 32 of the 39 remaining r03-latest rows
+# (window_ranking_extras moved into the recheck block); the final 7
+# r03 rows — each displaced by a never-checked r07 addition, all
+# simple single-table shapes locally pinned every pytest run — are
+# the enumerated r08 queue at the list's tail. Every query, windowed
+# or not, is re-pinned every run by tests/test_oracle.py, which
+# mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
 
 # Queries whose CODE or ORACLE changed after their last driver-green

@@ -435,7 +435,11 @@ def kcore(
             .localCheckpoint()
         )
         n = obs.get["n"]
-        if n == prev_n:
+        if n == prev_n or n == 0:
+            # n == 0 is a fixpoint without a verification round: the
+            # empty set peels to itself, so finishing on an
+            # everything-removed round is exact, not suspect
+            # (review r07: it previously warned spuriously).
             converged = True
             break
         last_removed = prev_n - n

@@ -204,33 +204,42 @@ def bloom_probe(
     at the filter's designed rate (and DETERMINISTIC: both engines
     derive the same positions, so even the FP set hash-matches).
 
-    Shape: explode the probe's DISTINCT positions (array_distinct —
-    the double-hash can collide two of its own k positions, and a
-    collided probe still only needs the collapsed set present), mark
-    each against a broadcast of the cells (≤ m_bits rows by
-    construction), and a row hits iff EVERY exploded position was
-    marked. Flags are computed per distinct row and joined back, so
-    duplicate probe rows each carry their (identical) flag and row
-    multiplicity is preserved. A NULL probe value has no hash — it
-    probes false. The probe relation is never collected — this is the
-    decontamination-prefilter posture (cheap superset gate before an
-    exact verify join)."""
-    probe = df.withColumn(
-        "_bpos", F.array_distinct(_bloom_positions(value, m_bits, k))
+    Shape: each of the k positions becomes a column, then k LEFT joins
+    against a BROADCAST of the distinct set positions (≤ m_bits rows
+    by construction, unique keys — no fan-out) mark presence; a row
+    hits iff every marker landed. Row-local by construction: no
+    groupBy, no join-back on the probe's own columns, so duplicate
+    probe rows, NULLs in OTHER columns, and exotic column types all
+    pass through untouched (review r07: the earlier
+    group-by-all-columns + null-unsafe rejoin silently false-negatived
+    rows with a NULL in any non-value column — a contaminated row
+    slipping a decontamination gate). A NULL probe VALUE has no hash —
+    it probes false. Raises on probe column names colliding with the
+    internals (the skyline reserved-name rule)."""
+    reserved = {hit_col, "_bh1", "_bh2"} | {f"_bp{i}" for i in range(k)} | {
+        f"_bin{i}" for i in range(k)
+    }
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(f"bloom_probe reserves column names {clash}")
+    s = F.col(value).cast("string")
+    out = df.withColumn(
+        "_bh1", F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    ).withColumn(
+        "_bh2", F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("bigint")
     )
-    marked = (
-        probe.select(*df.columns, F.explode("_bpos").alias("pos"))
-        .join(
-            F.broadcast(
-                cells.select("pos").distinct().withColumn("_in", F.lit(1))
+    for i in range(k):
+        out = out.withColumn(
+            f"_bp{i}",
+            ((F.col("_bh1") + F.lit(i) * F.col("_bh2")) % F.lit(m_bits)).cast(
+                "int"
             ),
-            "pos",
-            "left",
         )
-    )
-    flags = marked.groupBy(*df.columns).agg(
-        (F.min(F.col("_in").isNotNull().cast("int")) == 1).alias(hit_col)
-    )
-    return probe.drop("_bpos").join(flags, df.columns, "left").select(
-        *df.columns, F.coalesce(F.col(hit_col), F.lit(False)).alias(hit_col)
-    )
+    cset = cells.select("pos").distinct()
+    for i in range(k):
+        ci = F.broadcast(cset.withColumnRenamed("pos", f"_bin{i}"))
+        out = out.join(ci, out[f"_bp{i}"] == ci[f"_bin{i}"], "left")
+    hit = F.lit(True)
+    for i in range(k):
+        hit = hit & F.col(f"_bin{i}").isNotNull()
+    return out.select(*df.columns, hit.alias(hit_col))

@@ -86,7 +86,8 @@ tot AS (
           FROM co c JOIN {prev} a ON c.x = a.node
                     JOIN {prev} b ON c.y = b.node
           WHERE a.label = b.label) AS internal_edges,
-         (SELECT CAST(sum(dsum * dsum) AS BIGINT) FROM dc) AS sum_deg_sq)
+         COALESCE((SELECT CAST(sum(dsum * dsum) AS BIGINT) FROM dc), 0)
+           AS sum_deg_sq)
 SELECT n_edges, n_communities, internal_edges, sum_deg_sq,
        CASE WHEN n_edges > 0 THEN
          internal_edges / CAST(n_edges AS DOUBLE)

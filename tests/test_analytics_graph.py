@@ -888,3 +888,28 @@ def test_edit_similarity_join_tau_zero_is_exact_dup(spark):
     assert got == {(1, 2, 0)}
     with pytest.raises(ValueError):
         DD.edit_similarity_join(df, "id", "s", tau=-1)
+
+
+def test_kcore_everything_peeled_on_final_round_is_converged(spark):
+    """Review r07: finishing max_rounds on an everything-removed round
+    is a fixpoint (empty peels to empty) — no spurious warning."""
+    import warnings
+
+    # 4-path, k=2: round 1 removes both endpoints, round 2 the rest.
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src int, dst int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert G.kcore(df, k=2, max_rounds=2).count() == 0
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+
+def test_modularity_empty_labeling_matches_oracle_form(spark):
+    """Review r07: an empty (or fully NULL) labeling must give
+    sum_deg_sq = 0 and modularity = internal/m − 0 on BOTH engines
+    (the oracle now coalesces its empty scalar subquery)."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    empty = spark.createDataFrame([], "node int, label int")
+    (row,) = G.modularity(df, empty).collect()
+    assert (row["n_communities"], row["internal_edges"],
+            row["sum_deg_sq"]) == (0, 0, 0)
+    assert row["modularity"] == pytest.approx(0.0, abs=1e-15)

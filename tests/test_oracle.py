@@ -57,7 +57,7 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-7 rotation: the three new queries, every DRIVER_RECHECK
+    # round-7 rotation: the seven new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
     # complete r02-latest refresh queue hold slots
     for newcomer in ("graph_communities", "sssp_parts", "hll_cells",

@@ -259,3 +259,25 @@ def test_streaming_bloom_cells_union_equals_batch(spark, tmp_path):
     probe = spark.createDataFrame(sorted(set(vals)), "v string")
     hits = SK.bloom_probe(merged_cells, probe, "v", m_bits=4096, k=4)
     assert hits.filter("NOT bloom_hit").count() == 0
+
+
+def test_bloom_probe_null_in_other_columns_and_reserved_names(spark):
+    """Review r07: a NULL in a NON-value probe column must not turn a
+    true member into a false negative (the earlier join-back used
+    null-unsafe equality); internals-colliding column names raise."""
+    cells = SK.bloom_cells(
+        spark.createDataFrame([("x",)], "v string"), "v", m_bits=512, k=4
+    )
+    probe = spark.createDataFrame(
+        [(None, "x"), (7, "x"), (None, "nope")], "doc_id int, v string"
+    )
+    rows = SK.bloom_probe(cells, probe, "v", m_bits=512, k=4).collect()
+    got = {(r["doc_id"], r["v"], r["bloom_hit"]) for r in rows}
+    assert (None, "x", True) in got and (7, "x", True) in got
+    assert not [r for r in rows if r["v"] == "nope" and r["bloom_hit"]]
+    with pytest.raises(ValueError, match="reserves"):
+        SK.bloom_probe(
+            cells,
+            probe.withColumnRenamed("doc_id", "_bp0"),
+            "v", m_bits=512, k=4,
+        )
