@@ -297,6 +297,12 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--compare":
         # bench.py --compare PREV_DETAIL.json [CUR_DETAIL.json]
+        if len(sys.argv) < 3:
+            print(
+                "usage: bench.py --compare PREV_DETAIL.json [CUR_DETAIL.json]",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         cur = (
             sys.argv[3]
             if len(sys.argv) > 3

@@ -165,6 +165,15 @@ def grouped_exact_ranks(
     the group: every position 1..n occurs exactly once when
     ``tiebreak`` is unique) and ``n_col`` (group row count).
     """
+    reserved = {pos_col, n_col, "__bkt", "__loc", "__off", "__cnt"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # Same discipline as bloom_probe: withColumn would silently
+        # REPLACE an existing column (or the bin join keys would
+        # collide), yielding wrong ranks with no error.
+        raise ValueError(
+            f"grouped_exact_ranks reserves column names {sorted(clash)}"
+        )
     bkt = F.floor(F.col(order_col) / F.lit(float(bucket_width)))
     aug = df.filter(F.col(order_col).isNotNull()).withColumn("__bkt", bkt)
 

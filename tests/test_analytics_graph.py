@@ -854,20 +854,25 @@ def _brute_ed_pairs(rows, tau):
     return out
 
 
-@pytest.mark.parametrize("seed,tau,q", [(41, 1, 3), (42, 2, 3), (43, 1, 4)])
+@pytest.mark.parametrize(
+    "seed,tau,q", [(41, 1, 3), (42, 2, 3), (43, 1, 4), (44, 1, 1), (45, 2, 1)]
+)
 def test_edit_similarity_join_no_missed_pairs(spark, seed, tau, q):
     """Prefix filtering must be LOSSLESS: the filtered join's pairs
     equal the brute-force cross product's at every (tau, q), including
-    strings shorter than q (sentinel bucket) and exact duplicates."""
+    empty strings (at q=1 their gram sequence degenerates to
+    sequence(1, 0)), strings shorter than q (sentinel bucket), and
+    exact duplicates."""
     from openetl_spark.operators import dedup as DD
 
     rng = np.random.default_rng(seed)
     alphabet = list("abcd")
     rows = []
     for i in range(60):
-        n = int(rng.integers(1, 9))
+        n = int(rng.integers(0, 9))  # length 0 included (ADVICE r07)
         rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
     rows.append((60, rows[0][1]))  # exact duplicate -> dist 0
+    rows.append((61, ""))  # guaranteed empty even if the rng misses 0
     df = spark.createDataFrame(rows, "id int, s string")
     got = {
         (r["a"], r["b"], r["dist"])
