@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from openetl_spark.operators.skew import spread_cpu_dense
+
 
 # ---------------------------------------------------------------- exact
 
@@ -1417,12 +1419,10 @@ def edit_similarity_join(
     # corpus-keyed exchange is the per-id repartition feeding the
     # signature sort, at an explicit width AQE cannot coalesce into
     # one giant sort task (measured single-task at sf0.1 otherwise).
-    par = df.sparkSession.sparkContext.defaultParallelism
     freq = grams.groupBy("g").agg(F.count("*").alias("_f"))
     w = Window.partitionBy("_id").orderBy("_f", "g")
     sig = (
-        grams.join(F.broadcast(freq), "g")
-        .repartition(par, "_id")
+        spread_cpu_dense(grams.join(F.broadcast(freq), "g"), "_id")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= sig_len)
         .select("_id", "_s", "g")
@@ -1432,26 +1432,24 @@ def edit_similarity_join(
     )
     sig = sig.unionByName(sentinel)
     a, b = sig.alias("a"), sig.alias("b")
-    # Explicit-width repartition before dedup + verify: the candidate
-    # relation is SKINNY (four short columns) but CPU-dense (one
-    # levenshtein per row), so AQE's size-based coalescing funnels it
-    # into a couple of tasks (measured 2 tasks / 16 s at sf0.1);
-    # dropDuplicates reuses this partitioning, so the spread costs no
-    # extra exchange. An explicit width is exempt from AQE coalescing.
-    cand = (
+    # spread_cpu_dense before dedup + verify: the candidate relation
+    # is SKINNY (four short columns) but CPU-dense (one levenshtein
+    # per row) — the AQE funnel measured at 2 tasks / 16 s at sf0.1;
+    # dropDuplicates reuses the spread's hash partitioning, so it
+    # costs no extra exchange (operators/skew.spread_cpu_dense).
+    cand = spread_cpu_dense(
         a.join(
             b,
             (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
+        ).select(
             F.col("a._id").alias("a"),
             F.col("a._s").alias("_sa"),
             F.col("b._id").alias("b"),
             F.col("b._s").alias("_sb"),
-        )
-        .repartition(par, "a", "b")
-        .dropDuplicates(["a", "_sa", "b", "_sb"])
-    )
+        ),
+        "a",
+        "b",
+    ).dropDuplicates(["a", "_sa", "b", "_sb"])
     return (
         cand.filter(
             F.abs(F.length("_sa") - F.length("_sb")) <= tau
@@ -1460,3 +1458,180 @@ def edit_similarity_join(
         .filter(F.col("dist") <= tau)
         .select("a", "b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def ppjoin(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    n: int = 1,
+    cache: bool = True,
+) -> DataFrame:
+    """PPJoin: EXACT set-similarity SELF-join — all pairs whose word
+    n-gram shingle sets have jaccard ≥ tau_num/tau_den — without the
+    all-pairs cross product (Xiao, Wang, Lin & Yu, "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW 2008): prefix
+    filtering (Chaudhuri et al., ICDE 2006) plus PPJoin's positional
+    filter, on the same rarest-first global token order Ed-Join uses.
+    The missing sibling between MinHash (approximate jaccard) and
+    Ed-Join (edit distance): exact-jaccard pairs with a losslessness
+    guarantee. ``n`` picks the set elements: 1 = word tokens, >1 =
+    the with_shingles word-n-gram definition (a doc shorter than n
+    words contributes its single short shingle).
+
+    τ is a RATIONAL (tau_num/tau_den), so every filter is integer
+    arithmetic — prefix lengths, length bounds, the positional bound,
+    and the final jaccard test are all exact bigint comparisons that
+    render identically in DuckDB (FULL-oracle checkable; the float
+    jaccard in the output is one two-integer IEEE division, rounded
+    like jaccard_ctes).
+
+      1. TOKENS — distinct \\s+ word tokens per id; ℓ = |tokens|.
+         All-whitespace/empty docs carry no tokens and are excluded
+         (jaccard is undefined on an empty set).
+      2. GLOBAL ORDER — corpus frequency ASC, token ASC (the Ed-Join
+         rarest-first discipline: signature buckets are minimized,
+         the shared boilerplate token never becomes a join bucket).
+         rn = row_number per id in this order.
+      3. PREFIX — the first p = ℓ − ⌈τℓ⌉ + 1 tokens per id. For a
+         true pair the GLOBALLY FIRST common token provably sits
+         inside both prefixes (ov ≥ ⌈τℓ⌉ on each side, and common
+         tokens occupy the tail positions otherwise).
+      4. CANDIDATES — one equi-join on prefix tokens (a < b), length
+         filter den·min(ℓa,ℓb) ≥ num·max(ℓa,ℓb) (jaccard ≤ min/max),
+         then PPJoin's positional filter: with (i, j) = min positions
+         of a shared prefix token (the same token on both sides,
+         since both orders restrict one total order), overlap ≤ 1 +
+         min(ℓa−i, ℓb−j), which must reach t = ⌈τ/(1+τ)·(ℓa+ℓb)⌉ =
+         ⌈num·(ℓa+ℓb)/(num+den)⌉.
+      5. VERIFY — each survivor pair attaches both token ARRAYS and
+         computes the exact overlap with ONE array_intersect. The
+         arrays are built ONLY for candidate ids (a broadcast
+         semi-join against the collision-sized id set): intersection
+         ignores order, so this needs neither the frequency join nor
+         a corpus-wide collect_list. Keep (num+den)·ov ≥ num·(ℓa+ℓb)
+         ⟺ jaccard ≥ τ.
+
+    Scale shape: the token-frequency dictionary is broadcast only
+    when Catalyst's size estimate says it fits (word tokens — a true
+    vocabulary) and is a plain AQE-skew-handled shuffle join when it
+    doesn't (n-gram shingles are nearly corpus-cardinality — an
+    unconditional broadcast would ship the corpus to every executor).
+    The corpus-keyed shuffles are that join, the per-id spread
+    feeding the rank window (explicit width — the Ed-Join AQE lesson,
+    operators/skew.spread_cpu_dense), and the candidate join on
+    PREFIX tokens, whose buckets the rarest-first order minimizes.
+    Verification is candidate-sized, never corpus².
+
+    Returns (a, b, overlap, la, lb, jaccard): id pairs (a < b) with
+    exact overlap count, set sizes, and jaccard ≥ τ rounded to 6dp.
+    Unit tests brute-force losslessness against the cross product.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"ppjoin: tau must be in (0, 1], got {tau_num}/{tau_den}")
+    if n < 1:
+        raise ValueError(f"ppjoin: n must be >= 1, got {n}")
+    num, den = tau_num, tau_den
+    # NULL text: split(NULL) is NULL and explode(NULL) emits no rows.
+    # Empty/all-whitespace docs yield one '' shingle (the with_shingles
+    # greatest(...,1) clamp) — filtered, so empty sets are excluded
+    # (jaccard is undefined on an empty set) on BOTH engines.
+    words = F.filter(F.split(F.trim(F.col(s_col)), r"\s+"), lambda t: t != "")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles).alias("tok")
+    ).filter(F.col("tok") != "")
+    # The scan + shingle explode is the expensive projection and feeds
+    # THREE consumers (frequency dictionary, ranked prefix build,
+    # candidate-id verify arrays) — persist it once, like
+    # minhash_near_duplicates' shared shingle base (unpersist via the
+    # returned plan's ``_cached_deps``).
+    if cache:
+        toks = toks.persist()
+    # The shingle-frequency dictionary is NOT vocabulary-small at
+    # n > 1 (most word 5-grams are unique, so it is nearly
+    # corpus-sized) — broadcast only when Catalyst's size estimate
+    # says it fits, else this is a plain shuffle join AQE skew-handles
+    # (unlike Ed-Join's char-q-gram dictionary, which is always tiny).
+    from openetl_spark.operators.skew import broadcast_if_small
+
+    freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
+    w_rank = Window.partitionBy("_id").orderBy("_f", "tok")
+    w_len = Window.partitionBy("_id")
+    ranked = (
+        spread_cpu_dense(toks.join(broadcast_if_small(freq), "tok"), "_id")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("l", F.count("*").over(w_len))
+    )
+    # prefix length p = l - ceil(num*l/den) + 1; ceil via (x+den-1) div den.
+    # Lengths are document-token-counts (< 2^20), so double floor is exact.
+    p = F.col("l") - F.floor((num * F.col("l") + den - 1) / den) + 1
+    pre = ranked.filter(F.col("rn") <= p).select("_id", "tok", "rn", "l")
+    a, b = pre.alias("a"), pre.alias("b")
+    la, lb = F.col("la"), F.col("lb")
+    t_need = F.floor((num * (la + lb) + (num + den) - 1) / (num + den))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(
+            den * F.least(F.col("a.l"), F.col("b.l"))
+            >= num * F.greatest(F.col("a.l"), F.col("b.l"))
+        )
+        .groupBy(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.col("a.l").alias("la"),
+            F.col("b.l").alias("lb"),
+        )
+        .agg(F.min("a.rn").alias("i"), F.min("b.rn").alias("j"))
+        .filter(
+            1 + F.least(la - F.col("i"), lb - F.col("j")) >= t_need
+        )
+        # Collision-sized; checkpointed so the candidate derivation
+        # isn't recomputed for the id semi-join below (kcore precedent).
+        .localCheckpoint()
+    )
+    # Verify arrays ONLY for candidate ids (collision-sized set): the
+    # intersection ignores order, so no freq join or rank is needed —
+    # one semi-filtered groupBy over the raw token relation, never a
+    # corpus-wide collect_list.
+    ids = (
+        cand.select(F.col("a_id").alias("_id"))
+        .unionByName(cand.select(F.col("b_id").alias("_id")))
+        .distinct()
+    )
+    recs = (
+        toks.join(F.broadcast(ids), "_id", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_list("tok").alias("arr"))
+    )
+    ra = recs.select(F.col("_id").alias("a_id"), F.col("arr").alias("_aa"))
+    rb = recs.select(F.col("_id").alias("b_id"), F.col("arr").alias("_ab"))
+    ov = F.size(F.array_intersect(F.col("_aa"), F.col("_ab")))
+    out = (
+        spread_cpu_dense(cand.join(ra, "a_id").join(rb, "b_id"), "a_id", "b_id")
+        .withColumn("overlap", ov.cast("bigint"))
+        .filter((num + den) * F.col("overlap") >= num * (la + lb))
+        .select(
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            "overlap",
+            la.cast("bigint").alias("la"),
+            lb.cast("bigint").alias("lb"),
+            F.round(F.col("overlap") / (la + lb - F.col("overlap")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    out._cached_deps = [toks] if cache else []
+    return out

@@ -94,3 +94,29 @@ def hot_keys(df: DataFrame, col: str, k: int = 20, round_dp: int = 6) -> DataFra
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def spread_cpu_dense(df: DataFrame, *keys: str, width: int | None = None) -> DataFrame:
+    """Explicit-width repartition for SKINNY-but-CPU-DENSE stages —
+    relations whose cost is per-row compute (a levenshtein, an
+    array_intersect over long arrays, a per-group numpy kernel), not
+    bytes.
+
+    AQE's size-based shuffle coalescing estimates stage cost from
+    shuffle BYTES, so a few-column candidate relation feeding an
+    expensive per-row expression gets funneled into 1–2 tasks (the r07
+    Ed-Join lesson, measured: 2 tasks / 16 s at sf0.1 until the verify
+    stage was spread; BASELINE.md "Ed-Join AQE lesson"). A
+    user-specified numPartitions is exempt from coalescing, so an
+    explicit repartition pins the stage's parallelism. With ``keys``
+    the spread is a hash exchange those keys' downstream
+    groupBy/dropDuplicates can REUSE (no second shuffle); without, a
+    round-robin scatter.
+
+    ``width`` defaults to the session's default parallelism — at
+    cluster scale that is executor-cores-sized, exactly the width a
+    CPU-bound stage wants. This trades one extra exchange of a SKINNY
+    relation for full-width compute; do not apply it to byte-heavy
+    relations, where AQE's estimate is already right."""
+    w = width or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(w, *[F.col(k) for k in keys]) if keys else df.repartition(w)

@@ -881,6 +881,65 @@ def test_edit_similarity_join_no_missed_pairs(spark, seed, tau, q):
     assert got == _brute_ed_pairs(rows, tau)
 
 
+def _brute_ppjoin_pairs(rows, num, den, n):
+    def sh_set(s):
+        w = s.split()
+        if not w:
+            return set()
+        k = max(len(w) - (n - 1), 1)
+        return {" ".join(w[i : i + n]) for i in range(k)}
+
+    sets = {i: sh_set(s) for i, s in rows if s is not None}
+    sets = {i: v for i, v in sets.items() if v}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ov = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if den * ov >= num * un:  # jaccard >= num/den, exact
+                out.add((a, b, ov, len(sets[a]), len(sets[b])))
+    return out
+
+
+@pytest.mark.parametrize(
+    "seed,num,den,n", [(51, 3, 5, 1), (52, 1, 2, 1), (53, 1, 1, 1), (54, 3, 5, 3)]
+)
+def test_ppjoin_no_missed_pairs(spark, seed, num, den, n):
+    """PPJoin's prefix + length + positional filters must be LOSSLESS:
+    the filtered join's pairs equal the brute-force cross product's at
+    every (tau, n), including exact duplicates, empty/whitespace-only
+    docs (excluded sets), NULLs, and single-token docs."""
+    from openetl_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(80):
+        m = int(rng.integers(0, 12))
+        rows.append((i, " ".join(rng.choice(vocab, size=m))))
+    rows += [(80, rows[2][1]), (81, None), (82, "   "), (83, "solo")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["a"], r["b"], r["overlap"], r["la"], r["lb"])
+        for r in DD.ppjoin(df, "id", "s", num, den, n).collect()
+    }
+    assert got == _brute_ppjoin_pairs(rows, num, den, n)
+
+
+def test_ppjoin_rejects_bad_params(spark):
+    from openetl_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "a b")], "id int, s string")
+    with pytest.raises(ValueError):
+        DD.ppjoin(df, "id", "s", tau_num=0, tau_den=5)
+    with pytest.raises(ValueError):
+        DD.ppjoin(df, "id", "s", tau_num=6, tau_den=5)
+    with pytest.raises(ValueError):
+        DD.ppjoin(df, "id", "s", n=0)
+
+
 def test_edit_similarity_join_tau_zero_is_exact_dup(spark):
     from openetl_spark.operators import dedup as DD
 

@@ -680,3 +680,34 @@ def test_ngram_novelty_plan_shingles_once_per_arm(spark, sf_dir):
         .toString()
     )
     assert plan.count("array_distinct(transform") <= 2, plan[:2000]
+
+
+def test_spread_cpu_dense_pins_explicit_width(spark):
+    """r08 (VERDICT r07 #6): the helper's repartition must land in the
+    executed plan with the EXPLICIT width (AQE cannot coalesce a
+    user-specified numPartitions), both keyed (hash) and unkeyed
+    (round-robin), and a downstream groupBy on the same keys must
+    REUSE the exchange instead of adding a second one."""
+    import pyspark.sql.functions as F
+
+    from openetl_spark.operators.skew import spread_cpu_dense
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    keyed = spread_cpu_dense(df, "k")
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert f"hashpartitioning(k#" in plan and f", {par})" in plan, plan[:1500]
+    spread = spread_cpu_dense(df)
+    plan2 = spread._jdf.queryExecution().executedPlan().toString()
+    assert f"roundrobinpartitioning({par})" in plan2.lower().replace(
+        " ", ""
+    ) or f"RoundRobinPartitioning({par})" in plan2, plan2[:1500]
+    # exchange reuse: groupBy on the spread keys adds NO second shuffle
+    agg = spread_cpu_dense(df, "k").groupBy("k").count()
+    plan3 = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan3.count("Exchange") == 1, plan3[:2000]
+    # width override honored
+    w = spread_cpu_dense(df, "k", width=5)
+    assert ", 5)" in w._jdf.queryExecution().executedPlan().toString()
