@@ -177,11 +177,16 @@ def _upsert_oracle_labels(pdf, graph_sig: int, rounds: int) -> None:
     rows.to_parquet(path, index=False)
 
 
-def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> str:
+def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:
     """Get-or-build the persisted LPA labeling for one testdata
     corpus: run label_propagation ONCE, write the (node, label)
-    relation as parquet, record the exact graph signature, and keep
-    the consolidated oracle parquet current. Returns the labels path.
+    relation AND the canonical undirected edge list (a < b distinct —
+    the lineitem self-join every graph query would otherwise redo) as
+    parquet, record the exact graph signature, and keep the
+    consolidated oracle parquet current. Returns (labels_path,
+    edges_path). The persisted edges need no separate pinning: wrong
+    edges would break graph_communities' from-scratch oracle (labels)
+    and graph_modularity's lineitem-derived totals alike.
 
     The toPandas() here is node-cardinality-sized (~2k rows at sf0.1)
     and happens only on the one-time layout build / oracle upsert —
@@ -196,19 +201,29 @@ def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> str:
     key = f"{os.path.basename(os.path.normpath(sf_dir))}_r{rounds}"
     root = os.path.join(repo, "spark-warehouse", "lpa_cache", key)
     labels_path = os.path.join(root, "labels")
+    edges_path = os.path.join(root, "edges")
     meta_path = os.path.join(root, "meta.json")
     if not os.path.exists(meta_path):  # meta written LAST = build complete
-        edges = co_purchase_edges(spark, sf_dir).localCheckpoint()
-        labels = G.label_propagation(edges, rounds=rounds)
+        raw = co_purchase_edges(spark, sf_dir)
+        und = (
+            raw.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        und.write.mode("overwrite").parquet(edges_path)
+        labels = G.label_propagation(und, rounds=rounds)
         labels.write.mode("overwrite").parquet(labels_path)
         os.makedirs(root, exist_ok=True)
-        sig = _lpa_graph_sig(edges)
+        sig = _lpa_graph_sig(und)
         json.dump({"graph_sig": sig}, open(meta_path, "w"))
     meta = json.load(open(meta_path))
     _upsert_oracle_labels(
         pd.read_parquet(labels_path), meta["graph_sig"], rounds
     )
-    return labels_path
+    return labels_path, edges_path
 
 
 @query("graph_communities", lpa_oracle(rounds=4))
@@ -227,9 +242,8 @@ def q_graph_communities(spark, sf_dir):
     persisted partition against a from-scratch independent derivation,
     and graph_modularity scores the same artifact without recomputing
     the rounds."""
-    return spark.read.parquet(_lpa_layout(spark, sf_dir, rounds=4)).select(
-        "node", "label"
-    )
+    labels_path, _ = _lpa_layout(spark, sf_dir, rounds=4)
+    return spark.read.parquet(labels_path).select("node", "label")
 
 
 # ---------------------------------------------------------------------
@@ -474,8 +488,10 @@ def q_graph_modularity(spark, sf_dir):
     SAME persisted partition (consolidated parquet, graph-signature
     keyed) whose correctness graph_communities' from-scratch oracle
     pins every compare."""
-    labels = spark.read.parquet(_lpa_layout(spark, sf_dir, rounds=4))
-    return G.modularity(co_purchase_edges(spark, sf_dir), labels)
+    labels_path, edges_path = _lpa_layout(spark, sf_dir, rounds=4)
+    return G.modularity(
+        spark.read.parquet(edges_path), spark.read.parquet(labels_path)
+    )
 
 
 # ---------------------------------------------------------------------

@@ -83,3 +83,71 @@ def q_ppjoin_pairs(spark, sf_dir):
         "lb",
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------
+# C122 — Louvain phase-1 local move (Blondel et al. 2008) seeded from
+# the persisted LPA partition: makes graph_modularity's Q a QUALITY
+# claim (a partition something optimizes) instead of a score nothing
+# acts on. FULL oracle: the exact-integer score 2m·k_{i,c} −
+# d_i·Σtot'(c) renders identically in DuckDB over the SAME persisted
+# labels parquet (graph-signature keyed) and the shared co-purchase
+# CTE.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import graph as G  # noqa: E402
+from openetl_spark.queries.analytics_r06 import CO_PURCHASE_CTE  # noqa: E402
+from openetl_spark.queries.analytics_r07 import (  # noqa: E402
+    LPA_ORACLE_LABELS,
+    LPA_SIG_SQL,
+    _lpa_layout,
+)
+
+_LOUVAIN_ORACLE = f"""
+    WITH {CO_PURCHASE_CTE},
+    sym AS (SELECT x AS u, y AS v FROM co
+            UNION ALL SELECT y AS u, x AS v FROM co),
+    lab AS MATERIALIZED (
+      SELECT node, label FROM read_parquet('{LPA_ORACLE_LABELS}')
+      WHERE graph_sig = ({LPA_SIG_SQL}) AND rounds = 4),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM co),
+    stot AS (SELECT l.label AS c, CAST(sum(d.d) AS BIGINT) AS st
+             FROM lab l JOIN deg d USING (node) GROUP BY 1),
+    kic AS (SELECT s.u AS node, l.label AS c, CAST(count(*) AS BIGINT) AS k
+            FROM sym s JOIN lab l ON s.v = l.node GROUP BY 1, 2),
+    cand AS (SELECT node, c, max(k) AS k FROM (
+               SELECT node, c, k FROM kic
+               UNION ALL SELECT node, label AS c, CAST(0 AS BIGINT) FROM lab)
+             GROUP BY 1, 2),
+    sc AS (SELECT cand.node, cand.c,
+                  2 * m.m * cand.k
+                  - d.d * (st.st - CASE WHEN cand.c = l0.label
+                                        THEN d.d ELSE 0 END) AS score
+           FROM cand
+           JOIN deg d ON cand.node = d.node
+           JOIN lab l0 ON cand.node = l0.node
+           JOIN stot st ON cand.c = st.c, m)
+    SELECT node, CAST(c AS BIGINT) AS label FROM (
+      SELECT node, c,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY score DESC, c) AS rn
+      FROM sc) t
+    WHERE rn = 1
+    """
+
+
+@query("louvain_communities", _LOUVAIN_ORACLE)
+def q_louvain_communities(spark, sf_dir):
+    """C122: one synchronous Louvain local-move pass
+    (operators/graph.louvain_move) over the co-purchase graph, seeded
+    from the SAME persisted 4-round LPA partition graph_communities
+    returns and graph_modularity scores — the all-integer move score
+    (2m·k_{i,c} − d_i·Σtot'(c), ties to the smallest label) makes the
+    whole pass bit-checkable cross-engine; tests assert Q(louvain) ≥
+    Q(lpa) on this graph (tests/test_analytics_graph.py)."""
+    labels_path, edges_path = _lpa_layout(spark, sf_dir, rounds=4)
+    return G.louvain_move(
+        spark.read.parquet(edges_path), spark.read.parquet(labels_path)
+    )

@@ -967,6 +967,42 @@ def test_kcore_everything_peeled_on_final_round_is_converged(spark):
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
 
 
+def test_louvain_improves_modularity_over_lpa(spark, sf_dir):
+    """The VERDICT r07 #5 'done' bar: Q(louvain pass) >= Q(lpa) on the
+    co-purchase graph — the move pass must make the partition a
+    quality claim, not just a different labeling. Also pins that the
+    pass is seeded from (and keyed to) the persisted LPA artifact."""
+    from openetl_spark.queries.analytics_r06 import co_purchase_edges
+    from openetl_spark.queries.analytics_r07 import _lpa_layout
+
+    edges = co_purchase_edges(spark, sf_dir).localCheckpoint()
+    labels_path, _ = _lpa_layout(spark, sf_dir, rounds=4)
+    lpa = spark.read.parquet(labels_path)
+    q_lpa = G.modularity(edges, lpa).first()["modularity"]
+    moved = G.louvain_move(edges, lpa)
+    q_louvain = G.modularity(edges, moved).first()["modularity"]
+    assert q_louvain >= q_lpa, (q_louvain, q_lpa)
+
+
+def test_louvain_move_respects_strict_gain_ordering(spark):
+    """Hand-checked gains on triangle+pendant (m=4, degrees 2,2,3,1;
+    communities {0,1,2} and {3}): node 2's integer scores are
+    stay(c0) = 2m·2 − 3·(7−3) = 4 vs move(c3) = 2m·1 − 3·1 = 5 — the
+    HIGHER-degree community is the worse home under the null model
+    (indeed Q({0,1},{2,3}) = 0 > Q({0,1,2},{3}) = −1/32), so 2 moves
+    out while pendant 3 simultaneously moves in (synchronous pass);
+    0 and 1 stay. Pins the own-community degree exclusion and the
+    exact-integer score against a by-hand computation."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src int, dst int"
+    )
+    lab = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "node int, label int"
+    )
+    got = {(r["node"], r["label"]) for r in G.louvain_move(edges, lab).collect()}
+    assert got == {(0, 0), (1, 0), (2, 3), (3, 0)}, got
+
+
 def test_modularity_empty_labeling_matches_oracle_form(spark):
     """Review r07: an empty (or fully NULL) labeling must give
     sum_deg_sq = 0 and modularity = internal/m − 0 on BOTH engines
