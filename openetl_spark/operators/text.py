@@ -888,3 +888,183 @@ def bpe_encode(
         .withColumn(out, F.coalesce(F.col(out), empty))
         .withColumn(f"n_{out}", F.size(F.col(out)))
     )
+
+
+# ------------------------------------------------- unigram LM tokenizer
+
+def unigram_seed_counts(
+    df: DataFrame, text_col: str = "text", max_len: int = 4
+) -> DataFrame:
+    """Seed-vocabulary statistics for unigram-LM tokenizer training
+    (Kudo 2018, SentencePiece's unigram model): frequency-weighted
+    OCCURRENCE counts of every word substring of length 1..max_len,
+    computed over the word dictionary (the bpe_train dictionary trick
+    — the corpus is touched once by word_frequencies; the substring
+    explosion runs on distinct words, Zipf-small vs corpus tokens).
+    Returns (piece, n). Pure array expressions — no Python."""
+    wf = word_frequencies(df, text_col)
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length("word") - i + 1),
+                ),
+                lambda L: F.col("word").substr(i, L),
+            ),
+        )
+    )
+    return (
+        wf.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _viterbi_segment(word: str, logp: dict, max_len: int):
+    """Best segmentation of ``word`` into vocabulary pieces under the
+    unigram LM: maximize Σ log p(piece); ties broken by FEWER pieces,
+    then the lexicographically smallest piece sequence — a total
+    order, so the segmentation is a pure function of (word, model).
+    Returns the piece list (single chars guarantee coverage)."""
+    n = len(word)
+    # best[i] = (neg_score, n_pieces, pieces_tuple) for word[:i]
+    best = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        cands = []
+        for L in range(1, min(max_len, i) + 1):
+            piece = word[i - L : i]
+            lp = logp.get(piece)
+            if lp is None or best[i - L] is None:
+                continue
+            prev = best[i - L]
+            cands.append((prev[0] - lp, prev[1] + 1, prev[2] + (piece,)))
+        if cands:
+            best[i] = min(cands)
+    return list(best[n][2]) if best[n] else list(word)
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    min_count: int = 2,
+    iters: int = 2,
+) -> dict[str, int]:
+    """Unigram-LM tokenizer training by Viterbi hard-EM (Kudo 2018;
+    hard-EM instead of full EM so every statistic is an exact INTEGER
+    and the model is cross-implementation checkable — the bpe_train
+    pinning discipline):
+
+      seed   — unigram_seed_counts pieces with n ≥ min_count, plus
+               ALL single chars regardless of count (coverage: any
+               word segments into chars, the SentencePiece
+               character-coverage floor).
+      E-step — Viterbi-best segmentation of each DISTINCT word under
+               p(piece) = count/total (the dictionary trick: an
+               Arrow-batched pandas UDF over the word-frequency
+               relation, never the corpus), counts weighted by word
+               frequency.
+      M-step — piece count := Σ viterbi uses; single chars keep a
+               floor count of 1 so coverage never dies; other pieces
+               with zero uses are pruned.
+
+    One vocabulary-sized driver collect per iteration carries the
+    model into the next UDF closure — the same boundary the bpe_train
+    merge list crosses (the model IS global state); every heavy step
+    is relational. Returns the final {piece: count} model.
+
+    Pinned by test against a pure-Python reference implementation."""
+    wf = word_frequencies(df, text_col).localCheckpoint()
+    seed = unigram_seed_counts(df, text_col, max_len)
+    chars = (
+        wf.select(F.explode(_char_symbols(F.col("word"))).alias("piece"))
+        .distinct()
+    )
+    # Every single char IS a seed substring (n >= its word freq), so
+    # chars only marks the min_count exemption, never adds pieces.
+    model_df = (
+        seed.join(chars.withColumn("_c", F.lit(1)), "piece", "left")
+        .filter((F.col("n") >= min_count) | F.col("_c").isNotNull())
+        .select("piece", "n")
+    )
+    model = {r["piece"]: int(r["n"]) for r in model_df.collect()}
+    import math
+
+    for _ in range(iters):
+        total = sum(model.values())
+        logp = {p: math.log(c) - math.log(total) for p, c in model.items()}
+        ml = max_len
+
+        @F.pandas_udf("array<string>")
+        def _seg(col: pd.Series) -> pd.Series:
+            return col.map(lambda w: _viterbi_segment(w, logp, ml))
+
+        used = (
+            wf.select(F.explode(_seg(F.col("word"))).alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("n"))
+        )
+        new = {r["piece"]: int(r["n"]) for r in used.collect()}
+        model = {
+            p: max(new.get(p, 0), 1) if len(p) == 1 else new[p]
+            for p in model
+            if len(p) == 1 or new.get(p, 0) > 0
+        }
+    return model
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 4,
+    out: str = "unigram_tokens",
+) -> DataFrame:
+    """Apply a trained unigram-LM model to the corpus — bpe_encode's
+    shape exactly (each DISTINCT word Viterbi-segmented once via an
+    Arrow-batched pandas UDF, then one join on the word key and a
+    per-document ordered re-assembly): adds ``out`` (array<string>,
+    document order) and ``n_{out}``. Segmentation is the trainer's
+    _viterbi_segment with the trainer's tie order, so
+    encode(corpus) under train(corpus)'s model reproduces the final
+    E-step exactly (pinned by test, with a lossless concat
+    round-trip)."""
+    import math
+
+    total = sum(model.values())
+    logp = {p: math.log(c) - math.log(total) for p, c in model.items()}
+    ml = max_len
+
+    @F.pandas_udf("array<string>")
+    def _enc(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _viterbi_segment(w, logp, ml))
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    dic = (
+        df.select(F.explode(words).alias("word"))
+        .distinct()
+        .withColumn("_syms", _enc(F.col("word")))
+    )
+    toks = df.select(F.col(id_col), F.posexplode(words).alias("_pos", "word"))
+    agg = (
+        toks.join(dic, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_syms"))),
+                    lambda s: s["_syms"],
+                )
+            ).alias(out)
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        df.join(agg, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), empty))
+        .withColumn(f"n_{out}", F.size(F.col(out)))
+    )

@@ -151,3 +151,52 @@ def q_louvain_communities(spark, sf_dir):
     return G.louvain_move(
         spark.read.parquet(edges_path), spark.read.parquet(labels_path)
     )
+
+
+# ---------------------------------------------------------------------
+# C123 — unigram-LM tokenizer (SentencePiece's unigram model, Kudo
+# 2018) next to BPE (C55): the Viterbi hard-EM training loop is pinned
+# against a pure-Python reference in tests (the bpe_train discipline —
+# per-iteration dictionaries are not SQL-renderable); what the driver
+# CAN check end-to-end is the seed-vocabulary statistic the first
+# iteration consumes, re-derived by DuckDB from the same word
+# dictionary and substring enumeration.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import text as X  # noqa: E402
+
+_UNIGRAM_SEED_ORACLE = """
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS word
+        FROM documents)
+      GROUP BY 1),
+    subs AS (
+      SELECT substr(w.word, i, L) AS piece, w.freq
+      FROM wf w,
+           UNNEST(generate_series(1, length(w.word))) AS t(i),
+           UNNEST(generate_series(1, least(4, length(w.word) - i + 1)))
+             AS u(L))
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+    FROM subs GROUP BY 1
+    ORDER BY n DESC, piece ASC
+    LIMIT 50
+    """
+
+
+@query("unigram_lm_stats", _UNIGRAM_SEED_ORACLE)
+def q_unigram_lm_stats(spark, sf_dir):
+    """C123: the unigram-LM seed-vocabulary relation
+    (operators/text.unigram_seed_counts) — frequency-weighted
+    occurrence counts of all word substrings of length ≤ 4 over the
+    word dictionary, top-50 under the total order (n DESC, piece ASC)
+    so the LIMIT is engine-deterministic. Exactly the statistic
+    unigram_train's first E-step normalizes into p(piece); the EM loop
+    itself is pinned vs a pure-Python reference in
+    tests/test_operators.py (not SQL-renderable)."""
+    return (
+        X.unigram_seed_counts(load(spark, sf_dir, "documents"), max_len=4)
+        .orderBy(F.col("n").desc(), F.col("piece").asc())
+        .limit(50)
+    )

@@ -1888,3 +1888,104 @@ def test_progressive_jpeg_truncation_renders_completed_scans():
         c = bytearray(data)
         c[rng.randint(2, len(c))] = rng.randint(256)
         M.decode_jpeg_pixels(bytes(c))
+
+
+def _ref_unigram(rows, max_len=4, min_count=2, iters=2):
+    """Pure-Python unigram-LM reference (seed -> Viterbi hard-EM),
+    mirroring Kudo 2018 with the operator's documented determinism
+    contract (integer counts, char floor, fewest-pieces tie order)."""
+    import math
+    from collections import Counter
+
+    from openetl_spark.operators.text import _viterbi_segment
+
+    wf = Counter()
+    for _, t in rows:
+        for w in (t or "").split(" "):
+            if w:
+                wf[w] += 1
+    seed = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for L in range(1, min(max_len, len(w) - i) + 1):
+                seed[w[i : i + L]] += f
+    chars = {ch for w in wf for ch in w}
+    model = {
+        p: n
+        for p, n in seed.items()
+        if n >= min_count or (len(p) == 1 and p in chars)
+    }
+    segs = {}
+    for _ in range(iters):
+        total = sum(model.values())
+        logp = {p: math.log(c) - math.log(total) for p, c in model.items()}
+        used = Counter()
+        segs = {w: _viterbi_segment(w, logp, max_len) for w in wf}
+        for w, f in wf.items():
+            for piece in segs[w]:
+                used[piece] += f
+        model = {
+            p: (max(used.get(p, 0), 1) if len(p) == 1 else used[p])
+            for p in model
+            if len(p) == 1 or used.get(p, 0) > 0
+        }
+    # final segmentation under the FINAL model (what unigram_encode sees)
+    total = sum(model.values())
+    logp = {p: math.log(c) - math.log(total) for p, c in model.items()}
+    segs = {w: _viterbi_segment(w, logp, max_len) for w in wf}
+    return model, segs
+
+
+def test_unigram_train_matches_reference(spark):
+    from openetl_spark.operators import text as X
+
+    rows = [
+        (0, "abab banana band"),
+        (1, "banana ana nab"),
+        (2, "abba ban band banana"),
+        (3, ""),
+        (4, "celestial celery cell"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = X.unigram_train(df, iters=2)
+    want, _ = _ref_unigram(rows, iters=2)
+    assert got == want
+    # iters=1 differs from iters=2 (EM actually moves mass)
+    assert X.unigram_train(df, iters=1) != got
+
+
+def test_unigram_encode_matches_reference_and_roundtrips(spark):
+    from openetl_spark.operators import text as X
+
+    rows = [
+        (0, "abab banana band"),
+        (1, "banana ana nab"),
+        (2, "abba ban band banana"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    model = X.unigram_train(df, iters=2)
+    _, segs = _ref_unigram(rows, iters=2)
+    enc = {r["doc_id"]: r for r in X.unigram_encode(df, model).collect()}
+    for doc_id, text in rows:
+        words = [w for w in text.split(" ") if w]
+        want = [p for w in words for p in segs[w]]
+        assert enc[doc_id]["unigram_tokens"] == want, doc_id
+        assert enc[doc_id]["n_unigram_tokens"] == len(want)
+        # lossless: concatenation reproduces the words
+        assert "".join(want) == "".join(words)
+
+
+def test_unigram_seed_counts_weighted_occurrences(spark):
+    """'aaa' contributes TWO occurrences of 'aa' per appearance and
+    freq-weights multiply in — occurrence counts, not distinct."""
+    from openetl_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(0, "aaa aaa"), (1, "aaa")], "doc_id int, text string"
+    )
+    got = {
+        r["piece"]: r["n"]
+        for r in X.unigram_seed_counts(df, max_len=3).collect()
+    }
+    assert got == {"a": 9, "aa": 6, "aaa": 3}
