@@ -514,3 +514,106 @@ def test_streaming_audio_dedup_on_arrival(spark, tmp_path):
     assert arrival | index_internal == batch_all
     assert arrival, "streamed half must contribute pairs"
     assert len(arrival) + len(index_internal) == len(batch_all)
+
+
+def test_streaming_bloom_decontaminate_equals_batch(spark, sf_dir, tmp_path):
+    """r08 (VERDICT r07 #8): the Bloom-gated decontamination path's
+    streaming twin, completing the sketch-family streaming story (CMS
+    and HLL cell-log twins already exist). The eval slice's bloom
+    cells are built INCREMENTALLY (two halves OR-merged by
+    union-distinct — the mergeable-relation law on real data) and
+    persisted once; the training corpus then arrives in micro-batches,
+    each probed against the persisted cells with per-doc rollups
+    APPENDED on arrival (the incremental-dedup discipline: earlier
+    batches are never re-read). The concatenated streamed flags must
+    equal the batch bloom_decontaminate result row-for-row."""
+    import os
+
+    from openetl_spark import catalog
+    from openetl_spark.operators import sketches as SK
+    from openetl_spark.operators.curation import ngrams
+    from openetl_spark.queries.analytics_r07 import _BLOOM_K, _BLOOM_M
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ng = d.select(
+        "doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g")
+    ).distinct()
+    evg = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+
+    # cells built in two increments, merged by union-distinct
+    half1 = SK.bloom_cells(
+        evg.filter(F.abs(F.hash("g")) % 2 == 0), "g", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    half2 = SK.bloom_cells(
+        evg.filter(F.abs(F.hash("g")) % 2 == 1), "g", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    merged = half1.unionByName(half2).distinct()
+    batch_cells = SK.bloom_cells(evg, "g", m_bits=_BLOOM_M, k=_BLOOM_K)
+    assert merged.exceptAll(batch_cells).isEmpty()
+    assert batch_cells.exceptAll(merged).isEmpty()
+
+    cells_path = str(tmp_path / "bloom_cells")
+    evg_path = str(tmp_path / "eval_grams")
+    merged.write.parquet(cells_path)
+    evg.write.parquet(evg_path)
+
+    # training docs stream in 3 micro-batches (stable 3-way split)
+    train = d.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i in range(3):
+        (
+            train.filter(F.col("doc_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(str(src / f"b{i}"))
+        )
+    flags_path = str(tmp_path / "flags")
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        cells = spark.read.parquet(cells_path)
+        exact = spark.read.parquet(evg_path).withColumn("_ev", F.lit(1))
+        bng = df.select(
+            "doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g")
+        ).distinct()
+        flagged = SK.bloom_probe(cells, bng, "g", m_bits=_BLOOM_M, k=_BLOOM_K)
+        out = (
+            flagged.join(F.broadcast(exact), "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.sum(F.col("bloom_hit").cast("int"))
+                .cast("bigint")
+                .alias("n_bloom_hits"),
+                F.sum(F.when(F.col("_ev").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_confirmed"),
+            )
+            .filter(F.col("n_bloom_hits") >= 1)
+        )
+        out.write.mode("append").parquet(flags_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        (r["doc_id"], r["n_grams"], r["n_bloom_hits"], r["n_confirmed"])
+        for r in spark.read.parquet(flags_path).collect()
+    }
+    batch = {
+        (r["doc_id"], r["n_grams"], r["n_bloom_hits"], r["n_confirmed"])
+        for r in catalog.QUERIES["bloom_decontaminate"](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
