@@ -84,17 +84,17 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-7 rotation (VERDICT
-# r06 #1, staleness burn-down): slots go first to the SEVEN new r07
-# queries (no driver row anywhere), then every query whose code or
-# oracle changed after its last green (DRIVER_RECHECK, 4), then ALL 7
-# queries whose latest driver green is r02 (after this round nothing
-# is r02-latest), then 32 of the 39 remaining r03-latest rows
-# (window_ranking_extras moved into the recheck block); the final 7
-# r03 rows — each displaced by a never-checked r07 addition, all
-# simple single-table shapes locally pinned every pytest run — are
-# the enumerated r08 queue at the list's tail. Every query, windowed
-# or not, is re-pinned every run by tests/test_oracle.py, which
+# entries of queries() in iteration order. Round-8 rotation (VERDICT
+# r07 #1, staleness burn-down): after r07 every one of the 180 catalog
+# queries has a green driver row and nothing is older than r03-latest.
+# Slots go first to the new r08 queries (no driver row anywhere) and
+# any DRIVER_RECHECK entries (code/oracle changed since their last
+# green), then the complete 7-entry r03-latest queue — after this
+# round nothing is r03-latest — then the 38-entry r04-latest queue,
+# then the oldest r05-latest rows until the window holds exactly 50.
+# Each new r08 query added at the head pops one entry off the r05
+# tail into the enumerated r09 queue below. Every query, windowed or
+# not, is re-pinned every pytest run by tests/test_oracle.py, which
 # mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
 
@@ -102,81 +102,77 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # row — they hold window slots even though a (stale) green row exists,
 # and the window-integrity test exempts them from its "wasted slot"
 # check. Prune entries from this set once the next CORRECTNESS record
-# re-greens them. (All 16 r06 entries re-greened in CORRECTNESS_r06 —
-# pruned.)
+# re-greens them. (All 4 r07 entries re-greened in CORRECTNESS_r07 —
+# pruned, per VERDICT r07 #1.)
 DRIVER_RECHECK: set[str] = {
-    # r07 changes (code or oracle text differs from what the r06/r03
+    # r08 changes (code or oracle text differs from what the r07
     # driver rows greened):
-    "window_ranking_extras",   # histogram-rank rewrite, no 5-partition window (r03 green was the window form)
-    "attribution_last_touch",  # revenue rounding -> _round_fixed on both engines
-    "variant_funcs",           # parse_json -> try_parse_json (leniency on malformed docs)
-    "kcore_parts",             # non-convergence RuntimeWarning added (result-identical; defensive recheck)
+    "graph_communities",   # LPA labeling now persisted as a layout artifact; oracle re-derives from the parquet
+    "graph_modularity",    # scores the persisted LPA partition instead of recomputing the rounds inline
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # --- r07 additions (no driver row yet) ---
-    "graph_communities",
-    "sssp_parts",
-    "hll_cells",
-    "bloom_decontaminate",
-    "graph_modularity",
-    "hll_distinct_report",
-    "edit_similarity_pairs",
+    # --- r08 additions (no driver row yet) ---
+    "ppjoin_pairs",
+    "louvain_communities",
+    "unigram_lm_stats",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
-    "window_ranking_extras",
-    "attribution_last_touch",
-    "variant_funcs",
-    "kcore_parts",
-    # --- the complete r02-latest refresh queue (the 7 oldest rows
-    # anywhere; after this round nothing has an r02-era latest green) ---
-    "set_union",
-    "set_intersect",
-    "json_funcs",
-    "join_right",
-    "join_full_outer",
-    "union_all_counts",
-    "decimal_agg",
-    # --- r03-latest burn-down (36 of 39; window_ranking_extras is in
-    # the recheck block above). First the two TPC-H tails displaced in
-    # r06, then the sweeps, then the TPC-H r03 batch, then the rest. ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "pivot_dynamic",
-    "array_funcs_extended",
-    "date_funcs_extended",
-    "string_funcs_extended",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_shipping_delay",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "decontaminate_ngram",
-    "edit_distance",
-    "embedding_near_dup_exact",
-    "filtered_agg",
-    "lang_id_oracle",
-    "map_funcs",
-    "null_safe_join",
-    "percentile_exact",
-    "pii_redaction",
-    "rarity_score",
-    "regression_aggs",
-    "repetition_stats",
-    # r08 queue (r03-latest, locally pinned every run):
-    # scalar_subquery (displaced by edit_similarity_pairs),
-    # stats_agg (displaced by hll_distinct_report),
-    # stratified_sample (displaced by graph_modularity),
-    # string_agg_nations (displaced by the bloom_decontaminate
-    # addition), unpivot_measures, value_histogram, vocab_topk.
+    "graph_communities",
+    "graph_modularity",
+    # --- the complete r03-latest refresh queue (the 7 oldest rows
+    # anywhere; after this round nothing has an r03-era latest green) ---
+    "scalar_subquery",
+    "stats_agg",
+    "stratified_sample",
+    "string_agg_nations",
+    "unpivot_measures",
+    "value_histogram",
+    "vocab_topk",
+    # --- the complete r04-latest burn-down (38 rows) ---
+    "bm25_topk",
+    "bpe_pair_counts",
+    "chunk_bm25_topk",
+    "cluster_profile",
+    "cms_token_counts",
+    "contrastive_negatives",
+    "corpus_report",
+    "declarative_setops",
+    "document_chunks",
+    "domain_mix_sample",
+    "dq_report",
+    "embedding_quantize",
+    "event_transitions",
+    "funnel_conversion",
+    "histogram_quantiles",
+    "hot_keys_report",
+    "hybrid_search_rrf",
+    "ivf_knn",
+    "ivf_pq_knn",
+    "keyword_extraction",
+    "kl_domain_shift",
+    "length_band_filter",
+    "llm_data_pipeline",
+    "multires_rollup",
+    "ngram_lm_score",
+    "pandas_normalize",
+    "per_group_sample",
+    "perplexity_buckets",
+    "pq_knn",
+    "pq_rerank_knn",
+    "retention_cohorts",
+    "rollup_anomalies",
+    "salted_join_segments",
+    "scd2_history",
+    "sequence_packing",
+    "training_shuffle",
+    "vocab_sketch_topk",
+    "zipf_fit",
+    # r09 queue (r05-latest, alphabetical, locally pinned every run):
+    # agg_distinct (displaced by ppjoin_pairs), asof_join_events
+    # (displaced by louvain_communities), connector_slice (displaced
+    # by unigram_lm_stats), cube_flags (displaced by the
+    # graph_communities recheck), declarative_star_join (displaced by
+    # the graph_modularity recheck), then the remaining 33 r05 rows.
 ]
 
 

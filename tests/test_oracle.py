@@ -57,15 +57,14 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-7 rotation: the seven new queries, every DRIVER_RECHECK
+    # round-8 rotation: the three new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
-    # complete r02-latest refresh queue hold slots
-    for newcomer in ("graph_communities", "sssp_parts", "hll_cells",
-                     "bloom_decontaminate", "graph_modularity",
-                     "hll_distinct_report", "edit_similarity_pairs",
-                     "set_union", "set_intersect", "json_funcs",
-                     "join_right", "join_full_outer", "union_all_counts",
-                     "decimal_agg",
+    # complete r03-latest refresh queue hold slots
+    for newcomer in ("ppjoin_pairs", "louvain_communities",
+                     "unigram_lm_stats",
+                     "scalar_subquery", "stats_agg", "stratified_sample",
+                     "string_agg_nations", "unpivot_measures",
+                     "value_histogram", "vocab_topk",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
