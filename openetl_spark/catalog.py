@@ -116,6 +116,8 @@ DRIVER_PRIORITY: list[str] = [
     "ppjoin_pairs",
     "louvain_communities",
     "unigram_lm_stats",
+    "kmv_cells",
+    "kmv_intersection_report",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_communities",
     "graph_modularity",
@@ -165,14 +167,15 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_history",
     "sequence_packing",
     "training_shuffle",
-    "vocab_sketch_topk",
-    "zipf_fit",
-    # r09 queue (r05-latest, alphabetical, locally pinned every run):
-    # agg_distinct (displaced by ppjoin_pairs), asof_join_events
-    # (displaced by louvain_communities), connector_slice (displaced
-    # by unigram_lm_stats), cube_flags (displaced by the
-    # graph_communities recheck), declarative_star_join (displaced by
-    # the graph_modularity recheck), then the remaining 33 r05 rows.
+    # r09 queue, in order: the two r04-latest tails displaced by the
+    # KMV additions (vocab_sketch_topk, zipf_fit), then the r05-latest
+    # rows alphabetically — agg_distinct (displaced by ppjoin_pairs),
+    # asof_join_events (displaced by louvain_communities),
+    # connector_slice (displaced by unigram_lm_stats), cube_flags
+    # (displaced by the graph_communities recheck),
+    # declarative_star_join (displaced by the graph_modularity
+    # recheck), then the remaining 33 r05 rows. All locally re-pinned
+    # every pytest run.
 ]
 
 

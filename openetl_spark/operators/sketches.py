@@ -243,3 +243,113 @@ def bloom_probe(
     for i in range(k):
         hit = hit & F.col(f"_bin{i}").isNotNull()
     return out.select(*df.columns, hit.alias(hit_col))
+
+
+# ------------------------------------------------------------------ KMV
+
+def kmv_cells(
+    df: DataFrame,
+    value: str,
+    k: int = 256,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """K-minimum-values sketch of ``value``'s distinct set as a sparse
+    RELATION: per key group, the ``k`` SMALLEST distinct 60-bit md5
+    hashes (``*keys``, h) — the fifth mergeable sketch family, and the
+    one that buys what HLL structurally cannot: SET-OPERATION
+    estimates. Two KMV sketches intersect/union by plain relational
+    algebra (merge = union-distinct → re-take the k smallest,
+    associative/idempotent; jaccard ≈ share of the merged sketch's
+    members present in both inputs — Beyer et al., SIGMOD 2007;
+    Bar-Yossef et al., RANDOM 2002), so "how many distinct customers
+    do these two segments SHARE" becomes a kilobyte-relation join.
+    Everything is exact md5 integer arithmetic — the FULL cell
+    relation is bit-checkable in DuckDB (the hll_cells discipline).
+
+    Scale shape: the distinct-hash relation never collects per group —
+    the k smallest are selected by grouped_exact_ranks' two-level
+    histogram rank (operators/analytics): a coarse value-bucket
+    partial agg bounded by range/width, cumulative offsets over that
+    BIN relation, and row_number within (group, bucket) partitions
+    whose size is bucket occupancy — never a whole group in one window
+    partition even when ``keys`` is low-cardinality (the r07
+    window_ranking_extras lesson, reused verbatim). A collect_set
+    bottom-k would materialize every distinct hash per group in one
+    task; this shape's shuffles are all partial-agg or
+    occupancy-bounded.
+    """
+    from openetl_spark.operators.analytics import grouped_exact_ranks
+
+    if k < 1:
+        raise ValueError(f"kmv_cells: k must be >= 1, got {k}")
+    s = F.col(value).cast("string")
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    grp = list(keys) if keys else []
+    dh = (
+        df.filter(F.col(value).isNotNull())
+        .select(*grp, h.alias("h"))
+        .distinct()
+        .withColumn("_negh", -F.col("h"))
+    )
+    if not grp:
+        dh = dh.withColumn("_g", F.lit(0))
+        grp = ["_g"]
+    elif len(grp) > 1:
+        raise ValueError("kmv_cells: at most one key column supported")
+    # rank h ASC as (-h) DESC through the histogram-rank machinery;
+    # hashes are uniform in [0, 2^60), so 2^44-wide buckets give ~65k
+    # bins — occupancy (the window-partition size) ~ n/65k per group.
+    ranked = grouped_exact_ranks(
+        dh, grp[0], "_negh", "h", bucket_width=float(1 << 44)
+    )
+    out = ranked.filter(F.col("pos") <= k).select(
+        *(list(keys) if keys else []), "h"
+    )
+    return out
+
+
+def kmv_merge(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    k: int = 256,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """OR-merge two KMV cell relations: union-distinct, then re-take
+    the k smallest per group (associative + idempotent — the
+    bloom/hll merge-law discipline, property-tested). Cell relations
+    are ≤ k rows per group, so the re-rank runs on sketch-sized
+    input — a plain per-group window is safe HERE (bounded by 2k)."""
+    from pyspark.sql import Window
+
+    u = cells_a.unionByName(cells_b).distinct()
+    grp = list(keys)
+    w = (
+        Window.partitionBy(*grp).orderBy("h")
+        if grp
+        else Window.partitionBy(F.lit(0)).orderBy("h")
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    cells: DataFrame, k: int = 256, keys: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct-count estimate from a KMV cell relation: when a group
+    holds k cells, n̂ = (k−1)·2^60 / h_(k) (h_(k) = the k-th smallest
+    hash — the unbiased KMV estimator, Beyer et al. 2007); with fewer
+    than k cells every distinct value is IN the sketch and the count
+    is exact. One tiny aggregate per group over ≤ k rows."""
+    grp = list(keys)
+    agg = cells.groupBy(*grp).agg(
+        F.count("*").alias("n_cells"), F.max("h").alias("hk")
+    )
+    est = F.when(
+        F.col("n_cells") < k, F.col("n_cells").cast("double")
+    ).otherwise(
+        (k - 1) * float(1 << HASH_BITS) / F.col("hk")
+    )
+    return agg.select(*grp, "n_cells", est.alias("estimate"))

@@ -200,3 +200,197 @@ def q_unigram_lm_stats(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("piece").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------
+# C124 — KMV (k-minimum-values) distinct sketch: the FIFTH mergeable
+# sketch family (histogram, CMS, HLL, Bloom, now KMV), and the one
+# that buys SET-OPERATION estimates HLL structurally cannot (Beyer et
+# al., SIGMOD 2007): two sketches union/intersect by plain relational
+# algebra, so "distinct customers SHARED by two segments" is a
+# kilobyte-relation join. FULL bit-exact cell oracle (the hll_cells
+# discipline) + an intersection report whose floats are the same
+# two-integer IEEE divisions on both engines.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import sketches as SK  # noqa: E402
+
+_KMV_K = 256
+_KMV_HRANGE = float(1 << 60)
+
+_KMV_H_CTE = """h AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders)"""
+
+
+@query(
+    "kmv_cells",
+    f"""
+    WITH {_KMV_H_CTE}
+    SELECT o_orderpriority, h FROM (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY h) AS rn
+      FROM h) t
+    WHERE rn <= {_KMV_K}
+    """,
+)
+def q_kmv_cells(spark, sf_dir):
+    """C124: KMV cells (k=256) of each order priority's distinct
+    customer set (operators/sketches.kmv_cells) — the k smallest
+    60-bit md5 hashes per group as a relation. The k-smallest
+    selection routes through grouped_exact_ranks' two-level histogram
+    rank, so no window ever holds a whole low-cardinality group
+    (the r07 window_ranking_extras lesson); the oracle is the direct
+    row_number rendering — legal there, DuckDB has no scale posture.
+    Merge law (union-distinct → re-take k smallest) is
+    property-tested; the estimate and intersection paths are
+    driver-checked by kmv_intersection_report."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return SK.kmv_cells(o, "o_custkey", k=_KMV_K, keys=["o_orderpriority"])
+
+
+@query(
+    "kmv_intersection_report",
+    f"""
+    WITH {_KMV_H_CTE},
+    cells AS (
+      SELECT o_orderpriority AS p, h FROM (
+        SELECT o_orderpriority, h,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY h) AS rn
+        FROM h) t
+      WHERE rn <= {_KMV_K}),
+    prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+    pairs AS (SELECT a.p AS pa, b.p AS pb
+              FROM prio a JOIN prio b ON a.p < b.p),
+    merged AS (
+      SELECT pa, pb, h FROM (
+        SELECT u.pa, u.pb, u.h,
+               row_number() OVER (PARTITION BY u.pa, u.pb
+                                  ORDER BY u.h) AS rn
+        FROM (SELECT DISTINCT pr.pa, pr.pb, c.h
+              FROM pairs pr JOIN cells c ON c.p = pr.pa OR c.p = pr.pb) u
+        ) m
+      WHERE rn <= {_KMV_K}),
+    memb AS (
+      SELECT m.pa, m.pb,
+             CAST(count(*) AS BIGINT) AS n_merged,
+             CAST(sum(CASE WHEN ca.h IS NOT NULL AND cb.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             max(m.h) AS hk
+      FROM merged m
+      LEFT JOIN cells ca ON ca.p = m.pa AND ca.h = m.h
+      LEFT JOIN cells cb ON cb.p = m.pb AND cb.h = m.h
+      GROUP BY 1, 2),
+    ex AS (
+      SELECT pr.pa, pr.pb, CAST(count(*) AS BIGINT) AS n_exact
+      FROM pairs pr
+      JOIN (SELECT DISTINCT o_orderpriority, o_custkey FROM orders) a
+        ON a.o_orderpriority = pr.pa
+      JOIN (SELECT DISTINCT o_orderpriority, o_custkey FROM orders) b
+        ON b.o_orderpriority = pr.pb AND b.o_custkey = a.o_custkey
+      GROUP BY 1, 2),
+    fin AS (
+      SELECT m.pa, m.pb, x.n_exact, m.n_merged, m.n_both,
+             (CAST(m.n_both AS DOUBLE) / m.n_merged)
+             * (CASE WHEN m.n_merged < {_KMV_K}
+                     THEN CAST(m.n_merged AS DOUBLE)
+                     ELSE ({_KMV_K} - 1) * {_KMV_HRANGE!r} / m.hk END)
+               AS estimate
+      FROM memb m JOIN ex x ON x.pa = m.pa AND x.pb = m.pb)
+    SELECT pa, pb, n_exact, n_merged, n_both,
+           estimate,
+           abs(estimate - n_exact) <= 0.35 * n_exact AS within_bound
+    FROM fin
+    """,
+)
+def q_kmv_intersection_report(spark, sf_dir):
+    """C124b: the KMV set-operation path driver-checked — for every
+    pair of order priorities, the EXACT distinct shared-customer count
+    (bigint, pinned verbatim) next to the KMV estimate: jaccard ≈
+    members of the pair's MERGED sketch present in both sides, times
+    the union estimate (k−1)·2^60/h_(k) (exact when the merged sketch
+    is under-full). Both engines derive the floats from the SAME
+    integers via the same two divisions + product, so even the
+    estimate column hash-matches; within_bound (±35%, ≈3σ at k=256
+    compounding jaccard and union error) is additionally asserted TRUE
+    at test scale in pytest so a silent accuracy regression cannot
+    hide behind engine agreement."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    cells = SK.kmv_cells(
+        o, "o_custkey", k=_KMV_K, keys=["o_orderpriority"]
+    ).withColumnRenamed("o_orderpriority", "p")
+    prio = o.select(F.col("o_orderpriority").alias("p")).distinct()
+    pairs = (
+        prio.alias("a")
+        .join(prio.alias("b"), F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+    )
+    u = (
+        pairs.join(
+            F.broadcast(cells),
+            (F.col("p") == F.col("pa")) | (F.col("p") == F.col("pb")),
+        )
+        .select("pa", "pb", "h")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pa", "pb").orderBy("h")  # sketch-sized: <= 2k rows
+    merged = u.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _KMV_K
+    )
+    ca = cells.select(F.col("p").alias("pa"), "h", F.lit(1).alias("_ina"))
+    cb = cells.select(F.col("p").alias("pb"), "h", F.lit(1).alias("_inb"))
+    memb = (
+        merged.join(F.broadcast(ca), ["pa", "h"], "left")
+        .join(F.broadcast(cb), ["pb", "h"], "left")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_merged"),
+            F.sum(
+                F.when(
+                    F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_both"),
+            F.max("h").alias("hk"),
+        )
+    )
+    dpc = o.distinct()
+    ex = (
+        pairs.join(
+            dpc.select(F.col("o_orderpriority").alias("pa"), "o_custkey"),
+            "pa",
+        )
+        .join(
+            dpc.select(F.col("o_orderpriority").alias("pb"), "o_custkey"),
+            ["pb", "o_custkey"],
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    union_est = F.when(
+        F.col("n_merged") < _KMV_K, F.col("n_merged").cast("double")
+    ).otherwise((_KMV_K - 1) * _KMV_HRANGE / F.col("hk"))
+    est = (F.col("n_both").cast("double") / F.col("n_merged")) * union_est
+    return (
+        memb.join(ex, ["pa", "pb"])
+        .withColumn("estimate", est)
+        .select(
+            "pa",
+            "pb",
+            "n_exact",
+            "n_merged",
+            "n_both",
+            "estimate",
+            (
+                F.abs(F.col("estimate") - F.col("n_exact"))
+                <= 0.35 * F.col("n_exact")
+            ).alias("within_bound"),
+        )
+    )

@@ -61,7 +61,8 @@ def test_driver_priority_window_integrity():
     # entry (code/oracle changed since the last driver row), and the
     # complete r03-latest refresh queue hold slots
     for newcomer in ("ppjoin_pairs", "louvain_communities",
-                     "unigram_lm_stats",
+                     "unigram_lm_stats", "kmv_cells",
+                     "kmv_intersection_report",
                      "scalar_subquery", "stats_agg", "stratified_sample",
                      "string_agg_nations", "unpivot_measures",
                      "value_histogram", "vocab_topk",

@@ -281,3 +281,70 @@ def test_bloom_probe_null_in_other_columns_and_reserved_names(spark):
             probe.withColumnRenamed("doc_id", "_bp0"),
             "v", m_bits=512, k=4,
         )
+
+
+def _py_kmv(values, k):
+    import hashlib
+
+    hs = sorted(
+        {int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in values}
+    )
+    return hs[:k]
+
+
+def test_kmv_cells_match_python_reference(spark):
+    vals = [f"v{i}" for i in range(300)] + ["v7", "v7"]  # dups collapse
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    got = sorted(r["h"] for r in SK.kmv_cells(df, "x", k=64).collect())
+    assert got == _py_kmv(set(vals), 64)
+
+
+def test_kmv_merge_equals_cells_of_union_and_is_idempotent(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "x string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(100, 250)] + [(f"b{i}",) for i in range(80)],
+        "x string",
+    )
+    k = 64
+    ca, cb = SK.kmv_cells(a, "x", k=k), SK.kmv_cells(b, "x", k=k)
+    merged = sorted(r["h"] for r in SK.kmv_merge(ca, cb, k=k).collect())
+    union = sorted(
+        r["h"] for r in SK.kmv_cells(a.unionByName(b), "x", k=k).collect()
+    )
+    assert merged == union
+    again = sorted(
+        r["h"] for r in SK.kmv_merge(SK.kmv_merge(ca, cb, k=k), cb, k=k).collect()
+    )
+    assert again == union  # idempotent under re-merge
+
+
+@pytest.mark.parametrize("n", [100, 2000])
+def test_kmv_estimate_tracks_exact_count(spark, n):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "x string")
+    k = 128
+    cells = SK.kmv_cells(df, "x", k=k)
+    (row,) = SK.kmv_estimate(cells, k=k).collect()
+    if n <= k:
+        assert row["estimate"] == float(n)  # under-full sketch is exact
+    else:
+        assert abs(row["estimate"] - n) <= 0.3 * n  # ~3 sigma at k=128
+
+
+def test_kmv_k_validation(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_cells(df, "v", k=0)
+
+
+def test_kmv_intersection_report_bound_holds_on_testdata(spark, sf_dir):
+    """The within_bound column is engine-identical by construction
+    (same integers, same divisions) — this asserts it is also TRUE at
+    test scale, so an accuracy regression cannot hide behind
+    cross-engine agreement."""
+    from openetl_spark import catalog
+
+    rows = catalog.QUERIES["kmv_intersection_report"](spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) priority pairs
+    assert all(r["within_bound"] for r in rows), [
+        (r["pa"], r["pb"], r["n_exact"], r["estimate"]) for r in rows
+    ]
