@@ -348,3 +348,59 @@ def test_kmv_intersection_report_bound_holds_on_testdata(spark, sf_dir):
     assert all(r["within_bound"] for r in rows), [
         (r["pa"], r["pb"], r["n_exact"], r["estimate"]) for r in rows
     ]
+
+
+def test_streaming_kmv_cells_merge_equals_batch(spark, tmp_path):
+    """Streamed KMV: per-batch cells APPEND to a persisted cell log;
+    the read-side merge (union-distinct -> k smallest) must equal the
+    one-shot batch cells over the full corpus — the same
+    mergeable-relation contract as the HLL/CMS/Bloom streaming twins,
+    closing the story for the fifth sketch family."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    k = 64
+    vals = [(f"cust-{i % 500}",) for i in range(1500)]
+    src = str(tmp_path / "kmv_src")
+    spark.createDataFrame(vals, "v string").repartition(4).write.parquet(src)
+
+    log_path = str(tmp_path / "kmv_cells_log")
+    os.makedirs(log_path)
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        SK.kmv_cells(df, "v", k=k).write.mode("append").parquet(log_path)
+
+    q = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    w = Window.partitionBy(F.lit(0)).orderBy("h")
+    merged = sorted(
+        r["h"]
+        for r in spark.read.parquet(log_path)
+        .select("h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .collect()
+    )
+    batch = sorted(
+        r["h"]
+        for r in SK.kmv_cells(
+            spark.createDataFrame(vals, "v string"), "v", k=k
+        ).collect()
+    )
+    assert merged == batch and len(batch) == k
