@@ -118,6 +118,7 @@ DRIVER_PRIORITY: list[str] = [
     "unigram_lm_stats",
     "kmv_cells",
     "kmv_intersection_report",
+    "ktruss_core",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_communities",
     "graph_modularity",
@@ -166,9 +167,9 @@ DRIVER_PRIORITY: list[str] = [
     "salted_join_segments",
     "scd2_history",
     "sequence_packing",
-    "training_shuffle",
-    # r09 queue, in order: the two r04-latest tails displaced by the
-    # KMV additions (vocab_sketch_topk, zipf_fit), then the r05-latest
+    # r09 queue, in order: the three r04-latest tails displaced by the
+    # KMV + ktruss additions (training_shuffle, vocab_sketch_topk,
+    # zipf_fit), then the r05-latest
     # rows alphabetically — agg_distinct (displaced by ppjoin_pairs),
     # asof_join_events (displaced by louvain_communities),
     # connector_slice (displaced by unigram_lm_stats), cube_flags

@@ -785,3 +785,161 @@ def louvain_move(
             "c", F.struct((-F.col("score")).alias("ns"), F.col("c"))
         ).alias("label")
     )
+
+
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Every triangle of the canonical edge set ``und`` exactly once,
+    as (u, a, b) — apex u below both others under the (degree, id)
+    total order, (a, b) the canonical third edge. The triangle_stats
+    wedge shape (Suri & Vassilvitskii 2011: oriented out-degree caps
+    hub fan-out at O(√m)), kept as a relation instead of a count."""
+    oriented = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.col("e1.u").alias("u"),
+        F.least(F.col("e1.v"), F.col("e2.v")).alias("a"),
+        F.greatest(F.col("e1.v"), F.col("e2.v")).alias("b"),
+    )
+    return wedges.join(und, ["a", "b"])  # inner: wedge closed => triangle
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """The k-truss of the undirected simple graph: the maximal
+    subgraph in which every EDGE participates in ≥ k−2 triangles of
+    the subgraph (Cohen 2008) — the edge-analog of k-core and a much
+    tighter cohesion filter (a k-truss is always inside the
+    (k−1)-core, never vice versa). Found by iterative peeling: count
+    per-edge triangle support, drop every edge below k−2, recompute in
+    what remains, repeat.
+
+    Per round: one oriented-wedge triangle enumeration
+    (_oriented_triangles — apex orientation caps hub fan-out at
+    O(√m), the triangle_stats shape) with each triangle exploded to
+    its THREE canonical edges and a partial-agg count per edge; the
+    filtered survivor set localCheckpoints and the removed-edge count
+    rides the round's observe() metric (one job per round — the
+    kcore discipline). Peeling is monotone, so a fixed-round unrolling
+    (the oracle's form) equals the fixpoint whenever convergence
+    happens within ``max_rounds``; if it has NOT converged a
+    RuntimeWarning names the residual delta (the kcore contract).
+
+    Returns the surviving canonical edge set (a, b), a < b; empty if
+    everything peels (k higher than the graph's trussness).
+    """
+    import warnings
+
+    from pyspark.sql import Observation
+
+    if k < 3:
+        raise ValueError(f"ktruss: k must be >= 3 (edges need k-2 >= 1 triangles), got {k}")
+    cur, _ = _undirected_simple(edges, src, dst)
+    prev_n = cur.count()
+    converged = prev_n == 0
+    for _ in range(max_rounds):
+        if prev_n == 0:
+            converged = True
+            break
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        tri = _oriented_triangles(cur, deg)
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "a").alias("x"),
+                        F.greatest("u", "a").alias("y"),
+                    ),
+                    F.struct(
+                        F.least("u", "b").alias("x"),
+                        F.greatest("u", "b").alias("y"),
+                    ),
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                )
+            ).alias("e")
+        ).select("e.x", "e.y")
+        support = tri_edges.groupBy("x", "y").agg(F.count("*").alias("s"))
+        obs = Observation()
+        nxt = (
+            cur.join(
+                support.filter(F.col("s") >= k - 2).select(
+                    F.col("x").alias("a"), F.col("y").alias("b")
+                ),
+                ["a", "b"],
+                "left_semi",
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n = obs.get["n"]
+        removed = prev_n - n
+        cur, prev_n = nxt, n
+        if removed == 0:
+            converged = True
+            break
+    if not converged:
+        # one more support pass to name the residual honestly
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        sup = (
+            _oriented_triangles(cur, deg)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.least("u", "a").alias("x"), F.greatest("u", "a").alias("y")),
+                        F.struct(F.least("u", "b").alias("x"), F.greatest("u", "b").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select("e.x", "e.y")
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("s"))
+        )
+        weak = (
+            cur.join(
+                sup.filter(F.col("s") >= k - 2).select(
+                    F.col("x").alias("a"), F.col("y").alias("b")
+                ),
+                ["a", "b"],
+                "left_anti",
+            ).count()
+        )
+        if weak:
+            warnings.warn(
+                f"ktruss(k={k}) did not converge within {max_rounds} "
+                f"rounds: {weak} surviving edge(s) still below support "
+                f"{k - 2}; raise max_rounds for the true truss",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return cur

@@ -394,3 +394,65 @@ def q_kmv_intersection_report(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# C125 — k-truss peel (Cohen 2008): the edge-analog of k-core, on the
+# REPEAT-co-purchase core (pairs bought together in ≥ 2 distinct
+# orders — the full co-purchase graph is a union of per-order cliques
+# whose triangle mass is bench-hostile and analytically boring; the
+# w ≥ 2 core is the graph where "cohesive" means something). Oracle:
+# the kcore discipline — the same bounded peel rounds unrolled as
+# MATERIALIZED CTEs, support counted per round by the naive
+# common-neighbor join (legal in DuckDB, no scale posture; the Spark
+# operator enumerates oriented wedges with O(√m) apex fan-out).
+# ---------------------------------------------------------------------
+
+from openetl_spark.queries.analytics_r07 import (  # noqa: E402
+    CO_PURCHASE_W_CTE,
+    co_purchase_edges_weighted,
+)
+
+
+def ktruss_oracle(k: int, rounds: int) -> str:
+    base = f"""
+WITH {CO_PURCHASE_W_CTE},
+e0 AS MATERIALIZED (SELECT x AS a, y AS b FROM cow WHERE w >= 2)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        base += f""",
+sym{i} AS MATERIALIZED (SELECT a AS u, b AS v FROM {prev}
+         UNION ALL SELECT b AS u, a AS v FROM {prev}),
+sup{i} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS s
+  FROM {prev} e
+  JOIN sym{i} n1 ON n1.u = e.a
+  JOIN sym{i} n2 ON n2.u = e.b AND n2.v = n1.v
+  GROUP BY 1, 2),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN sup{i} s ON s.a = e.a AND s.b = e.b AND s.s >= {k - 2})"""
+        prev = f"e{i}"
+    return base + f"""
+SELECT a, b FROM {prev}
+"""
+
+
+@query("ktruss_core", ktruss_oracle(k=3, rounds=4))
+def q_ktruss_core(spark, sf_dir):
+    """C125: the 3-truss of the repeat-co-purchase graph
+    (operators/graph.ktruss) — every surviving edge sits in ≥ 1
+    triangle of the surviving subgraph, peeled to fixpoint within 4
+    bounded rounds (converges at every test SF; the kcore
+    bounded-round determinism contract, RuntimeWarning on residual).
+    Spark enumerates each triangle once via (degree, id)-oriented
+    wedges (hub fan-out O(√m)) and explodes it to its three canonical
+    edges for the support partial-agg; the oracle unrolls the same 4
+    peels with naive common-neighbor support counts — same fixpoint,
+    engine-appropriate shapes."""
+    e2 = (
+        co_purchase_edges_weighted(spark, sf_dir)
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return G.ktruss(e2, k=3, max_rounds=4)

@@ -1013,3 +1013,61 @@ def test_modularity_empty_labeling_matches_oracle_form(spark):
     assert (row["n_communities"], row["internal_edges"],
             row["sum_deg_sq"]) == (0, 0, 0)
     assert row["modularity"] == pytest.approx(0.0, abs=1e-15)
+
+
+def _brute_ktruss(edges, k):
+    E = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    changed = True
+    while changed:
+        changed = False
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {(a, b) for a, b in E if len(adj[a] & adj[b]) >= k - 2}
+        if keep != E:
+            E, changed = keep, True
+    return E
+
+
+@pytest.mark.parametrize("seed,k", [(5, 3), (6, 4), (7, 5)])
+def test_ktruss_matches_bruteforce_fixpoint(spark, seed, k):
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(16), rng.randrange(16)) for _ in range(60)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r["a"], r["b"]) for r in G.ktruss(df, k, max_rounds=12).collect()}
+    assert got == _brute_ktruss(edges, k)
+
+
+def test_ktruss_contract(spark):
+    # two triangles sharing an edge: ALL edges are 3-truss
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    got = sorted((r["a"], r["b"]) for r in G.ktruss(df, 3).collect())
+    assert got == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    # 4-truss of a single triangle is empty (each edge has 1 triangle)
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src int, dst int")
+    assert G.ktruss(tri, 4).count() == 0
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        G.ktruss(tri, 2)
+
+
+def test_ktruss_warns_when_rounds_exhausted(spark):
+    """A long 'triangle chain' peels one link per round from each end;
+    max_rounds=1 leaves under-supported edges and must warn."""
+    import warnings
+
+    # chain of triangles: (i, i+1, i+2) for i in 0..5
+    edges = [(i, i + 1) for i in range(7)] + [(i, i + 2) for i in range(6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        G.ktruss(df, 4, max_rounds=1).count()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    )
