@@ -109,6 +109,15 @@ DRIVER_RECHECK: set[str] = {
     # driver rows greened):
     "graph_communities",   # LPA labeling now persisted as a layout artifact; oracle re-derives from the parquet
     "graph_modularity",    # scores the persisted LPA partition instead of recomputing the rounds inline
+    # the remaining graph family now reads the persisted corpus-wide
+    # edge layout (_graph_layout) instead of re-deriving the lineitem
+    # self-join per query — oracles unchanged (still derive co/cow
+    # from lineitem), code changed:
+    "graph_triangles",
+    "bfs_hops_parts",
+    "graph_assortativity",
+    "kcore_parts",
+    "sssp_parts",
 }
 
 DRIVER_PRIORITY: list[str] = [
@@ -122,6 +131,11 @@ DRIVER_PRIORITY: list[str] = [
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_communities",
     "graph_modularity",
+    "graph_triangles",
+    "bfs_hops_parts",
+    "graph_assortativity",
+    "kcore_parts",
+    "sssp_parts",
     # --- the complete r03-latest refresh queue (the 7 oldest rows
     # anywhere; after this round nothing has an r03-era latest green) ---
     "scalar_subquery",
@@ -162,14 +176,11 @@ DRIVER_PRIORITY: list[str] = [
     "perplexity_buckets",
     "pq_knn",
     "pq_rerank_knn",
-    "retention_cohorts",
-    "rollup_anomalies",
-    "salted_join_segments",
-    "scd2_history",
-    "sequence_packing",
-    # r09 queue, in order: the three r04-latest tails displaced by the
-    # KMV + ktruss additions (training_shuffle, vocab_sketch_topk,
-    # zipf_fit), then the r05-latest
+    # r09 queue, in order: the eight r04-latest tails displaced by the
+    # KMV + ktruss additions and the five graph-layout rechecks
+    # (retention_cohorts, rollup_anomalies, salted_join_segments,
+    # scd2_history, sequence_packing, training_shuffle,
+    # vocab_sketch_topk, zipf_fit), then the r05-latest
     # rows alphabetically — agg_distinct (displaced by ppjoin_pairs),
     # asof_join_events (displaced by louvain_communities),
     # connector_slice (displaced by unigram_lm_stats), cube_flags

@@ -318,6 +318,21 @@ def co_purchase_edges(spark, sf_dir):
     )
 
 
+
+
+def _layout_edges(spark, sf_dir):
+    """Persisted canonical co-purchase edges (r08): the corpus-wide
+    graph layout built once by analytics_r07._graph_layout — imported
+    lazily because r07 imports THIS module at load time (the layout is
+    only needed at query-call time, when both modules exist). Every
+    consumer's oracle still derives co from lineitem, so a wrong
+    artifact cannot hash-match."""
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    return spark.read.parquet(edges_path)
+
+
 # ---------------------------------------------------------------------
 # C110 — triangle counting / global clustering coefficient.
 # ---------------------------------------------------------------------
@@ -358,7 +373,7 @@ def q_graph_triangles(spark, sf_dir):
     plan ≡ the definition. All counts are exact integers; the
     clustering coefficient is one IEEE division of exact integers on
     both engines — bit-identical without rounding."""
-    return G.triangle_stats(co_purchase_edges(spark, sf_dir))
+    return G.triangle_stats(_layout_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------
@@ -397,7 +412,7 @@ def q_bfs_hops_parts(spark, sf_dir):
         .filter(F.col("p_brand") == "Brand#13")
         .select("p_partkey")
     )
-    out = G.bfs_hops(co_purchase_edges(spark, sf_dir), seeds, max_hops=4)
+    out = G.bfs_hops(_layout_edges(spark, sf_dir), seeds, max_hops=4)
     return out.select("node", F.col("hop").cast("bigint").alias("hop"))
 
 
@@ -438,7 +453,7 @@ def q_graph_assortativity(spark, sf_dir):
     form). Every moment is an exact integer sum cast to double, so
     both engines evaluate the identical closed form; the oracle
     recomputes it relationally from the shared CO_PURCHASE_CTE."""
-    return G.degree_assortativity(co_purchase_edges(spark, sf_dir))
+    return G.degree_assortativity(_layout_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------
@@ -494,4 +509,4 @@ def q_kcore_parts(spark, sf_dir):
     core (measured: 188/1992/19845 members at sf0.001/0.01/0.1,
     fixpoint ≤ 4 rounds). The oracle unrolls 8 peel rounds from the
     shared CO_PURCHASE_CTE; counts are exact integers — no rounding."""
-    return G.kcore(co_purchase_edges(spark, sf_dir), k=65, max_rounds=8)
+    return G.kcore(_layout_edges(spark, sf_dir), k=65, max_rounds=8)

@@ -177,6 +177,55 @@ def _upsert_oracle_labels(pdf, graph_sig: int, rounds: int) -> None:
     rows.to_parquet(path, index=False)
 
 
+def _graph_layout(spark, sf_dir: str) -> tuple[str, str]:
+    """Get-or-build the persisted co-purchase GRAPH layout for one
+    testdata corpus: the canonical undirected edge list (a < b
+    distinct) and the weighted edge list (distinct-order co-occurrence
+    counts) — the two relations every graph query previously re-derived
+    from the lineitem self-join per invocation (~1.5–2 s each at
+    sf0.1, × 7 queries). The offline-build/online-query posture of
+    _ivf_layout applied to the graph family. Returns (edges_path,
+    edges_w_path).
+
+    Correctness posture: the persisted edges need no separate pinning —
+    every consumer's oracle re-derives co/cow from lineitem, so a wrong
+    artifact cannot hash-match anything (the _lpa_layout argument,
+    now shared by triangles/kcore/bfs/assortativity/sssp/ktruss)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(repo, "spark-warehouse", "graph_cache", key)
+    edges_path = os.path.join(root, "edges")
+    edges_w_path = os.path.join(root, "edges_w")
+    meta_path = os.path.join(root, "meta.json")
+    if not os.path.exists(meta_path):  # meta written LAST = build complete
+        par = spark.sparkContext.defaultParallelism
+        raw = co_purchase_edges(spark, sf_dir)
+        und = (
+            raw.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+        # Explicit-width write: the edge relation is ~20 MB at sf0.1,
+        # which a size-based read coalesces into ONE scan partition —
+        # starving every downstream join of parallelism (measured
+        # graph_triangles 6.1 -> 8.2 s). Pre-spread files so scans
+        # start wide; at cluster scale the writer width follows
+        # defaultParallelism automatically.
+        und.repartition(par).write.mode("overwrite").parquet(edges_path)
+        co_purchase_edges_weighted(spark, sf_dir).repartition(
+            par
+        ).write.mode("overwrite").parquet(edges_w_path)
+        os.makedirs(root, exist_ok=True)
+        sig = _lpa_graph_sig(spark.read.parquet(edges_path))
+        json.dump({"graph_sig": sig}, open(meta_path, "w"))
+    return edges_path, edges_w_path
+
+
 def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:
     """Get-or-build the persisted LPA labeling for one testdata
     corpus: run label_propagation ONCE, write the (node, label)
@@ -201,19 +250,12 @@ def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:
     key = f"{os.path.basename(os.path.normpath(sf_dir))}_r{rounds}"
     root = os.path.join(repo, "spark-warehouse", "lpa_cache", key)
     labels_path = os.path.join(root, "labels")
-    edges_path = os.path.join(root, "edges")
     meta_path = os.path.join(root, "meta.json")
+    # r08: the canonical edge list lives in the corpus-wide graph
+    # layout (shared by every graph query), not per-rounds here.
+    edges_path, _ = _graph_layout(spark, sf_dir)
     if not os.path.exists(meta_path):  # meta written LAST = build complete
-        raw = co_purchase_edges(spark, sf_dir)
-        und = (
-            raw.select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-        und.write.mode("overwrite").parquet(edges_path)
+        und = spark.read.parquet(edges_path).localCheckpoint()
         labels = G.label_propagation(und, rounds=rounds)
         labels.write.mode("overwrite").parquet(labels_path)
         os.makedirs(root, exist_ok=True)
@@ -328,9 +370,8 @@ def q_sssp_parts(spark, sf_dir):
         .filter(F.col("p_brand") == "Brand#13")
         .select("p_partkey")
     )
-    return G.sssp(
-        co_purchase_edges_weighted(spark, sf_dir), seeds, max_rounds=6
-    )
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    return G.sssp(spark.read.parquet(edges_w_path), seeds, max_rounds=6)
 
 
 # ---------------------------------------------------------------------

@@ -1,6 +1,8 @@
 """r08 analytics queries: PPJoin exact set-similarity join, Louvain
-local-move communities, and unigram-LM tokenizer seed statistics —
-VERDICT r07 next-round items #4/#5/#7.
+local-move communities, unigram-LM tokenizer seed statistics (VERDICT
+r07 next-round items #4/#5/#7), the KMV distinct sketch (fifth
+mergeable family, set-operation estimates), and the k-truss peel on
+the repeat-co-purchase core.
 
 Importing this module REGISTERS its queries into the shared
 QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
@@ -408,10 +410,7 @@ def q_kmv_intersection_report(spark, sf_dir):
 # operator enumerates oriented wedges with O(√m) apex fan-out).
 # ---------------------------------------------------------------------
 
-from openetl_spark.queries.analytics_r07 import (  # noqa: E402
-    CO_PURCHASE_W_CTE,
-    co_purchase_edges_weighted,
-)
+from openetl_spark.queries.analytics_r07 import CO_PURCHASE_W_CTE  # noqa: E402
 
 
 def ktruss_oracle(k: int, rounds: int) -> str:
@@ -450,8 +449,11 @@ def q_ktruss_core(spark, sf_dir):
     edges for the support partial-agg; the oracle unrolls the same 4
     peels with naive common-neighbor support counts — same fixpoint,
     engine-appropriate shapes."""
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    _, edges_w_path = _graph_layout(spark, sf_dir)
     e2 = (
-        co_purchase_edges_weighted(spark, sf_dir)
+        spark.read.parquet(edges_w_path)
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
