@@ -1635,3 +1635,188 @@ def ppjoin(
     )
     out._cached_deps = [toks] if cache else []
     return out
+
+
+def ppjoin_dictionary(
+    df: DataFrame, s_col: str, n: int = 1
+) -> DataFrame:
+    """The FROZEN global token order for incremental PPJoin: corpus
+    shingle frequencies (tok, f) captured once at index build. Prefix
+    filtering is lossless under ANY total order shared by both sides
+    of a pair — freshness only affects bucket sizes — so later batches
+    rank their tokens against THIS dictionary (unseen tokens take
+    f = 0: rarest-first puts them ahead, which is both deterministic
+    and bucket-minimal) instead of recomputing frequencies and
+    silently reordering everyone's prefixes."""
+    words = F.filter(F.split(F.trim(F.col(s_col)), r"\s+"), lambda t: t != "")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    return (
+        df.select(F.explode(shingles).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+def prepare_ppjoin_index(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    dict_df: DataFrame,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    n: int = 1,
+) -> DataFrame:
+    """The persistable exact-set-similarity index relation: one row
+    per doc — (id, l, arr, pre) with ``arr`` the distinct shingle
+    array (what verification needs), ``l`` its size, and ``pre`` the
+    prefix tokens WITH their global-order positions (array of
+    struct<tok, rn>, what candidate generation needs) under the frozen
+    ``dict_df`` order. Batches append to one parquet index; probing
+    never re-reads index text (the prepare_minhash_index posture,
+    exact instead of probabilistic)."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"prepare_ppjoin_index: tau must be in (0, 1], got {tau_num}/{tau_den}"
+        )
+    num, den = tau_num, tau_den
+    words = F.filter(F.split(F.trim(F.col(s_col)), r"\s+"), lambda t: t != "")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("tok")
+    ).filter(F.col("tok") != "")
+    from openetl_spark.operators.skew import broadcast_if_small
+
+    ranked = (
+        spread_cpu_dense(
+            toks.join(
+                broadcast_if_small(dict_df.select("tok", "f")), "tok", "left"
+            ).withColumn("f", F.coalesce("f", F.lit(0))),
+            "id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("f", "tok")),
+        )
+        .withColumn("l", F.count("*").over(Window.partitionBy("id")))
+    )
+    p = F.col("l") - F.floor((num * F.col("l") + den - 1) / den) + 1
+    return (
+        ranked.withColumn(
+            "_pre",
+            F.when(
+                F.col("rn") <= p,
+                F.struct(F.col("tok"), F.col("rn").cast("int").alias("rn")),
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.max("l").cast("bigint").alias("l"),
+            F.collect_list("tok").alias("arr"),
+            F.array_sort(
+                F.collect_list("_pre")
+            ).alias("pre"),  # collect_list drops the NULL non-prefix rows
+        )
+    )
+
+
+def ppjoin_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    dict_df: DataFrame,
+    id_col: str,
+    s_col: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    n: int = 1,
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT-jaccard dedup of a NEW batch against an existing corpus
+    index plus itself — incremental_near_duplicates' posture with
+    PPJoin's guarantee: every pair at jaccard ≥ τ is found, none is
+    probabilistically missed. Candidates only ever join NEW prefixes
+    against (index ∪ new) prefixes — index×index pairs are never
+    enumerated; the frozen-dictionary order keeps the prefix lemma
+    valid across batches (ppjoin_dictionary). A new doc is flagged on
+    a qualifying partner in the index (any id) or an earlier
+    (smaller-id) partner in its own batch.
+
+    Returns one row per flagged NEW doc: (id_col, n_dups, dup_of =
+    smallest qualifying partner by (id, jaccard) struct order, its
+    exact jaccard). Unit tests pin the flag set against a brute-force
+    sequential reference, including unseen-token batches."""
+    num, den = tau_num, tau_den
+    prep_new = prepare_ppjoin_index(
+        new_df, id_col, s_col, dict_df, tau_num, tau_den, n
+    )
+    allp = index_df.select("id", "l", "arr", "pre").withColumn(
+        "_isidx", F.lit(True)
+    ).unionByName(prep_new.withColumn("_isidx", F.lit(False)))
+    if cache:
+        allp = allp.persist()
+    pre = allp.select(
+        "id", "l", "_isidx", F.explode("pre").alias("p")
+    ).select("id", "l", "_isidx", F.col("p.tok").alias("tok"), F.col("p.rn").alias("rn"))
+    a = pre.alias("a")
+    b = pre.filter(~F.col("_isidx")).alias("b")
+    la, lb = F.col("la"), F.col("lb")
+    t_need = F.floor((num * (la + lb) + (num + den) - 1) / (num + den))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("a._isidx") | (F.col("a.id") < F.col("b.id"))),
+        )
+        .filter(
+            den * F.least(F.col("a.l"), F.col("b.l"))
+            >= num * F.greatest(F.col("a.l"), F.col("b.l"))
+        )
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.l").alias("la"),
+            F.col("b.l").alias("lb"),
+        )
+        .agg(F.min("a.rn").alias("i"), F.min("b.rn").alias("j"))
+        .filter(1 + F.least(la - F.col("i"), lb - F.col("j")) >= t_need)
+    )
+    ra = allp.select(F.col("id").alias("a_id"), F.col("arr").alias("_aa"))
+    rb = allp.select(F.col("id").alias("b_id"), F.col("arr").alias("_ab"))
+    ov = F.size(F.array_intersect(F.col("_aa"), F.col("_ab"))).cast("bigint")
+    pairs = (
+        spread_cpu_dense(cand.join(ra, "a_id").join(rb, "b_id"), "a_id", "b_id")
+        .withColumn("overlap", ov)
+        .filter((num + den) * F.col("overlap") >= num * (la + lb))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("overlap") / (la + lb - F.col("overlap")), 6),
+        )
+    )
+    flagged = (
+        pairs.groupBy("b_id")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(F.struct(F.col("a_id").alias("a"), "jaccard")).alias("_m"),
+        )
+        .select(
+            F.col("b_id").alias(id_col),
+            "n_dups",
+            F.col("_m.a").alias("dup_of"),
+            F.col("_m.jaccard").alias("jaccard"),
+        )
+    )
+    flagged._cached_deps = [allp] if cache else []
+    return flagged

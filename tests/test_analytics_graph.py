@@ -1071,3 +1071,87 @@ def test_ktruss_warns_when_rounds_exhausted(spark):
         issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
         for w in caught
     )
+
+
+def _sh_words(s, n=1):
+    w = (s or "").split()
+    if not w:
+        return frozenset()
+    k = max(len(w) - (n - 1), 1)
+    return frozenset(" ".join(w[i : i + n]) for i in range(k))
+
+
+def _brute_ppjoin_sequential(batches, num, den, n=1):
+    """Sequential incremental semantics: a doc is flagged iff it has a
+    jaccard >= num/den partner in the accrued SURVIVOR index or an
+    earlier (smaller-id) doc of its own batch; survivors append."""
+    flagged_all, index = {}, []
+    for batch in batches:
+        flags = {}
+        for i, s in batch:
+            S = _sh_words(s, n)
+            if not S:
+                continue
+            ps = [j for j, T in index if den * len(S & T) >= num * len(S | T)]
+            ps += [
+                j
+                for j, t in batch
+                if j < i
+                and _sh_words(t, n)
+                and den * len(S & _sh_words(t, n)) >= num * len(S | _sh_words(t, n))
+            ]
+            if ps:
+                flags[i] = len(ps)
+        flagged_all.update(flags)
+        index += [
+            (j, _sh_words(t, n)) for j, t in batch if j not in flags and _sh_words(t, n)
+        ]
+    return flagged_all
+
+
+def test_ppjoin_incremental_matches_sequential_reference(spark):
+    """Exact-jaccard dedup-on-arrival (frozen-dictionary PPJoin) must
+    equal the brute-force sequential semantics — including batches
+    whose tokens are ABSENT from the frozen dictionary (f=0 ranks
+    them rarest-first; the prefix lemma needs order consistency, not
+    freshness)."""
+    from openetl_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(90):
+        if rows and rng.random() < 0.4:
+            w = rows[int(rng.integers(0, len(rows)))][1].split()
+            if w:
+                w[int(rng.integers(0, len(w)))] = str(rng.choice(vocab))
+            rows.append((i, " ".join(w)))
+        else:
+            m = int(rng.integers(0, 12))
+            rows.append((i, " ".join(rng.choice(vocab, size=m))))
+    rows.append((90, "zz1 zz2 zz3 zz4"))      # unseen tokens
+    rows.append((91, "zz1 zz2 zz3 zz4 zz5"))  # near-dup of 90, unseen
+    batches = [rows[:40], rows[40:70], rows[70:]]
+    num, den = 1, 2
+
+    want = _brute_ppjoin_sequential(batches, num, den)
+
+    dict_df = DD.ppjoin_dictionary(
+        spark.createDataFrame(batches[0], "id int, s string"), "s"
+    ).localCheckpoint()
+    index, got = None, {}
+    empty = spark.createDataFrame(
+        [], "id int, l long, arr array<string>, pre array<struct<tok:string, rn:int>>"
+    )
+    for batch in batches:
+        bdf = spark.createDataFrame(batch, "id int, s string")
+        fl = DD.ppjoin_incremental(
+            bdf, index if index is not None else empty, dict_df, "id", "s", num, den
+        )
+        frows = {r["id"]: r["n_dups"] for r in fl.collect()}
+        got.update(frows)
+        surv = bdf.filter(~bdf.id.isin(list(frows))) if frows else bdf
+        prep = DD.prepare_ppjoin_index(surv, "id", "s", dict_df, num, den)
+        index = prep if index is None else index.unionByName(prep)
+        index = index.localCheckpoint()
+    assert got == want and len(want) > 0

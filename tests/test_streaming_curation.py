@@ -617,3 +617,82 @@ def test_streaming_bloom_decontaminate_equals_batch(spark, sf_dir, tmp_path):
         for r in catalog.QUERIES["bloom_decontaminate"](spark, sf_dir).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_exact_jaccard_dedup_on_arrival(spark, tmp_path):
+    """r08: EXACT-jaccard dedup-on-arrival — the PPJoin twin of the
+    MinHash streaming index test: each micro-batch probes the
+    persisted prepare_ppjoin_index parquet under the FROZEN first-batch
+    dictionary, appends its survivors' prepared rows, and only
+    survivors reach the corpus. Unlike the MinHash path this is
+    lossless by construction (no banding miss probability): the final
+    corpus must equal the sequential first-arrival semantics."""
+    import json
+    import os
+
+    from openetl_spark.operators import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u1 = "one two three four five six seven eight nine ten"
+    u2 = "red orange yellow green blue indigo violet pink brown black"
+    batches = [
+        [(1, base), (2, u1)],
+        [(3, base + " extra"), (4, u2), (5, u2)],          # 3→1, 5→4
+        [(6, u1 + " more"), (7, "completely different words nothing shared here at all folks yes")],  # 6→2
+    ]
+    src = tmp_path / "pp_docs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows) + "\n"
+        )
+        os.utime(f, (1000000000 + i * 60,) * 2)
+
+    dict_path = str(tmp_path / "pp_dict")
+    idx_path = str(tmp_path / "pp_index")
+    out_path = str(tmp_path / "pp_corpus")
+    empty_index = spark.createDataFrame(
+        [], "id long, l long, arr array<string>, pre array<struct<tok:string, rn:int>>"
+    )
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        if not os.path.exists(dict_path):  # freeze the order on batch 0
+            DD.ppjoin_dictionary(df, "text").write.parquet(dict_path)
+        dic = spark.read.parquet(dict_path)
+        prepared = (
+            spark.read.parquet(idx_path)
+            if os.path.exists(idx_path)
+            else empty_index
+        )
+        df = df.withColumnRenamed("doc_id", "id")
+        flagged = DD.ppjoin_incremental(
+            df, prepared, dic, "id", "text", tau_num=1, tau_den=2
+        )
+        survivors = df.join(flagged.select("id"), "id", "left_anti")
+        survivors.withColumnRenamed("id", "doc_id").write.mode(
+            "append"
+        ).parquet(out_path)
+        DD.prepare_ppjoin_index(
+            survivors, "id", "text", dic, tau_num=1, tau_den=2
+        ).write.mode("append").parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 2, 4, 7]
+    idx_ids = sorted(r["id"] for r in spark.read.parquet(idx_path).collect())
+    assert idx_ids == [1, 2, 4, 7]
