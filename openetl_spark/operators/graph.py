@@ -943,3 +943,134 @@ def ktruss(
                 stacklevel=2,
             )
     return cur
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Louvain phase-2 contraction (Blondel et al. 2008): collapse the
+    undirected simple graph onto a node partition — supernodes are
+    labels, the super-edge weight between two communities is the
+    number of original edges between them, and a community's internal
+    edges become a SELF-LOOP of that weight. Modularity is invariant
+    under this contraction, which is what makes the multi-level pass
+    legal. One labels⋈edges join per endpoint + a partial-agg count;
+    output is community-cardinality-sized.
+
+    Returns (a, b, w) with a ≤ b (self-loops a = b carry the internal
+    edge count). Nodes missing from ``labels`` are dropped with their
+    edges (unlabeled is not a community — the modularity() contract).
+    """
+    und, _ = _undirected_simple(edges, src, dst)
+    n_node, n_label = labels.columns[0], labels.columns[1]
+    lab = labels.select(
+        F.col(n_node).alias("node"), F.col(n_label).alias("label")
+    ).filter(F.col("label").isNotNull())
+    mapped = (
+        und.join(
+            lab.select(F.col("node").alias("a"), F.col("label").alias("la")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("node").alias("b"), F.col("label").alias("lb")),
+            "b",
+        )
+        .select(
+            F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
+        )
+    )
+    return mapped.groupBy("a", "b").agg(F.count("*").cast("long").alias("w"))
+
+
+def louvain_move_weighted(
+    edges_w: DataFrame,
+    labels: DataFrame,
+) -> DataFrame:
+    """ONE synchronous Louvain local-move pass over a WEIGHTED
+    undirected graph given as canonical (a ≤ b, w) rows — self-loops
+    allowed (they are what phase-2 contraction produces) — starting
+    from the partition ``labels`` (node, label). The exact-integer
+    score of louvain_move generalized to weights: m = Σw (total edge
+    weight), weighted degree d_i = Σ_{j≠i} w(i,j) + 2·w(i,i),
+    k_{i,c} = Σ_{j∈c, j≠i} w(i,j), score(c) = 2m·k_{i,c} −
+    d_i·Σtot'(c). A node's own self-loop stays internal wherever it
+    goes, so it cancels in the argmax and is correctly ignored in
+    k_{i,c}. Same determinism contract as louvain_move (synchronous,
+    ties to the smallest label); all arithmetic bigint.
+
+    Returns (node, label) for every node of the weighted graph that
+    appears in ``labels``."""
+    from openetl_spark.operators.skew import broadcast_if_small
+
+    n_node, n_label = labels.columns[0], labels.columns[1]
+    lab = labels.select(
+        F.col(n_node).alias("node"), F.col(n_label).alias("label")
+    ).filter(F.col("label").isNotNull())
+    e = edges_w.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("w").cast("long").alias("w"),
+    )
+    m_rel = e.agg(F.sum("w").cast("long").alias("m"))
+    nonself = e.filter(F.col("a") != F.col("b"))
+    sym = nonself.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).union(nonself.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+    selfw = e.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), (2 * F.col("w")).alias("sw")
+    )
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").alias("dw"))
+        .join(selfw, "node", "full")
+        .select(
+            "node",
+            (F.coalesce("dw", F.lit(0)) + F.coalesce("sw", F.lit(0)))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    stot = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("st"))
+        .withColumnRenamed("label", "c")
+    )
+    kic = (
+        sym.join(
+            lab.select(F.col("node").alias("v"), F.col("label").alias("c")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"), "c")
+        .agg(F.sum("w").cast("long").alias("k"))
+    )
+    cand = (
+        kic.unionByName(
+            lab.join(deg, "node").select(  # only graph nodes
+                "node", F.col("label").alias("c"), F.lit(0).cast("long").alias("k")
+            )
+        )
+        .groupBy("node", "c")
+        .agg(F.max("k").alias("k"))
+    )
+    own = lab.select("node", F.col("label").alias("c0"))
+    score = (
+        2 * F.col("m") * F.col("k")
+        - F.col("d")
+        * (F.col("st") - F.when(F.col("c") == F.col("c0"), F.col("d")).otherwise(F.lit(0)))
+    )
+    scored = (
+        cand.join(deg, "node")
+        .join(own, "node")
+        .join(broadcast_if_small(stot), "c")
+        .crossJoin(F.broadcast(m_rel))
+        .select("node", "c", score.alias("score"))
+    )
+    return scored.groupBy("node").agg(
+        F.min_by(
+            "c", F.struct((-F.col("score")).alias("ns"), F.col("c"))
+        ).alias("label")
+    )

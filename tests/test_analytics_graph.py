@@ -1155,3 +1155,82 @@ def test_ppjoin_incremental_matches_sequential_reference(spark):
         index = prep if index is None else index.unionByName(prep)
         index = index.localCheckpoint()
     assert got == want and len(want) > 0
+
+
+def test_contract_graph_counts_and_self_loops(spark):
+    """Two triangles bridged by one edge, partitioned into the two
+    triangles: contraction must give each community a self-loop of its
+    3 internal edges and one cross edge of weight 1; an unlabeled node
+    drops with its edges."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3), (5, 9)],
+        "src int, dst int",
+    )
+    lab = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20)],
+        "node int, label int",
+    )
+    got = {(r["a"], r["b"], r["w"]) for r in G.contract_graph(edges, lab).collect()}
+    assert got == {(10, 10, 3), (20, 20, 3), (10, 20, 1)}
+
+
+def test_louvain_move_weighted_hand_cases(spark):
+    """Hand-checked synchronous semantics. (a) Two singleton
+    supernodes with self-loops 1/1 and cross weight 5 (m=7, d=7 each):
+    the move score is symmetric BY STRUCTURE — score_A(B) = 2m·w −
+    dA·dB = score_B(A) = 21 > 0 — so a synchronous pass SWAPS labels
+    (a partition-equivalent relabel, the documented non-monotone
+    hazard; serial Louvain would merge). (b) With cross weight 1:
+    2·3·1 − 3·3 < 0, both stay. (c) Chain A—B—C with w(A,B)=5,
+    w(B,C)=1, self-loops 1 each (m=9, d=7/8/3): A↔B swap symmetrically
+    (2·9·5 − 7·8 = 34 both ways, the same structural symmetry as (a)),
+    C stays (2·9·1 − 3·8 = −6 < 0) — the defined synchronous outcome,
+    hand-verified. Self-loop mass must feed degrees but never k_{i,c}
+    (a wrong k would flip case (b); a wrong degree would flip C's −6)."""
+    lab0 = spark.createDataFrame([(1, 1), (2, 2)], "node int, label int")
+    merge = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1), (1, 2, 5)], "a int, b int, w int"
+    )
+    got = {(r["node"], r["label"]) for r in G.louvain_move_weighted(merge, lab0).collect()}
+    assert got == {(1, 2), (2, 1)}  # symmetric positive-gain swap
+    stay = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1), (1, 2, 1)], "a int, b int, w int"
+    )
+    got2 = {(r["node"], r["label"]) for r in G.louvain_move_weighted(stay, lab0).collect()}
+    assert got2 == {(1, 1), (2, 2)}
+    lab3 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "node int, label int")
+    chain = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1), (3, 3, 1), (1, 2, 5), (2, 3, 1)],
+        "a int, b int, w int",
+    )
+    got3 = {(r["node"], r["label"]) for r in G.louvain_move_weighted(chain, lab3).collect()}
+    assert got3 == {(1, 2), (2, 1), (3, 3)}
+
+
+def test_louvain_weighted_equals_unweighted_on_simple_graph(spark):
+    """On a simple graph rendered as w=1 canonical rows with no self
+    loops, the weighted pass must reproduce louvain_move exactly."""
+    import random
+
+    rng = random.Random(9)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lab0 = (
+        df.selectExpr("src as node")
+        .union(df.selectExpr("dst as node"))
+        .distinct()
+        .selectExpr("node", "node as label")
+    )
+    want = {(r["node"], r["label"]) for r in G.louvain_move(df, lab0).collect()}
+    from pyspark.sql import functions as F
+
+    ew = (
+        df.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .withColumn("w", F.lit(1))
+    )
+    got = {(r["node"], r["label"]) for r in G.louvain_move_weighted(ew, lab0).collect()}
+    assert got == want
