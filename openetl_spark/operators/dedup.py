@@ -1820,3 +1820,121 @@ def ppjoin_incremental(
     )
     flagged._cached_deps = [allp] if cache else []
     return flagged
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    n: int = 1,
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT containment self-join — all DIRECTED pairs (a, b), a ≠ b,
+    with |S_a ∩ S_b| / |S_a| ≥ tau_num/tau_den over word n-gram
+    shingle sets: "most of a appears inside b", the quotation/subset
+    duplication a symmetric jaccard join structurally under-scores
+    (a short doc fully quoted in a long one has jaccard ≈ |S_a|/|S_b|,
+    arbitrarily small). The asymmetric sibling of ppjoin, sharing its
+    machinery and guarantees: rational τ keeps every filter bigint,
+    and prefix filtering is LOSSLESS — a true pair shares ≥ ⌈τ·ℓa⌉
+    tokens, so by pigeonhole the CONTAINED side's rarest-first prefix
+    of ℓa − ⌈τℓa⌉ + 1 tokens holds a common token.
+
+    Asymmetry changes the physics: the container side has NO prefix
+    bound (a common token can sit anywhere in b), so candidates join
+    the contained side's PREFIX against the container side's FULL
+    ranked token relation — an inverted-index probe whose bucket
+    sizes are driven by prefix-token rarity (rarest-first keeps hot
+    boilerplate shingles out of prefixes unless a doc has nothing
+    else). Length filter: ℓb ≥ ⌈τ·ℓa⌉ (the overlap must fit in b).
+    Positional filter: overlap ≤ 1 + min(ℓa−i, ℓb−j) at the globally
+    first shared token must reach ⌈τ·ℓa⌉. Verify = one
+    array_intersect per candidate on arrays built only for candidate
+    ids (the ppjoin shape).
+
+    Returns (a, b, overlap, la, lb, containment): a = the contained
+    doc, containment = overlap/ℓa rounded 6dp; both directions emit
+    independently (mutual near-dups appear twice, correctly)."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"containment_join: tau must be in (0, 1], got {tau_num}/{tau_den}"
+        )
+    if n < 1:
+        raise ValueError(f"containment_join: n must be >= 1, got {n}")
+    num, den = tau_num, tau_den
+    words = F.filter(F.split(F.trim(F.col(s_col)), r"\s+"), lambda t: t != "")
+    kk = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), kk),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles).alias("tok")
+    ).filter(F.col("tok") != "")
+    if cache:
+        toks = toks.persist()
+    from openetl_spark.operators.skew import broadcast_if_small
+
+    freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
+    ranked = (
+        spread_cpu_dense(toks.join(broadcast_if_small(freq), "tok"), "_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_f", "tok")),
+        )
+        .withColumn("l", F.count("*").over(Window.partitionBy("_id")))
+    )
+    # contained-side prefix: p = la - ceil(num*la/den) + 1
+    p = F.col("l") - F.floor((num * F.col("l") + den - 1) / den) + 1
+    pre = ranked.filter(F.col("rn") <= p).select("_id", "tok", "rn", "l")
+    a, b = pre.alias("a"), ranked.alias("b")
+    la, lb = F.col("la"), F.col("lb")
+    t_need = F.floor((num * la + den - 1) / den)  # ceil(tau * la)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") != F.col("b._id")),
+        )
+        .filter(den * F.col("b.l") >= num * F.col("a.l"))
+        .groupBy(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.col("a.l").alias("la"),
+            F.col("b.l").alias("lb"),
+        )
+        .agg(F.min("a.rn").alias("i"), F.min("b.rn").alias("j"))
+        .filter(1 + F.least(la - F.col("i"), lb - F.col("j")) >= t_need)
+        .localCheckpoint()
+    )
+    ids = (
+        cand.select(F.col("a_id").alias("_id"))
+        .unionByName(cand.select(F.col("b_id").alias("_id")))
+        .distinct()
+    )
+    recs = (
+        toks.join(F.broadcast(ids), "_id", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_list("tok").alias("arr"))
+    )
+    ra = recs.select(F.col("_id").alias("a_id"), F.col("arr").alias("_aa"))
+    rb = recs.select(F.col("_id").alias("b_id"), F.col("arr").alias("_ab"))
+    ov = F.size(F.array_intersect(F.col("_aa"), F.col("_ab"))).cast("bigint")
+    out = (
+        spread_cpu_dense(cand.join(ra, "a_id").join(rb, "b_id"), "a_id", "b_id")
+        .withColumn("overlap", ov)
+        .filter(den * F.col("overlap") >= num * la)
+        .select(
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            "overlap",
+            la.cast("bigint").alias("la"),
+            lb.cast("bigint").alias("lb"),
+            F.round(F.col("overlap") / la, 6).alias("containment"),
+        )
+    )
+    out._cached_deps = [toks] if cache else []
+    return out

@@ -1,8 +1,9 @@
 """r08 analytics queries: PPJoin exact set-similarity join, Louvain
 local-move communities, unigram-LM tokenizer seed statistics (VERDICT
 r07 next-round items #4/#5/#7), the KMV distinct sketch (fifth
-mergeable family, set-operation estimates), and the k-truss peel on
-the repeat-co-purchase core.
+mergeable family, set-operation estimates), the k-truss peel on the
+repeat-co-purchase core, and the containment join (directed
+quotation/subset duplication).
 
 Importing this module REGISTERS its queries into the shared
 QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
@@ -458,3 +459,66 @@ def q_ktruss_core(spark, sf_dir):
         .select("src", "dst")
     )
     return G.ktruss(e2, k=3, max_rounds=4)
+
+
+# ---------------------------------------------------------------------
+# C126 — containment join (quotation/subset duplication): the
+# asymmetric sibling of C121 — overlap/|S_a| ≥ τ DIRECTED pairs, the
+# duplication mode a symmetric jaccard join structurally under-scores
+# (a short doc fully quoted in a long one has jaccard ≈ la/lb). FULL
+# oracle: the same exact-integer stages with the asymmetric filters.
+# ---------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+    WITH {shingle_cte(5)},
+    sh2 AS (SELECT doc_id AS id, s AS tok FROM sh WHERE s <> ''),
+    freq AS (SELECT tok, count(*) AS f FROM sh2 GROUP BY 1),
+    ranked AS (
+      SELECT s.id, s.tok,
+             row_number() OVER (PARTITION BY s.id ORDER BY f.f, s.tok) AS rn,
+             count(*) OVER (PARTITION BY s.id) AS l
+      FROM sh2 s JOIN freq f USING (tok)),
+    pre AS (SELECT * FROM ranked WHERE rn <= l - ((4 * l + 4) // 5) + 1),
+    cand AS (
+      SELECT a.id AS a, b.id AS b, a.l AS la, b.l AS lb
+      FROM pre a JOIN ranked b ON a.tok = b.tok AND a.id <> b.id
+      WHERE 5 * b.l >= 4 * a.l
+      GROUP BY 1, 2, 3, 4
+      HAVING 1 + least(a.l - min(a.rn), b.l - min(b.rn))
+             >= (4 * a.l + 4) // 5),
+    ov AS (
+      SELECT c.a, c.b, c.la, c.lb, count(*) AS o
+      FROM cand c
+      JOIN sh2 ta ON ta.id = c.a
+      JOIN sh2 tb ON tb.id = c.b AND tb.tok = ta.tok
+      GROUP BY 1, 2, 3, 4)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(o AS BIGINT) AS overlap,
+           CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+           round(o / la, 6) AS containment
+    FROM ov WHERE 5 * o >= 4 * la
+    """
+
+
+@query("containment_pairs", _CONTAIN_ORACLE)
+def q_containment_pairs(spark, sf_dir):
+    """C126: exact containment self-join over the documents table —
+    all directed pairs where ≥ 4/5 of doc a's distinct word-5-gram
+    shingles appear in doc b (operators/dedup.containment_join): the
+    quotation/subset duplication mode. Prefix filtering stays lossless
+    with only the CONTAINED side prefixed (a true pair shares
+    ≥ ⌈τ·ℓa⌉ tokens — pigeonhole on a's rarest-first prefix); the
+    container side probes its full ranked token relation. τ rational →
+    every filter bigint; brute-forced in unit tests including an
+    explicit short-doc-quoted-in-long-doc pair and τ=1 exact
+    containment."""
+    d = load(spark, sf_dir, "documents")
+    r = DD.containment_join(d, "doc_id", "text", tau_num=4, tau_den=5, n=5)
+    return r.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "overlap",
+        "la",
+        "lb",
+        "containment",
+    )

@@ -1234,3 +1234,50 @@ def test_louvain_weighted_equals_unweighted_on_simple_graph(spark):
     )
     got = {(r["node"], r["label"]) for r in G.louvain_move_weighted(ew, lab0).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed,num,den,n", [(31, 3, 5, 1), (32, 1, 1, 1), (33, 4, 5, 3)])
+def test_containment_join_no_missed_pairs(spark, seed, num, den, n):
+    """The asymmetric prefix filter must be LOSSLESS: directed pairs
+    with overlap/|S_a| >= tau equal the brute-force cross product's,
+    including an explicit short-doc-quoted-in-long-doc pair, tau=1
+    exact containment, NULL and whitespace-only docs."""
+    from openetl_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(70):
+        m = int(rng.integers(0, 12))
+        rows.append((i, " ".join(rng.choice(vocab, size=m))))
+    rows += [
+        (70, "alpha beta gamma"),
+        (71, "alpha beta gamma " + " ".join(rng.choice(vocab, size=20))),
+        (72, None),
+        (73, " "),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+
+    def sh(s):
+        w = (s or "").split()
+        if not w:
+            return frozenset()
+        k = max(len(w) - (n - 1), 1)
+        return frozenset(" ".join(w[i : i + n]) for i in range(k))
+
+    sets = {i: sh(s) for i, s in rows if s is not None}
+    sets = {i: v for i, v in sets.items() if v}
+    want = {
+        (a, b, len(sets[a] & sets[b]), len(sets[a]), len(sets[b]))
+        for a in sets
+        for b in sets
+        if a != b and den * len(sets[a] & sets[b]) >= num * len(sets[a])
+    }
+    got = {
+        (r["a"], r["b"], r["overlap"], r["la"], r["lb"])
+        for r in DD.containment_join(df, "id", "s", num, den, n).collect()
+    }
+    assert got == want
+    if (num, den, n) == (1, 1, 1):
+        # the quotation pair: all 3 of doc 70's words inside doc 71
+        assert any(g[:4] == (70, 71, 3, 3) for g in got)
