@@ -282,6 +282,10 @@ def kmv_cells(
 
     if k < 1:
         raise ValueError(f"kmv_cells: k must be >= 1, got {k}")
+    clash = {"h", "_negh", "_g"} & set(keys)
+    if clash:
+        # the bloom_probe/grouped_exact_ranks reserved-name rule
+        raise ValueError(f"kmv_cells reserves column names {sorted(clash)}")
     s = F.col(value).cast("string")
     h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
     grp = list(keys) if keys else []

@@ -404,3 +404,9 @@ def test_streaming_kmv_cells_merge_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert merged == batch and len(batch) == k
+
+
+def test_kmv_reserved_key_names_raise(spark):
+    df = spark.createDataFrame([("x", "g1")], "h string, g string")
+    with pytest.raises(ValueError, match="reserves"):
+        SK.kmv_cells(df.withColumnRenamed("g", "x"), "x", k=4, keys=["h"])
