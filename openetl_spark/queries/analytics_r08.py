@@ -30,11 +30,18 @@ from openetl_spark.queries.dedup_text import shingle_cte
 # tests/test_analytics_graph.py.
 # ---------------------------------------------------------------------
 
-# τ = 3/5 as exact integer arithmetic: prefix p = l − ⌈3l/5⌉ + 1,
-# positional threshold t = ⌈3(la+lb)/8⌉ (τ/(1+τ) = 3/8), final test
-# 8·overlap ≥ 3·(la+lb). Integer-ceil via (x + d − 1) // d.
-_PPJOIN_ORACLE = f"""
-    WITH {shingle_cte(5)},
+# τ = num/den as exact integer arithmetic: prefix p = l − ⌈τl⌉ + 1,
+# positional threshold t = ⌈num(la+lb)/(num+den)⌉ (τ/(1+τ)), final
+# test (num+den)·overlap ≥ num·(la+lb). Integer-ceil via (x+d−1)//d.
+# Rendered by a GENERATOR so the randomized parameter sweep
+# (tests/test_random_differential.py) runs the SAME oracle at other
+# (τ, n) points; the registered query pins (3/5, n=5).
+
+
+def ppjoin_oracle(num: int, den: int, n: int) -> str:
+    s = num + den
+    return f"""
+    WITH {shingle_cte(n)},
     sh2 AS (SELECT doc_id AS id, s AS tok FROM sh WHERE s <> ''),
     freq AS (SELECT tok, count(*) AS f FROM sh2 GROUP BY 1),
     ranked AS (
@@ -42,14 +49,14 @@ _PPJOIN_ORACLE = f"""
              row_number() OVER (PARTITION BY s.id ORDER BY f.f, s.tok) AS rn,
              count(*) OVER (PARTITION BY s.id) AS l
       FROM sh2 s JOIN freq f USING (tok)),
-    pre AS (SELECT * FROM ranked WHERE rn <= l - ((3 * l + 4) // 5) + 1),
+    pre AS (SELECT * FROM ranked WHERE rn <= l - (({num} * l + {den - 1}) // {den}) + 1),
     cand AS (
       SELECT a.id AS a, b.id AS b, a.l AS la, b.l AS lb
       FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
-      WHERE 5 * least(a.l, b.l) >= 3 * greatest(a.l, b.l)
+      WHERE {den} * least(a.l, b.l) >= {num} * greatest(a.l, b.l)
       GROUP BY 1, 2, 3, 4
       HAVING 1 + least(a.l - min(a.rn), b.l - min(b.rn))
-             >= (3 * (a.l + b.l) + 7) // 8),
+             >= ({num} * (a.l + b.l) + {s - 1}) // {s}),
     ov AS (
       SELECT c.a, c.b, c.la, c.lb, count(*) AS o
       FROM cand c
@@ -60,8 +67,11 @@ _PPJOIN_ORACLE = f"""
            CAST(o AS BIGINT) AS overlap,
            CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
            round(o / (la + lb - o), 6) AS jaccard
-    FROM ov WHERE 8 * o >= 3 * (la + lb)
+    FROM ov WHERE {s} * o >= {num} * (la + lb)
     """
+
+
+_PPJOIN_ORACLE = ppjoin_oracle(3, 5, 5)
 
 
 @query("ppjoin_pairs", _PPJOIN_ORACLE)
@@ -469,8 +479,9 @@ def q_ktruss_core(spark, sf_dir):
 # oracle: the same exact-integer stages with the asymmetric filters.
 # ---------------------------------------------------------------------
 
-_CONTAIN_ORACLE = f"""
-    WITH {shingle_cte(5)},
+def containment_oracle(num: int, den: int, n: int) -> str:
+    return f"""
+    WITH {shingle_cte(n)},
     sh2 AS (SELECT doc_id AS id, s AS tok FROM sh WHERE s <> ''),
     freq AS (SELECT tok, count(*) AS f FROM sh2 GROUP BY 1),
     ranked AS (
@@ -478,14 +489,14 @@ _CONTAIN_ORACLE = f"""
              row_number() OVER (PARTITION BY s.id ORDER BY f.f, s.tok) AS rn,
              count(*) OVER (PARTITION BY s.id) AS l
       FROM sh2 s JOIN freq f USING (tok)),
-    pre AS (SELECT * FROM ranked WHERE rn <= l - ((4 * l + 4) // 5) + 1),
+    pre AS (SELECT * FROM ranked WHERE rn <= l - (({num} * l + {den - 1}) // {den}) + 1),
     cand AS (
       SELECT a.id AS a, b.id AS b, a.l AS la, b.l AS lb
       FROM pre a JOIN ranked b ON a.tok = b.tok AND a.id <> b.id
-      WHERE 5 * b.l >= 4 * a.l
+      WHERE {den} * b.l >= {num} * a.l
       GROUP BY 1, 2, 3, 4
       HAVING 1 + least(a.l - min(a.rn), b.l - min(b.rn))
-             >= (4 * a.l + 4) // 5),
+             >= ({num} * a.l + {den - 1}) // {den}),
     ov AS (
       SELECT c.a, c.b, c.la, c.lb, count(*) AS o
       FROM cand c
@@ -496,8 +507,11 @@ _CONTAIN_ORACLE = f"""
            CAST(o AS BIGINT) AS overlap,
            CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
            round(o / la, 6) AS containment
-    FROM ov WHERE 5 * o >= 4 * la
+    FROM ov WHERE {den} * o >= {num} * la
     """
+
+
+_CONTAIN_ORACLE = containment_oracle(4, 5, 5)
 
 
 @query("containment_pairs", _CONTAIN_ORACLE)

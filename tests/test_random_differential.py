@@ -1030,3 +1030,83 @@ def test_lsh_recall_sweep_matches_duckdb(spark, sf_dir, con, rows_per_band, thr)
     ok, msg = compare(df, con, lsh_recall_oracle(32, rows_per_band, thr, 5),
                       allow_empty=True)
     assert ok, f"r={rows_per_band} thr={thr}: {msg}"
+
+
+# ----------------------------------------------- r08 similarity sweeps
+
+@pytest.mark.parametrize("num,den,n", [(1, 2, 5), (2, 3, 5), (4, 5, 3)])
+def test_ppjoin_param_sweep_matches_duckdb(spark, sf_dir, con, num, den, n):
+    """The ppjoin_pairs oracle re-rendered at other (τ, n) points must
+    agree with the operator on the real documents table — the
+    catalog's fixed (3/5, 5) point is not special."""
+    from openetl_spark.operators import dedup as DD
+    from openetl_spark.queries.analytics_r08 import ppjoin_oracle
+
+    d = catalog.load(spark, sf_dir, "documents")
+    got = DD.ppjoin(d, "doc_id", "text", num, den, n).selectExpr(
+        "cast(a as bigint) a", "cast(b as bigint) b", "overlap", "la", "lb", "jaccard"
+    )
+    ok, msg = compare(got, con, ppjoin_oracle(num, den, n), allow_empty=True)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("num,den,n", [(1, 2, 5), (9, 10, 5), (1, 1, 3)])
+def test_containment_param_sweep_matches_duckdb(spark, sf_dir, con, num, den, n):
+    from openetl_spark.operators import dedup as DD
+    from openetl_spark.queries.analytics_r08 import containment_oracle
+
+    d = catalog.load(spark, sf_dir, "documents")
+    got = DD.containment_join(d, "doc_id", "text", num, den, n).selectExpr(
+        "cast(a as bigint) a", "cast(b as bigint) b", "overlap", "la", "lb", "containment"
+    )
+    ok, msg = compare(got, con, containment_oracle(num, den, n), allow_empty=True)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("k", [16, 64])
+def test_kmv_param_sweep_matches_duckdb(spark, sf_dir, con, k):
+    """kmv_cells at other k values vs the direct row_number rendering
+    over the same md5 arithmetic."""
+    from openetl_spark.operators import sketches as SK
+
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    got = SK.kmv_cells(o, "o_custkey", k=k, keys=["o_orderpriority"])
+    sql = f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders)
+    SELECT o_orderpriority, h FROM (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+      FROM h) t
+    WHERE rn <= {k}
+    """
+    ok, msg = compare(got, con, sql)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("k,rounds", [(3, 2), (4, 3)])
+def test_ktruss_param_sweep_matches_duckdb(spark, sf_dir, con, k, rounds):
+    """Bounded-round k-truss parity holds at every (k, rounds) — even
+    mid-peel, before the fixpoint (the bounded-round contract)."""
+    import warnings
+
+    from openetl_spark.operators import graph as G
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+    from openetl_spark.queries.analytics_r08 import ktruss_oracle
+
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    e2 = (
+        spark.read.parquet(edges_w_path)
+        .filter("w >= 2")
+        .select("src", "dst")
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # mid-peel is legal here
+        got = G.ktruss(e2, k=k, max_rounds=rounds)
+    ok, msg = compare(got, con, ktruss_oracle(k=k, rounds=rounds), allow_empty=True)
+    assert ok, msg
