@@ -129,6 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmv_intersection_report",
     "ktruss_core",
     "containment_pairs",
+    "weighted_sample_docs",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_communities",
     "graph_modularity",
@@ -175,13 +176,12 @@ DRIVER_PRIORITY: list[str] = [
     "pandas_normalize",
     "per_group_sample",
     "perplexity_buckets",
-    "pq_knn",
-    # r09 queue, in order: the nine r04-latest tails displaced by the
-    # KMV + ktruss + containment additions and the five graph-layout
-    # rechecks (pq_rerank_knn, retention_cohorts, rollup_anomalies,
-    # salted_join_segments, scd2_history, sequence_packing,
-    # training_shuffle, vocab_sketch_topk, zipf_fit), then the
-    # r05-latest
+    # r09 queue, in order: the ten r04-latest tails displaced by the
+    # KMV/ktruss/containment/weighted-sample additions and the five
+    # graph-layout rechecks (pq_knn, pq_rerank_knn, retention_cohorts,
+    # rollup_anomalies, salted_join_segments, scd2_history,
+    # sequence_packing, training_shuffle, vocab_sketch_topk,
+    # zipf_fit), then the r05-latest
     # rows alphabetically — agg_distinct (displaced by ppjoin_pairs),
     # asof_join_events (displaced by louvain_communities),
     # connector_slice (displaced by unigram_lm_stats), cube_flags

@@ -1363,3 +1363,95 @@ def remove_contaminated_spans(
         F.col(text_col).alias("clean_text"),
     )
     return flagged_out.unionByName(passthrough)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT weighted sampling WITHOUT replacement: per group, k rows
+    drawn with inclusion order distributed exactly as successive
+    sampling proportional to the INTEGER ``weight_col`` — the
+    quality-/token-count-weighted selection step of training-data
+    curation, deterministic and engine-reproducible.
+
+    The classic distributed scheme (Efraimidis–Spirakis, IPL 2006)
+    ranks items by u^(1/w) — a float key whose ln() differs by an ulp
+    across libm implementations, which is fatal to cross-engine
+    ranking. This operator uses the REPLICATION equivalence instead:
+    give item i one iid uniform draw per weight unit (w_i seeded
+    hashes) and rank items by their MINIMUM draw. All Σw draws are
+    iid, so the first distinct item in the global draw order wins with
+    probability w_i/Σw, and — skipping repeat appearances — the
+    second distinct item is j with probability w_j/(Σw − w_winner),
+    and so on: EXACTLY successive weighted sampling without
+    replacement, with a pure 48-bit INTEGER key (md5 of
+    (seed, key, replica)) that renders identically in DuckDB — no
+    float anywhere, the sample and its order are FULL-oracle
+    checkable.
+
+    Shape: one explode by sequence(1, w) (corpus cost Σw rows of two
+    small columns — weights are per-document token-ish counts, so
+    this is the token relation the pipeline already materializes
+    elsewhere), a (group, key) partial-agg min for the item key, then
+    the k smallest per group through grouped_exact_ranks' two-level
+    histogram rank — never a whole group in one window partition (the
+    kmv_cells shape). Rows with NULL or non-positive weight are
+    excluded (a zero-weight item is never sampled, by definition).
+
+    Returns ``group_cols`` + (key_col, ``weight_col``, pos) — pos =
+    1-based inclusion order within the group.
+    """
+    from openetl_spark.operators.analytics import grouped_exact_ranks
+
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("long")
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        *group_cols, F.col(key_col), w.alias("_w")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.col("_rep").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = base.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(1), F.col("_w")))
+    ).withColumn("_h", h)
+    keys = draws.groupBy(*group_cols, key_col).agg(
+        F.min("_h").alias("_minh"), F.max("_w").alias("_w")
+    )
+    if group_cols:
+        if len(group_cols) > 1:
+            raise ValueError("weighted_sample: at most one group column")
+        grp = group_cols[0]
+    else:
+        keys = keys.withColumn("_g", F.lit(0))
+        grp = "_g"
+    ranked = grouped_exact_ranks(
+        keys.withColumn("_negh", -F.col("_minh")),
+        grp,
+        "_negh",
+        key_col,
+        bucket_width=float(1 << 32),
+    )
+    out_cols = [*group_cols, key_col, F.col("_w").alias(weight_col)]
+    return (
+        ranked.filter(F.col("pos") <= k)
+        .select(*out_cols, F.col("pos").cast("bigint").alias("pos"))
+    )

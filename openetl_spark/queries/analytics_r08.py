@@ -536,3 +536,60 @@ def q_containment_pairs(spark, sf_dir):
         "lb",
         "containment",
     )
+
+
+# ---------------------------------------------------------------------
+# C127 — exact weighted sampling without replacement. The float-free
+# formulation: Efraimidis–Spirakis keys (u^{1/w}) need ln(), whose
+# last-ulp differs across libm implementations and breaks cross-engine
+# RANKING; the replication equivalence (item key = min of w iid seeded
+# draws — the global draw order visits distinct items exactly as
+# successive weighted sampling) keeps every key a 48-bit md5 integer,
+# so the sample AND its inclusion order are FULL-oracle checkable.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators.curation import weighted_sample  # noqa: E402
+
+_WSAMPLE_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS wt
+      FROM documents),
+    d AS (SELECT doc_id, lang, wt FROM w WHERE wt > 0),
+    draws AS (
+      SELECT doc_id, lang, wt,
+             CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)
+                                  || ':' || CAST(r AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM d, UNNEST(generate_series(1, wt)) AS t(r)),
+    keys AS (SELECT lang, doc_id, CAST(max(wt) AS BIGINT) AS n_tokens,
+                    min(h) AS mh
+             FROM draws GROUP BY 1, 2)
+    SELECT lang, doc_id, n_tokens, CAST(rn AS BIGINT) AS pos FROM (
+      SELECT lang, doc_id, n_tokens, mh,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY mh, doc_id) AS rn
+      FROM keys) t
+    WHERE rn <= 20
+    """
+
+
+@query("weighted_sample_docs", _WSAMPLE_ORACLE)
+def q_weighted_sample_docs(spark, sf_dir):
+    """C127: per language, 20 documents sampled WITHOUT replacement
+    with inclusion order exactly proportional to token count
+    (operators/curation.weighted_sample) — the quality-/size-weighted
+    selection step of curation, deterministic and reproducible from
+    the seed. Integer keys end-to-end (min of w seeded 48-bit md5
+    draws per item; the k smallest per group via grouped_exact_ranks'
+    two-level histogram rank — no group-sized window), so DuckDB
+    re-derives the sample, its weights, and its inclusion ORDER
+    bit-exactly; the statistical weight-proportionality is pinned
+    separately over 120 seeds in tests/test_curation.py."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    base = d.select("doc_id", "lang", F.size(words).cast("long").alias("n_tokens"))
+    return weighted_sample(
+        base, 20, "n_tokens", ("lang",), key_col="doc_id", seed=42
+    )

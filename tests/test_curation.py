@@ -778,3 +778,65 @@ def test_winsorize_clips_to_per_dim_bounds(spark):
                 assert abs(out[vid][i] - round(x * 10000)) <= 1, (vid, i)
                 checked += 1
     assert checked > 300  # the bulk of coordinates are inliers
+
+
+def _h48(seed, key, rep):
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{key}:{rep}".encode()).hexdigest()[:12], 16)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Exact successive weighted sampling via the replication
+    equivalence: item key = min of w seeded 48-bit hashes; ranks and
+    inclusion order must equal the bit-level python reference.
+    Zero/NULL weights are excluded."""
+    import collections
+
+    from openetl_spark.operators.curation import weighted_sample
+
+    rows = [(i, "g1" if i < 8 else "g2", (i % 5) + 1) for i in range(16)]
+    rows += [(99, "g1", 0), (98, "g2", None)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, w int")
+    ref = collections.defaultdict(list)
+    for i, g, w in rows:
+        if not w:
+            continue
+        ref[g].append((min(_h48(42, i, r) for r in range(1, w + 1)), i, w))
+    want = set()
+    for g, lst in ref.items():
+        for pos, (_, i, w) in enumerate(sorted(lst), 1):
+            if pos <= 3:
+                want.add((g, i, w, pos))
+    got = {
+        (r["lang"], r["doc_id"], r["w"], r["pos"])
+        for r in weighted_sample(df, 3, "w", ("lang",)).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Over 120 seeds, a weight-5 item must win the 1-draw sample
+    ~5x as often as a weight-1 item (binomial 3-sigma band around
+    p = 5/6)."""
+    from openetl_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 1), (2, 5)], "doc_id int, w int")
+    wins = 0
+    n = 120
+    for seed in range(n):
+        (row,) = weighted_sample(df, 1, "w", (), seed=seed).collect()
+        wins += row["doc_id"] == 2
+    p = 5 / 6
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(wins - n * p) <= 3 * sigma, wins
+
+
+def test_weighted_sample_validation(spark):
+    from openetl_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, "a", 2)], "doc_id int, lang string, w int")
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0, "w")
+    with pytest.raises(ValueError, match="at most one group"):
+        weighted_sample(df, 1, "w", ("lang", "doc_id"))

@@ -63,7 +63,7 @@ def test_driver_priority_window_integrity():
     for newcomer in ("ppjoin_pairs", "louvain_communities",
                      "unigram_lm_stats", "kmv_cells",
                      "kmv_intersection_report", "ktruss_core",
-                     "containment_pairs",
+                     "containment_pairs", "weighted_sample_docs",
                      "scalar_subquery", "stats_agg", "stratified_sample",
                      "string_agg_nations", "unpivot_measures",
                      "value_histogram", "vocab_topk",
