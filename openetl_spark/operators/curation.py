@@ -1365,6 +1365,51 @@ def remove_contaminated_spans(
     return flagged_out.unionByName(passthrough)
 
 
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The item-key relation behind ``weighted_sample``: per row, the
+    MINIMUM of its ``weight`` seeded 48-bit draws, as
+    (``group_cols``, key_col, _minh, _w). Deterministic per (seed,
+    key, weight) and MIN-MERGEABLE: a corpus split across batches
+    yields per-batch key relations whose union is the full relation
+    (each item's draws live entirely in its own batch), so streamed
+    ingestion appends keys and ranks on read — the KMV cell-log
+    posture for weighted sampling (parity-tested in
+    tests/test_streaming_curation.py). Rows with NULL/non-positive
+    weight are excluded."""
+    w = F.col(weight_col).cast("long")
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        *group_cols, F.col(key_col), w.alias("_w")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.col("_rep").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = base.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(1), F.col("_w")))
+    ).withColumn("_h", h)
+    return draws.groupBy(*group_cols, key_col).agg(
+        F.min("_h").alias("_minh"), F.max("_w").alias("_w")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
@@ -1410,32 +1455,7 @@ def weighted_sample(
 
     if k < 1:
         raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
-    w = F.col(weight_col).cast("long")
-    base = df.filter(w.isNotNull() & (w > 0)).select(
-        *group_cols, F.col(key_col), w.alias("_w")
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{seed}:"),
-                    F.col(key_col).cast("string"),
-                    F.lit(":"),
-                    F.col("_rep").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    draws = base.withColumn(
-        "_rep", F.explode(F.sequence(F.lit(1), F.col("_w")))
-    ).withColumn("_h", h)
-    keys = draws.groupBy(*group_cols, key_col).agg(
-        F.min("_h").alias("_minh"), F.max("_w").alias("_w")
-    )
+    keys = weighted_sample_keys(df, weight_col, group_cols, key_col, seed)
     if group_cols:
         if len(group_cols) > 1:
             raise ValueError("weighted_sample: at most one group column")

@@ -696,3 +696,75 @@ def test_streaming_exact_jaccard_dedup_on_arrival(spark, tmp_path):
     assert kept == [1, 2, 4, 7]
     idx_ids = sorted(r["id"] for r in spark.read.parquet(idx_path).collect())
     assert idx_ids == [1, 2, 4, 7]
+
+
+def test_streaming_weighted_sample_keys_equal_batch(spark, sf_dir, tmp_path):
+    """r08: the weighted-sampling streaming twin — each micro-batch
+    APPENDS its item-key relation (weighted_sample_keys: min of w
+    seeded draws per item; every item's draws live entirely in its own
+    batch, so the union of per-batch relations IS the full relation),
+    and ranking the accumulated log on read must reproduce the batch
+    weighted_sample exactly, inclusion order included."""
+    import os
+
+    from pyspark.sql import Window
+
+    from openetl_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_keys,
+    )
+
+    d = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    src = tmp_path / "ws_src"
+    src.mkdir()
+    for i in range(3):
+        (
+            d.filter(F.col("doc_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(str(src / f"b{i}"))
+        )
+    log_path = str(tmp_path / "ws_keys_log")
+    os.makedirs(log_path)
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        weighted_sample_keys(df, "n_tokens", ("lang",), "doc_id").write.mode(
+            "append"
+        ).parquet(log_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, lang string, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "b*"))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ws"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    k = 20
+    w = Window.partitionBy("lang").orderBy("_minh", "doc_id")
+    streamed = {
+        (r["lang"], r["doc_id"], r["_w"], r["pos"])
+        for r in spark.read.parquet(log_path)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= k)
+        .collect()
+    }
+    batch = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["pos"])
+        for r in weighted_sample(d, k, "n_tokens", ("lang",)).collect()
+    }
+    assert streamed == batch and len(batch) > 0
