@@ -1074,3 +1074,62 @@ def louvain_move_weighted(
             "c", F.struct((-F.col("score")).alias("ns"), F.col("c"))
         ).alias("label")
     )
+
+
+def louvain_refine(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GUARDED Louvain phase-2: contract the partition
+    (contract_graph), run one synchronous weighted local-move pass on
+    the supergraph from singleton supernode communities
+    (louvain_move_weighted), project back — and keep the refined
+    partition ONLY if its modularity strictly improves, else return
+    the input unchanged. Q-MONOTONE BY CONSTRUCTION, which no
+    synchronous pass is on its own (simultaneous moves can jointly
+    overshoot — measured on the co-purchase graph at sf0.1, where an
+    unguarded pass lowered Q from 0.02643 to 0.02636).
+
+    The comparison is EXACT: for fixed total edge count m, Q =
+    I/m − S/(4m²) orders exactly as the bigint 4m·I − S (I = internal
+    edges, S = Σ per-community degree², both from modularity()'s
+    integer columns) — no float ever decides the guard, so the choice
+    is deterministic and cross-engine reproducible. The two 1-row
+    modularity collects are the only driver materialization (the
+    observe()-class boundary every iterative operator here already
+    crosses for its stopping decision).
+
+    Returns (node, label): the better of {input, refined} partitions.
+    """
+    n_node, n_label = labels.columns[0], labels.columns[1]
+    lab1 = labels.select(
+        F.col(n_node).alias("node"), F.col(n_label).alias("label")
+    ).filter(F.col("label").isNotNull()).localCheckpoint()
+    sup = contract_graph(edges, lab1).localCheckpoint()
+    sup_lab0 = (
+        sup.select(F.col("a").alias("node"))
+        .union(sup.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    moved = louvain_move_weighted(sup, sup_lab0)
+    proj = (
+        lab1.select("node", F.col("label").alias("_c1"))
+        .join(
+            moved.select(
+                F.col("node").alias("_c1"), F.col("label").alias("label")
+            ),
+            "_c1",
+        )
+        .select("node", "label")
+        .localCheckpoint()
+    )
+
+    def _score(lab: DataFrame) -> int:
+        row = modularity(edges, lab, src, dst).first()
+        # 4m·I − S: exact-bigint ordering of Q at fixed m
+        return 4 * row["n_edges"] * row["internal_edges"] - row["sum_deg_sq"]
+
+    return proj if _score(proj) > _score(lab1) else lab1

@@ -1281,3 +1281,73 @@ def test_containment_join_no_missed_pairs(spark, seed, num, den, n):
     if (num, den, n) == (1, 1, 1):
         # the quotation pair: all 3 of doc 70's words inside doc 71
         assert any(g[:4] == (70, 71, 3, 3) for g in got)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_louvain_refine_never_decreases_q(spark, seed):
+    """The guard's whole point: Q(refine(labels)) >= Q(labels) on ANY
+    graph and ANY starting partition — by construction (exact-integer
+    4mI - S comparison), not by luck. Random graphs + random coarse
+    labelings."""
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(45)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    nodes = sorted({n for e in edges for n in e})
+    lab = spark.createDataFrame(
+        [(n, rng.randrange(4)) for n in nodes], "node int, label int"
+    )
+    q0 = G.modularity(df, lab).first()["modularity"]
+    refined = G.louvain_refine(df, lab)
+    q1 = G.modularity(df, refined).first()["modularity"]
+    assert q1 >= q0, (q0, q1)
+
+
+def test_louvain_refine_keeps_input_when_pass_hurts(spark):
+    """Two singleton supernodes that would SWAP (the measured
+    synchronous hazard): the projected partition is Q-identical, so
+    the strict guard keeps the INPUT labels verbatim."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src int, dst int",
+    )
+    lab = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20)],
+        "node int, label int",
+    )
+    got = {(r["node"], r["label"]) for r in G.louvain_refine(edges, lab).collect()}
+    assert got == {(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20)}
+
+
+def test_louvain_refine_merges_when_gainful(spark):
+    """A TWO-supernode merge always degenerates to the symmetric swap
+    (Q-identical — the previous test pins that the guard keeps the
+    input there); a STRICT gain needs >= 3 supernodes so one end of
+    the move chain stays put. Construct: a clique of 6 split into
+    THREE labeled pairs plus a separate triangle. Synchronous moves:
+    P1<->P2 swap while P3 joins P1's label — net, two of the three
+    clique pairs merge. Hand-computed Q (m=18; internal edges include
+    the triangle's own 3): before 6/18 - 336/1296 = 0.0741; after
+    10/18 - 536/1296 = 0.1420 — strictly better, so the guard must
+    RETURN the refined partition."""
+    edges = [(a, b) for a in range(6) for b in range(6) if a < b]
+    edges += [(6, 7), (7, 8), (6, 8)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lab = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4), (5, 4),
+         (6, 6), (7, 6), (8, 6)],
+        "node int, label int",
+    )
+    q0 = G.modularity(df, lab).first()["modularity"]
+    assert q0 == pytest.approx(6 / 18 - 336 / 1296, abs=1e-12)
+    refined = G.louvain_refine(df, lab)
+    q1 = G.modularity(df, refined).first()["modularity"]
+    assert q1 == pytest.approx(10 / 18 - 536 / 1296, abs=1e-12)
+    assert q1 > q0
+    got = {r["node"]: r["label"] for r in refined.collect()}
+    # clique collapses 3 -> 2 communities; triangle keeps its own
+    assert len({got[i] for i in range(6)}) == 2
+    assert len({got[i] for i in (6, 7, 8)}) == 1
+    assert got[6] not in {got[i] for i in range(6)}
