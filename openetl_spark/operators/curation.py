@@ -1371,6 +1371,7 @@ def weighted_sample_keys(
     group_cols: tuple[str, ...] = (),
     key_col: str = "doc_id",
     seed: int = 42,
+    max_weight: int = 1 << 24,
 ) -> DataFrame:
     """The item-key relation behind ``weighted_sample``: per row, the
     MINIMUM of its ``weight`` seeded 48-bit draws, as
@@ -1381,10 +1382,38 @@ def weighted_sample_keys(
     ingestion appends keys and ranks on read — the KMV cell-log
     posture for weighted sampling (parity-tested in
     tests/test_streaming_curation.py). Rows with NULL/non-positive
-    weight are excluded."""
+    weight are excluded.
+
+    Cost contract (r09, VERDICT r08 #6): each row expands to exactly
+    ``weight`` replica rows of two small columns — total cost Σw,
+    linear and scale-safe for token-count-magnitude weights — but ONE
+    row's replicas are built as a single ``sequence(1, w)`` array in a
+    single task, so a mis-wired weight column (bytes instead of
+    tokens, a join-produced outlier) would silently build a multi-GB
+    array. Weights above ``max_weight`` (default 2^24 ≈ 16.7M — an
+    order of magnitude above any real document's token count) FAIL
+    the job with an explicit message instead."""
     w = F.col(weight_col).cast("long")
+    guarded = F.when(
+        w <= int(max_weight), w
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample: weight column '{weight_col}' has a "
+                    f"row above max_weight={int(max_weight)} (got "
+                ),
+                w.cast("string"),
+                F.lit(
+                    ") — weights must be token-count-magnitude; a value "
+                    "this large is almost certainly a mis-wired column. "
+                    "Raise max_weight explicitly if intentional."
+                ),
+            )
+        ).cast("long")
+    )
     base = df.filter(w.isNotNull() & (w > 0)).select(
-        *group_cols, F.col(key_col), w.alias("_w")
+        *group_cols, F.col(key_col), guarded.alias("_w")
     )
     h = F.conv(
         F.substring(
@@ -1417,6 +1446,7 @@ def weighted_sample(
     group_cols: tuple[str, ...] = (),
     key_col: str = "doc_id",
     seed: int = 42,
+    max_weight: int = 1 << 24,
 ) -> DataFrame:
     """EXACT weighted sampling WITHOUT replacement: per group, k rows
     drawn with inclusion order distributed exactly as successive
@@ -1446,7 +1476,11 @@ def weighted_sample(
     the k smallest per group through grouped_exact_ranks' two-level
     histogram rank — never a whole group in one window partition (the
     kmv_cells shape). Rows with NULL or non-positive weight are
-    excluded (a zero-weight item is never sampled, by definition).
+    excluded (a zero-weight item is never sampled, by definition);
+    weights above ``max_weight`` (default 2^24) raise — the Σw-linear
+    cost contract assumes token-count-magnitude weights, and one
+    mis-wired multi-billion weight would otherwise build its whole
+    replica array inside a single task (VERDICT r08 #6).
 
     Returns ``group_cols`` + (key_col, ``weight_col``, pos) — pos =
     1-based inclusion order within the group.
@@ -1455,7 +1489,9 @@ def weighted_sample(
 
     if k < 1:
         raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
-    keys = weighted_sample_keys(df, weight_col, group_cols, key_col, seed)
+    keys = weighted_sample_keys(
+        df, weight_col, group_cols, key_col, seed, max_weight
+    )
     if group_cols:
         if len(group_cols) > 1:
             raise ValueError("weighted_sample: at most one group column")

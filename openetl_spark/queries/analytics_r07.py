@@ -123,18 +123,43 @@ FROM tot
 # oracle-readable parquet, keyed by an exact graph signature.
 # ---------------------------------------------------------------------
 
-LPA_ORACLE_LABELS = (
-    "/root/repo/spark-warehouse/lpa_cache/labels_oracle.parquet"
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+# r09 (ADVICE): derived from the same repo-root computation
+# _graph_layout uses (was a hardcoded /root/repo absolute path — a
+# checkout anywhere else would have written outside the repository).
+LPA_ORACLE_LABELS = "{}/spark-warehouse/lpa_cache/labels_oracle.parquet".format(
+    _repo_root()
 )
 
-# Exact, order-independent content signature of the canonical edge
-# set: SUM over DISTINCT (x < y) pairs of x·131071 + y, all bigint —
-# bit-deterministic in both engines (the IVF_SIG_SQL discipline).
+# Collision-resistant, order-independent content digest of the
+# canonical edge set: XOR over DISTINCT (x < y) pairs of the 60-bit
+# md5 integer of 'x:y' — the hll/kmv portable-hash discipline
+# (conv(substr(md5,1,15),16,10) ≡ CAST('0x'||substr(md5,1,15) AS
+# BIGINT)), bit-identical in both engines. r09 (ADVICE): replaces the
+# linear checksum sum(x·131071 + y), whose value was invariant under
+# any edge-set change preserving the coordinate sums. XOR (not SUM)
+# because DuckDB widens sum(BIGINT) to HUGEINT while Spark wraps —
+# XOR of 60-bit values stays exactly representable in both. Edges are
+# DISTINCT, so XOR's pair-cancellation property is safe here.
 # Rendered inside the oracle's WITH, where ``co`` is already the
-# distinct canonical pair relation.
+# distinct canonical pair relation. Bump _SIG_V when changing this
+# scheme — the layout metas record it and stale caches self-rebuild.
+_SIG_V = 2
+
+# Corpora whose persisted layout fingerprint was verified this process
+# (the check is one parquet-footer count per corpus, not per query).
+_GRAPH_LAYOUT_VERIFIED: set[str] = set()
+
 LPA_SIG_SQL = (
-    "SELECT CAST(sum(CAST(x AS BIGINT) * 131071 + CAST(y AS BIGINT)) "
-    "AS BIGINT) FROM co"
+    "SELECT CAST(bit_xor(CAST('0x' || substr(md5(CAST(x AS VARCHAR) "
+    "|| ':' || CAST(y AS VARCHAR)), 1, 15) AS BIGINT)) AS BIGINT) FROM co"
 )
 
 
@@ -147,9 +172,11 @@ def _lpa_graph_sig(edges) -> int:
         )
         .distinct()
         .agg(
-            F.sum(
-                F.col("x").cast("long") * 131071 + F.col("y").cast("long")
-            ).cast("long")
+            F.expr(
+                "cast(bit_xor(cast(conv(substr(md5(concat("
+                "cast(x as string), ':', cast(y as string))), 1, 15), "
+                "16, 10) as bigint)) as bigint)"
+            )
         )
         .first()[0]
     )
@@ -190,16 +217,29 @@ def _graph_layout(spark, sf_dir: str) -> tuple[str, str]:
     Correctness posture: the persisted edges need no separate pinning —
     every consumer's oracle re-derives co/cow from lineitem, so a wrong
     artifact cannot hash-match anything (the _lpa_layout argument,
-    now shared by triangles/kcore/bfs/assortativity/sssp/ktruss)."""
+    now shared by triangles/kcore/bfs/assortativity/sssp/ktruss).
+
+    r09 (ADVICE): the cache key is the sf_dir basename, so regenerated
+    testdata under the same path would silently reuse stale edges —
+    the meta now records a cheap corpus fingerprint (lineitem row
+    count, a parquet-footer-only count) plus the signature-scheme
+    version, verified ONCE per process per corpus; a mismatch rebuilds
+    the layout instead of surfacing as persistent oracle mismatches."""
     import json
     import os
+    import shutil
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    repo = _repo_root()
     key = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(repo, "spark-warehouse", "graph_cache", key)
     edges_path = os.path.join(root, "edges")
     edges_w_path = os.path.join(root, "edges_w")
     meta_path = os.path.join(root, "meta.json")
+    if os.path.exists(meta_path) and key not in _GRAPH_LAYOUT_VERIFIED:
+        meta = json.load(open(meta_path))
+        rows = load(spark, sf_dir, "lineitem").count()
+        if meta.get("sig_v") != _SIG_V or meta.get("lineitem_rows") != rows:
+            shutil.rmtree(root, ignore_errors=True)  # stale: rebuild below
     if not os.path.exists(meta_path):  # meta written LAST = build complete
         par = spark.sparkContext.defaultParallelism
         raw = co_purchase_edges(spark, sf_dir)
@@ -222,7 +262,15 @@ def _graph_layout(spark, sf_dir: str) -> tuple[str, str]:
         ).write.mode("overwrite").parquet(edges_w_path)
         os.makedirs(root, exist_ok=True)
         sig = _lpa_graph_sig(spark.read.parquet(edges_path))
-        json.dump({"graph_sig": sig}, open(meta_path, "w"))
+        json.dump(
+            {
+                "graph_sig": sig,
+                "sig_v": _SIG_V,
+                "lineitem_rows": load(spark, sf_dir, "lineitem").count(),
+            },
+            open(meta_path, "w"),
+        )
+    _GRAPH_LAYOUT_VERIFIED.add(key)
     return edges_path, edges_w_path
 
 
@@ -243,17 +291,29 @@ def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:
     per-query path."""
     import json
     import os
+    import shutil
 
     import pandas as pd
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    repo = _repo_root()
     key = f"{os.path.basename(os.path.normpath(sf_dir))}_r{rounds}"
     root = os.path.join(repo, "spark-warehouse", "lpa_cache", key)
     labels_path = os.path.join(root, "labels")
     meta_path = os.path.join(root, "meta.json")
     # r08: the canonical edge list lives in the corpus-wide graph
     # layout (shared by every graph query), not per-rounds here.
+    # _graph_layout fingerprint-verifies (and rebuilds) its cache, so
+    # its meta signature is authoritative here: a labels meta whose
+    # graph_sig disagrees (regenerated corpus, sig-scheme bump) is
+    # stale and rebuilds (r09, ADVICE).
     edges_path, _ = _graph_layout(spark, sf_dir)
+    graph_meta = json.load(
+        open(os.path.join(os.path.dirname(edges_path), "meta.json"))
+    )
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("graph_sig") != graph_meta["graph_sig"]:
+            shutil.rmtree(root, ignore_errors=True)
     if not os.path.exists(meta_path):  # meta written LAST = build complete
         und = spark.read.parquet(edges_path).localCheckpoint()
         labels = G.label_propagation(und, rounds=rounds)
