@@ -47,6 +47,7 @@ from openetl_spark.queries import media_mining as _media_mining  # noqa: F401,E4
 from openetl_spark.queries import analytics_r06 as _analytics_r06  # noqa: F401,E402
 from openetl_spark.queries import analytics_r07 as _analytics_r07  # noqa: F401,E402
 from openetl_spark.queries import analytics_r08 as _analytics_r08  # noqa: F401,E402
+from openetl_spark.queries import analytics_r09 as _analytics_r09  # noqa: F401,E402
 
 # Re-exports referenced by tests / bench / external callers as
 # catalog.<name> (the pre-split public surface).

@@ -1938,3 +1938,120 @@ def containment_join(
     )
     out._cached_deps = [toks] if cache else []
     return out
+
+
+def containment_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    dict_df: DataFrame,
+    id_col: str,
+    s_col: str,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    n: int = 1,
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT containment dedup of a NEW batch against an existing
+    corpus index plus itself (VERDICT r08 #4) — quotation-duplication
+    ON ARRIVAL, the asymmetric twin of ppjoin_incremental: flag every
+    NEW doc whose shingle set is ≥ τ contained (|S_new ∩ S_other| /
+    |S_new|) in an INDEX doc (any id) or an EARLIER (smaller-id) doc
+    of its own batch. Directed and first-arrival: a short doc arriving
+    after the long doc that quotes it IS flagged; the long container
+    never is (it carries new content by definition of the direction).
+
+    Shares ppjoin_incremental's machinery end-to-end: the FROZEN
+    ppjoin_dictionary order keeps the prefix lemma valid across
+    batches (unseen tokens rank rarest-first at f = 0), and
+    prepare_ppjoin_index rows are reusable VERBATIM because the
+    containment prefix needs overlap ≥ ⌈τ·ℓa⌉ — the same prefix
+    length p = ℓ − ⌈τℓ⌉ + 1 the jaccard index stores at equal τ.
+    Asymmetry (the containment_join physics): the container side has
+    no prefix bound, so NEW prefixes probe the FULL token relation of
+    (index ∪ new) — exploded from the index's stored ``arr``, never
+    re-reading index text — and the positional filter keeps only the
+    contained side's bound (1 + ℓa − min rn ≥ ⌈τℓa⌉; the container
+    side's token positions are not stored, dropping that half of the
+    filter only admits extra candidates, never loses a pair).
+    index×index pairs are never enumerated; verify arrays are built
+    only for candidate ids.
+
+    Returns one row per flagged NEW doc: (id_col, n_containers,
+    contained_in = smallest qualifying container id, containment =
+    overlap/ℓa of that container, rounded 6dp). Unit tests pin the
+    flag set against a brute-force sequential reference including
+    unseen-token batches; a foreachBatch streaming twin holds the
+    composition (tests/test_streaming_curation.py)."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"containment_incremental: tau must be in (0, 1], got {tau_num}/{tau_den}"
+        )
+    num, den = tau_num, tau_den
+    prep_new = prepare_ppjoin_index(
+        new_df, id_col, s_col, dict_df, tau_num, tau_den, n
+    )
+    allp = index_df.select("id", "l", "arr").withColumn(
+        "_isidx", F.lit(True)
+    ).unionByName(
+        prep_new.select("id", "l", "arr").withColumn("_isidx", F.lit(False))
+    )
+    if cache:
+        allp = allp.persist()
+    # contained side: NEW docs' prefix tokens under the frozen order
+    a = prep_new.select(
+        F.col("id").alias("a_id"),
+        F.col("l").alias("al"),
+        F.explode("pre").alias("p"),
+    ).select("a_id", "al", F.col("p.tok").alias("tok"), F.col("p.rn").alias("rn"))
+    # container side: FULL token relation of index ∪ new
+    b = allp.select(
+        F.col("id").alias("b_id"),
+        F.col("l").alias("bl"),
+        F.col("_isidx"),
+        F.explode("arr").alias("btok"),
+    )
+    la, lb = F.col("la"), F.col("lb")
+    t_need = F.floor((num * la + den - 1) / den)  # ceil(tau * la)
+    cand = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("btok"))
+            & (F.col("a_id") != F.col("b_id"))
+            & (F.col("_isidx") | (F.col("b_id") < F.col("a_id"))),
+        )
+        .filter(den * F.col("bl") >= num * F.col("al"))
+        .groupBy(
+            "a_id",
+            "b_id",
+            F.col("al").alias("la"),
+            F.col("bl").alias("lb"),
+        )
+        .agg(F.min("rn").alias("i"))
+        .filter(1 + (la - F.col("i")) >= t_need)
+    )
+    from openetl_spark.operators.skew import spread_cpu_dense
+
+    ra = allp.select(F.col("id").alias("a_id"), F.col("arr").alias("_aa"))
+    rb = allp.select(F.col("id").alias("b_id"), F.col("arr").alias("_ab"))
+    ov = F.size(F.array_intersect(F.col("_aa"), F.col("_ab"))).cast("bigint")
+    pairs = (
+        spread_cpu_dense(cand.join(ra, "a_id").join(rb, "b_id"), "a_id", "b_id")
+        .withColumn("overlap", ov)
+        .filter(den * F.col("overlap") >= num * la)
+        .withColumn("containment", F.round(F.col("overlap") / la, 6))
+    )
+    flagged = (
+        pairs.groupBy("a_id")
+        .agg(
+            F.count("*").alias("n_containers"),
+            F.min(F.struct(F.col("b_id").alias("b"), "containment")).alias("_m"),
+        )
+        .select(
+            F.col("a_id").alias(id_col),
+            "n_containers",
+            F.col("_m.b").alias("contained_in"),
+            F.col("_m.containment").alias("containment"),
+        )
+    )
+    flagged._cached_deps = [allp] if cache else []
+    return flagged

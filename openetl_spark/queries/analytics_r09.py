@@ -1,0 +1,309 @@
+"""r09 analytics queries: truss decomposition (max-k per edge),
+multi-level Louvain (guarded move -> refine -> contract loop), and the
+incremental containment join — VERDICT r08 next-round items #3/#4/#5.
+
+Importing this module REGISTERS its queries into the shared
+QUERIES/ORACLE registries (openetl_spark.queries.base); it is loaded
+LAST by openetl_spark.catalog so all pre-existing names keep their
+registration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openetl_spark.operators import curation as C
+from openetl_spark.operators import dedup as DD
+from openetl_spark.operators import graph as G
+from openetl_spark.queries.analytics_r06 import CO_PURCHASE_CTE
+from openetl_spark.queries.analytics_r07 import (
+    CO_PURCHASE_W_CTE,
+    LPA_ORACLE_LABELS,
+    LPA_SIG_SQL,
+    _graph_layout,
+    _lpa_layout,
+)
+from openetl_spark.queries.base import load, query
+from openetl_spark.queries.dedup_text import shingle_cte
+
+# ---------------------------------------------------------------------
+# C128 — truss decomposition: max k per edge (VERDICT r08 #5).
+# ---------------------------------------------------------------------
+
+
+def trussness_oracle(max_k: int, rounds: int) -> str:
+    """Unrolled peel-LADDER oracle: for each k = 3..max_k, ``rounds``
+    peel iterations (the ktruss_oracle triple per round, MATERIALIZED),
+    then the level's peeled set gets trussness k-1 via NOT EXISTS
+    against the level's survivors; edges standing at max_k report the
+    CAP. Exactly the operator's bounded-round ladder, so converged or
+    not the two engines compute the same relation."""
+    base = f"""
+WITH {CO_PURCHASE_W_CTE},
+b3 AS MATERIALIZED (SELECT x AS a, y AS b FROM cow WHERE w >= 2)"""
+    prev_base = "b3"
+    peels = []
+    for k in range(3, max_k + 1):
+        prev = prev_base
+        for i in range(1, rounds + 1):
+            nm = f"k{k}r{i}"
+            base += f""",
+sym_{nm} AS MATERIALIZED (SELECT a AS u, b AS v FROM {prev}
+         UNION ALL SELECT b AS u, a AS v FROM {prev}),
+sup_{nm} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS s
+  FROM {prev} e
+  JOIN sym_{nm} n1 ON n1.u = e.a
+  JOIN sym_{nm} n2 ON n2.u = e.b AND n2.v = n1.v
+  GROUP BY 1, 2),
+{nm} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN sup_{nm} s ON s.a = e.a AND s.b = e.b AND s.s >= {k - 2})"""
+            prev = nm
+        base += f""",
+peel{k} AS (
+  SELECT p.a, p.b, CAST({k - 1} AS INT) AS trussness FROM {prev_base} p
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} s WHERE s.a = p.a AND s.b = p.b))"""
+        peels.append(f"SELECT a, b, trussness FROM peel{k}")
+        prev_base = prev
+    sel = "\nUNION ALL ".join(peels)
+    return base + f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, trussness FROM (
+{sel}
+UNION ALL SELECT a, b, CAST({max_k} AS INT) AS trussness FROM {prev_base}) t
+"""
+
+
+@query("trussness_parts", trussness_oracle(4, 6))
+def q_trussness_parts(spark, sf_dir):
+    """C128 (VERDICT r08 #5): truss DECOMPOSITION of the
+    repeat-co-purchase graph (operators/graph.trussness) — the maximum
+    k with each edge inside the k-truss, the edge-analog of k-core's
+    in-core degree and the form a real user asks for ("how cohesive is
+    each edge") rather than ktruss_core's single-k membership. The
+    peel ladder runs k = 3..4 with 6 bounded rounds per level
+    (converges at every test SF — measured; sf0.001's denser w>=2
+    graph needs 5-6 rounds where sf0.01 needs 2); survivors at the
+    max_k=4 cap report 4 (present at sf0.001, absent at sf0.01+). The
+    oracle unrolls the identical ladder, so the capped output is
+    bit-checkable either way."""
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    e2 = (
+        spark.read.parquet(edges_w_path)
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return G.trussness(e2, max_k=4, max_rounds=6)
+
+
+# ---------------------------------------------------------------------
+# C129 — multi-level Louvain (VERDICT r08 #3): the full Blondel loop,
+# every step guarded by the exact-integer modularity key 4mI - S.
+# ---------------------------------------------------------------------
+
+
+def _qkey_sql(lab: str) -> str:
+    """The exact-integer modularity ordering key 4m*I - S of partition
+    CTE ``lab`` over the shared co/deg/m prefix — for fixed m, Q =
+    I/m - S/4m^2 orders exactly as this bigint (the louvain_refine
+    guard), so no float ever decides a guard."""
+    return (
+        f"(SELECT 4 * (SELECT m FROM m) * "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM co c "
+        f"JOIN {lab} pa ON c.x = pa.node JOIN {lab} pb ON c.y = pb.node "
+        f"WHERE pa.label = pb.label) "
+        f"- (SELECT CAST(coalesce(sum(dsum * dsum), 0) AS BIGINT) FROM ("
+        f"SELECT CAST(sum(d.d) AS BIGINT) AS dsum FROM {lab} l "
+        f"JOIN deg d USING (node) GROUP BY l.label) t))"
+    )
+
+
+def _move_pass_sql(lab: str, o: str) -> str:
+    """One synchronous unweighted local-move pass from partition
+    ``lab`` -> partition CTE ``o`` (the louvain_communities oracle
+    body, factored so the multilevel oracle can reuse it)."""
+    return f""",
+stot_{o} AS (SELECT l.label AS c, CAST(sum(d.d) AS BIGINT) AS st
+        FROM {lab} l JOIN deg d USING (node) GROUP BY 1),
+kic_{o} AS (SELECT s.u AS node, l.label AS c, CAST(count(*) AS BIGINT) AS k
+        FROM sym s JOIN {lab} l ON s.v = l.node GROUP BY 1, 2),
+cand_{o} AS (SELECT node, c, max(k) AS k FROM (
+        SELECT node, c, k FROM kic_{o}
+        UNION ALL SELECT node, label AS c, CAST(0 AS BIGINT) AS k FROM {lab}) t
+        GROUP BY 1, 2),
+sc_{o} AS (SELECT cand.node, cand.c,
+        2 * m.m * cand.k - d.d * (st.st - CASE WHEN cand.c = l0.label
+                                               THEN d.d ELSE 0 END) AS score
+        FROM cand_{o} cand
+        JOIN deg d ON cand.node = d.node
+        JOIN {lab} l0 ON cand.node = l0.node
+        JOIN stot_{o} st ON cand.c = st.c, m),
+{o} AS MATERIALIZED (SELECT node, CAST(c AS BIGINT) AS label FROM (
+        SELECT node, c, row_number() OVER (PARTITION BY node
+                       ORDER BY score DESC, c) AS rn FROM sc_{o}) t
+        WHERE rn = 1)"""
+
+
+def _guard_sql(cur: str, prop: str, g: str, out: str) -> str:
+    """Keep ``prop`` only on STRICT exact-integer Q improvement over
+    ``cur`` (the louvain_refine guard as a conditional relation)."""
+    return f""",
+{g} AS (SELECT ({_qkey_sql(prop)}) > ({_qkey_sql(cur)}) AS better),
+{out} AS MATERIALIZED (
+  SELECT node, label FROM {prop} WHERE (SELECT better FROM {g})
+  UNION ALL
+  SELECT node, label FROM {cur} WHERE NOT (SELECT better FROM {g}))"""
+
+
+def _refine_sql(lab: str, lvl: int) -> str:
+    """One refine level from partition ``lab``: contract by it
+    (supernode = label, weights = inter-community edge counts,
+    self-loops = internal counts), one SWAP-GUARDED weighted move pass
+    from singleton supernodes (candidates restricted to c <= own — the
+    Grappolo minimum-label rule the operator applies), project back ->
+    prj_L{lvl}."""
+    o = f"L{lvl}"
+    return f""",
+sup_{o} AS MATERIALIZED (
+  SELECT least(la.label, lb.label) AS a, greatest(la.label, lb.label) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM co c JOIN {lab} la ON c.x = la.node JOIN {lab} lb ON c.y = lb.node
+  GROUP BY 1, 2),
+wsym_{o} AS (SELECT a AS u, b AS v, w FROM sup_{o} WHERE a <> b
+       UNION ALL SELECT b AS u, a AS v, w FROM sup_{o} WHERE a <> b),
+wm_{o} AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM sup_{o}),
+wdeg_{o} AS (SELECT node, CAST(sum(dd) AS BIGINT) AS d FROM (
+        SELECT u AS node, w AS dd FROM wsym_{o}
+        UNION ALL SELECT a AS node, 2 * w AS dd FROM sup_{o} WHERE a = b) t
+        GROUP BY 1),
+wcand_{o} AS (SELECT node, c, max(k) AS k FROM (
+        SELECT u AS node, v AS c, CAST(sum(w) AS BIGINT) AS k
+        FROM wsym_{o} WHERE v <= u GROUP BY 1, 2
+        UNION ALL SELECT node, node AS c, CAST(0 AS BIGINT) AS k
+        FROM wdeg_{o}) t
+        GROUP BY 1, 2),
+wsc_{o} AS (SELECT cand.node, cand.c,
+        2 * m.m * cand.k - di.d * (dc.d - CASE WHEN cand.c = cand.node
+                                               THEN di.d ELSE 0 END) AS score
+        FROM wcand_{o} cand
+        JOIN wdeg_{o} di ON cand.node = di.node
+        JOIN wdeg_{o} dc ON cand.c = dc.node, wm_{o} m),
+wmv_{o} AS MATERIALIZED (SELECT node, label FROM (
+        SELECT node, c AS label, row_number() OVER (PARTITION BY node
+               ORDER BY score DESC, c) AS rn FROM wsc_{o}) t WHERE rn = 1),
+prj_{o} AS MATERIALIZED (
+  SELECT l.node, w.label FROM {lab} l JOIN wmv_{o} w ON l.label = w.node)"""
+
+
+def louvain_multilevel_oracle(levels: int = 2) -> str:
+    """The full multi-level loop unrolled: persisted LPA seed -> one
+    guarded unweighted move pass -> ``levels`` x (contract +
+    swap-guarded singleton weighted move + project + guard). Every
+    guard is the exact-integer key, so which branch each level takes
+    is itself bit-checked cross-engine."""
+    sql = f"""
+WITH {CO_PURCHASE_CTE},
+sym AS (SELECT x AS u, y AS v FROM co UNION ALL SELECT y AS u, x AS v FROM co),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM co),
+lab0 AS MATERIALIZED (
+  SELECT node, label FROM read_parquet('{LPA_ORACLE_LABELS}')
+  WHERE graph_sig = ({LPA_SIG_SQL}) AND rounds = 4)"""
+    sql += _move_pass_sql("lab0", "mv0")
+    sql += _guard_sql("lab0", "mv0", "g0", "lab1")
+    cur = "lab1"
+    for lvl in range(1, levels + 1):
+        sql += _refine_sql(cur, lvl)
+        nxt = f"lab{lvl + 1}"
+        sql += _guard_sql(cur, f"prj_L{lvl}", f"g{lvl}", nxt)
+        cur = nxt
+    return sql + f"""
+SELECT node, CAST(label AS BIGINT) AS label FROM {cur}
+"""
+
+
+@query("louvain_multilevel", louvain_multilevel_oracle(2))
+def q_louvain_multilevel(spark, sf_dir):
+    """C129 (VERDICT r08 #3): the FULL multi-level Louvain loop
+    (operators/graph.louvain_multilevel, Blondel et al. 2008) over the
+    co-purchase graph, seeded from the same persisted 4-round LPA
+    partition louvain_communities starts from: one guarded synchronous
+    local-move pass, then two contract-and-refine levels (each a
+    swap-guarded weighted move on the contracted supergraph, projected
+    back, kept only on STRICT exact-integer Q improvement). Q-monotone
+    by construction — tests assert Q(multilevel) >= Q(one-pass) — and
+    fully deterministic, so the oracle unrolls the identical loop
+    INCLUDING which branch every guard takes."""
+    labels_path, edges_path = _lpa_layout(spark, sf_dir, rounds=4)
+    return G.louvain_multilevel(
+        spark.read.parquet(edges_path),
+        spark.read.parquet(labels_path),
+        levels=2,
+    )
+
+
+# ---------------------------------------------------------------------
+# C130 — incremental containment join (VERDICT r08 #4): quotation
+# duplication ON ARRIVAL, the modality that had no incremental twin.
+# ---------------------------------------------------------------------
+
+_CI_BUCKET = C.hash_bucket_sql("doc_id", 100)
+
+
+def containment_incremental_oracle(cut: int, num: int, den: int, n: int) -> str:
+    """Brute-force directed containment with the incremental side
+    rules: contained side NEW only (bucket >= cut); container side an
+    INDEX doc (any id) or a smaller-id NEW doc; per flagged doc the
+    partner is the smallest qualifying container (the operator's
+    min-struct order)."""
+    return f"""
+    WITH {shingle_cte(n)},
+    sh2 AS (SELECT doc_id AS id, s AS tok FROM sh WHERE s <> ''),
+    side AS (SELECT doc_id AS id, ({_CI_BUCKET}) < {cut} AS is_index
+             FROM documents),
+    sizes AS (SELECT id, count(*) AS n FROM sh2 GROUP BY 1),
+    inter AS (SELECT x.id AS a, y.id AS b, count(*) AS c
+              FROM sh2 x JOIN sh2 y ON x.tok = y.tok AND x.id <> y.id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT inter.a, inter.b, round(inter.c / sa.n, 6) AS containment
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.a
+      JOIN side ba ON ba.id = inter.a
+      JOIN side bb ON bb.id = inter.b
+      WHERE NOT ba.is_index AND (bb.is_index OR inter.b < inter.a)
+        AND {den} * inter.c >= {num} * sa.n),
+    agg AS (SELECT a, CAST(count(*) AS BIGINT) AS n_containers,
+                   min(b) AS contained_in
+            FROM pairs GROUP BY 1)
+    SELECT CAST(agg.a AS BIGINT) AS doc_id, agg.n_containers,
+           CAST(agg.contained_in AS BIGINT) AS contained_in, p.containment
+    FROM agg JOIN pairs p ON p.a = agg.a AND p.b = agg.contained_in
+    """
+
+
+@query("containment_incremental", containment_incremental_oracle(50, 4, 5, 5))
+def q_containment_incremental(spark, sf_dir):
+    """C130 (VERDICT r08 #4): directed containment dedup ON ARRIVAL
+    (operators/dedup.containment_incremental) — the md5-bucket lower
+    half of the corpus is the persisted prepare_ppjoin_index (its
+    ``arr`` serves the container role; index text never re-read), the
+    upper half arrives as the batch and every NEW doc >= 4/5 contained
+    in an index doc or an earlier new doc is flagged. Lossless: the
+    contained side's rarest-first prefix under the FROZEN index-half
+    dictionary (unseen batch tokens rank at f = 0) must share a token
+    with any qualifying container, so the exact brute-force oracle is
+    the full answer. index x index pairs are never enumerated."""
+    d = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    bucket = C.hash_bucket(F.col("doc_id"), 100)
+    idx = d.filter(bucket < 50).withColumnRenamed("doc_id", "id")
+    new = d.filter(bucket >= 50).withColumnRenamed("doc_id", "id")
+    dic = DD.ppjoin_dictionary(idx, "text", n=5)
+    prep = DD.prepare_ppjoin_index(idx, "id", "text", dic, 4, 5, n=5)
+    fl = DD.containment_incremental(new, prep, dic, "id", "text", 4, 5, n=5)
+    return fl.select(
+        F.col("id").alias("doc_id"),
+        "n_containers",
+        "contained_in",
+        "containment",
+    )

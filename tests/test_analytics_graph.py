@@ -1322,16 +1322,17 @@ def test_louvain_refine_keeps_input_when_pass_hurts(spark):
 
 
 def test_louvain_refine_merges_when_gainful(spark):
-    """A TWO-supernode merge always degenerates to the symmetric swap
-    (Q-identical — the previous test pins that the guard keeps the
-    input there); a STRICT gain needs >= 3 supernodes so one end of
-    the move chain stays put. Construct: a clique of 6 split into
-    THREE labeled pairs plus a separate triangle. Synchronous moves:
-    P1<->P2 swap while P3 joins P1's label — net, two of the three
-    clique pairs merge. Hand-computed Q (m=18; internal edges include
-    the triangle's own 3): before 6/18 - 336/1296 = 0.0741; after
-    10/18 - 536/1296 = 0.1420 — strictly better, so the guard must
-    RETURN the refined partition."""
+    """A clique of 6 split into THREE labeled pairs plus a separate
+    triangle. With the r09 swap_guard (moves only toward smaller
+    labels — the Grappolo minimum-label discipline), the singleton
+    supernode pass merges ALL THREE clique pairs into the smallest
+    label in one level: P2→P0 (score 2·18·4 − 10·10 = 44 beats stay's
+    0) and P4→P0 (ties 44/44 to the smaller label), P0 cannot move
+    down, the triangle is isolated. Hand-computed Q (m=18): before
+    6/18 − 336/1296 = 0.0741; after 18/18 − 936/1296 = 0.2778 —
+    strictly better, so the guard must RETURN the refined partition.
+    (Pre-r09, the unguarded synchronous pass pair-swapped P0↔P2 and
+    only reached the partial merge 10/18 − 536/1296 = 0.1420.)"""
     edges = [(a, b) for a in range(6) for b in range(6) if a < b]
     edges += [(6, 7), (7, 8), (6, 8)]
     df = spark.createDataFrame(edges, "src int, dst int")
@@ -1344,10 +1345,290 @@ def test_louvain_refine_merges_when_gainful(spark):
     assert q0 == pytest.approx(6 / 18 - 336 / 1296, abs=1e-12)
     refined = G.louvain_refine(df, lab)
     q1 = G.modularity(df, refined).first()["modularity"]
-    assert q1 == pytest.approx(10 / 18 - 536 / 1296, abs=1e-12)
+    assert q1 == pytest.approx(18 / 18 - 936 / 1296, abs=1e-12)
     assert q1 > q0
     got = {r["node"]: r["label"] for r in refined.collect()}
-    # clique collapses 3 -> 2 communities; triangle keeps its own
-    assert len({got[i] for i in range(6)}) == 2
+    # the whole clique collapses to ONE community; triangle keeps its own
+    assert len({got[i] for i in range(6)}) == 1
     assert len({got[i] for i in (6, 7, 8)}) == 1
-    assert got[6] not in {got[i] for i in range(6)}
+    assert got[6] != got[0]
+
+
+# ---------------------------------------------------------------------
+# trussness decomposition (r09, VERDICT r08 #5)
+# ---------------------------------------------------------------------
+
+
+def _py_trussness(edges, max_k):
+    """Brute-force fixpoint truss decomposition: for k = 3..max_k, peel
+    edges with < k-2 common neighbors (within survivors) to fixpoint;
+    peeled edges get trussness k-1, survivors at max_k get max_k."""
+    from collections import defaultdict
+
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    t = {}
+    for k in range(3, max_k + 1):
+        while True:
+            adj = defaultdict(set)
+            for a, b in cur:
+                adj[a].add(b)
+                adj[b].add(a)
+            rm = {(a, b) for (a, b) in cur if len(adj[a] & adj[b]) < k - 2}
+            if not rm:
+                break
+            cur -= rm
+            for e in rm:
+                t[e] = k - 1
+        if not cur:
+            break
+    for e in cur:
+        t[e] = max_k
+    return t
+
+
+def test_trussness_k4_plus_pendant(spark):
+    """K4 edges have trussness 4 (every edge in 2 triangles); the
+    pendant edge is in no triangle -> trussness 2."""
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    got = {(r["a"], r["b"]): r["trussness"] for r in G.trussness(df, max_k=6).collect()}
+    assert got[(4, 5)] == 2
+    assert all(got[e] == 4 for e in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_trussness_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    want = _py_trussness(edges, max_k=8)
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in G.trussness(df, max_k=8, max_rounds=12).collect()
+    }
+    assert got == {tuple(sorted(e)): v for e, v in want.items()}
+
+
+def test_trussness_consistent_with_ktruss(spark):
+    """{e : trussness(e) >= k} is exactly the k-truss edge set — the
+    decomposition IS the membership ladder."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(10), rng.randrange(10)) for _ in range(35)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    dec = G.trussness(df, max_k=8, max_rounds=12)
+    for k in (3, 4, 5):
+        want = {
+            (r["a"], r["b"])
+            for r in G.ktruss(df, k=k, max_rounds=12).collect()
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in dec.filter(dec["trussness"] >= k).collect()
+        }
+        assert got == want, k
+
+
+def test_trussness_cap_is_explicit(spark):
+    """Edges whose true trussness exceeds max_k report exactly max_k
+    (K5's edges are 5-truss; cap at 4)."""
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["trussness"] for r in G.trussness(df, max_k=4).collect()}
+    assert got == {4}
+    got5 = {r["trussness"] for r in G.trussness(df, max_k=6).collect()}
+    assert got5 == {5}
+
+
+def test_trussness_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="max_k"):
+        G.trussness(df, max_k=2)
+
+
+# ---------------------------------------------------------------------
+# louvain_multilevel (r09, VERDICT r08 #3)
+# ---------------------------------------------------------------------
+
+
+def _q_key_of(df, labels):
+    r = G.modularity(df, labels).first()
+    return 4 * r["n_edges"] * r["internal_edges"] - r["sum_deg_sq"]
+
+
+def test_louvain_multilevel_two_cliques_from_singletons(spark):
+    """From SINGLETON seeds on two triangles joined by an edge, the
+    guarded move pass alone is swap-stuck (Q-neutral oscillation); the
+    swap-guarded refine levels then find the optimal 2-community
+    partition (exact key 4mI - S = 4*7*6 - 98 = 70)."""
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    lab0 = spark.createDataFrame([(i, i) for i in range(1, 7)], "node long, label long")
+    ml = G.louvain_multilevel(g, lab0, levels=2)
+    assert _q_key_of(g, ml) == 70
+    got = {r["node"]: r["label"] for r in ml.collect()}
+    assert len({got[i] for i in (1, 2, 3)}) == 1
+    assert len({got[i] for i in (4, 5, 6)}) == 1
+    assert got[1] != got[4]
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_louvain_multilevel_q_monotone(spark, seed):
+    """Q(multilevel) >= Q(one-pass move) and >= Q(input), by
+    construction of the guards — on random graphs and random coarse
+    seeds."""
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(45)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    nodes = sorted({n for e in edges for n in e})
+    lab = spark.createDataFrame(
+        [(n, rng.randrange(4)) for n in nodes], "node int, label int"
+    )
+    ml = G.louvain_multilevel(df, lab, levels=2).localCheckpoint()
+    mv = G.louvain_move(df, lab)
+    assert _q_key_of(df, ml) >= _q_key_of(df, mv)
+    assert _q_key_of(df, ml) >= _q_key_of(df, lab)
+
+
+def test_louvain_multilevel_deterministic(spark):
+    import random
+
+    rng = random.Random(99)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(35)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    nodes = sorted({n for e in edges for n in e})
+    lab = spark.createDataFrame([(n, n) for n in nodes], "node int, label int")
+    a = sorted(tuple(r) for r in G.louvain_multilevel(df, lab, levels=2).collect())
+    b = sorted(tuple(r) for r in G.louvain_multilevel(df, lab, levels=2).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------
+# containment_incremental (r09, VERDICT r08 #4)
+# ---------------------------------------------------------------------
+
+
+def _brute_containment_sequential(batches, num, den, n=1):
+    """Sequential incremental containment semantics: a NEW doc a is
+    flagged iff den*|S_a ∩ S_b| >= num*|S_a| for some b in the accrued
+    SURVIVOR index or an earlier (smaller-id) doc of its own batch
+    (flagged or not — flagging sees the whole arriving batch);
+    survivors append. Returns {id: (n_containers, contained_in)}."""
+    flagged_all, index = {}, []
+    for batch in batches:
+        flags = {}
+        for i, s in batch:
+            S = _sh_words(s, n)
+            if not S:
+                continue
+            ps = [j for j, T in index if den * len(S & T) >= num * len(S)]
+            ps += [
+                j
+                for j, t in batch
+                if j < i
+                and _sh_words(t, n)
+                and den * len(S & _sh_words(t, n)) >= num * len(S)
+            ]
+            if ps:
+                flags[i] = (len(ps), min(ps))
+        flagged_all.update(flags)
+        index += [
+            (j, _sh_words(t, n)) for j, t in batch if j not in flags and _sh_words(t, n)
+        ]
+    return flagged_all
+
+
+def test_containment_incremental_matches_sequential_reference(spark):
+    """Directed containment dedup-on-arrival must equal the
+    brute-force sequential semantics — including a short doc arriving
+    AFTER the long doc that quotes it (flagged: the direction is
+    contained-in, not jaccard), a long doc arriving after its quote
+    (NOT flagged), and unseen-token batches."""
+    from openetl_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(80):
+        if rows and rng.random() < 0.35:
+            w = rows[int(rng.integers(0, len(rows)))][1].split()
+            # subset quotation: drop a suffix
+            if len(w) > 2:
+                w = w[: int(rng.integers(2, len(w)))]
+            rows.append((i, " ".join(w)))
+        else:
+            m = int(rng.integers(1, 12))
+            rows.append((i, " ".join(rng.choice(vocab, size=m))))
+    rows.append((80, "zq1 zq2 zq3 zq4 zq5 zq6"))  # unseen-token container
+    rows.append((81, "zq1 zq2 zq3 zq4"))          # quoted subset, unseen
+    batches = [rows[:30], rows[30:60], rows[60:]]
+    num, den = 4, 5
+
+    want = _brute_containment_sequential(batches, num, den)
+
+    dict_df = DD.ppjoin_dictionary(
+        spark.createDataFrame(batches[0], "id int, s string"), "s"
+    ).localCheckpoint()
+    index, got = None, {}
+    empty = spark.createDataFrame(
+        [], "id int, l long, arr array<string>, pre array<struct<tok:string, rn:int>>"
+    )
+    for batch in batches:
+        bdf = spark.createDataFrame(batch, "id int, s string")
+        fl = DD.containment_incremental(
+            bdf, index if index is not None else empty, dict_df, "id", "s", num, den
+        )
+        frows = {
+            r["id"]: (r["n_containers"], r["contained_in"]) for r in fl.collect()
+        }
+        got.update(frows)
+        surv = bdf.filter(~bdf.id.isin(list(frows))) if frows else bdf
+        prep = DD.prepare_ppjoin_index(surv, "id", "s", dict_df, num, den)
+        index = prep if index is None else index.unionByName(prep)
+        index = index.localCheckpoint()
+    assert got == want and len(want) > 0
+
+
+def test_containment_incremental_direction_and_firstarrival(spark):
+    """Hand case: the long doc arrives first; its exact quote arrives
+    later and is flagged (containment 1.0); a longer SUPERSET of an
+    index doc is NOT flagged (it contains, it is not contained)."""
+    from openetl_spark.operators import dedup as DD
+
+    b0 = [(1, "a b c d e f g h"), (2, "x y z")]
+    b1 = [(3, "a b c d"),          # quote of 1 -> flagged
+          (4, "x y z p q r s t u v w a2 b2 c2")]  # superset of 2 -> not flagged
+    dict_df = DD.ppjoin_dictionary(
+        spark.createDataFrame(b0, "id int, s string"), "s"
+    )
+    prep0 = DD.prepare_ppjoin_index(
+        spark.createDataFrame(b0, "id int, s string"), "id", "s", dict_df, 4, 5
+    )
+    fl = DD.containment_incremental(
+        spark.createDataFrame(b1, "id int, s string"), prep0, dict_df,
+        "id", "s", 4, 5,
+    )
+    got = {r["id"]: (r["n_containers"], r["contained_in"], r["containment"])
+           for r in fl.collect()}
+    assert got == {3: (1, 1, 1.0)}
+
+
+def test_containment_incremental_rejects_bad_params(spark):
+    from openetl_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "a b")], "id int, s string")
+    with pytest.raises(ValueError, match="tau"):
+        DD.containment_incremental(df, df, df, "id", "s", 0, 5)

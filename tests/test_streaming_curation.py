@@ -768,3 +768,87 @@ def test_streaming_weighted_sample_keys_equal_batch(spark, sf_dir, tmp_path):
         for r in weighted_sample(d, k, "n_tokens", ("lang",)).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_containment_dedup_on_arrival(spark, tmp_path):
+    """r09 (VERDICT r08 #4): quotation-duplication-on-arrival — the
+    containment twin of the streaming PPJoin test: each micro-batch
+    probes the persisted prepare_ppjoin_index parquet under the FROZEN
+    first-batch dictionary for DIRECTED containment (is this new doc
+    mostly a quote of something known?), appends its survivors'
+    prepared rows, and only survivors reach the corpus. Lossless by
+    construction: the final corpus must equal the sequential
+    first-arrival containment semantics."""
+    import json
+    import os
+
+    from openetl_spark.operators import dedup as DD
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    batches = [
+        [(1, long_doc), (2, other)],
+        # 3 = quote of 1 (flagged); 4 = superset of 2 (NOT flagged:
+        # it contains, it is not contained); 5 = quote of 4 in-batch
+        [(3, "alpha beta gamma delta epsilon zeta eta theta"),
+         (4, other + " eleven twelve thirteen fourteen"),
+         (5, "one two three four five six seven eight nine ten eleven twelve")],
+        # 6 = unseen-token doc; 7 = its quote (frozen dict never saw these)
+        [(6, "zz1 zz2 zz3 zz4 zz5"), (7, "zz1 zz2 zz3 zz4")],
+    ]
+    src = tmp_path / "ct_docs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows) + "\n"
+        )
+        os.utime(f, (1000000000 + i * 60,) * 2)
+
+    dict_path = str(tmp_path / "ct_dict")
+    idx_path = str(tmp_path / "ct_index")
+    out_path = str(tmp_path / "ct_corpus")
+    empty_index = spark.createDataFrame(
+        [], "id long, l long, arr array<string>, pre array<struct<tok:string, rn:int>>"
+    )
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        if not os.path.exists(dict_path):  # freeze the order on batch 0
+            DD.ppjoin_dictionary(df, "text").write.parquet(dict_path)
+        dic = spark.read.parquet(dict_path)
+        prepared = (
+            spark.read.parquet(idx_path)
+            if os.path.exists(idx_path)
+            else empty_index
+        )
+        df = df.withColumnRenamed("doc_id", "id")
+        flagged = DD.containment_incremental(
+            df, prepared, dic, "id", "text", tau_num=4, tau_den=5
+        )
+        survivors = df.join(flagged.select("id"), "id", "left_anti")
+        survivors.withColumnRenamed("id", "doc_id").write.mode(
+            "append"
+        ).parquet(out_path)
+        DD.prepare_ppjoin_index(
+            survivors, "id", "text", dic, tau_num=4, tau_den=5
+        ).write.mode("append").parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ct"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 2, 4, 6]
+    idx_ids = sorted(r["id"] for r in spark.read.parquet(idx_path).collect())
+    assert idx_ids == [1, 2, 4, 6]
