@@ -1468,6 +1468,7 @@ def ppjoin(
     tau_den: int = 5,
     n: int = 1,
     cache: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PPJoin: EXACT set-similarity SELF-join — all pairs whose word
     n-gram shingle sets have jaccard ≥ tau_num/tau_den — without the
@@ -1524,6 +1525,19 @@ def ppjoin(
     operators/skew.spread_cpu_dense), and the candidate join on
     PREFIX tokens, whose buckets the rarest-first order minimizes.
     Verification is candidate-sized, never corpus².
+
+    ``stats`` (r09, VERDICT r08 #7): pass a dict to receive
+    ``n_candidates`` — the pair count surviving prefix + length +
+    positional filtering, i.e. what the verify stage must
+    array_intersect. This is the number that would motivate Xiao et
+    al.'s suffix filter (§4): MEASURED at sf0.01/sf0.1 with the
+    catalog's 5-gram τ=3/5 regime, candidates == final output exactly
+    (25/25 and 256/256) — zero false candidates, so suffix filtering
+    has nothing to cut and stays unimplemented (decision recorded in
+    SCALE.md; re-measure on any corpus where this ratio degrades —
+    word-token regimes on boilerplate-heavy corpora are the known
+    risk). The count is free when it runs: ``cand`` is already
+    localCheckpoint-materialized.
 
     Returns (a, b, overlap, la, lb, jaccard): id pairs (a < b) with
     exact overlap count, set sizes, and jaccard ≥ τ rounded to 6dp.
@@ -1601,6 +1615,8 @@ def ppjoin(
         # isn't recomputed for the id semi-join below (kcore precedent).
         .localCheckpoint()
     )
+    if stats is not None:  # free: cand is checkpoint-materialized
+        stats["n_candidates"] = cand.count()
     # Verify arrays ONLY for candidate ids (collision-sized set): the
     # intersection ignores order, so no freq join or rank is needed —
     # one semi-filtered groupBy over the raw token relation, never a
@@ -1830,6 +1846,7 @@ def containment_join(
     tau_den: int = 5,
     n: int = 1,
     cache: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT containment self-join — all DIRECTED pairs (a, b), a ≠ b,
     with |S_a ∩ S_b| / |S_a| ≥ tau_num/tau_den over word n-gram
@@ -1853,6 +1870,13 @@ def containment_join(
     first shared token must reach ⌈τ·ℓa⌉. Verify = one
     array_intersect per candidate on arrays built only for candidate
     ids (the ppjoin shape).
+
+    ``stats`` (r09, VERDICT r08 #7): pass a dict to receive
+    ``n_candidates`` — the directed pair count reaching verification
+    (free: ``cand`` is checkpoint-materialized). The asymmetric probe
+    is the one the r08 review flagged to WATCH on boilerplate-heavy
+    corpora; measured at the catalog regime (5-gram, τ=4/5) it is
+    exactly output-sized at sf0.01/sf0.1 — see SCALE.md.
 
     Returns (a, b, overlap, la, lb, containment): a = the contained
     doc, containment = overlap/ℓa rounded 6dp; both directions emit
@@ -1910,6 +1934,8 @@ def containment_join(
         .filter(1 + F.least(la - F.col("i"), lb - F.col("j")) >= t_need)
         .localCheckpoint()
     )
+    if stats is not None:  # free: cand is checkpoint-materialized
+        stats["n_candidates"] = cand.count()
     ids = (
         cand.select(F.col("a_id").alias("_id"))
         .unionByName(cand.select(F.col("b_id").alias("_id")))

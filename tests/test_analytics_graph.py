@@ -1632,3 +1632,23 @@ def test_containment_incremental_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b")], "id int, s string")
     with pytest.raises(ValueError, match="tau"):
         DD.containment_incremental(df, df, df, "id", "s", 0, 5)
+
+
+def test_ppjoin_containment_candidate_stats(spark):
+    """r09 (VERDICT r08 #7): the stats hook reports the verified
+    candidate count — n_candidates >= final pairs always (filters are
+    lossless), and equality is the measured suffix-filter decision's
+    premise (SCALE.md)."""
+    from openetl_spark.operators import dedup as DD
+
+    rows = [
+        (1, "a b c d e"), (2, "a b c d f"), (3, "a b c d e"),
+        (4, "x y z"), (5, "p q r s t u v w"), (6, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    st = {}
+    out = DD.ppjoin(df, "id", "s", 3, 5, stats=st).collect()
+    assert st["n_candidates"] >= len(out) > 0
+    st2 = {}
+    out2 = DD.containment_join(df, "id", "s", 4, 5, stats=st2).collect()
+    assert st2["n_candidates"] >= len(out2) > 0
