@@ -357,3 +357,139 @@ def kmv_estimate(
         (k - 1) * float(1 << HASH_BITS) / F.col("hk")
     )
     return agg.select(*grp, "n_cells", est.alias("estimate"))
+
+
+def ams_cells(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str] = (),
+    k: int = 63,
+    seed: int = 42,
+) -> DataFrame:
+    """AMS "tug-of-war" second-moment sketch cells (Alon, Matias &
+    Szegedy, STOC 1996) of ``value``'s frequency vector, per ``keys``
+    group: (``*keys``, i, c) with 0 ≤ i < ``k`` and c_i = Σ_v
+    s_i(v)·f_v, where f_v is v's row count and s_i(v) ∈ {−1, +1} is a
+    deterministic md5-derived sign — E[c_i²] = F₂ = Σ_v f_v², the
+    SELF-JOIN SIZE of the column, which is what a query optimizer
+    wants before running the join and what a skew auditor reads as
+    the repeat-rate mass. The sixth mergeable family next to
+    histogram/CMS/HLL/Bloom/KMV, covering the moment F₂ none of them
+    estimates.
+
+    Determinism/mergeability (the cell-relation discipline): each
+    counter is a plain SUM of per-row ±1 terms keyed by
+    md5(seed:i:value) — sums are merge-order-free, so the cells of a
+    UNION are the elementwise sums of per-part cells (ams_merge;
+    property-tested), per-batch cells append in a streaming log, and
+    every cell renders bit-identically in DuckDB (FULL oracle). This
+    is exactly the determinism KLL/GK cannot offer (SCALE.md r09) —
+    AMS's state is a sum, theirs is a merge-tree-shaped buffer.
+
+    Shape: one posexplode of a k-element sign array per row — the
+    corpus is touched once, k·rows skinny intermediate rows feed a
+    map-side-combinable (keys, i) partial agg; the result is k rows
+    per group (kilobytes at any corpus scale). NULLs are excluded
+    (they carry no frequency mass).
+
+    Counters fit comfortably: |c_i| ≤ total rows < 2⁶³.
+    """
+    if k < 1:
+        raise ValueError(f"ams_cells: k must be >= 1, got {k}")
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"),
+                            i.cast("string"),
+                            F.lit(":"),
+                            F.col(value).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        * 2
+        - 1,
+    )
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, F.posexplode(signs).alias("i", "_s"))
+        .groupBy(*keys, "i")
+        .agg(F.sum("_s").cast("bigint").alias("c"))
+    )
+
+
+def ams_merge(
+    cells_a: DataFrame, cells_b: DataFrame, keys: Sequence[str] = ()
+) -> DataFrame:
+    """Merge two AMS cell relations: union + groupBy SUM — counters of
+    a disjoint union of row sets are the elementwise sums (linearity
+    of Σ s_i(v)·f_v in the frequencies). Associative and commutative;
+    property-tested."""
+    return (
+        cells_a.unionByName(cells_b)
+        .groupBy(*keys, "i")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def ams_f2_estimate(
+    cells: DataFrame,
+    keys: Sequence[str] = (),
+    groups: int = 9,
+) -> DataFrame:
+    """F₂ estimate per ``keys`` group from an AMS cell relation by
+    median-of-group-sums: counters are bucketed into ``groups``
+    contiguous groups (i div group_size), each group contributes the
+    INTEGER Σ c_i² over its counters, and the estimate is the exact
+    median of those integers divided by group_size — with an ODD
+    ``groups`` the median is one specific integer (no mid-pair
+    averaging), so the only float in the output is one IEEE division,
+    deterministic cross-engine. Chebyshev+Chernoff give the standard
+    ε ≈ √(8/group_size) with error probability 2^{-Ω(groups)}.
+
+    Returns (``*keys``, f2_estimate)."""
+    if groups < 1 or groups % 2 == 0:
+        raise ValueError(
+            f"ams_f2_estimate: groups must be odd and >= 1, got {groups}"
+        )
+    n_cells = cells.groupBy(*keys).agg(F.count("*").alias("_k"))
+    per_group = (
+        cells.join(n_cells, list(keys)) if keys else cells.crossJoin(
+            F.broadcast(n_cells)
+        )
+    )
+    gsz = F.expr(f"_k div {groups}")
+    per_group = (
+        per_group.filter(F.col("i") < gsz * groups)  # drop the ragged tail
+        .select(
+            *keys,
+            F.expr(f"i div (_k div {groups})").alias("_g"),
+            (F.col("c") * F.col("c")).alias("_c2"),
+            gsz.alias("_gsz"),
+        )
+        .groupBy(*keys, "_g")
+        .agg(F.sum("_c2").cast("bigint").alias("_s"), F.max("_gsz").alias("_gsz"))
+    )
+    # exact integer median of an odd count: histogram-free here — the
+    # relation is groups-sized per key (single-digit rows), a sort
+    # within a tiny group via max over the bottom half
+    w_rank = (
+        per_group.groupBy(*keys)
+        .agg(
+            F.expr(f"sort_array(collect_list(_s))[{groups // 2}]").alias("_med"),
+            F.max("_gsz").alias("_gsz"),
+        )
+    )
+    return w_rank.select(
+        *keys, (F.col("_med") / F.col("_gsz")).alias("f2_estimate")
+    )

@@ -307,3 +307,86 @@ def q_containment_incremental(spark, sf_dir):
         "contained_in",
         "containment",
     )
+
+
+# ---------------------------------------------------------------------
+# C131 — AMS tug-of-war F2 sketch: self-join-size estimation, the
+# sixth mergeable sketch family (and the deterministic counter-point
+# to the KLL decision in SCALE.md — AMS state is a SUM, so Spark's
+# unpinned merge trees cannot perturb it).
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import sketches as SK  # noqa: E402
+
+_AMS_SEED, _AMS_K, _AMS_GROUPS = 42, 63, 9
+_AMS_SIGN = (
+    "CASE WHEN CAST('0x' || substr(md5('"
+    + str(_AMS_SEED)
+    + ":' || CAST(i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"
+)
+
+_AMS_CELLS_SQL = f"""
+    SELECT CAST(i AS INT) AS i, CAST(sum({_AMS_SIGN}) AS BIGINT) AS c
+    FROM orders, UNNEST(generate_series(0, {_AMS_K - 1})) AS t(i)
+    WHERE o_custkey IS NOT NULL
+    GROUP BY 1
+    """
+
+
+@query("ams_cells", _AMS_CELLS_SQL)
+def q_ams_cells(spark, sf_dir):
+    """C131: the AMS tug-of-war counter relation over orders.o_custkey
+    (operators/sketches.ams_cells, Alon-Matias-Szegedy 1996) — 63
+    counters c_i = Σ_v s_i(v)·f_v with md5-derived ±1 signs, E[c_i²] =
+    F₂ = the column's SELF-JOIN SIZE. Every cell is an exact bigint
+    sum of ±1 terms, so the FULL relation is bit-checkable in DuckDB,
+    per-batch cells merge by elementwise addition (linearity;
+    merge-law property-tested), and a streaming twin appends cell
+    logs. One posexplode of a 63-sign array; the corpus is touched
+    once."""
+    o = load(spark, sf_dir, "orders")
+    return SK.ams_cells(o, "o_custkey", k=_AMS_K, seed=_AMS_SEED)
+
+
+_AMS_GSZ = _AMS_K // _AMS_GROUPS
+
+_AMS_REPORT_SQL = f"""
+    WITH cells AS ({_AMS_CELLS_SQL}),
+    grp AS (SELECT i // {_AMS_GSZ} AS g, CAST(sum(c * c) AS BIGINT) AS s
+            FROM cells GROUP BY 1),
+    med AS (SELECT s FROM grp ORDER BY s LIMIT 1 OFFSET {_AMS_GROUPS // 2}),
+    ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2,
+                  CAST(sum(cnt) AS BIGINT) AS n_rows,
+                  CAST(count(*) AS BIGINT) AS n_distinct
+           FROM (SELECT count(*) AS cnt FROM orders
+                 WHERE o_custkey IS NOT NULL GROUP BY o_custkey) t)
+    SELECT ex.f2 AS f2_exact, med.s / {_AMS_GSZ} AS f2_estimate,
+           ex.n_rows, ex.n_distinct
+    FROM ex, med
+    """
+
+
+@query("ams_f2_report", _AMS_REPORT_SQL)
+def q_ams_f2_report(spark, sf_dir):
+    """C131: the exact self-join size of orders.o_custkey NEXT TO the
+    AMS estimate read from the same 63-counter cells
+    (kmv_intersection_report's exact-beside-estimate discipline):
+    median of 9 group-sums of c_i², divided by the group size — the
+    one float in the row is that single IEEE division of two exact
+    integers, so the report hash-matches bit-for-bit. At 100 TB the
+    exact arm is ONE grouped count (the aggregation the optimizer
+    would have to run anyway to know the truth); the estimate arm
+    reads 63 cells."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    cells = SK.ams_cells(o, "o_custkey", k=_AMS_K, seed=_AMS_SEED)
+    est = SK.ams_f2_estimate(cells, groups=_AMS_GROUPS)
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    exact = cnt.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "f2_exact", "f2_estimate", "n_rows", "n_distinct"
+    )

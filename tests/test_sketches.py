@@ -410,3 +410,95 @@ def test_kmv_reserved_key_names_raise(spark):
     df = spark.createDataFrame([("x", "g1")], "h string, g string")
     with pytest.raises(ValueError, match="reserves"):
         SK.kmv_cells(df.withColumnRenamed("g", "x"), "x", k=4, keys=["h"])
+
+
+# ---------------------------------------------------------------------
+# AMS tug-of-war F2 sketch (r09)
+# ---------------------------------------------------------------------
+
+
+def test_ams_cells_are_exact_sign_sums(spark):
+    """Bit-exactness: each counter equals the pure-Python sum of
+    md5-derived signs over the multiset (the FULL-oracle premise)."""
+    rows = [(v,) for v in [1, 1, 1, 2, 2, 3]]
+    df = spark.createDataFrame(rows, "v int")
+    got = {r["i"]: r["c"] for r in SK.ams_cells(df, "v", k=8, seed=7).collect()}
+
+    def sign(i, v):
+        h = int(hashlib.md5(f"7:{i}:{v}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 1 else -1
+
+    want = {
+        i: sum(sign(i, v) * f for v, f in [(1, 3), (2, 2), (3, 1)])
+        for i in range(8)
+    }
+    assert got == want
+
+
+def test_ams_merge_law_and_f2_accuracy(spark):
+    """Counters of a union are elementwise sums (linearity), and the
+    median-of-group-sums estimate lands within the Chebyshev band on a
+    skewed frequency vector."""
+    rows = [(v,) for v in range(1, 41) for _ in range(v)]
+    df = spark.createDataFrame(rows, "v int")
+    full = {r["i"]: r["c"] for r in SK.ams_cells(df, "v", k=63).collect()}
+    ca = SK.ams_cells(df.filter("v <= 20"), "v", k=63)
+    cb = SK.ams_cells(df.filter("v > 20"), "v", k=63)
+    merged = {r["i"]: r["c"] for r in SK.ams_merge(ca, cb).collect()}
+    assert merged == full
+    exact = sum(v * v for v in range(1, 41))
+    est = SK.ams_f2_estimate(SK.ams_cells(df, "v", k=63)).first()["f2_estimate"]
+    assert exact / 3 <= est <= 3 * exact, (exact, est)
+
+
+def test_ams_validation(spark):
+    with pytest.raises(ValueError, match="k must"):
+        SK.ams_cells(None, "v", k=0)
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="odd"):
+        SK.ams_f2_estimate(SK.ams_cells(df, "v", k=8), groups=4)
+
+
+def test_streaming_ams_cells_merge_equals_batch(spark, tmp_path):
+    """Streamed AMS: per-batch cells APPEND to a persisted cell log;
+    the read-side sum-merge must equal the one-shot batch cells — the
+    mergeable-relation contract (HLL/Bloom/KMV cell-log discipline,
+    sum-merge instead of max/union)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    vals = [(f"cust-{i % 40}",) for i in range(1200)]
+    src = str(tmp_path / "ams_src")
+    spark.createDataFrame(vals, "v string").repartition(4).write.parquet(src)
+    log_path = str(tmp_path / "ams_cells_log")
+    os.makedirs(log_path)
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        SK.ams_cells(df, "v", k=31).write.mode("append").parquet(log_path)
+
+    q = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ams"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        r["i"]: r["c"]
+        for r in spark.read.parquet(log_path)
+        .groupBy("i")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .collect()
+    }
+    batch = {
+        r["i"]: r["c"]
+        for r in SK.ams_cells(spark.read.parquet(src), "v", k=31).collect()
+    }
+    assert streamed == batch and len(batch) == 31
