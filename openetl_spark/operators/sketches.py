@@ -493,3 +493,216 @@ def ams_f2_estimate(
     return w_rank.select(
         *keys, (F.col("_med") / F.col("_gsz")).alias("f2_estimate")
     )
+
+
+def qdigest_cells(
+    df: DataFrame,
+    value: str,
+    log_universe: int,
+    sigma: int = 32,
+) -> DataFrame:
+    """q-digest cells (Shrivastava, Buragohain, Agrawal & Suri,
+    SenSys 2004) of an INTEGER ``value`` column in [0, 2**log_universe):
+    (v, c) rows over the dyadic tree (heap ids: root 1, children
+    2v/2v+1, leaf for x = 2**L + x) such that ranks read from the
+    digest are within n·L/σ of exact — the GUARANTEED-rank-error
+    mergeable quantile summary that KLL/GK cannot provide
+    deterministically under Spark (SCALE.md r09): a q-digest is a pure
+    function of the frequency MULTISET (leaf counts + a deterministic
+    bottom-up compress sweep), not of any insertion or merge order.
+
+    Build: leaf cells = per-value counts (one grouped agg — sparse,
+    absent values carry nothing), then L bottom-up COMPRESS levels: at
+    level ℓ the children of each parent pool their counts s, and if
+    s + c(parent) < t = ⌊n/σ⌋ the children fold into the parent
+    (detail too fine to matter at resolution t), else they stay.
+    Every step is exact integer arithmetic on (v, c) relations —
+    grouped sums and an anti-join per level, all bigint, rendering
+    identically in DuckDB (FULL cell oracle). n and t ride a 1-row
+    broadcast; the per-level relation shrinks toward O(σ·L) cells.
+
+    ``log_universe`` ≤ 24 keeps the unrolled-level count (and the
+    oracle) sane; values outside [0, 2^L) raise (ANSI mode surfaces
+    the explicit check below).
+
+    Returns (v, c): v the heap node id (bigint), c its count.
+    """
+    if not 1 <= log_universe <= 24:
+        raise ValueError(
+            f"qdigest_cells: log_universe={log_universe} outside [1, 24]"
+        )
+    if sigma < 1:
+        raise ValueError(f"qdigest_cells: sigma must be >= 1, got {sigma}")
+    big = 1 << log_universe
+    val = F.col(value).cast("long")
+    checked = F.when(
+        (val >= 0) & (val < big), val
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"qdigest_cells: value outside [0, {big}) for "
+                    f"log_universe={log_universe}: "
+                ),
+                val.cast("string"),
+            )
+        ).cast("long")
+    )
+    leaves = (
+        df.filter(val.isNotNull())
+        .select(checked.alias("_x"))
+        .groupBy("_x")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select((F.col("_x") + F.lit(big)).cast("bigint").alias("v"), "c")
+    )
+    n_rel = leaves.agg(F.sum("c").cast("bigint").alias("_n"))
+    cur = leaves.crossJoin(F.broadcast(n_rel)).localCheckpoint()
+    for lvl in range(log_universe, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        ch = cur.filter((F.col("v") >= lo) & (F.col("v") < hi))
+        rest = cur.filter((F.col("v") < lo) | (F.col("v") >= hi))
+        pooled = ch.groupBy(
+            F.expr("v div 2").alias("p"), F.col("_n")
+        ).agg(F.sum("c").cast("bigint").alias("s"))
+        parents = rest.filter(
+            (F.col("v") >= lo // 2) & (F.col("v") < lo)
+        ).select(F.col("v").alias("p"), F.col("c").alias("pc"))
+        dec = pooled.join(parents, "p", "left").select(
+            "p",
+            "s",
+            F.coalesce("pc", F.lit(0)).cast("bigint").alias("pc"),
+            "_n",
+            (
+                F.col("s") + F.coalesce("pc", F.lit(0))
+                < F.expr(f"_n div {sigma}")
+            ).alias("_fold"),
+        )
+        folded = dec.filter("_fold").select(
+            F.col("p").alias("v"), (F.col("s") + F.col("pc")).alias("c"), "_n"
+        )
+        kept_children = ch.join(
+            dec.filter("_fold").select("p"),
+            F.expr("v div 2") == F.col("p"),
+            "left_anti",
+        )
+        untouched = rest.join(
+            dec.filter("_fold").select("p"),
+            rest["v"] == F.col("p"),
+            "left_anti",
+        )
+        cur = untouched.unionByName(kept_children).unionByName(folded)
+        cur = cur.localCheckpoint()
+    return cur.select("v", "c")
+
+
+def qdigest_merge(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    log_universe: int,
+    sigma: int = 32,
+) -> DataFrame:
+    """Merge two q-digests: sum-union their cells, then re-run the
+    deterministic compress sweep at the combined n. The result is a
+    valid q-digest of the combined stream (error bounds add per the
+    paper) and a pure function of the two input RELATIONS — no
+    merge-order dependence — but unlike HLL/KMV/AMS it is not
+    bit-identical to the digest built directly from the union (folding
+    loses leaf resolution the direct build still had): the contract is
+    bounded rank error, property-tested, not cell equality."""
+    both = (
+        cells_a.select("v", "c")
+        .unionByName(cells_b.select("v", "c"))
+        .groupBy("v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    big = 1 << log_universe
+    # re-express as a value stream is impossible (internal nodes span
+    # ranges); compress directly on the summed cells instead
+    n_rel = both.agg(F.sum("c").cast("bigint").alias("_n"))
+    cur = both.crossJoin(F.broadcast(n_rel)).localCheckpoint()
+    for lvl in range(log_universe, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        ch = cur.filter((F.col("v") >= lo) & (F.col("v") < hi))
+        rest = cur.filter((F.col("v") < lo) | (F.col("v") >= hi))
+        pooled = ch.groupBy(
+            F.expr("v div 2").alias("p"), F.col("_n")
+        ).agg(F.sum("c").cast("bigint").alias("s"))
+        parents = rest.filter(
+            (F.col("v") >= lo // 2) & (F.col("v") < lo)
+        ).select(F.col("v").alias("p"), F.col("c").alias("pc"))
+        dec = pooled.join(parents, "p", "left").select(
+            "p",
+            "s",
+            F.coalesce("pc", F.lit(0)).cast("bigint").alias("pc"),
+            "_n",
+            (
+                F.col("s") + F.coalesce("pc", F.lit(0))
+                < F.expr(f"_n div {sigma}")
+            ).alias("_fold"),
+        )
+        folded = dec.filter("_fold").select(
+            F.col("p").alias("v"), (F.col("s") + F.col("pc")).alias("c"), "_n"
+        )
+        kept_children = ch.join(
+            dec.filter("_fold").select("p"),
+            F.expr("v div 2") == F.col("p"),
+            "left_anti",
+        )
+        untouched = rest.join(
+            dec.filter("_fold").select("p"),
+            rest["v"] == F.col("p"),
+            "left_anti",
+        )
+        cur = untouched.unionByName(kept_children).unionByName(folded)
+        cur = cur.localCheckpoint()
+    return cur.select("v", "c")
+
+
+def qdigest_rank_bounds(
+    cells: DataFrame,
+    log_universe: int,
+    probe: DataFrame,
+    probe_col: str = "q",
+) -> DataFrame:
+    """Rank bounds for each probe value q from a q-digest cell
+    relation: lo = Σ c(v) over nodes whose dyadic interval lies
+    entirely BELOW q (every such element is certainly < q), hi = lo +
+    Σ c(v) over nodes whose interval CONTAINS q (those elements may
+    fall either side). True rank(q) = |{x < q}| satisfies
+    lo ≤ rank ≤ hi, with hi − lo ≤ L·⌊n/σ⌋ by the digest property —
+    exact integer bounds, one broadcast join of the kilobyte cell
+    relation against the probes, no sort.
+
+    Node v at depth d (root depth 0, leaves depth L) covers values
+    [ (v − 2^d)·2^(L−d), (v − 2^d + 1)·2^(L−d) ). Depth comes from the
+    node id's BIT LENGTH (length(bin(v)) − 1 — Spark's bin() emits no
+    leading zeros, mirroring DuckDB's ltrim(bin(v),'0')), and widths
+    from integer shifts — no float log2/pow anywhere, so the bounds
+    render bit-identically cross-engine."""
+    d = (F.length(F.bin(F.col("v"))) - 1).cast("int")
+    anno = cells.select("v", "c", d.alias("_d")).select(
+        "c",
+        (
+            (F.col("v") - F.expr("shiftleft(cast(1 as bigint), _d)"))
+            * F.expr(f"shiftleft(cast(1 as bigint), {log_universe} - _d)")
+        ).alias("_lo"),
+        (
+            (F.col("v") - F.expr("shiftleft(cast(1 as bigint), _d)") + 1)
+            * F.expr(f"shiftleft(cast(1 as bigint), {log_universe} - _d)")
+        ).alias("_hi"),
+    )
+    q = F.col(probe_col).cast("long")
+    joined = probe.crossJoin(F.broadcast(anno))
+    return (
+        joined.groupBy(probe_col)
+        .agg(
+            F.sum(F.when(F.col("_hi") <= q, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum(
+                F.when((F.col("_hi") <= q) | ((F.col("_lo") < q) & (q < F.col("_hi"))), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_hi"),
+        )
+    )

@@ -390,3 +390,147 @@ def q_ams_f2_report(spark, sf_dir):
     return exact.crossJoin(F.broadcast(est)).select(
         "f2_exact", "f2_estimate", "n_rows", "n_distinct"
     )
+
+
+# ---------------------------------------------------------------------
+# C132 — q-digest: the DETERMINISTIC mergeable quantile summary (the
+# alternative the KLL decision in SCALE.md names, delivered): document
+# token-length quantile ranks with guaranteed error n·L/σ.
+# ---------------------------------------------------------------------
+
+_QD_L, _QD_SIGMA = 12, 32
+_QD_PROBES = [32, 64, 128, 256, 512]
+
+
+def _qdigest_cells_sql(log_universe: int, sigma: int) -> str:
+    """Unrolled compress-sweep oracle: leaf counts of the documents'
+    token lengths, then L bottom-up fold levels — each a pooled
+    child-sum per parent, the t = n div sigma fold decision, and the
+    three-way reassembly (untouched / kept children / folded parents).
+    Pure integer arithmetic; MATERIALIZED per level (each cur feeds
+    three readers)."""
+    big = 1 << log_universe
+    sql = f"""lens AS (
+      SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS x
+      FROM documents WHERE text IS NOT NULL),
+    nrel AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+    cur{log_universe} AS MATERIALIZED (
+      SELECT CAST(x + {big} AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lens GROUP BY 1)"""
+    for lvl in range(log_universe, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        sql += f""",
+ch{lvl} AS (SELECT v, c FROM cur{lvl} WHERE v >= {lo} AND v < {hi}),
+rest{lvl} AS (SELECT v, c FROM cur{lvl} WHERE v < {lo} OR v >= {hi}),
+dec{lvl} AS (
+  SELECT p.p, p.s, COALESCE(r.c, 0) AS pc,
+         p.s + COALESCE(r.c, 0) < (SELECT n // {sigma} FROM nrel) AS fold
+  FROM (SELECT v // 2 AS p, CAST(sum(c) AS BIGINT) AS s
+        FROM ch{lvl} GROUP BY 1) p
+  LEFT JOIN rest{lvl} r ON r.v = p.p),
+cur{lvl - 1} AS MATERIALIZED (
+  SELECT v, c FROM rest{lvl} r
+  WHERE NOT EXISTS (SELECT 1 FROM dec{lvl} d WHERE d.fold AND d.p = r.v)
+  UNION ALL
+  SELECT v, c FROM ch{lvl} x
+  WHERE NOT EXISTS (SELECT 1 FROM dec{lvl} d WHERE d.fold AND d.p = x.v // 2)
+  UNION ALL
+  SELECT CAST(p AS BIGINT) AS v, CAST(s + pc AS BIGINT) AS c
+  FROM dec{lvl} WHERE fold)"""
+    return sql
+
+
+_QD_CELLS_SQL = f"""
+    WITH {_qdigest_cells_sql(_QD_L, _QD_SIGMA)}
+    SELECT v, c FROM cur0
+    """
+
+
+def _doc_token_lengths(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    return d.select(F.size(words).alias("x"))
+
+
+@query("qdigest_cells", _QD_CELLS_SQL)
+def q_qdigest_cells(spark, sf_dir):
+    """C132: q-digest cells of the documents' token-length
+    distribution (operators/sketches.qdigest_cells, Shrivastava et al.
+    SenSys 2004) — the guaranteed-rank-error mergeable quantile
+    summary whose state is a pure function of the frequency MULTISET
+    (leaf counts + a deterministic bottom-up fold sweep), i.e. the
+    determinism KLL/GK cannot offer under Spark's unpinned merge trees
+    (SCALE.md r09, decision now DELIVERED as its named alternative).
+    Universe 2^12 token lengths, sigma=32: kilobyte cell relation,
+    ranks within n·12/32 of exact. The oracle unrolls the identical
+    12-level sweep; every cell is exact bigint."""
+    return SK.qdigest_cells(
+        _doc_token_lengths(spark, sf_dir), "x", _QD_L, _QD_SIGMA
+    )
+
+
+_QD_RANK_SQL = f"""
+    WITH {_qdigest_cells_sql(_QD_L, _QD_SIGMA)},
+    anno AS (
+      SELECT c,
+             (v - (CAST(1 AS BIGINT) << (length(ltrim(bin(v), '0')) - 1)))
+               * (CAST(1 AS BIGINT) << ({_QD_L} - (length(ltrim(bin(v), '0')) - 1))) AS lo,
+             (v - (CAST(1 AS BIGINT) << (length(ltrim(bin(v), '0')) - 1)) + 1)
+               * (CAST(1 AS BIGINT) << ({_QD_L} - (length(ltrim(bin(v), '0')) - 1))) AS hi
+      FROM cur0),
+    probes AS (SELECT CAST(q AS BIGINT) AS q
+               FROM UNNEST({_QD_PROBES}) AS t(q)),
+    bounds AS (
+      SELECT q,
+             CAST(sum(CASE WHEN hi <= q THEN c ELSE 0 END) AS BIGINT) AS rank_lo,
+             CAST(sum(CASE WHEN hi <= q OR (lo < q AND q < hi)
+                           THEN c ELSE 0 END) AS BIGINT) AS rank_hi
+      FROM probes, anno GROUP BY 1),
+    exact AS (
+      SELECT p.q, CAST(count(*) FILTER (WHERE l.x < p.q) AS BIGINT) AS rank_exact
+      FROM probes p, lens l GROUP BY 1)
+    SELECT b.q, b.rank_lo, e.rank_exact, b.rank_hi,
+           (b.rank_lo <= e.rank_exact AND e.rank_exact <= b.rank_hi) AS in_bounds
+    FROM bounds b JOIN exact e ON b.q = e.q
+    """
+
+
+@query("qdigest_rank_report", _QD_RANK_SQL)
+def q_qdigest_rank_report(spark, sf_dir):
+    """C132: exact token-length ranks beside the q-digest rank BOUNDS
+    at five fixed probes (the exact-next-to-estimate report
+    discipline): rank_lo = mass of digest nodes entirely below the
+    probe, rank_hi adds the straddling nodes, and the digest property
+    guarantees rank_lo <= exact <= rank_hi with width <= 12·(n div
+    32). Everything is exact integer arithmetic (depths from bit
+    lengths, widths from shifts), so the report — in_bounds booleans
+    included — hash-matches bit-for-bit. At 100 TB the digest arm
+    reads a kilobyte relation; the exact arm is the one grouped count
+    it replaces."""
+    lens = _doc_token_lengths(spark, sf_dir).localCheckpoint()
+    cells = SK.qdigest_cells(lens, "x", _QD_L, _QD_SIGMA)
+    probes = lens.sparkSession.createDataFrame(
+        [(q,) for q in _QD_PROBES], "q long"
+    )
+    bounds = SK.qdigest_rank_bounds(cells, _QD_L, probes)
+    q = F.col("q").cast("long")
+    exact = (
+        probes.crossJoin(lens)
+        .groupBy("q")
+        .agg(
+            F.sum(F.when(F.col("x") < q, 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_exact")
+        )
+    )
+    return bounds.join(exact, "q").select(
+        "q",
+        "rank_lo",
+        "rank_exact",
+        "rank_hi",
+        (
+            (F.col("rank_lo") <= F.col("rank_exact"))
+            & (F.col("rank_exact") <= F.col("rank_hi"))
+        ).alias("in_bounds"),
+    )

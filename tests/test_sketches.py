@@ -502,3 +502,92 @@ def test_streaming_ams_cells_merge_equals_batch(spark, tmp_path):
         for r in SK.ams_cells(spark.read.parquet(src), "v", k=31).collect()
     }
     assert streamed == batch and len(batch) == 31
+
+
+# ---------------------------------------------------------------------
+# q-digest (r09): deterministic mergeable quantile summary
+# ---------------------------------------------------------------------
+
+
+def _py_qdigest(values, L, sigma):
+    """Pure-Python reference: leaf counts then the bottom-up fold
+    sweep (fold children into parent when s + c(parent) < n div
+    sigma)."""
+    from collections import Counter
+
+    cells = Counter()
+    for x in values:
+        cells[(1 << L) + x] += 1
+    n = len(values)
+    t = n // sigma
+    for lvl in range(L, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        parents = {}
+        for v in [v for v in cells if lo <= v < hi]:
+            parents.setdefault(v // 2, 0)
+            parents[v // 2] += cells[v]
+        for p, s in parents.items():
+            if s + cells.get(p, 0) < t:
+                cells[p] = cells.get(p, 0) + s
+                for chv in (2 * p, 2 * p + 1):
+                    cells.pop(chv, None)
+    return dict(cells)
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_qdigest_cells_match_python_reference(spark, seed):
+    """Bit-exactness of the whole cell relation vs the sequential
+    reference — the FULL-oracle premise, and the determinism claim
+    (the sweep is a pure function of the frequency multiset)."""
+    import random
+
+    rng = random.Random(seed)
+    vals = [rng.randint(0, 63) for _ in range(800)] + [5] * 100
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {r["v"]: r["c"] for r in SK.qdigest_cells(df, "x", 6, 8).collect()}
+    assert got == _py_qdigest(vals, 6, 8)
+
+
+def test_qdigest_rank_bounds_hold_and_count_preserved(spark):
+    import random
+
+    rng = random.Random(9)
+    vals = [rng.randint(0, 255) for _ in range(2500)] + [7] * 400
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    cells = SK.qdigest_cells(df, "x", 8, 16)
+    rows = cells.collect()
+    assert sum(r["c"] for r in rows) == len(vals)  # mass is never lost
+    probes = spark.createDataFrame([(q,) for q in [1, 10, 128, 250]], "q int")
+    for r in SK.qdigest_rank_bounds(cells, 8, probes).collect():
+        true = sum(1 for v in vals if v < r["q"])
+        assert r["rank_lo"] <= true <= r["rank_hi"], (r, true)
+        assert r["rank_hi"] - r["rank_lo"] <= 8 * (len(vals) // 16)
+
+
+def test_qdigest_merge_preserves_mass_and_bounds(spark):
+    import random
+
+    rng = random.Random(11)
+    vals = [(i, rng.randint(0, 127)) for i in range(1500)]
+    df = spark.createDataFrame(vals, "id int, x int")
+    ca = SK.qdigest_cells(df.filter("id % 2 = 0"), "x", 7, 16)
+    cb = SK.qdigest_cells(df.filter("id % 2 = 1"), "x", 7, 16)
+    m = SK.qdigest_merge(ca, cb, 7, 16)
+    assert sum(r["c"] for r in m.collect()) == len(vals)
+    probes = spark.createDataFrame([(q,) for q in [30, 64, 100]], "q int")
+    allv = [x for _, x in vals]
+    for r in SK.qdigest_rank_bounds(m, 7, probes).collect():
+        true = sum(1 for v in allv if v < r["q"])
+        assert r["rank_lo"] <= true <= r["rank_hi"], (r, true)
+
+
+def test_qdigest_validation(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="log_universe"):
+        SK.qdigest_cells(df, "x", 0)
+    with pytest.raises(ValueError, match="sigma"):
+        SK.qdigest_cells(df, "x", 8, 0)
+    with pytest.raises(Exception, match="outside"):
+        SK.qdigest_cells(
+            spark.createDataFrame([(300,)], "x int"), "x", 8, 16
+        ).collect()
