@@ -85,111 +85,103 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-8 rotation (VERDICT
-# r07 #1, staleness burn-down): after r07 every one of the 180 catalog
-# queries has a green driver row and nothing is older than r03-latest.
-# Slots go first to the new r08 queries (no driver row anywhere) and
-# any DRIVER_RECHECK entries (code/oracle changed since their last
-# green), then the complete 7-entry r03-latest queue — after this
-# round nothing is r03-latest — then the 38-entry r04-latest queue,
-# then the oldest r05-latest rows until the window holds exactly 50.
-# Each new r08 query added at the head pops one entry off the r05
-# tail into the enumerated r09 queue below. Every query, windowed or
-# not, is re-pinned every pytest run by tests/test_oracle.py, which
-# mirrors the driver's compare exactly.
+# entries of queries() in iteration order. Round-9 rotation (VERDICT
+# r08 #2, staleness burn-down): after r08 every one of the 188
+# pre-r09 catalog queries has a green driver row and nothing is older
+# than r04-latest. Slots go first to the EIGHT new r09 queries (no
+# driver row anywhere), then the four DRIVER_RECHECK entries (code or
+# oracle changed since their r08 green), then the complete 10-entry
+# r04-latest queue enumerated by the r08 rotation (after this round
+# nothing is r04-latest anywhere), then the oldest r05-latest rows
+# alphabetically until the window holds exactly 50 — 28 of the 38 r05
+# rows fit; the 10 displaced tails are the enumerated r10 queue below.
+# Every query, windowed or not, is re-pinned every pytest run by
+# tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
 
 # Queries whose CODE or ORACLE changed after their last driver-green
 # row — they hold window slots even though a (stale) green row exists,
 # and the window-integrity test exempts them from its "wasted slot"
 # check. Prune entries from this set once the next CORRECTNESS record
-# re-greens them. (All 4 r07 entries re-greened in CORRECTNESS_r07 —
-# pruned, per VERDICT r07 #1.)
+# re-greens them. (All 7 r08 entries re-greened in CORRECTNESS_r08 —
+# pruned, per VERDICT r08 #2.)
 DRIVER_RECHECK: set[str] = {
-    # r08 changes (code or oracle text differs from what the r07
-    # driver rows greened):
-    "graph_communities",   # LPA labeling now persisted as a layout artifact; oracle re-derives from the parquet
-    "graph_modularity",    # scores the persisted LPA partition instead of recomputing the rounds inline
-    # the remaining graph family now reads the persisted corpus-wide
-    # edge layout (_graph_layout) instead of re-deriving the lineitem
-    # self-join per query — oracles unchanged (still derive co/cow
-    # from lineitem), code changed:
-    "graph_triangles",
-    "bfs_hops_parts",
-    "graph_assortativity",
-    "kcore_parts",
-    "sssp_parts",
+    # r09 changes: the graph/LPA layout signature moved to the
+    # collision-resistant md5-XOR digest (ADVICE r08), which rewrites
+    # the LPA_SIG_SQL fragment inside these three oracles' text:
+    "graph_communities",
+    "graph_modularity",
+    "louvain_communities",
+    # weight-magnitude guard added to the operator (VERDICT r08 #6):
+    "weighted_sample_docs",
+    # NOTE: the other graph-family consumers (triangles/bfs/kcore/
+    # sssp/assortativity/ktruss) are NOT rechecked: their oracles are
+    # untouched and they read the same persisted edge relation — only
+    # the cache-staleness validation around it changed.
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # --- r08 additions (no driver row yet) ---
-    "ppjoin_pairs",
-    "louvain_communities",
-    "unigram_lm_stats",
-    "kmv_cells",
-    "kmv_intersection_report",
-    "ktruss_core",
-    "containment_pairs",
-    "weighted_sample_docs",
+    # --- r09 additions (no driver row yet) ---
+    "graph_random_walks",
+    "trussness_parts",
+    "louvain_multilevel",
+    "containment_incremental",
+    "ams_cells",
+    "ams_f2_report",
+    "qdigest_cells",
+    "qdigest_rank_report",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_communities",
     "graph_modularity",
-    "graph_triangles",
-    "bfs_hops_parts",
-    "graph_assortativity",
-    "kcore_parts",
-    "sssp_parts",
-    # --- the complete r03-latest refresh queue (the 7 oldest rows
-    # anywhere; after this round nothing has an r03-era latest green) ---
-    "scalar_subquery",
-    "stats_agg",
-    "stratified_sample",
-    "string_agg_nations",
-    "unpivot_measures",
-    "value_histogram",
-    "vocab_topk",
-    # --- the complete r04-latest burn-down (38 rows) ---
-    "bm25_topk",
-    "bpe_pair_counts",
-    "chunk_bm25_topk",
-    "cluster_profile",
-    "cms_token_counts",
-    "contrastive_negatives",
-    "corpus_report",
-    "declarative_setops",
-    "document_chunks",
-    "domain_mix_sample",
-    "dq_report",
-    "embedding_quantize",
-    "event_transitions",
-    "funnel_conversion",
-    "histogram_quantiles",
-    "hot_keys_report",
-    "hybrid_search_rrf",
-    "ivf_knn",
-    "ivf_pq_knn",
-    "keyword_extraction",
-    "kl_domain_shift",
-    "length_band_filter",
-    "llm_data_pipeline",
-    "multires_rollup",
-    "ngram_lm_score",
-    "pandas_normalize",
-    "per_group_sample",
-    "perplexity_buckets",
-    # r09 queue, in order: the ten r04-latest tails displaced by the
-    # KMV/ktruss/containment/weighted-sample additions and the five
-    # graph-layout rechecks (pq_knn, pq_rerank_knn, retention_cohorts,
-    # rollup_anomalies, salted_join_segments, scd2_history,
-    # sequence_packing, training_shuffle, vocab_sketch_topk,
-    # zipf_fit), then the r05-latest
-    # rows alphabetically — agg_distinct (displaced by ppjoin_pairs),
-    # asof_join_events (displaced by louvain_communities),
-    # connector_slice (displaced by unigram_lm_stats), cube_flags
-    # (displaced by the graph_communities recheck),
-    # declarative_star_join (displaced by the graph_modularity
-    # recheck), then the remaining 33 r05 rows. All locally re-pinned
-    # every pytest run.
+    "louvain_communities",
+    "weighted_sample_docs",
+    # --- the complete r04-latest burn-down queue (the 10 oldest rows
+    # anywhere; after this round nothing has an r04-era latest green) ---
+    "pq_knn",
+    "pq_rerank_knn",
+    "retention_cohorts",
+    "rollup_anomalies",
+    "salted_join_segments",
+    "scd2_history",
+    "sequence_packing",
+    "training_shuffle",
+    "vocab_sketch_topk",
+    "zipf_fit",
+    # --- the oldest r05-latest rows, alphabetically (29 of 38) ---
+    "agg_distinct",
+    "asof_join_events",
+    "connector_slice",
+    "cube_flags",
+    "declarative_star_join",
+    "declarative_window_topn",
+    "embedding_winsorize",
+    "filter_group_or",
+    "gap_fill_interpolate",
+    "gopher_quality",
+    "gopher_repetition",
+    "grouped_quantiles",
+    "grouping_sets",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_inner",
+    "join_left_agg",
+    "join_semi",
+    "length_bias_audit",
+    "pivot_linestatus",
+    "pq_recall_report",
+    "q1_pricing",
+    "q20_dominant_supplier",
+    "q22_global_sales",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "range_join_events",
+    # r10 queue, in order: the ten displaced r05-latest tails
+    # (rollup_flags, seasonal_anomalies, semantic_dedup,
+    # temperature_sampling, topk_orders, transform_chain,
+    # window_frame, window_lag, window_rank, winnow_overlap), then
+    # the r06-latest rows alphabetically. All locally re-pinned every
+    # pytest run.
 ]
 
 

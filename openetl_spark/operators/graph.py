@@ -1264,3 +1264,87 @@ def louvain_multilevel(
     for _ in range(levels):
         best = louvain_refine(edges, best, src, dst)
     return best
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 6,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic seeded RANDOM WALKS over the undirected simple
+    graph — the sampling primitive of node2vec/DeepWalk-style
+    embedding pipelines (Grover & Leskovec, KDD 2016; Perozzi et al.,
+    KDD 2014) made cross-engine reproducible: at step t the walker
+    started at w standing on u moves to the neighbor v minimizing the
+    60-bit md5 integer of (seed, w, t, u, v) — one iid-uniform-ranked
+    draw per incident edge, so each step is a uniform neighbor choice
+    in distribution over seeds, yet a PURE FUNCTION of (graph, starts,
+    seed): bit-checkable in DuckDB (the portable-hash discipline) and
+    stable across retries/partitionings, which no rand()-based walk
+    is.
+
+    Shape: per step ONE frontier⋈edges join (frontier = one row per
+    live walker) + a min_by partial agg per walker — the bfs_hops
+    round shape with walker identity carried; localCheckpoint per
+    step truncates the iterative lineage. Walkers whose current node
+    has no neighbor (possible only if a start node is isolated) stop
+    emitting — documented, mirrored by the oracle's join semantics.
+
+    Returns (walker, step, node): step 0 is the start row itself,
+    1..``length`` the visited nodes.
+    """
+    if length < 1:
+        raise ValueError(f"random_walks: length must be >= 1, got {length}")
+    und, _ = _undirected_simple(edges, src, dst)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    s_col = starts.columns[0]
+    frontier = (
+        starts.select(F.col(s_col).alias("walker"))
+        .distinct()
+        .select("walker", F.col("walker").alias("node"))
+        .localCheckpoint()
+    )
+    out = frontier.select(
+        "walker", F.lit(0).cast("int").alias("step"), F.col("node").cast("long").alias("node")
+    )
+    for t in range(1, length + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("walker").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        frontier = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("walker", "v", h.alias("_h"))
+            .groupBy("walker")
+            .agg(
+                F.min_by("v", F.struct(F.col("_h"), F.col("v"))).alias("node")
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walker",
+                F.lit(t).cast("int").alias("step"),
+                F.col("node").cast("long").alias("node"),
+            )
+        )
+    return out

@@ -534,3 +534,62 @@ def q_qdigest_rank_report(spark, sf_dir):
             & (F.col("rank_exact") <= F.col("rank_hi"))
         ).alias("in_bounds"),
     )
+
+
+# ---------------------------------------------------------------------
+# C133 — deterministic seeded random walks (node2vec/DeepWalk sampling
+# primitive, cross-engine reproducible).
+# ---------------------------------------------------------------------
+
+_RW_SEED, _RW_LEN = 42, 6
+
+
+def _random_walks_oracle(length: int, seed: int) -> str:
+    sql = f"""
+WITH {CO_PURCHASE_CTE},
+sym AS MATERIALIZED (SELECT x AS u, y AS v FROM co
+        UNION ALL SELECT y AS u, x AS v FROM co),
+w0 AS MATERIALIZED (
+  SELECT p_partkey AS walker, p_partkey AS node FROM part
+  WHERE p_brand = 'Brand#13')"""
+    steps = ["SELECT CAST(walker AS BIGINT) AS walker, CAST(0 AS INT) AS step,"
+             " CAST(node AS BIGINT) AS node FROM w0"]
+    for t in range(1, length + 1):
+        sql += f""",
+w{t} AS MATERIALIZED (
+  SELECT walker, node FROM (
+    SELECT p.walker, s.v AS node,
+           row_number() OVER (PARTITION BY p.walker ORDER BY
+             CAST('0x' || substr(md5('{seed}:' || CAST(p.walker AS VARCHAR)
+               || ':{t}:' || CAST(p.node AS VARCHAR) || ':'
+               || CAST(s.v AS VARCHAR)), 1, 15) AS BIGINT), s.v) AS rn
+    FROM w{t - 1} p JOIN sym s ON s.u = p.node) t
+  WHERE rn = 1)"""
+        steps.append(
+            f"SELECT CAST(walker AS BIGINT) AS walker, CAST({t} AS INT) AS step,"
+            f" CAST(node AS BIGINT) AS node FROM w{t}"
+        )
+    return sql + "\n" + "\nUNION ALL ".join(steps) + "\n"
+
+
+@query("graph_random_walks", _random_walks_oracle(_RW_LEN, _RW_SEED))
+def q_graph_random_walks(spark, sf_dir):
+    """C133: 6-step seeded random walks from every Brand#13 part over
+    the co-purchase graph (operators/graph.random_walks) — the
+    node2vec/DeepWalk sampling primitive with a determinism contract:
+    step t moves to the neighbor minimizing md5(seed, walker, t, u, v),
+    a uniform neighbor choice in distribution over seeds yet a pure
+    function of (graph, starts, seed) — so the full walk corpus
+    hash-matches DuckDB's unrolled rendering, and a re-run (or a task
+    retry, or a different partitioning) reproduces it bit-for-bit,
+    which no rand()-based sampler does. Per step: one frontier⋈edges
+    join + a min_by partial agg (the bfs_hops round shape with walker
+    identity carried)."""
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    edges = spark.read.parquet(edges_path)
+    starts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    return G.random_walks(edges, starts, length=_RW_LEN, seed=_RW_SEED)

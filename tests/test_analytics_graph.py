@@ -1652,3 +1652,68 @@ def test_ppjoin_containment_candidate_stats(spark):
     st2 = {}
     out2 = DD.containment_join(df, "id", "s", 4, 5, stats=st2).collect()
     assert st2["n_candidates"] >= len(out2) > 0
+
+
+# ---------------------------------------------------------------------
+# random_walks (r09)
+# ---------------------------------------------------------------------
+
+
+def test_random_walks_structure_and_determinism(spark):
+    """Walks stay on edges, every live walker advances one node per
+    step, and the whole corpus is a pure function of (graph, starts,
+    seed)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(1,), (3,)], "n long")
+    w1 = sorted(tuple(r) for r in G.random_walks(edges, starts, 5, seed=7).collect())
+    w2 = sorted(tuple(r) for r in G.random_walks(edges, starts, 5, seed=7).collect())
+    assert w1 == w2
+    adj = {1: {2, 4}, 2: {1, 3, 4}, 3: {2, 4}, 4: {1, 2, 3}}
+    byw = {}
+    for walker, step, node in w1:
+        byw.setdefault(walker, {})[step] = node
+    for walker, path in byw.items():
+        assert path[0] == walker
+        assert sorted(path) == list(range(6))  # all 5 steps present
+        for t in range(1, 6):
+            assert path[t] in adj[path[t - 1]], (walker, t, path)
+    # a different seed gives a different corpus (overwhelmingly)
+    w3 = sorted(tuple(r) for r in G.random_walks(edges, starts, 5, seed=8).collect())
+    assert w3 != w1
+
+
+def test_random_walks_isolated_start_emits_step0_only(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(1,), (99,)], "n long")
+    rows = sorted(tuple(r) for r in G.random_walks(edges, starts, 3).collect())
+    w99 = [r for r in rows if r[0] == 99]
+    assert w99 == [(99, 0, 99)]
+    assert len([r for r in rows if r[0] == 1]) == 4
+
+
+def test_random_walks_step_choice_uniform_over_seeds(spark):
+    """In distribution over seeds, the first step from a degree-3 node
+    is uniform across its neighbors (3-sigma binomial band over 60
+    seeds)."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(0,)], "n long")
+    picks = []
+    for seed in range(60):
+        rows = {r["step"]: r["node"] for r in G.random_walks(edges, starts, 1, seed=seed).collect()}
+        picks.append(rows[1])
+    from collections import Counter
+
+    c = Counter(picks)
+    # n=60, p=1/3: mean 20, sigma ~3.65; 3-sigma band [9, 31]
+    assert all(9 <= c[v] <= 31 for v in (1, 2, 3)), c
+
+
+def test_random_walks_validation(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "n long")
+    with pytest.raises(ValueError, match="length"):
+        G.random_walks(edges, starts, 0)

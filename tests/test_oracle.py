@@ -57,16 +57,18 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-8 rotation: the three new queries, every DRIVER_RECHECK
+    # round-9 rotation: the eight new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
-    # complete r03-latest refresh queue hold slots
-    for newcomer in ("ppjoin_pairs", "louvain_communities",
-                     "unigram_lm_stats", "kmv_cells",
-                     "kmv_intersection_report", "ktruss_core",
-                     "containment_pairs", "weighted_sample_docs",
-                     "scalar_subquery", "stats_agg", "stratified_sample",
-                     "string_agg_nations", "unpivot_measures",
-                     "value_histogram", "vocab_topk",
+    # complete r04-latest refresh queue hold slots
+    for newcomer in ("graph_random_walks",
+                     "trussness_parts", "louvain_multilevel",
+                     "containment_incremental", "ams_cells",
+                     "ams_f2_report", "qdigest_cells",
+                     "qdigest_rank_report",
+                     "pq_knn", "pq_rerank_knn", "retention_cohorts",
+                     "rollup_anomalies", "salted_join_segments",
+                     "scd2_history", "sequence_packing",
+                     "training_shuffle", "vocab_sketch_topk", "zipf_fit",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
