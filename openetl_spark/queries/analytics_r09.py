@@ -345,7 +345,11 @@ def q_ams_cells(spark, sf_dir):
     merge-law property-tested), and a streaming twin appends cell
     logs. One posexplode of a 63-sign array; the corpus is touched
     once."""
-    o = load(spark, sf_dir, "orders")
+    # spread=True: the 63-sign explode is CPU-dense per row and the
+    # single-file local scan otherwise lands on ONE task (measured
+    # 12 s -> sub-second at sf0.1); production multi-split scans pass
+    # through shuffle-free (the conditional-spread contract).
+    o = load(spark, sf_dir, "orders", spread=True)
     return SK.ams_cells(o, "o_custkey", k=_AMS_K, seed=_AMS_SEED)
 
 
@@ -378,7 +382,9 @@ def q_ams_f2_report(spark, sf_dir):
     exact arm is ONE grouped count (the aggregation the optimizer
     would have to run anyway to know the truth); the estimate arm
     reads 63 cells."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    o = load(spark, sf_dir, "orders", spread=True).filter(
+        F.col("o_custkey").isNotNull()
+    )
     cells = SK.ams_cells(o, "o_custkey", k=_AMS_K, seed=_AMS_SEED)
     est = SK.ams_f2_estimate(cells, groups=_AMS_GROUPS)
     cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
