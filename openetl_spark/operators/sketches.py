@@ -720,3 +720,67 @@ def qdigest_rank_bounds(
             .alias("rank_hi"),
         )
     )
+
+
+# --------------------------------------------------------- HyperBall
+
+def hyperball(
+    edges: DataFrame,
+    hops: int = 4,
+    p: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", ICDMW 2013 — the algorithm behind
+    the Facebook four-degrees-of-separation measurement): per-node
+    HyperLogLog counters of the hop-t ball B_t(v) = {u : d(v,u) ≤ t},
+    advanced by the identity B_t(v) = {v} ∪ ⋃_{(v,u)∈E} B_{t-1}(u) —
+    which on HLL registers is a MAX-MERGE along edges, so the entire
+    per-hop state is one sparse cell relation (t, node, j, r) and a
+    round is one cells⋈edges join + groupBy-max. Because max is
+    associative/commutative/idempotent, the cells are a pure function
+    of the graph — deterministic under any partitioning or execution
+    order, hence a FULL bit-exact cross-engine oracle target (the
+    hll_cells discipline; no float exists in the state).
+
+    This is THE scale story for neighborhood functions: the exact
+    ball relation is Σ_v |B_t(v)| rows (quadratic on small-diameter
+    graphs), the HyperBall state is ≤ V·2^p rows per hop forever.
+    Estimates (per-node ball sizes, the neighborhood function N(t),
+    effective diameter) read off the cells via hll_estimate.
+
+    Returns the union over t = 0..``hops`` of the cell relations,
+    keyed (t, node, j, r); t=0 is each node's own singleton sketch.
+    Fixed ``hops`` is the determinism contract (the bfs_hops/kcore
+    bounded-round discipline); on these corpora the balls saturate
+    within the bound.
+    """
+    if hops < 1:
+        raise ValueError(f"hyperball: hops must be >= 1, got {hops}")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    cells = hll_cells(nodes, "node", keys=["node"], p=p).localCheckpoint()
+    out = cells.select(F.lit(0).cast("int").alias("t"), "node", "j", "r")
+    for t in range(1, hops + 1):
+        nbr = (
+            cells.join(sym, cells["node"] == sym["v"])
+            .select(F.col("u").alias("node"), "j", "r")
+        )
+        cells = (
+            cells.select("node", "j", "r")
+            .unionByName(nbr)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            cells.select(F.lit(t).cast("int").alias("t"), "node", "j", "r")
+        )
+    return out

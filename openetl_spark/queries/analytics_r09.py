@@ -599,3 +599,255 @@ def q_graph_random_walks(spark, sf_dir):
         .select("p_partkey")
     )
     return G.random_walks(edges, starts, length=_RW_LEN, seed=_RW_SEED)
+
+
+# ---------------------------------------------------------------------
+# C134 — landmark harmonic centrality (Boldi-Vigna "Axioms for
+# Centrality"): multi-source BFS with source identity carried, the
+# centrality estimator that stays well-defined on this DISCONNECTED
+# w>=2 core (unreachable pairs contribute 0, not infinity). Exact
+# integers throughout: reciprocals rendered against lcm(1..6) = 60.
+# ---------------------------------------------------------------------
+
+# The w>=2 repeat-co-purchase core + its 16 md5-smallest landmark
+# nodes — the deterministic cross-engine pivot-selection rule (the
+# portable-hash discipline; md5 of the node id orders identically in
+# both engines, and the explicit node tiebreak is unreachable since
+# ids are distinct).
+_CORE_LM_CTES = f"""{CO_PURCHASE_W_CTE},
+core AS MATERIALIZED (SELECT x AS a, y AS b FROM cow WHERE w >= 2),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM core
+        UNION ALL SELECT b AS u, a AS v FROM core),
+vtx AS (SELECT DISTINCT u AS node FROM sym),
+lm AS MATERIALIZED (
+  SELECT node FROM vtx
+  ORDER BY CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
+                AS BIGINT), node
+  LIMIT 16)"""
+
+
+def _core_and_landmarks(spark, sf_dir):
+    """Spark twin of _CORE_LM_CTES over the persisted graph layout
+    (the oracle re-derives core/lm from lineitem, so a stale artifact
+    cannot hash-match — the _graph_layout posture)."""
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    core = (
+        spark.read.parquet(edges_w_path)
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    vtx = (
+        core.select(F.col("src").alias("node"))
+        .union(core.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lm = (
+        vtx.orderBy(
+            F.conv(
+                F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+            ).cast("bigint"),
+            "node",
+        )
+        .limit(16)
+    )
+    return core, lm
+
+
+@query(
+    "harmonic_centrality",
+    f"""
+    WITH RECURSIVE {_CORE_LM_CTES},
+    walk(source, node, hop) AS (
+      SELECT node, node, 0 FROM lm
+      UNION
+      SELECT w.source, s.v, w.hop + 1
+      FROM walk w JOIN sym s ON w.node = s.u
+      WHERE w.hop < 6),
+    d AS (SELECT source, node, min(hop) AS hop
+          FROM walk GROUP BY 1, 2)
+    SELECT node,
+           CAST(sum(60 // hop) AS BIGINT) AS h60,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM d WHERE hop >= 1
+    GROUP BY node
+    """,
+)
+def q_harmonic_centrality(spark, sf_dir):
+    """C134: landmark-estimated harmonic centrality over the repeat-
+    co-purchase core (operators/graph.harmonic_centrality): h60(v) =
+    Σ over the 16 md5-smallest landmark nodes of 60/d(landmark, v),
+    hop distances from ONE simultaneous multi-source BFS
+    (landmark_hops — all landmarks share each round's frontier⋈edges
+    join; state O(k·V), the Brandes-Pich pivot estimator shape) and
+    every reciprocal exact against the lcm(1..6)=60 denominator — a
+    bigint relation, hash-identical cross-engine with no rounding.
+    The oracle is the declarative WITH RECURSIVE fixpoint with UNION
+    dedup and min(hop), so the test proves the frontier/anti-join
+    rounds ≡ the definition (the bfs_hops_parts discipline with the
+    source key carried)."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    return G.harmonic_centrality(core, lm, max_hops=6)
+
+
+# ---------------------------------------------------------------------
+# C135 — HyperBall (Boldi-Vigna ICDMW 2013): the neighborhood-function
+# / effective-diameter primitive — per-node HLL ball sketches advanced
+# by max-merge along edges. State is a pure function of the graph
+# (max is order-free), so the FULL cell relation is bit-exact
+# cross-engine; the exact-ball column next to each estimate comes from
+# the same landmark BFS as C134.
+# ---------------------------------------------------------------------
+
+_HB_P = 6                          # 64 registers per node
+_HB_M = 1 << _HB_P
+_HB_W = 60 - _HB_P
+_HB_MSUF = 1 << _HB_W
+_HB_HOPS = 4
+# Flajolet alpha for m=64 (operators/sketches._alpha), rendered as
+# CAST(repr AS DOUBLE) so both engines compare the same binary double
+# (the _HLL_ALPHA_512 literal discipline — DuckDB would otherwise
+# parse the bare literal as DECIMAL and carry exact-decimal
+# arithmetic one ulp away from the JVM's).
+_HB_ALPHA = "CAST(0.709 AS DOUBLE)"
+
+
+def _hyperball_cells_sql() -> str:
+    """The hyperball max-merge rounds unrolled as MATERIALIZED CTEs:
+    c0 = each node's own singleton HLL cell; c_t = groupBy-max of
+    c_{t-1} ∪ (c_{t-1} pushed across every edge) — the relational
+    rendering of B_t(v) = {{v}} ∪ ⋃_nbr B_{{t-1}}(u)."""
+    w1 = _HB_W + 1
+    sql = f"""c0 AS MATERIALIZED (
+  SELECT node, CAST(hh // {_HB_MSUF} AS INT) AS j,
+         CAST(CASE WHEN hh % {_HB_MSUF} = 0 THEN {w1}
+              ELSE {w1} - length(ltrim(bin(hh % {_HB_MSUF}), '0'))
+              END AS INT) AS r
+  FROM (SELECT node,
+               CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hh
+        FROM vtx))"""
+    prev = "c0"
+    for t in range(1, _HB_HOPS + 1):
+        sql += f""",
+c{t} AS MATERIALIZED (
+  SELECT node, j, max(r) AS r FROM (
+    SELECT node, j, r FROM {prev}
+    UNION ALL
+    SELECT s.u AS node, c.j, c.r
+    FROM {prev} c JOIN sym s ON c.node = s.v) m
+  GROUP BY 1, 2)"""
+        prev = f"c{t}"
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS t, node, j, r FROM c{t}"
+        for t in range(_HB_HOPS + 1)
+    )
+    return sql + f""",
+cells AS ({union})"""
+
+
+@query(
+    "hyperball_cells",
+    f"""
+    WITH {_CORE_LM_CTES},
+    {_hyperball_cells_sql()}
+    SELECT t, node, j, r FROM cells JOIN lm USING (node)
+    """,
+)
+def q_hyperball_cells(spark, sf_dir):
+    """C135: HyperBall ball-sketch cells over the repeat-co-purchase
+    core (operators/sketches.hyperball, p=6): for t = 0..4, node v's
+    sparse HLL registers of B_t(v), advanced per hop by ONE
+    cells⋈edges join + groupBy-max (state ≤ V·64 rows per hop at ANY
+    scale — the whole point vs the Σ|B_t(v)|-row exact ball relation).
+    Max-merge is associative/commutative/idempotent, so the cells are
+    a pure function of the graph — bit-identical under any execution
+    order, and the oracle re-derives every register from the same
+    60-bit md5 arithmetic with the rounds unrolled as MATERIALIZED
+    CTEs (the hll_cells FULL-oracle discipline). Output filtered to
+    the 16 landmark nodes to keep the driver compare bounded; the
+    merge sweep itself runs over the FULL core."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    from openetl_spark.operators import sketches as SK
+
+    cells = SK.hyperball(core, hops=_HB_HOPS, p=_HB_P)
+    return cells.join(lm, "node").select("t", "node", "j", "r")
+
+
+@query(
+    "hyperball_report",
+    f"""
+    WITH RECURSIVE {_CORE_LM_CTES},
+    {_hyperball_cells_sql()},
+    walk(source, node, hop) AS (
+      SELECT node, node, 0 FROM lm
+      UNION
+      SELECT w.source, s.v, w.hop + 1
+      FROM walk w JOIN sym s ON w.node = s.u
+      WHERE w.hop < {_HB_HOPS}),
+    d AS (SELECT source, node, min(hop) AS hop FROM walk GROUP BY 1, 2),
+    exact AS (
+      SELECT source AS node, t.t,
+             CAST(count(*) FILTER (WHERE hop <= t.t) AS BIGINT) AS n_exact
+      FROM d, UNNEST(generate_series(0, {_HB_HOPS})) AS t(t)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT t, node,
+             CAST(count(*) AS BIGINT) AS n_set,
+             sum(power(2.0, -r)) AS s
+      FROM cells JOIN lm USING (node)
+      GROUP BY 1, 2),
+    fin AS (
+      SELECT node, t, n_set,
+             CASE WHEN {_HB_ALPHA} * {_HB_M} * {_HB_M} / (s + ({_HB_M} - n_set))
+                       <= 2.5 * {_HB_M} AND n_set < {_HB_M}
+                  THEN {_HB_M}.0 * ln({_HB_M}.0 / ({_HB_M} - n_set))
+                  ELSE {_HB_ALPHA} * {_HB_M} * {_HB_M} / (s + ({_HB_M} - n_set))
+                  END AS estimate
+      FROM est)
+    SELECT f.node, f.t, f.n_set, x.n_exact,
+           abs(f.estimate - x.n_exact)
+             <= CAST(0.39 AS DOUBLE) * x.n_exact + CAST(3.0 AS DOUBLE)
+             AS within_bound
+    FROM fin f JOIN exact x ON f.node = x.node AND f.t = x.t
+    """,
+)
+def q_hyperball_report(spark, sf_dir):
+    """C135b: the HyperBall estimate path driver-checked — for each of
+    the 16 landmarks and each hop t = 0..4, the EXACT ball size
+    |B_t(v)| (bigint from the same landmark BFS as C134, hash-pinned
+    verbatim) next to the sketch's register occupancy and a boolean
+    asserting the Flajolet estimate (with its linear-counting
+    small-ball branch) lands within 3σ = 3·1.04/√64 = 39% plus an
+    additive 3-count floor — the floor covers the tiny-ball regime
+    where one register collision among ≤ 5 hashed ids is worth more
+    than 39% (the hll_distinct_report discipline: booleans tolerate
+    the one-ulp float-summation-order difference, while an estimator
+    bug — wrong α, missing branch, rho off-by-one — flips them red).
+    The effective-diameter readout is the smallest t with est(t) ≥
+    0.9·est(hops), left as arithmetic over these rows."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    from openetl_spark.operators import sketches as SK
+
+    cells = SK.hyperball(core, hops=_HB_HOPS, p=_HB_P).join(lm, "node")
+    est = SK.hll_estimate(cells, p=_HB_P, keys=["t", "node"])
+    hops = G.landmark_hops(core, lm, max_hops=_HB_HOPS)
+    ts = spark.range(_HB_HOPS + 1).select(F.col("id").cast("int").alias("t"))
+    exact = (
+        hops.crossJoin(F.broadcast(ts))
+        .filter(F.col("hop") <= F.col("t"))
+        .groupBy(F.col("source").alias("node"), "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return (
+        est.join(exact, ["node", "t"])
+        .select(
+            "node",
+            "t",
+            F.col("n_registers_set").cast("bigint").alias("n_set"),
+            "n_exact",
+            (
+                F.abs(F.col("estimate") - F.col("n_exact"))
+                <= 0.39 * F.col("n_exact") + 3.0
+            ).alias("within_bound"),
+        )
+    )

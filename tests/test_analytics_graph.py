@@ -1717,3 +1717,70 @@ def test_random_walks_validation(spark):
     starts = spark.createDataFrame([(1,)], "n long")
     with pytest.raises(ValueError, match="length"):
         G.random_walks(edges, starts, 0)
+
+
+# ----------------------------------------- landmark hops / harmonic
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_landmark_hops_path_graph_hand_case(spark):
+    # 0-1-2-3-4 path; landmarks {0, 4}: per-source distances are the
+    # path offsets, NOT min-merged (the bfs_hops contrast).
+    e = _edges_df(spark, [(i, i + 1) for i in range(4)])
+    lm = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {
+        (r["source"], r["node"]): r["hop"]
+        for r in G.landmark_hops(e, lm, max_hops=6).collect()
+    }
+    assert got == {
+        **{(0, v): v for v in range(5)},
+        **{(4, v): 4 - v for v in range(5)},
+    }
+
+
+def test_landmark_hops_single_source_equals_bfs_hops(spark, seed=3):
+    rng = np.random.default_rng(3)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 20, (40, 2)) if a != b}
+    e = _edges_df(spark, sorted(pairs))
+    lm = spark.createDataFrame([(0,)], "node long")
+    multi = {
+        (r["node"], r["hop"])
+        for r in G.landmark_hops(e, lm, max_hops=8).collect()
+    }
+    single = {
+        (r["node"], r["hop"])
+        for r in G.bfs_hops(e, lm, max_hops=8).collect()
+    }
+    assert multi == single
+
+
+def test_harmonic_centrality_path_hand_case(spark):
+    # Path 0-1-2; landmarks {0, 2}. Node 1 is at distance 1 from both
+    # landmarks: h60 = 60 + 60 = 120. Each endpoint sees only the
+    # OTHER landmark (its own 0-distance row is excluded by the
+    # definition) at distance 2: h60 = 60/2 = 30, n_reached = 1.
+    e = _edges_df(spark, [(0, 1), (1, 2)])
+    lm = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {
+        r["node"]: (r["h60"], r["n_reached"])
+        for r in G.harmonic_centrality(e, lm, max_hops=6).collect()
+    }
+    assert got == {0: (30, 1), 1: (120, 2), 2: (30, 1)}
+
+
+def test_harmonic_centrality_disconnected_is_welldefined(spark):
+    # Two components: unreachable pairs contribute 0 — nodes of the
+    # second component never appear for landmarks of the first.
+    e = _edges_df(spark, [(0, 1), (10, 11)])
+    lm = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["h60"] for r in G.harmonic_centrality(e, lm).collect()}
+    assert got == {1: 60}
+
+
+def test_harmonic_centrality_rejects_max_hops_over_six(spark):
+    e = _edges_df(spark, [(0, 1)])
+    lm = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(ValueError, match="lcm"):
+        G.harmonic_centrality(e, lm, max_hops=7)

@@ -591,3 +591,73 @@ def test_qdigest_validation(spark):
         SK.qdigest_cells(
             spark.createDataFrame([(300,)], "x int"), "x", 8, 16
         ).collect()
+
+
+# ---------------------------------------------------------- hyperball
+
+def _hb_python_balls(pairs, hops):
+    """Independent reference: exact balls by BFS, then per-ball HLL
+    registers from the same 60-bit md5 arithmetic."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    balls = {v: {v} for v in nodes}
+    out = {0: {v: set(b) for v, b in balls.items()}}
+    for t in range(1, hops + 1):
+        balls = {
+            v: set.union(balls[v], *(balls[u] for u in adj[v]))
+            for v in nodes
+        }
+        out[t] = {v: set(b) for v, b in balls.items()}
+    return out
+
+
+def _hb_python_cells(members, p):
+    w = 60 - p
+    cells = {}
+    for v in members:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        j, suf = h >> w, h & ((1 << w) - 1)
+        r = (w + 1) if suf == 0 else (w + 1) - suf.bit_length()
+        cells[j] = max(cells.get(j, 0), r)
+    return cells
+
+
+def test_hyperball_cells_equal_hll_of_exact_balls(spark):
+    # The defining property: the hop-t cells of node v ARE the HLL
+    # cells of the exact ball B_t(v) — max-merge along edges commutes
+    # with set union under the register max.
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (7, 8)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = SK.hyperball(df, hops=3, p=6).collect()
+    ref = _hb_python_balls(pairs, 3)
+    want = {
+        (t, v, j, r)
+        for t, by_node in ref.items()
+        for v, members in by_node.items()
+        for j, r in _hb_python_cells(members, 6).items()
+    }
+    assert {(r["t"], r["node"], r["j"], r["r"]) for r in got} == want
+
+
+def test_hyperball_saturates_to_component_sketch(spark):
+    # Once t reaches the component diameter every node's sketch equals
+    # the whole component's HLL — and stays there (max idempotence).
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    cells = SK.hyperball(df, hops=4, p=6)
+    comp = _hb_python_cells({0, 1, 2, 3}, 6)
+    for t in (3, 4):
+        rows = cells.filter(f"t = {t}").collect()
+        by_node = {}
+        for r in rows:
+            by_node.setdefault(r["node"], {})[r["j"]] = r["r"]
+        assert by_node == {v: comp for v in range(4)}
+
+
+def test_hyperball_hops_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="hops"):
+        SK.hyperball(df, hops=0)
