@@ -1511,3 +1511,128 @@ def weighted_sample(
         ranked.filter(F.col("pos") <= k)
         .select(*out_cols, F.col("pos").cast("bigint").alias("pos"))
     )
+
+
+# ------------------------------------------------------------- DSIR
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed n-gram feature counts for DSIR-style importance
+    weighting (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): word unigram + bigram
+    OCCURRENCES (not distinct) hashed into ``n_buckets`` buckets by
+    the portable 60-bit md5 integer — (id, b, f) with f the per-doc
+    occurrence count. A unigram can never collide with a bigram as a
+    string (tokens contain no whitespace), so no feature-type prefix
+    is needed. One explode + partial-agg count per doc; the bucketed
+    relation is the ONLY thing downstream scoring touches, so the
+    vocabulary never leaves the executors.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"dsir_features: n_buckets={n_buckets} < 2")
+    toks = tokens(F.col(text_col))
+    big = ngrams(F.col(text_col), 2)
+    return (
+        df.select(id_col, F.explode(F.concat(toks, big)).alias("g"))
+        .select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+                .cast("bigint")
+                % n_buckets
+            ).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def dsir_bucket_totals(
+    feats: DataFrame,
+    target_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket feature mass in the full corpus (source) and in the
+    ``target_ids`` subset: (b, s_f, t_f). One groupBy over the
+    bucketed feature relation with the target membership attached by
+    a broadcast semi-style left join — the distributed half of DSIR's
+    unigram-LM fit; the driver-side half (B log-ratios) is
+    vocabulary-sized by construction."""
+    t_col = target_ids.columns[0]
+    flagged = feats.join(
+        F.broadcast(
+            target_ids.select(F.col(t_col).alias(id_col)).distinct()
+        ).withColumn("_t", F.lit(1)),
+        id_col,
+        "left",
+    )
+    return flagged.groupBy("b").agg(
+        F.sum("f").cast("bigint").alias("s_f"),
+        F.sum(F.when(F.col("_t") == 1, F.col("f")).otherwise(0))
+        .cast("bigint")
+        .alias("t_f"),
+    )
+
+
+def dsir_log_ratios(
+    totals_rows,
+    n_buckets: int,
+    scale: int = 1_000_000,
+) -> list[tuple[int, int]]:
+    """The driver-side half of DSIR: per-bucket integer micro-nat
+    log-ratios r_b = round(scale · ln(p_target(b)/p_source(b))) with
+    add-1 smoothing over ALL ``n_buckets`` buckets (zero-count buckets
+    included, so scoring needs no absent-bucket default). The float
+    ln lives ONLY here, in a B-sized driver computation whose OUTPUT
+    is integers persisted as a shared artifact — after that, both
+    engines score documents in exact bigint arithmetic (the BPE
+    merge-list boundary discipline: the collect is vocabulary-sized,
+    never corpus-sized)."""
+    import math
+
+    by_b = {int(r["b"]): (int(r["s_f"]), int(r["t_f"])) for r in totals_rows}
+    s_tot = sum(s for s, _ in by_b.values())
+    t_tot = sum(t for _, t in by_b.values())
+    out = []
+    for b in range(n_buckets):
+        s_f, t_f = by_b.get(b, (0, 0))
+        r = math.log((t_f + 1) / (t_tot + n_buckets)) - math.log(
+            (s_f + 1) / (s_tot + n_buckets)
+        )
+        out.append((b, round(r * scale)))
+    return out
+
+
+def dsir_scores(
+    feats: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance score: (id, n_feats, score_unats,
+    selected) where score_unats = Σ_b f_b·r_b is an exact bigint
+    (micro-nats — the log importance weight ln(p_t/p_s) scaled by
+    1e6) and ``selected`` flags documents MORE likely under the
+    target distribution than the source (score > 0) — the
+    deterministic top-importance variant of the paper's Gumbel
+    resampling (a seeded-hash weighted resample is available via
+    curation.weighted_sample for integer weights; the boolean form
+    keeps the whole relation float-free and cross-engine exact).
+    ``ratios`` is the (b, r_unats) artifact — B rows, broadcast."""
+    return (
+        feats.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("f").cast("bigint").alias("n_feats"),
+            F.sum(F.col("f") * F.col("r_unats")).cast("bigint").alias("score_unats"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "score_unats",
+            (F.col("score_unats") > 0).alias("selected"),
+        )
+    )

@@ -851,3 +851,141 @@ def q_hyperball_report(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# C136 — DSIR importance selection (Xie et al., NeurIPS 2023): hashed
+# unigram+bigram bucket counts, an importance log-ratio dictionary
+# fitted once per corpus and persisted as a shared oracle-readable
+# artifact (the IVF-centroid discipline), and per-document scores in
+# EXACT bigint micro-nats — the float ln lives only in the B-sized
+# driver-side fit, never in the per-document path.
+# ---------------------------------------------------------------------
+
+from openetl_spark.queries.analytics_r07 import _repo_root  # noqa: E402
+
+_DSIR_B = 1024
+
+# Collision-resistant order-independent corpus digest (the r09
+# md5-XOR LPA_SIG_SQL discipline, over the documents relation).
+DOC_SIG_SQL = (
+    "SELECT CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+    "|| ':' || md5(text)), 1, 15) AS BIGINT)) AS BIGINT) FROM documents"
+)
+
+DSIR_ORACLE_RATIOS = "{}/spark-warehouse/dsir_cache/ratios_oracle.parquet".format(
+    _repo_root()
+)
+
+
+def _doc_sig(spark, sf_dir) -> int:
+    """Spark rendering of DOC_SIG_SQL."""
+    d = load(spark, sf_dir, "documents")
+    return int(
+        d.agg(
+            F.expr(
+                "cast(bit_xor(cast(conv(substr(md5(concat("
+                "cast(doc_id as string), ':', md5(text))), 1, 15), "
+                "16, 10) as bigint)) as bigint)"
+            )
+        ).first()[0]
+    )
+
+
+def _dsir_layout(spark, sf_dir):
+    """Get-or-build the DSIR log-ratio dictionary for one corpus
+    (target = lang='en' documents, source = the full corpus): fit the
+    two hashed-bucket unigram LMs distributed (one groupBy over the
+    bucketed feature relation), compute the B integer micro-nat
+    log-ratios driver-side (B = 1024 rows — the vocabulary-sized
+    boundary collect), and upsert them into the consolidated
+    oracle-readable parquet keyed by the corpus digest. Returns the
+    (b, r_unats) DataFrame. Both engines then score documents from
+    the SAME integer artifact, so a one-ulp libm difference cannot
+    exist anywhere in the compare path."""
+    import os
+
+    import pandas as pd
+
+    sig = _doc_sig(spark, sf_dir)
+    path = DSIR_ORACLE_RATIOS
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        mine = old[(old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B)]
+        if len(mine) == _DSIR_B:
+            return spark.createDataFrame(
+                mine[["b", "r_unats"]].astype("int64")
+            )
+    d = load(spark, sf_dir, "documents")
+    feats = C.dsir_features(d, n_buckets=_DSIR_B)
+    target = d.filter(F.col("lang") == "en").select("doc_id")
+    totals = C.dsir_bucket_totals(feats, target).collect()
+    ratios = C.dsir_log_ratios(totals, _DSIR_B)
+    rows = pd.DataFrame(ratios, columns=["b", "r_unats"])
+    rows.insert(0, "corpus_sig", sig)
+    rows.insert(1, "n_buckets", _DSIR_B)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        keep = old[~((old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B))]
+        rows = pd.concat([keep, rows], ignore_index=True)
+    rows.to_parquet(path, index=False)
+    return spark.createDataFrame(
+        [(int(b), int(r)) for b, r in ratios], "b bigint, r_unats bigint"
+    )
+
+
+@query(
+    "dsir_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    uni AS (SELECT doc_id, unnest(w) AS g FROM toks),
+    big AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {_DSIR_B} AS b,
+             count(*) AS f
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+      GROUP BY 1, 2),
+    r AS (
+      SELECT b, r_unats
+      FROM read_parquet('{DSIR_ORACLE_RATIOS}')
+      WHERE corpus_sig = ({DOC_SIG_SQL}) AND n_buckets = {_DSIR_B}),
+    sc AS (
+      SELECT doc_id,
+             CAST(sum(f) AS BIGINT) AS n_feats,
+             CAST(sum(f * r_unats) AS BIGINT) AS score_unats
+      FROM feat JOIN r USING (b)
+      GROUP BY 1)
+    SELECT doc_id, n_feats, score_unats, score_unats > 0 AS selected
+    FROM sc
+    """,
+)
+def q_dsir_scores(spark, sf_dir):
+    """C136: DSIR importance scores over the documents corpus
+    (operators/curation.dsir_features/dsir_scores): target = the
+    lang='en' slice, source = everything; features = hashed word
+    unigram+bigram occurrence counts (B=1024 buckets of the portable
+    60-bit md5); per-doc score = Σ f_b·r_b in exact bigint micro-nats
+    against the persisted log-ratio dictionary (_dsir_layout — fitted
+    once per corpus with add-1 smoothing, the IVF-centroid shared-
+    artifact discipline, keyed by the md5-XOR corpus digest so a
+    stale dictionary cannot hash-match). ``selected`` = importance
+    weight > 1, the deterministic top-importance variant of the
+    paper's Gumbel resample. The oracle re-derives every feature from
+    raw text and scores from the SAME artifact — the one float (ln)
+    lives upstream of the shared integers, so the full relation is
+    hash-exact. The scale story: the vocabulary never exists as a
+    relation (buckets are fixed-width), the dictionary broadcasts at
+    kilobytes, and scoring is one explode + two partial aggs per
+    document regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    ratios = _dsir_layout(spark, sf_dir)
+    feats = C.dsir_features(d, n_buckets=_DSIR_B)
+    return C.dsir_scores(feats, ratios)

@@ -860,3 +860,97 @@ def test_weighted_sample_weight_magnitude_guard(spark):
     # contract is Σw replica rows).
     big = spark.createDataFrame([(1, 5), (2, 50_000)], "doc_id int, w long")
     assert weighted_sample(big, 1, "w", max_weight=1 << 26).count() == 1
+
+
+# ---------------------------------------------------------------- DSIR
+
+def _dsir_py_reference(docs, target_ids, n_buckets, scale=1_000_000):
+    """Independent pure-Python DSIR: hashed unigram+bigram counts,
+    add-1-smoothed bucket LMs, integer micro-nat scores."""
+    import hashlib
+    import math
+
+    def feats(text):
+        w = text.split()
+        grams = w + [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        out = {}
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+            out[h] = out.get(h, 0) + 1
+        return out
+
+    per_doc = {i: feats(t) for i, t in docs}
+    s_tot, t_tot = {}, {}
+    for i, f in per_doc.items():
+        for b, c in f.items():
+            s_tot[b] = s_tot.get(b, 0) + c
+            if i in target_ids:
+                t_tot[b] = t_tot.get(b, 0) + c
+    S, T = sum(s_tot.values()), sum(t_tot.values())
+    r = {
+        b: round(
+            scale
+            * (
+                math.log((t_tot.get(b, 0) + 1) / (T + n_buckets))
+                - math.log((s_tot.get(b, 0) + 1) / (S + n_buckets))
+            )
+        )
+        for b in range(n_buckets)
+    }
+    return {
+        i: (sum(f.values()), sum(c * r[b] for b, c in f.items()))
+        for i, f in per_doc.items()
+    }
+
+
+def test_dsir_matches_python_reference(spark):
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "der hund lief im park"),
+        (2, "the dog ran in the park"),
+        (3, "le chat est sur le tapis"),
+        (4, "the the the cat cat dog"),
+    ]
+    target = {0, 2, 4}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    feats = C.dsir_features(df, n_buckets=64)
+    totals = C.dsir_bucket_totals(
+        feats, spark.createDataFrame([(i,) for i in sorted(target)], "doc_id long")
+    ).collect()
+    ratios = spark.createDataFrame(
+        C.dsir_log_ratios(totals, 64), "b bigint, r_unats bigint"
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_unats"])
+        for r in C.dsir_scores(feats, ratios).collect()
+    }
+    assert got == _dsir_py_reference(docs, target, 64)
+
+
+def test_dsir_selection_shifts_toward_target(spark, sf_dir):
+    # The point of the operator: target-language documents score
+    # higher. Selection rate among 'en' docs must strictly exceed the
+    # rate among the rest on every testdata corpus.
+    from openetl_spark.queries.analytics_r09 import q_dsir_scores
+    from openetl_spark.queries.base import load
+
+    scores = q_dsir_scores(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scores.join(d, "doc_id").groupBy(F.col("lang") == "en").agg(
+        F.avg(F.col("selected").cast("double")).alias("rate")
+    ).collect()
+    rates = {r[0]: r["rate"] for r in j}
+    assert rates[True] > rates[False]
+
+
+def test_dsir_features_counts_occurrences_not_distinct(spark):
+    df = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    rows = C.dsir_features(df, n_buckets=8).collect()
+    # unigrams: a x3; bigrams: "a a" x2 — occurrence counts survive.
+    assert sorted(r["f"] for r in rows) == [2, 3]
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        C.dsir_features(df, n_buckets=1)
