@@ -122,6 +122,10 @@ DRIVER_RECHECK: set[str] = {
 
 DRIVER_PRIORITY: list[str] = [
     # --- r09 additions (no driver row yet) ---
+    "harmonic_centrality",
+    "hyperball_cells",
+    "hyperball_report",
+    "dsir_scores",
     "graph_random_walks",
     "trussness_parts",
     "louvain_multilevel",
@@ -172,16 +176,14 @@ DRIVER_PRIORITY: list[str] = [
     "pq_recall_report",
     "q1_pricing",
     "q20_dominant_supplier",
-    "q22_global_sales",
-    "q3_top_orders",
-    "q5_regional_revenue",
-    "range_join_events",
-    # r10 queue, in order: the ten displaced r05-latest tails
-    # (rollup_flags, seasonal_anomalies, semantic_dedup,
-    # temperature_sampling, topk_orders, transform_chain,
-    # window_frame, window_lag, window_rank, winnow_overlap), then
-    # the r06-latest rows alphabetically. All locally re-pinned every
-    # pytest run.
+    # r10 queue, in order: the fourteen displaced r05-latest tails
+    # (q22_global_sales, q3_top_orders, q5_regional_revenue,
+    # range_join_events — displaced late-r09 by the second-session
+    # additions above — then rollup_flags, seasonal_anomalies,
+    # semantic_dedup, temperature_sampling, topk_orders,
+    # transform_chain, window_frame, window_lag, window_rank,
+    # winnow_overlap), then the r06-latest rows alphabetically. All
+    # locally re-pinned every pytest run.
 ]
 
 

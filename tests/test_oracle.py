@@ -60,7 +60,9 @@ def test_driver_priority_window_integrity():
     # round-9 rotation: the eight new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
     # complete r04-latest refresh queue hold slots
-    for newcomer in ("graph_random_walks",
+    for newcomer in ("harmonic_centrality", "hyperball_cells",
+                     "hyperball_report", "dsir_scores",
+                     "graph_random_walks",
                      "trussness_parts", "louvain_multilevel",
                      "containment_incremental", "ams_cells",
                      "ams_f2_report", "qdigest_cells",
