@@ -1507,3 +1507,41 @@ def harmonic_centrality(
             F.count(F.lit(1)).cast("bigint").alias("n_reached"),
         )
     )
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a walk corpus
+    (walker, step, node) — the training-pair relation a
+    node2vec/DeepWalk embedding consumes (Grover & Leskovec 2016 §3.1:
+    walks are sentences, co-visited nodes within ``window`` steps are
+    word2vec context pairs): (u, v, n) with n the number of walk
+    positions where v appears within ``window`` steps of u (ordered —
+    both directions of a co-visit are separate rows, word2vec's
+    center/context asymmetry).
+
+    Shape: one self-join of the walk relation on the walker key with
+    the |Δstep| ≤ window band predicate, then a partial-agg count on
+    (u, v) — per walker the join fans out ≤ 2·window rows per
+    position, so the pair relation is O(corpus · window), linear in
+    the walk corpus at any scale (the corpus itself is walkers ×
+    length rows; nothing here touches the graph again).
+    """
+    if window < 1:
+        raise ValueError(f"walk_skipgram_pairs: window must be >= 1, got {window}")
+    a, b = walks.alias("a"), walks.alias("b")
+    d = F.col("b.step") - F.col("a.step")
+    return (
+        a.join(
+            b,
+            (F.col("a.walker") == F.col("b.walker"))
+            & (d != 0)
+            & (F.abs(d) <= window),
+        )
+        .groupBy(
+            F.col("a.node").alias("u"), F.col("b.node").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

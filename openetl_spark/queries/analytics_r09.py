@@ -550,7 +550,11 @@ def q_qdigest_rank_report(spark, sf_dir):
 _RW_SEED, _RW_LEN = 42, 6
 
 
-def _random_walks_oracle(length: int, seed: int) -> str:
+def _random_walks_ctes(length: int, seed: int) -> str:
+    """The unrolled walk-step CTE chain ending in a ``walks(walker,
+    step, node)`` relation — shared by the walk-corpus oracle and the
+    skip-gram pair oracle (the jaccard_ctes single-source
+    discipline)."""
     sql = f"""
 WITH {CO_PURCHASE_CTE},
 sym AS MATERIALIZED (SELECT x AS u, y AS v FROM co
@@ -575,7 +579,15 @@ w{t} AS MATERIALIZED (
             f"SELECT CAST(walker AS BIGINT) AS walker, CAST({t} AS INT) AS step,"
             f" CAST(node AS BIGINT) AS node FROM w{t}"
         )
-    return sql + "\n" + "\nUNION ALL ".join(steps) + "\n"
+    return sql + f""",
+walks AS ({chr(10).join(['  ' + s if i == 0 else 'UNION ALL ' + s for i, s in enumerate(steps)])})"""
+
+
+def _random_walks_oracle(length: int, seed: int) -> str:
+    return (
+        _random_walks_ctes(length, seed)
+        + "\nSELECT walker, step, node FROM walks\n"
+    )
 
 
 @query("graph_random_walks", _random_walks_oracle(_RW_LEN, _RW_SEED))
@@ -989,3 +1001,36 @@ def q_dsir_scores(spark, sf_dir):
     ratios = _dsir_layout(spark, sf_dir)
     feats = C.dsir_features(d, n_buckets=_DSIR_B)
     return C.dsir_scores(feats, ratios)
+
+
+@query(
+    "walk_skipgram_pairs",
+    _random_walks_ctes(_RW_LEN, _RW_SEED)
+    + """
+SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS n
+FROM walks a JOIN walks b
+  ON a.walker = b.walker AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+""",
+)
+def q_walk_skipgram_pairs(spark, sf_dir):
+    """C133b: the skip-gram training-pair relation over the C133 walk
+    corpus (operators/graph.walk_skipgram_pairs, window=2) — what a
+    node2vec/DeepWalk embedding actually trains on: per ordered node
+    pair, how often they co-occur within 2 steps on a walk. Because
+    the walks are a pure function of (graph, starts, seed), so is this
+    relation — exact bigint counts, hash-identical cross-engine
+    (contrast any rand()-sampled walk corpus, where the training set
+    itself is unreproducible). One walker-keyed self-join with the
+    band predicate + a partial-agg count; never touches the graph
+    again."""
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    edges = spark.read.parquet(edges_path)
+    starts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    walks = G.random_walks(edges, starts, length=_RW_LEN, seed=_RW_SEED)
+    return G.walk_skipgram_pairs(walks, window=2)

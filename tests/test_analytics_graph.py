@@ -1784,3 +1784,45 @@ def test_harmonic_centrality_rejects_max_hops_over_six(spark):
     lm = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(ValueError, match="lcm"):
         G.harmonic_centrality(e, lm, max_hops=7)
+
+
+# ------------------------------------------------- walk skip-grams
+
+def test_walk_skipgram_pairs_hand_case(spark):
+    # One walk 0->1->2->3, window 2: pair (u, v) counted once per
+    # position pair within distance 2, both directions.
+    walks = spark.createDataFrame(
+        [(7, s, n) for s, n in enumerate([0, 1, 2, 3])],
+        "walker long, step int, node long",
+    )
+    got = {
+        (r["u"], r["v"]): r["n"]
+        for r in G.walk_skipgram_pairs(walks, window=2).collect()
+    }
+    want = {}
+    seq = [0, 1, 2, 3]
+    for i, u in enumerate(seq):
+        for j, v in enumerate(seq):
+            if i != j and abs(i - j) <= 2:
+                want[(u, v)] = want.get((u, v), 0) + 1
+    assert got == want
+
+
+def test_walk_skipgram_pairs_revisits_accumulate(spark):
+    # A walk that revisits a node accumulates counts — and pairs do
+    # NOT leak across walkers.
+    walks = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 6), (1, 2, 5), (2, 0, 6), (2, 1, 9)],
+        "walker long, step int, node long",
+    )
+    got = {
+        (r["u"], r["v"]): r["n"]
+        for r in G.walk_skipgram_pairs(walks, window=1).collect()
+    }
+    assert got == {(5, 6): 2, (6, 5): 2, (6, 9): 1, (9, 6): 1}
+
+
+def test_walk_skipgram_pairs_validation(spark):
+    walks = spark.createDataFrame([(1, 0, 5)], "walker long, step int, node long")
+    with pytest.raises(ValueError, match="window"):
+        G.walk_skipgram_pairs(walks, window=0)

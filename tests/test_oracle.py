@@ -62,6 +62,7 @@ def test_driver_priority_window_integrity():
     # complete r04-latest refresh queue hold slots
     for newcomer in ("harmonic_centrality", "hyperball_cells",
                      "hyperball_report", "dsir_scores",
+                     "walk_skipgram_pairs",
                      "graph_random_walks",
                      "trussness_parts", "louvain_multilevel",
                      "containment_incremental", "ams_cells",

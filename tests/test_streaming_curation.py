@@ -852,3 +852,79 @@ def test_streaming_containment_dedup_on_arrival(spark, tmp_path):
     assert kept == [1, 2, 4, 6]
     idx_ids = sorted(r["id"] for r in spark.read.parquet(idx_path).collect())
     assert idx_ids == [1, 2, 4, 6]
+
+
+def test_streaming_dsir_scores_equal_batch(spark, tmp_path):
+    """r09 (C136 twin): DSIR score-on-arrival — the dictionary is
+    fitted ONCE on the reference corpus (batch 0) and FROZEN; every
+    later micro-batch scores its documents independently against the
+    broadcast integer ratios (scoring is stateless per doc), so the
+    streamed score log must equal batch scoring of the whole arrival
+    set with the same dictionary. The production posture: fit
+    offline, score forever — rescoring never refits."""
+    import json
+    import os
+
+    from openetl_spark.operators import curation as C
+
+    ref = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "der hund lief im park", "de"),
+        (3, "the dog ran in the park", "en"),
+        (4, "le chat est sur le tapis", "fr"),
+    ]
+    arrivals = [
+        [(10, "the cat ran on the mat"), (11, "der hund im park")],
+        [(12, "the park the mat the dog"), (13, "chat tapis parc")],
+    ]
+    # Frozen dictionary from the reference corpus (target = en docs).
+    ref_df = spark.createDataFrame(ref, "doc_id long, text string, lang string")
+    feats = C.dsir_features(ref_df, n_buckets=64)
+    totals = C.dsir_bucket_totals(
+        feats, ref_df.filter("lang = 'en'").select("doc_id")
+    ).collect()
+    ratios = spark.createDataFrame(
+        C.dsir_log_ratios(totals, 64), "b bigint, r_unats bigint"
+    )
+
+    src = tmp_path / "dsir_docs"
+    src.mkdir()
+    for i, rows in enumerate(arrivals):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows) + "\n"
+        )
+        os.utime(f, (1000000000 + i * 60,) * 2)
+    out_path = str(tmp_path / "dsir_scores_log")
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        C.dsir_scores(C.dsir_features(df, n_buckets=64), ratios).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["doc_id"], r["n_feats"], r["score_unats"], r["selected"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [r for b in arrivals for r in b], "doc_id long, text string"
+    )
+    batch = {
+        (r["doc_id"], r["n_feats"], r["score_unats"], r["selected"])
+        for r in C.dsir_scores(
+            C.dsir_features(all_docs, n_buckets=64), ratios
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 4
