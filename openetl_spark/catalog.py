@@ -127,6 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     "hyperball_report",
     "dsir_scores",
     "walk_skipgram_pairs",
+    "local_clustering",
+    "link_prediction_features",
     "graph_random_walks",
     "trussness_parts",
     "louvain_multilevel",
@@ -174,13 +176,11 @@ DRIVER_PRIORITY: list[str] = [
     "join_semi",
     "length_bias_audit",
     "pivot_linestatus",
-    "pq_recall_report",
-    "q1_pricing",
-    # r10 queue, in order: the fifteen displaced r05-latest tails
-    # (q20_dominant_supplier, q22_global_sales, q3_top_orders,
-    # q5_regional_revenue, range_join_events — displaced late-r09 by
-    # the second-session additions above — then rollup_flags,
-    # seasonal_anomalies,
+    # r10 queue, in order: the seventeen displaced r05-latest tails
+    # (pq_recall_report, q1_pricing, q20_dominant_supplier,
+    # q22_global_sales, q3_top_orders, q5_regional_revenue,
+    # range_join_events — displaced late-r09 by the second-session
+    # additions above — then rollup_flags, seasonal_anomalies,
     # semantic_dedup, temperature_sampling, topk_orders,
     # transform_chain, window_frame, window_lag, window_rank,
     # winnow_overlap), then the r06-latest rows alphabetically. All

@@ -1545,3 +1545,105 @@ def walk_skipgram_pairs(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts & Strogatz, Nature
+    1998) of the undirected simple graph: for each node with degree
+    d ≥ 2, the fraction of its neighbor pairs that are themselves
+    adjacent — (node, d, tri, lcc) with tri the node's triangle
+    participation count and lcc = 2·tri / (d·(d−1)), ONE IEEE division
+    of exact bigints (the triangle_stats global-clustering
+    discipline, per node — no rounding, bit-identical cross-engine).
+    Degree-1 nodes report lcc = 0.0 by convention.
+
+    Triangles come from the degree-ordered oriented enumeration
+    (_oriented_triangles — each triangle exactly once, hub fan-out
+    O(√m)) exploded to its three corners for ONE partial-agg count
+    per node: cost is the triangle relation, never the neighbor-pair
+    relation (which is Σ d² — the quadratic trap on hub nodes).
+    """
+    und, deg = _undirected_simple(edges, src, dst)
+    tri = _oriented_triangles(und, deg)
+    per_node = (
+        tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("d"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("tri"),
+            F.when(
+                F.col("d") >= 2,
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def link_prediction_features(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link-prediction CANDIDATE features (Liben-Nowell & Kleinberg,
+    CIKM 2003) over the undirected simple graph: for every NON-edge
+    pair at distance exactly 2 (the friend-of-friend candidates — the
+    only pairs any common-neighbor predictor can rank), the classic
+    exact-integer feature columns: ``cn`` = common-neighbor count,
+    ``pa`` = preferential attachment deg_a·deg_b, ``jden`` =
+    |Γ(a) ∪ Γ(b)| = deg_a + deg_b − cn (the Jaccard denominator; the
+    Jaccard score is the one division cn/jden, left to the ranker so
+    the relation stays all-bigint and hash-exact cross-engine).
+
+    Shape: one wedge self-join of the symmetric edge list on the
+    middle node (candidate volume = wedge count, the same Σd(d−1)/2
+    budget triangle counting already pays) + one anti-join against
+    the edge set + two degree attaches. Nothing here is all-pairs:
+    candidates are generated THROUGH the graph, so the relation is
+    wedge-bounded at any scale (on hub-heavy graphs cap it upstream
+    by running on a w-thresholded core, exactly as the k-truss family
+    does).
+    """
+    und, deg = _undirected_simple(edges, src, dst)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.u") == F.col("s2.u"))
+            & (F.col("s1.v") < F.col("s2.v")),
+        )
+        .select(F.col("s1.v").alias("a"), F.col("s2.v").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        .join(und, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.col("_da") * F.col("_db")).cast("bigint").alias("pa"),
+            (F.col("_da") + F.col("_db") - F.col("cn"))
+            .cast("bigint")
+            .alias("jden"),
+        )
+    )

@@ -1089,3 +1089,84 @@ def q_walk_skipgram_pairs(spark, sf_dir):
     oracle re-derives every walk step from scratch."""
     walks = spark.read.parquet(_walks_layout(spark, sf_dir))
     return G.walk_skipgram_pairs(walks, window=2)
+
+
+# ---------------------------------------------------------------------
+# C137 — per-node local clustering + link-prediction candidate
+# features over the w>=2 core: the two classic graph-ML relations
+# next to the triangle census — both all-bigint (the one lcc division
+# is IEEE over exact integers, the triangle_stats discipline).
+# ---------------------------------------------------------------------
+
+
+@query(
+    "local_clustering",
+    f"""
+    WITH {_CORE_LM_CTES},
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+    npairs AS (
+      SELECT s1.u AS node, CAST(count(*) AS BIGINT) AS tri
+      FROM sym s1
+      JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      JOIN core e ON e.a = s1.v AND e.b = s2.v
+      GROUP BY 1)
+    SELECT d.node, CAST(d.d AS BIGINT) AS d,
+           CAST(coalesce(n.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN d.d >= 2
+                THEN 2.0 * coalesce(n.tri, 0) / (d.d * (d.d - 1))
+                ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN npairs n ON d.node = n.node
+    """,
+)
+def q_local_clustering(spark, sf_dir):
+    """C137: Watts-Strogatz local clustering coefficient per node of
+    the repeat-co-purchase core (operators/graph.local_clustering):
+    the fraction of each node's neighbor pairs that are themselves
+    adjacent. The operator explodes the degree-ordered oriented
+    triangle relation (each triangle once, O(√m) hub fan-out) to its
+    three corners for one partial-agg count — cost is the triangle
+    relation, never the Σd² neighbor-pair relation the naive form
+    scans; the oracle IS that naive form (adjacent neighbor pairs per
+    node), so the test proves oriented ≡ definitional. d and tri are
+    exact bigints; lcc = 2·tri/(d·(d−1)) is one IEEE division of
+    exact integers — bit-identical cross-engine."""
+    core, _ = _core_and_landmarks(spark, sf_dir)
+    return G.local_clustering(core)
+
+
+@query(
+    "link_prediction_features",
+    f"""
+    WITH {_CORE_LM_CTES},
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+    cand AS (
+      SELECT s1.v AS a, s2.v AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM sym s1
+      JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      WHERE NOT EXISTS (SELECT 1 FROM core e
+                        WHERE e.a = s1.v AND e.b = s2.v)
+      GROUP BY 1, 2)
+    SELECT c.a, c.b, c.cn,
+           CAST(da.d * db.d AS BIGINT) AS pa,
+           CAST(da.d + db.d - c.cn AS BIGINT) AS jden
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    """,
+)
+def q_link_prediction_features(spark, sf_dir):
+    """C137b: link-prediction candidate features (Liben-Nowell &
+    Kleinberg) over the repeat-co-purchase core
+    (operators/graph.link_prediction_features): every NON-edge pair at
+    distance exactly 2 — the friend-of-friend candidates, the only
+    pairs a common-neighbor predictor can rank — with the classic
+    exact-integer columns: common-neighbor count, preferential
+    attachment deg_a·deg_b, and the Jaccard denominator
+    |Γ(a) ∪ Γ(b)| (the score cn/jden is the ranker's one division,
+    left out so the relation stays all-bigint and hash-exact).
+    Candidates are generated THROUGH the graph (one wedge self-join +
+    one anti-join — the Σd(d−1)/2 budget triangle counting already
+    pays), never all-pairs; on hub-heavy graphs the w-threshold on
+    the core is the documented volume cap."""
+    core, _ = _core_and_landmarks(spark, sf_dir)
+    return G.link_prediction_features(core)

@@ -1826,3 +1826,66 @@ def test_walk_skipgram_pairs_validation(spark):
     walks = spark.createDataFrame([(1, 0, 5)], "walker long, step int, node long")
     with pytest.raises(ValueError, match="window"):
         G.walk_skipgram_pairs(walks, window=0)
+
+
+# ---------------------------------- local clustering / link features
+
+def test_local_clustering_hand_case(spark):
+    # Triangle 0-1-2 plus pendant 3 attached to 2: lcc(0)=lcc(1)=1,
+    # lcc(2)=1/3 (one adjacent pair of its three neighbor pairs),
+    # lcc(3)=0 by the degree-1 convention.
+    e = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {
+        r["node"]: (r["d"], r["tri"], r["lcc"])
+        for r in G.local_clustering(e).collect()
+    }
+    assert got == {
+        0: (2, 1, 1.0),
+        1: (2, 1, 1.0),
+        2: (3, 1, 2.0 * 1 / (3 * 2)),
+        3: (1, 0, 0.0),
+    }
+
+
+def test_local_clustering_matches_naive(spark):
+    rng = np.random.default_rng(11)
+    pairs = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, 25, (80, 2)) if a != b}
+    )
+    adj = {}
+    for a, b in pairs:
+        x, y = min(a, b), max(a, b)
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {}
+    for v, nb in adj.items():
+        nbl = sorted(nb)
+        tri = sum(
+            1
+            for i in range(len(nbl))
+            for j in range(i + 1, len(nbl))
+            if nbl[j] in adj[nbl[i]]
+        )
+        d = len(nb)
+        want[v] = (d, tri, (2.0 * tri / (d * (d - 1))) if d >= 2 else 0.0)
+    got = {
+        r["node"]: (r["d"], r["tri"], r["lcc"])
+        for r in G.local_clustering(_edges_df(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_link_prediction_features_hand_case(spark):
+    # Path 0-1-2: the only distance-2 non-edge is (0,2), one common
+    # neighbor, degrees 1 and 1.
+    e = _edges_df(spark, [(0, 1), (1, 2)])
+    rows = G.link_prediction_features(e).collect()
+    assert [(r["a"], r["b"], r["cn"], r["pa"], r["jden"]) for r in rows] == [
+        (0, 2, 1, 1, 1)
+    ]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # Triangle: every pair adjacent -> no candidates at all.
+    e = _edges_df(spark, [(0, 1), (1, 2), (0, 2)])
+    assert G.link_prediction_features(e).count() == 0

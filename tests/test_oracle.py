@@ -62,7 +62,8 @@ def test_driver_priority_window_integrity():
     # complete r04-latest refresh queue hold slots
     for newcomer in ("harmonic_centrality", "hyperball_cells",
                      "hyperball_report", "dsir_scores",
-                     "walk_skipgram_pairs",
+                     "walk_skipgram_pairs", "local_clustering",
+                     "link_prediction_features",
                      "graph_random_walks",
                      "trussness_parts", "louvain_multilevel",
                      "containment_incremental", "ams_cells",
