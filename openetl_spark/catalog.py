@@ -129,6 +129,8 @@ DRIVER_PRIORITY: list[str] = [
     "walk_skipgram_pairs",
     "local_clustering",
     "link_prediction_features",
+    "k_anonymity_report",
+    "k_anonymity_enforced",
     "graph_random_walks",
     "trussness_parts",
     "louvain_multilevel",
@@ -174,10 +176,9 @@ DRIVER_PRIORITY: list[str] = [
     "join_inner",
     "join_left_agg",
     "join_semi",
-    "length_bias_audit",
-    "pivot_linestatus",
-    # r10 queue, in order: the seventeen displaced r05-latest tails
-    # (pq_recall_report, q1_pricing, q20_dominant_supplier,
+    # r10 queue, in order: the nineteen displaced r05-latest tails
+    # (length_bias_audit, pivot_linestatus,
+    # pq_recall_report, q1_pricing, q20_dominant_supplier,
     # q22_global_sales, q3_top_orders, q5_regional_revenue,
     # range_join_events — displaced late-r09 by the second-session
     # additions above — then rollup_flags, seasonal_anomalies,

@@ -13,6 +13,8 @@ one key-hashed shuffle at any corpus size.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -1649,3 +1651,56 @@ def dsir_scores(
             (F.col("score_unats") > 0).alias("selected"),
         )
     )
+
+
+# ------------------------------------------------- privacy auditing
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney, IJUFKS 2002; Machanavajjhala
+    et al., ICDE 2006) of a relation under the quasi-identifier
+    ``qi_cols``: per QI group, ``k`` = group size (how many records an
+    attacker's QI knowledge narrows to) and — when ``sensitive_col``
+    is given — ``l`` = the count of DISTINCT sensitive values in the
+    group (distinct-l-diversity: a group where every record shares one
+    sensitive value leaks it even at large k). One partial-agg groupBy
+    over the corpus; both columns exact bigints.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity: qi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("k")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).cast("bigint").alias("l")
+        )
+    return df.groupBy(*qi_cols).agg(*aggs)
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    k_min: int,
+) -> DataFrame:
+    """Suppression-based k-anonymity ENFORCEMENT: drop every record
+    whose quasi-identifier group holds fewer than ``k_min`` records,
+    so the surviving relation is k_min-anonymous under ``qi_cols`` by
+    construction (the simplest of the k-anonymization mechanisms —
+    generalization hierarchies trade less data loss for more
+    machinery; at curation scale suppression is the usual first
+    gate). One groupBy to size the groups + one inner join back on
+    the QI key — the group relation has QI-cardinality rows, so the
+    join is broadcast-sized whenever the QI space is (Catalyst
+    decides by its size estimate).
+    """
+    if k_min < 1:
+        raise ValueError(f"suppress_small_groups: k_min={k_min} < 1")
+    big = (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") >= k_min)
+        .drop("_k")
+    )
+    return df.join(big, list(qi_cols))

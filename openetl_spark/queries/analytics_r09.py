@@ -1170,3 +1170,81 @@ def q_link_prediction_features(spark, sf_dir):
     the core is the documented volume cap."""
     core, _ = _core_and_landmarks(spark, sf_dir)
     return G.link_prediction_features(core)
+
+
+# ---------------------------------------------------------------------
+# C138 — privacy auditing: k-anonymity / distinct-l-diversity report +
+# suppression enforcement, the measurement-and-gate pair next to the
+# PII redaction transform (a redacted corpus can still re-identify
+# through quasi-identifier combinations — this family measures that).
+# ---------------------------------------------------------------------
+
+_KA_KMIN, _KA_LMIN = 5, 2
+
+
+@query(
+    "k_anonymity_report",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+                AS BIGINT) AS l,
+           count(*) < {_KA_KMIN}
+             OR count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+                < {_KA_LMIN} AS at_risk
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity_report(spark, sf_dir):
+    """C138: k-anonymity / l-diversity audit of the customer relation
+    (operators/curation.k_anonymity) under the quasi-identifier
+    (nation, market segment) with the account-balance band as the
+    sensitive attribute: per QI group, k = how many records an
+    attacker narrows to, l = distinct sensitive bands in the group
+    (distinct-l — a large group that agrees on one band still leaks
+    it), and the at_risk flag k < 5 OR l < 2. One partial-agg
+    groupBy; every column exact bigint/boolean, hash-identical
+    cross-engine. The PII transform removes direct identifiers; THIS
+    measures re-identification through combinations — the other half
+    of a privacy gate."""
+    d = load(spark, sf_dir, "customer").withColumn(
+        "_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    rep = C.k_anonymity(d, ["c_nationkey", "c_mktsegment"], "_band")
+    return rep.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l",
+        ((F.col("k") < _KA_KMIN) | (F.col("l") < _KA_LMIN)).alias("at_risk"),
+    )
+
+
+@query(
+    "k_anonymity_enforced",
+    f"""
+    WITH kept AS (
+      SELECT c_nationkey, c_mktsegment
+      FROM customer
+      GROUP BY 1, 2
+      HAVING count(*) >= {_KA_KMIN})
+    SELECT c.c_nationkey, c.c_mktsegment, CAST(count(*) AS BIGINT) AS k
+    FROM customer c JOIN kept USING (c_nationkey, c_mktsegment)
+    GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity_enforced(spark, sf_dir):
+    """C138b: suppression ENFORCEMENT driver-checked
+    (operators/curation.suppress_small_groups, k_min=5): the surviving
+    corpus re-audited — every group in this result has k ≥ 5 by
+    construction (the oracle's HAVING is the definition; the operator
+    is the groupBy + QI join that produces the same surviving rows).
+    The suppressed corpus keeps ALL original columns — this query
+    aggregates it back to group sizes so the driver compare stays
+    group-cardinality-sized."""
+    d = load(spark, sf_dir, "customer")
+    kept = C.suppress_small_groups(d, ["c_nationkey", "c_mktsegment"], _KA_KMIN)
+    return kept.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )

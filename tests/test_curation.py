@@ -954,3 +954,40 @@ def test_dsir_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_buckets"):
         C.dsir_features(df, n_buckets=1)
+
+
+# ---------------------------------------------------------- privacy
+
+def test_k_anonymity_counts_and_l_diversity(spark):
+    rows = [
+        ("a", "x", 1), ("a", "x", 1), ("a", "x", 2),
+        ("a", "y", 3),
+        ("b", "x", 1), ("b", "x", 1),
+    ]
+    df = spark.createDataFrame(rows, "qi1 string, qi2 string, s int")
+    got = {
+        (r["qi1"], r["qi2"]): (r["k"], r["l"])
+        for r in C.k_anonymity(df, ["qi1", "qi2"], "s").collect()
+    }
+    assert got == {("a", "x"): (3, 2), ("a", "y"): (1, 1), ("b", "x"): (2, 1)}
+
+
+def test_suppress_small_groups_result_is_k_anonymous(spark):
+    rows = [("a", i) for i in range(5)] + [("b", 0), ("b", 1)] + [("c", 9)]
+    df = spark.createDataFrame(rows, "qi string, payload int")
+    kept = C.suppress_small_groups(df, ["qi"], 3)
+    out = kept.collect()
+    # Only the k>=3 group survives, payload columns intact.
+    assert {r["qi"] for r in out} == {"a"}
+    assert sorted(r["payload"] for r in out) == list(range(5))
+    # Post-condition: every surviving group is k_min-anonymous.
+    sizes = C.k_anonymity(kept, ["qi"]).collect()
+    assert all(r["k"] >= 3 for r in sizes)
+
+
+def test_k_anonymity_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "qi string, s int")
+    with pytest.raises(ValueError, match="qi_cols"):
+        C.k_anonymity(df, [])
+    with pytest.raises(ValueError, match="k_min"):
+        C.suppress_small_groups(df, ["qi"], 0)
