@@ -1704,3 +1704,137 @@ def suppress_small_groups(
         .drop("_k")
     )
     return df.join(big, list(qi_cols))
+
+
+def mondrian_partition(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    id_col: str,
+    k_min: int,
+    depth: int = 3,
+    bucket_width: float = 4096.0,
+) -> DataFrame:
+    """Deterministic multidimensional Mondrian k-anonymization
+    (LeFevre, DeWitt & Ramakrishnan, ICDE 2006) — the GENERALIZATION
+    mechanism next to suppress_small_groups' suppression: recursively
+    split the record space on the widest (range-normalized)
+    quasi-identifier at its lower median, but only when BOTH halves
+    keep ≥ ``k_min`` records; every final leaf is a k-anonymous
+    generalization region by construction, and (unlike suppression)
+    NO record is dropped.
+
+    Determinism contract: the canonical greedy picks exactly ONE
+    dimension per leaf per level (the widest after normalizing by the
+    global range — compared by exact-integer cross-multiplication, so
+    no float ever decides a split; ties go to ``qi_cols`` order) and
+    freezes the leaf if that dimension admits no k-preserving cut
+    (the paper's strict variant); ``depth`` bounds the rounds (the
+    bfs_hops/kcore bounded-round discipline). Requires INTEGER QI
+    columns (rescale decimals upstream) so medians and ranges are
+    exact.
+
+    Scale shape: one partial-agg stats groupBy + one
+    grouped_exact_ranks pass (the two-level histogram rank — leaf
+    count can reach n/k at scale, so a leaf-partitioned window is the
+    exact wall this avoids) + one broadcast-joined relabel per level.
+    The split boundary relation is leaf-cardinality, never
+    corpus-sized.
+
+    Returns ``df``'s columns plus ``_leaf`` — the generalization
+    region id; summarize with a groupBy(_leaf) min/max to read the
+    published ranges.
+    """
+    from openetl_spark.operators.analytics import grouped_exact_ranks
+
+    if not qi_cols or id_col in qi_cols:
+        raise ValueError("mondrian_partition: qi_cols must be non-empty and exclude id_col")
+    if k_min < 1 or depth < 1:
+        raise ValueError("mondrian_partition: k_min and depth must be >= 1")
+    if "_leaf" in df.columns:
+        raise ValueError("mondrian_partition reserves the _leaf column")
+    dims = list(qi_cols)
+    g = df.agg(
+        *[
+            (F.max(d) - F.min(d)).cast("bigint").alias(d)
+            for d in dims
+        ]
+    ).first()
+    # Global ranges (two scalars — the pagerank node-count boundary);
+    # a zero-range dimension can never be chosen, 1 keeps the integer
+    # keys well-defined.
+    rng = {d: max(int(g[d] or 0), 1) for d in dims}
+    cur = df.withColumn("_leaf", F.lit("r"))
+    for _ in range(depth):
+        stats = cur.groupBy("_leaf").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[x for d in dims for x in (
+                F.min(d).alias(f"_mn_{d}"), F.max(d).alias(f"_mx_{d}"))],
+        )
+        # widest normalized dim: key_d = range_d * prod(other global
+        # ranges) — integer-monotone in range_d / R_d.
+        keys = []
+        for i, d in enumerate(dims):
+            others = 1
+            for e in dims:
+                if e != d:
+                    others *= rng[e]
+            keys.append(
+                ((F.col(f"_mx_{d}") - F.col(f"_mn_{d}")) * F.lit(others))
+                .cast("bigint")
+                .alias(f"_key_{i}")
+            )
+        picked = stats.select("_leaf", "_n", *keys).select(
+            "_leaf",
+            "_n",
+            F.expr(
+                "array_position(array({ks}), array_max(array({ks})))".format(
+                    ks=", ".join(f"_key_{i}" for i in range(len(dims)))
+                )
+            ).cast("int").alias("_dim"),
+        )
+        val = F.col(dims[0])
+        for i, d in enumerate(dims[1:], start=2):
+            val = F.when(F.col("_dim") == i, F.col(d)).otherwise(val)
+        aug = (
+            cur.join(F.broadcast(picked), "_leaf")
+            .withColumn("_val", val.cast("bigint"))
+            .withColumn("_negval", -F.col("_val"))
+        )
+        ranked = grouped_exact_ranks(
+            aug, "_leaf", "_negval", id_col, bucket_width,
+            pos_col="_pos", n_col="_ngrp",
+        )
+        # Lower median: the ASC-rank ceil(n/2) element ((n+1) div 2;
+        # _negval DESC ≡ _val ASC, so _pos IS the ascending rank).
+        med = ranked.filter(
+            F.col("_pos") == F.expr("(_ngrp + 1) div 2")
+        ).select("_leaf", F.col("_val").alias("_m"))
+        cnt = (
+            aug.join(F.broadcast(med), "_leaf")
+            .groupBy("_leaf")
+            .agg(
+                F.sum(
+                    F.when(F.col("_val") <= F.col("_m"), 1).otherwise(0)
+                ).alias("_ln"),
+                F.count(F.lit(1)).alias("_nn"),
+            )
+        )
+        cur = (
+            aug.join(F.broadcast(med), "_leaf")
+            .join(F.broadcast(cnt), "_leaf")
+            .withColumn(
+                "_leaf",
+                F.when(
+                    (F.col("_ln") >= k_min)
+                    & (F.col("_nn") - F.col("_ln") >= k_min),
+                    F.concat(
+                        F.col("_leaf"),
+                        F.when(F.col("_val") <= F.col("_m"), F.lit("L"))
+                        .otherwise(F.lit("R")),
+                    ),
+                ).otherwise(F.col("_leaf")),
+            )
+            .drop("_n", "_dim", "_val", "_negval", "_m", "_ln", "_nn")
+            .localCheckpoint()
+        )
+    return cur

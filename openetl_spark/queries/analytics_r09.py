@@ -1248,3 +1248,105 @@ def q_k_anonymity_enforced(spark, sf_dir):
     return kept.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("k")
     )
+
+
+# ---------------------------------------------------------------------
+# C139 — Mondrian k-anonymization (LeFevre et al., ICDE 2006): the
+# GENERALIZATION mechanism next to C138's suppression — greedy
+# median splits, deterministic by exact-integer dimension choice.
+# ---------------------------------------------------------------------
+
+_MON_K, _MON_DEPTH = 25, 3
+
+
+def mondrian_oracle(k: int, depth: int) -> str:
+    """The greedy loop unrolled: per level, per leaf — stats, the
+    widest-normalized-dimension pick (exact-integer cross-multiply
+    against the global ranges), the lower median (ASC order
+    statistic), the k-guard, and the relabel. State relations carry
+    (id, d1, d2, leaf) exactly like the operator."""
+    base = """
+WITH base AS MATERIALIZED (
+  SELECT c_custkey AS id,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS d1,
+         CAST(c_nationkey AS BIGINT) AS d2
+  FROM customer),
+rg AS (SELECT greatest(max(d1) - min(d1), 1) AS r1,
+              greatest(max(d2) - min(d2), 1) AS r2 FROM base),
+cur0 AS MATERIALIZED (SELECT id, d1, d2, 'r' AS leaf FROM base)"""
+    prev = "cur0"
+    for i in range(1, depth + 1):
+        base += f""",
+st{i} AS (
+  SELECT leaf, count(*) AS n,
+         min(d1) AS mn1, max(d1) AS mx1,
+         min(d2) AS mn2, max(d2) AS mx2
+  FROM {prev} GROUP BY 1),
+pk{i} AS (
+  SELECT leaf, n,
+         CASE WHEN (mx1 - mn1) * (SELECT r2 FROM rg)
+                   >= (mx2 - mn2) * (SELECT r1 FROM rg)
+              THEN 1 ELSE 2 END AS dim
+  FROM st{i}),
+vl{i} AS (
+  SELECT c.id, c.d1, c.d2, c.leaf,
+         CASE p.dim WHEN 1 THEN c.d1 ELSE c.d2 END AS val, p.n
+  FROM {prev} c JOIN pk{i} p USING (leaf)),
+md{i} AS (
+  SELECT leaf, val AS m FROM (
+    SELECT leaf, val, n,
+           row_number() OVER (PARTITION BY leaf ORDER BY val, id) AS rn
+    FROM vl{i}) t
+  WHERE rn = (n + 1) // 2),
+ct{i} AS (
+  SELECT v.leaf,
+         sum(CASE WHEN v.val <= m.m THEN 1 ELSE 0 END) AS ln,
+         max(v.n) AS n
+  FROM vl{i} v JOIN md{i} m USING (leaf) GROUP BY 1),
+cur{i} AS MATERIALIZED (
+  SELECT v.id, v.d1, v.d2,
+         CASE WHEN c.ln >= {k} AND c.n - c.ln >= {k}
+              THEN v.leaf || (CASE WHEN v.val <= m.m THEN 'L' ELSE 'R' END)
+              ELSE v.leaf END AS leaf
+  FROM vl{i} v JOIN md{i} m USING (leaf) JOIN ct{i} c ON c.leaf = v.leaf)"""
+        prev = f"cur{i}"
+    return base + f"""
+SELECT leaf, CAST(count(*) AS BIGINT) AS n,
+       min(d1) AS bal_lo, max(d1) AS bal_hi,
+       min(d2) AS nat_lo, max(d2) AS nat_hi
+FROM {prev} GROUP BY 1
+"""
+
+
+@query("mondrian_regions", mondrian_oracle(_MON_K, _MON_DEPTH))
+def q_mondrian_regions(spark, sf_dir):
+    """C139: Mondrian k-anonymization of the customer relation
+    (operators/curation.mondrian_partition, k=25, depth=3) over the
+    integer QI (account balance in cents, nation): recursive lower-
+    median splits on the widest range-normalized dimension, each cut
+    taken only when both halves keep ≥ k records — every published
+    region is k-anonymous by construction and NO record is dropped
+    (the generalization counterpart of C138's suppression gate). The
+    dimension pick is an exact-integer cross-multiplication and the
+    median an exact order statistic (grouped_exact_ranks' two-level
+    histogram — at scale the leaf count reaches n/k, so a
+    leaf-partitioned window is the wall this avoids), so the whole
+    region table — ids, bounds, counts — is bigint and
+    hash-identical cross-engine; the oracle unrolls the identical
+    greedy loop with window-function order statistics (legal in
+    DuckDB, no scale posture)."""
+    d = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("d1"),
+        F.col("c_nationkey").cast("bigint").alias("d2"),
+    )
+    out = C.mondrian_partition(
+        d, ["d1", "d2"], "id", k_min=_MON_K, depth=_MON_DEPTH
+    )
+    return out.groupBy(F.col("_leaf").alias("leaf")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("d1").alias("bal_lo"),
+        F.max("d1").alias("bal_hi"),
+        F.min("d2").alias("nat_lo"),
+        F.max("d2").alias("nat_hi"),
+    )

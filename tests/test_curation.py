@@ -991,3 +991,82 @@ def test_k_anonymity_validation(spark):
         C.k_anonymity(df, [])
     with pytest.raises(ValueError, match="k_min"):
         C.suppress_small_groups(df, ["qi"], 0)
+
+
+# --------------------------------------------------------- mondrian
+
+def _mondrian_py(rows, k, depth):
+    """Independent level-synchronous Mondrian: rows = (id, d1, d2)."""
+    r1 = max(max(r[1] for r in rows) - min(r[1] for r in rows), 1)
+    r2 = max(max(r[2] for r in rows) - min(r[2] for r in rows), 1)
+    leaves = {"r": list(rows)}
+    for _ in range(depth):
+        nxt = {}
+        for leaf, rs in leaves.items():
+            mn1, mx1 = min(r[1] for r in rs), max(r[1] for r in rs)
+            mn2, mx2 = min(r[2] for r in rs), max(r[2] for r in rs)
+            dim = 1 if (mx1 - mn1) * r2 >= (mx2 - mn2) * r1 else 2
+            vals = sorted((r[dim], r[0]) for r in rs)
+            m = vals[(len(rs) + 1) // 2 - 1][0]
+            left = [r for r in rs if r[dim] <= m]
+            right = [r for r in rs if r[dim] > m]
+            if len(left) >= k and len(right) >= k:
+                nxt[leaf + "L"] = left
+                nxt[leaf + "R"] = right
+            else:
+                nxt[leaf] = rs
+        leaves = nxt
+    return {
+        leaf: {r[0] for r in rs} for leaf, rs in leaves.items()
+    }
+
+
+def test_mondrian_matches_python_reference(spark):
+    import random
+
+    random.seed(17)
+    rows = [
+        (i, random.randint(-500, 500), random.randint(0, 30))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "id long, d1 long, d2 long")
+    out = C.mondrian_partition(df, ["d1", "d2"], "id", k_min=20, depth=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["_leaf"], set()).add(r["id"])
+    assert got == _mondrian_py(rows, 20, 3)
+
+
+def test_mondrian_k_guarantee_and_no_drop(spark):
+    import random
+
+    random.seed(23)
+    rows = [(i, random.randint(0, 99), random.randint(0, 5)) for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, d1 long, d2 long")
+    out = C.mondrian_partition(df, ["d1", "d2"], "id", k_min=10, depth=4).collect()
+    assert len(out) == 97 and len({r["id"] for r in out}) == 97
+    from collections import Counter
+
+    sizes = Counter(r["_leaf"] for r in out)
+    assert all(v >= 10 for v in sizes.values())
+
+
+def test_mondrian_degenerate_dimension_freezes(spark):
+    # All QI values identical: no k-preserving cut exists — one leaf.
+    df = spark.createDataFrame(
+        [(i, 7, 7) for i in range(30)], "id long, d1 long, d2 long"
+    )
+    out = C.mondrian_partition(df, ["d1", "d2"], "id", k_min=5, depth=3)
+    assert {r["_leaf"] for r in out.collect()} == {"r"}
+
+
+def test_mondrian_validation(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "id long, d1 long, d2 long")
+    with pytest.raises(ValueError, match="qi_cols"):
+        C.mondrian_partition(df, [], "id", 5)
+    with pytest.raises(ValueError, match="k_min"):
+        C.mondrian_partition(df, ["d1"], "id", 0)
+    with pytest.raises(ValueError, match="_leaf"):
+        C.mondrian_partition(
+            df.withColumn("_leaf", df.id), ["d1"], "id", 5
+        )
