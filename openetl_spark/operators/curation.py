@@ -1838,3 +1838,83 @@ def mondrian_partition(
             .localCheckpoint()
         )
     return cur
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    band_col: str,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) of
+    an ORDERED-banded sensitive attribute — the third privacy metric
+    of the triad: k-anonymity bounds group size, l-diversity bounds
+    value variety, t-closeness bounds how far a group's sensitive
+    DISTRIBUTION drifts from the global one (a group can be large and
+    diverse yet still reveal "these people are all in the top balance
+    bands"). Distance = the 1-D Earth Mover's Distance over the band
+    order, which for histograms is the mean absolute cumulative
+    difference: t = (1/(B−1))·Σ_i |CumP_i − CumQ_i|.
+
+    EXACT-INTEGER form: with p_i = g_i/n and q_i = G_i/N, each
+    cumulative difference is |cumg_i·N − cumG_i·n| / (n·N), so the
+    relation carries ``emd_num`` = Σ_i |cumg_i·N − cumG_i·n| and
+    ``emd_den`` = (B−1)·n·N — exact bigints whose ratio is t; callers
+    threshold by cross-multiplication (t ≤ 1/5 ⟺ 5·num ≤ den), so no
+    float exists anywhere.
+
+    Shape: one (group, band) partial-agg count + one B-sized
+    broadcast of the global histogram; the only windows run over
+    B-row partitions (B = distinct bands, a constant), never over
+    groups or the corpus. Returns (``*qi_cols``, n, emd_num,
+    emd_den).
+    """
+    if not qi_cols:
+        raise ValueError("t_closeness: qi_cols must be non-empty")
+    bands = (
+        df.groupBy(band_col)
+        .agg(F.count(F.lit(1)).alias("_G"))
+    )
+    w_gl = W.orderBy(band_col).rowsBetween(W.unboundedPreceding, 0)
+    glob = bands.select(
+        band_col,
+        F.sum("_G").over(w_gl).cast("bigint").alias("_cum_glob"),
+    )
+    n_total = df.count()
+    b_count = glob.count()
+    if b_count < 2:
+        raise ValueError(
+            f"t_closeness: need >= 2 distinct bands, got {b_count}"
+        )
+    grp = df.groupBy(*qi_cols, band_col).agg(F.count(F.lit(1)).alias("_g"))
+    # Dense band grid per group: every group must carry EVERY band's
+    # cumulative row (absent bands still accumulate), so cross the
+    # group list with the B-sized global band relation.
+    groups = grp.groupBy(*qi_cols).agg(F.sum("_g").cast("bigint").alias("n"))
+    grid = groups.join(F.broadcast(glob.select(band_col)), how="cross")
+    w_cum = W.partitionBy(*qi_cols).orderBy(band_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = (
+        grid.join(grp, [*qi_cols, band_col], "left")
+        .withColumn("_g", F.coalesce(F.col("_g"), F.lit(0)))
+        .withColumn("_cum_grp", F.sum("_g").over(w_cum).cast("bigint"))
+        .join(F.broadcast(glob), band_col)
+    )
+    return (
+        cum.groupBy(*qi_cols, "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_cum_grp") * F.lit(int(n_total))
+                    - F.col("_cum_glob") * F.col("n")
+                )
+            )
+            .cast("bigint")
+            .alias("emd_num")
+        )
+        .withColumn(
+            "emd_den",
+            (F.lit(int(b_count) - 1) * F.col("n") * F.lit(int(n_total)))
+            .cast("bigint"),
+        )
+    )

@@ -1350,3 +1350,68 @@ def q_mondrian_regions(spark, sf_dir):
         F.min("d2").alias("nat_lo"),
         F.max("d2").alias("nat_hi"),
     )
+
+
+@query(
+    "t_closeness_report",
+    """
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+      FROM customer),
+    gl AS (SELECT band, count(*) AS G FROM base GROUP BY 1),
+    glc AS (SELECT band,
+                   CAST(sum(G) OVER (ORDER BY band) AS BIGINT) AS cum_glob
+            FROM gl),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS N FROM base),
+    bc AS (SELECT CAST(count(*) AS BIGINT) AS B FROM gl),
+    grp AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS g
+            FROM base GROUP BY 1, 2, 3),
+    gs AS (SELECT c_nationkey, c_mktsegment, CAST(sum(g) AS BIGINT) AS n
+           FROM grp GROUP BY 1, 2),
+    grid AS (SELECT gs.c_nationkey, gs.c_mktsegment, gs.n,
+                    glc.band, glc.cum_glob
+             FROM gs CROSS JOIN glc),
+    cum AS (
+      SELECT t.*, CAST(sum(coalesce(t.g, 0)) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY band)
+             AS BIGINT) AS cum_grp
+      FROM (SELECT grid.*, grp.g FROM grid
+            LEFT JOIN grp USING (c_nationkey, c_mktsegment, band)) t),
+    fin AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             CAST(sum(abs(cum_grp * (SELECT N FROM nt) - cum_glob * n))
+                  AS BIGINT) AS emd_num,
+             CAST(((SELECT B FROM bc) - 1) * n * (SELECT N FROM nt)
+                  AS BIGINT) AS emd_den
+      FROM cum GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, n, emd_num, emd_den,
+           4 * emd_num <= emd_den AS within_t
+    FROM fin
+    """,
+)
+def q_t_closeness_report(spark, sf_dir):
+    """C138c: t-closeness audit (operators/curation.t_closeness) —
+    the third metric of the privacy triad: per QI group (nation,
+    segment), the 1-D Earth Mover's Distance between the group's
+    account-balance-band distribution and the global one, carried as
+    the exact-integer pair emd_num/emd_den (t = num/den; each
+    cumulative difference |cumg·N − cumG·n| clears the denominators,
+    so no float exists). within_t is the t ≤ 1/4 threshold by
+    cross-multiplication. A group can pass k AND l yet fail here —
+    "everyone in this group sits in the top balance bands" is exactly
+    the leak EMD sees and diversity counting misses. The only windows
+    run over B-row band partitions (B = 6 here, a constant at any
+    corpus size)."""
+    d = load(spark, sf_dir, "customer").withColumn(
+        "band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    rep = C.t_closeness(d, ["c_nationkey", "c_mktsegment"], "band")
+    return rep.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "emd_num",
+        "emd_den",
+        (4 * F.col("emd_num") <= F.col("emd_den")).alias("within_t"),
+    )

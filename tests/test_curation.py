@@ -1070,3 +1070,66 @@ def test_mondrian_validation(spark):
         C.mondrian_partition(
             df.withColumn("_leaf", df.id), ["d1"], "id", 5
         )
+
+
+def _t_closeness_py(rows, bands):
+    """Independent EMD reference: rows = (qi, band)."""
+    from collections import Counter
+
+    n_total = len(rows)
+    glob = Counter(b for _, b in rows)
+    out = {}
+    for qi in {q for q, _ in rows}:
+        mine = Counter(b for q, b in rows if q == qi)
+        n = sum(mine.values())
+        cumg = cumG = num = 0
+        for b in bands:
+            cumg += mine.get(b, 0)
+            cumG += glob.get(b, 0)
+            num += abs(cumg * n_total - cumG * n)
+        out[qi] = (n, num, (len(bands) - 1) * n * n_total)
+    return out
+
+
+def test_t_closeness_matches_python_reference(spark):
+    import random
+
+    random.seed(31)
+    rows = [
+        (random.choice("abc"), random.choice([0, 1, 2, 3]))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "qi string, band int")
+    got = {
+        r["qi"]: (r["n"], r["emd_num"], r["emd_den"])
+        for r in C.t_closeness(df, ["qi"], "band").collect()
+    }
+    assert got == _t_closeness_py(rows, [0, 1, 2, 3])
+
+
+def test_t_closeness_group_matching_global_is_zero(spark):
+    # Two groups with IDENTICAL band distributions: both distributions
+    # equal the global one, so EMD is exactly 0 for each.
+    rows = [(q, b) for q in ("a", "b") for b in (0, 0, 1, 2)]
+    df = spark.createDataFrame(rows, "qi string, band int")
+    for r in C.t_closeness(df, ["qi"], "band").collect():
+        assert r["emd_num"] == 0
+
+
+def test_t_closeness_skewed_group_caught_by_emd_not_l(spark):
+    # The leak l-diversity misses: group 'hi' sits entirely in the TOP
+    # band while 'rest' is spread evenly — 'hi' drifts strictly more
+    # from the global distribution (t = 0.375 vs 0.125 here, compared
+    # by cross-multiplication so the test stays all-integer).
+    rows = [("hi", 3)] * 4 + [(q, b) for q in ("rest",) for b in (0, 1, 2, 3) for _ in range(3)]
+    df = spark.createDataFrame(rows, "qi string, band int")
+    got = {r["qi"]: (r["emd_num"], r["emd_den"]) for r in C.t_closeness(df, ["qi"], "band").collect()}
+    assert got["hi"][0] * got["rest"][1] > got["rest"][0] * got["hi"][1]
+
+
+def test_t_closeness_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "qi string, band int")
+    with pytest.raises(ValueError, match="qi_cols"):
+        C.t_closeness(df, [], "band")
+    with pytest.raises(ValueError, match="bands"):
+        C.t_closeness(df, ["qi"], "band")

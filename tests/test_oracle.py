@@ -65,7 +65,7 @@ def test_driver_priority_window_integrity():
                      "walk_skipgram_pairs", "local_clustering",
                      "link_prediction_features",
                      "k_anonymity_report", "k_anonymity_enforced",
-                     "mondrian_regions",
+                     "mondrian_regions", "t_closeness_report",
                      "graph_random_walks",
                      "trussness_parts", "louvain_multilevel",
                      "containment_incremental", "ams_cells",
