@@ -1647,3 +1647,133 @@ def link_prediction_features(
             .alias("jden"),
         )
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 4,
+    seed: int = 42,
+    w_return: int = 1,
+    w_stay: int = 2,
+    w_out: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SECOND-ORDER biased random walks (node2vec, Grover & Leskovec
+    KDD 2016 §3.2) with the same cross-engine determinism contract as
+    ``random_walks``: the transition weight from u to v depends on the
+    PREVIOUS node — w_return if v IS the previous node (the 1/p
+    term), w_stay if v is adjacent to it (distance 1, the BFS-ish
+    term), w_out otherwise (distance 2, the 1/q term). Integer
+    weights ARE the p/q grid: (w_return, w_stay, w_out) = L·(1/p, 1,
+    1/q) for the common denominator L — the defaults (1, 2, 1)
+    render p = q = 2 at L = 2.
+
+    Weighted choice without floats: the walker moves to the candidate
+    minimizing the 60-bit md5 of (seed, walker, t, u, v, j) over j =
+    1..w(v) — the Efraimidis-Spirakis replication equivalence
+    weighted_sample already uses, per step: P(v) = w(v)/Σw over
+    seeds, yet the walk corpus is a PURE FUNCTION of (graph, starts,
+    seed, weights). Step 1 has no previous node, so every candidate
+    classifies as w_out — a uniform first hop, matching the
+    first-order sampler.
+
+    Shape per step: one frontier⋈edges join, one LEFT join against
+    the canonical edge set to classify (prev, v) adjacency, one
+    bounded explode (≤ max-weight copies), one min_by partial agg per
+    walker. Returns (walker, step, node); step 0 is the start row.
+    """
+    if length < 1:
+        raise ValueError(f"node2vec_walks: length must be >= 1, got {length}")
+    if min(w_return, w_stay, w_out) < 1:
+        raise ValueError("node2vec_walks: weights must be >= 1")
+    und, _ = _undirected_simple(edges, src, dst)
+    und = und.localCheckpoint()
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    s_col = starts.columns[0]
+    frontier = (
+        starts.select(F.col(s_col).alias("walker"))
+        .distinct()
+        .select(
+            "walker",
+            F.lit(None).cast("long").alias("prev"),
+            F.col("walker").cast("long").alias("node"),
+        )
+        .localCheckpoint()
+    )
+    out = frontier.select(
+        "walker", F.lit(0).cast("int").alias("step"), "node"
+    )
+    adj = und.select(
+        F.col("a").alias("_pa"), F.col("b").alias("_pb"), F.lit(1).alias("_adj")
+    )
+    for t in range(1, length + 1):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("walker", "prev", "node", "v")
+            .join(
+                adj,
+                (F.least("prev", "v") == F.col("_pa"))
+                & (F.greatest("prev", "v") == F.col("_pb")),
+                "left",
+            )
+            .withColumn(
+                "_w",
+                F.when(F.col("v") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_adj") == 1, F.lit(w_stay))
+                .otherwise(F.lit(w_out)),
+            )
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("walker").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                        F.col("v").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        frontier = (
+            cand.withColumn(
+                "j", F.explode(F.sequence(F.lit(1), F.col("_w")))
+            )
+            .select(
+                "walker",
+                F.col("node").alias("_u"),
+                "v",
+                h.alias("_h"),
+                "j",
+            )
+            .groupBy("walker")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("v"), F.col("_u")),
+                    F.struct(F.col("_h"), F.col("v"), F.col("j")),
+                ).alias("_pick")
+            )
+            .select(
+                "walker",
+                F.col("_pick._u").alias("prev"),
+                F.col("_pick.v").cast("long").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walker", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out

@@ -1415,3 +1415,85 @@ def q_t_closeness_report(spark, sf_dir):
         "emd_den",
         (4 * F.col("emd_num") <= F.col("emd_den")).alias("within_t"),
     )
+
+
+# ---------------------------------------------------------------------
+# C140 — node2vec second-order biased walks: the p/q-biased sampler
+# over C133's first-order one, weights rendered integer so the
+# replication-equivalence draw keeps the corpus bit-reproducible.
+# ---------------------------------------------------------------------
+
+_N2V_LEN, _N2V_SEED = 4, 42
+_N2V_WR, _N2V_WS, _N2V_WO = 1, 2, 1  # p = q = 2 at L = 2
+
+
+def _node2vec_oracle(length: int, seed: int, wr: int, ws: int, wo: int) -> str:
+    sql = f"""
+WITH {CO_PURCHASE_CTE},
+sym AS MATERIALIZED (SELECT x AS u, y AS v FROM co
+        UNION ALL SELECT y AS u, x AS v FROM co),
+v0 AS MATERIALIZED (
+  SELECT p_partkey AS walker, CAST(NULL AS BIGINT) AS prev,
+         CAST(p_partkey AS BIGINT) AS node
+  FROM part WHERE p_brand = 'Brand#13')"""
+    steps = ["SELECT CAST(walker AS BIGINT) AS walker, CAST(0 AS INT) AS step,"
+             " node FROM v0"]
+    prev = "v0"
+    for t in range(1, length + 1):
+        sql += f""",
+cd{t} AS (
+  SELECT p.walker, p.node AS u, s.v,
+         CASE WHEN s.v = p.prev THEN {wr}
+              WHEN e.x IS NOT NULL THEN {ws}
+              ELSE {wo} END AS w
+  FROM {prev} p
+  JOIN sym s ON s.u = p.node
+  LEFT JOIN co e ON e.x = least(p.prev, s.v)
+               AND e.y = greatest(p.prev, s.v)),
+v{t} AS MATERIALIZED (
+  SELECT walker, CAST(u AS BIGINT) AS prev, CAST(v AS BIGINT) AS node
+  FROM (
+    SELECT walker, u, v,
+           row_number() OVER (PARTITION BY walker ORDER BY
+             CAST('0x' || substr(md5('{seed}:' || CAST(walker AS VARCHAR)
+               || ':{t}:' || CAST(u AS VARCHAR) || ':'
+               || CAST(v AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+               1, 15) AS BIGINT), v, j) AS rn
+    FROM cd{t}, UNNEST(generate_series(1, w)) AS d(j)) q
+  WHERE rn = 1)"""
+        steps.append(
+            f"SELECT CAST(walker AS BIGINT) AS walker, CAST({t} AS INT) AS step,"
+            f" node FROM v{t}"
+        )
+        prev = f"v{t}"
+    return sql + "\n" + "\nUNION ALL ".join(steps) + "\n"
+
+
+@query(
+    "node2vec_walks",
+    _node2vec_oracle(_N2V_LEN, _N2V_SEED, _N2V_WR, _N2V_WS, _N2V_WO),
+)
+def q_node2vec_walks(spark, sf_dir):
+    """C140: second-order node2vec walks from every Brand#13 part
+    over the co-purchase graph (operators/graph.node2vec_walks,
+    weights (1, 2, 1) ⇒ p = q = 2): the transition weight depends on
+    the PREVIOUS node — discourage immediate returns and far jumps,
+    prefer staying within the previous node's neighborhood — and the
+    weighted choice is the Efraimidis-Spirakis replication draw (min
+    of w seeded md5 integers), so the biased corpus is still a pure
+    function of (graph, starts, seed, weights): bit-identical in
+    DuckDB's unrolled rendering, reproducible across retries and
+    partitionings, which no rand()-based biased sampler is. Per step
+    one frontier⋈edges join + one adjacency-classification LEFT join
+    + a bounded explode + a min_by partial agg."""
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    edges = spark.read.parquet(edges_path)
+    starts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    return G.node2vec_walks(
+        edges, starts, length=_N2V_LEN, seed=_N2V_SEED,
+        w_return=_N2V_WR, w_stay=_N2V_WS, w_out=_N2V_WO,
+    )

@@ -1889,3 +1889,69 @@ def test_link_prediction_excludes_existing_edges(spark):
     # Triangle: every pair adjacent -> no candidates at all.
     e = _edges_df(spark, [(0, 1), (1, 2), (0, 2)])
     assert G.link_prediction_features(e).count() == 0
+
+
+# -------------------------------------------------- node2vec walks
+
+def test_node2vec_second_order_bias_over_seeds(spark):
+    # 80 DISJOINT copies of the gadget 9-1, 9-2, 1-2, 1-3, 1-0 (node
+    # + 100i) walked in ONE job per seed — per-step draws hash the
+    # walker id, so gadgets are independent samples. Conditioned on
+    # step1 = 1 (from start 9), step-2 candidates classify as:
+    # 9 return (w=1), 2 adjacent-to-prev (w=2), {3, 0} distance-2
+    # (w=1 each) — P = (1/5, 2/5, 1/5, 1/5); each within 3 binomial
+    # sigmas over the conditioned samples.
+    gadget = [(9, 1), (9, 2), (1, 2), (1, 3), (1, 0)]
+    pairs = [(a + 100 * i, b + 100 * i) for i in range(80) for a, b in gadget]
+    e = _edges_df(spark, pairs)
+    starts = spark.createDataFrame(
+        [(9 + 100 * i,) for i in range(80)], "node long"
+    )
+    from collections import Counter
+
+    hits = Counter()
+    n_cond = 0
+    for seed in (7, 13):
+        walks = {}
+        for r in G.node2vec_walks(e, starts, length=2, seed=seed).collect():
+            walks.setdefault(r["walker"], {})[r["step"]] = r["node"]
+        for w, path in walks.items():
+            base = w - 9
+            if path[1] != base + 1:
+                continue
+            n_cond += 1
+            hits[path[2] - base] += 1
+    assert n_cond > 40
+    exp = {9: 0.2, 2: 0.4, 3: 0.2, 0: 0.2}
+    for v, p in exp.items():
+        mu, sd = n_cond * p, (n_cond * p * (1 - p)) ** 0.5
+        assert abs(hits[v] - mu) <= 3 * sd, (v, hits[v], mu, sd, n_cond)
+
+
+def test_node2vec_deterministic_and_on_edges(spark):
+    rng = np.random.default_rng(41)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 15, (40, 2)) if a != b})
+    e = _edges_df(spark, pairs)
+    starts = spark.createDataFrame([(0,), (3,)], "node long")
+    a = sorted(map(tuple, G.node2vec_walks(e, starts, length=3, seed=7).collect()))
+    b = sorted(map(tuple, G.node2vec_walks(e, starts, length=3, seed=7).collect()))
+    assert a == b
+    adj = set()
+    for x, y in pairs:
+        adj.add((min(x, y), max(x, y)))
+    by_walker = {}
+    for w, s, n in a:
+        by_walker.setdefault(w, {})[s] = n
+    for w, path in by_walker.items():
+        for s in range(1, max(path) + 1):
+            u, v = path[s - 1], path[s]
+            assert (min(u, v), max(u, v)) in adj
+
+
+def test_node2vec_validation(spark):
+    e = _edges_df(spark, [(0, 1)])
+    starts = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(ValueError, match="length"):
+        G.node2vec_walks(e, starts, length=0)
+    with pytest.raises(ValueError, match="weights"):
+        G.node2vec_walks(e, starts, w_return=0)
