@@ -134,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "mondrian_regions",
     "t_closeness_report",
     "node2vec_walks",
+    "link_prediction_hits",
     "graph_random_walks",
     "trussness_parts",
     "louvain_multilevel",
@@ -175,10 +176,9 @@ DRIVER_PRIORITY: list[str] = [
     "grouping_sets",
     "join_anti",
     "join_broadcast",
-    "join_cross",
-    # r10 queue, in order: the 22 displaced r05-latest tails
-    # (join_inner, join_left_agg, join_semi, length_bias_audit,
-    # pivot_linestatus,
+    # r10 queue, in order: the 23 displaced r05-latest tails
+    # (join_cross, join_inner, join_left_agg, join_semi,
+    # length_bias_audit, pivot_linestatus,
     # pq_recall_report, q1_pricing, q20_dominant_supplier,
     # q22_global_sales, q3_top_orders, q5_regional_revenue,
     # range_join_events — displaced late-r09 by the second-session

@@ -21,6 +21,8 @@ rationale).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1777,3 +1779,117 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def link_prediction_eval(
+    edges: DataFrame,
+    holdout_mod: int = 5,
+    ks: Sequence[int] = (1, 5, 10),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link-prediction EVALUATION harness (the ann/pq/lsh
+    recall-report discipline applied to C137's candidate features):
+    hold out a deterministic md5 sample of edges (pair hash %
+    ``holdout_mod`` == 0), compute common-neighbor candidates on the
+    TRAINING remainder, rank each node's candidates by the Jaccard
+    score, and report hits@k — for how many held-out edges does
+    either endpoint rank the other inside its top k?
+
+    Determinism: the holdout is a pure function of the edge pair (the
+    portable-hash split, no rand()); the ranking key is the one IEEE
+    division cn/jden of exact integers (identical in both engines)
+    with (cn DESC, candidate id) tiebreaks, so ranks — and therefore
+    every hit count — are cross-engine bit-checkable.
+
+    Shape: the C137 candidate generation (wedge join, never
+    all-pairs) + one row_number window partitioned per NODE — the
+    per-node candidate list is 2-hop-neighborhood-bounded, and the
+    w-threshold of the input core is the documented volume knob
+    (exactly the k-truss family's posture on hub-heavy graphs).
+
+    Returns one row per k: (k, n_test, n_reachable, hits) — all
+    exact bigints. n_reachable counts held-out edges that appear in
+    the candidate set at all (at distance 2 in the training graph);
+    hits ≤ n_reachable ≤ n_test.
+    """
+    from pyspark.sql import Window
+
+    if holdout_mod < 2:
+        raise ValueError(f"link_prediction_eval: holdout_mod={holdout_mod} < 2")
+    und, _ = _undirected_simple(edges, src, dst)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("a").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % holdout_mod
+    )
+    marked = und.withColumn("_t", (h == 0).cast("int")).localCheckpoint()
+    test = marked.filter(F.col("_t") == 1).select("a", "b")
+    train = marked.filter(F.col("_t") == 0).select("a", "b")
+    feats = link_prediction_features(train, src="a", dst="b")
+    both = feats.select(
+        F.col("a").alias("node"), F.col("b").alias("v"), "cn", "jden"
+    ).unionByName(
+        feats.select(
+            F.col("b").alias("node"), F.col("a").alias("v"), "cn", "jden"
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        (F.col("cn") / F.col("jden")).desc(), F.col("cn").desc(), F.col("v")
+    )
+    ranked = both.withColumn("_rk", F.row_number().over(w))
+    # Best rank per held-out edge across its two directed views.
+    tr = (
+        test.join(
+            ranked.select(
+                F.col("node").alias("a"), F.col("v").alias("b"),
+                F.col("_rk").alias("_r1"),
+            ),
+            ["a", "b"],
+            "left",
+        )
+        .join(
+            ranked.select(
+                F.col("v").alias("a"), F.col("node").alias("b"),
+                F.col("_rk").alias("_r2"),
+            ),
+            ["a", "b"],
+            "left",
+        )
+        .select(
+            "a", "b",
+            F.least(F.col("_r1"), F.col("_r2")).alias("_best"),
+        )
+        .localCheckpoint()
+    )
+    ks_df = tr.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k int"
+    )
+    return (
+        tr.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("_best").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_reachable"),
+            F.sum(
+                F.when(F.col("_best") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )

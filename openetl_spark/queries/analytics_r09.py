@@ -1497,3 +1497,70 @@ def q_node2vec_walks(spark, sf_dir):
         edges, starts, length=_N2V_LEN, seed=_N2V_SEED,
         w_return=_N2V_WR, w_stay=_N2V_WS, w_out=_N2V_WO,
     )
+
+
+@query(
+    "link_prediction_hits",
+    f"""
+    WITH {_CORE_LM_CTES},
+    mk AS (
+      SELECT a, b,
+             CASE WHEN CAST('0x' || substr(md5(CAST(a AS VARCHAR) || ':'
+                       || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 0
+                  THEN 1 ELSE 0 END AS t
+      FROM core),
+    test AS (SELECT a, b FROM mk WHERE t = 1),
+    train AS (SELECT a, b FROM mk WHERE t = 0),
+    tsym AS (SELECT a AS u, b AS v FROM train
+             UNION ALL SELECT b AS u, a AS v FROM train),
+    deg AS (SELECT u AS node, count(*) AS d FROM tsym GROUP BY 1),
+    cand AS (
+      SELECT s1.v AS a, s2.v AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM tsym s1
+      JOIN tsym s2 ON s1.u = s2.u AND s1.v < s2.v
+      WHERE NOT EXISTS (SELECT 1 FROM train e
+                        WHERE e.a = s1.v AND e.b = s2.v)
+      GROUP BY 1, 2),
+    feat AS (
+      SELECT c.a, c.b, c.cn,
+             CAST(da.d + db.d - c.cn AS BIGINT) AS jden
+      FROM cand c
+      JOIN deg da ON da.node = c.a
+      JOIN deg db ON db.node = c.b),
+    bd AS (SELECT a AS node, b AS v, cn, jden FROM feat
+           UNION ALL SELECT b AS node, a AS v, cn, jden FROM feat),
+    rk AS (
+      SELECT node, v,
+             row_number() OVER (PARTITION BY node
+               ORDER BY CAST(cn AS DOUBLE) / jden DESC, cn DESC, v) AS r
+      FROM bd),
+    tr AS (
+      SELECT t.a, t.b, least(r1.r, r2.r) AS best
+      FROM test t
+      LEFT JOIN rk r1 ON r1.node = t.a AND r1.v = t.b
+      LEFT JOIN rk r2 ON r2.node = t.b AND r2.v = t.a)
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN best IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reachable,
+           CAST(sum(CASE WHEN best <= k THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits
+    FROM tr, UNNEST([1, 5, 10]) AS kk(k)
+    GROUP BY k
+    """,
+)
+def q_link_prediction_hits(spark, sf_dir):
+    """C137c: the link-prediction EVALUATION harness
+    (operators/graph.link_prediction_eval) — the ann/pq/lsh
+    recall-report discipline on the graph side: hold out the
+    deterministic md5 fifth of core edges, generate common-neighbor
+    candidates on the training remainder (the C137 wedge shape),
+    rank each node's candidates by the Jaccard score (ONE IEEE
+    division of exact integers as the sort value, integer
+    tiebreaks), and report hits@{{1,5,10}} with the reachability
+    denominator exposed (a held-out edge whose endpoints sit farther
+    than 2 apart in the training graph is unrankable by ANY
+    common-neighbor method — n_reachable makes that honest instead
+    of silently deflating recall). All counts exact bigints."""
+    core, _ = _core_and_landmarks(spark, sf_dir)
+    return G.link_prediction_eval(core, holdout_mod=5, ks=(1, 5, 10))

@@ -1955,3 +1955,85 @@ def test_node2vec_validation(spark):
         G.node2vec_walks(e, starts, length=0)
     with pytest.raises(ValueError, match="weights"):
         G.node2vec_walks(e, starts, w_return=0)
+
+
+# --------------------------------------------- link prediction eval
+
+def _lp_eval_py(pairs, mod, ks):
+    import hashlib
+
+    def h(a, b):
+        return int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:15], 16)
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    test = [(a, b) for a, b in canon if h(a, b) % mod == 0]
+    train = [(a, b) for a, b in canon if h(a, b) % mod != 0]
+    adj = {}
+    for a, b in train:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tset = {(a, b) for a, b in train}
+    cand = {}
+    for u, nb in adj.items():
+        nbl = sorted(nb)
+        for i in range(len(nbl)):
+            for j in range(i + 1, len(nbl)):
+                p = (nbl[i], nbl[j])
+                if p not in tset:
+                    cand[p] = cand.get(p, 0) + 1
+    ranked = {}
+    for (a, b), cn in cand.items():
+        jden = len(adj[a]) + len(adj[b]) - cn
+        for node, v in ((a, b), (b, a)):
+            ranked.setdefault(node, []).append((-cn / jden, -cn, v))
+    ranks = {}
+    for node, lst in ranked.items():
+        for r, (_, _, v) in enumerate(sorted(lst), start=1):
+            ranks[(node, v)] = r
+    out = {}
+    for k in ks:
+        n_reach = hits = 0
+        for a, b in test:
+            best = min(
+                (r for r in (ranks.get((a, b)), ranks.get((b, a))) if r),
+                default=None,
+            )
+            if best is not None:
+                n_reach += 1
+                if best <= k:
+                    hits += 1
+        out[k] = (len(test), n_reach, hits)
+    return out
+
+
+def test_link_prediction_eval_matches_python(spark):
+    rng = np.random.default_rng(53)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (140, 2)) if a != b})
+    got = {
+        r["k"]: (r["n_test"], r["n_reachable"], r["hits"])
+        for r in G.link_prediction_eval(
+            _edges_df(spark, pairs), holdout_mod=4, ks=(1, 3, 8)
+        ).collect()
+    }
+    assert got == _lp_eval_py(pairs, 4, (1, 3, 8))
+
+
+def test_link_prediction_eval_invariants(spark):
+    rng = np.random.default_rng(59)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 25, (90, 2)) if a != b})
+    rows = sorted(
+        map(tuple, G.link_prediction_eval(_edges_df(spark, pairs)).collect())
+    )
+    assert [r[0] for r in rows] == [1, 5, 10]
+    n_test = rows[0][1]
+    hits_by_k = []
+    for k, nt, nr, h in rows:
+        assert nt == n_test and h <= nr <= nt
+        hits_by_k.append(h)
+    assert hits_by_k == sorted(hits_by_k)  # hits monotone in k
+
+
+def test_link_prediction_eval_validation(spark):
+    e = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="holdout_mod"):
+        G.link_prediction_eval(e, holdout_mod=1)

@@ -66,7 +66,7 @@ def test_driver_priority_window_integrity():
                      "link_prediction_features",
                      "k_anonymity_report", "k_anonymity_enforced",
                      "mondrian_regions", "t_closeness_report",
-                     "node2vec_walks",
+                     "node2vec_walks", "link_prediction_hits",
                      "graph_random_walks",
                      "trussness_parts", "louvain_multilevel",
                      "containment_incremental", "ams_cells",
