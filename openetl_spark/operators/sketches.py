@@ -784,3 +784,61 @@ def hyperball(
             cells.select(F.lit(t).cast("int").alias("t"), "node", "j", "r")
         )
     return out
+
+
+def ams_inner_product_estimate(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    keys: Sequence[str] = (),
+    groups: int = 9,
+) -> DataFrame:
+    """JOIN-SIZE estimate from two AMS cell relations built with the
+    SAME (seed, k) sign functions (Alon, Gibbons, Matias & Szegedy,
+    PODS 1999 — the tug-of-war sketch's second act): E[cA_i·cB_i] =
+    Σ_v fA(v)·fB(v), the inner product of the two frequency vectors,
+    which IS the equi-join cardinality |A ⋈ B| — the number a query
+    optimizer wants before picking a join strategy, estimated from
+    2·k counters instead of scanning either side.
+
+    Estimator: median over ``groups`` contiguous counter groups of
+    the INTEGER Σ_{i∈g} cA_i·cB_i, divided by the group size — the
+    ams_f2_estimate discipline (odd ``groups`` ⇒ the median is one
+    specific integer; the only float is one IEEE division), so the
+    estimate is bit-identical cross-engine. Variance per counter is
+    ≤ 2·F₂(A)·F₂(B) (AGMS Lemma 4.1), so callers bound with
+    3·√(2·F₂(A)·F₂(B)/group_size).
+
+    Returns (``*keys``, j_estimate)."""
+    if groups < 1 or groups % 2 == 0:
+        raise ValueError(
+            f"ams_inner_product_estimate: groups must be odd and >= 1, got {groups}"
+        )
+    j = cells_a.select(
+        *keys, "i", F.col("c").alias("_ca")
+    ).join(
+        cells_b.select(*keys, "i", F.col("c").alias("_cb")),
+        [*keys, "i"],
+    )
+    n_cells = j.groupBy(*keys).agg(F.count("*").alias("_k"))
+    per = (
+        j.join(n_cells, list(keys)) if keys else j.crossJoin(F.broadcast(n_cells))
+    )
+    gsz = F.expr(f"_k div {groups}")
+    per = (
+        per.filter(F.col("i") < gsz * groups)
+        .select(
+            *keys,
+            F.expr(f"i div (_k div {groups})").alias("_g"),
+            (F.col("_ca") * F.col("_cb")).alias("_p"),
+            gsz.alias("_gsz"),
+        )
+        .groupBy(*keys, "_g")
+        .agg(F.sum("_p").cast("bigint").alias("_s"), F.max("_gsz").alias("_gsz"))
+    )
+    med = per.groupBy(*keys).agg(
+        F.expr(f"sort_array(collect_list(_s))[{groups // 2}]").alias("_med"),
+        F.max("_gsz").alias("_gsz"),
+    )
+    return med.select(
+        *keys, (F.col("_med") / F.col("_gsz")).alias("j_estimate")
+    )

@@ -1564,3 +1564,107 @@ def q_link_prediction_hits(spark, sf_dir):
     of silently deflating recall). All counts exact bigints."""
     core, _ = _core_and_landmarks(spark, sf_dir)
     return G.link_prediction_eval(core, holdout_mod=5, ks=(1, 5, 10))
+
+
+# ---------------------------------------------------------------------
+# C131b — AGMS join-size estimation (Alon-Gibbons-Matias-Szegedy,
+# PODS 1999): the inner-product act of the tug-of-war sketch — what a
+# query optimizer reads to size an equi-join before running it.
+# ---------------------------------------------------------------------
+
+
+def _ams_sign_sql(val: str) -> str:
+    return (
+        "CASE WHEN CAST('0x' || substr(md5('"
+        + str(_AMS_SEED)
+        + f":' || CAST(i AS VARCHAR) || ':' || CAST({val} AS VARCHAR)), 1, 15)"
+        " AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "ams_join_size_report",
+    f"""
+    WITH ca AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST(sum({_ams_sign_sql('l_partkey')}) AS BIGINT) AS c
+      FROM lineitem, UNNEST(generate_series(0, {_AMS_K - 1})) AS t(i)
+      WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
+      GROUP BY 1),
+    cb AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST(sum({_ams_sign_sql('l_partkey')}) AS BIGINT) AS c
+      FROM lineitem, UNNEST(generate_series(0, {_AMS_K - 1})) AS t(i)
+      WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL
+      GROUP BY 1),
+    grp AS (
+      SELECT a.i // {_AMS_GSZ} AS g, CAST(sum(a.c * b.c) AS BIGINT) AS s
+      FROM ca a JOIN cb b USING (i)
+      WHERE a.i < {_AMS_GSZ * _AMS_GROUPS}
+      GROUP BY 1),
+    med AS (SELECT s FROM grp ORDER BY s LIMIT 1 OFFSET {_AMS_GROUPS // 2}),
+    fr AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+    fa AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+    ex AS (SELECT CAST(coalesce(sum(fr.cnt * fa.cnt), 0) AS BIGINT) AS j
+           FROM fr JOIN fa USING (l_partkey)),
+    f2 AS (SELECT (SELECT CAST(sum(cnt * cnt) AS BIGINT) FROM fr) AS f2r,
+                  (SELECT CAST(sum(cnt * cnt) AS BIGINT) FROM fa) AS f2a)
+    SELECT ex.j AS j_exact,
+           med.s / {_AMS_GSZ} AS j_estimate,
+           abs(med.s / {_AMS_GSZ} - ex.j)
+             <= 3 * sqrt(CAST(2 AS DOUBLE) * f2.f2r * f2.f2a / {_AMS_GSZ})
+             AS within_bound
+    FROM ex, med, f2
+    """,
+)
+def q_ams_join_size_report(spark, sf_dir):
+    """C131b: equi-join CARDINALITY estimation from two AMS sketches
+    sharing one sign family (operators/sketches
+    .ams_inner_product_estimate, AGMS PODS 1999): the exact size of
+    the R-returns ⋈ A-returns self-join of lineitem on l_partkey
+    (genuine multiplicities on BOTH sides — the case where naive
+    distinct-count estimates fail) next to the sketch estimate read
+    from 2×63 counters, with the AGMS variance bound
+    3·√(2·F₂(A)·F₂(B)/7) as the within_bound boolean. The median of
+    group-sums is one specific integer and the estimate ONE IEEE
+    division, so the report hash-matches bit-for-bit; the exact arm
+    is the grouped-count join the optimizer would otherwise have to
+    run — at 100 TB the estimate arm reads 126 cells."""
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_partkey").isNotNull()
+    )
+    ra = li.filter(F.col("l_returnflag") == "R")
+    aa = li.filter(F.col("l_returnflag") == "A")
+    cells_r = SK.ams_cells(ra, "l_partkey", k=_AMS_K, seed=_AMS_SEED)
+    cells_a = SK.ams_cells(aa, "l_partkey", k=_AMS_K, seed=_AMS_SEED)
+    est = SK.ams_inner_product_estimate(cells_r, cells_a, groups=_AMS_GROUPS)
+    fr = ra.groupBy("l_partkey").agg(F.count("*").alias("cr"))
+    fa = aa.groupBy("l_partkey").agg(F.count("*").alias("ca"))
+    ex = (
+        fr.join(fa, "l_partkey")
+        .agg(
+            F.coalesce(F.sum(F.col("cr") * F.col("ca")), F.lit(0))
+            .cast("bigint")
+            .alias("j_exact")
+        )
+    )
+    f2r = fr.agg(F.sum(F.col("cr") * F.col("cr")).cast("bigint").alias("f2r"))
+    f2a = fa.agg(F.sum(F.col("ca") * F.col("ca")).cast("bigint").alias("f2a"))
+    return (
+        ex.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(f2r))
+        .crossJoin(F.broadcast(f2a))
+        .select(
+            "j_exact",
+            "j_estimate",
+            (
+                F.abs(F.col("j_estimate") - F.col("j_exact"))
+                <= 3
+                * F.sqrt(
+                    F.lit(2.0) * F.col("f2r") * F.col("f2a") / _AMS_GSZ
+                )
+            ).alias("within_bound"),
+        )
+    )

@@ -661,3 +661,78 @@ def test_hyperball_hops_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="hops"):
         SK.hyperball(df, hops=0)
+
+
+# ------------------------------------------------- AMS inner product
+
+def _ams_py_cells(values, k, seed):
+    import hashlib
+
+    cells = [0] * k
+    for v in values:
+        for i in range(k):
+            h = int(
+                hashlib.md5(f"{seed}:{i}:{v}".encode()).hexdigest()[:15], 16
+            )
+            cells[i] += 1 if h % 2 == 1 else -1
+    return cells
+
+
+def test_ams_inner_product_matches_python(spark):
+    import random
+
+    random.seed(61)
+    a_vals = [random.randint(0, 30) for _ in range(300)]
+    b_vals = [random.randint(0, 30) for _ in range(200)]
+    da = spark.createDataFrame([(v,) for v in a_vals], "x int")
+    db = spark.createDataFrame([(v,) for v in b_vals], "x int")
+    ca = SK.ams_cells(da, "x", k=63, seed=42)
+    cb = SK.ams_cells(db, "x", k=63, seed=42)
+    got = SK.ams_inner_product_estimate(ca, cb, groups=9).first()["j_estimate"]
+    pa = _ams_py_cells(a_vals, 63, 42)
+    pb = _ams_py_cells(b_vals, 63, 42)
+    sums = sorted(
+        sum(pa[i] * pb[i] for i in range(g * 7, (g + 1) * 7)) for g in range(9)
+    )
+    assert got == sums[4] / 7
+
+
+def test_ams_inner_product_estimates_join_size(spark):
+    # Deterministic accuracy on a fixed instance: the estimate must
+    # land within the AGMS 3-sigma bound of the true inner product.
+    import random
+
+    random.seed(67)
+    a_vals = [random.randint(0, 40) for _ in range(500)]
+    b_vals = [random.randint(0, 40) for _ in range(400)]
+    from collections import Counter
+
+    fa, fb = Counter(a_vals), Counter(b_vals)
+    true_j = sum(fa[v] * fb[v] for v in fa)
+    f2a = sum(c * c for c in fa.values())
+    f2b = sum(c * c for c in fb.values())
+    da = spark.createDataFrame([(v,) for v in a_vals], "x int")
+    db = spark.createDataFrame([(v,) for v in b_vals], "x int")
+    est = SK.ams_inner_product_estimate(
+        SK.ams_cells(da, "x", k=63, seed=42),
+        SK.ams_cells(db, "x", k=63, seed=42),
+        groups=9,
+    ).first()["j_estimate"]
+    assert abs(est - true_j) <= 3 * (2 * f2a * f2b / 7) ** 0.5
+
+
+def test_ams_inner_product_self_is_f2_estimate(spark):
+    # A against itself reduces to the F2 path: same cells, same
+    # median-of-group-sums arithmetic.
+    d = spark.createDataFrame([(v % 7,) for v in range(100)], "x int")
+    c = SK.ams_cells(d, "x", k=63, seed=42)
+    ip = SK.ams_inner_product_estimate(c, c, groups=9).first()["j_estimate"]
+    f2 = SK.ams_f2_estimate(c, groups=9).first()["f2_estimate"]
+    assert ip == f2
+
+
+def test_ams_inner_product_validation(spark):
+    d = spark.createDataFrame([(1,)], "x int")
+    c = SK.ams_cells(d, "x", k=9)
+    with pytest.raises(ValueError, match="groups"):
+        SK.ams_inner_product_estimate(c, c, groups=4)
