@@ -928,3 +928,78 @@ def test_streaming_dsir_scores_equal_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) == 4
+
+
+def test_streaming_privacy_audit_cells_equal_batch(spark, tmp_path):
+    """r09 (C138 twin): the privacy audits are mergeable-cell
+    reports — per-(QI, band) counts are plain SUMs, so a streaming
+    maintainer appends per-batch count cells and the k/l audit read
+    from the merged log must equal the batch audit of the full
+    arrival set (the CMS/HLL/KMV cell-log discipline applied to the
+    privacy family; no per-record state, watermark-free)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openetl_spark.operators import curation as C
+
+    batches = [
+        [("a", "x", 1), ("a", "x", 2), ("b", "y", 1)],
+        [("a", "x", 1), ("b", "y", 3), ("b", "y", 3)],
+        [("a", "z", 2), ("a", "x", 2)],
+    ]
+    src = tmp_path / "priv_rows"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(
+                json.dumps({"qi1": q1, "qi2": q2, "s": s}) for q1, q2, s in rows
+            )
+            + "\n"
+        )
+        os.utime(f, (1000000000 + i * 60,) * 2)
+    log_path = str(tmp_path / "priv_cells")
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        # Per-batch cells: (qi1, qi2, s, n) — the finest grain both
+        # k (sum n over s) and distinct-l (count s with n > 0) need.
+        df.groupBy("qi1", "qi2", "s").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.mode("append").parquet(log_path)
+
+    stream = (
+        spark.readStream.schema("qi1 string, qi2 string, s int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    merged = (
+        spark.read.parquet(log_path)
+        .groupBy("qi1", "qi2", "s")
+        .agg(F.sum("n").alias("n"))
+    )
+    streamed = {
+        (r["qi1"], r["qi2"]): (r["k"], r["l"])
+        for r in merged.groupBy("qi1", "qi2")
+        .agg(
+            F.sum("n").cast("bigint").alias("k"),
+            F.count_distinct("s").cast("bigint").alias("l"),
+        )
+        .collect()
+    }
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], "qi1 string, qi2 string, s int"
+    )
+    batch = {
+        (r["qi1"], r["qi2"]): (r["k"], r["l"])
+        for r in C.k_anonymity(all_rows, ["qi1", "qi2"], "s").collect()
+    }
+    assert streamed == batch and len(streamed) == 3
