@@ -136,6 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     "node2vec_walks",
     "link_prediction_hits",
     "ams_join_size_report",
+    "hyperball_harmonic_report",
     "graph_random_walks",
     "trussness_parts",
     "louvain_multilevel",
@@ -175,10 +176,9 @@ DRIVER_PRIORITY: list[str] = [
     "gopher_repetition",
     "grouped_quantiles",
     "grouping_sets",
-    "join_anti",
-    # r10 queue, in order: the 24 displaced r05-latest tails
-    # (join_broadcast, join_cross, join_inner, join_left_agg,
-    # join_semi, length_bias_audit, pivot_linestatus,
+    # r10 queue, in order: the 25 displaced r05-latest tails
+    # (join_anti, join_broadcast, join_cross, join_inner,
+    # join_left_agg, join_semi, length_bias_audit, pivot_linestatus,
     # pq_recall_report, q1_pricing, q20_dominant_supplier,
     # q22_global_sales, q3_top_orders, q5_regional_revenue,
     # range_join_events — displaced late-r09 by the second-session

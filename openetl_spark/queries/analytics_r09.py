@@ -1668,3 +1668,99 @@ def q_ams_join_size_report(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "hyperball_harmonic_report",
+    f"""
+    WITH RECURSIVE {_CORE_LM_CTES},
+    {_hyperball_cells_sql()},
+    walk(source, node, hop) AS (
+      SELECT node, node, 0 FROM lm
+      UNION
+      SELECT w.source, s.v, w.hop + 1
+      FROM walk w JOIN sym s ON w.node = s.u
+      WHERE w.hop < {_HB_HOPS}),
+    d AS (SELECT source, node, min(hop) AS hop FROM walk GROUP BY 1, 2),
+    exact AS (
+      SELECT source AS node,
+             CAST(sum(60 // hop) AS BIGINT) AS h60_exact,
+             CAST(count(*) AS BIGINT) AS n_within
+      FROM d WHERE hop >= 1 GROUP BY 1),
+    est AS (
+      SELECT t, node,
+             CAST(count(*) AS BIGINT) AS n_set,
+             sum(power(2.0, -r)) AS s
+      FROM cells JOIN lm USING (node)
+      GROUP BY 1, 2),
+    fin AS (
+      SELECT node, t,
+             CASE WHEN {_HB_ALPHA} * {_HB_M} * {_HB_M} / (s + ({_HB_M} - n_set))
+                       <= 2.5 * {_HB_M} AND n_set < {_HB_M}
+                  THEN {_HB_M}.0 * ln({_HB_M}.0 / ({_HB_M} - n_set))
+                  ELSE {_HB_ALPHA} * {_HB_M} * {_HB_M} / (s + ({_HB_M} - n_set))
+                  END AS estimate
+      FROM est),
+    hest AS (
+      SELECT f1.node,
+             sum((f1.estimate - f0.estimate) / f1.t) AS h_est
+      FROM fin f1 JOIN fin f0 ON f0.node = f1.node AND f0.t = f1.t - 1
+      GROUP BY 1)
+    SELECT x.node, x.h60_exact, x.n_within,
+           abs(CAST(60 AS DOUBLE) * h.h_est - x.h60_exact)
+             <= CAST(0.35 AS DOUBLE) * x.h60_exact + CAST(180 AS DOUBLE)
+             AS within_bound
+    FROM exact x JOIN hest h ON h.node = x.node
+    """,
+)
+def q_hyperball_harmonic_report(spark, sf_dir):
+    """C135c: HyperBall-derived HARMONIC centrality estimates — the
+    geometric-centrality payoff Boldi-Vigna built the counters for:
+    ĥ(v) = Σ_t (b̂_t(v) − b̂_{t-1}(v))/t over the per-node ball-size
+    estimates, which at 100 TB prices EVERY node's centrality from
+    the V·2^p cell relation where the exact form needs a BFS per
+    node. Driver-checked on the 16 landmark pivots, where the exact
+    truncated harmonic sum IS computable (one multi-source BFS —
+    C134's machinery): h60_exact and the reach count are hash-pinned
+    bigints, and the boolean asserts the sketch estimate lands within
+    35% + a 180-floor of the exact value (the worst observed across
+    both test corpora is 24% — the p=6 sketch differencing amplifies
+    register noise, documented; raise p to tighten). The estimate
+    itself stays OUT of the hashed columns (a 4-term float sum's
+    addition order is engine-unpinned — the hll_distinct_report
+    discipline: booleans tolerate the ulp, hashed columns never carry
+    it)."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    from openetl_spark.operators import sketches as SK
+
+    cells = SK.hyperball(core, hops=_HB_HOPS, p=_HB_P).join(lm, "node")
+    est = SK.hll_estimate(cells, p=_HB_P, keys=["t", "node"])
+    e1 = est.select("node", "t", F.col("estimate").alias("_e1"))
+    e0 = est.select(
+        "node", (F.col("t") + 1).alias("t"), F.col("estimate").alias("_e0")
+    )
+    hest = (
+        e1.join(e0, ["node", "t"])
+        .groupBy("node")
+        .agg(
+            F.sum((F.col("_e1") - F.col("_e0")) / F.col("t")).alias("_h")
+        )
+    )
+    hops = G.landmark_hops(core, lm, max_hops=_HB_HOPS)
+    exact = (
+        hops.filter(F.col("hop") >= 1)
+        .groupBy(F.col("source").alias("node"))
+        .agg(
+            F.sum(F.expr("60 div hop")).cast("bigint").alias("h60_exact"),
+            F.count(F.lit(1)).cast("bigint").alias("n_within"),
+        )
+    )
+    return exact.join(hest, "node").select(
+        "node",
+        "h60_exact",
+        "n_within",
+        (
+            F.abs(F.lit(60.0) * F.col("_h") - F.col("h60_exact"))
+            <= 0.35 * F.col("h60_exact") + 180.0
+        ).alias("within_bound"),
+    )

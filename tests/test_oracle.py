@@ -67,7 +67,7 @@ def test_driver_priority_window_integrity():
                      "k_anonymity_report", "k_anonymity_enforced",
                      "mondrian_regions", "t_closeness_report",
                      "node2vec_walks", "link_prediction_hits",
-                     "ams_join_size_report",
+                     "ams_join_size_report", "hyperball_harmonic_report",
                      "graph_random_walks",
                      "trussness_parts", "louvain_multilevel",
                      "containment_incremental", "ams_cells",
