@@ -88,13 +88,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-9 rotation (VERDICT
 # r08 #2, staleness burn-down): after r08 every one of the 188
 # pre-r09 catalog queries has a green driver row and nothing is older
-# than r04-latest. Slots go first to the EIGHT new r09 queries (no
-# driver row anywhere), then the four DRIVER_RECHECK entries (code or
+# than r04-latest. Slots go first to the TWENTY-THREE new r09 queries
+# (no driver row anywhere — eight from the first session, fifteen
+# from the second), then the four DRIVER_RECHECK entries (code or
 # oracle changed since their r08 green), then the complete 10-entry
 # r04-latest queue enumerated by the r08 rotation (after this round
 # nothing is r04-latest anywhere), then the oldest r05-latest rows
-# alphabetically until the window holds exactly 50 — 28 of the 38 r05
-# rows fit; the 10 displaced tails are the enumerated r10 queue below.
+# alphabetically until the window holds exactly 50 — 13 of the 38 r05
+# rows fit; the 25 displaced tails are the enumerated r10 queue below.
 # Every query, windowed or not, is re-pinned every pytest run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
