@@ -163,7 +163,7 @@ DRIVER_PRIORITY: list[str] = [
     "training_shuffle",
     "vocab_sketch_topk",
     "zipf_fit",
-    # --- the oldest r05-latest rows, alphabetically (29 of 38) ---
+    # --- the oldest r05-latest rows, alphabetically (13 of 38) ---
     "agg_distinct",
     "asof_join_events",
     "connector_slice",

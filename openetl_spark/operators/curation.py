@@ -1703,7 +1703,18 @@ def suppress_small_groups(
         .filter(F.col("_k") >= k_min)
         .drop("_k")
     )
-    return df.join(big, list(qi_cols))
+    # Null-safe equi-join: groupBy above counts a NULL QI value as its
+    # own group, so the join back must keep such rows when their
+    # NULL-group clears k_min — a plain equi-join would silently drop
+    # every NULL-QI row and make audit and enforcement disagree.
+    renamed = big.select(
+        *[F.col(c).alias(f"_qi_{c}") for c in qi_cols]
+    )
+    cond = None
+    for c in qi_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_qi_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(renamed, cond).drop(*[f"_qi_{c}" for c in qi_cols])
 
 
 def mondrian_partition(

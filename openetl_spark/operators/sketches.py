@@ -468,7 +468,21 @@ def ams_f2_estimate(
             F.broadcast(n_cells)
         )
     )
-    gsz = F.expr(f"_k div {groups}")
+    # Guard: fewer cells than groups would make gsz = 0 and the tail
+    # filter drop every row, emitting a silent NULL estimate — raise
+    # at execution time instead (the cell count is data, not config).
+    gsz = F.when(
+        F.col("_k") >= groups, F.expr(f"_k div {groups}")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ams_f2_estimate: cell count "),
+                F.col("_k").cast("string"),
+                F.lit(f" < groups={groups} for a key — rebuild the "
+                      "sketch with k >= groups or lower groups"),
+            )
+        )
+    )
     per_group = (
         per_group.filter(F.col("i") < gsz * groups)  # drop the ragged tail
         .select(
@@ -823,7 +837,20 @@ def ams_inner_product_estimate(
     per = (
         j.join(n_cells, list(keys)) if keys else j.crossJoin(F.broadcast(n_cells))
     )
-    gsz = F.expr(f"_k div {groups}")
+    # Same silent-NULL edge as ams_f2_estimate: a joined cell count
+    # below ``groups`` zeroes gsz and empties the key — raise instead.
+    gsz = F.when(
+        F.col("_k") >= groups, F.expr(f"_k div {groups}")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ams_inner_product_estimate: joined cell count "),
+                F.col("_k").cast("string"),
+                F.lit(f" < groups={groups} for a key — both sketches "
+                      "need k >= groups shared counters"),
+            )
+        )
+    )
     per = (
         per.filter(F.col("i") < gsz * groups)
         .select(

@@ -1002,7 +1002,14 @@ def _dsir_layout(spark, sf_dir):
         old = pd.read_parquet(path)
         keep = old[~((old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B))]
         rows = pd.concat([keep, rows], ignore_index=True)
-    rows.to_parquet(path, index=False)
+    # Atomic upsert (ADVICE r09): write a pid-suffixed temp file and
+    # os.replace() into place, so a concurrent pytest/driver process
+    # on another corpus can never serve DuckDB's read_parquet a torn
+    # file — a lost race costs one refit, a torn read would fail the
+    # oracle spuriously.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    rows.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
     return spark.createDataFrame(
         [(int(b), int(r)) for b, r in ratios], "b bigint, r_unats bigint"
     )

@@ -985,6 +985,29 @@ def test_suppress_small_groups_result_is_k_anonymous(spark):
     assert all(r["k"] >= 3 for r in sizes)
 
 
+def test_suppress_small_groups_null_qi_agrees_with_audit(spark):
+    # ADVICE r09: k_anonymity's groupBy counts NULL as its own group,
+    # so enforcement must keep a NULL-QI group that clears k_min —
+    # the join back is null-safe, not a plain equi-join.
+    rows = [(None, i) for i in range(4)] + [("a", 0), ("a", 1), ("a", 2)] + [("b", 9)]
+    df = spark.createDataFrame(rows, "qi string, payload int")
+    kept = C.suppress_small_groups(df, ["qi"], 3)
+    out = kept.collect()
+    assert {r["qi"] for r in out} == {None, "a"}
+    assert sorted(r["payload"] for r in out if r["qi"] is None) == list(range(4))
+    # Audit agrees: every surviving group (incl. the NULL group) >= 3.
+    sizes = C.k_anonymity(kept, ["qi"]).collect()
+    assert {r["qi"]: r["k"] for r in sizes} == {None: 4, "a": 3}
+
+
+def test_suppress_small_groups_multi_qi_null_combination(spark):
+    rows = [("a", None, i) for i in range(3)] + [("a", "x", 0), (None, None, 7)]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, payload int")
+    kept = C.suppress_small_groups(df, ["q1", "q2"], 2).collect()
+    assert {(r["q1"], r["q2"]) for r in kept} == {("a", None)}
+    assert sorted(r["payload"] for r in kept) == [0, 1, 2]
+
+
 def test_k_anonymity_validation(spark):
     df = spark.createDataFrame([("a", 1)], "qi string, s int")
     with pytest.raises(ValueError, match="qi_cols"):

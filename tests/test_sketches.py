@@ -736,3 +736,21 @@ def test_ams_inner_product_validation(spark):
     c = SK.ams_cells(d, "x", k=9)
     with pytest.raises(ValueError, match="groups"):
         SK.ams_inner_product_estimate(c, c, groups=4)
+
+
+def test_ams_undersized_sketch_raises_not_null(spark):
+    # ADVICE r09: a cell count below ``groups`` used to zero the
+    # group size, drop every row through the tail filter, and emit a
+    # silent NULL/absent estimate — both estimators now raise at
+    # execution time instead.
+    from py4j.protocol import Py4JJavaError
+
+    d = spark.createDataFrame([(i,) for i in range(20)], "x int")
+    small = SK.ams_cells(d, "x", k=5)  # 5 cells < groups=9
+    with pytest.raises(Exception, match="groups=9"):
+        SK.ams_f2_estimate(small, groups=9).collect()
+    with pytest.raises(Exception, match="groups=9"):
+        SK.ams_inner_product_estimate(small, small, groups=9).collect()
+    # And the healthy path still returns one estimate row.
+    ok = SK.ams_cells(d, "x", k=9)
+    assert SK.ams_f2_estimate(ok, groups=9).count() == 1
