@@ -48,6 +48,7 @@ from openetl_spark.queries import analytics_r06 as _analytics_r06  # noqa: F401,
 from openetl_spark.queries import analytics_r07 as _analytics_r07  # noqa: F401,E402
 from openetl_spark.queries import analytics_r08 as _analytics_r08  # noqa: F401,E402
 from openetl_spark.queries import analytics_r09 as _analytics_r09  # noqa: F401,E402
+from openetl_spark.queries import analytics_r10 as _analytics_r10  # noqa: F401,E402
 
 # Re-exports referenced by tests / bench / external callers as
 # catalog.<name> (the pre-split public surface).
@@ -85,17 +86,17 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-9 rotation (VERDICT
-# r08 #2, staleness burn-down): after r08 every one of the 188
-# pre-r09 catalog queries has a green driver row and nothing is older
-# than r04-latest. Slots go first to the TWENTY-THREE new r09 queries
-# (no driver row anywhere — eight from the first session, fifteen
-# from the second), then the four DRIVER_RECHECK entries (code or
-# oracle changed since their r08 green), then the complete 10-entry
-# r04-latest queue enumerated by the r08 rotation (after this round
-# nothing is r04-latest anywhere), then the oldest r05-latest rows
-# alphabetically until the window holds exactly 50 — 13 of the 38 r05
-# rows fit; the 25 displaced tails are the enumerated r10 queue below.
+# entries of queries() in iteration order. Round-10 rotation (VERDICT
+# r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
+# its window (incl. the four r09 rechecks — pruned). Slots go first to
+# the FIVE new r10 queries (no driver row anywhere), then the
+# FOURTEEN DRIVER_RECHECK entries (code or oracle changed this round:
+# the triangle/hyperball/landmark-hops/node2vec layouts and their
+# consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
+# COMPLETE 25-entry r05-latest queue enumerated by the r09 rotation
+# (after this round nothing anywhere is r05-latest), then the oldest
+# r06-latest rows alphabetically until the window holds exactly 50 —
+# 6 of the 44 r06 rows fit; the remaining 38 are the r11 queue head.
 # Every query, windowed or not, is re-pinned every pytest run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
@@ -104,90 +105,103 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # row — they hold window slots even though a (stale) green row exists,
 # and the window-integrity test exempts them from its "wasted slot"
 # check. Prune entries from this set once the next CORRECTNESS record
-# re-greens them. (All 7 r08 entries re-greened in CORRECTNESS_r08 —
-# pruned, per VERDICT r08 #2.)
+# re-greens them. (All 4 r09 entries re-greened in CORRECTNESS_r09 —
+# pruned, per VERDICT r09 #2.)
 DRIVER_RECHECK: set[str] = {
-    # r09 changes: the graph/LPA layout signature moved to the
-    # collision-resistant md5-XOR digest (ADVICE r08), which rewrites
-    # the LPA_SIG_SQL fragment inside these three oracles' text:
-    "graph_communities",
-    "graph_modularity",
-    "louvain_communities",
-    # weight-magnitude guard added to the operator (VERDICT r08 #6):
-    "weighted_sample_docs",
-    # NOTE: the other graph-family consumers (triangles/bfs/kcore/
-    # sssp/assortativity/ktruss) are NOT rechecked: their oracles are
-    # untouched and they read the same persisted edge relation — only
-    # the cache-staleness validation around it changed.
-}
-
-DRIVER_PRIORITY: list[str] = [
-    # --- r09 additions (no driver row yet) ---
+    # r10: consumers of the new persisted layouts (_triangle_layout,
+    # _hyperball_layout, _landmark_hops_layout, _node2vec_layout) —
+    # plans changed; node2vec_walks' oracle text also moved into the
+    # shared _node2vec_walk_ctes fragment:
+    "graph_triangles",
+    "local_clustering",
+    "ktruss_core",
+    "trussness_parts",
     "harmonic_centrality",
     "hyperball_cells",
     "hyperball_report",
-    "dsir_scores",
-    "walk_skipgram_pairs",
-    "local_clustering",
-    "link_prediction_features",
-    "k_anonymity_report",
-    "k_anonymity_enforced",
-    "mondrian_regions",
-    "t_closeness_report",
-    "node2vec_walks",
-    "link_prediction_hits",
-    "ams_join_size_report",
     "hyperball_harmonic_report",
-    "graph_random_walks",
-    "trussness_parts",
-    "louvain_multilevel",
-    "containment_incremental",
-    "ams_cells",
+    "node2vec_walks",
+    # kcore round-1 degree shortcut (BASELINE r10 notes):
+    "kcore_parts",
+    # ADVICE r09 fixes: null-safe suppression join, AMS undersized-
+    # sketch guard, atomic DSIR artifact upsert:
+    "k_anonymity_enforced",
     "ams_f2_report",
-    "qdigest_cells",
-    "qdigest_rank_report",
+    "ams_join_size_report",
+    "dsir_scores",
+}
+
+DRIVER_PRIORITY: list[str] = [
+    # --- r10 additions (no driver row yet) ---
+    "effective_diameter_report",
+    "dsir_retarget",
+    "dsir_mixture_report",
+    "mondrian_hierarchical",
+    "node2vec_skipgram_pairs",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
-    "graph_communities",
-    "graph_modularity",
-    "louvain_communities",
-    "weighted_sample_docs",
-    # --- the complete r04-latest burn-down queue (the 10 oldest rows
-    # anywhere; after this round nothing has an r04-era latest green) ---
-    "pq_knn",
-    "pq_rerank_knn",
-    "retention_cohorts",
-    "rollup_anomalies",
-    "salted_join_segments",
-    "scd2_history",
-    "sequence_packing",
-    "training_shuffle",
-    "vocab_sketch_topk",
-    "zipf_fit",
-    # --- the oldest r05-latest rows, alphabetically (13 of 38) ---
-    "agg_distinct",
-    "asof_join_events",
-    "connector_slice",
-    "cube_flags",
-    "declarative_star_join",
-    "declarative_window_topn",
-    "embedding_winsorize",
-    "filter_group_or",
-    "gap_fill_interpolate",
-    "gopher_quality",
-    "gopher_repetition",
-    "grouped_quantiles",
-    "grouping_sets",
-    # r10 queue, in order: the 25 displaced r05-latest tails
-    # (join_anti, join_broadcast, join_cross, join_inner,
-    # join_left_agg, join_semi, length_bias_audit, pivot_linestatus,
-    # pq_recall_report, q1_pricing, q20_dominant_supplier,
-    # q22_global_sales, q3_top_orders, q5_regional_revenue,
-    # range_join_events — displaced late-r09 by the second-session
-    # additions above — then rollup_flags, seasonal_anomalies,
-    # semantic_dedup, temperature_sampling, topk_orders,
-    # transform_chain, window_frame, window_lag, window_rank,
-    # winnow_overlap), then the r06-latest rows alphabetically. All
-    # locally re-pinned every pytest run.
+    "graph_triangles",
+    "local_clustering",
+    "ktruss_core",
+    "trussness_parts",
+    "harmonic_centrality",
+    "hyperball_cells",
+    "hyperball_report",
+    "hyperball_harmonic_report",
+    "node2vec_walks",
+    "kcore_parts",
+    "k_anonymity_enforced",
+    "ams_f2_report",
+    "ams_join_size_report",
+    "dsir_scores",
+    # --- the complete r05-latest burn-down queue (the 25 oldest rows
+    # anywhere; after this round nothing has an r05-era latest green) ---
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_inner",
+    "join_left_agg",
+    "join_semi",
+    "length_bias_audit",
+    "pivot_linestatus",
+    "pq_recall_report",
+    "q1_pricing",
+    "q20_dominant_supplier",
+    "q22_global_sales",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "range_join_events",
+    "rollup_flags",
+    "seasonal_anomalies",
+    "semantic_dedup",
+    "temperature_sampling",
+    "topk_orders",
+    "transform_chain",
+    "window_frame",
+    "window_lag",
+    "window_rank",
+    "winnow_overlap",
+    # --- the oldest r06-latest rows, alphabetically (6 of 44) ---
+    "ann_recall_report",
+    "approx_sketches",
+    "array_funcs",
+    "audio_near_duplicates",
+    "curation_pipeline",
+    "date_funcs",
+    # r11 queue, in order: the remaining 38 r06-latest rows
+    # alphabetically (decontaminate_spans, dedup_components,
+    # dedup_exact, dedup_keep_best, doc_fingerprint,
+    # duplication_report, embedding_knn, exact_substring_dedup,
+    # exact_substring_incremental, exact_substring_spans,
+    # image_near_duplicates, incremental_dedup, jaccard_near_dups,
+    # langid_confusion, lateral_join_topn, lsh_recall_report,
+    # lsh_similarity_join, math_funcs, minhash_error_report,
+    # minhash_near_dups, ngram_novelty, pagerank_nations,
+    # personalized_pagerank, pmi_collocations, q11_important_value,
+    # quality_score, recursive_cte_tree, schema_introspect,
+    # session_windows, set_except, simhash_dedup, skyline_parts,
+    # sliding_counts, sql_passthrough, string_funcs, text_stats,
+    # time_weighted_avg, tumbling_hourly), then r07-latest
+    # alphabetically. All locally re-pinned every pytest run.
 ]
 
 

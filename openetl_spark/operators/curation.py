@@ -1851,6 +1851,223 @@ def mondrian_partition(
     return cur
 
 
+def mondrian_hierarchical(
+    df: DataFrame,
+    num_cols: Sequence[str],
+    cat_col: str,
+    hierarchy: DataFrame,
+    id_col: str,
+    k_min: int,
+    depth: int = 3,
+    bucket_width: float = 4096.0,
+) -> DataFrame:
+    """Mondrian k-anonymization with a CATEGORICAL generalization
+    hierarchy (LeFevre, DeWitt & Ramakrishnan, ICDE 2006 §4 — the
+    taxonomy-walk half the numeric splitter can't express): real QI
+    sets mix numbers (balance) with categories (nation, segment)
+    whose generalization is "publish the REGION instead of the
+    nation", not a median cut. ``hierarchy`` encodes the taxonomy as
+    a relation (value, level, anc): for every base category value its
+    ancestor at each level 1..H, level H being the value itself —
+    uniform depth H (ragged taxonomies: pad by repeating the value).
+
+    Per round, each leaf picks its widest dimension by exact-integer
+    cross-multiplication: numeric width = (max−min)/R_d (global
+    range), categorical width = (H−ℓ)/H with ℓ the leaf's current
+    generalization level — both compared over the common denominator
+    H·ΠR so no float ever decides a pick; ties go to the CATEGORICAL
+    dimension first, then ``num_cols`` order (the determinism
+    contract). A categorical split descends ONE taxonomy level: the
+    leaf's records partition by their ancestor at level ℓ+1, taken
+    only when ≥ 2 distinct children appear and EVERY child group
+    keeps ≥ ``k_min`` records (the strict multiway k-guard); a
+    numeric split is the mondrian_partition lower-median cut. A leaf
+    whose picked dimension admits no k-preserving split freezes (the
+    strict variant — identical to the numeric operator's contract).
+    All-zero-width leaves (fully specialized AND point-range) freeze
+    without a pick, so a specialized leaf can never be dropped by the
+    level-ℓ+1 ancestor join.
+
+    Scale shape: the numeric arm is mondrian_partition's
+    (grouped_exact_ranks medians — no leaf-partitioned window); the
+    categorical arm is one groupBy(leaf, child) partial agg + a
+    leaf-cardinality guard broadcast; the hierarchy relation is
+    taxonomy-sized and broadcasts. Returns ``df``'s columns plus
+    ``_leaf`` (the region id, child ancestors embedded in the path)
+    and ``_lvl`` (the categorical generalization level reached —
+    publish the ancestor at that level).
+    """
+    from openetl_spark.operators.analytics import grouped_exact_ranks
+
+    if not num_cols or not cat_col or id_col in (*num_cols, cat_col):
+        raise ValueError(
+            "mondrian_hierarchical: num_cols and cat_col must be "
+            "non-empty and exclude id_col"
+        )
+    if k_min < 1 or depth < 1:
+        raise ValueError(
+            "mondrian_hierarchical: k_min and depth must be >= 1"
+        )
+    for c in ("_leaf", "_lvl"):
+        if c in df.columns:
+            raise ValueError(f"mondrian_hierarchical reserves {c}")
+    dims = list(num_cols)
+    h_max = int(hierarchy.agg(F.max("level")).first()[0] or 0)
+    if h_max < 1:
+        raise ValueError("mondrian_hierarchical: hierarchy is empty")
+    g = df.agg(
+        *[(F.max(d) - F.min(d)).cast("bigint").alias(d) for d in dims]
+    ).first()
+    rng = {d: max(int(g[d] or 0), 1) for d in dims}
+    prod_all = 1
+    for d in dims:
+        prod_all *= rng[d]
+    cur = df.withColumn("_leaf", F.lit("r")).withColumn(
+        "_lvl", F.lit(0).cast("int")
+    )
+    anc = hierarchy.select(
+        F.col("value").alias("_hv"),
+        F.col("level").alias("_alvl"),
+        F.col("anc").alias("_child"),
+    )
+    for _ in range(depth):
+        stats = cur.groupBy("_leaf").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("_lvl").alias("_l"),
+            *[x for d in dims for x in (
+                F.min(d).alias(f"_mn_{d}"), F.max(d).alias(f"_mx_{d}"))],
+        )
+        # Common denominator H·ΠR: cat key = (H−ℓ)·ΠR, numeric key_d =
+        # (mx−mn)·H·Π_{e≠d}R_e. First-max-index ties to the cat dim.
+        keys = [
+            ((F.lit(h_max) - F.col("_l")) * F.lit(prod_all))
+            .cast("bigint")
+            .alias("_key_0")
+        ]
+        for i, d in enumerate(dims, start=1):
+            others = h_max
+            for e in dims:
+                if e != d:
+                    others *= rng[e]
+            keys.append(
+                ((F.col(f"_mx_{d}") - F.col(f"_mn_{d}")) * F.lit(others))
+                .cast("bigint")
+                .alias(f"_key_{i}")
+            )
+        ks = ", ".join(f"_key_{i}" for i in range(len(dims) + 1))
+        picked = stats.select("_leaf", "_l", *keys).select(
+            "_leaf",
+            "_l",
+            F.when(
+                F.expr(f"array_max(array({ks}))") <= 0, F.lit(0)
+            )
+            .otherwise(
+                F.expr(f"array_position(array({ks}), array_max(array({ks})))")
+            )
+            .cast("int")
+            .alias("_dim"),
+        )
+        tagged = cur.join(F.broadcast(picked), "_leaf").drop("_l")
+        frozen = tagged.filter(F.col("_dim") == 0).drop("_dim")
+        # --- categorical arm: descend one taxonomy level -------------
+        crows = (
+            tagged.filter(F.col("_dim") == 1)
+            .drop("_dim")
+            .join(
+                F.broadcast(anc),
+                (F.col("_alvl") == F.col("_lvl") + 1)
+                & (F.col(cat_col) == F.col("_hv")),
+            )
+            .drop("_alvl", "_hv")
+        )
+        cguard = (
+            crows.groupBy("_leaf", "_child")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .groupBy("_leaf")
+            .agg(
+                F.min("_cn").alias("_cmin"),
+                F.count(F.lit(1)).alias("_nch"),
+            )
+            .select(
+                "_leaf",
+                ((F.col("_cmin") >= k_min) & (F.col("_nch") >= 2)).alias(
+                    "_ok"
+                ),
+            )
+        )
+        cdone = (
+            crows.join(F.broadcast(cguard), "_leaf")
+            .select(
+                *df.columns,
+                F.when(
+                    F.col("_ok"),
+                    F.concat(
+                        F.col("_leaf"),
+                        F.lit("/"),
+                        F.col("_child").cast("string"),
+                    ),
+                )
+                .otherwise(F.col("_leaf"))
+                .alias("_leaf"),
+                F.when(F.col("_ok"), F.col("_lvl") + 1)
+                .otherwise(F.col("_lvl"))
+                .cast("int")
+                .alias("_lvl"),
+            )
+        )
+        # --- numeric arm: the mondrian_partition median cut ----------
+        nrows = tagged.filter(F.col("_dim") >= 2)
+        val = F.col(dims[0])
+        for i, d in enumerate(dims[1:], start=3):
+            val = F.when(F.col("_dim") == i, F.col(d)).otherwise(val)
+        aug = nrows.withColumn("_val", val.cast("bigint")).withColumn(
+            "_negval", -F.col("_val")
+        )
+        ranked = grouped_exact_ranks(
+            aug, "_leaf", "_negval", id_col, bucket_width,
+            pos_col="_pos", n_col="_ngrp",
+        )
+        med = ranked.filter(
+            F.col("_pos") == F.expr("(_ngrp + 1) div 2")
+        ).select("_leaf", F.col("_val").alias("_m"))
+        cnt = (
+            aug.join(F.broadcast(med), "_leaf")
+            .groupBy("_leaf")
+            .agg(
+                F.sum(
+                    F.when(F.col("_val") <= F.col("_m"), 1).otherwise(0)
+                ).alias("_ln"),
+                F.count(F.lit(1)).alias("_nn"),
+            )
+        )
+        ndone = (
+            aug.join(F.broadcast(med), "_leaf")
+            .join(F.broadcast(cnt), "_leaf")
+            .select(
+                *df.columns,
+                F.when(
+                    (F.col("_ln") >= k_min)
+                    & (F.col("_nn") - F.col("_ln") >= k_min),
+                    F.concat(
+                        F.col("_leaf"),
+                        F.when(F.col("_val") <= F.col("_m"), F.lit("L"))
+                        .otherwise(F.lit("R")),
+                    ),
+                )
+                .otherwise(F.col("_leaf"))
+                .alias("_leaf"),
+                "_lvl",
+            )
+        )
+        cur = (
+            frozen.select(*df.columns, "_leaf", "_lvl")
+            .unionByName(cdone)
+            .unionByName(ndone)
+            .localCheckpoint()
+        )
+    return cur
+
+
 def t_closeness(
     df: DataFrame,
     qi_cols: Sequence[str],

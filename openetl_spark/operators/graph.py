@@ -184,6 +184,7 @@ def triangle_stats(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     UNDIRECTED simple graph induced by ``edges`` (self-loops dropped,
@@ -205,35 +206,21 @@ def triangle_stats(
     (open+closed paths of length 2 = Σ C(deg,2)), n_triangles, and the
     global clustering coefficient 3·triangles / wedges (0 when the
     graph has no wedge).
+
+    ``triangles``: an optional precomputed oriented-triangle relation
+    for EXACTLY this edge set (the _oriented_triangles schema — one
+    row per triangle), e.g. a corpus-keyed persisted layout; when
+    given, the wedge self-join is skipped and only the count is read
+    from it. Callers own the edges↔triangles consistency contract
+    (the layout's fingerprint discipline).
     """
     und, deg = _undirected_simple(edges, src, dst)
-    # Orient a—b from lower to higher (degree, id); carry the ordering
-    # key so wedge enumeration can canonicalize its endpoint pair.
-    oriented = (
-        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-            )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-            .alias("e")
+    if triangles is not None:
+        tri = triangles.agg(F.count("*").alias("n_triangles"))
+    else:
+        tri = _oriented_triangles(und, deg).agg(
+            F.count("*").alias("n_triangles")
         )
-        .select("e.u", "e.v")
-    )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
-    ).select(
-        F.least(F.col("e1.v"), F.col("e2.v")).alias("a"),
-        F.greatest(F.col("e1.v"), F.col("e2.v")).alias("b"),
-    )
-    tri = wedges.join(und, ["a", "b"], "left_semi").agg(
-        F.count("*").alias("n_triangles")
-    )
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.coalesce(  # empty graph: sum() is NULL, the wedge count is 0
@@ -406,12 +393,12 @@ def kcore(
 
     from pyspark.sql import Observation
 
-    und, _ = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
-    cur = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
-    prev_n = cur.count()
+    cur = None  # round 1 reads degrees straight from ``deg`` below
+    prev_n = deg.count()
 
     def core_degree(members: DataFrame) -> DataFrame:
         return (
@@ -427,11 +414,21 @@ def kcore(
 
     converged = False
     last_removed = prev_n  # max_rounds=0: nothing was ever verified
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         obs = Observation()
+        # Round 1's member set is ALL nodes, so core_degree(members)
+        # is exactly the full-graph degree relation _undirected_simple
+        # already built — read it directly instead of paying two
+        # semi-joins + a distinct over sym for an identity filter
+        # (r10; round accounting unchanged, so the oracle's fixed
+        # unrolling still matches).
+        base = (
+            deg.select("node", F.col("d").alias("core_degree"))
+            if rnd == 0
+            else core_degree(cur)
+        )
         cur = (
-            core_degree(cur)
-            .filter(F.col("core_degree") >= k)
+            base.filter(F.col("core_degree") >= k)
             .select("node")
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
@@ -455,6 +452,8 @@ def kcore(
             RuntimeWarning,
             stacklevel=2,
         )
+    if cur is None:  # max_rounds=0: the unfiltered degree relation
+        return deg.select("node", F.col("d").alias("core_degree"))
     return core_degree(cur)
 
 
@@ -834,6 +833,7 @@ def ktruss(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 3,
+    seed_triangles: DataFrame | None = None,
 ) -> DataFrame:
     """The k-truss of the undirected simple graph: the maximal
     subgraph in which every EDGE participates in ≥ k−2 triangles of
@@ -856,6 +856,14 @@ def ktruss(
 
     Returns the surviving canonical edge set (a, b), a < b; empty if
     everything peels (k higher than the graph's trussness).
+
+    ``seed_triangles``: optional precomputed oriented-triangle
+    relation for EXACTLY the input edge set — round 1's survivor
+    graph IS the input, so its enumeration can come from a persisted
+    layout; later rounds re-enumerate on survivors (inherent to the
+    peel). Support counting reads only the three corners, so the
+    seed's apex labeling (degree order of whatever graph it was
+    enumerated on) is irrelevant.
     """
     import warnings
 
@@ -866,7 +874,7 @@ def ktruss(
     cur, _ = _undirected_simple(edges, src, dst)
     prev_n = cur.count()
     converged = prev_n == 0
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if prev_n == 0:
             converged = True
             break
@@ -876,7 +884,10 @@ def ktruss(
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        tri = _oriented_triangles(cur, deg)
+        if rnd == 0 and seed_triangles is not None:
+            tri = seed_triangles
+        else:
+            tri = _oriented_triangles(cur, deg)
         tri_edges = tri.select(
             F.explode(
                 F.array(
@@ -1173,6 +1184,7 @@ def trussness(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 4,
+    seed_triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Truss DECOMPOSITION (VERDICT r08 #5): the maximum k such that
     each edge belongs to the k-truss — the edge-analog of k-core's
@@ -1204,7 +1216,16 @@ def trussness(
     spark = cur.sparkSession
     out = spark.createDataFrame([], "a long, b long, trussness int")
     for k in range(3, max_k + 1):
-        nxt = ktruss(cur, k=k, src="a", dst="b", max_rounds=max_rounds)
+        # Only level 3 round 1 runs on the pristine input edge set —
+        # the one enumeration a persisted layout can stand in for.
+        nxt = ktruss(
+            cur,
+            k=k,
+            src="a",
+            dst="b",
+            max_rounds=max_rounds,
+            seed_triangles=seed_triangles if k == 3 else None,
+        )
         nxt = nxt.localCheckpoint()
         peeled = cur.join(nxt, ["a", "b"], "left_anti").select(
             F.col("a").cast("long").alias("a"),
@@ -1474,6 +1495,7 @@ def harmonic_centrality(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    hops: DataFrame | None = None,
 ) -> DataFrame:
     """Landmark-estimated HARMONIC centrality (Boldi & Vigna, "Axioms
     for Centrality", Internet Math 2014 — the closeness variant that
@@ -1500,7 +1522,13 @@ def harmonic_centrality(
             "lcm(1..6)=60 exact-reciprocal rendering; raise the scale "
             "constant alongside (lcm(1..7)=420, lcm(1..10)=2520)"
         )
-    hops = landmark_hops(edges, landmarks, max_hops=max_hops, src=src, dst=dst)
+    # ``hops``: optional precomputed landmark_hops relation for EXACTLY
+    # (edges, landmarks, max_hops) — e.g. a corpus-keyed persisted
+    # layout; callers own the consistency contract.
+    if hops is None:
+        hops = landmark_hops(
+            edges, landmarks, max_hops=max_hops, src=src, dst=dst
+        )
     return (
         hops.filter(F.col("hop") >= 1)
         .groupBy("node")
@@ -1553,6 +1581,7 @@ def local_clustering(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node LOCAL clustering coefficient (Watts & Strogatz, Nature
     1998) of the undirected simple graph: for each node with degree
@@ -1568,9 +1597,14 @@ def local_clustering(
     O(√m)) exploded to its three corners for ONE partial-agg count
     per node: cost is the triangle relation, never the neighbor-pair
     relation (which is Σ d² — the quadratic trap on hub nodes).
+
+    ``triangles``: optional precomputed oriented-triangle relation for
+    EXACTLY this edge set (a persisted layout); apex labeling is
+    irrelevant here — only the three corners are read — so any
+    enumeration of the same triangle set works.
     """
     und, deg = _undirected_simple(edges, src, dst)
-    tri = _oriented_triangles(und, deg)
+    tri = triangles if triangles is not None else _oriented_triangles(und, deg)
     per_node = (
         tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
         .groupBy("node")

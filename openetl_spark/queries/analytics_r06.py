@@ -372,8 +372,15 @@ def q_graph_triangles(spark, sf_dir):
     the naive x<y<z three-way join, so the test proves the oriented
     plan ≡ the definition. All counts are exact integers; the
     clustering coefficient is one IEEE division of exact integers on
-    both engines — bit-identical without rounding."""
-    return G.triangle_stats(_layout_edges(spark, sf_dir))
+    both engines — bit-identical without rounding. r10: the triangle
+    relation reads from the corpus-keyed persisted layout
+    (_triangle_layout — a pure function of the graph, previously
+    re-enumerated by up to four consumers per bench); the oracle
+    still derives everything from lineitem."""
+    from openetl_spark.queries.analytics_r07 import _triangle_layout
+
+    tri = spark.read.parquet(_triangle_layout(spark, sf_dir))
+    return G.triangle_stats(_layout_edges(spark, sf_dir), triangles=tri)
 
 
 # ---------------------------------------------------------------------

@@ -274,6 +274,49 @@ def _graph_layout(spark, sf_dir: str) -> tuple[str, str]:
     return edges_path, edges_w_path
 
 
+def _triangle_layout(spark, sf_dir: str, core: bool = False) -> str:
+    """Get-or-build the persisted ORIENTED-TRIANGLE relation (u, a, b)
+    for one testdata corpus (VERDICT r09 #3): the static triangle set
+    is a pure function of the graph, yet graph_triangles,
+    local_clustering, and the first k-truss peel round each paid the
+    wedge self-join per invocation (~up to 4× per bench at ~10 s for
+    the full graph) — the _lpa_layout lesson (modularity 8.2 → 1.1 s)
+    applied to the triangle census. ``core=True`` enumerates over the
+    w ≥ 2 repeat-co-purchase core (the local_clustering / k-truss
+    graph), else the full co-purchase graph (graph_triangles).
+
+    Lives INSIDE the graph_cache/<corpus> root, so _graph_layout's
+    fingerprint check (lineitem row count + signature-scheme version,
+    rmtree on mismatch) governs its staleness too; the parquet
+    _SUCCESS marker is the build-complete flag. Correctness posture:
+    every consumer's oracle re-derives triangles from lineitem, so a
+    wrong artifact cannot hash-match anything (the _graph_layout
+    argument). Explicit-width write for the same scan-parallelism
+    reason as the edge relation."""
+    import os
+
+    from openetl_spark.operators import graph as G
+
+    edges_path, edges_w_path = _graph_layout(spark, sf_dir)
+    root = os.path.dirname(edges_path)
+    tri_path = os.path.join(root, "triangles_core" if core else "triangles_full")
+    if not os.path.exists(os.path.join(tri_path, "_SUCCESS")):
+        par = spark.sparkContext.defaultParallelism
+        if core:
+            edges = (
+                spark.read.parquet(edges_w_path)
+                .filter(F.col("w") >= 2)
+                .select("src", "dst")
+            )
+        else:
+            edges = spark.read.parquet(edges_path)
+        und, deg = G._undirected_simple(edges, "src", "dst")
+        G._oriented_triangles(und, deg).repartition(par).write.mode(
+            "overwrite"
+        ).parquet(tri_path)
+    return tri_path
+
+
 def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:
     """Get-or-build the persisted LPA labeling for one testdata
     corpus: run label_propagation ONCE, write the (node, label)

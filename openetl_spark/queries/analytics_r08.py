@@ -460,7 +460,10 @@ def q_ktruss_core(spark, sf_dir):
     edges for the support partial-agg; the oracle unrolls the same 4
     peels with naive common-neighbor support counts — same fixpoint,
     engine-appropriate shapes."""
-    from openetl_spark.queries.analytics_r07 import _graph_layout
+    from openetl_spark.queries.analytics_r07 import (
+        _graph_layout,
+        _triangle_layout,
+    )
 
     _, edges_w_path = _graph_layout(spark, sf_dir)
     e2 = (
@@ -468,7 +471,10 @@ def q_ktruss_core(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    return G.ktruss(e2, k=3, max_rounds=4)
+    # Round 1 peels the pristine core, whose triangle set is the
+    # persisted layout (r10); later rounds re-enumerate on survivors.
+    seed = spark.read.parquet(_triangle_layout(spark, sf_dir, core=True))
+    return G.ktruss(e2, k=3, max_rounds=4, seed_triangles=seed)
 
 
 # ---------------------------------------------------------------------

@@ -87,13 +87,18 @@ def q_trussness_parts(spark, sf_dir):
     max_k=4 cap report 4 (present at sf0.001, absent at sf0.01+). The
     oracle unrolls the identical ladder, so the capped output is
     bit-checkable either way."""
+    from openetl_spark.queries.analytics_r07 import _triangle_layout
+
     _, edges_w_path = _graph_layout(spark, sf_dir)
     e2 = (
         spark.read.parquet(edges_w_path)
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    return G.trussness(e2, max_k=4, max_rounds=6)
+    # Level 3 round 1 peels the pristine core — seed its enumeration
+    # from the persisted triangle layout (r10).
+    seed = spark.read.parquet(_triangle_layout(spark, sf_dir, core=True))
+    return G.trussness(e2, max_k=4, max_rounds=6, seed_triangles=seed)
 
 
 # ---------------------------------------------------------------------
@@ -757,9 +762,13 @@ def q_harmonic_centrality(spark, sf_dir):
     The oracle is the declarative WITH RECURSIVE fixpoint with UNION
     dedup and min(hop), so the test proves the frontier/anti-join
     rounds ≡ the definition (the bfs_hops_parts discipline with the
-    source key carried)."""
+    source key carried). r10: the hops relation reads from the
+    persisted _landmark_hops_layout; the oracle still runs the
+    recursive fixpoint from lineitem."""
     core, lm = _core_and_landmarks(spark, sf_dir)
-    return G.harmonic_centrality(core, lm, max_hops=6)
+    return G.harmonic_centrality(
+        core, lm, max_hops=6, hops=_landmark_hops_layout(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------
@@ -818,6 +827,66 @@ c{t} AS MATERIALIZED (
 cells AS ({union})"""
 
 
+def _landmark_hops_layout(spark, sf_dir: str):
+    """Get-or-build the persisted landmark-hops relation (source,
+    node, hop) for one corpus's w ≥ 2 core at max_hops=6 (r10): the
+    multi-source BFS is a pure function of (graph, landmarks), yet
+    four consumers (harmonic_centrality, hyperball_report,
+    hyperball_harmonic_report, effective_diameter_report) each paid
+    the 6-round frontier sweep per invocation (~3.5 s at sf0.1).
+    Hop-truncated sub-relations are exact filters (hop ≤ t of the
+    6-hop min-distance relation IS the t-hop relation), so one
+    artifact serves every max_hops ≤ 6 consumer. Same staleness
+    governance as _hyperball_layout (inside the graph_cache root);
+    every consumer's oracle re-derives the BFS as a WITH RECURSIVE
+    fixpoint from lineitem, so a wrong artifact cannot hash-match."""
+    import os
+
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    root = os.path.dirname(edges_path)
+    path = os.path.join(root, "landmark_hops_h6")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        core, lm = _core_and_landmarks(spark, sf_dir)
+        par = spark.sparkContext.defaultParallelism
+        G.landmark_hops(core, lm, max_hops=6).repartition(par).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _hyperball_layout(spark, sf_dir: str):
+    """Get-or-build the persisted HyperBall cell relation (t, node,
+    j, r) for one corpus's w ≥ 2 core (r10): the cells are a pure
+    function of the graph (max-merge is order-free), yet all four
+    cell consumers (hyperball_cells / hyperball_report /
+    hyperball_harmonic_report / effective_diameter_report) paid the
+    4-round max-merge sweep per invocation (~5 s each at sf0.1) —
+    the _triangle_layout discipline applied to the sketch state.
+    Lives inside the graph_cache/<corpus> root, so _graph_layout's
+    fingerprint check (rmtree on staleness) governs it; parquet
+    _SUCCESS is the build-complete marker. Every consumer's oracle
+    re-derives the cells from lineitem via the unrolled MATERIALIZED
+    CTEs, so a wrong artifact cannot hash-match. Returns the cells
+    DataFrame."""
+    import os
+
+    from openetl_spark.operators import sketches as SK
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    root = os.path.dirname(edges_path)
+    path = os.path.join(root, f"hyperball_h{_HB_HOPS}_p{_HB_P}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        core, _ = _core_and_landmarks(spark, sf_dir)
+        par = spark.sparkContext.defaultParallelism
+        SK.hyperball(core, hops=_HB_HOPS, p=_HB_P).repartition(
+            par
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @query(
     "hyperball_cells",
     f"""
@@ -838,11 +907,11 @@ def q_hyperball_cells(spark, sf_dir):
     60-bit md5 arithmetic with the rounds unrolled as MATERIALIZED
     CTEs (the hll_cells FULL-oracle discipline). Output filtered to
     the 16 landmark nodes to keep the driver compare bounded; the
-    merge sweep itself runs over the FULL core."""
-    core, lm = _core_and_landmarks(spark, sf_dir)
-    from openetl_spark.operators import sketches as SK
-
-    cells = SK.hyperball(core, hops=_HB_HOPS, p=_HB_P)
+    merge sweep itself runs over the FULL core. r10: the cells read
+    from the persisted corpus-keyed layout (_hyperball_layout); the
+    oracle still re-derives every register from lineitem."""
+    _, lm = _core_and_landmarks(spark, sf_dir)
+    cells = _hyperball_layout(spark, sf_dir)
     return cells.join(lm, "node").select("t", "node", "j", "r")
 
 
@@ -897,13 +966,16 @@ def q_hyperball_report(spark, sf_dir):
     the one-ulp float-summation-order difference, while an estimator
     bug — wrong α, missing branch, rho off-by-one — flips them red).
     The effective-diameter readout is the smallest t with est(t) ≥
-    0.9·est(hops), left as arithmetic over these rows."""
+    0.9·est(hops), left as arithmetic over these rows (and r10's
+    effective_diameter_report). r10: cells from _hyperball_layout."""
     core, lm = _core_and_landmarks(spark, sf_dir)
     from openetl_spark.operators import sketches as SK
 
-    cells = SK.hyperball(core, hops=_HB_HOPS, p=_HB_P).join(lm, "node")
+    cells = _hyperball_layout(spark, sf_dir).join(lm, "node")
     est = SK.hll_estimate(cells, p=_HB_P, keys=["t", "node"])
-    hops = G.landmark_hops(core, lm, max_hops=_HB_HOPS)
+    hops = _landmark_hops_layout(spark, sf_dir).filter(
+        F.col("hop") <= _HB_HOPS
+    )
     ts = spark.range(_HB_HOPS + 1).select(F.col("id").cast("int").alias("t"))
     exact = (
         hops.crossJoin(F.broadcast(ts))
@@ -1136,9 +1208,14 @@ def q_local_clustering(spark, sf_dir):
     scans; the oracle IS that naive form (adjacent neighbor pairs per
     node), so the test proves oriented ≡ definitional. d and tri are
     exact bigints; lcc = 2·tri/(d·(d−1)) is one IEEE division of
-    exact integers — bit-identical cross-engine."""
+    exact integers — bit-identical cross-engine. r10: the triangle
+    relation reads from the persisted core layout (_triangle_layout);
+    the oracle still re-derives from lineitem."""
+    from openetl_spark.queries.analytics_r07 import _triangle_layout
+
     core, _ = _core_and_landmarks(spark, sf_dir)
-    return G.local_clustering(core)
+    tri = spark.read.parquet(_triangle_layout(spark, sf_dir, core=True))
+    return G.local_clustering(core, triangles=tri)
 
 
 @query(
@@ -1476,9 +1553,91 @@ v{t} AS MATERIALIZED (
     return sql + "\n" + "\nUNION ALL ".join(steps) + "\n"
 
 
+def _node2vec_walk_ctes(length: int, seed: int, wr: int, ws: int, wo: int) -> str:
+    """The _node2vec_oracle CTE chain re-expressed to END in a
+    ``walks(walker, step, node)`` relation (r10 — the
+    _random_walks_ctes single-source discipline), so the biased
+    corpus oracle and the biased skip-gram pair oracle share one
+    derivation. The step CTEs are textually identical to
+    _node2vec_oracle's; only the final UNION moves inside a CTE."""
+    body = _node2vec_oracle(length, seed, wr, ws, wo)
+    # The oracle text is "<CTE chain>\n<UNION of step selects>\n";
+    # the chain's last line is the closing "  WHERE rn = 1)".
+    marker = "  WHERE rn = 1)\n"
+    cut = body.rindex(marker) + len(marker)
+    head, union = body[:cut], body[cut:]
+    return head.rstrip("\n") + ",\nwalks AS (\n" + union.strip() + "\n)"
+
+
+# Process-local memo (the _WALKS_VERIFIED discipline).
+_N2V_VERIFIED: set[str] = set()
+
+
+def _node2vec_layout(spark, sf_dir: str) -> str:
+    """Get-or-build the persisted BIASED (node2vec) walk corpus for
+    one testdata corpus (VERDICT r09 #6): the second-order walks are
+    a pure function of (graph, starts, seed, weights), yet the
+    corpus query re-ran the 4-step frontier⋈edges +
+    adjacency-classification loop per invocation (~4-6 s at sf0.1),
+    and landing the skip-gram consumer would have doubled that — the
+    _walks_layout offline-sample/online-train posture applied to the
+    biased corpus. Both consumers' oracles re-derive every step
+    (including the classification join and replication draws) from
+    lineitem/part, so a stale artifact cannot hash-match."""
+    import json
+    import os
+    import shutil
+
+    repo = _repo_root()
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(repo, "spark-warehouse", "walks_cache", key)
+    walks_path = os.path.join(root, "n2v_walks")
+    meta_path = os.path.join(root, "n2v_meta.json")
+    want = {
+        "length": _N2V_LEN,
+        "seed": _N2V_SEED,
+        "weights": [_N2V_WR, _N2V_WS, _N2V_WO],
+    }
+    if os.path.exists(meta_path) and key not in _N2V_VERIFIED:
+        meta = json.load(open(meta_path))
+        rows = load(spark, sf_dir, "lineitem").count()
+        parts = load(spark, sf_dir, "part").count()
+        if (
+            meta.get("lineitem_rows") != rows
+            or meta.get("part_rows") != parts
+            or {k: meta.get(k) for k in want} != want
+        ):
+            shutil.rmtree(walks_path, ignore_errors=True)
+            os.remove(meta_path)
+    if not os.path.exists(meta_path):
+        edges_path, _ = _graph_layout(spark, sf_dir)
+        edges = spark.read.parquet(edges_path)
+        starts = (
+            load(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#13")
+            .select("p_partkey")
+        )
+        G.node2vec_walks(
+            edges, starts, length=_N2V_LEN, seed=_N2V_SEED,
+            w_return=_N2V_WR, w_stay=_N2V_WS, w_out=_N2V_WO,
+        ).write.mode("overwrite").parquet(walks_path)
+        os.makedirs(root, exist_ok=True)
+        json.dump(
+            {
+                **want,
+                "lineitem_rows": load(spark, sf_dir, "lineitem").count(),
+                "part_rows": load(spark, sf_dir, "part").count(),
+            },
+            open(meta_path, "w"),
+        )
+    _N2V_VERIFIED.add(key)
+    return walks_path
+
+
 @query(
     "node2vec_walks",
-    _node2vec_oracle(_N2V_LEN, _N2V_SEED, _N2V_WR, _N2V_WS, _N2V_WO),
+    _node2vec_walk_ctes(_N2V_LEN, _N2V_SEED, _N2V_WR, _N2V_WS, _N2V_WO)
+    + "\nSELECT walker, step, node FROM walks\n",
 )
 def q_node2vec_walks(spark, sf_dir):
     """C140: second-order node2vec walks from every Brand#13 part
@@ -1492,18 +1651,38 @@ def q_node2vec_walks(spark, sf_dir):
     DuckDB's unrolled rendering, reproducible across retries and
     partitionings, which no rand()-based biased sampler is. Per step
     one frontier⋈edges join + one adjacency-classification LEFT join
-    + a bounded explode + a min_by partial agg."""
-    edges_path, _ = _graph_layout(spark, sf_dir)
-    edges = spark.read.parquet(edges_path)
-    starts = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#13")
-        .select("p_partkey")
-    )
-    return G.node2vec_walks(
-        edges, starts, length=_N2V_LEN, seed=_N2V_SEED,
-        w_return=_N2V_WR, w_stay=_N2V_WS, w_out=_N2V_WO,
-    )
+    + a bounded explode + a min_by partial agg. r10: the biased
+    corpus persists once per corpus (_node2vec_layout — the
+    _walks_layout posture); the oracle still re-derives every step
+    including the classification join."""
+    return spark.read.parquet(_node2vec_layout(spark, sf_dir))
+
+
+@query(
+    "node2vec_skipgram_pairs",
+    _node2vec_walk_ctes(_N2V_LEN, _N2V_SEED, _N2V_WR, _N2V_WS, _N2V_WO)
+    + """
+SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS n
+FROM walks a JOIN walks b
+  ON a.walker = b.walker AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+""",
+)
+def q_node2vec_skipgram_pairs(spark, sf_dir):
+    """C144: the skip-gram (center, context) training-pair counts
+    over the BIASED node2vec corpus (VERDICT r09 #6's second half —
+    the first-order corpus had its pair consumer in r09, the biased
+    one now reads from its artifact the same way): one walker-keyed
+    self-join + partial-agg count within a ±2-step window over the
+    persisted _node2vec_layout corpus, so the second-order training
+    set is read-from-artifact end-to-end and bit-reproducible across
+    engines. The oracle re-derives the biased walks from lineitem
+    (every replication draw and classification join) via the SHARED
+    _node2vec_walk_ctes fragment, then applies the identical pair
+    window."""
+    walks = spark.read.parquet(_node2vec_layout(spark, sf_dir))
+    return G.walk_skipgram_pairs(walks, window=2)
 
 
 @query(
@@ -1736,11 +1915,11 @@ def q_hyperball_harmonic_report(spark, sf_dir):
     itself stays OUT of the hashed columns (a 4-term float sum's
     addition order is engine-unpinned — the hll_distinct_report
     discipline: booleans tolerate the ulp, hashed columns never carry
-    it)."""
+    it). r10: cells from the persisted _hyperball_layout."""
     core, lm = _core_and_landmarks(spark, sf_dir)
     from openetl_spark.operators import sketches as SK
 
-    cells = SK.hyperball(core, hops=_HB_HOPS, p=_HB_P).join(lm, "node")
+    cells = _hyperball_layout(spark, sf_dir).join(lm, "node")
     est = SK.hll_estimate(cells, p=_HB_P, keys=["t", "node"])
     e1 = est.select("node", "t", F.col("estimate").alias("_e1"))
     e0 = est.select(
@@ -1753,7 +1932,9 @@ def q_hyperball_harmonic_report(spark, sf_dir):
             F.sum((F.col("_e1") - F.col("_e0")) / F.col("t")).alias("_h")
         )
     )
-    hops = G.landmark_hops(core, lm, max_hops=_HB_HOPS)
+    hops = _landmark_hops_layout(spark, sf_dir).filter(
+        F.col("hop") <= _HB_HOPS
+    )
     exact = (
         hops.filter(F.col("hop") >= 1)
         .groupBy(F.col("source").alias("node"))

@@ -1,0 +1,587 @@
+"""Round-10 analytics queries: the neighborhood-function /
+effective-diameter report off the HyperBall cells (VERDICT r09 #7),
+DSIR re-targeting (#4), hierarchical Mondrian (#5), and the biased
+(node2vec) walk-corpus consumers (#6).
+
+Reference parity note: the reference (OpenETL, TypeScript) has no
+analytics engine — these are build-extension components mandated by
+the driver brief (LLM-scale curation/graph analytics), implemented
+Spark-first with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openetl_spark.operators import graph as G
+from openetl_spark.operators import sketches as SK  # noqa: F401
+from openetl_spark.queries.base import query
+from openetl_spark.queries.analytics_r09 import (
+    _CORE_LM_CTES,
+    _HB_ALPHA,
+    _HB_HOPS,
+    _HB_M,
+    _HB_P,
+    _core_and_landmarks,
+    _hyperball_cells_sql,
+    _hyperball_layout,
+    _landmark_hops_layout,
+)
+
+
+# ---------------------------------------------------------------------
+# C141 — neighborhood function N(t) + 90% effective diameter from the
+# HyperBall cells (Boldi-Vigna's headline statistic: the "four degrees
+# of separation" number). Cells-only arithmetic over the persisted
+# layout; exact landmark pinning behind bounded booleans.
+# ---------------------------------------------------------------------
+
+
+@query(
+    "effective_diameter_report",
+    f"""
+    WITH RECURSIVE {_CORE_LM_CTES},
+    {_hyperball_cells_sql()},
+    walk(source, node, hop) AS (
+      SELECT node, node, 0 FROM lm
+      UNION
+      SELECT w.source, s.v, w.hop + 1
+      FROM walk w JOIN sym s ON w.node = s.u
+      WHERE w.hop < {_HB_HOPS}),
+    d AS (SELECT source, node, min(hop) AS hop FROM walk GROUP BY 1, 2),
+    nlm AS (
+      SELECT t.t, CAST(count(*) FILTER (WHERE hop <= t.t) AS BIGINT)
+               AS n_lm_exact
+      FROM d, UNNEST(generate_series(0, {_HB_HOPS})) AS t(t)
+      GROUP BY 1),
+    n4 AS (SELECT n_lm_exact AS n4 FROM nlm WHERE t = {_HB_HOPS}),
+    teffx AS (
+      SELECT CAST(min(t) AS INT) AS tx
+      FROM nlm, n4 WHERE 10 * n_lm_exact >= 9 * n4),
+    est AS (
+      SELECT t, node, CAST(count(*) AS BIGINT) AS n_set,
+             sum(power(2.0, -r)) AS s
+      FROM cells GROUP BY 1, 2),
+    fin AS (
+      SELECT t, node, n_set,
+             CASE WHEN {_HB_ALPHA} * {_HB_M} * {_HB_M} / (s + ({_HB_M} - n_set))
+                       <= 2.5 * {_HB_M} AND n_set < {_HB_M}
+                  THEN {_HB_M}.0 * ln({_HB_M}.0 / ({_HB_M} - n_set))
+                  ELSE {_HB_ALPHA} * {_HB_M} * {_HB_M} / (s + ({_HB_M} - n_set))
+                  END AS estimate
+      FROM est),
+    nf AS (SELECT t, sum(estimate) AS nfv FROM fin GROUP BY 1),
+    nfmax AS (SELECT nfv AS nmax FROM nf WHERE t = {_HB_HOPS}),
+    teffe AS (
+      SELECT CAST(min(t) AS INT) AS te
+      FROM nf, nfmax WHERE nfv >= CAST(0.9 AS DOUBLE) * nmax),
+    nset AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_set_lm
+      FROM cells JOIN lm USING (node) GROUP BY 1),
+    elm AS (
+      SELECT t, sum(estimate) AS est_lm
+      FROM fin JOIN lm USING (node) GROUP BY 1)
+    SELECT n.t, n.n_lm_exact,
+           10 * n.n_lm_exact >= 9 * n4.n4 AS ge90_exact,
+           teffx.tx AS t_eff_exact,
+           ns.n_set_lm,
+           abs(elm.est_lm - n.n_lm_exact)
+             <= CAST(0.39 AS DOUBLE) * n.n_lm_exact + CAST(48 AS DOUBLE)
+             AS within_bound,
+           abs(teffe.te - teffx.tx) <= 1 AS eff_close
+    FROM nlm n
+    JOIN nset ns ON ns.t = n.t
+    JOIN elm ON elm.t = n.t, n4, teffx, teffe
+    """,
+)
+def q_effective_diameter_report(spark, sf_dir):
+    """C141: the neighborhood function N(t) = Σ_v |B_t(v)| and the
+    90% effective diameter (the smallest t with N(t) ≥ 0.9·N(t_max))
+    read off the persisted HyperBall cells — Boldi-Vigna's headline
+    statistic, priced from the V·2^p cell relation where the exact
+    curve needs all-pairs distances (quadratic). One row per hop
+    t = 0..{hops}:
+
+    - ``n_lm_exact``: Σ over the 16 landmarks of the EXACT ball size
+      |B_t(lm)| (the C134 multi-source BFS — bigint, hash-pinned);
+    - ``ge90_exact`` / ``t_eff_exact``: the landmark-exact 90% curve
+      via integer cross-multiplication 10·N(t) ≥ 9·N(max) — no float
+      ever decides them, so they hash bit-exact;
+    - ``n_set_lm``: landmark register occupancy (pure cell count);
+    - ``within_bound``: the summed landmark estimates land within
+      39% + a 48-count floor (16 landmarks × the 3-count tiny-ball
+      floor — the hyperball_report per-landmark band, summed);
+    - ``eff_close``: the CORPUS-WIDE estimated effective diameter
+      (from N̂(t) over every node's ball estimate — the statistic
+      you'd actually publish at 100 TB) sits within ±1 hop of the
+      landmark-exact one. The float N̂ curve itself stays OUT of the
+      hashed columns (sum order is engine-unpinned); a one-ulp
+      difference at the 0.9 threshold moves t_eff by at most one
+      hop, which the ±1 band absorbs — the bounded-boolean
+      discipline.
+
+    Scale story: everything here is arithmetic over the persisted
+    cells (≤ V·2^p rows) + one landmark BFS for the pin; at 100× you
+    drop the exact arm and keep the cells-only curve."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    cells = _hyperball_layout(spark, sf_dir)
+    # Materialized once: both the corpus-wide N̂(t) curve and the
+    # landmark pin read this (t, node)-sized relation.
+    est_all = SK.hll_estimate(
+        cells, p=_HB_P, keys=["t", "node"]
+    ).localCheckpoint()
+    nf = est_all.groupBy("t").agg(F.sum("estimate").alias("_nf"))
+    nfmax = nf.filter(F.col("t") == _HB_HOPS).select(
+        F.col("_nf").alias("_nmax")
+    )
+    teff_est = (
+        nf.crossJoin(F.broadcast(nfmax))
+        .filter(F.col("_nf") >= 0.9 * F.col("_nmax"))
+        .agg(F.min("t").cast("int").alias("_te"))
+    )
+    hops = _landmark_hops_layout(spark, sf_dir).filter(
+        F.col("hop") <= _HB_HOPS
+    )
+    ts = spark.range(_HB_HOPS + 1).select(F.col("id").cast("int").alias("t"))
+    nlm = (
+        hops.crossJoin(F.broadcast(ts))
+        .filter(F.col("hop") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lm_exact"))
+    )
+    n4 = nlm.filter(F.col("t") == _HB_HOPS).select(
+        F.col("n_lm_exact").alias("_n4")
+    )
+    base = nlm.crossJoin(F.broadcast(n4))
+    teff_exact = (
+        base.filter(10 * F.col("n_lm_exact") >= 9 * F.col("_n4"))
+        .agg(F.min("t").cast("int").alias("_tx"))
+    )
+    nset = (
+        cells.join(lm, "node")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_set_lm"))
+    )
+    elm = (
+        est_all.join(lm, "node")
+        .groupBy("t")
+        .agg(F.sum("estimate").alias("_est_lm"))
+    )
+    return (
+        base.join(nset, "t")
+        .join(elm, "t")
+        .crossJoin(F.broadcast(teff_exact))
+        .crossJoin(F.broadcast(teff_est))
+        .select(
+            "t",
+            "n_lm_exact",
+            (10 * F.col("n_lm_exact") >= 9 * F.col("_n4")).alias(
+                "ge90_exact"
+            ),
+            F.col("_tx").alias("t_eff_exact"),
+            "n_set_lm",
+            (
+                F.abs(F.col("_est_lm") - F.col("n_lm_exact"))
+                <= 0.39 * F.col("n_lm_exact") + 48.0
+            ).alias("within_bound"),
+            (F.abs(F.col("_te") - F.col("_tx")) <= 1).alias("eff_close"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# C142 — DSIR re-targeting (VERDICT r09 #4): the bucketed feature
+# relation is target-agnostic, so swapping the target slice is ONE new
+# persisted dictionary — here target = the Gopher-quality-pass
+# documents (a QUALITY target) next to r09's lang='en' (a DOMAIN
+# target). Plus the mixture-reweighting report composing the selection
+# with the domain_mix quota arithmetic.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import curation as C  # noqa: E402
+from openetl_spark.operators import text as X  # noqa: E402
+from openetl_spark.queries.base import load  # noqa: E402
+from openetl_spark.queries.analytics_r07 import _repo_root  # noqa: E402
+from openetl_spark.queries.analytics_r09 import (  # noqa: E402
+    _DSIR_B,
+    _doc_sig,
+    _dsir_layout,
+    DOC_SIG_SQL,
+    DSIR_ORACLE_RATIOS,
+)
+
+DSIR_ORACLE_RATIOS_GOPHER = (
+    "{}/spark-warehouse/dsir_cache/ratios_gopher_oracle.parquet".format(
+        _repo_root()
+    )
+)
+
+# The feature derivation shared by dsir_scores and dsir_retarget —
+# identical text→bucket arithmetic in DuckDB (kept in lockstep with
+# the r09 dsir_scores oracle fragment).
+_DSIR_FEAT_SQL = f"""toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    uni AS (SELECT doc_id, unnest(w) AS g FROM toks),
+    big AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {_DSIR_B} AS b,
+             count(*) AS f
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+      GROUP BY 1, 2)"""
+
+
+def _dsir_gopher_layout(spark, sf_dir):
+    """Get-or-build the SECOND persisted DSIR dictionary for one
+    corpus: target = the Gopher-quality-pass slice (text.
+    gopher_quality_flags keep=true — a deterministic QUALITY target
+    where r09's is a DOMAIN target), source = the full corpus. Same
+    fit machinery and artifact discipline as _dsir_layout (B-sized
+    boundary collect, integer micro-nat ratios, md5-XOR corpus-digest
+    key, atomic upsert); separate parquet so the two dictionaries can
+    never cross-contaminate a read. Returns the (b, r_unats)
+    DataFrame."""
+    import os
+
+    import pandas as pd
+
+    sig = _doc_sig(spark, sf_dir)
+    path = DSIR_ORACLE_RATIOS_GOPHER
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        mine = old[(old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B)]
+        if len(mine) == _DSIR_B:
+            return spark.createDataFrame(
+                mine[["b", "r_unats"]].astype("int64")
+            )
+    d = load(spark, sf_dir, "documents")
+    feats = C.dsir_features(d, n_buckets=_DSIR_B)
+    target = (
+        X.gopher_quality_flags(d, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    totals = C.dsir_bucket_totals(feats, target).collect()
+    ratios = C.dsir_log_ratios(totals, _DSIR_B)
+    rows = pd.DataFrame(ratios, columns=["b", "r_unats"])
+    rows.insert(0, "corpus_sig", sig)
+    rows.insert(1, "n_buckets", _DSIR_B)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        keep = old[~((old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B))]
+        rows = pd.concat([keep, rows], ignore_index=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    rows.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return spark.createDataFrame(
+        [(int(b), int(r)) for b, r in ratios], "b bigint, r_unats bigint"
+    )
+
+
+@query(
+    "dsir_retarget",
+    f"""
+    WITH {_DSIR_FEAT_SQL},
+    r_en AS (
+      SELECT b, r_unats FROM read_parquet('{DSIR_ORACLE_RATIOS}')
+      WHERE corpus_sig = ({DOC_SIG_SQL}) AND n_buckets = {_DSIR_B}),
+    r_go AS (
+      SELECT b, r_unats FROM read_parquet('{DSIR_ORACLE_RATIOS_GOPHER}')
+      WHERE corpus_sig = ({DOC_SIG_SQL}) AND n_buckets = {_DSIR_B}),
+    sc AS (
+      SELECT f.doc_id,
+             CAST(sum(f.f) AS BIGINT) AS n_feats,
+             CAST(sum(f.f * e.r_unats) AS BIGINT) AS score_en_unats,
+             CAST(sum(f.f * g.r_unats) AS BIGINT) AS score_gopher_unats
+      FROM feat f JOIN r_en e USING (b) JOIN r_go g USING (b)
+      GROUP BY 1)
+    SELECT doc_id, n_feats, score_en_unats, score_gopher_unats,
+           score_gopher_unats - score_en_unats AS retarget_shift_unats,
+           score_gopher_unats > 0 AS selected_gopher
+    FROM sc
+    """,
+)
+def q_dsir_retarget(spark, sf_dir):
+    """C142: DSIR re-targeting — the same hashed feature relation
+    scored against TWO persisted dictionaries (r09's lang='en' domain
+    target and this round's Gopher-quality-pass target), per document
+    in exact bigint micro-nats, with the re-targeting shift
+    score_gopher − score_en exposed (how much the target swap
+    re-ranks each document). The fit is one extra B-sized driver
+    collect per corpus; scoring stays one explode + partial aggs with
+    both dictionaries broadcast at kilobytes — re-targeting at 100 TB
+    costs one dictionary fit, NOT a corpus re-featurization. Oracle
+    re-derives every feature from raw text and reads the SAME two
+    artifacts, so the whole relation is hash-exact (the one float ln
+    lives upstream of the shared integers)."""
+    d = load(spark, sf_dir, "documents")
+    r_en = _dsir_layout(spark, sf_dir)
+    r_go = _dsir_gopher_layout(spark, sf_dir)
+    feats = C.dsir_features(d, n_buckets=_DSIR_B)
+    return (
+        feats.join(F.broadcast(r_en.withColumnRenamed("r_unats", "_re")), "b")
+        .join(F.broadcast(r_go.withColumnRenamed("r_unats", "_rg")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_feats"),
+            F.sum(F.col("f") * F.col("_re")).cast("bigint").alias("score_en_unats"),
+            F.sum(F.col("f") * F.col("_rg")).cast("bigint").alias("score_gopher_unats"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "score_en_unats",
+            "score_gopher_unats",
+            (F.col("score_gopher_unats") - F.col("score_en_unats")).alias(
+                "retarget_shift_unats"
+            ),
+            (F.col("score_gopher_unats") > 0).alias("selected_gopher"),
+        )
+    )
+
+
+# Integer mixture weights in percent (the domain_mix_sample target
+# rendered exact): quota arithmetic below is pure bigint.
+_MIX_PCT = {"en": 50, "de": 20, "es": 15, "fr": 15}
+
+
+@query(
+    "dsir_mixture_report",
+    f"""
+    WITH {_DSIR_FEAT_SQL},
+    r_go AS (
+      SELECT b, r_unats FROM read_parquet('{DSIR_ORACLE_RATIOS_GOPHER}')
+      WHERE corpus_sig = ({DOC_SIG_SQL}) AND n_buckets = {_DSIR_B}),
+    sc AS (
+      SELECT f.doc_id,
+             CAST(sum(f.f * g.r_unats) AS BIGINT) AS score
+      FROM feat f JOIN r_go g USING (b)
+      GROUP BY 1),
+    per AS (
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE s.score > 0) AS BIGINT) AS n_selected
+      FROM documents d JOIN sc s USING (doc_id)
+      GROUP BY 1),
+    tot AS (SELECT sum(n_selected) AS n_sel_total FROM per),
+    mix(lang, pct) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_PCT.items())})
+    SELECT p.lang, p.n_docs, p.n_selected,
+           CAST(coalesce(m.pct, 0) AS BIGINT) AS target_pct,
+           CAST((t.n_sel_total * coalesce(m.pct, 0)) // 100 AS BIGINT) AS quota,
+           CAST((t.n_sel_total * coalesce(m.pct, 0)) // 100 - p.n_selected
+                AS BIGINT) AS deficit
+    FROM per p LEFT JOIN mix m USING (lang), tot t
+    """,
+)
+def q_dsir_mixture_report(spark, sf_dir):
+    """C142b: the mixture-reweighting composition — per language, how
+    the Gopher-target DSIR selection stacks against the
+    domain_mix_sample target mixture ({en: 50%, de: 20%, es: 15%,
+    fr: 15%}, carried as INTEGER percents): n_selected per lang, the
+    quota ⌊n_sel_total·pct/100⌋ the mixture would allot, and the
+    deficit (negative = the language over-fills its quota and
+    downstream mixing down-samples it; positive = it under-fills and
+    the mixture must up-weight). Every column is exact bigint
+    arithmetic — quota by integer cross-multiplication, never a float
+    share. The composed pipeline (DSIR gate → domain quota) is the
+    paper's "select then match the mixture" recipe as one relation."""
+    d = load(spark, sf_dir, "documents")
+    r_go = _dsir_gopher_layout(spark, sf_dir)
+    feats = C.dsir_features(d, n_buckets=_DSIR_B)
+    sc = (
+        feats.join(F.broadcast(r_go), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("r_unats")).cast("bigint").alias("_s"))
+    )
+    per = (
+        d.select("doc_id", "lang")
+        .join(sc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+        )
+    )
+    tot = per.agg(F.sum("n_selected").alias("_t"))
+    mix = per.sparkSession.createDataFrame(
+        list(_MIX_PCT.items()), "lang string, _pct int"
+    )
+    return (
+        per.join(F.broadcast(mix), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            F.coalesce(F.col("_pct"), F.lit(0))
+            .cast("bigint")
+            .alias("target_pct"),
+            F.expr("_t * coalesce(_pct, 0) div 100")
+            .cast("bigint")
+            .alias("quota"),
+            (
+                F.expr("_t * coalesce(_pct, 0) div 100") - F.col("n_selected")
+            )
+            .cast("bigint")
+            .alias("deficit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# C143 — hierarchical Mondrian (VERDICT r09 #5): the categorical
+# generalization-taxonomy walk next to C139's numeric median cut,
+# over the real TPC-H taxonomy nation → region → ALL.
+# ---------------------------------------------------------------------
+
+_MH_K = 12
+_MH_DEPTH = 3
+
+
+def mondrian_hier_oracle(k: int, depth: int) -> str:
+    """The mixed numeric+categorical greedy loop unrolled: per level,
+    per leaf — stats, the exact-integer width pick over the common
+    denominator H·R1 (ties to the categorical dimension — Spark's
+    array_position first-max), the multiway taxonomy descent with the
+    strict per-child k-guard, the numeric lower-median cut, and the
+    frozen all-zero-width arm. State relations carry
+    (id, d1, cat, leaf, lvl) exactly like the operator."""
+    base = """
+WITH base AS MATERIALIZED (
+  SELECT c_custkey AS id,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS d1,
+         CAST(c_nationkey AS BIGINT) AS cat
+  FROM customer),
+anc AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS value, 1 AS alvl,
+         CAST(n_regionkey AS BIGINT) AS child FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), 2, CAST(n_nationkey AS BIGINT)
+  FROM nation),
+rg AS (SELECT greatest(max(d1) - min(d1), 1) AS r1 FROM base),
+cur0 AS MATERIALIZED (
+  SELECT id, d1, cat, 'r' AS leaf, 0 AS lvl FROM base)"""
+    prev = "cur0"
+    for i in range(1, depth + 1):
+        base += f""",
+st{i} AS (
+  SELECT leaf, count(*) AS n, max(lvl) AS l,
+         min(d1) AS mn1, max(d1) AS mx1
+  FROM {prev} GROUP BY 1),
+pk{i} AS (
+  SELECT leaf, n,
+         CASE WHEN greatest((2 - l) * (SELECT r1 FROM rg),
+                            (mx1 - mn1) * 2) <= 0 THEN 0
+              WHEN (2 - l) * (SELECT r1 FROM rg) >= (mx1 - mn1) * 2
+              THEN 1 ELSE 2 END AS dim
+  FROM st{i}),
+cr{i} AS (
+  SELECT c.id, c.d1, c.cat, c.leaf, c.lvl, a.child
+  FROM {prev} c
+  JOIN pk{i} p USING (leaf)
+  JOIN anc a ON a.value = c.cat AND a.alvl = c.lvl + 1
+  WHERE p.dim = 1),
+cg{i} AS (
+  SELECT leaf, min(cnt) AS cmin, count(*) AS nch
+  FROM (SELECT leaf, child, count(*) AS cnt FROM cr{i} GROUP BY 1, 2)
+  GROUP BY 1),
+ccur{i} AS (
+  SELECT c.id, c.d1, c.cat,
+         CASE WHEN g.cmin >= {k} AND g.nch >= 2
+              THEN c.leaf || '/' || CAST(c.child AS VARCHAR)
+              ELSE c.leaf END AS leaf,
+         CASE WHEN g.cmin >= {k} AND g.nch >= 2
+              THEN c.lvl + 1 ELSE c.lvl END AS lvl
+  FROM cr{i} c JOIN cg{i} g USING (leaf)),
+vl{i} AS (
+  SELECT c.id, c.d1, c.cat, c.leaf, c.lvl, c.d1 AS val, p.n
+  FROM {prev} c JOIN pk{i} p USING (leaf)
+  WHERE p.dim = 2),
+md{i} AS (
+  SELECT leaf, val AS m FROM (
+    SELECT leaf, val, n,
+           row_number() OVER (PARTITION BY leaf ORDER BY val, id) AS rn
+    FROM vl{i}) t
+  WHERE rn = (n + 1) // 2),
+ct{i} AS (
+  SELECT v.leaf,
+         sum(CASE WHEN v.val <= m.m THEN 1 ELSE 0 END) AS ln,
+         max(v.n) AS n
+  FROM vl{i} v JOIN md{i} m USING (leaf) GROUP BY 1),
+ncur{i} AS (
+  SELECT v.id, v.d1, v.cat,
+         CASE WHEN c.ln >= {k} AND c.n - c.ln >= {k}
+              THEN v.leaf || (CASE WHEN v.val <= m.m THEN 'L' ELSE 'R' END)
+              ELSE v.leaf END AS leaf,
+         v.lvl
+  FROM vl{i} v JOIN md{i} m USING (leaf) JOIN ct{i} c ON c.leaf = v.leaf),
+cur{i} AS MATERIALIZED (
+  SELECT c.id, c.d1, c.cat, c.leaf, c.lvl
+  FROM {prev} c JOIN pk{i} p USING (leaf) WHERE p.dim = 0
+  UNION ALL SELECT * FROM ccur{i}
+  UNION ALL SELECT * FROM ncur{i})"""
+        prev = f"cur{i}"
+    return base + f"""
+SELECT leaf, CAST(count(*) AS BIGINT) AS n,
+       min(d1) AS bal_lo, max(d1) AS bal_hi,
+       min(cat) AS nat_lo, max(cat) AS nat_hi,
+       CAST(max(lvl) AS INT) AS glevel
+FROM {prev} GROUP BY 1
+"""
+
+
+@query("mondrian_hierarchical", mondrian_hier_oracle(_MH_K, _MH_DEPTH))
+def q_mondrian_hierarchical(spark, sf_dir):
+    """C143: Mondrian k-anonymization with the nation → region → ALL
+    generalization hierarchy (operators/curation.mondrian_hierarchical,
+    k=12, depth=3) over customer (balance in cents × nationality):
+    the categorical dimension generalizes by TAXONOMY DESCENT —
+    publish the region instead of the nation — taken only when every
+    child subtree keeps ≥ k records (the strict multiway guard),
+    while the numeric dimension keeps C139's lower-median cut; the
+    per-leaf width pick is exact-integer cross-multiplication over
+    the common H·R denominator with ties to the categorical
+    dimension. The hierarchy is a RELATION (value, level, anc)
+    derived from the nation table — the taxonomy is data, not code,
+    so swapping in a product or geography tree is a different input,
+    not a different operator. Region table: leaf path (child
+    ancestors embedded), count, balance/nation bounds, and the
+    generalization level reached — all bigint/string, hash-exact; the
+    oracle unrolls the identical loop including which arm every leaf
+    takes."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("d1"),
+        F.col("c_nationkey").cast("bigint").alias("cat"),
+    )
+    nat = load(spark, sf_dir, "nation")
+    hier = nat.select(
+        F.col("n_nationkey").cast("bigint").alias("value"),
+        F.lit(1).cast("int").alias("level"),
+        F.col("n_regionkey").cast("bigint").alias("anc"),
+    ).unionByName(
+        nat.select(
+            F.col("n_nationkey").cast("bigint").alias("value"),
+            F.lit(2).cast("int").alias("level"),
+            F.col("n_nationkey").cast("bigint").alias("anc"),
+        )
+    )
+    out = C.mondrian_hierarchical(
+        cust, ["d1"], "cat", hier, "id", k_min=_MH_K, depth=_MH_DEPTH
+    )
+    return out.groupBy(F.col("_leaf").alias("leaf")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("d1").alias("bal_lo"),
+        F.max("d1").alias("bal_hi"),
+        F.min("cat").alias("nat_lo"),
+        F.max("cat").alias("nat_hi"),
+        F.max("_lvl").cast("int").alias("glevel"),
+    )

@@ -1083,6 +1083,145 @@ def test_mondrian_degenerate_dimension_freezes(spark):
     assert {r["_leaf"] for r in out.collect()} == {"r"}
 
 
+def _mondrian_hier_py(rows, hier, h_max, k, depth):
+    """Independent level-synchronous hierarchical Mondrian:
+    rows = (id, d1, cat); hier = {(value, level): anc}."""
+    r1 = max(max(r[1] for r in rows) - min(r[1] for r in rows), 1)
+    leaves = {"r": (list(rows), 0)}
+    for _ in range(depth):
+        nxt = {}
+        for leaf, (rs, lvl) in leaves.items():
+            mn1, mx1 = min(r[1] for r in rs), max(r[1] for r in rs)
+            kc = (h_max - lvl) * r1
+            kn = (mx1 - mn1) * h_max
+            if max(kc, kn) <= 0:
+                nxt[leaf] = (rs, lvl)
+                continue
+            if kc >= kn:  # categorical descent (ties to cat)
+                groups = {}
+                for r in rs:
+                    groups.setdefault(hier[(r[2], lvl + 1)], []).append(r)
+                if len(groups) >= 2 and all(len(g) >= k for g in groups.values()):
+                    for c, g in groups.items():
+                        nxt[f"{leaf}/{c}"] = (g, lvl + 1)
+                else:
+                    nxt[leaf] = (rs, lvl)
+            else:  # numeric lower-median cut
+                vals = sorted((r[1], r[0]) for r in rs)
+                m = vals[(len(rs) + 1) // 2 - 1][0]
+                left = [r for r in rs if r[1] <= m]
+                right = [r for r in rs if r[1] > m]
+                if len(left) >= k and len(right) >= k:
+                    nxt[leaf + "L"] = (left, lvl)
+                    nxt[leaf + "R"] = (right, lvl)
+                else:
+                    nxt[leaf] = (rs, lvl)
+        leaves = nxt
+    return {
+        leaf: ({r[0] for r in rs}, lvl) for leaf, (rs, lvl) in leaves.items()
+    }
+
+
+def _hier_fixture(spark, n, seed):
+    """Random (id, d1, cat) rows over a 2-level taxonomy: categories
+    0..11, parents cat//4 (three parents 0..2), root level 0."""
+    import random
+
+    random.seed(seed)
+    rows = [
+        (i, random.randint(-400, 400), random.randint(0, 11))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, d1 long, cat long")
+    hier_rows = [(v, 1, v // 4) for v in range(12)] + [
+        (v, 2, v) for v in range(12)
+    ]
+    hier = spark.createDataFrame(hier_rows, "value long, level int, anc long")
+    hmap = {(v, l): a for v, l, a in hier_rows}
+    return rows, df, hier, hmap
+
+
+def test_mondrian_hierarchical_matches_python_reference(spark):
+    rows, df, hier, hmap = _hier_fixture(spark, 260, 31)
+    out = C.mondrian_hierarchical(
+        df, ["d1"], "cat", hier, "id", k_min=15, depth=3
+    )
+    got = {}
+    for r in out.collect():
+        ids, _ = got.setdefault(r["_leaf"], (set(), r["_lvl"]))
+        ids.add(r["id"])
+        assert got[r["_leaf"]][1] == r["_lvl"]  # one level per leaf
+    assert got == _mondrian_hier_py(rows, hmap, 2, 15, 3)
+
+
+def test_mondrian_hierarchical_k_guarantee_and_no_drop(spark):
+    rows, df, hier, _ = _hier_fixture(spark, 131, 47)
+    out = C.mondrian_hierarchical(
+        df, ["d1"], "cat", hier, "id", k_min=9, depth=4
+    ).collect()
+    assert len(out) == 131 and len({r["id"] for r in out}) == 131
+    from collections import Counter
+
+    sizes = Counter(r["_leaf"] for r in out)
+    assert all(v >= 9 for v in sizes.values())
+    # The taxonomy walk actually fired somewhere at this size.
+    assert any("/" in leaf for leaf in sizes)
+
+
+def test_mondrian_hierarchical_cat_guard_blocks_thin_children(spark):
+    # 3 records in category 0, 40 in category 4: the level-1 descent
+    # (parents 0 vs 1) keeps both children >= 3 only if k <= 3.
+    rows = [(i, i, 0) for i in range(3)] + [
+        (100 + i, 500 + i, 4) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, d1 long, cat long")
+    hier_rows = [(v, 1, v // 4) for v in range(12)] + [
+        (v, 2, v) for v in range(12)
+    ]
+    hier = spark.createDataFrame(hier_rows, "value long, level int, anc long")
+    # k=5 > the thin child: the root's categorical pick (tie at full
+    # widths goes to cat) freezes — but the NEXT level re-picks and
+    # the numeric dim may still cut. Assert the cat path never split.
+    out = C.mondrian_hierarchical(
+        df, ["d1"], "cat", hier, "id", k_min=5, depth=1
+    ).collect()
+    assert {r["_leaf"] for r in out} == {"r"}
+    assert all(r["_lvl"] == 0 for r in out)
+
+
+def test_mondrian_hierarchical_fully_specialized_freezes(spark):
+    # One category, one d1 value: every width is 0 — frozen, no drop
+    # (the all-zero-width arm must not route rows into the level-3
+    # ancestor join, which would silently lose them).
+    rows = [(i, 7, 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, d1 long, cat long")
+    hier_rows = [(4, 1, 1), (4, 2, 4)]
+    hier = spark.createDataFrame(hier_rows, "value long, level int, anc long")
+    out = C.mondrian_hierarchical(
+        df, ["d1"], "cat", hier, "id", k_min=5, depth=3
+    ).collect()
+    assert len(out) == 20
+    # The categorical pick wins (kc=2 vs kn=0) but a single-child
+    # descent is blocked by the >=2-children guard, so the leaf
+    # freezes at the root with all rows intact, every level.
+    assert {r["_leaf"] for r in out} == {"r"}
+    assert all(r["_lvl"] == 0 for r in out)
+    assert len({r["id"] for r in out}) == 20
+
+
+def test_mondrian_hierarchical_validation(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "id long, d1 long, cat long")
+    hier = spark.createDataFrame([(3, 1, 0)], "value long, level int, anc long")
+    with pytest.raises(ValueError, match="num_cols"):
+        C.mondrian_hierarchical(df, [], "cat", hier, "id", 5)
+    with pytest.raises(ValueError, match="k_min"):
+        C.mondrian_hierarchical(df, ["d1"], "cat", hier, "id", 0)
+    with pytest.raises(ValueError, match="_lvl"):
+        C.mondrian_hierarchical(
+            df.withColumn("_lvl", df.id), ["d1"], "cat", hier, "id", 5
+        )
+
+
 def test_mondrian_validation(spark):
     df = spark.createDataFrame([(1, 2, 3)], "id long, d1 long, d2 long")
     with pytest.raises(ValueError, match="qi_cols"):

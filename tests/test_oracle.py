@@ -57,26 +57,23 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-9 rotation: the eight new queries, every DRIVER_RECHECK
+    # round-10 rotation: the five new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
-    # complete r04-latest refresh queue hold slots
-    for newcomer in ("harmonic_centrality", "hyperball_cells",
-                     "hyperball_report", "dsir_scores",
-                     "walk_skipgram_pairs", "local_clustering",
-                     "link_prediction_features",
-                     "k_anonymity_report", "k_anonymity_enforced",
-                     "mondrian_regions", "t_closeness_report",
-                     "node2vec_walks", "link_prediction_hits",
-                     "ams_join_size_report", "hyperball_harmonic_report",
-                     "graph_random_walks",
-                     "trussness_parts", "louvain_multilevel",
-                     "containment_incremental", "ams_cells",
-                     "ams_f2_report", "qdigest_cells",
-                     "qdigest_rank_report",
-                     "pq_knn", "pq_rerank_knn", "retention_cohorts",
-                     "rollup_anomalies", "salted_join_segments",
-                     "scd2_history", "sequence_packing",
-                     "training_shuffle", "vocab_sketch_topk", "zipf_fit",
+    # complete r05-latest refresh queue hold slots
+    for newcomer in ("effective_diameter_report", "dsir_retarget",
+                     "dsir_mixture_report", "mondrian_hierarchical",
+                     "node2vec_skipgram_pairs",
+                     "join_anti", "join_broadcast", "join_cross",
+                     "join_inner", "join_left_agg", "join_semi",
+                     "length_bias_audit", "pivot_linestatus",
+                     "pq_recall_report", "q1_pricing",
+                     "q20_dominant_supplier", "q22_global_sales",
+                     "q3_top_orders", "q5_regional_revenue",
+                     "range_join_events", "rollup_flags",
+                     "seasonal_anomalies", "semantic_dedup",
+                     "temperature_sampling", "topk_orders",
+                     "transform_chain", "window_frame", "window_lag",
+                     "window_rank", "winnow_overlap",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
