@@ -457,6 +457,195 @@ def kcore(
     return core_degree(cur)
 
 
+def core_numbers(
+    edges: DataFrame,
+    max_k: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Core DECOMPOSITION — the maximum k such that each node belongs
+    to the k-core (Seidman 1983; Batagelj-Zaversnik's peel order, here
+    as the level-synchronous ladder): the node analog of trussness'
+    max-k-per-edge, and the form a real user asks for ("how embedded
+    is each node") rather than kcore's single-k membership. Every node
+    with ≥ 1 edge is in the 1-core, so core ≥ 1 everywhere.
+
+    The ladder: for k = 2..max_k, members_k = kcore(G_{k-1}, k) (each
+    level a bounded-round peel — the kcore contract, RuntimeWarning on
+    residual) and the nodes of G_{k-1} \\ members_k get core k−1.
+    Nodes still standing at max_k report core = max_k — an explicit
+    CAP (their true core may be higher; raise max_k), mirrored exactly
+    by the oracle so the capped output stays bit-checkable — the
+    trussness cap contract. Long peel CHAINS are the round-count
+    hazard (a path peels one layer per round — measured 11 rounds for
+    k=3 on the sf0.01 w≥2 core), hence the higher default
+    ``max_rounds`` than kcore's single-k call.
+
+    Returns (node, core), one row per node of the simple graph.
+    """
+    if max_k < 2:
+        raise ValueError(f"core_numbers: max_k must be >= 2, got {max_k}")
+    und, _ = _undirected_simple(edges, src, dst)
+    cur = und.localCheckpoint()
+    spark = cur.sparkSession
+    out = spark.createDataFrame([], "node long, core int")
+    cur_nodes = (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for k in range(2, max_k + 1):
+        members = (
+            kcore(cur, k=k, src="a", dst="b", max_rounds=max_rounds)
+            .select("node")
+            .localCheckpoint()
+        )
+        peeled = cur_nodes.join(members, "node", "left_anti").select(
+            F.col("node").cast("long").alias("node"),
+            F.lit(k - 1).cast("int").alias("core"),
+        )
+        out = out.unionByName(peeled)
+        cur = (
+            cur.join(members.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(members.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        cur_nodes = members
+        if members.limit(1).count() == 0:
+            break
+    return out.unionByName(
+        cur_nodes.select(
+            F.col("node").cast("long").alias("node"),
+            F.lit(max_k).cast("int").alias("core"),
+        )
+    )
+
+
+def bipartite_stats(
+    incidence: DataFrame,
+    left: str,
+    right: str,
+    codeg: DataFrame | None = None,
+) -> DataFrame:
+    """Exact BUTTERFLY census of a bipartite graph (Sanei-Mehri,
+    Sariyüce & Tirthapura, KDD 2018): butterflies (2×2 bicliques —
+    the bipartite analog of triangles, since bipartite graphs have
+    none), caterpillars (3-paths — the open motif), and the bipartite
+    clustering coefficient 4·butterflies / caterpillars (Lind,
+    González & Herrmann 2005; 0 when caterpillar-free). The cohesion
+    primitive for order×item / user×page incidence data, where
+    triangle machinery is structurally silent.
+
+    Counting identities (all exact bigint):
+    - butterflies = Σ over right-vertex pairs C(codeg(u,v), 2), with
+      codeg the number of left vertices adjacent to both — ONE sum
+      over the codegree relation;
+    - caterpillars = Σ over edges (o, p) of (d(o)−1)·(d(p)−1);
+    - wedges_left/right = Σ C(d, 2) per side.
+
+    ``codeg``: optional precomputed codegree relation (x, y, w), x < y
+    over the RIGHT side — e.g. the persisted weighted co-occurrence
+    layout, which IS this relation; when absent, one self-join of the
+    incidence list on the left key builds it (the m·d_max-bounded
+    pair enumeration — the standard exact-count cost; at 100 TB you
+    cap it with a degree threshold upstream or move to the paper's
+    sampling estimators). Returns one row: n_left, n_right, n_edges,
+    wedges_left, wedges_right, butterflies, caterpillars, and the
+    one-IEEE-division clustering coefficient.
+    """
+    inc = incidence.select(
+        F.col(left).alias("_l"), F.col(right).alias("_r")
+    ).distinct()
+    if codeg is None:
+        a, b = inc.alias("a"), inc.alias("b")
+        codeg = (
+            a.join(
+                b,
+                (F.col("a._l") == F.col("b._l"))
+                & (F.col("a._r") < F.col("b._r")),
+            )
+            .groupBy(F.col("a._r").alias("x"), F.col("b._r").alias("y"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        )
+    dl = inc.groupBy("_l").agg(F.count(F.lit(1)).alias("_dl"))
+    dr = inc.groupBy("_r").agg(F.count(F.lit(1)).alias("_dr"))
+    sides = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+        F.sum(F.expr("_dl * (_dl - 1) div 2")).cast("bigint").alias("wedges_left"),
+    ).crossJoin(
+        F.broadcast(
+            dr.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_right"),
+                F.sum(F.expr("_dr * (_dr - 1) div 2"))
+                .cast("bigint")
+                .alias("wedges_right"),
+            )
+        )
+    )
+    bf = codeg.agg(
+        F.coalesce(F.sum(F.expr("w * (w - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("butterflies")
+    )
+    cat = (
+        inc.join(dl, "_l")
+        .join(dr, "_r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.coalesce(
+                F.sum((F.col("_dl") - 1) * (F.col("_dr") - 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("caterpillars"),
+        )
+    )
+    return (
+        sides.crossJoin(F.broadcast(bf))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_left",
+            "n_right",
+            "n_edges",
+            "wedges_left",
+            "wedges_right",
+            "butterflies",
+            "caterpillars",
+            F.when(
+                F.col("caterpillars") > 0,
+                4.0 * F.col("butterflies") / F.col("caterpillars"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bipartite_clustering"),
+        )
+    )
+
+
+def vertex_butterflies(codeg: DataFrame) -> DataFrame:
+    """Per-vertex butterfly participation over the RIGHT side from a
+    codegree relation (x, y, w), x < y: b(u) = Σ over pairs incident
+    to u of C(w, 2) — the local density signal (a vertex with heavy
+    butterfly mass co-occurs with the same partners again and again:
+    the bot/template/bundle detector on user×page or order×item
+    data). One explode of each pair to its two endpoints + a
+    partial-agg sum; rows with b = 0 are omitted (pairs with w < 2
+    contribute nothing). Returns (node, butterflies, max_codeg)."""
+    return (
+        codeg.filter(F.col("w") >= 2)
+        .select(
+            F.explode(F.array("x", "y")).alias("node"),
+            F.expr("w * (w - 1) div 2").alias("_b"),
+            "w",
+        )
+        .groupBy("node")
+        .agg(
+            F.sum("_b").cast("bigint").alias("butterflies"),
+            F.max("w").cast("bigint").alias("max_codeg"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

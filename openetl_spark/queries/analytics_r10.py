@@ -585,3 +585,167 @@ def q_mondrian_hierarchical(spark, sf_dir):
         F.max("cat").alias("nat_hi"),
         F.max("_lvl").cast("int").alias("glevel"),
     )
+
+
+# ---------------------------------------------------------------------
+# C145 — bipartite butterfly census + per-vertex butterflies: the
+# cohesion primitives for the order×part incidence graph, where
+# triangle machinery is structurally silent (bipartite graphs have no
+# triangles). The codegree relation IS the persisted weighted
+# co-purchase layout, so the census is one scan + two degree aggs.
+# ---------------------------------------------------------------------
+
+from openetl_spark.queries.analytics_r06 import CO_PURCHASE_CTE  # noqa: E402,F401
+from openetl_spark.queries.analytics_r07 import (  # noqa: E402
+    CO_PURCHASE_W_CTE,
+    _graph_layout,
+)
+
+
+@query(
+    "bipartite_stats",
+    f"""
+    WITH {CO_PURCHASE_W_CTE},
+    inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    dl AS (SELECT o, count(*) AS d FROM inc GROUP BY 1),
+    dr AS (SELECT p, count(*) AS d FROM inc GROUP BY 1),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_left,
+             (SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_right,
+             (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_edges,
+             (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM dl)
+               AS wedges_left,
+             (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM dr)
+               AS wedges_right,
+             (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT)
+              FROM cow) AS butterflies,
+             (SELECT CAST(coalesce(sum((dl.d - 1) * (dr.d - 1)), 0) AS BIGINT)
+              FROM inc JOIN dl USING (o) JOIN dr USING (p)) AS caterpillars)
+    SELECT n_left, n_right, n_edges, wedges_left, wedges_right,
+           butterflies, caterpillars,
+           CASE WHEN caterpillars > 0
+                THEN 4.0 * butterflies / caterpillars ELSE 0.0 END
+             AS bipartite_clustering
+    FROM agg
+    """,
+)
+def q_bipartite_stats(spark, sf_dir):
+    """C145: exact butterfly census of the order×part incidence graph
+    (operators/graph.bipartite_stats — Sanei-Mehri et al. KDD 2018):
+    butterflies (2×2 bicliques, the bipartite triangle analog),
+    caterpillars (3-paths), per-side wedge counts, and the bipartite
+    clustering coefficient 4·b/c (one IEEE division of exact bigints,
+    the triangle_stats discipline). The counting identity Σ C(codeg,2)
+    makes the butterfly count ONE sum over the codegree relation —
+    which IS the persisted weighted co-purchase layout (codeg(u,v) =
+    distinct shared orders), so the census costs a layout scan plus
+    two degree partial-aggs over the incidence list; the oracle
+    re-derives the codegrees from lineitem. At 100 TB the identity is
+    the whole story: no 4-cycle enumeration ever exists as a
+    relation."""
+    inc = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    codeg = spark.read.parquet(edges_w_path).select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), "w"
+    )
+    return G.bipartite_stats(inc, "l_orderkey", "l_partkey", codeg=codeg)
+
+
+@query(
+    "part_butterflies",
+    f"""
+    WITH {CO_PURCHASE_W_CTE}
+    SELECT node, CAST(sum(b) AS BIGINT) AS butterflies,
+           CAST(max(w) AS BIGINT) AS max_codeg
+    FROM (
+      SELECT x AS node, w * (w - 1) // 2 AS b, w FROM cow WHERE w >= 2
+      UNION ALL
+      SELECT y AS node, w * (w - 1) // 2 AS b, w FROM cow WHERE w >= 2)
+    GROUP BY 1
+    """,
+)
+def q_part_butterflies(spark, sf_dir):
+    """C145b: per-part butterfly participation
+    (operators/graph.vertex_butterflies) — the local repeat-
+    co-occurrence density signal: a part with heavy butterfly mass is
+    bought together with the SAME partners across many orders (the
+    bundle/template detector; on user×page incidence the same number
+    flags bot farms). One explode of the persisted codegree layout to
+    its two endpoints + a partial-agg sum — never a 4-cycle
+    enumeration. All bigint, hash-exact."""
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    codeg = spark.read.parquet(edges_w_path).select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), "w"
+    )
+    return G.vertex_butterflies(codeg)
+
+
+# ---------------------------------------------------------------------
+# C146 — core decomposition (max-k per node): the node analog of
+# trussness' max-k-per-edge, on the w>=2 repeat-co-purchase core.
+# ---------------------------------------------------------------------
+
+_CN_MAX_K = 4
+_CN_ROUNDS = 12
+
+
+def core_numbers_oracle(max_k: int, rounds: int) -> str:
+    """The core-number ladder unrolled: per level k = 2..max_k,
+    ``rounds`` level-synchronous peel rounds (drop every node below
+    in-subgraph degree k), each MATERIALIZED; peeled nodes get core
+    k−1, survivors at the cap report max_k — bit-equal to the
+    operator converged or not (no-op rounds are identities)."""
+    sql = f"""
+WITH {CO_PURCHASE_W_CTE},
+core AS MATERIALIZED (SELECT x AS a, y AS b FROM cow WHERE w >= 2),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM core
+        UNION ALL SELECT b AS u, a AS v FROM core),
+m1 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)"""
+    prev_members = "m1"
+    finals = []
+    for k in range(2, max_k + 1):
+        prev = prev_members
+        for r in range(1, rounds + 1):
+            cur = f"n{k}_{r}"
+            sql += f""",
+{cur} AS MATERIALIZED (
+  SELECT u AS node FROM sym
+  WHERE u IN (SELECT node FROM {prev})
+    AND v IN (SELECT node FROM {prev})
+  GROUP BY 1 HAVING count(*) >= {k})"""
+            prev = cur
+        sql += f""",
+m{k} AS (SELECT node FROM {prev})"""
+        finals.append(
+            f"SELECT CAST(node AS BIGINT) AS node, CAST({k - 1} AS INT) AS core"
+            f" FROM {prev_members} WHERE node NOT IN (SELECT node FROM m{k})"
+        )
+        prev_members = f"m{k}"
+    finals.append(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST({max_k} AS INT) AS core"
+        f" FROM m{max_k}"
+    )
+    return sql + "\n" + "\nUNION ALL ".join(finals) + "\n"
+
+
+@query("core_numbers_parts", core_numbers_oracle(_CN_MAX_K, _CN_ROUNDS))
+def q_core_numbers_parts(spark, sf_dir):
+    """C146: core decomposition of the w≥2 repeat-co-purchase core
+    (operators/graph.core_numbers, max_k=4, 12 rounds/level) — the
+    maximum k with each node inside the k-core: the node-embeddedness
+    ladder completing the cohesion triptych (kcore = single-k
+    membership, trussness = per-edge, this = per-node). Long peel
+    CHAINS set the round budget (measured: k=3 at sf0.01 needs 11
+    level-synchronous rounds — a path peels one layer per round);
+    survivors at max_k report the cap explicitly (sf0.001's dense
+    core is entirely ≥ 5-core, so every node reports 4 there;
+    sf0.01 decomposes fully at max core 3). The oracle unrolls the
+    identical ladder — every level, every round — so the capped
+    output is bit-checkable either way."""
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    e2 = (
+        spark.read.parquet(edges_w_path)
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return G.core_numbers(e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS)

@@ -2037,3 +2037,196 @@ def test_link_prediction_eval_validation(spark):
     e = _edges_df(spark, [(0, 1)])
     with pytest.raises(ValueError, match="holdout_mod"):
         G.link_prediction_eval(e, holdout_mod=1)
+
+
+# ------------------------------------------------- core decomposition
+
+
+def _py_core_numbers(edges, max_k):
+    """Brute-force fixpoint core decomposition: for k = 2..max_k, peel
+    nodes with < k survivors-degree to fixpoint; peeled nodes get core
+    k-1, survivors at max_k get max_k (the trussness cap contract)."""
+    from collections import defaultdict
+
+    cur_edges = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in cur_edges for v in e}
+    core = {}
+    members = set(nodes)
+    for k in range(2, max_k + 1):
+        while True:
+            deg = defaultdict(int)
+            for a, b in cur_edges:
+                if a in members and b in members:
+                    deg[a] += 1
+                    deg[b] += 1
+            rm = {v for v in members if deg[v] < k}
+            if not rm:
+                break
+            for v in rm:
+                core[v] = k - 1
+            members -= rm
+        cur_edges = {
+            (a, b) for a, b in cur_edges if a in members and b in members
+        }
+        if not members:
+            break
+    for v in members:
+        core[v] = max_k
+    return core
+
+
+def test_core_numbers_k4_plus_path(spark):
+    """K4 nodes are 3-core (core >= 3); a pendant path 4-5-6 peels to
+    core 1."""
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["core"] for r in G.core_numbers(df, max_k=5).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_core_numbers_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(45)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    want = _py_core_numbers(edges, max_k=8)
+    got = {
+        r["node"]: r["core"]
+        for r in G.core_numbers(df, max_k=8, max_rounds=14).collect()
+    }
+    assert got == want
+
+
+def test_core_numbers_consistent_with_kcore(spark):
+    """{v : core(v) >= k} is exactly the k-core node set."""
+    import random
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(10), rng.randrange(10)) for _ in range(30)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    dec = G.core_numbers(df, max_k=7, max_rounds=14)
+    for k in (2, 3, 4):
+        want = {
+            r["node"] for r in G.kcore(df, k=k, max_rounds=14).collect()
+        }
+        got = {
+            r["node"] for r in dec.filter(dec["core"] >= k).collect()
+        }
+        assert got == want, k
+
+
+def test_core_numbers_cap_and_validation(spark):
+    # K5: every node is 4-core; cap at 3 reports 3 for all.
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["core"] for r in G.core_numbers(df, max_k=3).collect()}
+    assert got == {v: 3 for v in range(5)}
+    with pytest.raises(ValueError, match="max_k"):
+        G.core_numbers(df, max_k=1)
+
+
+# ------------------------------------------------- bipartite metrics
+
+
+def _py_bipartite(inc):
+    """Brute-force butterfly/caterpillar census of a bipartite
+    incidence set {(l, r)}."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    inc = set(inc)
+    nl = defaultdict(set)
+    nr = defaultdict(set)
+    for l, r in inc:
+        nl[l].add(r)
+        nr[r].add(l)
+    bf = 0
+    for x, y in combinations(sorted(nr), 2):
+        w = len(nr[x] & nr[y])
+        bf += w * (w - 1) // 2
+    cat = sum(
+        (len(nl[l]) - 1) * (len(nr[r]) - 1) for l, r in inc
+    )
+    wl = sum(d * (d - 1) // 2 for d in (len(s) for s in nl.values()))
+    wr = sum(d * (d - 1) // 2 for d in (len(s) for s in nr.values()))
+    return {
+        "n_left": len(nl), "n_right": len(nr), "n_edges": len(inc),
+        "wedges_left": wl, "wedges_right": wr,
+        "butterflies": bf, "caterpillars": cat,
+    }
+
+
+def test_bipartite_stats_hand_case(spark):
+    """The 2x2 biclique is ONE butterfly; its caterpillar count is 4
+    (each edge contributes (2-1)*(2-1)); cc = 4*1/4 = 1.0."""
+    df = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 1), (20, 2)], "o long, p long"
+    )
+    r = G.bipartite_stats(df, "o", "p").collect()[0]
+    assert (r["butterflies"], r["caterpillars"]) == (1, 4)
+    assert r["bipartite_clustering"] == 1.0
+    assert (r["n_left"], r["n_right"], r["n_edges"]) == (2, 2, 4)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_bipartite_stats_matches_bruteforce(spark, seed):
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(seed)
+    inc = list({(rng.randrange(8), 100 + rng.randrange(10)) for _ in range(40)})
+    df = spark.createDataFrame(inc, "o int, p int")
+    want = _py_bipartite(inc)
+    r = G.bipartite_stats(df, "o", "p").collect()[0]
+    for k, v in want.items():
+        assert r[k] == v, k
+    # codeg precomputed externally gives the identical census
+    a, b = df.alias("a"), df.alias("b")
+    codeg = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .count()
+        .withColumnRenamed("count", "w")
+    )
+    r2 = G.bipartite_stats(df, "o", "p", codeg=codeg).collect()[0]
+    assert r2 == r
+
+
+def test_vertex_butterflies_matches_bruteforce(spark):
+    import random
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(9)
+    inc = list({(rng.randrange(6), 100 + rng.randrange(8)) for _ in range(30)})
+    nr = defaultdict(set)
+    for l, r in inc:
+        nr[r].add(l)
+    want = defaultdict(int)
+    for x, y in combinations(sorted(nr), 2):
+        w = len(nr[x] & nr[y])
+        if w >= 2:
+            want[x] += w * (w - 1) // 2
+            want[y] += w * (w - 1) // 2
+    df = spark.createDataFrame(inc, "o int, p int")
+    a, b = df.alias("a"), df.alias("b")
+    codeg = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .count()
+        .withColumnRenamed("count", "w")
+    )
+    got = {
+        r["node"]: r["butterflies"]
+        for r in G.vertex_butterflies(codeg).collect()
+    }
+    assert got == dict(want)
