@@ -749,3 +749,80 @@ def q_core_numbers_parts(spark, sf_dir):
         .select("src", "dst")
     )
     return G.core_numbers(e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS)
+
+
+@query(
+    "dsir_mixture_sample",
+    f"""
+    WITH {_DSIR_FEAT_SQL},
+    r_go AS (
+      SELECT b, r_unats FROM read_parquet('{DSIR_ORACLE_RATIOS_GOPHER}')
+      WHERE corpus_sig = ({DOC_SIG_SQL}) AND n_buckets = {_DSIR_B}),
+    sc AS (
+      SELECT f.doc_id, CAST(sum(f.f * g.r_unats) AS BIGINT) AS score
+      FROM feat f JOIN r_go g USING (b)
+      GROUP BY 1),
+    sel AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN sc s USING (doc_id)
+      WHERE s.score > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sel FROM sel),
+    mix(lang, pct) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_PCT.items())}),
+    ranked AS (
+      SELECT s.lang, s.doc_id,
+             row_number() OVER (
+               PARTITION BY s.lang
+               ORDER BY CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT), s.doc_id) AS rn
+      FROM sel s)
+    SELECT r.lang, r.doc_id, CAST(r.rn AS BIGINT) AS rn
+    FROM ranked r JOIN mix m USING (lang), tot t
+    WHERE r.rn <= (t.n_sel * m.pct) // 100
+    """,
+)
+def q_dsir_mixture_sample(spark, sf_dir):
+    """C142c: the composed select → quota → SAMPLE pipeline — the
+    relation dsir_mixture_report only prices: per language, take the
+    first ⌊n_sel_total·pct/100⌋ of the Gopher-target DSIR survivors
+    under the deterministic md5-of-doc_id order (the portable-hash
+    tiebreak discipline: the sample is a pure function of (corpus,
+    dictionary, mixture) — reproducible across engines, retries, and
+    partitionings, which no rand() sampler is; a language
+    under-filling its quota simply contributes all of its survivors).
+    The per-lang window partitions on the language key over the
+    SELECTED subset — at 100 TB the selected relation is the gated
+    corpus and the rank is the same grouped-rank shape the
+    weighted_sample family uses. Every column exact."""
+    d = load(spark, sf_dir, "documents")
+    r_go = _dsir_gopher_layout(spark, sf_dir)
+    feats = C.dsir_features(d, n_buckets=_DSIR_B)
+    sel = (
+        feats.join(F.broadcast(r_go), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("r_unats")).cast("bigint").alias("_s"))
+        .filter(F.col("_s") > 0)
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    tot = sel.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    mix = sel.sparkSession.createDataFrame(
+        list(_MIX_PCT.items()), "lang string, _pct int"
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+            "doc_id",
+        )
+    )
+    return (
+        sel.withColumn("rn", rn)
+        .join(F.broadcast(mix), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") <= F.expr("_n * _pct div 100"))
+        .select("lang", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )

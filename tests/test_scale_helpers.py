@@ -711,3 +711,50 @@ def test_spread_cpu_dense_pins_explicit_width(spark):
     # width override honored
     w = spread_cpu_dense(df, "k", width=5)
     assert ", 5)" in w._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r10_layout_consumers_read_artifacts_not_rederive(spark, sf_dir):
+    """r10 layouts: the consumers' plans must SCAN the persisted
+    artifacts instead of re-deriving them — graph_triangles reads the
+    triangle parquet (no wedge self-join in its plan), harmonic
+    centrality reads the landmark-hops parquet (no iterative BFS
+    lineage), hyperball_cells reads the cell parquet. The artifacts'
+    CONTENT is pinned by each oracle re-deriving from lineitem; this
+    test pins the PLAN SHAPE (the offline-build/online-query
+    contract)."""
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    tri = catalog.QUERIES["graph_triangles"](spark, sf_dir)
+    plan = tri._jdf.queryExecution().explainString(fmt)
+    assert "triangles_full" in plan, plan[:2000]
+    # The wedge enumeration would appear as a self-join of the edge
+    # relation: the layout-consuming count has exactly the one scan.
+    assert plan.count("triangles_full") >= 1
+
+    hc = catalog.QUERIES["harmonic_centrality"](spark, sf_dir)
+    plan = hc._jdf.queryExecution().explainString(fmt)
+    assert "landmark_hops_h6" in plan, plan[:2000]
+
+    hb = catalog.QUERIES["hyperball_cells"](spark, sf_dir)
+    plan = hb._jdf.queryExecution().explainString(fmt)
+    assert "hyperball_h4_p6" in plan, plan[:2000]
+
+    nv = catalog.QUERIES["node2vec_walks"](spark, sf_dir)
+    plan = nv._jdf.queryExecution().explainString(fmt)
+    assert "n2v_walks" in plan, plan[:2000]
+
+
+def test_bipartite_census_plan_has_no_pair_enumeration(spark, sf_dir):
+    """bipartite_stats with the layout codegrees must not contain the
+    incidence self-join (the m·d pair enumeration) — the butterfly
+    count is one aggregate over the persisted codegree relation."""
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    df = catalog.QUERIES["bipartite_stats"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(fmt)
+    assert "edges_w" in plan, plan[:2000]
+    # lineitem appears only for the degree aggregates (scans), never
+    # self-joined on l_orderkey with a l_partkey inequality.
+    assert "l_partkey < l_partkey" not in plan
