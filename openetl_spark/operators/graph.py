@@ -1678,6 +1678,78 @@ def landmark_hops(
     return visited
 
 
+def landmark_path_counts(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-landmark shortest-path COUNTS σ_s(v) (Brandes, "A Faster
+    Algorithm for Betweenness Centrality", JMS 2001 — the forward
+    sweep): for every landmark s and node v within ``max_hops``, the
+    hop distance AND the number of distinct shortest s→v paths — an
+    exact bigint, since σ obeys the level recurrence σ(v) =
+    Σ_{u ∈ frontier_{t−1}, (u,v) ∈ E} σ(u). Path multiplicity is the
+    robustness signal distance alone misses (two nodes at hop 3 via
+    ONE path vs via 40 paths are very different neighbors), and σ is
+    the ingredient betweenness/stress estimators consume.
+
+    Shape: landmark_hops' simultaneous multi-source level-synchronous
+    frontier (state O(k·V), one frontier⋈edges join + one partial-agg
+    SUM + one anti-join per round — the sum replaces the distinct).
+    Exact-integer contract: σ over ≤ 6 hops on a simple graph is
+    far below bigint range; no float exists anywhere, so the full
+    relation is hash-checkable cross-engine.
+
+    Returns (source, node, hop, sigma); the landmark's own row is
+    (s, s, 0, 1).
+    """
+    from pyspark.sql import Observation
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    s_col = landmarks.columns[0]
+    visited = (
+        landmarks.select(F.col(s_col).alias("source"))
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("node"),
+            F.lit(0).alias("hop"),
+            F.lit(1).cast("bigint").alias("sigma"),
+        )
+        .localCheckpoint()
+    )
+    frontier = visited.select("source", "node", "sigma")
+    for h in range(1, max_hops + 1):
+        obs = Observation()
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .groupBy("source", F.col("v").alias("node"))
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .join(
+                visited.select("source", "node"),
+                ["source", "node"],
+                "left_anti",
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        if obs.get["n"] == 0:
+            break
+        visited = visited.union(
+            nxt.select("source", "node", F.lit(h).alias("hop"), "sigma")
+        ).localCheckpoint()
+        frontier = nxt.select("source", "node", "sigma")
+    return visited
+
+
 def harmonic_centrality(
     edges: DataFrame,
     landmarks: DataFrame,

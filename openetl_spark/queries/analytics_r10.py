@@ -826,3 +826,55 @@ def q_dsir_mixture_sample(spark, sf_dir):
         .filter(F.col("rn") <= F.expr("_n * _pct div 100"))
         .select("lang", "doc_id", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------
+# C147 — landmark shortest-path counts (Brandes' forward sweep): the
+# path-multiplicity relation under betweenness/stress estimation,
+# exact bigint throughout.
+# ---------------------------------------------------------------------
+
+
+def _path_counts_ctes(max_hops: int) -> str:
+    """σ per (landmark, node) unrolled: frontier f_t carries sigma
+    sums, visited v_t accumulates — the landmark_hops CTE shape with
+    SUM replacing DISTINCT."""
+    sql = """f0 AS MATERIALIZED (
+  SELECT node AS source, node, 0 AS hop, CAST(1 AS BIGINT) AS sigma
+  FROM lm),
+v0 AS (SELECT * FROM f0)"""
+    for t in range(1, max_hops + 1):
+        sql += f""",
+f{t} AS MATERIALIZED (
+  SELECT f.source, s.v AS node, {t} AS hop,
+         CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM f{t - 1} f JOIN sym s ON f.node = s.u
+  WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} x
+                    WHERE x.source = f.source AND x.node = s.v)
+  GROUP BY 1, 2),
+v{t} AS MATERIALIZED (SELECT * FROM v{t - 1} UNION ALL SELECT * FROM f{t})"""
+    return sql
+
+
+@query(
+    "landmark_path_counts",
+    f"""
+    WITH {_CORE_LM_CTES},
+    {_path_counts_ctes(6)}
+    SELECT source, node, CAST(hop AS INT) AS hop, sigma FROM v6
+    """,
+)
+def q_landmark_path_counts(spark, sf_dir):
+    """C147: shortest-path COUNTS σ_s(v) from the 16 landmark pivots
+    over the w≥2 core (operators/graph.landmark_path_counts —
+    Brandes' forward sweep): hop distance plus the exact number of
+    distinct shortest paths, the multiplicity signal distance alone
+    misses and the σ ingredient of betweenness estimation. The level
+    recurrence σ(v) = Σ_{{pred u}} σ(u) makes every value an exact
+    bigint — the whole k·V relation is hash-checkable, no float
+    anywhere. The oracle unrolls the identical level-synchronous
+    sweep (frontier sums + NOT-EXISTS visited guard) as MATERIALIZED
+    CTEs. Scale: state O(k·V); the landmark count is the explicit
+    cost knob (Brandes-Pich pivot estimation)."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    return G.landmark_path_counts(core, lm, max_hops=6)

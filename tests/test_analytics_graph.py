@@ -2230,3 +2230,70 @@ def test_vertex_butterflies_matches_bruteforce(spark):
         for r in G.vertex_butterflies(codeg).collect()
     }
     assert got == dict(want)
+
+
+# ------------------------------------------------- path counts (sigma)
+
+
+def _py_path_counts(edges, sources, max_hops):
+    """Reference BFS with shortest-path counting (Brandes' forward
+    sweep), per source."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        for v, d in dist.items():
+            out[(s, v)] = (d, sigma[v])
+    return out
+
+
+def test_landmark_path_counts_diamond(spark):
+    """1-2-4 and 1-3-4: node 4 has two shortest paths from 1."""
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    lm = spark.createDataFrame([(1,)], "node long")
+    got = {
+        (r["source"], r["node"]): (r["hop"], r["sigma"])
+        for r in G.landmark_path_counts(df, lm, max_hops=4).collect()
+    }
+    assert got == {
+        (1, 1): (0, 1), (1, 2): (1, 1), (1, 3): (1, 1), (1, 4): (2, 2),
+    }
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_landmark_path_counts_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(30)})
+    edges = [e for e in edges if e[0] != e[1]]
+    sources = sorted({e[0] for e in edges})[:3]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lm = spark.createDataFrame([(s,) for s in sources], "node int")
+    want = _py_path_counts(edges, sources, max_hops=5)
+    got = {
+        (r["source"], r["node"]): (r["hop"], r["sigma"])
+        for r in G.landmark_path_counts(df, lm, max_hops=5).collect()
+    }
+    assert got == want
