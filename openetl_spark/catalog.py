@@ -89,14 +89,13 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-10 rotation (VERDICT
 # r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
 # its window (incl. the four r09 rechecks — pruned). Slots go first to
-# the TEN new r10 queries (no driver row anywhere), then the
+# the ELEVEN new r10 queries (no driver row anywhere), then the
 # FOURTEEN DRIVER_RECHECK entries (code or oracle changed this round:
 # the triangle/hyperball/landmark-hops/node2vec layouts and their
 # consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
 # COMPLETE 25-entry r05-latest queue enumerated by the r09 rotation
-# (after this round nothing anywhere is r05-latest), then the oldest
-# r06-latest rows alphabetically until the window holds exactly 50 —
-# 1 of the 44 r06 rows fits; the remaining 43 are the r11 queue head.
+# (after this round nothing anywhere is r05-latest) — exactly 50;
+# the 44 r06-latest rows (alphabetical) are the r11 queue head.
 # Every query, windowed or not, is re-pinned every pytest run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
@@ -143,6 +142,7 @@ DRIVER_PRIORITY: list[str] = [
     "core_numbers_parts",
     "dsir_mixture_sample",
     "landmark_path_counts",
+    "landmark_stress",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_triangles",
     "local_clustering",
@@ -185,10 +185,8 @@ DRIVER_PRIORITY: list[str] = [
     "window_lag",
     "window_rank",
     "winnow_overlap",
-    # --- the oldest r06-latest rows, alphabetically (1 of 44) ---
-    "ann_recall_report",
-    # r11 queue, in order: the remaining 43 r06-latest rows
-    # alphabetically (approx_sketches, array_funcs, audio_near_duplicates,
+    # r11 queue, in order: the 44 r06-latest rows alphabetically
+    # (ann_recall_report, approx_sketches, array_funcs, audio_near_duplicates,
     # curation_pipeline, date_funcs, decontaminate_spans, dedup_components,
     # dedup_exact, dedup_keep_best, doc_fingerprint,
     # duplication_report, embedding_knn, exact_substring_dedup,

@@ -878,3 +878,86 @@ def q_landmark_path_counts(spark, sf_dir):
     cost knob (Brandes-Pich pivot estimation)."""
     core, lm = _core_and_landmarks(spark, sf_dir)
     return G.landmark_path_counts(core, lm, max_hops=6)
+
+
+@query(
+    "landmark_stress",
+    f"""
+    WITH {_CORE_LM_CTES},
+    {_path_counts_ctes(6)},
+    pc AS (SELECT source, node, hop, sigma FROM v6),
+    dlm AS (
+      SELECT source, node AS target, hop AS d_st, sigma AS sigma_st
+      FROM pc WHERE node IN (SELECT node FROM lm) AND source < node)
+    SELECT a.node,
+           CAST(sum(a.sigma * b.sigma) AS BIGINT) AS stress,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pc a
+    JOIN pc b ON a.node = b.node AND a.source < b.source
+    JOIN dlm d ON d.source = a.source AND d.target = b.source
+              AND a.hop + b.hop = d.d_st
+    WHERE a.node <> a.source AND a.node <> b.source
+    GROUP BY 1
+    """,
+)
+def q_landmark_stress(spark, sf_dir):
+    """C147b: landmark-pair STRESS centrality (Shimbel 1953, the
+    all-integer sibling of betweenness): for each interior node v and
+    each landmark pair (s, t), v lies on σ_s(v)·σ_t(v) of the
+    shortest s–t paths exactly when d_s(v) + d_t(v) = d(s, t) — every
+    ingredient is already in the C147 σ relation, so the centrality
+    is ONE self-join of it on the node key plus the landmark-pair
+    distance attach. Stays exact bigint (betweenness would divide by
+    σ_st per pair — a float sum with engine-unpinned addition order;
+    stress is the centrality that needs no division, the reason it's
+    the hash-checkable form). Scale: the σ relation is O(k·V); the
+    self-join is k²-fanout per node — with k = 16 landmarks, ≤ 120
+    pairs per node row."""
+    core, lm = _core_and_landmarks(spark, sf_dir)
+    pc = G.landmark_path_counts(core, lm, max_hops=6).localCheckpoint()
+    lm_nodes = lm.select(F.col("node").alias("target"))
+    dlm = (
+        pc.join(F.broadcast(lm_nodes), pc["node"] == lm_nodes["target"])
+        .filter(F.col("source") < F.col("target"))
+        .select(
+            "source",
+            "target",
+            F.col("hop").alias("_dst"),
+        )
+    )
+    a = pc.select(
+        F.col("source").alias("_s"),
+        "node",
+        F.col("hop").alias("_ha"),
+        F.col("sigma").alias("_sa"),
+    )
+    b = pc.select(
+        F.col("source").alias("_t"),
+        "node",
+        F.col("hop").alias("_hb"),
+        F.col("sigma").alias("_sb"),
+    )
+    return (
+        a.join(b, "node")
+        .filter(F.col("_s") < F.col("_t"))
+        .join(
+            F.broadcast(
+                dlm.select(
+                    F.col("source").alias("_s"),
+                    F.col("target").alias("_t"),
+                    "_dst",
+                )
+            ),
+            ["_s", "_t"],
+        )
+        .filter(
+            (F.col("_ha") + F.col("_hb") == F.col("_dst"))
+            & (F.col("node") != F.col("_s"))
+            & (F.col("node") != F.col("_t"))
+        )
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("_sa") * F.col("_sb")).cast("bigint").alias("stress"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )

@@ -2297,3 +2297,66 @@ def test_landmark_path_counts_matches_bruteforce(spark, seed):
         for r in G.landmark_path_counts(df, lm, max_hops=5).collect()
     }
     assert got == want
+
+
+def test_landmark_stress_matches_bruteforce(spark):
+    """Exact landmark-pair stress: v's stress = sum over landmark
+    pairs (s, t) with d(s,v)+d(v,t) = d(s,t) of sigma_s(v)*sigma_t(v),
+    interior nodes only."""
+    import random
+    from itertools import combinations
+
+    rng = random.Random(33)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(34)})
+    edges = [e for e in edges if e[0] != e[1]]
+    sources = sorted({v for e in edges for v in e})[:4]
+    want = {}
+    pc = _py_path_counts(edges, sources, max_hops=6)
+    for s, t in combinations(sources, 2):
+        if (s, t) not in pc:
+            continue
+        d_st = pc[(s, t)][0]
+        for v in {v for e in edges for v in e}:
+            if v in (s, t) or (s, v) not in pc or (t, v) not in pc:
+                continue
+            ds, ss = pc[(s, v)]
+            dt, st_ = pc[(t, v)]
+            if ds + dt == d_st:
+                want[v] = want.get(v, 0) + ss * st_
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lm = spark.createDataFrame([(s,) for s in sources], "node int")
+    pcs = G.landmark_path_counts(df, lm, max_hops=6)
+    import pyspark.sql.functions as F
+
+    lm_nodes = lm.select(F.col("node").alias("target"))
+    dlm = (
+        pcs.join(F.broadcast(lm_nodes), pcs["node"] == lm_nodes["target"])
+        .filter(F.col("source") < F.col("target"))
+        .select("source", "target", F.col("hop").alias("_dst"))
+    )
+    a = pcs.select(F.col("source").alias("_s"), "node",
+                   F.col("hop").alias("_ha"), F.col("sigma").alias("_sa"))
+    b = pcs.select(F.col("source").alias("_t"), "node",
+                   F.col("hop").alias("_hb"), F.col("sigma").alias("_sb"))
+    got = {
+        r["node"]: r["stress"]
+        for r in (
+            a.join(b, "node")
+            .filter(F.col("_s") < F.col("_t"))
+            .join(
+                F.broadcast(
+                    dlm.select(F.col("source").alias("_s"),
+                               F.col("target").alias("_t"), "_dst")
+                ),
+                ["_s", "_t"],
+            )
+            .filter(
+                (F.col("_ha") + F.col("_hb") == F.col("_dst"))
+                & (F.col("node") != F.col("_s"))
+                & (F.col("node") != F.col("_t"))
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("stress"))
+        ).collect()
+    }
+    assert got == want
