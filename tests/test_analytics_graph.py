@@ -2360,3 +2360,78 @@ def test_landmark_stress_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_butterfly_census_cells_merge_equals_batch(spark, tmp_path):
+    """Streamed butterfly census: when incidence arrives ORDER-COMPLETE
+    (an order's rows land in one batch — the natural ingest unit), the
+    per-batch codegree relations are plain SUM cells (codeg(u,v) counts
+    shared orders, and order sets are batch-disjoint), so the census is
+    a mergeable-cell-log twin: per-batch pair-count cells APPEND, the
+    read-side sum-merge equals the one-shot batch codegrees, and the
+    census computed from the merged log equals the batch census — the
+    HLL/AMS cell-log discipline on the bipartite side."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import random
+
+    rng = random.Random(77)
+    inc = list({(rng.randrange(40), 100 + rng.randrange(15)) for _ in range(160)})
+    src = str(tmp_path / "inc_src")
+    df = spark.createDataFrame(inc, "o int, p int")
+    # Order-complete files: partition BY the order key before writing,
+    # so maxFilesPerTrigger=1 batches never split an order.
+    df.repartition(4, "o").write.parquet(src)
+    log_path = str(tmp_path / "codeg_log")
+    os.makedirs(log_path)
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        a, b = bdf.alias("a"), bdf.alias("b")
+        (
+            a.join(
+                b,
+                (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+            )
+            .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    q = (
+        spark.readStream.schema("o int, p int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_codeg"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    merged = (
+        spark.read.parquet(log_path)
+        .groupBy("x", "y")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    batch_df = spark.read.parquet(src)
+    a, b = batch_df.alias("a"), batch_df.alias("b")
+    batch_codeg = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    got = {(r["x"], r["y"]): r["w"] for r in merged.collect()}
+    want = {(r["x"], r["y"]): r["w"] for r in batch_codeg.collect()}
+    assert got == want and len(want) > 0
+    # The census read from the merged log equals the batch census.
+    r1 = G.bipartite_stats(batch_df, "o", "p", codeg=merged).collect()[0]
+    r2 = G.bipartite_stats(batch_df, "o", "p").collect()[0]
+    assert r1 == r2
