@@ -1697,6 +1697,11 @@ def suppress_small_groups(
     """
     if k_min < 1:
         raise ValueError(f"suppress_small_groups: k_min={k_min} < 1")
+    for c in qi_cols:
+        if f"_qi_{c}" in df.columns:
+            raise ValueError(
+                f"suppress_small_groups reserves the _qi_{c} column"
+            )
     big = (
         df.groupBy(*qi_cols)
         .agg(F.count(F.lit(1)).alias("_k"))
@@ -1977,6 +1982,27 @@ def mondrian_hierarchical(
                 F.broadcast(anc),
                 (F.col("_alvl") == F.col("_lvl") + 1)
                 & (F.col(cat_col) == F.col("_hv")),
+                "left",
+            )
+            # A category value with no hierarchy row at level ℓ+1
+            # (uncovered value, ragged taxonomy) must RAISE, not
+            # silently vanish through an inner join — this is a
+            # k-anonymization operator; dropped records are the one
+            # failure its k-guarantee checks cannot see (review r10).
+            .withColumn(
+                "_child",
+                F.when(F.col("_child").isNotNull(), F.col("_child")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "mondrian_hierarchical: no hierarchy row at "
+                                "level (_lvl+1) for category value "
+                            ),
+                            F.col(cat_col).cast("string"),
+                            F.lit(" — pad ragged taxonomies to uniform depth"),
+                        )
+                    )
+                ),
             )
             .drop("_alvl", "_hv")
         )

@@ -484,36 +484,73 @@ def core_numbers(
 
     Returns (node, core), one row per node of the simple graph.
     """
+    import warnings
+
+    from pyspark.sql import Observation
+
     if max_k < 2:
         raise ValueError(f"core_numbers: max_k must be >= 2, got {max_k}")
     und, _ = _undirected_simple(edges, src, dst)
-    cur = und.localCheckpoint()
-    spark = cur.sparkSession
-    out = spark.createDataFrame([], "node long, core int")
-    cur_nodes = (
-        cur.select(F.col("a").alias("node"))
-        .union(cur.select(F.col("b").alias("node")))
-        .distinct()
+    sym = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()
     )
+    spark = sym.sparkSession
+    out = spark.createDataFrame([], "node long, core int")
+    cur_nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
     for k in range(2, max_k + 1):
-        members = (
-            kcore(cur, k=k, src="a", dst="b", max_rounds=max_rounds)
-            .select("node")
-            .localCheckpoint()
-        )
+        # The bounded peel is inlined (NOT a kcore() call) so a level's
+        # membership is EXACTLY the raw last-round filter output — the
+        # relation the oracle's unrolled n{k}_{rounds} CTE holds.
+        # kcore's return re-scores survivors (core_degree over the
+        # final set), which in the non-converged case silently drops
+        # survivors whose last in-core neighbor left in the final
+        # round — a divergence the bounded-round contract forbids.
+        members = cur_nodes
+        prev_n = members.count()
+        converged = prev_n == 0
+        last_removed = prev_n
+        for _ in range(max_rounds):
+            if prev_n == 0:
+                converged = True
+                break
+            obs = Observation()
+            mu = members.withColumnRenamed("node", "u")
+            mv = members.withColumnRenamed("node", "v")
+            members = (
+                sym.join(mu, "u", "left_semi")
+                .join(mv, "v", "left_semi")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select("node")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n = obs.get["n"]
+            if n == prev_n:
+                converged = True
+                prev_n = n
+                break
+            last_removed = prev_n - n
+            prev_n = n
+        if not converged and prev_n > 0:
+            warnings.warn(
+                f"core_numbers(k={k}): peel did not reach a fixpoint within "
+                f"max_rounds={max_rounds} (last round still removed "
+                f"{last_removed} nodes); survivors may include sub-k nodes "
+                "— raise max_rounds for the exact decomposition",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         peeled = cur_nodes.join(members, "node", "left_anti").select(
             F.col("node").cast("long").alias("node"),
             F.lit(k - 1).cast("int").alias("core"),
         )
         out = out.unionByName(peeled)
-        cur = (
-            cur.join(members.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(members.withColumnRenamed("node", "b"), "b", "left_semi")
-            .localCheckpoint()
-        )
         cur_nodes = members
-        if members.limit(1).count() == 0:
+        if prev_n == 0:
             break
     return out.unionByName(
         cur_nodes.select(

@@ -274,6 +274,37 @@ def _graph_layout(spark, sf_dir: str) -> tuple[str, str]:
     return edges_path, edges_w_path
 
 
+def _get_or_build_layout(spark, root: str, name: str, build_fn) -> str:
+    """Get-or-build one persisted relation under a cache root (r10,
+    review): build into a pid-suffixed temp directory and atomically
+    os.rename() into place — two same-corpus processes can then never
+    interleave part files inside one directory (the check-_SUCCESS-
+    then-overwrite race; the DSIR atomic-upsert discipline applied to
+    directory artifacts). The rename loser discards its build — every
+    layout is a pure function of the corpus, so both builds are
+    identical anyway. A _SUCCESS-less leftover directory (crashed
+    build) is cleared before the rename. Explicit-width files for the
+    scan-parallelism reason documented on the edge layout."""
+    import os
+    import shutil
+
+    path = os.path.join(root, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        par = spark.sparkContext.defaultParallelism
+        build_fn().repartition(par).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return path
+
+
 def _triangle_layout(spark, sf_dir: str, core: bool = False) -> str:
     """Get-or-build the persisted ORIENTED-TRIANGLE relation (u, a, b)
     for one testdata corpus (VERDICT r09 #3): the static triangle set
@@ -299,9 +330,8 @@ def _triangle_layout(spark, sf_dir: str, core: bool = False) -> str:
 
     edges_path, edges_w_path = _graph_layout(spark, sf_dir)
     root = os.path.dirname(edges_path)
-    tri_path = os.path.join(root, "triangles_core" if core else "triangles_full")
-    if not os.path.exists(os.path.join(tri_path, "_SUCCESS")):
-        par = spark.sparkContext.defaultParallelism
+
+    def build():
         if core:
             edges = (
                 spark.read.parquet(edges_w_path)
@@ -311,10 +341,11 @@ def _triangle_layout(spark, sf_dir: str, core: bool = False) -> str:
         else:
             edges = spark.read.parquet(edges_path)
         und, deg = G._undirected_simple(edges, "src", "dst")
-        G._oriented_triangles(und, deg).repartition(par).write.mode(
-            "overwrite"
-        ).parquet(tri_path)
-    return tri_path
+        return G._oriented_triangles(und, deg)
+
+    return _get_or_build_layout(
+        spark, root, "triangles_core" if core else "triangles_full", build
+    )
 
 
 def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:

@@ -842,18 +842,21 @@ def _landmark_hops_layout(spark, sf_dir: str):
     fixpoint from lineitem, so a wrong artifact cannot hash-match."""
     import os
 
-    from openetl_spark.queries.analytics_r07 import _graph_layout
+    from openetl_spark.queries.analytics_r07 import (
+        _get_or_build_layout,
+        _graph_layout,
+    )
 
     edges_path, _ = _graph_layout(spark, sf_dir)
     root = os.path.dirname(edges_path)
-    path = os.path.join(root, "landmark_hops_h6")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build():
         core, lm = _core_and_landmarks(spark, sf_dir)
-        par = spark.sparkContext.defaultParallelism
-        G.landmark_hops(core, lm, max_hops=6).repartition(par).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+        return G.landmark_hops(core, lm, max_hops=6)
+
+    return spark.read.parquet(
+        _get_or_build_layout(spark, root, "landmark_hops_h6", build)
+    )
 
 
 def _hyperball_layout(spark, sf_dir: str):
@@ -873,18 +876,23 @@ def _hyperball_layout(spark, sf_dir: str):
     import os
 
     from openetl_spark.operators import sketches as SK
-    from openetl_spark.queries.analytics_r07 import _graph_layout
+    from openetl_spark.queries.analytics_r07 import (
+        _get_or_build_layout,
+        _graph_layout,
+    )
 
     edges_path, _ = _graph_layout(spark, sf_dir)
     root = os.path.dirname(edges_path)
-    path = os.path.join(root, f"hyperball_h{_HB_HOPS}_p{_HB_P}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build():
         core, _ = _core_and_landmarks(spark, sf_dir)
-        par = spark.sparkContext.defaultParallelism
-        SK.hyperball(core, hops=_HB_HOPS, p=_HB_P).repartition(
-            par
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        return SK.hyperball(core, hops=_HB_HOPS, p=_HB_P)
+
+    return spark.read.parquet(
+        _get_or_build_layout(
+            spark, root, f"hyperball_h{_HB_HOPS}_p{_HB_P}", build
+        )
+    )
 
 
 @query(
@@ -1052,8 +1060,27 @@ def _dsir_layout(spark, sf_dir):
 
     import pandas as pd
 
+    return _dsir_layout_for(
+        spark,
+        sf_dir,
+        DSIR_ORACLE_RATIOS,
+        lambda d: d.filter(F.col("lang") == "en").select("doc_id"),
+    )
+
+
+def _dsir_layout_for(spark, sf_dir, path, target_fn):
+    """The shared get-or-build DSIR dictionary machinery (r10 review —
+    the retarget dictionary previously copy-pasted this body): fit the
+    two hashed-bucket LMs with ``target_fn(documents)`` as the target
+    slice, persist the integer log-ratios into ``path`` keyed by the
+    corpus digest with an ATOMIC temp-file + os.replace() upsert
+    (ADVICE r09 — a concurrent process on another corpus can never
+    serve DuckDB a torn parquet; a lost race only costs one refit)."""
+    import os
+
+    import pandas as pd
+
     sig = _doc_sig(spark, sf_dir)
-    path = DSIR_ORACLE_RATIOS
     if os.path.exists(path):
         old = pd.read_parquet(path)
         mine = old[(old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B)]
@@ -1063,8 +1090,7 @@ def _dsir_layout(spark, sf_dir):
             )
     d = load(spark, sf_dir, "documents")
     feats = C.dsir_features(d, n_buckets=_DSIR_B)
-    target = d.filter(F.col("lang") == "en").select("doc_id")
-    totals = C.dsir_bucket_totals(feats, target).collect()
+    totals = C.dsir_bucket_totals(feats, target_fn(d)).collect()
     ratios = C.dsir_log_ratios(totals, _DSIR_B)
     rows = pd.DataFrame(ratios, columns=["b", "r_unats"])
     rows.insert(0, "corpus_sig", sig)
@@ -1074,11 +1100,6 @@ def _dsir_layout(spark, sf_dir):
         old = pd.read_parquet(path)
         keep = old[~((old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B))]
         rows = pd.concat([keep, rows], ignore_index=True)
-    # Atomic upsert (ADVICE r09): write a pid-suffixed temp file and
-    # os.replace() into place, so a concurrent pytest/driver process
-    # on another corpus can never serve DuckDB's read_parquet a torn
-    # file — a lost race costs one refit, a torn read would fail the
-    # oracle spuriously.
     tmp = f"{path}.tmp.{os.getpid()}"
     rows.to_parquet(tmp, index=False)
     os.replace(tmp, path)
@@ -1314,7 +1335,10 @@ def q_k_anonymity_report(spark, sf_dir):
       GROUP BY 1, 2
       HAVING count(*) >= {_KA_KMIN})
     SELECT c.c_nationkey, c.c_mktsegment, CAST(count(*) AS BIGINT) AS k
-    FROM customer c JOIN kept USING (c_nationkey, c_mktsegment)
+    FROM customer c
+    JOIN kept k2
+      ON c.c_nationkey IS NOT DISTINCT FROM k2.c_nationkey
+     AND c.c_mktsegment IS NOT DISTINCT FROM k2.c_mktsegment
     GROUP BY 1, 2
     """,
 )
@@ -1610,26 +1634,35 @@ def _node2vec_layout(spark, sf_dir: str) -> str:
             shutil.rmtree(walks_path, ignore_errors=True)
             os.remove(meta_path)
     if not os.path.exists(meta_path):
-        edges_path, _ = _graph_layout(spark, sf_dir)
-        edges = spark.read.parquet(edges_path)
-        starts = (
-            load(spark, sf_dir, "part")
-            .filter(F.col("p_brand") == "Brand#13")
-            .select("p_partkey")
-        )
-        G.node2vec_walks(
-            edges, starts, length=_N2V_LEN, seed=_N2V_SEED,
-            w_return=_N2V_WR, w_stay=_N2V_WS, w_out=_N2V_WO,
-        ).write.mode("overwrite").parquet(walks_path)
+        from openetl_spark.queries.analytics_r07 import _get_or_build_layout
+
+        def build():
+            edges_path, _ = _graph_layout(spark, sf_dir)
+            edges = spark.read.parquet(edges_path)
+            starts = (
+                load(spark, sf_dir, "part")
+                .filter(F.col("p_brand") == "Brand#13")
+                .select("p_partkey")
+            )
+            return G.node2vec_walks(
+                edges, starts, length=_N2V_LEN, seed=_N2V_SEED,
+                w_return=_N2V_WR, w_stay=_N2V_WS, w_out=_N2V_WO,
+            )
+
         os.makedirs(root, exist_ok=True)
+        _get_or_build_layout(spark, root, "n2v_walks", build)
+        # Atomic meta write (review r10): a concurrent reader must
+        # never json.load a half-written file.
+        tmp = f"{meta_path}.tmp.{os.getpid()}"
         json.dump(
             {
                 **want,
                 "lineitem_rows": load(spark, sf_dir, "lineitem").count(),
                 "part_rows": load(spark, sf_dir, "part").count(),
             },
-            open(meta_path, "w"),
+            open(tmp, "w"),
         )
+        os.replace(tmp, meta_path)
     _N2V_VERIFIED.add(key)
     return walks_path
 

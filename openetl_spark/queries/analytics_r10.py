@@ -237,50 +237,24 @@ _DSIR_FEAT_SQL = f"""toks AS (
 
 
 def _dsir_gopher_layout(spark, sf_dir):
-    """Get-or-build the SECOND persisted DSIR dictionary for one
-    corpus: target = the Gopher-quality-pass slice (text.
-    gopher_quality_flags keep=true — a deterministic QUALITY target
-    where r09's is a DOMAIN target), source = the full corpus. Same
-    fit machinery and artifact discipline as _dsir_layout (B-sized
-    boundary collect, integer micro-nat ratios, md5-XOR corpus-digest
+    """The SECOND persisted DSIR dictionary for one corpus: target =
+    the Gopher-quality-pass slice (text.gopher_quality_flags
+    keep=true — a deterministic QUALITY target where r09's is a
+    DOMAIN target), source = the full corpus. All machinery shared
+    with the r09 dictionary via _dsir_layout_for (fit, corpus-digest
     key, atomic upsert); separate parquet so the two dictionaries can
-    never cross-contaminate a read. Returns the (b, r_unats)
-    DataFrame."""
-    import os
+    never cross-contaminate a read."""
+    from openetl_spark.queries.analytics_r09 import _dsir_layout_for
 
-    import pandas as pd
-
-    sig = _doc_sig(spark, sf_dir)
-    path = DSIR_ORACLE_RATIOS_GOPHER
-    if os.path.exists(path):
-        old = pd.read_parquet(path)
-        mine = old[(old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B)]
-        if len(mine) == _DSIR_B:
-            return spark.createDataFrame(
-                mine[["b", "r_unats"]].astype("int64")
-            )
-    d = load(spark, sf_dir, "documents")
-    feats = C.dsir_features(d, n_buckets=_DSIR_B)
-    target = (
-        X.gopher_quality_flags(d, "doc_id", "text")
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    totals = C.dsir_bucket_totals(feats, target).collect()
-    ratios = C.dsir_log_ratios(totals, _DSIR_B)
-    rows = pd.DataFrame(ratios, columns=["b", "r_unats"])
-    rows.insert(0, "corpus_sig", sig)
-    rows.insert(1, "n_buckets", _DSIR_B)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    if os.path.exists(path):
-        old = pd.read_parquet(path)
-        keep = old[~((old["corpus_sig"] == sig) & (old["n_buckets"] == _DSIR_B))]
-        rows = pd.concat([keep, rows], ignore_index=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    rows.to_parquet(tmp, index=False)
-    os.replace(tmp, path)
-    return spark.createDataFrame(
-        [(int(b), int(r)) for b, r in ratios], "b bigint, r_unats bigint"
+    return _dsir_layout_for(
+        spark,
+        sf_dir,
+        DSIR_ORACLE_RATIOS_GOPHER,
+        lambda d: (
+            X.gopher_quality_flags(d, "doc_id", "text")
+            .filter(F.col("keep"))
+            .select("doc_id")
+        ),
     )
 
 
@@ -865,18 +839,21 @@ def _path_counts_layout(spark, sf_dir):
     consumers' oracles re-derive the sweep from lineitem."""
     import os
 
-    from openetl_spark.queries.analytics_r07 import _graph_layout
+    from openetl_spark.queries.analytics_r07 import (
+        _get_or_build_layout,
+        _graph_layout,
+    )
 
     edges_path, _ = _graph_layout(spark, sf_dir)
     root = os.path.dirname(edges_path)
-    path = os.path.join(root, "path_counts_h6")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build():
         core, lm = _core_and_landmarks(spark, sf_dir)
-        par = spark.sparkContext.defaultParallelism
-        G.landmark_path_counts(core, lm, max_hops=6).repartition(
-            par
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        return G.landmark_path_counts(core, lm, max_hops=6)
+
+    return spark.read.parquet(
+        _get_or_build_layout(spark, root, "path_counts_h6", build)
+    )
 
 
 @query(

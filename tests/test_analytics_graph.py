@@ -2435,3 +2435,49 @@ def test_streaming_butterfly_census_cells_merge_equals_batch(spark, tmp_path):
     r1 = G.bipartite_stats(batch_df, "o", "p", codeg=merged).collect()[0]
     r2 = G.bipartite_stats(batch_df, "o", "p").collect()[0]
     assert r1 == r2
+
+
+def test_core_numbers_bounded_rounds_equal_unrolled_reference(spark):
+    """The non-convergence contract (review r10): a level's membership
+    must be EXACTLY the raw last-round filter output — on a long path
+    with an undersized round budget, the operator must match the
+    bounded level-synchronous unrolling, sub-k survivors included."""
+    from collections import defaultdict
+
+    path = [(i, i + 1) for i in range(14)]
+
+    def bounded_ref(edges, max_k, rounds):
+        sym = defaultdict(set)
+        for a, b in edges:
+            sym[a].add(b)
+            sym[b].add(a)
+        members = set(sym)
+        core = {}
+        for k in range(2, max_k + 1):
+            prev = set(members)
+            for _ in range(rounds):
+                deg = {
+                    v: len([u for u in sym[v] if u in members])
+                    for v in members
+                }
+                nxt = {v for v in members if deg[v] >= k}
+                if nxt == members:
+                    break
+                members = nxt
+            for v in prev - members:
+                core[v] = k - 1
+        for v in members:
+            core[v] = max_k
+        return core
+
+    df = spark.createDataFrame(path, "src int, dst int")
+    # rounds=2 is far below the ~7 rounds the k=2 peel chain needs.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        got = {
+            r["node"]: r["core"]
+            for r in G.core_numbers(df, max_k=3, max_rounds=2).collect()
+        }
+    assert got == bounded_ref(path, 3, 2)

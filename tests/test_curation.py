@@ -1295,3 +1295,16 @@ def test_t_closeness_validation(spark):
         C.t_closeness(df, [], "band")
     with pytest.raises(ValueError, match="bands"):
         C.t_closeness(df, ["qi"], "band")
+
+
+def test_mondrian_hierarchical_uncovered_category_raises(spark):
+    # A category with no hierarchy row must raise at execution time,
+    # never silently drop the record (review r10).
+    rows = [(i, i, 0) for i in range(6)] + [(99, 5, 7)]  # cat=7 uncovered
+    df = spark.createDataFrame(rows, "id long, d1 long, cat long")
+    hier_rows = [(0, 1, 0), (0, 2, 0)]
+    hier = spark.createDataFrame(hier_rows, "value long, level int, anc long")
+    with pytest.raises(Exception, match="no hierarchy row"):
+        C.mondrian_hierarchical(
+            df, ["d1"], "cat", hier, "id", k_min=2, depth=1
+        ).collect()
