@@ -462,27 +462,32 @@ def ams_f2_estimate(
         raise ValueError(
             f"ams_f2_estimate: groups must be odd and >= 1, got {groups}"
         )
-    n_cells = cells.groupBy(*keys).agg(F.count("*").alias("_k"))
+    # Guard: fewer cells than groups would make gsz = 0 and the tail
+    # filter drop every row, emitting a silent NULL estimate — raise
+    # at execution time instead (the cell count is data, not config).
+    # The check lives on the per-KEY count relation (one row per key),
+    # never in the per-cell filter expression — embedding raise_error
+    # there measurably bloats the stage's codegen (review r10).
+    n_cells = cells.groupBy(*keys).agg(
+        F.when(F.count("*") >= groups, F.count("*"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ams_f2_estimate: cell count "),
+                    F.count("*").cast("string"),
+                    F.lit(f" < groups={groups} for a key — rebuild the "
+                          "sketch with k >= groups or lower groups"),
+                )
+            )
+        )
+        .alias("_k")
+    )
     per_group = (
         cells.join(n_cells, list(keys)) if keys else cells.crossJoin(
             F.broadcast(n_cells)
         )
     )
-    # Guard: fewer cells than groups would make gsz = 0 and the tail
-    # filter drop every row, emitting a silent NULL estimate — raise
-    # at execution time instead (the cell count is data, not config).
-    gsz = F.when(
-        F.col("_k") >= groups, F.expr(f"_k div {groups}")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("ams_f2_estimate: cell count "),
-                F.col("_k").cast("string"),
-                F.lit(f" < groups={groups} for a key — rebuild the "
-                      "sketch with k >= groups or lower groups"),
-            )
-        )
-    )
+    gsz = F.expr(f"_k div {groups}")
     per_group = (
         per_group.filter(F.col("i") < gsz * groups)  # drop the ragged tail
         .select(
@@ -833,24 +838,27 @@ def ams_inner_product_estimate(
         cells_b.select(*keys, "i", F.col("c").alias("_cb")),
         [*keys, "i"],
     )
-    n_cells = j.groupBy(*keys).agg(F.count("*").alias("_k"))
+    # Same silent-NULL edge as ams_f2_estimate: a joined cell count
+    # below ``groups`` zeroes gsz and empties the key — raise instead,
+    # on the per-KEY relation (see the f2 guard's codegen note).
+    n_cells = j.groupBy(*keys).agg(
+        F.when(F.count("*") >= groups, F.count("*"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ams_inner_product_estimate: joined cell count "),
+                    F.count("*").cast("string"),
+                    F.lit(f" < groups={groups} for a key — both sketches "
+                          "need k >= groups shared counters"),
+                )
+            )
+        )
+        .alias("_k")
+    )
     per = (
         j.join(n_cells, list(keys)) if keys else j.crossJoin(F.broadcast(n_cells))
     )
-    # Same silent-NULL edge as ams_f2_estimate: a joined cell count
-    # below ``groups`` zeroes gsz and empties the key — raise instead.
-    gsz = F.when(
-        F.col("_k") >= groups, F.expr(f"_k div {groups}")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("ams_inner_product_estimate: joined cell count "),
-                F.col("_k").cast("string"),
-                F.lit(f" < groups={groups} for a key — both sketches "
-                      "need k >= groups shared counters"),
-            )
-        )
-    )
+    gsz = F.expr(f"_k div {groups}")
     per = (
         per.filter(F.col("i") < gsz * groups)
         .select(
