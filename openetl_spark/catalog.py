@@ -89,8 +89,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-10 rotation (VERDICT
 # r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
 # its window (incl. the four r09 rechecks — pruned). Slots go first to
-# the ELEVEN new r10 queries (no driver row anywhere), then the
-# FOURTEEN DRIVER_RECHECK entries (code or oracle changed this round:
+# the TWELVE new r10 queries (no driver row anywhere), then the
+# THIRTEEN DRIVER_RECHECK entries (code or oracle changed this round:
 # the triangle/hyperball/landmark-hops/node2vec layouts and their
 # consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
 # COMPLETE 25-entry r05-latest queue enumerated by the r09 rotation
@@ -123,11 +123,14 @@ DRIVER_RECHECK: set[str] = {
     # kcore round-1 degree shortcut (BASELINE r10 notes):
     "kcore_parts",
     # ADVICE r09 fixes: null-safe suppression join, AMS undersized-
-    # sketch guard, atomic DSIR artifact upsert:
+    # sketch guard:
     "k_anonymity_enforced",
     "ams_f2_report",
     "ams_join_size_report",
-    "dsir_scores",
+    # NOT rechecked: dsir_scores — the r10 change to its layout
+    # builder is write-path-only (atomic temp+replace upsert); the
+    # persisted integers and the compare path are bit-identical, and
+    # the local suite re-pins the oracle every pytest run.
 }
 
 DRIVER_PRIORITY: list[str] = [
@@ -143,6 +146,7 @@ DRIVER_PRIORITY: list[str] = [
     "dsir_mixture_sample",
     "landmark_path_counts",
     "landmark_stress",
+    "funnel_steps",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_triangles",
     "local_clustering",
@@ -157,7 +161,6 @@ DRIVER_PRIORITY: list[str] = [
     "k_anonymity_enforced",
     "ams_f2_report",
     "ams_join_size_report",
-    "dsir_scores",
     # --- the complete r05-latest burn-down queue (the 25 oldest rows
     # anywhere; after this round nothing has an r05-era latest green) ---
     "join_anti",

@@ -1989,3 +1989,49 @@ def test_unigram_seed_counts_weighted_occurrences(spark):
         for r in X.unigram_seed_counts(df, max_len=3).collect()
     }
     assert got == {"a": 9, "aa": 6, "aaa": 3}
+
+
+def test_funnel_steps_strict_order_and_window(spark):
+    """Strict ordering: a user whose purchase PRECEDES the click must
+    not count as converted; the journey window drops slow converters;
+    conversion microseconds are exact."""
+    from openetl_spark.operators import analytics as A
+
+    rows = [
+        # u1 converts fully, in order, within window
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 01:00:00"),
+        (1, "buy", "2024-01-01 02:00:00"),
+        # u2: buy BEFORE view — must stop at signup+view? No: view at
+        # 03:00, buy at 01:00 only; no buy after view -> stops at view
+        (2, "signup", "2024-01-01 00:00:00"),
+        (2, "buy", "2024-01-01 01:00:00"),
+        (2, "view", "2024-01-01 03:00:00"),
+        # u3: converts but outside the 1-day window
+        (3, "signup", "2024-01-01 00:00:00"),
+        (3, "view", "2024-01-01 05:00:00"),
+        (3, "buy", "2024-01-03 00:00:00"),
+        # u4 never signs up
+        (4, "view", "2024-01-01 00:00:00"),
+        (4, "buy", "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, t string").select(
+        "user_id", "event_type", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"], r["sum_conv_usec"])
+        for r in A.funnel_steps(
+            df, ["signup", "view", "buy"], window_sec=86400
+        ).collect()
+    }
+    assert got["signup"] == (1, 3, 0)
+    # u1 (1h), u2 (3h), u3 (5h) all reach view: 9h total = 32400s
+    assert got["view"] == (2, 3, 32400 * 1_000_000)
+    # only u1 buys after its view inside the window: 2h
+    assert got["buy"] == (3, 1, 7200 * 1_000_000)
+    import pytest
+
+    with pytest.raises(ValueError, match="steps"):
+        A.funnel_steps(df, ["signup"])
+    with pytest.raises(ValueError, match="duplicate"):
+        A.funnel_steps(df, ["signup", "signup"])
