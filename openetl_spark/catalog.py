@@ -89,8 +89,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-10 rotation (VERDICT
 # r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
 # its window (incl. the four r09 rechecks — pruned). Slots go first to
-# the TWELVE new r10 queries (no driver row anywhere), then the
-# THIRTEEN DRIVER_RECHECK entries (code or oracle changed this round:
+# the THIRTEEN new r10 queries (no driver row anywhere), then the
+# ELEVEN DRIVER_RECHECK entries (code or oracle changed this round:
 # the triangle/hyperball/landmark-hops/node2vec layouts and their
 # consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
 # COMPLETE 25-entry r05-latest queue enumerated by the r09 rotation
@@ -122,15 +122,16 @@ DRIVER_RECHECK: set[str] = {
     "node2vec_walks",
     # kcore round-1 degree shortcut (BASELINE r10 notes):
     "kcore_parts",
-    # ADVICE r09 fixes: null-safe suppression join, AMS undersized-
-    # sketch guard:
+    # ADVICE r09 fix: the suppression oracle is now null-safe
+    # (IS NOT DISTINCT FROM) — oracle text changed:
     "k_anonymity_enforced",
-    "ams_f2_report",
-    "ams_join_size_report",
-    # NOT rechecked: dsir_scores — the r10 change to its layout
-    # builder is write-path-only (atomic temp+replace upsert); the
-    # persisted integers and the compare path are bit-identical, and
-    # the local suite re-pins the oracle every pytest run.
+    # NOT rechecked: dsir_scores (the r10 layout-builder change is
+    # write-path-only — atomic temp+replace upsert; persisted integers
+    # and compare path bit-identical) and ams_f2_report /
+    # ams_join_size_report (the undersized-sketch guard adds a
+    # raise-only branch on the per-key count relation that cannot fire
+    # at catalog regimes — emitted values bit-identical). All three
+    # are re-pinned locally every pytest run.
 }
 
 DRIVER_PRIORITY: list[str] = [
@@ -147,6 +148,7 @@ DRIVER_PRIORITY: list[str] = [
     "landmark_path_counts",
     "landmark_stress",
     "funnel_steps",
+    "cluster_purity_report",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_triangles",
     "local_clustering",
@@ -159,8 +161,6 @@ DRIVER_PRIORITY: list[str] = [
     "node2vec_walks",
     "kcore_parts",
     "k_anonymity_enforced",
-    "ams_f2_report",
-    "ams_join_size_report",
     # --- the complete r05-latest burn-down queue (the 25 oldest rows
     # anywhere; after this round nothing has an r05-era latest green) ---
     "join_anti",
@@ -188,7 +188,10 @@ DRIVER_PRIORITY: list[str] = [
     "window_lag",
     "window_rank",
     "winnow_overlap",
-    # r11 queue, in order: the 44 r06-latest rows alphabetically
+    # --- the oldest r06-latest row, alphabetically (1 of 44) ---
+    "ann_recall_report",
+    # r11 queue, in order: the remaining 43 r06-latest rows
+    # alphabetically
     # (ann_recall_report, approx_sketches, array_funcs, audio_near_duplicates,
     # curation_pipeline, date_funcs, decontaminate_spans, dedup_components,
     # dedup_exact, dedup_keep_best, doc_fingerprint,

@@ -1012,3 +1012,77 @@ def q_funnel_steps(spark, sf_dir):
     no window function, state one row per surviving user."""
     e = load(spark, sf_dir, "events")
     return A.funnel_steps(e, _FUNNEL_STEPS, window_sec=_FUNNEL_W)
+
+
+# ---------------------------------------------------------------------
+# C149 — cluster purity report: the clustering-evaluation harness over
+# the persisted IVF quantizer (the embeddings table carries ground-
+# truth labels; purity is the label-agreement metric that needs no
+# float beyond one division of exact counts).
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import similarity as S  # noqa: E402
+from openetl_spark.queries.relational_extra import (  # noqa: E402
+    IVF_ORACLE_CENTROIDS,
+    IVF_SIG_SQL,
+    _ivf_layout,
+)
+
+
+@query(
+    "cluster_purity_report",
+    f"""
+    WITH cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    assign AS (
+      SELECT e.vec_id, e.label,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e),
+    j AS (SELECT list_id, label, count(*) AS n FROM assign GROUP BY 1, 2)
+    SELECT list_id,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           CAST(max(n) AS BIGINT) AS top_n,
+           CAST(first(label ORDER BY n DESC, label ASC) AS INT) AS top_label,
+           CAST(max(n) AS DOUBLE) / sum(n) AS purity
+    FROM j GROUP BY 1
+    """,
+)
+def q_cluster_purity_report(spark, sf_dir):
+    """C149: per-cluster PURITY of the persisted IVF quantizer
+    against the embeddings table's ground-truth labels — the
+    clustering-evaluation harness closing the loop the recall
+    harnesses close for search (a k-means index can have perfect
+    recall mechanics and still cluster semantically badly; purity is
+    what says so). Per inverted list: size, distinct labels, the
+    modal label (ties to the SMALLEST label — the LPA min_by struct
+    order, identical in both engines) and its count, and purity =
+    top_n/n (ONE IEEE division of exact bigints — the
+    triangle_stats discipline). Assignment re-derives from the SAME
+    persisted centroid parquet in both engines, so hashes are exact
+    end-to-end. Scale: one Arrow-batched matmul per batch for the
+    assignment + two partial aggs; the report is n_lists rows."""
+    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    e = load(spark, sf_dir, "embeddings", spread=True)
+    assigned = S.with_ivf_assignment(e, cents, "embedding", "list_id")
+    j = assigned.groupBy("list_id", "label").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return j.groupBy("list_id").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.max("_n").cast("bigint").alias("top_n"),
+        F.min_by(
+            "label", F.struct((-F.col("_n")).alias("nc"), F.col("label"))
+        )
+        .cast("int")
+        .alias("top_label"),
+        (F.max("_n").cast("double") / F.sum("_n")).alias("purity"),
+    )
