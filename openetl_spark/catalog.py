@@ -89,7 +89,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-10 rotation (VERDICT
 # r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
 # its window (incl. the four r09 rechecks — pruned). Slots go first to
-# the THIRTEEN new r10 queries (no driver row anywhere), then the
+# the FOURTEEN new r10 queries (no driver row anywhere), then the
 # ELEVEN DRIVER_RECHECK entries (code or oracle changed this round:
 # the triangle/hyperball/landmark-hops/node2vec layouts and their
 # consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
@@ -149,6 +149,7 @@ DRIVER_PRIORITY: list[str] = [
     "landmark_stress",
     "funnel_steps",
     "cluster_purity_report",
+    "funnel_time_to_convert",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_triangles",
     "local_clustering",
@@ -188,10 +189,7 @@ DRIVER_PRIORITY: list[str] = [
     "window_lag",
     "window_rank",
     "winnow_overlap",
-    # --- the oldest r06-latest row, alphabetically (1 of 44) ---
-    "ann_recall_report",
-    # r11 queue, in order: the remaining 43 r06-latest rows
-    # alphabetically
+    # r11 queue, in order: the 44 r06-latest rows alphabetically
     # (ann_recall_report, approx_sketches, array_funcs, audio_near_duplicates,
     # curation_pipeline, date_funcs, decontaminate_spans, dedup_components,
     # dedup_exact, dedup_keep_best, doc_fingerprint,

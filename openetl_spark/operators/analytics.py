@@ -282,6 +282,18 @@ def funnel_steps(
         )
 
     out = level(frontier, 1, steps[0])
+    for i, s, frontier in _funnel_frontiers(e, steps, window_sec, frontier):
+        out = out.unionByName(level(frontier, i, s))
+    return out
+
+
+def _funnel_frontiers(e, steps, window_sec, frontier):
+    """Yield (idx, step, frontier) for steps 2..k — the shared strict-
+    order advance used by funnel_steps (counts) and funnel_user_times
+    (the per-user conversion relation)."""
+    import pyspark.sql.functions as F
+
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     for i, s in enumerate(steps[1:], start=2):
         nxt = (
             e.filter(F.col("_e") == s)
@@ -291,5 +303,47 @@ def funnel_steps(
         if window_sec is not None:
             nxt = nxt.filter(ep("_ts") - ep("_t0") <= window_sec * 1_000_000)
         frontier = nxt.groupBy("_u", "_t0").agg(F.min("_ts").alias("_t"))
-        out = out.unionByName(level(frontier, i, s))
+        yield i, s, frontier
+
+
+def funnel_user_times(
+    events,
+    steps,
+    window_sec=None,
+    user_col="user_id",
+    type_col="event_type",
+    ts_col="ts",
+):
+    """The per-user companion of funnel_steps: one row per (user,
+    reached step ≥ 2) with the EXACT conversion time t_step − t_first
+    in epoch microseconds — the relation time-to-convert statistics
+    (medians, tail quantiles) derive from. Same strict-order + journey-
+    window semantics; all bigint."""
+    import pyspark.sql.functions as F
+
+    if len(steps) < 2:
+        raise ValueError(f"funnel_user_times: need >= 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel_user_times: duplicate step names in {steps}")
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        F.col(ts_col).alias("_ts"),
+    )
+    first = (
+        e.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t"))
+        .select("_u", F.col("_t").alias("_t0"), "_t")
+    )
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    out = None
+    for i, s, frontier in _funnel_frontiers(e, steps, window_sec, first):
+        part = frontier.select(
+            F.col("_u").cast("long").alias("user_id"),
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            (ep("_t") - ep("_t0")).cast("bigint").alias("conv_usec"),
+        )
+        out = part if out is None else out.unionByName(part)
     return out

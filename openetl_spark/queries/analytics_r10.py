@@ -1086,3 +1086,99 @@ def q_cluster_purity_report(spark, sf_dir):
         .alias("top_label"),
         (F.max("_n").cast("double") / F.sum("_n")).alias("purity"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t, min(ts) AS t0
+      FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, s1.t0 AS t0
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+        AND epoch_us(e.ts) - epoch_us(s1.t0) <= CAST({_FUNNEL_W} AS BIGINT) * 1000000
+      GROUP BY 1, 3),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t, s2.t0 AS t0
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+        AND epoch_us(e.ts) - epoch_us(s2.t0) <= CAST({_FUNNEL_W} AS BIGINT) * 1000000
+      GROUP BY 1, 3),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t, s3.t0 AS t0
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[3]}' AND e.ts > s3.t
+        AND epoch_us(e.ts) - epoch_us(s3.t0) <= CAST({_FUNNEL_W} AS BIGINT) * 1000000
+      GROUP BY 1, 3),
+    times AS (
+      SELECT 2 AS step_idx, '{_FUNNEL_STEPS[1]}' AS step, user_id,
+             epoch_us(t) - epoch_us(t0) AS cu FROM s2
+      UNION ALL
+      SELECT 3, '{_FUNNEL_STEPS[2]}', user_id, epoch_us(t) - epoch_us(t0) FROM s3
+      UNION ALL
+      SELECT 4, '{_FUNNEL_STEPS[3]}', user_id, epoch_us(t) - epoch_us(t0) FROM s4),
+    ranked AS (
+      SELECT step_idx, step, cu,
+             row_number() OVER (PARTITION BY step_idx
+                                ORDER BY cu ASC, user_id ASC) AS rn,
+             count(*) OVER (PARTITION BY step_idx) AS n
+      FROM times)
+    SELECT step_idx, step,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cu END) AS BIGINT)
+             AS med_usec,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cu END) AS BIGINT)
+             AS p90_usec
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_funnel_time_to_convert(spark, sf_dir):
+    """C148b: EXACT time-to-convert order statistics per funnel step —
+    the lower median and the ⌈0.9n⌉ tail of t_step − t_first over the
+    converted users (operators/analytics.funnel_user_times composed
+    with grouped_exact_ranks' histogram rank): the number a growth
+    team actually reads off a funnel ("median 2 days to purchase, p90
+    at the window edge"). Ranks are exact order statistics computed by
+    the two-level histogram form — never a step-partitioned window
+    over the user relation (3 steps would mean 3 tasks at any scale) —
+    and both columns are exact epoch-microsecond bigints picked at
+    ranks (n+1)÷2 and ⌈9n/10⌉ with user-id tiebreaks, hash-identical
+    cross-engine; the oracle uses the plain window form (no scale
+    posture in DuckDB)."""
+    from openetl_spark.operators.analytics import grouped_exact_ranks
+
+    e = load(spark, sf_dir, "events")
+    times = A.funnel_user_times(e, _FUNNEL_STEPS, window_sec=_FUNNEL_W)
+    aug = times.withColumn("_neg", -F.col("conv_usec"))
+    ranked = grouped_exact_ranks(
+        aug, "step_idx", "_neg", "user_id", 4096.0,
+        pos_col="_pos", n_col="_n",
+    )
+    return (
+        ranked.filter(
+            (F.col("_pos") == F.expr("(_n + 1) div 2"))
+            | (F.col("_pos") == F.expr("(9 * _n + 9) div 10"))
+        )
+        .groupBy("step_idx", "step")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_users"),
+            F.max(
+                F.when(
+                    F.col("_pos") == F.expr("(_n + 1) div 2"),
+                    F.col("conv_usec"),
+                )
+            )
+            .cast("bigint")
+            .alias("med_usec"),
+            F.max(
+                F.when(
+                    F.col("_pos") == F.expr("(9 * _n + 9) div 10"),
+                    F.col("conv_usec"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_usec"),
+        )
+    )
