@@ -89,8 +89,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-10 rotation (VERDICT
 # r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
 # its window (incl. the four r09 rechecks — pruned). Slots go first to
-# the FOURTEEN new r10 queries (no driver row anywhere), then the
-# ELEVEN DRIVER_RECHECK entries (code or oracle changed this round:
+# the FIFTEEN new r10 queries (no driver row anywhere), then the
+# TEN DRIVER_RECHECK entries (code or oracle changed this round:
 # the triangle/hyperball/landmark-hops/node2vec layouts and their
 # consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
 # COMPLETE 25-entry r05-latest queue enumerated by the r09 rotation
@@ -113,7 +113,6 @@ DRIVER_RECHECK: set[str] = {
     # shared _node2vec_walk_ctes fragment:
     "graph_triangles",
     "local_clustering",
-    "ktruss_core",
     "trussness_parts",
     "harmonic_centrality",
     "hyperball_cells",
@@ -150,10 +149,10 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_steps",
     "cluster_purity_report",
     "funnel_time_to_convert",
+    "funnel_by_segment",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "graph_triangles",
     "local_clustering",
-    "ktruss_core",
     "trussness_parts",
     "harmonic_centrality",
     "hyperball_cells",

@@ -226,6 +226,7 @@ def funnel_steps(
     user_col="user_id",
     type_col="event_type",
     ts_col="ts",
+    group_col=None,
 ):
     """Strict-order conversion FUNNEL over an event stream — the
     product-analytics staple: per user, take the FIRST occurrence of
@@ -248,6 +249,12 @@ def funnel_steps(
     partial-agg min per user, state one row per surviving user; no
     window function, no per-user event sort. At 100 TB the event scan
     is touched once per step with the type filter pushed to the scan.
+
+    ``group_col``: optional per-USER attribute column already joined
+    onto ``events`` (a market segment, a cohort) — the funnel then
+    reports per group: (group_col, step_idx, step, n_users,
+    sum_conv_usec). The attribute must be constant per user (it rides
+    the per-user groupBy key).
     """
     import pyspark.sql.functions as F
 
@@ -255,31 +262,39 @@ def funnel_steps(
         raise ValueError(f"funnel_steps: need >= 2 steps, got {steps}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel_steps: duplicate step names in {steps}")
+    gcol = group_col if group_col is not None else None
     e = events.select(
         F.col(user_col).alias("_u"),
         F.col(type_col).alias("_e"),
         F.col(ts_col).alias("_ts"),
+        (F.col(gcol) if gcol else F.lit(0)).alias("_g"),
     )
     frontier = (
         e.filter(F.col("_e") == steps[0])
-        .groupBy("_u")
+        .groupBy("_u", "_g")
         .agg(F.min("_ts").alias("_t"))
-        .select("_u", F.col("_t").alias("_t0"), "_t")
+        .select("_u", "_g", F.col("_t").alias("_t0"), "_t")
     )
     ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
 
     def level(fr, idx, name):
-        return fr.agg(
+        agg = fr.groupBy("_g").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
             F.coalesce(F.sum(ep("_t") - ep("_t0")), F.lit(0))
             .cast("bigint")
             .alias("sum_conv_usec"),
-        ).select(
+        )
+        cols = [
             F.lit(idx).cast("int").alias("step_idx"),
             F.lit(name).alias("step"),
             "n_users",
             "sum_conv_usec",
-        )
+        ]
+        if gcol:
+            return agg.select(F.col("_g").alias(gcol), *cols)
+        # ungrouped: aggregate the single _g bucket away, keeping the
+        # original scalar-output schema
+        return agg.select(*cols)
 
     out = level(frontier, 1, steps[0])
     for i, s, frontier in _funnel_frontiers(e, steps, window_sec, frontier):
@@ -296,13 +311,14 @@ def _funnel_frontiers(e, steps, window_sec, frontier):
     ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     for i, s in enumerate(steps[1:], start=2):
         nxt = (
-            e.filter(F.col("_e") == s)
+            e.drop("_g")
+            .filter(F.col("_e") == s)
             .join(frontier, "_u")
             .filter(F.col("_ts") > F.col("_t"))
         )
         if window_sec is not None:
             nxt = nxt.filter(ep("_ts") - ep("_t0") <= window_sec * 1_000_000)
-        frontier = nxt.groupBy("_u", "_t0").agg(F.min("_ts").alias("_t"))
+        frontier = nxt.groupBy("_u", "_t0", "_g").agg(F.min("_ts").alias("_t"))
         yield i, s, frontier
 
 
@@ -329,12 +345,13 @@ def funnel_user_times(
         F.col(user_col).alias("_u"),
         F.col(type_col).alias("_e"),
         F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_g"),
     )
     first = (
         e.filter(F.col("_e") == steps[0])
-        .groupBy("_u")
+        .groupBy("_u", "_g")
         .agg(F.min("_ts").alias("_t"))
-        .select("_u", F.col("_t").alias("_t0"), "_t")
+        .select("_u", "_g", F.col("_t").alias("_t0"), "_t")
     )
     ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     out = None

@@ -1182,3 +1182,69 @@ def q_funnel_time_to_convert(spark, sf_dir):
             .alias("p90_usec"),
         )
     )
+
+
+@query(
+    "funnel_by_segment",
+    f"""
+    WITH ej AS (
+      SELECT e.user_id, e.event_type, e.ts, c.c_mktsegment AS seg
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    s1 AS (
+      SELECT user_id, seg, min(ts) AS t, min(ts) AS t0
+      FROM ej WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1, 2),
+    s2 AS (
+      SELECT e.user_id, s1.seg, min(e.ts) AS t, s1.t0 AS t0
+      FROM ej e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+        AND epoch_us(e.ts) - epoch_us(s1.t0) <= CAST({_FUNNEL_W} AS BIGINT) * 1000000
+      GROUP BY 1, 2, 4),
+    s3 AS (
+      SELECT e.user_id, s2.seg, min(e.ts) AS t, s2.t0 AS t0
+      FROM ej e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+        AND epoch_us(e.ts) - epoch_us(s2.t0) <= CAST({_FUNNEL_W} AS BIGINT) * 1000000
+      GROUP BY 1, 2, 4),
+    s4 AS (
+      SELECT e.user_id, s3.seg, min(e.ts) AS t, s3.t0 AS t0
+      FROM ej e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[3]}' AND e.ts > s3.t
+        AND epoch_us(e.ts) - epoch_us(s3.t0) <= CAST({_FUNNEL_W} AS BIGINT) * 1000000
+      GROUP BY 1, 2, 4)
+    SELECT seg AS c_mktsegment, CAST(1 AS INT) AS step_idx,
+           '{_FUNNEL_STEPS[0]}' AS step,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(0 AS BIGINT) AS sum_conv_usec
+    FROM s1 GROUP BY 1
+    UNION ALL
+    SELECT seg, 2, '{_FUNNEL_STEPS[1]}', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(epoch_us(t) - epoch_us(t0)), 0) AS BIGINT)
+    FROM s2 GROUP BY 1
+    UNION ALL
+    SELECT seg, 3, '{_FUNNEL_STEPS[2]}', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(epoch_us(t) - epoch_us(t0)), 0) AS BIGINT)
+    FROM s3 GROUP BY 1
+    UNION ALL
+    SELECT seg, 4, '{_FUNNEL_STEPS[3]}', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(epoch_us(t) - epoch_us(t0)), 0) AS BIGINT)
+    FROM s4 GROUP BY 1
+    """,
+)
+def q_funnel_by_segment(spark, sf_dir):
+    """C148c: the C148 funnel split by a USER attribute — market
+    segment attached by the events ⋈ customer star join (user_id =
+    c_custkey; Catalyst broadcasts the dimension side), then the same
+    strict-order 7-day-window advance reported per segment
+    (operators/analytics.funnel_steps(group_col=...)): the
+    per-audience conversion comparison a growth team reads next to
+    the global curve. The attribute rides the per-user groupBy key,
+    so the group split costs NO extra shuffle over the ungrouped
+    funnel. All bigint; one row per (segment, step)."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ej = e.join(c, "user_id")
+    return A.funnel_steps(
+        ej, _FUNNEL_STEPS, window_sec=_FUNNEL_W, group_col="c_mktsegment"
+    )

@@ -57,7 +57,7 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-10 rotation: the fourteen new queries, every DRIVER_RECHECK
+    # round-10 rotation: the fifteen new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
     # complete r05-latest refresh queue hold slots
     for newcomer in ("effective_diameter_report", "dsir_retarget",
@@ -66,7 +66,7 @@ def test_driver_priority_window_integrity():
                      "part_butterflies", "core_numbers_parts",
                      "dsir_mixture_sample", "landmark_path_counts",
                      "landmark_stress", "funnel_steps", "cluster_purity_report",
-                     "funnel_time_to_convert",
+                     "funnel_time_to_convert", "funnel_by_segment",
                      "join_anti", "join_broadcast", "join_cross",
                      "join_inner", "join_left_agg", "join_semi",
                      "length_bias_audit", "pivot_linestatus",
