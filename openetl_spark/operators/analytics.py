@@ -278,12 +278,12 @@ def funnel_steps(
     ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
 
     def level(fr, idx, name):
-        agg = fr.groupBy("_g").agg(
+        aggs = [
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
             F.coalesce(F.sum(ep("_t") - ep("_t0")), F.lit(0))
             .cast("bigint")
             .alias("sum_conv_usec"),
-        )
+        ]
         cols = [
             F.lit(idx).cast("int").alias("step_idx"),
             F.lit(name).alias("step"),
@@ -291,10 +291,14 @@ def funnel_steps(
             "sum_conv_usec",
         ]
         if gcol:
-            return agg.select(F.col("_g").alias(gcol), *cols)
-        # ungrouped: aggregate the single _g bucket away, keeping the
-        # original scalar-output schema
-        return agg.select(*cols)
+            # A segment whose converted set empties at this step drops
+            # out, matching the grouped oracle's GROUP BY semantics.
+            return fr.groupBy("_g").agg(*aggs).select(F.col("_g").alias(gcol), *cols)
+        # ungrouped: GLOBAL aggregate (not groupBy on the sentinel _g)
+        # so a step whose converted-user set is empty still yields its
+        # n_users=0 row — the docstring's one-row-per-step contract and
+        # the ungrouped oracle's scalar-subquery behavior.
+        return fr.agg(*aggs).select(*cols)
 
     out = level(frontier, 1, steps[0])
     for i, s, frontier in _funnel_frontiers(e, steps, window_sec, frontier):

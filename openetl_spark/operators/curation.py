@@ -1930,10 +1930,40 @@ def mondrian_hierarchical(
     cur = df.withColumn("_leaf", F.lit("r")).withColumn(
         "_lvl", F.lit(0).cast("int")
     )
-    anc = hierarchy.select(
-        F.col("value").alias("_hv"),
-        F.col("level").alias("_alvl"),
-        F.col("anc").alias("_child"),
+    # The taxonomy must be a FUNCTION of (value, level): a duplicate
+    # (value, level) row would silently duplicate records through the
+    # descent join below, inflating child counts so the per-child
+    # k-guard can pass on fewer real records — the quiet dual of the
+    # missing-row failure the guard inside the join already raises on.
+    # Validate uniqueness the same way (taxonomy-sized groupBy, raise
+    # branch evaluated when the broadcast materializes).
+    anc = (
+        hierarchy.select(
+            F.col("value").alias("_hv"),
+            F.col("level").alias("_alvl"),
+            F.col("anc").alias("_child"),
+        )
+        .groupBy("_hv", "_alvl")
+        .agg(F.count(F.lit(1)).alias("_hn"), F.min("_child").alias("_child"))
+        .withColumn(
+            "_child",
+            F.when(F.col("_hn") == 1, F.col("_child")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mondrian_hierarchical: duplicate hierarchy "
+                            "rows for (value, level) = ("
+                        ),
+                        F.col("_hv").cast("string"),
+                        F.lit(", "),
+                        F.col("_alvl").cast("string"),
+                        F.lit(") — the taxonomy must map each (value, "
+                              "level) to exactly one ancestor"),
+                    )
+                )
+            ),
+        )
+        .drop("_hn")
     )
     for _ in range(depth):
         stats = cur.groupBy("_leaf").agg(

@@ -1650,6 +1650,12 @@ def _node2vec_layout(spark, sf_dir: str) -> str:
             )
 
         os.makedirs(root, exist_ok=True)
+        # A walks directory WITHOUT meta is stale by definition (a
+        # crash in the rename→meta-write window, possibly under older
+        # params): rebuild rather than let _get_or_build_layout adopt
+        # it and stamp fresh meta claiming the current params over an
+        # artifact built with different ones (ADVICE r10).
+        shutil.rmtree(walks_path, ignore_errors=True)
         _get_or_build_layout(spark, root, "n2v_walks", build)
         # Atomic meta write (review r10): a concurrent reader must
         # never json.load a half-written file.

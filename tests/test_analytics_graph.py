@@ -1948,6 +1948,30 @@ def test_node2vec_deterministic_and_on_edges(spark):
             assert (min(u, v), max(u, v)) in adj
 
 
+def test_node2vec_layout_missing_meta_forces_rebuild(spark):
+    """A walks artifact WITHOUT its meta file is stale by definition
+    (a crash in the rename→meta-write window may have left an
+    artifact built under OLD params): the layout getter must rebuild
+    rather than adopt it and stamp fresh meta over it (ADVICE r10)."""
+    import os
+
+    from openetl_spark.queries.analytics_r09 import _node2vec_layout
+
+    sf = "/root/testdata/sf0.001"
+    walks = _node2vec_layout(spark, sf)
+    meta = os.path.join(os.path.dirname(walks), "n2v_meta.json")
+    assert os.path.exists(meta)
+    # Simulate the crash window: artifact present, meta gone, plus a
+    # sentinel standing in for stale old-params content.
+    os.remove(meta)
+    sentinel = os.path.join(walks, "_stale_sentinel")
+    open(sentinel, "w").write("old params")
+    walks2 = _node2vec_layout(spark, sf)
+    assert walks2 == walks
+    assert os.path.exists(meta)
+    assert not os.path.exists(sentinel)  # rebuilt, not adopted
+
+
 def test_node2vec_validation(spark):
     e = _edges_df(spark, [(0, 1)])
     starts = spark.createDataFrame([(0,)], "node long")

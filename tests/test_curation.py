@@ -1308,3 +1308,22 @@ def test_mondrian_hierarchical_uncovered_category_raises(spark):
         C.mondrian_hierarchical(
             df, ["d1"], "cat", hier, "id", k_min=2, depth=1
         ).collect()
+
+
+def test_mondrian_hierarchical_duplicate_hierarchy_row_raises(spark):
+    """A duplicate (value, level) hierarchy row must raise, never
+    silently duplicate records through the descent join — duplicated
+    rows inflate child counts so the per-child k-guard can pass with
+    fewer REAL records, quietly breaking the k-guarantee (ADVICE r10)."""
+    rows = [(i, i % 3, i % 2) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, d1 long, cat long")
+    hier_rows = [
+        (0, 1, 0), (0, 2, 0),
+        (1, 1, 0), (1, 2, 1),
+        (1, 2, 1),  # duplicate (value=1, level=2)
+    ]
+    hier = spark.createDataFrame(hier_rows, "value long, level int, anc long")
+    with pytest.raises(Exception, match="duplicate hierarchy"):
+        C.mondrian_hierarchical(
+            df, ["d1"], "cat", hier, "id", k_min=2, depth=2
+        ).collect()

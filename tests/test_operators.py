@@ -2035,3 +2035,43 @@ def test_funnel_steps_strict_order_and_window(spark):
         A.funnel_steps(df, ["signup"])
     with pytest.raises(ValueError, match="duplicate"):
         A.funnel_steps(df, ["signup", "signup"])
+
+
+def test_funnel_steps_empty_step_still_yields_zero_row(spark):
+    """One row per step even when a step's converted-user set is
+    EMPTY (ADVICE r10): the ungrouped funnel must emit n_users=0 for
+    a step nobody reaches — the oracle's scalar subqueries always do,
+    and the docstring promises one row per step."""
+    from openetl_spark.operators import analytics as A
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 01:00:00"),
+        # nobody ever emits "buy" at all, and "ship" never appears
+        (2, "signup", "2024-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, t string"
+    ).select(
+        "user_id", "event_type", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"], r["sum_conv_usec"])
+        for r in A.funnel_steps(
+            df, ["signup", "view", "buy", "ship"], window_sec=86400
+        ).collect()
+    }
+    assert got["signup"] == (1, 2, 0)
+    assert got["view"] == (2, 1, 3600 * 1_000_000)
+    assert got["buy"] == (3, 0, 0)
+    assert got["ship"] == (4, 0, 0)
+    # grouped mode keeps GROUP BY semantics: empty (segment, step)
+    # combinations drop, matching the grouped oracle.
+    seg = df.withColumn("seg", F.lit("A"))
+    grouped = A.funnel_steps(
+        seg, ["signup", "view", "buy"], window_sec=86400, group_col="seg"
+    ).collect()
+    assert {(r["step"], r["n_users"]) for r in grouped} == {
+        ("signup", 2),
+        ("view", 1),
+    }
