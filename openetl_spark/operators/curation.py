@@ -636,6 +636,7 @@ def perplexity_buckets(
     group_col: str = "lang",
     bin_width: float = 0.002,
     round_dp: int = 4,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet's perplexity-bucket split (Wenzek et al. 2020 §4.3): score
     every document with the corpus bigram LM, then split each language
@@ -652,8 +653,14 @@ def perplexity_buckets(
     Bucket membership compares the doc's integer bin id to the
     threshold bin ids — integer compares, so membership is exactly
     reproducible in the oracle. Docs with < 2 tokens carry no LM
-    evidence and are excluded (as in ``ngram_lm_score``)."""
-    binned = with_perplexity_bucket(df, id_col, text_col, group_col, bin_width)
+    evidence and are excluded (as in ``ngram_lm_score``).
+
+    ``scored``: optional pre-computed (id, group, nll) relation — a
+    persisted score layout; when given, the LM train+score pass is
+    skipped entirely (the offline-fit/online-gate posture)."""
+    binned = with_perplexity_bucket(
+        df, id_col, text_col, group_col, bin_width, scored=scored
+    )
     return (
         binned.groupBy(group_col, "bucket")
         .agg(
@@ -669,15 +676,20 @@ def with_perplexity_bucket(
     text_col: str = "text",
     group_col: str = "lang",
     bin_width: float = 0.002,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """The per-document relation behind ``perplexity_buckets``:
     (id, group, nll, bucket) with bucket ∈ head/middle/tail — exposed
     so pipelines can GATE on the bucket (CCNet keeps head+middle) as
     well as report on it. Same histogram-tercile machinery; same
-    scale shape."""
-    scored = ngram_lm_score(df, id_col, text_col, round_dp=None).join(
-        df.select(id_col, group_col), id_col
-    )
+    scale shape. ``scored``: optional pre-computed (id, group, nll)
+    relation (a persisted score layout) replacing the in-plan LM
+    train+score — at 100 TB the corpus LM is fitted/scored ONCE and
+    every gate reads the artifact."""
+    if scored is None:
+        scored = ngram_lm_score(df, id_col, text_col, round_dp=None).join(
+            df.select(id_col, group_col), id_col
+        )
     w = float(bin_width)
     binned = scored.select(
         id_col,

@@ -745,6 +745,53 @@ def test_r10_layout_consumers_read_artifacts_not_rederive(spark, sf_dir):
     assert "n2v_walks" in plan, plan[:2000]
 
 
+def test_lm_layout_consumers_read_artifact_not_retrain(spark, sf_dir):
+    """r11 corpus-LM layout: ngram_lm_score must read ONLY the
+    persisted score parquet (no documents scan, no bigram explode in
+    its plan); perplexity_buckets and llm_data_pipeline must gate off
+    the artifact (lm_scores in the plan). Content stays pinned by the
+    oracles re-deriving LM counts and scores from raw text."""
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    lm = catalog.QUERIES["ngram_lm_score"](spark, sf_dir)
+    plan = lm._jdf.queryExecution().explainString(fmt)
+    assert "lm_scores" in plan, plan[:2000]
+    assert "documents.parquet" not in plan, plan[:2000]
+
+    pb = catalog.QUERIES["perplexity_buckets"](spark, sf_dir)
+    plan = pb._jdf.queryExecution().explainString(fmt)
+    assert "lm_scores" in plan, plan[:2000]
+    # the tercile machinery runs over the artifact, not raw text
+    assert "documents.parquet" not in plan, plan[:2000]
+
+    pipe = catalog.QUERIES["llm_data_pipeline"](spark, sf_dir)
+    plan = pipe._jdf.queryExecution().explainString(fmt)
+    assert "lm_scores" in plan, plan[:2000]
+
+
+def test_lm_layout_missing_meta_forces_rebuild(spark):
+    """An lm_scores artifact WITHOUT meta is stale by definition —
+    rebuild, never adopt (the _node2vec_layout ADVICE-r10 discipline
+    applied from birth)."""
+    import os
+
+    from openetl_spark.queries.lm_dedup import _LM_VERIFIED, _lm_scores_layout
+
+    sf = "/root/testdata/sf0.001"
+    scores = _lm_scores_layout(spark, sf)
+    meta = os.path.join(os.path.dirname(scores), "lm_meta.json")
+    assert os.path.exists(meta)
+    os.remove(meta)
+    sentinel = os.path.join(scores, "_stale_sentinel")
+    open(sentinel, "w").write("old params")
+    _LM_VERIFIED.discard("sf0.001")
+    scores2 = _lm_scores_layout(spark, sf)
+    assert scores2 == scores
+    assert os.path.exists(meta)
+    assert not os.path.exists(sentinel)  # rebuilt, not adopted
+
+
 def test_bipartite_census_plan_has_no_pair_enumeration(spark, sf_dir):
     """bipartite_stats with the layout codegrees must not contain the
     incidence self-join (the m·d pair enumeration) — the butterfly
