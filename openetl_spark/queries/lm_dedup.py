@@ -240,10 +240,14 @@ def q_semantic_dedup(spark, sf_dir):
     one numpy matmul per cluster, and the min-id survivor rule makes
     the whole operator re-derivable by the oracle from the centroid
     parquet. Threshold 0.4 sits under this synthetic corpus's ~0.51
-    cosine ceiling so the gate is non-vacuous."""
-    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    e = load(spark, sf_dir, "embeddings", spread=True)
-    return S.semantic_dedup(e, cents, threshold=0.4)
+    cosine ceiling so the gate is non-vacuous. r11 (VERDICT r10 #4):
+    reads the IVF-PARTITIONED corpus — the assignment is already
+    materialized in the layout's directory structure, so the per-
+    invocation Arrow matmul assignment pass disappears AND the
+    cluster-keyed shuffle shrinks (rows arrive pre-bucketed)."""
+    cents, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    corpus = spark.read.parquet(data_path)
+    return S.semantic_dedup(corpus, cents, list_col="ivf_list", threshold=0.4)
 
 
 @query(
@@ -828,9 +832,15 @@ def q_cluster_profile(spark, sf_dir):
     occupancy and squared-distance spread (the inertia decomposition
     one watches for cluster collapse or drift as a corpus grows). One
     scan + one broadcast join + a 16-group aggregate; the oracle
-    re-derives assignment and distances from the centroid parquet."""
-    cents, _ = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    re-derives assignment and distances from the centroid parquet.
+    r11 (VERDICT r10 #4): the assignment comes from the
+    IVF-partitioned corpus layout (a partition-column read — zero
+    compute), not a per-invocation Arrow matmul; only the distance
+    arithmetic stays in-plan."""
+    cents, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    corpus = spark.read.parquet(data_path).select(
+        F.col("ivf_list").cast("int").alias("list_id"), "embedding"
+    )
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
@@ -842,8 +852,7 @@ def q_cluster_profile(spark, sf_dir):
         - 2 * S.dot(v, F.col("centroid"))
     )
     return (
-        S.with_ivf_assignment(e, cents, "embedding", "list_id")
-        .join(F.broadcast(cdf), "list_id")
+        corpus.join(F.broadcast(cdf), "list_id")
         .select("list_id", d2.alias("_d2"))
         .groupBy("list_id")
         .agg(

@@ -770,6 +770,39 @@ def test_lm_layout_consumers_read_artifact_not_retrain(spark, sf_dir):
     assert "lm_scores" in plan, plan[:2000]
 
 
+def test_ivf_assignment_consumers_read_partitioned_corpus(spark, sf_dir):
+    """r11 (VERDICT r10 #4): cluster_purity_report, cluster_profile,
+    and semantic_dedup read the IVF assignment off the partitioned
+    corpus layout (ivf_list is a partition column — zero compute)
+    instead of re-running the Arrow matmul assignment per invocation.
+    No embeddings.parquet scan may remain in their plans; the purity
+    report's ReadSchema must carry only the label column (+ the
+    partition column), never the float vectors."""
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    pure = catalog.QUERIES["cluster_purity_report"](spark, sf_dir)
+    plan = pure._jdf.queryExecution().explainString(fmt)
+    assert "ivf_cache" in plan, plan[:2000]
+    assert "embeddings.parquet" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan, plan[:2000]
+    import re
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "embedding" not in rs.group(1), plan[:2000]
+
+    prof = catalog.QUERIES["cluster_profile"](spark, sf_dir)
+    plan = prof._jdf.queryExecution().explainString(fmt)
+    assert "ivf_cache" in plan, plan[:2000]
+    assert "embeddings.parquet" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan, plan[:2000]
+
+    sd = catalog.QUERIES["semantic_dedup"](spark, sf_dir)
+    plan = sd._jdf.queryExecution().explainString(fmt)
+    assert "ivf_cache" in plan, plan[:2000]
+    assert "embeddings.parquet" not in plan, plan[:2000]
+
+
 def test_lm_layout_missing_meta_forces_rebuild(spark):
     """An lm_scores artifact WITHOUT meta is stale by definition —
     rebuild, never adopt (the _node2vec_layout ADVICE-r10 discipline
