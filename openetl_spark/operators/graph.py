@@ -1787,6 +1787,81 @@ def landmark_path_counts(
     return visited
 
 
+def landmark_pair_dependencies(
+    path_counts: DataFrame,
+    landmarks: DataFrame,
+) -> DataFrame:
+    """Per-(landmark-pair, node) shortest-path DEPENDENCIES — the
+    betweenness completion of the σ relation (Brandes 2001 §4: the
+    pair dependency δ_st(v) = σ_st(v)/σ_st, with σ_st(v) =
+    σ_s(v)·σ_t(v) exactly when d_s(v) + d_t(v) = d(s, t), i.e. v lies
+    on a shortest s–t path). Betweenness proper sums δ over pairs —
+    per-pair denominators σ_st differ, so that sum is float with
+    engine-unpinned addition order; THIS relation keeps the pair
+    grain and renders every dependency as the EXACT bigint rational
+    (dep_num = σ_s(v)·σ_t(v), dep_den = σ_st) — the t_closeness
+    num/den discipline, fully hash-checkable. Callers who want the
+    scalar divide downstream; callers who want ranks compare by
+    cross-multiplication.
+
+    Integrity invariant (every shortest s–t path has exactly
+    d_st − 1 interior nodes): per pair, Σ_v dep_num = dep_den·(d_st−1).
+
+    ``path_counts``: the (source, node, hop, sigma) σ relation from
+    ``landmark_path_counts`` over these landmarks. Shape: one
+    self-join of σ on the node key (k²-fanout, ≤ C(k,2) pairs per
+    node row) + a broadcast landmark-pair distance attach — no graph
+    traversal; the σ relation already carries everything.
+
+    Returns (source, target, node, d_st, dep_num, dep_den), interior
+    nodes only, source < target.
+    """
+    s_col = landmarks.columns[0]
+    lm_nodes = landmarks.select(F.col(s_col).alias("_lt")).distinct()
+    dlm = (
+        path_counts.join(
+            F.broadcast(lm_nodes), path_counts["node"] == F.col("_lt")
+        )
+        .filter(F.col("source") < F.col("_lt"))
+        .select(
+            F.col("source").alias("_s"),
+            F.col("_lt").alias("_t"),
+            F.col("hop").alias("_dst"),
+            F.col("sigma").alias("_sst"),
+        )
+    )
+    a = path_counts.select(
+        F.col("source").alias("_s"),
+        "node",
+        F.col("hop").alias("_ha"),
+        F.col("sigma").alias("_sa"),
+    )
+    b = path_counts.select(
+        F.col("source").alias("_t"),
+        "node",
+        F.col("hop").alias("_hb"),
+        F.col("sigma").alias("_sb"),
+    )
+    return (
+        a.join(b, "node")
+        .filter(F.col("_s") < F.col("_t"))
+        .join(F.broadcast(dlm), ["_s", "_t"])
+        .filter(
+            (F.col("_ha") + F.col("_hb") == F.col("_dst"))
+            & (F.col("node") != F.col("_s"))
+            & (F.col("node") != F.col("_t"))
+        )
+        .select(
+            F.col("_s").alias("source"),
+            F.col("_t").alias("target"),
+            "node",
+            F.col("_dst").cast("int").alias("d_st"),
+            (F.col("_sa") * F.col("_sb")).cast("bigint").alias("dep_num"),
+            F.col("_sst").cast("bigint").alias("dep_den"),
+        )
+    )
+
+
 def harmonic_centrality(
     edges: DataFrame,
     landmarks: DataFrame,
@@ -1872,6 +1947,76 @@ def walk_skipgram_pairs(
             F.col("a.node").alias("u"), F.col("b.node").alias("v")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def skipgram_negative_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    k: int = 2,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """The COMPLETE word2vec training table off a walk corpus:
+    skip-gram (center, context) positives (``walk_skipgram_pairs``)
+    plus ``k`` deterministic NEGATIVES per positive pair (Mikolov et
+    al. 2013 §2.2 negative sampling) — drawn with the
+    ``contrastive_negatives`` md5-bucket discipline so the whole
+    training set is bit-reproducible across runs, engines, and
+    partitionings (an rng-based sampler silently reshuffles every
+    epoch's negatives; a persisted-corpus + hash-drawn training table
+    is auditable end-to-end).
+
+    Draw rule: candidates are the corpus VOCABULARY (distinct walked
+    nodes), bucketed by md5(node) into ``n_buckets``; each positive
+    pair probes the single bucket md5(u:v:p) picks, ranks that
+    bucket's different-from-u-and-v candidates by md5(u:v:cand)
+    (integer tiebreak), and keeps the first ``k``. Per-positive
+    candidate volume is |vocab|/n_buckets — choose n_buckets ∝ vocab
+    size to hold it constant (the SemDeDup cluster-budget argument).
+    Pairs whose probe bucket holds < k valid candidates emit fewer
+    rows (documented, as in contrastive_negatives).
+
+    Shape: pair relation ⋈ bucketed vocabulary on the bucket key
+    (vocabulary is node-set-sized — broadcastable), then a
+    row_number window partitioned by the PAIR key (fine-grained —
+    millions of partitions, never a low-cardinality window).
+
+    Returns (u, v, n, negative, rnk): n the positive co-visit count,
+    rnk ∈ 1..k the draw order.
+    """
+    from pyspark.sql import Window
+
+    from openetl_spark.operators.curation import hash_bucket
+
+    if k < 1 or n_buckets < 1:
+        raise ValueError(
+            f"skipgram_negative_pairs: k={k} and n_buckets={n_buckets} "
+            "must be >= 1"
+        )
+    pairs = walk_skipgram_pairs(walks, window=window)
+    cand = (
+        walks.select(F.col("node").alias("negative"))
+        .distinct()
+        .withColumn("_cb", hash_bucket(F.col("negative"), n_buckets))
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    probed = pairs.withColumn(
+        "_pb", hash_bucket(F.concat(key, F.lit(":p")), n_buckets)
+    )
+    j = probed.join(
+        F.broadcast(cand),
+        (F.col("_pb") == F.col("_cb"))
+        & (F.col("negative") != F.col("u"))
+        & (F.col("negative") != F.col("v")),
+    )
+    rk = F.md5(F.concat(key, F.lit(":"), F.col("negative").cast("string")))
+    w = Window.partitionBy("u", "v").orderBy(rk, "negative")
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("u", "v", "n", "negative", "rnk")
     )
 
 

@@ -1052,3 +1052,181 @@ def rrf_fuse(
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cluster_contingency(
+    assigned: DataFrame,
+    cluster_col: str = "list_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """The (cluster, label) CONTINGENCY relation under every external
+    clustering-agreement metric (purity, NMI, ARI — Hubert & Arabie,
+    J. Classification 1985): one row per observed cell with the cell
+    count and BOTH marginals attached, all exact bigint, so the
+    entire relation is hash-checkable cross-engine and any agreement
+    statistic derives from it without touching the corpus again.
+
+    Shape: one partial-agg groupBy on (cluster, label) — cells are
+    ≤ n_clusters·n_labels rows — then two cell-sized marginal
+    aggregates joined back (broadcast-sized at any corpus scale,
+    since the grain left the corpus at the first groupBy).
+
+    Returns (cluster_col, label_col, n_cell, n_cluster, n_label).
+    """
+    cells = assigned.groupBy(cluster_col, label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    )
+    rows = cells.groupBy(cluster_col).agg(
+        F.sum("n_cell").cast("bigint").alias("n_cluster")
+    )
+    cols = cells.groupBy(label_col).agg(
+        F.sum("n_cell").cast("bigint").alias("n_label")
+    )
+    return (
+        cells.join(F.broadcast(rows), cluster_col)
+        .join(F.broadcast(cols), label_col)
+        .select(cluster_col, label_col, "n_cell", "n_cluster", "n_label")
+    )
+
+
+def cluster_agreement(
+    assigned: DataFrame,
+    cluster_col: str = "list_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-row clustering-agreement report: the exact-integer pair
+    counts + the ADJUSTED RAND INDEX as an exact bigint rational, and
+    the float NMI path pinned behind its mathematical invariants —
+    the companion purity (which rewards shattering into tiny
+    clusters) needs next to it.
+
+    With S = Σ_ij C(n_ij,2), A = Σ_i C(a_i,2), B = Σ_j C(b_j,2),
+    N = C(n,2):  ARI = (S − AB/N) / ((A+B)/2 − AB/N)
+              = (2·(N·S − A·B)) / (N·(A+B) − 2·A·B)
+    — a ratio of integer pair counts, NO float anywhere (Hubert &
+    Arabie's permutation-model expectation clears to the common
+    denominator N): ari_num / ari_den as exact bigints; threshold or
+    rank by cross-multiplication. Overflow contract: the products
+    stay inside bigint while N·S < 2^63 (n ≲ 7·10⁴ dense-agreement
+    worst case) — an execution-time guard raises past it (at larger
+    n the report needs a 128-bit rendering; ANSI mode would throw
+    regardless, this raise says why).
+
+    NMI itself needs logs — Σ-of-float with engine-unpinned addition
+    order, so the scalar stays OUT of the hashed output; instead the
+    report carries two invariant booleans each engine must agree on:
+    0 ≤ MI (within 1e-9) and MI ≤ min(H_cluster, H_label) + 1e-9 —
+    a broken MI computation fails them, a correct one can't.
+
+    Returns one row: (n, pairs_total, pairs_both, pairs_pred,
+    pairs_true, ari_num, ari_den, mi_nonneg, mi_le_min_entropy).
+    """
+    cells = assigned.groupBy(cluster_col, label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nc")
+    )
+    rows = cells.groupBy(cluster_col).agg(F.sum("_nc").alias("_na"))
+    cols = cells.groupBy(label_col).agg(F.sum("_nc").alias("_nb"))
+
+    # x·(x−1) is always even, so the shiftright halving is exact —
+    # and stays in bigint (Spark's / returns double, losing exactness
+    # past 2^53).
+    s_ = cells.agg(
+        F.shiftright(
+            F.sum(F.col("_nc") * (F.col("_nc") - 1)).cast("bigint"), 1
+        ).alias("pairs_both"),
+        F.sum("_nc").cast("bigint").alias("n"),
+    )
+    a_ = rows.agg(
+        F.shiftright(
+            F.sum(F.col("_na") * (F.col("_na") - 1)).cast("bigint"), 1
+        ).alias("pairs_pred")
+    )
+    b_ = cols.agg(
+        F.shiftright(
+            F.sum(F.col("_nb") * (F.col("_nb") - 1)).cast("bigint"), 1
+        ).alias("pairs_true")
+    )
+    # MI and the entropies (float path — invariant booleans only).
+    # MI = Σ_ij (n_ij/n)·ln(n·n_ij/(a_i·b_j)); H = −Σ (m/n)·ln(m/n).
+    mi_ = (
+        cells.join(F.broadcast(rows), cluster_col)
+        .join(F.broadcast(cols), label_col)
+        .crossJoin(F.broadcast(s_.select(F.col("n").alias("_n"))))
+        .agg(
+            F.sum(
+                (F.col("_nc") / F.col("_n"))
+                * F.log(
+                    (F.col("_n") * F.col("_nc"))
+                    / (F.col("_na") * F.col("_nb"))
+                )
+            ).alias("_mi")
+        )
+    )
+    hu_ = (
+        rows.crossJoin(F.broadcast(s_.select(F.col("n").alias("_n"))))
+        .agg(
+            (-F.sum((F.col("_na") / F.col("_n"))
+                    * F.log(F.col("_na") / F.col("_n")))).alias("_hu")
+        )
+    )
+    hv_ = (
+        cols.crossJoin(F.broadcast(s_.select(F.col("n").alias("_n"))))
+        .agg(
+            (-F.sum((F.col("_nb") / F.col("_n"))
+                    * F.log(F.col("_nb") / F.col("_n")))).alias("_hv")
+        )
+    )
+    n_pairs = F.shiftright(
+        (F.col("n") * (F.col("n") - 1)).cast("bigint"), 1
+    )
+    guard_bound = F.lit(2**63 - 1).cast("double")
+    joined = (
+        s_.crossJoin(F.broadcast(a_))
+        .crossJoin(F.broadcast(b_))
+        .crossJoin(F.broadcast(mi_))
+        .crossJoin(F.broadcast(hu_))
+        .crossJoin(F.broadcast(hv_))
+        .withColumn("pairs_total", n_pairs)
+    )
+    overflow = (
+        F.col("pairs_total").cast("double")
+        * F.greatest(
+            F.col("pairs_both"), F.col("pairs_pred"), F.col("pairs_true")
+        ).cast("double")
+        >= guard_bound / 4
+    )
+    checked = joined.withColumn(
+        "pairs_total",
+        F.when(
+            overflow,
+            F.raise_error(
+                F.lit(
+                    "cluster_agreement: pair-count products exceed the "
+                    "exact-bigint range — the ARI rational needs a "
+                    "128-bit rendering at this corpus size"
+                )
+            ),
+        ).otherwise(F.col("pairs_total")),
+    )
+    ab = F.col("pairs_pred") * F.col("pairs_true")
+    return checked.select(
+        "n",
+        "pairs_total",
+        "pairs_both",
+        "pairs_pred",
+        "pairs_true",
+        (2 * (F.col("pairs_total") * F.col("pairs_both") - ab))
+        .cast("bigint")
+        .alias("ari_num"),
+        (
+            F.col("pairs_total")
+            * (F.col("pairs_pred") + F.col("pairs_true"))
+            - 2 * ab
+        )
+        .cast("bigint")
+        .alias("ari_den"),
+        (F.col("_mi") >= -1e-9).alias("mi_nonneg"),
+        (F.col("_mi") <= F.least(F.col("_hu"), F.col("_hv")) + 1e-9).alias(
+            "mi_le_min_entropy"
+        ),
+    )

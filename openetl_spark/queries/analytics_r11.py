@@ -1,0 +1,265 @@
+"""Round-11 analytics queries: the betweenness completion of the σ
+layout as exact landmark-pair rationals (VERDICT r10 #5), the
+clustering-agreement report (NMI/ARI) next to purity (#6), and the
+word2vec negative-sampling training table off the persisted biased
+walk corpus (#7).
+
+Reference parity note: the reference (OpenETL, TypeScript) has no
+analytics engine — these are build-extension components mandated by
+the driver brief (LLM-scale curation/graph analytics), implemented
+Spark-first with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openetl_spark.operators import graph as G
+from openetl_spark.operators import similarity as S
+from openetl_spark.queries.base import query
+from openetl_spark.queries.analytics_r09 import (
+    _CORE_LM_CTES,
+    _N2V_LEN,
+    _N2V_SEED,
+    _N2V_WO,
+    _N2V_WR,
+    _N2V_WS,
+    _core_and_landmarks,
+    _node2vec_layout,
+    _node2vec_walk_ctes,
+)
+from openetl_spark.queries.analytics_r10 import (
+    _path_counts_ctes,
+    _path_counts_layout,
+)
+from openetl_spark.queries.relational_extra import (
+    IVF_ORACLE_CENTROIDS,
+    IVF_SIG_SQL,
+    _ivf_layout,
+)
+from openetl_spark.operators.curation import hash_bucket_sql
+
+
+# ---------------------------------------------------------------------
+# C150 — landmark-pair betweenness dependencies (Brandes δ_st(v)) as
+# exact bigint rationals off the persisted σ layout: the betweenness
+# completion stress (C147b) deliberately left out because the scalar
+# sum divides per pair. Per-pair num/den keeps everything integer.
+# ---------------------------------------------------------------------
+
+
+@query(
+    "landmark_betweenness",
+    f"""
+    WITH {_CORE_LM_CTES},
+    {_path_counts_ctes(6)},
+    pc AS (SELECT source, node, hop, sigma FROM v6),
+    dlm AS (
+      SELECT source, node AS target, hop AS d_st, sigma AS sigma_st
+      FROM pc WHERE node IN (SELECT node FROM lm) AND source < node)
+    SELECT a.source, d.target, a.node,
+           CAST(d.d_st AS INT) AS d_st,
+           CAST(a.sigma * b.sigma AS BIGINT) AS dep_num,
+           CAST(d.sigma_st AS BIGINT) AS dep_den
+    FROM pc a
+    JOIN pc b ON a.node = b.node AND a.source < b.source
+    JOIN dlm d ON d.source = a.source AND d.target = b.source
+              AND a.hop + b.hop = d.d_st
+    WHERE a.node <> a.source AND a.node <> b.source
+    """,
+)
+def q_landmark_betweenness(spark, sf_dir):
+    """C150: per-(landmark-pair, node) Brandes pair dependencies
+    δ_st(v) = σ_s(v)·σ_t(v)/σ_st over the w≥2 core's 16 landmarks
+    (operators/graph.landmark_pair_dependencies) — the betweenness
+    ingredient C147's stress left on the table because betweenness
+    proper sums per-pair DIVISIONS (float, engine-unpinned addition
+    order). Rendered as the exact bigint rational (dep_num, dep_den)
+    at pair grain instead — the t_closeness num/den discipline: fully
+    hash-checkable, rankable by cross-multiplication, and carrying
+    strictly more information than the collapsed scalar (the pair
+    profile separates bridge nodes from locally-central ones).
+    Integrity invariant tested per pair: Σ_v dep_num =
+    dep_den·(d_st−1). Reads the persisted σ layout; the oracle
+    re-derives the 6-round frontier-sum sweep from lineitem."""
+    _, lm = _core_and_landmarks(spark, sf_dir)
+    pc = _path_counts_layout(spark, sf_dir)
+    return G.landmark_pair_dependencies(pc, lm)
+
+
+# ---------------------------------------------------------------------
+# C151 — clustering agreement (contingency + NMI/ARI) over the
+# persisted IVF quantizer: purity (C149) rewards shattering into tiny
+# clusters; ARI is chance-adjusted and exactly integer-rational.
+# ---------------------------------------------------------------------
+
+_IVF_ASSIGN_CTES = f"""cents AS (
+      SELECT list_id, centroid
+      FROM read_parquet('{IVF_ORACLE_CENTROIDS}')
+      WHERE corpus_sig = ({IVF_SIG_SQL})
+        AND n_lists = 16 AND seed = 42),
+    assign AS (
+      SELECT e.vec_id, e.label,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_aggregate(list_transform(c.centroid, x -> x*x), 'sum')
+                       - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) ASC,
+                       c.list_id ASC
+              LIMIT 1) AS list_id
+      FROM embeddings e),
+    cells AS (
+      SELECT list_id, label, count(*) AS n_cell FROM assign GROUP BY 1, 2),
+    rows_ AS (SELECT list_id, sum(n_cell) AS n_cluster FROM cells GROUP BY 1),
+    cols_ AS (SELECT label, sum(n_cell) AS n_label FROM cells GROUP BY 1)"""
+
+
+@query(
+    "cluster_contingency",
+    f"""
+    WITH {_IVF_ASSIGN_CTES}
+    SELECT CAST(c.list_id AS INT) AS list_id,
+           CAST(c.label AS INT) AS label,
+           CAST(c.n_cell AS BIGINT) AS n_cell,
+           CAST(r.n_cluster AS BIGINT) AS n_cluster,
+           CAST(l.n_label AS BIGINT) AS n_label
+    FROM cells c
+    JOIN rows_ r USING (list_id)
+    JOIN cols_ l USING (label)
+    """,
+)
+def q_cluster_contingency(spark, sf_dir):
+    """C151: the (cluster, label) contingency relation of the
+    persisted IVF quantizer against the embeddings ground-truth
+    labels (operators/similarity.cluster_contingency) — cell count
+    plus both marginals, all exact bigint: the integer substrate
+    every agreement statistic (purity, NMI, ARI) derives from, FULL
+    oracled so the float metrics downstream stand on hash-pinned
+    counts. Engine side reads the assignment off the IVF-partitioned
+    corpus layout (zero compute); the oracle re-derives it from the
+    centroid parquet."""
+    _, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    assigned = spark.read.parquet(data_path).select(
+        F.col("ivf_list").cast("int").alias("list_id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    return S.cluster_contingency(assigned, "list_id", "label")
+
+
+@query(
+    "cluster_agreement_report",
+    f"""
+    WITH {_IVF_ASSIGN_CTES},
+    s_ AS (SELECT CAST(sum(n_cell * (n_cell - 1)) // 2 AS BIGINT) AS pairs_both,
+                  CAST(sum(n_cell) AS BIGINT) AS n
+           FROM cells),
+    a_ AS (SELECT CAST(sum(n_cluster * (n_cluster - 1)) // 2 AS BIGINT)
+                    AS pairs_pred FROM rows_),
+    b_ AS (SELECT CAST(sum(n_label * (n_label - 1)) // 2 AS BIGINT)
+                    AS pairs_true FROM cols_),
+    mi_ AS (
+      SELECT sum((c.n_cell / CAST(s_.n AS DOUBLE))
+                 * ln(CAST(s_.n AS DOUBLE) * c.n_cell
+                      / (CAST(r.n_cluster AS DOUBLE) * l.n_label))) AS mi
+      FROM cells c JOIN rows_ r USING (list_id)
+                   JOIN cols_ l USING (label), s_),
+    hu_ AS (SELECT -sum((n_cluster / CAST(s_.n AS DOUBLE))
+                        * ln(n_cluster / CAST(s_.n AS DOUBLE))) AS hu
+            FROM rows_, s_),
+    hv_ AS (SELECT -sum((n_label / CAST(s_.n AS DOUBLE))
+                        * ln(n_label / CAST(s_.n AS DOUBLE))) AS hv
+            FROM cols_, s_)
+    SELECT n,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_total,
+           pairs_both, pairs_pred, pairs_true,
+           CAST(2 * ((n * (n - 1) // 2) * pairs_both
+                     - pairs_pred * pairs_true) AS BIGINT) AS ari_num,
+           CAST((n * (n - 1) // 2) * (pairs_pred + pairs_true)
+                - 2 * pairs_pred * pairs_true AS BIGINT) AS ari_den,
+           mi >= -1e-9 AS mi_nonneg,
+           mi <= least(hu, hv) + 1e-9 AS mi_le_min_entropy
+    FROM s_, a_, b_, mi_, hu_, hv_
+    """,
+)
+def q_cluster_agreement_report(spark, sf_dir):
+    """C151b: the chance-adjusted clustering-agreement report next to
+    C149's purity (operators/similarity.cluster_agreement): exact
+    bigint pair counts and the Adjusted Rand Index as the exact
+    rational ari_num/ari_den (Hubert & Arabie 1985 — ARI is a ratio
+    of integer pair counts once the permutation-model expectation is
+    cleared to the common denominator C(n,2); no float anywhere in
+    the hashed metric). NMI needs logs, so its float path stays out
+    of the hashed output and is pinned behind two invariant booleans
+    both engines must agree on (0 ≤ MI ≤ min entropy). Purity rewards
+    shattering into tiny clusters; ARI is the metric that doesn't —
+    the pair that closes the clustering-eval loop. Assignment reads
+    the IVF-partitioned layout; the oracle re-derives it from the
+    centroid parquet."""
+    _, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    assigned = spark.read.parquet(data_path).select(
+        F.col("ivf_list").cast("int").alias("list_id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    return S.cluster_agreement(assigned, "list_id", "label")
+
+
+# ---------------------------------------------------------------------
+# C152 — the word2vec negative-sampling training table off the
+# persisted biased walk corpus: positives (C144) + k deterministic
+# md5-drawn negatives per positive — the complete, bit-reproducible
+# embedding training set.
+# ---------------------------------------------------------------------
+
+_N2V_NEG_K, _N2V_NEG_B = 2, 8
+
+
+@query(
+    "node2vec_training_pairs",
+    _node2vec_walk_ctes(_N2V_LEN, _N2V_SEED, _N2V_WR, _N2V_WS, _N2V_WO)
+    + f""",
+pairs AS (
+  SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS n
+  FROM walks a JOIN walks b
+    ON a.walker = b.walker AND a.step <> b.step
+   AND abs(a.step - b.step) <= 2
+  GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT node AS negative FROM walks),
+cand AS (
+  SELECT negative, {hash_bucket_sql('negative', _N2V_NEG_B)} AS cb
+  FROM vocab),
+probed AS (
+  SELECT u, v, n,
+         {hash_bucket_sql(
+             "CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':p'",
+             _N2V_NEG_B,
+         )} AS pb
+  FROM pairs),
+ranked AS (
+  SELECT p.u, p.v, p.n, c.negative,
+         row_number() OVER (
+           PARTITION BY p.u, p.v
+           ORDER BY md5(CAST(p.u AS VARCHAR) || ':' || CAST(p.v AS VARCHAR)
+                        || ':' || CAST(c.negative AS VARCHAR)),
+                    c.negative) AS rnk
+  FROM probed p JOIN cand c
+    ON p.pb = c.cb AND c.negative <> p.u AND c.negative <> p.v)
+SELECT u, v, n, negative, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_N2V_NEG_K}
+""",
+)
+def q_node2vec_training_pairs(spark, sf_dir):
+    """C152: the complete word2vec training table over the persisted
+    BIASED walk corpus (operators/graph.skipgram_negative_pairs):
+    skip-gram (center, context) positives within a ±2-step window
+    (C144's relation) plus k=2 deterministic negatives per positive —
+    the contrastive_negatives md5-bucket discipline (each positive
+    probes ONE md5-chosen bucket of the walked-node vocabulary, ranks
+    by md5(u:v:cand), keeps k) applied to the _node2vec_layout
+    corpus, so the ENTIRE training set — walks, positives, negative
+    draws — is bit-reproducible across runs, engines, and
+    partitionings. Sample once, train forever, audit every epoch. The
+    oracle re-derives the biased walks from lineitem (every
+    replication draw) via the shared CTE fragment, then applies the
+    identical draw."""
+    walks = spark.read.parquet(_node2vec_layout(spark, sf_dir))
+    return G.skipgram_negative_pairs(
+        walks, window=2, k=_N2V_NEG_K, n_buckets=_N2V_NEG_B
+    )

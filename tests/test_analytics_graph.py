@@ -2505,3 +2505,162 @@ def test_core_numbers_bounded_rounds_equal_unrolled_reference(spark):
             for r in G.core_numbers(df, max_k=3, max_rounds=2).collect()
         }
     assert got == bounded_ref(path, 3, 2)
+
+
+# -------------------------------------- landmark pair dependencies
+
+def test_landmark_pair_dependencies_diamond(spark):
+    """1-2-4 / 1-3-4 with landmarks {1, 4}: sigma_14 = 2; interior
+    nodes 2 and 3 each carry dependency 1/2 (num=1, den=2)."""
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    lm = spark.createDataFrame([(1,), (4,)], "node long")
+    pc = G.landmark_path_counts(df, lm, max_hops=4)
+    got = {
+        (r["source"], r["target"], r["node"]): (
+            r["d_st"], r["dep_num"], r["dep_den"]
+        )
+        for r in G.landmark_pair_dependencies(pc, lm).collect()
+    }
+    assert got == {
+        (1, 4, 2): (2, 1, 2),
+        (1, 4, 3): (2, 1, 2),
+    }
+
+
+def _py_pair_dependencies(edges, sources, max_hops=6):
+    from itertools import combinations
+
+    pc = _py_path_counts(edges, sources, max_hops)
+    want = {}
+    nodes = {v for e in edges for v in e}
+    for s, t in combinations(sorted(sources), 2):
+        if (s, t) not in pc:
+            continue
+        d_st, s_st = pc[(s, t)]
+        for v in nodes:
+            if v in (s, t) or (s, v) not in pc or (t, v) not in pc:
+                continue
+            ds, ss = pc[(s, v)]
+            dt, st_ = pc[(t, v)]
+            if ds + dt == d_st:
+                want[(s, t, v)] = (d_st, ss * st_, s_st)
+    return want
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_landmark_pair_dependencies_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(32)})
+    edges = [e for e in edges if e[0] != e[1]]
+    sources = sorted({e[0] for e in edges})[:4]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lm = spark.createDataFrame([(s,) for s in sources], "node int")
+    pc = G.landmark_path_counts(df, lm, max_hops=6)
+    got = {
+        (r["source"], r["target"], r["node"]): (
+            r["d_st"], r["dep_num"], r["dep_den"]
+        )
+        for r in G.landmark_pair_dependencies(pc, lm).collect()
+    }
+    assert got == _py_pair_dependencies(edges, sources)
+
+
+def test_landmark_pair_dependencies_interior_sum_invariant(spark):
+    """Every shortest s-t path has exactly d_st - 1 interior nodes,
+    so per pair: sum_v dep_num = dep_den * (d_st - 1)."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(40)})
+    edges = [e for e in edges if e[0] != e[1]]
+    sources = sorted({e[0] for e in edges})[:5]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lm = spark.createDataFrame([(s,) for s in sources], "node int")
+    pc = G.landmark_path_counts(df, lm, max_hops=6)
+    deps = G.landmark_pair_dependencies(pc, lm).collect()
+    assert deps, "gadget produced no landmark-pair interior rows"
+    by_pair = {}
+    for r in deps:
+        k = (r["source"], r["target"])
+        tot, den, dst = by_pair.get(k, (0, r["dep_den"], r["d_st"]))
+        assert den == r["dep_den"] and dst == r["d_st"]  # one den per pair
+        by_pair[k] = (tot + r["dep_num"], den, dst)
+    for (s, t), (tot, den, dst) in by_pair.items():
+        assert tot == den * (dst - 1), (s, t, tot, den, dst)
+
+
+# -------------------------------------- skip-gram negative sampling
+
+def _py_negative_pairs(walk_rows, window, k, n_buckets):
+    import hashlib
+    from collections import Counter
+
+    def bucket(s):
+        h = hashlib.md5(str(s).encode()).hexdigest()
+        return (ord(h[0]) * 65521 + ord(h[1]) * 257 + ord(h[2])) % n_buckets
+
+    pairs = Counter()
+    by_walker = {}
+    for w, step, node in walk_rows:
+        by_walker.setdefault(w, []).append((step, node))
+    for rows in by_walker.values():
+        for sa, na in rows:
+            for sb, nb in rows:
+                if sa != sb and abs(sa - sb) <= window:
+                    pairs[(na, nb)] += 1
+    vocab = sorted({n for _, _, n in walk_rows})
+    out = {}
+    for (u, v), n in pairs.items():
+        pb = bucket(f"{u}:{v}:p")
+        cands = [
+            c for c in vocab
+            if bucket(c) == pb and c != u and c != v
+        ]
+        cands.sort(
+            key=lambda c: (
+                hashlib.md5(f"{u}:{v}:{c}".encode()).hexdigest(), c
+            )
+        )
+        for i, c in enumerate(cands[:k], start=1):
+            out[(u, v, c)] = (n, i)
+    return out
+
+
+def test_skipgram_negative_pairs_matches_python(spark):
+    rows = [
+        (w, s, (w * 7 + s * 3) % 9)
+        for w in range(6)
+        for s in range(5)
+    ]
+    walks = spark.createDataFrame(rows, "walker long, step int, node long")
+    got = {
+        (r["u"], r["v"], r["negative"]): (r["n"], r["rnk"])
+        for r in G.skipgram_negative_pairs(
+            walks, window=2, k=2, n_buckets=4
+        ).collect()
+    }
+    want = _py_negative_pairs(rows, window=2, k=2, n_buckets=4)
+    assert got == want
+    assert got, "gadget produced no negative draws"
+    # negatives never collide with either side of the positive
+    assert all(neg not in (u, v) for (u, v, neg) in got)
+    # determinism: a second invocation is bit-identical
+    again = {
+        (r["u"], r["v"], r["negative"]): (r["n"], r["rnk"])
+        for r in G.skipgram_negative_pairs(
+            walks, window=2, k=2, n_buckets=4
+        ).collect()
+    }
+    assert again == got
+
+
+def test_skipgram_negative_pairs_validation(spark):
+    walks = spark.createDataFrame([(1, 0, 5)], "walker long, step int, node long")
+    with pytest.raises(ValueError, match="k="):
+        G.skipgram_negative_pairs(walks, k=0)
+    with pytest.raises(ValueError, match="window"):
+        G.skipgram_negative_pairs(walks, window=0)

@@ -2075,3 +2075,69 @@ def test_funnel_steps_empty_step_still_yields_zero_row(spark):
         ("signup", 2),
         ("view", 1),
     }
+
+
+# ------------------------------------------- clustering agreement
+
+
+def _py_agreement(assignments):
+    """Reference ARI ingredients from (cluster, label) rows."""
+    from collections import Counter
+
+    cells = Counter(assignments)
+    rows = Counter()
+    cols = Counter()
+    for (c, l), m in cells.items():
+        rows[c] += m
+        cols[l] += m
+    n = sum(cells.values())
+    c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    s = sum(c2(m) for m in cells.values())
+    a = sum(c2(m) for m in rows.values())
+    b = sum(c2(m) for m in cols.values())
+    npairs = c2(n)
+    return {
+        "n": n, "pairs_total": npairs, "pairs_both": s,
+        "pairs_pred": a, "pairs_true": b,
+        "ari_num": 2 * (npairs * s - a * b),
+        "ari_den": npairs * (a + b) - 2 * a * b,
+    }
+
+
+def test_cluster_agreement_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(19)
+    rows = [(rng.randrange(4), rng.randrange(3)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "list_id int, label int")
+    got = S.cluster_agreement(df, "list_id", "label").collect()
+    assert len(got) == 1
+    r = got[0]
+    want = _py_agreement(rows)
+    for k, v in want.items():
+        assert r[k] == v, (k, r[k], v)
+    assert r["mi_nonneg"] and r["mi_le_min_entropy"]
+
+
+def test_cluster_agreement_perfect_clustering_is_ari_one(spark):
+    rows = [(i % 5, i % 5) for i in range(120)]
+    df = spark.createDataFrame(rows, "list_id int, label int")
+    r = S.cluster_agreement(df, "list_id", "label").collect()[0]
+    # clusters identical to labels: the exact rational equals 1
+    assert r["ari_num"] == r["ari_den"] != 0
+
+
+def test_cluster_contingency_cells_and_marginals(spark):
+    rows = [(0, 0), (0, 0), (0, 1), (1, 1), (1, 1), (1, 1)]
+    df = spark.createDataFrame(rows, "list_id int, label int")
+    got = {
+        (r["list_id"], r["label"]): (
+            r["n_cell"], r["n_cluster"], r["n_label"]
+        )
+        for r in S.cluster_contingency(df, "list_id", "label").collect()
+    }
+    assert got == {
+        (0, 0): (2, 3, 2),
+        (0, 1): (1, 3, 4),
+        (1, 1): (3, 3, 4),
+    }
