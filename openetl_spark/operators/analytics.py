@@ -368,3 +368,88 @@ def funnel_user_times(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cohort_retention(
+    events,
+    user_col="user_id",
+    type_col="event_type",
+    ts_col="ts",
+    cohort_type="signup",
+    grain_days=7,
+):
+    """Cohort RETENTION matrix over an event stream — the other
+    product-analytics staple next to the funnel (C148): users are
+    cohorted by the ``grain_days``-day bucket of their FIRST
+    ``cohort_type`` event (default weekly, the standard growth-team
+    grain), and each cohort's activity is tracked per bucket offset;
+    one row per (cohort, period) with the cohort size, the distinct
+    active users, and retention = n_active/n_cohort.
+
+    EXACT-INTEGER form: buckets are the integer epoch-day index
+    div grain_days (never months_between — a float of fractional
+    months), the cohort renders as its bucket's start DATE as a plain
+    'yyyy-MM-dd' string, and retention is ONE IEEE division of exact
+    bigints (the purity discipline) — the whole relation is
+    hash-exact cross-engine. Bucket grain deliberately means "active
+    in the signup bucket counts as period 0, even for events earlier
+    in that bucket"; pre-cohort buckets are excluded (period ≥ 0).
+
+    Shape: one partial-agg min per user for the cohort anchor, one
+    (user ⋈ anchor) activity pass collapsed to (cohort, period, user)
+    grain by a distinct partial agg, then a count per (cohort,
+    period) with the broadcast cohort sizes joined back — no window
+    function, no per-user sort; the widest state is one row per
+    (user, active-bucket).
+    """
+    import pyspark.sql.functions as F
+
+    if grain_days < 1:
+        raise ValueError(
+            f"cohort_retention: grain_days must be >= 1, got {grain_days}"
+        )
+    epoch = F.lit("1970-01-01").cast("date")
+    midx = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.col(c).cast("date"), epoch) / grain_days
+    ).cast("int")
+    first = (
+        events.filter(F.col(type_col) == cohort_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t0"))
+        .select(
+            "_u",
+            F.date_format(
+                F.date_add(epoch, midx("_t0") * grain_days), "yyyy-MM-dd"
+            ).alias("cohort"),
+            midx("_t0").alias("_c"),
+        )
+    )
+    sizes = first.groupBy("cohort", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    act = (
+        events.select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+        .join(first, "_u")
+        .select(
+            "cohort",
+            "_c",
+            (midx("_ts") - F.col("_c")).cast("int").alias("period"),
+            "_u",
+        )
+        .filter(F.col("period") >= 0)
+        .distinct()
+        .groupBy("cohort", "_c", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), ["cohort", "_c"])
+        .select(
+            "cohort",
+            "period",
+            "n_cohort",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+                "retention"
+            ),
+        )
+    )

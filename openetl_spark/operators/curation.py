@@ -2214,3 +2214,70 @@ def t_closeness(
             .cast("bigint"),
         )
     )
+
+
+def l_diversity_recursive(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+    c_num: int = 2,
+    c_den: int = 1,
+) -> DataFrame:
+    """Recursive (c, l)-diversity audit (Machanavajjhala et al., TKDD
+    2007 §4.2) — the fourth privacy metric next to the k/l/t triad:
+    distinct-l counts varieties but a group can hold l distinct
+    sensitive values with one value at 99% and still leak; recursive
+    (c, l) bounds the SKEW instead: with the group's sensitive-value
+    counts sorted descending r_1 ≥ r_2 ≥ … ≥ r_m, the group
+    satisfies it iff r_1 < c·(r_l + r_{l+1} + … + r_m) — the most
+    frequent value must not dominate the tail from the l-th value on.
+
+    EXACT-INTEGER form: c carries as the rational c_num/c_den and the
+    test cross-multiplies (c_den·r_1 < c_num·tail), so no float
+    exists anywhere — the repo's t_closeness discipline. A group with
+    fewer than l distinct values has an empty tail (tail_sum = 0) and
+    fails for any c — the paper's convention.
+
+    Shape: one (QI, value) partial-agg count, then per-QI-group the
+    value counts collapse through sort_array(collect_list(…)) — the
+    collected list is bounded by the sensitive DOMAIN size per group
+    (bands/segments, not rows), so no corpus-scale window and no
+    unbounded state; numeric sort on counts is engine-portable
+    (DuckDB's list_sort matches).
+
+    Returns one row per QI group: (*qi_cols, n, n_distinct, r1,
+    tail_sum, satisfied).
+    """
+    if not qi_cols:
+        raise ValueError("l_diversity_recursive: qi_cols must be non-empty")
+    if l < 2 or c_num < 1 or c_den < 1:
+        raise ValueError(
+            "l_diversity_recursive: need l >= 2 and positive c_num/c_den"
+        )
+    counts = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_rc")
+    )
+    grp = counts.groupBy(*qi_cols).agg(
+        F.sum("_rc").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sort_array(F.collect_list("_rc"), asc=False).alias("_rs"),
+    )
+    r1 = F.element_at("_rs", 1)
+    # tail from the l-th largest on = n − (r_1 + … + r_{l−1});
+    # aggregate() over the sliced prefix keeps it one expression.
+    head = F.aggregate(
+        F.slice("_rs", 1, l - 1), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return grp.select(
+        *qi_cols,
+        "n",
+        "n_distinct",
+        r1.alias("r1"),
+        F.when(F.col("n_distinct") >= l, F.col("n") - head)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("tail_sum"),
+    ).withColumn(
+        "satisfied",
+        F.lit(c_den) * F.col("r1") < F.lit(c_num) * F.col("tail_sum"),
+    )

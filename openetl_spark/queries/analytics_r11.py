@@ -263,3 +263,118 @@ def q_node2vec_training_pairs(spark, sf_dir):
     return G.skipgram_negative_pairs(
         walks, window=2, k=_N2V_NEG_K, n_buckets=_N2V_NEG_B
     )
+
+
+# ---------------------------------------------------------------------
+# C153 — cohort retention matrix: the product-analytics staple next to
+# the C148 funnel, all exact integers + one IEEE division.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import analytics as A  # noqa: E402
+from openetl_spark.operators import curation as C  # noqa: E402
+from openetl_spark.queries.base import load  # noqa: E402
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    c AS (
+      SELECT user_id,
+             strftime(DATE '1970-01-01'
+                      + CAST((date_diff('day', DATE '1970-01-01',
+                                        CAST(t0 AS DATE)) // 7) * 7 AS INT),
+                      '%Y-%m-%d') AS cohort,
+             date_diff('day', DATE '1970-01-01', CAST(t0 AS DATE)) // 7
+               AS cidx
+      FROM f),
+    sizes AS (
+      SELECT cohort, cidx, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM c GROUP BY 1, 2),
+    a AS (
+      SELECT DISTINCT c.cohort, c.cidx,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+                  // 7 - c.cidx AS INT) AS period,
+             e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7
+            >= c.cidx),
+    r AS (
+      SELECT cohort, cidx, period, CAST(count(*) AS BIGINT) AS n_active
+      FROM a GROUP BY 1, 2, 3)
+    SELECT r.cohort, r.period, s.n_cohort, r.n_active,
+           CAST(r.n_active AS DOUBLE) / s.n_cohort AS retention
+    FROM r JOIN sizes s USING (cohort, cidx)
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """C153: weekly cohort retention over the event stream
+    (operators/analytics.cohort_retention, grain_days=7 — the
+    standard growth-team grain; the testdata stream spans 30 days, so
+    weekly buckets give a real 5×5 triangle where months collapse to
+    one cell): users cohorted by the week bucket of their first
+    signup, activity tracked per week offset; (cohort, period,
+    n_cohort, n_active, retention). Buckets compare as the integer
+    epoch-day index div 7 (months_between is a float of fractional
+    months), the cohort renders as its bucket-start date string, and
+    retention is ONE IEEE division of exact bigints — hash-exact
+    cross-engine. No window function, no per-user sort; the widest
+    state is one row per (user, active-week)."""
+    e = load(spark, sf_dir, "events")
+    return A.cohort_retention(e, grain_days=7)
+
+
+# ---------------------------------------------------------------------
+# C154 — recursive (c, l)-diversity: the skew-bounding fourth privacy
+# metric next to the k/l/t triad, exact integers end-to-end.
+# ---------------------------------------------------------------------
+
+_LDR_L, _LDR_CN, _LDR_CD = 3, 2, 1
+
+
+@query(
+    "l_diversity_recursive",
+    f"""
+    WITH vc AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+             count(*) AS rc
+      FROM customer GROUP BY 1, 2, 3),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(rc) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             list_sort(list(rc), 'DESC') AS rs
+      FROM vc GROUP BY 1, 2),
+    t AS (
+      SELECT c_nationkey, c_mktsegment, n, n_distinct,
+             CAST(rs[1] AS BIGINT) AS r1,
+             CAST(CASE WHEN n_distinct >= {_LDR_L}
+                       THEN n - list_aggregate(rs[1:{_LDR_L - 1}], 'sum')
+                       ELSE 0 END AS BIGINT) AS tail_sum
+      FROM g)
+    SELECT c_nationkey, c_mktsegment, n, n_distinct, r1, tail_sum,
+           {_LDR_CD} * r1 < {_LDR_CN} * tail_sum AS satisfied
+    FROM t
+    """,
+)
+def q_l_diversity_recursive(spark, sf_dir):
+    """C154: recursive (c, l)-diversity audit of the customer relation
+    (operators/curation.l_diversity_recursive) under the same QI
+    (nation, segment) and sensitive balance band as C138's k/l audit
+    — the skew metric: distinct-l counts varieties, but a group with
+    l values and one at 99% still leaks; recursive (c, l) requires
+    r_1 < c·(r_l + … + r_m) over the DESC-sorted value counts
+    (l = {_LDR_L}, c = {_LDR_CN}/{_LDR_CD} cross-multiplied — no
+    float anywhere). Per-group counts collapse through
+    sort_array(collect_list(…)), bounded by the sensitive DOMAIN per
+    group, never a corpus window."""
+    d = load(spark, sf_dir, "customer").withColumn(
+        "_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    return C.l_diversity_recursive(
+        d, ["c_nationkey", "c_mktsegment"], "_band",
+        l=_LDR_L, c_num=_LDR_CN, c_den=_LDR_CD,
+    )

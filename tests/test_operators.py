@@ -2141,3 +2141,93 @@ def test_cluster_contingency_cells_and_marginals(spark):
         (0, 1): (1, 3, 4),
         (1, 1): (3, 3, 4),
     }
+
+
+# ------------------------------------------- cohort retention
+
+
+def test_cohort_retention_hand_case(spark):
+    from openetl_spark.operators import analytics as A
+
+    # grain_days=10: epoch-day buckets — 2024-01-08 is day 19730 =
+    # start of bucket 1973; bucket 1974 starts 2024-01-18; bucket
+    # 1976 starts 2024-02-07.
+    rows = [
+        # u1 signs up in bucket 1973, active there + bucket 1974
+        (1, "signup", "2024-01-10 00:00:00"),
+        (1, "view", "2024-01-20 00:00:00"),
+        # u2 signs up in bucket 1973, active in-bucket only (incl. a
+        # pre-signup same-bucket event: bucket grain counts period 0)
+        (2, "view", "2024-01-08 00:00:00"),
+        (2, "signup", "2024-01-12 00:00:00"),
+        # u3 signs up in bucket 1974, active there + bucket 1976
+        # (gap bucket emits no row)
+        (3, "signup", "2024-01-19 00:00:00"),
+        (3, "click", "2024-02-08 00:00:00"),
+        # u4 never signs up: excluded entirely
+        (4, "view", "2024-01-01 00:00:00"),
+        # u2's PRE-cohort-bucket activity is excluded (period < 0)
+        (2, "view", "2024-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, t string"
+    ).select(
+        "user_id", "event_type", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort"], r["period"]): (
+            r["n_cohort"], r["n_active"], r["retention"]
+        )
+        for r in A.cohort_retention(df, grain_days=10).collect()
+    }
+    assert got == {
+        ("2024-01-08", 0): (2, 2, 1.0),
+        ("2024-01-08", 1): (2, 1, 0.5),
+        ("2024-01-18", 0): (1, 1, 1.0),
+        ("2024-01-18", 2): (1, 1, 1.0),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="grain_days"):
+        A.cohort_retention(df, grain_days=0)
+
+
+# ------------------------------------------- recursive (c,l)-diversity
+
+
+def test_l_diversity_recursive_hand_case(spark):
+    from openetl_spark.operators import curation as C
+
+    rows = (
+        # group A: counts 5,2,2,1 -> r1=5, tail(l=3) = 2+1 = 3;
+        # c=2: 5 < 6 -> satisfied
+        [("A", "x")] * 5 + [("A", "y")] * 2 + [("A", "z")] * 2 + [("A", "w")]
+        # group B: counts 8,1,1 -> tail = 1; 8 < 2 -> fails
+        + [("B", "x")] * 8 + [("B", "y")] + [("B", "z")]
+        # group C: only 2 distinct values -> empty tail, fails
+        + [("C", "x")] * 3 + [("C", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {
+        r["g"]: (
+            r["n"], r["n_distinct"], r["r1"], r["tail_sum"], r["satisfied"]
+        )
+        for r in C.l_diversity_recursive(
+            df, ["g"], "s", l=3, c_num=2, c_den=1
+        ).collect()
+    }
+    assert got == {
+        "A": (10, 4, 5, 3, True),
+        "B": (10, 3, 8, 1, False),
+        "C": (6, 2, 3, 0, False),
+    }
+
+
+def test_l_diversity_recursive_validation(spark):
+    from openetl_spark.operators import curation as C
+
+    df = spark.createDataFrame([("A", "x")], "g string, s string")
+    with pytest.raises(ValueError, match="qi_cols"):
+        C.l_diversity_recursive(df, [], "s")
+    with pytest.raises(ValueError, match="l >= 2"):
+        C.l_diversity_recursive(df, ["g"], "s", l=1)
