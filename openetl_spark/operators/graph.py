@@ -1954,7 +1954,8 @@ def skipgram_negative_pairs(
     walks: DataFrame,
     window: int = 2,
     k: int = 2,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
+    density: int = 64,
 ) -> DataFrame:
     """The COMPLETE word2vec training table off a walk corpus:
     skip-gram (center, context) positives (``walk_skipgram_pairs``)
@@ -1971,10 +1972,15 @@ def skipgram_negative_pairs(
     pair probes the single bucket md5(u:v:p) picks, ranks that
     bucket's different-from-u-and-v candidates by md5(u:v:cand)
     (integer tiebreak), and keeps the first ``k``. Per-positive
-    candidate volume is |vocab|/n_buckets — choose n_buckets ∝ vocab
-    size to hold it constant (the SemDeDup cluster-budget argument).
-    Pairs whose probe bucket holds < k valid candidates emit fewer
-    rows (documented, as in contrastive_negatives).
+    candidate volume is |vocab|/n_buckets — by default n_buckets
+    AUTO-SCALES as max(1, |vocab| div ``density``), holding the
+    per-pair candidate volume at ~density regardless of corpus size
+    (the SemDeDup cluster-budget argument): at 10⁹ walked nodes
+    that's ~16M buckets and still ~64 candidates per positive — the
+    join stays linear in the pair relation. The vocab count is ONE
+    bounded aggregate action (the observe class). Pairs whose probe
+    bucket holds < k valid candidates emit fewer rows (documented, as
+    in contrastive_negatives).
 
     Shape: pair relation ⋈ bucketed vocabulary on the bucket key
     (vocabulary is node-set-sized — broadcastable), then a
@@ -1988,10 +1994,14 @@ def skipgram_negative_pairs(
 
     from openetl_spark.operators.curation import hash_bucket
 
-    if k < 1 or n_buckets < 1:
+    if k < 1 or (n_buckets is not None and n_buckets < 1) or density < 1:
         raise ValueError(
-            f"skipgram_negative_pairs: k={k} and n_buckets={n_buckets} "
-            "must be >= 1"
+            f"skipgram_negative_pairs: k={k}, n_buckets={n_buckets}, "
+            f"density={density} must be >= 1"
+        )
+    if n_buckets is None:
+        n_buckets = max(
+            1, walks.select("node").distinct().count() // density
         )
     pairs = walk_skipgram_pairs(walks, window=window)
     cand = (

@@ -208,7 +208,14 @@ def q_cluster_agreement_report(spark, sf_dir):
 # embedding training set.
 # ---------------------------------------------------------------------
 
-_N2V_NEG_K, _N2V_NEG_B = 2, 8
+_N2V_NEG_K, _N2V_NEG_DENS = 2, 64
+# The auto-scaled bucket count (constant ~density candidates per
+# positive at ANY corpus size), rendered for the oracle as a scalar
+# subquery over the same walk relation.
+_N2V_NEG_B_SQL = (
+    f"(SELECT greatest(1, count(DISTINCT node) // {_N2V_NEG_DENS}) "
+    "FROM walks)"
+)
 
 
 @query(
@@ -223,13 +230,13 @@ pairs AS (
   GROUP BY 1, 2),
 vocab AS (SELECT DISTINCT node AS negative FROM walks),
 cand AS (
-  SELECT negative, {hash_bucket_sql('negative', _N2V_NEG_B)} AS cb
+  SELECT negative, {hash_bucket_sql('negative', _N2V_NEG_B_SQL)} AS cb
   FROM vocab),
 probed AS (
   SELECT u, v, n,
          {hash_bucket_sql(
              "CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':p'",
-             _N2V_NEG_B,
+             _N2V_NEG_B_SQL,
          )} AS pb
   FROM pairs),
 ranked AS (
@@ -256,12 +263,15 @@ def q_node2vec_training_pairs(spark, sf_dir):
     corpus, so the ENTIRE training set — walks, positives, negative
     draws — is bit-reproducible across runs, engines, and
     partitionings. Sample once, train forever, audit every epoch. The
+    bucket count auto-scales as max(1, |vocab| div {_N2V_NEG_DENS}) —
+    constant per-positive candidate volume at any corpus size, the
+    modulus rendered in the oracle as the same scalar subquery. The
     oracle re-derives the biased walks from lineitem (every
     replication draw) via the shared CTE fragment, then applies the
     identical draw."""
     walks = spark.read.parquet(_node2vec_layout(spark, sf_dir))
     return G.skipgram_negative_pairs(
-        walks, window=2, k=_N2V_NEG_K, n_buckets=_N2V_NEG_B
+        walks, window=2, k=_N2V_NEG_K, density=_N2V_NEG_DENS
     )
 
 
