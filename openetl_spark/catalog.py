@@ -108,103 +108,93 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # re-greens them. (All 4 r09 entries re-greened in CORRECTNESS_r09 —
 # pruned, per VERDICT r09 #2.)
 DRIVER_RECHECK: set[str] = {
-    # r10: consumers of the new persisted layouts (_triangle_layout,
-    # _hyperball_layout, _landmark_hops_layout, _node2vec_layout) —
-    # plans changed; node2vec_walks' oracle text also moved into the
-    # shared _node2vec_walk_ctes fragment:
-    "graph_triangles",
-    "local_clustering",
-    "trussness_parts",
-    "harmonic_centrality",
-    "hyperball_cells",
-    "hyperball_report",
-    "hyperball_harmonic_report",
-    "node2vec_walks",
-    # kcore round-1 degree shortcut (BASELINE r10 notes):
-    "kcore_parts",
-    # ADVICE r09 fix: the suppression oracle is now null-safe
-    # (IS NOT DISTINCT FROM) — oracle text changed:
-    "k_anonymity_enforced",
-    # NOT rechecked: dsir_scores (the r10 layout-builder change is
-    # write-path-only — atomic temp+replace upsert; persisted integers
-    # and compare path bit-identical) and ams_f2_report /
-    # ams_join_size_report (the undersized-sketch guard adds a
-    # raise-only branch on the per-key count relation that cannot fire
-    # at catalog regimes — emitted values bit-identical). All three
-    # are re-pinned locally every pytest run.
+    # r11 (all 10 r10 entries re-greened in CORRECTNESS_r10 — pruned):
+    # consumers of the new _lm_scores_layout (plans changed — the LM
+    # train+score pass moved offline):
+    "ngram_lm_score",
+    "perplexity_buckets",
+    "llm_data_pipeline",
+    # consumers now reading the IVF assignment off the partitioned
+    # corpus layout (plans changed — the Arrow matmul pass is gone):
+    "semantic_dedup",
+    "cluster_profile",
+    "cluster_purity_report",
+    # ADVICE r10 fixes that changed plans: the ungrouped funnel's
+    # global-agg zero-row arm; the Mondrian taxonomy now validated
+    # through a groupBy+raise relation before the descent join:
+    "funnel_steps",
+    "mondrian_hierarchical",
+    # NOT rechecked: node2vec_walks / node2vec_skipgram_pairs /
+    # node2vec_training_pairs over the layout's absent-meta rebuild
+    # (write-path-only — the artifact and compare path are
+    # bit-identical when no crash window occurred), and
+    # funnel_by_segment / funnel_time_to_convert (the funnel refactor
+    # only touched the ungrouped aggregate arm; grouped plan and
+    # funnel_user_times are bit-identical). All re-pinned locally
+    # every pytest run.
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # --- r10 additions (no driver row yet) ---
-    "effective_diameter_report",
-    "dsir_retarget",
-    "dsir_mixture_report",
-    "mondrian_hierarchical",
-    "node2vec_skipgram_pairs",
-    "bipartite_stats",
-    "part_butterflies",
-    "core_numbers_parts",
-    "dsir_mixture_sample",
-    "landmark_path_counts",
-    "landmark_stress",
-    "funnel_steps",
-    "cluster_purity_report",
-    "funnel_time_to_convert",
-    "funnel_by_segment",
+    # --- r11 additions (no driver row yet) ---
+    "landmark_betweenness",
+    "cluster_contingency",
+    "cluster_agreement_report",
+    "node2vec_training_pairs",
+    "cohort_retention",
+    "l_diversity_recursive",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
-    "graph_triangles",
-    "local_clustering",
-    "trussness_parts",
-    "harmonic_centrality",
-    "hyperball_cells",
-    "hyperball_report",
-    "hyperball_harmonic_report",
-    "node2vec_walks",
-    "kcore_parts",
-    "k_anonymity_enforced",
-    # --- the complete r05-latest burn-down queue (the 25 oldest rows
-    # anywhere; after this round nothing has an r05-era latest green) ---
-    "join_anti",
-    "join_broadcast",
-    "join_cross",
-    "join_inner",
-    "join_left_agg",
-    "join_semi",
-    "length_bias_audit",
-    "pivot_linestatus",
-    "pq_recall_report",
-    "q1_pricing",
-    "q20_dominant_supplier",
-    "q22_global_sales",
-    "q3_top_orders",
-    "q5_regional_revenue",
-    "range_join_events",
-    "rollup_flags",
-    "seasonal_anomalies",
+    "ngram_lm_score",
+    "perplexity_buckets",
+    "llm_data_pipeline",
     "semantic_dedup",
-    "temperature_sampling",
-    "topk_orders",
-    "transform_chain",
-    "window_frame",
-    "window_lag",
-    "window_rank",
-    "winnow_overlap",
-    # r11 queue, in order: the 44 r06-latest rows alphabetically
-    # (ann_recall_report, approx_sketches, array_funcs, audio_near_duplicates,
-    # curation_pipeline, date_funcs, decontaminate_spans, dedup_components,
-    # dedup_exact, dedup_keep_best, doc_fingerprint,
-    # duplication_report, embedding_knn, exact_substring_dedup,
-    # exact_substring_incremental, exact_substring_spans,
-    # image_near_duplicates, incremental_dedup, jaccard_near_dups,
-    # langid_confusion, lateral_join_topn, lsh_recall_report,
-    # lsh_similarity_join, math_funcs, minhash_error_report,
-    # minhash_near_dups, ngram_novelty, pagerank_nations,
-    # personalized_pagerank, pmi_collocations, q11_important_value,
-    # quality_score, recursive_cte_tree, schema_introspect,
-    # session_windows, set_except, simhash_dedup, skyline_parts,
-    # sliding_counts, sql_passthrough, string_funcs, text_stats,
-    # time_weighted_avg, tumbling_hourly), then r07-latest
-    # alphabetically. All locally re-pinned every pytest run.
+    "cluster_profile",
+    "cluster_purity_report",
+    "funnel_steps",
+    "mondrian_hierarchical",
+    # --- the r06-latest burn-down queue (VERDICT r10 #2; the 44 rows
+    # enumerated by the r10 rotation, alphabetical — the first 36 fit
+    # this window; the remaining 8 are the r12 queue head) ---
+    "ann_recall_report",
+    "approx_sketches",
+    "array_funcs",
+    "audio_near_duplicates",
+    "curation_pipeline",
+    "date_funcs",
+    "decontaminate_spans",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_best",
+    "doc_fingerprint",
+    "duplication_report",
+    "embedding_knn",
+    "exact_substring_dedup",
+    "exact_substring_incremental",
+    "exact_substring_spans",
+    "image_near_duplicates",
+    "incremental_dedup",
+    "jaccard_near_dups",
+    "langid_confusion",
+    "lateral_join_topn",
+    "lsh_recall_report",
+    "lsh_similarity_join",
+    "math_funcs",
+    "minhash_error_report",
+    "minhash_near_dups",
+    "ngram_novelty",
+    "pagerank_nations",
+    "personalized_pagerank",
+    "pmi_collocations",
+    "q11_important_value",
+    "quality_score",
+    "recursive_cte_tree",
+    "schema_introspect",
+    "session_windows",
+    "set_except",
+    # r12 queue, in order: the 8 r06-latest tails displaced by this
+    # window (simhash_dedup, skyline_parts, sliding_counts,
+    # sql_passthrough, string_funcs, text_stats, time_weighted_avg,
+    # tumbling_hourly), then r07-latest alphabetically. All locally
+    # re-pinned every pytest run.
 ]
 
 

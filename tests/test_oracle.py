@@ -57,27 +57,28 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-10 rotation: the fifteen new queries, every DRIVER_RECHECK
+    # round-11 rotation: the six new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
-    # complete r05-latest refresh queue hold slots
-    for newcomer in ("effective_diameter_report", "dsir_retarget",
-                     "dsir_mixture_report", "mondrian_hierarchical",
-                     "node2vec_skipgram_pairs", "bipartite_stats",
-                     "part_butterflies", "core_numbers_parts",
-                     "dsir_mixture_sample", "landmark_path_counts",
-                     "landmark_stress", "funnel_steps", "cluster_purity_report",
-                     "funnel_time_to_convert", "funnel_by_segment",
-                     "join_anti", "join_broadcast", "join_cross",
-                     "join_inner", "join_left_agg", "join_semi",
-                     "length_bias_audit", "pivot_linestatus",
-                     "pq_recall_report", "q1_pricing",
-                     "q20_dominant_supplier", "q22_global_sales",
-                     "q3_top_orders", "q5_regional_revenue",
-                     "range_join_events", "rollup_flags",
-                     "seasonal_anomalies", "semantic_dedup",
-                     "temperature_sampling", "topk_orders",
-                     "transform_chain", "window_frame", "window_lag",
-                     "window_rank", "winnow_overlap",
+    # head of the 44-entry r06-latest refresh queue hold slots
+    for newcomer in ("landmark_betweenness", "cluster_contingency",
+                     "cluster_agreement_report", "node2vec_training_pairs",
+                     "cohort_retention", "l_diversity_recursive",
+                     "ann_recall_report", "approx_sketches", "array_funcs",
+                     "audio_near_duplicates", "curation_pipeline",
+                     "date_funcs", "decontaminate_spans", "dedup_components",
+                     "dedup_exact", "dedup_keep_best", "doc_fingerprint",
+                     "duplication_report", "embedding_knn",
+                     "exact_substring_dedup", "exact_substring_incremental",
+                     "exact_substring_spans", "image_near_duplicates",
+                     "incremental_dedup", "jaccard_near_dups",
+                     "langid_confusion", "lateral_join_topn",
+                     "lsh_recall_report", "lsh_similarity_join",
+                     "math_funcs", "minhash_error_report",
+                     "minhash_near_dups", "ngram_novelty",
+                     "pagerank_nations", "personalized_pagerank",
+                     "pmi_collocations", "q11_important_value",
+                     "quality_score", "recursive_cte_tree",
+                     "schema_introspect", "session_windows", "set_except",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
