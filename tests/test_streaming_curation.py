@@ -1003,3 +1003,94 @@ def test_streaming_privacy_audit_cells_equal_batch(spark, tmp_path):
         for r in C.k_anonymity(all_rows, ["qi1", "qi2"], "s").collect()
     }
     assert streamed == batch and len(streamed) == 3
+
+
+def test_streaming_cohort_retention_cells_equal_batch(spark, sf_dir):
+    """r11: the cohort-retention streaming twin — the C153 matrix is
+    an audit over two MERGEABLE per-batch relations: (user, partial
+    min signup ts) composes by min, and the distinct (user,
+    active-day-bucket) cells compose by union-distinct (the CMS/HLL
+    cell-log discipline). Events arrive in three micro-batches; the
+    audit derived from the merged state must equal the batch operator
+    row-for-row. (The strict-order FUNNEL has no such decomposition —
+    step k's anchor depends on step k−1's final value across batches —
+    which is why the funnel family has no cell-log twin.)"""
+    import os
+
+    from openetl_spark.operators import analytics as A
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch = {
+        (r["cohort"], r["period"]): (
+            r["n_cohort"], r["n_active"], r["retention"]
+        )
+        for r in A.cohort_retention(e, grain_days=7).collect()
+    }
+    assert batch, "no cohorts on testdata"
+
+    epoch = F.lit("1970-01-01").cast("date")
+    bidx = F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7).cast(
+        "int"
+    )
+    # three stable micro-batches; per-batch state relations
+    anchors, cells = [], []
+    for i in range(3):
+        b = e.filter(F.abs(F.hash("user_id", "ts")) % 3 == i)
+        anchors.append(
+            b.filter(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t0"))
+        )
+        cells.append(
+            b.select("user_id", bidx.alias("bucket")).distinct()
+        )
+    # merge laws: min over partial mins; union-distinct over cells
+    anchor = (
+        anchors[0].unionByName(anchors[1]).unionByName(anchors[2])
+        .groupBy("user_id").agg(F.min("t0").alias("t0"))
+    )
+    act = cells[0].unionByName(cells[1]).unionByName(cells[2]).distinct()
+    # audit from merged state (the operator's exact math)
+    c = anchor.select(
+        "user_id",
+        F.date_format(
+            F.date_add(
+                epoch,
+                F.floor(F.datediff(F.col("t0").cast("date"), epoch) / 7)
+                .cast("int") * 7,
+            ),
+            "yyyy-MM-dd",
+        ).alias("cohort"),
+        F.floor(F.datediff(F.col("t0").cast("date"), epoch) / 7)
+        .cast("int")
+        .alias("_c"),
+    )
+    sizes = c.groupBy("cohort", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    audit = (
+        act.join(c, "user_id")
+        .select(
+            "cohort", "_c",
+            (F.col("bucket") - F.col("_c")).cast("int").alias("period"),
+            "user_id",
+        )
+        .filter(F.col("period") >= 0)
+        .distinct()
+        .groupBy("cohort", "_c", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), ["cohort", "_c"])
+        .select(
+            "cohort", "period", "n_cohort", "n_active",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+                "retention"
+            ),
+        )
+    )
+    streamed = {
+        (r["cohort"], r["period"]): (
+            r["n_cohort"], r["n_active"], r["retention"]
+        )
+        for r in audit.collect()
+    }
+    assert streamed == batch
