@@ -87,16 +87,15 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-10 rotation (VERDICT
-# r09 #2, staleness burn-down): CORRECTNESS_r09 re-greened all 50 of
-# its window (incl. the four r09 rechecks — pruned). Slots go first to
-# the FIFTEEN new r10 queries (no driver row anywhere), then the
-# TEN DRIVER_RECHECK entries (code or oracle changed this round:
-# the triangle/hyperball/landmark-hops/node2vec layouts and their
-# consumers, the kcore round-1 shortcut, the ADVICE fixes), then the
-# COMPLETE 25-entry r05-latest queue enumerated by the r09 rotation
-# (after this round nothing anywhere is r05-latest) — exactly 50;
-# the 44 r06-latest rows (alphabetical) are the r11 queue head.
+# entries of queries() in iteration order. Round-11 rotation (VERDICT
+# r10 #2, staleness burn-down): CORRECTNESS_r10 re-greened all 50 of
+# its window (incl. all ten r10 rechecks — pruned). Slots go first to
+# the SEVEN new r11 queries (no driver row anywhere), then the EIGHT
+# DRIVER_RECHECK entries (code or oracle changed this round: the
+# LM-score and IVF-assignment layout consumers, the two advice-fix
+# plan changes), then the first 35 of the 44-entry r06-latest queue
+# enumerated by the r10 rotation — exactly 50; the 9 displaced r06
+# tails are the r12 queue head.
 # Every query, windowed or not, is re-pinned every pytest run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
@@ -105,8 +104,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # row — they hold window slots even though a (stale) green row exists,
 # and the window-integrity test exempts them from its "wasted slot"
 # check. Prune entries from this set once the next CORRECTNESS record
-# re-greens them. (All 4 r09 entries re-greened in CORRECTNESS_r09 —
-# pruned, per VERDICT r09 #2.)
+# re-greens them.
 DRIVER_RECHECK: set[str] = {
     # r11 (all 10 r10 entries re-greened in CORRECTNESS_r10 — pruned):
     # consumers of the new _lm_scores_layout (plans changed — the LM
@@ -142,6 +140,7 @@ DRIVER_PRIORITY: list[str] = [
     "node2vec_training_pairs",
     "cohort_retention",
     "l_diversity_recursive",
+    "rfm_segments",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "ngram_lm_score",
     "perplexity_buckets",
@@ -152,8 +151,8 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_steps",
     "mondrian_hierarchical",
     # --- the r06-latest burn-down queue (VERDICT r10 #2; the 44 rows
-    # enumerated by the r10 rotation, alphabetical — the first 36 fit
-    # this window; the remaining 8 are the r12 queue head) ---
+    # enumerated by the r10 rotation, alphabetical — the first 35 fit
+    # this window; the remaining 9 are the r12 queue head) ---
     "ann_recall_report",
     "approx_sketches",
     "array_funcs",
@@ -189,12 +188,11 @@ DRIVER_PRIORITY: list[str] = [
     "recursive_cte_tree",
     "schema_introspect",
     "session_windows",
-    "set_except",
-    # r12 queue, in order: the 8 r06-latest tails displaced by this
-    # window (simhash_dedup, skyline_parts, sliding_counts,
-    # sql_passthrough, string_funcs, text_stats, time_weighted_avg,
-    # tumbling_hourly), then r07-latest alphabetically. All locally
-    # re-pinned every pytest run.
+    # r12 queue, in order: the 9 r06-latest tails displaced by this
+    # window (set_except, simhash_dedup, skyline_parts,
+    # sliding_counts, sql_passthrough, string_funcs, text_stats,
+    # time_weighted_avg, tumbling_hourly), then r07-latest
+    # alphabetically. All locally re-pinned every pytest run.
 ]
 
 

@@ -453,3 +453,107 @@ def cohort_retention(
             ),
         )
     )
+
+
+def rfm_scores(
+    orders,
+    customer_col="o_custkey",
+    date_col="o_orderdate",
+    amount_col="o_totalprice",
+    n_tiles=3,
+    bucket_widths=(64.0, 4.0, 65536.0),
+):
+    """RFM segmentation (Hughes, "Strategic Database Marketing" 1994 —
+    the classic customer-value triage): per customer, Recency = days
+    since their last order (relative to the corpus max date, so the
+    relation is a pure function of the data), Frequency = order
+    count, Monetary = lifetime spend in exact CENTS (per-row
+    round(amount·100) — the same double rounds identically in any
+    engine; summing first would accumulate float error), then each
+    dimension split into ``n_tiles`` quantile tiles with tile 1 the
+    BEST (most recent / most orders / biggest spend) and the combined
+    segment label 'R{r}F{f}M{m}'.
+
+    Scale shape: the tiles are NOT an ntile window over raw customers
+    (one task per corpus — the low-cardinality-window trap); each
+    dimension runs through grouped_exact_ranks' two-level histogram
+    (bin relation bounded by value-range/width — ``bucket_widths``
+    sizes each dimension's bins to its range: days, counts, cents)
+    and the tile is
+    ntile_from_pos arithmetic on the exact position — three
+    histogram-rank passes, each a high-cardinality partial-agg
+    shuffle, no corpus-scale window anywhere. Ordering is total
+    (metric, then customer id), so tiles are deterministic and
+    engine-portable.
+
+    Returns (custkey, r_days, f_orders, m_cents, r_tile, f_tile,
+    m_tile, segment); customers with no orders are absent (RFM is
+    undefined without a purchase history).
+    """
+    import pyspark.sql.functions as F
+
+    if n_tiles < 2:
+        raise ValueError(f"rfm_scores: n_tiles must be >= 2, got {n_tiles}")
+    ref = orders.agg(
+        F.max(F.col(date_col).cast("date")).alias("_ref")
+    )
+    per = (
+        orders.groupBy(F.col(customer_col).alias("custkey"))
+        .agg(
+            F.max(F.col(date_col).cast("date")).alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+            F.sum(F.round(F.col(amount_col) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff("_ref", "_last").cast("int").alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    # Tile 1 = best: most recent (r_days ASC), most orders (DESC),
+    # biggest spend (DESC). grouped_exact_ranks ranks order_col DESC,
+    # so recency ranks on the negated value.
+    dims = [
+        ("r_tile", (-F.col("r_days")).cast("bigint"), bucket_widths[0]),
+        ("f_tile", F.col("f_orders"), bucket_widths[1]),
+        ("m_tile", F.col("m_cents"), bucket_widths[2]),
+    ]
+    # grouped_exact_ranks references its input ~4× (histogram,
+    # offsets, totals, probe); chaining three passes lazily would
+    # embed each prior pass's subtree 4× per reference — an
+    # exponential plan (measured: 108 scans of orders, ~9 s at
+    # sf0.1). localCheckpoint between passes keeps every pass's plan
+    # a leaf scan of the customer-cardinality relation (3 bounded
+    # jobs, the iterative-operator discipline).
+    out = per.withColumn("_grp", F.lit(0)).localCheckpoint()
+    for tile_col, order_expr, width in dims:
+        ranked = grouped_exact_ranks(
+            out.withColumn("_ord", order_expr),
+            "_grp",
+            "_ord",
+            "custkey",
+            width,
+            pos_col="_pos",
+            n_col="_n",
+        )
+        out = (
+            ranked.withColumn(
+                tile_col,
+                ntile_from_pos(F.col("_pos"), F.col("_n"), n_tiles)
+                .cast("int"),
+            )
+            .drop("_ord", "_pos", "_n")
+            .localCheckpoint()
+        )
+    return out.drop("_grp").withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), F.col("r_tile").cast("string"),
+            F.lit("F"), F.col("f_tile").cast("string"),
+            F.lit("M"), F.col("m_tile").cast("string"),
+        ),
+    )

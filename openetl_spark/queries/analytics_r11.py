@@ -388,3 +388,54 @@ def q_l_diversity_recursive(spark, sf_dir):
         d, ["c_nationkey", "c_mktsegment"], "_band",
         l=_LDR_L, c_num=_LDR_CN, c_den=_LDR_CD,
     )
+
+
+# ---------------------------------------------------------------------
+# C155 — RFM segmentation: the customer-value triage next to cohort
+# retention, tiles via the histogram-rank machinery (never an ntile
+# window over raw customers).
+# ---------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS rd FROM orders),
+    per AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                            (SELECT rd FROM ref)) AS INT) AS r_days,
+             CAST(count(*) AS BIGINT) AS f_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT *,
+             ntile(3) OVER (ORDER BY r_days ASC, custkey ASC) AS r_tile,
+             ntile(3) OVER (ORDER BY f_orders DESC, custkey ASC) AS f_tile,
+             ntile(3) OVER (ORDER BY m_cents DESC, custkey ASC) AS m_tile
+      FROM per)
+    SELECT custkey, r_days, f_orders, m_cents,
+           CAST(r_tile AS INT) AS r_tile,
+           CAST(f_tile AS INT) AS f_tile,
+           CAST(m_tile AS INT) AS m_tile,
+           'R' || r_tile || 'F' || f_tile || 'M' || m_tile AS segment
+    FROM t
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """C155: RFM customer segmentation over the orders relation
+    (operators/analytics.rfm_scores): recency days against the corpus
+    max date, order frequency, lifetime spend in exact cents (per-row
+    round(price·100) — the same double rounds identically in both
+    engines; summing first would accumulate float error), each split
+    into terciles with tile 1 best and the combined 'R{r}F{f}M{m}'
+    label. The tiles are ntile_from_pos arithmetic on
+    grouped_exact_ranks' two-level histogram positions — three
+    histogram passes, never an ntile window over raw customers (the
+    low-cardinality-window trap; the oracle IS that naive window,
+    which is exactly the point: same answer, scale-safe plan).
+    Total (metric, custkey) ordering makes every tile deterministic
+    cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    return A.rfm_scores(o)

@@ -2231,3 +2231,69 @@ def test_l_diversity_recursive_validation(spark):
         C.l_diversity_recursive(df, [], "s")
     with pytest.raises(ValueError, match="l >= 2"):
         C.l_diversity_recursive(df, ["g"], "s", l=1)
+
+
+# ------------------------------------------- RFM segmentation
+
+
+def test_rfm_scores_matches_python_reference(spark):
+    import datetime as dt
+    import random
+
+    from openetl_spark.operators import analytics as A
+
+    rng = random.Random(23)
+    rows = []
+    for ok in range(200):
+        cust = rng.randrange(40)
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=rng.randrange(300))
+        price = round(rng.uniform(10, 5000), 2)
+        rows.append((ok, cust, day, price))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+
+    # pure-python reference: per-customer triple, SQL-standard ntile
+    per = {}
+    for _, cust, day, price in rows:
+        last, f, m = per.get(cust, (None, 0, 0))
+        last = day.date() if last is None or day.date() > last else last
+        per[cust] = (last, f + 1, m + round(price * 100))
+    ref_d = max(v[0] for v in per.values())
+
+    def ntile(order, k):
+        n = len(order)
+        big, size = n % k, n // k
+        out, i = {}, 0
+        for t in range(1, k + 1):
+            width = size + 1 if t <= big else size
+            for c in order[i:i + width]:
+                out[c] = t
+            i += width
+        return out
+
+    custs = sorted(per)
+    r_days = {c: (ref_d - per[c][0]).days for c in custs}
+    rt = ntile(sorted(custs, key=lambda c: (r_days[c], c)), 3)
+    ft = ntile(sorted(custs, key=lambda c: (-per[c][1], c)), 3)
+    mt = ntile(sorted(custs, key=lambda c: (-per[c][2], c)), 3)
+
+    got = {
+        r["custkey"]: (
+            r["r_days"], r["f_orders"], r["m_cents"],
+            r["r_tile"], r["f_tile"], r["m_tile"], r["segment"],
+        )
+        for r in A.rfm_scores(df).collect()
+    }
+    want = {
+        c: (
+            r_days[c], per[c][1], per[c][2], rt[c], ft[c], mt[c],
+            f"R{rt[c]}F{ft[c]}M{mt[c]}",
+        )
+        for c in custs
+    }
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        A.rfm_scores(df, n_tiles=1)
