@@ -407,3 +407,91 @@ def streaming_last_touch(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = "user_id bigint, step_idx int, step string, conv_usec bigint"
+FUNNEL_STATE_SCHEMA = "cur int, t0 bigint, t_last bigint"
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    window_sec: int | None = None,
+) -> DataFrame:
+    """C24×C148: stateful streaming twin of the strict-order funnel —
+    the funnel has NO mergeable-cell decomposition (step k's anchor
+    depends on step k−1's FINAL value across all batches, unlike the
+    cohort matrix's min-anchors + distinct cells), so its streaming
+    form is per-user STATE: (steps completed, first-step epoch-µs,
+    last-completed-step epoch-µs), three scalars per user, advanced by
+    folding each micro-batch's rows in (ts, event_id) order.
+
+    An advance emits exactly one append row (user_id, step_idx, step,
+    conv_usec = t_step − t_first in exact µs) at the moment it
+    happens — the union of emissions across all batches equals the
+    batch operator's per-user relation, because a scan in event-time
+    order advancing only on the next needed step type reproduces the
+    batch recurrence exactly: the first step-k event strictly after
+    t_{k−1} encountered in time order IS min{ts > t_{k−1}} (and the
+    journey window ts − t0 ≤ W only ever grows, so a violating path
+    stays violated). Parity therefore holds whenever per-key arrival
+    respects event-time order — the same contract as
+    streaming_time_weighted (watermarked reordering upstream, or the
+    file-replay harness's range-partitioned files); a cross-batch
+    late arrival of an EARLIER step cannot retroactively rewind the
+    anchor and is skipped by the strict ts > t_last guard.
+
+    State is three scalars per user forever (never the event
+    history); per-batch work is the batch's own rows, sorted once per
+    key (Arrow chunks carry no cross-chunk order).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"streaming_funnel: need >= 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"streaming_funnel: duplicate step names in {steps}")
+    step_list = list(steps)
+    wus = None if window_sec is None else int(window_sec) * 1_000_000
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        cur, t0, t_last = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ordered = batch.sort_values(["mu", "event_id"])[["mu", "event_type"]]
+        rows = []
+        for mu, et in ordered.itertuples(index=False):
+            if cur >= len(step_list):
+                break
+            if et != step_list[cur]:
+                continue
+            mu = int(mu)
+            if cur == 0:
+                cur, t0, t_last = 1, mu, mu
+                rows.append((key[0], 1, step_list[0], 0))
+                continue
+            if mu <= t_last:
+                continue
+            if wus is not None and mu - t0 > wus:
+                continue
+            cur, t_last = cur + 1, mu
+            rows.append((key[0], cur, step_list[cur - 1], mu - t0))
+        state.update((cur, t0, t_last))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "step_idx", "step", "conv_usec"]
+            )
+
+    return (
+        stream.select(
+            "user_id",
+            F.unix_micros("ts").alias("mu"),
+            "event_type",
+            "event_id",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -382,3 +382,65 @@ def test_streaming_last_touch_matches_batch(spark, sf_dir, stream_dir):
     }
     assert len(got) == len(batch) > 0
     assert got == batch
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, stream_dir):
+    """C148 streaming parity: the stateful strict-order funnel over
+    time-ordered micro-batches emits exactly the batch operator's
+    per-user advances — same reached steps, same exact conversion
+    microseconds — and the per-step counts reproduce funnel_steps."""
+    from openetl_spark.operators import analytics as A
+
+    steps = ["signup", "view", "click", "purchase"]
+    w = 7 * 86400
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(
+        ops.streaming_funnel(stream, steps, window_sec=w),
+        "t_funnel",
+        "append",
+    )
+    streamed = {
+        (r["user_id"], r["step_idx"]): (r["step"], r["conv_usec"])
+        for r in spark.sql("SELECT * FROM t_funnel").collect()
+    }
+    assert streamed
+    # one emission per (user, advance), never duplicates
+    assert len(streamed) == spark.sql(
+        "SELECT count(*) FROM t_funnel"
+    ).collect()[0][0]
+
+    e = catalog.load(spark, sf_dir, "events")
+    batch_times = {
+        (r["user_id"], r["step_idx"]): (r["step"], r["conv_usec"])
+        for r in A.funnel_user_times(e, steps, window_sec=w).collect()
+    }
+    # batch funnel_user_times covers steps >= 2; streaming also emits
+    # the step-1 anchor row (conv 0)
+    streamed_tail = {k: v for k, v in streamed.items() if k[1] >= 2}
+    assert streamed_tail == batch_times
+    step1_users = {k[0] for k in streamed if k[1] == 1}
+    batch_step1 = {
+        r["user_id"]
+        for r in e.filter(F.col("event_type") == steps[0])
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert step1_users == batch_step1
+    # the per-step counts reproduce funnel_steps exactly
+    from collections import Counter
+
+    counts = Counter(k[1] for k in streamed)
+    batch_counts = {
+        r["step_idx"]: r["n_users"]
+        for r in A.funnel_steps(e, steps, window_sec=w).collect()
+    }
+    assert {i: counts.get(i, 0) for i in batch_counts} == batch_counts
+
+
+def test_streaming_funnel_validation(spark, stream_dir):
+    stream = ops.read_event_stream(spark, stream_dir)
+    with pytest.raises(ValueError, match="steps"):
+        ops.streaming_funnel(stream, ["signup"])
+    with pytest.raises(ValueError, match="duplicate"):
+        ops.streaming_funnel(stream, ["signup", "signup"])
