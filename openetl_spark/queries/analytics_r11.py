@@ -1,8 +1,10 @@
 """Round-11 analytics queries: the betweenness completion of the σ
-layout as exact landmark-pair rationals (VERDICT r10 #5), the
-clustering-agreement report (NMI/ARI) next to purity (#6), and the
-word2vec negative-sampling training table off the persisted biased
-walk corpus (#7).
+layout as exact landmark-pair rationals (VERDICT r10 #5, C150), the
+clustering-agreement contingency + NMI/ARI report next to purity
+(#6, C151), the word2vec negative-sampling training table off the
+persisted biased walk corpus (#7, C152), weekly cohort retention
+(C153), recursive (c,l)-diversity (C154), and RFM segmentation
+(C155).
 
 Reference parity note: the reference (OpenETL, TypeScript) has no
 analytics engine — these are build-extension components mandated by
