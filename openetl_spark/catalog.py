@@ -90,11 +90,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # entries of queries() in iteration order. Round-11 rotation (VERDICT
 # r10 #2, staleness burn-down): CORRECTNESS_r10 re-greened all 50 of
 # its window (incl. all ten r10 rechecks — pruned). Slots go first to
-# the SEVEN new r11 queries (no driver row anywhere), then the EIGHT
+# the EIGHT new r11 queries (no driver row anywhere), then the EIGHT
 # DRIVER_RECHECK entries (code or oracle changed this round: the
 # LM-score and IVF-assignment layout consumers, the two advice-fix
-# plan changes), then the first 35 of the 44-entry r06-latest queue
-# enumerated by the r10 rotation — exactly 50; the 9 displaced r06
+# plan changes), then the first 34 of the 44-entry r06-latest queue
+# enumerated by the r10 rotation — exactly 50; the 10 displaced r06
 # tails are the r12 queue head.
 # Every query, windowed or not, is re-pinned every pytest run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
@@ -141,6 +141,7 @@ DRIVER_PRIORITY: list[str] = [
     "cohort_retention",
     "l_diversity_recursive",
     "rfm_segments",
+    "association_rules",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "ngram_lm_score",
     "perplexity_buckets",
@@ -151,8 +152,8 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_steps",
     "mondrian_hierarchical",
     # --- the r06-latest burn-down queue (VERDICT r10 #2; the 44 rows
-    # enumerated by the r10 rotation, alphabetical — the first 35 fit
-    # this window; the remaining 9 are the r12 queue head) ---
+    # enumerated by the r10 rotation, alphabetical — the first 34 fit
+    # this window; the remaining 10 are the r12 queue head) ---
     "ann_recall_report",
     "approx_sketches",
     "array_funcs",
@@ -187,12 +188,12 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "recursive_cte_tree",
     "schema_introspect",
-    "session_windows",
-    # r12 queue, in order: the 9 r06-latest tails displaced by this
-    # window (set_except, simhash_dedup, skyline_parts,
-    # sliding_counts, sql_passthrough, string_funcs, text_stats,
-    # time_weighted_avg, tumbling_hourly), then r07-latest
-    # alphabetically. All locally re-pinned every pytest run.
+    # r12 queue, in order: the 10 r06-latest tails displaced by this
+    # window (session_windows, set_except, simhash_dedup,
+    # skyline_parts, sliding_counts, sql_passthrough, string_funcs,
+    # text_stats, time_weighted_avg, tumbling_hourly), then
+    # r07-latest alphabetically. All locally re-pinned every pytest
+    # run.
 ]
 
 

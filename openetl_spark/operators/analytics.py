@@ -557,3 +557,95 @@ def rfm_scores(
             F.lit("M"), F.col("m_tile").cast("string"),
         ),
     )
+
+
+def association_rules(
+    baskets,
+    basket_col="l_orderkey",
+    item_col="l_partkey",
+    min_support=2,
+    pairs=None,
+):
+    """Market-basket ASSOCIATION RULES (Agrawal & Srikant, VLDB 1994 —
+    support / confidence / lift over item PAIRS): for every directed
+    rule antecedent → consequent whose pair support reaches
+    ``min_support`` baskets, the exact counts and the two classic
+    strength metrics. Confidence = n_both/n_ante is ONE IEEE division
+    of exact bigints (the purity discipline); LIFT — the
+    independence-adjusted metric — is emitted as the exact rational
+    (lift_num, lift_den) = (n_both·n_baskets, n_ante·n_cons), so
+    "lift > 1" is a cross-multiplication, no float anywhere in it.
+
+    ``pairs``: optional precomputed undirected co-occurrence relation
+    (x, y, n_both) with x < y — e.g. the persisted co-purchase edge
+    layout, where the basket self-join has already been paid once per
+    corpus; when absent it is derived here (one self-join on the
+    basket key, count-distinct baskets per pair — m·d-bounded like
+    the co-purchase CTE). Item supports and the basket total are
+    partial-agg relations joined back (item relation is
+    vocabulary-sized — broadcastable).
+
+    Returns one row per DIRECTED rule: (antecedent, consequent,
+    n_both, n_ante, n_cons, n_baskets, confidence, lift_num,
+    lift_den).
+    """
+    import pyspark.sql.functions as F
+
+    if min_support < 1:
+        raise ValueError(
+            f"association_rules: min_support must be >= 1, got {min_support}"
+        )
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    )
+    if pairs is None:
+        l, r = b.alias("l"), b.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l._b") == F.col("r._b"))
+                & (F.col("l._i") < F.col("r._i")),
+            )
+            .groupBy(F.col("l._i").alias("x"), F.col("r._i").alias("y"))
+            .agg(F.count_distinct(F.col("l._b")).cast("bigint").alias("n_both"))
+        )
+    sup = pairs.filter(F.col("n_both") >= min_support)
+    items = b.groupBy(F.col("_i").alias("_it")).agg(
+        F.count_distinct("_b").cast("bigint").alias("_n_it")
+    )
+    total = b.agg(F.count_distinct("_b").cast("bigint").alias("n_baskets"))
+    directed = sup.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "n_both"
+    ).unionByName(
+        sup.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "n_both"
+        )
+    )
+    return (
+        directed.join(
+            F.broadcast(items.select(F.col("_it").alias("antecedent"),
+                                     F.col("_n_it").alias("n_ante"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(items.select(F.col("_it").alias("consequent"),
+                                     F.col("_n_it").alias("n_cons"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            "n_baskets",
+            (F.col("n_both").cast("double") / F.col("n_ante")).alias(
+                "confidence"
+            ),
+            (F.col("n_both") * F.col("n_baskets"))
+            .cast("bigint")
+            .alias("lift_num"),
+            (F.col("n_ante") * F.col("n_cons")).cast("bigint").alias("lift_den"),
+        )
+    )

@@ -441,3 +441,70 @@ def q_rfm_segments(spark, sf_dir):
     cross-engine."""
     o = load(spark, sf_dir, "orders")
     return A.rfm_scores(o)
+
+
+# ---------------------------------------------------------------------
+# C156 — market-basket association rules off the persisted weighted
+# co-purchase layout: support exact, confidence one IEEE division,
+# lift an exact rational.
+# ---------------------------------------------------------------------
+
+from openetl_spark.queries.analytics_r07 import (  # noqa: E402
+    CO_PURCHASE_W_CTE,
+    _graph_layout,
+)
+
+_AR_MINSUP = 2
+
+
+@query(
+    "association_rules",
+    f"""
+    WITH {CO_PURCHASE_W_CTE},
+    sup AS (SELECT x, y, w AS n_both FROM cow WHERE w >= {_AR_MINSUP}),
+    items AS (
+      SELECT l_partkey AS it,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_it
+      FROM lineitem GROUP BY 1),
+    total AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM lineitem),
+    directed AS (
+      SELECT x AS antecedent, y AS consequent, n_both FROM sup
+      UNION ALL
+      SELECT y, x, n_both FROM sup)
+    SELECT d.antecedent, d.consequent,
+           CAST(d.n_both AS BIGINT) AS n_both,
+           a.n_it AS n_ante,
+           c.n_it AS n_cons,
+           t.n_baskets,
+           CAST(d.n_both AS DOUBLE) / a.n_it AS confidence,
+           CAST(d.n_both * t.n_baskets AS BIGINT) AS lift_num,
+           CAST(a.n_it * c.n_it AS BIGINT) AS lift_den
+    FROM directed d
+    JOIN items a ON a.it = d.antecedent
+    JOIN items c ON c.it = d.consequent, total t
+    """,
+)
+def q_association_rules(spark, sf_dir):
+    """C156: market-basket association rules over the order baskets
+    (operators/analytics.association_rules) — for every part pair
+    co-purchased in ≥ {_AR_MINSUP} orders, both directed rules with
+    exact support counts, confidence = n_both/n_ante (one IEEE
+    division of bigints), and LIFT as the exact rational
+    (n_both·n_baskets, n_ante·n_cons) — "lift > 1" decides by
+    cross-multiplication, no float in the independence test. The pair
+    relation reads the persisted weighted co-purchase layout (the
+    basket self-join is paid once per corpus — the same artifact the
+    graph family rides); item supports and the basket total are
+    partial-agg relations, broadcast-joined. The oracle re-derives
+    the pairs from lineitem."""
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    pairs = spark.read.parquet(edges_w_path).select(
+        F.col("src").alias("x"), F.col("dst").alias("y"),
+        F.col("w").alias("n_both"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return A.association_rules(
+        li, "l_orderkey", "l_partkey", min_support=_AR_MINSUP, pairs=pairs
+    )

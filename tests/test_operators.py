@@ -2297,3 +2297,38 @@ def test_rfm_scores_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="n_tiles"):
         A.rfm_scores(df, n_tiles=1)
+
+
+# ------------------------------------------- association rules
+
+
+def test_association_rules_hand_case(spark):
+    from openetl_spark.operators import analytics as A
+
+    rows = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "B"), (3, "C"),
+        (4, "A"),
+        (4, "A"),  # duplicate line in one basket: distinct-counted once
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_both"], r["n_ante"], r["n_cons"], r["n_baskets"],
+            r["confidence"], r["lift_num"], r["lift_den"],
+        )
+        for r in A.association_rules(
+            df, "basket", "item", min_support=2
+        ).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 3, 3, 4, 2 / 3, 8, 9),
+        ("B", "A"): (2, 3, 3, 4, 2 / 3, 8, 9),
+        ("B", "C"): (2, 3, 2, 4, 2 / 3, 8, 6),
+        ("C", "B"): (2, 2, 3, 4, 1.0, 8, 6),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="min_support"):
+        A.association_rules(df, "basket", "item", min_support=0)

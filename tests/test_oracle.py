@@ -63,7 +63,7 @@ def test_driver_priority_window_integrity():
     for newcomer in ("landmark_betweenness", "cluster_contingency",
                      "cluster_agreement_report", "node2vec_training_pairs",
                      "cohort_retention", "l_diversity_recursive",
-                     "rfm_segments",
+                     "rfm_segments", "association_rules",
                      "ann_recall_report", "approx_sketches", "array_funcs",
                      "audio_near_duplicates", "curation_pipeline",
                      "date_funcs", "decontaminate_spans", "dedup_components",
@@ -79,7 +79,7 @@ def test_driver_priority_window_integrity():
                      "pagerank_nations", "personalized_pagerank",
                      "pmi_collocations", "q11_important_value",
                      "quality_score", "recursive_cte_tree",
-                     "schema_introspect", "session_windows",
+                     "schema_introspect",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
