@@ -582,8 +582,13 @@ def association_rules(
     corpus; when absent it is derived here (one self-join on the
     basket key, count-distinct baskets per pair — m·d-bounded like
     the co-purchase CTE). Item supports and the basket total are
-    partial-agg relations joined back (item relation is
-    vocabulary-sized — broadcastable).
+    partial-agg relations joined back; the item relation is
+    VOCABULARY-sized (distinct items grow with the corpus — ~20M
+    parts at sf100), so its broadcast is conditional on Catalyst's
+    size estimate (``broadcast_if_small``, the C121 dictionary
+    discipline) — past the threshold the two equi-joins fall back to
+    whatever AQE picks shuffled. Only the 1-row basket total is
+    broadcast unconditionally.
 
     Returns one row per DIRECTED rule: (antecedent, consequent,
     n_both, n_ante, n_cons, n_baskets, confidence, lift_num,
@@ -621,15 +626,19 @@ def association_rules(
             F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "n_both"
         )
     )
+    from openetl_spark.operators.skew import broadcast_if_small
+
     return (
         directed.join(
-            F.broadcast(items.select(F.col("_it").alias("antecedent"),
-                                     F.col("_n_it").alias("n_ante"))),
+            broadcast_if_small(
+                items.select(F.col("_it").alias("antecedent"),
+                             F.col("_n_it").alias("n_ante"))),
             "antecedent",
         )
         .join(
-            F.broadcast(items.select(F.col("_it").alias("consequent"),
-                                     F.col("_n_it").alias("n_cons"))),
+            broadcast_if_small(
+                items.select(F.col("_it").alias("consequent"),
+                             F.col("_n_it").alias("n_cons"))),
             "consequent",
         )
         .crossJoin(F.broadcast(total))

@@ -1982,10 +1982,15 @@ def skipgram_negative_pairs(
     bucket holds < k valid candidates emit fewer rows (documented, as
     in contrastive_negatives).
 
-    Shape: pair relation ⋈ bucketed vocabulary on the bucket key
-    (vocabulary is node-set-sized — broadcastable), then a
-    row_number window partitioned by the PAIR key (fine-grained —
-    millions of partitions, never a low-cardinality window).
+    Shape: pair relation ⋈ bucketed vocabulary on the bucket key,
+    then a row_number window partitioned by the PAIR key
+    (fine-grained — millions of partitions, never a low-cardinality
+    window). The vocabulary is NODE-SET-sized — at the 10⁹-node scale
+    this docstring argues, tens of GB — so its broadcast is
+    conditional on Catalyst's size estimate (``broadcast_if_small``,
+    the C121 dictionary discipline; VERDICT r11 #2): past the
+    threshold the bucket-key equi-join shuffles, which AQE handles
+    fine.
 
     Returns (u, v, n, negative, rnk): n the positive co-visit count,
     rnk ∈ 1..k the draw order.
@@ -2015,8 +2020,10 @@ def skipgram_negative_pairs(
     probed = pairs.withColumn(
         "_pb", hash_bucket(F.concat(key, F.lit(":p")), n_buckets)
     )
+    from openetl_spark.operators.skew import broadcast_if_small
+
     j = probed.join(
-        F.broadcast(cand),
+        broadcast_if_small(cand),
         (F.col("_pb") == F.col("_cb"))
         & (F.col("negative") != F.col("u"))
         & (F.col("negative") != F.col("v")),

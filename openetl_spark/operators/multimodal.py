@@ -16,11 +16,12 @@ palette, ``decode_gif_pixels``), as are animated-GIF frame sampling,
 WAV PCM window sampling, and nearest-neighbor resize
 (``resize_images``). Baseline JPEG *pixel* decode is real too since
 r06 (``decode_jpeg_pixels``: Huffman entropy decode + dequant + numpy
-IDCT + chroma upsample — and since r06-s2 spectral-selection
-PROGRESSIVE streams too, multi-scan accumulation with EOBRUN coding;
-the encode twin ``media_synth.encode_jpeg`` emits both modes) — only
-out-of-envelope shapes (successive-approximation progressive, 16-bit
-PNG, Adam7) still fall back to an import-guarded PIL, NULL when
+IDCT + chroma upsample — and since r06-s2 FULL progressive streams
+too: spectral-selection scans with EOBRUN coding AND
+successive-approximation refinement, ISO/IEC 10918-1 G.1.2.3; the
+encode twin ``media_synth.encode_jpeg`` emits all three modes) — only
+out-of-envelope shapes (arithmetic-coded / 12-bit JPEG, 16-bit PNG,
+Adam7 interlace) still fall back to an import-guarded PIL, NULL when
 absent. The Spark-side plumbing —
 schema, Arrow batch iteration, fan-out shape — is real and tested
 either way.

@@ -1110,7 +1110,10 @@ def cluster_agreement(
     stay inside bigint while N·S < 2^63 (n ≲ 7·10⁴ dense-agreement
     worst case) — an execution-time guard raises past it (at larger
     n the report needs a 128-bit rendering; ANSI mode would throw
-    regardless, this raise says why).
+    regardless, this raise says why). The DuckDB oracle mirrors the
+    SAME predicate via error() (ADVICE r11), so past the boundary
+    both engines fail identically instead of the oracle silently
+    widening into hugeint while Spark raises.
 
     NMI itself needs logs — Σ-of-float with engine-unpinned addition
     order, so the scalar stays OUT of the hashed output; instead the

@@ -170,7 +170,17 @@ def q_cluster_contingency(spark, sf_dir):
                         * ln(n_label / CAST(s_.n AS DOUBLE))) AS hv
             FROM cols_, s_)
     SELECT n,
-           CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_total,
+           -- the engine's 128-bit overflow guard, MIRRORED (ADVICE
+           -- r11): past n ~ 7e4 dense-agreement BOTH engines now fail
+           -- loudly on the same predicate instead of the oracle
+           -- silently widening into hugeint while Spark raises.
+           CASE WHEN CAST(n * (n - 1) // 2 AS DOUBLE)
+                     * CAST(greatest(pairs_both, pairs_pred, pairs_true)
+                            AS DOUBLE)
+                     >= 9223372036854775807e0 / 4
+                THEN CAST(error('cluster_agreement: pair-count products '
+                                'exceed the exact-bigint range') AS BIGINT)
+                ELSE CAST(n * (n - 1) // 2 AS BIGINT) END AS pairs_total,
            pairs_both, pairs_pred, pairs_true,
            CAST(2 * ((n * (n - 1) // 2) * pairs_both
                      - pairs_pred * pairs_true) AS BIGINT) AS ari_num,

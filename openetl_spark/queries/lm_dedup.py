@@ -79,9 +79,13 @@ def _lm_scores_layout(spark, sf_dir: str) -> str:
         if meta.get("doc_sig") != sig:
             shutil.rmtree(scores_path, ignore_errors=True)
             os.remove(meta_path)
-    if not os.path.exists(meta_path):
+    if not (os.path.exists(meta_path) and os.path.exists(scores_path)):
         # An artifact without meta is stale by definition — rebuild,
         # never adopt (the _node2vec_layout ADVICE-r10 discipline).
+        # Symmetrically, meta without DATA (a manually-deleted or
+        # externally-cleaned scores dir, ADVICE r11) is a dangling
+        # pointer — treat missing data like missing meta and rebuild
+        # rather than hand every consumer an unreadable path.
         shutil.rmtree(scores_path, ignore_errors=True)
 
         def build():

@@ -57,7 +57,7 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-11 rotation: the six new queries, every DRIVER_RECHECK
+    # round-11 rotation: the eight new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), and the
     # head of the 44-entry r06-latest refresh queue hold slots
     for newcomer in ("landmark_betweenness", "cluster_contingency",

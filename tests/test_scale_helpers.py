@@ -221,6 +221,73 @@ def test_broadcast_if_small_guards_fact_sized_dims(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_vocabulary_broadcasts_are_conditional(spark, monkeypatch, tmp_path):
+    """VERDICT r11 #2: association_rules' item-support relation and
+    skipgram_negative_pairs' candidate vocabulary both scale with the
+    corpus (distinct items / walked nodes), so their broadcast hints
+    must go through broadcast_if_small, never an unconditional
+    F.broadcast. Pin both directions: with the real guard the small
+    test relations ARE hinted (BroadcastHashJoin with the session
+    threshold disabled — only a hint can produce it), and with the
+    guard's budget shrunk to 1 byte every vocabulary-sized side falls
+    back to an unhinted shuffle join while the genuinely-1-row totals
+    keep their unconditional broadcast."""
+    import io, contextlib
+
+    import openetl_spark.operators.skew as skew
+    from openetl_spark.operators import analytics as A
+    from openetl_spark.operators import graph as G
+
+    # parquet-backed inputs: createDataFrame relations carry no size
+    # stats, so the guard would (correctly) refuse them outright —
+    # the positive arm needs Catalyst's real file-size estimate
+    spark.createDataFrame(
+        [(b, (b * 3 + i) % 7) for b in range(20) for i in range(3)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(str(tmp_path / "baskets"))
+    baskets = spark.read.parquet(str(tmp_path / "baskets"))
+    spark.createDataFrame(
+        [(w, s, (w * 7 + s * 3) % 9) for w in range(6) for s in range(5)],
+        "walker long, step int, node long",
+    ).write.parquet(str(tmp_path / "walks"))
+    walks = spark.read.parquet(str(tmp_path / "walks"))
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # real guard, tiny relations: the hint fires
+        assert "BroadcastHashJoin" in plan_of(
+            A.association_rules(baskets, min_support=1)
+        )
+        assert "BroadcastHashJoin" in plan_of(
+            G.skipgram_negative_pairs(walks, window=2, k=2, n_buckets=4)
+        )
+
+        # 1-byte budget = the "vocabulary too big" arm: no forced
+        # hash broadcast anywhere; the 1-row totals stay broadcast
+        # (nested-loop cross join)
+        real = skew.broadcast_if_small
+        monkeypatch.setattr(
+            skew, "broadcast_if_small", lambda df, **kw: real(df, max_bytes=1)
+        )
+        rules_plan = plan_of(A.association_rules(baskets, min_support=1))
+        assert "BroadcastHashJoin" not in rules_plan, rules_plan
+        assert "BroadcastNestedLoopJoin" in rules_plan, rules_plan
+        neg_plan = plan_of(
+            G.skipgram_negative_pairs(walks, window=2, k=2, n_buckets=4)
+        )
+        assert "BroadcastHashJoin" not in neg_plan, neg_plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_new_tpch_shapes_plan_evidence(spark, sf_dir):
     """r05 TPC-H additions, plan-pinned. q19: Catalyst derives the
     per-relation projections of the OR-of-ANDs predicate and pushes
@@ -832,6 +899,27 @@ def test_lm_layout_missing_meta_forces_rebuild(spark):
     assert scores2 == scores
     assert os.path.exists(meta)
     assert not os.path.exists(sentinel)  # rebuilt, not adopted
+
+
+def test_lm_layout_missing_data_forces_rebuild(spark):
+    """The symmetric hole (ADVICE r11): intact meta but a deleted /
+    externally-cleaned scores DIRECTORY must rebuild, not return a
+    dangling path every consumer fails to read."""
+    import os
+    import shutil
+
+    from openetl_spark.queries.lm_dedup import _LM_VERIFIED, _lm_scores_layout
+
+    sf = "/root/testdata/sf0.001"
+    scores = _lm_scores_layout(spark, sf)
+    meta = os.path.join(os.path.dirname(scores), "lm_meta.json")
+    assert os.path.exists(meta) and os.path.exists(scores)
+    shutil.rmtree(scores)
+    _LM_VERIFIED.discard("sf0.001")
+    scores2 = _lm_scores_layout(spark, sf)
+    assert scores2 == scores
+    assert os.path.exists(scores)  # data rebuilt behind the meta
+    assert spark.read.parquet(scores).count() > 0
 
 
 def test_bipartite_census_plan_has_no_pair_enumeration(spark, sf_dir):
