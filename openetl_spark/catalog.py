@@ -50,6 +50,7 @@ from openetl_spark.queries import analytics_r08 as _analytics_r08  # noqa: F401,
 from openetl_spark.queries import analytics_r09 as _analytics_r09  # noqa: F401,E402
 from openetl_spark.queries import analytics_r10 as _analytics_r10  # noqa: F401,E402
 from openetl_spark.queries import analytics_r11 as _analytics_r11  # noqa: F401,E402
+from openetl_spark.queries import analytics_r12 as _analytics_r12  # noqa: F401,E402
 
 # Re-exports referenced by tests / bench / external callers as
 # catalog.<name> (the pre-split public surface).

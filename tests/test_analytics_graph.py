@@ -2593,6 +2593,85 @@ def test_landmark_pair_dependencies_interior_sum_invariant(spark):
         assert tot == den * (dst - 1), (s, t, tot, den, dst)
 
 
+# -------------------------------------- betweenness scalar (C157)
+
+def _py_betweenness_scores(edges, sources, scale_bits=20, max_hops=6):
+    deps = _py_pair_dependencies(edges, sources, max_hops)
+    k = 1 << scale_bits
+    out = {}
+    for (s, t, v), (_dst, num, den) in deps.items():
+        n_pairs, bc_k = out.get(v, (0, 0))
+        out[v] = (n_pairs + 1, bc_k + (k * num) // den)
+    return out
+
+
+@pytest.mark.parametrize("seed", [41, 42, 49])
+def test_betweenness_scores_match_bruteforce(spark, seed):
+    """The scaled floor sum is bit-identical to the python rendering,
+    and bc_k/2^20 sits within n_pairs/2^20 of the float pair-sum."""
+    import random
+
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(32)})
+    edges = [e for e in edges if e[0] != e[1]]
+    sources = sorted({e[0] for e in edges})[:4]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lm = spark.createDataFrame([(s,) for s in sources], "node int")
+    pc = G.landmark_path_counts(df, lm, max_hops=6)
+    deps = G.landmark_pair_dependencies(pc, lm)
+    got = {
+        r["node"]: (r["n_pairs"], r["bc_k"])
+        for r in G.landmark_betweenness_scores(deps).collect()
+    }
+    want = _py_betweenness_scores(edges, sources)
+    assert got == want
+    assert got, "gadget produced no interior nodes"
+    # the scalar it approximates: float pair-sum within n_pairs/K
+    fdeps = _py_pair_dependencies(edges, sources)
+    fsum = {}
+    for (s, t, v), (_d, num, den) in fdeps.items():
+        fsum[v] = fsum.get(v, 0.0) + num / den
+    for v, (n_pairs, bc_k) in got.items():
+        assert 0 <= fsum[v] - bc_k / (1 << 20) <= n_pairs / (1 << 20)
+
+
+def test_betweenness_scores_overflow_guard(spark):
+    """dep_den at/past 2^43 must raise the named guard, not wrap."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    deps = spark.createDataFrame(
+        [(5, 3, 1 << 43)], "node long, dep_num long, dep_den long"
+    )
+    with pytest.raises(SparkRuntimeException, match="scaled"):
+        G.landmark_betweenness_scores(deps).collect()
+
+
+def test_betweenness_scores_validation(spark):
+    deps = spark.createDataFrame(
+        [(5, 1, 2)], "node long, dep_num long, dep_den long"
+    )
+    with pytest.raises(ValueError, match="scale_bits"):
+        G.landmark_betweenness_scores(deps, scale_bits=0)
+    with pytest.raises(ValueError, match="scale_bits"):
+        G.landmark_betweenness_scores(deps, scale_bits=41)
+
+
+def test_betweenness_scores_diamond(spark):
+    """1-2-4 / 1-3-4, landmarks {1,4}: nodes 2 and 3 each carry one
+    pair at 1/2 -> bc_k = 2^19."""
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    lm = spark.createDataFrame([(1,), (4,)], "node long")
+    pc = G.landmark_path_counts(df, lm, max_hops=4)
+    deps = G.landmark_pair_dependencies(pc, lm)
+    got = {
+        r["node"]: (r["n_pairs"], r["bc_k"])
+        for r in G.landmark_betweenness_scores(deps).collect()
+    }
+    assert got == {2: (1, 1 << 19), 3: (1, 1 << 19)}
+
+
 # -------------------------------------- skip-gram negative sampling
 
 def _py_negative_pairs(walk_rows, window, k, n_buckets):

@@ -820,6 +820,11 @@ def test_r10_layout_consumers_read_artifacts_not_rederive(spark, sf_dir):
     plan = tp._jdf.queryExecution().explainString(fmt)
     assert "n2v_walks" in plan, plan[:2000]
 
+    # r12 consumer of the σ layout
+    br = catalog.QUERIES["betweenness_report"](spark, sf_dir)
+    plan = br._jdf.queryExecution().explainString(fmt)
+    assert "path_counts_h6" in plan, plan[:2000]
+
 
 def test_lm_layout_consumers_read_artifact_not_retrain(spark, sf_dir):
     """r11 corpus-LM layout: ngram_lm_score must read ONLY the
