@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from openetl_spark.operators import graph as G
+from openetl_spark.operators import similarity as S
 from openetl_spark.queries.base import query
 from openetl_spark.queries.analytics_r09 import (
     _CORE_LM_CTES,
@@ -23,6 +24,12 @@ from openetl_spark.queries.analytics_r09 import (
 from openetl_spark.queries.analytics_r10 import (
     _path_counts_ctes,
     _path_counts_layout,
+)
+from openetl_spark.queries.analytics_r11 import _IVF_ASSIGN_CTES
+from openetl_spark.queries.relational_extra import (
+    IVF_SIG_SQL,
+    _corpus_sig,
+    _ivf_layout,
 )
 
 
@@ -95,3 +102,183 @@ def q_betweenness_report(spark, sf_dir):
     pc = _path_counts_layout(spark, sf_dir)
     deps = G.landmark_pair_dependencies(pc, lm)
     return G.landmark_betweenness_scores(deps, scale_bits=20)
+
+
+# ---------------------------------------------------------------------
+# C158 — NMI as HASHED exact integers (VERDICT r11 #4): the micro-nat
+# dictionary trick. cluster_agreement_report pins MI behind invariant
+# booleans because Σ-of-float addition order is engine-unpinned; here
+# every log factor lives on the bounded cell GRID, so it is fitted
+# once driver-side (pure Python, persisted, corpus-sig keyed — the
+# DSIR artifact discipline) and MI/H become exact bigint sums both
+# engines derive from the same artifact.
+# ---------------------------------------------------------------------
+
+NMI_ORACLE_DICT = (
+    "/root/repo/spark-warehouse/nmi_cache/micronats_oracle.parquet"
+)
+_NMI_SCALE = 10**6
+
+
+def _nmi_micronat_dict(spark, sf_dir: str) -> int:
+    """Fit-or-reuse the micro-nat dictionary for one corpus's IVF
+    (n_lists=16, seed=42) contingency grid; returns the corpus sig.
+    The consolidated parquet holds every fitted corpus keyed by the
+    IVF corpus signature (the centroid-parquet governance): the cell
+    grid is a pure function of the corpus through the sig-governed
+    IVF layout, so a matching sig implies a matching grid. Fit cost:
+    one collect of the ≤ clusters×labels cell grid (the DSIR
+    driver-side-fit class — bounded, never corpus-sized)."""
+    import os
+
+    import pandas as pd
+
+    sig = _corpus_sig(spark, sf_dir)
+    if os.path.exists(NMI_ORACLE_DICT):
+        old = pd.read_parquet(NMI_ORACLE_DICT)
+        if (old["corpus_sig"] == sig).any():
+            return sig
+    else:
+        old = None
+    _, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    grid = (
+        spark.read.parquet(data_path)
+        .groupBy(
+            F.col("ivf_list").cast("int").alias("c"),
+            F.col("label").cast("int").alias("l"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+        .collect()
+    )
+    fitted = S.contingency_micronat_dict(
+        [(r["c"], r["l"], r["n_cell"]) for r in grid], scale=_NMI_SCALE
+    )
+    new = pd.DataFrame(fitted, columns=["kind", "a", "b", "micronats"])
+    new.insert(0, "corpus_sig", sig)
+    new["corpus_sig"] = new["corpus_sig"].astype("int64")
+    new["micronats"] = new["micronats"].astype("int64")
+    if old is not None:
+        new = pd.concat(
+            [old[old["corpus_sig"] != sig], new], ignore_index=True
+        )
+    os.makedirs(os.path.dirname(NMI_ORACLE_DICT), exist_ok=True)
+    tmp = f"{NMI_ORACLE_DICT}.tmp.{os.getpid()}"
+    new.to_parquet(tmp, index=False)
+    os.replace(tmp, NMI_ORACLE_DICT)
+    return sig
+
+
+@query(
+    "cluster_nmi_report",
+    f"""
+    WITH {_IVF_ASSIGN_CTES},
+    d AS (SELECT kind, a, b, micronats
+          FROM read_parquet('{NMI_ORACLE_DICT}')
+          WHERE corpus_sig = ({IVF_SIG_SQL})),
+    tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM cells),
+    mi AS (SELECT CAST(sum(c.n_cell * d.micronats) AS BIGINT) AS mi_micro,
+                  CAST(count(*) AS BIGINT) AS n_cells_scored
+           FROM cells c
+           JOIN d ON d.kind = 'cell' AND d.a = c.list_id AND d.b = c.label),
+    hu AS (SELECT CAST(sum(r.n_cluster * d.micronats) AS BIGINT) AS hu_micro
+           FROM rows_ r JOIN d ON d.kind = 'row' AND d.a = r.list_id),
+    hv AS (SELECT CAST(sum(l.n_label * d.micronats) AS BIGINT) AS hv_micro
+           FROM cols_ l JOIN d ON d.kind = 'col' AND d.a = l.label)
+    SELECT n, n_cells, n_cells_scored, mi_micro, hu_micro, hv_micro
+    FROM tot, mi, hu, hv
+    """,
+)
+def q_cluster_nmi_report(spark, sf_dir):
+    """C158: normalized mutual information of the IVF quantizer vs
+    the embeddings ground truth with MI HASHED, not boolean-pinned
+    (operators/similarity.contingency_micronat_dict — the DSIR
+    dictionary trick on the contingency logs, VERDICT r11 #4): every
+    log factor ln(n·n_ij/(a_i·b_j)) depends only on the bounded
+    (cluster × label) cell grid, so it is fitted once driver-side in
+    pure Python at 10⁻⁶-nat resolution, persisted corpus-sig-keyed,
+    and both engines derive n·MI·10⁶ = Σ n_ij·mn_ij, n·H_u·10⁶ =
+    Σ a_i·mn_i, n·H_v·10⁶ = Σ b_j·mn_j as exact bigint sums over the
+    same artifact — NMI ≈ 2·mi_micro/(hu_micro+hv_micro) is one
+    reader-side division. n_cells_scored = n_cells pins dictionary
+    completeness in the hashed row. The fit math is pure-python
+    pinned in tests; the cells/marginals re-derive from raw tables on
+    the oracle side, so a stale assignment reds out as a count
+    mismatch (the centroid-artifact governance)."""
+    sig = _nmi_micronat_dict(spark, sf_dir)
+    _, data_path = _ivf_layout(spark, sf_dir, n_lists=16, seed=42)
+    cells = (
+        spark.read.parquet(data_path)
+        .groupBy(
+            F.col("ivf_list").cast("int").alias("list_id"),
+            F.col("label").cast("int").alias("label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+    )
+    d = spark.read.parquet(NMI_ORACLE_DICT).filter(
+        F.col("corpus_sig") == F.lit(sig)
+    )
+    tot = cells.agg(
+        F.sum("n_cell").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    dc = d.filter(F.col("kind") == "cell").select(
+        F.col("a").alias("list_id"),
+        F.col("b").alias("label"),
+        "micronats",
+    )
+    mi = (
+        cells.join(F.broadcast(dc), ["list_id", "label"])
+        .agg(
+            F.sum(F.col("n_cell") * F.col("micronats"))
+            .cast("bigint")
+            .alias("mi_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_scored"),
+        )
+    )
+    rows_m = cells.groupBy("list_id").agg(
+        F.sum("n_cell").cast("bigint").alias("_na")
+    )
+    hu = (
+        rows_m.join(
+            F.broadcast(
+                d.filter(F.col("kind") == "row").select(
+                    F.col("a").alias("list_id"), "micronats"
+                )
+            ),
+            "list_id",
+        )
+        .agg(
+            F.sum(F.col("_na") * F.col("micronats"))
+            .cast("bigint")
+            .alias("hu_micro")
+        )
+    )
+    cols_m = cells.groupBy("label").agg(
+        F.sum("n_cell").cast("bigint").alias("_nb")
+    )
+    hv = (
+        cols_m.join(
+            F.broadcast(
+                d.filter(F.col("kind") == "col").select(
+                    F.col("a").alias("label"), "micronats"
+                )
+            ),
+            "label",
+        )
+        .agg(
+            F.sum(F.col("_nb") * F.col("micronats"))
+            .cast("bigint")
+            .alias("hv_micro")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hv))
+        .select(
+            "n", "n_cells", "n_cells_scored", "mi_micro",
+            "hu_micro", "hv_micro",
+        )
+    )

@@ -2143,6 +2143,116 @@ def test_cluster_contingency_cells_and_marginals(spark):
     }
 
 
+# ------------------------------------------- NMI micro-nat dictionary
+
+
+def test_contingency_micronat_dict_matches_float_mi():
+    """The integer micro-nat sums approximate n·MI / n·H within the
+    documented 0.5-micro-nat-per-count rounding envelope, on random
+    contingency grids."""
+    import math
+    import random
+
+    from collections import Counter
+
+    for seed in (3, 11, 19):
+        rng = random.Random(seed)
+        assignments = [
+            (rng.randrange(4), rng.randrange(3)) for _ in range(300)
+        ]
+        cells = [
+            (c, l, m) for (c, l), m in Counter(assignments).items()
+        ]
+        fitted = {
+            (k, a, b): mn
+            for k, a, b, mn in S.contingency_micronat_dict(cells)
+        }
+        rows = Counter()
+        cols = Counter()
+        for c, l, m in cells:
+            rows[c] += m
+            cols[l] += m
+        n = sum(rows.values())
+        mi_micro = sum(m * fitted[("cell", c, l)] for c, l, m in cells)
+        hu_micro = sum(a * fitted[("row", c, -1)] for c, a in rows.items())
+        hv_micro = sum(b * fitted[("col", l, -1)] for l, b in cols.items())
+        mi = sum(
+            (m / n) * math.log(n * m / (rows[c] * cols[l]))
+            for c, l, m in cells
+        )
+        hu = -sum((a / n) * math.log(a / n) for a in rows.values())
+        hv = -sum((b / n) * math.log(b / n) for b in cols.values())
+        # each count contributes <= 0.5 micro-nat of rounding error
+        assert abs(mi_micro - 10**6 * n * mi) <= 0.5 * n + 1
+        assert abs(hu_micro - 10**6 * n * hu) <= 0.5 * n + 1
+        assert abs(hv_micro - 10**6 * n * hv) <= 0.5 * n + 1
+        # NMI lands in [0, 1] (+ rounding slack) after the one division
+        if hu_micro + hv_micro > 0:
+            nmi = 2 * mi_micro / (hu_micro + hv_micro)
+            assert -1e-3 <= nmi <= 1 + 1e-3
+
+
+def test_contingency_micronat_dict_hand_case():
+    """Independent 2x2 grid: every cell log-ratio is ln(1) = 0, the
+    marginal micro-nats are exactly round(1e6 * ln 2)."""
+    cells = [(0, 0, 1), (0, 1, 1), (1, 0, 1), (1, 1, 1)]
+    fitted = dict(
+        ((k, a, b), mn)
+        for k, a, b, mn in S.contingency_micronat_dict(cells)
+    )
+    import math
+
+    ln2 = round(10**6 * math.log(2))
+    assert fitted[("cell", 0, 0)] == 0
+    assert fitted[("cell", 1, 1)] == 0
+    assert fitted[("row", 0, -1)] == ln2
+    assert fitted[("col", 1, -1)] == ln2
+
+
+def test_contingency_micronat_dict_validation():
+    with pytest.raises(ValueError, match="scale"):
+        S.contingency_micronat_dict([(0, 0, 1)], scale=0)
+    with pytest.raises(ValueError, match="empty cell"):
+        S.contingency_micronat_dict([(0, 0, 0)])
+
+
+def test_cluster_nmi_report_perfect_and_independent(spark, tmp_path, monkeypatch):
+    """End-to-end property on the engine side: a perfect clustering
+    has mi_micro ~ hu_micro = hv_micro (NMI ~ 1); an independent grid
+    has mi_micro ~ 0. Uses the fit + exact-bigint sum path directly
+    (the catalog query wires the same pieces to the IVF layout)."""
+    from collections import Counter
+
+    import math
+
+    def micro_sums(assignments):
+        cells = [
+            (c, l, m) for (c, l), m in Counter(assignments).items()
+        ]
+        fitted = {
+            (k, a, b): mn
+            for k, a, b, mn in S.contingency_micronat_dict(cells)
+        }
+        rows = Counter()
+        cols = Counter()
+        for c, l, m in cells:
+            rows[c] += m
+            cols[l] += m
+        mi = sum(m * fitted[("cell", c, l)] for c, l, m in cells)
+        hu = sum(a * fitted[("row", c, -1)] for c, a in rows.items())
+        hv = sum(b * fitted[("col", l, -1)] for l, b in cols.items())
+        return mi, hu, hv
+
+    mi, hu, hv = micro_sums([(i % 5, i % 5) for i in range(200)])
+    assert hu == hv
+    assert abs(2 * mi / (hu + hv) - 1.0) < 1e-3  # NMI == 1
+    mi, hu, hv = micro_sums(
+        [(i % 2, (i // 2) % 2) for i in range(200)]
+    )
+    assert mi == 0  # exact independence: every cell ratio is ln(1)
+    assert math.isclose(hu, 200 * round(10**6 * math.log(2)))
+
+
 # ------------------------------------------- cohort retention
 
 
