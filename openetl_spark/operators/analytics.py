@@ -658,3 +658,151 @@ def association_rules(
             (F.col("n_ante") * F.col("n_cons")).cast("bigint").alias("lift_den"),
         )
     )
+
+
+def association_rules_k3(
+    baskets,
+    basket_col="l_orderkey",
+    item_col="l_partkey",
+    min_support=2,
+    pairs=None,
+):
+    """Level-3 A-PRIORI association rules (Agrawal & Srikant, VLDB
+    1994 §2.1 — the candidate-generation step that makes frequent
+    triples tractable): {a, b} → c rules over item TRIPLES whose
+    support reaches ``min_support`` baskets, with the same exact
+    metrics as the pair rules (confidence = n_triple/n_ante is one
+    IEEE division of bigints; lift vs the consequent as the exact
+    rational (n_triple·n_baskets, n_ante·n_cons)).
+
+    The A-priori downward-closure property is the scale argument: a
+    triple can be frequent only if all THREE of its pairs are, so
+    candidates are generated from the frequent-PAIR relation (join
+    (x,y)×(x,z) on the shared prefix, y < z, then a semi-join against
+    (y,z)) — the candidate relation is collision-sized, NEVER a
+    3-way basket self-join. Support counting joins candidates back to
+    the deduplicated basket relation once per member (three equi-joins
+    chained on the basket key — the TID-list intersection), so cost is
+    Σ_cand support(x), linear in candidate coverage.
+
+    ``pairs``: optional precomputed undirected co-occurrence relation
+    (x, y, n_both), x < y — the persisted co-purchase layout; derived
+    here when absent (one basket self-join, paid once). Item supports
+    and the basket total follow the C156 conditional-broadcast
+    discipline (items are vocabulary-sized).
+
+    Returns one row per directed rule, 3 per frequent triple
+    (antecedent pair ordered ante_a < ante_b): (ante_a, ante_b,
+    consequent, n_triple, n_ante, n_cons, n_baskets, confidence,
+    lift_num, lift_den).
+    """
+    import pyspark.sql.functions as F
+
+    from openetl_spark.operators.skew import broadcast_if_small
+
+    if min_support < 1:
+        raise ValueError(
+            f"association_rules_k3: min_support must be >= 1, got {min_support}"
+        )
+    b = baskets.select(
+        F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
+    ).dropDuplicates()
+    if pairs is None:
+        l, r = b.alias("l"), b.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l._o") == F.col("r._o"))
+                & (F.col("l._i") < F.col("r._i")),
+            )
+            .groupBy(F.col("l._i").alias("x"), F.col("r._i").alias("y"))
+            .agg(F.count_distinct(F.col("l._o")).cast("bigint").alias("n_both"))
+        )
+    fp = pairs.filter(F.col("n_both") >= min_support).select(
+        "x", "y", "n_both"
+    )
+    # A-priori candidate generation: shared-prefix join + closure semi
+    cand = (
+        fp.select("x", "y")
+        .alias("ab")
+        .join(
+            fp.select(F.col("x").alias("_x2"), F.col("y").alias("z")).alias(
+                "ac"
+            ),
+            (F.col("ab.x") == F.col("_x2")) & (F.col("ab.y") < F.col("z")),
+        )
+        .select("x", "y", "z")
+        .join(
+            fp.select(F.col("x").alias("y"), F.col("y").alias("z")),
+            ["y", "z"],
+            "semi",
+        )
+    )
+    bx = b.select(F.col("_o"), F.col("_i").alias("x"))
+    by = b.select(F.col("_o"), F.col("_i").alias("y"))
+    bz = b.select(F.col("_o"), F.col("_i").alias("z"))
+    tri = (
+        cand.join(bx, "x")
+        .join(by, ["_o", "y"])
+        .join(bz, ["_o", "z"])
+        .groupBy("x", "y", "z")
+        .agg(F.count_distinct("_o").cast("bigint").alias("n_triple"))
+        .filter(F.col("n_triple") >= min_support)
+    )
+    rules = (
+        tri.select(
+            F.col("x").alias("ante_a"), F.col("y").alias("ante_b"),
+            F.col("z").alias("consequent"), "n_triple",
+        )
+        .unionByName(
+            tri.select(
+                F.col("x").alias("ante_a"), F.col("z").alias("ante_b"),
+                F.col("y").alias("consequent"), "n_triple",
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.col("y").alias("ante_a"), F.col("z").alias("ante_b"),
+                F.col("x").alias("consequent"), "n_triple",
+            )
+        )
+    )
+    items = b.groupBy(F.col("_i").alias("_it")).agg(
+        F.count_distinct("_o").cast("bigint").alias("_n_it")
+    )
+    total = b.agg(F.count_distinct("_o").cast("bigint").alias("n_baskets"))
+    return (
+        rules.join(
+            fp.select(
+                F.col("x").alias("ante_a"), F.col("y").alias("ante_b"),
+                F.col("n_both").alias("n_ante"),
+            ),
+            ["ante_a", "ante_b"],
+        )
+        .join(
+            broadcast_if_small(
+                items.select(
+                    F.col("_it").alias("consequent"),
+                    F.col("_n_it").alias("n_cons"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ante_a",
+            "ante_b",
+            "consequent",
+            "n_triple",
+            "n_ante",
+            "n_cons",
+            "n_baskets",
+            (F.col("n_triple").cast("double") / F.col("n_ante")).alias(
+                "confidence"
+            ),
+            (F.col("n_triple") * F.col("n_baskets"))
+            .cast("bigint")
+            .alias("lift_num"),
+            (F.col("n_ante") * F.col("n_cons")).cast("bigint").alias("lift_den"),
+        )
+    )

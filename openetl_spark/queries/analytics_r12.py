@@ -14,9 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from openetl_spark.operators import analytics as A
 from openetl_spark.operators import graph as G
 from openetl_spark.operators import similarity as S
-from openetl_spark.queries.base import query
+from openetl_spark.queries.base import load, query
 from openetl_spark.queries.analytics_r09 import (
     _CORE_LM_CTES,
     _core_and_landmarks,
@@ -281,4 +282,89 @@ def q_cluster_nmi_report(spark, sf_dir):
             "n", "n_cells", "n_cells_scored", "mi_micro",
             "hu_micro", "hv_micro",
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# C159 — frequent triples (VERDICT r11 #6): the A-priori level-3
+# extension of C156. Downward closure makes the candidate relation
+# collision-sized — triples only from frequent pairs, never a 3-way
+# basket self-join.
+# ---------------------------------------------------------------------
+
+from openetl_spark.queries.analytics_r07 import (  # noqa: E402
+    CO_PURCHASE_W_CTE,
+    _graph_layout,
+)
+
+_AR3_MINSUP = 2
+
+
+@query(
+    "association_rules_k3",
+    f"""
+    WITH {CO_PURCHASE_W_CTE},
+    fp AS (SELECT x, y, w AS n_both FROM cow WHERE w >= {_AR3_MINSUP}),
+    cand AS (
+      SELECT ab.x, ab.y, ac.y AS z
+      FROM fp ab JOIN fp ac ON ab.x = ac.x AND ab.y < ac.y
+      WHERE EXISTS (SELECT 1 FROM fp yz
+                    WHERE yz.x = ab.y AND yz.y = ac.y)),
+    b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem),
+    tri AS (
+      SELECT c.x, c.y, c.z,
+             CAST(count(DISTINCT bx.o) AS BIGINT) AS n_triple
+      FROM cand c
+      JOIN b bx ON bx.it = c.x
+      JOIN b by_ ON by_.o = bx.o AND by_.it = c.y
+      JOIN b bz ON bz.o = bx.o AND bz.it = c.z
+      GROUP BY 1, 2, 3
+      HAVING count(DISTINCT bx.o) >= {_AR3_MINSUP}),
+    items AS (
+      SELECT l_partkey AS it,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_it
+      FROM lineitem GROUP BY 1),
+    total AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM lineitem),
+    rules AS (
+      SELECT x AS ante_a, y AS ante_b, z AS consequent, n_triple FROM tri
+      UNION ALL
+      SELECT x, z, y, n_triple FROM tri
+      UNION ALL
+      SELECT y, z, x, n_triple FROM tri)
+    SELECT r.ante_a, r.ante_b, r.consequent, r.n_triple,
+           p.n_both AS n_ante,
+           i.n_it AS n_cons,
+           t.n_baskets,
+           CAST(r.n_triple AS DOUBLE) / p.n_both AS confidence,
+           CAST(r.n_triple * t.n_baskets AS BIGINT) AS lift_num,
+           CAST(p.n_both * i.n_it AS BIGINT) AS lift_den
+    FROM rules r
+    JOIN fp p ON p.x = r.ante_a AND p.y = r.ante_b
+    JOIN items i ON i.it = r.consequent, total t
+    """,
+)
+def q_association_rules_k3(spark, sf_dir):
+    """C159: level-3 A-priori association rules {a, b} → c over the
+    order baskets (operators/analytics.association_rules_k3 — the
+    natural C156 extension a market-basket user hits next): triples
+    frequent in ≥ {_AR3_MINSUP} baskets, candidates generated from
+    the persisted frequent-PAIR layout by downward closure
+    (shared-prefix join + closure semi-join — collision-sized, never
+    a 3-way basket self-join), supports counted by chaining three
+    equi-joins against the deduplicated basket relation (TID-list
+    intersection). Metrics mirror C156 exactly: confidence one IEEE
+    division of bigints, lift the exact rational (n_triple·n_baskets,
+    n_ante·n_cons). Pair supports read the persisted weighted
+    co-purchase layout; the oracle re-derives everything from
+    lineitem."""
+    _, edges_w_path = _graph_layout(spark, sf_dir)
+    pairs = spark.read.parquet(edges_w_path).select(
+        F.col("src").alias("x"), F.col("dst").alias("y"),
+        F.col("w").alias("n_both"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return A.association_rules_k3(
+        li, "l_orderkey", "l_partkey", min_support=_AR3_MINSUP, pairs=pairs
     )

@@ -2442,3 +2442,99 @@ def test_association_rules_hand_case(spark):
 
     with pytest.raises(ValueError, match="min_support"):
         A.association_rules(df, "basket", "item", min_support=0)
+
+
+def _py_rules_k3(rows, min_support):
+    """Brute-force level-3 rules: enumerate EVERY item triple, count
+    basket support directly, keep support >= min_support — no
+    A-priori pruning, which is exactly what makes it a differential
+    for the pruned operator."""
+    from itertools import combinations
+
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    items = sorted({i for _, i in rows})
+    n_baskets = len(baskets)
+    item_sup = {
+        i: sum(1 for s in baskets.values() if i in s) for i in items
+    }
+    pair_sup = {
+        (a, b): sum(1 for s in baskets.values() if a in s and b in s)
+        for a, b in combinations(items, 2)
+    }
+    out = {}
+    for x, y, z in combinations(items, 3):
+        n3 = sum(
+            1 for s in baskets.values() if x in s and y in s and z in s
+        )
+        if n3 < min_support:
+            continue
+        for aa, ab, c in ((x, y, z), (x, z, y), (y, z, x)):
+            n_ante = pair_sup[(aa, ab)]
+            out[(aa, ab, c)] = (
+                n3, n_ante, item_sup[c], n_baskets,
+                n3 / n_ante, n3 * n_baskets, n_ante * item_sup[c],
+            )
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_association_rules_k3_matches_bruteforce(spark, seed):
+    """A-priori candidate generation + TID-list counting produces
+    exactly the triples an exhaustive enumeration finds."""
+    import random
+
+    from openetl_spark.operators import analytics as A
+
+    rng = random.Random(seed)
+    rows = list(
+        {
+            (rng.randrange(12), rng.randrange(8))
+            for _ in range(70)
+        }
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r["ante_a"], r["ante_b"], r["consequent"]): (
+            r["n_triple"], r["n_ante"], r["n_cons"], r["n_baskets"],
+            r["confidence"], r["lift_num"], r["lift_den"],
+        )
+        for r in A.association_rules_k3(
+            df, "basket", "item", min_support=2
+        ).collect()
+    }
+    want = _py_rules_k3(rows, min_support=2)
+    assert got == want
+    assert got, "gadget produced no frequent triples"
+
+
+def test_association_rules_k3_hand_case(spark):
+    """Baskets {A,B,C} x2 + {A,B}: the only frequent triple is
+    (A,B,C) with support 2; rule {A,B}->C has confidence 2/3."""
+    from openetl_spark.operators import analytics as A
+
+    rows = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"), (2, "C"),
+        (3, "A"), (3, "B"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["ante_a"], r["ante_b"], r["consequent"]): (
+            r["n_triple"], r["n_ante"], r["n_cons"], r["confidence"],
+            r["lift_num"], r["lift_den"],
+        )
+        for r in A.association_rules_k3(
+            df, "basket", "item", min_support=2
+        ).collect()
+    }
+    assert got == {
+        ("A", "B", "C"): (2, 3, 2, 2 / 3, 6, 6),
+        ("A", "C", "B"): (2, 2, 3, 1.0, 6, 6),
+        ("B", "C", "A"): (2, 2, 3, 1.0, 6, 6),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_support"):
+        A.association_rules_k3(df, "basket", "item", min_support=0)
