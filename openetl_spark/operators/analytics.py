@@ -489,6 +489,17 @@ def rfm_scores(
     Returns (custkey, r_days, f_orders, m_cents, r_tile, f_tile,
     m_tile, segment); customers with no orders are absent (RFM is
     undefined without a purchase history).
+
+    Streaming posture (VERDICT r11 #5): BATCH-ONLY BY NATURE. The
+    per-customer (last date, count, cents) triple is mergeable —
+    max/sum/sum cells — but the TILES are corpus-RELATIVE ranks: one
+    arriving order can move every other customer's tile, so there is
+    no per-batch cell whose merge yields the tile columns (contrast
+    cohort_retention/association_rules, whose outputs are audits over
+    mergeable cells). The honest streaming rendering is
+    "maintain the mergeable triple incrementally, re-rank on read" —
+    i.e. re-run the three histogram passes over the merged state,
+    which is exactly this operator.
     """
     import pyspark.sql.functions as F
 

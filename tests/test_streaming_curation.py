@@ -1094,3 +1094,96 @@ def test_streaming_cohort_retention_cells_equal_batch(spark, sf_dir):
         for r in audit.collect()
     }
     assert streamed == batch
+
+
+def test_streaming_association_rule_cells_equal_batch(spark, sf_dir):
+    """r12 (VERDICT r11 #5): the association-rules streaming twin —
+    with BASKET-COMPLETE micro-batches (a basket never splits across
+    arrivals, the bipartite-census cell-log precondition), every
+    ingredient of the C156 rule relation is a mergeable cell log:
+    per-batch pair counts, item supports, and basket totals all
+    compose by plain SUM because baskets are disjoint across batches.
+    The rule relation derived from the merged state must equal the
+    batch operator row-for-row. (rfm_scores deliberately has NO such
+    twin: its tiles are corpus-relative ranks — see its docstring.)"""
+    import os
+
+    from openetl_spark.operators import analytics as A
+
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey")
+    )
+    batch_rules = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_both"], r["n_ante"], r["n_cons"], r["n_baskets"],
+            r["confidence"], r["lift_num"], r["lift_den"],
+        )
+        for r in A.association_rules(
+            li, "l_orderkey", "l_partkey", min_support=2
+        ).collect()
+    }
+    assert batch_rules, "no frequent pairs on testdata"
+
+    # three BASKET-complete arrivals (split on the basket key)
+    pair_cells, item_cells, total_cells = [], [], []
+    for i in range(3):
+        b = li.filter(F.abs(F.hash("l_orderkey")) % 3 == i).dropDuplicates()
+        l, r = b.alias("l"), b.alias("r")
+        pair_cells.append(
+            l.join(
+                r,
+                (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+                & (F.col("l.l_partkey") < F.col("r.l_partkey")),
+            )
+            .groupBy(
+                F.col("l.l_partkey").alias("x"),
+                F.col("r.l_partkey").alias("y"),
+            )
+            .agg(F.count_distinct("l.l_orderkey").cast("bigint").alias("n"))
+        )
+        item_cells.append(
+            b.groupBy(F.col("l_partkey").alias("it")).agg(
+                F.count_distinct("l_orderkey").cast("bigint").alias("n")
+            )
+        )
+        total_cells.append(
+            b.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
+        )
+
+    def merged(cells, keys):
+        out = cells[0].unionByName(cells[1]).unionByName(cells[2])
+        if keys:
+            return out.groupBy(*keys).agg(
+                F.sum("n").cast("bigint").alias("n")
+            )
+        return out.agg(F.sum("n").cast("bigint").alias("n"))
+
+    pairs_m = merged(pair_cells, ["x", "y"]).select(
+        "x", "y", F.col("n").alias("n_both")
+    )
+    items_m = {r["it"]: r["n"] for r in merged(item_cells, ["it"]).collect()}
+    total_m = merged(total_cells, []).collect()[0]["n"]
+
+    # ingredient-level merge laws: each merged cell log equals the
+    # batch relation it stands in for
+    batch_items = {
+        r["it"]: r["n"]
+        for r in li.groupBy(F.col("l_partkey").alias("it"))
+        .agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert items_m == batch_items
+    assert total_m == li.select("l_orderkey").distinct().count()
+
+    # the full rule relation from the merged pair log == batch
+    streamed_rules = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_both"], r["n_ante"], r["n_cons"], r["n_baskets"],
+            r["confidence"], r["lift_num"], r["lift_den"],
+        )
+        for r in A.association_rules(
+            li, "l_orderkey", "l_partkey", min_support=2, pairs=pairs_m
+        ).collect()
+    }
+    assert streamed_rules == batch_rules
