@@ -832,11 +832,11 @@ v{t} AS MATERIALIZED (SELECT * FROM v{t - 1} UNION ALL SELECT * FROM f{t})"""
 
 def _path_counts_layout(spark, sf_dir):
     """Get-or-build the persisted σ relation (source, node, hop,
-    sigma) for the w ≥ 2 core's 16 landmarks at max_hops=6 — two
-    consumers (the σ query and landmark_stress) would otherwise each
-    pay the 6-round frontier-sum sweep (~3.8 s at sf0.1). Same
-    staleness governance as the other graph_cache layouts; both
-    consumers' oracles re-derive the sweep from lineitem."""
+    sigma) for the w ≥ 2 core's 16 landmarks at max_hops=6 — the
+    consumers would otherwise each pay the 6-round frontier-sum sweep
+    (~3.8 s at sf0.1). Same staleness governance as the other
+    graph_cache layouts; every consumer's oracle re-derives the sweep
+    from lineitem."""
     import os
 
     from openetl_spark.queries.analytics_r07 import (
@@ -853,6 +853,78 @@ def _path_counts_layout(spark, sf_dir):
 
     return spark.read.parquet(
         _get_or_build_layout(spark, root, "path_counts_h6", build)
+    )
+
+
+# The FULL co-purchase graph + its 16 md5-smallest landmarks — the σ
+# substrate for PAIR-grain queries (landmark_stress,
+# landmark_betweenness, betweenness_report). r12 finding, caught by
+# the full-scale sf0.1 oracle sweep: the w≥2 core is a fragment
+# FOREST at sf0.1 (5,922 nodes / 3,573 edges — repeat co-purchases
+# thin out as the corpus grows), so NO two of its landmarks are
+# mutually reachable and every pair-grain relation silently vacuated
+# to 0 rows there. Per-(landmark, node) queries (σ itself, harmonic,
+# hyperball) stay on the core — each landmark reaches its own
+# fragment, so their grain never vacuates. On the full graph all 120
+# landmark pairs are reachable at every test SF and σ stays tiny
+# (max observed 954 at sf0.01, 239 at sf0.1 — the landmarks sit
+# within a small-diameter component), far inside every bigint bound.
+from openetl_spark.queries.analytics_r07 import (  # noqa: E402
+    CO_PURCHASE_W_CTE as _COW_CTE,
+)
+
+_FULL_LM_CTES = f"""{_COW_CTE},
+sym AS MATERIALIZED (SELECT x AS u, y AS v FROM cow
+        UNION ALL SELECT y AS u, x AS v FROM cow),
+vtx AS (SELECT DISTINCT u AS node FROM sym),
+lm AS MATERIALIZED (
+  SELECT node FROM vtx
+  ORDER BY CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
+                AS BIGINT), node
+  LIMIT 16)"""
+
+
+def _full_graph_and_landmarks(spark, sf_dir):
+    """Spark twin of _FULL_LM_CTES over the persisted canonical edge
+    layout (the oracle re-derives graph + landmarks from lineitem, so
+    a stale artifact cannot hash-match)."""
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    full = spark.read.parquet(edges_path).select("src", "dst")
+    vtx = (
+        full.select(F.col("src").alias("node"))
+        .union(full.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lm = vtx.orderBy(
+        F.conv(
+            F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        "node",
+    ).limit(16)
+    return full, lm
+
+
+def _path_counts_full_layout(spark, sf_dir):
+    """Get-or-build the persisted FULL-graph σ relation for the
+    pair-grain consumers (same governance as _path_counts_layout)."""
+    import os
+
+    from openetl_spark.queries.analytics_r07 import (
+        _get_or_build_layout,
+        _graph_layout,
+    )
+
+    edges_path, _ = _graph_layout(spark, sf_dir)
+    root = os.path.dirname(edges_path)
+
+    def build():
+        full, lm = _full_graph_and_landmarks(spark, sf_dir)
+        return G.landmark_path_counts(full, lm, max_hops=6)
+
+    return spark.read.parquet(
+        _get_or_build_layout(spark, root, "path_counts_full_h6", build)
     )
 
 
@@ -885,7 +957,7 @@ def q_landmark_path_counts(spark, sf_dir):
 @query(
     "landmark_stress",
     f"""
-    WITH {_CORE_LM_CTES},
+    WITH {_FULL_LM_CTES},
     {_path_counts_ctes(6)},
     pc AS (SELECT source, node, hop, sigma FROM v6),
     dlm AS (
@@ -914,9 +986,13 @@ def q_landmark_stress(spark, sf_dir):
     stress is the centrality that needs no division, the reason it's
     the hash-checkable form). Scale: the σ relation is O(k·V); the
     self-join is k²-fanout per node — with k = 16 landmarks, ≤ 120
-    pairs per node row."""
-    _, lm = _core_and_landmarks(spark, sf_dir)
-    pc = _path_counts_layout(spark, sf_dir)
+    pairs per node row. r12: runs on the FULL co-purchase graph
+    (_path_counts_full_layout) — the w≥2 core is a fragment forest at
+    sf0.1 where no landmark pair is mutually reachable, which
+    vacuated this relation to 0 rows (caught by the sf0.1 sweep; on
+    the full graph all 120 pairs are reachable at every SF)."""
+    _, lm = _full_graph_and_landmarks(spark, sf_dir)
+    pc = _path_counts_full_layout(spark, sf_dir)
     lm_nodes = lm.select(F.col("node").alias("target"))
     dlm = (
         pc.join(F.broadcast(lm_nodes), pc["node"] == lm_nodes["target"])

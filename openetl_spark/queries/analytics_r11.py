@@ -20,19 +20,19 @@ from openetl_spark.operators import graph as G
 from openetl_spark.operators import similarity as S
 from openetl_spark.queries.base import query
 from openetl_spark.queries.analytics_r09 import (
-    _CORE_LM_CTES,
     _N2V_LEN,
     _N2V_SEED,
     _N2V_WO,
     _N2V_WR,
     _N2V_WS,
-    _core_and_landmarks,
     _node2vec_layout,
     _node2vec_walk_ctes,
 )
 from openetl_spark.queries.analytics_r10 import (
+    _FULL_LM_CTES,
+    _full_graph_and_landmarks,
     _path_counts_ctes,
-    _path_counts_layout,
+    _path_counts_full_layout,
 )
 from openetl_spark.queries.relational_extra import (
     IVF_ORACLE_CENTROIDS,
@@ -53,7 +53,7 @@ from openetl_spark.operators.curation import hash_bucket_sql
 @query(
     "landmark_betweenness",
     f"""
-    WITH {_CORE_LM_CTES},
+    WITH {_FULL_LM_CTES},
     {_path_counts_ctes(6)},
     pc AS (SELECT source, node, hop, sigma FROM v6),
     dlm AS (
@@ -72,8 +72,11 @@ from openetl_spark.operators.curation import hash_bucket_sql
 )
 def q_landmark_betweenness(spark, sf_dir):
     """C150: per-(landmark-pair, node) Brandes pair dependencies
-    δ_st(v) = σ_s(v)·σ_t(v)/σ_st over the w≥2 core's 16 landmarks
-    (operators/graph.landmark_pair_dependencies) — the betweenness
+    δ_st(v) = σ_s(v)·σ_t(v)/σ_st over the FULL co-purchase graph's 16
+    landmarks (operators/graph.landmark_pair_dependencies; r12 moved
+    the substrate off the w≥2 core, which is a fragment forest at
+    sf0.1 with zero mutually-reachable landmark pairs — the sf0.1
+    sweep caught the vacuation) — the betweenness
     ingredient C147's stress left on the table because betweenness
     proper sums per-pair DIVISIONS (float, engine-unpinned addition
     order). Rendered as the exact bigint rational (dep_num, dep_den)
@@ -82,10 +85,10 @@ def q_landmark_betweenness(spark, sf_dir):
     strictly more information than the collapsed scalar (the pair
     profile separates bridge nodes from locally-central ones).
     Integrity invariant tested per pair: Σ_v dep_num =
-    dep_den·(d_st−1). Reads the persisted σ layout; the oracle
-    re-derives the 6-round frontier-sum sweep from lineitem."""
-    _, lm = _core_and_landmarks(spark, sf_dir)
-    pc = _path_counts_layout(spark, sf_dir)
+    dep_den·(d_st−1). Reads the persisted full-graph σ layout; the
+    oracle re-derives the 6-round frontier-sum sweep from lineitem."""
+    _, lm = _full_graph_and_landmarks(spark, sf_dir)
+    pc = _path_counts_full_layout(spark, sf_dir)
     return G.landmark_pair_dependencies(pc, lm)
 
 

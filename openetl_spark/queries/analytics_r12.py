@@ -18,13 +18,11 @@ from openetl_spark.operators import analytics as A
 from openetl_spark.operators import graph as G
 from openetl_spark.operators import similarity as S
 from openetl_spark.queries.base import load, query
-from openetl_spark.queries.analytics_r09 import (
-    _CORE_LM_CTES,
-    _core_and_landmarks,
-)
 from openetl_spark.queries.analytics_r10 import (
+    _FULL_LM_CTES,
+    _full_graph_and_landmarks,
     _path_counts_ctes,
-    _path_counts_layout,
+    _path_counts_full_layout,
 )
 from openetl_spark.queries.analytics_r11 import _IVF_ASSIGN_CTES
 from openetl_spark.queries.relational_extra import (
@@ -46,7 +44,7 @@ _BC_DEN_BOUND = 1 << 43  # 2^(63-20): K·(dep_num mod dep_den) must fit
 
 # The C150 dependency relation as a reusable CTE suffix (the
 # landmark_betweenness oracle's SELECT, named).
-_DEPS_CTES = f"""{_CORE_LM_CTES},
+_DEPS_CTES = f"""{_FULL_LM_CTES},
     {_path_counts_ctes(6)},
     pc AS (SELECT source, node, hop, sigma FROM v6),
     dlm AS (
@@ -86,10 +84,12 @@ _DEPS_CTES = f"""{_CORE_LM_CTES},
     """,
 )
 def q_betweenness_report(spark, sf_dir):
-    """C157: the per-node betweenness SCALAR off the persisted σ
-    layout (operators/graph.landmark_betweenness_scores — the C150
-    completion, VERDICT r11 #3): bc(v) estimated over the w≥2 core's
-    16 landmark pairs as Σ δ_st(v), rendered as the deterministic
+    """C157: the per-node betweenness SCALAR off the persisted
+    full-graph σ layout (operators/graph.landmark_betweenness_scores
+    — the C150 completion, VERDICT r11 #3): bc(v) estimated over the
+    full co-purchase graph's 16 landmark pairs (the pair-grain
+    substrate — see _FULL_LM_CTES for why the w≥2 core vacuates at
+    sf0.1) as Σ δ_st(v), rendered as the deterministic
     scaled floor sum bc_k = Σ (2^20·dep_num) div dep_den — every term
     an exact bigint computed overflow-safely as K·q + (K·r) div den,
     so the whole relation hashes cross-engine with NO float and no
@@ -99,8 +99,8 @@ def q_betweenness_report(spark, sf_dir):
     Reads the persisted σ layout; the oracle re-derives the 6-round
     frontier-sum sweep from lineitem and mirrors the overflow guard
     via error()."""
-    _, lm = _core_and_landmarks(spark, sf_dir)
-    pc = _path_counts_layout(spark, sf_dir)
+    _, lm = _full_graph_and_landmarks(spark, sf_dir)
+    pc = _path_counts_full_layout(spark, sf_dir)
     deps = G.landmark_pair_dependencies(pc, lm)
     return G.landmark_betweenness_scores(deps, scale_bits=20)
 

@@ -814,16 +814,20 @@ def test_r10_layout_consumers_read_artifacts_not_rederive(spark, sf_dir):
     # r11 consumers of the same layouts
     bt = catalog.QUERIES["landmark_betweenness"](spark, sf_dir)
     plan = bt._jdf.queryExecution().explainString(fmt)
-    assert "path_counts_h6" in plan, plan[:2000]
+    assert "path_counts_full_h6" in plan, plan[:2000]
 
     tp = catalog.QUERIES["node2vec_training_pairs"](spark, sf_dir)
     plan = tp._jdf.queryExecution().explainString(fmt)
     assert "n2v_walks" in plan, plan[:2000]
 
-    # r12 consumer of the σ layout
+    # r12 consumers of the FULL-graph σ layout (pair grain)
     br = catalog.QUERIES["betweenness_report"](spark, sf_dir)
     plan = br._jdf.queryExecution().explainString(fmt)
-    assert "path_counts_h6" in plan, plan[:2000]
+    assert "path_counts_full_h6" in plan, plan[:2000]
+
+    st = catalog.QUERIES["landmark_stress"](spark, sf_dir)
+    plan = st._jdf.queryExecution().explainString(fmt)
+    assert "path_counts_full_h6" in plan, plan[:2000]
 
 
 def test_lm_layout_consumers_read_artifact_not_retrain(spark, sf_dir):
