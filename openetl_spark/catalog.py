@@ -88,15 +88,15 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------
 # Driver-facing ordering. The correctness gate checks the first 50
-# entries of queries() in iteration order. Round-11 rotation (VERDICT
-# r10 #2, staleness burn-down): CORRECTNESS_r10 re-greened all 50 of
-# its window (incl. all ten r10 rechecks — pruned). Slots go first to
-# the EIGHT new r11 queries (no driver row anywhere), then the EIGHT
-# DRIVER_RECHECK entries (code or oracle changed this round: the
-# LM-score and IVF-assignment layout consumers, the two advice-fix
-# plan changes), then the first 34 of the 44-entry r06-latest queue
-# enumerated by the r10 rotation — exactly 50; the 10 displaced r06
-# tails are the r12 queue head.
+# entries of queries() in iteration order. Round-12 rotation (VERDICT
+# r11 #1, staleness burn-down): CORRECTNESS_r11 re-greened all 50 of
+# its window (incl. all eight r11 rechecks — pruned). Slots go first
+# to the THREE new r12 queries (no driver row anywhere), then the
+# FIVE DRIVER_RECHECK entries, then the COMPLETE 10-entry r06-latest
+# tail queue, then the first 32 of the 46 r07-latest rows
+# alphabetically — exactly 50; the 14 displaced r07 tails are the r13
+# queue head. After this round's driver run nothing anywhere is
+# r06-latest.
 # Every query, windowed or not, is re-pinned every pytest run by
 # tests/test_oracle.py, which mirrors the driver's compare exactly.
 # ---------------------------------------------------------------------
@@ -107,94 +107,85 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # check. Prune entries from this set once the next CORRECTNESS record
 # re-greens them.
 DRIVER_RECHECK: set[str] = {
-    # r11 (all 10 r10 entries re-greened in CORRECTNESS_r10 — pruned):
-    # consumers of the new _lm_scores_layout (plans changed — the LM
-    # train+score pass moved offline):
-    "ngram_lm_score",
-    "perplexity_buckets",
-    "llm_data_pipeline",
-    # consumers now reading the IVF assignment off the partitioned
-    # corpus layout (plans changed — the Arrow matmul pass is gone):
-    "semantic_dedup",
-    "cluster_profile",
-    "cluster_purity_report",
-    # ADVICE r10 fixes that changed plans: the ungrouped funnel's
-    # global-agg zero-row arm; the Mondrian taxonomy now validated
-    # through a groupBy+raise relation before the descent join:
-    "funnel_steps",
-    "mondrian_hierarchical",
-    # NOT rechecked: node2vec_walks / node2vec_skipgram_pairs /
-    # node2vec_training_pairs over the layout's absent-meta rebuild
-    # (write-path-only — the artifact and compare path are
-    # bit-identical when no crash window occurred), and
-    # funnel_by_segment / funnel_time_to_convert (the funnel refactor
-    # only touched the ungrouped aggregate arm; grouped plan and
-    # funnel_user_times are bit-identical). All re-pinned locally
-    # every pytest run.
+    # r12 (all 8 r11 entries re-greened in CORRECTNESS_r11 — pruned):
+    # the two pair-grain σ queries moved to the FULL-graph substrate
+    # (code + oracle changed — the w≥2 core vacuated them at sf0.1):
+    "landmark_stress",
+    "landmark_betweenness",
+    # plans changed: the vocabulary broadcasts are now conditional
+    # (VERDICT r11 #2 — broadcast_if_small):
+    "association_rules",
+    "node2vec_training_pairs",
+    # oracle changed: the 128-bit ARI overflow guard is mirrored via
+    # error() (ADVICE r11):
+    "cluster_agreement_report",
 }
 
 DRIVER_PRIORITY: list[str] = [
-    # --- r11 additions (no driver row yet) ---
-    "landmark_betweenness",
-    "cluster_contingency",
-    "cluster_agreement_report",
-    "node2vec_training_pairs",
-    "cohort_retention",
-    "l_diversity_recursive",
-    "rfm_segments",
-    "association_rules",
+    # --- r12 additions (no driver row yet) ---
+    "betweenness_report",
+    "cluster_nmi_report",
+    "association_rules_k3",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
-    "ngram_lm_score",
-    "perplexity_buckets",
-    "llm_data_pipeline",
-    "semantic_dedup",
-    "cluster_profile",
-    "cluster_purity_report",
-    "funnel_steps",
-    "mondrian_hierarchical",
-    # --- the r06-latest burn-down queue (VERDICT r10 #2; the 44 rows
-    # enumerated by the r10 rotation, alphabetical — the first 34 fit
-    # this window; the remaining 10 are the r12 queue head) ---
-    "ann_recall_report",
-    "approx_sketches",
-    "array_funcs",
-    "audio_near_duplicates",
-    "curation_pipeline",
-    "date_funcs",
-    "decontaminate_spans",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_keep_best",
-    "doc_fingerprint",
-    "duplication_report",
-    "embedding_knn",
-    "exact_substring_dedup",
-    "exact_substring_incremental",
-    "exact_substring_spans",
-    "image_near_duplicates",
-    "incremental_dedup",
-    "jaccard_near_dups",
-    "langid_confusion",
-    "lateral_join_topn",
-    "lsh_recall_report",
-    "lsh_similarity_join",
-    "math_funcs",
-    "minhash_error_report",
-    "minhash_near_dups",
-    "ngram_novelty",
-    "pagerank_nations",
-    "personalized_pagerank",
-    "pmi_collocations",
-    "q11_important_value",
-    "quality_score",
-    "recursive_cte_tree",
-    "schema_introspect",
-    # r12 queue, in order: the 10 r06-latest tails displaced by this
-    # window (session_windows, set_except, simhash_dedup,
-    # skyline_parts, sliding_counts, sql_passthrough, string_funcs,
-    # text_stats, time_weighted_avg, tumbling_hourly), then
-    # r07-latest alphabetically. All locally re-pinned every pytest
-    # run.
+    "landmark_stress",
+    "landmark_betweenness",
+    "association_rules",
+    "node2vec_training_pairs",
+    "cluster_agreement_report",
+    # --- the 10 r06-latest tails (the complete remaining r06 queue —
+    # after this window nothing anywhere is r06-latest) ---
+    "session_windows",
+    "set_except",
+    "simhash_dedup",
+    "skyline_parts",
+    "sliding_counts",
+    "sql_passthrough",
+    "string_funcs",
+    "text_stats",
+    "time_weighted_avg",
+    "tumbling_hourly",
+    # --- the r07-latest burn-down queue (46 rows, alphabetical — the
+    # first 32 fit this window; the remaining 14 are the r13 queue
+    # head) ---
+    "array_funcs_extended",
+    "attribution_last_touch",
+    "bloom_decontaminate",
+    "date_funcs_extended",
+    "decimal_agg",
+    "decontaminate_ngram",
+    "edit_distance",
+    "edit_similarity_pairs",
+    "embedding_near_dup_exact",
+    "filtered_agg",
+    "hll_cells",
+    "hll_distinct_report",
+    "join_full_outer",
+    "join_right",
+    "json_funcs",
+    "lang_id_oracle",
+    "map_funcs",
+    "null_safe_join",
+    "percentile_exact",
+    "pii_redaction",
+    "pivot_dynamic",
+    "q10_returned_items",
+    "q12_shipping_delay",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    # r13 queue, in order: the 14 displaced r07 tails
+    # (q4_order_priority, q6_forecast_revenue, q7_volume_shipping,
+    # q8_market_share, q9_product_profit, rarity_score,
+    # regression_aggs, repetition_stats, set_intersect, set_union,
+    # string_funcs_extended, union_all_counts, variant_funcs,
+    # window_ranking_extras), then r08-latest alphabetically. All
+    # locally re-pinned every pytest run.
 ]
 
 

@@ -57,29 +57,30 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-11 rotation: the eight new queries, every DRIVER_RECHECK
-    # entry (code/oracle changed since the last driver row), and the
-    # head of the 44-entry r06-latest refresh queue hold slots
-    for newcomer in ("landmark_betweenness", "cluster_contingency",
-                     "cluster_agreement_report", "node2vec_training_pairs",
-                     "cohort_retention", "l_diversity_recursive",
-                     "rfm_segments", "association_rules",
-                     "ann_recall_report", "approx_sketches", "array_funcs",
-                     "audio_near_duplicates", "curation_pipeline",
-                     "date_funcs", "decontaminate_spans", "dedup_components",
-                     "dedup_exact", "dedup_keep_best", "doc_fingerprint",
-                     "duplication_report", "embedding_knn",
-                     "exact_substring_dedup", "exact_substring_incremental",
-                     "exact_substring_spans", "image_near_duplicates",
-                     "incremental_dedup", "jaccard_near_dups",
-                     "langid_confusion", "lateral_join_topn",
-                     "lsh_recall_report", "lsh_similarity_join",
-                     "math_funcs", "minhash_error_report",
-                     "minhash_near_dups", "ngram_novelty",
-                     "pagerank_nations", "personalized_pagerank",
-                     "pmi_collocations", "q11_important_value",
-                     "quality_score", "recursive_cte_tree",
-                     "schema_introspect",
+    # round-12 rotation: the three new queries, every DRIVER_RECHECK
+    # entry (code/oracle changed since the last driver row), the
+    # complete 10-entry r06-latest tail queue, and the head of the
+    # 46-entry r07-latest refresh queue hold slots
+    for newcomer in ("betweenness_report", "cluster_nmi_report",
+                     "association_rules_k3",
+                     "session_windows", "set_except", "simhash_dedup",
+                     "skyline_parts", "sliding_counts", "sql_passthrough",
+                     "string_funcs", "text_stats", "time_weighted_avg",
+                     "tumbling_hourly",
+                     "array_funcs_extended", "attribution_last_touch",
+                     "bloom_decontaminate", "date_funcs_extended",
+                     "decimal_agg", "decontaminate_ngram", "edit_distance",
+                     "edit_similarity_pairs", "embedding_near_dup_exact",
+                     "filtered_agg", "hll_cells", "hll_distinct_report",
+                     "join_full_outer", "join_right", "json_funcs",
+                     "lang_id_oracle", "map_funcs", "null_safe_join",
+                     "percentile_exact", "pii_redaction", "pivot_dynamic",
+                     "q10_returned_items", "q12_shipping_delay",
+                     "q13_order_distribution", "q14_promo_share",
+                     "q15_top_supplier", "q16_supplier_cnt",
+                     "q17_small_quantity", "q18_large_orders",
+                     "q19_discounted_revenue", "q21_waiting_supplier",
+                     "q2_min_cost_supplier",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
