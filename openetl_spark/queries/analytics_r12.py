@@ -289,13 +289,16 @@ def q_cluster_nmi_report(spark, sf_dir):
 # C159 — frequent triples (VERDICT r11 #6): the A-priori level-3
 # extension of C156. Downward closure makes the candidate relation
 # collision-sized — triples only from frequent pairs, never a 3-way
-# basket self-join.
+# basket self-join. Grain: p_brand, NOT p_partkey — the first cut ran
+# at partkey grain and the full-scale sweep caught it vacuating at
+# sf0.1 (20k parts ⇒ the expected number of triples co-purchased
+# TWICE is ≈0.14, and it only shrinks as the catalog grows; the same
+# sparsity that forced the σ queries onto the full graph). Brand
+# baskets (25 values) have triple supports that GROW linearly with
+# corpus size — non-vacuous at every SF and at 100 TB — and the
+# candidate space is bounded by C(25,3), so the rule relation never
+# scales with the corpus.
 # ---------------------------------------------------------------------
-
-from openetl_spark.queries.analytics_r07 import (  # noqa: E402
-    CO_PURCHASE_W_CTE,
-    _graph_layout,
-)
 
 _AR3_MINSUP = 2
 
@@ -303,14 +306,20 @@ _AR3_MINSUP = 2
 @query(
     "association_rules_k3",
     f"""
-    WITH {CO_PURCHASE_W_CTE},
-    fp AS (SELECT x, y, w AS n_both FROM cow WHERE w >= {_AR3_MINSUP}),
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    cow AS (
+      SELECT lx.it AS x, ry.it AS y,
+             CAST(count(DISTINCT lx.o) AS BIGINT) AS n_both
+      FROM b lx JOIN b ry ON lx.o = ry.o AND lx.it < ry.it
+      GROUP BY 1, 2),
+    fp AS (SELECT x, y, n_both FROM cow WHERE n_both >= {_AR3_MINSUP}),
     cand AS (
       SELECT ab.x, ab.y, ac.y AS z
       FROM fp ab JOIN fp ac ON ab.x = ac.x AND ab.y < ac.y
       WHERE EXISTS (SELECT 1 FROM fp yz
                     WHERE yz.x = ab.y AND yz.y = ac.y)),
-    b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem),
     tri AS (
       SELECT c.x, c.y, c.z,
              CAST(count(DISTINCT bx.o) AS BIGINT) AS n_triple
@@ -321,12 +330,10 @@ _AR3_MINSUP = 2
       GROUP BY 1, 2, 3
       HAVING count(DISTINCT bx.o) >= {_AR3_MINSUP}),
     items AS (
-      SELECT l_partkey AS it,
-             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_it
-      FROM lineitem GROUP BY 1),
+      SELECT it, CAST(count(DISTINCT o) AS BIGINT) AS n_it
+      FROM b GROUP BY 1),
     total AS (
-      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
-      FROM lineitem),
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
     rules AS (
       SELECT x AS ante_a, y AS ante_b, z AS consequent, n_triple FROM tri
       UNION ALL
@@ -347,24 +354,28 @@ _AR3_MINSUP = 2
 )
 def q_association_rules_k3(spark, sf_dir):
     """C159: level-3 A-priori association rules {a, b} → c over the
-    order baskets (operators/analytics.association_rules_k3 — the
-    natural C156 extension a market-basket user hits next): triples
-    frequent in ≥ {_AR3_MINSUP} baskets, candidates generated from
-    the persisted frequent-PAIR layout by downward closure
-    (shared-prefix join + closure semi-join — collision-sized, never
-    a 3-way basket self-join), supports counted by chaining three
-    equi-joins against the deduplicated basket relation (TID-list
-    intersection). Metrics mirror C156 exactly: confidence one IEEE
-    division of bigints, lift the exact rational (n_triple·n_baskets,
-    n_ante·n_cons). Pair supports read the persisted weighted
-    co-purchase layout; the oracle re-derives everything from
-    lineitem."""
-    _, edges_w_path = _graph_layout(spark, sf_dir)
-    pairs = spark.read.parquet(edges_w_path).select(
-        F.col("src").alias("x"), F.col("dst").alias("y"),
-        F.col("w").alias("n_both"),
-    )
+    order baskets at BRAND grain (operators/analytics.
+    association_rules_k3 — the natural C156 extension a market-basket
+    user hits next): brand triples frequent in ≥ {_AR3_MINSUP}
+    baskets, candidates generated from the frequent-pair relation by
+    downward closure (shared-prefix join + closure semi-join —
+    bounded by C(25,3), never a 3-way basket self-join), supports
+    counted by chaining three equi-joins against the deduplicated
+    (order, brand) basket relation (TID-list intersection). Metrics
+    mirror C156 exactly: confidence one IEEE division of bigints,
+    lift the exact rational (n_triple·n_baskets, n_ante·n_cons).
+    Brand grain is the scale-honest choice: partkey-grain triple
+    supports VANISH as the catalog grows (measured: zero w≥2 triples
+    at sf0.1), while category-grain supports grow linearly with the
+    corpus — the rendering a real retailer runs."""
+    from openetl_spark.operators.skew import broadcast_if_small
+
     li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    bk = li.join(
+        broadcast_if_small(pt.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_orderkey", "p_brand")
     return A.association_rules_k3(
-        li, "l_orderkey", "l_partkey", min_support=_AR3_MINSUP, pairs=pairs
+        bk, "l_orderkey", "p_brand", min_support=_AR3_MINSUP
     )
