@@ -817,3 +817,168 @@ def association_rules_k3(
             (F.col("n_ante") * F.col("n_cons")).cast("bigint").alias("lift_den"),
         )
     )
+
+
+def markov_transition_counts(
+    events,
+    user_col="user_id",
+    type_col="event_type",
+    ts_col="ts",
+    order_col="event_id",
+    conversion_type="purchase",
+):
+    """Journey-segmented Markov transition counts — the corpus-scale
+    half of removal-effect attribution (Anderl et al. 2016, "Mapping
+    the customer journey"; the first-order chain every marketing-
+    attribution vendor fits). Each user's event stream is split into
+    JOURNEYS at every conversion: a touch following a conversion (or
+    starting the stream) enters from the synthetic START state, a
+    conversion event absorbs into CONV, and a stream that ends on a
+    non-conversion touch absorbs into NULL. One row per observed
+    (from_state, to_state) with its count.
+
+    Shape: ONE window pass keyed on the high-cardinality user column
+    (lag + lead in the same frame), each event emitting its incoming
+    transition plus an optional terminal NULL row through a 2-slot
+    array_compact/explode — no second scan of the corpus — then a
+    partial-agg count. The output relation is bounded by
+    (channels+2)^2, independent of corpus size.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    state = F.when(
+        F.col(type_col) == conversion_type, F.lit("CONV")
+    ).otherwise(F.col(type_col))
+    seq = events.select(
+        state.alias("_s"),
+        F.lag(state).over(w).alias("_prev"),
+        F.lead(state).over(w).alias("_next"),
+    )
+    inc_from = F.when(
+        F.col("_prev").isNull() | (F.col("_prev") == "CONV"), F.lit("START")
+    ).otherwise(F.col("_prev"))
+    pairs = F.array_compact(
+        F.array(
+            F.struct(inc_from.alias("f"), F.col("_s").alias("t")),
+            F.when(
+                F.col("_next").isNull() & (F.col("_s") != "CONV"),
+                F.struct(F.col("_s").alias("f"), F.lit("NULL").alias("t")),
+            ),
+        )
+    )
+    return (
+        seq.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.f").alias("from_state"), F.col("p.t").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+#: Fixed-point scale for the Markov chain solve: probabilities live in
+#: units of 2^-26.  K^2 * (channels+2) must stay inside int64 — 2^52
+#: per product term, so a few dozen states are safe; floor division at
+#: every step makes the iteration bit-identical in any engine.
+MARKOV_K = 1 << 26
+#: Value-iteration rounds.  Error vs the exact absorption probability
+#: is (transient mass)^H + H ulps — at H=48 far below 2^-20 on any
+#: chain whose journeys actually convert.
+MARKOV_H = 48
+
+
+def _markov_solve(t_probs, transient, removed=None, k=MARKOV_K, h=MARKOV_H):
+    """Fixed-point value iteration for P(absorb in CONV | start state).
+
+    ``t_probs``: {(from, to): t} with t = floor(K * n / d) — fixed-
+    point first-order transition probabilities. CONV is worth K, NULL
+    (and the ``removed`` channel, per the removal-effect convention:
+    a removed channel keeps receiving traffic but yields nothing) is
+    worth 0. Pure bounded integer arithmetic — deterministic across
+    engines; the DuckDB oracle re-runs the same recursion as a
+    recursive CTE.
+    """
+    p = {s: 0 for s in transient}
+    for _ in range(h):
+        nxt = {}
+        for s in transient:
+            acc = 0
+            for (f, t), tp in t_probs.items():
+                if f != s:
+                    continue
+                if t == "CONV":
+                    acc += tp * k
+                elif t == "NULL" or t == removed:
+                    pass
+                else:
+                    acc += tp * p.get(t, 0)
+            nxt[s] = acc // k
+        p = nxt
+    return p
+
+
+def markov_attribution(
+    events,
+    user_col="user_id",
+    type_col="event_type",
+    ts_col="ts",
+    order_col="event_id",
+    conversion_type="purchase",
+):
+    """Removal-effect (Markov-chain) attribution over an event stream
+    — the principled successor to last-touch (C109): fit the first-
+    order journey chain, compute the base conversion probability from
+    START, then re-solve the chain once per channel with that channel
+    REMOVED (it still absorbs its incoming traffic but converts
+    nothing); a channel's credit is the conversion probability it
+    would take with it.
+
+    EXACT-INTEGER rendering: transition probabilities and absorption
+    values are 2^-26 fixed-point bigints with floor division at every
+    step (t = K·n div d once per edge, then H=48 value-iteration
+    rounds of p_s = (Σ t·p) div K) — bit-identical cross-engine, so
+    the whole relation hashes except ``share``, which is ONE IEEE
+    division of exact bigints. Returns one row per channel:
+    (channel, n_in, base_p_k, removal_p_k, effect_k, share).
+
+    Scale split (the NMI-dictionary discipline): the corpus-scale work
+    is the single window pass in ``markov_transition_counts``; the
+    chain solve is O((channels+2)^2 · H) on the channel vocabulary —
+    bounded BY DEFINITION of a marketing channel taxonomy — and runs
+    driver-side on the collected count relation, exactly like the
+    Mondrian split search and the NMI micro-nat fit. The corpus never
+    leaves the cluster.
+    """
+    spark = events.sparkSession
+    counts = markov_transition_counts(
+        events, user_col, type_col, ts_col, order_col, conversion_type
+    )
+    rows = counts.collect()  # bounded: (channels+2)^2 rows
+    n = {(r["from_state"], r["to_state"]): int(r["n"]) for r in rows}
+    outdeg = {}
+    for (f, _t), c in n.items():
+        outdeg[f] = outdeg.get(f, 0) + c
+    t_probs = {
+        (f, t): (MARKOV_K * c) // outdeg[f] for (f, t), c in n.items()
+    }
+    channels = sorted(
+        ({f for f, _ in n} | {t for _, t in n}) - {"START", "CONV", "NULL"}
+    )
+    transient = ["START"] + channels
+    base = _markov_solve(t_probs, transient)
+    out = []
+    for c in channels:
+        rem = _markov_solve(t_probs, transient, removed=c)
+        n_in = sum(v for (f, t), v in n.items() if t == c)
+        out.append(
+            (c, n_in, base["START"], rem["START"], base["START"] - rem["START"])
+        )
+    total_eff = sum(e for *_x, e in out)
+    res = spark.createDataFrame(
+        out, "channel string, n_in long, base_p_k long, removal_p_k long, "
+        "effect_k long",
+    )
+    share = (
+        (F.col("effect_k").cast("double") / F.lit(total_eff))
+        if total_eff > 0
+        else F.lit(None).cast("double")
+    )
+    return res.select("*", share.alias("share"))

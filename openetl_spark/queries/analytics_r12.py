@@ -379,3 +379,106 @@ def q_association_rules_k3(spark, sf_dir):
     return A.association_rules_k3(
         bk, "l_orderkey", "p_brand", min_support=_AR3_MINSUP
     )
+
+
+# ---------------------------------------------------------------------
+# C160 — Markov removal-effect attribution: the principled successor
+# to last-touch (C109). The corpus-scale work is ONE window pass
+# (markov_transition_counts); the absorbing-chain solve is 2^-26
+# fixed-point bigint value iteration on the channel-vocabulary-sized
+# count relation — bit-identical cross-engine, so everything except
+# the final share division hashes exactly. The oracle re-derives the
+# transitions from events and UNROLLS the same H iterations as
+# generated chained CTEs (the path_counts sweep discipline).
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators.analytics import (  # noqa: E402
+    MARKOV_H,
+    MARKOV_K,
+)
+
+
+def _markov_oracle_sql() -> str:
+    k = MARKOV_K
+    # MATERIALIZED is load-bearing: each step references the previous
+    # level twice, so an inlining planner would expand 2^H scans.
+    step = """
+    p{j} AS MATERIALIZED (
+      SELECT pr.rm, pr.state,
+             CAST(sum(e.tp * CASE WHEN e.t = 'CONV' THEN {k}
+                                  WHEN e.t = 'NULL' OR e.t = pr.rm THEN 0
+                                  ELSE COALESCE(pv.p, 0) END) // {k}
+                  AS BIGINT) AS p
+      FROM p{i} pr
+      JOIN tp e ON e.f = pr.state
+      LEFT JOIN p{i} pv ON pv.rm = pr.rm AND pv.state = e.t
+      GROUP BY 1, 2)"""
+    steps = ",".join(
+        step.format(i=i, j=i + 1, k=k) for i in range(MARKOV_H)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS s,
+             lag(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             lead(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                       ELSE event_type END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tr AS (
+      SELECT CASE WHEN prev IS NULL OR prev = 'CONV' THEN 'START'
+                  ELSE prev END AS f,
+             s AS t
+      FROM seq
+      UNION ALL
+      SELECT s, 'NULL' FROM seq WHERE nxt IS NULL AND s <> 'CONV'),
+    cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+            FROM tr GROUP BY 1, 2),
+    deg AS (SELECT f, CAST(sum(n) AS BIGINT) AS d FROM cnt GROUP BY 1),
+    tp AS (SELECT c.f, c.t, ({k} * c.n) // g.d AS tp
+           FROM cnt c JOIN deg g USING (f)),
+    states AS (SELECT DISTINCT f AS state FROM cnt),
+    variants AS (
+      SELECT '__base__' AS rm
+      UNION ALL
+      SELECT state FROM states WHERE state <> 'START'),
+    p0 AS (SELECT v.rm, s.state, CAST(0 AS BIGINT) AS p
+           FROM variants v CROSS JOIN states s),
+    {steps},
+    fin AS (SELECT rm, p FROM p{MARKOV_H} WHERE state = 'START'),
+    base AS (SELECT p AS bp FROM fin WHERE rm = '__base__'),
+    eff AS (
+      SELECT f.rm AS channel, b.bp AS base_p_k, f.p AS removal_p_k,
+             b.bp - f.p AS effect_k
+      FROM fin f, base b WHERE f.rm <> '__base__'),
+    tot AS (SELECT CAST(sum(effect_k) AS BIGINT) AS te FROM eff),
+    ins AS (SELECT t AS channel, CAST(sum(n) AS BIGINT) AS n_in
+            FROM cnt WHERE t NOT IN ('CONV', 'NULL') GROUP BY 1)
+    SELECT e.channel, i.n_in, e.base_p_k, e.removal_p_k, e.effect_k,
+           CASE WHEN t.te > 0 THEN CAST(e.effect_k AS DOUBLE) / t.te
+                ELSE NULL END AS share
+    FROM eff e JOIN ins i USING (channel), tot t
+    """
+
+
+@query("markov_attribution", _markov_oracle_sql())
+def q_markov_attribution(spark, sf_dir):
+    """C160: removal-effect (Markov-chain) attribution over the event
+    stream (operators/analytics.markov_attribution — Anderl et al.
+    2016): journeys split at every purchase (START → touches → CONV,
+    streams ending on a touch absorb into NULL), first-order
+    transition counts from ONE user-keyed window pass, then the
+    absorbing-chain conversion probability from START solved in
+    2^-26 fixed-point bigints (H=48 floor-division value-iteration
+    rounds) — once for the base chain and once per channel with that
+    channel removed (it keeps absorbing traffic but converts
+    nothing). effect_k = base − removal is an exact bigint; share is
+    the one IEEE division. The vocabulary-sized chain solve runs
+    driver-side on the collected count relation (the Mondrian/NMI
+    bounded-fit discipline); the oracle re-derives the transitions
+    from events and replays the identical integer recursion as
+    unrolled CTEs."""
+    e = load(spark, sf_dir, "events")
+    return A.markov_attribution(e)

@@ -2538,3 +2538,86 @@ def test_association_rules_k3_hand_case(spark):
 
     with _pytest.raises(ValueError, match="min_support"):
         A.association_rules_k3(df, "basket", "item", min_support=0)
+
+
+def _mk_events(spark, seqs):
+    """seqs: {user: [event_type, ...]} → an events-shaped DataFrame
+    with one event per second so (ts, event_id) ordering is pinned."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for u, types in seqs.items():
+        for i, t in enumerate(types):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), u, t)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+
+def test_markov_transition_counts_journey_split(spark):
+    from openetl_spark.operators import analytics as A
+
+    # A purchase mid-stream ends the journey: the next touch enters
+    # from START, and a stream ending on a touch absorbs into NULL.
+    e = _mk_events(spark, {1: ["A", "purchase", "B"]})
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in A.markov_transition_counts(e).collect()
+    }
+    assert got == {
+        ("START", "A"): 1,
+        ("A", "CONV"): 1,
+        ("START", "B"): 1,
+        ("B", "NULL"): 1,
+    }
+    # Direct conversion (purchase with no preceding touch) and
+    # back-to-back purchases both render as START->CONV.
+    e2 = _mk_events(spark, {1: ["purchase", "purchase"]})
+    got2 = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in A.markov_transition_counts(e2).collect()
+    }
+    assert got2 == {("START", "CONV"): 2}
+
+
+def test_markov_attribution_hand_chain(spark):
+    from openetl_spark.operators import analytics as A
+    from openetl_spark.operators.analytics import MARKOV_K
+
+    # Half the journeys go START->A->CONV, half START->B->NULL: the
+    # base conversion probability is exactly 1/2, channel A carries
+    # ALL of it (remove A -> 0), channel B carries none.
+    e = _mk_events(spark, {1: ["A", "purchase"], 2: ["B"]})
+    got = {r["channel"]: r for r in A.markov_attribution(e).collect()}
+    a, b = got["A"], got["B"]
+    assert a["base_p_k"] == MARKOV_K // 2 == b["base_p_k"]
+    assert a["removal_p_k"] == 0 and a["effect_k"] == MARKOV_K // 2
+    assert b["removal_p_k"] == MARKOV_K // 2 and b["effect_k"] == 0
+    assert a["share"] == 1.0 and b["share"] == 0.0
+    assert a["n_in"] == 1 and b["n_in"] == 1
+
+
+def test_markov_attribution_symmetric_channels(spark):
+    from openetl_spark.operators import analytics as A
+
+    # Two channels with mirror-image journeys must earn identical
+    # fixed-point credit (the arithmetic is deterministic, so this is
+    # exact equality, not approximate).
+    e = _mk_events(
+        spark,
+        {
+            1: ["A", "B", "purchase"],
+            2: ["B", "A", "purchase"],
+            3: ["A"],
+            4: ["B"],
+        },
+    )
+    got = {r["channel"]: r for r in A.markov_attribution(e).collect()}
+    assert got["A"]["effect_k"] == got["B"]["effect_k"] > 0
+    assert got["A"]["share"] == got["B"]["share"] == 0.5
+    # Conversion estimate: journeys convert iff they reach the second
+    # touch; the chain's estimate must sit strictly between 0 and 1.
+    assert 0 < got["A"]["base_p_k"] < A.MARKOV_K
