@@ -2281,3 +2281,146 @@ def l_diversity_recursive(
         "satisfied",
         F.lit(c_den) * F.col("r1") < F.lit(c_num) * F.col("tail_sum"),
     )
+
+
+# ---------------------------------------------------------------------
+# C161 — differential privacy: discrete-Laplace histogram release
+# ---------------------------------------------------------------------
+
+#: Fixed-point scale for the DP inverse-CDF thresholds: uniforms live
+#: in [0, 2^60) — five salted 4096-state hash buckets composed
+#: positionally (4096^5 = 2^60), so the uniform inherits hash_bucket's
+#: engine portability.
+DP_SCALE_BITS = 60
+
+
+def discrete_laplace_thresholds(
+    eps_micro: int = 10**6, bound: int = 64, scale_bits: int = DP_SCALE_BITS
+):
+    """Inverse-CDF threshold table for the TRUNCATED discrete Laplace
+    (two-sided geometric) mechanism — the integer-valued noise
+    distribution of the 2020 US Census TopDown system (Canonne,
+    Kamath & Steinke 2020, "The discrete Gaussian for differential
+    privacy" §2 discusses the geometric mechanism; Ghosh, Roughgarden
+    & Sundararajan 2012 prove its optimality for counting queries):
+    P(k) ∝ α^|k| with α = exp(-ε/Δ), truncated to |k| ≤ bound and
+    renormalized (at bound=64, ε=1 the truncated tail is ≈ e^-64 ≈
+    2^-92 — far below the 2^-60 uniform resolution, so truncation is
+    unobservable).
+
+    Returns [(k, lo, hi)] with lo/hi exact ints in [0, 2^scale_bits]:
+    a uniform u lands on noise k iff lo ≤ u < hi. The float CDF
+    accumulation happens HERE, once, driver-side — determinism comes
+    from persisting the table (the NMI micro-nat discipline), not
+    from cross-engine float reproducibility; both engines range-join
+    the same artifact. The endpoint is pinned to 2^scale_bits exactly
+    and monotonicity enforced, so the table partitions the uniform
+    space whatever float rounding did.
+    """
+    import math
+
+    if eps_micro <= 0 or bound < 1:
+        raise ValueError(
+            f"discrete_laplace_thresholds: need eps_micro > 0 and "
+            f"bound >= 1, got {eps_micro}, {bound}"
+        )
+    alpha = math.exp(-eps_micro / 10**6)
+    ks = list(range(-bound, bound + 1))
+    weights = [alpha ** abs(k) for k in ks]
+    z = sum(weights)
+    scale = 1 << scale_bits
+    out, cum, lo = [], 0.0, 0
+    for i, k in enumerate(ks):
+        cum += weights[i] / z
+        hi = scale if i == len(ks) - 1 else min(scale, max(lo, round(cum * scale)))
+        out.append((k, lo, hi))
+        lo = hi
+    return out
+
+
+def dp_uniform(key, salt: str = "dp_v1", scale_bits: int = DP_SCALE_BITS):
+    """Column: deterministic uniform in [0, 2^scale_bits) from a cell
+    key — five salted hash_bucket(·, 4096) draws composed positionally
+    (each is an independent md5 of key#salt·i, so the composition has
+    the full 2^60 state space while staying bit-portable to any engine
+    with md5/ascii). scale_bits must be a multiple of 12."""
+    if scale_bits % 12:
+        raise ValueError("dp_uniform: scale_bits must be a multiple of 12")
+    acc = F.lit(0).cast("long")
+    for i in range(scale_bits // 12):
+        b = hash_bucket(F.concat(key, F.lit(f"#{salt}{i}")), 4096)
+        acc = acc + b.cast("long") * F.lit(4096**i)
+    return acc
+
+
+def dp_uniform_sql(expr: str, salt: str = "dp_v1",
+                   scale_bits: int = DP_SCALE_BITS) -> str:
+    """The exact DuckDB rendering of dp_uniform() for oracles."""
+    terms = []
+    for i in range(scale_bits // 12):
+        salted = f"concat({expr}, '#{salt}{i}')"
+        terms.append(
+            f"CAST({hash_bucket_sql(salted, 4096)} AS BIGINT) * {4096**i}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def dp_histogram_release(
+    df: DataFrame,
+    group_cols: list[str],
+    bounds: DataFrame,
+    salt: str = "dp_v1",
+    scale_bits: int = DP_SCALE_BITS,
+) -> DataFrame:
+    """ε-differentially-private histogram release with DETERMINISTIC
+    seeded noise — the reproducible-noise posture of the Census
+    TopDown release (committed seed → auditable, re-runnable noise;
+    swap the key-derived uniform for a secret-seeded one in a
+    production release and nothing else changes). Unit sensitivity
+    Δ=1: adding/removing one input row moves one cell count by 1, so
+    discrete-Laplace noise with α = e^-ε gives ε-DP per cell.
+
+    Shape: one partial-agg count per cell, a 2^scale_bits uniform per
+    cell from the CELL KEY (not the data — the noise is a pure
+    function of the released cell's identity plus the salt), then a
+    range join against the broadcast (2·bound+1)-row threshold
+    artifact. Output is ALL exact integers — (…group_cols, n, noise_k,
+    released, released_nonneg) — the whole relation hashes
+    cross-engine. n is emitted for test comparability; a production
+    release projects it away (the mechanism's guarantee is about
+    released, not the transcript)."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    u = dp_uniform(key, salt, scale_bits)
+    b = F.broadcast(
+        bounds.select(
+            F.col("k").cast("bigint").alias("noise_k"),
+            F.col("lo").cast("bigint").alias("_lo"),
+            F.col("hi").cast("bigint").alias("_hi"),
+        )
+    )
+    # LEFT join, not inner: every uniform lands in exactly one bucket
+    # (the table partitions [0, 2^scale_bits)), so the results are
+    # identical — but an INNER join lets Catalyst infer isnotnull(_u)
+    # and push the five md5 evaluations below the aggregate, paying
+    # them per INPUT ROW instead of per cell (measured in the r12 plan
+    # audit). The left join blocks that inference.
+    return (
+        counts.withColumn("_u", u)
+        .join(
+            b,
+            (F.col("_u") >= F.col("_lo")) & (F.col("_u") < F.col("_hi")),
+            "left",
+        )
+        .select(
+            *group_cols,
+            "n",
+            "noise_k",
+            (F.col("n") + F.col("noise_k")).cast("bigint").alias("released"),
+            F.greatest(
+                F.col("n") + F.col("noise_k"), F.lit(0)
+            ).cast("bigint").alias("released_nonneg"),
+        )
+    )

@@ -1,8 +1,11 @@
 """Round-12 analytics queries: the betweenness SCALAR off the C150
 pair-dependency rationals as a deterministic scaled floor sum (C157),
 NMI as hashed exact integers via a persisted micro-nat dictionary
-(C158), and frequent triples — the A-priori level-3 extension of the
-C156 association rules (C159).
+(C158), frequent triples — the A-priori level-3 extension of the
+C156 association rules (C159), Markov removal-effect attribution in
+deterministic fixed-point bigints (C160), and the ε-DP discrete-
+Laplace histogram release off a persisted inverse-CDF artifact
+(C161).
 
 Reference parity note: the reference (OpenETL, TypeScript) has no
 analytics engine — these are build-extension components mandated by
@@ -482,3 +485,110 @@ def q_markov_attribution(spark, sf_dir):
     unrolled CTEs."""
     e = load(spark, sf_dir, "events")
     return A.markov_attribution(e)
+
+
+# ---------------------------------------------------------------------
+# C161 — ε-differentially-private histogram release (discrete
+# Laplace / two-sided geometric — the Census TopDown mechanism) with
+# deterministic seeded noise: the inverse-CDF threshold table is
+# fitted once driver-side and persisted (the NMI micro-nat artifact
+# discipline); both engines derive the SAME noise by range-joining
+# the same artifact against a 2^60 md5-composed uniform, so the whole
+# release is exact integers and hashes cross-engine.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators.curation import (  # noqa: E402
+    discrete_laplace_thresholds,
+    dp_histogram_release,
+    dp_uniform_sql,
+)
+
+DP_ORACLE_BOUNDS = (
+    "/root/repo/spark-warehouse/dp_cache/discrete_laplace_bounds.parquet"
+)
+_DP_EPS_MICRO = 10**6  # ε = 1.0
+_DP_BOUND = 64
+
+
+def _dp_bounds(spark):
+    """Fit-or-reuse the (ε=1, bound=64) discrete-Laplace threshold
+    artifact; returns it as a DataFrame. Mechanism tables are
+    corpus-INdependent (a pure function of ε/bound/scale), so the
+    consolidated parquet is keyed by (eps_micro, bound) only."""
+    import os
+
+    import pandas as pd
+
+    if os.path.exists(DP_ORACLE_BOUNDS):
+        old = pd.read_parquet(DP_ORACLE_BOUNDS)
+        mine = old[
+            (old["eps_micro"] == _DP_EPS_MICRO) & (old["bound"] == _DP_BOUND)
+        ]
+        if len(mine):
+            return spark.createDataFrame(mine[["k", "lo", "hi"]])
+    else:
+        old = None
+    t = discrete_laplace_thresholds(_DP_EPS_MICRO, _DP_BOUND)
+    new = pd.DataFrame(t, columns=["k", "lo", "hi"])
+    for c in new.columns:
+        new[c] = new[c].astype("int64")
+    new.insert(0, "eps_micro", _DP_EPS_MICRO)
+    new.insert(1, "bound", _DP_BOUND)
+    if old is not None:
+        new = pd.concat(
+            [
+                old[
+                    (old["eps_micro"] != _DP_EPS_MICRO)
+                    | (old["bound"] != _DP_BOUND)
+                ],
+                new,
+            ],
+            ignore_index=True,
+        )
+    os.makedirs(os.path.dirname(DP_ORACLE_BOUNDS), exist_ok=True)
+    tmp = f"{DP_ORACLE_BOUNDS}.tmp.{os.getpid()}"
+    new.to_parquet(tmp, index=False)
+    os.replace(tmp, DP_ORACLE_BOUNDS)
+    return spark.createDataFrame(new[["k", "lo", "hi"]])
+
+
+@query(
+    "dp_event_counts",
+    f"""
+    WITH c AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (SELECT *,
+                 {dp_uniform_sql("(event_type || '|' || day)")} AS uu
+          FROM c),
+    b AS (SELECT k, lo, hi FROM read_parquet('{DP_ORACLE_BOUNDS}')
+          WHERE eps_micro = {_DP_EPS_MICRO} AND bound = {_DP_BOUND})
+    SELECT event_type, day, n,
+           CAST(b.k AS BIGINT) AS noise_k,
+           CAST(n + b.k AS BIGINT) AS released,
+           CAST(greatest(n + b.k, 0) AS BIGINT) AS released_nonneg
+    FROM u JOIN b ON uu >= lo AND uu < hi
+    """,
+)
+def q_dp_event_counts(spark, sf_dir):
+    """C161: ε=1 differentially-private release of the (event_type,
+    day) activity histogram (operators/curation.
+    dp_histogram_release): truncated discrete-Laplace noise (Ghosh-
+    Roughgarden-Sundararajan's optimal mechanism for counting
+    queries; the Census TopDown noise family) drawn DETERMINISTICALLY
+    — a 2^60 uniform composed from five salted md5 hash buckets of
+    the CELL KEY, range-joined against the persisted inverse-CDF
+    threshold artifact — so the release is reproducible/auditable and
+    bit-identical cross-engine (swap the key-derived uniform for a
+    secret seed in production and nothing else changes). Unit
+    sensitivity: one event moves one cell by 1. Everything released
+    is an exact integer; true n is emitted for test comparability
+    only. Shape: one partial-agg count + a broadcast 129-row range
+    join — corpus-linear, output bounded by the cell grid."""
+    e = load(spark, sf_dir, "events")
+    bounds = _dp_bounds(spark)
+    cells = e.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return dp_histogram_release(cells, ["event_type", "day"], bounds)

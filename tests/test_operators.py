@@ -2621,3 +2621,65 @@ def test_markov_attribution_symmetric_channels(spark):
     # Conversion estimate: journeys convert iff they reach the second
     # touch; the chain's estimate must sit strictly between 0 and 1.
     assert 0 < got["A"]["base_p_k"] < A.MARKOV_K
+
+
+def test_discrete_laplace_thresholds_properties():
+    import math
+
+    import pytest as _pytest
+
+    from openetl_spark.operators.curation import discrete_laplace_thresholds
+
+    t = discrete_laplace_thresholds()
+    assert [r[0] for r in t] == list(range(-64, 65))
+    # exact partition of [0, 2^60): contiguous, endpoint pinned
+    assert t[0][1] == 0 and t[-1][2] == 1 << 60
+    for (_, _, h1), (_, l2, _) in zip(t, t[1:]):
+        assert h1 == l2
+    w = {k: h - l for k, l, h in t}
+    # mode at 0, geometric decay at rate e^-1, symmetric to float
+    # accumulation drift (~1e-15 relative of 2^60)
+    assert w[0] == max(w.values())
+    assert abs(w[1] / w[0] - math.exp(-1)) < 1e-9
+    for k in range(1, 65):
+        assert abs(w[k] - w[-k]) <= 4096, k
+    with _pytest.raises(ValueError, match="eps_micro"):
+        discrete_laplace_thresholds(eps_micro=0)
+
+
+def test_dp_histogram_release_hand(spark):
+    from openetl_spark.operators.curation import (
+        discrete_laplace_thresholds,
+        dp_histogram_release,
+        dp_uniform,
+    )
+
+    bounds = spark.createDataFrame(
+        discrete_laplace_thresholds(), "k long, lo long, hi long"
+    )
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, "g string"
+    )
+    got = {r["g"]: r for r in dp_histogram_release(
+        df, ["g"], bounds
+    ).collect()}
+    assert got["a"]["n"] == 7 and got["b"]["n"] == 3
+    for r in got.values():
+        # released = n + noise exactly; noise inside the truncation
+        assert r["released"] == r["n"] + r["noise_k"]
+        assert -64 <= r["noise_k"] <= 64
+        assert r["released_nonneg"] == max(r["released"], 0)
+    # determinism: same key, same salt -> identical noise on re-run
+    again = {r["g"]: r["noise_k"] for r in dp_histogram_release(
+        df, ["g"], bounds
+    ).collect()}
+    assert again == {g: r["noise_k"] for g, r in got.items()}
+    # a different salt redraws the noise somewhere across many keys
+    many = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "g string"
+    )
+    u1 = many.select(dp_uniform(F.col("g"), "dp_v1").alias("u")).collect()
+    u2 = many.select(dp_uniform(F.col("g"), "other").alias("u")).collect()
+    assert [r["u"] for r in u1] != [r["u"] for r in u2]
+    # uniforms cover the full 2^60 range domain
+    assert all(0 <= r["u"] < 1 << 60 for r in u1)

@@ -944,3 +944,22 @@ def test_bipartite_census_plan_has_no_pair_enumeration(spark, sf_dir):
     # lineitem appears only for the degree aggregates (scans), never
     # self-joined on l_orderkey with a l_partkey inequality.
     assert "l_partkey < l_partkey" not in plan
+
+
+def test_dp_release_plan_no_per_row_hash(spark, sf_dir):
+    """The DP release's five md5 draws must be computed per CELL, not
+    per input row: an inner range join lets Catalyst infer
+    isnotnull(u) and push the hash expression below the aggregate
+    (measured: a scan-side Filter evaluating 5 md5/row). The left
+    range join keeps the uniform post-agg — no Filter or Scan node may
+    mention md5."""
+    df = catalog.QUERIES["dp_event_counts"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and ("Filter" in block.split("\n")[0]
+                                      or "Scan" in block.split("\n")[0]):
+            assert "md5" not in block, block[:400]
