@@ -40,6 +40,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
 
 __all__ = [
     "partial_time_aggregate",
@@ -423,4 +424,75 @@ def time_weighted_avg(
         )
         .filter(F.col("_total_dt") > 0)
         .drop("_total_dt")
+    )
+
+
+def ewma_fixed_point(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    x_col: str = "xi",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-series exponentially-weighted moving average in EXACT
+    fixed-point integers — the sequential-stateful scan that has no
+    closed DataFrame form (each floor interleaves with the next
+    recursion step, so prefix tricks like Σ α(1-α)^i·x cannot
+    reproduce it): s_1 = x_1·K, s_t = (a·x_t·K + (b-a)·s_{t-1}) div b
+    with α = a/b and K = 2^scale_bits. Every step is bounded integer
+    arithmetic with floor division, so the relation is bit-identical
+    in any engine — the DuckDB oracle replays the recursion as a
+    recursive CTE over the per-series row_number.
+
+    Spark shape: the brief's custom-operator ladder bottoms out at
+    (b) — an Arrow-batched grouped map (``applyInPandas``), ONE
+    shuffle on the high-cardinality series key, then a linear
+    in-partition scan (the multimodal decode-loop precedent: the
+    recursion itself is per-row Python inside the Arrow batch, which
+    is exactly what the ladder prescribes when built-ins can't
+    express the semantics). State per group is one integer.
+
+    ``x_col`` must already be an exact nonnegative bigint (quantize
+    floats with floor(x·scale) BEFORE calling — cross-engine float→int
+    casts disagree, and Python's floor-div and DuckDB's ``//``
+    disagree on NEGATIVES, so both are guarded: negative inputs
+    raise here and via error() in the paired oracles).
+    """
+    import pandas as pd
+
+    if not (0 < alpha_num <= alpha_den):
+        raise ValueError(
+            f"ewma_fixed_point: need 0 < alpha_num <= alpha_den, got "
+            f"{alpha_num}/{alpha_den}"
+        )
+    k = 1 << scale_bits
+    keep = [key_col, *order_cols, x_col]
+    fields = [df.schema[c] for c in keep]
+    out_schema = StructType(fields).add("ewma_k", LongType())
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        s, out = None, []
+        for x in pdf[x_col]:
+            xi = int(x)
+            if xi < 0:
+                raise ValueError(
+                    "ewma_fixed_point: negative input — floor-division "
+                    "semantics diverge across engines below zero"
+                )
+            s = (
+                xi * k
+                if s is None
+                else (alpha_num * xi * k + (alpha_den - alpha_num) * s)
+                // alpha_den
+            )
+            out.append(s)
+        pdf = pdf[keep].copy()
+        pdf["ewma_k"] = pd.array(out, dtype="int64")
+        return pdf
+
+    return df.select(*keep).groupBy(key_col).applyInPandas(
+        smooth, out_schema
     )

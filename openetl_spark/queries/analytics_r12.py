@@ -5,7 +5,8 @@ NMI as hashed exact integers via a persisted micro-nat dictionary
 C156 association rules (C159), Markov removal-effect attribution in
 deterministic fixed-point bigints (C160), and the ε-DP discrete-
 Laplace histogram release off a persisted inverse-CDF artifact
-(C161).
+(C161), and per-series EWMA as an exact fixed-point grouped-map scan
+(C162).
 
 Reference parity note: the reference (OpenETL, TypeScript) has no
 analytics engine — these are build-extension components mandated by
@@ -592,3 +593,65 @@ def q_dp_event_counts(spark, sf_dir):
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     )
     return dp_histogram_release(cells, ["event_type", "day"], bounds)
+
+
+# ---------------------------------------------------------------------
+# C162 — per-series EWMA in exact fixed-point: the sequential-
+# stateful scan (no closed DataFrame form — floors interleave with
+# the recursion) as an Arrow-batched grouped map, oracle-replayed as
+# a DuckDB recursive CTE over the per-series row_number.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import timeseries as T  # noqa: E402
+
+_EWMA_K = 1 << 20
+
+
+@query(
+    "ewma_user_values",
+    f"""
+    WITH RECURSIVE x AS (
+      SELECT user_id, event_id, ts,
+             -- negative guard MIRRORED (python floor-div and SQL //
+             -- disagree below zero; the engine raises in the scan)
+             CASE WHEN value < 0
+                  THEN CAST(error('ewma_fixed_point: negative input')
+                            AS BIGINT)
+                  ELSE CAST(floor(value * 100) AS BIGINT) END AS xi
+      FROM events),
+    s AS (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM x),
+    rec AS (
+      SELECT user_id, event_id, rn, xi, xi * {_EWMA_K} AS ewma_k
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.rn, n.xi,
+             (n.xi * {_EWMA_K} + r.ewma_k) // 2
+      FROM rec r
+      JOIN s n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+    SELECT user_id, event_id, xi, ewma_k FROM rec
+    """,
+)
+def q_ewma_user_values(spark, sf_dir):
+    """C162: exponentially-weighted moving average (α = 1/2) of each
+    user's event-value series in 2^-20 fixed-point cents
+    (operators/timeseries.ewma_fixed_point): values quantized ONCE by
+    floor(value·100) — the only float touch, identical IEEE in both
+    engines — then s_t = (x_t·K + s_{t-1}) div 2 as pure bounded
+    integers, so the full corpus-sized relation hashes cross-engine.
+    The recursion has no closed DataFrame form; the engine runs it as
+    an Arrow-batched grouped map (one shuffle on user_id, linear
+    in-partition scan, one integer of state per series — the
+    custom-stateful-operator ladder's prescribed rung), the oracle as
+    a recursive CTE joining each level to the next row_number. Series
+    length is ~67 at every SF (events and users scale together), so
+    recursion depth is bounded and per-group work constant."""
+    e = load(spark, sf_dir, "events")
+    x = e.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+    )
+    return T.ewma_fixed_point(
+        x, "user_id", ("ts", "event_id"), "xi"
+    ).select("user_id", "event_id", "xi", "ewma_k")

@@ -2683,3 +2683,52 @@ def test_dp_histogram_release_hand(spark):
     assert [r["u"] for r in u1] != [r["u"] for r in u2]
     # uniforms cover the full 2^60 range domain
     assert all(0 <= r["u"] < 1 << 60 for r in u1)
+
+
+def test_ewma_fixed_point_hand(spark):
+    import pytest as _pytest
+
+    from openetl_spark.operators import timeseries as T
+
+    import datetime as dt
+
+    rows = [
+        # series 1, deliberately OUT of ts order in the input
+        (1, dt.datetime(2024, 1, 1, 0, 0, 2), 102, 3),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 100, 10),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), 101, 5),
+        # series 2: single point
+        (2, dt.datetime(2024, 1, 1), 200, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, xi long"
+    )
+    got = {
+        r["event_id"]: r["ewma_k"]
+        for r in T.ewma_fixed_point(df, "user_id", ("ts", "event_id"), "xi")
+        .collect()
+    }
+    k = 1 << 20
+    s1 = 10 * k
+    s2 = (5 * k + s1) // 2
+    s3 = (3 * k + s2) // 2
+    assert got == {100: s1, 101: s2, 102: s3, 200: 7 * k}
+    # alpha = 1/4 weights the history 3x
+    got4 = {
+        r["event_id"]: r["ewma_k"]
+        for r in T.ewma_fixed_point(
+            df, "user_id", ("ts", "event_id"), "xi", alpha_num=1, alpha_den=4
+        ).collect()
+    }
+    t2 = (1 * 5 * k + 3 * (10 * k)) // 4
+    assert got4[101] == t2 and got4[100] == 10 * k
+    # guards: negative input raises in the scan; bad alpha up front
+    neg = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, -3)],
+        "user_id long, ts timestamp_ntz, event_id long, xi long",
+    )
+    with _pytest.raises(Exception, match="negative input"):
+        T.ewma_fixed_point(neg, "user_id", ("ts", "event_id"), "xi").collect()
+    with _pytest.raises(ValueError, match="alpha"):
+        T.ewma_fixed_point(df, "user_id", ("ts", "event_id"), "xi",
+                           alpha_num=3, alpha_den=2)
