@@ -40,7 +40,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import BooleanType, LongType, StructType
 
 __all__ = [
     "partial_time_aggregate",
@@ -496,3 +496,50 @@ def ewma_fixed_point(
     return df.select(*keep).groupBy(key_col).applyInPandas(
         smooth, out_schema
     )
+
+
+def cusum_fixed_point(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    x_col: str = "xi",
+    target: int = 0,
+    slack: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """One-sided (upper) CUSUM change-point statistic per series (Page
+    1954 — the sequential-detection classic next to the EWMA scan):
+    g_t = max(0, g_{t-1} + (x_t − target − slack)), alarm when
+    g_t > threshold. All parameters and state are exact integers on
+    the caller's quantized scale, so the relation is bit-identical
+    cross-engine (max and + have no rounding at all — unlike the EWMA
+    there is not even a floor division); the paired oracle replays
+    the recursion as a recursive CTE.
+
+    Same scale shape as ``ewma_fixed_point``: Arrow-batched grouped
+    map, one shuffle on the series key, a linear in-partition scan,
+    one integer of state. Emits (…, cusum_g, alarm) per input row;
+    g is NOT reset at alarms (the report form — consumers segment on
+    the alarm column; a resetting variant is one line here but a
+    different relation).
+    """
+    import pandas as pd
+
+    keep = [key_col, *order_cols, x_col]
+    fields = [df.schema[c] for c in keep]
+    out_schema = (
+        StructType(fields).add("cusum_g", LongType()).add("alarm", BooleanType())
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        g, out = 0, []
+        for x in pdf[x_col]:
+            g = max(0, g + (int(x) - target - slack))
+            out.append(g)
+        pdf = pdf[keep].copy()
+        pdf["cusum_g"] = pd.array(out, dtype="int64")
+        pdf["alarm"] = pdf["cusum_g"] > threshold
+        return pdf
+
+    return df.select(*keep).groupBy(key_col).applyInPandas(scan, out_schema)

@@ -5,8 +5,9 @@ NMI as hashed exact integers via a persisted micro-nat dictionary
 C156 association rules (C159), Markov removal-effect attribution in
 deterministic fixed-point bigints (C160), and the ε-DP discrete-
 Laplace histogram release off a persisted inverse-CDF artifact
-(C161), and per-series EWMA as an exact fixed-point grouped-map scan
-(C162).
+(C161), per-series EWMA as an exact fixed-point grouped-map scan
+(C162), and the CUSUM change-point statistic on the same substrate
+(C163).
 
 Reference parity note: the reference (OpenETL, TypeScript) has no
 analytics engine — these are build-extension components mandated by
@@ -655,3 +656,77 @@ def q_ewma_user_values(spark, sf_dir):
     return T.ewma_fixed_point(
         x, "user_id", ("ts", "event_id"), "xi"
     ).select("user_id", "event_id", "xi", "ewma_k")
+
+
+# ---------------------------------------------------------------------
+# C163 — CUSUM change-point statistic (Page 1954): the sequential-
+# detection classic next to the EWMA scan, same grouped-map engine
+# shape and recursive-CTE oracle — and NO rounding anywhere (max/+
+# only), so even centering may go negative safely.
+# ---------------------------------------------------------------------
+
+_CUSUM_SLACK = 1000  # cents: the k allowance subtracted per step
+_CUSUM_THR = 10000  # cents: alarm when g exceeds this
+
+
+@query(
+    "cusum_alerts",
+    f"""
+    WITH RECURSIVE x AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS xi
+      FROM events),
+    m AS (SELECT user_id, CAST(sum(xi) // count(*) AS BIGINT) AS mu
+          FROM x GROUP BY 1),
+    s AS (SELECT x.user_id, x.event_id, x.ts,
+                 x.xi - m.mu AS c,
+                 row_number() OVER (
+                   PARTITION BY x.user_id ORDER BY x.ts, x.event_id) AS rn
+          FROM x JOIN m USING (user_id)),
+    rec AS (
+      SELECT user_id, event_id, rn, c,
+             greatest(CAST(0 AS BIGINT), c - {_CUSUM_SLACK}) AS cusum_g
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.rn, n.c,
+             greatest(CAST(0 AS BIGINT),
+                      r.cusum_g + n.c - {_CUSUM_SLACK})
+      FROM rec r
+      JOIN s n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+    SELECT user_id, event_id, c, cusum_g,
+           cusum_g > {_CUSUM_THR} AS alarm
+    FROM rec
+    """,
+)
+def q_cusum_alerts(spark, sf_dir):
+    """C163: one-sided CUSUM change-point detection over each user's
+    mean-centered event-value series (operators/timeseries.
+    cusum_fixed_point — Page 1954): xi = floor(value·100) cents, the
+    per-series in-control level as the INTEGER mean sum(xi) div n
+    (one partial agg + an equi-join back — at 100 TB this is the
+    usual two-pass centering, no window), then
+    g_t = max(0, g_{t-1} + (c_t − slack)) with alarm when g > thr.
+    Unlike the EWMA there is no floor division at all — max and + are
+    exact on any sign — so centering below zero is safe and the whole
+    corpus-sized relation hashes cross-engine. slack=1000/thr=10000
+    cents give a ~26% alarm mix on the testdata (measured), so both
+    branches of the alarm predicate are exercised at every SF."""
+    e = load(spark, sf_dir, "events")
+    x = e.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+    )
+    # `div`, not `/`: integer division stays exact (a double quotient
+    # truncated back to bigint can land one off the true floor once
+    # sums outgrow the 53-bit mantissa at real scale)
+    mu = x.groupBy("user_id").agg(
+        F.expr("sum(xi) div count(*)").cast("bigint").alias("mu")
+    )
+    centered = x.join(mu, "user_id").select(
+        "user_id", "event_id", "ts",
+        (F.col("xi") - F.col("mu")).alias("c"),
+    )
+    return T.cusum_fixed_point(
+        centered, "user_id", ("ts", "event_id"), "c",
+        target=0, slack=_CUSUM_SLACK, threshold=_CUSUM_THR,
+    ).select("user_id", "event_id", "c", "cusum_g", "alarm")

@@ -2732,3 +2732,31 @@ def test_ewma_fixed_point_hand(spark):
     with _pytest.raises(ValueError, match="alpha"):
         T.ewma_fixed_point(df, "user_id", ("ts", "event_id"), "xi",
                            alpha_num=3, alpha_den=2)
+
+
+def test_cusum_fixed_point_hand(spark):
+    import datetime as dt
+
+    from openetl_spark.operators import timeseries as T
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), 100 + i, x)
+        for i, x in enumerate([5, -20, 8, 9, -1])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, xi long"
+    )
+    got = {
+        r["event_id"]: (r["cusum_g"], r["alarm"])
+        for r in T.cusum_fixed_point(
+            df, "user_id", ("ts", "event_id"), "xi",
+            target=0, slack=2, threshold=10,
+        ).collect()
+    }
+    # g: max(0, 0+5-2)=3; max(0,3-20-2)=0; 0+8-2=6; 6+9-2=13>thr; 13-1-2=10
+    assert got == {
+        100: (3, False), 101: (0, False), 102: (6, False),
+        103: (13, True), 104: (10, False),
+    }
+    # the statistic clamps at zero, never negative, on any input
+    assert all(g >= 0 for g, _ in got.values())
