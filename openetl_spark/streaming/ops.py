@@ -495,3 +495,83 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_SCHEMA = "user_id bigint, event_id bigint, xi bigint, ewma_k bigint"
+EWMA_STATE_SCHEMA = "s bigint"
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """C24×C162: stateful streaming twin of the fixed-point EWMA scan.
+    Like the funnel (and unlike the mergeable cell logs), the
+    recursion has no per-batch decomposition — s_t depends on the
+    FINAL smoothed value across all prior batches — so the streaming
+    form is per-user STATE: the single fixed-point integer s,
+    advanced by folding each micro-batch's rows in (ts, event_id)
+    order. Each input event emits exactly one append row carrying its
+    smoothed value, and the union of emissions across batches equals
+    ``timeseries.ewma_fixed_point`` on the same events whenever
+    per-key arrival respects event-time order (the
+    streaming_funnel/streaming_time_weighted contract: watermarked
+    reordering upstream, or the replay harness's range-partitioned
+    files) — the fold is literally the batch recurrence.
+
+    State is ONE integer per series forever; per-batch work is the
+    batch's own rows sorted once per key (Arrow chunks carry no
+    cross-chunk order). Values are quantized upstream of the state
+    fold: xi = floor(value·100), the C162 discipline (negative inputs
+    raise — floor-division semantics diverge below zero).
+    """
+    if not (0 < alpha_num <= alpha_den):
+        raise ValueError(
+            f"streaming_ewma: need 0 < alpha_num <= alpha_den, got "
+            f"{alpha_num}/{alpha_den}"
+        )
+    k = 1 << scale_bits
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        s = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ordered = batch.sort_values(["mu", "event_id"])[["event_id", "xi"]]
+        rows = []
+        for eid, x in ordered.itertuples(index=False):
+            xi = int(x)
+            if xi < 0:
+                raise ValueError(
+                    "streaming_ewma: negative input — floor-division "
+                    "semantics diverge across engines below zero"
+                )
+            s = (
+                xi * k
+                if s is None
+                else (alpha_num * xi * k + (alpha_den - alpha_num) * s)
+                // alpha_den
+            )
+            rows.append((key[0], int(eid), xi, s))
+        state.update((s,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "xi", "ewma_k"]
+            )
+
+    return (
+        stream.select(
+            "user_id",
+            F.unix_micros("ts").alias("mu"),
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

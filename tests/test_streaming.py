@@ -444,3 +444,41 @@ def test_streaming_funnel_validation(spark, stream_dir):
         ops.streaming_funnel(stream, ["signup"])
     with pytest.raises(ValueError, match="duplicate"):
         ops.streaming_funnel(stream, ["signup", "signup"])
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, stream_dir):
+    """C162 streaming parity: the one-integer-state EWMA fold over
+    time-ordered micro-batches emits exactly the batch scan's
+    smoothed value for every event — bit-exact, since both sides run
+    the same fixed-point recurrence."""
+    from openetl_spark.operators import timeseries as T
+
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(ops.streaming_ewma(stream), "t_ewma", "append")
+    streamed = {
+        r["event_id"]: (r["xi"], r["ewma_k"])
+        for r in spark.sql("SELECT * FROM t_ewma").collect()
+    }
+    assert streamed
+    # exactly one emission per event
+    assert len(streamed) == spark.sql(
+        "SELECT count(*) FROM t_ewma"
+    ).collect()[0][0]
+    e = catalog.load(spark, sf_dir, "events")
+    x = e.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+    )
+    batch = {
+        r["event_id"]: (r["xi"], r["ewma_k"])
+        for r in T.ewma_fixed_point(
+            x, "user_id", ("ts", "event_id"), "xi"
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_ewma_validation(spark, stream_dir):
+    stream = ops.read_event_stream(spark, stream_dir)
+    with pytest.raises(ValueError, match="alpha"):
+        ops.streaming_ewma(stream, alpha_num=0)
