@@ -715,19 +715,27 @@ def association_rules_k3(
         raise ValueError(
             f"association_rules_k3: min_support must be >= 1, got {min_support}"
         )
-    b = baskets.select(
-        F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
-    ).dropDuplicates()
+    # The deduplicated basket relation feeds SIX consumers (pair
+    # derivation ×2, pair/triple enumeration ×3, item supports +
+    # total): localCheckpoint it once so the dedup shuffle and the
+    # upstream scan are paid once, not per consumer — the
+    # iterative-operator discipline; measured as the dominant cost of
+    # the first cut at sf0.1.
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    bx = b.select(F.col("_o"), F.col("_i").alias("x"))
+    by = b.select(F.col("_o"), F.col("_i").alias("y"))
+    bz = b.select(F.col("_o"), F.col("_i").alias("z"))
+    pair_inst_all = bx.join(by, "_o").filter(F.col("x") < F.col("y"))
     if pairs is None:
-        l, r = b.alias("l"), b.alias("r")
-        pairs = (
-            l.join(
-                r,
-                (F.col("l._o") == F.col("r._o"))
-                & (F.col("l._i") < F.col("r._i")),
-            )
-            .groupBy(F.col("l._i").alias("x"), F.col("r._i").alias("y"))
-            .agg(F.count_distinct(F.col("l._o")).cast("bigint").alias("n_both"))
+        # b is deduplicated, so plain count == count distinct baskets
+        pairs = pair_inst_all.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_both")
         )
     fp = pairs.filter(F.col("n_both") >= min_support).select(
         "x", "y", "n_both"
@@ -749,15 +757,28 @@ def association_rules_k3(
             "semi",
         )
     )
-    bx = b.select(F.col("_o"), F.col("_i").alias("x"))
-    by = b.select(F.col("_o"), F.col("_i").alias("y"))
-    bz = b.select(F.col("_o"), F.col("_i").alias("z"))
+    # Support counting by IN-BASKET enumeration, not candidate×basket
+    # joins: starting the chain from `cand` matches every basket
+    # containing the candidate's first item (fan-out |cand per item| ×
+    # |baskets per item| — measured 55M intermediate rows at sf0.1 /
+    # ~34 s warm), while enumerating each basket's own triples is
+    # bounded by C(basket_size, 3) per basket — corpus-LINEAR with
+    # small constants (~4 triples per TPC-H order). The A-priori
+    # relation still prunes: pair instances are trimmed against the
+    # frequent-pair relation before extending (transaction trimming,
+    # Agrawal-Srikant §2.1.1), and the final semi-join keeps only
+    # closure-complete candidates.
+    pair_inst = pair_inst_all.join(
+        broadcast_if_small(fp.select("x", "y")), ["x", "y"], "semi"
+    )
     tri = (
-        cand.join(bx, "x")
-        .join(by, ["_o", "y"])
-        .join(bz, ["_o", "z"])
+        pair_inst.join(bz, "_o")
+        .filter(F.col("y") < F.col("z"))
+        .join(broadcast_if_small(cand), ["x", "y", "z"], "semi")
         .groupBy("x", "y", "z")
-        .agg(F.count_distinct("_o").cast("bigint").alias("n_triple"))
+        # b is deduplicated, so each (triple, basket) instance is
+        # unique — count(*) == count distinct, minus a dedup pass
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triple"))
         .filter(F.col("n_triple") >= min_support)
     )
     rules = (
