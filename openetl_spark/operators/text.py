@@ -1068,3 +1068,64 @@ def unigram_encode(
         .withColumn(out, F.coalesce(F.col(out), empty))
         .withColumn(f"n_{out}", F.size(F.col(out)))
     )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    window: int = 2,
+) -> DataFrame:
+    """Symmetric word co-occurrence edge list over a document corpus —
+    the TextRank graph (Mihalcea & Tarau, EMNLP 2004 §3.1: an
+    undirected edge between words within ``window`` tokens). One
+    posexplode + ONE doc-keyed window pass emitting the gap-1..gap-w
+    successors via lead() — no token self-join — then the undirected
+    symmetrization (both directions) and a pair count. Self-loops
+    (adjacent repeats of the same word) are dropped: they only feed a
+    word's rank back to itself. Output (src, dst, w) is bounded by
+    vocabulary², never corpus-sized; the scan is corpus-linear.
+    """
+    from pyspark.sql import Window as W
+
+    if window < 1:
+        raise ValueError(f"cooccurrence_edges: window must be >= 1, got {window}")
+    t = df.select(
+        F.col(doc_col).alias("_d"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_w"),
+    )
+    win = W.partitionBy("_d").orderBy("_p")
+    # All gaps from ONE window pass (a union of per-gap projections
+    # would re-run the posexplode + per-doc sort per gap — measured),
+    # emitted through an array_compact/explode; the per-row array is
+    # `window` slots, never corpus-fanout.
+    led = t.select(
+        F.col("_w"),
+        *[
+            F.lead("_w", g).over(win).alias(f"_b{g}")
+            for g in range(1, window + 1)
+        ],
+    )
+    slots = [
+        F.when(
+            F.col(f"_b{g}").isNotNull() & (F.col(f"_b{g}") != F.col("_w")),
+            F.struct(F.col("_w").alias("a"), F.col(f"_b{g}").alias("b")),
+        )
+        for g in range(1, window + 1)
+    ]
+    dir_counts = (
+        led.select(F.explode(F.array_compact(F.array(*slots))).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    # Symmetrize the COUNTED relation (vocabulary²-bounded), not the
+    # corpus-sized pair instances.
+    return (
+        dir_counts.unionByName(
+            dir_counts.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "_n"
+            )
+        )
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.sum("_n").cast("bigint").alias("w"))
+    )

@@ -6,8 +6,9 @@ C156 association rules (C159), Markov removal-effect attribution in
 deterministic fixed-point bigints (C160), and the ε-DP discrete-
 Laplace histogram release off a persisted inverse-CDF artifact
 (C161), per-series EWMA as an exact fixed-point grouped-map scan
-(C162), and the CUSUM change-point statistic on the same substrate
-(C163).
+(C162), the CUSUM change-point statistic on the same substrate
+(C163), and TextRank keywords — the graph×text composition riding
+the existing weighted PageRank (C164).
 
 Reference parity note: the reference (OpenETL, TypeScript) has no
 analytics engine — these are build-extension components mandated by
@@ -730,3 +731,116 @@ def q_cusum_alerts(spark, sf_dir):
         centered, "user_id", ("ts", "event_id"), "c",
         target=0, slack=_CUSUM_SLACK, threshold=_CUSUM_THR,
     ).select("user_id", "event_id", "c", "cusum_g", "alarm")
+
+
+# ---------------------------------------------------------------------
+# C164 — TextRank keywords: the graph×text composition (Mihalcea &
+# Tarau 2004) — corpus-linear co-occurrence edge derivation feeding
+# the existing weighted PageRank operator unchanged; the oracle
+# unrolls the same power iteration (the pagerank_nations float
+# discipline: per-round sums differ only in addition order ~1e-16,
+# damped, collapsed by the shared fixed 6dp floor-round).
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators import text as X  # noqa: E402
+
+_TR_ITERS = 10
+_TR_DAMPING = 0.85
+_TR_WINDOW = 2
+
+
+def _pagerank_iter_ctes(iters: int, damping: float) -> str:
+    """The d{i}/r{i} unrolled power-iteration chain of
+    analytics_r06.pagerank_oracle(), generalized: expects CTEs named
+    nodes/nn/outw/frac/tele/r0 upstream; leaves the final rank
+    relation as r{iters}. (1-d) rendered with repr() — the
+    pagerank_oracle binary-double discipline."""
+    out = ""
+    prev = "r0"
+    # MATERIALIZED is load-bearing past ~5 iterations: each level
+    # references the previous twice (dangling + contributions), so an
+    # inlining planner would expand 2^iters scans of the whole
+    # upstream chain (the markov_attribution lesson).
+    for i in range(1, iters + 1):
+        out += f""",
+    d{i} AS MATERIALIZED (
+             SELECT COALESCE(sum(r.pr), 0) AS dang FROM {prev} r
+             WHERE r.node NOT IN (SELECT src FROM outw)),
+    r{i} AS MATERIALIZED (
+      SELECT t.node,
+             {(1.0 - damping)!r} * t.p
+             + {damping!r} * (COALESCE(c.contrib, 0)
+                              + (SELECT dang FROM d{i}) * t.p) AS pr
+      FROM tele t LEFT JOIN (
+        SELECT f.dst AS node, sum(r.pr * f.frac) AS contrib
+        FROM {prev} r JOIN frac f ON r.node = f.src GROUP BY 1) c
+      ON t.node = c.node)"""
+        prev = f"r{i}"
+    return out
+
+
+@query(
+    "textrank_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS w,
+                 generate_subscripts(tk, 1) AS pos
+          FROM toks),
+    prp AS (
+      SELECT w AS a,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM t
+      UNION ALL
+      SELECT w, lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+      FROM t),
+    fw AS (SELECT a, b FROM prp WHERE b IS NOT NULL AND a <> b),
+    und AS (SELECT a, b FROM fw UNION ALL SELECT b, a FROM fw),
+    edges AS MATERIALIZED (
+              SELECT a AS src, b AS dst, CAST(count(*) AS DOUBLE) AS w
+              FROM und GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    frac AS (SELECT e.src, e.dst, e.w / o.ow AS frac
+             FROM edges e JOIN outw o ON e.src = o.src),
+    tele AS (SELECT node, 1.0 / (SELECT n FROM nn) AS p FROM nodes),
+    r0 AS (SELECT node, p AS pr FROM tele)
+    {_pagerank_iter_ctes(_TR_ITERS, _TR_DAMPING)},
+    strength AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS strength
+                 FROM edges GROUP BY 1)
+    SELECT r.node AS word, s.strength,
+           floor(r.pr * 1000000.0 + 0.5) / 1000000.0 AS pr
+    FROM r{_TR_ITERS} r JOIN strength s ON r.node = s.node
+    """,
+)
+def q_textrank_keywords(spark, sf_dir):
+    """C164: TextRank keyword scores over the document corpus
+    (operators/text.cooccurrence_edges + operators/graph.pagerank —
+    Mihalcea & Tarau 2004, the graph×text composition): the symmetric
+    within-2-tokens co-occurrence graph derived corpus-linearly (one
+    posexplode + one doc-keyed lead() window pass, no token
+    self-join; the edge relation is vocabulary²-bounded), then 10
+    rounds of the repo's weighted PageRank UNCHANGED — dangling mass,
+    uniform restart, fixed iteration count. strength (a word's total
+    incident co-occurrence weight) is an exact bigint; pr rides the
+    pagerank_nations float discipline (per-round sums differ only in
+    addition order ~1e-16, damped, both engines collapsed by the
+    shared 6dp floor-round). The oracle re-derives tokens, graph, and
+    the unrolled power iteration in SQL."""
+    d = load(spark, sf_dir, "documents")
+    edges = X.cooccurrence_edges(d, window=_TR_WINDOW)
+    ranks = G.pagerank(edges, weight="w", iters=_TR_ITERS,
+                       damping=_TR_DAMPING)
+    strength = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("strength")
+    )
+    return ranks.join(strength, "node").select(
+        F.col("node").alias("word"),
+        "strength",
+        (F.floor(F.col("rank") * 1000000.0 + F.lit(0.5)) / 1000000.0)
+        .alias("pr"),
+    )

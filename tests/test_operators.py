@@ -2760,3 +2760,32 @@ def test_cusum_fixed_point_hand(spark):
     }
     # the statistic clamps at zero, never negative, on any input
     assert all(g >= 0 for g, _ in got.values())
+
+
+def test_cooccurrence_edges_hand(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c c a")], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in X.cooccurrence_edges(df).collect()
+    }
+    # doc1 gap1: ab ba ab; gap2: aa bb (self, dropped)
+    # doc2 gap1: cc (self, dropped) ca; gap2: ca
+    expect = {
+        ("a", "b"): 3, ("b", "a"): 3,
+        ("c", "a"): 2, ("a", "c"): 2,
+    }
+    assert got == expect
+    # symmetric by construction
+    assert all(got[(b, a)] == w for (a, b), w in got.items())
+    # window=1 drops the gap-2 pairs
+    got1 = {
+        (r["src"], r["dst"]): r["w"]
+        for r in X.cooccurrence_edges(df, window=1).collect()
+    }
+    assert got1 == {("a", "b"): 3, ("b", "a"): 3, ("c", "a"): 1, ("a", "c"): 1}
+    with _pytest.raises(ValueError, match="window"):
+        X.cooccurrence_edges(df, window=0)
