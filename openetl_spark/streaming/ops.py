@@ -575,3 +575,63 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_SCHEMA = (
+    "user_id bigint, event_id bigint, c bigint, cusum_g bigint, alarm boolean"
+)
+CUSUM_STATE_SCHEMA = "g bigint"
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    mu: DataFrame,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """C24×C163: stateful streaming twin of the CUSUM scan — one
+    bigint of per-series state (the current g), the streaming_ewma
+    contract verbatim (per-key event-time arrival ⇒ the fold IS the
+    batch recurrence; one append row per event).
+
+    ``mu``: the per-key in-control level (user_id, mu) as a STATIC
+    relation, stream-static joined per micro-batch — the standard
+    deployment shape (the level is fitted on history, the stream is
+    monitored against it). The batch operator centers against the
+    same relation, so parity is exact.
+    """
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        g = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ordered = batch.sort_values(["mu_us", "event_id"])[["event_id", "c"]]
+        rows = []
+        for eid, c in ordered.itertuples(index=False):
+            g = max(0, g + (int(c) - slack))
+            rows.append((key[0], int(eid), int(c), g, g > threshold))
+        state.update((g,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "c", "cusum_g", "alarm"]
+            )
+
+    centered = (
+        stream.select(
+            "user_id",
+            F.unix_micros("ts").alias("mu_us"),
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+        )
+        .join(mu, "user_id")
+        .select(
+            "user_id", "mu_us", "event_id",
+            (F.col("xi") - F.col("mu")).alias("c"),
+        )
+    )
+    return centered.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -482,3 +482,44 @@ def test_streaming_ewma_validation(spark, stream_dir):
     stream = ops.read_event_stream(spark, stream_dir)
     with pytest.raises(ValueError, match="alpha"):
         ops.streaming_ewma(stream, alpha_num=0)
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, stream_dir):
+    """C163 streaming parity: the one-integer-state CUSUM fold over a
+    stream-static centered series reproduces the batch scan exactly —
+    same g, same alarms — when both center against the same static
+    in-control relation."""
+    from openetl_spark.operators import timeseries as T
+
+    e = catalog.load(spark, sf_dir, "events")
+    x = e.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+    )
+    mu = x.groupBy("user_id").agg(
+        F.expr("sum(xi) div count(*)").cast("bigint").alias("mu")
+    )
+    stream = ops.read_event_stream(spark, stream_dir)
+    ops.run_to_memory_sink(
+        ops.streaming_cusum(stream, mu, slack=1000, threshold=10000),
+        "t_cusum",
+        "append",
+    )
+    streamed = {
+        r["event_id"]: (r["c"], r["cusum_g"], r["alarm"])
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    }
+    assert streamed
+    centered = x.join(mu, "user_id").select(
+        "user_id", "event_id", "ts", (F.col("xi") - F.col("mu")).alias("c")
+    )
+    batch = {
+        r["event_id"]: (r["c"], r["cusum_g"], r["alarm"])
+        for r in T.cusum_fixed_point(
+            centered, "user_id", ("ts", "event_id"), "c",
+            target=0, slack=1000, threshold=10000,
+        ).collect()
+    }
+    assert streamed == batch
+    assert any(a for _, _, a in streamed.values())
+    assert not all(a for _, _, a in streamed.values())
