@@ -93,7 +93,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # its window (incl. all eight r11 rechecks — pruned). Slots go first
 # to the THREE new r12 queries (no driver row anywhere), then the
 # FIVE DRIVER_RECHECK entries, then the COMPLETE 10-entry r06-latest
-# tail queue, then the first 27 of the 46 r07-latest rows
+# tail queue, then the first 26 of the 46 r07-latest rows
 # alphabetically — exactly 50; the 14 displaced r07 tails are the r13
 # queue head. After this round's driver run nothing anywhere is
 # r06-latest.
@@ -131,6 +131,7 @@ DRIVER_PRIORITY: list[str] = [
     "ewma_user_values",
     "cusum_alerts",
     "textrank_keywords",
+    "holt_user_values",
     # --- changed since their last driver row (DRIVER_RECHECK) ---
     "landmark_stress",
     "landmark_betweenness",
@@ -150,7 +151,7 @@ DRIVER_PRIORITY: list[str] = [
     "time_weighted_avg",
     "tumbling_hourly",
     # --- the r07-latest burn-down queue (46 rows, alphabetical — the
-    # first 27 fit this window; the remaining 19 are the r13 queue
+    # first 26 fit this window; the remaining 20 are the r13 queue
     # head) ---
     "array_funcs_extended",
     "attribution_last_touch",
@@ -178,9 +179,8 @@ DRIVER_PRIORITY: list[str] = [
     "q13_order_distribution",
     "q14_promo_share",
     "q15_top_supplier",
-    "q16_supplier_cnt",
-    # r13 queue, in order: the 19 displaced r07 tails
-    # (q17_small_quantity, q18_large_orders, q19_discounted_revenue, q21_waiting_supplier, q2_min_cost_supplier, q4_order_priority, q6_forecast_revenue, q7_volume_shipping,
+    # r13 queue, in order: the 20 displaced r07 tails
+    # (q16_supplier_cnt, q17_small_quantity, q18_large_orders, q19_discounted_revenue, q21_waiting_supplier, q2_min_cost_supplier, q4_order_priority, q6_forecast_revenue, q7_volume_shipping,
     # q8_market_share, q9_product_profit, rarity_score,
     # regression_aggs, repetition_stats, set_intersect, set_union,
     # string_funcs_extended, union_all_counts, variant_funcs,

@@ -543,3 +543,83 @@ def cusum_fixed_point(
         return pdf
 
     return df.select(*keep).groupBy(key_col).applyInPandas(scan, out_schema)
+
+
+#: Offset making every Holt division operate on a POSITIVE numerator:
+#: python's // floors while SQL's // truncates toward zero, and they
+#: only agree above zero — floor(y/d) == (y + M*d)//d - M for any y
+#: once y + M*d > 0. |level diffs| and |trends| stay far below M.
+HOLT_SHIFT = 1 << 41
+
+
+def holt_fixed_point(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    x_col: str = "xi",
+    alpha: tuple[int, int] = (1, 2),
+    beta: tuple[int, int] = (1, 2),
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend; Holt 1957)
+    per series in EXACT fixed-point integers — the two-state
+    extension of ``ewma_fixed_point``:
+
+        l_t = (a_n·x_t·K + (a_d−a_n)·(l_{t−1}+b_{t−1})) fdiv a_d
+        b_t = (b_n·(l_t − l_{t−1}) + (b_d−b_n)·b_{t−1}) fdiv b_d
+
+    with l_1 = x_1·K, b_1 = 0. The trend numerator can be NEGATIVE
+    (a falling series), where python floor-division and SQL ``//``
+    disagree — every fdiv is therefore rendered with the HOLT_SHIFT
+    offset ((y + M·d) div d − M), which keeps the divided quantity
+    positive so truncation IS floor in both engines; the paired
+    oracle replays the identical shifted recursion. Inputs must be
+    nonnegative (same guard as the EWMA).
+
+    Same scale shape: Arrow-batched grouped map, one shuffle on the
+    series key, two integers of state.
+    """
+    import pandas as pd
+
+    for name, (n_, d_) in (("alpha", alpha), ("beta", beta)):
+        if not (0 < n_ <= d_):
+            raise ValueError(
+                f"holt_fixed_point: need 0 < {name}_num <= {name}_den, "
+                f"got {n_}/{d_}"
+            )
+    k = 1 << scale_bits
+    an, ad = alpha
+    bn, bd = beta
+    m = HOLT_SHIFT
+
+    def fdiv(y: int, d: int) -> int:
+        return (y + m * d) // d - m
+
+    keep = [key_col, *order_cols, x_col]
+    fields = [df.schema[c] for c in keep]
+    out_schema = (
+        StructType(fields).add("level_k", LongType()).add("trend_k", LongType())
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        lv, tr, out = None, 0, []
+        for x in pdf[x_col]:
+            xi = int(x)
+            if xi < 0:
+                raise ValueError(
+                    "holt_fixed_point: negative input — see ewma_fixed_point"
+                )
+            if lv is None:
+                lv = xi * k
+            else:
+                prev = lv
+                lv = fdiv(an * xi * k + (ad - an) * (lv + tr), ad)
+                tr = fdiv(bn * (lv - prev) + (bd - bn) * tr, bd)
+            out.append((lv, tr))
+        pdf = pdf[keep].copy()
+        pdf["level_k"] = pd.array([a for a, _ in out], dtype="int64")
+        pdf["trend_k"] = pd.array([b for _, b in out], dtype="int64")
+        return pdf
+
+    return df.select(*keep).groupBy(key_col).applyInPandas(scan, out_schema)

@@ -7,8 +7,10 @@ deterministic fixed-point bigints (C160), and the ε-DP discrete-
 Laplace histogram release off a persisted inverse-CDF artifact
 (C161), per-series EWMA as an exact fixed-point grouped-map scan
 (C162), the CUSUM change-point statistic on the same substrate
-(C163), and TextRank keywords — the graph×text composition riding
-the existing weighted PageRank (C164).
+(C163), TextRank keywords — the graph×text composition riding
+the existing weighted PageRank (C164), and Holt level+trend
+smoothing — the two-state scan with sign-safe shifted divisions
+(C165).
 
 Reference parity note: the reference (OpenETL, TypeScript) has no
 analytics engine — these are build-extension components mandated by
@@ -844,3 +846,68 @@ def q_textrank_keywords(spark, sf_dir):
         (F.floor(F.col("rank") * 1000000.0 + F.lit(0.5)) / 1000000.0)
         .alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------
+# C165 — Holt double-exponential smoothing: the two-state (level +
+# trend) extension of C162. The trend numerator goes NEGATIVE on
+# falling series, where python floor-div and SQL // disagree — every
+# division is offset-shifted ((y + M·d) div d − M) so both engines
+# divide positives and truncation IS floor.
+# ---------------------------------------------------------------------
+
+from openetl_spark.operators.timeseries import HOLT_SHIFT  # noqa: E402
+
+
+@query(
+    "holt_user_values",
+    f"""
+    WITH RECURSIVE x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < 0
+                  THEN CAST(error('holt_fixed_point: negative input')
+                            AS BIGINT)
+                  ELSE CAST(floor(value * 100) AS BIGINT) END AS xi
+      FROM events),
+    s AS (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM x),
+    rec AS (
+      SELECT user_id, event_id, rn, xi,
+             xi * {1 << 20} AS level_k, CAST(0 AS BIGINT) AS trend_k
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.rn, n.xi, lv.l, 
+             ((lv.l - r.level_k + r.trend_k + {2 * HOLT_SHIFT}) // 2)
+               - {HOLT_SHIFT}
+      FROM rec r
+      JOIN s n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT ((n.xi * {1 << 20} + r.level_k + r.trend_k
+                 + {2 * HOLT_SHIFT}) // 2) - {HOLT_SHIFT} AS l) lv)
+    SELECT user_id, event_id, xi, level_k, trend_k FROM rec
+    """,
+)
+def q_holt_user_values(spark, sf_dir):
+    """C165: Holt level+trend smoothing (α = β = 1/2) of each user's
+    event-value series in 2^-20 fixed-point cents
+    (operators/timeseries.holt_fixed_point — Holt 1957, the
+    two-state extension of the C162 EWMA): l_t = (x_t·K +
+    (l+b)_{t-1}) fdiv 2, b_t = ((l_t − l_{t-1}) + b_{t-1}) fdiv 2.
+    The trend numerator is negative on falling series — python
+    floor-div and SQL // disagree below zero, so every division is
+    offset-shifted ((y + 2M) div 2 − M with M = 2^41), making both
+    engines divide positives where truncation IS floor; the whole
+    corpus-sized relation hashes cross-engine. Same grouped-map
+    engine shape as C162/C163 (two integers of state); the oracle
+    replays the shifted recursion as a recursive CTE with the level
+    update factored through LATERAL so it is computed once per
+    step."""
+    e = load(spark, sf_dir, "events")
+    x = e.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("xi"),
+    )
+    return T.holt_fixed_point(
+        x, "user_id", ("ts", "event_id"), "xi"
+    ).select("user_id", "event_id", "xi", "level_k", "trend_k")

@@ -2789,3 +2789,51 @@ def test_cooccurrence_edges_hand(spark):
     assert got1 == {("a", "b"): 3, ("b", "a"): 3, ("c", "a"): 1, ("a", "c"): 1}
     with _pytest.raises(ValueError, match="window"):
         X.cooccurrence_edges(df, window=0)
+
+
+def test_holt_fixed_point_hand(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from openetl_spark.operators import timeseries as T
+    from openetl_spark.operators.timeseries import HOLT_SHIFT
+
+    def fdiv(y, d):
+        return (y + HOLT_SHIFT * d) // d - HOLT_SHIFT
+
+    k = 1 << 20
+    # a falling series: the trend numerator goes NEGATIVE
+    xs = [10, 4, 2, 8]
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), 100 + i, x)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, xi long"
+    )
+    got = {
+        r["event_id"]: (r["level_k"], r["trend_k"])
+        for r in T.holt_fixed_point(
+            df, "user_id", ("ts", "event_id"), "xi"
+        ).collect()
+    }
+    lv, tr, expect = None, 0, {}
+    for i, x in enumerate(xs):
+        if lv is None:
+            lv = x * k
+        else:
+            prev = lv
+            lv = fdiv(x * k + lv + tr, 2)
+            tr = fdiv((lv - prev) + tr, 2)
+        expect[100 + i] = (lv, tr)
+    assert got == expect
+    # the falling steps really produced a negative trend (the branch
+    # where python-// and SQL-// would diverge without the shift)
+    assert any(t < 0 for _, t in got.values())
+    # floor identity: fdiv equals python's floor division everywhere
+    for y in (-7, -1, 0, 1, 7):
+        assert fdiv(y, 2) == y // 2
+    with _pytest.raises(ValueError, match="beta"):
+        T.holt_fixed_point(df, "user_id", ("ts", "event_id"), "xi",
+                           beta=(3, 2))

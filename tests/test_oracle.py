@@ -57,14 +57,14 @@ def test_driver_priority_window_integrity():
     assert not missing, missing
     first50 = list(entry.queries())[:50]
     assert first50 == pri
-    # round-12 rotation: the eight new queries, every DRIVER_RECHECK
+    # round-12 rotation: the nine new queries, every DRIVER_RECHECK
     # entry (code/oracle changed since the last driver row), the
     # complete 10-entry r06-latest tail queue, and the head of the
     # 46-entry r07-latest refresh queue hold slots
     for newcomer in ("betweenness_report", "cluster_nmi_report",
                      "association_rules_k3", "markov_attribution",
                      "dp_event_counts", "ewma_user_values", "cusum_alerts",
-                     "textrank_keywords",
+                     "textrank_keywords", "holt_user_values",
                      "session_windows", "set_except", "simhash_dedup",
                      "skyline_parts", "sliding_counts", "sql_passthrough",
                      "string_funcs", "text_stats", "time_weighted_avg",
@@ -79,7 +79,7 @@ def test_driver_priority_window_integrity():
                      "percentile_exact", "pii_redaction", "pivot_dynamic",
                      "q10_returned_items", "q12_shipping_delay",
                      "q13_order_distribution", "q14_promo_share",
-                     "q15_top_supplier", "q16_supplier_cnt",
+                     "q15_top_supplier",
                      *sorted(catalog.DRIVER_RECHECK)):
         assert newcomer in first50, newcomer
     o = entry.oracle_sql()
