@@ -1163,11 +1163,19 @@ def cms_token_estimates(
     def positions(tok_col):
         return cms_positions(tok_col, depth, width)
 
+    # r12 optimization: a cell count is Σ over DISTINCT tokens landing
+    # on it of that token's frequency, so hash positions are computed
+    # once per distinct token (weighted by its grouped count), not once
+    # per corpus token — depth×distinct md5s instead of depth×corpus
+    # (the ams_cells discipline). Cell values are bit-identical.
+    tok_counts = ex.groupBy("token").agg(F.count("*").alias("_f"))
     cells = (
-        ex.select(F.explode(positions(F.col("token"))).alias("dp"))
-        .select("dp.d", "dp.pos")
+        tok_counts.select(
+            F.explode(positions(F.col("token"))).alias("dp"), "_f"
+        )
+        .select("dp.d", "dp.pos", "_f")
         .groupBy("d", "pos")
-        .agg(F.count("*").alias("cell"))
+        .agg(F.sum("_f").alias("cell"))
     )
     probes = vocab_topk(df, id_col, text_col, k=probe_k, lowercase=lowercase).select(
         "token", F.col("n_occurrences").alias("n_exact")

@@ -386,43 +386,57 @@ def ams_cells(
     is exactly the determinism KLL/GK cannot offer (SCALE.md r09) —
     AMS's state is a sum, theirs is a merge-tree-shaped buffer.
 
-    Shape: one posexplode of a k-element sign array per row — the
-    corpus is touched once, k·rows skinny intermediate rows feed a
-    map-side-combinable (keys, i) partial agg; the result is k rows
-    per group (kilobytes at any corpus scale). NULLs are excluded
-    (they carry no frequency mass).
+    Shape (r12 optimization): c_i = Σ_v s_i(v)·f_v depends on the
+    DISTINCT-value frequency vector only, so the corpus pass is one
+    map-side-combinable grouped count per (keys, value) — the k-sign
+    md5 array is computed once per DISTINCT value (weighted by its
+    count), not once per corpus row, cutting the hash work from
+    k·rows to k·distinct (a ~63× f̄ reduction at any scale, f̄ the
+    mean frequency; the earlier per-row explode re-derived the same
+    63 signs for every repeat of a hot key). The (keys, value, f)
+    shuffle is partial-aggregated; the sign explode then feeds a
+    second k-rows-per-group partial agg. Result rows and every c_i
+    are bit-identical to the per-row form (sum linearity). NULLs are
+    excluded (they carry no frequency mass).
 
     Counters fit comfortably: |c_i| ≤ total rows < 2⁶³.
     """
     if k < 1:
         raise ValueError(f"ams_cells: k must be >= 1, got {k}")
-    signs = F.transform(
+    freq = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(*keys, value)
+        .agg(F.count("*").cast("bigint").alias("_f"))
+    )
+    signed = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{seed}:"),
-                            i.cast("string"),
-                            F.lit(":"),
-                            F.col(value).cast("string"),
-                        )
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{seed}:"),
+                                i.cast("string"),
+                                F.lit(":"),
+                                F.col(value).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
                     ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            )
+            * 2
+            - 1
         )
-        * 2
-        - 1,
+        * F.col("_f"),
     )
     return (
-        df.filter(F.col(value).isNotNull())
-        .select(*keys, F.posexplode(signs).alias("i", "_s"))
+        freq.select(*keys, F.posexplode(signed).alias("i", "_s"))
         .groupBy(*keys, "i")
         .agg(F.sum("_s").cast("bigint").alias("c"))
     )
@@ -616,7 +630,11 @@ def qdigest_cells(
         # base subtree — a 4-level batch measurably OOMed the optimizer
         # on a 4g heap. The per-level job cost is scheduling on
         # kilobyte relations (~0.3 s/level locally, trivial on a
-        # cluster).
+        # cluster). r12 re-measured the tempting halving (checkpoint
+        # every 2nd level): the ~25-leaf lazy fan-out TRIPLED the
+        # query (qdigest_cells 3.4 s → 11.4 s warm — optimizer +
+        # duplicated level re-execution outweigh the saved rounds), so
+        # the per-level checkpoint stays.
         cur = cur.localCheckpoint()
     return cur.select("v", "c")
 
@@ -686,7 +704,11 @@ def qdigest_merge(
         # base subtree — a 4-level batch measurably OOMed the optimizer
         # on a 4g heap. The per-level job cost is scheduling on
         # kilobyte relations (~0.3 s/level locally, trivial on a
-        # cluster).
+        # cluster). r12 re-measured the tempting halving (checkpoint
+        # every 2nd level): the ~25-leaf lazy fan-out TRIPLED the
+        # query (qdigest_cells 3.4 s → 11.4 s warm — optimizer +
+        # duplicated level re-execution outweigh the saved rounds), so
+        # the per-level checkpoint stays.
         cur = cur.localCheckpoint()
     return cur.select("v", "c")
 

@@ -1078,43 +1078,41 @@ def cooccurrence_edges(
 ) -> DataFrame:
     """Symmetric word co-occurrence edge list over a document corpus —
     the TextRank graph (Mihalcea & Tarau, EMNLP 2004 §3.1: an
-    undirected edge between words within ``window`` tokens). One
-    posexplode + ONE doc-keyed window pass emitting the gap-1..gap-w
-    successors via lead() — no token self-join — then the undirected
-    symmetrization (both directions) and a pair count. Self-loops
-    (adjacent repeats of the same word) are dropped: they only feed a
-    word's rank back to itself. Output (src, dst, w) is bounded by
-    vocabulary², never corpus-sized; the scan is corpus-linear.
+    undirected edge between words within ``window`` tokens). The
+    gap-1..gap-w successor pairs are derived SCAN-SIDE from each
+    document's token array (two aligned slices + zip_with per gap —
+    r12 optimization, guide §2.4: the earlier posexplode + doc-keyed
+    lead() window paid a full corpus-token shuffle AND a per-doc sort
+    just to look `window` elements ahead inside an array the scan
+    already holds; zero shuffles now precede the pair count), then
+    the undirected symmetrization (both directions) and a pair count.
+    Self-loops (adjacent repeats of the same word) are dropped: they
+    only feed a word's rank back to itself. The tokenize lands in its
+    own projection so the multi-reference pair expression reads a
+    bound attribute, not `window`×2 re-tokenizations (the simhash
+    single-reference lesson; SPARK-36718 keeps non-cheap aliases
+    uncollapsed). Output (src, dst, w) is bounded by vocabulary²,
+    never corpus-sized; the scan is corpus-linear.
     """
-    from pyspark.sql import Window as W
-
     if window < 1:
         raise ValueError(f"cooccurrence_edges: window must be >= 1, got {window}")
-    t = df.select(
-        F.col(doc_col).alias("_d"),
-        F.posexplode(tokens(F.col(text_col))).alias("_p", "_w"),
-    )
-    win = W.partitionBy("_d").orderBy("_p")
-    # All gaps from ONE window pass (a union of per-gap projections
-    # would re-run the posexplode + per-doc sort per gap — measured),
-    # emitted through an array_compact/explode; the per-row array is
-    # `window` slots, never corpus-fanout.
-    led = t.select(
-        F.col("_w"),
-        *[
-            F.lead("_w", g).over(win).alias(f"_b{g}")
-            for g in range(1, window + 1)
-        ],
-    )
-    slots = [
-        F.when(
-            F.col(f"_b{g}").isNotNull() & (F.col(f"_b{g}") != F.col("_w")),
-            F.struct(F.col("_w").alias("a"), F.col(f"_b{g}").alias("b")),
+    t = df.select(tokens(F.col(text_col)).alias("_tk"))
+    n = F.size(F.col("_tk"))
+
+    def gap_pairs(g: int):
+        ln = F.greatest(n - F.lit(g), F.lit(0))
+        return F.zip_with(
+            F.slice(F.col("_tk"), 1, ln),
+            F.slice(F.col("_tk"), g + 1, ln),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
         )
-        for g in range(1, window + 1)
-    ]
+
+    pairs = F.filter(
+        F.flatten(F.array(*[gap_pairs(g) for g in range(1, window + 1)])),
+        lambda p: p["a"] != p["b"],
+    )
     dir_counts = (
-        led.select(F.explode(F.array_compact(F.array(*slots))).alias("pr"))
+        t.select(F.explode(pairs).alias("pr"))
         .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     )

@@ -446,13 +446,18 @@ def ewma_fixed_point(
     in any engine — the DuckDB oracle replays the recursion as a
     recursive CTE over the per-series row_number.
 
-    Spark shape: the brief's custom-operator ladder bottoms out at
-    (b) — an Arrow-batched grouped map (``applyInPandas``), ONE
-    shuffle on the high-cardinality series key, then a linear
-    in-partition scan (the multimodal decode-loop precedent: the
-    recursion itself is per-row Python inside the Arrow batch, which
-    is exactly what the ladder prescribes when built-ins can't
-    express the semantics). State per group is one integer.
+    Spark shape (r12 optimization, guide §4.5): ONE shuffle on the
+    high-cardinality series key (``repartition``), the per-series
+    ordering done ONCE in the JVM (``sortWithinPartitions`` — codegen
+    sort, not a per-group pandas ``sort_values``), then a single
+    ``mapInPandas`` pass per partition that resets state at series
+    boundaries and carries it across Arrow batches. The earlier
+    ``groupBy().applyInPandas`` shape paid one Python call + pandas
+    sort + frame copy per GROUP; this pays them per PARTITION while
+    computing the identical recursion (the multimodal decode-loop
+    precedent: per-row Python inside the Arrow batch is what the
+    ladder prescribes when built-ins can't express the semantics).
+    State per series is one integer.
 
     ``x_col`` must already be an exact nonnegative bigint (quantize
     floats with floor(x·scale) BEFORE calling — cross-engine float→int
@@ -460,6 +465,8 @@ def ewma_fixed_point(
     disagree on NEGATIVES, so both are guarded: negative inputs
     raise here and via error() in the paired oracles).
     """
+    from collections.abc import Iterator
+
     import pandas as pd
 
     if not (0 < alpha_num <= alpha_den):
@@ -468,33 +475,37 @@ def ewma_fixed_point(
             f"{alpha_num}/{alpha_den}"
         )
     k = 1 << scale_bits
+    a, d_ = alpha_num, alpha_den
     keep = [key_col, *order_cols, x_col]
     fields = [df.schema[c] for c in keep]
     out_schema = StructType(fields).add("ewma_k", LongType())
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols))
-        s, out = None, []
-        for x in pdf[x_col]:
-            xi = int(x)
-            if xi < 0:
-                raise ValueError(
-                    "ewma_fixed_point: negative input — floor-division "
-                    "semantics diverge across engines below zero"
-                )
-            s = (
-                xi * k
-                if s is None
-                else (alpha_num * xi * k + (alpha_den - alpha_num) * s)
-                // alpha_den
-            )
-            out.append(s)
-        pdf = pdf[keep].copy()
-        pdf["ewma_k"] = pd.array(out, dtype="int64")
-        return pdf
+    def smooth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key, s = object(), None  # sentinel ≠ any real key
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            out = []
+            for key, x in zip(keys, pdf[x_col].to_numpy()):
+                xi = int(x)
+                if xi < 0:
+                    raise ValueError(
+                        "ewma_fixed_point: negative input — floor-division "
+                        "semantics diverge across engines below zero"
+                    )
+                if key != cur_key:
+                    cur_key, s = key, xi * k
+                else:
+                    s = (a * xi * k + (d_ - a) * s) // d_
+                out.append(s)
+            pdf = pdf[keep].copy()
+            pdf["ewma_k"] = pd.array(out, dtype="int64")
+            yield pdf
 
-    return df.select(*keep).groupBy(key_col).applyInPandas(
-        smooth, out_schema
+    return (
+        df.select(*keep)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInPandas(smooth, out_schema)
     )
 
 
@@ -516,13 +527,16 @@ def cusum_fixed_point(
     there is not even a floor division); the paired oracle replays
     the recursion as a recursive CTE.
 
-    Same scale shape as ``ewma_fixed_point``: Arrow-batched grouped
-    map, one shuffle on the series key, a linear in-partition scan,
+    Same scale shape as ``ewma_fixed_point`` (r12: one JVM
+    repartition + sortWithinPartitions, one ``mapInPandas`` partition
+    scan with per-series state reset — not a per-group grouped map),
     one integer of state. Emits (…, cusum_g, alarm) per input row;
     g is NOT reset at alarms (the report form — consumers segment on
     the alarm column; a resetting variant is one line here but a
     different relation).
     """
+    from collections.abc import Iterator
+
     import pandas as pd
 
     keep = [key_col, *order_cols, x_col]
@@ -530,19 +544,29 @@ def cusum_fixed_point(
     out_schema = (
         StructType(fields).add("cusum_g", LongType()).add("alarm", BooleanType())
     )
+    off = target + slack
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols))
-        g, out = 0, []
-        for x in pdf[x_col]:
-            g = max(0, g + (int(x) - target - slack))
-            out.append(g)
-        pdf = pdf[keep].copy()
-        pdf["cusum_g"] = pd.array(out, dtype="int64")
-        pdf["alarm"] = pdf["cusum_g"] > threshold
-        return pdf
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key, g = object(), 0
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            out = []
+            for key, x in zip(keys, pdf[x_col].to_numpy()):
+                if key != cur_key:
+                    cur_key, g = key, 0
+                g = max(0, g + (int(x) - off))
+                out.append(g)
+            pdf = pdf[keep].copy()
+            pdf["cusum_g"] = pd.array(out, dtype="int64")
+            pdf["alarm"] = pdf["cusum_g"] > threshold
+            yield pdf
 
-    return df.select(*keep).groupBy(key_col).applyInPandas(scan, out_schema)
+    return (
+        df.select(*keep)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInPandas(scan, out_schema)
+    )
 
 
 #: Offset making every Holt division operate on a POSITIVE numerator:
@@ -576,9 +600,12 @@ def holt_fixed_point(
     oracle replays the identical shifted recursion. Inputs must be
     nonnegative (same guard as the EWMA).
 
-    Same scale shape: Arrow-batched grouped map, one shuffle on the
-    series key, two integers of state.
+    Same scale shape (r12: one JVM repartition + sortWithinPartitions,
+    one ``mapInPandas`` partition scan with per-series state reset —
+    not a per-group grouped map), two integers of state.
     """
+    from collections.abc import Iterator
+
     import pandas as pd
 
     for name, (n_, d_) in (("alpha", alpha), ("beta", beta)):
@@ -601,25 +628,34 @@ def holt_fixed_point(
         StructType(fields).add("level_k", LongType()).add("trend_k", LongType())
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols))
-        lv, tr, out = None, 0, []
-        for x in pdf[x_col]:
-            xi = int(x)
-            if xi < 0:
-                raise ValueError(
-                    "holt_fixed_point: negative input — see ewma_fixed_point"
-                )
-            if lv is None:
-                lv = xi * k
-            else:
-                prev = lv
-                lv = fdiv(an * xi * k + (ad - an) * (lv + tr), ad)
-                tr = fdiv(bn * (lv - prev) + (bd - bn) * tr, bd)
-            out.append((lv, tr))
-        pdf = pdf[keep].copy()
-        pdf["level_k"] = pd.array([a for a, _ in out], dtype="int64")
-        pdf["trend_k"] = pd.array([b for _, b in out], dtype="int64")
-        return pdf
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key, lv, tr = object(), 0, 0
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            lvs, trs = [], []
+            for key, x in zip(keys, pdf[x_col].to_numpy()):
+                xi = int(x)
+                if xi < 0:
+                    raise ValueError(
+                        "holt_fixed_point: negative input — see "
+                        "ewma_fixed_point"
+                    )
+                if key != cur_key:
+                    cur_key, lv, tr = key, xi * k, 0
+                else:
+                    prev = lv
+                    lv = fdiv(an * xi * k + (ad - an) * (lv + tr), ad)
+                    tr = fdiv(bn * (lv - prev) + (bd - bn) * tr, bd)
+                lvs.append(lv)
+                trs.append(tr)
+            pdf = pdf[keep].copy()
+            pdf["level_k"] = pd.array(lvs, dtype="int64")
+            pdf["trend_k"] = pd.array(trs, dtype="int64")
+            yield pdf
 
-    return df.select(*keep).groupBy(key_col).applyInPandas(scan, out_schema)
+    return (
+        df.select(*keep)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInPandas(scan, out_schema)
+    )

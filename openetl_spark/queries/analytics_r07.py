@@ -625,7 +625,18 @@ def q_bloom_decontaminate(spark, sf_dir):
     ng = d.select(
         "doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g")
     ).distinct()
-    evg = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    # r12 optimization: evg (the distinct EVAL grams — dictionary-
+    # sized: the eval slice is 1/20 of docs) feeds BOTH the bloom-cell
+    # build and the exact-confirmation arm; left lazy, each consumer
+    # re-ran the corpus-wide 5-gram explode+distinct (3 full passes
+    # for the query). One localCheckpoint of the small relation cuts
+    # that to 2 passes (evg build + the training-side probe).
+    evg = (
+        ng.filter(F.col("doc_id") % 20 == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint()
+    )
     cells = SK.bloom_cells(evg, "g", m_bits=_BLOOM_M, k=_BLOOM_K)
     probe = ng.filter(F.col("doc_id") % 20 != 0)
     flagged = SK.bloom_probe(cells, probe, "g", m_bits=_BLOOM_M, k=_BLOOM_K)
