@@ -614,7 +614,8 @@ def association_rules(
     b = baskets.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     )
-    if pairs is None:
+    derived_pairs = pairs is None
+    if derived_pairs:
         l, r = b.alias("l"), b.alias("r")
         pairs = (
             l.join(
@@ -626,6 +627,14 @@ def association_rules(
             .agg(F.count_distinct(F.col("l._b")).cast("bigint").alias("n_both"))
         )
     sup = pairs.filter(F.col("n_both") >= min_support)
+    if derived_pairs:
+        # Both directed-rule arms consume `sup`; when the pair
+        # relation was derived here (no persisted co-purchase layout),
+        # each arm would re-run the basket self-join — cache the
+        # collision-sized support relation once instead (lazy persist,
+        # stats-preserving). Layout-fed callers skip this (their pairs
+        # are already a parquet read).
+        sup = sup.persist()
     items = b.groupBy(F.col("_i").alias("_it")).agg(
         F.count_distinct("_b").cast("bigint").alias("_n_it")
     )
@@ -737,8 +746,17 @@ def association_rules_k3(
         pairs = pair_inst_all.groupBy("x", "y").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_both")
         )
-    fp = pairs.filter(F.col("n_both") >= min_support).select(
-        "x", "y", "n_both"
+    # persist: the frequent-pair relation has FIVE consumers (two arms
+    # + closure semi of candidate generation, the transaction-trimming
+    # semi, the n_ante join) — left lazy, each re-ran the basket
+    # self-join + support aggregate. Lazy persist (not localCheckpoint
+    # — the RDD scan hides size stats and demotes the broadcast_if_
+    # small semis to shuffles) pays the self-join once and keeps every
+    # consumer join broadcast.
+    fp = (
+        pairs.filter(F.col("n_both") >= min_support)
+        .select("x", "y", "n_both")
+        .persist()
     )
     # A-priori candidate generation: shared-prefix join + closure semi
     cand = (
@@ -780,6 +798,11 @@ def association_rules_k3(
         # unique — count(*) == count distinct, minus a dedup pass
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triple"))
         .filter(F.col("n_triple") >= min_support)
+        # persist: the three directed-rule arms each re-ran the whole
+        # in-basket enumeration + support count without it; the
+        # frequent-triple relation is tiny (lazy persist to keep its
+        # size stats visible to the planner).
+        .persist()
     )
     rules = (
         tri.select(

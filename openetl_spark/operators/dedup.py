@@ -153,7 +153,15 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must divide evenly into bands")
     if sig_col not in df.columns:
         df = minhash_signatures(df, id_col, shingle_col, num_hashes, sig_col)
-    banded = _banded_signatures(df, id_col, num_hashes, bands, sig_col)
+    # localCheckpoint before the self-join: both join sides are the
+    # SAME banded relation, and left lazy each side re-ran the whole
+    # signature pipeline — ``num_hashes`` xxhash64 passes over every
+    # shingle, the dominant CPU of the operator, paid twice (r12 plan:
+    # two Generate(posexplode) subtrees over the cached shingle
+    # relation). Banded rows are (id, band, band_hash) — docs×bands of
+    # ~24 bytes — so materializing is corpus-row cheap and the
+    # signature computation is paid exactly once.
+    banded = _banded_signatures(df, id_col, num_hashes, bands, sig_col).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -220,6 +228,14 @@ def jaccard_similarity_pairs(
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_shingle_df)
             .select("s")
+            # persist: `mine` sits on BOTH sides of the pair
+            # self-join, so this dictionary-sized frequency relation
+            # was aggregated from the full exploded shingle relation
+            # twice (r12 plan: two Exchange+HashAggregate subtrees).
+            # Cached once, each side rebuilds only its broadcast —
+            # lazy persist (not localCheckpoint) so Catalyst keeps the
+            # size stats that make the consumer joins broadcast.
+            .persist()
         )
         mine = ex.join(rare, "s")
 
@@ -380,7 +396,12 @@ def incremental_near_duplicates(
     )
     if cache:
         allp = allp.persist()
-    banded = _banded_signatures(allp, "id", num_hashes, bands, extra_cols=("_isidx",))
+    # Checkpointed for the same reason as minhash_lsh_candidates: the
+    # band join consumes this relation twice (new-side filter + full
+    # side) and the signature hashing should be paid once.
+    banded = _banded_signatures(
+        allp, "id", num_hashes, bands, extra_cols=("_isidx",)
+    ).localCheckpoint()
     on = ["band", "band_hash"]
     x = banded.filter(~F.col("_isidx")).select(F.col("id").alias("b"), *on)
     cands = (
@@ -892,7 +913,12 @@ def winnow_overlap_pairs(
     comes from RARE fingerprints). One equi-join on the fingerprint
     key — shuffle volume is fingerprint rows (≈ 2/(window+1) of
     character count), join fan-out only real collisions, never n²."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    # persist: the fingerprint relation feeds up to three consumers
+    # (the df-cap aggregate + both self-join sides) — left lazy, the
+    # per-character md5 explode + sliding-min window pass (the
+    # operator's dominant CPU) ran once per consumer. Fingerprints are
+    # two longs per row, ≈ 2/(window+1) of character count.
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).persist()
     if max_fp_df is not None:
         keep = (
             fps.groupBy("fingerprint")
@@ -1146,7 +1172,15 @@ def duplicate_window_occurrences(
     occurrences. Both shuffles move md5 keys, linear in corpus tokens;
     heavy boilerplate keys are the same Zipf class as the token joins
     elsewhere — AQE skew-split territory."""
-    occ = token_windows(df, id_col, text_col, window)
+    # persist: the window relation feeds the duplicated-content
+    # aggregate AND the verdict join's probe side; left lazy, the
+    # tokenize + per-window md5 pass — the operator's dominant CPU —
+    # ran twice per invocation (r12 plan: two Scan+Generate subtrees).
+    # Lazy persist (not an eager checkpoint): the aggregate's build
+    # runs first (its broadcast gates the probe stage), populating the
+    # cache the probe then reads — one corpus hashing pass. Same
+    # session-LRU posture as the minhash shingle cache.
+    occ = token_windows(df, id_col, text_col, window).persist()
     dup = (
         occ.groupBy("wh")
         .agg(
@@ -1272,7 +1306,12 @@ def mask_positions_and_rebuild(
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    toks = docs.select(F.col(id_col), F.posexplode(words).alias("pos", "tok"))
+    # persist: the exploded token relation feeds both the per-doc
+    # totals and the anti-join + rebuild — without it the corpus is
+    # tokenized and exploded twice per invocation.
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "tok")
+    ).persist()
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     stats = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
     rebuilt = kept.groupBy(id_col).agg(
@@ -1331,7 +1370,10 @@ def duplicate_spans_incremental(
     incremental_dedup contract, operators/dedup.py:323, applied to
     substring dedup). Streaming shape: call from foreachBatch, then
     append the batch's distinct hashes to the index."""
-    occ = token_windows(new_docs, id_col, text_col, window)
+    # persist: the batch's window relation feeds three consumers
+    # (index probe, within-batch frequency, batch probe) — hash the
+    # arriving documents once, not three times.
+    occ = token_windows(new_docs, id_col, text_col, window).persist()
     vs_index = occ.join(index_wh, "wh", "left_semi")
     within = (
         occ.groupBy("wh")
@@ -1430,7 +1472,16 @@ def edit_similarity_join(
     sentinel = base.filter(F.length("_s") <= tiny_len).select(
         "_id", "_s", F.lit("").alias("g")
     )
-    sig = sig.unionByName(sentinel)
+    # persist before the self-join: both candidate sides are this SAME
+    # signature relation, and left lazy each side re-ran the entire
+    # pipeline — gram explode, frequency aggregate, broadcast join,
+    # per-id sort + rank (r12 plan: six parquet scans, two Window
+    # sorts, two freq aggregates). persist, NOT localCheckpoint: the
+    # checkpointed RDD scan loses Catalyst's size estimate, which
+    # demoted the candidate join from broadcast to sort-merge
+    # (measured 2.2 s → 5.1 s); the lazy cache keeps the stats and
+    # still runs the ranking pipeline exactly once.
+    sig = sig.unionByName(sentinel).persist()
     a, b = sig.alias("a"), sig.alias("b")
     # spread_cpu_dense before dedup + verify: the candidate relation
     # is SKINNY (four short columns) but CPU-dense (one levenshtein
@@ -1588,7 +1639,16 @@ def ppjoin(
     # prefix length p = l - ceil(num*l/den) + 1; ceil via (x+den-1) div den.
     # Lengths are document-token-counts (< 2^20), so double floor is exact.
     p = F.col("l") - F.floor((num * F.col("l") + den - 1) / den) + 1
-    pre = ranked.filter(F.col("rn") <= p).select("_id", "tok", "rn", "l")
+    # localCheckpoint: BOTH candidate-join sides are this same prefix
+    # relation — left lazy, each side re-ran the frequency aggregate,
+    # the frequency join, and the per-id rank window (r12 plan: the
+    # whole ranked pipeline twice). Prefixes are p ≤ ℓ−⌈τℓ⌉+1 rows per
+    # doc, a fraction of the token relation — materialize once.
+    pre = (
+        ranked.filter(F.col("rn") <= p)
+        .select("_id", "tok", "rn", "l")
+        .localCheckpoint()
+    )
     a, b = pre.alias("a"), pre.alias("b")
     la, lb = F.col("la"), F.col("lb")
     t_need = F.floor((num * (la + lb) + (num + den) - 1) / (num + den))
@@ -1630,6 +1690,11 @@ def ppjoin(
         toks.join(F.broadcast(ids), "_id", "left_semi")
         .groupBy("_id")
         .agg(F.collect_list("tok").alias("arr"))
+        # localCheckpoint: both verify sides (ra/rb) consume this
+        # candidate-ids-sized relation; left lazy each side re-ran the
+        # token-cache semi-join + collect aggregate (r12 plan: two
+        # ObjectHashAggregate subtrees). Candidate-scale, cheap.
+        .localCheckpoint()
     )
     ra = recs.select(F.col("_id").alias("a_id"), F.col("arr").alias("_aa"))
     rb = recs.select(F.col("_id").alias("b_id"), F.col("arr").alias("_ab"))
@@ -1904,6 +1969,12 @@ def containment_join(
     from openetl_spark.operators.skew import broadcast_if_small
 
     freq = toks.groupBy("tok").agg(F.count("*").alias("_f"))
+    # localCheckpoint: the ranked relation feeds the contained-side
+    # prefix AND the container-side full probe — left lazy, the
+    # frequency aggregate + join + two rank windows ran twice (the
+    # asymmetric probe has no prefix cut, so unlike ppjoin the FULL
+    # ranked relation is a join side and must be materialized, not
+    # re-derived per side).
     ranked = (
         spread_cpu_dense(toks.join(broadcast_if_small(freq), "tok"), "_id")
         .withColumn(
@@ -1911,6 +1982,7 @@ def containment_join(
             F.row_number().over(Window.partitionBy("_id").orderBy("_f", "tok")),
         )
         .withColumn("l", F.count("*").over(Window.partitionBy("_id")))
+        .localCheckpoint()
     )
     # contained-side prefix: p = la - ceil(num*la/den) + 1
     p = F.col("l") - F.floor((num * F.col("l") + den - 1) / den) + 1
@@ -1945,6 +2017,11 @@ def containment_join(
         toks.join(F.broadcast(ids), "_id", "left_semi")
         .groupBy("_id")
         .agg(F.collect_list("tok").alias("arr"))
+        # localCheckpoint: both verify sides (ra/rb) consume this
+        # candidate-ids-sized relation; left lazy each side re-ran the
+        # token-cache semi-join + collect aggregate (r12 plan: two
+        # ObjectHashAggregate subtrees). Candidate-scale, cheap.
+        .localCheckpoint()
     )
     ra = recs.select(F.col("_id").alias("a_id"), F.col("arr").alias("_aa"))
     rb = recs.select(F.col("_id").alias("b_id"), F.col("arr").alias("_ab"))
@@ -2013,9 +2090,12 @@ def containment_incremental(
             f"containment_incremental: tau must be in (0, 1], got {tau_num}/{tau_den}"
         )
     num, den = tau_num, tau_den
+    # persist: the prepared batch feeds the union (container side) AND
+    # the prefix explode (contained side) — rank the arriving batch
+    # under the frozen order once, not twice.
     prep_new = prepare_ppjoin_index(
         new_df, id_col, s_col, dict_df, tau_num, tau_den, n
-    )
+    ).persist()
     allp = index_df.select("id", "l", "arr").withColumn(
         "_isidx", F.lit(True)
     ).unionByName(

@@ -249,10 +249,14 @@ def top_terms_tfidf(
     toks = tokens(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, F.lower)
+    # persist: the (doc, term) count relation feeds both the document-
+    # frequency re-aggregate and the scoring join — left lazy, the
+    # token explode + aggregate (the corpus-scale work) ran twice.
     tf = (
         df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
         .groupBy("_doc", "term")
         .agg(F.count("*").alias("_tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     n_docs = df.select(F.col(id_col)).distinct().agg(
@@ -306,9 +310,22 @@ def kl_domain_shift(
     if lowercase:
         toks = F.transform(toks, F.lower)
     ex = df.select(F.col(group_col).alias("g"), F.explode(toks).alias("token"))
-    corpus = ex.groupBy("token").agg(F.count("*").alias("_c"))
-    per_group = ex.groupBy("g", "token").agg(F.count("*").alias("_cg"))
-    totals = ex.groupBy("g").agg(F.count("*").alias("_ng"))
+    # ONE corpus-token pass: the per-(group, token) counts are the
+    # finest grain here, so the corpus-wide and per-group totals are
+    # exact bigint RE-AGGREGATES of that (groups × vocab)-sized
+    # relation — before, each of the three aggregates re-ran the full
+    # token explode (three corpus-token shuffles; now one, plus two
+    # cell-scale ones). Lazy persist (not localCheckpoint — the RDD
+    # scan would hide size stats and demote the grid join from
+    # broadcast; measured 1.1 s → 2.1 s) because all three consumers
+    # read it.
+    per_group = (
+        ex.groupBy("g", "token")
+        .agg(F.count("*").alias("_cg"))
+        .persist()
+    )
+    corpus = per_group.groupBy("token").agg(F.sum("_cg").alias("_c"))
+    totals = per_group.groupBy("g").agg(F.sum("_cg").alias("_ng"))
     stats = corpus.agg(
         F.count("*").alias("_v"), F.sum("_c").alias("_n")
     )
@@ -657,9 +674,16 @@ def pmi_collocations(
     the counts is vocabulary-scale, not corpus-scale."""
     toked = df.select(tokens(F.col(text_col)).alias("_w"))
     w = F.col("_w")
+    # persist both count relations: `uni` feeds THREE consumers (token
+    # total + both join sides) and `bi_all` two (bigram total + the
+    # guarded join input) — left lazy, five corpus explode+agg passes
+    # ran where two suffice. Lazy persist keeps Catalyst's size stats
+    # (a localCheckpoint demoted the vocabulary joins from broadcast
+    # to sort-merge — measured 1.3 s → 2.3 s).
     uni = (
         toked.select(F.explode(w).alias("w"))
         .groupBy("w").agg(F.count("*").alias("cw"))
+        .persist()
     )
     n1 = uni.agg(F.sum("cw").alias("n_tokens"))
     bigrams = F.zip_with(
@@ -671,6 +695,7 @@ def pmi_collocations(
         toked.select(F.explode(bigrams).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .persist()
     )
     # n_bigrams BEFORE the min_count filter (r06, ADVICE): normalizing
     # by frequent-bigram mass only uniformly inflated P(w1 w2) — the

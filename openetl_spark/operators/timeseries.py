@@ -265,10 +265,17 @@ def gap_fill(
     # events in different orders (last-ulp noise), and the (t−t₀)/(t₁−t₀)
     # division amplifies an ulp into the output's 4th decimal — rounding
     # the inputs pins both engines to identical interpolants
+    #
+    # localCheckpoint: the cell relation feeds TWO consumers (the
+    # per-key span derivation and the grid left-join); left lazy, each
+    # re-ran the full event-scale scan+aggregate (r12 plan: two
+    # parquet scans, two Exchanges). Cells are bucket-cardinality-sized
+    # — span/width rows per key — so materializing them is cell-scale
+    # cheap and the corpus pays ONE aggregation pass.
     cells = partial_time_aggregate(df, width, ts_col, value_col, keys).select(
         bucket_col, *keys, "n_events",
         F.round("sum_value", round_dp).alias("sum_value"),
-    )
+    ).localCheckpoint()
     spans = cells.groupBy(*keys).agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
@@ -289,12 +296,23 @@ def gap_fill(
         ),
     )
     order = W.partitionBy(*keys).orderBy(bucket_col)
-    prev = F.last(point, ignorenulls=True).over(
-        order.rowsBetween(W.unboundedPreceding, -1)
+    # Evaluate each window function ONCE and reference the resulting
+    # attribute: inlining `prev`/`nxt` into every field access made
+    # Catalyst emit EIGHT running window aggregates (5× last + 3×
+    # first over identical frames — r12 plan) where two suffice; the
+    # shared columns also keep the pre-window Sort payload narrow.
+    j = j.withColumn(
+        "_prev",
+        F.last(point, ignorenulls=True).over(
+            order.rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "_nxt",
+        F.first(point, ignorenulls=True).over(
+            order.rowsBetween(1, W.unboundedFollowing)
+        ),
     )
-    nxt = F.first(point, ignorenulls=True).over(
-        order.rowsBetween(1, W.unboundedFollowing)
-    )
+    prev, nxt = F.col("_prev"), F.col("_nxt")
     t = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
     interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
         nxt["t"] - prev["t"]
