@@ -383,6 +383,11 @@ def q_dsir_mixture_report(spark, sf_dir):
             .cast("bigint")
             .alias("n_selected"),
         )
+        # persist: the quota total and the final join both consume this
+        # language-cardinality relation — left lazy, the whole DSIR
+        # scoring chain (feature explode + two corpus aggregates) ran
+        # twice per invocation (r12 optimization pass).
+        .persist()
     )
     tot = per.agg(F.sum("n_selected").alias("_t"))
     mix = per.sparkSession.createDataFrame(
@@ -776,6 +781,10 @@ def q_dsir_mixture_sample(spark, sf_dir):
         .agg(F.sum(F.col("f") * F.col("r_unats")).cast("bigint").alias("_s"))
         .filter(F.col("_s") > 0)
         .join(d.select("doc_id", "lang"), "doc_id")
+        # persist: the quota total and the ranked sample both consume
+        # the selected relation — left lazy, the DSIR scoring chain ran
+        # twice per invocation (r12 optimization pass).
+        .persist()
     )
     tot = sel.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     mix = sel.sparkSession.createDataFrame(
