@@ -739,22 +739,35 @@ def pq_recall_report(
     spark = corpus.sparkSession
     dp = int(round_dp)
 
-    tabs = {}
+    # Panel closures, stacked for vectorized per-batch lookups: row i of
+    # Q_all / T_all belongs to panel query qids[i].
+    qpos = {q: i for i, q in enumerate(qids)}
+    Q_all = np.stack([qmat[q] for q in qids])  # |panel| × dim
+    T_all = np.zeros((len(qids), m, n_codes))
+    book_sq = (books ** 2).sum(axis=2)  # m × n_codes
     for q in qids:
-        t = np.zeros((m, n_codes))
         for j in range(m):
             qs = qmat[q][j * sub : (j + 1) * sub]
-            t[j] = (
-                (books[j] ** 2).sum(axis=1)
-                - 2.0 * (books[j] @ qs)
-                + (qs ** 2).sum()
+            T_all[qpos[q], j] = (
+                book_sq[j] - 2.0 * (books[j] @ qs) + (qs ** 2).sum()
             )
-        tabs[q] = t
+
+    # r12 restructure (§4 "how many columns cross" / §1.2 "don't compute
+    # things you throw away"): the original shape ran THREE corpus-scale
+    # ArrowEvalPython passes per invocation — with_pq_codes' encode UDF
+    # plus one scoring UDF per arm, each arm separately re-executing the
+    # panel fan-out (and the encode pass under it). Both distances are
+    # pure functions of (_v, _c, _qid), so they now evaluate side by
+    # side in ONE projection over ONE fan-out (Catalyst batches
+    # independent Python UDFs of a single Project into one
+    # ArrowEvalPython node); the encode pass still runs exactly once per
+    # CORPUS ROW, before the fan-out. Every emitted value is
+    # bit-identical to the three-pass form and the DuckDB oracle.
 
     @F.pandas_udf(T.DoubleType())
     def l2_to(vecs: pd.Series, qs: pd.Series) -> pd.Series:
         mm = np.asarray(vecs.tolist(), dtype=np.float64)
-        qm = np.asarray([qmat[q] for q in qs], dtype=np.float64)
+        qm = Q_all[qs.map(qpos).to_numpy()]
         d = (mm * mm).sum(axis=1) - 2.0 * (mm * qm).sum(axis=1) + (
             qm * qm
         ).sum(axis=1)
@@ -763,33 +776,40 @@ def pq_recall_report(
     @F.pandas_udf(T.DoubleType())
     def adc_to(codes: pd.Series, qs: pd.Series) -> pd.Series:
         cm = np.asarray(codes.tolist(), dtype=np.int64)
-        out = np.empty(len(cm))
-        for i, (row, q) in enumerate(zip(cm, qs)):
-            out[i] = tabs[q][np.arange(m), row].sum()
+        qidx = qs.map(qpos).to_numpy()
+        out = T_all[qidx[:, None], np.arange(m)[None, :], cm].sum(axis=1)
         return pd.Series(np.round(out, dp))
 
-    encoded = with_pq_codes(corpus, books, vec_col, code_col)
-    base = encoded.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.col(code_col).alias("_c"),
-    )
     # both arms are exhaustive (no pruning), so the panel fan-out is a
     # scan-side explode of a qid-array literal — the earlier
     # (qid × n_lists) equi-join silently DROPPED rows whose list id
     # fell outside a mis-passed n_lists (review finding r05)
+    encoded = with_pq_codes(corpus, books, vec_col, code_col)
     qid_array = F.array(*[F.lit(int(q)) for q in qids])
-    fanned = base.withColumn("_qid", F.explode(qid_array))
-    exact = _panel_topk(
-        fanned.withColumn("_sim", l2_to(F.col("_v"), F.col("_qid")))
+    fanned = encoded.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(code_col).alias("_c"),
+    ).withColumn("_qid", F.explode(qid_array))
+    scored = (
+        fanned.select(
+            "_qid",
+            "_id",
+            l2_to(F.col("_v"), F.col("_qid")).alias("_se"),
+            adc_to(F.col("_c"), F.col("_qid")).alias("_sa"),
+        )
         .filter(F.col("_id") != F.col("_qid"))
-        .select("_qid", "_id", "_sim"),
+        # persist: both top-k arms consume the scored fan-out — left
+        # lazy, the whole UDF pass would still run twice (lazy persist
+        # keeps Catalyst's size stats, the change-7 discipline).
+        .persist()
+    )
+    exact = _panel_topk(
+        scored.select("_qid", "_id", F.col("_se").alias("_sim")),
         k, ascending=True,
     )
     approx = _panel_topk(
-        fanned.withColumn("_sim", adc_to(F.col("_c"), F.col("_qid")))
-        .filter(F.col("_id") != F.col("_qid"))
-        .select("_qid", "_id", "_sim"),
+        scored.select("_qid", "_id", F.col("_sa").alias("_sim")),
         k, ascending=True,
     )
     hits = exact.join(approx, ["_qid", "_id"]).groupBy("_qid").agg(

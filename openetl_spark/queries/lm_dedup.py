@@ -451,7 +451,13 @@ def q_llm_data_pipeline(spark, sf_dir):
         .filter(F.col("bucket") != "tail")
         .select("doc_id")
     )
-    survivors = d.join(keep, "doc_id")
+    # persist: the mix-rate counts, the chunker, and the final lang
+    # join all re-derive the survivor relation — left lazy, the
+    # documents⋈bucket-gate lineage (scores read + tercile histogram +
+    # corpus join) executed three times per invocation (r12
+    # optimization pass; lazy persist keeps Catalyst's size stats for
+    # the downstream broadcast decisions).
+    survivors = d.join(keep, "doc_id").persist()
     mixed = C.mix_to_target(
         survivors, {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}, "lang", "doc_id"
     )
