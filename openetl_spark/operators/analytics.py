@@ -177,7 +177,12 @@ def grouped_exact_ranks(
     bkt = F.floor(F.col(order_col) / F.lit(float(bucket_width)))
     aug = df.filter(F.col(order_col).isNotNull()).withColumn("__bkt", bkt)
 
-    bins = aug.groupBy(group, "__bkt").agg(F.count("*").alias("__cnt"))
+    # persist: offsets AND totals both aggregate this bounded bin
+    # relation — left lazy, each re-derived it (and the whole input
+    # subtree beneath it), so every grouped_exact_ranks consumer
+    # executed its input one extra full time (r12 optimization pass;
+    # the relation is bin-grid-sized, never corpus-sized).
+    bins = aug.groupBy(group, "__bkt").agg(F.count("*").alias("__cnt")).persist()
     w_off = (
         Window.partitionBy(group)
         .orderBy(F.col("__bkt").desc())
@@ -274,6 +279,9 @@ def funnel_steps(
         .groupBy("_u", "_g")
         .agg(F.min("_ts").alias("_t"))
         .select("_u", "_g", F.col("_t").alias("_t0"), "_t")
+        # persist: level-1 aggregate + the step-2 join both consume
+        # this (see _funnel_frontiers).
+        .persist()
     )
     ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
 
@@ -322,7 +330,15 @@ def _funnel_frontiers(e, steps, window_sec, frontier):
         )
         if window_sec is not None:
             nxt = nxt.filter(ep("_ts") - ep("_t0") <= window_sec * 1_000_000)
-        frontier = nxt.groupBy("_u", "_t0", "_g").agg(F.min("_ts").alias("_t"))
+        # persist: each frontier is consumed by BOTH its own level
+        # aggregate and the next step's join — left lazy, frontier_i
+        # re-derived every shallower frontier per consumer, touching
+        # the event scan O(k²) times per invocation instead of the
+        # documented once per step (r12 optimization pass; lazy
+        # persist keeps Catalyst's size stats for the join planning).
+        frontier = (
+            nxt.groupBy("_u", "_t0", "_g").agg(F.min("_ts").alias("_t")).persist()
+        )
         yield i, s, frontier
 
 
@@ -356,6 +372,8 @@ def funnel_user_times(
         .groupBy("_u", "_g")
         .agg(F.min("_ts").alias("_t"))
         .select("_u", "_g", F.col("_t").alias("_t0"), "_t")
+        # NOT persisted here: unlike funnel_steps' frontier, this
+        # relation has exactly one consumer (the step-2 join).
     )
     ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     out = None
