@@ -480,7 +480,10 @@ def mix_to_target(
         [(g, float(w)) for g, w in target.items()], f"{group_col} string, _w double"
     )
     sw = tgt.agg(F.sum("_w").alias("_sw"))
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # persist (r12): the binding-group scalar T and the rate relation
+    # each re-derive `j` (and the corpus count beneath it) — the
+    # relation is group-cardinality-sized.
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n")).persist()
     j = (
         counts.join(F.broadcast(tgt), group_col)
         .crossJoin(F.broadcast(sw))
@@ -539,7 +542,10 @@ def temperature_sampling(
     nudge, which is also retained). Same plan shape as mix_to_target:
     post-agg counts, two broadcast scalars, one broadcast join, a
     scan-local predicate — zero corpus shuffles."""
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # persist (r12): sw, the binding-group scalar, and the rate
+    # relation each re-derive the derived-weight relation (and the
+    # corpus count beneath it) — group-cardinality-sized.
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n")).persist()
     w = counts.select(
         group_col, "_n",
         F.round(F.pow(F.col("_n").cast("double"), float(alpha)), 9).alias("_wn"),

@@ -1093,9 +1093,12 @@ def cluster_contingency(
 
     Returns (cluster_col, label_col, n_cell, n_cluster, n_label).
     """
+    # persist (r12): the marginal aggregates AND the final join all
+    # consume this cell-grid-sized relation — left lazy, the corpus
+    # groupBy beneath it executed three times per invocation.
     cells = assigned.groupBy(cluster_col, label_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cell")
-    )
+    ).persist()
     rows = cells.groupBy(cluster_col).agg(
         F.sum("n_cell").cast("bigint").alias("n_cluster")
     )
@@ -1209,11 +1212,16 @@ def cluster_agreement(
     Returns one row: (n, pairs_total, pairs_both, pairs_pred,
     pairs_true, ari_num, ari_den, mi_nonneg, mi_le_min_entropy).
     """
+    # persist (r12): cells feeds rows/cols/s_/mi_, rows feeds
+    # a_/mi_/hu_, cols feeds b_/mi_/hv_ — left lazy, the corpus
+    # groupBy under `cells` re-executed once per consumer chain (11
+    # corpus scans in the captured plan). All three relations are
+    # bounded by the (cluster × label) grid, never corpus-sized.
     cells = assigned.groupBy(cluster_col, label_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("_nc")
-    )
-    rows = cells.groupBy(cluster_col).agg(F.sum("_nc").alias("_na"))
-    cols = cells.groupBy(label_col).agg(F.sum("_nc").alias("_nb"))
+    ).persist()
+    rows = cells.groupBy(cluster_col).agg(F.sum("_nc").alias("_na")).persist()
+    cols = cells.groupBy(label_col).agg(F.sum("_nc").alias("_nb")).persist()
 
     # x·(x−1) is always even, so the shiftright halving is exact —
     # and stays in bigint (Spark's / returns double, losing exactness

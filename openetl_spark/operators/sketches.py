@@ -408,6 +408,26 @@ def ams_cells(
         .groupBy(*keys, value)
         .agg(F.count("*").cast("bigint").alias("_f"))
     )
+    return ams_cells_from_freq(freq, value, keys=keys, k=k, seed=seed)
+
+
+def ams_cells_from_freq(
+    freq: DataFrame,
+    value: str,
+    keys: Sequence[str] = (),
+    k: int = 63,
+    seed: int = 42,
+) -> DataFrame:
+    """``ams_cells`` from a PRECOMPUTED distinct-value frequency
+    relation ``(keys..., value, _f)`` — the sharing hook for reports
+    that need the frequency vector anyway (exact join-size arm, F₂
+    sums): compute the grouped count once, persist it, and derive the
+    sketch WITHOUT re-scanning the corpus (r12 optimization pass).
+    Contract: ``_f`` is the exact row count per (keys, value) with
+    NULL values excluded — exactly what ``ams_cells`` builds
+    internally, so the cell relation is bit-identical."""
+    if k < 1:
+        raise ValueError(f"ams_cells_from_freq: k must be >= 1, got {k}")
     signed = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: (

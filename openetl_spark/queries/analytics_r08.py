@@ -333,10 +333,15 @@ def q_kmv_intersection_report(spark, sf_dir):
     at test scale in pytest so a silent accuracy regression cannot
     hide behind engine agreement."""
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    # persist (r12): the sketch relation feeds the merged-union build
+    # AND both membership probes — left lazy, the whole kmv_cells
+    # pipeline (distinct + histogram rank over orders) re-derived 3×
+    # per invocation; `prio` likewise sits on both sides of its
+    # self-join. Both relations are sketch-/grid-sized.
     cells = SK.kmv_cells(
         o, "o_custkey", k=_KMV_K, keys=["o_orderpriority"]
-    ).withColumnRenamed("o_orderpriority", "p")
-    prio = o.select(F.col("o_orderpriority").alias("p")).distinct()
+    ).withColumnRenamed("o_orderpriority", "p").persist()
+    prio = o.select(F.col("o_orderpriority").alias("p")).distinct().persist()
     pairs = (
         prio.alias("a")
         .join(prio.alias("b"), F.col("a.p") < F.col("b.p"))
@@ -374,7 +379,9 @@ def q_kmv_intersection_report(spark, sf_dir):
             F.max("h").alias("hk"),
         )
     )
-    dpc = o.distinct()
+    # persist (r12): both sides of the exact-arm pair join re-derived
+    # the distinct (priority, customer) relation from the orders scan.
+    dpc = o.distinct().persist()
     ex = (
         pairs.join(
             dpc.select(F.col("o_orderpriority").alias("pa"), "o_custkey"),

@@ -1862,11 +1862,26 @@ def q_ams_join_size_report(spark, sf_dir):
     )
     ra = li.filter(F.col("l_returnflag") == "R")
     aa = li.filter(F.col("l_returnflag") == "A")
-    cells_r = SK.ams_cells(ra, "l_partkey", k=_AMS_K, seed=_AMS_SEED)
-    cells_a = SK.ams_cells(aa, "l_partkey", k=_AMS_K, seed=_AMS_SEED)
+    # r12: both arms need each side's distinct-value frequency vector
+    # (the sketch derives from it, the exact join-size and F₂ sums ARE
+    # it) — compute it once per side, persist, and share (8 lineitem
+    # scans → 2 in the plan; cells bit-identical via
+    # ams_cells_from_freq, which is ams_cells' own internal path).
+    freq_r = (
+        ra.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("_f"))
+        .persist()
+    )
+    freq_a = (
+        aa.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("_f"))
+        .persist()
+    )
+    cells_r = SK.ams_cells_from_freq(freq_r, "l_partkey", k=_AMS_K, seed=_AMS_SEED)
+    cells_a = SK.ams_cells_from_freq(freq_a, "l_partkey", k=_AMS_K, seed=_AMS_SEED)
     est = SK.ams_inner_product_estimate(cells_r, cells_a, groups=_AMS_GROUPS)
-    fr = ra.groupBy("l_partkey").agg(F.count("*").alias("cr"))
-    fa = aa.groupBy("l_partkey").agg(F.count("*").alias("ca"))
+    fr = freq_r.select("l_partkey", F.col("_f").alias("cr"))
+    fa = freq_a.select("l_partkey", F.col("_f").alias("ca"))
     ex = (
         fr.join(fa, "l_partkey")
         .agg(

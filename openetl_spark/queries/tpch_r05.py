@@ -557,10 +557,15 @@ def q_funnel_conversion(spark, sf_dir):
     event stream. At 100 TB each stage's per-user relation is a
     fraction of the previous, so the joins shrink monotonically."""
     e = load(spark, sf_dir, "events")
+    # persist (r12): each stage relation feeds BOTH the next stage's
+    # join and its own count — left lazy, the event scan re-executed 6×
+    # per invocation (the funnel_steps frontier discipline; p has a
+    # single consumer and stays lazy).
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("tv"))
+        .persist()
     )
     c = (
         e.where(F.col("event_type") == "click")
@@ -568,6 +573,7 @@ def q_funnel_conversion(spark, sf_dir):
         .where(F.col("ts") >= F.col("tv"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
+        .persist()
     )
     p = (
         e.where(F.col("event_type") == "purchase")

@@ -451,6 +451,28 @@ def test_ams_merge_law_and_f2_accuracy(spark):
     assert exact / 3 <= est <= 3 * exact, (exact, est)
 
 
+def test_ams_cells_from_freq_matches_ams_cells(spark):
+    """r12 sharing hook: deriving the sketch from a precomputed
+    (value, _f) frequency relation must be bit-identical to ams_cells
+    over the raw multiset — the contract q_ams_join_size_report relies
+    on to compute each side's frequency vector once."""
+    from pyspark.sql import functions as F
+
+    rows = [(v,) for v in [1, 1, 1, 2, 2, 3, None]]
+    df = spark.createDataFrame(rows, "v int")
+    direct = {r["i"]: r["c"] for r in SK.ams_cells(df, "v", k=8, seed=7).collect()}
+    freq = (
+        df.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("_f"))
+    )
+    via_freq = {
+        r["i"]: r["c"]
+        for r in SK.ams_cells_from_freq(freq, "v", k=8, seed=7).collect()
+    }
+    assert via_freq == direct
+
+
 def test_ams_validation(spark):
     with pytest.raises(ValueError, match="k must"):
         SK.ams_cells(None, "v", k=0)
