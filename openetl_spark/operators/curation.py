@@ -1371,8 +1371,13 @@ def remove_contaminated_spans(
             ).alias("pos"),
         )
         .distinct()
+        # persist (r12): the flagged-id derivation and the rebuild both
+        # consume this — left lazy, the corpus-side tokenize+md5 window
+        # pass (occ) and the eval-hash build re-executed per consumer.
+        # Contamination-sized, small by construction.
+        .persist()
     )
-    flagged_ids = covered.select(id_col).distinct()
+    flagged_ids = covered.select(id_col).distinct().persist()
     from openetl_spark.operators.dedup import mask_positions_and_rebuild
 
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -2185,17 +2190,22 @@ def t_closeness(
         .agg(F.count(F.lit(1)).alias("_G"))
     )
     w_gl = W.orderBy(band_col).rowsBetween(W.unboundedPreceding, 0)
+    # persist (r12): the band-count guard, the dense grid, and the
+    # cumulative join all consume this B-row relation — left lazy,
+    # each re-ran the global band aggregate (and its corpus scan).
     glob = bands.select(
         band_col,
         F.sum("_G").over(w_gl).cast("bigint").alias("_cum_glob"),
-    )
+    ).persist()
     n_total = df.count()
     b_count = glob.count()
     if b_count < 2:
         raise ValueError(
             f"t_closeness: need >= 2 distinct bands, got {b_count}"
         )
-    grp = df.groupBy(*qi_cols, band_col).agg(F.count(F.lit(1)).alias("_g"))
+    # persist (r12): the group totals and the dense-grid left join both
+    # consume this cell-grid-sized relation.
+    grp = df.groupBy(*qi_cols, band_col).agg(F.count(F.lit(1)).alias("_g")).persist()
     # Dense band grid per group: every group must carry EVERY band's
     # cumulative row (absent bands still accumulate), so cross the
     # group list with the B-sized global band relation.

@@ -592,9 +592,14 @@ def bipartite_stats(
     wedges_left, wedges_right, butterflies, caterpillars, and the
     one-IEEE-division clustering coefficient.
     """
+    # persist (r12): dl, dr, and the caterpillar join all consume this
+    # relation — left lazy, the incidence DISTINCT (a full shuffle of
+    # the corpus) executed once per consumer chain (5 lineitem scans
+    # in the captured plan); the degree relations below are node-sized
+    # and each feed two aggregates.
     inc = incidence.select(
         F.col(left).alias("_l"), F.col(right).alias("_r")
-    ).distinct()
+    ).distinct().persist()
     if codeg is None:
         a, b = inc.alias("a"), inc.alias("b")
         codeg = (
@@ -606,8 +611,8 @@ def bipartite_stats(
             .groupBy(F.col("a._r").alias("x"), F.col("b._r").alias("y"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         )
-    dl = inc.groupBy("_l").agg(F.count(F.lit(1)).alias("_dl"))
-    dr = inc.groupBy("_r").agg(F.count(F.lit(1)).alias("_dr"))
+    dl = inc.groupBy("_l").agg(F.count(F.lit(1)).alias("_dl")).persist()
+    dr = inc.groupBy("_r").agg(F.count(F.lit(1)).alias("_dr")).persist()
     sides = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_left"),
         F.sum(F.expr("_dl * (_dl - 1) div 2")).cast("bigint").alias("wedges_left"),
