@@ -156,21 +156,42 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
-def _undirected_simple(edges: DataFrame, src: str, dst: str):
+def _undirected_simple(
+    edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
+):
     """(und, deg) of the undirected simple graph induced by ``edges``:
     canonical a<b pairs (self-loops dropped, multi/reversed edges
     collapsed, materialized once) and per-node degrees. Shared by
     triangle_stats and degree_assortativity so the normalization can
-    never diverge between them."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    never diverge between them.
+
+    ``assume_canonical`` (r12 optimization): the persisted graph
+    layouts ARE this canonical relation already (a < b, self-loops
+    dropped, distinct — exactly what _graph_layout writes), so
+    re-canonicalizing a layout read pays a full edge-relation shuffle
+    for an identity transform (guide §2.4: "a distinct on data that is
+    already unique") plus a redundant localCheckpoint copy of data
+    that is already a materialized parquet artifact. With the flag the
+    caller asserts canonicality and the relation is a plain aliased
+    scan — no shuffle, no checkpoint job, and Catalyst keeps the
+    scan's size statistics for downstream join planning (the
+    localCheckpoint-hides-stats lesson). Correctness posture: every
+    consumer's oracle re-derives the graph from lineitem, so a wrong
+    assertion can only red out as a hash mismatch, never wrong-green;
+    a unit test additionally pins flag-on ≡ flag-off on the layout
+    relation."""
+    if assume_canonical:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -185,6 +206,7 @@ def triangle_stats(
     src: str = "src",
     dst: str = "dst",
     triangles: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     UNDIRECTED simple graph induced by ``edges`` (self-loops dropped,
@@ -214,7 +236,7 @@ def triangle_stats(
     from it. Callers own the edges↔triangles consistency contract
     (the layout's fingerprint discipline).
     """
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     if triangles is not None:
         tri = triangles.agg(F.count("*").alias("n_triangles"))
     else:
@@ -251,6 +273,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 10,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Multi-source breadth-first search over the UNDIRECTED graph of
     ``edges``: minimum hop distance from the ``sources`` node set
@@ -271,13 +294,16 @@ def bfs_hops(
     """
     from pyspark.sql import Observation
 
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not assume_canonical:
+        sym = sym.filter(F.col("u") != F.col("v")).distinct()
+    # canonical input (a < b distinct simple): both orientations are
+    # distinct by construction, so the dedup shuffle is an identity —
+    # skipped (r12, guide §2.4). The checkpoint stays in both paths:
+    # sym is consumed once per frontier round.
+    sym = sym.localCheckpoint()
     seed_col = sources.columns[0]
     visited = (
         sources.select(F.col(seed_col).alias("node"))
@@ -309,6 +335,7 @@ def degree_assortativity(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
     correlation of the degrees at the two ends of every edge of the
@@ -325,7 +352,7 @@ def degree_assortativity(
     presentation rounding. Returns one row: n_edges, assortativity
     (NULL on degree-regular graphs, where the variance is 0).
     """
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -361,6 +388,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 8,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """The k-core of the undirected simple graph: the maximal subgraph
     in which every node has degree ≥ k (Seidman 1983), found by
@@ -393,7 +421,7 @@ def kcore(
 
     from pyspark.sql import Observation
 
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
@@ -463,6 +491,7 @@ def core_numbers(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 12,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Core DECOMPOSITION — the maximum k such that each node belongs
     to the k-core (Seidman 1983; Batagelj-Zaversnik's peel order, here
@@ -490,7 +519,7 @@ def core_numbers(
 
     if max_k < 2:
         raise ValueError(f"core_numbers: max_k must be >= 2, got {max_k}")
-    und, _ = _undirected_simple(edges, src, dst)
+    und, _ = _undirected_simple(edges, src, dst, assume_canonical)
     sym = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -693,6 +722,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al., Phys. Rev. E 2007) over the undirected simple graph of
@@ -721,7 +751,7 @@ def label_propagation(
 
     Returns (node, label) for every node with ≥ 1 incident edge.
     """
-    und, _ = _undirected_simple(edges, src, dst)
+    und, _ = _undirected_simple(edges, src, dst, assume_canonical)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
@@ -753,6 +783,7 @@ def sssp(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 6,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Single/multi-source shortest paths over the UNDIRECTED weighted
     graph of ``edges`` by frontier-based Bellman-Ford: ``max_rounds``
@@ -799,13 +830,20 @@ def sssp(
         F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w")
     )
     # Parallel edges collapse to their cheapest; both directions usable.
-    sym = (
-        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.min("w").alias("w"))
-        .localCheckpoint()
+    sym = base.union(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
+    if not assume_canonical:
+        # parallel edges collapse to their cheapest; for the canonical
+        # weighted layout (unique a < b pairs, no self-loops) the
+        # min-aggregate shuffled 2x|E| rows for an identity — skipped
+        # (r12, guide §2.4).
+        sym = (
+            sym.filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+        )
+    sym = sym.localCheckpoint()
     seed_col = sources.columns[0]
     # Seed distance takes the WEIGHT's type so every round's dist + w
     # and the dist-table unions stay one type (bigint weights never
@@ -849,6 +887,7 @@ def modularity(
     labels: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Newman modularity Q of a node partition over the undirected
     simple graph of ``edges`` (Newman & Girvan 2004): Q = Σ_c [e_c/m −
@@ -873,7 +912,7 @@ def modularity(
     row: n_edges, n_communities, internal_edges, sum_deg_sq,
     modularity (NULL on an empty graph).
     """
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     n_node, n_label = labels.columns[0], labels.columns[1]
     lab = labels.select(
         F.col(n_node).alias("node"), F.col(n_label).alias("label")
@@ -926,6 +965,7 @@ def louvain_move(
     src: str = "src",
     dst: str = "dst",
     pre: tuple[DataFrame, DataFrame] | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """ONE synchronous Louvain local-move pass (Blondel, Guillaume,
     Lambiotte & Lefebvre, J. Stat. Mech. 2008, phase 1) over the
@@ -971,7 +1011,11 @@ def louvain_move(
     Returns (node, label): the post-move partition, same node set as
     ``labels`` restricted to nodes of the graph.
     """
-    und, deg = pre if pre is not None else _undirected_simple(edges, src, dst)
+    und, deg = (
+        pre
+        if pre is not None
+        else _undirected_simple(edges, src, dst, assume_canonical)
+    )
     n_node, n_label = labels.columns[0], labels.columns[1]
     lab = labels.select(
         F.col(n_node).alias("node"), F.col(n_label).alias("label")
@@ -1065,6 +1109,7 @@ def ktruss(
     dst: str = "dst",
     max_rounds: int = 3,
     seed_triangles: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """The k-truss of the undirected simple graph: the maximal
     subgraph in which every EDGE participates in ≥ k−2 triangles of
@@ -1102,7 +1147,7 @@ def ktruss(
 
     if k < 3:
         raise ValueError(f"ktruss: k must be >= 3 (edges need k-2 >= 1 triangles), got {k}")
-    cur, _ = _undirected_simple(edges, src, dst)
+    cur, _ = _undirected_simple(edges, src, dst, assume_canonical)
     prev_n = cur.count()
     converged = prev_n == 0
     for rnd in range(max_rounds):
@@ -1416,6 +1461,7 @@ def trussness(
     dst: str = "dst",
     max_rounds: int = 4,
     seed_triangles: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Truss DECOMPOSITION (VERDICT r08 #5): the maximum k such that
     each edge belongs to the k-truss — the edge-analog of k-core's
@@ -1442,8 +1488,9 @@ def trussness(
     """
     if max_k < 3:
         raise ValueError(f"trussness: max_k must be >= 3, got {max_k}")
-    cur, _ = _undirected_simple(edges, src, dst)
-    cur = cur.localCheckpoint()
+    cur, _ = _undirected_simple(edges, src, dst, assume_canonical)
+    if not assume_canonical:
+        cur = cur.localCheckpoint()
     spark = cur.sparkSession
     out = spark.createDataFrame([], "a long, b long, trussness int")
     for k in range(3, max_k + 1):
@@ -1456,6 +1503,11 @@ def trussness(
             dst="b",
             max_rounds=max_rounds,
             seed_triangles=seed_triangles if k == 3 else None,
+            # cur is canonical by construction at every level (either
+            # _undirected_simple's output or the previous level's
+            # survivor set) — re-canonicalizing inside each ktruss
+            # level paid one redundant edge shuffle PER LEVEL (r12).
+            assume_canonical=True,
         )
         nxt = nxt.localCheckpoint()
         peeled = cur.join(nxt, ["a", "b"], "left_anti").select(
@@ -1482,6 +1534,7 @@ def louvain_multilevel(
     levels: int = 2,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """The MULTI-LEVEL Louvain loop (Blondel et al. 2008, the full
     algorithm; VERDICT r08 #3): one synchronous local-move pass over
@@ -1523,7 +1576,7 @@ def louvain_multilevel(
         .filter(F.col("label").isNotNull())
         .localCheckpoint()
     )
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     deg = deg.localCheckpoint()
     m = und.count()  # scalar; every guard key shares it
 
@@ -1583,6 +1636,7 @@ def random_walks(
     seed: int = 42,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Deterministic seeded RANDOM WALKS over the undirected simple
     graph — the sampling primitive of node2vec/DeepWalk-style
@@ -1608,7 +1662,7 @@ def random_walks(
     """
     if length < 1:
         raise ValueError(f"random_walks: length must be >= 1, got {length}")
-    und, _ = _undirected_simple(edges, src, dst)
+    und, _ = _undirected_simple(edges, src, dst, assume_canonical)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
@@ -1666,6 +1720,7 @@ def landmark_hops(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-LANDMARK hop distances over the undirected simple graph:
     (source, node, hop) for every landmark s and every node within
@@ -1686,13 +1741,16 @@ def landmark_hops(
     """
     from pyspark.sql import Observation
 
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not assume_canonical:
+        sym = sym.filter(F.col("u") != F.col("v")).distinct()
+    # canonical input (a < b distinct simple): both orientations are
+    # distinct by construction, so the dedup shuffle is an identity —
+    # skipped (r12, guide §2.4). The checkpoint stays in both paths:
+    # sym is consumed once per frontier round.
+    sym = sym.localCheckpoint()
     s_col = landmarks.columns[0]
     visited = (
         landmarks.select(F.col(s_col).alias("source"))
@@ -1726,6 +1784,7 @@ def landmark_path_counts(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-landmark shortest-path COUNTS σ_s(v) (Brandes, "A Faster
     Algorithm for Betweenness Centrality", JMS 2001 — the forward
@@ -1749,13 +1808,16 @@ def landmark_path_counts(
     """
     from pyspark.sql import Observation
 
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not assume_canonical:
+        sym = sym.filter(F.col("u") != F.col("v")).distinct()
+    # canonical input (a < b distinct simple): both orientations are
+    # distinct by construction, so the dedup shuffle is an identity —
+    # skipped (r12, guide §2.4). The checkpoint stays in both paths:
+    # sym is consumed once per frontier round.
+    sym = sym.localCheckpoint()
     s_col = landmarks.columns[0]
     visited = (
         landmarks.select(F.col(s_col).alias("source"))
@@ -2111,6 +2173,7 @@ def local_clustering(
     src: str = "src",
     dst: str = "dst",
     triangles: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node LOCAL clustering coefficient (Watts & Strogatz, Nature
     1998) of the undirected simple graph: for each node with degree
@@ -2132,7 +2195,7 @@ def local_clustering(
     irrelevant here — only the three corners are read — so any
     enumeration of the same triangle set works.
     """
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     tri = triangles if triangles is not None else _oriented_triangles(und, deg)
     per_node = (
         tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
@@ -2161,6 +2224,7 @@ def link_prediction_features(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Link-prediction CANDIDATE features (Liben-Nowell & Kleinberg,
     CIKM 2003) over the undirected simple graph: for every NON-edge
@@ -2181,7 +2245,7 @@ def link_prediction_features(
     by running on a w-thresholded core, exactly as the k-truss family
     does).
     """
-    und, deg = _undirected_simple(edges, src, dst)
+    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -2224,6 +2288,7 @@ def node2vec_walks(
     w_out: int = 1,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """SECOND-ORDER biased random walks (node2vec, Grover & Leskovec
     KDD 2016 §3.2) with the same cross-engine determinism contract as
@@ -2253,7 +2318,7 @@ def node2vec_walks(
         raise ValueError(f"node2vec_walks: length must be >= 1, got {length}")
     if min(w_return, w_stay, w_out) < 1:
         raise ValueError("node2vec_walks: weights must be >= 1")
-    und, _ = _undirected_simple(edges, src, dst)
+    und, _ = _undirected_simple(edges, src, dst, assume_canonical)
     und = und.localCheckpoint()
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -2350,6 +2415,7 @@ def link_prediction_eval(
     ks: Sequence[int] = (1, 5, 10),
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Link-prediction EVALUATION harness (the ann/pq/lsh
     recall-report discipline applied to C137's candidate features):
@@ -2380,7 +2446,7 @@ def link_prediction_eval(
 
     if holdout_mod < 2:
         raise ValueError(f"link_prediction_eval: holdout_mod={holdout_mod} < 2")
-    und, _ = _undirected_simple(edges, src, dst)
+    und, _ = _undirected_simple(edges, src, dst, assume_canonical)
     h = (
         F.conv(
             F.substring(

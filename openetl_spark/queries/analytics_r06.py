@@ -380,7 +380,13 @@ def q_graph_triangles(spark, sf_dir):
     from openetl_spark.queries.analytics_r07 import _triangle_layout
 
     tri = spark.read.parquet(_triangle_layout(spark, sf_dir))
-    return G.triangle_stats(_layout_edges(spark, sf_dir), triangles=tri)
+    return G.triangle_stats(
+        # the layout IS the canonical relation — skip the identity
+        # re-canonicalization shuffle (r12, guide §2.4)
+        _layout_edges(spark, sf_dir),
+        triangles=tri,
+        assume_canonical=True,
+    )
 
 
 # ---------------------------------------------------------------------
@@ -419,7 +425,9 @@ def q_bfs_hops_parts(spark, sf_dir):
         .filter(F.col("p_brand") == "Brand#13")
         .select("p_partkey")
     )
-    out = G.bfs_hops(_layout_edges(spark, sf_dir), seeds, max_hops=4)
+    out = G.bfs_hops(
+        _layout_edges(spark, sf_dir), seeds, max_hops=4, assume_canonical=True
+    )
     return out.select("node", F.col("hop").cast("bigint").alias("hop"))
 
 
@@ -460,7 +468,9 @@ def q_graph_assortativity(spark, sf_dir):
     form). Every moment is an exact integer sum cast to double, so
     both engines evaluate the identical closed form; the oracle
     recomputes it relationally from the shared CO_PURCHASE_CTE."""
-    return G.degree_assortativity(_layout_edges(spark, sf_dir))
+    return G.degree_assortativity(
+        _layout_edges(spark, sf_dir), assume_canonical=True
+    )
 
 
 # ---------------------------------------------------------------------
@@ -516,4 +526,6 @@ def q_kcore_parts(spark, sf_dir):
     core (measured: 188/1992/19845 members at sf0.001/0.01/0.1,
     fixpoint ≤ 4 rounds). The oracle unrolls 8 peel rounds from the
     shared CO_PURCHASE_CTE; counts are exact integers — no rounding."""
-    return G.kcore(_layout_edges(spark, sf_dir), k=65, max_rounds=8)
+    return G.kcore(
+        _layout_edges(spark, sf_dir), k=65, max_rounds=8, assume_canonical=True
+    )

@@ -340,7 +340,9 @@ def _triangle_layout(spark, sf_dir: str, core: bool = False) -> str:
             )
         else:
             edges = spark.read.parquet(edges_path)
-        und, deg = G._undirected_simple(edges, "src", "dst")
+        und, deg = G._undirected_simple(
+            edges, "src", "dst", assume_canonical=True
+        )
         return G._oriented_triangles(und, deg)
 
     return _get_or_build_layout(
@@ -390,7 +392,7 @@ def _lpa_layout(spark, sf_dir: str, rounds: int = 4) -> tuple[str, str]:
             shutil.rmtree(root, ignore_errors=True)
     if not os.path.exists(meta_path):  # meta written LAST = build complete
         und = spark.read.parquet(edges_path).localCheckpoint()
-        labels = G.label_propagation(und, rounds=rounds)
+        labels = G.label_propagation(und, rounds=rounds, assume_canonical=True)
         labels.write.mode("overwrite").parquet(labels_path)
         os.makedirs(root, exist_ok=True)
         sig = _lpa_graph_sig(und)
@@ -505,7 +507,14 @@ def q_sssp_parts(spark, sf_dir):
         .select("p_partkey")
     )
     _, edges_w_path = _graph_layout(spark, sf_dir)
-    return G.sssp(spark.read.parquet(edges_w_path), seeds, max_rounds=6)
+    return G.sssp(
+        spark.read.parquet(edges_w_path),
+        seeds,
+        max_rounds=6,
+        # the weighted layout holds unique canonical pairs — the
+        # parallel-edge min-collapse is an identity there (r12)
+        assume_canonical=True,
+    )
 
 
 # ---------------------------------------------------------------------
@@ -676,7 +685,9 @@ def q_graph_modularity(spark, sf_dir):
     pins every compare."""
     labels_path, edges_path = _lpa_layout(spark, sf_dir, rounds=4)
     return G.modularity(
-        spark.read.parquet(edges_path), spark.read.parquet(labels_path)
+        spark.read.parquet(edges_path),
+        spark.read.parquet(labels_path),
+        assume_canonical=True,
     )
 
 

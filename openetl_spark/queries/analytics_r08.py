@@ -162,7 +162,9 @@ def q_louvain_communities(spark, sf_dir):
     Q(lpa) on this graph (tests/test_analytics_graph.py)."""
     labels_path, edges_path = _lpa_layout(spark, sf_dir, rounds=4)
     return G.louvain_move(
-        spark.read.parquet(edges_path), spark.read.parquet(labels_path)
+        spark.read.parquet(edges_path),
+        spark.read.parquet(labels_path),
+        assume_canonical=True,
     )
 
 
@@ -481,7 +483,9 @@ def q_ktruss_core(spark, sf_dir):
     # Round 1 peels the pristine core, whose triangle set is the
     # persisted layout (r10); later rounds re-enumerate on survivors.
     seed = spark.read.parquet(_triangle_layout(spark, sf_dir, core=True))
-    return G.ktruss(e2, k=3, max_rounds=4, seed_triangles=seed)
+    return G.ktruss(
+        e2, k=3, max_rounds=4, seed_triangles=seed, assume_canonical=True
+    )
 
 
 # ---------------------------------------------------------------------

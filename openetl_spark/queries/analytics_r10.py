@@ -727,7 +727,9 @@ def q_core_numbers_parts(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    return G.core_numbers(e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS)
+    return G.core_numbers(
+        e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS, assume_canonical=True
+    )
 
 
 @query(
@@ -858,7 +860,7 @@ def _path_counts_layout(spark, sf_dir):
 
     def build():
         core, lm = _core_and_landmarks(spark, sf_dir)
-        return G.landmark_path_counts(core, lm, max_hops=6)
+        return G.landmark_path_counts(core, lm, max_hops=6, assume_canonical=True)
 
     return spark.read.parquet(
         _get_or_build_layout(spark, root, "path_counts_h6", build)
@@ -930,7 +932,7 @@ def _path_counts_full_layout(spark, sf_dir):
 
     def build():
         full, lm = _full_graph_and_landmarks(spark, sf_dir)
-        return G.landmark_path_counts(full, lm, max_hops=6)
+        return G.landmark_path_counts(full, lm, max_hops=6, assume_canonical=True)
 
     return spark.read.parquet(
         _get_or_build_layout(spark, root, "path_counts_full_h6", build)

@@ -2743,3 +2743,54 @@ def test_skipgram_negative_pairs_validation(spark):
         G.skipgram_negative_pairs(walks, k=0)
     with pytest.raises(ValueError, match="window"):
         G.skipgram_negative_pairs(walks, window=0)
+
+
+# ---------------------------------------------------------------------
+# r12 optimization: the assume_canonical fast path (skip the identity
+# re-canonicalization shuffle on persisted-layout reads, guide §2.4)
+# must be a pure plan change — flag-on ≡ flag-off on the REAL layout
+# relations, and the flag-on plan must contain no Exchange for the
+# und derivation.
+# ---------------------------------------------------------------------
+
+
+def test_assume_canonical_equivalence_on_layout(spark, sf_dir):
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    ep, ewp = _graph_layout(spark, sf_dir)
+    e = spark.read.parquet(ep)
+    ew = spark.read.parquet(ewp)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    u1, d1 = G._undirected_simple(e, "src", "dst")
+    u2, d2 = G._undirected_simple(e, "src", "dst", assume_canonical=True)
+    assert rows(u1) == rows(u2)
+    assert rows(d1) == rows(d2)
+
+    seeds = e.select("src").distinct().limit(5)
+    assert rows(G.bfs_hops(e, seeds, max_hops=4)) == rows(
+        G.bfs_hops(e, seeds, max_hops=4, assume_canonical=True)
+    )
+    assert rows(G.sssp(ew, seeds, max_rounds=6)) == rows(
+        G.sssp(ew, seeds, max_rounds=6, assume_canonical=True)
+    )
+    assert rows(G.kcore(e, k=10, max_rounds=8)) == rows(
+        G.kcore(e, k=10, max_rounds=8, assume_canonical=True)
+    )
+
+
+def test_assume_canonical_plan_has_no_exchange(spark, sf_dir):
+    """The canonical-path und relation must stay a bare aliased scan:
+    zero Exchange (no distinct shuffle), zero ExistingRDD (no
+    localCheckpoint copy) — the r12 plan contract."""
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    ep, _ = _graph_layout(spark, sf_dir)
+    e = spark.read.parquet(ep)
+    und, _deg = G._undirected_simple(e, "src", "dst", assume_canonical=True)
+    plan = und._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ExistingRDD" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
