@@ -177,7 +177,16 @@ HEADLINE = [
 # (At 8 s the two heaviest dedup pipelines — ~8.6 s cold, <2 s warm —
 # landed just over the line and were the only remaining >1.4×-baseline
 # entries; at this SF no steady-state query is near 12 s.)
-MEDIAN_CUTOFF_SEC = 12.0
+#
+# r12 session 2 (declared in OPTIMIZATION_r12.md): raised 12 → 30.
+# The 12 s bound assumed no steady-state query is near it — true on
+# the build host, false on the ~1.5×-slower sandbox host, where
+# first-runs of the cold-codegen-heavy queries land at 13–23 s and a
+# single CPU-steal burst (measured: the same query 39 s in one run,
+# 8.4 s the next, 1.3 s isolated) becomes the RECORDED value. At 30 s
+# those rows report their median-of-3 steady state like every other
+# query; genuinely minutes-scale pipelines would still be single-shot.
+MEDIAN_CUTOFF_SEC = 30.0
 
 
 def _run_once(fn, spark) -> float:

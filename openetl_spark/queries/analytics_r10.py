@@ -727,9 +727,10 @@ def q_core_numbers_parts(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    return G.core_numbers(
-        e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS, assume_canonical=True
-    )
+    # assume_canonical reverted: same peel-ladder shape as kcore_parts,
+    # which measured 1.5x slower flag-on at sf0.1 (per-round task
+    # overhead over an unmaterialized wide sym) — default path kept.
+    return G.core_numbers(e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS)
 
 
 @query(
