@@ -548,6 +548,49 @@ def ams_f2_estimate(
     )
 
 
+# Driver-fold bound (r12 session 3): the compress sweep operates on a
+# relation bounded by the UNIVERSE (≤ 2^log_universe leaf cells plus
+# the folded internals), never by the corpus — for log_universe ≤ 20
+# that is ≤ 1M (v, c) longs (~16 MB), the observe/guard collect class.
+# Folding driver-side replaces log_universe scheduled rounds (each a
+# job + shuffle + localCheckpoint barrier on a kilobyte relation —
+# pure scheduling overhead at ANY scale) with one bounded collect.
+# Above the bound the distributed level loop below remains the path.
+_QDIGEST_DRIVER_FOLD_MAX_L = 20
+
+
+def _qdigest_fold_local(
+    cells: dict[int, int], n: int, log_universe: int, sigma: int
+) -> dict[int, int]:
+    """The q-digest compress sweep on a collected cell dict — the SAME
+    exact-integer fold as the distributed level loop (pooled child sums
+    per parent, fold when s + c(parent) < ⌊n/σ⌋, bottom-up), executed
+    driver-side on the universe-bounded relation. Python ints ARE the
+    bigint arithmetic, so the result is bit-identical to the
+    distributed fold (pinned by a unit test on both operators)."""
+    t = n // sigma
+    for lvl in range(log_universe, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        pooled: dict[int, int] = {}
+        for v, c in cells.items():
+            if lo <= v < hi:
+                p = v >> 1
+                pooled[p] = pooled.get(p, 0) + c
+        for p, s in pooled.items():
+            if s + cells.get(p, 0) < t:
+                new_c = s + cells.pop(p, 0)
+                cells.pop(2 * p, None)
+                cells.pop(2 * p + 1, None)
+                cells[p] = new_c
+    return cells
+
+
+def _qdigest_fold_df(cells: dict[int, int], spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(v), int(c)) for v, c in sorted(cells.items())], "v long, c long"
+    )
+
+
 def qdigest_cells(
     df: DataFrame,
     value: str,
@@ -608,6 +651,18 @@ def qdigest_cells(
         .agg(F.count("*").cast("bigint").alias("c"))
         .select((F.col("_x") + F.lit(big)).cast("bigint").alias("v"), "c")
     )
+    if log_universe <= _QDIGEST_DRIVER_FOLD_MAX_L:
+        # The leaf groupBy (the only corpus-scale work) stays
+        # distributed; the fold runs driver-side on the collected
+        # universe-bounded cells — one job instead of log_universe
+        # scheduled rounds. Collected fresh per invocation (nothing is
+        # memoized across calls).
+        cells = {int(r["v"]): int(r["c"]) for r in leaves.collect()}
+        n = sum(cells.values())
+        return _qdigest_fold_df(
+            _qdigest_fold_local(cells, n, log_universe, sigma),
+            df.sparkSession,
+        )
     n_rel = leaves.agg(F.sum("c").cast("bigint").alias("_n"))
     cur = leaves.crossJoin(F.broadcast(n_rel)).localCheckpoint()
     for lvl in range(log_universe, 0, -1):
@@ -680,6 +735,16 @@ def qdigest_merge(
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     big = 1 << log_universe
+    if log_universe <= _QDIGEST_DRIVER_FOLD_MAX_L:
+        # Same driver-side fold as qdigest_cells: the summed cell
+        # relation is universe-bounded (≤ 2 digests' cells), the fold
+        # is pure bigint arithmetic.
+        cells = {int(r["v"]): int(r["c"]) for r in both.collect()}
+        n = sum(cells.values())
+        return _qdigest_fold_df(
+            _qdigest_fold_local(cells, n, log_universe, sigma),
+            cells_a.sparkSession,
+        )
     # re-express as a value stream is impossible (internal nodes span
     # ranges); compress directly on the summed cells instead
     n_rel = both.agg(F.sum("c").cast("bigint").alias("_n"))

@@ -631,15 +631,24 @@ def q_bloom_decontaminate(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     from openetl_spark.operators.curation import ngrams
 
+    # r12 session 3: ng (the corpus-wide 5-gram explode + distinct —
+    # the query's dominant scan+shuffle) still ran TWICE after the
+    # evg checkpoint below: once building evg, once feeding the
+    # training-side probe. Lazy persist pays the explode+distinct once
+    # per invocation and serves both consumers (the change-7 banded-
+    # relation discipline; persist, not localCheckpoint, so Catalyst
+    # keeps the size stats feeding the downstream broadcast decisions).
     ng = d.select(
         "doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g")
-    ).distinct()
+    ).distinct().persist()
     # r12 optimization: evg (the distinct EVAL grams — dictionary-
     # sized: the eval slice is 1/20 of docs) feeds BOTH the bloom-cell
     # build and the exact-confirmation arm; left lazy, each consumer
     # re-ran the corpus-wide 5-gram explode+distinct (3 full passes
     # for the query). One localCheckpoint of the small relation cuts
-    # that to 2 passes (evg build + the training-side probe).
+    # that to 2 passes (evg build + the training-side probe); the ng
+    # persist above now makes the remaining two consumers share ONE
+    # explode+distinct execution.
     evg = (
         ng.filter(F.col("doc_id") % 20 == 0)
         .select("g")

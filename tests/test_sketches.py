@@ -603,6 +603,33 @@ def test_qdigest_merge_preserves_mass_and_bounds(spark):
         assert r["rank_lo"] <= true <= r["rank_hi"], (r, true)
 
 
+def test_qdigest_driver_fold_equals_distributed(spark, monkeypatch):
+    """r12 session 3: the driver-side compress fold (universe-bounded
+    collect, Python-int arithmetic) must be bit-identical to the
+    distributed level loop it replaced for log_universe ≤ the collect
+    bound — both paths stay pinned by forcing the distributed loop via
+    the threshold."""
+    import random
+
+    rng = random.Random(17)
+    vals = [(i, rng.randint(0, 127)) for i in range(1200)]
+    df = spark.createDataFrame(vals, "id int, x int")
+    fast = {r["v"]: r["c"] for r in SK.qdigest_cells(df, "x", 7, 16).collect()}
+    ca_f = SK.qdigest_cells(df.filter("id % 2 = 0"), "x", 7, 16)
+    cb_f = SK.qdigest_cells(df.filter("id % 2 = 1"), "x", 7, 16)
+    merged_fast = {
+        r["v"]: r["c"] for r in SK.qdigest_merge(ca_f, cb_f, 7, 16).collect()
+    }
+    monkeypatch.setattr(SK, "_QDIGEST_DRIVER_FOLD_MAX_L", -1)
+    slow = {r["v"]: r["c"] for r in SK.qdigest_cells(df, "x", 7, 16).collect()}
+    merged_slow = {
+        r["v"]: r["c"]
+        for r in SK.qdigest_merge(ca_f, cb_f, 7, 16).collect()
+    }
+    assert fast == slow
+    assert merged_fast == merged_slow
+
+
 def test_qdigest_validation(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError, match="log_universe"):
