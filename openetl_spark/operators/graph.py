@@ -27,6 +27,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Driver-fold bound (r12 session 3, the qdigest-fold discipline): when
+# the FILTERED edge relation is at most this many rows (the
+# broadcast-class size test — ~a few MB collected), the power
+# iteration runs driver-side on the collected edges instead of
+# iters scheduled join-agg rounds, each a job + shuffle +
+# localCheckpoint barrier. The corpus-scale work (building the edge
+# relation) stays distributed either way; for the nation trade graph
+# the relation is DOMAIN-bounded (<= 25x25 rows at any corpus size),
+# so the fast path is the steady state at 100 TB too. Above the bound
+# the distributed loop below remains the path. Collected fresh per
+# invocation (nothing memoized across runs).
+_PAGERANK_DRIVER_FOLD_MAX_EDGES = 100_000
+
+
+def _pagerank_fold_local(
+    rows: list, damping: float, iters: int, tele_rows: list | None
+) -> list[tuple]:
+    """The pagerank power iteration on collected (src, dst, w) rows —
+    the SAME double arithmetic as the distributed join-agg rounds
+    ((1-d)·p + d·(contrib + dang·p), dangling mass on p), folded in a
+    deterministic sorted order. Per-round sums can differ from the
+    distributed rendering only in float addition order (~1e-16,
+    damped), the identical tolerance the DuckDB oracles already
+    absorb via the shared fixed 6dp floor-round (see
+    queries/analytics_r06.pagerank_oracle). Bit-equality of the two
+    paths at the rounded surface is pinned by a unit test that forces
+    both via the threshold."""
+    outw: dict = {}
+    nodes = set()
+    for s, d, w in rows:
+        nodes.add(s)
+        nodes.add(d)
+        outw[s] = outw.get(s, 0.0) + w
+    order = sorted(nodes)
+    n = float(len(order))
+    frac = [(s, d, w / outw[s]) for s, d, w in sorted(rows)]
+    if tele_rows is None:
+        p = {v: 1.0 / n for v in order}
+    else:
+        p = {v: 0.0 for v in order}
+        for v, pv in sorted(tele_rows):
+            if v in p:
+                p[v] = p[v] + pv
+    rank = dict(p)
+    for _ in range(iters):
+        dang = 0.0
+        for v in order:
+            if v not in outw:
+                dang += rank[v]
+        contrib = {v: 0.0 for v in order}
+        for s, d, fr in frac:
+            contrib[d] += rank[s] * fr
+        rank = {
+            v: (1.0 - damping) * p[v]
+            + damping * (contrib[v] + dang * p[v])
+            for v in order
+        }
+    return [(v, rank[v]) for v in order]
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -81,6 +141,44 @@ def pagerank(
         .filter(F.col("e_w") > 0)  # NULL/zero/negative: see docstring
         .localCheckpoint()
     )
+    if e.count() <= _PAGERANK_DRIVER_FOLD_MAX_EDGES:
+        # Driver fold on the bounded edge relation (see the constant's
+        # comment). The node column type follows the same src∪dst
+        # coercion as the distributed path. NULL endpoints carry
+        # SQL-specific join semantics the fold does not emulate —
+        # those graphs stay on the distributed path below.
+        rows = [(r[0], r[1], r[2]) for r in e.collect()]
+        if not any(s is None or d is None for s, d, _ in rows):
+            node_type = (
+                e.select(F.col("e_src").alias("node"))
+                .union(e.select(F.col("e_dst").alias("node")))
+                .schema["node"]
+                .dataType
+            )
+            spark = e.sparkSession
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            out_schema = StructType(
+                [StructField("node", node_type), StructField("rank", DoubleType())]
+            )
+            if not rows:
+                return spark.createDataFrame([], out_schema)
+            tele_rows = None
+            if teleport is not None:
+                t_node, t_p = teleport.columns[0], teleport.columns[1]
+                # NULL teleport nodes never join a (non-NULL) graph
+                # node on the distributed path — same here.
+                tele_rows = [
+                    (r[0], r[1])
+                    for r in teleport.select(
+                        F.col(t_node), F.col(t_p).cast("double")
+                    ).collect()
+                    if r[0] is not None
+                ]
+            return spark.createDataFrame(
+                _pagerank_fold_local(rows, damping, iters, tele_rows),
+                out_schema,
+            )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))

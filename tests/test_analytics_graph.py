@@ -84,6 +84,53 @@ def test_pagerank_multi_edges_add(spark):
         assert a[k] == pytest.approx(b[k], abs=1e-15)
 
 
+def test_pagerank_driver_fold_equals_distributed(spark, monkeypatch):
+    """r12 session 3: the size-conditional driver fold must agree with
+    the distributed join-agg rounds it replaces — raw ranks within the
+    float-addition-order tolerance, and EXACTLY at the 6dp
+    floor-rounded surface the declared queries expose. Both arms
+    (uniform + personalized teleport) are pinned; the distributed path
+    is forced via the threshold."""
+    rng = np.random.default_rng(11)
+    n = 30
+    edges = []
+    for s in range(n - 3):
+        for d in rng.choice(n, size=5, replace=False):
+            if d != s:
+                edges.append((int(s), int(d), float(rng.integers(1, 9))))
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    tele = spark.createDataFrame(
+        [(i, 0.25) for i in range(4)], "node int, p double"
+    )
+
+    def run():
+        uni = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(df, "src", "dst", "w", iters=5).collect()
+        }
+        per = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(
+                df, "src", "dst", "w", iters=5, teleport=tele
+            ).collect()
+        }
+        return uni, per
+
+    fast_uni, fast_per = run()
+    monkeypatch.setattr(G, "_PAGERANK_DRIVER_FOLD_MAX_EDGES", -1)
+    slow_uni, slow_per = run()
+    for fast, slow in [(fast_uni, slow_uni), (fast_per, slow_per)]:
+        assert fast.keys() == slow.keys()
+        for k in fast:
+            assert fast[k] == pytest.approx(slow[k], abs=1e-12)
+            # the declared-query surface: fixed 6dp floor-round
+            import math
+
+            assert math.floor(fast[k] * 1e6 + 0.5) == math.floor(
+                slow[k] * 1e6 + 0.5
+            )
+
+
 # ------------------------------------------------------------- skyline
 
 def _brute_skyline(rows, maxs, mins):
