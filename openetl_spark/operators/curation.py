@@ -1830,6 +1830,12 @@ def mondrian_partition(
                 .cast("bigint")
                 .alias(f"_key_{i}")
             )
+        # persist (r12 session 3): picked (leaf-cardinality) feeds the
+        # aug join consumed by the rank pipeline, the cnt aggregate AND
+        # the relabel — left lazy, the stats groupBy over cur re-ran
+        # once per consumer inside the level's checkpoint job (the
+        # change-7 shared-subtree discipline; lazy persist keeps
+        # Catalyst's size stats).
         picked = stats.select("_leaf", "_n", *keys).select(
             "_leaf",
             "_n",
@@ -1838,7 +1844,7 @@ def mondrian_partition(
                     ks=", ".join(f"_key_{i}" for i in range(len(dims)))
                 )
             ).cast("int").alias("_dim"),
-        )
+        ).persist()
         val = F.col(dims[0])
         for i, d in enumerate(dims[1:], start=2):
             val = F.when(F.col("_dim") == i, F.col(d)).otherwise(val)
@@ -1853,9 +1859,12 @@ def mondrian_partition(
         )
         # Lower median: the ASC-rank ceil(n/2) element ((n+1) div 2;
         # _negval DESC ≡ _val ASC, so _pos IS the ascending rank).
+        # persist: med (leaf-cardinality) is joined by BOTH the cnt
+        # aggregate and the relabel — left lazy, the whole rank-window
+        # pipeline beneath it executed twice per level.
         med = ranked.filter(
             F.col("_pos") == F.expr("(_ngrp + 1) div 2")
-        ).select("_leaf", F.col("_val").alias("_m"))
+        ).select("_leaf", F.col("_val").alias("_m")).persist()
         cnt = (
             aug.join(F.broadcast(med), "_leaf")
             .groupBy("_leaf")
@@ -2021,6 +2030,9 @@ def mondrian_hierarchical(
                 .alias(f"_key_{i}")
             )
         ks = ", ".join(f"_key_{i}" for i in range(len(dims) + 1))
+        # persist (r12 session 3): the mondrian_partition discipline —
+        # picked fans into frozen/categorical/numeric arms (≥5 subtree
+        # occurrences in the level's checkpoint plan).
         picked = stats.select("_leaf", "_l", *keys).select(
             "_leaf",
             "_l",
@@ -2032,7 +2044,7 @@ def mondrian_hierarchical(
             )
             .cast("int")
             .alias("_dim"),
-        )
+        ).persist()
         tagged = cur.join(F.broadcast(picked), "_leaf").drop("_l")
         frozen = tagged.filter(F.col("_dim") == 0).drop("_dim")
         # --- categorical arm: descend one taxonomy level -------------
@@ -2114,9 +2126,11 @@ def mondrian_hierarchical(
             aug, "_leaf", "_negval", id_col, bucket_width,
             pos_col="_pos", n_col="_ngrp",
         )
+        # persist: med joined by cnt AND ndone (the numeric-arm rank
+        # pipeline otherwise executes twice per level).
         med = ranked.filter(
             F.col("_pos") == F.expr("(_ngrp + 1) div 2")
-        ).select("_leaf", F.col("_val").alias("_m"))
+        ).select("_leaf", F.col("_val").alias("_m")).persist()
         cnt = (
             aug.join(F.broadcast(med), "_leaf")
             .groupBy("_leaf")
