@@ -724,6 +724,12 @@ def _core_and_landmarks(spark, sf_dir):
         .union(core.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # persist (r12 session 3): lm is 16 rows but its derivation is a
+    # corpus-scale distinct + TakeOrdered over the layout — consumers
+    # that join it twice (effective_diameter_report's nset/elm arms,
+    # the landmark pin joins) re-ran that pass per join. Lazy persist
+    # (NOT localCheckpoint: the downstream joins are unhinted and must
+    # keep seeing Catalyst's 16-row estimate to stay broadcast).
     lm = (
         vtx.orderBy(
             F.conv(
@@ -732,6 +738,7 @@ def _core_and_landmarks(spark, sf_dir):
             "node",
         )
         .limit(16)
+        .persist()
     )
     return core, lm
 
