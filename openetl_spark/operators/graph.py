@@ -412,19 +412,34 @@ def bfs_hops(
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
         obs = Observation()
+        # r12 session 3 (one job per round, was two): the frontier
+        # expansion is lazily persisted and the SINGLE visited
+        # checkpoint materializes it — the cache serves the next
+        # round's frontier join with zero recompute, and no separate
+        # frontier materialization job runs. The observe rides the
+        # checkpointed union with a new-row stamp (metrics do not
+        # propagate out of a cached relation); the stamp never leaves
+        # this loop.
         nxt = (
             frontier.join(sym, frontier["node"] == sym["u"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
+        visited = (
+            visited.select("node", "hop", F.lit(0).alias("_new"))
+            .union(
+                nxt.select(
+                    "node", F.lit(h).alias("hop"), F.lit(1).alias("_new")
+                )
+            )
+            .observe(obs, F.sum("_new").alias("n"))
+            .select("node", "hop")
             .localCheckpoint()
         )
-        if obs.get["n"] == 0:
+        if int(obs.get["n"] or 0) == 0:
             break
-        visited = visited.union(
-            nxt.select("node", F.lit(h).alias("hop"))
-        ).localCheckpoint()
         frontier = nxt
     return visited
 
@@ -962,20 +977,31 @@ def sssp(
             .groupBy("node")
             .agg(F.min("nd").alias("nd"))
         )
+        # r12 session 3 (one job per round, was two): improved is
+        # referenced twice in the dist update (anti-join + union), so
+        # it is lazily persisted and the SINGLE dist checkpoint
+        # materializes the whole round; the cache serves the second
+        # reference and the next round's frontier join with zero
+        # recompute. The observe rides the checkpointed union with a
+        # round stamp (metrics do not propagate out of a cached
+        # relation, so it cannot sit on `improved` itself); the stamp
+        # column never leaves this loop.
         improved = (
             cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
             .select("node", F.col("nd").alias("dist"))
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
+            .persist()
         )
-        if obs.get["n"] == 0:
-            break
         dist = (
             dist.join(improved, "node", "left_anti")
-            .union(improved)
+            .select("node", "dist", F.lit(0).alias("_new"))
+            .union(improved.select("node", "dist", F.lit(1).alias("_new")))
+            .observe(obs, F.sum("_new").alias("n"))
+            .select("node", "dist")
             .localCheckpoint()
         )
+        if int(obs.get["n"] or 0) == 0:
+            break
         frontier = improved
     return dist
 
