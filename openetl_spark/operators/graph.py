@@ -1365,6 +1365,55 @@ def ktruss(
     return cur
 
 
+def _contract_pair(
+    und: DataFrame, lab: DataFrame, moved: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Both Louvain contractions of ONE canonical edge list in ONE
+    edge-scale pass (r12 session 3, §2.3): join both labelings, count
+    by the (lab super-edge, moved super-edge) 4-key once, and derive
+    each supergraph as a cell-scale exact bigint re-aggregate — sum of
+    counts per coarser key ≡ contract_graph's direct count
+    (bit-identity pinned by a unit test). Requires ``lab`` and
+    ``moved`` to cover the same graph nodes (louvain_move's output
+    contract), so an edge survives the lab joins iff it survives the
+    moved joins. Returns (sup_lab, sup_mov), both lazy over a
+    checkpointed cell relation."""
+    cells = (
+        und.join(
+            lab.select(F.col("node").alias("a"), F.col("label").alias("_la")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("node").alias("b"), F.col("label").alias("_lb")),
+            "b",
+        )
+        .join(
+            moved.select(F.col("node").alias("a"), F.col("label").alias("_ma")),
+            "a",
+        )
+        .join(
+            moved.select(F.col("node").alias("b"), F.col("label").alias("_mb")),
+            "b",
+        )
+        .select(
+            F.least("_la", "_lb").alias("_xa"),
+            F.greatest("_la", "_lb").alias("_xb"),
+            F.least("_ma", "_mb").alias("_ya"),
+            F.greatest("_ma", "_mb").alias("_yb"),
+        )
+        .groupBy("_xa", "_xb", "_ya", "_yb")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .localCheckpoint()
+    )
+    sup_lab = cells.groupBy(
+        F.col("_xa").alias("a"), F.col("_xb").alias("b")
+    ).agg(F.sum("_c").cast("long").alias("w"))
+    sup_mov = cells.groupBy(
+        F.col("_ya").alias("a"), F.col("_yb").alias("b")
+    ).agg(F.sum("_c").cast("long").alias("w"))
+    return sup_lab, sup_mov
+
+
 def contract_graph(
     edges: DataFrame,
     labels: DataFrame,
@@ -1749,9 +1798,19 @@ def louvain_multilevel(
         return 4 * m * int(row["i"]) - int(row["s"])
 
     moved = louvain_move(edges, lab, src, dst, pre=(und, deg)).localCheckpoint()
-    sup_lab = contract_graph(edges, lab, src, dst, pre=(und, deg)).localCheckpoint()
+    # r12 session 3 (§2.3 "aggregate before you shuffle"): the lab and
+    # moved contractions are BOTH pure groupBy-counts of the same und
+    # pass — fused into ONE edge-scale join+shuffle keyed by the
+    # 4-tuple (lab super-edge, moved super-edge); each supergraph is a
+    # cell-scale exact bigint re-aggregate of the shared cell relation
+    # (sum of counts per coarser key ≡ direct count — bit-identical,
+    # pinned by a unit test against contract_graph). Edge coverage is
+    # identical on both sides: louvain_move's output covers exactly
+    # the labeled graph nodes, so an edge survives the lab joins iff
+    # it survives the moved joins. Was: two contract_graph calls, two
+    # corpus-scale shuffles + checkpoints.
+    sup_lab, sup_mov = _contract_pair(und, lab, moved)
     st_lab = _stot(lab)
-    sup_mov = contract_graph(edges, moved, src, dst, pre=(und, deg)).localCheckpoint()
     st_mov = _stot(moved)
     klab = _key_from(sup_lab, st_lab)
     kmov = _key_from(sup_mov, st_mov)
@@ -1759,6 +1818,10 @@ def louvain_multilevel(
         best, best_key, sup, stot = moved, kmov, sup_mov, st_mov
     else:
         best, best_key, sup, stot = lab, klab, sup_lab, st_lab
+    # The chosen supergraph feeds every level-loop consumer — give it
+    # the checkpoint the per-labeling contractions used to have
+    # (community-scale job over the cell relation).
+    sup = sup.localCheckpoint()
     for _ in range(levels):
         sup_lab0 = (
             sup.select(F.col("a").alias("node"))

@@ -131,6 +131,34 @@ def test_pagerank_driver_fold_equals_distributed(spark, monkeypatch):
             )
 
 
+def test_contract_pair_equals_contract_graph(spark):
+    """r12 session 3: the fused one-pass pair contraction must be
+    bit-identical to contract_graph run per labeling (sum of 4-key
+    cell counts per coarser key ≡ direct count)."""
+    rng = np.random.default_rng(13)
+    n = 40
+    edges = []
+    for s in range(n):
+        for d in rng.choice(n, size=3, replace=False):
+            if d != s:
+                edges.append((int(s), int(d)))
+    df = spark.createDataFrame(edges, "src int, dst int")
+    lab = spark.createDataFrame(
+        [(i, int(i % 5)) for i in range(n)], "node int, label int"
+    )
+    mov = spark.createDataFrame(
+        [(i, int((i * 7) % 4)) for i in range(n)], "node int, label int"
+    )
+    und, _ = G._undirected_simple(df, "src", "dst")
+    got_lab, got_mov = G._contract_pair(und, lab, mov)
+    want_lab = G.contract_graph(df, lab)
+    want_mov = G.contract_graph(df, mov)
+    for got, want in [(got_lab, want_lab), (got_mov, want_mov)]:
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w
+
+
 # ------------------------------------------------------------- skyline
 
 def _brute_skyline(rows, maxs, mins):
