@@ -245,6 +245,13 @@ def main() -> None:
     spark = get_spark("openetl_spark_bench")
     # warm the JVM + file listing with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # r13 (VERDICT r12 #1/#3): the offline layout-prebuild block below
+    # is timed and reported as its own metric line + summary field so
+    # the driver can account for the build-vs-query split instead of
+    # inferring it — on a cold warehouse the prebuild is real work
+    # (tens of seconds) that r11 charged to first-touch queries and
+    # r12 moved here.
+    prebuild_t0 = time.perf_counter()
     # IVF layout build is an offline step (train-once quantizer +
     # partitioned corpus, cached under spark-warehouse/); build it
     # outside the timed region so ivf_knn measures the query path.
@@ -294,6 +301,14 @@ def main() -> None:
     _lm_scores_layout(spark, SF_DIR)
     _media_fp_layout(spark, "image")
     _media_fp_layout(spark, "audio")
+    prebuild_sec = round(time.perf_counter() - prebuild_t0, 3)
+    print(
+        json.dumps(
+            {"metric": "layout_prebuild_sec", "value": prebuild_sec,
+             "unit": "sec"}
+        ),
+        flush=True,
+    )
 
     # Full-catalog coverage (VERDICT r05 #10): every catalog query gets
     # measured — the headline set first (its sum stays the
@@ -345,6 +360,21 @@ def main() -> None:
         "n_queries": len([n for n in HEADLINE if n in timings]),
         "full_total_sec": round(sum(timings.values()), 3),
         "n_queries_full": len(timings),
+        "prebuild_sec": prebuild_sec,
+        # Methodology version (VERDICT r12 #3): the knobs that change
+        # what a recorded number MEANS, so cross-round comparisons can
+        # detect a methodology shift instead of reading it as a plan
+        # win. v2 = r12 (median cutoff 30 s, per-query cache isolation,
+        # layouts prebuilt); v1 = r05–r11 (cutoff 12 s, no isolation,
+        # IVF/PQ-only prebuild).
+        "methodology": {
+            "v": 2,
+            "median_cutoff_sec": MEDIAN_CUTOFF_SEC,
+            "cache_isolation": not os.environ.get(
+                "SPARK_GRAFT_BENCH_NO_ISOLATE"
+            ),
+            "layouts_prebuilt": True,
+        },
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

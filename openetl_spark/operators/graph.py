@@ -255,7 +255,11 @@ def pagerank(
 
 
 def _undirected_simple(
-    edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    assume_canonical: bool = False,
+    materialize: bool = False,
 ):
     """(und, deg) of the undirected simple graph induced by ``edges``:
     canonical a<b pairs (self-loops dropped, multi/reversed edges
@@ -277,9 +281,44 @@ def _undirected_simple(
     consumer's oracle re-derives the graph from lineitem, so a wrong
     assertion can only red out as a hash mismatch, never wrong-green;
     a unit test additionally pins flag-on ≡ flag-off on the layout
-    relation."""
+    relation.
+
+    ``materialize`` (r13, VERDICT r12 #1): only meaningful with
+    ``assume_canonical``. Operators that re-read ``und`` several times
+    (the peel ladders, the wedge self-joins, the moment aggregate's
+    sym+deg double read) previously had to choose between the flag-off
+    path — which materializes und via localCheckpoint at an
+    AQE-right-sized width but pays a full edge-relation identity
+    shuffle — and the flag-on bare scan, which deletes the shuffle but
+    re-reads parquet per round at the writer's task width (measured
+    1.2–1.6× slower at sf0.1 from per-round task overhead, the r12
+    reverts). This knob keeps BOTH properties: the scan is coalesced
+    to the SAME size-derived width AQE would have left after the
+    deleted exchange (relation bytes / advisoryPartitionSizeInBytes,
+    floor 1 — coalesce narrows without moving bytes across the
+    network, and is a no-op when the size-derived width exceeds the
+    scan's split count, i.e. at corpus scale) and localCheckpointed
+    once, so repeat readers hit an in-memory relation at the
+    AQE-equivalent task width while the corpus-scale distinct shuffle
+    stays deleted. A/B note: a defaultParallelism-width coalesce was
+    tried first and measured 1.5–1.6× SLOWER than flag-off at sf0.1 —
+    the flag-off advantage was never the shuffle, it was AQE packing
+    the ~20 MB relation into one advisory-sized partition; this
+    mirrors that byte target exactly."""
     if assume_canonical:
         und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if materialize:
+            sess = edges.sparkSession
+            advisory = sess._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                sess.conf.get(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+                )
+            )
+            size = int(
+                und._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = max(1, -(-size // max(1, advisory)))  # ceil div
+            und = und.coalesce(target).localCheckpoint()
     else:
         und = (
             edges.select(
@@ -465,7 +504,9 @@ def degree_assortativity(
     presentation rounding. Returns one row: n_edges, assortativity
     (NULL on degree-regular graphs, where the variance is 0).
     """
-    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
+    und, deg = _undirected_simple(
+        edges, src, dst, assume_canonical, materialize=True
+    )
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -534,7 +575,9 @@ def kcore(
 
     from pyspark.sql import Observation
 
-    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
+    und, deg = _undirected_simple(
+        edges, src, dst, assume_canonical, materialize=True
+    )
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
@@ -632,7 +675,9 @@ def core_numbers(
 
     if max_k < 2:
         raise ValueError(f"core_numbers: max_k must be >= 2, got {max_k}")
-    und, _ = _undirected_simple(edges, src, dst, assume_canonical)
+    und, _ = _undirected_simple(
+        edges, src, dst, assume_canonical, materialize=True
+    )
     sym = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -2446,7 +2491,9 @@ def local_clustering(
     irrelevant here — only the three corners are read — so any
     enumeration of the same triangle set works.
     """
-    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
+    und, deg = _undirected_simple(
+        edges, src, dst, assume_canonical, materialize=True
+    )
     tri = triangles if triangles is not None else _oriented_triangles(und, deg)
     per_node = (
         tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
@@ -2496,7 +2543,9 @@ def link_prediction_features(
     by running on a w-thresholded core, exactly as the k-truss family
     does).
     """
-    und, deg = _undirected_simple(edges, src, dst, assume_canonical)
+    und, deg = _undirected_simple(
+        edges, src, dst, assume_canonical, materialize=True
+    )
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

@@ -468,12 +468,14 @@ def q_graph_assortativity(spark, sf_dir):
     form). Every moment is an exact integer sum cast to double, so
     both engines evaluate the identical closed form; the oracle
     recomputes it relationally from the shared CO_PURCHASE_CTE."""
-    # assume_canonical measured SLOWER here at sf0.1 (interleaved A/B:
-    # 1.8 -> 2.6 s median — the one-pass moment aggregate gains nothing
-    # from skipping the prep shuffle, and the unmaterialized 64-part
-    # sym costs more task overhead than the distinct saved); the
-    # default path keeps the AQE-right-sized materialization.
-    return G.degree_assortativity(_layout_edges(spark, sf_dir))
+    # r13 (VERDICT r12 #1): assume_canonical re-enabled — the operator
+    # now width-normalizes + materializes the canonical scan itself
+    # (coalesce to defaultParallelism + localCheckpoint, no exchange),
+    # so the corpus-scale identity shuffle of the r12-reverted default
+    # path is gone while the local task width matches it.
+    return G.degree_assortativity(
+        _layout_edges(spark, sf_dir), assume_canonical=True
+    )
 
 
 # ---------------------------------------------------------------------
@@ -529,9 +531,12 @@ def q_kcore_parts(spark, sf_dir):
     core (measured: 188/1992/19845 members at sf0.001/0.01/0.1,
     fixpoint ≤ 4 rounds). The oracle unrolls 8 peel rounds from the
     shared CO_PURCHASE_CTE; counts are exact integers — no rounding."""
-    # assume_canonical measured SLOWER here at sf0.1 (3.4 -> 5.1 s; the
-    # 8-round peel re-reads sym every round, so the AQE-coalesced
-    # ~20-partition materialization of the default path beats a wider
-    # unmaterialized scan — per-round task overhead dominates tiny
-    # rounds). Default path kept; see OPTIMIZATION_r12.md #15.
-    return G.kcore(_layout_edges(spark, sf_dir), k=65, max_rounds=8)
+    # r13 (VERDICT r12 #1): assume_canonical re-enabled — kcore now
+    # materializes the canonical scan at defaultParallelism width
+    # (coalesce + localCheckpoint, no exchange) before the peel loop,
+    # keeping the r12-measured per-round task width without paying the
+    # identity distinct shuffle the reverted default path carried.
+    return G.kcore(
+        _layout_edges(spark, sf_dir), k=65, max_rounds=8,
+        assume_canonical=True,
+    )

@@ -1248,9 +1248,10 @@ def q_local_clustering(spark, sf_dir):
 
     core, _ = _core_and_landmarks(spark, sf_dir)
     tri = spark.read.parquet(_triangle_layout(spark, sf_dir, core=True))
-    # assume_canonical measured ~1.16x slower here (task-overhead class,
-    # see kcore_parts note) — default path kept.
-    return G.local_clustering(core, triangles=tri)
+    # r13 (VERDICT r12 #1): assume_canonical re-enabled with the
+    # operator-side width-normalized materialization (coalesce +
+    # localCheckpoint, no identity shuffle).
+    return G.local_clustering(core, triangles=tri, assume_canonical=True)
 
 
 @query(
@@ -1288,9 +1289,10 @@ def q_link_prediction_features(spark, sf_dir):
     pays), never all-pairs; on hub-heavy graphs the w-threshold on
     the core is the documented volume cap."""
     core, _ = _core_and_landmarks(spark, sf_dir)
-    # assume_canonical measured ~1.6x slower here (the wedge self-join
-    # prefers the materialized narrow sym) — default path kept.
-    return G.link_prediction_features(core)
+    # r13 (VERDICT r12 #1): assume_canonical re-enabled — the wedge
+    # self-join now reads the operator-materialized canonical scan
+    # (coalesce + localCheckpoint, no identity shuffle).
+    return G.link_prediction_features(core, assume_canonical=True)
 
 
 # ---------------------------------------------------------------------

@@ -727,10 +727,13 @@ def q_core_numbers_parts(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    # assume_canonical reverted: same peel-ladder shape as kcore_parts,
-    # which measured 1.5x slower flag-on at sf0.1 (per-round task
-    # overhead over an unmaterialized wide sym) — default path kept.
-    return G.core_numbers(e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS)
+    # r13 (VERDICT r12 #1): assume_canonical re-enabled — core_numbers
+    # now materializes the canonical scan at defaultParallelism width
+    # (coalesce + localCheckpoint, no identity shuffle) before the
+    # peel ladder, fixing the r12 per-round task-overhead revert.
+    return G.core_numbers(
+        e2, max_k=_CN_MAX_K, max_rounds=_CN_ROUNDS, assume_canonical=True
+    )
 
 
 @query(

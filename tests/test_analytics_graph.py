@@ -2856,6 +2856,48 @@ def test_assume_canonical_equivalence_on_layout(spark, sf_dir):
     )
 
 
+def test_assume_canonical_materialize_equivalence(spark, sf_dir):
+    """r13 (VERDICT r12 #1): the width-normalized materializing
+    canonical path (coalesce to defaultParallelism + localCheckpoint,
+    no identity shuffle) must stay a pure plan change — flag-on ≡
+    flag-off on the REAL layout for the five operators re-enabled this
+    round (kcore is covered by the r12 test above)."""
+    from pyspark.sql import functions as F
+
+    from openetl_spark.queries.analytics_r07 import _graph_layout
+
+    ep, ewp = _graph_layout(spark, sf_dir)
+    e = spark.read.parquet(ep)
+    core = (
+        spark.read.parquet(ewp)
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    u1, d1 = G._undirected_simple(e, "src", "dst")
+    u2, d2 = G._undirected_simple(
+        e, "src", "dst", assume_canonical=True, materialize=True
+    )
+    assert rows(u1) == rows(u2)
+    assert rows(d1) == rows(d2)
+
+    assert rows(G.degree_assortativity(e)) == rows(
+        G.degree_assortativity(e, assume_canonical=True)
+    )
+    assert rows(G.core_numbers(core, max_k=3, max_rounds=12)) == rows(
+        G.core_numbers(core, max_k=3, max_rounds=12, assume_canonical=True)
+    )
+    assert rows(G.local_clustering(core)) == rows(
+        G.local_clustering(core, assume_canonical=True)
+    )
+    assert rows(G.link_prediction_features(core)) == rows(
+        G.link_prediction_features(core, assume_canonical=True)
+    )
+
+
 def test_assume_canonical_plan_has_no_exchange(spark, sf_dir):
     """The canonical-path und relation must stay a bare aliased scan:
     zero Exchange (no distinct shuffle), zero ExistingRDD (no
